@@ -1,0 +1,64 @@
+package graft.queries
+
+import java.nio.file.{Files, Paths}
+import java.util.Comparator
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.storage.TieredTable
+import graft.tables.Tables
+
+/** Q7/Q9 — the tiered-lakehouse behaviors (SURVEY.md §2 S5/S7/S9):
+  * hot∪cold union read and the snapshot-metadata table, exercised through
+  * a real [[TieredTable]] built from the `orders` fixture.
+  *
+  * Construction is deterministic: orders are split into three log
+  * segments by `o_orderkey % 3`; segments 0 and 1 are tiered (two cold
+  * snapshots), segment 2 stays hot. The DuckDB oracle recomputes the same
+  * accounting straight from the parquet — so the manifest bookkeeping,
+  * the exactly-once boundary, and the union read are all cross-checked.
+  */
+object Lakehouse {
+
+  /** Build (once per sf dir) the demo tiered table; idempotent. */
+  def demoTable(spark: SparkSession, dir: String): TieredTable = {
+    val safe = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val path = s"${sys.props("java.io.tmpdir")}/graft-tiered/$safe/orders"
+    val donePath = Paths.get(path, "meta", "LATEST")
+    val t = TieredTable(spark, path)
+    if (!Files.exists(donePath)) {
+      val orders = Tables.load(spark, dir, "orders")
+      (0 to 2).foreach { i =>
+        t.appendLog(orders.filter(pmod(col("o_orderkey"), lit(3)) === i))
+      }
+      t.tier(upToSeg = Some(0L)) // snapshot 1: cold ← seg 0
+      t.tier(upToSeg = Some(1L)) // snapshot 2: cold ← seg 1
+      // seg 2 remains hot
+    }
+    t
+  }
+
+  /** Q7 — union read: count + keysum over hot∪cold must equal the plain
+    * batch aggregate over all orders (no duplicate, no loss across the
+    * tiering boundary; reference README.md:296-316).
+    */
+  def q7UnionRead(spark: SparkSession, dir: String): DataFrame =
+    demoTable(spark, dir).readUnion()
+      .agg(count(lit(1)).as("cnt"), sum(col("o_orderkey")).as("key_sum"))
+
+  /** Q7b — cold-only read (the Trino role): strictly the tiered subset. */
+  def q7ColdOnly(spark: SparkSession, dir: String): DataFrame =
+    demoTable(spark, dir).readCold()
+      .agg(count(lit(1)).as("cnt"), sum(col("o_orderkey")).as("key_sum"))
+
+  /** Q9 — snapshot metadata listing (reference README.md:275), projected
+    * to its deterministic columns. The oracle recomputes rows_added per
+    * snapshot from the modulo split.
+    */
+  def q9Snapshots(spark: SparkSession, dir: String): DataFrame =
+    demoTable(spark, dir).snapshots()
+      .select(col("snapshot_id"), col("operation"), col("rows_added"),
+              col("tiered_seg"))
+      .orderBy(col("snapshot_id"))
+}

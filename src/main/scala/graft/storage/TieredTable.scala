@@ -1,0 +1,252 @@
+package graft.storage
+
+import java.io.File
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.util.Comparator
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.operators.Upsert
+
+/** A tiered lakehouse table: hot append log + cold columnar snapshots,
+  * modeled on the reference's datalake-enabled Fluss tables
+  * (/root/reference/README.md:175-204 — `table.datalake.enabled=true`,
+  * `freshness=30s`; tiering job /root/reference/fluss-iceberg/
+  * docker-compose.yml:94-111).
+  *
+  * Layout (all under one table directory):
+  * {{{
+  *   log/seg-%06d/        hot tail: append-log segments (parquet dirs)
+  *   data/snap-%06d/      cold tier: columnar files, one dir per commit
+  *   meta/snap-%06d.props snapshot manifests (flat key=value)
+  *   meta/LATEST          current snapshot id — atomic-rename swap
+  * }}}
+  *
+  * Commit protocol (snapshot isolation on a plain filesystem): data files
+  * are written first, then the manifest, then `LATEST` is swapped via
+  * write-temp + atomic rename. A reader resolves `LATEST` once and only
+  * reads files listed in that manifest — it can never observe a
+  * half-committed batch (SURVEY.md §3.2 parity requirement). This is the
+  * same commit shape as Iceberg's metadata-pointer swap, minus the
+  * catalog.
+  *
+  * The hot/cold boundary is the `tieredSeg` watermark recorded in each
+  * manifest: log segments ≤ tieredSeg are in the cold tier; the union
+  * read returns cold ∪ segments > tieredSeg — every row exactly once
+  * (reference README.md:296-316, the Flink-vs-Trino count difference).
+  *
+  * Scale notes: manifests are O(#snapshots) driver-side metadata — data
+  * never moves through the driver. Cold reads hand Spark a list of
+  * parquet dirs → normal distributed vectorized scan with
+  * pushdown/pruning. Tiering reads each log segment once and writes it
+  * columnar once; at cluster scale the same design works on any Hadoop
+  * filesystem (rename-atomic stores; for S3, swap the rename for a
+  * conditional PUT — isolated in [[commitManifest]]).
+  */
+class TieredTable(spark: SparkSession, tablePath: String,
+                  pk: Seq[String] = Nil) {
+  private val logDir  = Paths.get(tablePath, "log")
+  private val dataDir = Paths.get(tablePath, "data")
+  private val metaDir = Paths.get(tablePath, "meta")
+  Seq(logDir, dataDir, metaDir).foreach(Files.createDirectories(_))
+
+  /** Internal versioning column for PK (upsert) tables: rows from a later
+    * commit win. Present only in at-rest files of PK tables.
+    */
+  val SeqCol = "__seq"
+
+  // ---- manifest ----
+
+  case class Snapshot(id: Long, op: String, rowsAdded: Long,
+                      tieredSeg: Long, files: Seq[String], committedAt: Long)
+
+  private def manifestPath(id: Long): Path =
+    metaDir.resolve(f"snap-$id%06d.props")
+
+  def latestSnapshotId: Long = {
+    val latest = metaDir.resolve("LATEST")
+    if (Files.exists(latest)) Files.readString(latest).trim.toLong else 0L
+  }
+
+  def snapshot(id: Long): Option[Snapshot] = {
+    val p = manifestPath(id)
+    if (!Files.exists(p)) None
+    else {
+      val kv = Files.readAllLines(p).toArray(Array.empty[String])
+        .filter(_.contains("=")).map { l =>
+          val i = l.indexOf('='); l.substring(0, i) -> l.substring(i + 1)
+        }.toMap
+      Some(Snapshot(kv("id").toLong, kv("op"), kv("rowsAdded").toLong,
+        kv("tieredSeg").toLong,
+        kv.get("files").filter(_.nonEmpty).map(_.split(",").toSeq).getOrElse(Nil),
+        kv("committedAt").toLong))
+    }
+  }
+
+  def currentSnapshot: Option[Snapshot] = snapshot(latestSnapshotId)
+
+  private def commitManifest(s: Snapshot): Unit = {
+    val body =
+      s"""id=${s.id}
+         |op=${s.op}
+         |rowsAdded=${s.rowsAdded}
+         |tieredSeg=${s.tieredSeg}
+         |files=${s.files.mkString(",")}
+         |committedAt=${s.committedAt}
+         |""".stripMargin
+    val tmp = Files.createTempFile(metaDir, "snap", ".tmp")
+    Files.writeString(tmp, body)
+    Files.move(tmp, manifestPath(s.id), StandardCopyOption.ATOMIC_MOVE)
+    val tmp2 = Files.createTempFile(metaDir, "latest", ".tmp")
+    Files.writeString(tmp2, s.id.toString)
+    Files.move(tmp2, metaDir.resolve("LATEST"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  // ---- hot tier: append log ----
+
+  private def segPath(i: Long): Path = logDir.resolve(f"seg-$i%06d")
+
+  def logSegments: Seq[Long] =
+    Option(new File(logDir.toString).list()).getOrElse(Array.empty)
+      .filter(_.startsWith("seg-")).map(_.stripPrefix("seg-").toLong)
+      .sorted.toSeq
+
+  /** Append a batch to the hot log; returns the new segment id. Writes go
+    * to a temp dir then atomic-rename into place so readers never see a
+    * partial segment.
+    */
+  def appendLog(df: DataFrame): Long = {
+    val next = logSegments.lastOption.map(_ + 1).getOrElse(0L)
+    val tmp = logDir.resolve(f"_tmp-seg-$next%06d")
+    df.write.mode("overwrite").parquet(tmp.toString)
+    Files.move(tmp, segPath(next), StandardCopyOption.ATOMIC_MOVE)
+    next
+  }
+
+  // ---- tiering: hot → cold ----
+
+  /** Tier all log segments past the current watermark (optionally only up
+    * to `upToSeg`) into one cold snapshot. This is the reference's lake
+    * tiering service collapsed into a function the 30s-trigger streaming
+    * sink calls per micro-batch (SURVEY.md §2 C4).
+    */
+  def tier(upToSeg: Option[Long] = None): Option[Snapshot] = {
+    val prev = currentSnapshot
+    val watermark = prev.map(_.tieredSeg).getOrElse(-1L)
+    val todo = logSegments.filter(s => s > watermark && upToSeg.forall(s <= _))
+    if (todo.isEmpty) return None
+    val id = latestSnapshotId + 1
+    val out = dataDir.resolve(f"snap-$id%06d")
+    val batch0 = spark.read.parquet(todo.map(segPath(_).toString): _*)
+    val batch = if (pk.nonEmpty) batch0.withColumn(SeqCol, lit(id)) else batch0
+    val rows = batch.count()
+    batch.write.mode("overwrite").parquet(out.toString)
+    val files = prev.map(_.files).getOrElse(Nil) :+ out.toString
+    val s = Snapshot(id, "tier", rows, todo.max, files, System.currentTimeMillis())
+    commitManifest(s)
+    Some(s)
+  }
+
+  /** Direct cold-tier append (no log hop) — batch loads. */
+  def commitAppend(df: DataFrame, op: String = "append"): Snapshot = {
+    val prev = currentSnapshot
+    val id = latestSnapshotId + 1
+    val out = dataDir.resolve(f"snap-$id%06d")
+    val batch = if (pk.nonEmpty) df.withColumn(SeqCol, lit(id)) else df
+    val rows = batch.count()
+    batch.write.mode("overwrite").parquet(out.toString)
+    val s = Snapshot(id, op, rows, prev.map(_.tieredSeg).getOrElse(-1L),
+      prev.map(_.files).getOrElse(Nil) :+ out.toString, System.currentTimeMillis())
+    commitManifest(s)
+    s
+  }
+
+  /** Upsert commit for PK tables: a new delta file whose rows supersede
+    * same-key rows from earlier snapshots (merge-on-read; resolved in
+    * [[readCold]] via last-write-wins on `__seq`).
+    */
+  def commitUpsert(df: DataFrame): Snapshot = {
+    require(pk.nonEmpty, "commitUpsert requires a primary key")
+    commitAppend(df, op = "upsert")
+  }
+
+  // ---- reads ----
+
+  private def emptyLike(schema: StructType): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+
+  /** Cold tier as of the latest committed snapshot (the Trino role,
+    * reference README.md:257-292). PK tables resolve merge-on-read here:
+    * last-write-wins per key on the commit sequence.
+    */
+  def readCold(): DataFrame = currentSnapshot match {
+    case None => throw new IllegalStateException(s"no snapshot in $tablePath")
+    case Some(s) =>
+      val raw = spark.read.parquet(s.files: _*)
+      if (pk.isEmpty) raw
+      else Upsert.latestByKey(raw, pk, Seq(col(SeqCol).desc)).drop(SeqCol)
+  }
+
+  /** Hot tail: log segments not yet covered by the latest snapshot. */
+  def readHot(): DataFrame = {
+    val watermark = currentSnapshot.map(_.tieredSeg).getOrElse(-1L)
+    val segs = logSegments.filter(_ > watermark)
+    if (segs.isEmpty) {
+      val schema = spark.read.parquet(
+        (currentSnapshot.map(_.files).getOrElse(Nil) ++
+          logSegments.map(segPath(_).toString)).head).schema
+      emptyLike(StructType(schema.filterNot(_.name == SeqCol)))
+    } else spark.read.parquet(segs.map(segPath(_).toString): _*)
+  }
+
+  /** The union read (Flink batch role): cold ∪ hot tail, exactly once per
+    * row — the hot/cold boundary is the tieredSeg watermark resolved from
+    * ONE manifest read, so a concurrent tiering commit can't double-count
+    * (SURVEY.md §4.3).
+    */
+  def readUnion(): DataFrame = {
+    val snap = currentSnapshot
+    val watermark = snap.map(_.tieredSeg).getOrElse(-1L)
+    val hotSegs = logSegments.filter(_ > watermark)
+    val hot =
+      if (hotSegs.isEmpty) None
+      else Some(spark.read.parquet(hotSegs.map(segPath(_).toString): _*))
+    val cold = snap.map { s =>
+      val raw = spark.read.parquet(s.files: _*)
+      if (pk.isEmpty) raw
+      else Upsert.latestByKey(raw, pk, Seq(col(SeqCol).desc)).drop(SeqCol)
+    }
+    (cold, hot) match {
+      case (Some(c), Some(h)) => c.unionByName(h)
+      case (Some(c), None)    => c
+      case (None, Some(h))    => h
+      case (None, None) => throw new IllegalStateException(s"empty table $tablePath")
+    }
+  }
+
+  /** Snapshot-metadata table (reference README.md:275 —
+    * `SELECT * FROM "t$snapshots"`).
+    */
+  def snapshots(): DataFrame = {
+    val rows = (1L to latestSnapshotId).flatMap(snapshot).map { s =>
+      Row(s.id, s.op, s.rowsAdded, s.tieredSeg,
+        new java.sql.Timestamp(s.committedAt))
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(
+        StructField("snapshot_id", LongType, nullable = false),
+        StructField("operation", StringType, nullable = false),
+        StructField("rows_added", LongType, nullable = false),
+        StructField("tiered_seg", LongType, nullable = false),
+        StructField("committed_at", TimestampType, nullable = false))))
+  }
+}
+
+object TieredTable {
+  def apply(spark: SparkSession, path: String, pk: Seq[String] = Nil): TieredTable =
+    new TieredTable(spark, path, pk)
+}

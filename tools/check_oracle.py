@@ -1,0 +1,89 @@
+#!/usr/bin/env python3
+"""Local pre-flight for the driver's t2 correctness gate.
+
+Loads each <out>/<name> parquet written by graft.Verify, runs the matching
+oracle SQL from oracle_sql.json in DuckDB over the same sf dir, canonicalizes
+both sides (columns sorted by name, rows sorted, decimals at scale 2,
+timestamps UTC, NULL token) and diffs. Usage:
+
+    python3 tools/check_oracle.py <sfDir> <outDir>
+"""
+import json
+import os
+import sys
+from decimal import Decimal
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon_cell(v):
+    if v is None:
+        return "\0NULL"
+    if isinstance(v, Decimal):
+        return f"{v:.2f}"
+    if isinstance(v, float):
+        return repr(v)
+    if isinstance(v, bool):
+        return str(v).lower()
+    return str(v)
+
+
+def canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(canon_cell(r[i]) for i in order) for r in rows]
+    out.sort()
+    return [c for _, c in sorted(zip(cols, cols))], out
+
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    failures = 0
+    for name, sql in sorted(oracle.items()):
+        res_dir = f"{out_dir}/{name}"
+        if not os.path.isdir(res_dir):
+            print(f"FAIL {name}: no spark result dir")
+            failures += 1
+            continue
+        got = con.execute(f"SELECT * FROM '{res_dir}/*.parquet'")
+        gcols = [d[0] for d in got.description]
+        grows = got.fetchall()
+        want = con.execute(sql)
+        wcols = [d[0] for d in want.description]
+        wrows = want.fetchall()
+        if sorted(gcols) != sorted(wcols):
+            print(f"FAIL {name}: columns {sorted(gcols)} != {sorted(wcols)}")
+            failures += 1
+            continue
+        _, g = canon(grows, gcols)
+        _, w = canon(wrows, wcols)
+        if g == w:
+            print(f"OK   {name}: {len(g)} rows")
+        else:
+            failures += 1
+            print(f"FAIL {name}: {len(g)} spark rows vs {len(w)} oracle rows")
+            only_g = [r for r in g if r not in set(w)][:3]
+            only_w = [r for r in w if r not in set(g)][:3]
+            print(f"  spark-only: {only_g}")
+            print(f"  oracle-only: {only_w}")
+    # queries without oracle: rows-only existence check
+    for name in sorted(os.listdir(out_dir)):
+        d = f"{out_dir}/{name}"
+        if os.path.isdir(d) and name not in oracle:
+            n = con.execute(f"SELECT COUNT(*) FROM '{d}/*.parquet'").fetchone()[0]
+            print(f"{'OK  ' if n > 0 else 'FAIL'} {name}: rows-only, {n} rows")
+            if n == 0:
+                failures += 1
+    print(f"{'ALL OK' if failures == 0 else f'{failures} FAILURES'}")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
