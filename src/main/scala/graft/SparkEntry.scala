@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{Lakehouse, Parity}
+import graft.queries.{Lakehouse, Parity, Pipeline}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -32,7 +32,55 @@ object SparkEntry {
     "q7b_cold_only"  -> (Lakehouse.q7ColdOnly _),
     "q8_notnull_drop"-> (Parity.q8NotNullDrop _),
     "q9_snapshots"   -> (Lakehouse.q9Snapshots _),
+    // training-data pipeline: dedup / similarity / text analysis
+    "d1_exact_dedup" -> (Pipeline.d1ExactDedup _),
+    "d2_fingerprint" -> (Pipeline.d2Fingerprint _),
+    "d3_ngram_pairs" -> (Pipeline.d3NgramPairs _),
+    "d4_minhash_lsh" -> (Pipeline.d4MinhashLsh _),
+    "d5_simhash"     -> (Pipeline.d5Simhash _),
+    "d6_simhash_pairs" -> (Pipeline.d6SimhashPairs _),
+    "s1_knn_brute"   -> (Pipeline.s1KnnBrute _),
+    "s2_lsh_ann"     -> (Pipeline.s2LshAnn _),
+    "s3_neardup_brute" -> (Pipeline.s3NearDupBrute _),
+    "t1_langid"      -> (Pipeline.t1LangId _),
+    "t2_quality"     -> (Pipeline.t2Quality _),
+    "t3_tokens"      -> (Pipeline.t3Tokens _),
+    "t4_rolling_fp"  -> (Pipeline.t4RollingFp _),
+    "t5_wordcount"   -> (Pipeline.t5WordCount _),
   )
+
+  /** Shared DuckDB CTE fragments for the pipeline oracles. hash60(s) =
+    * first 15 hex chars of md5 base-16 — identical to
+    * [[graft.functions.TextFunctions.hash60]].
+    */
+  private val shingleCtes =
+    """toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, array_to_string(list_slice(t, i, i+2), ' ') AS sh
+      |       FROM toks, UNNEST(range(1, len(t)-1)) r(i) WHERE len(t) >= 3),
+      |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+      |inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+      |          FROM sh a JOIN sh b USING (sh) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+      |ver AS (SELECT a_id, b_id, inter, sa.n_sh + sb.n_sh - inter AS union_sz
+      |        FROM inter JOIN sizes sa ON a_id = sa.doc_id JOIN sizes sb ON b_id = sb.doc_id
+      |        WHERE inter * 5 >= (sa.n_sh + sb.n_sh - inter) * 4)""".stripMargin
+
+  private val simhashCtes =
+    """w AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+      |h AS (SELECT doc_id, CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) AS h FROM w),
+      |bsum AS (SELECT doc_id, j.j AS j, sum(CASE WHEN (h >> j.j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      |         FROM h, UNNEST(range(0, 32)) j(j) GROUP BY doc_id, j.j),
+      |sig AS (SELECT doc_id AS id,
+      |          CAST(sum(CASE WHEN s > 0 THEN 1::BIGINT << j ELSE 0::BIGINT END) AS BIGINT) AS simhash
+      |        FROM bsum GROUP BY doc_id)""".stripMargin
+
+  /** Embedding vectors as doubles + L2 norm; the dot product is a strict
+    * left-fold so Spark's `aggregate(zip_with(...))` matches bit-for-bit.
+    */
+  private val embCtes =
+    """v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+      |n AS (SELECT vec_id, v,
+      |        sqrt(list_reduce(list_transform(list_zip(v, v), s -> s[1]*s[2]), (a,x) -> a+x)) AS nrm
+      |      FROM v)""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -93,5 +141,117 @@ object SparkEntry {
         |  SELECT 2, 'tier',
         |         (SELECT COUNT(*) FROM orders WHERE o_orderkey % 3 = 1), 1
         |) ORDER BY snapshot_id""".stripMargin,
+    "d1_exact_dedup" ->
+      "SELECT min(doc_id) AS keep_id, count(*) AS n_dups FROM documents GROUP BY text",
+    "d2_fingerprint" ->
+      "SELECT doc_id, md5(text) AS fingerprint FROM documents",
+    "d3_ngram_pairs" ->
+      s"""WITH $shingleCtes
+         |SELECT a_id, b_id, inter, union_sz FROM ver""".stripMargin,
+    "d4_minhash_lsh" ->
+      s"""WITH $shingleCtes,
+         |mins AS (SELECT doc_id, s.i AS i,
+         |           min(CAST(('0x' || substr(md5(s.i::VARCHAR || ':' || sh), 1, 15)) AS BIGINT)) AS mh
+         |         FROM sh, UNNEST(range(0, 16)) s(i) GROUP BY doc_id, s.i),
+         |bands AS (SELECT doc_id,
+         |            (i // 4)::VARCHAR || ',' || string_agg(mh::VARCHAR, ',' ORDER BY i) AS bsig
+         |          FROM mins GROUP BY doc_id, i // 4),
+         |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |         FROM bands a JOIN bands b ON a.bsig = b.bsig AND a.doc_id < b.doc_id)
+         |SELECT cand.a_id, cand.b_id, inter, union_sz
+         |FROM cand JOIN ver ON cand.a_id = ver.a_id AND cand.b_id = ver.b_id""".stripMargin,
+    "d5_simhash" ->
+      s"""WITH $simhashCtes
+         |SELECT id, simhash FROM sig""".stripMargin,
+    "d6_simhash_pairs" ->
+      s"""WITH $simhashCtes,
+         |keyed AS (SELECT id, simhash,
+         |            unnest(['hi:' || (simhash >> 16)::VARCHAR,
+         |                    'lo:' || (simhash & 65535)::VARCHAR]) AS blk FROM sig)
+         |SELECT a_id, b_id, hamming FROM (
+         |  SELECT DISTINCT a.id AS a_id, b.id AS b_id,
+         |         bit_count(xor(a.simhash, b.simhash)) AS hamming
+         |  FROM keyed a JOIN keyed b ON a.blk = b.blk AND a.id < b.id)
+         |WHERE hamming <= 6""".stripMargin,
+    "s1_knn_brute" ->
+      s"""WITH $embCtes,
+         |scored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    list_reduce(list_transform(list_zip(q.v, c.v), s -> s[1]*s[2]), (a,x) -> a+x)
+         |      / (q.nrm * c.nrm) AS cos
+         |  FROM n q JOIN n c ON q.vec_id <> c.vec_id WHERE q.vec_id < 5)
+         |SELECT query_id, neighbor_id, rank FROM (
+         |  SELECT query_id, neighbor_id,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM scored)
+         |WHERE rank <= 10""".stripMargin,
+    "s2_lsh_ann" ->
+      s"""WITH $embCtes,
+         |proj AS (SELECT vec_id, t.t AS t, p.p AS p,
+         |    list_reduce(list_transform(list_zip(v, range(0, len(v))), s ->
+         |      CASE WHEN CAST(('0x' || substr(md5((t.t*4 + p.p)::VARCHAR || ':' || s[2]::VARCHAR), 1, 15)) AS BIGINT) & 1 = 1
+         |           THEN s[1] ELSE -s[1] END), (a,x) -> a+x) AS pr
+         |  FROM n, UNNEST(range(0, 8)) t(t), UNNEST(range(0, 4)) p(p)),
+         |buck AS (SELECT vec_id,
+         |           t::VARCHAR || ':' ||
+         |           CAST(sum(CASE WHEN pr >= 0 THEN 1::BIGINT << p ELSE 0::BIGINT END) AS BIGINT)::VARCHAR AS bucket
+         |         FROM proj GROUP BY vec_id, t),
+         |pairs AS (SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+         |          FROM buck a JOIN buck b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+         |SELECT a_id, b_id FROM pairs
+         |JOIN n na ON a_id = na.vec_id JOIN n nb ON b_id = nb.vec_id
+         |WHERE list_reduce(list_transform(list_zip(na.v, nb.v), s -> s[1]*s[2]), (a,x) -> a+x)
+         |        / (na.nrm * nb.nrm) >= 0.4""".stripMargin,
+    "s3_neardup_brute" ->
+      s"""WITH $embCtes
+         |SELECT a.vec_id AS a_id, b.vec_id AS b_id
+         |FROM n a JOIN n b ON a.vec_id < b.vec_id
+         |WHERE list_reduce(list_transform(list_zip(a.v, b.v), s -> s[1]*s[2]), (a,x) -> a+x)
+         |        / (a.nrm * b.nrm) >= 0.4""".stripMargin,
+    "t1_langid" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |h AS (SELECT doc_id,
+        |  len(list_filter(t, x -> x IN ('the','a','of','and','is','in','to'))) AS en_hits,
+        |  len(list_filter(t, x -> x IN ('el','la','de','que','y','en'))) AS es_hits,
+        |  len(list_filter(t, x -> x IN ('le','la','de','et','les','des'))) AS fr_hits,
+        |  len(list_filter(t, x -> x IN ('der','die','und','das','ist'))) AS de_hits
+        |  FROM t)
+        |SELECT doc_id, en_hits, es_hits, fr_hits, de_hits,
+        |  CASE WHEN en_hits + es_hits + fr_hits + de_hits = 0 THEN 'und'
+        |       WHEN en_hits >= es_hits AND en_hits >= fr_hits AND en_hits >= de_hits THEN 'en'
+        |       WHEN es_hits >= fr_hits AND es_hits >= de_hits THEN 'es'
+        |       WHEN fr_hits >= de_hits THEN 'fr'
+        |       ELSE 'de' END AS lang_pred
+        |FROM h""".stripMargin,
+    "t2_quality" ->
+      """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS tk FROM documents),
+        |m AS (SELECT doc_id,
+        |  CAST(len(tk) AS BIGINT) AS n_tokens,
+        |  CAST(list_sum(list_transform(tk, x -> length(x))) AS BIGINT) AS sum_token_len,
+        |  CAST(len(list_filter(tk, x -> x IN ('the','a','of','and','is','in','to'))) AS BIGINT) AS stop_hits,
+        |  CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS BIGINT) AS n_symbols
+        |  FROM t)
+        |SELECT doc_id, n_tokens, sum_token_len,
+        |  CAST(sum_token_len AS DOUBLE) / n_tokens AS avg_token_len,
+        |  CAST(stop_hits AS DOUBLE) / n_tokens AS stopword_ratio,
+        |  n_symbols,
+        |  least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.5 +
+        |    (CAST(stop_hits AS DOUBLE) / n_tokens) * 0.5 AS quality_score
+        |FROM m""".stripMargin,
+    "t3_tokens" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS regex_tokens,
+        |  CAST(list_sum(list_transform(string_split(text, ' '), x -> (length(x)+3) // 4)) AS BIGINT) AS approx_bpe
+        |FROM documents""".stripMargin,
+    "t4_rolling_fp" ->
+      """SELECT doc_id,
+        |  list_reduce(list_prepend(0::BIGINT, list_transform(string_split(text, ' '),
+        |    x -> CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT) % 1000003)),
+        |    (a, x) -> (a*31 + x) % 1000000007) AS fp
+        |FROM documents""".stripMargin,
+    "t5_wordcount" ->
+      """SELECT w AS word, count(*) AS cnt
+        |FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |GROUP BY w""".stripMargin,
   )
 }

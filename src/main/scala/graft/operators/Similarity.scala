@@ -4,8 +4,6 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.TextFunctions.seededHash
-
 /** Approximate-nearest-neighbor / similarity search over an embedding
   * column (`array<float>`).
   *
@@ -72,26 +70,53 @@ object Similarity {
       .select(col("a_id"), col("b_id"))
   }
 
-  /** Sign-LSH (random hyperplane) bucketed near-dup: `planes` hyperplanes
-    * whose component j of plane p is +1 if bit0(hash60("p:j")) else -1;
-    * signature bit p = (Σ_j s_pj · v_j) ≥ 0. Same-signature buckets are
-    * candidate groups; exact cosine ≥ threshold check within buckets.
-    * Recall < 1 by construction (LSH) — deterministic, so the oracle can
-    * reproduce it; pair with [[nearDupPairsBrute]] to measure recall.
+  /** JVM-side evaluation of [[graft.functions.TextFunctions.hash60]]:
+    * first 15 hex chars of md5, base-16 — bit-identical to the SQL form,
+    * so plans built from it stay oracle-reproducible.
+    */
+  def jvmHash60(s: String): Long = {
+    val d = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+    java.lang.Long.parseLong(
+      d.take(8).map("%02x".format(_)).mkString.take(15), 16)
+  }
+
+  /** ±1.0 hyperplane component for plane `seed`, dimension `j` — the
+    * md5-derived random-hyperplane family. Precomputed driver-side (it
+    * depends only on constants) and shipped as a literal array: the scan
+    * does one multiply per element instead of one md5 per element.
+    */
+  def planeSign(seed: Int, j: Int): Double =
+    if ((jvmHash60(s"$seed:$j") & 1L) == 1L) 1.0 else -1.0
+
+  /** Multi-table sign-LSH (random hyperplane) bucketed near-dup:
+    * `tables` hash tables of `planes` hyperplanes each (plane seed =
+    * t*planes+p); signature bit p of table t = (Σ_j s·v_j) ≥ 0; bucket
+    * key = "t:bits". Docs sharing any table's bucket become candidates;
+    * exact cosine ≥ threshold check after. Multi-table boosts recall:
+    * P(candidate) = 1-(1-(1-θ/π)^planes)^tables. Deterministic — the
+    * oracle reproduces candidate set and verification exactly; pair with
+    * [[nearDupPairsBrute]] to measure recall.
+    *
+    * Scale: shuffle carries (bucket, id, vec) × tables — O(n·L), never
+    * O(n²); the per-bucket join is the only quadratic piece and bucket
+    * sizes shrink geometrically in `planes`.
     */
   def lshNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
-                      threshold: Double, planes: Int = 8): DataFrame = {
+                      threshold: Double, planes: Int = 4,
+                      tables: Int = 8, dim: Int = 64): DataFrame = {
     val v = df.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
       .withColumn("nrm", l2norm(col("v")))
-    val sigBits = (0 until planes).map { p =>
-      // signed projection: Σ_j ±v_j with md5-deterministic signs
-      val proj = aggregate(
-        zip_with(col("v"), sequence(lit(0), size(col("v")) - 1),
-          (x, j) => when(seededHash(p, j.cast("string")).bitwiseAND(1) === 1, x).otherwise(-x)),
-        lit(0.0d), (acc, x) => acc + x)
-      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
+    val bucketCols = (0 until tables).map { t =>
+      val bits = (0 until planes).map { p =>
+        val seed = t * planes + p
+        val signs = typedLit((0 until dim).map(planeSign(seed, _)))
+        val proj = dot(col("v"), signs)
+        when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
+      }.reduce((a, b) => a + b)
+      concat_ws(":", lit(t.toString), bits)
     }
-    val sig = v.withColumn("bucket", sigBits.reduce((a, b) => a + b))
+    val sig = v.withColumn("bucket", explode(array(bucketCols: _*)))
     sig.select(col("id").as("a_id"), col("v").as("va"), col("nrm").as("na"), col("bucket"))
       .join(sig.select(col("id").as("b_id"), col("v").as("vb"), col("nrm").as("nb"), col("bucket")),
         Seq("bucket"))

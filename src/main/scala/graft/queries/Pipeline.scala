@@ -1,0 +1,126 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextAnalysis._
+import graft.functions.TextFunctions._
+import graft.operators.{Dedup, Similarity}
+import graft.tables.Tables
+
+/** The training-data-pipeline query set: deduplication, similarity
+  * search, and text analysis over the `documents` / `embeddings`
+  * fixtures. Every query is deterministic (md5-derived hashes, exact
+  * integer arithmetic, single-rooted IEEE double ops) so the DuckDB
+  * oracle reproduces it bit-for-bit — including the LSH candidate sets.
+  */
+object Pipeline {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+
+  private def emb(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "embeddings")
+
+  // ---- deduplication ----
+
+  /** D1 — exact dedup: one row per distinct text, keep smallest id. */
+  def d1ExactDedup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exact(docs(spark, dir), "doc_id", "text")
+
+  /** D2 — md5 content fingerprint per document. */
+  def d2Fingerprint(spark: SparkSession, dir: String): DataFrame =
+    Dedup.fingerprint(docs(spark, dir), "doc_id", "text")
+
+  /** D3 — exact 3-gram Jaccard ≥ 0.8 near-dup pairs (inverted index). */
+  def d3NgramPairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(docs(spark, dir), "doc_id", "text",
+      n = 3, num = 4, den = 5)
+
+  /** D4 — MinHash(16)+LSH(4 bands) candidates, Jaccard-verified ≥ 0.8. */
+  def d4MinhashLsh(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLshPairs(docs(spark, dir), "doc_id", "text",
+      n = 3, k = 16, bands = 4, num = 4, den = 5)
+
+  /** D5 — 32-bit SimHash signature per document. */
+  def d5Simhash(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhash(docs(spark, dir), "doc_id", "text", width = 32)
+
+  /** D6 — SimHash near-dup pairs, Hamming ≤ 6, half-signature blocking. */
+  def d6SimhashPairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(docs(spark, dir), "doc_id", "text",
+      width = 32, maxDist = 6)
+
+  // ---- similarity search ----
+
+  /** S1 — exact brute-force top-10 cosine neighbors for probe vectors
+    * (vec_id < 5); ranks only (ordering is float-robust: cosines are
+    * bit-identical on both sides).
+    */
+  def s1KnnBrute(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    Similarity.knnBrute(e.filter(col("vec_id") < 5), e,
+      "vec_id", "embedding", k = 10)
+  }
+
+  /** S2 — multi-table sign-LSH near-dup pairs, cosine ≥ 0.4. */
+  def s2LshAnn(spark: SparkSession, dir: String): DataFrame =
+    Similarity.lshNearDupPairs(emb(spark, dir), "vec_id", "embedding",
+      threshold = 0.4, planes = 4, tables = 8)
+
+  /** S3 — exact all-pairs cosine ≥ 0.4 (the recall baseline for S2). */
+  def s3NearDupBrute(spark: SparkSession, dir: String): DataFrame =
+    Similarity.nearDupPairsBrute(emb(spark, dir), "vec_id", "embedding",
+      threshold = 0.4)
+
+  // ---- text analysis ----
+
+  /** T1 — stopword-marker language ID with deterministic argmax. */
+  def t1LangId(spark: SparkSession, dir: String): DataFrame = {
+    val t = tokens(col("text"))
+    val Seq(en, es, fr, de) = langHits(t).map(_._2)
+    docs(spark, dir).select(
+      col("doc_id"), en.as("en_hits"), es.as("es_hits"),
+      fr.as("fr_hits"), de.as("de_hits"),
+      langPred(en, es, fr, de).as("lang_pred"))
+  }
+
+  /** T2 — quality metrics + composite score per document. */
+  def t2Quality(spark: SparkSession, dir: String): DataFrame = {
+    val t = tokens(col("text"))
+    val nTok = size(t).cast("long")
+    val sumLen = sumTokenLen(t)
+    val stopHits = langHits(t).head._2.cast("long")
+    val symbols = symbolCount(col("text")).cast("long")
+    docs(spark, dir).select(
+      col("doc_id"), nTok.as("n_tokens"), sumLen.as("sum_token_len"),
+      (sumLen.cast("double") / nTok).as("avg_token_len"),
+      (stopHits.cast("double") / nTok).as("stopword_ratio"),
+      symbols.as("n_symbols"),
+      (least(nTok.cast("double") / 100.0, lit(1.0)) * 0.5 +
+        (stopHits.cast("double") / nTok) * 0.5).as("quality_score"))
+  }
+
+  /** T3 — token counting three ways: whitespace, regex pre-tokenizer,
+    * approximate BPE (ceil(len/4) per word).
+    */
+  def t3Tokens(spark: SparkSession, dir: String): DataFrame = {
+    val t = tokens(col("text"))
+    docs(spark, dir).select(
+      col("doc_id"),
+      wsTokenCount(col("text")).cast("long").as("ws_tokens"),
+      regexTokenCount(col("text")).cast("long").as("regex_tokens"),
+      approxBpeCount(t).as("approx_bpe"))
+  }
+
+  /** T4 — order-sensitive rolling polynomial fingerprint per document. */
+  def t4RollingFp(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(
+      col("doc_id"), rollingFingerprint(tokens(col("text"))).as("fp"))
+
+  /** T5 — corpus word-frequency table (the classic shuffle-side agg). */
+  def t5WordCount(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(explode(tokens(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+}
