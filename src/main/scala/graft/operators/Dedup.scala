@@ -44,14 +44,12 @@ object Dedup {
     df.select(col(idCol).as("id"),
         explode(shingles(tokens(col(textCol)), n)).as("sh"))
 
-  /** Exact n-gram Jaccard near-dup pairs with similarity ≥ num/den,
-    * via inverted-index self-join (only pairs sharing a shingle are ever
-    * materialized). Threshold compare is integer-exact:
-    * inter*den ≥ union*num. Output: a_id < b_id, inter, union.
+  /** Exact Jaccard pairs over a prepared (id, sh) shingle set: inverted-
+    * index self-join — only pairs sharing a shingle are ever
+    * materialized. Threshold compare is integer-exact:
+    * inter*den ≥ union*num. Output: a_id < b_id, inter, union_sz.
     */
-  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                        n: Int = 3, num: Int = 4, den: Int = 5): DataFrame = {
-    val s = shingleSet(df, idCol, textCol, n).cache()
+  private def jaccardPairs(s: DataFrame, num: Int, den: Int): DataFrame = {
     val sizes = s.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
     val a = s.select(col("id").as("a_id"), col("sh"))
     val b = s.select(col("id").as("b_id"), col("sh"))
@@ -67,15 +65,22 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("inter"), col("un").as("union_sz"))
   }
 
+  /** Exact n-gram Jaccard near-dup pairs with similarity ≥ num/den. */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        n: Int = 3, num: Int = 4, den: Int = 5): DataFrame =
+    jaccardPairs(shingleSet(df, idCol, textCol, n), num, den)
+
+  private def minhashSignatureFrom(s: DataFrame, k: Int): DataFrame = {
+    val aggs = (0 until k).map(i => min(seededHash(i, col("sh"))).as(s"mh$i"))
+    s.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** MinHash signatures: for each doc, min over shingles of h_i(shingle),
     * i = 0..k-1, as k columns mh0..mh{k-1}. One shuffle on doc id.
     */
   def minhashSignature(df: DataFrame, idCol: String, textCol: String,
-                       n: Int = 3, k: Int = 16): DataFrame = {
-    val s = shingleSet(df, idCol, textCol, n)
-    val aggs = (0 until k).map(i => min(seededHash(i, col("sh"))).as(s"mh$i"))
-    s.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
-  }
+                       n: Int = 3, k: Int = 16): DataFrame =
+    minhashSignatureFrom(shingleSet(df, idCol, textCol, n), k)
 
   /** MinHash + LSH banding near-dup pairs: k hashes in `bands` bands of
     * k/bands rows; docs sharing any full band signature become candidate
@@ -88,7 +93,8 @@ object Dedup {
                       num: Int = 4, den: Int = 5): DataFrame = {
     require(k % bands == 0, "k must divide into bands")
     val rows = k / bands
-    val sig = minhashSignature(df, idCol, textCol, n, k)
+    val s = shingleSet(df, idCol, textCol, n)
+    val sig = minhashSignatureFrom(s, k)
     // band signature = "b:mh_a,mh_b,..." string; unpivot bands via stack
     val bandCols = (0 until bands).map { b =>
       val parts = (0 until rows).map(r => col(s"mh${b * rows + r}"))
@@ -101,9 +107,14 @@ object Dedup {
       .join(stacked.select(col("id").as("b_id"), col("sig")), Seq("sig"))
       .filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id")).distinct()
-    // exact verification on the candidate subset only
-    val verified = ngramJaccardPairs(df, idCol, textCol, n, num, den)
-      .select(col("a_id"), col("b_id"), col("inter"), col("union_sz"))
+    // Exact verification on the candidate docs only: restrict the
+    // inverted index to ids that appear in some candidate pair (broadcast
+    // semi-join — the candidate set is tiny relative to the corpus), then
+    // keep exactly the LSH pairs. At 100 TB this is the difference
+    // between verifying ~|cand| pairs and re-verifying the whole corpus.
+    val candIds = cand.select(col("a_id").as("id"))
+      .union(cand.select(col("b_id").as("id"))).distinct()
+    val verified = jaccardPairs(s.join(broadcast(candIds), Seq("id"), "left_semi"), num, den)
     cand.join(verified, Seq("a_id", "b_id"))
   }
 

@@ -1,0 +1,64 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Dedup
+
+class DedupSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy cat"),   // near-dup of 1
+    (3L, "completely different words entirely here now ok"),
+    (4L, "the quick brown fox jumps over the lazy dog"),   // exact dup of 1
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts, keeps smallest id") {
+    val got = Dedup.exact(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 2L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("fingerprints are equal iff texts are equal") {
+    val fp = Dedup.fingerprint(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fp(1L) == fp(4L))
+    assert(fp(1L) != fp(2L) && fp(1L) != fp(3L))
+  }
+
+  test("ngram Jaccard finds the planted near-dup pair and the exact dup") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        n = 3, num = 1, den = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 4L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("minhash LSH pairs are a subset of exact Jaccard pairs and catch exact dups") {
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        n = 2, num = 1, den = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text",
+        n = 2, k = 16, bands = 8, num = 1, den = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact))
+    assert(lsh.contains((1L, 4L)), "identical docs always collide in every band")
+  }
+
+  test("simhash: identical docs get identical signatures; near-dups are close") {
+    val sig = Dedup.simhash(docs, "doc_id", "text", width = 32)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sig(1L) == sig(4L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sig(1L), sig(2L)) < ham(sig(1L), sig(3L)))
+  }
+
+  test("simhash pairs at maxDist 0 returns exactly the identical pair") {
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text",
+        width = 32, maxDist = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 4L)))
+  }
+}

@@ -1,0 +1,51 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Similarity
+
+class SimilaritySpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  // 4-dim toy corpus: 0⊥1, 2≈0, 3 is 0 scaled (cosine 1)
+  private val vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+    (1L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+    (2L, Array(0.9f, 0.1f, 0.0f, 0.0f)),
+    (3L, Array(2.0f, 0.0f, 0.0f, 0.0f)),
+  ).toDF("vec_id", "embedding")
+
+  test("knnBrute ranks by cosine, excludes self, breaks ties by id") {
+    val got = Similarity.knnBrute(vecs.filter($"vec_id" === 0L), vecs,
+        "vec_id", "embedding", k = 3)
+      .orderBy("rank").collect().map(r => (r.getLong(1), r.getInt(2)))
+    // cos(0,3)=1 > cos(0,2)≈0.994 > cos(0,1)=0
+    assert(got.toSeq == Seq((3L, 1), (2L, 2), (1L, 3)))
+  }
+
+  test("nearDupPairsBrute finds high-cosine pairs only") {
+    val got = Similarity.nearDupPairsBrute(vecs, "vec_id", "embedding", 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((0L, 3L)))
+    assert(!got.contains((0L, 1L)))
+  }
+
+  test("LSH pairs are a subset of brute pairs; parallel vectors always collide") {
+    val dim = 4
+    val brute = Similarity.nearDupPairsBrute(vecs, "vec_id", "embedding", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.lshNearDupPairs(vecs, "vec_id", "embedding",
+        threshold = 0.9, planes = 4, tables = 4, dim = dim)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(brute))
+    // 0 and 3 are positive scalar multiples → identical sign signatures
+    assert(lsh.contains((0L, 3L)))
+  }
+
+  test("planeSign matches the SQL hash60 definition") {
+    // hash60("0:0") parity must equal conv(substr(md5('0:0'),1,15),16,10)&1
+    val h = Similarity.jvmHash60("0:0")
+    assert(h >= 0)
+    assert(Similarity.planeSign(0, 0) == (if ((h & 1) == 1) 1.0 else -1.0))
+  }
+}

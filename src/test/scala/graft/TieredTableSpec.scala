@@ -1,0 +1,74 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.storage.TieredTable
+
+class TieredTableSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private def tmpTable(pk: Seq[String] = Nil): TieredTable = {
+    val dir = Files.createTempDirectory("graft-tt").toString
+    TieredTable(spark, s"$dir/t", pk)
+  }
+
+  test("union read = cold + hot tail, exactly once per row, at every boundary") {
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 5) {
+      val t = tmpTable()
+      val nSegs = 2 + rnd.nextInt(3)
+      val segs = (0 until nSegs).map { s =>
+        (0 until (1 + rnd.nextInt(20))).map(i => (s * 100 + i).toLong)
+      }
+      segs.foreach(rows => t.appendLog(rows.toDF("id")))
+      val boundary = rnd.nextInt(nSegs).toLong  // tier segments 0..boundary
+      t.tier(upToSeg = Some(boundary))
+      val all = segs.flatten.sorted
+      val cold = t.readCold().as[Long].collect().sorted.toSeq
+      val union = t.readUnion().as[Long].collect().sorted.toSeq
+      assert(cold == segs.take(boundary.toInt + 1).flatten.sorted)
+      assert(union == all, "no row lost or duplicated across the boundary")
+      assert(union.size >= cold.size, "hot∪cold ≥ cold (README.md:316 invariant)")
+    }
+  }
+
+  test("snapshot ids are monotone and rows_added is accounted") {
+    val t = tmpTable()
+    t.appendLog(Seq(1L, 2L).toDF("id")); t.tier()
+    t.appendLog(Seq(3L).toDF("id"));     t.tier()
+    val snaps = t.snapshots().orderBy("snapshot_id").collect()
+    assert(snaps.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(snaps.map(_.getLong(2)).toSeq == Seq(2L, 1L))
+    assert(snaps.map(_.getLong(3)).toSeq == Seq(0L, 1L))
+  }
+
+  test("tier is a no-op when nothing is pending") {
+    val t = tmpTable()
+    t.appendLog(Seq(1L).toDF("id"))
+    assert(t.tier().isDefined)
+    assert(t.tier().isEmpty)
+  }
+
+  test("PK table: later commits win per key (merge-on-read)") {
+    val t = tmpTable(pk = Seq("k"))
+    t.commitUpsert(Seq((1, "a"), (2, "b")).toDF("k", "v"))
+    t.commitUpsert(Seq((2, "b2"), (3, "c")).toDF("k", "v"))
+    val got = t.readCold().collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(got == Map(1 -> "a", 2 -> "b2", 3 -> "c"))
+  }
+
+  test("readers of the cold tier never see a half-committed batch") {
+    val t = tmpTable()
+    t.appendLog(Seq(1L, 2L).toDF("id"))
+    t.tier()
+    val before = t.readCold()          // resolves LATEST once
+    t.appendLog(Seq(3L).toDF("id"))
+    t.tier()
+    // plan captured before the second commit still reads snapshot 1 files
+    assert(before.count() == 2)
+    assert(t.readCold().count() == 3)
+  }
+}
