@@ -60,7 +60,8 @@ class TieredTable(spark: SparkSession, tablePath: String,
   // ---- manifest ----
 
   case class Snapshot(id: Long, op: String, rowsAdded: Long,
-                      tieredSeg: Long, files: Seq[String], committedAt: Long)
+                      tieredSeg: Long, files: Seq[String], committedAt: Long,
+                      tag: String = "")
 
   private def manifestPath(id: Long): Path =
     metaDir.resolve(f"snap-$id%06d.props")
@@ -81,7 +82,7 @@ class TieredTable(spark: SparkSession, tablePath: String,
       Some(Snapshot(kv("id").toLong, kv("op"), kv("rowsAdded").toLong,
         kv("tieredSeg").toLong,
         kv.get("files").filter(_.nonEmpty).map(_.split(",").toSeq).getOrElse(Nil),
-        kv("committedAt").toLong))
+        kv("committedAt").toLong, kv.getOrElse("tag", "")))
     }
   }
 
@@ -95,6 +96,7 @@ class TieredTable(spark: SparkSession, tablePath: String,
          |tieredSeg=${s.tieredSeg}
          |files=${s.files.mkString(",")}
          |committedAt=${s.committedAt}
+         |tag=${s.tag}
          |""".stripMargin
     val tmp = Files.createTempFile(metaDir, "snap", ".tmp")
     Files.writeString(tmp, body)
@@ -114,14 +116,31 @@ class TieredTable(spark: SparkSession, tablePath: String,
       .filter(_.startsWith("seg-")).map(_.stripPrefix("seg-").toLong)
       .sorted.toSeq
 
+  /** Segment id already committed under `tag`, if any (idempotence for
+    * streaming replays: the tag rides inside the atomically-renamed
+    * segment dir, so data + marker commit together).
+    */
+  def taggedSegment(tag: String): Option[Long] =
+    logSegments.find { s =>
+      val t = segPath(s).resolve("_TAG")
+      Files.exists(t) && Files.readString(t).trim == tag
+    }
+
   /** Append a batch to the hot log; returns the new segment id. Writes go
     * to a temp dir then atomic-rename into place so readers never see a
-    * partial segment.
+    * partial segment. With `tag` (e.g. "batch-7" from a streaming
+    * micro-batch) the append is exactly-once: a replayed batch whose tag
+    * already landed is skipped.
     */
-  def appendLog(df: DataFrame): Long = {
+  def appendLog(df: DataFrame, tag: Option[String] = None): Long = {
+    tag.flatMap(taggedSegment) match {
+      case Some(existing) => return existing
+      case None =>
+    }
     val next = logSegments.lastOption.map(_ + 1).getOrElse(0L)
     val tmp = logDir.resolve(f"_tmp-seg-$next%06d")
     df.write.mode("overwrite").parquet(tmp.toString)
+    tag.foreach(t => Files.writeString(tmp.resolve("_TAG"), t))
     Files.move(tmp, segPath(next), StandardCopyOption.ATOMIC_MOVE)
     next
   }
@@ -150,8 +169,19 @@ class TieredTable(spark: SparkSession, tablePath: String,
     Some(s)
   }
 
-  /** Direct cold-tier append (no log hop) — batch loads. */
-  def commitAppend(df: DataFrame, op: String = "append"): Snapshot = {
+  /** Snapshot already committed under `tag`, if any. */
+  def taggedSnapshot(tag: String): Option[Snapshot] =
+    (1L to latestSnapshotId).flatMap(snapshot).find(_.tag == tag)
+
+  /** Direct cold-tier append (no log hop) — batch loads. A replayed
+    * `tag` returns the existing snapshot (idempotent streaming sink).
+    */
+  def commitAppend(df: DataFrame, op: String = "append",
+                   tag: Option[String] = None): Snapshot = {
+    tag.flatMap(taggedSnapshot) match {
+      case Some(existing) => return existing
+      case None =>
+    }
     val prev = currentSnapshot
     val id = latestSnapshotId + 1
     val out = dataDir.resolve(f"snap-$id%06d")
@@ -159,7 +189,8 @@ class TieredTable(spark: SparkSession, tablePath: String,
     val rows = batch.count()
     batch.write.mode("overwrite").parquet(out.toString)
     val s = Snapshot(id, op, rows, prev.map(_.tieredSeg).getOrElse(-1L),
-      prev.map(_.files).getOrElse(Nil) :+ out.toString, System.currentTimeMillis())
+      prev.map(_.files).getOrElse(Nil) :+ out.toString,
+      System.currentTimeMillis(), tag.getOrElse(""))
     commitManifest(s)
     s
   }
@@ -168,9 +199,9 @@ class TieredTable(spark: SparkSession, tablePath: String,
     * same-key rows from earlier snapshots (merge-on-read; resolved in
     * [[readCold]] via last-write-wins on `__seq`).
     */
-  def commitUpsert(df: DataFrame): Snapshot = {
+  def commitUpsert(df: DataFrame, tag: Option[String] = None): Snapshot = {
     require(pk.nonEmpty, "commitUpsert requires a primary key")
-    commitAppend(df, op = "upsert")
+    commitAppend(df, op = "upsert", tag = tag)
   }
 
   // ---- reads ----
@@ -226,6 +257,20 @@ class TieredTable(spark: SparkSession, tablePath: String,
       case (None, None) => throw new IllegalStateException(s"empty table $tablePath")
     }
   }
+
+  /** The same log, as an unbounded Structured Streaming source (the
+    * reference's runtime-mode switch, SURVEY.md §2 C3: one table readable
+    * both batch and streaming). Spark's file source discovers new segment
+    * files as they are atomically renamed in — a committed segment is
+    * visible wholly or not at all. `schema` is required because the
+    * stream may start before the first append.
+    */
+  def readStreamLog(schema: StructType,
+                    maxFilesPerTrigger: Int = 64): DataFrame =
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(s"$tablePath/log/seg-*")
 
   /** Snapshot-metadata table (reference README.md:275 —
     * `SELECT * FROM "t$snapshots"`).
