@@ -24,9 +24,16 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Elementwise dot product of two double arrays, sequential fold. */
+  /** Elementwise dot product of two double arrays — a codegen'd Catalyst
+    * expression ([[graft.functions.expressions.DotProduct]]) with the
+    * exact semantics of the sequential fold
+    * `aggregate(zip_with(a,b,_*_), 0.0, _+_)` it replaces.
+    */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+    org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.expressions.DotProduct(
+        org.apache.spark.sql.GraftSqlBridge.expression(a),
+        org.apache.spark.sql.GraftSqlBridge.expression(b)))
 
   def toDouble(v: Column): Column = transform(v, x => x.cast("double"))
 

@@ -1,0 +1,15 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge into the `private[sql]` Column ↔ Catalyst-Expression
+  * conversions (Spark 4 moved classic expressions behind ColumnNode).
+  * This is the one sanctioned-by-necessity reach into Spark internals,
+  * kept to two one-liners so every custom expression in graft goes
+  * through a single seam.
+  */
+object GraftSqlBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
