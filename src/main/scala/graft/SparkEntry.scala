@@ -55,7 +55,8 @@ object SparkEntry {
     */
   private val shingleCtes =
     """toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-      |sh AS (SELECT DISTINCT doc_id, array_to_string(list_slice(t, i, i+2), ' ') AS sh
+      |sh AS (SELECT DISTINCT doc_id,
+      |         CAST(('0x' || substr(md5(array_to_string(list_slice(t, i, i+2), ' ')), 1, 15)) AS BIGINT) AS sh
       |       FROM toks, UNNEST(range(1, len(t)-1)) r(i) WHERE len(t) >= 3),
       |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
       |inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
@@ -151,7 +152,10 @@ object SparkEntry {
     "d4_minhash_lsh" ->
       s"""WITH $shingleCtes,
          |mins AS (SELECT doc_id, s.i AS i,
-         |           min(CAST(('0x' || substr(md5(s.i::VARCHAR || ':' || sh), 1, 15)) AS BIGINT)) AS mh
+         |           min(((sh % 2147483647) *
+         |                ((CAST(('0x' || substr(md5('a:' || s.i::VARCHAR), 1, 15)) AS BIGINT) % 2147483646) + 1)
+         |                + (CAST(('0x' || substr(md5('b:' || s.i::VARCHAR), 1, 15)) AS BIGINT) % 2147483647))
+         |               % 2147483647) AS mh
          |         FROM sh, UNNEST(range(0, 16)) s(i) GROUP BY doc_id, s.i),
          |bands AS (SELECT doc_id,
          |            (i // 4)::VARCHAR || ',' || string_agg(mh::VARCHAR, ',' ORDER BY i) AS bsig

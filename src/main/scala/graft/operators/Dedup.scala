@@ -39,17 +39,36 @@ object Dedup {
   def fingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol), md5(col(textCol)).as("fingerprint"))
 
-  /** Distinct (id, shingle) pairs — the inverted-index building block. */
+  /** Distinct (id, shingle-hash) pairs — the inverted-index building
+    * block. Shingles are reduced to their 60-bit md5 hash immediately:
+    * every downstream shuffle/join carries an 8-byte key instead of an
+    * n-word string, and the MinHash family needs one md5 total (not one
+    * per family member). Collisions (~2^-60) affect Spark and the oracle
+    * identically — both join on the same hash.
+    */
   private def shingleSet(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    df.select(col(idCol).as("id"),
-        explode(shingles(tokens(col(textCol)), n)).as("sh"))
+    Scale.widen(df.select(col(idCol).as("id"), col(textCol).as("__text")))
+      .select(col("id"), explode(shingles(tokens(col("__text")), n)).as("shs"))
+      .select(col("id"), hash60(col("shs")).as("sh"))
+
+  /** MinHash universal-hash family over the shingle hash, mod the
+    * Mersenne prime 2^31−1: h_i(x) = (A_i·(x mod p) + B_i) mod p with
+    * md5-derived constants — products stay < 2^62, so the arithmetic is
+    * exact in 64-bit on both engines.
+    */
+  val MinhashP = 2147483647L
+  def minhashA(i: Int): Long = Similarity.jvmHash60(s"a:$i") % (MinhashP - 1) + 1
+  def minhashB(i: Int): Long = Similarity.jvmHash60(s"b:$i") % MinhashP
 
   /** Exact Jaccard pairs over a prepared (id, sh) shingle set: inverted-
     * index self-join — only pairs sharing a shingle are ever
     * materialized. Threshold compare is integer-exact:
     * inter*den ≥ union*num. Output: a_id < b_id, inter, union_sz.
     */
-  private def jaccardPairs(s: DataFrame, num: Int, den: Int): DataFrame = {
+  private def jaccardPairs(s0: DataFrame, num: Int, den: Int): DataFrame = {
+    // referenced 3× below (sizes + both self-join branches); cache spills
+    // to disk under pressure, so this holds at corpus scale too
+    val s = s0.cache()
     val sizes = s.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
     val a = s.select(col("id").as("a_id"), col("sh"))
     val b = s.select(col("id").as("b_id"), col("sh"))
@@ -71,7 +90,10 @@ object Dedup {
     jaccardPairs(shingleSet(df, idCol, textCol, n), num, den)
 
   private def minhashSignatureFrom(s: DataFrame, k: Int): DataFrame = {
-    val aggs = (0 until k).map(i => min(seededHash(i, col("sh"))).as(s"mh$i"))
+    val hmod = pmod(col("sh"), lit(MinhashP))
+    val aggs = (0 until k).map { i =>
+      min(pmod(hmod * minhashA(i) + minhashB(i), lit(MinhashP))).as(s"mh$i")
+    }
     s.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
   }
 
@@ -124,8 +146,8 @@ object Dedup {
     */
   def simhash(df: DataFrame, idCol: String, textCol: String,
               width: Int = 32): DataFrame = {
-    val w = df.select(col(idCol).as("id"),
-      explode(array_distinct(tokens(col(textCol)))).as("w"))
+    val w = Scale.widen(df.select(col(idCol).as("id"), col(textCol).as("__text")))
+      .select(col("id"), explode(array_distinct(tokens(col("__text")))).as("w"))
       .withColumn("h", hash60(col("w")))
     val bitSums = (0 until width).map { j =>
       sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"s$j")

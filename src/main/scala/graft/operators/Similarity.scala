@@ -51,8 +51,8 @@ object Similarity {
                idCol: String, vecCol: String, k: Int): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"),
       toDouble(col(vecCol)).as("qv"), l2norm(toDouble(col(vecCol))).as("qn"))
-    val c = corpus.select(col(idCol).as("neighbor_id"),
-      toDouble(col(vecCol)).as("cv"), l2norm(toDouble(col(vecCol))).as("cn"))
+    val c = Scale.widen(corpus.select(col(idCol).as("neighbor_id"),
+      toDouble(col(vecCol)).as("cv"), l2norm(toDouble(col(vecCol))).as("cn")))
     val scored = broadcast(q).join(c, col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
     val w = Window.partitionBy(col("query_id"))
@@ -67,7 +67,7 @@ object Similarity {
     */
   def nearDupPairsBrute(df: DataFrame, idCol: String, vecCol: String,
                         threshold: Double): DataFrame = {
-    val v = df.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
+    val v = Scale.widen(df.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v")))
       .withColumn("nrm", l2norm(col("v")))
     v.select(col("id").as("a_id"), col("v").as("va"), col("nrm").as("na"))
       .join(v.select(col("id").as("b_id"), col("v").as("vb"), col("nrm").as("nb")),
@@ -112,7 +112,7 @@ object Similarity {
   def lshNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                       threshold: Double, planes: Int = 4,
                       tables: Int = 8, dim: Int = 64): DataFrame = {
-    val v = df.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
+    val v = Scale.widen(df.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v")))
       .withColumn("nrm", l2norm(col("v")))
     val bucketCols = (0 until tables).map { t =>
       val bits = (0 until planes).map { p =>
