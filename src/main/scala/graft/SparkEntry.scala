@@ -47,6 +47,9 @@ object SparkEntry {
     "t3_tokens"      -> (Pipeline.t3Tokens _),
     "t4_rolling_fp"  -> (Pipeline.t4RollingFp _),
     "t5_wordcount"   -> (Pipeline.t5WordCount _),
+    "m1_media_features" -> (Pipeline.m1MediaFeatures _),
+    "m2_frame_sample"   -> (Pipeline.m2FrameSample _),
+    "m3_resize"         -> (Pipeline.m3Resize _),
   )
 
   /** Shared DuckDB CTE fragments for the pipeline oracles. hash60(s) =
@@ -257,5 +260,38 @@ object SparkEntry {
       """SELECT w AS word, count(*) AS cnt
         |FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
         |GROUP BY w""".stripMargin,
+    // multimodal: the synthesized payload is md5-derived, so the stubbed
+    // decode (byte sums over the payload) is reproducible from hex chars
+    "m1_media_features" ->
+      """WITH m AS (SELECT doc_id AS media_id,
+        |    ['image','audio','video'][
+        |      (CAST(('0x' || substr(md5('mt:' || doc_id::VARCHAR), 1, 15)) AS BIGINT) % 3 + 1)::INT] AS media_type,
+        |    repeat(md5('px:' || doc_id::VARCHAR), 8) AS hex
+        |  FROM documents),
+        |b AS (SELECT media_id, media_type,
+        |    list_transform(range(0, 128),
+        |      i -> CAST(('0x' || substr(hex, (2*i+1)::INT, 2)) AS BIGINT)) AS bytes
+        |  FROM m)
+        |SELECT media_id, media_type, 128 AS n_bytes,
+        |  CAST(list_sum(bytes) AS DOUBLE) / 128 AS brightness,
+        |  CAST(list_sum(list_transform(range(0, 7), j -> bytes[(j+1)::INT] << (8*j)::INT)) AS BIGINT) AS phash
+        |FROM b""".stripMargin,
+    "m2_frame_sample" ->
+      """WITH m AS (SELECT doc_id AS media_id,
+        |    ['image','audio','video'][
+        |      (CAST(('0x' || substr(md5('mt:' || doc_id::VARCHAR), 1, 15)) AS BIGINT) % 3 + 1)::INT] AS media_type,
+        |    (CAST(('0x' || substr(md5('f:' || doc_id::VARCHAR), 1, 15)) AS BIGINT) % 240 + 1) AS n_frames
+        |  FROM documents)
+        |SELECT media_id, unnest(range(0, n_frames, 30)) AS frame_idx
+        |FROM m WHERE media_type = 'video'""".stripMargin,
+    "m3_resize" ->
+      """WITH m AS (SELECT doc_id AS media_id,
+        |    (CAST(('0x' || substr(md5('w:' || doc_id::VARCHAR), 1, 15)) AS BIGINT) % 960 + 64) AS width,
+        |    (CAST(('0x' || substr(md5('h:' || doc_id::VARCHAR), 1, 15)) AS BIGINT) % 540 + 64) AS height
+        |  FROM documents)
+        |SELECT media_id, width, height,
+        |  CAST(floor(width * least(1.0, 512 / greatest(width, height))) AS INT) AS out_width,
+        |  CAST(floor(height * least(1.0, 512 / greatest(width, height))) AS INT) AS out_height
+        |FROM m""".stripMargin,
   )
 }

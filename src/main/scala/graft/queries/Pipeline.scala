@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.TextAnalysis._
 import graft.functions.TextFunctions._
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Dedup, Multimodal, Similarity}
 import graft.tables.Tables
 
 /** The training-data-pipeline query set: deduplication, similarity
@@ -123,4 +123,26 @@ object Pipeline {
     docs(spark, dir)
       .select(explode(tokens(col("text"))).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+
+  // ---- multimodal ----
+
+  private def media(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.synthesize(docs(spark, dir), "doc_id")
+
+  /** M1 — partition-wise decode + feature extraction over binary
+    * payloads (decode itself is a deterministic stub — no codecs in the
+    * container; the plumbing is real).
+    */
+  def m1MediaFeatures(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.decodeFeatures(media(spark, dir)).toDF()
+
+  /** M2 — video frame sampling: metadata-only, payload never read. */
+  def m2FrameSample(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.frameSample(media(spark, dir), step = 30)
+
+  /** M3 — metadata resize to a 512px bounding box. */
+  def m3Resize(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.resizeMeta(media(spark, dir), maxSide = 512)
+      .select(col("media_id"), col("width"), col("height"),
+        col("out_width"), col("out_height"))
 }
