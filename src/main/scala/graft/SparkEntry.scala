@@ -50,6 +50,8 @@ object SparkEntry {
     "m1_media_features" -> (Pipeline.m1MediaFeatures _),
     "m2_frame_sample"   -> (Pipeline.m2FrameSample _),
     "m3_resize"         -> (Pipeline.m3Resize _),
+    "e1_sessionize"     -> (Pipeline.e1Sessionize _),
+    "e2_hourly"         -> (Pipeline.e2Hourly _),
   )
 
   /** Shared DuckDB CTE fragments for the pipeline oracles. hash60(s) =
@@ -173,13 +175,14 @@ object SparkEntry {
     "d6_simhash_pairs" ->
       s"""WITH $simhashCtes,
          |keyed AS (SELECT id, simhash,
-         |            unnest(['hi:' || (simhash >> 16)::VARCHAR,
-         |                    'lo:' || (simhash & 65535)::VARCHAR]) AS blk FROM sig)
+         |            unnest(list_transform(range(0, 4),
+         |              b -> b::VARCHAR || ':' || ((simhash >> (b*8)::INT) & 255)::VARCHAR)) AS blk
+         |          FROM sig)
          |SELECT a_id, b_id, hamming FROM (
          |  SELECT DISTINCT a.id AS a_id, b.id AS b_id,
          |         bit_count(xor(a.simhash, b.simhash)) AS hamming
          |  FROM keyed a JOIN keyed b ON a.blk = b.blk AND a.id < b.id)
-         |WHERE hamming <= 6""".stripMargin,
+         |WHERE hamming <= 3""".stripMargin,
     "s1_knn_brute" ->
       s"""WITH $embCtes,
          |scored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -293,5 +296,18 @@ object SparkEntry {
         |  CAST(floor(width * least(1.0, 512 / greatest(width, height))) AS INT) AS out_width,
         |  CAST(floor(height * least(1.0, 512 / greatest(width, height))) AS INT) AS out_height
         |FROM m""".stripMargin,
+    "e1_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+        |l AS (SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev FROM e),
+        |s AS (SELECT *, CASE WHEN prev IS NULL OR us - prev > 1800000000 THEN 1 ELSE 0 END AS nw FROM l),
+        |x AS (SELECT *, sum(nw) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |                              ROWS UNBOUNDED PRECEDING) AS session_id FROM s)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |       min(us) AS start_us, max(us) AS end_us
+        |FROM x GROUP BY user_id, session_id""".stripMargin,
+    "e2_hourly" ->
+      """SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us,
+        |       count(*) AS cnt, count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY 1""".stripMargin,
   )
 }

@@ -159,24 +159,28 @@ object Dedup {
     sums.select(col("id"), sigExpr.as("simhash"))
   }
 
-  /** SimHash near-dup pairs: Hamming distance ≤ maxDist. Block by the
-    * high half of the signature first (a near-dup pair with few flipped
-    * bits usually agrees on one half) — per-block join instead of a full
-    * cross join; exact Hamming check after. At maxDist ≤ width/2 blocks
-    * halve the candidate space; for guaranteed recall use both halves
-    * (pigeonhole: d ≤ maxDist pairs must agree on at least one half when
-    * maxDist < 2 — for larger maxDist this is a high-recall heuristic
-    * made exact here by unioning both block keys).
+  /** SimHash near-dup pairs: Hamming distance ≤ maxDist, with EXACT
+    * recall by pigeonhole blocking: the signature is split into
+    * maxDist+1 disjoint bit-blocks — a pair within distance maxDist has
+    * at most maxDist differing bits, so at least one block is identical
+    * and the pair meets in that block's bucket. Per-bucket join + exact
+    * Hamming check; candidate space shrinks by ~2^blockBits per block
+    * instead of a full cross join.
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    width: Int = 32, maxDist: Int = 3): DataFrame = {
+    val blocks = maxDist + 1
+    require(width % blocks == 0,
+      s"width=$width must divide into maxDist+1=$blocks equal bit-blocks")
+    val blockBits = width / blocks
+    val mask = (1L << blockBits) - 1
     val sig = simhash(df, idCol, textCol, width).cache()
-    val half = width / 2
-    val lowMask = (1L << half) - 1
+    val blockKeys = (0 until blocks).map { b =>
+      concat_ws(":", lit(b.toString),
+        shiftright(col("simhash"), b * blockBits).bitwiseAND(mask))
+    }
     val keyed = sig.select(col("id"), col("simhash"),
-      explode(array(
-        concat(lit("hi:"), shiftright(col("simhash"), half)),
-        concat(lit("lo:"), col("simhash").bitwiseAND(lowMask)))).as("blk"))
+      explode(array(blockKeys: _*)).as("blk"))
     keyed.select(col("id").as("a_id"), col("simhash").as("sig_a"), col("blk"))
       .join(keyed.select(col("id").as("b_id"), col("simhash").as("sig_b"), col("blk")),
         Seq("blk"))

@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream analytics over the `events` table: sessionization and
+  * time-window rollups, batch and streaming.
+  *
+  * Time is carried as exact epoch-microsecond longs in outputs
+  * (`unix_micros`) — integer arithmetic agrees across engines where raw
+  * timestamp rendering may not.
+  *
+  * Scale: batch sessionization is one hash-shuffle on user_id + an
+  * in-partition sort (the minimum for any per-user ordering); the
+  * streaming variants keep per-key state in the state store with
+  * watermark-bounded retention — no unbounded growth.
+  */
+object Events {
+
+  private def us(c: Column): Column = unix_micros(c)
+
+  /** Batch sessionization: events within `gapMinutes` of the previous
+    * event of the same user share a session. One row per session with
+    * exact-integer bounds and counts.
+    */
+  def sessionizeBatch(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val order = Window.partitionBy(col("user_id"))
+      .orderBy(col("__us"), col("event_id"))
+    val running = Window.partitionBy(col("user_id"))
+      .orderBy(col("__us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val gapUs = gapMinutes * 60L * 1000000L
+    events
+      .select(col("user_id"), col("event_id"), us(col("ts")).as("__us"))
+      .withColumn("__prev", lag(col("__us"), 1).over(order))
+      .withColumn("__new",
+        when(col("__prev").isNull || col("__us") - col("__prev") > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("__new")).over(running))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("__us")).as("start_us"),
+        max(col("__us")).as("end_us"))
+  }
+
+  /** Batch tumbling-hour rollup via the built-in window(): count +
+    * distinct users per hour, window start as exact epoch micros.
+    */
+  def hourlyBatch(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(count(lit(1)).as("cnt"),
+        count_distinct(col("user_id")).as("n_users"))
+      .select(us(col("w.start")).as("window_start_us"),
+        col("cnt"), col("n_users"))
+
+  /** Streaming tumbling-window count by event type with a watermark:
+    * late events beyond `delay` are dropped, closed windows are final
+    * (append mode) and state is evicted — bounded state at any rate.
+    */
+  def hourlyStream(events: DataFrame, delay: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", delay)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(us(col("window.start")).as("window_start_us"),
+        col("event_type"), col("cnt"))
+
+  /** Streaming sessionization via the built-in session_window(): gap-
+    * merged per-user sessions, finalized once the watermark passes the
+    * session end (append mode → each session emitted exactly once).
+    */
+  def sessionStream(events: DataFrame, gap: String = "30 minutes",
+                    delay: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", delay)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        us(col("session_window.start")).as("start_us"),
+        us(col("session_window.end")).as("end_us"),
+        col("n_events"))
+}

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.TextAnalysis._
 import graft.functions.TextFunctions._
-import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.operators.{Dedup, Events, Multimodal, Similarity}
 import graft.tables.Tables
 
 /** The training-data-pipeline query set: deduplication, similarity
@@ -46,10 +46,12 @@ object Pipeline {
   def d5Simhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhash(docs(spark, dir), "doc_id", "text", width = 32)
 
-  /** D6 — SimHash near-dup pairs, Hamming ≤ 6, half-signature blocking. */
+  /** D6 — SimHash near-dup pairs, Hamming ≤ 3, exact-recall pigeonhole
+    * blocking (4 disjoint 8-bit blocks).
+    */
   def d6SimhashPairs(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(docs(spark, dir), "doc_id", "text",
-      width = 32, maxDist = 6)
+      width = 32, maxDist = 3)
 
   // ---- similarity search ----
 
@@ -145,4 +147,14 @@ object Pipeline {
     Multimodal.resizeMeta(media(spark, dir), maxSide = 512)
       .select(col("media_id"), col("width"), col("height"),
         col("out_width"), col("out_height"))
+
+  // ---- event analytics ----
+
+  /** E1 — batch sessionization (30-min gap) over the events table. */
+  def e1Sessionize(spark: SparkSession, dir: String): DataFrame =
+    Events.sessionizeBatch(Tables.load(spark, dir, "events"), gapMinutes = 30)
+
+  /** E2 — tumbling-hour rollup: events + distinct users per hour. */
+  def e2Hourly(spark: SparkSession, dir: String): DataFrame =
+    Events.hourlyBatch(Tables.load(spark, dir, "events"))
 }

@@ -1,0 +1,87 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, Events}
+
+case class Ev(event_id: Long, user_id: Long, ts: Timestamp, event_type: String)
+
+class EventsSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+  implicit def sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private def t(minute: Int) = new Timestamp(1700000000000L + minute * 60000L)
+
+  private val evs = Seq(
+    Ev(0, 1, t(0), "click"), Ev(1, 1, t(10), "click"),   // session 1 of user 1
+    Ev(2, 1, t(70), "view"),                             // gap 60m → session 2
+    Ev(3, 2, t(5), "click"),                             // user 2, one session
+  )
+
+  test("batch sessionization splits on gap, counts and bounds exact") {
+    val got = Events.sessionizeBatch(evs.toDF(), gapMinutes = 30)
+      .orderBy("user_id", "session_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, 1L, 2L), (1L, 2L, 1L), (2L, 1L, 1L)))
+  }
+
+  test("streaming session_window converges to batch sessionization") {
+    val src = MemoryStream[Ev]
+    val q = Events.sessionStream(src.toDF(), gap = "30 minutes", delay = "10 minutes")
+      .writeStream.format("memory").queryName("sess").outputMode("append").start()
+    src.addData(evs: _*)
+    q.processAllAvailable()
+    // advance the watermark far past every session end, twice (watermark
+    // updates at end-of-batch; the flush lands in the following batch)
+    src.addData(Ev(99, 999, t(10000), "x"))
+    q.processAllAvailable()
+    src.addData(Ev(100, 999, t(20000), "x"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sess").filter(col("user_id") < 999)
+      .select("user_id", "n_events")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(got == Seq((1L, 1L), (1L, 2L), (2L, 1L)))
+  }
+
+  test("streaming hourly windows with watermark finalize exactly once") {
+    val src = MemoryStream[Ev]
+    val q = Events.hourlyStream(src.toDF(), delay = "30 minutes")
+      .writeStream.format("memory").queryName("hourly").outputMode("append").start()
+    src.addData(evs: _*)
+    q.processAllAvailable()
+    src.addData(Ev(99, 999, t(10000), "x"))
+    q.processAllAvailable()
+    src.addData(Ev(100, 999, t(20000), "x"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("hourly")
+      .groupBy("window_start_us", "event_type").agg(sum("cnt").as("c"))
+      .filter(col("c") =!= 1 || col("event_type") =!= "x")
+      .collect()
+    // each (window, type) appears once — append emitted no duplicates
+    assert(spark.table("hourly").count() ==
+      spark.table("hourly").select("window_start_us", "event_type").distinct().count())
+    assert(got.nonEmpty)
+  }
+
+  test("simhash pigeonhole blocking has exact recall vs brute hamming") {
+    val docs = (0L until 40L).map { i =>
+      val words = (0 until 12).map(j => s"w${(i * 7 + j * 3) % 25}")
+      (i, words.mkString(" "))
+    }.toDF("doc_id", "text")
+    val sigs = Dedup.simhash(docs, "doc_id", "text", width = 32)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = (for {
+      a <- sigs.keys; b <- sigs.keys if a < b
+      if java.lang.Long.bitCount(sigs(a) ^ sigs(b)) <= 3
+    } yield (a, b)).toSet
+    val got = Dedup.simhashPairs(docs, "doc_id", "text", width = 32, maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want, "pigeonhole blocking must find every pair within maxDist")
+  }
+}
