@@ -42,6 +42,7 @@ object SparkEntry {
     "s1_knn_brute"   -> (Pipeline.s1KnnBrute _),
     "s2_lsh_ann"     -> (Pipeline.s2LshAnn _),
     "s3_neardup_brute" -> (Pipeline.s3NearDupBrute _),
+    "s4_ivf_knn"     -> (Pipeline.s4IvfKnn _),
     "t1_langid"      -> (Pipeline.t1LangId _),
     "t2_quality"     -> (Pipeline.t2Quality _),
     "t3_tokens"      -> (Pipeline.t3Tokens _),
@@ -217,6 +218,33 @@ object SparkEntry {
          |FROM n a JOIN n b ON a.vec_id < b.vec_id
          |WHERE list_reduce(list_transform(list_zip(a.v, b.v), s -> s[1]*s[2]), (a,x) -> a+x)
          |        / (a.nrm * b.nrm) >= 0.4""".stripMargin,
+    "s4_ivf_knn" ->
+      s"""WITH $embCtes,
+         |c AS (SELECT vec_id AS cell, v AS cv, nrm AS cnrm FROM n WHERE vec_id < 32),
+         |asg AS (SELECT vec_id, cell FROM (
+         |  SELECT n.vec_id, c.cell,
+         |         row_number() OVER (PARTITION BY n.vec_id ORDER BY
+         |           list_reduce(list_transform(list_zip(n.v, c.cv), s -> s[1]*s[2]), (a,x) -> a+x)
+         |             / (n.nrm * c.cnrm) DESC, c.cell) AS rn
+         |  FROM n, c) WHERE rn = 1),
+         |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n WHERE vec_id < 5),
+         |probes AS (SELECT qid, qv, qn, cell FROM (
+         |  SELECT q.qid, q.qv, q.qn, c.cell,
+         |         row_number() OVER (PARTITION BY q.qid ORDER BY
+         |           list_reduce(list_transform(list_zip(q.qv, c.cv), s -> s[1]*s[2]), (a,x) -> a+x)
+         |             / (q.qn * c.cnrm) DESC, c.cell) AS prn
+         |  FROM q, c) WHERE prn <= 4),
+         |scored AS (SELECT p.qid AS query_id, a.vec_id AS neighbor_id,
+         |    list_reduce(list_transform(list_zip(p.qv, n.v), s -> s[1]*s[2]), (a2,x) -> a2+x)
+         |      / (p.qn * n.nrm) AS cos
+         |  FROM probes p JOIN asg a ON p.cell = a.cell
+         |  JOIN n ON a.vec_id = n.vec_id
+         |  WHERE p.qid <> a.vec_id)
+         |SELECT query_id, neighbor_id, rank FROM (
+         |  SELECT query_id, neighbor_id,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM scored)
+         |WHERE rank <= 10""".stripMargin,
     "t1_langid" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |h AS (SELECT doc_id,

@@ -132,4 +132,52 @@ object Similarity {
       .filter(col("cos") >= threshold)
       .select(col("a_id"), col("b_id")).distinct()
   }
+
+  /** IVF (inverted-file) approximate top-k: the corpus is coarse-
+    * quantized to its nearest of `nCentroids` centroid vectors (here: the
+    * vectors with id < nCentroids — a deterministic coarse codebook;
+    * k-means would drop in without changing the dataflow); a query probes
+    * only its `nprobe` nearest cells and re-ranks those candidates with
+    * the exact cosine. Recall < 1 by construction; deterministic, so the
+    * oracle reproduces cells, probes, and ranking exactly.
+    *
+    * Scale shape: centroids broadcast (≤ a few thousand rows); cell
+    * assignment is a map-side argmax — the corpus×centroid expansion is
+    * reduced by partial aggregation BEFORE any exchange, so the only
+    * corpus-wide shuffle carries (id, cell). Probing touches
+    * ~nprobe/nCentroids of the corpus per query.
+    */
+  def ivfKnn(queries: DataFrame, corpus: DataFrame, idCol: String,
+             vecCol: String, k: Int, nCentroids: Int = 32,
+             nprobe: Int = 4): DataFrame = {
+    val v = Scale.widen(corpus.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v")))
+      .withColumn("nrm", l2norm(col("v")))
+    val cents = v.filter(col("id") < nCentroids)
+      .select(col("id").as("cell"), col("v").as("cv"), col("nrm").as("cnrm"))
+    // argmax via max_by over a (cos, -cell) struct = cos desc, cell asc —
+    // partial-aggregated map-side, so the ×nCentroids expansion never shuffles
+    val asg = v.join(broadcast(cents))
+      .withColumn("cos", dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")))
+      .groupBy(col("id"))
+      .agg(max_by(col("cell"), struct(col("cos"), -col("cell"))).as("cell"))
+    val q = queries.select(col(idCol).as("qid"), toDouble(col(vecCol)).as("qv"))
+      .withColumn("qn", l2norm(col("qv")))
+    val wProbe = Window.partitionBy(col("qid"))
+      .orderBy(col("pcos").desc, col("cell"))
+    val probes = broadcast(q).join(cents)
+      .withColumn("pcos", dot(col("qv"), col("cv")) / (col("qn") * col("cnrm")))
+      .withColumn("prn", row_number().over(wProbe))
+      .filter(col("prn") <= nprobe)
+      .select(col("qid"), col("qv"), col("qn"), col("cell"))
+    val wRank = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    probes.join(asg, Seq("cell"))
+      .join(v, Seq("id"))
+      .filter(col("qid") =!= col("id"))
+      .withColumn("cos", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+      .select(col("qid").as("query_id"), col("id").as("neighbor_id"), col("cos"))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
 }

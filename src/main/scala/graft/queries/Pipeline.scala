@@ -75,6 +75,13 @@ object Pipeline {
     Similarity.nearDupPairsBrute(emb(spark, dir), "vec_id", "embedding",
       threshold = 0.4)
 
+  /** S4 — IVF top-10 for the same probes as S1 (32 cells, 4 probed). */
+  def s4IvfKnn(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    Similarity.ivfKnn(e.filter(col("vec_id") < 5), e, "vec_id", "embedding",
+      k = 10, nCentroids = 32, nprobe = 4)
+  }
+
   // ---- text analysis ----
 
   /** T1 — stopword-marker language ID with deterministic argmax. */

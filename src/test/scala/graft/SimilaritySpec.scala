@@ -42,6 +42,17 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(lsh.contains((0L, 3L)))
   }
 
+  test("ivfKnn with nprobe = nCentroids degenerates to exact knn") {
+    // probing every cell searches the whole corpus → must equal brute force
+    val exact = Similarity.knnBrute(vecs.filter($"vec_id" === 0L), vecs,
+        "vec_id", "embedding", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val ivf = Similarity.ivfKnn(vecs.filter($"vec_id" === 0L), vecs,
+        "vec_id", "embedding", k = 3, nCentroids = 4, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(ivf == exact)
+  }
+
   test("planeSign matches the SQL hash60 definition") {
     // hash60("0:0") parity must equal conv(substr(md5('0:0'),1,15),16,10)&1
     val h = Similarity.jvmHash60("0:0")
