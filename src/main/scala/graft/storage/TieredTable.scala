@@ -272,6 +272,20 @@ class TieredTable(spark: SparkSession, tablePath: String,
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(s"$tablePath/log/seg-*")
 
+  /** Register the table for `spark.sql` (the reference's catalog
+    * surface, README.md:270-275): `name` = union read (Flink batch
+    * role), `name__cold` = committed tier only (Trino role),
+    * `name__snapshots` = snapshot metadata (the reference's
+    * `"t$snapshots"` — Spark forbids `$` in view names, hence `__`).
+    * Views capture the state as of registration (snapshot isolation);
+    * re-register to advance.
+    */
+  def createOrReplaceViews(name: String): Unit = {
+    readUnion().createOrReplaceTempView(name)
+    readCold().createOrReplaceTempView(s"${name}__cold")
+    snapshots().createOrReplaceTempView(s"${name}__snapshots")
+  }
+
   /** Snapshot-metadata table (reference README.md:275 —
     * `SELECT * FROM "t$snapshots"`).
     */
