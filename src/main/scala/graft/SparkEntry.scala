@@ -75,7 +75,7 @@ object SparkEntry {
     """w AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
       |h AS (SELECT doc_id, CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) AS h FROM w),
       |bsum AS (SELECT doc_id, j.j AS j, sum(CASE WHEN (h >> j.j) & 1 = 1 THEN 1 ELSE -1 END) AS s
-      |         FROM h, UNNEST(range(0, 32)) j(j) GROUP BY doc_id, j.j),
+      |         FROM h, UNNEST(range(0, 48)) j(j) GROUP BY doc_id, j.j),
       |sig AS (SELECT doc_id AS id,
       |          CAST(sum(CASE WHEN s > 0 THEN 1::BIGINT << j ELSE 0::BIGINT END) AS BIGINT) AS simhash
       |        FROM bsum GROUP BY doc_id)""".stripMargin
@@ -177,7 +177,7 @@ object SparkEntry {
       s"""WITH $simhashCtes,
          |keyed AS (SELECT id, simhash,
          |            unnest(list_transform(range(0, 4),
-         |              b -> b::VARCHAR || ':' || ((simhash >> (b*8)::INT) & 255)::VARCHAR)) AS blk
+         |              b -> b::VARCHAR || ':' || ((simhash >> (b*12)::INT) & 4095)::VARCHAR)) AS blk
          |          FROM sig)
          |SELECT a_id, b_id, hamming FROM (
          |  SELECT DISTINCT a.id AS a_id, b.id AS b_id,

@@ -115,7 +115,8 @@ object Dedup {
                       num: Int = 4, den: Int = 5): DataFrame = {
     require(k % bands == 0, "k must divide into bands")
     val rows = k / bands
-    val s = shingleSet(df, idCol, textCol, n)
+    // used by both the signature build and the verification path
+    val s = shingleSet(df, idCol, textCol, n).cache()
     val sig = minhashSignatureFrom(s, k)
     // band signature = "b:mh_a,mh_b,..." string; unpivot bands via stack
     val bandCols = (0 until bands).map { b =>

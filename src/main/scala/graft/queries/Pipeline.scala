@@ -42,16 +42,19 @@ object Pipeline {
     Dedup.minhashLshPairs(docs(spark, dir), "doc_id", "text",
       n = 3, k = 16, bands = 4, num = 4, den = 5)
 
-  /** D5 — 32-bit SimHash signature per document. */
+  /** D5 — 48-bit SimHash signature per document (wider than the classic
+    * 32 because the synthetic vocabulary is tiny — more bits spread the
+    * Hamming distances and keep near-dup blocking selective).
+    */
   def d5Simhash(spark: SparkSession, dir: String): DataFrame =
-    Dedup.simhash(docs(spark, dir), "doc_id", "text", width = 32)
+    Dedup.simhash(docs(spark, dir), "doc_id", "text", width = 48)
 
   /** D6 — SimHash near-dup pairs, Hamming ≤ 3, exact-recall pigeonhole
-    * blocking (4 disjoint 8-bit blocks).
+    * blocking (4 disjoint 12-bit blocks).
     */
   def d6SimhashPairs(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(docs(spark, dir), "doc_id", "text",
-      width = 32, maxDist = 3)
+      width = 48, maxDist = 3)
 
   // ---- similarity search ----
 
