@@ -1,0 +1,31 @@
+package graft.plans
+
+import scala.collection.concurrent.TrieMap
+
+/** Process-wide registry of tiered tables addressable as
+  * `graft.<db>.<table>` in SQL (the reference's three-level
+  * `catalog.database.table` namespace, /root/reference/README.md:129-135).
+  * Resolution happens in [[ResolveTieredTables]].
+  */
+object TieredCatalog {
+  val CatalogName = "graft"
+
+  case class Entry(path: String, pk: Seq[String], mergeOnRead: Boolean)
+
+  private val reg = TrieMap.empty[(String, String), Entry]
+
+  def register(db: String, table: String, path: String,
+               pk: Seq[String] = Nil, mergeOnRead: Boolean = false): Unit =
+    reg.put((db.toLowerCase, table.toLowerCase), Entry(path, pk, mergeOnRead))
+
+  def lookup(db: String, table: String): Option[Entry] =
+    reg.get((db.toLowerCase, table.toLowerCase))
+
+  def unregister(db: String, table: String): Boolean =
+    reg.remove((db.toLowerCase, table.toLowerCase)).isDefined
+
+  def listTables(db: String): Seq[String] =
+    reg.keys.collect { case (d, t) if d == db.toLowerCase => t }.toSeq.sorted
+
+  def clear(): Unit = reg.clear()
+}

@@ -46,7 +46,7 @@ import graft.operators.Upsert
   * conditional PUT — isolated in [[commitManifest]]).
   */
 class TieredTable(spark: SparkSession, tablePath: String,
-                  pk: Seq[String] = Nil) {
+                  pk: Seq[String] = Nil, mergeOnRead: Boolean = false) {
   private val logDir  = Paths.get(tablePath, "log")
   private val dataDir = Paths.get(tablePath, "data")
   private val metaDir = Paths.get(tablePath, "meta")
@@ -160,7 +160,7 @@ class TieredTable(spark: SparkSession, tablePath: String,
     val id = latestSnapshotId + 1
     val out = dataDir.resolve(f"snap-$id%06d")
     val batch0 = spark.read.parquet(todo.map(segPath(_).toString): _*)
-    val batch = if (pk.nonEmpty) batch0.withColumn(SeqCol, lit(id)) else batch0
+    val batch = if (pk.nonEmpty && mergeOnRead) batch0.withColumn(SeqCol, lit(id)) else batch0
     val rows = batch.count()
     batch.write.mode("overwrite").parquet(out.toString)
     val files = prev.map(_.files).getOrElse(Nil) :+ out.toString
@@ -185,7 +185,7 @@ class TieredTable(spark: SparkSession, tablePath: String,
     val prev = currentSnapshot
     val id = latestSnapshotId + 1
     val out = dataDir.resolve(f"snap-$id%06d")
-    val batch = if (pk.nonEmpty) df.withColumn(SeqCol, lit(id)) else df
+    val batch = if (pk.nonEmpty && mergeOnRead) df.withColumn(SeqCol, lit(id)) else df
     val rows = batch.count()
     batch.write.mode("overwrite").parquet(out.toString)
     val s = Snapshot(id, op, rows, prev.map(_.tieredSeg).getOrElse(-1L),
@@ -195,13 +195,59 @@ class TieredTable(spark: SparkSession, tablePath: String,
     s
   }
 
-  /** Upsert commit for PK tables: a new delta file whose rows supersede
-    * same-key rows from earlier snapshots (merge-on-read; resolved in
-    * [[readCold]] via last-write-wins on `__seq`).
+  /** Upsert commit for PK tables.
+    *
+    * Default (copy-on-write): the batch is merged with the current cold
+    * state and the RESOLVED table is committed — readers get plain
+    * parquet with no dedup work, and the SQL catalog
+    * ([[graft.plans.GraftTableCatalog]]) can serve PK tables directly.
+    * Right for dimension-sized PK tables (the reference's customer /
+    * nation / nation_revenue).
+    *
+    * With `mergeOnRead = true` (constructor): the batch is committed as
+    * a delta file whose rows supersede same-key rows from earlier
+    * snapshots, resolved in [[readCold]] via last-write-wins on `__seq`
+    * — right for huge PK tables where rewriting on every batch is the
+    * bottleneck.
+    *
+    * `versionOrder` (descending-significant) resolves duplicate keys
+    * WITHIN the batch deterministically; cross-batch, later commits win
+    * in both modes.
     */
-  def commitUpsert(df: DataFrame, tag: Option[String] = None): Snapshot = {
+  def commitUpsert(df: DataFrame, tag: Option[String] = None,
+                   versionOrder: Seq[org.apache.spark.sql.Column] = Nil): Snapshot = {
     require(pk.nonEmpty, "commitUpsert requires a primary key")
-    commitAppend(df, op = "upsert", tag = tag)
+    val batch =
+      if (versionOrder.isEmpty) df
+      else Upsert.latestByKey(df, pk, versionOrder)
+    if (mergeOnRead) commitAppend(batch, op = "upsert", tag = tag)
+    else {
+      tag.flatMap(taggedSnapshot) match {
+        case Some(existing) => return existing
+        case None =>
+      }
+      val merged = currentSnapshot match {
+        case None    => batch
+        case Some(_) => Upsert.merge(readCold(), batch, pk)
+      }
+      commitReplace(merged, op = "upsert", tag = tag)
+    }
+  }
+
+  /** Commit a snapshot whose file list REPLACES the previous one (full
+    * rewrite), vs [[commitAppend]]'s accumulate.
+    */
+  private def commitReplace(df: DataFrame, op: String,
+                            tag: Option[String]): Snapshot = {
+    val prev = currentSnapshot
+    val id = latestSnapshotId + 1
+    val out = dataDir.resolve(f"snap-$id%06d")
+    val rows = df.count()
+    df.write.mode("overwrite").parquet(out.toString)
+    val s = Snapshot(id, op, rows, prev.map(_.tieredSeg).getOrElse(-1L),
+      Seq(out.toString), System.currentTimeMillis(), tag.getOrElse(""))
+    commitManifest(s)
+    s
   }
 
   // ---- reads ----
@@ -217,8 +263,26 @@ class TieredTable(spark: SparkSession, tablePath: String,
     case None => throw new IllegalStateException(s"no snapshot in $tablePath")
     case Some(s) =>
       val raw = spark.read.parquet(s.files: _*)
-      if (pk.isEmpty) raw
+      if (pk.isEmpty || !mergeOnRead) raw
       else Upsert.latestByKey(raw, pk, Seq(col(SeqCol).desc)).drop(SeqCol)
+  }
+
+  /** Cold-tier parquet paths as of the latest snapshot (one manifest
+    * read) — the SQL catalog hands these straight to Spark's parquet
+    * source.
+    */
+  def coldFiles: Seq[String] =
+    currentSnapshot.map(_.files)
+      .getOrElse(throw new IllegalStateException(s"no snapshot in $tablePath"))
+
+  /** Cold ∪ hot-tail paths under the same single-manifest-read boundary
+    * as [[readUnion]].
+    */
+  def unionPaths: Seq[String] = {
+    val snap = currentSnapshot
+    val watermark = snap.map(_.tieredSeg).getOrElse(-1L)
+    snap.map(_.files).getOrElse(Nil) ++
+      logSegments.filter(_ > watermark).map(segPath(_).toString)
   }
 
   /** Hot tail: log segments not yet covered by the latest snapshot. */
@@ -247,7 +311,7 @@ class TieredTable(spark: SparkSession, tablePath: String,
       else Some(spark.read.parquet(hotSegs.map(segPath(_).toString): _*))
     val cold = snap.map { s =>
       val raw = spark.read.parquet(s.files: _*)
-      if (pk.isEmpty) raw
+      if (pk.isEmpty || !mergeOnRead) raw
       else Upsert.latestByKey(raw, pk, Seq(col(SeqCol).desc)).drop(SeqCol)
     }
     (cold, hot) match {
@@ -306,6 +370,7 @@ class TieredTable(spark: SparkSession, tablePath: String,
 }
 
 object TieredTable {
-  def apply(spark: SparkSession, path: String, pk: Seq[String] = Nil): TieredTable =
-    new TieredTable(spark, path, pk)
+  def apply(spark: SparkSession, path: String, pk: Seq[String] = Nil,
+            mergeOnRead: Boolean = false): TieredTable =
+    new TieredTable(spark, path, pk, mergeOnRead)
 }

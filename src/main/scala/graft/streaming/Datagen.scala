@@ -67,6 +67,7 @@ object Datagen {
     */
   def sourceCustomer(spark: SparkSession, numRows: Long = 200): DataFrame =
     spark.range(numRows).select(
+      col("id").as("src_seq"), // arrival order → LWW tiebreak within a batch
       u("cck", col("id"), 20L).cast("int").as("cust_key"),
       concat(lit("Customer#"), u("cnm", col("id"), 1000L)).as("name"),
       concat(lit("555-"), u("cph", col("id"), 10000L)).as("phone"),
@@ -80,6 +81,7 @@ object Datagen {
   /** source_nation: 100 rows over keys 1..19 (sql-client.sql:39-48). */
   def sourceNation(spark: SparkSession, numRows: Long = 100): DataFrame =
     spark.range(numRows).select(
+      col("id").as("src_seq"),
       (u("nk", col("id"), 19L) + 1).cast("int").as("nation_key"),
       element_at(
         array(nationNames.map(lit): _*),

@@ -36,10 +36,13 @@ class DemoPipeline(spark: SparkSession, baseDir: String) {
     * NOT NULL keys enforced by DROP.
     */
   def loadDims(nCustomer: Long = 200, nNation: Long = 100): Unit = {
+    // src_seq = arrival order: the faker stream's last row per key wins
     customer.commitUpsert(SinkPolicy.enforceNotNull(
-      Datagen.sourceCustomer(spark, nCustomer), Seq("cust_key")))
+      Datagen.sourceCustomer(spark, nCustomer), Seq("cust_key")),
+      versionOrder = Seq(col("src_seq").desc))
     nation.commitUpsert(SinkPolicy.enforceNotNull(
-      Datagen.sourceNation(spark, nNation), Seq("nation_key")))
+      Datagen.sourceNation(spark, nNation), Seq("nation_key")),
+      versionOrder = Seq(col("src_seq").desc))
   }
 
   /** Streaming order ingest (README.md:215): append-only log table. */

@@ -1,0 +1,58 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.plans.TieredCatalog
+import graft.storage.TieredTable
+
+/** The shared test session sets `spark.sql.catalog.graft=
+  * graft.plans.GraftTableCatalog` — exactly how a user enables the
+  * graft catalog on a real cluster.
+  */
+class CatalogSpec extends AnyFunSuite with SparkSpec {
+
+  private lazy val extSession = spark
+
+  test("graft.<db>.<table> resolves to union/cold/snapshots reads in SQL") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-cat").toString
+    val t = TieredTable(spark, s"$dir/orders")
+    t.appendLog(Seq(1L, 2L, 3L).toDF("id")); t.tier()
+    t.appendLog(Seq(4L).toDF("id")) // hot tail
+    TieredCatalog.register("demo", "orders", s"$dir/orders")
+
+    assert(extSession.sql("SELECT COUNT(*) AS c FROM graft.demo.orders")
+      .head().getLong(0) == 4)
+    assert(extSession.sql("SELECT COUNT(*) AS c FROM graft.demo.orders__cold")
+      .head().getLong(0) == 3)
+    assert(extSession.sql(
+      "SELECT snapshot_id FROM graft.demo.orders__snapshots ORDER BY snapshot_id")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L))
+    // joins/aggregates compose with the resolved relation
+    assert(extSession.sql(
+      """SELECT SUM(a.id) FROM graft.demo.orders a
+        |JOIN graft.demo.orders__cold b ON a.id = b.id""".stripMargin)
+      .head().getLong(0) == 6)
+  }
+
+  test("PK tables resolve with merge-on-read semantics") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-cat2").toString
+    val t = TieredTable(spark, s"$dir/cust", pk = Seq("k"))
+    t.commitUpsert(Seq((1, "a"), (2, "b")).toDF("k", "v"))
+    t.commitUpsert(Seq((2, "b2")).toDF("k", "v"))
+    TieredCatalog.register("demo", "cust", s"$dir/cust", pk = Seq("k"))
+    val got = extSession.sql("SELECT k, v FROM graft.demo.cust ORDER BY k")
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(got == Seq(1 -> "a", 2 -> "b2"))
+  }
+
+  test("unknown tables under graft still error cleanly") {
+    val e = intercept[Exception] {
+      extSession.sql("SELECT * FROM graft.demo.nope").collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("nope"))
+  }
+}
