@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{Lakehouse, Parity, Pipeline}
+import graft.queries.{Lakehouse, Parity, Pipeline, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -53,6 +53,12 @@ object SparkEntry {
     "m3_resize"         -> (Pipeline.m3Resize _),
     "e1_sessionize"     -> (Pipeline.e1Sessionize _),
     "e2_hourly"         -> (Pipeline.e2Hourly _),
+    "a1_asof"           -> (Relational.a1Asof _),
+    "r1_range"          -> (Relational.r1Range _),
+    "g1_rollup"         -> (Relational.g1Rollup _),
+    "g2_semi_anti"      -> (Relational.g2SemiAnti _),
+    "p1_pricing"        -> (Relational.p1Pricing _),
+    "p2_shipping"       -> (Relational.p2Shipping _),
   )
 
   /** Shared DuckDB CTE fragments for the pipeline oracles. hash60(s) =
@@ -337,5 +343,49 @@ object SparkEntry {
       """SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us,
         |       count(*) AS cnt, count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY 1""".stripMargin,
+    "a1_asof" ->
+      """WITH clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+        |errs AS (SELECT event_id, user_id, ts FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+        |  FROM events WHERE event_type = 'error') WHERE rn = 1)
+        |SELECT c.event_id, c.user_id, epoch_us(c.ts) AS ts_us, e.event_id AS last_error_id
+        |FROM clicks c ASOF LEFT JOIN errs e
+        |  ON c.user_id = e.user_id AND c.ts >= e.ts""".stripMargin,
+    "r1_range" ->
+      """SELECT a.event_type, a.event_id AS a_id, b.event_id AS b_id
+        |FROM events a JOIN events b
+        |  ON a.event_type = b.event_type AND a.event_id < b.event_id
+        | AND abs(a.value - b.value) <= 0.015625""".stripMargin,
+    "g1_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(15,2))) AS DECIMAL(15,2)) AS sum_qty,
+        |       count(*) AS cnt
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "g2_semi_anti" ->
+      """SELECT
+        |  (SELECT count(*) FROM customer c
+        |   WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)) AS with_orders,
+        |  (SELECT count(*) FROM customer c
+        |   WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)) AS without_orders""".stripMargin,
+    "p1_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(15,2))) AS DECIMAL(15,2)) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2))) AS DECIMAL(15,2)) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2)) * (1 - CAST(l_discount AS DECIMAL(15,2)))) AS DECIMAL(25,4)) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2)) * (1 - CAST(l_discount AS DECIMAL(15,2)))
+        |           * (1 + CAST(l_tax AS DECIMAL(15,2)))) AS DECIMAL(25,6)) AS sum_charge,
+        |  count(*) AS cnt,
+        |  count(DISTINCT l_partkey) AS n_parts,
+        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(15,2))) AS DECIMAL(15,2)) AS DOUBLE) / count(*) AS avg_qty
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "p2_shipping" ->
+      """SELECT l_orderkey,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2)) * (1 - CAST(l_discount AS DECIMAL(15,2)))) AS DECIMAL(25,4)) AS revenue,
+        |  o_orderdate AS order_date
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
   )
 }

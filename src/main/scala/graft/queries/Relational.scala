@@ -1,0 +1,119 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.operators.{Joins, Upsert}
+import graft.tables.Tables
+
+/** Relational coverage beyond the reference's own workload: the join
+  * kinds and aggregation shapes SURVEY.md §2.C/§2.D lists as "free from
+  * Spark" (declared here so the oracle exercises them), plus the as-of
+  * and range joins from the custom-operator ladder.
+  *
+  * Money/quantity aggregates go per-row through DECIMAL(15,2) so sums
+  * are exact and engine-order-independent; averages are a single double
+  * division of exact operands.
+  */
+object Relational {
+  private val M = DecimalType(15, 2)
+
+  /** A1 — as-of join: each click event matched to the user's latest
+    * error event at or before it (null if none yet).
+    */
+  def a1Asof(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    // dedup right side per (user, ts) so the at-equal-ts winner is
+    // deterministic on both engines
+    val errors = Upsert.latestByKey(
+      ev.filter(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"), col("ts")),
+      Seq("user_id", "ts"), Seq(col("event_id").desc))
+    Joins.asofJoin(clicks, errors, "user_id", col("ts"), col("ts"),
+        Seq("event_id"))
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        col("asof_event_id").as("last_error_id"))
+  }
+
+  /** R1 — range self-join: same-type event pairs whose values differ by
+    * ≤ 1/64 (a power of two, so the ε-bucketing divisions are exact).
+    */
+  def r1Range(spark: SparkSession, dir: String): DataFrame =
+    Joins.rangeSelfJoin(
+      Tables.load(spark, dir, "events"), "event_id", "value",
+      eps = 0.015625, partCols = Seq("event_type"))
+
+  /** G1 — ROLLUP aggregation over lineitem (grand total + per-flag +
+    * per-flag-and-status), exact decimal sums.
+    */
+  def g1Rollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("l_quantity").cast(M)).cast(M).as("sum_qty"),
+        count(lit(1)).as("cnt"))
+
+  /** G2 — semi/anti join cardinalities: customers with ≥1 order vs
+    * customers with none, one output row.
+    */
+  def g2SemiAnti(spark: SparkSession, dir: String): DataFrame = {
+    val customer = Tables.load(spark, dir, "customer")
+    val orders = Tables.load(spark, dir, "orders")
+    val semi = customer.join(orders,
+        customer("c_custkey") === orders("o_custkey"), "left_semi")
+      .agg(count(lit(1)).as("with_orders"))
+    val anti = customer.join(orders,
+        customer("c_custkey") === orders("o_custkey"), "left_anti")
+      .agg(count(lit(1)).as("without_orders"))
+    semi.crossJoin(anti)
+  }
+
+  /** P1 — TPC-H Q1-shaped pricing summary: grouped exact-decimal sums,
+    * distinct counts, and single-division averages.
+    *
+    * The stored doubles are 2-dp values, so each FACTOR casts to
+    * DECIMAL(15,2) exactly (no .5 ties can arise from 2-dp data); the
+    * products then stay in exact decimal arithmetic and the sums are
+    * never rounded (widening casts only) — double→decimal rounding of
+    * per-row products is the one place Spark and DuckDB disagree.
+    */
+  def p1Pricing(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.load(spark, dir, "lineitem")
+    val ep = col("l_extendedprice").cast(M)
+    val disc = lit(1) - col("l_discount").cast(M)
+    val tax = lit(1) + col("l_tax").cast(M)
+    val grouped = l.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity").cast(M)).cast(M).as("sum_qty"),
+        sum(ep).cast(M).as("sum_base_price"),
+        sum(ep * disc).cast(DecimalType(25, 4)).as("sum_disc_price"),
+        sum(ep * disc * tax).cast(DecimalType(25, 6)).as("sum_charge"),
+        count(lit(1)).as("cnt"),
+        count_distinct(col("l_partkey")).as("n_parts"))
+    grouped.withColumn("avg_qty",
+      col("sum_qty").cast("double") / col("cnt"))
+  }
+
+  /** P2 — TPC-H Q3-shaped shipping priority: three-way join, filtered
+    * segment, exact-decimal revenue, top-10.
+    */
+  def p2Shipping(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.load(spark, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables.load(spark, dir, "orders")
+    val l = Tables.load(spark, dir, "lineitem")
+    c.join(o, c("c_custkey") === o("o_custkey"))
+      .join(l, o("o_orderkey") === l("l_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(sum(col("l_extendedprice").cast(M) *
+          (lit(1) - col("l_discount").cast(M)))
+        .cast(DecimalType(25, 4)).as("revenue"))
+      .select(col("l_orderkey"), col("revenue"),
+        col("o_orderdate").as("order_date"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+}
