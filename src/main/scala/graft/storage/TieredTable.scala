@@ -250,6 +250,55 @@ class TieredTable(spark: SparkSession, tablePath: String,
     s
   }
 
+  // ---- maintenance ----
+
+  /** Compact the cold tier: rewrite the accumulated snapshot files into
+    * one columnar dir (op="compact"). Content-preserving; older
+    * snapshots remain readable until [[vacuum]]. The small-files problem
+    * is the classic lakehouse failure mode at high commit rates — a 30s
+    * freshness SLA produces ~2.9k snapshots/day.
+    */
+  def compact(): Option[Snapshot] = currentSnapshot.map { prev =>
+    val id = latestSnapshotId + 1
+    val out = dataDir.resolve(f"snap-$id%06d")
+    val all = spark.read.parquet(prev.files: _*)
+    val rows = all.count()
+    all.write.mode("overwrite").parquet(out.toString)
+    val s = Snapshot(id, "compact", rows, prev.tieredSeg,
+      Seq(out.toString), System.currentTimeMillis())
+    commitManifest(s)
+    s
+  }
+
+  /** Drop history: keep the last `keepLast` snapshots, delete older
+    * manifests, then physically remove (a) data dirs referenced only by
+    * dropped snapshots and (b) log segments at or below every kept
+    * snapshot's tiering watermark (their rows live in the cold tier).
+    * Returns the number of filesystem entries removed.
+    */
+  def vacuum(keepLast: Int = 1): Int = {
+    require(keepLast >= 1, "must keep at least the current snapshot")
+    val latest = latestSnapshotId
+    val keepIds = (math.max(1L, latest - keepLast + 1) to latest)
+    val kept = keepIds.flatMap(snapshot)
+    if (kept.isEmpty) return 0
+    val referenced = kept.flatMap(_.files).toSet
+    var removed = 0
+    def rmTree(p: Path): Unit = {
+      Files.walk(p).sorted(Comparator.reverseOrder[Path]())
+        .forEach(Files.deleteIfExists(_))
+    }
+    (1L until keepIds.head).flatMap(snapshot).foreach { old =>
+      old.files.filterNot(referenced).map(Paths.get(_))
+        .filter(Files.exists(_)).foreach { p => rmTree(p); removed += 1 }
+      Files.deleteIfExists(manifestPath(old.id)); removed += 1
+    }
+    val minWatermark = kept.map(_.tieredSeg).min
+    logSegments.filter(_ <= minWatermark).map(segPath)
+      .filter(Files.exists(_)).foreach { p => rmTree(p); removed += 1 }
+    removed
+  }
+
   // ---- reads ----
 
   private def emptyLike(schema: StructType): DataFrame =

@@ -123,6 +123,24 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(p.enriched.readUnion().count() > 0)
   }
 
+  test("streaming first-occurrence dedup drops dups within and across batches") {
+    import graft.streaming.StreamDedup
+    val src = MemoryStream[OrderEvent]
+    val out = StreamDedup.firstOccurrence[OrderEvent](
+      src.toDS(), e => e.order_key.toString)
+    val q = out.writeStream.format("memory").queryName("dedup")
+      .outputMode("append").start()
+    val e = mkOrders(3)
+    src.addData(e(0), e(0), e(1))   // dup within batch
+    q.processAllAvailable()
+    src.addData(e(0), e(2))         // dup across batches
+    q.processAllAvailable()
+    q.stop()
+    val keys = spark.table("dedup").select("order_key")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(keys == Seq(0L, 1L, 2L))
+  }
+
   test("deterministic datagen: batch and re-run produce identical rows") {
     val a = Datagen.sourceOrder(spark, 100).collect()
     val b = Datagen.sourceOrder(spark, 100).collect()

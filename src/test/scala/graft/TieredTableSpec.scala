@@ -60,6 +60,25 @@ class TieredTableSpec extends AnyFunSuite with SparkSpec {
     assert(got == Map(1 -> "a", 2 -> "b2", 3 -> "c"))
   }
 
+  test("compact + vacuum preserve content, shrink files, keep union exact") {
+    val t = tmpTable()
+    (0 until 5).foreach { i =>
+      t.appendLog(Seq(i.toLong * 2, i.toLong * 2 + 1).toDF("id")); t.tier()
+    }
+    t.appendLog(Seq(100L).toDF("id")) // hot tail
+    val before = t.readUnion().as[Long].collect().sorted.toSeq
+    assert(t.currentSnapshot.get.files.size == 5)
+    t.compact()
+    assert(t.currentSnapshot.get.files.size == 1)
+    assert(t.readUnion().as[Long].collect().sorted.toSeq == before)
+    val removed = t.vacuum(keepLast = 1)
+    assert(removed > 0)
+    assert(t.readUnion().as[Long].collect().sorted.toSeq == before)
+    assert(t.readCold().count() == 10)
+    // snapshots listing reflects only the kept tail
+    assert(t.snapshots().count() == 1)
+  }
+
   test("readers of the cold tier never see a half-committed batch") {
     val t = tmpTable()
     t.appendLog(Seq(1L, 2L).toDF("id"))
