@@ -1,0 +1,85 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.plans.TieredCatalog
+import graft.streaming.{Datagen, DemoPipeline, StatementSet}
+
+/** End-to-end wall-clock run of the reference workload
+  * (/root/reference/README.md:104-318): bounded dim upserts, rate-
+  * limited order ingest (10 rows/s), continuous enrichment with
+  * per-trigger tiering, continuously-maintained revenue, then the batch
+  * analytics from both engine roles — Flink-role (hot ∪ cold) counts
+  * exceed Trino-role (cold only) counts while ingest is in flight,
+  * the demo's signature observation (README.md:316).
+  *
+  *   sbt "runMain graft.Demo [seconds]"
+  */
+object Demo {
+  def main(args: Array[String]): Unit = {
+    val runSecs = args.headOption.map(_.toInt).getOrElse(20)
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .appName("graft-demo")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.catalog.graft", "graft.plans.GraftTableCatalog")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val base = Files.createTempDirectory("graft-demo").toString
+    val p = new DemoPipeline(spark, s"$base/tables")
+    println(s"[demo] tables at $base/tables")
+
+    // 1. bounded dim ingest (README.md:213-214)
+    p.loadDims()
+    println(s"[demo] dims loaded: customer=${p.customer.readCold().count()} " +
+      s"nation=${p.nation.readCold().count()} (PK last-write-wins applied)")
+
+    // 2. the statement set (README.md:211-216): ingest + enrichment,
+    //    5s triggers = the freshness SLA scaled down from 30s
+    val orders = Datagen.orderStream(spark, rowsPerSecond = 10)
+    val set = StatementSet()
+      .add(p.startIngest(orders, s"$base/ckpt",
+        Trigger.ProcessingTime("5 seconds")))
+      .add(p.startEnrichment(Datagen.orderStream(spark, rowsPerSecond = 10),
+        s"$base/ckpt", Trigger.ProcessingTime("5 seconds")))
+    set.run()
+    Thread.sleep(runSecs * 1000L / 2)
+
+    // 3. revenue aggregation starts once enriched data exists
+    val revQ = p.startRevenue(s"$base/ckpt", Trigger.ProcessingTime("5 seconds"))
+    Thread.sleep(runSecs * 1000L / 2)
+
+    // 4. batch analytics through the SQL catalog, both roles
+    TieredCatalog.register("fluss", "enriched_orders", s"$base/tables/enriched_orders")
+    TieredCatalog.register("fluss", "nation_revenue", s"$base/tables/nation_revenue",
+      pk = Seq("nation_name"))
+    val hotCold = spark.sql(
+      "SELECT COUNT(*) FROM graft.fluss.enriched_orders").head().getLong(0)
+    val coldOnly = spark.sql(
+      "SELECT COUNT(*) FROM graft.fluss.enriched_orders__cold").head().getLong(0)
+    println(s"[demo] Flink-role count (hot∪cold) = $hotCold")
+    println(s"[demo] Trino-role count (cold only) = $coldOnly")
+    println(f"[demo] invariant hot∪cold ≥ cold: ${hotCold >= coldOnly}")
+    println("[demo] top nations by continuously-maintained revenue:")
+    spark.sql(
+      """SELECT nation_name, revenue FROM graft.fluss.nation_revenue
+        |ORDER BY revenue DESC, nation_name LIMIT 5""".stripMargin)
+      .collect().foreach(r => println(s"[demo]   ${r.getString(0)}: ${r.getDecimal(1)}"))
+    println("[demo] snapshot history (graft.fluss.enriched_orders__snapshots):")
+    spark.sql(
+      """SELECT snapshot_id, operation, rows_added, tiered_seg
+        |FROM graft.fluss.enriched_orders__snapshots ORDER BY snapshot_id""".stripMargin)
+      .collect().take(10)
+      .foreach(r => println(s"[demo]   $r"))
+
+    set.stopAll(); revQ.stop()
+    spark.stop()
+    println("[demo] done")
+  }
+}
