@@ -39,6 +39,7 @@ object SparkEntry {
     "d4_minhash_lsh" -> (Pipeline.d4MinhashLsh _),
     "d5_simhash"     -> (Pipeline.d5Simhash _),
     "d6_simhash_pairs" -> (Pipeline.d6SimhashPairs _),
+    "d7_dedup_groups" -> (Pipeline.d7DedupGroups _),
     "s1_knn_brute"   -> (Pipeline.s1KnnBrute _),
     "s2_lsh_ann"     -> (Pipeline.s2LshAnn _),
     "s3_neardup_brute" -> (Pipeline.s3NearDupBrute _),
@@ -190,6 +191,17 @@ object SparkEntry {
          |         bit_count(xor(a.simhash, b.simhash)) AS hamming
          |  FROM keyed a JOIN keyed b ON a.blk = b.blk AND a.id < b.id)
          |WHERE hamming <= 3""".stripMargin,
+    "d7_dedup_groups" ->
+      s"""WITH RECURSIVE $shingleCtes,
+         |edges AS (SELECT a_id AS src, b_id AS dst FROM ver
+         |          UNION ALL SELECT b_id, a_id FROM ver),
+         |nodes AS (SELECT DISTINCT src AS id FROM edges),
+         |reach AS (
+         |  SELECT id, id AS r FROM nodes
+         |  UNION
+         |  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src
+         |)
+         |SELECT id, min(r) AS component FROM reach GROUP BY id""".stripMargin,
     "s1_knn_brute" ->
       s"""WITH $embCtes,
          |scored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

@@ -141,6 +141,51 @@ object Dedup {
     cand.join(verified, Seq("a_id", "b_id"))
   }
 
+  /** Connected components over a near-dup pair graph — the "keep one
+    * representative per duplicate cluster" step after any pair-finding
+    * variant. Iterative min-label propagation: each node repeatedly
+    * takes the minimum label among itself and its neighbors until
+    * fixpoint; converged label = smallest id in the component (the
+    * canonical representative).
+    *
+    * Scale: each round is one join + one groupBy-min — O(E) per round,
+    * O(component diameter) rounds. Near-dup clusters are shallow (dups
+    * of one source), so rounds stay small; `maxIters` bounds pathological
+    * chains. No driver-side graph state — only the loop counter and a
+    * convergence check live on the driver.
+    */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .cache()
+    // localCheckpoint each round: an iterative plan that references its
+    // previous iteration doubles its lineage every round — truncating it
+    // keeps plan size (and analyzer/codegen cost) constant. On a
+    // cluster, swap for checkpoint() on reliable storage to also survive
+    // executor loss.
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id"))
+      .localCheckpoint(true)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("id", "dst")
+          .withColumnRenamed("component", "ncomp"), Seq("dst"))
+        .select(col("src").as("id"), col("ncomp").as("component"))
+      val next = labels.select(col("id"), col("component"))
+        .union(viaNeighbors)
+        .groupBy(col("id")).agg(min(col("component")).as("component"))
+        .localCheckpoint(true)
+      val changed = next.join(labels.withColumnRenamed("component", "old"), Seq("id"))
+        .filter(col("component") =!= col("old")).limit(1).count() > 0
+      labels = next
+      converged = !changed
+      i += 1
+    }
+    labels
+  }
+
   /** SimHash (width bits, ≤ 60): per doc, bit j is set iff
     * Σ_{distinct word w} (bit_j(hash60(w)) ? +1 : -1) > 0.
     * Constant-size signature per document.

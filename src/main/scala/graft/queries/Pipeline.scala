@@ -56,6 +56,13 @@ object Pipeline {
     Dedup.simhashPairs(docs(spark, dir), "doc_id", "text",
       width = 48, maxDist = 3)
 
+  /** D7 — duplicate-cluster representatives: connected components over
+    * the exact-Jaccard near-dup graph; component = smallest doc id in
+    * the cluster (the row to keep).
+    */
+  def d7DedupGroups(spark: SparkSession, dir: String): DataFrame =
+    Dedup.connectedComponents(d3NgramPairs(spark, dir))
+
   // ---- similarity search ----
 
   /** S1 — exact brute-force top-10 cosine neighbors for probe vectors

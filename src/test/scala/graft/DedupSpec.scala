@@ -55,6 +55,32 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(ham(sig(1L), sig(2L)) < ham(sig(1L), sig(3L)))
   }
 
+  test("connectedComponents equals driver-side union-find") {
+    val rnd = new scala.util.Random(5)
+    val pairs = (0 until 60).map(_ => (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter { case (a, b) => a < b }
+    val df = pairs.toDF("a_id", "b_id")
+    val got = Dedup.connectedComponents(df)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // reference union-find
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    val want = nodes.map { n =>
+      val root = find(n)
+      // canonical representative = min id in component
+      n -> nodes.filter(m => find(m) == root).min
+    }.toMap
+    assert(got == want)
+  }
+
   test("simhash pairs at maxDist 0 returns exactly the identical pair") {
     val pairs = Dedup.simhashPairs(docs, "doc_id", "text",
         width = 32, maxDist = 0)
