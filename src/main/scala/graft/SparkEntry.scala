@@ -54,6 +54,7 @@ object SparkEntry {
     "m3_resize"         -> (Pipeline.m3Resize _),
     "e1_sessionize"     -> (Pipeline.e1Sessionize _),
     "e2_hourly"         -> (Pipeline.e2Hourly _),
+    "e3_stats"          -> (Pipeline.e3Stats _),
     "a1_asof"           -> (Relational.a1Asof _),
     "r1_range"          -> (Relational.r1Range _),
     "g1_rollup"         -> (Relational.g1Rollup _),
@@ -355,6 +356,10 @@ object SparkEntry {
       """SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us,
         |       count(*) AS cnt, count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY 1""".stripMargin,
+    "e3_stats" ->
+      """SELECT event_type, count(*) AS cnt, min(value) AS min_v,
+        |       max(value) AS max_v, quantile_cont(value, 0.5) AS median_v
+        |FROM events GROUP BY event_type""".stripMargin,
     "a1_asof" ->
       """WITH clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
         |errs AS (SELECT event_id, user_id, ts FROM (

@@ -174,4 +174,13 @@ object Pipeline {
   /** E2 — tumbling-hour rollup: events + distinct users per hour. */
   def e2Hourly(spark: SparkSession, dir: String): DataFrame =
     Events.hourlyBatch(Tables.load(spark, dir, "events"))
+
+  /** E3 — per-type order statistics incl. exact interpolated median. */
+  def e3Stats(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        min(col("value")).as("min_v"),
+        max(col("value")).as("max_v"),
+        percentile(col("value"), lit(0.5)).as("median_v"))
 }

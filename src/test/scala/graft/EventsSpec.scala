@@ -69,6 +69,35 @@ class EventsSpec extends AnyFunSuite with SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("stream-stream interval join: views attributed to prior clicks") {
+    val clicks = MemoryStream[Ev]
+    val views = MemoryStream[Ev]
+    val c = clicks.toDF().withWatermark("ts", "10 minutes")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("cts"))
+    val v = views.toDF().withWatermark("ts", "10 minutes")
+      .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
+        col("ts").as("vts"))
+    // each view joins clicks by the same user within the prior 30 min;
+    // the interval bound is what lets Spark evict join state
+    val joined = v.join(c,
+      col("c_user") === col("v_user") &&
+        col("cts") >= col("vts") - expr("INTERVAL 30 MINUTES") &&
+        col("cts") <= col("vts"))
+    val q = joined.writeStream.format("memory").queryName("attrib")
+      .outputMode("append").start()
+    clicks.addData(Ev(1, 1, t(0), "click"), Ev(2, 2, t(100), "click"))
+    views.addData(
+      Ev(10, 1, t(10), "view"),   // 10 min after click 1 → attributed
+      Ev(11, 1, t(50), "view"),   // 50 min after click 1 → outside window
+      Ev(12, 3, t(10), "view"))   // no click for user 3
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("attrib").select("view_id", "click_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((10L, 1L)))
+  }
+
   test("simhash pigeonhole blocking has exact recall vs brute hamming") {
     val docs = (0L until 40L).map { i =>
       val words = (0 until 12).map(j => s"w${(i * 7 + j * 3) % 25}")
