@@ -123,6 +123,30 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(p.enriched.readUnion().count() > 0)
   }
 
+  test("restart from checkpoint resumes at the recorded offset, exactly once") {
+    val (p, ckpt) = newPipeline()
+    p.loadDims()
+    val events = mkOrders(100)
+    // replayable source: the orders table's own log (file stream source)
+    val df1 = events.take(60).toDF()
+    p.orders.appendLog(df1)
+    val q1 = p.startEnrichment(p.orders.readStreamLog(df1.schema), ckpt)
+    q1.processAllAvailable()
+    q1.stop()
+    val afterFirst = p.enriched.readUnion().count()
+    assert(afterFirst ==
+      df1.filter(col("cust_key").isNotNull).count())
+    // more data lands while the query is down
+    p.orders.appendLog(events.drop(60).toDF())
+    // a NEW query on the SAME checkpoint resumes from the recorded
+    // offsets: already-processed files are not re-read, nothing is lost
+    val q2 = p.startEnrichment(p.orders.readStreamLog(df1.schema), ckpt)
+    q2.processAllAvailable()
+    q2.stop()
+    assert(p.enriched.readUnion().count() ==
+      events.toDF().filter(col("cust_key").isNotNull).count())
+  }
+
   test("streaming first-occurrence dedup drops dups within and across batches") {
     import graft.streaming.StreamDedup
     val src = MemoryStream[OrderEvent]
