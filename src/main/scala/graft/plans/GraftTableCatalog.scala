@@ -54,12 +54,14 @@ class GraftTableCatalog extends TableCatalog {
   override def loadTable(ident: Identifier): Table = {
     val spark = SparkSession.active
     val db = ident.namespace().mkString(".")
-    val (base, mode) =
-      if (ident.name.endsWith("__snapshots"))
-        (ident.name.stripSuffix("__snapshots"), "snapshots")
-      else if (ident.name.endsWith("__cold"))
-        (ident.name.stripSuffix("__cold"), "cold")
-      else (ident.name, "union")
+    val VersionSuffix = "^(.*)__v([0-9]+)$".r
+    val (base, mode) = ident.name match {
+      case n if n.endsWith("__snapshots") =>
+        (n.stripSuffix("__snapshots"), "snapshots")
+      case n if n.endsWith("__cold") => (n.stripSuffix("__cold"), "cold")
+      case VersionSuffix(n, v) => (n, s"v$v") // time travel: VERSION AS OF
+      case n => (n, "union")
+    }
     val e = TieredCatalog.lookup(db, base)
       .getOrElse(throw new NoSuchTableException(
         Seq(catName, db, ident.name)))
@@ -73,6 +75,11 @@ class GraftTableCatalog extends TableCatalog {
             (s.id, s.op, s.rowsAdded, s.tieredSeg, s.committedAt * 1000L)))
       case "cold" =>
         parquet(spark, ident.toString, t.coldFiles)
+      case v if v.startsWith("v") =>
+        val id = v.drop(1).toLong
+        val snap = t.snapshot(id).getOrElse(
+          throw new NoSuchTableException(Seq(catName, db, ident.name)))
+        parquet(spark, ident.toString, snap.files)
       case _ =>
         parquet(spark, ident.toString, t.unionPaths)
     }

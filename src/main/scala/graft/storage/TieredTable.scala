@@ -316,6 +316,19 @@ class TieredTable(spark: SparkSession, tablePath: String,
       else Upsert.latestByKey(raw, pk, Seq(col(SeqCol).desc)).drop(SeqCol)
   }
 
+  /** Time travel: the cold tier as of a specific committed snapshot
+    * (Iceberg `VERSION AS OF`). Snapshots are immutable once committed,
+    * so this is reproducible until [[vacuum]] drops the id.
+    */
+  def readColdAsOf(snapshotId: Long): DataFrame = snapshot(snapshotId) match {
+    case None => throw new IllegalArgumentException(
+      s"snapshot $snapshotId not found in $tablePath (vacuumed or never committed)")
+    case Some(s) =>
+      val raw = spark.read.parquet(s.files: _*)
+      if (pk.isEmpty || !mergeOnRead) raw
+      else Upsert.latestByKey(raw, pk, Seq(col(SeqCol).desc)).drop(SeqCol)
+  }
+
   /** Cold-tier parquet paths as of the latest snapshot (one manifest
     * read) — the SQL catalog hands these straight to Spark's parquet
     * source.

@@ -37,6 +37,21 @@ class CatalogSpec extends AnyFunSuite with SparkSpec {
       .head().getLong(0) == 6)
   }
 
+  test("time travel: __v<N> reads a past snapshot; API readColdAsOf agrees") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-tt").toString
+    val t = TieredTable(spark, s"$dir/t")
+    t.appendLog(Seq(1L, 2L).toDF("id")); t.tier()      // snapshot 1
+    t.appendLog(Seq(3L).toDF("id")); t.tier()          // snapshot 2
+    TieredCatalog.register("demo", "tt", s"$dir/t")
+    assert(extSession.sql("SELECT COUNT(*) FROM graft.demo.tt__v1")
+      .head().getLong(0) == 2)
+    assert(extSession.sql("SELECT COUNT(*) FROM graft.demo.tt__v2")
+      .head().getLong(0) == 3)
+    assert(t.readColdAsOf(1L).count() == 2)
+    intercept[Exception](t.readColdAsOf(99L))
+  }
+
   test("PK tables resolve with merge-on-read semantics") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-cat2").toString
