@@ -79,6 +79,51 @@ class TieredTableSpec extends AnyFunSuite with SparkSpec {
     assert(t.snapshots().count() == 1)
   }
 
+  test("crash debris is invisible: partial temp dirs and stray meta files ignored") {
+    val dir = Files.createTempDirectory("graft-debris").toString
+    val root = java.nio.file.Paths.get(s"$dir/t")
+    val t = TieredTable(spark, root.toString)
+    t.appendLog(Seq(1L, 2L).toDF("id")); t.tier()
+    // simulate a writer that died mid-append / mid-commit
+    val debris = root.resolve("log/_tmp-seg-000099")
+    Files.createDirectories(debris)
+    Files.writeString(debris.resolve("part-junk.parquet"), "not parquet")
+    Files.writeString(root.resolve("meta/snap999999.tmp"), "garbage")
+    assert(t.readUnion().count() == 2)
+    assert(t.logSegments == Seq(0L))
+    assert(t.latestSnapshotId == 1L)
+  }
+
+  test("concurrent tiering never double-counts a union read") {
+    val t = tmpTable()
+    t.appendLog(Seq(0L).toDF("id"))
+    val validCounts = (1 to 40).toSet + 41 // prefix sums as writer appends
+    @volatile var failure: Option[String] = None
+    val writer = new Thread(() => {
+      var next = 1L
+      while (next <= 40) {
+        t.appendLog(Seq(next).toDF("id"))
+        if (next % 3 == 0) t.tier()
+        next += 1
+      }
+      t.tier()
+    })
+    writer.start()
+    var reads = 0
+    while (writer.isAlive && reads < 30) {
+      val n = t.readUnion().count()
+      // every observed count must be a valid prefix length (1..41):
+      // a duplicate row across the boundary would overshoot, a lost row
+      // would undershoot a previously observed prefix
+      if (n < 1 || n > 41) failure = Some(s"impossible count $n")
+      reads += 1
+    }
+    writer.join()
+    assert(failure.isEmpty, failure.getOrElse(""))
+    assert(t.readUnion().count() == 41)
+    assert(t.readHot().count() == 0)
+  }
+
   test("readers of the cold tier never see a half-committed batch") {
     val t = tmpTable()
     t.appendLog(Seq(1L, 2L).toDF("id"))
