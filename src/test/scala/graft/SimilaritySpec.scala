@@ -53,6 +53,23 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(ivf == exact)
   }
 
+  test("graft_dot is callable from SQL and matches the Column API") {
+    graft.functions.GraftFunctions.register(spark)
+    vecs.createOrReplaceTempView("v_sql")
+    val sql = spark.sql(
+      """SELECT a.vec_id a_id, b.vec_id b_id,
+        |  graft_dot(CAST(a.embedding AS ARRAY<DOUBLE>),
+        |            CAST(b.embedding AS ARRAY<DOUBLE>)) d
+        |FROM v_sql a JOIN v_sql b ON a.vec_id < b.vec_id""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val api = vecs.as("a").join(vecs.as("b"), $"a.vec_id" < $"b.vec_id")
+      .select($"a.vec_id", $"b.vec_id",
+        Similarity.dot(Similarity.toDouble($"a.embedding"),
+          Similarity.toDouble($"b.embedding")).as("d"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(sql == api)
+  }
+
   test("planeSign matches the SQL hash60 definition") {
     // hash60("0:0") parity must equal conv(substr(md5('0:0'),1,15),16,10)&1
     val h = Similarity.jvmHash60("0:0")
