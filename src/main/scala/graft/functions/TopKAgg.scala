@@ -1,0 +1,38 @@
+package graft.functions
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Typed top-k aggregator: keeps the k largest (score, id) pairs with
+  * deterministic (score desc, id asc) ordering.
+  *
+  * The point at scale: as an [[Aggregator]] it participates in partial
+  * aggregation — every map task reduces its slice to ≤ k pairs per
+  * group BEFORE the exchange, so a top-10-of-a-billion query shuffles
+  * tens of rows per group instead of a billion scored candidates (the
+  * window/row_number formulation shuffles and sorts everything).
+  */
+class TopKAgg(k: Int)
+    extends Aggregator[(Double, Long), Seq[(Double, Long)], Seq[(Double, Long)]] {
+
+  private def trim(s: Seq[(Double, Long)]): Seq[(Double, Long)] =
+    s.sortBy { case (score, id) => (-score, id) }.take(k)
+
+  override def zero: Seq[(Double, Long)] = Nil
+
+  override def reduce(buf: Seq[(Double, Long)],
+                      in: (Double, Long)): Seq[(Double, Long)] =
+    trim(buf :+ in)
+
+  override def merge(a: Seq[(Double, Long)],
+                     b: Seq[(Double, Long)]): Seq[(Double, Long)] =
+    trim(a ++ b)
+
+  override def finish(r: Seq[(Double, Long)]): Seq[(Double, Long)] = trim(r)
+
+  override def bufferEncoder: Encoder[Seq[(Double, Long)]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long)]]()
+
+  override def outputEncoder: Encoder[Seq[(Double, Long)]] =
+    bufferEncoder
+}

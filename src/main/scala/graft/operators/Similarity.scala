@@ -46,6 +46,12 @@ object Similarity {
     * `queries` and `corpus` both carry (idCol, vecCol float array).
     * Output: query_id, neighbor_id, rank (1..k); self-match excluded;
     * ties broken by neighbor id.
+    *
+    * Top-k is a partial-aggregating [[graft.functions.TopKAgg]]: each
+    * map task reduces its corpus slice to ≤ k candidates per query
+    * before the exchange — the shuffle carries O(queries·k), never the
+    * full scored cross product (the window/row_number formulation
+    * shuffles and sorts everything).
     */
   def knnBrute(queries: DataFrame, corpus: DataFrame,
                idCol: String, vecCol: String, k: Int): DataFrame = {
@@ -55,11 +61,22 @@ object Similarity {
       toDouble(col(vecCol)).as("cv"), l2norm(toDouble(col(vecCol))).as("cn")))
     val scored = broadcast(q).join(c, col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank"))
+    topKByGroup(scored, "query_id", "cos", "neighbor_id", k)
+  }
+
+  /** Shared top-k-per-group via the partial-aggregating TopKAgg;
+    * output (group, neighbor_id, rank 1..k), (score desc, id asc) order.
+    */
+  private[operators] def topKByGroup(scored: DataFrame, groupCol: String,
+                                     scoreCol: String, idCol: String,
+                                     k: Int): DataFrame = {
+    val topk = udaf(new graft.functions.TopKAgg(k))
+    scored.groupBy(col(groupCol))
+      .agg(topk(col(scoreCol), col(idCol)).as("nn"))
+      .select(col(groupCol), posexplode(col("nn")))
+      .select(col(groupCol), (col("pos") + 1).cast("int").as("rank"),
+        col("col._2").as(idCol))
+      .select(col(groupCol), col(idCol), col("rank"))
   }
 
   /** Exact all-pairs cosine near-dup: pairs with cosine ≥ threshold.
@@ -169,15 +186,11 @@ object Similarity {
       .withColumn("prn", row_number().over(wProbe))
       .filter(col("prn") <= nprobe)
       .select(col("qid"), col("qv"), col("qn"), col("cell"))
-    val wRank = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    probes.join(asg, Seq("cell"))
+    val scored = probes.join(asg, Seq("cell"))
       .join(v, Seq("id"))
       .filter(col("qid") =!= col("id"))
       .withColumn("cos", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
       .select(col("qid").as("query_id"), col("id").as("neighbor_id"), col("cos"))
-      .withColumn("rank", row_number().over(wRank))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank"))
+    topKByGroup(scored, "query_id", "cos", "neighbor_id", k)
   }
 }
