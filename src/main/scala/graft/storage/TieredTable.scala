@@ -308,10 +308,16 @@ class TieredTable(spark: SparkSession, tablePath: String,
     * reference README.md:257-292). PK tables resolve merge-on-read here:
     * last-write-wins per key on the commit sequence.
     */
+  /** Multi-file parquet read with schema evolution: later files may add
+    * columns; older rows surface nulls there (mergeSchema).
+    */
+  private def readParquet(files: Seq[String]): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(files: _*)
+
   def readCold(): DataFrame = currentSnapshot match {
     case None => throw new IllegalStateException(s"no snapshot in $tablePath")
     case Some(s) =>
-      val raw = spark.read.parquet(s.files: _*)
+      val raw = readParquet(s.files)
       if (pk.isEmpty || !mergeOnRead) raw
       else Upsert.latestByKey(raw, pk, Seq(col(SeqCol).desc)).drop(SeqCol)
   }
@@ -370,14 +376,16 @@ class TieredTable(spark: SparkSession, tablePath: String,
     val hotSegs = logSegments.filter(_ > watermark)
     val hot =
       if (hotSegs.isEmpty) None
-      else Some(spark.read.parquet(hotSegs.map(segPath(_).toString): _*))
+      else Some(readParquet(hotSegs.map(segPath(_).toString)))
     val cold = snap.map { s =>
-      val raw = spark.read.parquet(s.files: _*)
+      val raw = readParquet(s.files)
       if (pk.isEmpty || !mergeOnRead) raw
       else Upsert.latestByKey(raw, pk, Seq(col(SeqCol).desc)).drop(SeqCol)
     }
     (cold, hot) match {
-      case (Some(c), Some(h)) => c.unionByName(h)
+      // allowMissingColumns: a column added mid-stream is null for the
+      // tier that predates it
+      case (Some(c), Some(h)) => c.unionByName(h, allowMissingColumns = true)
       case (Some(c), None)    => c
       case (None, Some(h))    => h
       case (None, None) => throw new IllegalStateException(s"empty table $tablePath")

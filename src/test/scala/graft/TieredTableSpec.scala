@@ -79,6 +79,20 @@ class TieredTableSpec extends AnyFunSuite with SparkSpec {
     assert(t.snapshots().count() == 1)
   }
 
+  test("schema evolution: a column added mid-stream is null for older tiers") {
+    val t = tmpTable()
+    t.appendLog(Seq(1L, 2L).toDF("id")); t.tier()
+    t.appendLog(Seq((3L, "en")).toDF("id", "lang")) // hot, evolved schema
+    val u = t.readUnion()
+    assert(u.columns.sorted.toSeq == Seq("id", "lang"))
+    val got = u.collect().map(r => r.getLong(0) ->
+      Option(r.getAs[String]("lang"))).toMap
+    assert(got == Map(1L -> None, 2L -> None, 3L -> Some("en")))
+    t.tier() // evolved segment tiers into the cold store
+    assert(t.readCold().columns.sorted.toSeq == Seq("id", "lang"))
+    assert(t.readCold().count() == 3)
+  }
+
   test("crash debris is invisible: partial temp dirs and stray meta files ignored") {
     val dir = Files.createTempDirectory("graft-debris").toString
     val root = java.nio.file.Paths.get(s"$dir/t")
