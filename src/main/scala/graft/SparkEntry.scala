@@ -44,6 +44,7 @@ object SparkEntry {
     "s2_lsh_ann"     -> (Pipeline.s2LshAnn _),
     "s3_neardup_brute" -> (Pipeline.s3NearDupBrute _),
     "s4_ivf_knn"     -> (Pipeline.s4IvfKnn _),
+    "s5_ann_groups"  -> (Pipeline.s5AnnGroups _),
     "t1_langid"      -> (Pipeline.t1LangId _),
     "t2_quality"     -> (Pipeline.t2Quality _),
     "t3_tokens"      -> (Pipeline.t3Tokens _),
@@ -264,6 +265,21 @@ object SparkEntry {
          |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
          |  FROM scored)
          |WHERE rank <= 10""".stripMargin,
+    "s5_ann_groups" ->
+      s"""WITH RECURSIVE $embCtes,
+         |p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id
+         |      FROM n a JOIN n b ON a.vec_id < b.vec_id
+         |      WHERE list_reduce(list_transform(list_zip(a.v, b.v), s -> s[1]*s[2]), (a2,x) -> a2+x)
+         |              / (a.nrm * b.nrm) >= 0.4),
+         |edges AS (SELECT a_id AS src, b_id AS dst FROM p
+         |          UNION ALL SELECT b_id, a_id FROM p),
+         |nodes AS (SELECT DISTINCT src AS id FROM edges),
+         |reach AS (
+         |  SELECT id, id AS r FROM nodes
+         |  UNION
+         |  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src
+         |)
+         |SELECT id, min(r) AS component FROM reach GROUP BY id""".stripMargin,
     "t1_langid" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |h AS (SELECT doc_id,

@@ -92,6 +92,12 @@ object Pipeline {
       k = 10, nCentroids = 32, nprobe = 4)
   }
 
+  /** S5 — embedding-level duplicate clusters: connected components over
+    * the exact cosine ≥ 0.4 pair graph.
+    */
+  def s5AnnGroups(spark: SparkSession, dir: String): DataFrame =
+    Dedup.connectedComponents(s3NearDupBrute(spark, dir))
+
   // ---- text analysis ----
 
   /** T1 — stopword-marker language ID with deterministic argmax. */
