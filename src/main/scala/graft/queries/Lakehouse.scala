@@ -21,10 +21,16 @@ import graft.tables.Tables
   */
 object Lakehouse {
 
+  /** Storage-format version of the cached demo table — bump when the
+    * TieredTable layout changes so a stale cache from a previous build
+    * can never be read with new code.
+    */
+  private val FormatVersion = 2
+
   /** Build (once per sf dir) the demo tiered table; idempotent. */
   def demoTable(spark: SparkSession, dir: String): TieredTable = {
     val safe = dir.replaceAll("[^A-Za-z0-9.]", "_")
-    val path = s"${sys.props("java.io.tmpdir")}/graft-tiered/$safe/orders"
+    val path = s"${sys.props("java.io.tmpdir")}/graft-tiered/v$FormatVersion/$safe/orders"
     val donePath = Paths.get(path, "meta", "LATEST")
     val t = TieredTable(spark, path)
     if (!Files.exists(donePath)) {
