@@ -37,6 +37,8 @@ object Upsert {
     */
   def merge(base: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame = {
     val keep = base.join(updates.select(keys.map(col): _*).distinct(), keys, "left_anti")
-    keep.unionByName(updates)
+    // allowMissingColumns: an evolved updates batch (column added
+    // mid-stream) merges; pre-evolution base rows surface null there.
+    keep.unionByName(updates, allowMissingColumns = true)
   }
 }

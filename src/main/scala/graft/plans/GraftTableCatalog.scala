@@ -87,8 +87,13 @@ class GraftTableCatalog extends TableCatalog {
 
   private def parquet(spark: SparkSession, name: String,
                       paths: Seq[String]): Table =
-    ParquetTable(name, spark, CaseInsensitiveStringMap.empty(), paths,
-      None, classOf[ParquetFileFormat])
+    // mergeSchema so SQL reads of union/cold/time-travel paths agree
+    // with the API's readUnion/readCold on schema-evolved tables —
+    // without it the scan picks one file's footer schema and silently
+    // omits later-added columns.
+    ParquetTable(name, spark,
+      new CaseInsensitiveStringMap(Map("mergeSchema" -> "true").asJava),
+      paths, None, classOf[ParquetFileFormat])
 
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],

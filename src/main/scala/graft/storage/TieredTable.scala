@@ -159,7 +159,10 @@ class TieredTable(spark: SparkSession, tablePath: String,
     if (todo.isEmpty) return None
     val id = latestSnapshotId + 1
     val out = dataDir.resolve(f"snap-$id%06d")
-    val batch0 = spark.read.parquet(todo.map(segPath(_).toString): _*)
+    // mergeSchema: segments appended with evolved schemas must tier to
+    // the union schema — a footer-of-one-file read here would silently
+    // drop mid-stream columns, and vacuum() would make the loss permanent.
+    val batch0 = readParquet(todo.map(segPath(_).toString))
     val batch = if (pk.nonEmpty && mergeOnRead) batch0.withColumn(SeqCol, lit(id)) else batch0
     val rows = batch.count()
     batch.write.mode("overwrite").parquet(out.toString)
@@ -261,7 +264,10 @@ class TieredTable(spark: SparkSession, tablePath: String,
   def compact(): Option[Snapshot] = currentSnapshot.map { prev =>
     val id = latestSnapshotId + 1
     val out = dataDir.resolve(f"snap-$id%06d")
-    val all = spark.read.parquet(prev.files: _*)
+    // mergeSchema for the same reason as tier(): heterogeneous snapshot
+    // schemas must compact to the union schema, and compact REPLACES the
+    // whole file list.
+    val all = readParquet(prev.files)
     val rows = all.count()
     all.write.mode("overwrite").parquet(out.toString)
     val s = Snapshot(id, "compact", rows, prev.tieredSeg,
@@ -330,7 +336,7 @@ class TieredTable(spark: SparkSession, tablePath: String,
     case None => throw new IllegalArgumentException(
       s"snapshot $snapshotId not found in $tablePath (vacuumed or never committed)")
     case Some(s) =>
-      val raw = spark.read.parquet(s.files: _*)
+      val raw = readParquet(s.files)
       if (pk.isEmpty || !mergeOnRead) raw
       else Upsert.latestByKey(raw, pk, Seq(col(SeqCol).desc)).drop(SeqCol)
   }
@@ -362,7 +368,7 @@ class TieredTable(spark: SparkSession, tablePath: String,
         (currentSnapshot.map(_.files).getOrElse(Nil) ++
           logSegments.map(segPath(_).toString)).head).schema
       emptyLike(StructType(schema.filterNot(_.name == SeqCol)))
-    } else spark.read.parquet(segs.map(segPath(_).toString): _*)
+    } else readParquet(segs.map(segPath(_).toString))
   }
 
   /** The union read (Flink batch role): cold ∪ hot tail, exactly once per

@@ -37,6 +37,23 @@ class CatalogSpec extends AnyFunSuite with SparkSpec {
       .head().getLong(0) == 6)
   }
 
+  test("SQL reads of evolved tables see the merged schema (mergeSchema)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-evo").toString
+    val t = TieredTable(spark, s"$dir/t")
+    t.appendLog(Seq(1L, 2L).toDF("id")); t.tier()           // snapshot 1
+    t.appendLog(Seq((3L, "en")).toDF("id", "lang")); t.tier() // snapshot 2
+    TieredCatalog.register("demo", "evo", s"$dir/t")
+    // union + cold + time-travel paths all include the later-added column
+    val u = extSession.sql(
+      "SELECT id, lang FROM graft.demo.evo ORDER BY id").collect()
+    assert(u.map(r => r.getLong(0) -> Option(r.getAs[String]("lang"))).toSeq ==
+      Seq(1L -> None, 2L -> None, 3L -> Some("en")))
+    assert(extSession.sql("SELECT lang FROM graft.demo.evo__cold WHERE lang IS NOT NULL")
+      .count() == 1)
+    assert(extSession.sql("SELECT * FROM graft.demo.evo__v2").columns.contains("lang"))
+  }
+
   test("time travel: __v<N> reads a past snapshot; API readColdAsOf agrees") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-tt").toString

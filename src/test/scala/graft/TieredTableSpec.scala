@@ -93,6 +93,43 @@ class TieredTableSpec extends AnyFunSuite with SparkSpec {
     assert(t.readCold().count() == 3)
   }
 
+  test("multi-schema segments tier and compact to the union schema") {
+    // Two segments with DIFFERENT schemas tiered in ONE call — a
+    // footer-of-one-file read would silently drop `lang` and vacuum()
+    // would make the loss permanent (ADVICE r1, high).
+    val t = tmpTable()
+    t.appendLog(Seq(1L, 2L).toDF("id"))
+    t.appendLog(Seq((3L, "en")).toDF("id", "lang"))
+    t.tier() // both segments in one snapshot
+    assert(t.readCold().columns.sorted.toSeq == Seq("id", "lang"))
+    val cold = t.readCold().collect()
+      .map(r => r.getLong(0) -> Option(r.getAs[String]("lang"))).toMap
+    assert(cold == Map(1L -> None, 2L -> None, 3L -> Some("en")))
+
+    // compact() replaces the whole file list — heterogeneous snapshot
+    // schemas must survive the rewrite too.
+    val t2 = tmpTable()
+    t2.appendLog(Seq(1L, 2L).toDF("id")); t2.tier()
+    t2.appendLog(Seq((3L, "en")).toDF("id", "lang")); t2.tier()
+    t2.compact()
+    t2.vacuum() // drop pre-compaction history: compacted file is all there is
+    assert(t2.readCold().columns.sorted.toSeq == Seq("id", "lang"))
+    val c2 = t2.readCold().collect()
+      .map(r => r.getLong(0) -> Option(r.getAs[String]("lang"))).toMap
+    assert(c2 == Map(1L -> None, 2L -> None, 3L -> Some("en")))
+  }
+
+  test("upsert merge accepts an evolved batch (column added mid-stream)") {
+    val t = tmpTable(pk = Seq("id"))
+    t.commitUpsert(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    t.commitUpsert(Seq((2L, "b2", "en"), (3L, "c", "fr")).toDF("id", "v", "lang"))
+    val got = t.readCold().collect()
+      .map(r => r.getLong(0) -> (r.getAs[String]("v"), Option(r.getAs[String]("lang"))))
+      .toMap
+    assert(got == Map(1L -> ("a", None), 2L -> ("b2", Some("en")),
+      3L -> ("c", Some("fr"))))
+  }
+
   test("crash debris is invisible: partial temp dirs and stray meta files ignored") {
     val dir = Files.createTempDirectory("graft-debris").toString
     val root = java.nio.file.Paths.get(s"$dir/t")
