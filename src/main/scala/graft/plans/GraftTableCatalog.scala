@@ -1,5 +1,6 @@
 package graft.plans
 
+import java.nio.file.{Files, Paths}
 import java.util
 
 import scala.jdk.CollectionConverters._
@@ -11,8 +12,10 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, WriteBuilder}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
+import org.apache.spark.sql.sources.InsertableRelation
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -81,7 +84,7 @@ class GraftTableCatalog extends TableCatalog {
           throw new NoSuchTableException(Seq(catName, db, ident.name)))
         parquet(spark, ident.toString, snap.files)
       case _ =>
-        parquet(spark, ident.toString, t.unionPaths)
+        new TieredSqlTable(ident.toString, spark, t, e)
     }
   }
 
@@ -95,20 +98,131 @@ class GraftTableCatalog extends TableCatalog {
       new CaseInsensitiveStringMap(Map("mergeSchema" -> "true").asJava),
       paths, None, classOf[ParquetFileFormat])
 
+  /** `CREATE TABLE graft.<db>.<t> (cols) [TBLPROPERTIES (...)]` — the
+    * reference workload's DDL verb (README.md:139-171). Supported
+    * properties: `path` (table location; defaults to the warehouse
+    * root), `primary-key` (comma-separated PK columns → upsert table,
+    * the reference's `PRIMARY KEY ... NOT ENFORCED`). The declared
+    * schema is persisted next to the manifests so the (still-empty)
+    * table resolves for reads and INSERT column checking.
+    */
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
-                           properties: util.Map[String, String]): Table =
-    throw new UnsupportedOperationException(
-      "register tiered tables via TieredCatalog.register")
+                           properties: util.Map[String, String]): Table = {
+    require(partitions.isEmpty,
+      "PARTITIONED BY is not supported on tiered tables")
+    val db = ident.namespace().mkString(".")
+    require(TieredCatalog.lookup(db, ident.name).isEmpty,
+      s"table $db.${ident.name} already exists")
+    val props = properties.asScala
+    val path = props.getOrElse("path",
+      s"${TieredCatalog.warehouse}/$db/${ident.name}")
+    // a managed CREATE TABLE owns its warehouse directory: clear debris
+    // left by a process that died between unregister and drop
+    if (!props.contains("path")) {
+      val root = Paths.get(path)
+      if (Files.exists(root))
+        Files.walk(root).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(Files.deleteIfExists(_))
+    }
+    val pk = props.get("primary-key")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    pk.foreach(k => require(schema.fieldNames.contains(k),
+      s"primary-key column $k not in schema"))
+    val meta = Paths.get(path, "meta")
+    Files.createDirectories(meta)
+    Files.writeString(meta.resolve("SCHEMA"), schema.toDDL)
+    TieredCatalog.register(db, ident.name, path, pk)
+    loadTable(ident)
+  }
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table =
     throw new UnsupportedOperationException("ALTER TABLE is not supported")
 
-  override def dropTable(ident: Identifier): Boolean =
-    TieredCatalog.unregister(ident.namespace().mkString("."), ident.name)
+  /** DROP TABLE. Managed tables (living under the warehouse root —
+    * created without an explicit `path` property) are purged from disk,
+    * matching Spark's managed-vs-external semantics; external tables
+    * are only unregistered.
+    */
+  override def dropTable(ident: Identifier): Boolean = {
+    val db = ident.namespace().mkString(".")
+    val entry = TieredCatalog.lookup(db, ident.name)
+    val dropped = TieredCatalog.unregister(db, ident.name)
+    entry.filter(_.path.startsWith(s"${TieredCatalog.warehouse}/"))
+      .map(e => Paths.get(e.path)).filter(Files.exists(_))
+      .foreach { root =>
+        Files.walk(root).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(Files.deleteIfExists(_))
+      }
+    dropped
+  }
 
   override def renameTable(from: Identifier, to: Identifier): Unit =
     throw new UnsupportedOperationException("RENAME TABLE is not supported")
+}
+
+/** The read/write DSv2 surface of a tiered table's base name.
+  *
+  * Reads delegate to Spark's [[ParquetTable]] over the union (hot ∪
+  * cold) paths — full vectorized scan, pushdown, pruning. Writes
+  * implement `INSERT INTO graft.<db>.<t> SELECT …` (the reference
+  * workload's driving verb, /root/reference/README.md:211-216) as a
+  * [[V1Write]]: the incoming DataFrame goes through the SAME commit
+  * protocol as the Scala API — [[TieredTable.appendLog]] for log
+  * tables, [[TieredTable.commitUpsert]] for PK tables — so SQL writers
+  * get atomic segment renames / manifest swaps, not loose parquet
+  * files. The plan under the InsertableRelation is still a fully
+  * distributed Spark write; only the commit bookkeeping is driver-side,
+  * same as the API path.
+  */
+class TieredSqlTable(tableName: String, spark: SparkSession,
+                     t: TieredTable, entry: TieredCatalog.Entry)
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+
+  /** Declared schema persisted by CREATE TABLE, if any — lets an empty
+    * table resolve for reads and INSERT column checking.
+    */
+  private val declared: Option[StructType] = {
+    val p = Paths.get(entry.path, "meta", "SCHEMA")
+    if (Files.exists(p)) Some(StructType.fromDDL(Files.readString(p))) else None
+  }
+
+  private val paths = t.unionPaths
+
+  private lazy val inner = ParquetTable(tableName, spark,
+    new CaseInsensitiveStringMap(Map("mergeSchema" -> "true").asJava),
+    paths, declared, classOf[ParquetFileFormat])
+
+  override def name(): String = tableName
+
+  override def schema(): StructType =
+    if (paths.isEmpty)
+      declared.getOrElse(throw new IllegalStateException(
+        s"empty table $tableName has no persisted schema"))
+    else inner.schema
+
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE).asJava
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    inner.newScanBuilder(options)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): V1Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: org.apache.spark.sql.DataFrame,
+                                overwrite: Boolean): Unit = {
+              require(!overwrite,
+                s"INSERT OVERWRITE is not supported on tiered table $tableName")
+              if (entry.pk.nonEmpty) t.commitUpsert(data)
+              else t.appendLog(data)
+            }
+          }
+      }
+    }
 }
 
 /** In-memory DSv2 table serving the snapshot-metadata listing — the rows

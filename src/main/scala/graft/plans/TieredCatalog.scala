@@ -10,6 +10,13 @@ import scala.collection.concurrent.TrieMap
 object TieredCatalog {
   val CatalogName = "graft"
 
+  /** Root for tables created via SQL `CREATE TABLE` without an explicit
+    * `path` property (the catalog-managed warehouse). On a cluster this
+    * would be a shared filesystem URI.
+    */
+  @volatile var warehouse: String =
+    s"${sys.props("java.io.tmpdir")}/graft-warehouse"
+
   case class Entry(path: String, pk: Seq[String], mergeOnRead: Boolean)
 
   private val reg = TrieMap.empty[(String, String), Entry]

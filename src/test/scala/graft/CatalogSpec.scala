@@ -37,6 +37,69 @@ class CatalogSpec extends AnyFunSuite with SparkSpec {
       .head().getLong(0) == 6)
   }
 
+  test("SQL write path: CREATE TABLE + the reference's INSERT INTO workflow") {
+    // The reference workload is driven by SQL INSERT INTO
+    // (reference README.md:211-216, 222, 247): load tables, enrich,
+    // aggregate into a PK table. Replayed here end-to-end through the
+    // graft catalog with no Scala-API calls for the writes.
+    graft.tables.Tables.registerAll(spark, "/root/testdata/sf0.001")
+    // defensive: purge managed leftovers from a crashed earlier run
+    Seq("fluss_nation", "fluss_order", "nation_revenue")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS graft.wf.$t"))
+    spark.sql("""CREATE TABLE graft.wf.fluss_nation
+                |  (n_nationkey BIGINT, n_name STRING)
+                |  TBLPROPERTIES ('primary-key' = 'n_nationkey')""".stripMargin)
+    spark.sql("""CREATE TABLE graft.wf.fluss_order
+                |  (o_orderkey BIGINT, o_custkey BIGINT,
+                |   o_totalprice DECIMAL(15,2))""".stripMargin)
+    spark.sql("""CREATE TABLE graft.wf.nation_revenue
+                |  (nation_name STRING, revenue DECIMAL(25,2))
+                |  TBLPROPERTIES ('primary-key' = 'nation_name')""".stripMargin)
+    // 4.1 load
+    spark.sql("INSERT INTO graft.wf.fluss_nation SELECT n_nationkey, n_name FROM nation")
+    spark.sql("""INSERT INTO graft.wf.fluss_order
+                |SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DECIMAL(15,2))
+                |FROM orders""".stripMargin)
+    // 4.3-shaped aggregate into the PK table (via the customer bridge)
+    spark.sql("""INSERT INTO graft.wf.nation_revenue
+                |SELECT n.n_name AS nation_name,
+                |       CAST(SUM(o.o_totalprice) AS DECIMAL(25,2)) AS revenue
+                |FROM graft.wf.fluss_order o
+                |LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+                |LEFT JOIN graft.wf.fluss_nation n ON c.c_nationkey = n.n_nationkey
+                |GROUP BY n.n_name""".stripMargin)
+
+    val nOrders = spark.sql("SELECT COUNT(*) FROM orders").head().getLong(0)
+    assert(spark.sql("SELECT COUNT(*) FROM graft.wf.fluss_order")
+      .head().getLong(0) == nOrders)
+    // PK upsert semantics: re-running the aggregate INSERT must not
+    // duplicate rows (last write wins per nation)
+    val n1 = spark.sql("SELECT COUNT(*) FROM graft.wf.nation_revenue")
+      .head().getLong(0)
+    spark.sql("""INSERT INTO graft.wf.nation_revenue
+                |SELECT n.n_name, CAST(SUM(o.o_totalprice) AS DECIMAL(25,2))
+                |FROM graft.wf.fluss_order o
+                |LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+                |LEFT JOIN graft.wf.fluss_nation n ON c.c_nationkey = n.n_nationkey
+                |GROUP BY n.n_name""".stripMargin)
+    assert(spark.sql("SELECT COUNT(*) FROM graft.wf.nation_revenue")
+      .head().getLong(0) == n1)
+    // 5.1: tier the log table, then the cold-only (Trino-role) read and
+    // the snapshots listing work over the SQL-written data
+    val e = TieredCatalog.lookup("wf", "fluss_order").get
+    TieredTable(spark, e.path).tier()
+    assert(spark.sql("SELECT COUNT(*) FROM graft.wf.fluss_order__cold")
+      .head().getLong(0) == nOrders)
+    assert(spark.sql("SELECT COUNT(*) FROM graft.wf.fluss_order__snapshots")
+      .head().getLong(0) >= 1)
+    // top-5 nations straight off the PK table (reference 5.1)
+    assert(spark.sql(
+      """SELECT nation_name FROM graft.wf.nation_revenue
+        |ORDER BY revenue DESC, nation_name LIMIT 5""".stripMargin).count() == 5)
+    Seq("fluss_nation", "fluss_order", "nation_revenue")
+      .foreach(t => spark.sql(s"DROP TABLE graft.wf.$t"))
+  }
+
   test("SQL reads of evolved tables see the merged schema (mergeSchema)") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-evo").toString
