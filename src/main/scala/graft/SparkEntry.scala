@@ -155,15 +155,18 @@ object SparkEntry {
       """SELECT c_custkey, c_name, c_nationkey FROM customer
         |WHERE c_custkey IS NOT NULL AND c_nationkey IS NOT NULL""".stripMargin,
     "q9_snapshots" ->
-      """SELECT CAST(snapshot_id AS BIGINT) AS snapshot_id, operation,
+      """SELECT CAST(snapshot_id AS BIGINT) AS snapshot_id,
+        |       CAST(parent_id AS BIGINT) AS parent_id, operation,
         |       CAST(rows_added AS BIGINT) AS rows_added,
-        |       CAST(tiered_seg AS BIGINT) AS tiered_seg
+        |       CAST(tiered_seg AS BIGINT) AS tiered_seg,
+        |       CAST(rows_added AS BIGINT) AS added_records,
+        |       CAST(snapshot_id AS BIGINT) AS total_data_files
         |FROM (
-        |  SELECT 1 AS snapshot_id, 'tier' AS operation,
+        |  SELECT 1 AS snapshot_id, NULL AS parent_id, 'tier' AS operation,
         |         (SELECT COUNT(*) FROM orders WHERE o_orderkey % 3 = 0) AS rows_added,
         |         0 AS tiered_seg
         |  UNION ALL
-        |  SELECT 2, 'tier',
+        |  SELECT 2, 1, 'tier',
         |         (SELECT COUNT(*) FROM orders WHERE o_orderkey % 3 = 1), 1
         |) ORDER BY snapshot_id""".stripMargin,
     "d1_exact_dedup" ->

@@ -75,7 +75,9 @@ class GraftTableCatalog extends TableCatalog {
       case "snapshots" =>
         new SnapshotsTable(ident.toString,
           (1L to t.latestSnapshotId).flatMap(t.snapshot).map(s =>
-            (s.id, s.op, s.rowsAdded, s.tieredSeg, s.committedAt * 1000L)))
+            SnapshotsTable.Row(s.id, s.parentId, s.op, s.rowsAdded,
+              s.tieredSeg, s.committedAt * 1000L, t.manifestList(s.id),
+              s.summary)))
       case "cold" =>
         parquet(spark, ident.toString, t.coldFiles)
       case v if v.startsWith("v") =>
@@ -227,9 +229,12 @@ class TieredSqlTable(tableName: String, spark: SparkSession,
 
 /** In-memory DSv2 table serving the snapshot-metadata listing — the rows
   * are driver-side manifest data (O(#snapshots)), shipped to one task.
+  * Row shape mirrors Iceberg's `$snapshots` metadata table
+  * (reference README.md:275): snapshot_id, parent_id, operation,
+  * manifest_list, committed_at, summary map — plus our rows_added /
+  * tiered_seg accounting columns.
   */
-class SnapshotsTable(tableName: String,
-                     rows: Seq[(Long, String, Long, Long, Long)])
+class SnapshotsTable(tableName: String, rows: Seq[SnapshotsTable.Row])
     extends Table with SupportsRead {
 
   override def name(): String = tableName
@@ -251,27 +256,46 @@ class SnapshotsTable(tableName: String,
 }
 
 object SnapshotsTable {
+  case class Row(id: Long, parentId: Option[Long], op: String,
+                 rowsAdded: Long, tieredSeg: Long, committedAtMicros: Long,
+                 manifestList: String, summary: Map[String, String])
+
   val Schema: StructType = StructType(Seq(
     StructField("snapshot_id", LongType, nullable = false),
+    StructField("parent_id", LongType, nullable = true),
     StructField("operation", StringType, nullable = false),
     StructField("rows_added", LongType, nullable = false),
     StructField("tiered_seg", LongType, nullable = false),
-    StructField("committed_at", TimestampType, nullable = false)))
+    StructField("committed_at", TimestampType, nullable = false),
+    StructField("manifest_list", StringType, nullable = false),
+    StructField("summary", MapType(StringType, StringType, false),
+      nullable = false)))
 }
 
-case class SnapshotsPartition(rows: Seq[(Long, String, Long, Long, Long)])
+case class SnapshotsPartition(rows: Seq[SnapshotsTable.Row])
     extends InputPartition
 
 class SnapshotsReaderFactory extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     new PartitionReader[InternalRow] {
       private val it = p.asInstanceOf[SnapshotsPartition].rows.iterator
-      private var cur: (Long, String, Long, Long, Long) = _
+      private var cur: SnapshotsTable.Row = _
       override def next(): Boolean =
         if (it.hasNext) { cur = it.next(); true } else false
-      override def get(): InternalRow =
+      override def get(): InternalRow = {
+        // deterministic key order so SQL map rendering is stable
+        val keys = cur.summary.keys.toSeq.sorted
+        val summaryData = new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+          new org.apache.spark.sql.catalyst.util.GenericArrayData(
+            keys.map(k => UTF8String.fromString(k): Any)),
+          new org.apache.spark.sql.catalyst.util.GenericArrayData(
+            keys.map(k => UTF8String.fromString(cur.summary(k)): Any)))
         new GenericInternalRow(Array[Any](
-          cur._1, UTF8String.fromString(cur._2), cur._3, cur._4, cur._5))
+          cur.id, cur.parentId.map(Long.box).orNull,
+          UTF8String.fromString(cur.op), cur.rowsAdded, cur.tieredSeg,
+          cur.committedAtMicros, UTF8String.fromString(cur.manifestList),
+          summaryData))
+      }
       override def close(): Unit = ()
     }
 }

@@ -59,12 +59,20 @@ object Lakehouse {
       .agg(count(lit(1)).as("cnt"), sum(col("o_orderkey")).as("key_sum"))
 
   /** Q9 — snapshot metadata listing (reference README.md:275), projected
-    * to its deterministic columns. The oracle recomputes rows_added per
-    * snapshot from the modulo split.
+    * to its deterministic columns: id, parent lineage, operation, the
+    * rows/watermark accounting, and the Iceberg-style `summary` map's
+    * counters (`added-records`, `total-data-files`). `committed_at` and
+    * `manifest_list` exist in the table but are wall-clock/path-valued,
+    * so they stay out of the hashed projection. The oracle recomputes
+    * the same accounting from the modulo split.
     */
   def q9Snapshots(spark: SparkSession, dir: String): DataFrame =
     demoTable(spark, dir).snapshots()
-      .select(col("snapshot_id"), col("operation"), col("rows_added"),
-              col("tiered_seg"))
+      .select(col("snapshot_id"), col("parent_id"), col("operation"),
+              col("rows_added"), col("tiered_seg"),
+              element_at(col("summary"), "added-records").cast("long")
+                .as("added_records"),
+              element_at(col("summary"), "total-data-files").cast("long")
+                .as("total_data_files"))
       .orderBy(col("snapshot_id"))
 }

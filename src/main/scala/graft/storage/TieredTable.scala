@@ -61,10 +61,35 @@ class TieredTable(spark: SparkSession, tablePath: String,
 
   case class Snapshot(id: Long, op: String, rowsAdded: Long,
                       tieredSeg: Long, files: Seq[String], committedAt: Long,
-                      tag: String = "")
+                      tag: String = "") {
+    /** Parent snapshot id (None for the first commit) — ids are assigned
+      * sequentially, so lineage survives even after the parent's
+      * manifest is vacuumed.
+      */
+    def parentId: Option[Long] = if (id > 1) Some(id - 1) else None
+
+    /** Iceberg-style commit summary (reference README.md:275 — the
+      * `summary` column of `"t$snapshots"`), derived from manifest
+      * fields so it stays deterministic and available for every
+      * historical snapshot.
+      */
+    def summary: Map[String, String] = {
+      val base = Map(
+        "added-records"    -> rowsAdded.toString,
+        "total-data-files" -> files.size.toString,
+        "tiered-seg"       -> tieredSeg.toString)
+      if (tag.isEmpty) base else base + ("tag" -> tag)
+    }
+  }
 
   private def manifestPath(id: Long): Path =
     metaDir.resolve(f"snap-$id%06d.props")
+
+  /** Path of a snapshot's manifest file (the Iceberg `manifest_list`
+    * analog — ours is one flat manifest per snapshot, not a list of
+    * manifests).
+    */
+  def manifestList(id: Long): String = manifestPath(id).toString
 
   def latestSnapshotId: Long = {
     val latest = metaDir.resolve("LATEST")
@@ -431,17 +456,22 @@ class TieredTable(spark: SparkSession, tablePath: String,
     */
   def snapshots(): DataFrame = {
     val rows = (1L to latestSnapshotId).flatMap(snapshot).map { s =>
-      Row(s.id, s.op, s.rowsAdded, s.tieredSeg,
-        new java.sql.Timestamp(s.committedAt))
+      Row(s.id, s.parentId.map(Long.box).orNull, s.op, s.rowsAdded,
+        s.tieredSeg, new java.sql.Timestamp(s.committedAt),
+        manifestList(s.id), s.summary)
     }
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows, 1),
       StructType(Seq(
         StructField("snapshot_id", LongType, nullable = false),
+        StructField("parent_id", LongType, nullable = true),
         StructField("operation", StringType, nullable = false),
         StructField("rows_added", LongType, nullable = false),
         StructField("tiered_seg", LongType, nullable = false),
-        StructField("committed_at", TimestampType, nullable = false))))
+        StructField("committed_at", TimestampType, nullable = false),
+        StructField("manifest_list", StringType, nullable = false),
+        StructField("summary", MapType(StringType, StringType, false),
+          nullable = false))))
   }
 }
 

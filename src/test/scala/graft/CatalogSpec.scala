@@ -30,6 +30,14 @@ class CatalogSpec extends AnyFunSuite with SparkSpec {
     assert(extSession.sql(
       "SELECT snapshot_id FROM graft.demo.orders__snapshots ORDER BY snapshot_id")
       .collect().map(_.getLong(0)).toSeq == Seq(1L))
+    // Iceberg-shaped metadata row: parent lineage, manifest pointer,
+    // summary map — all addressable from SQL
+    val meta = extSession.sql(
+      """SELECT parent_id, manifest_list, summary['added-records']
+        |FROM graft.demo.orders__snapshots""".stripMargin).head()
+    assert(meta.isNullAt(0))
+    assert(meta.getString(1).endsWith("snap-000001.props"))
+    assert(meta.getString(2) == "3")
     // joins/aggregates compose with the resolved relation
     assert(extSession.sql(
       """SELECT SUM(a.id) FROM graft.demo.orders a

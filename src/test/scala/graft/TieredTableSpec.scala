@@ -39,10 +39,19 @@ class TieredTableSpec extends AnyFunSuite with SparkSpec {
     val t = tmpTable()
     t.appendLog(Seq(1L, 2L).toDF("id")); t.tier()
     t.appendLog(Seq(3L).toDF("id"));     t.tier()
-    val snaps = t.snapshots().orderBy("snapshot_id").collect()
+    val snaps = t.snapshots()
+      .select("snapshot_id", "parent_id", "rows_added", "tiered_seg",
+        "manifest_list", "summary")
+      .orderBy("snapshot_id").collect()
     assert(snaps.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    // parent lineage: first snapshot has no parent, second points at 1
+    assert(snaps(0).isNullAt(1) && snaps(1).getLong(1) == 1L)
     assert(snaps.map(_.getLong(2)).toSeq == Seq(2L, 1L))
     assert(snaps.map(_.getLong(3)).toSeq == Seq(0L, 1L))
+    assert(snaps.forall(_.getString(4).endsWith(".props")))
+    val summaries = snaps.map(_.getMap[String, String](5))
+    assert(summaries.map(_("added-records")).toSeq == Seq("2", "1"))
+    assert(summaries.map(_("total-data-files")).toSeq == Seq("1", "2"))
   }
 
   test("tier is a no-op when nothing is pending") {
