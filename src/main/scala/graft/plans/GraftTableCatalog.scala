@@ -90,6 +90,46 @@ class GraftTableCatalog extends TableCatalog {
     }
   }
 
+  /** SQL time travel, `SELECT … FROM graft.db.t VERSION AS OF <id>` —
+    * Spark routes the clause here (DSv2 TableCatalog time-travel
+    * overload). Equivalent to the `__v<id>` name suffix and the API's
+    * `readColdAsOf`.
+    */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val spark = SparkSession.active
+    val t = tiered(ident)
+    val snap = t.snapshot(version.toLong).getOrElse(
+      throw new NoSuchTableException(
+        Seq(catName, ident.namespace().mkString("."),
+          s"${ident.name} VERSION AS OF $version")))
+    parquet(spark, s"${ident.toString}@v$version", snap.files)
+  }
+
+  /** SQL time travel, `… TIMESTAMP AS OF <ts>`: the latest snapshot
+    * committed at or before the timestamp (Iceberg's rule).
+    */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    val spark = SparkSession.active
+    val t = tiered(ident)
+    val id = (1L to t.latestSnapshotId).flatMap(t.snapshot)
+      .filter(_.committedAt * 1000L <= timestampMicros)
+      .map(_.id).maxOption.getOrElse(
+        throw new NoSuchTableException(
+          Seq(catName, ident.namespace().mkString("."),
+            s"${ident.name} TIMESTAMP AS OF $timestampMicros")))
+    parquet(spark, s"${ident.toString}@t$timestampMicros",
+      t.snapshot(id).get.files)
+  }
+
+  /** The TieredTable behind a BASE table identifier (no suffix modes). */
+  private def tiered(ident: Identifier): TieredTable = {
+    val db = ident.namespace().mkString(".")
+    val e = TieredCatalog.lookup(db, ident.name)
+      .getOrElse(throw new NoSuchTableException(
+        Seq(catName, db, ident.name)))
+    TieredTable(SparkSession.active, e.path, e.pk, e.mergeOnRead)
+  }
+
   private def parquet(spark: SparkSession, name: String,
                       paths: Seq[String]): Table =
     // mergeSchema so SQL reads of union/cold/time-travel paths agree

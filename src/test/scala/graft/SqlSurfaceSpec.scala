@@ -37,4 +37,67 @@ class SqlSurfaceSpec extends AnyFunSuite with SparkSpec {
       "SELECT snapshot_id, operation FROM orders_tiered__snapshots ORDER BY snapshot_id")
     assert(snaps.collect().map(_.getLong(0)).toSeq == Seq(1L))
   }
+
+  test("FOR SYSTEM_TIME AS OF temporal join parses and joins the current snapshot") {
+    // The reference's enrichment query (README.md:222-239): orders
+    // stream ⟕ customer FOR SYSTEM_TIME AS OF o.proctime ⟕ nation —
+    // replayed as SQL. In batch over the snapshot-isolated catalog the
+    // clause resolves to the dims' current committed snapshot.
+    Tables.registerAll(spark, "/root/testdata/sf0.001")
+    val dir = Files.createTempDirectory("graft-tj").toString
+    graft.plans.TieredCatalog.register("tj", "customer", s"$dir/customer",
+      pk = Seq("c_custkey"))
+    graft.plans.TieredCatalog.register("tj", "nation", s"$dir/nation",
+      pk = Seq("n_nationkey"))
+    TieredTable(spark, s"$dir/customer", pk = Seq("c_custkey"))
+      .commitUpsert(spark.table("customer"))
+    TieredTable(spark, s"$dir/nation", pk = Seq("n_nationkey"))
+      .commitUpsert(spark.table("nation"))
+
+    val sqlRes = spark.sql(
+      """SELECT o.o_orderkey, c.c_name, n.n_name
+        |FROM orders o
+        |LEFT JOIN graft.tj.customer FOR SYSTEM_TIME AS OF o.proctime AS c
+        |  ON o.o_custkey = c.c_custkey
+        |LEFT JOIN graft.tj.nation FOR SYSTEM_TIME AS OF o.proctime AS n
+        |  ON c.c_nationkey = n.n_nationkey""".stripMargin)
+    // must agree with the DataFrame lookup-join operator on the same dims
+    val api = graft.operators.Enrich.lookupJoin2(
+        spark.table("orders")
+          .withColumn("c_custkey", org.apache.spark.sql.functions.col("o_custkey")),
+        spark.table("customer"), "c_custkey",
+        spark.table("nation").withColumnRenamed("n_nationkey", "c_nationkey"),
+        "c_nationkey")
+    assert(sqlRes.count() == spark.table("orders").count())
+    val sqlSorted = sqlRes.orderBy("o_orderkey").collect().toSeq
+    val apiSorted = api.select("o_orderkey", "c_name", "n_name")
+      .orderBy("o_orderkey").collect().toSeq
+    assert(sqlSorted == apiSorted)
+  }
+
+  test("SQL time travel: VERSION AS OF and TIMESTAMP AS OF read past snapshots") {
+    val dir = Files.createTempDirectory("graft-tt-sql").toString
+    val t = TieredTable(spark, s"$dir/t")
+    graft.plans.TieredCatalog.register("ttsql", "t", s"$dir/t")
+    t.appendLog(Seq(1L, 2L).toDF("id")); t.tier()
+    val afterV1 = System.currentTimeMillis()
+    Thread.sleep(5)
+    t.appendLog(Seq(3L).toDF("id")); t.tier()
+    assert(spark.sql("SELECT COUNT(*) FROM graft.ttsql.t VERSION AS OF 1")
+      .head().getLong(0) == 2)
+    assert(spark.sql("SELECT COUNT(*) FROM graft.ttsql.t VERSION AS OF 2")
+      .head().getLong(0) == 3)
+    // session timezone is UTC, so a UTC wall string addresses the epoch
+    val tsStr = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss.SSS").withZone(java.time.ZoneOffset.UTC)
+      .format(java.time.Instant.ofEpochMilli(afterV1))
+    assert(spark.sql(
+      s"SELECT COUNT(*) FROM graft.ttsql.t TIMESTAMP AS OF '$tsStr'")
+      .head().getLong(0) == 2)
+    // agreement across the three temporal surfaces
+    assert(spark.sql("SELECT SUM(id) FROM graft.ttsql.t VERSION AS OF 1")
+      .head().getLong(0) ==
+      t.readColdAsOf(1L).agg(org.apache.spark.sql.functions.sum("id"))
+        .head().getLong(0))
+  }
 }
