@@ -51,6 +51,20 @@ object Dedup {
       .select(col("id"), explode(shingles(tokens(col("__text")), n)).as("shs"))
       .select(col("id"), hash60(col("shs")).as("sh"))
 
+  /** Per-document sorted shingle-hash SET vector: (id, shs, n_sh) — the
+    * shared substrate of the Jaccard family. ONE shuffle builds it;
+    * d3 (exact pairs), d4 (MinHash+LSH), and d7 (clusters) all run off
+    * this shape, so a pipeline computing several variants shares the
+    * shingling + grouping instead of re-exploding the corpus per
+    * variant (see [[graft.queries.Pipeline]]'s memo).
+    */
+  def shingleVectors(df: DataFrame, idCol: String, textCol: String,
+                     n: Int): DataFrame =
+    shingleSet(df, idCol, textCol, n)
+      .groupBy(col("id"))
+      .agg(sort_array(collect_set(col("sh"))).as("shs"))
+      .withColumn("n_sh", size(col("shs")).cast("long"))
+
   /** MinHash universal-hash family over the shingle hash, mod the
     * Mersenne prime 2^31−1: h_i(x) = (A_i·(x mod p) + B_i) mod p with
     * md5-derived constants — products stay < 2^62, so the arithmetic is
@@ -71,25 +85,37 @@ object Dedup {
     * Threshold compare is integer-exact: inter*den ≥ union*num.
     * Output: a_id < b_id, inter, union_sz.
     */
-  private def jaccardPairs(s0: DataFrame, num: Int, den: Int): DataFrame = {
-    // ONE shuffle builds the per-doc sorted shingle-set vector; prefix
-    // length = n − ⌈n·num/den⌉ + 1 in all-integer arithmetic.
-    val byDoc = s0.groupBy(col("id"))
-      .agg(sort_array(collect_set(col("sh"))).as("shs"))
-      .withColumn("n_sh", size(col("shs")).cast("long"))
-      .withColumn("__pl", col("n_sh") -
+  private def jaccardPairs(byDoc0: DataFrame, num: Int, den: Int,
+                           owned: Boolean): DataFrame = {
+    // prefix length = n − ⌈n·num/den⌉ + 1 in all-integer arithmetic
+    val byDoc = {
+      val d = byDoc0.withColumn("__pl", col("n_sh") -
         expr(s"(n_sh * $num + ${den - 1}) DIV $den") + 1)
-      .cache()
-    // candidate pairs: inverted index over prefixes only
+      // referenced 3× below (prefix index + both verification sides):
+      // cache unless the caller already holds the vectors cached
+      if (owned) d.cache() else d
+    }
+    // candidate pairs: inverted index over prefixes only — any pair with
+    // Jaccard ≥ θ shares a prefix element (prefix-filtering lemma), so
+    // recall at the threshold is EXACT while a heavy shingle outside the
+    // prefixes can no longer produce df² candidates.
     val pref = byDoc.select(col("id"),
       explode(slice(col("shs"), lit(1), col("__pl").cast("int"))).as("sh"))
     val cand = pref.select(col("id").as("a_id"), col("sh"))
       .join(pref.select(col("id").as("b_id"), col("sh")), Seq("sh"))
       .filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id")).distinct()
-    // verification: two id-joins pull both docs' full sorted sets next to
-    // the pair; the true intersection is a single O(|A|+|B|) array op —
-    // no expansion join, cost ∝ candidate volume, never Σ_shingle df².
+    verifyPairs(cand, byDoc, num, den)
+  }
+
+  /** Exact-Jaccard verification of explicit candidate pairs: two
+    * id-joins pull both docs' full sorted sets next to the pair; the
+    * true intersection is a single O(|A|+|B|) array op — no expansion
+    * join, cost ∝ candidate volume, never Σ_shingle df². Threshold
+    * compare is integer-exact: inter·den ≥ union·num.
+    */
+  private def verifyPairs(cand: DataFrame, byDoc: DataFrame,
+                          num: Int, den: Int): DataFrame = {
     val a = byDoc.select(col("id").as("a_id"), col("shs").as("sa"),
       col("n_sh").as("na"))
     val b = byDoc.select(col("id").as("b_id"), col("shs").as("sb"),
@@ -101,17 +127,33 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("inter"), col("un").as("union_sz"))
   }
 
-  /** Exact n-gram Jaccard near-dup pairs with similarity ≥ num/den. */
+  /** Exact n-gram Jaccard near-dup pairs with similarity ≥ num/den
+    * (PPJoin-style prefix-filtered inverted index; exact at θ=num/den).
+    */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, num: Int = 4, den: Int = 5): DataFrame =
-    jaccardPairs(shingleSet(df, idCol, textCol, n), num, den)
+    jaccardPairs(shingleVectors(df, idCol, textCol, n), num, den,
+      owned = true)
 
-  private def minhashSignatureFrom(s: DataFrame, k: Int): DataFrame = {
-    val hmod = pmod(col("sh"), lit(MinhashP))
-    val aggs = (0 until k).map { i =>
-      min(pmod(hmod * minhashA(i) + minhashB(i), lit(MinhashP))).as(s"mh$i")
+  /** [[ngramJaccardPairs]] over pre-built (and ideally cached)
+    * [[shingleVectors]].
+    */
+  def ngramJaccardPairsFrom(vectors: DataFrame, num: Int = 4,
+                            den: Int = 5): DataFrame =
+    jaccardPairs(vectors, num, den, owned = false)
+
+  /** MinHash signature columns mh0..mh{k-1} computed map-side from the
+    * shingle-set vector: mh_i = min over shingles of h_i(shingle). Pure
+    * codegen'd array ops — NO shuffle beyond the one that built the
+    * vectors.
+    */
+  private def minhashSignatureFrom(vectors: DataFrame, k: Int): DataFrame = {
+    val sigs = (0 until k).map { i =>
+      array_min(transform(col("shs"), x =>
+        pmod(pmod(x, lit(MinhashP)) * minhashA(i) + minhashB(i),
+          lit(MinhashP)))).as(s"mh$i")
     }
-    s.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
+    vectors.select(col("id") +: sigs: _*)
   }
 
   /** MinHash signatures: for each doc, min over shingles of h_i(shingle),
@@ -119,7 +161,7 @@ object Dedup {
     */
   def minhashSignature(df: DataFrame, idCol: String, textCol: String,
                        n: Int = 3, k: Int = 16): DataFrame =
-    minhashSignatureFrom(shingleSet(df, idCol, textCol, n), k)
+    minhashSignatureFrom(shingleVectors(df, idCol, textCol, n), k)
 
   /** MinHash + LSH banding near-dup pairs: k hashes in `bands` bands of
     * k/bands rows; docs sharing any full band signature become candidate
@@ -129,13 +171,24 @@ object Dedup {
     */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       n: Int = 3, k: Int = 16, bands: Int = 4,
-                      num: Int = 4, den: Int = 5): DataFrame = {
+                      num: Int = 4, den: Int = 5): DataFrame =
+    minhashLshPairsFrom(shingleVectors(df, idCol, textCol, n).cache(),
+      k, bands, num, den)
+
+  /** [[minhashLshPairs]] over pre-built (cached) [[shingleVectors]].
+    * Scale shape: signatures are map-side array math on the vectors;
+    * the only new shuffles carry (band_sig, doc_id) — constant width
+    * per doc regardless of document size — and the verification joins,
+    * whose cost ∝ candidate volume (each candidate pair is verified
+    * with one O(|A|+|B|) sorted-array intersection, never an expansion
+    * join).
+    */
+  def minhashLshPairsFrom(vectors: DataFrame, k: Int = 16, bands: Int = 4,
+                          num: Int = 4, den: Int = 5): DataFrame = {
     require(k % bands == 0, "k must divide into bands")
     val rows = k / bands
-    // used by both the signature build and the verification path
-    val s = shingleSet(df, idCol, textCol, n).cache()
-    val sig = minhashSignatureFrom(s, k)
-    // band signature = "b:mh_a,mh_b,..." string; unpivot bands via stack
+    val sig = minhashSignatureFrom(vectors, k)
+    // band signature = "b:mh_a,mh_b,..." string; unpivot bands via explode
     val bandCols = (0 until bands).map { b =>
       val parts = (0 until rows).map(r => col(s"mh${b * rows + r}"))
       concat_ws(",", lit(b.toString) +: parts: _*).as(s"band$b")
@@ -147,15 +200,7 @@ object Dedup {
       .join(stacked.select(col("id").as("b_id"), col("sig")), Seq("sig"))
       .filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id")).distinct()
-    // Exact verification on the candidate docs only: restrict the
-    // inverted index to ids that appear in some candidate pair (broadcast
-    // semi-join — the candidate set is tiny relative to the corpus), then
-    // keep exactly the LSH pairs. At 100 TB this is the difference
-    // between verifying ~|cand| pairs and re-verifying the whole corpus.
-    val candIds = cand.select(col("a_id").as("id"))
-      .union(cand.select(col("b_id").as("id"))).distinct()
-    val verified = jaccardPairs(s.join(broadcast(candIds), Seq("id"), "left_semi"), num, den)
-    cand.join(verified, Seq("a_id", "b_id"))
+    verifyPairs(cand, vectors, num, den)
   }
 
   /** Connected components over a near-dup pair graph — the "keep one
@@ -173,24 +218,37 @@ object Dedup {
     * — no driver-side graph state; only the loop counter and a
     * convergence flag live on the driver.
     */
-  def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 20,
+                          driverEdgeLimit: Long = 5000000L): DataFrame = {
     // both directions in ONE scan of pairs (a union would compute an
     // unmaterialized upstream twice)
     val edges = pairs
       .select(explode(array(
-        struct(col("a_id").as("src"), col("b_id").as("dst")),
-        struct(col("b_id").as("src"), col("a_id").as("dst")))).as("e"))
+        struct(col("a_id").cast("long").as("src"),
+          col("b_id").cast("long").as("dst")),
+        struct(col("b_id").cast("long").as("src"),
+          col("a_id").cast("long").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .cache()
-    // The iteration state is the pair GRAPH, typically orders of
-    // magnitude smaller than the corpus that produced it — size the
-    // loop's shuffles to the graph, not the corpus: ~250k edges per
-    // partition, never more partitions than configured (so a
-    // cluster-sized setting still rules at real scale).
+    val edgeCount = edges.count()
+    // ADAPTIVE: the pair graph is the *output* of near-dup mining —
+    // usually orders of magnitude smaller than the corpus that produced
+    // it. Below the (bounded-memory, ~few-hundred-MB) threshold, a
+    // driver-side union-find finishes in one collect instead of
+    // O(log d) distributed rounds of ~4 scheduler jobs each — at local
+    // bench scale that is the difference between 4 s and 0.3 s. Above
+    // the threshold (a 100 TB corpus can mine billions of pairs), the
+    // distributed min-label loop below is the path — no driver state.
+    if (edgeCount <= driverEdgeLimit)
+      return connectedComponentsDriver(edges)
+    // The iteration state is the pair GRAPH — size the loop's shuffles
+    // to the graph, not the corpus: ~250k edges per partition, never
+    // more partitions than configured (so a cluster-sized setting still
+    // rules at real scale).
     val spark = pairs.sparkSession
     val configured = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val p = math.max(1L,
-      math.min(configured.toLong, edges.count() / 250000L + 1)).toInt
+      math.min(configured.toLong, edgeCount / 250000L + 1)).toInt
     val prevConf = spark.conf.get("spark.sql.shuffle.partitions")
     val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.shuffle.partitions", p)
@@ -244,6 +302,37 @@ object Dedup {
       spark.conf.set("spark.sql.shuffle.partitions", prevConf)
       spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
     }
+  }
+
+  /** Driver-side union-find over a (bidirectional, cached) edge list —
+    * the adaptive small-graph path of [[connectedComponents]]. Memory
+    * is bounded by the caller's edge threshold; union-by-min + path
+    * compression, so each node's representative is the smallest id in
+    * its component — exactly the distributed loop's converged label.
+    */
+  private def connectedComponentsDriver(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val es = edges.select(col("src"), col("dst")).as[(Long, Long)].collect()
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def find(x0: Long): Long = {
+      var x = x0
+      var p = parent.getOrElse(x, x)
+      while (p != x) { // path halving
+        val gp = parent.getOrElse(p, p)
+        parent(x) = gp
+        x = p; p = gp
+      }
+      x
+    }
+    es.foreach { case (a, b) =>
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    // edges carry both directions, so every node occurs as a src
+    val out: Seq[(Long, Long)] = es.iterator.map(_._1).toSet.toSeq
+      .map((id: Long) => (id, find(id)))
+    out.toDF("id", "component")
   }
 
   /** SimHash (width bits, ≤ 60): per doc, bit j is set iff

@@ -50,19 +50,27 @@ object Pipeline {
   def d2Fingerprint(spark: SparkSession, dir: String): DataFrame =
     Dedup.fingerprint(docs(spark, dir), "doc_id", "text")
 
+  /** Memoized per-document 3-gram shingle vectors — the shared
+    * substrate of the Jaccard dedup family: d3 and d4 both run off one
+    * shingling + grouping pass instead of re-exploding the corpus each.
+    */
+  private def docVectors(spark: SparkSession, dir: String): DataFrame =
+    memo(spark, s"shv:$dir") {
+      Dedup.shingleVectors(docs(spark, dir), "doc_id", "text", n = 3)
+    }
+
   /** D3 — exact 3-gram Jaccard ≥ 0.8 near-dup pairs (prefix-filtered
     * inverted index). Memoized: d7 clusters over the same pairs.
     */
   def d3NgramPairs(spark: SparkSession, dir: String): DataFrame =
     memo(spark, s"d3:$dir") {
-      Dedup.ngramJaccardPairs(docs(spark, dir), "doc_id", "text",
-        n = 3, num = 4, den = 5)
+      Dedup.ngramJaccardPairsFrom(docVectors(spark, dir), num = 4, den = 5)
     }
 
   /** D4 — MinHash(16)+LSH(4 bands) candidates, Jaccard-verified ≥ 0.8. */
   def d4MinhashLsh(spark: SparkSession, dir: String): DataFrame =
-    Dedup.minhashLshPairs(docs(spark, dir), "doc_id", "text",
-      n = 3, k = 16, bands = 4, num = 4, den = 5)
+    Dedup.minhashLshPairsFrom(docVectors(spark, dir),
+      k = 16, bands = 4, num = 4, den = 5)
 
   /** D5 — 48-bit SimHash signature per document (wider than the classic
     * 32 because the synthetic vocabulary is tiny — more bits spread the

@@ -60,8 +60,13 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     val pairs = (0 until 60).map(_ => (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
       .filter { case (a, b) => a < b }
     val df = pairs.toDF("a_id", "b_id")
-    val got = Dedup.connectedComponents(df)
+    // force the DISTRIBUTED min-label loop (driverEdgeLimit=0); the
+    // adaptive driver path must agree with it exactly
+    val got = Dedup.connectedComponents(df, driverEdgeLimit = 0L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val gotDriver = Dedup.connectedComponents(df)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == gotDriver)
     // reference union-find
     val parent = scala.collection.mutable.Map[Long, Long]()
     def find(x: Long): Long = {
