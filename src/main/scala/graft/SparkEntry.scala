@@ -50,6 +50,10 @@ object SparkEntry {
     "s3_neardup_brute" -> (Pipeline.s3NearDupBrute _),
     "s4_ivf_knn"     -> (Pipeline.s4IvfKnn _),
     "s5_ann_groups"  -> (Pipeline.s5AnnGroups _),
+    "c1_decontam"    -> (Pipeline.c1Decontam _),
+    "c2_sample"      -> (Pipeline.c2Sample _),
+    "c3_shards"      -> (Pipeline.c3Shards _),
+    "c4_pack"        -> (Pipeline.c4Pack _),
     "t1_langid"      -> (Pipeline.t1LangId _),
     "t2_quality"     -> (Pipeline.t2Quality _),
     "t3_tokens"      -> (Pipeline.t3Tokens _),
@@ -303,6 +307,36 @@ object SparkEntry {
          |  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src
          |)
          |SELECT id, min(r) AS component FROM reach GROUP BY id""".stripMargin,
+    "c1_decontam" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |         CAST(('0x' || substr(md5(array_to_string(list_slice(t, i, i+2), ' ')), 1, 15)) AS BIGINT) AS sh
+        |       FROM toks, UNNEST(range(1, len(t)-1)) r(i) WHERE len(t) >= 3),
+        |bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 20 = 0)
+        |SELECT s.doc_id, COUNT(*) AS n_hits
+        |FROM sh s JOIN bench b USING (sh)
+        |WHERE s.doc_id % 20 <> 0 GROUP BY s.doc_id""".stripMargin,
+    "c2_sample" ->
+      """SELECT lang, COUNT(*) AS n_total,
+        |  CAST(SUM(CASE WHEN CAST(('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10 = 0
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+        |FROM documents GROUP BY lang""".stripMargin,
+    "c3_shards" ->
+      """SELECT CAST(('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 32 AS shard_id,
+        |  COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY 1""".stripMargin,
+    "c4_pack" ->
+      """WITH t AS (SELECT doc_id,
+        |    CAST(('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h,
+        |    CAST(list_sum(list_transform(string_split(text, ' '), x -> (length(x)+3) // 4)) AS BIGINT) AS tok
+        |  FROM documents),
+        |w AS (SELECT h % 8 AS shard_id, tok,
+        |    CAST(SUM(tok) OVER (PARTITION BY h % 8 ORDER BY h, doc_id
+        |                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |  FROM t)
+        |SELECT shard_id, (cum - tok) // 256 AS pack_id,
+        |  COUNT(*) AS n_docs, CAST(SUM(tok) AS BIGINT) AS sum_tokens
+        |FROM w GROUP BY 1, 2""".stripMargin,
     "t1_langid" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |h AS (SELECT doc_id,

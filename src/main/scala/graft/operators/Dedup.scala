@@ -304,6 +304,28 @@ object Dedup {
     }
   }
 
+  /** Benchmark decontamination: training documents that share ≥1 word
+    * n-gram with a benchmark/eval corpus, with the shared-shingle count
+    * — the standard n-gram-collision test run before training so eval
+    * answers don't leak into the training set.
+    *
+    * Scale shape: the benchmark side is MB-scale against a TB-scale
+    * corpus, so its distinct shingle hashes are BROADCAST; the corpus
+    * side is a map-side hash-join probe plus one groupBy that shuffles
+    * only the matching (id, shingle-hash) pairs — the full corpus never
+    * shuffles and the benchmark never leaves one executor's memory.
+    */
+  def decontaminate(train: DataFrame, bench: DataFrame,
+                    idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    val trainSh = shingleSet(train, idCol, textCol, n)
+    val benchSh = shingleSet(bench, idCol, textCol, n)
+      .select(col("sh")).distinct()
+    trainSh.join(broadcast(benchSh), Seq("sh"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_hits"))
+      .select(col("id").as(idCol), col("n_hits"))
+  }
+
   /** Driver-side union-find over a (bidirectional, cached) edge list —
     * the adaptive small-graph path of [[connectedComponents]]. Memory
     * is bounded by the caller's edge threshold; union-by-min + path

@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions.hash60
+
+/** Corpus-selection operators for training-data pipelines: deterministic
+  * hash sampling, shard assignment, and fixed-token-budget sequence
+  * packing.
+  *
+  * Everything here keys on `hash60(salt:key)` — md5-derived, so the same
+  * (salt, key) lands the same way across runs, engines, and cluster
+  * sizes. That reproducibility is the property that matters at 100 TB:
+  * an ablation's "10% sample" must be THE SAME 10% when the corpus is
+  * re-read next month on a different cluster, and a resumed job must
+  * assign every document to the same shard. (A `rand()`-based sample has
+  * neither property.)
+  *
+  * Scale shapes: sampling and shard assignment are map-side only — no
+  * shuffle, no driver state, trivially parallel at any corpus size.
+  * Packing is one shuffle (by shard) + an in-partition running sum —
+  * the minimum data motion that any deterministic packing needs.
+  */
+object Sampling {
+
+  private def keyHash(salt: String, key: Column): Column =
+    hash60(concat(lit(s"$salt:"), key.cast("string")))
+
+  /** Deterministic Bernoulli sample: keep rows whose salted key hash
+    * lands in [0, num) mod den — a reproducible num/den fraction.
+    * Map-side filter; composes with partition pruning and pushdown
+    * (the filter is a plain codegen'd expression).
+    */
+  def hashSample(df: DataFrame, keyCol: String, num: Int, den: Int,
+                 salt: String = "sample"): DataFrame = {
+    require(num >= 0 && num <= den && den > 0, "need 0 <= num <= den")
+    df.filter(pmod(keyHash(salt, col(keyCol)), lit(den)) < num)
+  }
+
+  /** Deterministic shard assignment: `shard_id` = salted key hash mod
+    * nShards. The write-side partitioner for training shards — stable
+    * under corpus growth (a document never moves shards when others are
+    * added or removed).
+    */
+  def assignShards(df: DataFrame, keyCol: String, nShards: Int,
+                   salt: String = "shard"): DataFrame = {
+    require(nShards > 0, "need at least one shard")
+    df.withColumn("shard_id", pmod(keyHash(salt, col(keyCol)), lit(nShards)))
+  }
+
+  /** Streaming sequence packing: within each shard, documents in
+    * deterministic (hash, key) order are concatenated into sequences of
+    * ~`budget` tokens; `pack_id` = floor(tokens-before-this-doc /
+    * budget). A sequence may overflow by at most one document (the
+    * standard streaming-packer contract — no bin-packing lookahead, so
+    * the layout is reproducible and single-pass).
+    *
+    * One hash-shuffle on shard_id, then a running sum inside each
+    * partition — per-shard state is a single counter, never the corpus.
+    */
+  def packSequences(df: DataFrame, keyCol: String, tokCol: String,
+                    nShards: Int, budget: Int,
+                    salt: String = "shard"): DataFrame = {
+    require(budget > 0, "need a positive token budget")
+    val sharded = assignShards(df, keyCol, nShards, salt)
+      .withColumn("__h", keyHash(salt, col(keyCol)))
+    val w = Window.partitionBy(col("shard_id"))
+      .orderBy(col("__h"), col(keyCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sharded
+      .withColumn("__cum", sum(col(tokCol)).over(w))
+      .withColumn("pack_id",
+        expr(s"(__cum - $tokCol) DIV $budget"))
+      .drop("__h", "__cum")
+  }
+}

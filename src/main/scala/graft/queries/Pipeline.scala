@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.TextAnalysis._
 import graft.functions.TextFunctions._
-import graft.operators.{Dedup, Events, Multimodal, Similarity}
+import graft.operators.{Dedup, Events, Multimodal, Sampling, Similarity}
 import graft.tables.Tables
 
 /** The training-data-pipeline query set: deduplication, similarity
@@ -184,6 +184,54 @@ object Pipeline {
     docs(spark, dir)
       .select(explode(tokens(col("text"))).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+
+  // ---- corpus selection (sampling / sharding / packing / decontam) ----
+
+  /** C1 — benchmark decontamination: the corpus is split by
+    * `doc_id % 20` into a pseudo-benchmark (0) and a training set
+    * (rest); flags every training doc sharing a 3-gram with the
+    * benchmark, with the collision count.
+    */
+  def c1Decontam(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    Dedup.decontaminate(
+      d.filter(pmod(col("doc_id"), lit(20)) =!= 0),
+      d.filter(pmod(col("doc_id"), lit(20)) === 0),
+      "doc_id", "text", n = 3)
+  }
+
+  /** C2 — deterministic 10% hash sample, reported per language stratum
+    * (n_total vs n_sampled — the reproducible-ablation primitive).
+    */
+  def c2Sample(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val sampled = pmod(hash60(concat(lit("sample:"),
+      col("doc_id").cast("string"))), lit(10)) === 0
+    d.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(sampled, 1L).otherwise(0L)).as("n_sampled"))
+  }
+
+  /** C3 — deterministic shard assignment (32 shards) with per-shard
+    * document and character accounting — the training-shard layout
+    * check (shards must stay balanced and stable).
+    */
+  def c3Shards(spark: SparkSession, dir: String): DataFrame =
+    Sampling.assignShards(docs(spark, dir), "doc_id", nShards = 32)
+      .groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+
+  /** C4 — sequence packing: 8 shards, ~256-token sequences (approx-BPE
+    * counts), per-(shard, pack) accounting.
+    */
+  def c4Pack(spark: SparkSession, dir: String): DataFrame = {
+    val withTok = docs(spark, dir).select(col("doc_id"),
+      approxBpeCount(tokens(col("text"))).as("tok"))
+    Sampling.packSequences(withTok, "doc_id", "tok",
+        nShards = 8, budget = 256)
+      .groupBy(col("shard_id"), col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("sum_tokens"))
+  }
 
   // ---- multimodal ----
 

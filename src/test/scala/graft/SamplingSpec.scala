@@ -1,0 +1,77 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Sampling}
+
+class SamplingSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the cat sat on the mat today", 28),
+    (2L, "the cat sat on the mat today", 28), // exact dup of 1
+    (3L, "a completely different sentence here", 36),
+    (4L, "the dog sat on the mat today", 28), // near dup of 1
+    (5L, "short", 5)
+  ).toDF("doc_id", "text", "n_chars")
+
+  test("hashSample is deterministic and roughly proportional") {
+    val base = spark.range(0, 2000).toDF("id")
+    val s1 = Sampling.hashSample(base, "id", 1, 10).collect().map(_.getLong(0)).toSet
+    val s2 = Sampling.hashSample(base, "id", 1, 10).collect().map(_.getLong(0)).toSet
+    assert(s1 == s2) // reproducible
+    assert(s1.size > 100 && s1.size < 300) // ~10% of 2000
+    // monotone nesting: a 20% sample contains the 10% sample
+    val s20 = Sampling.hashSample(base, "id", 2, 10).collect().map(_.getLong(0)).toSet
+    assert(s1.subsetOf(s20))
+  }
+
+  test("assignShards covers all rows, is stable under corpus growth") {
+    val base = spark.range(0, 1000).toDF("id")
+    val shards = Sampling.assignShards(base, "id", 8)
+    assert(shards.count() == 1000)
+    assert(shards.agg(min("shard_id"), max("shard_id")).head() match {
+      case r => r.getLong(0) >= 0 && r.getLong(1) <= 7
+    })
+    // a document's shard does not depend on what else is in the corpus
+    val grown = Sampling.assignShards(spark.range(0, 2000).toDF("id"), "id", 8)
+    val before = shards.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val after = grown.filter(col("id") < 1000)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(before == after)
+  }
+
+  test("packSequences: packs respect the budget (overflow ≤ one doc)") {
+    val withTok = spark.range(0, 500).toDF("id")
+      .withColumn("tok", (pmod(col("id") * 37, lit(90)) + 10))
+    val packed = Sampling.packSequences(withTok, "id", "tok",
+      nShards = 4, budget = 200)
+    // every doc is placed exactly once
+    assert(packed.count() == 500)
+    val sums = packed.groupBy("shard_id", "pack_id")
+      .agg(sum("tok").as("s"), max("tok").as("mx")).collect()
+    // a pack never exceeds budget + its own last doc, and all packs
+    // except possibly each shard's last are at least at budget after
+    // their overflow doc (streaming-packing contract)
+    assert(sums.forall(r => r.getLong(2) <= 200 + r.getLong(3)))
+    // pack ids are dense from 0 within each shard
+    val perShard = packed.groupBy("shard_id")
+      .agg(min("pack_id").as("mn"), countDistinct("pack_id").as("n"),
+        max("pack_id").as("mx")).collect()
+    assert(perShard.forall(r => r.getLong(1) == 0 && r.getLong(3) == r.getLong(2) - 1))
+  }
+
+  test("decontaminate flags exactly the docs sharing an n-gram with the benchmark") {
+    // benchmark = doc 1; docs 2 (exact dup) and 4 (near dup) share
+    // 3-grams with it; 3 and 5 do not
+    val bench = docs.filter(col("doc_id") === 1)
+    val train = docs.filter(col("doc_id") =!= 1)
+    val hits = Dedup.decontaminate(train, bench, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hits.keySet == Set(2L, 4L))
+    assert(hits(2L) == 5L) // all five 3-grams of the exact dup collide
+    assert(hits(4L) < 5L && hits(4L) >= 1L)
+  }
+}
