@@ -63,6 +63,26 @@ class SamplingSpec extends AnyFunSuite with SparkSpec {
     assert(perShard.forall(r => r.getLong(1) == 0 && r.getLong(3) == r.getLong(2) - 1))
   }
 
+  test("plans: decontam broadcasts the benchmark; packing shuffles once before the agg") {
+    val dir = "/root/testdata/sf0.001"
+    // benchmark side must be a broadcast join — the corpus never shuffles
+    val c1 = graft.queries.Pipeline.c1Decontam(spark, dir)
+    val c1Plan = c1.queryExecution.executedPlan.toString
+    assert(c1Plan.contains("BroadcastHashJoin"),
+      s"decontam should broadcast the benchmark shingle set:\n$c1Plan")
+    // packing: one exchange for the per-shard window, one for the final
+    // (shard, pack) aggregate — nothing else moves data
+    val c4 = graft.queries.Pipeline.c4Pack(spark, dir)
+    val c4Plan = c4.queryExecution.executedPlan.toString
+    assert(c4Plan.contains("Window"), c4Plan)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(c4Plan).size
+    assert(exchanges <= 2, s"expected <=2 shuffles, got $exchanges:\n$c4Plan")
+    // sampling is a map-side filter: no exchange at all before the scan
+    val s = Sampling.hashSample(
+      graft.tables.Tables.load(spark, dir, "documents"), "doc_id", 1, 10)
+    assert(!s.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+
   test("decontaminate flags exactly the docs sharing an n-gram with the benchmark") {
     // benchmark = doc 1; docs 2 (exact dup) and 4 (near dup) share
     // 3-grams with it; 3 and 5 do not
