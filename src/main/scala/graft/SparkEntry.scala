@@ -50,6 +50,7 @@ object SparkEntry {
     "s3_neardup_brute" -> (Pipeline.s3NearDupBrute _),
     "s4_ivf_knn"     -> (Pipeline.s4IvfKnn _),
     "s5_ann_groups"  -> (Pipeline.s5AnnGroups _),
+    "s6_quantize"    -> (Pipeline.s6Quantize _),
     "c1_decontam"    -> (Pipeline.c1Decontam _),
     "c2_sample"      -> (Pipeline.c2Sample _),
     "c3_shards"      -> (Pipeline.c3Shards _),
@@ -307,6 +308,18 @@ object SparkEntry {
          |  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src
          |)
          |SELECT id, min(r) AS component FROM reach GROUP BY id""".stripMargin,
+    "s6_quantize" ->
+      """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |m AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS max_abs FROM v),
+        |q AS (SELECT vec_id, max_abs,
+        |        CASE WHEN max_abs > 0
+        |             THEN list_transform(v, x -> CAST(floor(x * (127.0 / max_abs) + 0.5) AS BIGINT))
+        |             ELSE list_transform(v, x -> 0::BIGINT) END AS q
+        |      FROM m)
+        |SELECT vec_id, max_abs,
+        |  CAST(list_sum(list_transform(list_zip(q, range(1, len(q)+1)), s -> s[1]*s[2])) AS BIGINT) AS q_fingerprint,
+        |  CAST(list_sum(list_transform(q, x -> CASE WHEN abs(x) = 127 THEN 1 ELSE 0 END)) AS BIGINT) AS n_sat
+        |FROM q""".stripMargin,
     "c1_decontam" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |sh AS (SELECT DISTINCT doc_id,

@@ -193,4 +193,36 @@ object Similarity {
       .select(col("qid").as("query_id"), col("id").as("neighbor_id"), col("cos"))
     topKByGroup(scored, "query_id", "cos", "neighbor_id", k)
   }
+
+  /** Symmetric int8 scalar quantization of an embedding column — the
+    * storage/serving compression step of an ANN pipeline (4× smaller
+    * than float32, 8× smaller than the double working form). Per
+    * vector: scale = 127 / max|x|, q_i = ⌊x_i·scale + 0.5⌋ ∈ [-127,
+    * 127]. Map-side only — no shuffle at any corpus size.
+    *
+    * Output per id: `max_abs` (the dequantization scale's inverse),
+    * `q_fingerprint` = Σ q_i·(i+1) — an integer-exact checksum of the
+    * quantized vector (order-sensitive, so transposed codes don't
+    * cancel), and `n_sat` = count of saturated codes (|q| = 127; > 0
+    * only via float→double rounding at the max element — a health
+    * metric for the scale choice).
+    *
+    * Determinism: x·scale is IEEE binary64 arithmetic (identical in any
+    * engine) and ⌊·+0.5⌋ avoids banker's-rounding divergence — the
+    * oracle reproduces every code bit-for-bit.
+    */
+  def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val v = df.select(col(idCol), toDouble(col(vecCol)).as("v"))
+      .withColumn("max_abs", array_max(transform(col("v"), x => abs(x))))
+      .withColumn("q", when(col("max_abs") > 0.0,
+          transform(col("v"), x =>
+            floor(x * (lit(127.0) / col("max_abs")) + 0.5).cast("long")))
+        .otherwise(transform(col("v"), _ => lit(0L))))
+    v.select(col(idCol), col("max_abs"),
+      aggregate(zip_with(col("q"), sequence(lit(1L), size(col("q")).cast("long")),
+        (q, i) => q * i), lit(0L), (acc, x) => acc + x).as("q_fingerprint"),
+      aggregate(transform(col("q"), q =>
+          when(abs(q) === 127L, 1L).otherwise(0L)),
+        lit(0L), (acc, x) => acc + x).as("n_sat"))
+  }
 }

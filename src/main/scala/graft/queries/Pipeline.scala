@@ -134,6 +134,13 @@ object Pipeline {
   def s5AnnGroups(spark: SparkSession, dir: String): DataFrame =
     Dedup.connectedComponents(s2LshAnn(spark, dir))
 
+  /** S6 — int8 scalar quantization of the embedding table (the ANN
+    * storage-compression step), with an integer-exact code fingerprint
+    * and saturation accounting per vector.
+    */
+  def s6Quantize(spark: SparkSession, dir: String): DataFrame =
+    Similarity.quantizeInt8(emb(spark, dir), "vec_id", "embedding")
+
   // ---- text analysis ----
 
   /** T1 — stopword-marker language ID with deterministic argmax. */
