@@ -108,6 +108,31 @@ class CatalogSpec extends AnyFunSuite with SparkSpec {
       .foreach(t => spark.sql(s"DROP TABLE graft.wf.$t"))
   }
 
+  test("CTAS: CREATE TABLE AS SELECT materializes through the tiered commit") {
+    spark.sql("DROP TABLE IF EXISTS graft.wf.big_orders")
+    graft.tables.Tables.registerAll(spark, "/root/testdata/sf0.001")
+    spark.sql(
+      """CREATE TABLE graft.wf.big_orders AS
+        |SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DECIMAL(15,2)) AS price
+        |FROM orders WHERE o_totalprice > 150000""".stripMargin)
+    val expected = spark.sql(
+      "SELECT COUNT(*) FROM orders WHERE o_totalprice > 150000").head().getLong(0)
+    assert(expected > 0)
+    assert(spark.sql("SELECT COUNT(*) FROM graft.wf.big_orders")
+      .head().getLong(0) == expected)
+    // the CTAS result is a real tiered table: the write landed in the
+    // hot log (no snapshot yet), and tiering promotes it to a snapshot
+    assert(spark.sql("SELECT COUNT(*) FROM graft.wf.big_orders__snapshots")
+      .head().getLong(0) == 0)
+    val e = TieredCatalog.lookup("wf", "big_orders").get
+    TieredTable(spark, e.path).tier()
+    assert(spark.sql("SELECT COUNT(*) FROM graft.wf.big_orders__snapshots")
+      .head().getLong(0) == 1)
+    assert(spark.sql("SELECT COUNT(*) FROM graft.wf.big_orders__cold")
+      .head().getLong(0) == expected)
+    spark.sql("DROP TABLE graft.wf.big_orders")
+  }
+
   test("SQL reads of evolved tables see the merged schema (mergeSchema)") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-evo").toString
