@@ -79,6 +79,24 @@ object Demo {
       .collect().take(10)
       .foreach(r => println(s"[demo]   $r"))
 
+    // 5. the reference's temporal-join SQL, verbatim shape
+    //    (README.md:236-238), through the parser extension
+    TieredCatalog.register("fluss", "customer", s"$base/tables/fluss_customer",
+      pk = Seq("cust_key"))
+    val enriched = spark.sql(
+      """SELECT COUNT(*) FROM graft.fluss.enriched_orders o
+        |LEFT JOIN graft.fluss.customer FOR SYSTEM_TIME AS OF o.proctime AS c
+        |  ON o.cust_key = c.cust_key""".stripMargin).head().getLong(0)
+    println(s"[demo] FOR SYSTEM_TIME AS OF join over the stream output: $enriched rows")
+    // 6. SQL time travel to the first committed snapshot
+    val firstSnap = spark.sql(
+      """SELECT MIN(snapshot_id) FROM graft.fluss.enriched_orders__snapshots""")
+      .head().getLong(0)
+    val thenCount = spark.sql(
+      s"SELECT COUNT(*) FROM graft.fluss.enriched_orders VERSION AS OF $firstSnap")
+      .head().getLong(0)
+    println(s"[demo] VERSION AS OF $firstSnap count = $thenCount (now: $hotCold)")
+
     set.stopAll(); revQ.stop()
     spark.stop()
     println("[demo] done")
