@@ -61,6 +61,7 @@ class GraftTableCatalog extends TableCatalog {
     val (base, mode) = ident.name match {
       case n if n.endsWith("__snapshots") =>
         (n.stripSuffix("__snapshots"), "snapshots")
+      case n if n.endsWith("__files") => (n.stripSuffix("__files"), "files")
       case n if n.endsWith("__cold") => (n.stripSuffix("__cold"), "cold")
       case VersionSuffix(n, v) => (n, s"v$v") // time travel: VERSION AS OF
       case n => (n, "union")
@@ -68,7 +69,7 @@ class GraftTableCatalog extends TableCatalog {
     val e = TieredCatalog.lookup(db, base)
       .getOrElse(throw new NoSuchTableException(
         Seq(catName, db, ident.name)))
-    require(!e.mergeOnRead || mode == "snapshots",
+    require(!e.mergeOnRead || mode == "snapshots" || mode == "files",
       s"merge-on-read PK table $db.$base is not SQL-addressable; use the API")
     val t = TieredTable(spark, e.path, e.pk, e.mergeOnRead)
     mode match {
@@ -78,6 +79,16 @@ class GraftTableCatalog extends TableCatalog {
             SnapshotsTable.Row(s.id, s.parentId, s.op, s.rowsAdded,
               s.tieredSeg, s.committedAt * 1000L, t.manifestList(s.id),
               s.summary)))
+      case "files" =>
+        // Iceberg's $files analog: one row per data directory with tier
+        // and on-disk size — driver-side metadata, like __snapshots
+        val watermark = t.currentSnapshot.map(_.tieredSeg).getOrElse(-1L)
+        val cold = t.currentSnapshot.map(_.files).getOrElse(Nil)
+          .map(p => FilesTable.Row(p, "cold", dirBytes(p)))
+        val hot = t.logSegments.filter(_ > watermark)
+          .map(s => FilesTable.Row(f"${e.path}/log/seg-$s%06d", "hot",
+            dirBytes(f"${e.path}/log/seg-$s%06d")))
+        new FilesTable(ident.toString, cold ++ hot)
       case "cold" =>
         parquet(spark, ident.toString, t.coldFiles)
       case v if v.startsWith("v") =>
@@ -178,8 +189,44 @@ class GraftTableCatalog extends TableCatalog {
     loadTable(ident)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException("ALTER TABLE is not supported")
+  private def dirBytes(path: String): Long = {
+    val p = Paths.get(path)
+    if (!Files.exists(p)) 0L
+    else {
+      val s = Files.walk(p)
+      try s.filter(Files.isRegularFile(_)).mapToLong(Files.size(_)).sum()
+      finally s.close()
+    }
+  }
+
+  /** `ALTER TABLE graft.<db>.<t> ADD COLUMN(S)` — the DDL face of the
+    * storage layer's schema evolution (segments/snapshots already merge
+    * schemas on read). The persisted declared schema gains the column;
+    * existing rows surface NULL there until data written after the
+    * change carries it. Other change kinds (renames, drops, type
+    * changes) are rejected — they would require rewriting history.
+    */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val db = ident.namespace().mkString(".")
+    val e = TieredCatalog.lookup(db, ident.name)
+      .getOrElse(throw new NoSuchTableException(Seq(catName, db, ident.name)))
+    val metaP = Paths.get(e.path, "meta", "SCHEMA")
+    var schema: StructType =
+      if (Files.exists(metaP)) StructType.fromDDL(Files.readString(metaP))
+      else loadTable(ident).asInstanceOf[TieredSqlTable].schema()
+    changes.foreach {
+      case add: TableChange.AddColumn =>
+        require(add.fieldNames.length == 1,
+          "nested column adds are not supported")
+        schema = schema.add(add.fieldNames()(0), add.dataType(),
+          add.isNullable)
+      case other => throw new UnsupportedOperationException(
+        s"unsupported table change: $other (only ADD COLUMN)")
+    }
+    Files.createDirectories(metaP.getParent)
+    Files.writeString(metaP, schema.toDDL)
+    loadTable(ident)
+  }
 
   /** DROP TABLE. Managed tables (living under the warehouse root —
     * created without an explicit `path` property) are purged from disk,
@@ -310,6 +357,52 @@ object SnapshotsTable {
     StructField("manifest_list", StringType, nullable = false),
     StructField("summary", MapType(StringType, StringType, false),
       nullable = false)))
+}
+
+/** In-memory DSv2 table for the `__files` listing (Iceberg's `$files`
+  * analog): one row per data directory with tier and on-disk bytes.
+  */
+class FilesTable(tableName: String, rows: Seq[FilesTable.Row])
+    extends Table with SupportsRead {
+  override def name(): String = tableName
+  override def schema(): StructType = FilesTable.Schema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new Scan with Batch {
+      override def readSchema(): StructType = FilesTable.Schema
+      override def toBatch: Batch = this
+      override def planInputPartitions(): Array[InputPartition] =
+        Array(FilesPartition(rows))
+      override def createReaderFactory(): PartitionReaderFactory =
+        new FilesReaderFactory
+    }
+}
+
+object FilesTable {
+  case class Row(path: String, tier: String, sizeBytes: Long)
+
+  val Schema: StructType = StructType(Seq(
+    StructField("file_path", StringType, nullable = false),
+    StructField("tier", StringType, nullable = false),
+    StructField("size_bytes", LongType, nullable = false)))
+}
+
+case class FilesPartition(rows: Seq[FilesTable.Row]) extends InputPartition
+
+class FilesReaderFactory extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private val it = p.asInstanceOf[FilesPartition].rows.iterator
+      private var cur: FilesTable.Row = _
+      override def next(): Boolean =
+        if (it.hasNext) { cur = it.next(); true } else false
+      override def get(): InternalRow =
+        new GenericInternalRow(Array[Any](
+          UTF8String.fromString(cur.path), UTF8String.fromString(cur.tier),
+          cur.sizeBytes))
+      override def close(): Unit = ()
+    }
 }
 
 case class SnapshotsPartition(rows: Seq[SnapshotsTable.Row])

@@ -133,6 +133,36 @@ class CatalogSpec extends AnyFunSuite with SparkSpec {
     spark.sql("DROP TABLE graft.wf.big_orders")
   }
 
+  test("ALTER TABLE ADD COLUMN evolves the declared schema; __files lists tiers") {
+    spark.sql("DROP TABLE IF EXISTS graft.wf.evo")
+    spark.sql("CREATE TABLE graft.wf.evo (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO graft.wf.evo VALUES (1, 'a'), (2, 'b')")
+    spark.sql("ALTER TABLE graft.wf.evo ADD COLUMN score DOUBLE")
+    // pre-evolution rows surface NULL in the new column
+    assert(spark.sql("SELECT COUNT(*) FROM graft.wf.evo WHERE score IS NULL")
+      .head().getLong(0) == 2)
+    spark.sql("INSERT INTO graft.wf.evo VALUES (3, 'c', 0.5)")
+    assert(spark.sql("SELECT COUNT(*) FROM graft.wf.evo").head().getLong(0) == 3)
+    assert(spark.sql(
+      "SELECT SUM(CASE WHEN score IS NULL THEN 1 ELSE 0 END) FROM graft.wf.evo")
+      .head().getLong(0) == 2)
+    // rejected change kinds fail loudly instead of corrupting history
+    intercept[Exception] {
+      spark.sql("ALTER TABLE graft.wf.evo DROP COLUMN v")
+    }
+    // __files: both appends are hot segments until tiering; then cold
+    val hotRows = spark.sql(
+      "SELECT tier, size_bytes FROM graft.wf.evo__files").collect()
+    assert(hotRows.length == 2 && hotRows.forall(r =>
+      r.getString(0) == "hot" && r.getLong(1) > 0))
+    val e = TieredCatalog.lookup("wf", "evo").get
+    TieredTable(spark, e.path).tier()
+    val tiers = spark.sql("SELECT tier FROM graft.wf.evo__files")
+      .collect().map(_.getString(0)).toSeq
+    assert(tiers == Seq("cold"))
+    spark.sql("DROP TABLE graft.wf.evo")
+  }
+
   test("SQL reads of evolved tables see the merged schema (mergeSchema)") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-evo").toString
