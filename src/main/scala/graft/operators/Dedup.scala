@@ -363,17 +363,23 @@ object Dedup {
     */
   def simhash(df: DataFrame, idCol: String, textCol: String,
               width: Int = 32): DataFrame = {
-    val w = Scale.widen(df.select(col(idCol).as("id"), col(textCol).as("__text")))
-      .select(col("id"), explode(array_distinct(tokens(col("__text")))).as("w"))
-      .withColumn("h", hash60(col("w")))
+    // Entirely map-side: each document's distinct-word hashes live in a
+    // per-row array; every bit's ±1 sum is an array fold. No explode, no
+    // shuffle, no aggregation state — the operator is a projection, so
+    // it scales with scan bandwidth alone (the earlier explode+groupBy
+    // formulation shuffled |words| rows per doc to compute the same
+    // integers).
+    val hs = Scale.widen(df.select(col(idCol).as("id"), col(textCol).as("__text")))
+      .select(col("id"),
+        transform(array_distinct(tokens(col("__text"))), w => hash60(w)).as("hs"))
     val bitSums = (0 until width).map { j =>
-      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"s$j")
+      aggregate(col("hs"), lit(0L), (acc, h) =>
+        acc + when(shiftright(h, j).bitwiseAND(1) === 1, 1L).otherwise(-1L))
     }
-    val sums = w.groupBy(col("id")).agg(bitSums.head, bitSums.tail: _*)
     val sigExpr = (0 until width).map { j =>
-      when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L))
+      when(bitSums(j) > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce((a, b) => a + b)
-    sums.select(col("id"), sigExpr.as("simhash"))
+    hs.select(col("id"), sigExpr.as("simhash"))
   }
 
   /** SimHash near-dup pairs: Hamming distance ≤ maxDist, with EXACT
