@@ -66,6 +66,7 @@ object SparkEntry {
     "e1_sessionize"     -> (Pipeline.e1Sessionize _),
     "e2_hourly"         -> (Pipeline.e2Hourly _),
     "e3_stats"          -> (Pipeline.e3Stats _),
+    "e4_sketch_stats"   -> (Pipeline.e4SketchStats _),
     "a1_asof"           -> (Relational.a1Asof _),
     "r1_range"          -> (Relational.r1Range _),
     "g1_rollup"         -> (Relational.g1Rollup _),

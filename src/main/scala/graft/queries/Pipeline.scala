@@ -280,4 +280,21 @@ object Pipeline {
         min(col("value")).as("min_v"),
         max(col("value")).as("max_v"),
         percentile(col("value"), lit(0.5)).as("median_v"))
+
+  /** E4 — the 100 TB path for e3's exact percentiles: mergeable
+    * constant-memory quantile sketches (`percentile_approx`) +
+    * HLL distinct counts (`approx_count_distinct`) — partial-aggregated
+    * map-side, no full per-group sort at any scale. No DuckDB oracle
+    * (sketch internals are engine-specific): the driver records the
+    * rows-only check; `SketchSpec` bounds the error against the exact
+    * answers.
+    */
+  def e4SketchStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        approx_count_distinct(col("user_id")).as("approx_users"),
+        percentile_approx(col("value"), lit(0.5), lit(10000)).as("p50"),
+        percentile_approx(col("value"), lit(0.95), lit(10000)).as("p95"),
+        percentile_approx(col("value"), lit(0.99), lit(10000)).as("p99"))
 }

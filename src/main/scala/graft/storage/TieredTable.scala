@@ -286,13 +286,20 @@ class TieredTable(spark: SparkSession, tablePath: String,
     * is the classic lakehouse failure mode at high commit rates — a 30s
     * freshness SLA produces ~2.9k snapshots/day.
     */
-  def compact(): Option[Snapshot] = currentSnapshot.map { prev =>
+  /** `sortBy`: optionally range-sort the rewrite on the given columns —
+    * sorted parquet carries tight per-row-group min/max stats, so later
+    * scans filtering on those columns skip whole row groups (the cheap
+    * form of data clustering; at cluster scale this is the Z-order/
+    * sort-compaction maintenance job).
+    */
+  def compact(sortBy: Seq[String] = Nil): Option[Snapshot] = currentSnapshot.map { prev =>
     val id = latestSnapshotId + 1
     val out = dataDir.resolve(f"snap-$id%06d")
     // mergeSchema for the same reason as tier(): heterogeneous snapshot
     // schemas must compact to the union schema, and compact REPLACES the
     // whole file list.
-    val all = readParquet(prev.files)
+    val all0 = readParquet(prev.files)
+    val all = if (sortBy.isEmpty) all0 else all0.sort(sortBy.map(col): _*)
     val rows = all.count()
     all.write.mode("overwrite").parquet(out.toString)
     val s = Snapshot(id, "compact", rows, prev.tieredSeg,

@@ -15,6 +15,25 @@ class SketchSpec extends AnyFunSuite with SparkSpec {
 
   private lazy val events = Tables.load(spark, "/root/testdata/sf0.01", "events")
 
+  test("e4 sketch stats track e3's exact answers per group") {
+    val dir = "/root/testdata/sf0.01"
+    val exact = graft.queries.Pipeline.e3Stats(spark, dir)
+      .select(col("event_type"), col("cnt"), col("median_v")).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val sketch = graft.queries.Pipeline.e4SketchStats(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(sketch.keySet == exact.keySet)
+    sketch.foreach { case (et, (cnt, users, p50)) =>
+      val (exCnt, exMed) = exact(et)
+      assert(cnt == exCnt)
+      assert(users > 0)
+      // t-digest at accuracy 10k on this data is near-exact
+      assert(math.abs(p50 - exMed) <= math.max(0.05 * math.abs(exMed), 1e-6),
+        s"$et: p50=$p50 vs exact=$exMed")
+    }
+  }
+
   test("approx_count_distinct within rsd of exact") {
     val exact = events.select(count_distinct(col("user_id"))).head().getLong(0)
     val approx = events.select(approx_count_distinct(col("user_id"), 0.02))

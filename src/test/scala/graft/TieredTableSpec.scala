@@ -102,6 +102,24 @@ class TieredTableSpec extends AnyFunSuite with SparkSpec {
     assert(t.readCold().count() == 3)
   }
 
+  test("sorted compaction clusters rows for row-group skipping") {
+    val t = tmpTable()
+    // two unsorted appends
+    t.appendLog(Seq(9L, 3L, 7L).toDF("id")); t.tier()
+    t.appendLog(Seq(1L, 8L, 2L).toDF("id")); t.tier()
+    t.compact(sortBy = Seq("id"))
+    // content preserved
+    assert(t.readCold().orderBy("id").collect().map(_.getLong(0)).toSeq ==
+      Seq(1L, 2L, 3L, 7L, 8L, 9L))
+    // every output file is internally sorted (tight min/max stats)
+    import org.apache.spark.sql.functions.input_file_name
+    val perFile = t.readCold()
+      .select(input_file_name().as("f"), col("id"))
+      .collect().groupBy(_.getString(0))
+      .view.mapValues(_.map(_.getLong(1)).toSeq).toMap
+    assert(perFile.values.forall(v => v == v.sorted))
+  }
+
   test("multi-schema segments tier and compact to the union schema") {
     // Two segments with DIFFERENT schemas tiered in ONE call — a
     // footer-of-one-file read would silently drop `lang` and vacuum()
