@@ -219,28 +219,37 @@ object Dedup {
     * convergence flag live on the driver.
     */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 20,
-                          driverEdgeLimit: Long = 5000000L): DataFrame = {
+                          driverEdgeLimit: Long = 2000000L): DataFrame = {
+    // integral ids additionally enable the adaptive driver path; any
+    // other orderable id type (string fingerprints, …) takes the
+    // type-generic distributed loop unchanged
+    val integralIds = Seq(pairs.schema("a_id"), pairs.schema("b_id"))
+      .forall(f => f.dataType match {
+        case _: org.apache.spark.sql.types.LongType |
+             _: org.apache.spark.sql.types.IntegerType |
+             _: org.apache.spark.sql.types.ShortType |
+             _: org.apache.spark.sql.types.ByteType => true
+        case _ => false
+      })
     // both directions in ONE scan of pairs (a union would compute an
     // unmaterialized upstream twice)
     val edges = pairs
       .select(explode(array(
-        struct(col("a_id").cast("long").as("src"),
-          col("b_id").cast("long").as("dst")),
-        struct(col("b_id").cast("long").as("src"),
-          col("a_id").cast("long").as("dst")))).as("e"))
+        struct(col("a_id").as("src"), col("b_id").as("dst")),
+        struct(col("b_id").as("src"), col("a_id").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .cache()
     val edgeCount = edges.count()
     // ADAPTIVE: the pair graph is the *output* of near-dup mining —
     // usually orders of magnitude smaller than the corpus that produced
-    // it. Below the (bounded-memory, ~few-hundred-MB) threshold, a
+    // it. Below the (bounded-memory, ~hundred-MB) threshold, a
     // driver-side union-find finishes in one collect instead of
     // O(log d) distributed rounds of ~4 scheduler jobs each — at local
     // bench scale that is the difference between 4 s and 0.3 s. Above
     // the threshold (a 100 TB corpus can mine billions of pairs), the
     // distributed min-label loop below is the path — no driver state.
-    if (edgeCount <= driverEdgeLimit)
-      return connectedComponentsDriver(edges)
+    if (integralIds && edgeCount <= driverEdgeLimit)
+      return connectedComponentsDriver(edges, pairs.schema("a_id").dataType)
     // The iteration state is the pair GRAPH — size the loop's shuffles
     // to the graph, not the corpus: ~250k edges per partition, never
     // more partitions than configured (so a cluster-sized setting still
@@ -249,6 +258,11 @@ object Dedup {
     val configured = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val p = math.max(1L,
       math.min(configured.toLong, edgeCount / 250000L + 1)).toInt
+    // The loop tunes session confs for its rounds and restores them in
+    // the finally — serialize loops on the same session so an
+    // overlapping call can't snapshot the other's temporary values as
+    // its "previous" and leave them behind.
+    ccConfLock.synchronized {
     val prevConf = spark.conf.get("spark.sql.shuffle.partitions")
     val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.shuffle.partitions", p)
@@ -302,7 +316,10 @@ object Dedup {
       spark.conf.set("spark.sql.shuffle.partitions", prevConf)
       spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
     }
+    }
   }
+
+  private val ccConfLock = new Object
 
   /** Benchmark decontamination: training documents that share ≥1 word
     * n-gram with a benchmark/eval corpus, with the shared-shingle count
@@ -332,10 +349,13 @@ object Dedup {
     * compression, so each node's representative is the smallest id in
     * its component — exactly the distributed loop's converged label.
     */
-  private def connectedComponentsDriver(edges: DataFrame): DataFrame = {
+  private def connectedComponentsDriver(
+      edges: DataFrame,
+      idType: org.apache.spark.sql.types.DataType): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    val es = edges.select(col("src"), col("dst")).as[(Long, Long)].collect()
+    val es = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .as[(Long, Long)].collect()
     val parent = scala.collection.mutable.LongMap.empty[Long]
     def find(x0: Long): Long = {
       var x = x0
@@ -351,10 +371,16 @@ object Dedup {
       val ra = find(a); val rb = find(b)
       if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
     }
-    // edges carry both directions, so every node occurs as a src
-    val out: Seq[(Long, Long)] = es.iterator.map(_._1).toSet.toSeq
-      .map((id: Long) => (id, find(id)))
-    out.toDF("id", "component")
+    // edges carry both directions, so every node occurs as a src; dedup
+    // with a primitive-keyed map (not a boxed Set) — output is O(nodes)
+    val seen = scala.collection.mutable.LongMap.empty[Unit]
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    es.foreach { case (a, _) =>
+      if (!seen.contains(a)) { seen(a) = (); out += ((a, find(a))) }
+    }
+    out.toSeq.toDF("id", "component")
+      .select(col("id").cast(idType).as("id"),
+        col("component").cast(idType).as("component"))
   }
 
   /** SimHash (width bits, ≤ 60): per doc, bit j is set iff
@@ -369,7 +395,11 @@ object Dedup {
     // it scales with scan bandwidth alone (the earlier explode+groupBy
     // formulation shuffled |words| rows per doc to compute the same
     // integers).
+    // null-text docs are dropped (the explode-based formulation did so
+    // implicitly; a fold over a null array would emit signature 0 and
+    // pair every null doc with every other at distance 0)
     val hs = Scale.widen(df.select(col(idCol).as("id"), col(textCol).as("__text")))
+      .filter(col("__text").isNotNull)
       .select(col("id"),
         transform(array_distinct(tokens(col("__text"))), w => hash60(w)).as("hs"))
     val bitSums = (0 until width).map { j =>

@@ -22,13 +22,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 object TemporalJoinParser {
   /** `FOR SYSTEM_TIME AS OF <proctime-attr>` where the attribute is a
-    * (qualified) identifier or `PROCTIME()`. Event-time versioned joins
-    * (AS OF an arbitrary expression) are out of scope, matching the
-    * reference workload's processing-time-only usage.
+    * (possibly qualified) processing-time attribute — the last segment
+    * must be `proctime` (any case) or `PROCTIME()`. Event-time
+    * versioned joins (AS OF an event-time column) deliberately do NOT
+    * match: they would need per-row dim versioning, so they fall
+    * through to Spark's parser and fail loudly instead of silently
+    * joining the current snapshot.
     */
   private val AsOf =
     ("""(?is)\s+FOR\s+SYSTEM_TIME\s+AS\s+OF\s+""" +
-     """(?:PROCTIME\s*\(\s*\)|[A-Za-z_][A-Za-z0-9_]*(?:\s*\.\s*[A-Za-z_][A-Za-z0-9_]*)*)""").r
+     """(?:[A-Za-z_][A-Za-z0-9_]*\s*\.\s*)*(?:PROCTIME\s*\(\s*\)|PROCTIME\b)""").r
 
   /** Strip the clause: in batch execution over the snapshot-isolated
     * graft catalog, "dim as of the probe row's processing time" IS the
@@ -42,18 +45,32 @@ object TemporalJoinParser {
     AsOf.replaceAllIn(sqlText, "")
 }
 
-/** Delegating parser that erases `FOR SYSTEM_TIME AS OF <attr>` before
-  * handing the text to Spark's parser. Purely textual by design: the
-  * clause is not expressible as a Catalyst node Spark lacks — after the
-  * batch-semantics collapse (see [[TemporalJoinParser.rewrite]]) the
-  * remaining query is ordinary Spark SQL, so the built-in parser,
+/** Delegating parser that erases `FOR SYSTEM_TIME AS OF <proctime>`
+  * before handing the text to Spark's parser. Purely textual by design:
+  * the clause is not expressible as a Catalyst node Spark lacks — after
+  * the batch-semantics collapse (see [[TemporalJoinParser.rewrite]])
+  * the remaining query is ordinary Spark SQL, so the built-in parser,
   * analyzer, and optimizer do all the real work.
+  *
+  * The original text is parsed FIRST and the rewrite only runs as a
+  * retry after a ParseException — so a statement that is already valid
+  * SQL (including one with the clause's text inside a string literal)
+  * is never touched.
   */
 class TemporalJoinParser(delegate: ParserInterface) extends ParserInterface {
+  private def withRewrite[A](sqlText: String, parse: String => A): A =
+    try parse(sqlText)
+    catch {
+      case e: org.apache.spark.sql.catalyst.parser.ParseException =>
+        val rewritten = TemporalJoinParser.rewrite(sqlText)
+        if (rewritten == sqlText) throw e
+        parse(rewritten)
+    }
+
   override def parsePlan(sqlText: String): LogicalPlan =
-    delegate.parsePlan(TemporalJoinParser.rewrite(sqlText))
+    withRewrite(sqlText, delegate.parsePlan)
   override def parseQuery(sqlText: String): LogicalPlan =
-    delegate.parseQuery(TemporalJoinParser.rewrite(sqlText))
+    withRewrite(sqlText, delegate.parseQuery)
   override def parseExpression(sqlText: String): Expression =
     delegate.parseExpression(sqlText)
   override def parseTableIdentifier(sqlText: String): TableIdentifier =

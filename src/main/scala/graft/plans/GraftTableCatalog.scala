@@ -132,12 +132,17 @@ class GraftTableCatalog extends TableCatalog {
       t.snapshot(id).get.files)
   }
 
-  /** The TieredTable behind a BASE table identifier (no suffix modes). */
+  /** The TieredTable behind a BASE table identifier (no suffix modes).
+    * Rejects merge-on-read PK tables like every other SQL read mode —
+    * a raw file scan would expose unresolved versions and `__seq`.
+    */
   private def tiered(ident: Identifier): TieredTable = {
     val db = ident.namespace().mkString(".")
     val e = TieredCatalog.lookup(db, ident.name)
       .getOrElse(throw new NoSuchTableException(
         Seq(catName, db, ident.name)))
+    require(!e.mergeOnRead,
+      s"merge-on-read PK table $db.${ident.name} is not SQL-addressable; use the API")
     TieredTable(SparkSession.active, e.path, e.pk, e.mergeOnRead)
   }
 
@@ -172,12 +177,7 @@ class GraftTableCatalog extends TableCatalog {
       s"${TieredCatalog.warehouse}/$db/${ident.name}")
     // a managed CREATE TABLE owns its warehouse directory: clear debris
     // left by a process that died between unregister and drop
-    if (!props.contains("path")) {
-      val root = Paths.get(path)
-      if (Files.exists(root))
-        Files.walk(root).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-          .forEach(Files.deleteIfExists(_))
-    }
+    if (!props.contains("path")) deleteTree(Paths.get(path))
     val pk = props.get("primary-key")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
     pk.foreach(k => require(schema.fieldNames.contains(k),
@@ -238,13 +238,20 @@ class GraftTableCatalog extends TableCatalog {
     val entry = TieredCatalog.lookup(db, ident.name)
     val dropped = TieredCatalog.unregister(db, ident.name)
     entry.filter(_.path.startsWith(s"${TieredCatalog.warehouse}/"))
-      .map(e => Paths.get(e.path)).filter(Files.exists(_))
-      .foreach { root =>
-        Files.walk(root).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-          .forEach(Files.deleteIfExists(_))
-      }
+      .foreach(e => deleteTree(Paths.get(e.path)))
     dropped
   }
+
+  /** Recursive delete with the walk stream closed (leaked directory
+    * streams exhaust file descriptors over many DDLs).
+    */
+  private def deleteTree(root: java.nio.file.Path): Unit =
+    if (Files.exists(root)) {
+      val s = Files.walk(root)
+      try s.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(Files.deleteIfExists(_))
+      finally s.close()
+    }
 
   override def renameTable(from: Identifier, to: Identifier): Unit =
     throw new UnsupportedOperationException("RENAME TABLE is not supported")

@@ -29,16 +29,29 @@ object Pipeline {
     * plans are never resurrected.
     */
   private val pairMemo =
-    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[String, DataFrame]]()
 
   private def memo(spark: SparkSession, key: String)
-                  (build: => DataFrame): DataFrame =
-    pairMemo.getOrElseUpdate(s"${System.identityHashCode(spark)}:$key", {
+                  (build: => DataFrame): DataFrame = {
+    // weak session key: exact identity (no hash-collision cross-session
+    // hits) and entries — with their cached plans — become collectable
+    // when the session does
+    val m = pairMemo.synchronized {
+      var cur = pairMemo.get(spark)
+      if (cur == null) {
+        cur = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+        pairMemo.put(spark, cur)
+      }
+      cur
+    }
+    m.getOrElseUpdate(key, {
       val df = build.cache()
       df.count() // materialize: consumers with multi-branch plans would
                  // otherwise race to compute the cache several times
       df
     })
+  }
 
   // ---- deduplication ----
 

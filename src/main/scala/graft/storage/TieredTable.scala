@@ -45,8 +45,27 @@ import graft.operators.Upsert
   * filesystem (rename-atomic stores; for S3, swap the rename for a
   * conditional PUT — isolated in [[commitManifest]]).
   */
-class TieredTable(spark: SparkSession, tablePath: String,
+class TieredTable(spark: SparkSession, rawTablePath: String,
                   pk: Seq[String] = Nil, mergeOnRead: Boolean = false) {
+  /** `file:`-scheme URIs are normalized to plain paths — `Paths.get`
+    * would otherwise treat the whole URI as a RELATIVE path and
+    * silently create the table tree under the process CWD (the round-1
+    * crash-debris bug). Other schemes are rejected: this implementation
+    * is local-filesystem; a cluster deployment swaps the java.nio calls
+    * for a Hadoop FileSystem.
+    */
+  val tablePath: String =
+    if (rawTablePath.startsWith("file:")) {
+      val p = rawTablePath.stripPrefix("file:")
+      val slashless = p.replaceFirst("^/{2}(?=/)", "") // file:///x → /x
+      require(slashless.startsWith("/"),
+        s"malformed file: URI for table path: $rawTablePath")
+      slashless
+    } else {
+      require(!rawTablePath.matches("^[A-Za-z][A-Za-z0-9+.-]*:.*"),
+        s"unsupported URI scheme for table path: $rawTablePath (local paths only)")
+      rawTablePath
+    }
   private val logDir  = Paths.get(tablePath, "log")
   private val dataDir = Paths.get(tablePath, "data")
   private val metaDir = Paths.get(tablePath, "meta")

@@ -207,6 +207,20 @@ class CatalogSpec extends AnyFunSuite with SparkSpec {
     assert(got == Seq(1 -> "a", 2 -> "b2"))
   }
 
+  test("merge-on-read tables reject SQL time travel like every other read mode") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-cat3").toString
+    val t = TieredTable(spark, s"$dir/mor", pk = Seq("k"), mergeOnRead = true)
+    t.commitUpsert(Seq((1, "a")).toDF("k", "v"))
+    t.commitUpsert(Seq((1, "a2")).toDF("k", "v"))
+    TieredCatalog.register("demo", "mor", s"$dir/mor", pk = Seq("k"),
+      mergeOnRead = true)
+    // a raw snapshot scan would expose both versions of k plus __seq
+    intercept[Exception] {
+      extSession.sql("SELECT * FROM graft.demo.mor VERSION AS OF 1").collect()
+    }
+  }
+
   test("unknown tables under graft still error cleanly") {
     val e = intercept[Exception] {
       extSession.sql("SELECT * FROM graft.demo.nope").collect()

@@ -86,6 +86,18 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(got == want)
   }
 
+  test("simhash drops null-text docs; connectedComponents handles string ids") {
+    val withNull = Seq((1L, "a b c d"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    assert(Dedup.simhash(withNull, "doc_id", "text", width = 32)
+      .collect().map(_.getLong(0)).toSeq == Seq(1L))
+    // non-integral ids take the type-generic distributed loop
+    val strPairs = Seq(("b", "c"), ("a", "b")).toDF("a_id", "b_id")
+    val comps = Dedup.connectedComponents(strPairs)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(comps == Map("a" -> "a", "b" -> "a", "c" -> "a"))
+  }
+
   test("simhash pairs at maxDist 0 returns exactly the identical pair") {
     val pairs = Dedup.simhashPairs(docs, "doc_id", "text",
         width = 32, maxDist = 0)

@@ -75,6 +75,25 @@ class SqlSurfaceSpec extends AnyFunSuite with SparkSpec {
     assert(sqlSorted == apiSorted)
   }
 
+  test("temporal-join rewrite never touches valid SQL; event-time AS OF errors") {
+    import org.apache.spark.sql.functions.col
+    // a string literal containing the clause text is data, not syntax —
+    // it must survive verbatim (the rewrite only runs on parse failure)
+    val lit = spark.sql(
+      "SELECT 'replayed FOR SYSTEM_TIME AS OF proctime' AS s")
+      .head().getString(0)
+    assert(lit == "replayed FOR SYSTEM_TIME AS OF proctime")
+    // an event-time attribute is out of scope: fail loudly, never
+    // silently join the current snapshot
+    Tables.registerAll(spark, "/root/testdata/sf0.001")
+    intercept[Exception] {
+      spark.sql(
+        """SELECT * FROM orders o
+          |LEFT JOIN graft.tj.customer FOR SYSTEM_TIME AS OF o.o_orderdate AS c
+          |  ON o.o_custkey = c.c_custkey""".stripMargin)
+    }
+  }
+
   test("SQL time travel: VERSION AS OF and TIMESTAMP AS OF read past snapshots") {
     val dir = Files.createTempDirectory("graft-tt-sql").toString
     val t = TieredTable(spark, s"$dir/t")

@@ -102,6 +102,18 @@ class TieredTableSpec extends AnyFunSuite with SparkSpec {
     assert(t.readCold().count() == 3)
   }
 
+  test("file: URIs normalize to absolute paths instead of CWD-relative trees") {
+    val dir = Files.createTempDirectory("graft-uri").toString
+    val t = TieredTable(spark, s"file:$dir/t")
+    assert(t.tablePath == s"$dir/t")
+    t.appendLog(Seq(1L).toDF("id"))
+    assert(Files.exists(java.nio.file.Paths.get(s"$dir/t/log")))
+    assert(TieredTable(spark, s"file://$dir/t").tablePath == s"$dir/t")
+    intercept[IllegalArgumentException] {
+      TieredTable(spark, "s3://bucket/t")
+    }
+  }
+
   test("sorted compaction clusters rows for row-group skipping") {
     val t = tmpTable()
     // two unsorted appends
