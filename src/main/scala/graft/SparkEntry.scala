@@ -52,6 +52,7 @@ object SparkEntry {
     "s5_ann_groups"  -> (Pipeline.s5AnnGroups _),
     "s6_quantize"    -> (Pipeline.s6Quantize _),
     "c1_decontam"    -> (Pipeline.c1Decontam _),
+    "c5_source_report" -> (Pipeline.c5SourceReport _),
     "c2_sample"      -> (Pipeline.c2Sample _),
     "c3_shards"      -> (Pipeline.c3Shards _),
     "c4_pack"        -> (Pipeline.c4Pack _),
@@ -71,6 +72,7 @@ object SparkEntry {
     "r1_range"          -> (Relational.r1Range _),
     "g1_rollup"         -> (Relational.g1Rollup _),
     "g2_semi_anti"      -> (Relational.g2SemiAnti _),
+    "g3_running_total"  -> (Relational.g3RunningTotal _),
     "p1_pricing"        -> (Relational.p1Pricing _),
     "p2_shipping"       -> (Relational.p2Shipping _),
   )
@@ -471,6 +473,21 @@ object SparkEntry {
         |   WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)) AS with_orders,
         |  (SELECT count(*) FROM customer c
         |   WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)) AS without_orders""".stripMargin,
+    "g3_running_total" ->
+      """SELECT o_custkey AS cust_key, o_orderkey AS order_key,
+        |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(15,2)) * 100 AS BIGINT))
+        |       OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+        |             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_cents
+        |FROM orders""".stripMargin,
+    "c5_source_report" ->
+      """WITH c AS (SELECT md5(text) AS fp, COUNT(*) AS cnt
+        |           FROM documents GROUP BY 1)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_ws_tokens,
+        |  CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+        |  CAST(SUM(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs
+        |FROM documents d JOIN c ON md5(d.text) = c.fp
+        |GROUP BY source""".stripMargin,
     "p1_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(15,2))) AS DECIMAL(15,2)) * 100 AS BIGINT) AS sum_qty_cents,

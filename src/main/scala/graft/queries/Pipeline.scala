@@ -205,6 +205,22 @@ object Pipeline {
       .select(explode(tokens(col("text"))).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
 
+  /** C5 — per-source corpus health report: doc/token/language counts
+    * and exact-duplicate incidence per source. Duplicate detection joins
+    * on the md5 fingerprint (32 B) instead of window-partitioning by the
+    * full text, so the shuffle never carries documents twice.
+    */
+  def c5SourceReport(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).withColumn("fp", md5(col("text")))
+    val dupCounts = d.groupBy(col("fp")).agg(count(lit(1)).as("cnt"))
+    d.join(dupCounts, Seq("fp"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(wsTokenCount(col("text")).cast("long")).as("sum_ws_tokens"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(when(col("cnt") > 1, 1L).otherwise(0L)).as("n_dup_docs"))
+  }
+
   // ---- corpus selection (sampling / sharding / packing / decontam) ----
 
   /** C1 — benchmark decontamination: the corpus is split by

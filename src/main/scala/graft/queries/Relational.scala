@@ -84,6 +84,25 @@ object Relational {
     semi.crossJoin(anti)
   }
 
+  /** G3 — per-customer running order total (the classic cumulative
+    * window): one hash-shuffle on the customer key, in-partition sort by
+    * (date, key), running sum in exact cents. Scale shape: the shuffle
+    * is the minimum any per-key ordering needs; state per key is one
+    * accumulator.
+    */
+  def g3RunningTotal(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    Tables.load(spark, dir, "orders")
+      .select(col("o_custkey").as("cust_key"),
+        col("o_orderkey").as("order_key"),
+        (col("o_totalprice").cast(M) * 100).cast("long").as("cents"))
+      .withColumn("running_cents",
+        sum(col("cents")).over(Window.partitionBy(col("cust_key"))
+          .orderBy(col("order_key"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("cust_key"), col("order_key"), col("running_cents"))
+  }
+
   /** P1 — TPC-H Q1-shaped pricing summary: grouped exact-decimal sums,
     * distinct counts, and single-division averages.
     *
