@@ -68,6 +68,7 @@ object SparkEntry {
     "e2_hourly"         -> (Pipeline.e2Hourly _),
     "e3_stats"          -> (Pipeline.e3Stats _),
     "e4_sketch_stats"   -> (Pipeline.e4SketchStats _),
+    "e5_pivot"          -> (Pipeline.e5Pivot _),
     "a1_asof"           -> (Relational.a1Asof _),
     "r1_range"          -> (Relational.r1Range _),
     "g1_rollup"         -> (Relational.g1Rollup _),
@@ -444,6 +445,14 @@ object SparkEntry {
     "e2_hourly" ->
       """SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us,
         |       count(*) AS cnt, count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY 1""".stripMargin,
+    "e5_pivot" ->
+      """SELECT epoch_us(ts) // 3600000000 AS hour,
+        |  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+        |  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+        |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+        |  CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+        |  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
         |FROM events GROUP BY 1""".stripMargin,
     "e3_stats" ->
       """SELECT event_type, count(*) AS cnt, min(value) AS min_v,

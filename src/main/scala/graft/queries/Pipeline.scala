@@ -318,6 +318,23 @@ object Pipeline {
     * rows-only check; `SketchSpec` bounds the error against the exact
     * answers.
     */
+  /** E5 — hourly × event-type PIVOT (the wide-activity-matrix shape):
+    * one shuffle on the hour key; the pivot columns are map-side
+    * conditional partial aggregates, so width doesn't add shuffles.
+    * Explicit value list — at scale an implicit pivot would need a
+    * distinct-values pre-pass and nondeterministic column order.
+    */
+  def e5Pivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .withColumn("hour", expr("unix_micros(ts) div 3600000000"))
+      .groupBy(col("hour"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .select(col("hour"), col("click").as("n_click"),
+        col("error").as("n_error"), col("purchase").as("n_purchase"),
+        col("signup").as("n_signup"), col("view").as("n_view"))
+
   def e4SketchStats(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "events")
       .groupBy(col("event_type"))
