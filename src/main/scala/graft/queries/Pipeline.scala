@@ -310,14 +310,6 @@ object Pipeline {
         max(col("value")).as("max_v"),
         percentile(col("value"), lit(0.5)).as("median_v"))
 
-  /** E4 — the 100 TB path for e3's exact percentiles: mergeable
-    * constant-memory quantile sketches (`percentile_approx`) +
-    * HLL distinct counts (`approx_count_distinct`) — partial-aggregated
-    * map-side, no full per-group sort at any scale. No DuckDB oracle
-    * (sketch internals are engine-specific): the driver records the
-    * rows-only check; `SketchSpec` bounds the error against the exact
-    * answers.
-    */
   /** E5 — hourly × event-type PIVOT (the wide-activity-matrix shape):
     * one shuffle on the hour key; the pivot columns are map-side
     * conditional partial aggregates, so width doesn't add shuffles.
@@ -335,6 +327,14 @@ object Pipeline {
         col("error").as("n_error"), col("purchase").as("n_purchase"),
         col("signup").as("n_signup"), col("view").as("n_view"))
 
+  /** E4 — the 100 TB path for e3's exact percentiles: mergeable
+    * constant-memory quantile sketches (`percentile_approx`) +
+    * HLL distinct counts (`approx_count_distinct`) — partial-aggregated
+    * map-side, no full per-group sort at any scale. No DuckDB oracle
+    * (sketch internals are engine-specific): the driver records the
+    * rows-only check; `SketchSpec` bounds the error against the exact
+    * answers.
+    */
   def e4SketchStats(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "events")
       .groupBy(col("event_type"))

@@ -85,9 +85,11 @@ object Relational {
   }
 
   /** G3 — per-customer running order total (the classic cumulative
-    * window): one hash-shuffle on the customer key, in-partition sort by
-    * (date, key), running sum in exact cents. Scale shape: the shuffle
-    * is the minimum any per-key ordering needs; state per key is one
+    * window): one hash-shuffle on the customer key, in-partition sort
+    * by the order key — UNIQUE, so the sort is a total order and the
+    * running sum is engine-deterministic (an order-date sort would tie)
+    * — running sum in exact cents. Scale shape: the shuffle is the
+    * minimum any per-key ordering needs; state per key is one
     * accumulator.
     */
   def g3RunningTotal(spark: SparkSession, dir: String): DataFrame = {
@@ -95,7 +97,7 @@ object Relational {
     Tables.load(spark, dir, "orders")
       .select(col("o_custkey").as("cust_key"),
         col("o_orderkey").as("order_key"),
-        (col("o_totalprice").cast(M) * 100).cast("long").as("cents"))
+        fixedPoint(col("o_totalprice").cast(M), 2).as("cents"))
       .withColumn("running_cents",
         sum(col("cents")).over(Window.partitionBy(col("cust_key"))
           .orderBy(col("order_key"))
