@@ -176,7 +176,7 @@ class TieredTable(spark: SparkSession, rawTablePath: String,
     * micro-batch) the append is exactly-once: a replayed batch whose tag
     * already landed is skipped.
     */
-  def appendLog(df: DataFrame, tag: Option[String] = None): Long = {
+  def appendLog(df: DataFrame, tag: Option[String] = None): Long = withCommitLock {
     tag.flatMap(taggedSegment) match {
       case Some(existing) => return existing
       case None =>
@@ -189,6 +189,14 @@ class TieredTable(spark: SparkSession, rawTablePath: String,
     next
   }
 
+  /** Serializes the read-modify-write of every mutating operation on
+    * this table (segment-id allocation, prev-snapshot resolution, data
+    * write, manifest swap) against concurrent writer threads.
+    * Reentrant — commit paths compose.
+    */
+  private def withCommitLock[A](f: => A): A =
+    TieredTable.lockFor(tablePath).synchronized(f)
+
   // ---- tiering: hot → cold ----
 
   /** Tier all log segments past the current watermark (optionally only up
@@ -196,7 +204,7 @@ class TieredTable(spark: SparkSession, rawTablePath: String,
     * tiering service collapsed into a function the 30s-trigger streaming
     * sink calls per micro-batch (SURVEY.md §2 C4).
     */
-  def tier(upToSeg: Option[Long] = None): Option[Snapshot] = {
+  def tier(upToSeg: Option[Long] = None): Option[Snapshot] = withCommitLock {
     val prev = currentSnapshot
     val watermark = prev.map(_.tieredSeg).getOrElse(-1L)
     val todo = logSegments.filter(s => s > watermark && upToSeg.forall(s <= _))
@@ -224,7 +232,7 @@ class TieredTable(spark: SparkSession, rawTablePath: String,
     * `tag` returns the existing snapshot (idempotent streaming sink).
     */
   def commitAppend(df: DataFrame, op: String = "append",
-                   tag: Option[String] = None): Snapshot = {
+                   tag: Option[String] = None): Snapshot = withCommitLock {
     tag.flatMap(taggedSnapshot) match {
       case Some(existing) => return existing
       case None =>
@@ -262,7 +270,7 @@ class TieredTable(spark: SparkSession, rawTablePath: String,
     * in both modes.
     */
   def commitUpsert(df: DataFrame, tag: Option[String] = None,
-                   versionOrder: Seq[org.apache.spark.sql.Column] = Nil): Snapshot = {
+                   versionOrder: Seq[org.apache.spark.sql.Column] = Nil): Snapshot = withCommitLock {
     require(pk.nonEmpty, "commitUpsert requires a primary key")
     val batch =
       if (versionOrder.isEmpty) df
@@ -311,7 +319,7 @@ class TieredTable(spark: SparkSession, rawTablePath: String,
     * form of data clustering; at cluster scale this is the Z-order/
     * sort-compaction maintenance job).
     */
-  def compact(sortBy: Seq[String] = Nil): Option[Snapshot] = currentSnapshot.map { prev =>
+  def compact(sortBy: Seq[String] = Nil): Option[Snapshot] = withCommitLock { currentSnapshot.map { prev =>
     val id = latestSnapshotId + 1
     val out = dataDir.resolve(f"snap-$id%06d")
     // mergeSchema for the same reason as tier(): heterogeneous snapshot
@@ -325,7 +333,7 @@ class TieredTable(spark: SparkSession, rawTablePath: String,
       Seq(out.toString), System.currentTimeMillis())
     commitManifest(s)
     s
-  }
+  } }
 
   /** Drop history: keep the last `keepLast` snapshots, delete older
     * manifests, then physically remove (a) data dirs referenced only by
@@ -333,7 +341,7 @@ class TieredTable(spark: SparkSession, rawTablePath: String,
     * snapshot's tiering watermark (their rows live in the cold tier).
     * Returns the number of filesystem entries removed.
     */
-  def vacuum(keepLast: Int = 1): Int = {
+  def vacuum(keepLast: Int = 1): Int = withCommitLock {
     require(keepLast >= 1, "must keep at least the current snapshot")
     val latest = latestSnapshotId
     val keepIds = (math.max(1L, latest - keepLast + 1) to latest)
@@ -505,4 +513,17 @@ object TieredTable {
   def apply(spark: SparkSession, path: String, pk: Seq[String] = Nil,
             mergeOnRead: Boolean = false): TieredTable =
     new TieredTable(spark, path, pk, mergeOnRead)
+
+  /** One commit lock per table path: all writes to a table flow through
+    * the (single) Spark driver, so a JVM-level stripe is the right
+    * mutual exclusion for concurrent writer THREADS (streaming sinks +
+    * ad-hoc SQL INSERTs). Cross-process writers are out of scope by
+    * design — on a cluster that role belongs to a catalog's
+    * compare-and-swap (Iceberg's commit protocol), which would replace
+    * [[TieredTable.commitManifest]]'s rename.
+    */
+  private val commitLocks =
+    scala.collection.concurrent.TrieMap.empty[String, Object]
+  private[storage] def lockFor(path: String): Object =
+    commitLocks.getOrElseUpdate(path, new Object)
 }

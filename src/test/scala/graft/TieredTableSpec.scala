@@ -184,6 +184,35 @@ class TieredTableSpec extends AnyFunSuite with SparkSpec {
     assert(t.latestSnapshotId == 1L)
   }
 
+  test("concurrent writer threads: every commit lands exactly once") {
+    val t = tmpTable()
+    val threads = (0 until 6).map { i =>
+      new Thread(() => {
+        t.commitAppend(Seq(i.toLong * 10, i.toLong * 10 + 1).toDF("id"))
+        t.appendLog(Seq(i.toLong * 100).toDF("id"))
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    // six snapshot commits, six log segments — no id collisions, no
+    // lost updates, accumulate semantics intact
+    assert(t.latestSnapshotId == 6L)
+    assert(t.currentSnapshot.get.files.size == 6)
+    assert(t.readCold().count() == 12)
+    assert(t.logSegments.size == 6)
+    assert(t.readUnion().count() == 18)
+    // PK upsert from many threads: last-write-wins per key, one winner
+    val p = tmpTable(pk = Seq("k"))
+    val upThreads = (0 until 6).map { i =>
+      new Thread(() => {
+        p.commitUpsert(Seq((1L, s"v$i")).toDF("k", "v"))
+      })
+    }
+    upThreads.foreach(_.start()); upThreads.foreach(_.join())
+    assert(p.latestSnapshotId == 6L)
+    val rows = p.readCold().collect()
+    assert(rows.length == 1 && rows.head.getLong(0) == 1L)
+  }
+
   test("concurrent tiering never double-counts a union read") {
     val t = tmpTable()
     t.appendLog(Seq(0L).toDF("id"))
