@@ -53,6 +53,7 @@ object SparkEntry {
     "s6_quantize"    -> (Pipeline.s6Quantize _),
     "c1_decontam"    -> (Pipeline.c1Decontam _),
     "c5_source_report" -> (Pipeline.c5SourceReport _),
+    "c6_pipeline_e2e" -> (Pipeline.c6PipelineE2e _),
     "c2_sample"      -> (Pipeline.c2Sample _),
     "c3_shards"      -> (Pipeline.c3Shards _),
     "c4_pack"        -> (Pipeline.c4Pack _),
@@ -488,6 +489,15 @@ object SparkEntry {
         |       OVER (PARTITION BY o_custkey ORDER BY o_orderkey
         |             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_cents
         |FROM orders""".stripMargin,
+    "c6_pipeline_e2e" ->
+      """WITH q AS (SELECT * FROM documents WHERE len(string_split(text, ' ')) >= 5),
+        |k AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY text),
+        |kept AS (SELECT q.* FROM q JOIN k USING (doc_id)),
+        |s AS (SELECT * FROM kept
+        |      WHERE CAST(('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 2 < 1)
+        |SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens
+        |FROM s GROUP BY lang""".stripMargin,
     "c5_source_report" ->
       """WITH c AS (SELECT md5(text) AS fp, COUNT(*) AS cnt
         |           FROM documents GROUP BY 1)

@@ -221,6 +221,24 @@ object Pipeline {
         sum(when(col("cnt") > 1, 1L).otherwise(0L)).as("n_dup_docs"))
   }
 
+  /** C6 — the pipeline composed end-to-end in ONE lazy plan: quality
+    * gate (token floor) → exact dedup keep-smallest-id → deterministic
+    * 50% hash sample → per-language accounting. Catalyst fuses the
+    * stages (the filter pushes below the dedup shuffle, the sample is a
+    * map-side filter) — composing operators costs plans, not passes.
+    */
+  def c6PipelineE2e(spark: SparkSession, dir: String): DataFrame = {
+    val qual = docs(spark, dir)
+      .filter(wsTokenCount(col("text")).cast("long") >= 5)
+    val keep = qual.groupBy(col("text"))
+      .agg(min(col("doc_id")).as("doc_id")).select(col("doc_id"))
+    val kept = qual.join(keep, Seq("doc_id"), "left_semi")
+    graft.operators.Sampling.hashSample(kept, "doc_id", 1, 2)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(wsTokenCount(col("text")).cast("long")).as("sum_tokens"))
+  }
+
   // ---- corpus selection (sampling / sharding / packing / decontam) ----
 
   /** C1 — benchmark decontamination: the corpus is split by
