@@ -181,7 +181,12 @@ class TieredTable(spark: SparkSession, rawTablePath: String,
       case Some(existing) => return existing
       case None =>
     }
-    val next = logSegments.lastOption.map(_ + 1).getOrElse(0L)
+    // floor at watermark+1: after vacuum() deletes tiered segments the
+    // directory may be empty, but reusing an id ≤ tieredSeg would park
+    // rows where every read filters them out — silent loss
+    val next = math.max(
+      logSegments.lastOption.map(_ + 1).getOrElse(0L),
+      currentSnapshot.map(_.tieredSeg + 1).getOrElse(0L))
     val tmp = logDir.resolve(f"_tmp-seg-$next%06d")
     df.write.mode("overwrite").parquet(tmp.toString)
     tag.foreach(t => Files.writeString(tmp.resolve("_TAG"), t))
@@ -194,8 +199,20 @@ class TieredTable(spark: SparkSession, rawTablePath: String,
     * write, manifest swap) against concurrent writer threads.
     * Reentrant — commit paths compose.
     */
+  /** Row count of a just-written parquet dir from its FOOTERS — a
+    * metadata-only job, so each commit executes its input ONCE (count
+    * + write would run the whole upstream plan twice while holding the
+    * commit lock, and would disagree with the written data for
+    * nondeterministic inputs).
+    */
+  private def writtenRows(path: String): Long =
+    spark.read.parquet(path).count()
+
   private def withCommitLock[A](f: => A): A =
-    TieredTable.lockFor(tablePath).synchronized(f)
+    // canonicalize the key: equivalent spellings of one directory
+    // (trailing slash, relative segments) must share the lock
+    TieredTable.lockFor(
+      Paths.get(tablePath).toAbsolutePath.normalize.toString).synchronized(f)
 
   // ---- tiering: hot → cold ----
 
@@ -216,8 +233,8 @@ class TieredTable(spark: SparkSession, rawTablePath: String,
     // drop mid-stream columns, and vacuum() would make the loss permanent.
     val batch0 = readParquet(todo.map(segPath(_).toString))
     val batch = if (pk.nonEmpty && mergeOnRead) batch0.withColumn(SeqCol, lit(id)) else batch0
-    val rows = batch.count()
     batch.write.mode("overwrite").parquet(out.toString)
+    val rows = writtenRows(out.toString)
     val files = prev.map(_.files).getOrElse(Nil) :+ out.toString
     val s = Snapshot(id, "tier", rows, todo.max, files, System.currentTimeMillis())
     commitManifest(s)
@@ -241,8 +258,8 @@ class TieredTable(spark: SparkSession, rawTablePath: String,
     val id = latestSnapshotId + 1
     val out = dataDir.resolve(f"snap-$id%06d")
     val batch = if (pk.nonEmpty && mergeOnRead) df.withColumn(SeqCol, lit(id)) else df
-    val rows = batch.count()
     batch.write.mode("overwrite").parquet(out.toString)
+    val rows = writtenRows(out.toString)
     val s = Snapshot(id, op, rows, prev.map(_.tieredSeg).getOrElse(-1L),
       prev.map(_.files).getOrElse(Nil) :+ out.toString,
       System.currentTimeMillis(), tag.getOrElse(""))
@@ -297,8 +314,8 @@ class TieredTable(spark: SparkSession, rawTablePath: String,
     val prev = currentSnapshot
     val id = latestSnapshotId + 1
     val out = dataDir.resolve(f"snap-$id%06d")
-    val rows = df.count()
     df.write.mode("overwrite").parquet(out.toString)
+    val rows = writtenRows(out.toString)
     val s = Snapshot(id, op, rows, prev.map(_.tieredSeg).getOrElse(-1L),
       Seq(out.toString), System.currentTimeMillis(), tag.getOrElse(""))
     commitManifest(s)
@@ -327,8 +344,8 @@ class TieredTable(spark: SparkSession, rawTablePath: String,
     // whole file list.
     val all0 = readParquet(prev.files)
     val all = if (sortBy.isEmpty) all0 else all0.sort(sortBy.map(col): _*)
-    val rows = all.count()
     all.write.mode("overwrite").parquet(out.toString)
+    val rows = writtenRows(out.toString)
     val s = Snapshot(id, "compact", rows, prev.tieredSeg,
       Seq(out.toString), System.currentTimeMillis())
     commitManifest(s)

@@ -184,6 +184,21 @@ class TieredTableSpec extends AnyFunSuite with SparkSpec {
     assert(t.latestSnapshotId == 1L)
   }
 
+  test("append after vacuum never reuses a tiered segment id") {
+    val t = tmpTable()
+    t.appendLog(Seq(1L).toDF("id")); t.tier() // tieredSeg = 0
+    t.vacuum(1) // physically removes seg-000000 (rows live in cold)
+    assert(t.logSegments.isEmpty)
+    // the next append must NOT recreate seg-000000: ids ≤ the watermark
+    // are filtered out of every read — rows there would be silently lost
+    val seg = t.appendLog(Seq(2L).toDF("id"))
+    assert(seg == 1L)
+    assert(t.readUnion().orderBy("id").collect().map(_.getLong(0)).toSeq ==
+      Seq(1L, 2L))
+    assert(t.tier().isDefined) // and tiering still picks it up
+    assert(t.readCold().count() == 2)
+  }
+
   test("concurrent writer threads: every commit lands exactly once") {
     val t = tmpTable()
     val threads = (0 until 6).map { i =>
