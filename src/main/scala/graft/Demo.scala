@@ -42,12 +42,16 @@ object Demo {
       s"nation=${p.nation.readCold().count()} (PK last-write-wins applied)")
 
     // 2. the statement set (README.md:211-216): ingest + enrichment,
-    //    5s triggers = the freshness SLA scaled down from 30s
+    //    5s triggers = the freshness SLA scaled down from 30s.
+    //    Enrichment streams FROM the orders table's own log — the
+    //    reference's lineage (enriched = INSERT..SELECT FROM
+    //    fluss_order) — not from a second independent source.
     val orders = Datagen.orderStream(spark, rowsPerSecond = 10)
     val set = StatementSet()
       .add(p.startIngest(orders, s"$base/ckpt",
         Trigger.ProcessingTime("5 seconds")))
-      .add(p.startEnrichment(Datagen.orderStream(spark, rowsPerSecond = 10),
+      .add(p.startEnrichment(
+        p.orders.readStreamLog(Datagen.orderStream(spark).schema),
         s"$base/ckpt", Trigger.ProcessingTime("5 seconds")))
     set.run()
     Thread.sleep(runSecs * 1000L / 2)

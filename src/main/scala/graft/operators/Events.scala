@@ -27,9 +27,11 @@ object Events {
   def sessionizeBatch(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
     val order = Window.partitionBy(col("user_id"))
       .orderBy(col("__us"), col("event_id"))
-    val running = Window.partitionBy(col("user_id"))
-      .orderBy(col("__us"), col("event_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // derived from `order` so the two specs can never drift apart (a
+    // session ordering changed in one but not the other would silently
+    // misassign session ids)
+    val running =
+      order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val gapUs = gapMinutes * 60L * 1000000L
     events
       .select(col("user_id"), col("event_id"), us(col("ts")).as("__us"))

@@ -22,10 +22,21 @@ object Joins {
     *
     * `rightVals` are the right columns to carry; they appear as
     * `asof_<name>` (null when no right row precedes the left row).
+    *
+    * Preconditions: NULL left keys never match (LEFT-join semantics —
+    * enforced below, since a window partition would otherwise group
+    * null with null); right rows must be unique per (key, rightTime) —
+    * with ties the surviving value is a nondeterministic sort-tie
+    * winner, which breaks reproducibility (pre-dedup with
+    * [[Upsert.latestByKey]], as [[graft.queries.Relational.a1Asof]]
+    * does).
     */
   def asofJoin(left: DataFrame, right: DataFrame, key: String,
                leftTime: Column, rightTime: Column,
                rightVals: Seq[String]): DataFrame = {
+    val reserved = Seq("__t", "__side", "__rv", "__match")
+    require(!left.columns.exists(reserved.contains),
+      s"left columns collide with asofJoin internals: ${reserved.mkString(", ")}")
     val lCols = left.columns.toSeq
     val lTagged = left
       .withColumn("__t", leftTime)
@@ -39,7 +50,11 @@ object Joins {
       .orderBy(col("__t"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     lTagged.unionByName(rTagged, allowMissingColumns = true)
-      .withColumn("__match", last(col("__rv"), ignoreNulls = true).over(w))
+      .withColumn("__match",
+        // NULL keys take no match: SQL LEFT-join semantics, where NULL
+        // never equals NULL (the window partition WOULD group them)
+        when(col(key).isNull, lit(null))
+          .otherwise(last(col("__rv"), ignoreNulls = true).over(w)))
       .filter(col("__side") === 1)
       .select(lCols.map(col) ++
         rightVals.map(c => col(s"__match.$c").as(s"asof_$c")): _*)
@@ -59,6 +74,11 @@ object Joins {
     */
   def rangeSelfJoin(df: DataFrame, idCol: String, valCol: String,
                     eps: Double, partCols: Seq[String] = Nil): DataFrame = {
+    require(eps > 0 && !eps.isInfinite && !eps.isNaN,
+      s"eps must be a positive finite band width, got $eps")
+    require(!df.columns.filterNot(c => c == idCol || c == valCol)
+        .exists(Set("__b", "a_id", "b_id", "a_val", "b_val")),
+      "input columns collide with rangeSelfJoin internals")
     val a = df.select((partCols :+ idCol :+ valCol).map(col): _*)
       .withColumn("__b", floor(col(valCol) / eps).cast("long"))
     val b = a.select(

@@ -25,6 +25,8 @@ object Upsert {
     * — append a unique tiebreaker column if the natural version isn't.
     */
   def latestByKey(df: DataFrame, keys: Seq[String], versionOrder: Seq[Column]): DataFrame = {
+    require(!df.columns.contains("__rn"),
+      "input column __rn collides with latestByKey's working column")
     val w = Window.partitionBy(keys.map(col): _*).orderBy(versionOrder: _*)
     df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)

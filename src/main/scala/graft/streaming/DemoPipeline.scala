@@ -105,7 +105,11 @@ class DemoPipeline(spark: SparkSession, baseDir: String) {
     val schema = enriched.readCold().schema // requires ≥1 enriched commit
     enriched.readStreamLog(schema)
       .groupBy(col("nation_name"))
-      .agg(sum(col("total_price")).cast(M).as("revenue"))
+      // keep the widened DECIMAL(25,2) the sum produces: narrowing back
+      // to (15,2) would silently overflow a large nation's cumulative
+      // revenue to NULL (non-ANSI cast) at exactly the scale that
+      // matters; (25,2) is also the reference's nation_revenue type
+      .agg(sum(col("total_price")).cast(DecimalType(25, 2)).as("revenue"))
       .writeStream
       .outputMode("update")
       .foreachBatch { (b: DataFrame, id: Long) =>

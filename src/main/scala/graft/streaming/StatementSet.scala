@@ -19,19 +19,38 @@ class StatementSet {
     thunks += (() => start); this
   }
 
-  /** Start every queued statement concurrently. */
+  /** Start every queued statement concurrently. If one fails to start,
+    * the already-started queries are stopped before rethrowing —
+    * otherwise they would keep running with no handle for [[stopAll]].
+    */
   def run(): Seq[StreamingQuery] = {
-    started = thunks.map(_()).toSeq
+    val acc = ArrayBuffer[StreamingQuery]()
+    try thunks.foreach(t => acc += t())
+    catch {
+      case e: Throwable =>
+        acc.foreach(q => try q.stop() catch { case _: Throwable => })
+        throw e
+    }
+    started = acc.toSeq
     started
   }
 
   def queries: Seq[StreamingQuery] = started
 
   /** Block until every statement finishes (bounded sources) or
-    * `timeoutMs` elapses; returns true if all terminated.
+    * `timeoutMs` elapses; returns true if all started AND terminated.
+    * The timeout is one shared deadline across the set (each query gets
+    * the time remaining, not a fresh window). False if [[run]] was
+    * never called — "nothing ran" is not "everything finished".
     */
-  def awaitAll(timeoutMs: Long): Boolean =
-    started.forall(_.awaitTermination(timeoutMs))
+  def awaitAll(timeoutMs: Long): Boolean = {
+    if (started.isEmpty) return false
+    val deadline = System.nanoTime() + timeoutMs * 1000000L
+    started.forall { q =>
+      val leftMs = (deadline - System.nanoTime()) / 1000000L
+      leftMs > 0 && q.awaitTermination(leftMs)
+    }
+  }
 
   def stopAll(): Unit = started.foreach(_.stop())
 }

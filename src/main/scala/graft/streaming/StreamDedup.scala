@@ -27,9 +27,14 @@ object StreamDedup {
     df.withWatermark(eventTimeCol, delay)
       .dropDuplicatesWithinWatermark(cols)
 
-  /** Custom state: emit only the first row ever seen per key (md5
-    * fingerprint of `keyCol`); later occurrences — same batch or any
-    * later batch — are dropped. Append output mode.
+  /** Custom state: emit one row per key — the first batch in which the
+    * key appears wins, and later batches are dropped entirely. Within
+    * that first batch, WHICH duplicate row survives is arbitrary (the
+    * post-shuffle group order is unspecified); when the payload differs
+    * between same-key rows and the choice matters, pre-dedup the batch
+    * with a total order ([[graft.operators.Upsert.latestByKey]]) before
+    * this operator. `key` is any row→string function. Append output
+    * mode.
     */
   def firstOccurrence[T: Encoder](ds: Dataset[T],
                                   key: T => String): Dataset[T] = {
