@@ -92,8 +92,12 @@ object Dedup {
       val d = byDoc0.withColumn("__pl", col("n_sh") -
         expr(s"(n_sh * $num + ${den - 1}) DIV $den") + 1)
       // referenced 3× below (prefix index + both verification sides):
-      // cache unless the caller already holds the vectors cached
-      if (owned) d.cache() else d
+      // localCheckpoint (not cache) unless the caller already holds the
+      // vectors cached — it materializes once for all three references
+      // and its blocks are freed by the ContextCleaner when the frame is
+      // GC'd, so repeated standalone calls can't accumulate CacheManager
+      // entries that only an explicit unpersist would release
+      if (owned) d.localCheckpoint(true) else d
     }
     // candidate pairs: inverted index over prefixes only — any pair with
     // Jaccard ≥ θ shares a prefix element (prefix-filtering lemma), so
@@ -172,7 +176,7 @@ object Dedup {
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       n: Int = 3, k: Int = 16, bands: Int = 4,
                       num: Int = 4, den: Int = 5): DataFrame =
-    minhashLshPairsFrom(shingleVectors(df, idCol, textCol, n).cache(),
+    minhashLshPairsFrom(shingleVectors(df, idCol, textCol, n).localCheckpoint(true),
       k, bands, num, den)
 
   /** [[minhashLshPairs]] over pre-built (cached) [[shingleVectors]].
@@ -253,51 +257,56 @@ object Dedup {
     // The iteration state is the pair GRAPH — size the loop's shuffles
     // to the graph, not the corpus: ~250k edges per partition, never
     // more partitions than configured (so a cluster-sized setting still
-    // rules at real scale).
+    // rules at real scale). Partition counts are imposed with explicit
+    // repartition(p, key) on each round's shuffles, NOT by mutating
+    // spark.sql.shuffle.partitions — session confs are shared, and a
+    // concurrent query (e.g. a streaming micro-batch) must not silently
+    // inherit this loop's tiny counts.
     val spark = pairs.sparkSession
     val configured = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val p = math.max(1L,
       math.min(configured.toLong, edgeCount / 250000L + 1)).toInt
-    // The loop tunes session confs for its rounds and restores them in
-    // the finally — serialize loops on the same session so an
-    // overlapping call can't snapshot the other's temporary values as
-    // its "previous" and leave them behind.
-    ccConfLock.synchronized {
-    val prevConf = spark.conf.get("spark.sql.shuffle.partitions")
-    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
-    spark.conf.set("spark.sql.shuffle.partitions", p)
-    // AQE re-plans per exchange — pure scheduling overhead on the tiny,
-    // already-right-sized per-round plans (partitions are set above).
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try {
+    // Pre-shuffle edges onto the join key once and cache — each round's
+    // neighbor join then reuses the partitioning (zero exchange on the
+    // edge side) instead of re-shuffling the edge list every round.
+    val edgesP = edges.repartition(p, col("dst")).cache()
+    edgesP.count()
+    edges.unpersist()
     // localCheckpoint each round: an iterative plan that references its
     // previous iteration doubles its lineage every round — truncating it
     // keeps plan size (and analyzer/codegen cost) constant. On a
     // cluster, swap for checkpoint() on reliable storage to also survive
     // executor loss.
-    var labels = edges.select(col("src").as("id")).distinct()
+    var labels = edgesP.select(col("src").as("id")).distinct()
       .withColumn("component", col("id"))
       .localCheckpoint(true)
     var converged = false
     var i = 0
+    try {
     while (!converged && i < maxIters) {
-      val viaNeighbors = edges
+      val viaNeighbors = edgesP
         .join(labels.withColumnRenamed("id", "dst")
           .withColumnRenamed("component", "ncomp"), Seq("dst"))
         .select(col("src").as("id"), col("ncomp").as("component"))
       // the labels row carries its own component as `old` (exactly one
-      // per id), so the previous label survives the min without a join
+      // per id), so the previous label survives the min without a join.
+      // repartition(p, id) IS the aggregation's exchange: the groupBy
+      // sees its required clustering already satisfied at p partitions,
+      // so the session's shuffle-partition conf never enters the loop.
       val minned = labels
         .select(col("id"), col("component"), col("component").as("old"))
         .union(viaNeighbors.withColumn("old",
           lit(null).cast(viaNeighbors.schema("component").dataType)))
+        .repartition(p, col("id"))
         .groupBy(col("id")).agg(min(col("component")).as("component"),
           max(col("old")).as("old"))
       // pointer jump THROUGH THE FRESH MAPPING: comp'(id) ← comp'(comp'(id)).
       // Every label is a node id (labels only decrease from the identity
       // labeling), so the self-lookup always hits; using minned rather
       // than the round-start labels roughly halves the rounds again.
-      val next = minned
+      // The jump side's alias id→component inherits HashPartitioning
+      // from minned's groupBy, so only the probe side repartitions.
+      val next = minned.repartition(p, col("component"))
         .join(minned.select(col("id").as("component"),
           col("component").as("jumped")), Seq("component"))
         .select(col("id"), least(col("component"), col("jumped")).as("component"),
@@ -309,17 +318,11 @@ object Dedup {
       converged = !changed
       i += 1
     }
+    } finally edgesP.unpersist()
     if (sys.env.contains("GRAFT_CC_DEBUG"))
       System.err.println(s"connectedComponents: $i rounds, converged=$converged")
     labels
-    } finally {
-      spark.conf.set("spark.sql.shuffle.partitions", prevConf)
-      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
-    }
-    }
   }
-
-  private val ccConfLock = new Object
 
   /** Benchmark decontamination: training documents that share ≥1 word
     * n-gram with a benchmark/eval corpus, with the shared-shingle count
@@ -356,6 +359,7 @@ object Dedup {
     import spark.implicits._
     val es = edges.select(col("src").cast("long"), col("dst").cast("long"))
       .as[(Long, Long)].collect()
+    edges.unpersist() // collected — the cached partitions are dead weight now
     val parent = scala.collection.mutable.LongMap.empty[Long]
     def find(x0: Long): Long = {
       var x = x0
@@ -427,7 +431,10 @@ object Dedup {
       s"width=$width must divide into maxDist+1=$blocks equal bit-blocks")
     val blockBits = width / blocks
     val mask = (1L << blockBits) - 1
-    val sig = simhash(df, idCol, textCol, width).cache()
+    // localCheckpoint: the signature projection feeds both sides of the
+    // block self-join; one materialization, blocks GC-freed (a cache()
+    // here would outlive the call in the CacheManager)
+    val sig = simhash(df, idCol, textCol, width).localCheckpoint(true)
     val blockKeys = (0 until blocks).map { b =>
       concat_ws(":", lit(b.toString),
         shiftright(col("simhash"), b * blockBits).bitwiseAND(mask))

@@ -85,9 +85,12 @@ class GraftTableCatalog extends TableCatalog {
         val watermark = t.currentSnapshot.map(_.tieredSeg).getOrElse(-1L)
         val cold = t.currentSnapshot.map(_.files).getOrElse(Nil)
           .map(p => FilesTable.Row(p, "cold", dirBytes(p)))
+        // t.tablePath, not the raw registered e.path: TieredTable
+        // normalizes file: URIs — the raw form would render un-normalized
+        // here and resolve as a relative path in dirBytes (size 0)
         val hot = t.logSegments.filter(_ > watermark)
-          .map(s => FilesTable.Row(f"${e.path}/log/seg-$s%06d", "hot",
-            dirBytes(f"${e.path}/log/seg-$s%06d")))
+          .map(s => FilesTable.Row(f"${t.tablePath}/log/seg-$s%06d", "hot",
+            dirBytes(f"${t.tablePath}/log/seg-$s%06d")))
         new FilesTable(ident.toString, cold ++ hot)
       case "cold" =>
         parquet(spark, ident.toString, t.coldFiles)
@@ -175,9 +178,27 @@ class GraftTableCatalog extends TableCatalog {
     val props = properties.asScala
     val path = props.getOrElse("path",
       s"${TieredCatalog.warehouse}/$db/${ident.name}")
-    // a managed CREATE TABLE owns its warehouse directory: clear debris
-    // left by a process that died between unregister and drop
-    if (!props.contains("path")) deleteTree(Paths.get(path))
+    // A managed CREATE TABLE owns its warehouse directory, but the
+    // registry is process-local: committed state at this path (a
+    // manifest pointer or log segments) is a live table from a previous
+    // process, not crash debris — deleting it on a plain CREATE TABLE
+    // would silently destroy data. Only genuinely uncommitted leftovers
+    // (e.g. a temp dir from a writer that died mid-commit) are cleared.
+    if (!props.contains("path")) {
+      val root = Paths.get(path)
+      val committed = Files.exists(root.resolve("meta").resolve("LATEST")) ||
+        {
+          val log = root.resolve("log")
+          Files.isDirectory(log) && {
+            val s = Files.list(log)
+            try s.iterator().asScala.nonEmpty finally s.close()
+          }
+        }
+      require(!committed, s"table location $path is not empty (committed " +
+        s"state found); DROP TABLE the previous table or pass an explicit " +
+        s"'path' property")
+      deleteTree(root)
+    }
     val pk = props.get("primary-key")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
     pk.foreach(k => require(schema.fieldNames.contains(k),

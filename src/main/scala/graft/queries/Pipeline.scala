@@ -53,6 +53,17 @@ object Pipeline {
     })
   }
 
+  /** Evict this session's memoized pair/vector frames, unpersisting
+    * their cached partitions. A long-lived session that walks many data
+    * dirs (or rebuilds fixtures) should call this between corpora — the
+    * WeakHashMap alone only frees the cache when the whole session is
+    * collected.
+    */
+  def clearMemo(spark: SparkSession): Unit = {
+    val m = pairMemo.synchronized(Option(pairMemo.remove(spark)))
+    m.foreach(_.values.foreach(df => df.unpersist()))
+  }
+
   // ---- deduplication ----
 
   /** D1 — exact dedup: one row per distinct text, keep smallest id. */

@@ -55,7 +55,10 @@ object TextIngest {
     * audit/repair.
     */
   def quarantine(df: DataFrame): (DataFrame, DataFrame) = {
-    val cached = df.cache()
+    // localCheckpoint, not cache: one materialized read feeds both
+    // branches, and the blocks are freed when the frames are GC'd —
+    // callers never have to remember an unpersist
+    val cached = df.localCheckpoint(true)
     val clean = cached.filter(col(CorruptCol).isNull).drop(CorruptCol)
     val bad = cached.filter(col(CorruptCol).isNotNull)
       .select(col(CorruptCol).as("raw"))

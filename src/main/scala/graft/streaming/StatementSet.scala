@@ -48,7 +48,12 @@ class StatementSet {
     val deadline = System.nanoTime() + timeoutMs * 1000000L
     started.forall { q =>
       val leftMs = (deadline - System.nanoTime()) / 1000000L
-      leftMs > 0 && q.awaitTermination(leftMs)
+      // deadline spent: a query that already terminated still counts as
+      // done — only a query genuinely still running makes this a timeout.
+      // The 1 ms probe (not isActive) keeps failure semantics uniform:
+      // a query that died with an error throws it here, same as the
+      // in-budget path.
+      q.awaitTermination(math.max(leftMs, 1L))
     }
   }
 

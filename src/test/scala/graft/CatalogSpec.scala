@@ -227,4 +227,43 @@ class CatalogSpec extends AnyFunSuite with SparkSpec {
     }
     assert(e.getMessage.toLowerCase.contains("nope"))
   }
+
+  test("managed CREATE TABLE refuses a location holding committed state") {
+    import spark.implicits._
+    spark.sql("DROP TABLE IF EXISTS graft.wf.survivor")
+    spark.sql("CREATE TABLE graft.wf.survivor (id BIGINT)")
+    spark.sql("INSERT INTO graft.wf.survivor VALUES (1), (2)")
+    val path = TieredCatalog.lookup("wf", "survivor").get.path
+    // simulate a NEW process: the registry forgot the table but its
+    // committed data is still at the managed location
+    TieredCatalog.unregister("wf", "survivor")
+    val e = intercept[Exception] {
+      spark.sql("CREATE TABLE graft.wf.survivor (id BIGINT)")
+    }
+    assert(e.getMessage.contains("not empty"))
+    // the data survived the refused CREATE
+    TieredCatalog.register("wf", "survivor", path)
+    assert(spark.sql("SELECT COUNT(*) FROM graft.wf.survivor")
+      .head().getLong(0) == 2)
+    spark.sql("DROP TABLE graft.wf.survivor")
+    // with the committed state dropped, the same CREATE now succeeds
+    spark.sql("CREATE TABLE graft.wf.survivor (id BIGINT)")
+    spark.sql("DROP TABLE graft.wf.survivor")
+  }
+
+  test("__files reports normalized paths and real sizes for file: URIs") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-uri").toString
+    TieredCatalog.register("demo", "uri_t", s"file://$dir/t")
+    val t = TieredTable(spark, s"file://$dir/t")
+    t.appendLog(Seq(1L, 2L).toDF("id"))
+    val rows = extSession.sql(
+      "SELECT file_path, tier, size_bytes FROM graft.demo.uri_t__files")
+      .collect()
+    assert(rows.length == 1)
+    // normalized absolute path (no scheme), resolvable → non-zero bytes
+    assert(rows.head.getString(0).startsWith(s"$dir/t/log/"))
+    assert(rows.head.getString(1) == "hot")
+    assert(rows.head.getLong(2) > 0)
+  }
 }
