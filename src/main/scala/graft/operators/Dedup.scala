@@ -52,18 +52,23 @@ object Dedup {
       .select(col("id"), hash60(col("shs")).as("sh"))
 
   /** Per-document sorted shingle-hash SET vector: (id, shs, n_sh) — the
-    * shared substrate of the Jaccard family. ONE shuffle builds it;
-    * d3 (exact pairs), d4 (MinHash+LSH), and d7 (clusters) all run off
-    * this shape, so a pipeline computing several variants shares the
-    * shingling + grouping instead of re-exploding the corpus per
-    * variant (see [[graft.queries.Pipeline]]'s memo).
+    * shared substrate of the Jaccard family. Built entirely MAP-SIDE:
+    * one row is one document, so the per-doc set is a projection over
+    * the row's own shingle array (transform → array_distinct →
+    * sort_array) — no explode, no groupBy, ZERO shuffle. d3 (exact
+    * pairs), d4 (MinHash+LSH), and d7 (clusters) all run off this
+    * shape, so a pipeline computing several variants shares one
+    * scan-bandwidth pass (see [[graft.queries.Pipeline]]'s memo). Docs
+    * with no shingles (< n tokens, null text) are dropped, matching the
+    * inverted-index formulation where they simply never appear.
     */
   def shingleVectors(df: DataFrame, idCol: String, textCol: String,
                      n: Int): DataFrame =
-    shingleSet(df, idCol, textCol, n)
-      .groupBy(col("id"))
-      .agg(sort_array(collect_set(col("sh"))).as("shs"))
+    Scale.widen(df.select(col(idCol).as("id"), col(textCol).as("__text")))
+      .select(col("id"), sort_array(array_distinct(
+        transform(shingles(tokens(col("__text")), n), s => hash60(s)))).as("shs"))
       .withColumn("n_sh", size(col("shs")).cast("long"))
+      .filter(col("n_sh") > 0)
 
   /** MinHash universal-hash family over the shingle hash, mod the
     * Mersenne prime 2^31−1: h_i(x) = (A_i·(x mod p) + B_i) mod p with
@@ -102,12 +107,18 @@ object Dedup {
     // candidate pairs: inverted index over prefixes only — any pair with
     // Jaccard ≥ θ shares a prefix element (prefix-filtering lemma), so
     // recall at the threshold is EXACT while a heavy shingle outside the
-    // prefixes can no longer produce df² candidates.
-    val pref = byDoc.select(col("id"),
+    // prefixes can no longer produce df² candidates. The length filter
+    // (J(A,B) ≤ min/max, so J ≥ θ forces max·num ≤ min·den) kills
+    // size-mismatched candidates inside the join, before the dedup
+    // exchange and the verification joins — also exact.
+    val pref = byDoc.select(col("id"), col("n_sh"),
       explode(slice(col("shs"), lit(1), col("__pl").cast("int"))).as("sh"))
-    val cand = pref.select(col("id").as("a_id"), col("sh"))
-      .join(pref.select(col("id").as("b_id"), col("sh")), Seq("sh"))
-      .filter(col("a_id") < col("b_id"))
+    val cand = pref.select(col("id").as("a_id"), col("n_sh").as("na"), col("sh"))
+      .join(pref.select(col("id").as("b_id"), col("n_sh").as("nb"), col("sh")),
+        Seq("sh"))
+      .filter(col("a_id") < col("b_id") &&
+        col("na") * num <= col("nb") * den &&
+        col("nb") * num <= col("na") * den)
       .select(col("a_id"), col("b_id")).distinct()
     verifyPairs(cand, byDoc, num, den)
   }

@@ -71,6 +71,13 @@ object Joins {
     * (partition, bucket), never a cross join: at 100 TB the candidate
     * count is Σ_bucket n_b·m_b, proportional to the true output size
     * for uniform-ish data.
+    *
+    * Each qualifying pair is emitted exactly once WITHOUT a dedup pass:
+    * the right side's three replicas sit at distinct buckets, so a pair
+    * meets on at most one of them, and `a_id < b_id` kills the mirrored
+    * orientation — no distinct() exchange over the output. Precondition:
+    * `idCol` is unique within each partition group (duplicate id rows
+    * would yield duplicate pairs).
     */
   def rangeSelfJoin(df: DataFrame, idCol: String, valCol: String,
                     eps: Double, partCols: Seq[String] = Nil): DataFrame = {
@@ -90,6 +97,5 @@ object Joins {
       .filter(col("a_id") < col("b_id") &&
         abs(col("a_val") - col("b_val")) <= eps)
       .select((partCols.map(col) :+ col("a_id") :+ col("b_id")): _*)
-      .distinct()
   }
 }

@@ -217,17 +217,21 @@ object Pipeline {
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
 
   /** C5 — per-source corpus health report: doc/token/language counts
-    * and exact-duplicate incidence per source. Duplicate detection joins
-    * on the md5 fingerprint (32 B) instead of window-partitioning by the
-    * full text, so the shuffle never carries documents twice.
+    * and exact-duplicate incidence per source. Everything derived from
+    * the text (md5 fingerprint, token count) is projected map-side
+    * FIRST, so no shuffle ever carries a document: the duplicate count
+    * is one window pass over the 32-byte fingerprints, then a narrow
+    * per-source aggregation.
     */
   def c5SourceReport(spark: SparkSession, dir: String): DataFrame = {
-    val d = docs(spark, dir).withColumn("fp", md5(col("text")))
-    val dupCounts = d.groupBy(col("fp")).agg(count(lit(1)).as("cnt"))
-    d.join(dupCounts, Seq("fp"))
+    val slim = docs(spark, dir).select(col("source"), col("lang"),
+      md5(col("text")).as("fp"),
+      wsTokenCount(col("text")).cast("long").as("toks"))
+    val perFp = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
+    slim.withColumn("cnt", count(lit(1)).over(perFp))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
-        sum(wsTokenCount(col("text")).cast("long")).as("sum_ws_tokens"),
+        sum(col("toks")).as("sum_ws_tokens"),
         countDistinct(col("lang")).as("n_langs"),
         sum(when(col("cnt") > 1, 1L).otherwise(0L)).as("n_dup_docs"))
   }
