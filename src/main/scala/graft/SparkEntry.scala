@@ -51,17 +51,23 @@ object SparkEntry {
     "s4_ivf_knn"     -> (Pipeline.s4IvfKnn _),
     "s5_ann_groups"  -> (Pipeline.s5AnnGroups _),
     "s6_quantize"    -> (Pipeline.s6Quantize _),
+    "s7_centroids"   -> (Pipeline.s7Centroids _),
+    "s8_hybrid"      -> (Pipeline.s8Hybrid _),
     "c1_decontam"    -> (Pipeline.c1Decontam _),
     "c5_source_report" -> (Pipeline.c5SourceReport _),
     "c6_pipeline_e2e" -> (Pipeline.c6PipelineE2e _),
     "c2_sample"      -> (Pipeline.c2Sample _),
     "c3_shards"      -> (Pipeline.c3Shards _),
     "c4_pack"        -> (Pipeline.c4Pack _),
+    "c7_stratified"  -> (Pipeline.c7Stratified _),
+    "c8_budget_select" -> (Pipeline.c8BudgetSelect _),
     "t1_langid"      -> (Pipeline.t1LangId _),
     "t2_quality"     -> (Pipeline.t2Quality _),
     "t3_tokens"      -> (Pipeline.t3Tokens _),
     "t4_rolling_fp"  -> (Pipeline.t4RollingFp _),
     "t5_wordcount"   -> (Pipeline.t5WordCount _),
+    "t6_repetition"  -> (Pipeline.t6Repetition _),
+    "t7_boilerplate" -> (Pipeline.t7Boilerplate _),
     "m1_media_features" -> (Pipeline.m1MediaFeatures _),
     "m2_frame_sample"   -> (Pipeline.m2FrameSample _),
     "m3_resize"         -> (Pipeline.m3Resize _),
@@ -70,6 +76,7 @@ object SparkEntry {
     "e3_stats"          -> (Pipeline.e3Stats _),
     "e4_sketch_stats"   -> (Pipeline.e4SketchStats _),
     "e5_pivot"          -> (Pipeline.e5Pivot _),
+    "e6_json_props"     -> (Pipeline.e6JsonProps _),
     "a1_asof"           -> (Relational.a1Asof _),
     "r1_range"          -> (Relational.r1Range _),
     "g1_rollup"         -> (Relational.g1Rollup _),
@@ -325,6 +332,31 @@ object SparkEntry {
         |  CAST(list_sum(list_transform(list_zip(q, range(1, len(q)+1)), s -> s[1]*s[2])) AS BIGINT) AS q_fingerprint,
         |  CAST(list_sum(list_transform(q, x -> CASE WHEN abs(x) = 127 THEN 1 ELSE 0 END)) AS BIGINT) AS n_sat
         |FROM q""".stripMargin,
+    "s7_centroids" ->
+      """WITH v AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |m AS (SELECT vec_id, label, v, list_max(list_transform(v, x -> abs(x))) AS max_abs FROM v),
+        |q AS (SELECT vec_id, label,
+        |        CASE WHEN max_abs > 0
+        |             THEN list_transform(v, x -> CAST(floor(x * (127.0 / max_abs) + 0.5) AS BIGINT))
+        |             ELSE list_transform(v, x -> 0::BIGINT) END AS q
+        |      FROM m),
+        |u AS (SELECT label, unnest(list_zip(q, range(1, len(q)+1))) AS s FROM q)
+        |SELECT CAST(label AS BIGINT) AS label, CAST(s[2] AS BIGINT) AS dim,
+        |       CAST(sum(s[1]) AS BIGINT) AS sum_code, count(*) AS n_vecs
+        |FROM u GROUP BY 1, 2""".stripMargin,
+    "s8_hybrid" ->
+      s"""WITH $embCtes,
+         |scored AS (SELECT c.vec_id AS neighbor_id,
+         |    list_reduce(list_transform(list_zip(q.v, c.v), s -> s[1]*s[2]), (a,x) -> a+x) / (q.nrm * c.nrm) AS cos
+         |  FROM n q JOIN n c ON c.vec_id <> q.vec_id WHERE q.vec_id = 0),
+         |cosr AS (SELECT neighbor_id, cos_rank FROM (
+         |    SELECT neighbor_id, CAST(row_number() OVER (ORDER BY cos DESC, neighbor_id) AS BIGINT) AS cos_rank
+         |    FROM scored) WHERE cos_rank <= 100),
+         |j AS (SELECT neighbor_id, cos_rank,
+         |        CAST(row_number() OVER (ORDER BY n_chars DESC, neighbor_id) AS BIGINT) AS qual_rank
+         |      FROM cosr JOIN documents ON doc_id = neighbor_id)
+         |SELECT neighbor_id, cos_rank, qual_rank, cos_rank + qual_rank AS borda
+         |FROM j ORDER BY borda, neighbor_id LIMIT 20""".stripMargin,
     "c1_decontam" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |sh AS (SELECT DISTINCT doc_id,
@@ -355,6 +387,24 @@ object SparkEntry {
         |SELECT shard_id, (cum - tok) // 256 AS pack_id,
         |  COUNT(*) AS n_docs, CAST(SUM(tok) AS BIGINT) AS sum_tokens
         |FROM w GROUP BY 1, 2""".stripMargin,
+    "c7_stratified" ->
+      """WITH r AS (SELECT source, n_chars,
+        |    row_number() OVER (PARTITION BY source ORDER BY
+        |      CAST(('0x' || substr(md5('strat:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT), doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY source) AS n
+        |  FROM documents)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM r WHERE rn * 10 <= n GROUP BY source""".stripMargin,
+    "c8_budget_select" ->
+      """WITH d AS (SELECT doc_id, lang, n_chars,
+        |    CAST(list_sum(list_transform(string_split(text, ' '), x -> (length(x)+3) // 4)) AS BIGINT) AS tok
+        |  FROM documents),
+        |c AS (SELECT *, sum(tok) OVER (ORDER BY n_chars DESC, doc_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM d)
+        |SELECT lang, count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS sum_tokens,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM c WHERE cum <= 25000 GROUP BY lang""".stripMargin,
     "t1_langid" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |h AS (SELECT doc_id,
@@ -401,6 +451,23 @@ object SparkEntry {
       """SELECT w AS word, count(*) AS cnt
         |FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
         |GROUP BY w""".stripMargin,
+    "t6_repetition" ->
+      """SELECT doc_id,
+        |  CAST(GREATEST(len(t) - 4, 0) AS BIGINT) AS n_windows,
+        |  CAST(len(list_distinct([array_to_string(list_slice(t, i, i+4), ' ') FOR i IN range(1, len(t)-3)])) AS BIGINT) AS n_distinct,
+        |  CASE WHEN len(t) > 4
+        |       THEN ((CAST(GREATEST(len(t)-4,0) AS BIGINT) - CAST(len(list_distinct([array_to_string(list_slice(t, i, i+4), ' ') FOR i IN range(1, len(t)-3)])) AS BIGINT)) * 10000) // CAST(len(t)-4 AS BIGINT)
+        |       ELSE 0 END AS rep_bp
+        |FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)""".stripMargin,
+    "t7_boilerplate" ->
+      """WITH g AS (SELECT doc_id, source,
+        |    unnest(list_distinct([array_to_string(list_slice(t, i, i+4), ' ') FOR i IN range(1, len(t)-3)])) AS gram
+        |  FROM (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents)),
+        |top AS (SELECT gram FROM (SELECT gram, count(*) AS c FROM g GROUP BY gram)
+        |        ORDER BY c DESC, gram LIMIT 10),
+        |hit AS (SELECT DISTINCT doc_id, source FROM g JOIN top USING (gram))
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_boiler_docs
+        |FROM hit GROUP BY source""".stripMargin,
     // multimodal: the synthesized payload is md5-derived, so the stubbed
     // decode (byte sums over the payload) is reproducible from hex chars
     "m1_media_features" ->
@@ -455,6 +522,11 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
         |  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
         |FROM events GROUP BY 1""".stripMargin,
+    "e6_json_props" ->
+      """SELECT event_type, count(*) AS cnt, count(k) AS n_k,
+        |  CAST(sum(k) AS BIGINT) AS sum_k, min(k) AS min_k, max(k) AS max_k
+        |FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
+        |GROUP BY event_type""".stripMargin,
     "e3_stats" ->
       """SELECT event_type, count(*) AS cnt, min(value) AS min_v,
         |       max(value) AS max_v, quantile_cont(value, 0.5) AS median_v

@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+
+/** Boilerplate detection for training corpora: the n-grams that recur
+  * across many documents (headers, footers, license blurbs, navigation
+  * chrome) and the documents carrying them.
+  *
+  * Scale shape: document frequency comes from ONE explode + groupBy over
+  * per-doc-distinct shingles (the same corpus pass any inverted index
+  * needs); the top-k list is tiny by construction, so tagging affected
+  * documents is a BROADCAST semi-join probe — the corpus never shuffles
+  * to learn which docs are boilerplate-laden.
+  */
+object Boilerplate {
+
+  /** The k most document-frequent n-gram shingles, deterministically
+    * ordered (doc frequency DESC, gram ASC). `shingles` is per-doc
+    * distinct, so the count IS document frequency, not occurrence count.
+    */
+  def topGrams(df: DataFrame, textCol: String, n: Int, k: Int): DataFrame =
+    df.select(explode(shingles(tokens(col(textCol)), n)).as("gram"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("df_docs"))
+      .orderBy(col("df_docs").desc, col("gram"))
+      .limit(k)
+
+  /** Per-group counts of documents containing at least one of the top-k
+    * boilerplate grams. Groups with zero affected documents are absent
+    * (inner-join semantics).
+    *
+    * The exploded (id, group, gram) frame is localCheckpointed so the
+    * shingling pass (the CPU cost here) runs ONCE for both the top-k
+    * aggregation and the tagging probe. The materialized volume is
+    * ≈ the tokenized corpus spread across executors — the same data a
+    * single shuffle of it would spill; recompute-twice only wins when
+    * executor-local disk is scarcer than CPU.
+    */
+  def incidence(df: DataFrame, idCol: String, textCol: String,
+                groupCol: String, n: Int, k: Int): DataFrame = {
+    val grams = df.select(col(idCol).as("__id"), col(groupCol),
+        explode(shingles(tokens(col(textCol)), n)).as("gram"))
+      .localCheckpoint(true)
+    val top = grams.groupBy(col("gram")).agg(count(lit(1)).as("df_docs"))
+      .orderBy(col("df_docs").desc, col("gram"))
+      .limit(k).select(col("gram"))
+    grams.join(broadcast(top), Seq("gram"), "left_semi")
+      .select(col("__id"), col(groupCol)).distinct()
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_boiler_docs"))
+  }
+}

@@ -50,6 +50,76 @@ object Sampling {
     df.withColumn("shard_id", pmod(keyHash(salt, col(keyCol)), lit(nShards)))
   }
 
+  /** Deterministic stratified sample: within each stratum (the
+    * `strataCols` group), keep exactly ⌊n·num/den⌋ rows — the ones with
+    * the smallest salted key hashes, tie-broken by key. Unlike
+    * [[hashSample]] (Bernoulli, so small strata fluctuate), the kept
+    * fraction is exact per stratum — the property a per-language /
+    * per-source ablation needs.
+    *
+    * Scale: one hash-shuffle on the strata columns + an in-partition
+    * sort (rank and stratum size are two windows over the same
+    * partitioning — Spark plans ONE exchange). A stratum must fit a
+    * task's sort spill budget, which holds for metadata-cardinality
+    * strata (language, source); it is NOT a global sort.
+    */
+  def stratifiedSample(df: DataFrame, keyCol: String, strataCols: Seq[String],
+                       num: Int, den: Int,
+                       salt: String = "strat"): DataFrame = {
+    require(num >= 0 && num <= den && den > 0, "need 0 <= num <= den")
+    require(strataCols.nonEmpty, "need at least one stratum column")
+    val byStratum = Window.partitionBy(strataCols.map(col): _*)
+    val w = byStratum.orderBy(keyHash(salt, col(keyCol)), col(keyCol))
+    df.withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(byStratum))
+      .filter(col("__rn") * den <= col("__n") * num)
+      .drop("__rn", "__n")
+  }
+
+  /** Greedy selection under a global token budget: rows in
+    * (`scoreCol` DESC, `keyCol` ASC) order are taken while the running
+    * `tokCol` total stays ≤ `budget` — the "best documents until the
+    * training budget is full" primitive.
+    *
+    * Equivalent to a global running-sum window + filter, but WITHOUT the
+    * single-partition global sort that a partitionless window plans: the
+    * per-score token totals (cardinality = distinct scores, bounded for
+    * real quality scores — bucketize first if not) are aggregated, the
+    * cutoff score is found driver-side, and selection becomes a map-side
+    * `score > cutoff` filter plus one windowed sweep INSIDE the single
+    * boundary-score group. Greedy semantics are preserved exactly: whole
+    * groups above the cutoff fit by construction, and the boundary group
+    * takes rows in key order until the remainder is spent.
+    */
+  def budgetSelect(df: DataFrame, keyCol: String, tokCol: String,
+                   scoreCol: String, budget: Long): DataFrame = {
+    require(budget >= 0, "need a non-negative budget")
+    val perScore = df.groupBy(col(scoreCol))
+      .agg(sum(col(tokCol).cast("long")).as("__t"))
+      .orderBy(col(scoreCol).desc)
+      .collect() // O(distinct scores) — driver-side by design
+    var cum = 0L
+    var boundary: Option[(Any, Long)] = None // (cutoff score, tokens before)
+    val it = perScore.iterator
+    while (it.hasNext && boundary.isEmpty) {
+      val r = it.next()
+      val t = r.getLong(1)
+      if (cum + t <= budget) cum += t
+      else boundary = Some((r.get(0), cum))
+    }
+    boundary match {
+      case None => df // every group fits
+      case Some((cut, before)) =>
+        val wB = Window.partitionBy(col(scoreCol)).orderBy(col(keyCol))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val inBoundary = df.filter(col(scoreCol) === lit(cut))
+          .withColumn("__cum", sum(col(tokCol).cast("long")).over(wB))
+          .filter(col("__cum") + before <= budget)
+          .drop("__cum")
+        df.filter(col(scoreCol) > lit(cut)).unionByName(inBoundary)
+    }
+  }
+
   /** Streaming sequence packing: within each shard, documents in
     * deterministic (hash, key) order are concatenated into sequences of
     * ~`budget` tokens; `pack_id` = floor(tokens-before-this-doc /

@@ -212,12 +212,7 @@ object Similarity {
     * oracle reproduces every code bit-for-bit.
     */
   def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
-    val v = df.select(col(idCol), toDouble(col(vecCol)).as("v"))
-      .withColumn("max_abs", array_max(transform(col("v"), x => abs(x))))
-      .withColumn("q", when(col("max_abs") > 0.0,
-          transform(col("v"), x =>
-            floor(x * (lit(127.0) / col("max_abs")) + 0.5).cast("long")))
-        .otherwise(transform(col("v"), _ => lit(0L))))
+    val v = int8Codes(df.select(col(idCol), col(vecCol)), vecCol)
     v.select(col(idCol), col("max_abs"),
       aggregate(zip_with(col("q"), sequence(lit(1L), size(col("q")).cast("long")),
         (q, i) => q * i), lit(0L), (acc, x) => acc + x).as("q_fingerprint"),
@@ -225,4 +220,19 @@ object Similarity {
           when(abs(q) === 127L, 1L).otherwise(0L)),
         lit(0L), (acc, x) => acc + x).as("n_sat"))
   }
+
+  /** The raw int8 code arrays behind [[quantizeInt8]]: appends `max_abs`
+    * and `q` (array<long> of codes in [-127, 127]) to the input,
+    * preserving every other column — so downstream aggregations
+    * (per-label centroids, code histograms) can carry their grouping
+    * columns without a re-join. Map-side only.
+    */
+  def int8Codes(df: DataFrame, vecCol: String): DataFrame =
+    df.withColumn("__v", toDouble(col(vecCol)))
+      .withColumn("max_abs", array_max(transform(col("__v"), x => abs(x))))
+      .withColumn("q", when(col("max_abs") > 0.0,
+          transform(col("__v"), x =>
+            floor(x * (lit(127.0) / col("max_abs")) + 0.5).cast("long")))
+        .otherwise(transform(col("__v"), _ => lit(0L))))
+      .drop("__v")
 }

@@ -165,6 +165,46 @@ object Pipeline {
   def s6Quantize(spark: SparkSession, dir: String): DataFrame =
     Similarity.quantizeInt8(emb(spark, dir), "vec_id", "embedding")
 
+  /** S7 — per-label quantized centroids: the k-means / IVF "train the
+    * codebook" aggregation over int8 codes. Integer-exact (sum + count
+    * per (label, dim) instead of a float mean), and one partial-
+    * aggregated shuffle of (label, dim) pairs — the dim expansion is
+    * combined map-side, so the exchange carries ≤ labels × dims rows
+    * per task at any corpus size.
+    */
+  def s7Centroids(spark: SparkSession, dir: String): DataFrame =
+    Similarity.int8Codes(emb(spark, dir), "embedding")
+      .select(col("label").cast("long").as("label"), posexplode(col("q")))
+      .select(col("label"), (col("pos") + 1).cast("long").as("dim"),
+        col("col").as("code"))
+      .groupBy(col("label"), col("dim"))
+      .agg(sum(col("code")).as("sum_code"), count(lit(1)).as("n_vecs"))
+
+  /** S8 — hybrid retrieval rerank: the top-100 cosine neighbors of probe
+    * vector 0 are fused with a document-quality signal (n_chars) by
+    * Borda rank sum (integer-exact; reciprocal-rank fusion without the
+    * rational arithmetic), keeping the best 20. Stage 1 is the
+    * partial-aggregating top-k (shuffle carries ≤ k candidates); stage
+    * 2 ranks WITHIN the bounded candidate set — quality never needs a
+    * corpus-wide sort.
+    */
+  def s8Hybrid(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val cand = Similarity.knnBrute(e.filter(col("vec_id") === 0), e,
+        "vec_id", "embedding", k = 100)
+      .select(col("neighbor_id"), col("rank").cast("long").as("cos_rank"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n_chars").desc, col("neighbor_id"))
+    cand.join(docs(spark, dir).select(col("doc_id"), col("n_chars")),
+        cand("neighbor_id") === col("doc_id"))
+      .withColumn("qual_rank", row_number().over(w).cast("long"))
+      .withColumn("borda", col("cos_rank") + col("qual_rank"))
+      .select(col("neighbor_id"), col("cos_rank"), col("qual_rank"),
+        col("borda"))
+      .orderBy(col("borda"), col("neighbor_id"))
+      .limit(20)
+  }
+
   // ---- text analysis ----
 
   /** T1 — stopword-marker language ID with deterministic argmax. */
@@ -215,6 +255,28 @@ object Pipeline {
     docs(spark, dir)
       .select(explode(tokens(col("text"))).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+
+  /** T6 — within-document repetition score: 5-gram windows vs distinct
+    * 5-grams, with the repeated share in basis points (integer-exact).
+    * High repetition is the classic low-quality / generated-text signal.
+    * Pure map-side projection — scales with scan bandwidth.
+    */
+  def t6Repetition(spark: SparkSession, dir: String): DataFrame = {
+    val t = tokens(col("text"))
+    docs(spark, dir).select(col("doc_id"),
+        greatest(size(t) - 4, lit(0)).cast("long").as("n_windows"),
+        size(shingles(t, 5)).cast("long").as("n_distinct"))
+      .withColumn("rep_bp", when(col("n_windows") > 0,
+          expr("((n_windows - n_distinct) * 10000) DIV n_windows"))
+        .otherwise(0L))
+  }
+
+  /** T7 — boilerplate incidence: per source, how many documents contain
+    * at least one of the corpus's 10 most document-frequent 5-grams.
+    */
+  def t7Boilerplate(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Boilerplate.incidence(docs(spark, dir),
+      "doc_id", "text", "source", n = 5, k = 10)
 
   /** C5 — per-source corpus health report: doc/token/language counts
     * and exact-duplicate incidence per source. Everything derived from
@@ -302,6 +364,31 @@ object Pipeline {
       .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("sum_tokens"))
   }
 
+  /** C7 — exact per-source stratified 10% sample: every source keeps
+    * ⌊n/10⌋ documents (smallest salted hash first), unlike the
+    * Bernoulli c2 whose small strata fluctuate. Reported per source:
+    * kept count and kept characters.
+    */
+  def c7Stratified(spark: SparkSession, dir: String): DataFrame =
+    Sampling.stratifiedSample(docs(spark, dir), "doc_id", Seq("source"),
+        num = 1, den = 10)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("sum_chars"))
+
+  /** C8 — token-budget corpus selection: take documents best-first
+    * (n_chars as the quality proxy, doc_id tie-break) until a 25k-token
+    * budget is spent; per-language accounting of the selected set.
+    * The cutoff is found on per-score aggregates — no global sort.
+    */
+  def c8BudgetSelect(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select(col("doc_id"), col("lang"),
+      col("n_chars"), approxBpeCount(tokens(col("text"))).as("tok"))
+    Sampling.budgetSelect(d, "doc_id", "tok", "n_chars", budget = 25000L)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("sum_tokens"),
+        sum(col("n_chars")).as("sum_chars"))
+  }
+
   // ---- multimodal ----
 
   private def media(spark: SparkSession, dir: String): DataFrame =
@@ -368,6 +455,21 @@ object Pipeline {
     * rows-only check; `SketchSpec` bounds the error against the exact
     * answers.
     */
+  /** E6 — semi-structured property extraction: pull the integer `k` out
+    * of the JSON `props` column and aggregate per event type. The
+    * extraction is a codegen'd path expression evaluated in the scan
+    * projection — no UDF, no intermediate parse table; `n_k` counts the
+    * rows where the key was present.
+    */
+  def e6JsonProps(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("cnt"), count(col("k")).as("n_k"),
+        sum(col("k")).as("sum_k"), min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+
   def e4SketchStats(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "events")
       .groupBy(col("event_type"))

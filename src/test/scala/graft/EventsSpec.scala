@@ -113,4 +113,23 @@ class EventsSpec extends AnyFunSuite with SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == want, "pigeonhole blocking must find every pair within maxDist")
   }
+
+  test("json prop extraction: present, missing, and malformed keys") {
+    val rows = Seq(
+      ("click", """{"k": 5}"""),
+      ("click", """{"k": 7}"""),
+      ("click", """{"other": 1}"""), // key absent → null, excluded from n_k
+      ("view", "not json at all")    // malformed → null
+    ).toDF("event_type", "props")
+    val got = rows
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("cnt"), count(col("k")).as("n_k"),
+        sum(col("k")).as("sum_k"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), Option(r.get(3)).map(_ => r.getLong(3)))).toMap
+    assert(got("click") == ((3L, 2L, Some(12L))))
+    assert(got("view") == ((1L, 0L, None))) // sum over no values is NULL
+  }
 }

@@ -46,4 +46,31 @@ class QuantizeSpec extends AnyFunSuite with SparkSpec {
     // max |x - dequant(quant(x))| ≤ step/2 (+ tiny fp slack)
     assert(v.filter(col("err") > col("step") * 0.5 + 1e-12).count() == 0)
   }
+
+  test("int8Codes preserves input columns; centroid sums match a manual fold") {
+    import spark.implicits._
+    val emb = Seq(
+      (1L, Array(1.0f, -2.0f), 7),
+      (2L, Array(0.5f, 0.5f), 7),
+      (3L, Array(-1.0f, 0.0f), 8)
+    ).toDF("vec_id", "embedding", "label")
+    val codes = Similarity.int8Codes(emb, "embedding")
+    assert(codes.columns.toSet ==
+      Set("vec_id", "embedding", "label", "max_abs", "q"))
+    val byId = codes.select(col("vec_id"), col("q"))
+      .as[(Long, Seq[Long])].collect().toMap
+    // scale = 127/max|x|: (1,-2) → (64,-127); (.5,.5) → (127,127); (-1,0) → (-127,0)
+    assert(byId(1L) == Seq(64L, -127L))
+    assert(byId(2L) == Seq(127L, 127L))
+    assert(byId(3L) == Seq(-127L, 0L))
+    val cent = codes
+      .select(col("label").cast("long").as("label"), posexplode(col("q")))
+      .groupBy(col("label"), (col("pos") + 1).as("dim"))
+      .agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(cent((7L, 1)) == ((64L + 127L, 2L)))
+    assert(cent((7L, 2)) == ((-127L + 127L, 2L)))
+    assert(cent((8L, 1)) == ((-127L, 1L)))
+  }
 }

@@ -83,6 +83,38 @@ class SamplingSpec extends AnyFunSuite with SparkSpec {
     assert(!s.queryExecution.executedPlan.toString.contains("Exchange"))
   }
 
+  test("stratifiedSample keeps an exact floor(n*frac) per stratum, deterministically") {
+    val base = spark.range(0, 1000)
+      .selectExpr("id", "CAST(id % 3 AS STRING) AS grp")
+    val s = Sampling.stratifiedSample(base, "id", Seq("grp"), 1, 10)
+    val perGrp = s.groupBy("grp").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // strata sizes: 334 (grp 0), 333, 333 → exact tenths, floored
+    assert(perGrp == Map("0" -> 33L, "1" -> 33L, "2" -> 33L))
+    // reproducible: same rows kept on a re-run
+    val s2 = Sampling.stratifiedSample(base, "id", Seq("grp"), 1, 10)
+    assert(s.collect().map(_.getLong(0)).toSet ==
+      s2.collect().map(_.getLong(0)).toSet)
+  }
+
+  test("budgetSelect equals the naive global greedy sweep") {
+    import org.apache.spark.sql.expressions.Window
+    val base = spark.range(0, 500).selectExpr("id",
+      "CAST(id % 7 AS LONG) AS score", "CAST(id % 13 + 1 AS LONG) AS tok")
+    val budget = 800L
+    val got = Sampling.budgetSelect(base, "id", "tok", "score", budget)
+      .collect().map(_.getLong(0)).toSet
+    // oracle: single global running-sum window (fine at test scale)
+    val w = Window.orderBy(col("score").desc, col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val want = base.withColumn("cum", sum(col("tok")).over(w))
+      .filter(col("cum") <= budget).collect().map(_.getLong(0)).toSet
+    assert(got == want && got.nonEmpty)
+    // a budget larger than the corpus selects everything
+    assert(Sampling.budgetSelect(base, "id", "tok", "score", 1000000L)
+      .count() == 500)
+  }
+
   test("decontaminate flags exactly the docs sharing an n-gram with the benchmark") {
     // benchmark = doc 1; docs 2 (exact dup) and 4 (near dup) share
     // 3-grams with it; 3 and 5 do not

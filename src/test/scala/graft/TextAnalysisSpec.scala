@@ -57,4 +57,42 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
     val h = Seq("hello").toDF("s").select(hash60(col("s"))).as[Long].head()
     assert(h == 419982666956583591L) // = conv(substr(md5('hello'),1,15),16,10)
   }
+
+  test("repetition: repeated 5-grams raise rep_bp, unique text scores 0") {
+    val docs = Seq(
+      (1L, "a b c d e a b c d e a b c d e"), // 15 toks, 11 windows, lots repeated
+      (2L, "one two three four five six seven"), // all windows distinct
+      (3L, "tiny doc") // fewer than 5 tokens → 0 windows
+    ).toDF("doc_id", "text")
+    // mirror the query shape over an in-memory frame
+    val t = tokens(col("text"))
+    val got = docs.select(col("doc_id"),
+        greatest(size(t) - 4, lit(0)).cast("long").as("n_windows"),
+        size(shingles(t, 5)).cast("long").as("n_distinct"))
+      .withColumn("rep_bp", when(col("n_windows") > 0,
+          expr("((n_windows - n_distinct) * 10000) DIV n_windows"))
+        .otherwise(0L))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // doc 1: 11 windows over a period-5 cycle → 5 distinct
+    assert(got(1L) == ((11L, 5L, (11L - 5L) * 10000L / 11L)))
+    assert(got(2L) == ((3L, 3L, 0L)))
+    assert(got(3L) == ((0L, 0L, 0L)))
+  }
+
+  test("boilerplate incidence counts docs carrying a top gram, per group") {
+    val boiler = "this page is served from cache today" // 7 toks → 3 5-grams
+    val docs = Seq(
+      (1L, s"alpha beta $boiler", "a"),
+      (2L, s"$boiler gamma delta", "a"),
+      (3L, s"unrelated words entirely here now definitely", "a"),
+      (4L, s"other prefix then $boiler", "b")
+    ).toDF("doc_id", "text", "source")
+    val got = graft.operators.Boilerplate
+      .incidence(docs, "doc_id", "text", "source", n = 5, k = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the 3 most document-frequent 5-grams are the shared boilerplate
+    // ones (df 3) — docs 1, 2, 4 carry them; doc 3 does not
+    assert(got == Map("a" -> 2L, "b" -> 1L))
+  }
 }
