@@ -50,6 +50,7 @@ object SparkEntry {
     "s3_neardup_brute" -> (Pipeline.s3NearDupBrute _),
     "s4_ivf_knn"     -> (Pipeline.s4IvfKnn _),
     "s5_ann_groups"  -> (Pipeline.s5AnnGroups _),
+    "s9_ann_graph"   -> (Pipeline.s9AnnGraph _),
     "s6_quantize"    -> (Pipeline.s6Quantize _),
     "s7_centroids"   -> (Pipeline.s7Centroids _),
     "s8_hybrid"      -> (Pipeline.s8Hybrid _),
@@ -119,6 +120,28 @@ object SparkEntry {
       |n AS (SELECT vec_id, v,
       |        sqrt(list_reduce(list_transform(list_zip(v, v), s -> s[1]*s[2]), (a,x) -> a+x)) AS nrm
       |      FROM v)""".stripMargin
+
+  /** Sign-LSH candidate mining + exact-cosine verification as shared
+    * CTEs (assumes `embCtes` precedes): `vpairs` is the deterministic
+    * verified near-dup pair set used by s2 (pairs), s5 (clusters, via
+    * the Scala memo), and s9 (k-NN graph).
+    */
+  private val lshPairCtes =
+    """proj AS (SELECT vec_id, t.t AS t, p.p AS p,
+      |    list_reduce(list_transform(list_zip(v, range(0, len(v))), s ->
+      |      CASE WHEN CAST(('0x' || substr(md5((t.t*4 + p.p)::VARCHAR || ':' || s[2]::VARCHAR), 1, 15)) AS BIGINT) & 1 = 1
+      |           THEN s[1] ELSE -s[1] END), (a,x) -> a+x) AS pr
+      |  FROM n, UNNEST(range(0, 8)) t(t), UNNEST(range(0, 4)) p(p)),
+      |buck AS (SELECT vec_id,
+      |           t::VARCHAR || ':' ||
+      |           CAST(sum(CASE WHEN pr >= 0 THEN 1::BIGINT << p ELSE 0::BIGINT END) AS BIGINT)::VARCHAR AS bucket
+      |         FROM proj GROUP BY vec_id, t),
+      |pairs AS (SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+      |          FROM buck a JOIN buck b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+      |vpairs AS (SELECT a_id, b_id FROM pairs
+      |  JOIN n na ON a_id = na.vec_id JOIN n nb ON b_id = nb.vec_id
+      |  WHERE list_reduce(list_transform(list_zip(na.v, nb.v), s -> s[1]*s[2]), (a,x) -> a+x)
+      |          / (na.nrm * nb.nrm) >= 0.4)""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -245,22 +268,21 @@ object SparkEntry {
          |  FROM scored)
          |WHERE rank <= 10""".stripMargin,
     "s2_lsh_ann" ->
-      s"""WITH $embCtes,
-         |proj AS (SELECT vec_id, t.t AS t, p.p AS p,
-         |    list_reduce(list_transform(list_zip(v, range(0, len(v))), s ->
-         |      CASE WHEN CAST(('0x' || substr(md5((t.t*4 + p.p)::VARCHAR || ':' || s[2]::VARCHAR), 1, 15)) AS BIGINT) & 1 = 1
-         |           THEN s[1] ELSE -s[1] END), (a,x) -> a+x) AS pr
-         |  FROM n, UNNEST(range(0, 8)) t(t), UNNEST(range(0, 4)) p(p)),
-         |buck AS (SELECT vec_id,
-         |           t::VARCHAR || ':' ||
-         |           CAST(sum(CASE WHEN pr >= 0 THEN 1::BIGINT << p ELSE 0::BIGINT END) AS BIGINT)::VARCHAR AS bucket
-         |         FROM proj GROUP BY vec_id, t),
-         |pairs AS (SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
-         |          FROM buck a JOIN buck b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
-         |SELECT a_id, b_id FROM pairs
-         |JOIN n na ON a_id = na.vec_id JOIN n nb ON b_id = nb.vec_id
-         |WHERE list_reduce(list_transform(list_zip(na.v, nb.v), s -> s[1]*s[2]), (a,x) -> a+x)
-         |        / (na.nrm * nb.nrm) >= 0.4""".stripMargin,
+      s"""WITH $embCtes, $lshPairCtes
+         |SELECT a_id, b_id FROM vpairs""".stripMargin,
+    "s9_ann_graph" ->
+      s"""WITH $embCtes, $lshPairCtes,
+         |sym AS (SELECT a_id AS vec_id, b_id AS neighbor_id FROM vpairs
+         |        UNION ALL SELECT b_id, a_id FROM vpairs),
+         |scored AS (SELECT s.vec_id, s.neighbor_id,
+         |    list_reduce(list_transform(list_zip(na.v, nb.v), s2 -> s2[1]*s2[2]), (a,x) -> a+x)
+         |      / (na.nrm * nb.nrm) AS cos
+         |  FROM sym s JOIN n na ON s.vec_id = na.vec_id JOIN n nb ON s.neighbor_id = nb.vec_id)
+         |SELECT vec_id, neighbor_id, rank FROM (
+         |  SELECT vec_id, neighbor_id,
+         |         row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM scored)
+         |WHERE rank <= 3""".stripMargin,
     "s3_neardup_brute" ->
       s"""WITH $embCtes
          |SELECT a.vec_id AS a_id, b.vec_id AS b_id

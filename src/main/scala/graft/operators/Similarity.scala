@@ -221,6 +221,36 @@ object Similarity {
         lit(0L), (acc, x) => acc + x).as("n_sat"))
   }
 
+  /** k-NN GRAPH restricted to an explicit candidate pair set (normally
+    * the output of [[lshNearDupPairs]]): for every id, its top-k cosine
+    * neighbors among the candidates — the "build the neighbor graph"
+    * step feeding embedding clustering / diversity filtering.
+    *
+    * Scale shape: candidates are the *mined* pair graph (output-sized,
+    * not corpus²); both endpoint vectors are pulled next to each edge by
+    * two hash-joins (cost ∝ edges), and top-k per id is the
+    * partial-aggregating [[graft.functions.TopKAgg]] — the final
+    * exchange carries ≤ k survivors per (task, id), never the scored
+    * edge list. Ties broken by neighbor id, matching the oracle.
+    */
+  def knnGraphFromPairs(pairs: DataFrame, vectors: DataFrame,
+                        idCol: String, vecCol: String, k: Int): DataFrame = {
+    val v = Scale.widen(vectors.select(col(idCol).as("__vid"),
+      toDouble(col(vecCol)).as("__v")))
+      .withColumn("__n", l2norm(col("__v")))
+    val sym = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+    val scored = sym
+      .join(v.select(col("__vid").as("src"), col("__v").as("sv"),
+        col("__n").as("sn")), Seq("src"))
+      .join(v.select(col("__vid").as("dst"), col("__v").as("dv"),
+        col("__n").as("dn")), Seq("dst"))
+      .withColumn("cos", dot(col("sv"), col("dv")) / (col("sn") * col("dn")))
+      .select(col("src").as("vec_id"), col("cos"),
+        col("dst").as("neighbor_id"))
+    topKByGroup(scored, "vec_id", "cos", "neighbor_id", k)
+  }
+
   /** The raw int8 code arrays behind [[quantizeInt8]]: appends `max_abs`
     * and `q` (array<long> of codes in [-127, 127]) to the input,
     * preserving every other column — so downstream aggregations

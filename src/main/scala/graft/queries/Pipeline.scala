@@ -158,6 +158,16 @@ object Pipeline {
   def s5AnnGroups(spark: SparkSession, dir: String): DataFrame =
     Dedup.connectedComponents(s2LshAnn(spark, dir))
 
+  /** S9 — the approximate k-NN graph: every vector's top-3 cosine
+    * neighbors among the deterministic sign-LSH candidates (S2's
+    * memoized pairs). Edge scoring costs ∝ mined pairs; top-k is
+    * partial-aggregated — the clustering/diversity-filter input at any
+    * corpus size.
+    */
+  def s9AnnGraph(spark: SparkSession, dir: String): DataFrame =
+    Similarity.knnGraphFromPairs(s2LshAnn(spark, dir), emb(spark, dir),
+      "vec_id", "embedding", k = 3)
+
   /** S6 — int8 scalar quantization of the embedding table (the ANN
     * storage-compression step), with an integer-exact code fingerprint
     * and saturation accounting per vector.

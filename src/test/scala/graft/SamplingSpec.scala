@@ -115,6 +115,34 @@ class SamplingSpec extends AnyFunSuite with SparkSpec {
       .count() == 500)
   }
 
+  test("round-3 plans: c7 one exchange, c8 no global sort, s7 partial aggs, t7 broadcast tag") {
+    val dir = "/root/testdata/sf0.001"
+    // c7: rank + stratum-size windows and the final per-source aggregate
+    // all share the hash(source) partitioning — ONE exchange total
+    val c7Plan = graft.queries.Pipeline.c7Stratified(spark, dir)
+      .queryExecution.executedPlan.toString
+    val c7Ex = "Exchange hashpartitioning".r.findAllIn(c7Plan).size
+    assert(c7Ex <= 1, s"expected <=1 shuffle in c7, got $c7Ex:\n$c7Plan")
+    // c8: greedy selection must not plan a corpus-wide single-partition
+    // sort/window — the cutoff is found on per-score aggregates
+    val c8Plan = graft.queries.Pipeline.c8BudgetSelect(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!c8Plan.contains("Exchange SinglePartition"),
+      s"c8 must not globally sort the corpus:\n$c8Plan")
+    // s7: the dim expansion is reduced by a partial aggregate BEFORE the
+    // exchange — the shuffle carries (label, dim) partial sums only
+    val s7Plan = graft.queries.Pipeline.s7Centroids(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(s7Plan.contains("partial_sum"),
+      s"s7 centroid sums must partial-aggregate map-side:\n$s7Plan")
+    // t7: tagging the corpus against the top-k grams is a broadcast
+    // semi-join probe, never a corpus shuffle
+    val t7Plan = graft.queries.Pipeline.t7Boilerplate(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(t7Plan.contains("BroadcastHashJoin") && t7Plan.contains("LeftSemi"),
+      s"t7 must broadcast the top-gram set:\n$t7Plan")
+  }
+
   test("decontaminate flags exactly the docs sharing an n-gram with the benchmark") {
     // benchmark = doc 1; docs 2 (exact dup) and 4 (near dup) share
     // 3-grams with it; 3 and 5 do not

@@ -76,4 +76,17 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(h >= 0)
     assert(Similarity.planeSign(0, 0) == (if ((h & 1) == 1) 1.0 else -1.0))
   }
+
+  test("knnGraphFromPairs ranks each endpoint's candidates, both directions") {
+    import org.apache.spark.sql.functions.col
+    // candidate edges: 0-3, 0-2, 0-1 (so node 0 has three candidates,
+    // nodes 1/2/3 have one each — only the pair graph is scored)
+    val pairs = Seq((0L, 3L), (0L, 2L), (0L, 1L)).toDF("a_id", "b_id")
+    val got = Similarity.knnGraphFromPairs(pairs, vecs,
+        "vec_id", "embedding", k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == Set(
+      (0L, 3L, 1), (0L, 2L, 2),        // top-2 of node 0's three candidates
+      (1L, 0L, 1), (2L, 0L, 1), (3L, 0L, 1)))
+  }
 }
