@@ -482,12 +482,13 @@ object SparkEntry {
         |       ELSE 0 END AS rep_bp
         |FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)""".stripMargin,
     "t7_boilerplate" ->
-      """WITH g AS (SELECT doc_id, source,
-        |    unnest(list_distinct([array_to_string(list_slice(t, i, i+4), ' ') FOR i IN range(1, len(t)-3)])) AS gram
-        |  FROM (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents)),
-        |top AS (SELECT gram FROM (SELECT gram, count(*) AS c FROM g GROUP BY gram)
-        |        ORDER BY c DESC, gram LIMIT 10),
-        |hit AS (SELECT DISTINCT doc_id, source FROM g JOIN top USING (gram))
+      """WITH g AS (SELECT DISTINCT doc_id, source,
+        |    CAST(('0x' || substr(md5(array_to_string(list_slice(t, i, i+4), ' ')), 1, 15)) AS BIGINT) AS gh
+        |  FROM (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+        |       UNNEST(range(1, len(t)-3)) r(i)),
+        |top AS (SELECT gh FROM (SELECT gh, count(*) AS c FROM g GROUP BY gh)
+        |        ORDER BY c DESC, gh LIMIT 10),
+        |hit AS (SELECT DISTINCT doc_id, source FROM g JOIN top USING (gh))
         |SELECT source, CAST(count(*) AS BIGINT) AS n_boiler_docs
         |FROM hit GROUP BY source""".stripMargin,
     // multimodal: the synthesized payload is md5-derived, so the stubbed

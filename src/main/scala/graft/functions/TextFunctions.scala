@@ -33,6 +33,18 @@ object TextFunctions {
     * fewer than n tokens. 1-based `slice`; `sequence` guarded so it never
     * descends.
     */
+  /** Sorted distinct [[hash60]] values of the n-gram shingles of a token
+    * array — the codegen'd fused form of
+    * `sort_array(array_distinct(transform(shingles(toks, n), hash60)))`
+    * ([[graft.functions.expressions.ShingleHashes]]); bit-identical
+    * semantics, one primitive loop, no per-window string allocation.
+    * The workhorse of the dedup family's shingling pass.
+    */
+  def shingleHashes(toks: Column, n: Int): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.expressions.ShingleHashes(
+        org.apache.spark.sql.GraftSqlBridge.expression(toks), n))
+
   def shingles(toks: Column, n: Int): Column =
     when(size(toks) >= n,
       array_distinct(transform(

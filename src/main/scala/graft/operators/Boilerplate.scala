@@ -31,22 +31,26 @@ object Boilerplate {
     * boilerplate grams. Groups with zero affected documents are absent
     * (inner-join semantics).
     *
-    * The exploded (id, group, gram) frame is localCheckpointed so the
-    * shingling pass (the CPU cost here) runs ONCE for both the top-k
-    * aggregation and the tagging probe. The materialized volume is
-    * ≈ the tokenized corpus spread across executors — the same data a
-    * single shuffle of it would spill; recompute-twice only wins when
-    * executor-local disk is scarcer than CPU.
+    * Works entirely on 60-bit gram HASHES (the fused codegen'd
+    * [[graft.functions.TextFunctions.shingleHashes]]): every shuffle and
+    * the broadcast carry 8-byte keys, never n-word strings, and the
+    * document-frequency tie-break among equal counts is the hash value
+    * (deterministic; [[topGrams]] keeps the human-readable string order
+    * for reporting). The exploded (id, group, hash) frame is
+    * localCheckpointed so the shingling pass runs ONCE for both the
+    * top-k aggregation and the tagging probe — the materialized volume
+    * is ≈ the tokenized corpus spread across executors, the same bytes
+    * one shuffle of it would spill.
     */
   def incidence(df: DataFrame, idCol: String, textCol: String,
                 groupCol: String, n: Int, k: Int): DataFrame = {
     val grams = df.select(col(idCol).as("__id"), col(groupCol),
-        explode(shingles(tokens(col(textCol)), n)).as("gram"))
+        explode(shingleHashes(tokens(col(textCol)), n)).as("gh"))
       .localCheckpoint(true)
-    val top = grams.groupBy(col("gram")).agg(count(lit(1)).as("df_docs"))
-      .orderBy(col("df_docs").desc, col("gram"))
-      .limit(k).select(col("gram"))
-    grams.join(broadcast(top), Seq("gram"), "left_semi")
+    val top = grams.groupBy(col("gh")).agg(count(lit(1)).as("df_docs"))
+      .orderBy(col("df_docs").desc, col("gh"))
+      .limit(k).select(col("gh"))
+    grams.join(broadcast(top), Seq("gh"), "left_semi")
       .select(col("__id"), col(groupCol)).distinct()
       .groupBy(col(groupCol))
       .agg(count(lit(1)).as("n_boiler_docs"))

@@ -48,8 +48,7 @@ object Dedup {
     */
   private def shingleSet(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     Scale.widen(df.select(col(idCol).as("id"), col(textCol).as("__text")))
-      .select(col("id"), explode(shingles(tokens(col("__text")), n)).as("shs"))
-      .select(col("id"), hash60(col("shs")).as("sh"))
+      .select(col("id"), explode(shingleHashes(tokens(col("__text")), n)).as("sh"))
 
   /** Per-document sorted shingle-hash SET vector: (id, shs, n_sh) — the
     * shared substrate of the Jaccard family. Built entirely MAP-SIDE:
@@ -65,8 +64,7 @@ object Dedup {
   def shingleVectors(df: DataFrame, idCol: String, textCol: String,
                      n: Int): DataFrame =
     Scale.widen(df.select(col(idCol).as("id"), col(textCol).as("__text")))
-      .select(col("id"), sort_array(array_distinct(
-        transform(shingles(tokens(col("__text")), n), s => hash60(s)))).as("shs"))
+      .select(col("id"), shingleHashes(tokens(col("__text")), n).as("shs"))
       .withColumn("n_sh", size(col("shs")).cast("long"))
       .filter(col("n_sh") > 0)
 
@@ -413,10 +411,11 @@ object Dedup {
     // null-text docs are dropped (the explode-based formulation did so
     // implicitly; a fold over a null array would emit signature 0 and
     // pair every null doc with every other at distance 0)
+    // width-1 shingles = the distinct word-hash set; the per-bit ±1 sums
+    // below are order-independent, so the fused sorted form is equivalent
     val hs = Scale.widen(df.select(col(idCol).as("id"), col(textCol).as("__text")))
       .filter(col("__text").isNotNull)
-      .select(col("id"),
-        transform(array_distinct(tokens(col("__text"))), w => hash60(w)).as("hs"))
+      .select(col("id"), shingleHashes(tokens(col("__text")), 1).as("hs"))
     val bitSums = (0 until width).map { j =>
       aggregate(col("hs"), lit(0L), (acc, h) =>
         acc + when(shiftright(h, j).bitwiseAND(1) === 1, 1L).otherwise(-1L))
