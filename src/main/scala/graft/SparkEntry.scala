@@ -78,6 +78,7 @@ object SparkEntry {
     "e4_sketch_stats"   -> (Pipeline.e4SketchStats _),
     "e5_pivot"          -> (Pipeline.e5Pivot _),
     "e6_json_props"     -> (Pipeline.e6JsonProps _),
+    "e7_funnel"         -> (Pipeline.e7Funnel _),
     "a1_asof"           -> (Relational.a1Asof _),
     "r1_range"          -> (Relational.r1Range _),
     "g1_rollup"         -> (Relational.g1Rollup _),
@@ -550,6 +551,20 @@ object SparkEntry {
         |  CAST(sum(k) AS BIGINT) AS sum_k, min(k) AS min_k, max(k) AS max_k
         |FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
         |GROUP BY event_type""".stripMargin,
+    "e7_funnel" ->
+      """WITH b AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+        |           FROM events WHERE event_id % 17 = 0),
+        |s0 AS (SELECT *, min(CASE WHEN event_type = 'view' THEN us END)
+        |         OVER (PARTITION BY user_id ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS r0 FROM b),
+        |s1 AS (SELECT *, min(CASE WHEN event_type = 'click' AND r0 < us THEN us END)
+        |         OVER (PARTITION BY user_id ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS r1 FROM s0),
+        |s2 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND r1 < us THEN us END)
+        |         OVER (PARTITION BY user_id ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS r2 FROM s1),
+        |u AS (SELECT user_id, min(r0) AS m0, min(r1) AS m1, min(r2) AS m2 FROM s2 GROUP BY user_id)
+        |SELECT CAST(CASE WHEN m2 IS NOT NULL THEN 3 WHEN m1 IS NOT NULL THEN 2
+        |                 WHEN m0 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS funnel_depth,
+        |       CAST(count(*) AS BIGINT) AS n_users
+        |FROM u GROUP BY 1""".stripMargin,
     "e3_stats" ->
       """SELECT event_type, count(*) AS cnt, min(value) AS min_v,
         |       max(value) AS max_v, quantile_cont(value, 0.5) AS median_v

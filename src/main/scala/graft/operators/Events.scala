@@ -46,6 +46,49 @@ object Events {
         max(col("__us")).as("end_us"))
   }
 
+  /** Batch funnel analysis: how far each user progresses through an
+    * ORDERED stage sequence (stage k counts only if it happens strictly
+    * after a completed stage k-1). Output: one row per funnel depth
+    * 0..stages.length with the user count that reached exactly that
+    * depth.
+    *
+    * Scale: one hash-shuffle on user_id + an in-partition time sort;
+    * each stage is a running conditional MIN over the same window (no
+    * extra exchange, no self-joins, no per-user arrays), then a
+    * per-user max and a tiny depth rollup. Strict `<` on event time
+    * makes the result independent of tie order.
+    */
+  def funnelBatch(events: DataFrame,
+                  stages: Seq[String] = Seq("view", "click", "purchase"))
+      : DataFrame = {
+    require(stages.nonEmpty, "need at least one funnel stage")
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("__us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val base = events.select(col("user_id"), col("event_id"),
+      col("event_type"), us(col("ts")).as("__us"))
+    // reach_k = running min event time at which stage k completed
+    val withReach = stages.zipWithIndex.foldLeft(base) {
+      case (df, (stage, i)) =>
+        val qualifies =
+          if (i == 0) col("event_type") === stage
+          else col("event_type") === stage && col(s"__r${i - 1}") < col("__us")
+        df.withColumn(s"__r$i",
+          min(when(qualifies, col("__us"))).over(w))
+    }
+    // ascending fold leaves the DEEPEST stage as the outermost branch
+    val depth = stages.indices.foldLeft(lit(0L)) { (acc, i) =>
+      when(col(s"__m$i").isNotNull, lit((i + 1).toLong)).otherwise(acc)
+    }
+    val mins = stages.indices.map(i => min(col(s"__r$i")).as(s"__m$i"))
+    withReach
+      .groupBy(col("user_id"))
+      .agg(mins.head, mins.tail: _*)
+      .select(col("user_id"), depth.as("funnel_depth"))
+      .groupBy(col("funnel_depth"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
   /** Batch tumbling-hour rollup via the built-in window(): count +
     * distinct users per hour, window start as exact epoch micros.
     */

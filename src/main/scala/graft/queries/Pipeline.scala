@@ -457,6 +457,18 @@ object Pipeline {
         col("error").as("n_error"), col("purchase").as("n_purchase"),
         col("signup").as("n_signup"), col("view").as("n_view"))
 
+  /** E7 — ordered funnel: users by deepest strictly-ordered
+    * view → click → purchase progression. One shuffle on user_id; each
+    * stage is a running conditional MIN over the same sorted window.
+    * The fixture is deterministically sparsified (event_id % 17 = 0,
+    * ~6%) so per-user histories are short and the depth distribution is
+    * non-degenerate — on the full table every user trivially completes
+    * the funnel.
+    */
+  def e7Funnel(spark: SparkSession, dir: String): DataFrame =
+    Events.funnelBatch(Tables.load(spark, dir, "events")
+      .filter(pmod(col("event_id"), lit(17)) === 0))
+
   /** E4 — the 100 TB path for e3's exact percentiles: mergeable
     * constant-memory quantile sketches (`percentile_approx`) +
     * HLL distinct counts (`approx_count_distinct`) — partial-aggregated

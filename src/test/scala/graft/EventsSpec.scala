@@ -114,6 +114,24 @@ class EventsSpec extends AnyFunSuite with SparkSpec {
     assert(got == want, "pigeonhole blocking must find every pair within maxDist")
   }
 
+  test("funnel depth: strict ordering, ties don't count, stages can't skip") {
+    val evs = Seq(
+      // user 1: full ordered funnel
+      Ev(0, 1, t(0), "view"), Ev(1, 1, t(1), "click"), Ev(2, 1, t(2), "purchase"),
+      // user 2: click BEFORE the first view → depth stops at view
+      Ev(3, 2, t(0), "click"), Ev(4, 2, t(1), "view"), Ev(5, 2, t(2), "purchase"),
+      // user 3: view only
+      Ev(6, 3, t(0), "view"),
+      // user 4: never enters the funnel
+      Ev(7, 4, t(0), "error"),
+      // user 5: click at the SAME instant as view → strict < fails
+      Ev(8, 5, t(0), "view"), Ev(9, 5, t(0), "click"), Ev(10, 5, t(1), "purchase")
+    ).toDF()
+    val got = Events.funnelBatch(evs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(3L -> 1L, 1L -> 3L, 0L -> 1L))
+  }
+
   test("json prop extraction: present, missing, and malformed keys") {
     val rows = Seq(
       ("click", """{"k": 5}"""),
