@@ -80,6 +80,22 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
     assert(got(3L) == ((0L, 0L, 0L)))
   }
 
+  test("graft_shingle_hashes from SQL equals the unfused expression chain") {
+    graft.functions.GraftFunctions.register(spark)
+    Seq((1L, "a b c d"), (2L, "a b a b a b"), (3L, "x"))
+      .toDF("doc_id", "text").createOrReplaceTempView("sh_sql")
+    val sql = spark.sql(
+      "SELECT doc_id, graft_shingle_hashes(split(text, ' '), 2) AS h FROM sh_sql")
+      .as[(Long, Seq[Long])].collect().toMap
+    val chain = Seq((1L, "a b c d"), (2L, "a b a b a b"), (3L, "x"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), sort_array(array_distinct(
+        transform(shingles(tokens(col("text")), 2), s => hash60(s)))).as("h"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(sql == chain)
+    assert(sql(1L).length == 3 && sql(2L).length == 2 && sql(3L).isEmpty)
+  }
+
   test("boilerplate incidence counts docs carrying a top gram, per group") {
     val boiler = "this page is served from cache today" // 7 toks → 3 5-grams
     val docs = Seq(
