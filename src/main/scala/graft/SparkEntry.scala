@@ -37,6 +37,7 @@ object SparkEntry {
     "q7b_cold_only"  -> (Lakehouse.q7ColdOnly _),
     "q8_notnull_drop"-> (Parity.q8NotNullDrop _),
     "q9_snapshots"   -> (Lakehouse.q9Snapshots _),
+    "q10_incremental"-> (Lakehouse.q10Incremental _),
     // training-data pipeline: dedup / similarity / text analysis
     "d1_exact_dedup" -> (Pipeline.d1ExactDedup _),
     "d2_fingerprint" -> (Pipeline.d2Fingerprint _),
@@ -210,6 +211,10 @@ object SparkEntry {
         |  SELECT 2, 1, 'tier',
         |         (SELECT COUNT(*) FROM orders WHERE o_orderkey % 3 = 1), 1
         |) ORDER BY snapshot_id""".stripMargin,
+    "q10_incremental" ->
+      """SELECT '+I' AS op, COUNT(*) AS cnt,
+        |       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+        |FROM orders WHERE o_orderkey % 3 = 1""".stripMargin,
     "d1_exact_dedup" ->
       "SELECT min(doc_id) AS keep_id, count(*) AS n_dups FROM documents GROUP BY text",
     "d2_fingerprint" ->

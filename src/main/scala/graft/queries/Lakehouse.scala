@@ -75,4 +75,16 @@ object Lakehouse {
               element_at(col("summary"), "total-data-files").cast("long")
                 .as("total_data_files"))
       .orderBy(col("snapshot_id"))
+
+  /** Q10 — incremental (CDC) read between the demo table's two
+    * snapshots: per-op counts and key sums of the changelog that takes
+    * snapshot 1 to snapshot 2 — Iceberg's changelog scan / "consume only
+    * what changed" primitive. On the append-only demo table the diff is
+    * pure inserts (the `o_orderkey % 3 = 1` segment), which the oracle
+    * recomputes from the modulo split.
+    */
+  def q10Incremental(spark: SparkSession, dir: String): DataFrame =
+    demoTable(spark, dir).incrementalRead(1L, 2L, Seq("o_orderkey"))
+      .groupBy(col("op"))
+      .agg(count(lit(1)).as("cnt"), sum(col("o_orderkey")).as("key_sum"))
 }

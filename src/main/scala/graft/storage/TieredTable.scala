@@ -417,6 +417,46 @@ class TieredTable(spark: SparkSession, rawTablePath: String,
       else Upsert.latestByKey(raw, pk, Seq(col(SeqCol).desc)).drop(SeqCol)
   }
 
+  /** CDC-style incremental read: the changelog taking snapshot `from`
+    * to snapshot `to`, keyed by `keyCols` — Iceberg's changelog-scan
+    * analog. Ops: `+I` keys only in `to`, `-D` keys only in `from`
+    * (future delete paths; log and copy-on-write upsert tables today
+    * only grow/rewrite keys), `+U` keys in both whose row content
+    * changed. `+I`/`+U` rows carry the `to` version, `-D` the `from`
+    * version (schema-evolved columns null where absent).
+    *
+    * Scale: three hash-joins on the key — anti ×2 + one inner with a
+    * row-fingerprint comparison; no full-row distinct, no driver state.
+    * This is the "consume only what changed" primitive a downstream
+    * incremental pipeline (sync, re-index, re-embed) wants instead of
+    * re-reading the table.
+    */
+  def incrementalRead(from: Long, to: Long, keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "incrementalRead needs key columns")
+    val a = readColdAsOf(from)
+    val b = readColdAsOf(to)
+    require(keyCols.forall(a.columns.contains),
+      s"key columns ${keyCols.mkString(",")} missing in snapshot $from")
+    // row fingerprint over the columns both snapshots share, in a fixed
+    // order; \\u0001 separates fields (so ("ab","c") != ("a","bc")) and
+    // \\u0000 marks null distinctly from the empty string
+    val common = b.columns.filter(a.columns.contains).sorted.toSeq
+    def fp(df: DataFrame) = md5(concat_ws("\u0001",
+      common.map(c => coalesce(col(c).cast("string"), lit("\u0000"))): _*))
+    val inserts = b.join(a.select(keyCols.map(col): _*), keyCols, "left_anti")
+      .withColumn("op", lit("+I"))
+    val deletes = a.join(b.select(keyCols.map(col): _*), keyCols, "left_anti")
+      .withColumn("op", lit("-D"))
+    val updates = b.withColumn("__fp", fp(b))
+      .join(a.withColumn("__fp", fp(a)).select((keyCols.map(col) :+
+        col("__fp").as("__fp_old")): _*), keyCols)
+      .filter(col("__fp") =!= col("__fp_old"))
+      .drop("__fp", "__fp_old")
+      .withColumn("op", lit("+U"))
+    inserts.unionByName(updates, allowMissingColumns = true)
+      .unionByName(deletes, allowMissingColumns = true)
+  }
+
   /** Cold-tier parquet paths as of the latest snapshot (one manifest
     * read) — the SQL catalog hands these straight to Spark's parquet
     * source.

@@ -69,6 +69,19 @@ class TieredTableSpec extends AnyFunSuite with SparkSpec {
     assert(got == Map(1 -> "a", 2 -> "b2", 3 -> "c"))
   }
 
+  test("incremental read emits +I for new keys and +U for changed rows only") {
+    val t = tmpTable(pk = Seq("k"))
+    t.commitUpsert(Seq((1, "a"), (2, "b"), (4, "d")).toDF("k", "v")) // snap 1
+    t.commitUpsert(Seq((2, "b2"), (3, "c"), (4, "d")).toDF("k", "v")) // snap 2
+    val got = t.incrementalRead(1L, 2L, Seq("k"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSet
+    // k=3 is new (+I), k=2 changed (+U); k=1 and the unchanged k=4
+    // produce NO changelog rows
+    assert(got == Set((3, "c", "+I"), (2, "b2", "+U")))
+    // identical snapshots → empty changelog
+    assert(t.incrementalRead(2L, 2L, Seq("k")).count() == 0)
+  }
+
   test("compact + vacuum preserve content, shrink files, keep union exact") {
     val t = tmpTable()
     (0 until 5).foreach { i =>
