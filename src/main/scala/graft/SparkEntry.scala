@@ -70,6 +70,7 @@ object SparkEntry {
     "t5_wordcount"   -> (Pipeline.t5WordCount _),
     "t6_repetition"  -> (Pipeline.t6Repetition _),
     "t7_boilerplate" -> (Pipeline.t7Boilerplate _),
+    "t8_tfidf"       -> (Pipeline.t8Tfidf _),
     "m1_media_features" -> (Pipeline.m1MediaFeatures _),
     "m2_frame_sample"   -> (Pipeline.m2FrameSample _),
     "m3_resize"         -> (Pipeline.m3Resize _),
@@ -497,6 +498,19 @@ object SparkEntry {
         |hit AS (SELECT DISTINCT doc_id, source FROM g JOIN top USING (gh))
         |SELECT source, CAST(count(*) AS BIGINT) AS n_boiler_docs
         |FROM hit GROUP BY source""".stripMargin,
+    "t8_tfidf" ->
+      """WITH tf AS (SELECT doc_id, w AS word, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+        |  GROUP BY doc_id, w),
+        |dfreq AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+        |scored AS (SELECT doc_id, word,
+        |    tf * CAST((SELECT count(*) FROM documents) AS DOUBLE) / df AS score
+        |  FROM tf JOIN dfreq USING (word))
+        |SELECT doc_id, rank, word FROM (
+        |  SELECT doc_id, word,
+        |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, word) AS BIGINT) AS rank
+        |  FROM scored)
+        |WHERE rank <= 5""".stripMargin,
     // multimodal: the synthesized payload is md5-derived, so the stubbed
     // decode (byte sums over the payload) is reproducible from hex chars
     "m1_media_features" ->

@@ -36,3 +36,33 @@ class TopKAgg(k: Int)
   override def outputEncoder: Encoder[Seq[(Double, Long)]] =
     bufferEncoder
 }
+
+/** [[TopKAgg]] for string-keyed items (terms, labels): the k largest
+  * (score, key) pairs, (score desc, key asc) — binary/lexicographic key
+  * order, which agrees with the oracle's ORDER BY on ASCII data. Same
+  * partial-aggregation scale behavior.
+  */
+class TopKStrAgg(k: Int)
+    extends Aggregator[(Double, String), Seq[(Double, String)], Seq[(Double, String)]] {
+
+  private def trim(s: Seq[(Double, String)]): Seq[(Double, String)] =
+    s.sortBy { case (score, id) => (-score, id) }.take(k)
+
+  override def zero: Seq[(Double, String)] = Nil
+
+  override def reduce(buf: Seq[(Double, String)],
+                      in: (Double, String)): Seq[(Double, String)] =
+    trim(buf :+ in)
+
+  override def merge(a: Seq[(Double, String)],
+                     b: Seq[(Double, String)]): Seq[(Double, String)] =
+    trim(a ++ b)
+
+  override def finish(r: Seq[(Double, String)]): Seq[(Double, String)] = trim(r)
+
+  override def bufferEncoder: Encoder[Seq[(Double, String)]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, String)]]()
+
+  override def outputEncoder: Encoder[Seq[(Double, String)]] =
+    bufferEncoder
+}

@@ -451,13 +451,17 @@ object Dedup {
     }
     val keyed = sig.select(col("id"), col("simhash"),
       explode(array(blockKeys: _*)).as("blk"))
+    // Hamming filter BEFORE the dedup exchange: candidates beyond
+    // maxDist never enter the distinct's shuffle (on a low-entropy
+    // corpus the block buckets are dense, so most candidates fail the
+    // exact check — shuffling them just to drop them is pure waste)
     keyed.select(col("id").as("a_id"), col("simhash").as("sig_a"), col("blk"))
       .join(keyed.select(col("id").as("b_id"), col("simhash").as("sig_b"), col("blk")),
         Seq("blk"))
       .filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
-      .distinct()
       .filter(col("hamming") <= maxDist)
+      .distinct()
   }
 }

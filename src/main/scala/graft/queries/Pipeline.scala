@@ -288,6 +288,32 @@ object Pipeline {
     graft.operators.Boilerplate.incidence(docs(spark, dir),
       "doc_id", "text", "source", n = 5, k = 10)
 
+  /** T8 — per-document keyword extraction: top-5 terms by tf·idf with
+    * LINEAR idf (tf · N / df, no logarithm — `ln` is libm-dependent and
+    * not bit-stable across engines; the linear form is one IEEE multiply
+    * + divide both sides compute identically, and ranking is what
+    * matters). Term counts are one explode + groupBy; document
+    * frequency reuses that aggregate; top-k per doc is the
+    * partial-aggregating [[graft.functions.TopKStrAgg]], so the final
+    * exchange carries ≤ 5 terms per (task, doc), never the scored
+    * (doc, term) matrix.
+    */
+  def t8Tfidf(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val n = d.count() // corpus size: one metadata-cheap aggregate
+    val tf = d.select(col("doc_id"), explode(tokens(col("text"))).as("word"))
+      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val scored = tf.join(dfreq, Seq("word"))
+      .withColumn("score", col("tf") * lit(n.toDouble) / col("df"))
+    val topk = udaf(new graft.functions.TopKStrAgg(5))
+    scored.groupBy(col("doc_id"))
+      .agg(topk(col("score"), col("word")).as("kw"))
+      .select(col("doc_id"), posexplode(col("kw")))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("col._2").as("word"))
+  }
+
   /** C5 — per-source corpus health report: doc/token/language counts
     * and exact-duplicate incidence per source. Everything derived from
     * the text (md5 fingerprint, token count) is projected map-side

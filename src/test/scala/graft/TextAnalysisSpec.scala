@@ -96,6 +96,19 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
     assert(sql(1L).length == 3 && sql(2L).length == 2 && sql(3L).isEmpty)
   }
 
+  test("TopKStrAgg keeps (score desc, key asc) order through partial merges") {
+    val topk = org.apache.spark.sql.functions.udaf(
+      new graft.functions.TopKStrAgg(3))
+    val rows = Seq(
+      (1L, 5.0, "zebra"), (1L, 5.0, "apple"), (1L, 9.0, "mid"),
+      (1L, 1.0, "low"), (2L, 2.0, "only")
+    ).toDF("g", "score", "word").repartition(4) // force partial merges
+    val got = rows.groupBy(col("g")).agg(topk(col("score"), col("word")).as("k"))
+      .as[(Long, Seq[(Double, String)])].collect().toMap
+    assert(got(1L) == Seq((9.0, "mid"), (5.0, "apple"), (5.0, "zebra")))
+    assert(got(2L) == Seq((2.0, "only")))
+  }
+
   test("boilerplate incidence counts docs carrying a top gram, per group") {
     val boiler = "this page is served from cache today" // 7 toks → 3 5-grams
     val docs = Seq(
