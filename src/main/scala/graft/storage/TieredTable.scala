@@ -352,6 +352,50 @@ class TieredTable(spark: SparkSession, rawTablePath: String,
     s
   } }
 
+  /** Delete rows matching `cond` (copy-on-write): rewrites the resolved
+    * current state minus the matches as one new snapshot, op `delete` —
+    * the verb that makes [[incrementalRead]] emit `-D` rows. Requires a
+    * fully-tiered table (no hot tail): a hot segment deleted-from in
+    * place would break the append-only log contract, so tier first.
+    * Returns the new snapshot, or None when nothing matched (no empty
+    * commit). For merge-on-read PK tables the rewrite also collapses
+    * version history (like [[compact]]) — the deleted keys are gone,
+    * not tombstoned.
+    */
+  def deleteWhere(cond: org.apache.spark.sql.Column): Option[Snapshot] =
+    withCommitLock {
+      val prev = currentSnapshot.getOrElse(throw new IllegalStateException(
+        s"no snapshot in $tablePath — nothing to delete from"))
+      val watermark = prev.tieredSeg
+      require(!logSegments.exists(_ > watermark),
+        s"hot log segments exist above the tiered watermark in $tablePath; " +
+          "tier() before deleteWhere")
+      val resolved = readCold()
+      val total = resolved.count()
+      val kept = resolved.filter(!cond)
+      val id = latestSnapshotId + 1
+      val out = dataDir.resolve(f"snap-$id%06d")
+      // merge-on-read readers resolve versions via SeqCol — the rewrite
+      // is already resolved, so every surviving row restarts at seq 0
+      val toWrite =
+        if (pk.nonEmpty && mergeOnRead) kept.withColumn(SeqCol, lit(0L))
+        else kept
+      toWrite.write.mode("overwrite").parquet(out.toString)
+      val rows = writtenRows(out.toString)
+      if (rows == total) {
+        // nothing matched: drop the just-written identical copy, no commit
+        val s = Files.walk(out)
+        try s.sorted(Comparator.reverseOrder[Path]()).forEach(Files.deleteIfExists(_))
+        finally s.close()
+        None
+      } else {
+        val s = Snapshot(id, "delete", rows, watermark,
+          Seq(out.toString), System.currentTimeMillis())
+        commitManifest(s)
+        Some(s)
+      }
+    }
+
   /** Drop history: keep the last `keepLast` snapshots, delete older
     * manifests, then physically remove (a) data dirs referenced only by
     * dropped snapshots and (b) log segments at or below every kept

@@ -82,6 +82,36 @@ class TieredTableSpec extends AnyFunSuite with SparkSpec {
     assert(t.incrementalRead(2L, 2L, Seq("k")).count() == 0)
   }
 
+  test("deleteWhere rewrites the cold tier; incremental read emits -D") {
+    val t = tmpTable()
+    t.appendLog(Seq(1L, 2L, 3L).toDF("id")); t.tier() // snap 1
+    val s = t.deleteWhere(col("id") === 2L)
+    assert(s.isDefined && s.get.op == "delete")
+    assert(t.readCold().collect().map(_.getLong(0)).toSet == Set(1L, 3L))
+    val cdc = t.incrementalRead(1L, s.get.id, Seq("id"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(cdc == Set((2L, "-D")))
+    // nothing matched → no empty commit
+    assert(t.deleteWhere(col("id") === 99L).isEmpty)
+    assert(t.latestSnapshotId == s.get.id)
+    // a hot tail blocks deletes (tier first)
+    t.appendLog(Seq(4L).toDF("id"))
+    intercept[Exception] { t.deleteWhere(col("id") === 1L) }
+  }
+
+  test("deleteWhere on a merge-on-read PK table keeps later reads resolvable") {
+    val t = tmpTable(pk = Seq("k"))
+    t.commitUpsert(Seq((1, "a"), (2, "b")).toDF("k", "v"))
+    t.commitUpsert(Seq((2, "b2"), (3, "c")).toDF("k", "v"))
+    assert(t.deleteWhere(col("k") === 2).isDefined)
+    val got = t.readCold().collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(got == Map(1 -> "a", 3 -> "c"))
+    // upserts after the rewrite still version correctly
+    t.commitUpsert(Seq((1, "a9")).toDF("k", "v"))
+    assert(t.readCold().collect().map(r => r.getInt(0) -> r.getString(1)).toMap ==
+      Map(1 -> "a9", 3 -> "c"))
+  }
+
   test("compact + vacuum preserve content, shrink files, keep union exact") {
     val t = tmpTable()
     (0 until 5).foreach { i =>
