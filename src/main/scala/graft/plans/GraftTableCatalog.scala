@@ -295,7 +295,8 @@ class GraftTableCatalog extends TableCatalog {
 class TieredSqlTable(tableName: String, spark: SparkSession,
                      t: TieredTable, entry: TieredCatalog.Entry)
     extends Table with SupportsRead
-    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+    with org.apache.spark.sql.connector.catalog.SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
 
   /** Declared schema persisted by CREATE TABLE, if any — lets an empty
     * table resolve for reads and INSERT column checking.
@@ -325,6 +326,25 @@ class TieredSqlTable(tableName: String, spark: SparkSession,
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     inner.newScanBuilder(options)
 
+  /** `DELETE FROM graft.<db>.<t> WHERE …` — filters that translate to
+    * Column predicates run through the SAME copy-on-write commit as the
+    * API's [[TieredTable.deleteWhere]] (op `delete`, -D rows in the
+    * incremental read). Deleting from a table with a hot log tail
+    * fails inside deleteWhere (tier first); an empty table is a no-op.
+    */
+  override def canDeleteWhere(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+    filters.forall(TieredSqlTable.filterToColumn(_).isDefined)
+
+  override def deleteWhere(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    if (t.latestSnapshotId == 0L && t.logSegments.isEmpty) return
+    val cond = filters.flatMap(TieredSqlTable.filterToColumn(_))
+      .reduceOption(_ && _)
+      .getOrElse(org.apache.spark.sql.functions.lit(true))
+    t.deleteWhere(cond)
+  }
+
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
       override def build(): V1Write = new V1Write {
@@ -340,6 +360,38 @@ class TieredSqlTable(tableName: String, spark: SparkSession,
           }
       }
     }
+}
+
+object TieredSqlTable {
+  import org.apache.spark.sql.{functions => F}
+  import org.apache.spark.sql.sources._
+
+  /** Translate a DSv2 pushed Filter to a Column predicate; None marks
+    * the filter untranslatable (canDeleteWhere then rejects the DELETE
+    * instead of silently deleting the wrong rows).
+    */
+  def filterToColumn(f: Filter): Option[org.apache.spark.sql.Column] = f match {
+    case EqualTo(a, v) => Some(F.col(a) === F.lit(v))
+    case EqualNullSafe(a, v) => Some(F.col(a) <=> F.lit(v))
+    case GreaterThan(a, v) => Some(F.col(a) > F.lit(v))
+    case GreaterThanOrEqual(a, v) => Some(F.col(a) >= F.lit(v))
+    case LessThan(a, v) => Some(F.col(a) < F.lit(v))
+    case LessThanOrEqual(a, v) => Some(F.col(a) <= F.lit(v))
+    case In(a, vs) => Some(F.col(a).isin(vs.toIndexedSeq: _*))
+    case IsNull(a) => Some(F.col(a).isNull)
+    case IsNotNull(a) => Some(F.col(a).isNotNull)
+    case StringStartsWith(a, v) => Some(F.col(a).startsWith(v))
+    case StringEndsWith(a, v) => Some(F.col(a).endsWith(v))
+    case StringContains(a, v) => Some(F.col(a).contains(v))
+    case And(l, r) =>
+      for (lc <- filterToColumn(l); rc <- filterToColumn(r)) yield lc && rc
+    case Or(l, r) =>
+      for (lc <- filterToColumn(l); rc <- filterToColumn(r)) yield lc || rc
+    case Not(c) => filterToColumn(c).map(!_)
+    case AlwaysTrue() => Some(F.lit(true))
+    case AlwaysFalse() => Some(F.lit(false))
+    case _ => None
+  }
 }
 
 /** In-memory DSv2 table serving the snapshot-metadata listing — the rows

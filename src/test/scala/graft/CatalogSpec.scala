@@ -228,6 +228,26 @@ class CatalogSpec extends AnyFunSuite with SparkSpec {
     assert(e.getMessage.toLowerCase.contains("nope"))
   }
 
+  test("SQL DELETE runs the copy-on-write commit and shows in snapshots") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-del").toString
+    TieredCatalog.register("demo", "del_t", s"$dir/t")
+    val t = TieredTable(spark, s"$dir/t")
+    t.appendLog(Seq(1L, 2L, 3L, 4L).toDF("id")); t.tier()
+    extSession.sql("DELETE FROM graft.demo.del_t WHERE id IN (2, 4)")
+    assert(extSession.sql("SELECT id FROM graft.demo.del_t ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 3L))
+    // the delete is a first-class snapshot
+    val ops = extSession.sql(
+      "SELECT operation FROM graft.demo.del_t__snapshots ORDER BY snapshot_id")
+      .collect().map(_.getString(0)).toSeq
+    assert(ops == Seq("tier", "delete"))
+    // deleting nothing commits nothing
+    extSession.sql("DELETE FROM graft.demo.del_t WHERE id = 99")
+    assert(extSession.sql(
+      "SELECT COUNT(*) FROM graft.demo.del_t__snapshots").head().getLong(0) == 2)
+  }
+
   test("managed CREATE TABLE refuses a location holding committed state") {
     import spark.implicits._
     spark.sql("DROP TABLE IF EXISTS graft.wf.survivor")
