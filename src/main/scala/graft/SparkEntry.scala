@@ -86,6 +86,7 @@ object SparkEntry {
     "g1_rollup"         -> (Relational.g1Rollup _),
     "g2_semi_anti"      -> (Relational.g2SemiAnti _),
     "g3_running_total"  -> (Relational.g3RunningTotal _),
+    "g4_cube"           -> (Relational.g4Cube _),
     "p1_pricing"        -> (Relational.p1Pricing _),
     "p2_shipping"       -> (Relational.p2Shipping _),
   )
@@ -606,6 +607,11 @@ object SparkEntry {
         |       CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(15,2))) AS DECIMAL(15,2)) * 100 AS BIGINT) AS sum_qty_cents,
         |       count(*) AS cnt
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "g4_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(15,2))) AS DECIMAL(15,2)) * 100 AS BIGINT) AS sum_qty_cents,
+        |       count(*) AS cnt
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
     "g2_semi_anti" ->
       """SELECT
         |  (SELECT count(*) FROM customer c

@@ -69,6 +69,18 @@ object Relational {
              .as("sum_qty_cents"),
         count(lit(1)).as("cnt"))
 
+  /** G4 — CUBE over (returnflag, linestatus): all four grouping
+    * combinations in one pass — like ROLLUP (g1) the expansion is
+    * map-side (each row feeds every grouping set's partial aggregate
+    * before the single exchange).
+    */
+  def g4Cube(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(fixedPoint(sum(col("l_quantity").cast(M)).cast(M), 2)
+             .as("sum_qty_cents"),
+        count(lit(1)).as("cnt"))
+
   /** G2 — semi/anti join cardinalities: customers with ≥1 order vs
     * customers with none, one output row.
     */
