@@ -29,8 +29,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * one thread-local MessageDigest — no string materialization at all.
   *
   * Fewer than `n` tokens yields an empty array (no shingles); a null
-  * token array yields null. Token elements are assumed non-null
-  * (tokenizer output).
+  * token array yields null; null ELEMENTS are skipped within their
+  * window exactly as `concat_ws` skips them (so the SQL-registered
+  * surface cannot NPE on arrays with null entries).
   */
 case class ShingleHashes(child: Expression, n: Int)
     extends UnaryExpression {
@@ -75,7 +76,8 @@ object ShingleHashes {
     val bytes = new Array[Array[Byte]](len)
     var i = 0
     while (i < len) {
-      bytes(i) = toks.getUTF8String(i).getBytes
+      val u = toks.getUTF8String(i) // null element → null marker, skipped
+      bytes(i) = if (u == null) null else u.getBytes
       i += 1
     }
     val seen = new java.util.HashSet[java.lang.Long]()
@@ -84,10 +86,16 @@ object ShingleHashes {
     i = 0
     while (i <= len - n) {
       md.reset()
+      // null tokens are skipped with no separator — concat_ws semantics
       var j = 0
+      var written = false
       while (j < n) {
-        if (j > 0) md.update(Space)
-        md.update(bytes(i + j))
+        val b = bytes(i + j)
+        if (b != null) {
+          if (written) md.update(Space)
+          md.update(b)
+          written = true
+        }
         j += 1
       }
       val d = md.digest()

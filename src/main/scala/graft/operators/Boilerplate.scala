@@ -17,16 +17,6 @@ import graft.functions.TextFunctions._
   */
 object Boilerplate {
 
-  /** The k most document-frequent n-gram shingles, deterministically
-    * ordered (doc frequency DESC, gram ASC). `shingles` is per-doc
-    * distinct, so the count IS document frequency, not occurrence count.
-    */
-  def topGrams(df: DataFrame, textCol: String, n: Int, k: Int): DataFrame =
-    df.select(explode(shingles(tokens(col(textCol)), n)).as("gram"))
-      .groupBy(col("gram")).agg(count(lit(1)).as("df_docs"))
-      .orderBy(col("df_docs").desc, col("gram"))
-      .limit(k)
-
   /** Per-group counts of documents containing at least one of the top-k
     * boilerplate grams. Groups with zero affected documents are absent
     * (inner-join semantics).
@@ -35,8 +25,7 @@ object Boilerplate {
     * [[graft.functions.TextFunctions.shingleHashes]]): every shuffle and
     * the broadcast carry 8-byte keys, never n-word strings, and the
     * document-frequency tie-break among equal counts is the hash value
-    * (deterministic; [[topGrams]] keeps the human-readable string order
-    * for reporting). The exploded (id, group, hash) frame is
+    * (deterministic). The exploded (id, group, hash) frame is
     * localCheckpointed so the shingling pass runs ONCE for both the
     * top-k aggregation and the tagging probe — the materialized volume
     * is ≈ the tokenized corpus spread across executors, the same bytes
@@ -44,6 +33,8 @@ object Boilerplate {
     */
   def incidence(df: DataFrame, idCol: String, textCol: String,
                 groupCol: String, n: Int, k: Int): DataFrame = {
+    require(!df.columns.exists(Set("__id", "gh")),
+      "input columns collide with incidence internals: __id, gh")
     val grams = df.select(col(idCol).as("__id"), col(groupCol),
         explode(shingleHashes(tokens(col(textCol)), n)).as("gh"))
       .localCheckpoint(true)

@@ -68,6 +68,8 @@ object Sampling {
                        salt: String = "strat"): DataFrame = {
     require(num >= 0 && num <= den && den > 0, "need 0 <= num <= den")
     require(strataCols.nonEmpty, "need at least one stratum column")
+    require(!df.columns.exists(Set("__rn", "__n")),
+      "input columns collide with stratifiedSample internals: __rn, __n")
     val byStratum = Window.partitionBy(strataCols.map(col): _*)
     val w = byStratum.orderBy(keyHash(salt, col(keyCol)), col(keyCol))
     df.withColumn("__rn", row_number().over(w))
@@ -94,7 +96,16 @@ object Sampling {
   def budgetSelect(df: DataFrame, keyCol: String, tokCol: String,
                    scoreCol: String, budget: Long): DataFrame = {
     require(budget >= 0, "need a non-negative budget")
-    val perScore = df.groupBy(col(scoreCol))
+    require(!df.columns.contains("__cum"),
+      "input columns collide with budgetSelect internals: __cum")
+    // Rows with a NULL score or NULL token count are never selected
+    // (unknown quality / unknown cost can't be ranked or budgeted), and
+    // the selection plan is inherently multi-pass (cutoff scan + two
+    // selection branches) — localCheckpoint materializes the cleaned
+    // input once instead of re-scanning the source per branch.
+    val clean = df.filter(col(scoreCol).isNotNull && col(tokCol).isNotNull)
+      .localCheckpoint(true)
+    val perScore = clean.groupBy(col(scoreCol))
       .agg(sum(col(tokCol).cast("long")).as("__t"))
       .orderBy(col(scoreCol).desc)
       .collect() // O(distinct scores) — driver-side by design
@@ -108,15 +119,15 @@ object Sampling {
       else boundary = Some((r.get(0), cum))
     }
     boundary match {
-      case None => df // every group fits
+      case None => clean // every group fits
       case Some((cut, before)) =>
         val wB = Window.partitionBy(col(scoreCol)).orderBy(col(keyCol))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val inBoundary = df.filter(col(scoreCol) === lit(cut))
+        val inBoundary = clean.filter(col(scoreCol) === lit(cut))
           .withColumn("__cum", sum(col(tokCol).cast("long")).over(wB))
           .filter(col("__cum") + before <= budget)
           .drop("__cum")
-        df.filter(col(scoreCol) > lit(cut)).unionByName(inBoundary)
+        clean.filter(col(scoreCol) > lit(cut)).unionByName(inBoundary)
     }
   }
 

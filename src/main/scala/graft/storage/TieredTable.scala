@@ -372,7 +372,10 @@ class TieredTable(spark: SparkSession, rawTablePath: String,
           "tier() before deleteWhere")
       val resolved = readCold()
       val total = resolved.count()
-      val kept = resolved.filter(!cond)
+      // SQL DELETE semantics: a row is deleted only when the predicate
+      // is TRUE — a NULL predicate (e.g. `id = 2` on a NULL id) keeps
+      // the row; a bare `!cond` filter would silently drop it
+      val kept = resolved.filter(!coalesce(cond, lit(false)))
       val id = latestSnapshotId + 1
       val out = dataDir.resolve(f"snap-$id%06d")
       // merge-on-read readers resolve versions via SeqCol — the rewrite

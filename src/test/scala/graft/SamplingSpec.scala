@@ -113,6 +113,14 @@ class SamplingSpec extends AnyFunSuite with SparkSpec {
     // a budget larger than the corpus selects everything
     assert(Sampling.budgetSelect(base, "id", "tok", "score", 1000000L)
       .count() == 500)
+    // NULL scores/token counts are never selected and never poison the
+    // cutoff (a NULL boundary score would otherwise empty the result)
+    val withNulls = spark.sql(
+      """SELECT * FROM VALUES (1L, 5L, 10L), (2L, CAST(NULL AS LONG), 100L),
+        |(3L, 4L, CAST(NULL AS LONG)) AS t(id, score, tok)""".stripMargin)
+    val sel = Sampling.budgetSelect(withNulls, "id", "tok", "score", 50L)
+      .collect().map(_.getLong(0)).toSet
+    assert(sel == Set(1L))
   }
 
   test("round-3 plans: c7 one exchange, c8 no global sort, s7 partial aggs, t7 broadcast tag") {

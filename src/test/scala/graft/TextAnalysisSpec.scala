@@ -94,6 +94,17 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
       .as[(Long, Seq[Long])].collect().toMap
     assert(sql == chain)
     assert(sql(1L).length == 3 && sql(2L).length == 2 && sql(3L).isEmpty)
+    // null elements are skipped like concat_ws — no NPE from SQL input
+    val withNull = spark.sql(
+      "SELECT graft_shingle_hashes(array('a', CAST(NULL AS STRING), 'b'), 2) AS h")
+      .as[Seq[Long]].head()
+    val expect = spark.sql(
+      """SELECT array_sort(array_distinct(transform(
+        |  array(concat_ws(' ', 'a', CAST(NULL AS STRING)),
+        |        concat_ws(' ', CAST(NULL AS STRING), 'b')),
+        |  s -> CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT)))) AS h""".stripMargin)
+      .as[Seq[Long]].head()
+    assert(withNull == expect)
   }
 
   test("TopKStrAgg keeps (score desc, key asc) order through partial merges") {

@@ -94,6 +94,13 @@ class TieredTableSpec extends AnyFunSuite with SparkSpec {
     // nothing matched → no empty commit
     assert(t.deleteWhere(col("id") === 99L).isEmpty)
     assert(t.latestSnapshotId == s.get.id)
+    // SQL three-valued logic: a NULL predicate keeps the row
+    val tn = tmpTable()
+    tn.appendLog(Seq(Some(1L), None, Some(3L)).toDF("id")); tn.tier()
+    tn.deleteWhere(col("id") === 3L)
+    val left = tn.readCold().collect().map(r =>
+      if (r.isNullAt(0)) None else Some(r.getLong(0))).toSet
+    assert(left == Set(Some(1L), None), "NULL-id row must survive the delete")
     // a hot tail blocks deletes (tier first)
     t.appendLog(Seq(4L).toDF("id"))
     intercept[Exception] { t.deleteWhere(col("id") === 1L) }
