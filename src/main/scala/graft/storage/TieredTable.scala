@@ -399,6 +399,57 @@ class TieredTable(spark: SparkSession, rawTablePath: String,
       }
     }
 
+  /** Update columns on rows matching `cond` (copy-on-write): rewrites
+    * the resolved current state with `assignments` applied where the
+    * predicate is TRUE (NULL/false rows pass through untouched — SQL
+    * three-valued logic, same as [[deleteWhere]]), committed as one
+    * `update` snapshot; [[incrementalRead]] then reports the touched
+    * keys as `+U`. Same preconditions as deleteWhere: fully-tiered
+    * table, no hot tail. Returns None when no row matched (no empty
+    * commit). Assignment expressions may reference the row's own
+    * columns (e.g. `"price" -> col("price") * 2`).
+    */
+  def updateWhere(cond: org.apache.spark.sql.Column,
+                  assignments: Map[String, org.apache.spark.sql.Column])
+      : Option[Snapshot] = withCommitLock {
+    require(assignments.nonEmpty, "updateWhere needs at least one assignment")
+    val prev = currentSnapshot.getOrElse(throw new IllegalStateException(
+      s"no snapshot in $tablePath — nothing to update"))
+    val watermark = prev.tieredSeg
+    require(!logSegments.exists(_ > watermark),
+      s"hot log segments exist above the tiered watermark in $tablePath; " +
+        "tier() before updateWhere")
+    val resolved = readCold()
+    assignments.keys.foreach(c => require(resolved.columns.contains(c),
+      s"unknown column $c in updateWhere assignment"))
+    val hit = coalesce(cond, lit(false))
+    val matched = resolved.filter(hit).limit(1).count() > 0
+    if (!matched) None
+    else {
+      // one select, not chained withColumn: every assignment expression
+      // sees the ORIGINAL row (SQL UPDATE's simultaneous-assignment
+      // semantics — chained rewrites would leak one assignment's result
+      // into another in unspecified Map order)
+      val updated = resolved.select(resolved.columns.map { c =>
+        assignments.get(c) match {
+          case Some(v) => when(hit, v).otherwise(col(c)).as(c)
+          case None => col(c)
+        }
+      }.toIndexedSeq: _*)
+      val toWrite =
+        if (pk.nonEmpty && mergeOnRead) updated.withColumn(SeqCol, lit(0L))
+        else updated
+      val id = latestSnapshotId + 1
+      val out = dataDir.resolve(f"snap-$id%06d")
+      toWrite.write.mode("overwrite").parquet(out.toString)
+      val rows = writtenRows(out.toString)
+      val s = Snapshot(id, "update", rows, watermark,
+        Seq(out.toString), System.currentTimeMillis())
+      commitManifest(s)
+      Some(s)
+    }
+  }
+
   /** Drop history: keep the last `keepLast` snapshots, delete older
     * manifests, then physically remove (a) data dirs referenced only by
     * dropped snapshots and (b) log segments at or below every kept

@@ -106,6 +106,26 @@ class TieredTableSpec extends AnyFunSuite with SparkSpec {
     intercept[Exception] { t.deleteWhere(col("id") === 1L) }
   }
 
+  test("updateWhere applies simultaneous assignments; CDC reports +U") {
+    val t = tmpTable()
+    t.appendLog(Seq((1L, 10L, 100L), (2L, 20L, 200L), (3L, 30L, 300L))
+      .toDF("id", "a", "b"))
+    t.tier() // snap 1
+    // swap a and b on row 2 — both assignments must read the OLD row
+    val s = t.updateWhere(col("id") === 2L,
+      Map("a" -> col("b"), "b" -> col("a")))
+    assert(s.isDefined && s.get.op == "update")
+    val got = t.readCold().collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == Map(1L -> ((10L, 100L)), 2L -> ((200L, 20L)),
+      3L -> ((30L, 300L))))
+    val cdc = t.incrementalRead(1L, s.get.id, Seq("id"))
+      .collect().map(r => (r.getLong(0), r.getString(3))).toSet
+    assert(cdc == Set((2L, "+U")))
+    // no match → no commit; NULL predicate rows untouched
+    assert(t.updateWhere(col("id") === 99L, Map("a" -> lit(0L))).isEmpty)
+  }
+
   test("deleteWhere on a merge-on-read PK table keeps later reads resolvable") {
     val t = tmpTable(pk = Seq("k"))
     t.commitUpsert(Seq((1, "a"), (2, "b")).toDF("k", "v"))
