@@ -71,6 +71,7 @@ object SparkEntry {
     "t6_repetition"  -> (Pipeline.t6Repetition _),
     "t7_boilerplate" -> (Pipeline.t7Boilerplate _),
     "t8_tfidf"       -> (Pipeline.t8Tfidf _),
+    "t9_bigram_lm"   -> (Pipeline.t9BigramLm _),
     "m1_media_features" -> (Pipeline.m1MediaFeatures _),
     "m2_frame_sample"   -> (Pipeline.m2FrameSample _),
     "m3_resize"         -> (Pipeline.m3Resize _),
@@ -512,6 +513,13 @@ object SparkEntry {
         |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, word) AS BIGINT) AS rank
         |  FROM scored)
         |WHERE rank <= 5""".stripMargin,
+    "t9_bigram_lm" ->
+      """WITH b AS (SELECT doc_id,
+        |    unnest([CAST(('0x' || substr(md5(t[i] || ' ' || t[i+1]), 1, 15)) AS BIGINT) FOR i IN range(1, len(t))]) AS bh
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
+        |c AS (SELECT bh, count(*) AS cnt FROM b GROUP BY bh)
+        |SELECT doc_id, count(*) AS n_bigrams, CAST(sum(cnt) AS BIGINT) AS fluency_sum
+        |FROM b JOIN c USING (bh) GROUP BY doc_id""".stripMargin,
     // multimodal: the synthesized payload is md5-derived, so the stubbed
     // decode (byte sums over the payload) is reproducible from hex chars
     "m1_media_features" ->

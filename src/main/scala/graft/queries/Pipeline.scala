@@ -314,6 +314,27 @@ object Pipeline {
         col("col._2").as("word"))
   }
 
+  /** T9 — corpus-LM fluency proxy: per document, the count and summed
+    * corpus-wide frequency of its ORDERED bigrams (duplicates included —
+    * multiplicity is the signal). Integer-exact stand-in for bigram-LM
+    * scoring: common-phrase documents score high, word-salad low, and no
+    * logarithm enters (libm rounding is engine-specific). Bigrams are
+    * built map-side (zip of the token array with its own tail) and
+    * hashed to 60-bit longs before the explode, so the count join and
+    * both aggregations shuffle 8-byte keys, never phrase strings.
+    */
+  def t9BigramLm(spark: SparkSession, dir: String): DataFrame = {
+    val t = tokens(col("text"))
+    val bi = zip_with(slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
+      (a, b) => hash60(concat(a, lit(" "), b)))
+    val docBi = docs(spark, dir)
+      .select(col("doc_id"), explode(bi).as("bh"))
+    val counts = docBi.groupBy(col("bh")).agg(count(lit(1)).as("cnt"))
+    docBi.join(counts, Seq("bh"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("cnt")).as("fluency_sum"))
+  }
+
   /** C5 — per-source corpus health report: doc/token/language counts
     * and exact-duplicate incidence per source. Everything derived from
     * the text (md5 fingerprint, token count) is projected map-side

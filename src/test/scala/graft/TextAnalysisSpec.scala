@@ -120,6 +120,24 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
     assert(got(2L) == Seq((2.0, "only")))
   }
 
+  test("bigram fluency counts ordered bigrams with multiplicity") {
+    // mirror t9's map-side bigram construction over a tiny corpus
+    val t = tokens(col("text"))
+    val bi = zip_with(slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
+      (a, b) => hash60(concat(a, lit(" "), b)))
+    val docBi = Seq(
+      (1L, "a b a b"),  // bigrams: (a b), (b a), (a b) — "a b" twice
+      (2L, "a b"),      // bigram (a b) once
+      (3L, "solo")      // no bigrams → absent
+    ).toDF("doc_id", "text").select(col("doc_id"), explode(bi).as("bh"))
+    val counts = docBi.groupBy(col("bh")).agg(count(lit(1)).as("cnt"))
+    val got = docBi.join(counts, Seq("bh")).groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n"), sum(col("cnt")).as("f"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // corpus counts: "a b" ×3, "b a" ×1
+    assert(got == Map(1L -> ((3L, 3L + 1L + 3L)), 2L -> ((1L, 3L))))
+  }
+
   test("boilerplate incidence counts docs carrying a top gram, per group") {
     val boiler = "this page is served from cache today" // 7 toks → 3 5-grams
     val docs = Seq(
