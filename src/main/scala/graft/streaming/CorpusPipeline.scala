@@ -1,0 +1,83 @@
+package graft.streaming
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.functions.TextAnalysis._
+import graft.functions.TextFunctions.tokens
+import graft.storage.TieredTable
+
+/** A document record on the streaming ingest path. */
+case class CorpusDoc(doc_id: Long, text: String, lang: String, source: String)
+
+/** The training-corpus ingest pipeline as ONE Structured Streaming job:
+  * exact dedup → quality gate → text profiling → tiered sink, with a
+  * quarantine side-channel for rejects — the streaming face of the
+  * batch d/t/c query families.
+  *
+  * Stages:
+  *  - exact dedup via [[StreamDedup.firstOccurrence]] keyed by the md5
+  *    content fingerprint: state is one boolean per 32-char digest
+  *    (never the text), exact across the whole stream history.
+  *  - quality gate: map-side token floor; rejects land in a quarantine
+  *    table with the same exactly-once tags, so nothing is silently
+  *    dropped (the audit/repair contract of
+  *    [[graft.sources.TextIngest.quarantine]]).
+  *  - profiling: language-ID and token counts stamped as columns —
+  *    pure codegen'd projections.
+  *  - sink: batch-tagged [[TieredTable.appendLog]] + tier() per trigger
+  *    (same freshness contract as the reference pipeline) → crash
+  *    replays are no-ops and the table is immediately batch-queryable
+  *    (hot ∪ cold) by every batch operator in the library.
+  */
+class CorpusPipeline(spark: SparkSession, baseDir: String) {
+
+  val corpus  = TieredTable(spark, s"$baseDir/corpus_clean")
+  val rejects = TieredTable(spark, s"$baseDir/corpus_rejects")
+
+  /** Start the pipeline over a streaming source with columns
+    * (doc_id, text, lang, source). Non-null text is required upstream
+    * (null text cannot be fingerprinted — route it to quarantine before
+    * this operator if the source may produce it).
+    */
+  def start(source: DataFrame, checkpoint: String, minTokens: Long = 5,
+            trigger: Trigger = Trigger.ProcessingTime(0)): StreamingQuery = {
+    import spark.implicits._
+    // key function lives on the companion so the task closure ships a
+    // static reference, not this pipeline (whose session/table handles
+    // are not serializable)
+    val deduped = StreamDedup.firstOccurrence[CorpusDoc](
+      source.as[CorpusDoc], CorpusPipeline.contentKey)
+    deduped.toDF().writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val t = tokens(col("text"))
+        val profiled = batch.withColumn("n_tokens", size(t).cast("long"))
+        val keep = profiled.filter(col("n_tokens") >= minTokens)
+        val drop = profiled.filter(col("n_tokens") < minTokens)
+        val Seq(en, es, fr, de) = langHits(t).map(_._2)
+        corpus.appendLog(
+          keep.withColumn("lang_pred", langPred(en, es, fr, de))
+            .withColumn("approx_bpe", approxBpeCount(t)),
+          tag = Some(s"corpus-$batchId"))
+        rejects.appendLog(drop, tag = Some(s"rejects-$batchId"))
+        corpus.tier()
+        (): Unit
+      }
+      .trigger(trigger)
+      .option("checkpointLocation", s"$checkpoint/corpus")
+      .start()
+  }
+}
+
+object CorpusPipeline {
+  /** Dedup state key: md5 hex of the document text — 32 chars of state
+    * per distinct document, never the text itself.
+    */
+  private[streaming] def contentKey(d: CorpusDoc): String =
+    MessageDigest.getInstance("MD5")
+      .digest(d.text.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+}

@@ -165,6 +165,36 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(keys == Seq(0L, 1L, 2L))
   }
 
+  test("corpus pipeline: stream dedup + quality gate + profiling + tiered sink") {
+    import graft.streaming.{CorpusDoc, CorpusPipeline}
+    val dir = java.nio.file.Files.createTempDirectory("graft-corpus").toString
+    val p = new CorpusPipeline(spark, dir)
+    val src = MemoryStream[CorpusDoc]
+    val q = p.start(src.toDF(), s"$dir/ckpt", minTokens = 3)
+    src.addData(
+      CorpusDoc(1L, "the quick brown fox jumps", "en", "web"),
+      CorpusDoc(2L, "the quick brown fox jumps", "en", "web"), // dup of 1
+      CorpusDoc(3L, "too short", "en", "web"))                 // quality reject
+    q.processAllAvailable()
+    src.addData(
+      CorpusDoc(4L, "the quick brown fox jumps", "en", "crawl"), // dup across batches
+      CorpusDoc(5L, "a completely different document here", "en", "crawl"))
+    q.processAllAvailable()
+    q.stop()
+    // clean corpus: unique, quality-passing docs, profiled
+    val clean = p.corpus.readUnion()
+    assert(clean.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      Set(1L, 5L))
+    assert(clean.columns.toSet.contains("lang_pred") &&
+      clean.columns.toSet.contains("approx_bpe"))
+    assert(clean.filter(col("lang_pred") === "en").count() == 2)
+    // rejects are quarantined, not silently dropped
+    assert(p.rejects.readUnion().select("doc_id")
+      .collect().map(_.getLong(0)).toSeq == Seq(3L))
+    // the streaming sink is immediately addressable by the batch dedup ops
+    assert(graft.operators.Dedup.exact(clean, "doc_id", "text").count() == 2)
+  }
+
   test("deterministic datagen: batch and re-run produce identical rows") {
     val a = Datagen.sourceOrder(spark, 100).collect()
     val b = Datagen.sourceOrder(spark, 100).collect()
