@@ -60,6 +60,13 @@ object Dedup {
     * scan-bandwidth pass (see [[graft.queries.Pipeline]]'s memo). Docs
     * with no shingles (< n tokens, null text) are dropped, matching the
     * inverted-index formulation where they simply never appear.
+    *
+    * PRECONDITION: `idCol` must be unique — one row per document. The
+    * map-side form emits one vector per ROW, so a duplicated id yields
+    * several vectors for that id and the verification joins downstream
+    * (ngramJaccardPairs, minhashLshPairs) would multiply them into
+    * duplicate/ambiguous pairs. (The corpus tables guarantee this;
+    * callers with raw multi-row inputs must dedup ids first.)
     */
   def shingleVectors(df: DataFrame, idCol: String, textCol: String,
                      n: Int): DataFrame =

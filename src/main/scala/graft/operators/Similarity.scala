@@ -232,6 +232,13 @@ object Similarity {
     * partial-aggregating [[graft.functions.TopKAgg]] — the final
     * exchange carries ≤ k survivors per (task, id), never the scored
     * edge list. Ties broken by neighbor id, matching the oracle.
+    *
+    * The symmetrized edge list is de-duplicated before scoring:
+    * candidate miners other than [[lshNearDupPairs]] may emit the same
+    * (a_id, b_id) edge more than once, and a duplicated neighbor would
+    * otherwise occupy several top-k slots, displacing real neighbors.
+    * The extra exchange is on (src, dst) longs only — cheap relative to
+    * letting duplicate edges pull vectors twice in the joins below.
     */
   def knnGraphFromPairs(pairs: DataFrame, vectors: DataFrame,
                         idCol: String, vecCol: String, k: Int): DataFrame = {
@@ -240,6 +247,7 @@ object Similarity {
       .withColumn("__n", l2norm(col("__v")))
     val sym = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
       .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .distinct()
     val scored = sym
       .join(v.select(col("__vid").as("src"), col("__v").as("sv"),
         col("__n").as("sn")), Seq("src"))

@@ -339,6 +339,13 @@ class TieredSqlTable(tableName: String, spark: SparkSession,
   override def deleteWhere(
       filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
     if (t.latestSnapshotId == 0L && t.logSegments.isEmpty) return
+    // rows that live only in hot log segments (no snapshot yet) would hit
+    // TieredTable.deleteWhere's "no snapshot — nothing to delete from",
+    // which reads as "table is empty" when it isn't — name the real fix
+    if (t.currentSnapshot.isEmpty)
+      throw new IllegalStateException(
+        s"table $tableName has un-tiered hot log segments and no snapshot; " +
+          "tier() before DELETE")
     val cond = filters.flatMap(TieredSqlTable.filterToColumn(_))
       .reduceOption(_ && _)
       .getOrElse(org.apache.spark.sql.functions.lit(true))

@@ -203,7 +203,13 @@ object Pipeline {
     val cand = Similarity.knnBrute(e.filter(col("vec_id") === 0), e,
         "vec_id", "embedding", k = 100)
       .select(col("neighbor_id"), col("rank").cast("long").as("cos_rank"))
+    // the candidate set is k-bounded (≤100 rows), so ranking it on a
+    // single partition is by design. The partition key is a constant
+    // that is NOT foldable (EliminateWindowPartitions would fold a
+    // literal back to the global-window form and log WindowExec's
+    // misleading degradation warning on every run).
     val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(pmod(col("neighbor_id"), lit(1)))
       .orderBy(col("n_chars").desc, col("neighbor_id"))
     cand.join(docs(spark, dir).select(col("doc_id"), col("n_chars")),
         cand("neighbor_id") === col("doc_id"))

@@ -371,27 +371,25 @@ class TieredTable(spark: SparkSession, rawTablePath: String,
         s"hot log segments exist above the tiered watermark in $tablePath; " +
           "tier() before deleteWhere")
       val resolved = readCold()
-      val total = resolved.count()
       // SQL DELETE semantics: a row is deleted only when the predicate
       // is TRUE — a NULL predicate (e.g. `id = 2` on a NULL id) keeps
       // the row; a bare `!cond` filter would silently drop it
-      val kept = resolved.filter(!coalesce(cond, lit(false)))
-      val id = latestSnapshotId + 1
-      val out = dataDir.resolve(f"snap-$id%06d")
-      // merge-on-read readers resolve versions via SeqCol — the rewrite
-      // is already resolved, so every surviving row restarts at seq 0
-      val toWrite =
-        if (pk.nonEmpty && mergeOnRead) kept.withColumn(SeqCol, lit(0L))
-        else kept
-      toWrite.write.mode("overwrite").parquet(out.toString)
-      val rows = writtenRows(out.toString)
-      if (rows == total) {
-        // nothing matched: drop the just-written identical copy, no commit
-        val s = Files.walk(out)
-        try s.sorted(Comparator.reverseOrder[Path]()).forEach(Files.deleteIfExists(_))
-        finally s.close()
-        None
-      } else {
+      val hit = coalesce(cond, lit(false))
+      // cheap matched probe (same as updateWhere): a no-op DELETE must
+      // not pay a full rewrite just to discover nothing matched
+      val matched = resolved.filter(hit).limit(1).count() > 0
+      if (!matched) None
+      else {
+        val kept = resolved.filter(!hit)
+        val id = latestSnapshotId + 1
+        val out = dataDir.resolve(f"snap-$id%06d")
+        // merge-on-read readers resolve versions via SeqCol — the rewrite
+        // is already resolved, so every surviving row restarts at seq 0
+        val toWrite =
+          if (pk.nonEmpty && mergeOnRead) kept.withColumn(SeqCol, lit(0L))
+          else kept
+        toWrite.write.mode("overwrite").parquet(out.toString)
+        val rows = writtenRows(out.toString)
         val s = Snapshot(id, "delete", rows, watermark,
           Seq(out.toString), System.currentTimeMillis())
         commitManifest(s)
@@ -536,11 +534,15 @@ class TieredTable(spark: SparkSession, rawTablePath: String,
     require(keyCols.forall(a.columns.contains),
       s"key columns ${keyCols.mkString(",")} missing in snapshot $from")
     // row fingerprint over the columns both snapshots share, in a fixed
-    // order; \\u0001 separates fields (so ("ab","c") != ("a","bc")) and
-    // \\u0000 marks null distinctly from the empty string
+    // order. Each column is hashed SEPARATELY into a fixed-width 32-char
+    // digest before the row-level hash: separator-based concat is
+    // ambiguous whenever a value's string rendering contains the
+    // separator (("ab","c") vs ("a","bc")); fixed-width blocks are not.
+    // The null marker is 32 dashes — not a hex string, so it can never
+    // collide with a real md5 digest.
     val common = b.columns.filter(a.columns.contains).sorted.toSeq
-    def fp(df: DataFrame) = md5(concat_ws("\u0001",
-      common.map(c => coalesce(col(c).cast("string"), lit("\u0000"))): _*))
+    def fp(df: DataFrame) = md5(concat(
+      common.map(c => coalesce(md5(col(c).cast("string")), lit("-" * 32))): _*))
     val inserts = b.join(a.select(keyCols.map(col): _*), keyCols, "left_anti")
       .withColumn("op", lit("+I"))
     val deletes = a.join(b.select(keyCols.map(col): _*), keyCols, "left_anti")

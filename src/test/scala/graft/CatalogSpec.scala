@@ -248,6 +248,20 @@ class CatalogSpec extends AnyFunSuite with SparkSpec {
       "SELECT COUNT(*) FROM graft.demo.del_t__snapshots").head().getLong(0) == 2)
   }
 
+  test("SQL DELETE on an un-tiered hot-only table names tier() as the fix") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-del-hot").toString
+    TieredCatalog.register("demo", "del_hot", s"$dir/t")
+    val t = TieredTable(spark, s"$dir/t")
+    t.appendLog(Seq(1L, 2L).toDF("id")) // hot segments, NO snapshot yet
+    val e = intercept[Exception] {
+      extSession.sql("DELETE FROM graft.demo.del_hot WHERE id = 1")
+    }
+    // the failure must say "tier first", not imply the table is empty
+    assert(e.getMessage.contains("tier()"))
+    assert(!e.getMessage.contains("nothing to delete"))
+  }
+
   test("managed CREATE TABLE refuses a location holding committed state") {
     import spark.implicits._
     spark.sql("DROP TABLE IF EXISTS graft.wf.survivor")
