@@ -38,6 +38,7 @@ object SparkEntry {
     "q8_notnull_drop"-> (Parity.q8NotNullDrop _),
     "q9_snapshots"   -> (Lakehouse.q9Snapshots _),
     "q10_incremental"-> (Lakehouse.q10Incremental _),
+    "q11_time_travel"-> (Lakehouse.q11TimeTravel _),
     // training-data pipeline: dedup / similarity / text analysis
     "d1_exact_dedup" -> (Pipeline.d1ExactDedup _),
     "d2_fingerprint" -> (Pipeline.d2Fingerprint _),
@@ -46,6 +47,7 @@ object SparkEntry {
     "d5_simhash"     -> (Pipeline.d5Simhash _),
     "d6_simhash_pairs" -> (Pipeline.d6SimhashPairs _),
     "d7_dedup_groups" -> (Pipeline.d7DedupGroups _),
+    "d8_chunk_dedup" -> (Pipeline.d8ChunkDedup _),
     "s1_knn_brute"   -> (Pipeline.s1KnnBrute _),
     "s2_lsh_ann"     -> (Pipeline.s2LshAnn _),
     "s3_neardup_brute" -> (Pipeline.s3NearDupBrute _),
@@ -55,6 +57,7 @@ object SparkEntry {
     "s6_quantize"    -> (Pipeline.s6Quantize _),
     "s7_centroids"   -> (Pipeline.s7Centroids _),
     "s8_hybrid"      -> (Pipeline.s8Hybrid _),
+    "s10_rand_proj"  -> (Pipeline.s10RandProj _),
     "c1_decontam"    -> (Pipeline.c1Decontam _),
     "c5_source_report" -> (Pipeline.c5SourceReport _),
     "c6_pipeline_e2e" -> (Pipeline.c6PipelineE2e _),
@@ -72,6 +75,7 @@ object SparkEntry {
     "t7_boilerplate" -> (Pipeline.t7Boilerplate _),
     "t8_tfidf"       -> (Pipeline.t8Tfidf _),
     "t9_bigram_lm"   -> (Pipeline.t9BigramLm _),
+    "t10_pii"        -> (Pipeline.t10Pii _),
     "m1_media_features" -> (Pipeline.m1MediaFeatures _),
     "m2_frame_sample"   -> (Pipeline.m2FrameSample _),
     "m3_resize"         -> (Pipeline.m3Resize _),
@@ -82,12 +86,14 @@ object SparkEntry {
     "e5_pivot"          -> (Pipeline.e5Pivot _),
     "e6_json_props"     -> (Pipeline.e6JsonProps _),
     "e7_funnel"         -> (Pipeline.e7Funnel _),
+    "e8_retention"      -> (Pipeline.e8Retention _),
     "a1_asof"           -> (Relational.a1Asof _),
     "r1_range"          -> (Relational.r1Range _),
     "g1_rollup"         -> (Relational.g1Rollup _),
     "g2_semi_anti"      -> (Relational.g2SemiAnti _),
     "g3_running_total"  -> (Relational.g3RunningTotal _),
     "g4_cube"           -> (Relational.g4Cube _),
+    "g5_window_funcs"   -> (Relational.g5WindowFuncs _),
     "p1_pricing"        -> (Relational.p1Pricing _),
     "p2_shipping"       -> (Relational.p2Shipping _),
   )
@@ -218,6 +224,9 @@ object SparkEntry {
       """SELECT '+I' AS op, COUNT(*) AS cnt,
         |       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
         |FROM orders WHERE o_orderkey % 3 = 1""".stripMargin,
+    "q11_time_travel" ->
+      """SELECT COUNT(*) AS cnt, CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+        |FROM orders WHERE o_orderkey % 3 = 0""".stripMargin,
     "d1_exact_dedup" ->
       "SELECT min(doc_id) AS keep_id, count(*) AS n_dups FROM documents GROUP BY text",
     "d2_fingerprint" ->
@@ -265,6 +274,20 @@ object SparkEntry {
          |  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src
          |)
          |SELECT id, min(r) AS component FROM reach GROUP BY id""".stripMargin,
+    "d8_chunk_dedup" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |ch AS (SELECT doc_id, i AS chunk_idx,
+        |         array_to_string(list_slice(t, 1 + i*16, least((i+1)*16, len(t))), ' ') AS chunk
+        |       FROM toks, UNNEST(range(0, (len(t) + 15) // 16)) r(i)),
+        |fp AS (SELECT doc_id, chunk_idx, chunk, md5(chunk) AS cfp,
+        |         doc_id * 1048576 + chunk_idx AS pos FROM ch),
+        |keep AS (SELECT cfp, min(pos) AS kpos FROM fp GROUP BY cfp)
+        |SELECT f.doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+        |  CAST(sum(CASE WHEN k.kpos IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  md5(coalesce(string_agg(CASE WHEN k.kpos IS NOT NULL THEN f.chunk END,
+        |      ' ' ORDER BY f.chunk_idx), '')) AS kept_fp
+        |FROM fp f LEFT JOIN keep k ON f.cfp = k.cfp AND f.pos = k.kpos
+        |GROUP BY f.doc_id""".stripMargin,
     "s1_knn_brute" ->
       s"""WITH $embCtes,
          |scored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -351,6 +374,20 @@ object SparkEntry {
          |  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src
          |)
          |SELECT id, min(r) AS component FROM reach GROUP BY id""".stripMargin,
+    "d8_chunk_dedup" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |ch AS (SELECT doc_id, i AS chunk_idx,
+        |         array_to_string(list_slice(t, 1 + i*16, least((i+1)*16, len(t))), ' ') AS chunk
+        |       FROM toks, UNNEST(range(0, (len(t) + 15) // 16)) r(i)),
+        |fp AS (SELECT doc_id, chunk_idx, chunk, md5(chunk) AS cfp,
+        |         doc_id * 1048576 + chunk_idx AS pos FROM ch),
+        |keep AS (SELECT cfp, min(pos) AS kpos FROM fp GROUP BY cfp)
+        |SELECT f.doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+        |  CAST(sum(CASE WHEN k.kpos IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  md5(coalesce(string_agg(CASE WHEN k.kpos IS NOT NULL THEN f.chunk END,
+        |      ' ' ORDER BY f.chunk_idx), '')) AS kept_fp
+        |FROM fp f LEFT JOIN keep k ON f.cfp = k.cfp AND f.pos = k.kpos
+        |GROUP BY f.doc_id""".stripMargin,
     "s6_quantize" ->
       """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
         |m AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS max_abs FROM v),
@@ -388,6 +425,14 @@ object SparkEntry {
          |      FROM cosr JOIN documents ON doc_id = neighbor_id)
          |SELECT neighbor_id, cos_rank, qual_rank, cos_rank + qual_rank AS borda
          |FROM j ORDER BY borda, neighbor_id LIMIT 20""".stripMargin,
+    "s10_rand_proj" ->
+      s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)
+         |SELECT vec_id,
+         |${(0 until 8).map(j =>
+             s"""  list_reduce(list_transform(list_zip(v, range(0, len(v))), s ->
+         |    CASE WHEN CAST(('0x' || substr(md5('rp:$j:' || s[2]::VARCHAR), 1, 15)) AS BIGINT) & 1 = 1
+         |         THEN s[1] ELSE -s[1] END), (a,x) -> a+x) AS p$j""").mkString(",\n")}
+         |FROM v""".stripMargin,
     "c1_decontam" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |sh AS (SELECT DISTINCT doc_id,
@@ -520,6 +565,16 @@ object SparkEntry {
         |c AS (SELECT bh, count(*) AS cnt FROM b GROUP BY bh)
         |SELECT doc_id, count(*) AS n_bigrams, CAST(sum(cnt) AS BIGINT) AS fluency_sum
         |FROM b JOIN c USING (bh) GROUP BY doc_id""".stripMargin,
+    "t10_pii" ->
+      """WITH p AS (SELECT doc_id,
+        |    text || ' contact user' || doc_id || '@example.com or admin@test.org from 10.0.' || (doc_id % 256) || '.7' AS t2
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t2, '[a-z0-9.]+@[a-z]+\.[a-z]+')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(t2, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS BIGINT) AS n_ips,
+        |  md5(regexp_replace(regexp_replace(t2, '[a-z0-9.]+@[a-z]+\.[a-z]+', '<EMAIL>', 'g'),
+        |      '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g')) AS red_fp
+        |FROM p""".stripMargin,
     // multimodal: the synthesized payload is md5-derived, so the stubbed
     // decode (byte sums over the payload) is reproducible from hex chars
     "m1_media_features" ->
@@ -593,6 +648,12 @@ object SparkEntry {
         |                 WHEN m0 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS funnel_depth,
         |       CAST(count(*) AS BIGINT) AS n_users
         |FROM u GROUP BY 1""".stripMargin,
+    "e8_retention" ->
+      """WITH d AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+        |f AS (SELECT user_id, min(day) AS cohort_day FROM d GROUP BY user_id)
+        |SELECT f.cohort_day, d.day - f.cohort_day AS day_offset,
+        |       CAST(count(*) AS BIGINT) AS n_users
+        |FROM d JOIN f USING (user_id) GROUP BY 1, 2""".stripMargin,
     "e3_stats" ->
       """SELECT event_type, count(*) AS cnt, min(value) AS min_v,
         |       max(value) AS max_v, quantile_cont(value, 0.5) AS median_v
@@ -620,6 +681,13 @@ object SparkEntry {
         |       CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(15,2))) AS DECIMAL(15,2)) * 100 AS BIGINT) AS sum_qty_cents,
         |       count(*) AS cnt
         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+    "g5_window_funcs" ->
+      """SELECT o_orderkey, o_custkey,
+        |  lag(o_orderkey) OVER w AS prev_order,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  percent_rank() OVER w AS pr
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin,
     "g2_semi_anti" ->
       """SELECT
         |  (SELECT count(*) FROM customer c

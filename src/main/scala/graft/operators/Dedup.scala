@@ -471,4 +471,56 @@ object Dedup {
       .filter(col("hamming") <= maxDist)
       .distinct()
   }
+
+  /** Sub-document (chunk-level) exact dedup — the CCNet/RefinedWeb-style
+    * pass that removes REPEATED PASSAGES (boilerplate headers, quoted
+    * replies, licence blocks) while keeping the documents themselves:
+    * each document is cut into fixed-size token chunks, a chunk survives
+    * only at its FIRST corpus-wide occurrence (smallest (doc_id,
+    * chunk_idx)), and per document we report the chunk accounting plus a
+    * fingerprint of the text reassembled from surviving chunks in order.
+    *
+    * Scale: chunking is a pure map-side projection (transform over the
+    * row's own token array — no explode of text, the chunk explode
+    * carries md5 digests + ids); first-occurrence election is ONE
+    * hash-shuffle on the 32-byte chunk digest (min of an encoded
+    * position — no window, no sort); reassembly is a per-document
+    * aggregate over (idx, chunk) pairs. Nothing is ever compared
+    * pairwise.
+    *
+    * PRECONDITION: `idCol` unique, non-negative, < 2^43, and documents
+    * shorter than 2^20 chunks — the first-occurrence election encodes
+    * (doc_id, chunk_idx) as doc_id·2^20 + chunk_idx in one long.
+    */
+  def chunkDedup(df: DataFrame, idCol: String, textCol: String,
+                 chunkTokens: Int = 16): DataFrame = {
+    require(chunkTokens > 0, "chunkTokens must be positive")
+    val t = tokens(col("__text"))
+    // ceil-div via double (exact: token counts << 2^53), truncating cast
+    val nChunks = ((size(t) + lit(chunkTokens - 1)) / lit(chunkTokens))
+      .cast("int")
+    val chunked = Scale.widen(
+        df.select(col(idCol).as("doc_id"), col(textCol).as("__text")))
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), nChunks - 1),
+          i => array_join(slice(t, i * chunkTokens + 1, lit(chunkTokens)), " "))))
+      .select(col("doc_id"), col("pos").cast("long").as("chunk_idx"),
+        col("col").as("chunk"))
+      .withColumn("cfp", md5(col("chunk")))
+      .withColumn("pos", col("doc_id") * (1L << 20) + col("chunk_idx"))
+    // first-occurrence election: one partial-aggregated shuffle of
+    // (digest, encoded position) — the text never leaves its map task
+    val keep = chunked.groupBy(col("cfp")).agg(min(col("pos")).as("kpos"))
+      .select(col("cfp").as("kfp"), col("kpos"))
+    chunked.join(keep,
+        col("cfp") === col("kfp") && col("pos") === col("kpos"), "left")
+      .withColumn("kept", col("kfp").isNotNull)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        md5(coalesce(array_join(transform(
+          array_sort(collect_list(when(col("kept"),
+            struct(col("chunk_idx"), col("chunk"))))),
+          s => s.getField("chunk")), " "), lit(""))).as("kept_fp"))
+  }
 }

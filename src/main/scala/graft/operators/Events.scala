@@ -89,6 +89,30 @@ object Events {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** Batch cohort-retention analysis: users are grouped into daily
+    * cohorts by FIRST-activity day; each (cohort_day, day_offset) cell
+    * counts the distinct cohort members active that many days later —
+    * the classic retention-triangle input. Days are exact integer
+    * epoch-day indexes (µs div 86 400 000 000), so engines agree.
+    *
+    * Scale: one aggregate to (user, day) distinct pairs, one min per
+    * user (broadcastable — users ≪ events), one narrow count per cell;
+    * the events table itself is never shuffled twice and no per-user
+    * event list is ever materialized.
+    */
+  def cohortRetention(events: DataFrame): DataFrame = {
+    val userDays = events
+      .select(col("user_id"), us(col("ts")).as("__us"))
+      .select(col("user_id"), expr("__us DIV 86400000000").as("day"))
+      .distinct()
+    val cohorts = userDays.groupBy(col("user_id"))
+      .agg(min(col("day")).as("cohort_day"))
+    userDays.join(cohorts, Seq("user_id"))
+      .groupBy(col("cohort_day"),
+        (col("day") - col("cohort_day")).as("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
   /** Batch tumbling-hour rollup via the built-in window(): count +
     * distinct users per hour, window start as exact epoch micros.
     */

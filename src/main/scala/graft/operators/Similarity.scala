@@ -259,6 +259,29 @@ object Similarity {
     topKByGroup(scored, "vec_id", "cos", "neighbor_id", k)
   }
 
+  /** Random-projection (Johnson–Lindenstrauss) dimensionality reduction:
+    * the embedding is multiplied by a deterministic ±1 projection matrix
+    * (entry sign = bit 0 of md5("rp:j:i")), yielding `outDim` double
+    * components. The JL lemma bounds pairwise-distance distortion, so
+    * the reduced vectors can feed clustering / coarse ANN at a fraction
+    * of the storage and dot-product cost.
+    *
+    * Scale: pure map-side — the matrix is precomputed driver-side and
+    * shipped as `outDim` literal arrays, each output component is one
+    * codegen'd [[dot]] over the row's own vector. No shuffle, no UDF;
+    * throughput is scan-bandwidth-bound at any corpus size.
+    */
+  def randomProjection(df: DataFrame, idCol: String, vecCol: String,
+                       outDim: Int = 8, dim: Int = 64): DataFrame = {
+    val v = df.select(col(idCol), toDouble(col(vecCol)).as("__v"))
+    val projCols = (0 until outDim).map { j =>
+      val signs = typedLit((0 until dim).map(i =>
+        if ((jvmHash60(s"rp:$j:$i") & 1L) == 1L) 1.0 else -1.0))
+      dot(col("__v"), signs).as(s"p$j")
+    }
+    v.select(col(idCol) +: projCols: _*)
+  }
+
   /** The raw int8 code arrays behind [[quantizeInt8]]: appends `max_abs`
     * and `q` (array<long> of codes in [-127, 127]) to the input,
     * preserving every other column — so downstream aggregations

@@ -87,4 +87,15 @@ object Lakehouse {
     demoTable(spark, dir).incrementalRead(1L, 2L, Seq("o_orderkey"))
       .groupBy(col("op"))
       .agg(count(lit(1)).as("cnt"), sum(col("o_orderkey")).as("key_sum"))
+
+  /** Q11 — time travel: batch read AS OF snapshot 1 (before the second
+    * tier), Iceberg's `VERSION AS OF` semantics. The manifest pins the
+    * exact file list of the older snapshot, so the read is reproducible
+    * forever regardless of later commits; the oracle recomputes the
+    * snapshot-1 contents (the `o_orderkey % 3 = 0` segment) from the
+    * raw fixture.
+    */
+  def q11TimeTravel(spark: SparkSession, dir: String): DataFrame =
+    demoTable(spark, dir).readColdAsOf(1L)
+      .agg(count(lit(1)).as("cnt"), sum(col("o_orderkey")).as("key_sum"))
 }

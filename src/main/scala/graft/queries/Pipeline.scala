@@ -117,6 +117,14 @@ object Pipeline {
   def d7DedupGroups(spark: SparkSession, dir: String): DataFrame =
     Dedup.connectedComponents(d3NgramPairs(spark, dir))
 
+  /** D8 — chunk-level (sub-document) exact dedup: repeated 16-token
+    * passages survive only at their first corpus-wide occurrence; per
+    * document, the chunk accounting plus the fingerprint of the
+    * reassembled deduplicated text.
+    */
+  def d8ChunkDedup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.chunkDedup(docs(spark, dir), "doc_id", "text", chunkTokens = 16)
+
   // ---- similarity search ----
 
   /** S1 — exact brute-force top-10 cosine neighbors for probe vectors
@@ -167,6 +175,14 @@ object Pipeline {
   def s9AnnGraph(spark: SparkSession, dir: String): DataFrame =
     Similarity.knnGraphFromPairs(s2LshAnn(spark, dir), emb(spark, dir),
       "vec_id", "embedding", k = 3)
+
+  /** S10 — Johnson–Lindenstrauss random projection of the embedding
+    * table to 8 dims (deterministic ±1 matrix) — the cheap-vector feed
+    * for coarse clustering; map-side only, scan-bandwidth-bound.
+    */
+  def s10RandProj(spark: SparkSession, dir: String): DataFrame =
+    Similarity.randomProjection(emb(spark, dir), "vec_id", "embedding",
+      outDim = 8, dim = 64)
 
   /** S6 — int8 scalar quantization of the embedding table (the ANN
     * storage-compression step), with an integer-exact code fingerprint
@@ -379,6 +395,34 @@ object Pipeline {
         sum(wsTokenCount(col("text")).cast("long")).as("sum_tokens"))
   }
 
+  /** T10 — PII detection + redaction. The fixture corpus carries no PII,
+    * so each document gets a deterministic synthetic tail (an e-mail +
+    * an IPv4, derived from doc_id — the oracle constructs the identical
+    * string), then the scrubber counts and redacts both classes with
+    * anchored character-class regexes that Java regex and RE2 interpret
+    * identically (no backrefs, no lookaround). Output: per-doc match
+    * counts and the md5 of the redacted text.
+    *
+    * Scale: pure map-side projection over the text column — regex
+    * matching is codegen'd (`RegExpCount`/`RegExpReplace`), no shuffle,
+    * no UDF; the redacted text itself never leaves the map task (only
+    * its 32-byte digest does).
+    */
+  def t10Pii(spark: SparkSession, dir: String): DataFrame = {
+    val emailRe = "[a-z0-9.]+@[a-z]+\\.[a-z]+"
+    val ipRe = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+    val t2 = concat(col("text"), lit(" contact user"),
+      col("doc_id").cast("string"),
+      lit("@example.com or admin@test.org from 10.0."),
+      pmod(col("doc_id"), lit(256)).cast("string"), lit(".7"))
+    docs(spark, dir).select(
+      col("doc_id"),
+      regexp_count(t2, lit(emailRe)).cast("long").as("n_emails"),
+      regexp_count(t2, lit(ipRe)).cast("long").as("n_ips"),
+      md5(regexp_replace(regexp_replace(t2, emailRe, "<EMAIL>"),
+        ipRe, "<IP>")).as("red_fp"))
+  }
+
   // ---- corpus selection (sampling / sharding / packing / decontam) ----
 
   /** C1 — benchmark decontamination: the corpus is split by
@@ -521,6 +565,13 @@ object Pipeline {
   def e7Funnel(spark: SparkSession, dir: String): DataFrame =
     Events.funnelBatch(Tables.load(spark, dir, "events")
       .filter(pmod(col("event_id"), lit(17)) === 0))
+
+  /** E8 — daily cohort retention triangle: distinct active users per
+    * (first-activity-day cohort, day offset). Exact integer epoch-day
+    * arithmetic end to end.
+    */
+  def e8Retention(spark: SparkSession, dir: String): DataFrame =
+    Events.cohortRetention(Tables.load(spark, dir, "events"))
 
   /** E4 — the 100 TB path for e3's exact percentiles: mergeable
     * constant-memory quantile sketches (`percentile_approx`) +

@@ -81,6 +81,26 @@ object Relational {
              .as("sum_qty_cents"),
         count(lit(1)).as("cnt"))
 
+  /** G5 — analytic-window tour over per-customer order history: lag
+    * (previous order key), ntile quartile, and percent_rank position,
+    * all over one (customer, order-date, order-key) window — one
+    * hash-shuffle on the customer key and one in-partition sort serve
+    * all three functions (Catalyst collapses same-spec windows into a
+    * single WindowExec). Ordering is made total by the unique order key
+    * so every function is engine-deterministic; percent_rank's double is
+    * the same (rank−1)/(n−1) division on both engines.
+    */
+  def g5WindowFuncs(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        lag(col("o_orderkey"), 1).over(w).as("prev_order"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        percent_rank().over(w).as("pr"))
+  }
+
   /** G2 — semi/anti join cardinalities: customers with ≥1 order vs
     * customers with none, one output row.
     */

@@ -104,4 +104,32 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == Set((1L, 4L)))
   }
+
+  test("chunkDedup: repeated passage survives only at first occurrence") {
+    import spark.implicits._
+    // chunkTokens=3: doc 1 = [a b c][d e f], doc 2 repeats [a b c] then
+    // fresh tokens, doc 3 is entirely doc 1's chunks re-ordered
+    val cd = Seq(
+      (1L, "a b c d e f"),
+      (2L, "a b c x y z"),
+      (3L, "d e f a b c"),
+    ).toDF("doc_id", "text")
+    val got = Dedup.chunkDedup(cd, "doc_id", "text", chunkTokens = 3)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // doc 1 keeps both chunks; doc 2 keeps only [x y z]; doc 3 keeps none
+    assert(got == Seq((1L, 2L, 2L), (2L, 2L, 1L), (3L, 2L, 0L)))
+  }
+
+  test("chunkDedup: kept_fp is the md5 of the surviving chunks in order") {
+    import spark.implicits._
+    val cd = Seq((1L, "a b c d e f"), (2L, "a b c x y z")).toDF("doc_id", "text")
+    val fp = Dedup.chunkDedup(cd, "doc_id", "text", chunkTokens = 3)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(fp(1L) == md5hex("a b c d e f"))
+    assert(fp(2L) == md5hex("x y z"))
+  }
+
 }

@@ -150,4 +150,20 @@ class EventsSpec extends AnyFunSuite with SparkSpec {
     assert(got("click") == ((3L, 2L, Some(12L))))
     assert(got("view") == ((1L, 0L, None))) // sum over no values is NULL
   }
+
+  test("cohortRetention: offsets are relative to each user's first day") {
+    import spark.implicits._
+    def day(d: Int, minute: Int = 1) =
+      new Timestamp(d * 86400000L + minute * 60000L)
+    val evs = Seq(
+      Ev(0, 1, day(0), "click"), Ev(1, 1, day(0, 30), "view"), // u1 day0 twice
+      Ev(2, 1, day(2), "click"),                               // u1 back on day2
+      Ev(3, 2, day(1), "click"), Ev(4, 2, day(2), "click"),    // u2 cohort day1
+    )
+    val got = Events.cohortRetention(evs.toDF())
+      .orderBy("cohort_day", "day_offset")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((0L, 0L, 1L), (0L, 2L, 1L), (1L, 0L, 1L), (1L, 1L, 1L)))
+  }
+
 }

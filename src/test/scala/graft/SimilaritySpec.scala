@@ -89,4 +89,24 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
       (0L, 3L, 1), (0L, 2L, 2),        // top-2 of node 0's three candidates
       (1L, 0L, 1), (2L, 0L, 1), (3L, 0L, 1)))
   }
+
+  test("randomProjection: linear, deterministic, and sign-structured") {
+    import spark.implicits._
+    val dim = 8
+    val vecs = Seq(
+      (1L, Array.fill(dim)(1.0f)),
+      (2L, Array.fill(dim)(2.0f)),     // 2 * vec 1
+      (3L, Array.fill(dim)(0.0f)),
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.randomProjection(vecs, "vec_id", "embedding",
+        outDim = 4, dim = dim)
+      .collect().map(r => r.getLong(0) ->
+        (1 to 4).map(i => r.getDouble(i))).toMap
+    // zero vector projects to zero; scaling the input scales the output
+    assert(got(3L).forall(_ == 0.0))
+    assert((0 until 4).forall(j => got(2L)(j) == 2.0 * got(1L)(j)))
+    // each component is a +/-1-weighted sum, so |p_j| <= dim and integral
+    assert(got(1L).forall(p => p == math.rint(p) && math.abs(p) <= dim))
+  }
+
 }
