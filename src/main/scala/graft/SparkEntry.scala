@@ -66,6 +66,7 @@ object SparkEntry {
     "c4_pack"        -> (Pipeline.c4Pack _),
     "c7_stratified"  -> (Pipeline.c7Stratified _),
     "c8_budget_select" -> (Pipeline.c8BudgetSelect _),
+    "c9_mixture"     -> (Pipeline.c9Mixture _),
     "t1_langid"      -> (Pipeline.t1LangId _),
     "t2_quality"     -> (Pipeline.t2Quality _),
     "t3_tokens"      -> (Pipeline.t3Tokens _),
@@ -94,6 +95,7 @@ object SparkEntry {
     "g3_running_total"  -> (Relational.g3RunningTotal _),
     "g4_cube"           -> (Relational.g4Cube _),
     "g5_window_funcs"   -> (Relational.g5WindowFuncs _),
+    "g6_full_outer"     -> (Relational.g6FullOuter _),
     "p1_pricing"        -> (Relational.p1Pricing _),
     "p2_shipping"       -> (Relational.p2Shipping _),
   )
@@ -481,6 +483,15 @@ object SparkEntry {
         |SELECT lang, count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS sum_tokens,
         |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM c WHERE cum <= 25000 GROUP BY lang""".stripMargin,
+    "c9_mixture" ->
+      """WITH n AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+        |m AS (SELECT min(n) AS m FROM n),
+        |r AS (SELECT doc_id, source,
+        |        row_number() OVER (PARTITION BY source ORDER BY
+        |          CAST(('0x' || substr(md5('mix:' || doc_id), 1, 15)) AS BIGINT), doc_id) AS rn
+        |      FROM documents)
+        |SELECT source, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
+        |FROM r, m WHERE rn <= m.m GROUP BY source""".stripMargin,
     "t1_langid" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |h AS (SELECT doc_id,
@@ -688,6 +699,13 @@ object SparkEntry {
         |  percent_rank() OVER w AS pr
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin,
+    "g6_full_outer" ->
+      """WITH s AS (SELECT s_nationkey AS s_nk, count(*) AS n_supp
+        |           FROM supplier WHERE s_nationkey < 10 GROUP BY 1),
+        |c AS (SELECT c_nationkey AS c_nk, count(*) AS n_cust
+        |      FROM customer WHERE c_nationkey >= 5 GROUP BY 1)
+        |SELECT coalesce(s_nk, c_nk) AS nation_key, n_supp, n_cust
+        |FROM s FULL OUTER JOIN c ON s_nk = c_nk""".stripMargin,
     "g2_semi_anti" ->
       """SELECT
         |  (SELECT count(*) FROM customer c

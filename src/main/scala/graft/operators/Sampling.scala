@@ -78,6 +78,33 @@ object Sampling {
       .drop("__rn", "__n")
   }
 
+  /** Deterministic mixture rebalancing: downsample every group (source,
+    * language, …) to the size of the SMALLEST group — the balanced-
+    * data-mixture step of a training recipe. Each group keeps exactly
+    * the minCount rows with the smallest salted key hashes (tie-broken
+    * by key), so the election is reproducible across runs and engines,
+    * and monotone: a kept document stays kept if the corpus grows
+    * without changing the minimum.
+    *
+    * Scale: one tiny aggregate for the group sizes (metadata
+    * cardinality — one driver value, same pattern as [[budgetSelect]]),
+    * then one hash-shuffle on the group column + in-partition sort for
+    * the per-group rank. Groups must fit a task's sort spill budget —
+    * true for metadata-cardinality groups by construction.
+    */
+  def balanceGroups(df: DataFrame, keyCol: String, groupCol: String,
+                    salt: String = "mix"): DataFrame = {
+    require(!df.columns.contains("__rn"),
+      "input columns collide with balanceGroups internals: __rn")
+    val m = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
+      .agg(min(col("__n"))).head().getLong(0)
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(keyHash(salt, col(keyCol)), col(keyCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= m)
+      .drop("__rn")
+  }
+
   /** Greedy selection under a global token budget: rows in
     * (`scoreCol` DESC, `keyCol` ASC) order are taken while the running
     * `tokCol` total stays ≤ `budget` — the "best documents until the

@@ -237,6 +237,17 @@ object Pipeline {
       .limit(20)
   }
 
+  /** C9 — balanced source mixture: every source downsampled to the
+    * smallest source's size by deterministic hash election
+    * ([[Sampling.balanceGroups]]); per-source accounting proves the
+    * SAME documents were elected (sum of kept ids), not just the same
+    * count.
+    */
+  def c9Mixture(spark: SparkSession, dir: String): DataFrame =
+    Sampling.balanceGroups(docs(spark, dir), "doc_id", "source")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("sum_doc_id"))
+
   // ---- text analysis ----
 
   /** T1 — stopword-marker language ID with deterministic argmax. */

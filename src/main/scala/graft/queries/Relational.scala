@@ -101,6 +101,29 @@ object Relational {
         percent_rank().over(w).as("pr"))
   }
 
+  /** G6 — FULL OUTER join with both null sides exercised: per-nation
+    * supplier counts (nations < 10) against per-nation customer counts
+    * (nations ≥ 5) — low keys are supplier-only, high keys customer-
+    * only, the overlap joins. Both inputs are pre-aggregated to
+    * nation cardinality before the join, so the outer join itself is
+    * dimension-sized at any corpus scale (and broadcastable — though
+    * Spark plans full-outer as sort-merge, the exchange carries ≤
+    * |nations| rows per side).
+    */
+  def g6FullOuter(spark: SparkSession, dir: String): DataFrame = {
+    val s = Tables.load(spark, dir, "supplier")
+      .filter(col("s_nationkey") < 10)
+      .groupBy(col("s_nationkey").as("s_nk"))
+      .agg(count(lit(1)).as("n_supp"))
+    val c = Tables.load(spark, dir, "customer")
+      .filter(col("c_nationkey") >= 5)
+      .groupBy(col("c_nationkey").as("c_nk"))
+      .agg(count(lit(1)).as("n_cust"))
+    s.join(c, col("s_nk") === col("c_nk"), "full_outer")
+      .select(coalesce(col("s_nk"), col("c_nk")).as("nation_key"),
+        col("n_supp"), col("n_cust"))
+  }
+
   /** G2 — semi/anti join cardinalities: customers with ≥1 order vs
     * customers with none, one output row.
     */

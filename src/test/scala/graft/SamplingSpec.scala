@@ -162,4 +162,29 @@ class SamplingSpec extends AnyFunSuite with SparkSpec {
     assert(hits(2L) == 5L) // all five 3-grams of the exact dup collide
     assert(hits(4L) < 5L && hits(4L) >= 1L)
   }
+
+  test("balanceGroups downsamples every group to the smallest group's size") {
+    import spark.implicits._
+    val df = ((1 to 12).map(i => (i.toLong, "big")) ++
+              (13 to 16).map(i => (i.toLong, "mid")) ++
+              (17 to 19).map(i => (i.toLong, "small")))
+      .toDF("doc_id", "source")
+    val got = Sampling.balanceGroups(df, "doc_id", "source")
+    val sizes = got.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sizes == Map("big" -> 3L, "mid" -> 3L, "small" -> 3L))
+    // deterministic: the same election on re-run
+    val again = Sampling.balanceGroups(df, "doc_id", "source")
+    assert(got.collect().map(_.getLong(0)).sorted.toSeq ==
+      again.collect().map(_.getLong(0)).sorted.toSeq)
+    // monotone: growing a NON-minimum group never changes the election
+    // of untouched groups
+    val grown = df.union(Seq((99L, "big")).toDF("doc_id", "source"))
+    val g2 = Sampling.balanceGroups(grown, "doc_id", "source")
+      .filter(col("source") =!= "big")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(g2 == got.filter(col("source") =!= "big")
+      .collect().map(_.getLong(0)).sorted.toSeq)
+  }
+
 }

@@ -195,6 +195,52 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(graft.operators.Dedup.exact(clean, "doc_id", "text").count() == 2)
   }
 
+  test("dropDuplicatesWithinWatermark drops key dups inside the watermark") {
+    import java.sql.Timestamp
+    val src = MemoryStream[Ev]
+    def ev(id: Long, user: Long, minute: Int) =
+      Ev(id, user, new Timestamp(1700000000000L + minute * 60000L), "click")
+    val out = src.toDF()
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+    val q = out.writeStream.format("memory").queryName("ddww")
+      .outputMode("append").start()
+    src.addData(ev(1, 1, 0), ev(1, 1, 1), ev(2, 1, 2))  // dup of key 1 in-batch
+    q.processAllAvailable()
+    src.addData(ev(2, 2, 3), ev(3, 1, 4))               // dup of key 2 across batches
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ddww").select("event_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == Seq(1L, 2L, 3L))
+  }
+
+  test("stream-stream interval join pairs clicks with errors within 5 minutes") {
+    import java.sql.Timestamp
+    val clicks = MemoryStream[Ev]
+    val errs = MemoryStream[Ev]
+    def ev(id: Long, user: Long, minute: Int, typ: String) =
+      Ev(id, user, new Timestamp(1700000000000L + minute * 60000L), typ)
+    // both sides watermarked; the time-range condition bounds join state
+    val c = clicks.toDF().withWatermark("ts", "10 minutes").alias("c")
+    val e = errs.toDF().withWatermark("ts", "10 minutes").alias("e")
+    val joined = c.join(e,
+      expr("""c.user_id = e.user_id AND
+              e.ts BETWEEN c.ts - interval 5 minutes AND c.ts"""))
+      .select(col("c.event_id").as("click_id"), col("e.event_id").as("err_id"))
+    val q = joined.writeStream.format("memory").queryName("ssj")
+      .outputMode("append").start()
+    errs.addData(ev(100, 1, 0, "error"),   // 3 min before u1's click: joins
+                 ev(101, 2, 0, "error"))   // wrong user: no join
+    clicks.addData(ev(1, 1, 3, "click"),
+                   ev(2, 1, 20, "click"))  // 20 min after the error: outside range
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ssj")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 100L)))
+  }
+
   test("deterministic datagen: batch and re-run produce identical rows") {
     val a = Datagen.sourceOrder(spark, 100).collect()
     val b = Datagen.sourceOrder(spark, 100).collect()
