@@ -58,6 +58,7 @@ object SparkEntry {
     "s7_centroids"   -> (Pipeline.s7Centroids _),
     "s8_hybrid"      -> (Pipeline.s8Hybrid _),
     "s10_rand_proj"  -> (Pipeline.s10RandProj _),
+    "s11_semantic_dedup" -> (Pipeline.s11SemanticDedup _),
     "c1_decontam"    -> (Pipeline.c1Decontam _),
     "c5_source_report" -> (Pipeline.c5SourceReport _),
     "c6_pipeline_e2e" -> (Pipeline.c6PipelineE2e _),
@@ -350,6 +351,23 @@ object SparkEntry {
          |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
          |  FROM scored)
          |WHERE rank <= 10""".stripMargin,
+    "s11_semantic_dedup" ->
+      s"""WITH $embCtes,
+         |c AS (SELECT vec_id AS cell, v AS cv, nrm AS cnrm FROM n WHERE vec_id < 32),
+         |asg AS (SELECT vec_id, cell FROM (
+         |  SELECT n.vec_id, c.cell,
+         |         row_number() OVER (PARTITION BY n.vec_id ORDER BY
+         |           list_reduce(list_transform(list_zip(n.v, c.cv), s -> s[1]*s[2]), (a,x) -> a+x)
+         |             / (n.nrm * c.cnrm) DESC, c.cell) AS rn
+         |  FROM n, c) WHERE rn = 1),
+         |m AS (SELECT a.vec_id, a.cell, n.v, n.nrm FROM asg a JOIN n USING (vec_id)),
+         |dup AS (SELECT DISTINCT b.vec_id AS id
+         |        FROM m a JOIN m b ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |        WHERE list_reduce(list_transform(list_zip(a.v, b.v), s -> s[1]*s[2]), (a2,x) -> a2+x)
+         |                / (a.nrm * b.nrm) >= 0.4)
+         |SELECT m.vec_id AS id, m.cell,
+         |       CAST(CASE WHEN dup.id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS is_dup
+         |FROM m LEFT JOIN dup ON m.vec_id = dup.id""".stripMargin,
     "s5_ann_groups" ->
       s"""WITH RECURSIVE $embCtes,
          |proj AS (SELECT vec_id, t.t AS t, p.p AS p,

@@ -194,6 +194,48 @@ object Similarity {
     topKByGroup(scored, "query_id", "cos", "neighbor_id", k)
   }
 
+  /** SemDeDup-style semantic deduplication: vectors are coarse-clustered
+    * to their nearest centroid (same deterministic codebook and argmax
+    * as [[ivfKnn]]), then WITHIN each cell a vector is marked duplicate
+    * iff a smaller-id cell-mate sits above the cosine threshold — the
+    * keep-one-per-semantic-neighborhood pass of an embedding-level
+    * training-data pipeline (arXiv:2303.09540's shape).
+    *
+    * Scale: the quadratic term is confined to cells (corpus/nCentroids
+    * each, and the centroid count grows with the corpus in a real
+    * deployment); assignment is the map-side partial-aggregated argmax;
+    * the only corpus-wide exchanges carry (id, cell) and the in-cell
+    * join rows. Output: (id, cell, is_dup 0/1) for every input vector.
+    */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+                    threshold: Double, nCentroids: Int = 32): DataFrame = {
+    val v = Scale.widen(df.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v")))
+      .withColumn("nrm", l2norm(col("v")))
+    val cents = v.filter(col("id") < nCentroids)
+      .select(col("id").as("cell"), col("v").as("cv"), col("nrm").as("cnrm"))
+    val asg = v.join(broadcast(cents))
+      .withColumn("cos", dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")))
+      .groupBy(col("id"))
+      .agg(max_by(col("cell"), struct(col("cos"), -col("cell"))).as("cell"))
+    val withVec = asg.join(v, Seq("id"))
+    // a vector is a duplicate iff some SMALLER-id cell-mate is near it —
+    // the deterministic keep-first election, no connected components
+    val dups = withVec
+      .select(col("cell"), col("id").as("a_id"), col("v").as("va"),
+        col("nrm").as("na"))
+      .join(withVec.select(col("cell"), col("id").as("b_id"),
+        col("v").as("vb"), col("nrm").as("nb")), Seq("cell"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("cos") >= threshold)
+      .select(col("b_id").as("id")).distinct()
+      .withColumn("__dup", lit(1L))
+    withVec.select(col("id"), col("cell"))
+      .join(dups, Seq("id"), "left")
+      .select(col("id"), col("cell"),
+        coalesce(col("__dup"), lit(0L)).as("is_dup"))
+  }
+
   /** Symmetric int8 scalar quantization of an embedding column — the
     * storage/serving compression step of an ANN pipeline (4× smaller
     * than float32, 8× smaller than the double working form). Per

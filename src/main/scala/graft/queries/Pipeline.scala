@@ -184,6 +184,15 @@ object Pipeline {
     Similarity.randomProjection(emb(spark, dir), "vec_id", "embedding",
       outDim = 8, dim = 64)
 
+  /** S11 — SemDeDup semantic dedup: coarse-cluster to the deterministic
+    * 32-centroid codebook, mark every vector that has a smaller-id
+    * cell-mate above cosine 0.4 — the embedding-level keep-one-per-
+    * neighborhood pass; quadratic work confined to cells.
+    */
+  def s11SemanticDedup(spark: SparkSession, dir: String): DataFrame =
+    Similarity.semanticDedup(emb(spark, dir), "vec_id", "embedding",
+      threshold = 0.4, nCentroids = 32)
+
   /** S6 — int8 scalar quantization of the embedding table (the ANN
     * storage-compression step), with an integer-exact code fingerprint
     * and saturation accounting per vector.

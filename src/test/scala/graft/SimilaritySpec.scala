@@ -109,4 +109,31 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(got(1L).forall(p => p == math.rint(p) && math.abs(p) <= dim))
   }
 
+
+  test("semanticDedup marks only smaller-id in-cell near-duplicates") {
+    import spark.implicits._
+    // centroid 0 = +x, centroid 1 = +y (nCentroids = 2); ids 2 and 3
+    // both land in cell 0; 3 duplicates 2 (same direction), 4 is alone
+    // in cell 1
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)),   // the codebook
+      (2L, Array(0.9f, 0.1f)), (3L, Array(0.8f, 0.2f)),   // cell-0 near-dups
+      (4L, Array(0.1f, 0.9f)),                            // cell 1, unique
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.semanticDedup(vecs, "vec_id", "embedding",
+        threshold = 0.95, nCentroids = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got(2L)._1 == 0L && got(3L)._1 == 0L && got(4L)._1 == 1L)
+    // the codebook vectors are corpus members too: exactly the smallest
+    // id of each semantic neighborhood survives (0 in cell 0, 1 in cell
+    // 1), everything near a smaller-id cell-mate is marked
+    assert(got(0L)._2 == 0L && got(1L)._2 == 0L)
+    assert(got(2L)._2 == 1L && got(3L)._2 == 1L && got(4L)._2 == 1L)
+    // raising the threshold past every cosine keeps everything
+    val strict = Similarity.semanticDedup(vecs, "vec_id", "embedding",
+        threshold = 0.9999, nCentroids = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(strict.values.forall(_ == 0L))
+  }
+
 }
