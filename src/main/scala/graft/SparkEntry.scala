@@ -39,6 +39,7 @@ object SparkEntry {
     "q9_snapshots"   -> (Lakehouse.q9Snapshots _),
     "q10_incremental"-> (Lakehouse.q10Incremental _),
     "q11_time_travel"-> (Lakehouse.q11TimeTravel _),
+    "q12_partition_pruned"-> (Lakehouse.q12PartitionPruned _),
     // training-data pipeline: dedup / similarity / text analysis
     "d1_exact_dedup" -> (Pipeline.d1ExactDedup _),
     "d2_fingerprint" -> (Pipeline.d2Fingerprint _),
@@ -230,6 +231,9 @@ object SparkEntry {
     "q11_time_travel" ->
       """SELECT COUNT(*) AS cnt, CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
         |FROM orders WHERE o_orderkey % 3 = 0""".stripMargin,
+    "q12_partition_pruned" ->
+      """SELECT COUNT(*) AS cnt, CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+        |FROM orders WHERE o_orderpriority = '1-URGENT'""".stripMargin,
     "d1_exact_dedup" ->
       "SELECT min(doc_id) AS keep_id, count(*) AS n_dups FROM documents GROUP BY text",
     "d2_fingerprint" ->

@@ -71,7 +71,7 @@ class GraftTableCatalog extends TableCatalog {
         Seq(catName, db, ident.name)))
     require(!e.mergeOnRead || mode == "snapshots" || mode == "files",
       s"merge-on-read PK table $db.$base is not SQL-addressable; use the API")
-    val t = TieredTable(spark, e.path, e.pk, e.mergeOnRead)
+    val t = TieredTable(spark, e.path, e.pk, e.mergeOnRead, e.partitionBy)
     mode match {
       case "snapshots" =>
         new SnapshotsTable(ident.toString,
@@ -146,7 +146,7 @@ class GraftTableCatalog extends TableCatalog {
         Seq(catName, db, ident.name)))
     require(!e.mergeOnRead,
       s"merge-on-read PK table $db.${ident.name} is not SQL-addressable; use the API")
-    TieredTable(SparkSession.active, e.path, e.pk, e.mergeOnRead)
+    TieredTable(SparkSession.active, e.path, e.pk, e.mergeOnRead, e.partitionBy)
   }
 
   private def parquet(spark: SparkSession, name: String,
@@ -170,8 +170,17 @@ class GraftTableCatalog extends TableCatalog {
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: util.Map[String, String]): Table = {
-    require(partitions.isEmpty,
-      "PARTITIONED BY is not supported on tiered tables")
+    // `PARTITIONED BY (col, …)` — identity transforms only (the Hive
+    // layout TieredTable writes); bucket/days/etc. would need a real
+    // partition-spec evaluation layer
+    val partCols = partitions.map { tr =>
+      if (tr.name != "identity")
+        throw new UnsupportedOperationException(
+          s"unsupported partition transform: $tr (identity columns only)")
+      tr.references.head.fieldNames.mkString(".")
+    }.toSeq
+    partCols.foreach(c => require(schema.fieldNames.contains(c),
+      s"partition column $c not in schema"))
     val db = ident.namespace().mkString(".")
     require(TieredCatalog.lookup(db, ident.name).isEmpty,
       s"table $db.${ident.name} already exists")
@@ -206,7 +215,7 @@ class GraftTableCatalog extends TableCatalog {
     val meta = Paths.get(path, "meta")
     Files.createDirectories(meta)
     Files.writeString(meta.resolve("SCHEMA"), schema.toDDL)
-    TieredCatalog.register(db, ident.name, path, pk)
+    TieredCatalog.register(db, ident.name, path, pk, partitionBy = partCols)
     loadTable(ident)
   }
 
@@ -308,23 +317,47 @@ class TieredSqlTable(tableName: String, spark: SparkSession,
 
   private val paths = t.unionPaths
 
-  private lazy val inner = ParquetTable(tableName, spark,
-    new CaseInsensitiveStringMap(Map("mergeSchema" -> "true").asJava),
-    paths, declared, classOf[ParquetFileFormat])
+  private val readOpts =
+    new CaseInsensitiveStringMap(Map("mergeSchema" -> "true").asJava)
+
+  private lazy val inner =
+    ParquetTable(tableName, spark, readOpts, paths, declared,
+      classOf[ParquetFileFormat])
+
+  /** Per-root parquet tables for PARTITIONED tables: Spark cannot run
+    * partition discovery over several Hive-layout roots in one scan
+    * ("conflicting directory structures"), so each snapshot/segment dir
+    * becomes its own child table and scans are concatenated by
+    * [[org.apache.spark.sql.GraftCompositeScanBuilder]].
+    */
+  private lazy val partRoots = paths.map(p =>
+    ParquetTable(tableName, spark, readOpts, Seq(p), declared,
+      classOf[ParquetFileFormat]))
 
   override def name(): String = tableName
 
-  override def schema(): StructType =
-    if (paths.isEmpty)
-      declared.getOrElse(throw new IllegalStateException(
-        s"empty table $tableName has no persisted schema"))
-    else inner.schema
+  /** The DECLARED schema is authoritative when CREATE TABLE persisted
+    * one: the file-level schema moves partition columns to the END
+    * (`dataSchema ++ partitionSchema`), and positional INSERT coercion
+    * against that reordered shape would cast the wrong columns into the
+    * wrong slots. Reads are unaffected — scan output is reconciled to
+    * the relation schema by NAME (V2ScanRelationPushDown projects).
+    */
+  override def schema(): StructType = declared.getOrElse {
+    if (paths.isEmpty) throw new IllegalStateException(
+      s"empty table $tableName has no persisted schema")
+    inner.schema
+  }
 
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    inner.newScanBuilder(options)
+    if (entry.partitionBy.isEmpty || paths.lengthCompare(1) <= 0)
+      inner.newScanBuilder(options)
+    else
+      new org.apache.spark.sql.GraftCompositeScanBuilder(
+        partRoots.map(_.newScanBuilder(options)))
 
   /** `DELETE FROM graft.<db>.<t> WHERE …` — filters that translate to
     * Column predicates run through the SAME copy-on-write commit as the

@@ -17,13 +17,16 @@ object TieredCatalog {
   @volatile var warehouse: String =
     s"${sys.props("java.io.tmpdir")}/graft-warehouse"
 
-  case class Entry(path: String, pk: Seq[String], mergeOnRead: Boolean)
+  case class Entry(path: String, pk: Seq[String], mergeOnRead: Boolean,
+                   partitionBy: Seq[String] = Nil)
 
   private val reg = TrieMap.empty[(String, String), Entry]
 
   def register(db: String, table: String, path: String,
-               pk: Seq[String] = Nil, mergeOnRead: Boolean = false): Unit =
-    reg.put((db.toLowerCase, table.toLowerCase), Entry(path, pk, mergeOnRead))
+               pk: Seq[String] = Nil, mergeOnRead: Boolean = false,
+               partitionBy: Seq[String] = Nil): Unit =
+    reg.put((db.toLowerCase, table.toLowerCase),
+      Entry(path, pk, mergeOnRead, partitionBy))
 
   def lookup(db: String, table: String): Option[Entry] =
     reg.get((db.toLowerCase, table.toLowerCase))

@@ -98,4 +98,34 @@ object Lakehouse {
   def q11TimeTravel(spark: SparkSession, dir: String): DataFrame =
     demoTable(spark, dir).readColdAsOf(1L)
       .agg(count(lit(1)).as("cnt"), sum(col("o_orderkey")).as("key_sum"))
+
+  /** Partitioned variant of the demo table: orders laid out Hive-style
+    * by `o_orderpriority` (Iceberg partition-spec role). Built once per
+    * sf dir, idempotent, same tier split as [[demoTable]].
+    */
+  def demoTablePartitioned(spark: SparkSession, dir: String): TieredTable = {
+    val safe = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val path = s"${sys.props("java.io.tmpdir")}/graft-tiered/v$FormatVersion/$safe/orders_part"
+    val donePath = Paths.get(path, "meta", "LATEST")
+    val t = TieredTable(spark, path, partitionBy = Seq("o_orderpriority"))
+    if (!Files.exists(donePath)) {
+      val orders = Tables.load(spark, dir, "orders")
+      t.appendLog(orders.filter(pmod(col("o_orderkey"), lit(2)) === 0))
+      t.tier()
+      t.appendLog(orders.filter(pmod(col("o_orderkey"), lit(2)) === 1)) // hot
+    }
+    t
+  }
+
+  /** Q12 — partition-pruned read: one priority's rows through the
+    * partitioned table's hot∪cold union. The scan touches ONLY the
+    * `o_orderpriority=<p>/` directories (plan-asserted in
+    * TieredTableSpec) — the coarse file-skipping level that makes a
+    * partition-keyed query read 1/|partitions| of a 100 TB table; the
+    * oracle recomputes the same aggregate from the raw fixture.
+    */
+  def q12PartitionPruned(spark: SparkSession, dir: String): DataFrame =
+    demoTablePartitioned(spark, dir).readUnion()
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .agg(count(lit(1)).as("cnt"), sum(col("o_orderkey")).as("key_sum"))
 }

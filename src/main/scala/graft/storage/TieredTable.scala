@@ -46,7 +46,8 @@ import graft.operators.Upsert
   * conditional PUT — isolated in [[commitManifest]]).
   */
 class TieredTable(spark: SparkSession, rawTablePath: String,
-                  pk: Seq[String] = Nil, mergeOnRead: Boolean = false) {
+                  pk: Seq[String] = Nil, mergeOnRead: Boolean = false,
+                  val partitionBy: Seq[String] = Nil) {
   /** `file:`-scheme URIs are normalized to plain paths — `Paths.get`
     * would otherwise treat the whole URI as a RELATIVE path and
     * silently create the table tree under the process CWD (the round-1
@@ -188,7 +189,7 @@ class TieredTable(spark: SparkSession, rawTablePath: String,
       logSegments.lastOption.map(_ + 1).getOrElse(0L),
       currentSnapshot.map(_.tieredSeg + 1).getOrElse(0L))
     val tmp = logDir.resolve(f"_tmp-seg-$next%06d")
-    df.write.mode("overwrite").parquet(tmp.toString)
+    writeData(df, tmp.toString)
     tag.foreach(t => Files.writeString(tmp.resolve("_TAG"), t))
     Files.move(tmp, segPath(next), StandardCopyOption.ATOMIC_MOVE)
     next
@@ -207,6 +208,24 @@ class TieredTable(spark: SparkSession, rawTablePath: String,
     */
   private def writtenRows(path: String): Long =
     spark.read.parquet(path).count()
+
+  /** The single data-write seam: when the table is partitioned, every
+    * write site (log segments, tier/append/rewrite snapshots, compact)
+    * lays files out Hive-style as `partCol=value/` directories, so a
+    * partition-filtered read prunes whole directories without touching
+    * a parquet footer — the coarse file-skipping level Iceberg's
+    * partition spec provides, and THE scan reducer at 100 TB (a
+    * day-partitioned table reads 1/365 of its files for a one-day
+    * query). Spark's parquet source treats each snapshot/segment dir
+    * as a base path, so partition columns come back as real columns
+    * and `PartitionFilters` land in the scan (plan-asserted in
+    * TieredTableSpec).
+    */
+  private def writeData(df: DataFrame, path: String): Unit = {
+    val w = df.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .parquet(path)
+  }
 
   private def withCommitLock[A](f: => A): A =
     // canonicalize the key: equivalent spellings of one directory
@@ -233,7 +252,7 @@ class TieredTable(spark: SparkSession, rawTablePath: String,
     // drop mid-stream columns, and vacuum() would make the loss permanent.
     val batch0 = readParquet(todo.map(segPath(_).toString))
     val batch = if (pk.nonEmpty && mergeOnRead) batch0.withColumn(SeqCol, lit(id)) else batch0
-    batch.write.mode("overwrite").parquet(out.toString)
+    writeData(batch, out.toString)
     val rows = writtenRows(out.toString)
     val files = prev.map(_.files).getOrElse(Nil) :+ out.toString
     val s = Snapshot(id, "tier", rows, todo.max, files, System.currentTimeMillis())
@@ -258,7 +277,7 @@ class TieredTable(spark: SparkSession, rawTablePath: String,
     val id = latestSnapshotId + 1
     val out = dataDir.resolve(f"snap-$id%06d")
     val batch = if (pk.nonEmpty && mergeOnRead) df.withColumn(SeqCol, lit(id)) else df
-    batch.write.mode("overwrite").parquet(out.toString)
+    writeData(batch, out.toString)
     val rows = writtenRows(out.toString)
     val s = Snapshot(id, op, rows, prev.map(_.tieredSeg).getOrElse(-1L),
       prev.map(_.files).getOrElse(Nil) :+ out.toString,
@@ -314,7 +333,7 @@ class TieredTable(spark: SparkSession, rawTablePath: String,
     val prev = currentSnapshot
     val id = latestSnapshotId + 1
     val out = dataDir.resolve(f"snap-$id%06d")
-    df.write.mode("overwrite").parquet(out.toString)
+    writeData(df, out.toString)
     val rows = writtenRows(out.toString)
     val s = Snapshot(id, op, rows, prev.map(_.tieredSeg).getOrElse(-1L),
       Seq(out.toString), System.currentTimeMillis(), tag.getOrElse(""))
@@ -344,7 +363,7 @@ class TieredTable(spark: SparkSession, rawTablePath: String,
     // whole file list.
     val all0 = readParquet(prev.files)
     val all = if (sortBy.isEmpty) all0 else all0.sort(sortBy.map(col): _*)
-    all.write.mode("overwrite").parquet(out.toString)
+    writeData(all, out.toString)
     val rows = writtenRows(out.toString)
     val s = Snapshot(id, "compact", rows, prev.tieredSeg,
       Seq(out.toString), System.currentTimeMillis())
@@ -388,7 +407,7 @@ class TieredTable(spark: SparkSession, rawTablePath: String,
         val toWrite =
           if (pk.nonEmpty && mergeOnRead) kept.withColumn(SeqCol, lit(0L))
           else kept
-        toWrite.write.mode("overwrite").parquet(out.toString)
+        writeData(toWrite, out.toString)
         val rows = writtenRows(out.toString)
         val s = Snapshot(id, "delete", rows, watermark,
           Seq(out.toString), System.currentTimeMillis())
@@ -439,7 +458,7 @@ class TieredTable(spark: SparkSession, rawTablePath: String,
         else updated
       val id = latestSnapshotId + 1
       val out = dataDir.resolve(f"snap-$id%06d")
-      toWrite.write.mode("overwrite").parquet(out.toString)
+      writeData(toWrite, out.toString)
       val rows = writtenRows(out.toString)
       val s = Snapshot(id, "update", rows, watermark,
         Seq(out.toString), System.currentTimeMillis())
@@ -490,7 +509,16 @@ class TieredTable(spark: SparkSession, rawTablePath: String,
     * columns; older rows surface nulls there (mergeSchema).
     */
   private def readParquet(files: Seq[String]): DataFrame =
-    spark.read.option("mergeSchema", "true").parquet(files: _*)
+    if (partitionBy.isEmpty)
+      spark.read.option("mergeSchema", "true").parquet(files: _*)
+    else
+      // partitioned tables: each snapshot/segment dir is its own
+      // partition-discovery base path — one multi-root read would see
+      // "conflicting directory structures". Filters push through the
+      // union into every branch, so partition pruning still applies
+      // per scan; the union is plan-width, not data movement.
+      files.map(f => spark.read.option("mergeSchema", "true").parquet(f))
+        .reduce(_.unionByName(_, allowMissingColumns = true))
 
   def readCold(): DataFrame = currentSnapshot match {
     case None => throw new IllegalStateException(s"no snapshot in $tablePath")
@@ -668,8 +696,9 @@ class TieredTable(spark: SparkSession, rawTablePath: String,
 
 object TieredTable {
   def apply(spark: SparkSession, path: String, pk: Seq[String] = Nil,
-            mergeOnRead: Boolean = false): TieredTable =
-    new TieredTable(spark, path, pk, mergeOnRead)
+            mergeOnRead: Boolean = false,
+            partitionBy: Seq[String] = Nil): TieredTable =
+    new TieredTable(spark, path, pk, mergeOnRead, partitionBy)
 
   /** One commit lock per table path: all writes to a table flow through
     * the (single) Spark driver, so a JVM-level stripe is the right

@@ -1,0 +1,87 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.connector.expressions.filter.Predicate
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.execution.datasources.v2.FileScanBuilder
+import org.apache.spark.sql.types.StructType
+
+/** DSv2 scan over SEVERAL partitioned parquet roots as one relation.
+  *
+  * Spark's file sources cannot run partition discovery over multiple
+  * roots in a single scan ("conflicting directory structures" — the
+  * error itself says "load them separately and then union them"). A
+  * partitioned [[graft.storage.TieredTable]] is exactly that shape:
+  * each snapshot/log-segment directory is an independent Hive-layout
+  * root. This builder applies the SAME column pruning and filter
+  * pushdown to a per-root `ParquetScanBuilder` and concatenates the
+  * resulting batches — so every root keeps its own partition pruning
+  * (`PartitionFilters` per child scan) and vectorized read, and the
+  * union costs plan width, not data movement.
+  *
+  * Lives in `org.apache.spark.sql` because filter pushdown for file
+  * sources flows through the `private[sql]`
+  * [[org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters]]
+  * seam (same rationale as [[GraftSqlBridge]]).
+  */
+class GraftCompositeScanBuilder(builders: Seq[ScanBuilder])
+    extends ScanBuilder
+    with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters {
+  require(builders.nonEmpty, "need at least one child scan builder")
+  private val children = builders.map(_.asInstanceOf[FileScanBuilder])
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    children.foreach(_.pruneColumns(requiredSchema))
+
+  /** All children share format, declared schema, and partition columns,
+    * so the residual (post-scan) filter set is identical — forward to
+    * every child, report the first's residuals.
+    */
+  override def pushFilters(filters: Seq[Expression]): Seq[Expression] =
+    children.map(_.pushFilters(filters)).head
+
+  override def pushedFilters: Array[Predicate] = children.head.pushedFilters
+
+  override def build(): Scan = new GraftCompositeScan(children.map(_.build()))
+}
+
+/** Concatenation of child scans: one Batch whose input partitions are
+  * the children's, tagged with the child index so the reader factory
+  * can dispatch. Row/columnar decisions delegate per partition.
+  */
+class GraftCompositeScan(children: Seq[Scan]) extends Scan with Batch {
+  override def readSchema(): StructType = children.head.readSchema()
+  override def toBatch: Batch = this
+  private lazy val batches = children.map(_.toBatch)
+  override def planInputPartitions(): Array[InputPartition] =
+    batches.zipWithIndex.flatMap { case (b, i) =>
+      b.planInputPartitions().map(GraftCompositePartition(i, _))
+    }.toArray
+  override def createReaderFactory(): PartitionReaderFactory =
+    GraftCompositeReaderFactory(batches.map(_.createReaderFactory()))
+  override def description(): String =
+    s"GraftCompositeScan(${children.size} roots)"
+}
+
+case class GraftCompositePartition(child: Int, inner: InputPartition)
+    extends InputPartition {
+  override def preferredLocations(): Array[String] = inner.preferredLocations()
+}
+
+case class GraftCompositeReaderFactory(factories: Seq[PartitionReaderFactory])
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition)
+      : PartitionReader[org.apache.spark.sql.catalyst.InternalRow] = p match {
+    case GraftCompositePartition(i, inner) => factories(i).createReader(inner)
+  }
+  override def createColumnarReader(p: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = p match {
+    case GraftCompositePartition(i, inner) =>
+      factories(i).createColumnarReader(inner)
+  }
+  override def supportColumnarReads(p: InputPartition): Boolean = p match {
+    case GraftCompositePartition(i, inner) =>
+      factories(i).supportColumnarReads(inner)
+  }
+}

@@ -300,4 +300,42 @@ class CatalogSpec extends AnyFunSuite with SparkSpec {
     assert(rows.head.getString(1) == "hot")
     assert(rows.head.getLong(2) > 0)
   }
+
+  test("CREATE TABLE PARTITIONED BY lays out Hive dirs and prunes SQL reads") {
+    spark.sql("DROP TABLE IF EXISTS graft.wf.evpart")
+    // the registry is process-local: a table left by a crashed PREVIOUS
+    // jvm is invisible to DROP IF EXISTS — clear its managed location
+    val leftover = java.nio.file.Paths.get(
+      s"${TieredCatalog.warehouse}/wf/evpart")
+    if (Files.exists(leftover)) {
+      val s = Files.walk(leftover)
+      try s.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(Files.deleteIfExists(_))
+      finally s.close()
+    }
+    spark.sql(
+      """CREATE TABLE graft.wf.evpart (id BIGINT, day STRING, v BIGINT)
+        |PARTITIONED BY (day)""".stripMargin)
+    spark.sql("INSERT INTO graft.wf.evpart VALUES (1, 'd0', 10), (2, 'd1', 20)")
+    spark.sql("INSERT INTO graft.wf.evpart VALUES (3, 'd0', 30), (4, 'd2', 40)")
+    val all = spark.sql("SELECT id FROM graft.wf.evpart")
+    assert(all.count() == 4)
+    val d0 = spark.sql("SELECT id FROM graft.wf.evpart WHERE day = 'd0' ORDER BY id")
+    assert(d0.collect().map(_.getLong(0)).toSeq == Seq(1L, 3L))
+    // the scan only touches the day=d0 directories
+    val touched = spark.sql(
+      "SELECT DISTINCT input_file_name() FROM graft.wf.evpart WHERE day = 'd0'")
+      .collect().map(_.getString(0))
+    assert(touched.nonEmpty && touched.forall(_.contains("day=d0")),
+      s"non-pruned files touched: ${touched.mkString(", ")}")
+    // non-identity transforms are rejected loudly
+    val e = intercept[Exception] {
+      spark.sql(
+        """CREATE TABLE graft.wf.evpart2 (id BIGINT, ts TIMESTAMP)
+          |PARTITIONED BY (days(ts))""".stripMargin)
+    }
+    assert(e.getMessage.contains("identity"))
+    spark.sql("DROP TABLE graft.wf.evpart")
+  }
+
 }

@@ -339,4 +339,43 @@ class TieredTableSpec extends AnyFunSuite with SparkSpec {
     assert(before.count() == 2)
     assert(t.readCold().count() == 3)
   }
+
+  test("partitioned table: Hive layout, pruned reads, partitioning survives every commit path") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-part").toString
+    val t = TieredTable(spark, s"$dir/t", partitionBy = Seq("p_day"))
+    val rows = (1L to 100L).map(i => (i, s"day${i % 4}", i * 10))
+    t.appendLog(rows.take(50).toDF("id", "p_day", "v"))
+    t.tier()
+    t.appendLog(rows.drop(50).toDF("id", "p_day", "v")) // hot tail
+    // layout: partition dirs under the snapshot dir
+    val snapDir = java.nio.file.Paths.get(t.coldFiles.head)
+    val parts = Option(snapDir.toFile.list()).getOrElse(Array.empty)
+      .filter(_.startsWith("p_day=")).sorted
+    assert(parts.toSeq == Seq("p_day=day0", "p_day=day1", "p_day=day2", "p_day=day3"))
+    // union read returns every row exactly once, partition col intact
+    val u = t.readUnion()
+    assert(u.count() == 100)
+    assert(u.filter(col("p_day") === "day1").count() == 25)
+    // a partition-filtered read PRUNES: PartitionFilters land in the
+    // scan and only the matching directory's files are touched
+    val filtered = t.readCold().filter(col("p_day") === "day1")
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") &&
+      plan.contains("p_day"), s"partition filter missing in plan:\n$plan")
+    val touched = filtered.select(input_file_name()).distinct()
+      .collect().map(_.getString(0))
+    assert(touched.nonEmpty && touched.forall(_.contains("p_day=day1")),
+      "scan must touch only the day1 partition directory")
+    // compact and deleteWhere preserve the partitioned layout
+    t.tier(); t.compact()
+    val afterCompact = java.nio.file.Paths.get(t.coldFiles.head)
+    assert(afterCompact.toFile.list().exists(_.startsWith("p_day=")))
+    t.deleteWhere(col("p_day") === "day0")
+    assert(t.readCold().count() == 75)
+    assert(java.nio.file.Paths.get(t.coldFiles.head).toFile.list()
+      .filter(_.startsWith("p_day=")).toSeq.sorted ==
+      Seq("p_day=day1", "p_day=day2", "p_day=day3"))
+  }
+
 }
