@@ -100,6 +100,9 @@ object SparkEntry {
     "g6_full_outer"     -> (Relational.g6FullOuter _),
     "p1_pricing"        -> (Relational.p1Pricing _),
     "p2_shipping"       -> (Relational.p2Shipping _),
+    "p3_local_supplier" -> (Relational.p3LocalSupplier _),
+    "p4_returned_items" -> (Relational.p4ReturnedItems _),
+    "g7_set_ops"        -> (Relational.g7SetOps _),
   )
 
   /** Shared DuckDB CTE fragments for the pipeline oracles. hash60(s) =
@@ -778,5 +781,36 @@ object SparkEntry {
         |WHERE c_mktsegment = 'BUILDING'
         |GROUP BY l_orderkey, o_orderdate
         |ORDER BY revenue_e4 DESC, l_orderkey LIMIT 10""".stripMargin,
+    "p3_local_supplier" ->
+      """SELECT n_name AS nation_name,
+        |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(15,2)) *
+        |           (1 - CAST(l_discount AS DECIMAL(15,2))) AS DECIMAL(25,4)) * 10000) AS BIGINT) AS revenue_e4
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name""".stripMargin,
+    "p4_returned_items" ->
+      """SELECT c_custkey, c_name, n_name,
+        |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(15,2)) *
+        |           (1 - CAST(l_discount AS DECIMAL(15,2))) AS DECIMAL(25,4)) * 10000) AS BIGINT) AS revenue_e4
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= '1996-01-01' AND o_orderdate < '1998-01-01'
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue_e4 DESC, c_custkey LIMIT 20""".stripMargin,
+    "g7_set_ops" ->
+      """WITH h1 AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderdate < '1998-07-01'),
+        |h2 AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderdate >= '1998-07-01')
+        |SELECT
+        |  (SELECT count(*) FROM (SELECT * FROM h1 INTERSECT SELECT * FROM h2)) AS in_both,
+        |  (SELECT count(*) FROM (SELECT * FROM h1 EXCEPT SELECT * FROM h2)) AS h1_only,
+        |  (SELECT count(*) FROM (SELECT * FROM h2 EXCEPT SELECT * FROM h1)) AS h2_only""".stripMargin,
   )
 }

@@ -192,6 +192,78 @@ object Relational {
       col("sum_qty_cents").cast("double") / 100.0 / col("cnt"))
   }
 
+  /** P3 — TPC-H Q5-shaped local-supplier volume: six-table star join
+    * (region → nation → customer → orders → lineitem → supplier) with
+    * the Q5 twist that the supplier must sit in the customer's nation;
+    * revenue per nation in exact e4 fixed-point.
+    *
+    * Scale shape: region/nation/customer/supplier are dimensions
+    * (broadcast); lineitem (the 100 TB fact) joins orders on its own
+    * key and never shuffles twice; the supplier-nation equality is an
+    * extra predicate on broadcast rows, not a join reorder hazard.
+    */
+  def p3LocalSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val region = Tables.load(spark, dir, "region")
+      .filter(col("r_name") === "ASIA")
+    val nation = Tables.load(spark, dir, "nation")
+    val customer = Tables.load(spark, dir, "customer")
+    val supplier = Tables.load(spark, dir, "supplier")
+    val orders = Tables.load(spark, dir, "orders")
+    val lineitem = Tables.load(spark, dir, "lineitem")
+    lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name").as("nation_name"))
+      .agg(fixedPoint(sum(col("l_extendedprice").cast(M) *
+          (lit(1) - col("l_discount").cast(M)))
+        .cast(DecimalType(25, 4)), 4).as("revenue_e4"))
+  }
+
+  /** P4 — TPC-H Q10-shaped returned-item report: top-20 customers by
+    * revenue lost to returns in a two-year window; exact e4 revenue,
+    * `TakeOrderedAndProject` top-k (never a global sort).
+    */
+  def p4ReturnedItems(spark: SparkSession, dir: String): DataFrame = {
+    val customer = Tables.load(spark, dir, "customer")
+    val nation = Tables.load(spark, dir, "nation")
+    val orders = Tables.load(spark, dir, "orders")
+      .filter(col("o_orderdate") >= "1996-01-01" &&
+        col("o_orderdate") < "1998-01-01")
+    val lineitem = Tables.load(spark, dir, "lineitem")
+      .filter(col("l_returnflag") === "R")
+    lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(fixedPoint(sum(col("l_extendedprice").cast(M) *
+          (lit(1) - col("l_discount").cast(M)))
+        .cast(DecimalType(25, 4)), 4).as("revenue_e4"))
+      .orderBy(col("revenue_e4").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  /** G7 — set operations (INTERSECT / EXCEPT): customers active in the
+    * first half of the date range vs the second, one accounting row. Both
+    * operands pre-aggregate to distinct keys, so the set ops run at
+    * key cardinality.
+    */
+  def g7SetOps(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(spark, dir, "orders")
+    val h1 = o.filter(col("o_orderdate") < "1998-07-01")
+      .select(col("o_custkey")).distinct()
+    val h2 = o.filter(col("o_orderdate") >= "1998-07-01")
+      .select(col("o_custkey")).distinct()
+    val both = h1.intersect(h2).agg(count(lit(1)).as("in_both"))
+    val h1Only = h1.except(h2).agg(count(lit(1)).as("h1_only"))
+    val h2Only = h2.except(h1).agg(count(lit(1)).as("h2_only"))
+    both.crossJoin(h1Only).crossJoin(h2Only)
+  }
+
   /** P2 — TPC-H Q3-shaped shipping priority: three-way join, filtered
     * segment, exact-decimal revenue, top-10.
     */
