@@ -29,6 +29,8 @@ object Bench {
     // query runs first pays a one-off fixture write in its measurement.
     try graft.queries.Lakehouse.demoTable(spark, sfDir)
     catch { case _: Throwable => }
+    try graft.queries.Lakehouse.demoTablePartitioned(spark, sfDir)
+    catch { case _: Throwable => }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

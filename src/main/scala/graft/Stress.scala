@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-up stress harness behind SCALING.md's measured numbers: the
+  * sf0.1 corpus replicated `copies`× with a per-shard suffix token —
+  * every original document gains (copies−1) cross-shard NEAR-duplicates
+  * (the suffix shifts a few shingles, so pairs pass a 0.8-Jaccard
+  * check), the adversarial regime for dedup. Runs the dedup family and
+  * prints one JSON line of wall times; compare against the 1× bench to
+  * see whether runtime tracks corpus size or output size.
+  *
+  * `SPARK_GRAFT_SF_DIR` (default sf0.1), `SPARK_GRAFT_COPIES`
+  * (default 10), `SPARK_GRAFT_CPUS` (default 32).
+  */
+object Stress {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val copies = sys.env.getOrElse("SPARK_GRAFT_COPIES", "10").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val base = graft.tables.Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    val n = base.count()
+    val widened = (0 until copies).map { k =>
+      base.select((col("doc_id") + lit(k * 10000000L)).as("doc_id"),
+        concat(col("text"), lit(s" shard$k")).as("text"))
+    }.reduce(_.union(_)).localCheckpoint(true) // isolate input build from timings
+
+    def time(name: String)(f: => DataFrame): (String, Double, Long) = {
+      val t0 = System.nanoTime()
+      val rows = f.count()
+      (name, (System.nanoTime() - t0) / 1e9, rows)
+    }
+
+    val vec = graft.operators.Dedup.shingleVectors(widened, "doc_id", "text", n = 3)
+      .localCheckpoint(true) // shared substrate, like Pipeline's memo
+    val results = Seq(
+      time("d3_pairs") {
+        graft.operators.Dedup.ngramJaccardPairsFrom(vec, num = 4, den = 5) },
+      time("d4_lsh") {
+        graft.operators.Dedup.minhashLshPairsFrom(vec, k = 16, bands = 4,
+          num = 4, den = 5) },
+      time("d6_simhash_pairs") {
+        graft.operators.Dedup.simhashPairs(widened, "doc_id", "text",
+          width = 48, maxDist = 3) },
+      time("d8_chunk_dedup") {
+        graft.operators.Dedup.chunkDedup(widened, "doc_id", "text",
+          chunkTokens = 16) },
+    )
+    val qs = results.map { case (k, sec, rows) =>
+      s""""$k":{"sec":$sec,"rows":$rows}""" }.mkString("{", ",", "}")
+    println(s"""{"metric":"stress","docs":${n * copies},"copies":$copies,"results":$qs}""")
+    spark.stop()
+  }
+}
