@@ -82,6 +82,7 @@ object SparkEntry {
     "m1_media_features" -> (Pipeline.m1MediaFeatures _),
     "m2_frame_sample"   -> (Pipeline.m2FrameSample _),
     "m3_resize"         -> (Pipeline.m3Resize _),
+    "m4_media_dedup"    -> (Pipeline.m4MediaDedup _),
     "e1_sessionize"     -> (Pipeline.e1Sessionize _),
     "e2_hourly"         -> (Pipeline.e2Hourly _),
     "e3_stats"          -> (Pipeline.e3Stats _),
@@ -644,6 +645,23 @@ object SparkEntry {
         |  CAST(floor(width * least(1.0, 512 / greatest(width, height))) AS INT) AS out_width,
         |  CAST(floor(height * least(1.0, 512 / greatest(width, height))) AS INT) AS out_height
         |FROM m""".stripMargin,
+    "m4_media_dedup" ->
+      """WITH m AS (SELECT doc_id AS media_id, repeat(md5('px:' || doc_id::VARCHAR), 8) AS hex FROM documents),
+        |b AS (SELECT media_id,
+        |        CAST(list_sum(list_transform(range(0, 7),
+        |          j -> CAST(('0x' || substr(hex, (2*j+1)::INT, 2)) AS BIGINT) << (8*j)::INT)) AS BIGINT) AS phash
+        |      FROM m),
+        |s AS (SELECT media_id, phash FROM b
+        |      UNION ALL
+        |      SELECT media_id + 10000000, xor(phash, 1::BIGINT << (media_id % 56)::INT) FROM b),
+        |k AS (SELECT media_id AS id, phash,
+        |        unnest(list_transform(range(0, 4),
+        |          blk -> blk::VARCHAR || ':' || ((phash >> (blk*14)::INT) & 16383)::VARCHAR)) AS blk
+        |      FROM s)
+        |SELECT DISTINCT a.id AS a_id, b.id AS b_id,
+        |  bit_count(xor(a.phash, b.phash)) AS hamming
+        |FROM k a JOIN k b ON a.blk = b.blk AND a.id < b.id
+        |WHERE bit_count(xor(a.phash, b.phash)) <= 3""".stripMargin,
     "e1_sessionize" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
         |l AS (SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev FROM e),

@@ -442,7 +442,19 @@ object Dedup {
     * instead of a full cross join.
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   width: Int = 32, maxDist: Int = 3): DataFrame = {
+                   width: Int = 32, maxDist: Int = 3): DataFrame =
+    hammingPairs(simhash(df, idCol, textCol, width), "id", "simhash",
+      width, maxDist)
+
+  /** Signature-level Hamming near-dup pairs — the generic core behind
+    * [[simhashPairs]], reusable for ANY fixed-width integer signature
+    * (SimHash over text, perceptual hash over media). Pigeonhole
+    * blocking with exact recall at `maxDist`: the signature splits into
+    * maxDist+1 disjoint bit-blocks, a pair within distance must agree
+    * on ≥1 whole block and meets in that block's bucket.
+    */
+  def hammingPairs(sigDf: DataFrame, idCol: String, sigCol: String,
+                   width: Int, maxDist: Int): DataFrame = {
     val blocks = maxDist + 1
     require(width % blocks == 0,
       s"width=$width must divide into maxDist+1=$blocks equal bit-blocks")
@@ -451,7 +463,8 @@ object Dedup {
     // localCheckpoint: the signature projection feeds both sides of the
     // block self-join; one materialization, blocks GC-freed (a cache()
     // here would outlive the call in the CacheManager)
-    val sig = simhash(df, idCol, textCol, width).localCheckpoint(true)
+    val sig = sigDf.select(col(idCol).as("id"), col(sigCol).as("simhash"))
+      .localCheckpoint(true)
     val blockKeys = (0 until blocks).map { b =>
       concat_ws(":", lit(b.toString),
         shiftright(col("simhash"), b * blockBits).bitwiseAND(mask))

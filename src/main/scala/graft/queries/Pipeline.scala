@@ -538,6 +538,27 @@ object Pipeline {
       .select(col("media_id"), col("width"), col("height"),
         col("out_width"), col("out_height"))
 
+  /** M4 — media near-dup detection by perceptual hash: every media item
+    * gets a planted "re-encode" twin (one phash bit flipped, id +10^7 —
+    * the fixture phashes are md5-derived, so organic collisions are
+    * ~zero), and the generic Hamming-blocking dedup
+    * ([[graft.operators.Dedup.hammingPairs]], the SimHash machinery
+    * over a media signature) must recover exactly the planted pairs.
+    * Same 100 TB shape as d6: constant-width signatures, bucketed
+    * join, never all-pairs.
+    */
+  def m4MediaDedup(spark: SparkSession, dir: String): DataFrame = {
+    val feats = Multimodal.decodeFeatures(media(spark, dir)).toDF()
+      .select(col("media_id"), col("phash"))
+    val twins = feats.select(
+      (col("media_id") + lit(10000000L)).as("media_id"),
+      col("phash").bitwiseXOR(
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(media_id % 56 AS INT))"))
+        .as("phash"))
+    Dedup.hammingPairs(feats.union(twins), "media_id", "phash",
+      width = 56, maxDist = 3)
+  }
+
   // ---- event analytics ----
 
   /** E1 — batch sessionization (30-min gap) over the events table. */
