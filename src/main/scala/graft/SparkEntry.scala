@@ -40,6 +40,8 @@ object SparkEntry {
     "q10_incremental"-> (Lakehouse.q10Incremental _),
     "q11_time_travel"-> (Lakehouse.q11TimeTravel _),
     "q12_partition_pruned"-> (Lakehouse.q12PartitionPruned _),
+    "q13_file_skip"  -> (Lakehouse.q13FileSkipping _),
+    "q14_merge"      -> (Lakehouse.q14Merge _),
     // training-data pipeline: dedup / similarity / text analysis
     "d1_exact_dedup" -> (Pipeline.d1ExactDedup _),
     "d2_fingerprint" -> (Pipeline.d2Fingerprint _),
@@ -238,6 +240,25 @@ object SparkEntry {
     "q12_partition_pruned" ->
       """SELECT COUNT(*) AS cnt, CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
         |FROM orders WHERE o_orderpriority = '1-URGENT'""".stripMargin,
+    "q13_file_skip" ->
+      """SELECT COUNT(*) AS cnt, CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+        |FROM orders
+        |WHERE o_orderdate BETWEEN DATE '1997-06-01' AND DATE '1998-06-01'""".stripMargin,
+    "q14_merge" ->
+      """WITH base AS (
+        |  SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY o_custkey),
+        |upd AS (SELECT o_custkey AS k, n_orders FROM base WHERE o_custkey % 3 = 0),
+        |ins AS (SELECT o_custkey + 10000000 AS k, n_orders FROM base WHERE o_custkey % 7 = 0)
+        |SELECT c.c_custkey, c.c_name, c.c_nationkey,
+        |       CASE WHEN u.k IS NOT NULL THEN c.c_acctbal + u.n_orders
+        |            ELSE c.c_acctbal END AS c_acctbal,
+        |       CASE WHEN u.k IS NOT NULL THEN 'MERGED'
+        |            ELSE c.c_mktsegment END AS c_mktsegment
+        |FROM customer c LEFT JOIN upd u ON c.c_custkey = u.k
+        |WHERE u.k IS NULL OR u.n_orders < 15
+        |UNION ALL
+        |SELECT i.k, 'cust-' || i.k, CAST(i.k % 25 AS INTEGER), 0.0, 'NEW'
+        |FROM ins i""".stripMargin,
     "d1_exact_dedup" ->
       "SELECT min(doc_id) AS keep_id, count(*) AS n_dups FROM documents GROUP BY text",
     "d2_fingerprint" ->

@@ -25,7 +25,7 @@ object Lakehouse {
     * TieredTable layout changes so a stale cache from a previous build
     * can never be read with new code.
     */
-  private val FormatVersion = 2
+  private val FormatVersion = 3
 
   /** Build (once per sf dir) the demo tiered table; idempotent. */
   def demoTable(spark: SparkSession, dir: String): TieredTable = {
@@ -116,6 +116,92 @@ object Lakehouse {
     }
     t
   }
+
+  /** Date-clustered variant of the demo table: orders land in three
+    * commits by `o_orderdate` range — the natural layout of any
+    * time-ingested fact table (each day's load covers a narrow date
+    * band). Gives every cold file a TIGHT [min,max] on the date
+    * column, which is what manifest-level skipping feeds on.
+    */
+  def demoTableByDate(spark: SparkSession, dir: String): TieredTable = {
+    val safe = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val path = s"${sys.props("java.io.tmpdir")}/graft-tiered/v$FormatVersion/$safe/orders_bydate"
+    val donePath = Paths.get(path, "meta", "LATEST")
+    val t = TieredTable(spark, path)
+    if (!Files.exists(donePath)) {
+      val orders = Tables.load(spark, dir, "orders")
+      val d = col("o_orderdate")
+      // the fixture's order dates span 1995-01-01..2001-08-01
+      Seq(
+        d < lit("1997-01-01").cast("date"),
+        d >= lit("1997-01-01").cast("date") && d < lit("1999-01-01").cast("date"),
+        d >= lit("1999-01-01").cast("date")
+      ).foreach(band => t.commitAppend(orders.filter(band).coalesce(1)))
+    }
+    t
+  }
+
+  /** Q13 — manifest-level FILE SKIPPING: a one-year date-range query
+    * through [[TieredTable.readColdWhere]] on the date-clustered table.
+    * The footer-stats sidecar proves two of the three cold files cannot
+    * hold a matching row, so the scan opens only the middle band
+    * (skipping counts asserted in FileSkippingSpec); the oracle
+    * recomputes the aggregate from the raw fixture — skipping must be
+    * invisible in the answer.
+    */
+  def q13FileSkipping(spark: SparkSession, dir: String): DataFrame =
+    demoTableByDate(spark, dir)
+      .readColdWhere(col("o_orderdate").between(
+        lit("1997-06-01").cast("date"), lit("1998-06-01").cast("date")))
+      .agg(count(lit(1)).as("cnt"), sum(col("o_orderkey")).as("key_sum"))
+
+  /** Build-once fixture for Q14: the customer dimension seeded as a
+    * tiered table, then one `MERGE INTO` commit driven by per-customer
+    * order activity —
+    *
+    *  - WHEN MATCHED AND n_orders ≥ 15 → DELETE (churn the heaviest
+    *    accounts),
+    *  - WHEN MATCHED → c_acctbal += n_orders, c_mktsegment = 'MERGED',
+    *  - WHEN NOT MATCHED (keys shifted far past the custkey domain) → INSERT synthetic rows.
+    *
+    * Idempotent: the merge commit is snapshot 2 — a rebuilt session
+    * sees LATEST ≥ 2 and leaves the table alone (re-applying a MERGE
+    * is not idempotent, unlike the append fixtures).
+    */
+  def demoMergedCustomer(spark: SparkSession, dir: String): TieredTable = {
+    val safe = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val path = s"${sys.props("java.io.tmpdir")}/graft-tiered/v$FormatVersion/$safe/customer_merged"
+    val t = TieredTable(spark, path, pk = Seq("c_custkey"))
+    if (t.latestSnapshotId < 2) {
+      t.commitAppend(Tables.load(spark, dir, "customer").coalesce(1))
+      val base = Tables.load(spark, dir, "orders")
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+      val upd = base.filter(pmod(col("o_custkey"), lit(3)) === 0)
+        .select(col("o_custkey").as("c_custkey"), col("n_orders"))
+      val ins = base.filter(pmod(col("o_custkey"), lit(7)) === 0)
+        .select((col("o_custkey") + 10000000L).as("c_custkey"), col("n_orders"))
+      val src = upd.unionByName(ins).select(
+        col("c_custkey"), col("n_orders"),
+        concat(lit("cust-"), col("c_custkey")).as("c_name"),
+        pmod(col("c_custkey"), lit(25)).cast("int").as("c_nationkey"),
+        lit(0.0).as("c_acctbal"), lit("NEW").as("c_mktsegment"))
+      t.merge(src, Seq("c_custkey"),
+        whenMatchedUpdate = Map(
+          "c_acctbal" -> (col("t.c_acctbal") + col("s.n_orders")),
+          "c_mktsegment" -> lit("MERGED")),
+        whenMatchedDelete = Some(col("s.n_orders") >= 15L))
+    }
+    t
+  }
+
+  /** Q14 — the merged customer state read back: every MERGE clause
+    * (update, delete, insert, untouched passthrough) is visible in the
+    * output and recomputed relationally by the oracle.
+    */
+  def q14Merge(spark: SparkSession, dir: String): DataFrame =
+    demoMergedCustomer(spark, dir).readCold()
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+        col("c_acctbal"), col("c_mktsegment"))
 
   /** Q12 — partition-pruned read: one priority's rows through the
     * partitioned table's hot∪cold union. The scan touches ONLY the

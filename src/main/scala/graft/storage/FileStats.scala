@@ -1,0 +1,351 @@
+package graft.storage
+
+import java.nio.file.{Files, Path, Paths}
+import java.util.Base64
+
+import scala.jdk.CollectionConverters._
+import scala.util.control.NonFatal
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{Path => HadoopPath}
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.io.api.Binary
+import org.apache.parquet.schema.{LogicalTypeAnnotation, PrimitiveType}
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+import org.apache.spark.sql.sources._
+
+/** Per-file column min/max/null statistics — the manifest-level data-
+  * skipping layer (what Iceberg keeps in its manifest entries:
+  * `lower_bounds`/`upper_bounds`/`null_value_counts` per data file).
+  *
+  * Collection reads only parquet FOOTERS of just-written files (a
+  * driver-side metadata read at demo scale; on a cluster the same
+  * numbers come back from the writer tasks' commit messages, exactly
+  * as Iceberg collects them). The sidecar `_graft_stats` lives INSIDE
+  * the data directory — underscore-prefixed so every Spark scan
+  * ignores it, and it travels/dies with the directory through
+  * tier/compact/vacuum with no extra bookkeeping.
+  *
+  * Pruning is strictly conservative: a file is skipped only when a
+  * pushed predicate is provably false for every row it holds. Missing
+  * sidecars, unknown columns, non-ASCII string bounds, untranslatable
+  * predicates all mean "keep the file". This sits ABOVE parquet's own
+  * row-group skipping: at 100 TB the win is never listing/opening the
+  * file at all — scan planning touches O(matching files), not
+  * O(table files).
+  */
+object FileStats {
+
+  val SidecarName = "_graft_stats"
+
+  /** Stats for one column of one file. `tag` fixes the comparison
+    * domain: long | double | string | date | ts | decimal:<scale> |
+    * none (= unusable, always keep). min/max are canonical strings in
+    * that domain; None = unknown. nulls/rows: -1 = unknown.
+    */
+  case class ColStat(tag: String, min: Option[String], max: Option[String],
+                     nulls: Long, rows: Long)
+
+  // ---- collection (footer read) ----
+
+  private def tagOf(pt: PrimitiveType): String = {
+    val phys = pt.getPrimitiveTypeName
+    pt.getLogicalTypeAnnotation match {
+      case d: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation
+          if phys == PrimitiveTypeName.INT32 || phys == PrimitiveTypeName.INT64 =>
+        s"decimal:${d.getScale}"
+      case _: LogicalTypeAnnotation.DateLogicalTypeAnnotation => "date"
+      case _: LogicalTypeAnnotation.StringLogicalTypeAnnotation => "string"
+      // UTC-adjusted (instant) vs NTZ (wall-clock) micros are DIFFERENT
+      // domains: tag them apart so a literal of the other kind can
+      // never drive a skip decision
+      case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation
+          if phys == PrimitiveTypeName.INT64 &&
+            t.getUnit == LogicalTypeAnnotation.TimeUnit.MICROS =>
+        if (t.isAdjustedToUTC) "ts" else "tsn"
+      case _: LogicalTypeAnnotation.IntLogicalTypeAnnotation |
+           null =>
+        phys match {
+          case PrimitiveTypeName.INT32 | PrimitiveTypeName.INT64 => "long"
+          case PrimitiveTypeName.DOUBLE | PrimitiveTypeName.FLOAT => "double"
+          case _ => "none"
+        }
+      case _ => "none"
+    }
+  }
+
+  private def isAscii(s: String): Boolean = s.forall(c => c >= 0x20 && c < 0x7f)
+
+  /** Canonical string for a footer min/max value in the tag's domain;
+    * None = value unusable (e.g. non-ASCII string — parquet orders
+    * UTF8 bytes unsigned, java Strings by UTF-16 unit; they agree only
+    * on ASCII, so anything else must not drive a skip decision).
+    */
+  private def canon(tag: String, v: AnyRef): Option[String] = (tag, v) match {
+    case (_, null) => None
+    case ("long" | "date" | "ts" | "tsn", n: java.lang.Number) =>
+      Some(n.longValue.toString)
+    case (t, n: java.lang.Number) if t.startsWith("decimal:") =>
+      Some(n.longValue.toString)
+    case ("double", n: java.lang.Number) => Some(n.doubleValue.toString)
+    case ("string", b: Binary) =>
+      val s = b.toStringUsingUTF8
+      if (isAscii(s)) Some(s) else None
+    case _ => None
+  }
+
+  /** Read footer stats for every `*.parquet` under `dir` (recursive —
+    * partitioned layouts nest files under `col=value/` subdirs). Keys
+    * are paths RELATIVE to `dir`.
+    */
+  def collect(dir: Path): Map[String, Map[String, ColStat]] = {
+    val conf = new Configuration()
+    val files = Files.walk(dir).iterator().asScala
+      .filter(p => Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet"))
+      .toSeq
+    files.flatMap { f =>
+      try {
+        val reader = ParquetFileReader.open(conf, new HadoopPath(f.toString))
+        try {
+          val footer = reader.getFooter
+          val blocks = footer.getBlocks.asScala.toSeq
+          val rows = blocks.map(_.getRowCount).sum
+          // accumulate (tag, min, max, nulls, statsOk) per column path
+          var acc = Map.empty[String, (String, Option[String], Option[String], Long, Boolean)]
+          for (b <- blocks; c <- b.getColumns.asScala) {
+            val name = c.getPath.toDotString
+            val tag = tagOf(c.getPrimitiveType)
+            val st = c.getStatistics
+            val (mn, mx, nl, ok) =
+              if (st == null || tag == "none") (None, None, -1L, false)
+              else {
+                val nulls = if (st.isNumNullsSet) st.getNumNulls else -1L
+                if (!st.hasNonNullValue) (None, None, nulls, true)
+                else (canon(tag, st.genericGetMin.asInstanceOf[AnyRef]),
+                  canon(tag, st.genericGetMax.asInstanceOf[AnyRef]),
+                  nulls, true)
+              }
+            acc.get(name) match {
+              case None => acc += name -> (tag, mn, mx, nl, ok)
+              case Some((t0, mn0, mx0, nl0, ok0)) =>
+                // merge chunks: a chunk with unusable stats poisons the
+                // column (its rows are unbounded); null counts add
+                val mergedMin = mergeBound(tag, mn0, mn, takeMin = true)
+                val mergedMax = mergeBound(tag, mx0, mx, takeMin = false)
+                val mergedNl = if (nl0 < 0 || nl < 0) -1L else nl0 + nl
+                acc += name -> (t0, mergedMin, mergedMax, mergedNl, ok0 && ok)
+            }
+          }
+          val rel = dir.relativize(f).toString
+          Some(rel -> acc.map { case (col, (tag, mn, mx, nl, ok)) =>
+            col -> (if (ok) ColStat(tag, mn, mx, nl, rows)
+                    else ColStat("none", None, None, -1L, rows))
+          })
+        } finally reader.close()
+      } catch { case NonFatal(_) => None } // unreadable footer → no stats
+    }.toMap
+  }
+
+  /** min/max merge across row-group chunks. A chunk whose bound is
+    * unknown makes the file bound unknown (the chunk's rows could lie
+    * anywhere).
+    */
+  private def mergeBound(tag: String, a: Option[String], b: Option[String],
+                         takeMin: Boolean): Option[String] = (a, b) match {
+    case (Some(x), Some(y)) =>
+      val cmp = compareCanon(tag, x, y)
+      Some(if ((cmp <= 0) == takeMin) x else y)
+    case _ => None
+  }
+
+  private def compareCanon(tag: String, a: String, b: String): Int = tag match {
+    case "double" => java.lang.Double.compare(a.toDouble, b.toDouble)
+    case "string" => a.compareTo(b)
+    case _ => java.lang.Long.compare(a.toLong, b.toLong) // long/date/ts/decimal
+  }
+
+  // ---- sidecar io ----
+
+  private def enc(o: Option[String]): String =
+    o.map(s => Base64.getEncoder.encodeToString(s.getBytes("UTF-8"))).getOrElse("-")
+
+  private def dec(s: String): Option[String] =
+    if (s == "-") None else Some(new String(Base64.getDecoder.decode(s), "UTF-8"))
+
+  /** Collect footer stats for `dir` and write its `_graft_stats`
+    * sidecar. Called from the single write seam right after the
+    * parquet write, BEFORE any atomic rename publishes the directory —
+    * so data and stats commit together.
+    */
+  def writeSidecar(dir: Path): Unit = {
+    val stats = collect(dir)
+    val body = new StringBuilder("v1\n")
+    for ((file, cols) <- stats.toSeq.sortBy(_._1); (col, s) <- cols.toSeq.sortBy(_._1)) {
+      body.append(Seq(file, col, s.tag, enc(s.min), enc(s.max),
+        s.nulls.toString, s.rows.toString).mkString("\t")).append('\n')
+    }
+    Files.writeString(dir.resolve(SidecarName), body.toString)
+  }
+
+  /** Load a directory's sidecar; empty map when absent (pre-stats dirs
+    * — every file is kept).
+    */
+  def readSidecar(dir: Path): Map[String, Map[String, ColStat]] = {
+    val p = dir.resolve(SidecarName)
+    if (!Files.exists(p)) Map.empty
+    else {
+      Files.readAllLines(p).asScala.drop(1).filter(_.nonEmpty).map { l =>
+        val parts = l.split("\t", -1)
+        (parts(0), parts(1),
+          ColStat(parts(2), dec(parts(3)), dec(parts(4)),
+            parts(5).toLong, parts(6).toLong))
+      }.groupBy(_._1).map { case (f, rowsOfFile) =>
+        f -> rowsOfFile.map(r => r._2 -> r._3).toMap
+      }.toMap
+    }
+  }
+
+  // ---- pruning ----
+
+  /** All data files under the given roots with their stats (empty map
+    * per file when unknown), keyed by absolute path.
+    */
+  def filesWithStats(roots: Seq[String]): Seq[(String, Map[String, ColStat])] =
+    roots.flatMap { r =>
+      val dir = Paths.get(r)
+      if (!Files.isDirectory(dir)) Nil
+      else {
+        val side = readSidecar(dir)
+        Files.walk(dir).iterator().asScala
+          .filter(p => Files.isRegularFile(p) &&
+            p.getFileName.toString.endsWith(".parquet"))
+          .map(p => p.toString -> side.getOrElse(dir.relativize(p).toString, Map.empty))
+          .toSeq
+      }
+    }
+
+  /** The file paths under `roots` that might hold a row matching ALL
+    * `filters`, plus the total file count. Conservative in every
+    * unknown case.
+    */
+  def prune(roots: Seq[String], filters: Seq[Filter]): (Seq[String], Int) = {
+    val all = filesWithStats(roots)
+    val kept = all.collect {
+      case (f, stats) if filters.forall(mayMatch(stats, _)) => f
+    }
+    (kept, all.size)
+  }
+
+  /** Can any row of a file with these stats satisfy the filter?
+    * (false ⇒ the file is provably irrelevant and safe to skip).
+    */
+  def mayMatch(stats: Map[String, ColStat], f: Filter): Boolean = f match {
+    case EqualTo(a, v)            => rangeMayContain(stats, a, v)
+    case EqualNullSafe(a, null)   => mayHaveNulls(stats, a)
+    case EqualNullSafe(a, v)      => rangeMayContain(stats, a, v)
+    case GreaterThan(a, v)        => boundCmp(stats, a, v, (mx, l) => mx > l, useMax = true)
+    case GreaterThanOrEqual(a, v) => boundCmp(stats, a, v, (mx, l) => mx >= l, useMax = true)
+    case LessThan(a, v)           => boundCmp(stats, a, v, (mn, l) => mn < l, useMax = false)
+    case LessThanOrEqual(a, v)    => boundCmp(stats, a, v, (mn, l) => mn <= l, useMax = false)
+    case In(a, vs)                => vs == null || vs.exists(v => v != null && rangeMayContain(stats, a, v))
+    case IsNull(a)                => mayHaveNulls(stats, a)
+    case IsNotNull(a)             => mayHaveNonNull(stats, a)
+    case And(l, r)                => mayMatch(stats, l) && mayMatch(stats, r)
+    case Or(l, r)                 => mayMatch(stats, l) || mayMatch(stats, r)
+    case StringStartsWith(a, p)   => prefixMayMatch(stats, a, p)
+    case _                        => true // Not / EndsWith / Contains / unknown
+  }
+
+  /** Comparable form of a pushed-filter literal in the column's stats
+    * domain; None = not comparable → keep.
+    */
+  private def literal(tag: String, v: Any): Option[Any] = (tag, v) match {
+    case (_, null) => None
+    case ("long", n: Byte)  => Some(n.toLong)
+    case ("long", n: Short) => Some(n.toLong)
+    case ("long", n: Int)   => Some(n.toLong)
+    case ("long", n: Long)  => Some(n)
+    case ("double", n: Number) => Some(n.doubleValue)
+    case ("string", s: String) if isAscii(s) => Some(s)
+    case ("date", d: java.sql.Date)     => Some(d.toLocalDate.toEpochDay)
+    case ("date", d: java.time.LocalDate) => Some(d.toEpochDay)
+    case ("ts", t: java.sql.Timestamp) =>
+      Some(t.getTime * 1000L + (t.getNanos / 1000L) % 1000L)
+    case ("ts", i: java.time.Instant) =>
+      Some(i.getEpochSecond * 1000000L + i.getNano / 1000L)
+    case ("tsn", d: java.time.LocalDateTime) => // NTZ wall-clock micros
+      Some(d.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
+        d.getNano / 1000L)
+    case (t, d: java.math.BigDecimal) if t.startsWith("decimal:") => Some(d)
+    case (t, d: scala.math.BigDecimal) if t.startsWith("decimal:") =>
+      Some(d.underlying)
+    case _ => None
+  }
+
+  /** Three-way compare of a canonical stats bound against a literal in
+    * the same domain. None = not comparable.
+    */
+  private def cmp(tag: String, bound: String, lit: Any): Option[Int] = tag match {
+    case "double" => Some(java.lang.Double.compare(bound.toDouble,
+      lit.asInstanceOf[Double]))
+    case "string" => Some(bound.compareTo(lit.asInstanceOf[String]))
+    case t if t.startsWith("decimal:") =>
+      val scale = t.stripPrefix("decimal:").toInt
+      val b = java.math.BigDecimal.valueOf(bound.toLong, scale)
+      Some(b.compareTo(lit.asInstanceOf[java.math.BigDecimal]))
+    case _ => Some(java.lang.Long.compare(bound.toLong,
+      lit.asInstanceOf[Long])) // long/date/ts
+  }
+
+  private def rangeMayContain(stats: Map[String, ColStat], a: String, v: Any): Boolean =
+    withBounds(stats, a, v) { (tag, mn, mx, l) =>
+      val lo = cmp(tag, mn, l); val hi = cmp(tag, mx, l)
+      (lo, hi) match {
+        case (Some(c1), Some(c2)) => c1 <= 0 && c2 >= 0
+        case _ => true
+      }
+    }
+
+  /** Compare one bound (max for >, min for <) against the literal. */
+  private def boundCmp(stats: Map[String, ColStat], a: String, v: Any,
+                       pass: (Int, Int) => Boolean, useMax: Boolean): Boolean =
+    withBounds(stats, a, v) { (tag, mn, mx, l) =>
+      cmp(tag, if (useMax) mx else mn, l) match {
+        case Some(c) => pass(c, 0)
+        case None => true
+      }
+    }
+
+  private def withBounds(stats: Map[String, ColStat], a: String, v: Any)
+                        (f: (String, String, String, Any) => Boolean): Boolean =
+    stats.get(a) match {
+      case Some(ColStat(tag, Some(mn), Some(mx), _, _)) if tag != "none" =>
+        literal(tag, v) match {
+          case Some(l) => f(tag, mn, mx, l)
+          case None => true
+        }
+      case _ => true
+    }
+
+  private def prefixMayMatch(stats: Map[String, ColStat], a: String,
+                             p: String): Boolean =
+    stats.get(a) match {
+      case Some(ColStat("string", Some(mn), Some(mx), _, _)) if isAscii(p) =>
+        // strings with prefix p live in [p, p + U+FFFF): skip when the
+        // file's whole range is below p or above every p-prefixed string
+        mx.compareTo(p) >= 0 && mn.compareTo(p + "￿") <= 0
+      case _ => true
+    }
+
+  private def mayHaveNulls(stats: Map[String, ColStat], a: String): Boolean =
+    stats.get(a) match {
+      case Some(s) if s.nulls >= 0 => s.nulls > 0
+      case _ => true
+    }
+
+  private def mayHaveNonNull(stats: Map[String, ColStat], a: String): Boolean =
+    stats.get(a) match {
+      case Some(s) if s.nulls >= 0 && s.rows >= 0 => s.nulls < s.rows
+      case _ => true
+    }
+}

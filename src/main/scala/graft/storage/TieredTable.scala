@@ -225,6 +225,11 @@ class TieredTable(spark: SparkSession, rawTablePath: String,
     val w = df.write.mode("overwrite")
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .parquet(path)
+    // per-file min/max/null stats sidecar, written INSIDE the dir before
+    // any atomic rename publishes it — data and skipping stats commit
+    // together (see FileStats; this is the Iceberg manifest-entry
+    // lower/upper-bounds analog)
+    FileStats.writeSidecar(Paths.get(path))
   }
 
   private def withCommitLock[A](f: => A): A =
@@ -340,6 +345,96 @@ class TieredTable(spark: SparkSession, rawTablePath: String,
     commitManifest(s)
     s
   }
+
+  /** SQL `MERGE INTO` semantics, copy-on-write: join the current cold
+    * state (alias `t`) with `source` (alias `s`) on the `on` key
+    * columns, then
+    *
+    *  - WHEN MATCHED AND `whenMatchedDelete` → the target row is
+    *    dropped;
+    *  - WHEN MATCHED (otherwise) → `whenMatchedUpdate` assignments are
+    *    applied (expressions may reference both sides as `t.<col>` /
+    *    `s.<col>`; empty map = keep the target row unchanged);
+    *  - WHEN NOT MATCHED (source-only key) and `whenNotMatchedInsert`
+    *    → the source row is inserted (its columns resolved to the
+    *    target schema by name).
+    *
+    * Commits one `merge` snapshot; None when the table has no current
+    * snapshot to merge into (use [[commitAppend]] to seed). The source
+    * must be unique on the key — SQL raises on a multi-match MERGE and
+    * so do we, deterministically, instead of multiplying target rows.
+    *
+    * Scale shape: ONE shuffle — a full-outer hash join on the key
+    * (broadcast when the source is dimension-sized); assignments and
+    * clause routing are map-side projections over the joined rows.
+    * Same preconditions as the other row-level verbs: fully-tiered
+    * table (the append-only hot log cannot absorb row mutations).
+    */
+  def merge(source: DataFrame, on: Seq[String],
+            whenMatchedUpdate: Map[String, org.apache.spark.sql.Column] = Map.empty,
+            whenMatchedDelete: Option[org.apache.spark.sql.Column] = None,
+            whenNotMatchedInsert: Boolean = true): Option[Snapshot] =
+    withCommitLock {
+      require(on.nonEmpty, "merge needs at least one key column")
+      val prev = currentSnapshot.getOrElse(return None)
+      require(!logSegments.exists(_ > prev.tieredSeg),
+        s"hot log segments exist above the tiered watermark in $tablePath; " +
+          "tier() before merge")
+      val target = readCold()
+      require(on.forall(target.columns.contains),
+        s"merge key ${on.mkString(",")} missing from target")
+      require(on.forall(source.columns.contains),
+        s"merge key ${on.mkString(",")} missing from source")
+      whenMatchedUpdate.keys.foreach(c => require(target.columns.contains(c),
+        s"unknown target column $c in merge assignment"))
+      val dupKeys = source.groupBy(on.map(col): _*)
+        .agg(count(lit(1)).as("__n")).filter(col("__n") > 1L)
+      require(dupKeys.limit(1).count() == 0,
+        "merge source has duplicate key rows — MERGE would be ambiguous")
+      val t = target.withColumn("__t", lit(true)).alias("t")
+      val s = source.withColumn("__s", lit(true)).alias("s")
+      val joinCond = on.map(k => col(s"t.$k") <=> col(s"s.$k")).reduce(_ && _)
+      val j = t.join(s, joinCond, "full_outer")
+      val matched = col("t.__t").isNotNull && col("s.__s").isNotNull
+      val deleteHit = whenMatchedDelete
+        .map(c => coalesce(c, lit(false))).getOrElse(lit(false))
+      // matched & kept: assignments see both aliases (SQL's simultaneous-
+      // assignment semantics — one select over the ORIGINAL joined row)
+      val updated = j.filter(matched && !deleteHit)
+        .select(target.schema.fields.map { f =>
+          whenMatchedUpdate.get(f.name) match {
+            case Some(v) => v.cast(f.dataType).as(f.name)
+            case None => col(s"t.${f.name}")
+          }
+        }.toIndexedSeq: _*)
+      val targetOnly = j.filter(col("s.__s").isNull)
+        .select(target.columns.map(c => col(s"t.$c")).toIndexedSeq: _*)
+      val inserted =
+        if (!whenNotMatchedInsert) emptyLike(updated.schema)
+        else {
+          val jj = j.filter(col("t.__t").isNull)
+          target.schema.fields.foreach(f =>
+            require(source.columns.contains(f.name) || f.nullable,
+              s"merge insert cannot supply non-nullable target column ${f.name}"))
+          jj.select(target.schema.fields.map { f =>
+            if (source.columns.contains(f.name))
+              col(s"s.${f.name}").cast(f.dataType).as(f.name)
+            else lit(null).cast(f.dataType).as(f.name)
+          }.toIndexedSeq: _*)
+        }
+      val result = updated.unionByName(targetOnly).unionByName(inserted)
+      val toWrite =
+        if (pk.nonEmpty && mergeOnRead) result.withColumn(SeqCol, lit(0L))
+        else result
+      val id = latestSnapshotId + 1
+      val out = dataDir.resolve(f"snap-$id%06d")
+      writeData(toWrite, out.toString)
+      val rows = writtenRows(out.toString)
+      val snap = Snapshot(id, "merge", rows, prev.tieredSeg,
+        Seq(out.toString), System.currentTimeMillis())
+      commitManifest(snap)
+      Some(snap)
+    }
 
   // ---- maintenance ----
 
@@ -526,6 +621,60 @@ class TieredTable(spark: SparkSession, rawTablePath: String,
       val raw = readParquet(s.files)
       if (pk.isEmpty || !mergeOnRead) raw
       else Upsert.latestByKey(raw, pk, Seq(col(SeqCol).desc)).drop(SeqCol)
+  }
+
+  /** Cold read with manifest-level FILE SKIPPING: translate `cond`'s
+    * conjuncts to data-source filters, drop every file whose footer
+    * min/max stats prove it can hold no matching row, and scan only
+    * the survivors (the predicate is still applied in full — pruning
+    * is a strict optimization, never a semantics change).
+    *
+    * At 100 TB this is the difference between planning over O(matching
+    * files) and O(table files): a range query on a sorted/clustered
+    * column opens only the files whose [min,max] intersect it, before
+    * parquet footers are even fetched by the scan.
+    *
+    * Falls back to `readCold().filter(cond)` — same answer, no
+    * skipping — for (a) partitioned tables (directory pruning already
+    * serves that layout), and (b) merge-on-read PK tables: a key's
+    * winning version can live in a file the predicate would prune, so
+    * last-write-wins must resolve BEFORE the filter.
+    */
+  def readColdWhere(cond: org.apache.spark.sql.Column): DataFrame = {
+    if (partitionBy.nonEmpty || (pk.nonEmpty && mergeOnRead))
+      return readCold().filter(cond)
+    val s = currentSnapshot.getOrElse(
+      throw new IllegalStateException(s"no snapshot in $tablePath"))
+    val base = readCold()
+    val filters = org.apache.spark.sql.GraftSqlBridge.translateConjuncts(base, cond)
+    if (filters.isEmpty) return base.filter(cond)
+    val (kept, _) = FileStats.prune(s.files, filters)
+    if (kept.isEmpty) emptyLike(base.schema).filter(cond)
+    else {
+      val pruned = spark.read.option("mergeSchema", "true").parquet(kept: _*)
+      // schema-evolved tables: a pruned-away file may be the only one
+      // carrying a late column — pad with typed nulls so the result
+      // schema equals the full read's
+      val padded =
+        if (pruned.columns.toSeq == base.columns.toSeq) pruned
+        else pruned.select(base.schema.fields.map { f =>
+          if (pruned.columns.contains(f.name)) col(f.name)
+          else lit(null).cast(f.dataType).as(f.name)
+        }.toIndexedSeq: _*)
+      padded.filter(cond)
+    }
+  }
+
+  /** (kept, total) cold-tier file counts under `cond`'s skipping
+    * decision — observability for specs and scan planning.
+    */
+  def skippingCounts(cond: org.apache.spark.sql.Column): (Int, Int) = {
+    val s = currentSnapshot.getOrElse(
+      throw new IllegalStateException(s"no snapshot in $tablePath"))
+    val filters =
+      org.apache.spark.sql.GraftSqlBridge.translateConjuncts(readCold(), cond)
+    val (kept, total) = FileStats.prune(s.files, filters)
+    (kept.size, total)
   }
 
   /** Time travel: the cold tier as of a specific committed snapshot

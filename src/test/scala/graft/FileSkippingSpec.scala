@@ -1,0 +1,160 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.storage.{FileStats, TieredTable}
+
+/** Manifest-level file skipping: footer min/max stats collected at
+  * commit into the `_graft_stats` sidecar, pruned at read. The
+  * invariant under test everywhere: readColdWhere ≡ readCold().filter
+  * — pruning may only ever REMOVE work, never change an answer.
+  */
+class FileSkippingSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private def tmpTable(pk: Seq[String] = Nil, mergeOnRead: Boolean = false): TieredTable = {
+    val dir = Files.createTempDirectory("graft-fs").toString
+    new TieredTable(spark, s"$dir/t", pk, mergeOnRead)
+  }
+
+  private def sameAnswer(t: TieredTable, cond: org.apache.spark.sql.Column): Unit = {
+    val full = t.readCold().filter(cond).collect().map(_.toSeq).sortBy(_.toString)
+    val pruned = t.readColdWhere(cond).collect().map(_.toSeq).sortBy(_.toString)
+    assert(pruned.toSeq == full.toSeq)
+  }
+
+  test("disjoint-range commits: equality predicate opens one file") {
+    val t = tmpTable()
+    for (b <- 0 until 4)
+      t.commitAppend(((b * 100) until (b * 100 + 100)).map(_.toLong)
+        .toDF("id").coalesce(1))
+    val cond = col("id") === 150L
+    val (kept, total) = t.skippingCounts(cond)
+    assert(total == 4)
+    assert(kept == 1, "only the file whose [min,max] contains 150 survives")
+    sameAnswer(t, cond)
+    // a range predicate spanning two commits keeps exactly those two
+    val range = col("id") >= 150L && col("id") < 250L
+    assert(t.skippingCounts(range)._1 == 2)
+    sameAnswer(t, range)
+    // an out-of-domain predicate keeps nothing and returns empty
+    val none = col("id") > 10000L
+    assert(t.skippingCounts(none)._1 == 0)
+    assert(t.readColdWhere(none).count() == 0)
+    assert(t.readColdWhere(none).schema == t.readCold().schema)
+  }
+
+  test("string / date / decimal domains prune; timestamps stay conservative") {
+    val t = tmpTable()
+    def batch(tag: String, day: String, price: String) =
+      Seq((tag + "-a", day, price), (tag + "-z", day, price))
+        .toDF("name", "d", "p")
+        .select(col("name"), to_date(col("d")).as("d"),
+          col("p").cast("decimal(15,2)").as("p"),
+          to_timestamp(col("d")).as("ts"))
+        .coalesce(1)
+    t.commitAppend(batch("apple", "2024-01-01", "10.50"))
+    t.commitAppend(batch("mango", "2024-06-01", "20.75"))
+    t.commitAppend(batch("zebra", "2024-12-01", "30.99"))
+    assert(t.skippingCounts(col("name").startsWith("ma"))._1 == 1)
+    sameAnswer(t, col("name").startsWith("ma"))
+    assert(t.skippingCounts(col("d") > lit("2024-07-01").cast("date"))._1 == 1)
+    sameAnswer(t, col("d") > lit("2024-07-01").cast("date"))
+    val pCond = col("p") === lit("20.75").cast("decimal(15,2)")
+    assert(t.skippingCounts(pCond)._1 == 1)
+    sameAnswer(t, pCond)
+    // Spark writes INT96 timestamps by default → no usable stats →
+    // every file kept, answer still exact
+    val tsCond = col("ts") > lit("2024-07-01").cast("timestamp")
+    assert(t.skippingCounts(tsCond)._1 == 3)
+    sameAnswer(t, tsCond)
+  }
+
+  test("conjunctions intersect skips; disjunctions union them") {
+    val t = tmpTable()
+    for (b <- 0 until 3)
+      t.commitAppend((0 until 10).map(i => (b * 10L + i, b.toLong))
+        .toDF("id", "grp").coalesce(1))
+    assert(t.skippingCounts(col("id") < 10L && col("grp") === 0L)._1 == 1)
+    assert(t.skippingCounts(col("id") < 10L || col("id") > 25L)._1 == 2)
+    sameAnswer(t, col("id") < 10L || col("id") > 25L)
+  }
+
+  test("null accounting: IsNull opens only files that hold nulls") {
+    val t = tmpTable()
+    t.commitAppend(Seq((1L, Some("x")), (2L, Some("y")))
+      .toDF("id", "v").coalesce(1))
+    t.commitAppend(Seq((3L, Some("z")), (4L, None: Option[String]))
+      .toDF("id", "v").coalesce(1))
+    assert(t.skippingCounts(col("v").isNull)._1 == 1)
+    sameAnswer(t, col("v").isNull)
+    assert(t.skippingCounts(col("v").isNotNull)._1 == 2)
+    sameAnswer(t, col("v").isNotNull)
+  }
+
+  test("missing sidecar means no skipping, never a wrong answer") {
+    val t = tmpTable()
+    t.commitAppend(Seq(1L, 2L).toDF("id").coalesce(1))
+    t.commitAppend(Seq(100L, 200L).toDF("id").coalesce(1))
+    // simulate a pre-stats dir (older writer): drop one sidecar
+    val firstDir = t.currentSnapshot.get.files.head
+    Files.delete(Paths.get(firstDir, FileStats.SidecarName))
+    // id=2 lives in the now-statless file: it is kept conservatively,
+    // while the second file ([100,200], stats intact) prunes away
+    val cond = col("id") === 2L
+    val (kept, total) = t.skippingCounts(cond)
+    assert(total == 2 && kept == 1,
+      "statless file is kept; the out-of-range file still prunes")
+    sameAnswer(t, cond)
+  }
+
+  test("tier() and compact() carry sidecars through") {
+    val t = tmpTable()
+    t.appendLog(Seq(1L, 2L, 3L).toDF("id").coalesce(1))
+    t.tier()
+    t.commitAppend(Seq(100L, 200L).toDF("id").coalesce(1))
+    assert(t.skippingCounts(col("id") === 100L)._1 == 1)
+    t.compact(sortBy = Seq("id"))
+    // post-compact: one dir, stats refreshed for the rewritten files
+    val (kept, total) = t.skippingCounts(col("id") > 1000L)
+    assert(kept == 0)
+    sameAnswer(t, col("id") === 2L)
+  }
+
+  test("q13 fixture: the one-year range query opens one of three date bands") {
+    val t = graft.queries.Lakehouse.demoTableByDate(spark, "/root/testdata/sf0.001")
+    val cond = col("o_orderdate").between(
+      lit("1997-06-01").cast("date"), lit("1998-06-01").cast("date"))
+    val (kept, total) = t.skippingCounts(cond)
+    assert(total == 3 && kept == 1,
+      s"expected 1/3 files after date skipping, got $kept/$total")
+    sameAnswer(t, cond)
+  }
+
+  test("merge-on-read PK tables resolve versions before filtering") {
+    val t = tmpTable(pk = Seq("k"), mergeOnRead = true)
+    t.commitUpsert(Seq((1L, 10L), (2L, 20L)).toDF("k", "v").coalesce(1))
+    // key 1's winning version moves OUT of the predicate range — naive
+    // file pruning on v<15 would keep only the stale file and resurrect
+    // the old row
+    t.commitUpsert(Seq((1L, 99L)).toDF("k", "v").coalesce(1))
+    val cond = col("v") < 15L
+    sameAnswer(t, cond)
+    assert(t.readColdWhere(cond).count() == 0,
+      "key 1 resolved to v=99, which fails the predicate")
+  }
+
+  test("schema evolution: pruned-away late column comes back as typed null") {
+    val t = tmpTable()
+    t.commitAppend(Seq(1L, 2L).toDF("id").coalesce(1))
+    t.commitAppend(Seq((100L, "x")).toDF("id", "extra").coalesce(1))
+    val cond = col("id") < 10L // prunes the only file carrying `extra`
+    val out = t.readColdWhere(cond)
+    assert(out.schema == t.readCold().schema)
+    assert(out.count() == 2)
+    assert(out.filter(col("extra").isNull).count() == 2)
+  }
+}

@@ -1,0 +1,88 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.storage.TieredTable
+
+/** SQL MERGE semantics on the tiered table: one full-outer key join
+  * routes every row to exactly one clause — matched-update,
+  * matched-delete, not-matched-insert, or untouched passthrough.
+  */
+class MergeSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private def tmpTable(): TieredTable = {
+    val dir = Files.createTempDirectory("graft-mg").toString
+    new TieredTable(spark, s"$dir/t", pk = Seq("k"))
+  }
+
+  test("all four clause outcomes in one merge") {
+    val t = tmpTable()
+    t.commitAppend(Seq((1L, 10L, "a"), (2L, 20L, "b"), (3L, 30L, "c"),
+      (4L, 40L, "d")).toDF("k", "v", "s"))
+    // source: k=1 update (+5), k=2 delete (flag), k=9 insert; k=3/4 untouched
+    val src = Seq((1L, 5L, false), (2L, 0L, true), (9L, 99L, false))
+      .toDF("k", "v", "del")
+    val snap = t.merge(src, Seq("k"),
+      whenMatchedUpdate = Map("v" -> (col("t.v") + col("s.v"))),
+      whenMatchedDelete = Some(col("s.del")))
+    assert(snap.get.op == "merge")
+    val out = t.readCold().as[(Long, Long, Option[String])]
+      .collect().sortBy(_._1).toSeq
+    assert(out == Seq((1L, 15L, Some("a")), (3L, 30L, Some("c")),
+      (4L, 40L, Some("d")), (9L, 99L, None)),
+      "update applied, delete removed, insert padded nulls, rest untouched")
+  }
+
+  test("whenNotMatchedInsert=false drops source-only keys") {
+    val t = tmpTable()
+    t.commitAppend(Seq((1L, 10L)).toDF("k", "v"))
+    t.merge(Seq((1L, 1L), (9L, 9L)).toDF("k", "v"), Seq("k"),
+      whenMatchedUpdate = Map("v" -> col("s.v")),
+      whenNotMatchedInsert = false)
+    assert(t.readCold().as[(Long, Long)].collect().toSeq == Seq((1L, 1L)))
+  }
+
+  test("duplicate-key source is rejected (ambiguous MERGE)") {
+    val t = tmpTable()
+    t.commitAppend(Seq((1L, 10L)).toDF("k", "v"))
+    val dup = Seq((1L, 1L), (1L, 2L)).toDF("k", "v")
+    val e = intercept[IllegalArgumentException] {
+      t.merge(dup, Seq("k"), whenMatchedUpdate = Map("v" -> col("s.v")))
+    }
+    assert(e.getMessage.contains("duplicate key"))
+  }
+
+  test("hot tail blocks merge until tiered") {
+    val t = tmpTable()
+    t.commitAppend(Seq((1L, 10L)).toDF("k", "v"))
+    t.appendLog(Seq((2L, 20L)).toDF("k", "v"))
+    val e = intercept[IllegalArgumentException] {
+      t.merge(Seq((1L, 1L)).toDF("k", "v"), Seq("k"))
+    }
+    assert(e.getMessage.contains("tier() before merge"))
+    t.tier()
+    assert(t.merge(Seq((3L, 30L)).toDF("k", "v"), Seq("k")).isDefined)
+    assert(t.readCold().count() == 3)
+  }
+
+  test("merge on an empty table is a no-op returning None") {
+    val t = tmpTable()
+    assert(t.merge(Seq((1L, 1L)).toDF("k", "v"), Seq("k")).isEmpty)
+  }
+
+  test("incrementalRead sees merge as +U / -D / +I ops") {
+    val t = tmpTable()
+    t.commitAppend(Seq((1L, 10L), (2L, 20L)).toDF("k", "v"))
+    t.merge(Seq((1L, 11L, false), (2L, 0L, true), (3L, 30L, false))
+        .toDF("k", "v", "del"), Seq("k"),
+      whenMatchedUpdate = Map("v" -> col("s.v")),
+      whenMatchedDelete = Some(col("s.del")))
+    val ops = t.incrementalRead(1L, 2L, Seq("k"))
+      .select(col("op"), col("k")).as[(String, Long)].collect().toSet
+    assert(ops == Set(("+U", 1L), ("-D", 2L), ("+I", 3L)))
+  }
+}
