@@ -353,7 +353,13 @@ class TieredSqlTable(tableName: String, spark: SparkSession,
     Set(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    if (entry.partitionBy.isEmpty || paths.lengthCompare(1) <= 0)
+    if (entry.partitionBy.isEmpty)
+      // unpartitioned: stock parquet scan wrapped with manifest-level
+      // file skipping (footer-stats sidecars prune the file list at
+      // scan build; partitioned layouts get directory pruning instead)
+      new org.apache.spark.sql.GraftSkippingScanBuilder(spark, tableName,
+        paths, schema(), readOpts, inner.newScanBuilder(options))
+    else if (paths.lengthCompare(1) <= 0)
       inner.newScanBuilder(options)
     else
       new org.apache.spark.sql.GraftCompositeScanBuilder(

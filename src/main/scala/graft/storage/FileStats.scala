@@ -38,6 +38,17 @@ object FileStats {
 
   val SidecarName = "_graft_stats"
 
+  /** Last skip decision per table name — observability for specs and
+    * operators (how many files did the last SQL scan actually open?).
+    */
+  private val lastSkip =
+    scala.collection.concurrent.TrieMap.empty[String, (Int, Int)]
+
+  def recordSkip(table: String, kept: Int, total: Int): Unit =
+    lastSkip.put(table, (kept, total))
+
+  def lastSkipFor(table: String): Option[(Int, Int)] = lastSkip.get(table)
+
   /** Stats for one column of one file. `tag` fixes the comparison
     * domain: long | double | string | date | ts | decimal:<scale> |
     * none (= unusable, always keep). min/max are canonical strings in

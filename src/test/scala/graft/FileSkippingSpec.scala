@@ -147,6 +147,36 @@ class FileSkippingSpec extends AnyFunSuite with SparkSpec {
       "key 1 resolved to v=99, which fails the predicate")
   }
 
+  test("SQL scans through the catalog skip files by pushed predicates") {
+    val t = tmpTable()
+    for (b <- 0 until 4)
+      t.commitAppend(((b * 100) until (b * 100 + 100)).map(_.toLong)
+        .toDF("id").coalesce(1))
+    graft.plans.TieredCatalog.register("skipdb", "banded", t.tablePath)
+    try {
+      val one = spark.sql(
+        "SELECT SUM(id) AS s FROM graft.skipdb.banded WHERE id BETWEEN 150 AND 160")
+        .head().getLong(0)
+      assert(one == (150L to 160L).sum)
+      assert(FileStats.lastSkipFor("skipdb.banded")
+        .contains((1, 4)), "the range scan opened 1 of 4 files")
+      // predicate-free scans skip nothing and read everything
+      val full = spark.sql("SELECT SUM(id) AS s FROM graft.skipdb.banded")
+        .head().getLong(0)
+      assert(full == (0L until 400L).sum)
+      assert(FileStats.lastSkipFor("skipdb.banded").exists(_._1 == 4))
+      // hot-tail rows live in log segments with their own sidecars —
+      // the union scan prunes them by the same stats
+      t.appendLog(Seq(1000L, 1001L).toDF("id").coalesce(1))
+      val hot = spark.sql(
+        "SELECT COUNT(*) AS c FROM graft.skipdb.banded WHERE id >= 1000")
+        .head().getLong(0)
+      assert(hot == 2L)
+      assert(FileStats.lastSkipFor("skipdb.banded").contains((1, 5)),
+        "only the hot segment survives an out-of-cold-range predicate")
+    } finally graft.plans.TieredCatalog.unregister("skipdb", "banded")
+  }
+
   test("schema evolution: pruned-away late column comes back as typed null") {
     val t = tmpTable()
     t.commitAppend(Seq(1L, 2L).toDF("id").coalesce(1))
