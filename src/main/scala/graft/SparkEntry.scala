@@ -71,6 +71,7 @@ object SparkEntry {
     "c7_stratified"  -> (Pipeline.c7Stratified _),
     "c8_budget_select" -> (Pipeline.c8BudgetSelect _),
     "c9_mixture"     -> (Pipeline.c9Mixture _),
+    "c10_temp_mix"   -> (Pipeline.c10TemperatureMix _),
     "t1_langid"      -> (Pipeline.t1LangId _),
     "t2_quality"     -> (Pipeline.t2Quality _),
     "t3_tokens"      -> (Pipeline.t3Tokens _),
@@ -81,6 +82,7 @@ object SparkEntry {
     "t8_tfidf"       -> (Pipeline.t8Tfidf _),
     "t9_bigram_lm"   -> (Pipeline.t9BigramLm _),
     "t10_pii"        -> (Pipeline.t10Pii _),
+    "t11_gopher"     -> (Pipeline.t11GopherRules _),
     "m1_media_features" -> (Pipeline.m1MediaFeatures _),
     "m2_frame_sample"   -> (Pipeline.m2FrameSample _),
     "m3_resize"         -> (Pipeline.m3Resize _),
@@ -539,6 +541,34 @@ object SparkEntry {
         |      FROM documents)
         |SELECT source, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
         |FROM r, m WHERE rn <= m.m GROUP BY source""".stripMargin,
+    "c10_temp_mix" ->
+      """WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+        |m AS (SELECT min(n) AS nmin FROM c),
+        |r AS (SELECT source, sqrt(CAST((SELECT nmin FROM m) AS DOUBLE) / n) AS rate FROM c),
+        |k AS (SELECT d.doc_id, d.source FROM documents d JOIN r USING (source)
+        |      WHERE (CAST(('0x' || substr(md5('temp:' || CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+        |             % 1000000) / 1000000.0 < r.rate)
+        |SELECT source, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
+        |FROM k GROUP BY source""".stripMargin,
+    "t11_gopher" ->
+      """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS tk FROM documents),
+        |m AS (SELECT doc_id,
+        |  CAST(len(tk) AS BIGINT) AS n,
+        |  CAST(list_sum(list_transform(tk, x -> length(x))) AS BIGINT) AS sum_len,
+        |  CAST(len(list_filter(tk, x -> x IN ('the','a','of','and','is','in','to'))) AS BIGINT) AS stop_hits,
+        |  CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS BIGINT) AS symbols,
+        |  CAST(len(list_filter(tk, x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS alpha_words
+        |  FROM t)
+        |SELECT doc_id, n AS n_tokens,
+        |  CAST(n >= 50 AND n <= 100000 AS BIGINT) AS r_len,
+        |  CAST(sum_len >= n * 3 AND sum_len <= n * 10 AS BIGINT) AS r_mean_len,
+        |  CAST(symbols * 10 <= n AS BIGINT) AS r_symbol,
+        |  CAST(stop_hits >= 2 AS BIGINT) AS r_stop,
+        |  CAST(alpha_words * 5 >= n * 4 AS BIGINT) AS r_alpha,
+        |  CAST(n >= 50 AND n <= 100000 AND sum_len >= n * 3 AND sum_len <= n * 10
+        |       AND symbols * 10 <= n AND stop_hits >= 2
+        |       AND alpha_words * 5 >= n * 4 AS BIGINT) AS pass
+        |FROM m""".stripMargin,
     "t1_langid" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |h AS (SELECT doc_id,

@@ -39,6 +39,44 @@ object Sampling {
     df.filter(pmod(keyHash(salt, col(keyCol)), lit(den)) < num)
   }
 
+  /** Temperature-reweighted source mixture — the multi-corpus
+    * α-sampling rule of multilingual / multi-source LM training
+    * (rate ∝ n_s^(α−1), normalized so the SMALLEST source keeps
+    * everything): source s with n_s rows keeps a deterministic
+    * (n_min/n_s)^(1−α) fraction. α = 1 keeps natural proportions,
+    * α → 0 approaches the uniform mixture of [[balanceGroups]].
+    *
+    * Election is the reproducible hash-uniform `u(key) < rate_s` with
+    * u = (hash60(salt:key) mod 10⁶)/10⁶ — the same key is kept or
+    * dropped identically across runs, engines, and cluster sizes.
+    * α = 0.5 computes the rate as sqrt(n_min/n_s): sqrt and division
+    * are correctly-rounded IEEE ops, so elections are bit-reproducible
+    * cross-engine (other α go through pow, whose last-ulp freedom
+    * could flip a boundary key between engines — fine for production,
+    * excluded from the oracle).
+    *
+    * Scale: the per-source histogram is a dimension-sized aggregate
+    * (collected to one driver scalar + broadcast back); the corpus
+    * pass is a map-side join-filter — no corpus-wide shuffle.
+    */
+  def temperatureMix(df: DataFrame, keyCol: String, groupCol: String,
+                     alpha: Double = 0.5, salt: String = "temp"): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, "need 0 < alpha <= 1")
+    require(!df.columns.contains("__rate"),
+      "input columns collide with temperatureMix internals: __rate")
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
+    val nMin = counts.agg(min(col("__n"))).head().getLong(0)
+    val rate =
+      if (alpha == 0.5) sqrt(lit(nMin.toDouble) / col("__n").cast("double"))
+      else pow(col("__n").cast("double") / nMin.toDouble, alpha - 1.0)
+    val u = pmod(keyHash(salt, col(keyCol)), lit(1000000L)).cast("double") /
+      1000000.0
+    df.join(broadcast(counts.select(col(groupCol), rate.as("__rate"))),
+        Seq(groupCol))
+      .filter(u < col("__rate"))
+      .drop("__rate")
+  }
+
   /** Deterministic shard assignment: `shard_id` = salted key hash mod
     * nShards. The write-side partitioner for training shards — stable
     * under corpus growth (a document never moves shards when others are

@@ -285,6 +285,47 @@ object Pipeline {
         (stopHits.cast("double") / nTok) * 0.5).as("quality_score"))
   }
 
+  /** T11 — Gopher-style hard quality rules (the repetition/format
+    * sibling of t2's soft score; arXiv:2112.11446 §A1's shape): per
+    * document, five pass/fail rules — token count in [50, 100000],
+    * mean token length in [3, 10], symbol share ≤ 1/10, ≥ 2 stopword
+    * hits, ≥ 4/5 of tokens containing a letter — and their
+    * conjunction. Every ratio test is an INTEGER cross-multiply
+    * (sum_len ≥ 3·n, not sum_len/n ≥ 3): no division, no float, so
+    * the rules are bit-identical in any engine. Pure map-side
+    * projection — scan-bandwidth-bound at any corpus size.
+    */
+  def t11GopherRules(spark: SparkSession, dir: String): DataFrame = {
+    val t = tokens(col("text"))
+    val n = size(t).cast("long")
+    val sumLen = sumTokenLen(t)
+    val stopHits = langHits(t).head._2.cast("long")
+    val symbols = symbolCount(col("text")).cast("long")
+    val alphaWords = size(filter(t, w => w.rlike("[a-z]"))).cast("long")
+    val rLen = n >= 50L && n <= 100000L
+    val rMean = sumLen >= n * 3L && sumLen <= n * 10L
+    val rSym = symbols * 10L <= n
+    val rStop = stopHits >= 2L
+    val rAlpha = alphaWords * 5L >= n * 4L
+    docs(spark, dir).select(
+      col("doc_id"), n.as("n_tokens"),
+      rLen.cast("long").as("r_len"), rMean.cast("long").as("r_mean_len"),
+      rSym.cast("long").as("r_symbol"), rStop.cast("long").as("r_stop"),
+      rAlpha.cast("long").as("r_alpha"),
+      (rLen && rMean && rSym && rStop && rAlpha).cast("long").as("pass"))
+  }
+
+  /** C10 — temperature-reweighted source mixture (α = 0.5): heavy
+    * sources damped to sqrt proportions, the smallest source kept
+    * whole, elections by deterministic key hash
+    * ([[Sampling.temperatureMix]]); per-source counts and kept-id sums
+    * prove the exact same documents are elected cross-engine.
+    */
+  def c10TemperatureMix(spark: SparkSession, dir: String): DataFrame =
+    Sampling.temperatureMix(docs(spark, dir), "doc_id", "source", alpha = 0.5)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("sum_doc_id"))
+
   /** T3 — token counting three ways: whitespace, regex pre-tokenizer,
     * approximate BPE (ceil(len/4) per word).
     */

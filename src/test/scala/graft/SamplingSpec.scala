@@ -187,4 +187,25 @@ class SamplingSpec extends AnyFunSuite with SparkSpec {
       .collect().map(_.getLong(0)).sorted.toSeq)
   }
 
+
+  test("temperatureMix: smallest source whole, heavy sources damped, deterministic") {
+    val rows = (0 until 400).map(i => (i.toLong, "big")) ++
+      (1000 until 1100).map(i => (i.toLong, "mid")) ++
+      (2000 until 2025).map(i => (i.toLong, "small"))
+    val df = rows.toDF("id", "src")
+    val out = graft.operators.Sampling.temperatureMix(df, "id", "src", alpha = 0.5)
+    val kept = out.groupBy("src").count().as[(String, Long)].collect().toMap
+    assert(kept("small") == 25, "rate 1.0 for the smallest source keeps everything")
+    // expected rates: sqrt(25/400)=0.25, sqrt(25/100)=0.5 — hash-uniform
+    // election lands near them (exact membership is deterministic)
+    assert(kept("big") < 400 && kept("mid") < 100)
+    assert(kept("big") * 1.0 / 400 < kept("mid") * 1.0 / 100 + 0.15,
+      "heavier source is damped at least as hard")
+    val again = graft.operators.Sampling.temperatureMix(df, "id", "src", alpha = 0.5)
+      .groupBy("src").count().as[(String, Long)].collect().toMap
+    assert(again == kept, "same elections on re-run")
+    // alpha = 1 keeps natural proportions (rate 1 everywhere)
+    assert(graft.operators.Sampling.temperatureMix(df, "id", "src", alpha = 1.0)
+      .count() == df.count())
+  }
 }

@@ -153,4 +153,20 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
     // ones (df 3) — docs 1, 2, 4 carry them; doc 3 does not
     assert(got == Map("a" -> 2L, "b" -> 1L))
   }
+
+  test("t11 gopher rules: pass is the exact conjunction, both outcomes occur") {
+    val out = graft.queries.Pipeline
+      .t11GopherRules(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "r_len", "r_mean_len", "r_symbol", "r_stop",
+        "r_alpha", "pass")
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val conj = (1 to 5).map(r.getLong).product
+      assert(r.getLong(6) == conj, s"pass != conjunction for doc ${r.getLong(0)}")
+    }
+    val passes = out.count(_.getLong(6) == 1L)
+    assert(passes > 0 && passes < out.length,
+      "rule bounds should split the fixture corpus, not rubber-stamp it")
+  }
 }
