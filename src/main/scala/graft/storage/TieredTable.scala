@@ -466,6 +466,76 @@ class TieredTable(spark: SparkSession, rawTablePath: String,
     s
   } }
 
+  /** Z-ORDER compaction: rewrite the cold tier clustered on the Morton
+    * (bit-interleaved) curve over `zCols` — the multi-dimensional
+    * sibling of `compact(sortBy)`. Each numeric column is min/max
+    * scaled to a `bits`-wide integer rank and the ranks' bits are
+    * interleaved into one sort key; range-partitioning + in-partition
+    * sort on that key gives every output file a TIGHT min/max box on
+    * EVERY clustered column, so the footer-stats skipping
+    * ([[readColdWhere]] / the SQL scan) prunes files for predicates on
+    * any of them — a lead-column linear sort only serves its first
+    * column. This is the standing maintenance job that keeps
+    * multi-dimensional point/range lookups sublinear at 100 TB.
+    *
+    * Numeric/date/timestamp columns only (rank scaling needs a metric
+    * domain). `nFiles` bounds the rewrite's file count (0 = keep the
+    * session's shuffle parallelism). Content-preserving; the z key is
+    * dropped before writing.
+    */
+  def compactZOrder(zCols: Seq[String], nFiles: Int = 0,
+                    bits: Int = 8): Option[Snapshot] = withCommitLock {
+    require(zCols.nonEmpty, "compactZOrder needs at least one column")
+    require(bits >= 1 && bits * zCols.size <= 62,
+      s"bits * columns must fit a long (got $bits × ${zCols.size})")
+    currentSnapshot.map { prev =>
+      val all = readParquet(prev.files)
+      zCols.foreach { c =>
+        require(all.columns.contains(c), s"unknown z-order column $c")
+        val dt = all.schema(c).dataType
+        require(dt.isInstanceOf[NumericType] || dt == DateType ||
+          dt == TimestampType || dt == TimestampNTZType,
+          s"z-order column $c has non-metric type $dt")
+      }
+      // per-column min/max in double space — one dimension-sized agg
+      val metric = zCols.map(c => col(c).cast("double"))
+      val bounds = all.agg(
+        struct(metric.zipWithIndex.flatMap { case (m, i) =>
+          Seq(min(m).as(s"mn$i"), max(m).as(s"mx$i")) }: _*).as("b"))
+        .select(col("b.*")).head()
+      val top = (1L << bits) - 1
+      val ranks = metric.zipWithIndex.map { case (m, i) =>
+        val (mn, mx) = (bounds.getDouble(2 * i), bounds.getDouble(2 * i + 1))
+        if (mx <= mn) lit(0L)
+        else least(greatest(
+            floor((m - mn) * (top.toDouble / (mx - mn))), lit(0.0)),
+          lit(top.toDouble)).cast("long")
+      }
+      val k = ranks.size
+      // Morton interleave: bit b of rank i lands at position b*k + i
+      val z = (0 until bits).flatMap { b =>
+        ranks.zipWithIndex.map { case (r, i) =>
+          shiftright(r, b).bitwiseAND(lit(1L)) * lit(1L << (b * k + i))
+        }
+      }.reduce(_ + _)
+      val parts =
+        if (nFiles > 0) nFiles
+        else spark.conf.get("spark.sql.shuffle.partitions").toInt
+      val clustered = all.withColumn("__z", z)
+        .repartitionByRange(parts, col("__z"))
+        .sortWithinPartitions(col("__z"))
+        .drop("__z")
+      val id = latestSnapshotId + 1
+      val out = dataDir.resolve(f"snap-$id%06d")
+      writeData(clustered, out.toString)
+      val rows = writtenRows(out.toString)
+      val s = Snapshot(id, "zorder", rows, prev.tieredSeg,
+        Seq(out.toString), System.currentTimeMillis())
+      commitManifest(s)
+      s
+    }
+  }
+
   /** Delete rows matching `cond` (copy-on-write): rewrites the resolved
     * current state minus the matches as one new snapshot, op `delete` —
     * the verb that makes [[incrementalRead]] emit `-D` rows. Requires a

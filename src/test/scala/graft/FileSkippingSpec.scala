@@ -177,6 +177,26 @@ class FileSkippingSpec extends AnyFunSuite with SparkSpec {
     } finally graft.plans.TieredCatalog.unregister("skipdb", "banded")
   }
 
+  test("z-order compaction prunes on EITHER clustered dimension") {
+    val t = tmpTable()
+    val grid = for (x <- 0 until 32; y <- 0 until 32) yield (x.toLong, y.toLong)
+    t.commitAppend(grid.toDF("x", "y").coalesce(1))
+    // linear sort on x: y-predicates cannot prune anything
+    t.compact(sortBy = Seq("x"))
+    // pre-zorder baseline is a single file — recluster into 4 z-range files
+    t.compactZOrder(Seq("x", "y"), nFiles = 4, bits = 5)
+    assert(t.currentSnapshot.get.op == "zorder")
+    val (kx, total) = t.skippingCounts(col("x") < 8L)
+    val (ky, _) = t.skippingCounts(col("y") < 8L)
+    assert(total >= 4)
+    assert(kx < total, s"x-range should prune ($kx/$total)")
+    assert(ky < total, s"y-range should prune too ($ky/$total) — the z-curve property")
+    // content preserved exactly
+    assert(t.readCold().count() == 32 * 32)
+    sameAnswer(t, col("x") < 8L && col("y") >= 24L)
+    assert(t.readColdWhere(col("x") === 3L && col("y") === 17L).count() == 1)
+  }
+
   test("schema evolution: pruned-away late column comes back as typed null") {
     val t = tmpTable()
     t.commitAppend(Seq(1L, 2L).toDF("id").coalesce(1))
