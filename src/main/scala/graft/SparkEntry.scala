@@ -62,6 +62,7 @@ object SparkEntry {
     "s8_hybrid"      -> (Pipeline.s8Hybrid _),
     "s10_rand_proj"  -> (Pipeline.s10RandProj _),
     "s11_semantic_dedup" -> (Pipeline.s11SemanticDedup _),
+    "s12_pq_encode"  -> (Pipeline.s12PqEncode _),
     "c1_decontam"    -> (Pipeline.c1Decontam _),
     "c5_source_report" -> (Pipeline.c5SourceReport _),
     "c6_pipeline_e2e" -> (Pipeline.c6PipelineE2e _),
@@ -107,6 +108,7 @@ object SparkEntry {
     "p2_shipping"       -> (Relational.p2Shipping _),
     "p3_local_supplier" -> (Relational.p3LocalSupplier _),
     "p4_returned_items" -> (Relational.p4ReturnedItems _),
+    "p5_market_share"   -> (Relational.p5MarketShare _),
     "g7_set_ops"        -> (Relational.g7SetOps _),
   )
 
@@ -484,6 +486,23 @@ object SparkEntry {
          |    CASE WHEN CAST(('0x' || substr(md5('rp:$j:' || s[2]::VARCHAR), 1, 15)) AS BIGINT) & 1 = 1
          |         THEN s[1] ELSE -s[1] END), (a,x) -> a+x) AS p$j""").mkString(",\n")}
          |FROM v""".stripMargin,
+    "s12_pq_encode" ->
+      """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+        |ss AS (SELECT unnest(range(0, 8)) AS s),
+        |sub AS (SELECT vec_id, ss.s AS s, e[(ss.s*8+1):(ss.s*8+8)] AS sv FROM v, ss),
+        |csub AS (SELECT vec_id AS j, s, sv AS cv FROM sub WHERE vec_id < 16),
+        |d AS (SELECT sub.vec_id, sub.s, csub.j,
+        |        list_reduce(list_transform(list_zip(sub.sv, csub.cv),
+        |          p -> (p[1]-p[2])*(p[1]-p[2])), (a,x) -> a+x) AS dist
+        |      FROM sub JOIN csub USING (s)),
+        |best AS (SELECT vec_id, s, min(dist) AS md FROM d GROUP BY 1, 2),
+        |code AS (SELECT d.vec_id, d.s, min(d.j) AS cj
+        |         FROM d JOIN best ON d.vec_id = best.vec_id
+        |           AND d.s = best.s AND d.dist = best.md
+        |         GROUP BY 1, 2)
+        |SELECT vec_id,
+        |  CAST(SUM(cj * ([1,16,256,4096,65536,1048576,16777216,268435456])[s+1]) AS BIGINT) AS pq_code
+        |FROM code GROUP BY vec_id""".stripMargin,
     "c1_decontam" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |sh AS (SELECT DISTINCT doc_id,
@@ -874,6 +893,24 @@ object SparkEntry {
         |  AND o_orderdate >= '1996-01-01' AND o_orderdate < '1998-01-01'
         |GROUP BY c_custkey, c_name, n_name
         |ORDER BY revenue_e4 DESC, c_custkey LIMIT 20""".stripMargin,
+    "p5_market_share" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(CAST(SUM(CASE WHEN sn.n_name = 'NATION_7'
+        |        THEN CAST(l_extendedprice AS DECIMAL(15,2)) *
+        |             (1 - CAST(l_discount AS DECIMAL(15,2))) ELSE 0 END)
+        |    AS DECIMAL(25,4)) * 10000 AS BIGINT) AS nation_volume_e4,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2)) *
+        |             (1 - CAST(l_discount AS DECIMAL(15,2))))
+        |    AS DECIMAL(25,4)) * 10000 AS BIGINT) AS total_volume_e4
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey AND p_type = 'ECONOMY'
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |JOIN region ON cn.n_regionkey = r_regionkey AND r_name = 'ASIA'
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "g7_set_ops" ->
       """WITH h1 AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderdate < '1998-07-01'),
         |h2 AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderdate >= '1998-07-01')

@@ -324,6 +324,55 @@ object Similarity {
     v.select(col(idCol) +: projCols: _*)
   }
 
+  /** PRODUCT QUANTIZATION encode — the memory-compression half of the
+    * classic IVF-PQ ANN index (Jégou et al., "Product Quantization for
+    * Nearest Neighbor Search"): the vector is split into `m` subvectors
+    * and each is replaced by the index of its nearest subspace centroid
+    * (L2², ties to the smallest index), packing a `dim`-float vector
+    * into m·log2(k) bits — 64 floats → one 32-bit code at the defaults,
+    * the compression that lets a 100 TB embedding corpus's index live
+    * in RAM for ADC (lookup-table) distance scans.
+    *
+    * The codebook is deterministic and data-derived (subspace s's
+    * centroid j = the slice of corpus vector id j — k-means would drop
+    * in without changing the dataflow, exactly as [[ivfKnn]]'s coarse
+    * codebook). It is collected to the driver (k·dim doubles — codebook
+    * size is independent of corpus size) and shipped as literals, so
+    * encoding is pure map-side: no shuffle, no UDF, scan-bandwidth-
+    * bound. Distances fold left-to-right in double, matching the
+    * oracle's list_reduce — the argmin (and so every code bit) is
+    * reproducible cross-engine.
+    *
+    * Output: (id, pq_code) with code_s in bits [4s, 4s+4) of the long.
+    */
+  def pqEncode(df: DataFrame, idCol: String, vecCol: String,
+               m: Int = 8, k: Int = 16, dim: Int = 64): DataFrame = {
+    require(dim % m == 0, s"dim $dim must split into $m equal subspaces")
+    require(k <= 16 && m * 4 <= 62, "codes are packed 4 bits per subspace")
+    val sub = dim / m
+    val v = df.select(col(idCol), toDouble(col(vecCol)).as("__v"))
+    val centRows = v.filter(col(idCol) < k)
+      .orderBy(col(idCol)).collect()
+    require(centRows.length == k && centRows.zipWithIndex.forall {
+        case (r, i) => r.getLong(0) == i.toLong },
+      s"PQ codebook needs corpus vectors with ids 0..${k - 1}")
+    val cents: Array[Array[Double]] =
+      centRows.map(_.getSeq[Double](1).toArray)
+    val codeCols = (0 until m).map { s =>
+      val sv = slice(col("__v"), s * sub + 1, sub)
+      val dists = (0 until k).map { j =>
+        val cj = typedLit(cents(j).slice(s * sub, s * sub + sub).toSeq)
+        aggregate(zip_with(sv, cj, (x, y) => (x - y) * (x - y)),
+          lit(0.0), (a, x) => a + x)
+      }
+      // argmin, smallest index on ties: struct order is (dist, j)
+      val best = least(dists.zipWithIndex.map { case (d, j) =>
+        struct(d.as("d"), lit(j.toLong).as("j")) }: _*)
+      best.getField("j") * lit(1L << (4 * s))
+    }
+    v.select(col(idCol), codeCols.reduce(_ + _).as("pq_code"))
+  }
+
   /** The raw int8 code arrays behind [[quantizeInt8]]: appends `max_abs`
     * and `q` (array<long> of codes in [-127, 127]) to the input,
     * preserving every other column — so downstream aggregations

@@ -193,6 +193,16 @@ object Pipeline {
     Similarity.semanticDedup(emb(spark, dir), "vec_id", "embedding",
       threshold = 0.4, nCentroids = 32)
 
+  /** S12 — product-quantization encode of the embedding table: 64
+    * floats → one packed 32-bit PQ code per vector (8 subspaces × 16
+    * deterministic centroids), every code bit oracle-reproducible —
+    * the RAM-resident index representation that IVF-PQ ANN search
+    * scans with distance lookup tables.
+    */
+  def s12PqEncode(spark: SparkSession, dir: String): DataFrame =
+    Similarity.pqEncode(emb(spark, dir), "vec_id", "embedding",
+      m = 8, k = 16, dim = 64)
+
   /** S6 — int8 scalar quantization of the embedding table (the ANN
     * storage-compression step), with an integer-exact code fingerprint
     * and saturation accounting per vector.

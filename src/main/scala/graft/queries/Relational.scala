@@ -247,6 +247,52 @@ object Relational {
       .limit(20)
   }
 
+  /** P5 — TPC-H Q8-shaped national market share: per order year, one
+    * supplier nation's sales volume inside one region's ECONOMY-part
+    * market, next to the market total. The share stays as TWO exact e4
+    * fixed-point columns — emitting the ratio would put an
+    * order-sensitive double division in the hashed output; the reader
+    * (or a final projection) divides.
+    *
+    * Plan shape: the fact table joins every dimension broadcast (part,
+    * customer, supplier, nation ×2 roles, region) — only the l⋈o
+    * orderkey join shuffles, once, and the two conditional sums ride
+    * one aggregation. At 100 TB: same plan, with o co-partitioned or
+    * bucketed on orderkey.
+    */
+  def p5MarketShare(spark: SparkSession, dir: String): DataFrame = {
+    val part = Tables.load(spark, dir, "part")
+      .filter(col("p_type") === "ECONOMY")
+    val region = Tables.load(spark, dir, "region")
+      .filter(col("r_name") === "ASIA")
+    val nationC = Tables.load(spark, dir, "nation")
+      .select(col("n_nationkey").as("cn_key"), col("n_regionkey"))
+    val nationS = Tables.load(spark, dir, "nation")
+      .select(col("n_nationkey").as("sn_key"), col("n_name").as("sn_name"))
+    val customer = Tables.load(spark, dir, "customer")
+    val supplier = Tables.load(spark, dir, "supplier")
+    val orders = Tables.load(spark, dir, "orders")
+    val lineitem = Tables.load(spark, dir, "lineitem")
+    val vol = col("l_extendedprice").cast(M) *
+      (lit(1) - col("l_discount").cast(M))
+    lineitem
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nationC), col("c_nationkey") === col("cn_key"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nationS), col("s_nationkey") === col("sn_key"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(
+        fixedPoint(sum(when(col("sn_name") === "NATION_7", vol)
+            .otherwise(lit(0)))
+          .cast(DecimalType(25, 4)), 4).as("nation_volume_e4"),
+        fixedPoint(sum(vol).cast(DecimalType(25, 4)), 4)
+          .as("total_volume_e4"))
+      .orderBy(col("o_year"))
+  }
+
   /** G7 — set operations (INTERSECT / EXCEPT): customers active in the
     * first half of the date range vs the second, one accounting row. Both
     * operands pre-aggregate to distinct keys, so the set ops run at

@@ -136,4 +136,25 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(strict.values.forall(_ == 0L))
   }
 
+
+  test("pqEncode: codebook vectors encode to themselves; codes stay in range") {
+    val out = graft.operators.Similarity.pqEncode(
+      spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet"),
+      "vec_id", "embedding", m = 8, k = 16, dim = 64)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // centroid j of every subspace IS vector j's slice, so vector j's
+    // nearest centroid in each subspace is itself (distance 0) → its
+    // packed code is j repeated in every 4-bit field
+    for (j <- 0 until 16) {
+      val expect = (0 until 8).map(s => j.toLong << (4 * s)).sum
+      assert(out(j.toLong) == expect, s"codebook vector $j should self-encode")
+    }
+    // all codes are valid 32-bit packs of 4-bit fields
+    assert(out.values.forall(c => c >= 0 && c < (1L << 32)))
+    // determinism
+    val again = graft.operators.Similarity.pqEncode(
+      spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet"),
+      "vec_id", "embedding").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == out)
+  }
 }
