@@ -42,6 +42,7 @@ object SparkEntry {
     "q12_partition_pruned"-> (Lakehouse.q12PartitionPruned _),
     "q13_file_skip"  -> (Lakehouse.q13FileSkipping _),
     "q14_merge"      -> (Lakehouse.q14Merge _),
+    "q15_rollback"   -> (Lakehouse.q15Rollback _),
     // training-data pipeline: dedup / similarity / text analysis
     "d1_exact_dedup" -> (Pipeline.d1ExactDedup _),
     "d2_fingerprint" -> (Pipeline.d2Fingerprint _),
@@ -248,6 +249,9 @@ object SparkEntry {
       """SELECT COUNT(*) AS cnt, CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
         |FROM orders
         |WHERE o_orderdate BETWEEN DATE '1997-06-01' AND DATE '1998-06-01'""".stripMargin,
+    "q15_rollback" ->
+      """SELECT COUNT(*) AS cnt, CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+        |FROM orders WHERE o_orderdate < DATE '1999-01-01'""".stripMargin,
     "q14_merge" ->
       """WITH base AS (
         |  SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY o_custkey),

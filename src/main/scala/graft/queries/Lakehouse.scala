@@ -203,6 +203,34 @@ object Lakehouse {
       .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
         col("c_acctbal"), col("c_mktsegment"))
 
+  /** Q15 — ROLLBACK: the date-banded table is built (three commits)
+    * and then rolled back to snapshot 2, so the current state is the
+    * first two date bands again — Iceberg's `rollback_to_snapshot`,
+    * as a forward-moving commit that pins the old file list (history
+    * intact, snapshot 3 still time-travelable). The oracle recomputes
+    * the two-band aggregate from the raw fixture.
+    */
+  def demoRolledBack(spark: SparkSession, dir: String): TieredTable = {
+    val safe = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val path = s"${sys.props("java.io.tmpdir")}/graft-tiered/v$FormatVersion/$safe/orders_rollback"
+    val t = TieredTable(spark, path)
+    if (t.latestSnapshotId < 4) {
+      val orders = Tables.load(spark, dir, "orders")
+      val d = col("o_orderdate")
+      Seq(
+        d < lit("1997-01-01").cast("date"),
+        d >= lit("1997-01-01").cast("date") && d < lit("1999-01-01").cast("date"),
+        d >= lit("1999-01-01").cast("date")
+      ).foreach(band => t.commitAppend(orders.filter(band).coalesce(1)))
+      t.rollbackTo(2L)
+    }
+    t
+  }
+
+  def q15Rollback(spark: SparkSession, dir: String): DataFrame =
+    demoRolledBack(spark, dir).readCold()
+      .agg(count(lit(1)).as("cnt"), sum(col("o_orderkey")).as("key_sum"))
+
   /** Q12 — partition-pruned read: one priority's rows through the
     * partitioned table's hot∪cold union. The scan touches ONLY the
     * `o_orderpriority=<p>/` directories (plan-asserted in

@@ -632,6 +632,29 @@ class TieredTable(spark: SparkSession, rawTablePath: String,
     }
   }
 
+  /** ROLLBACK: make `snapshotId`'s file list current again by
+    * committing a NEW snapshot that points at it (Iceberg's
+    * `rollback_to_snapshot` — history moves forward, nothing is
+    * deleted, and [[incrementalRead]] across the rollback reports the
+    * rolled-back rows as `-D`/`+U` like any other change). Fails if
+    * the target manifest was vacuumed. The tiering watermark keeps its
+    * CURRENT value — log segments tiered since the target stay tiered
+    * (their rows leave the cold state but must not re-enter the hot
+    * tail, which would resurrect them in union reads).
+    */
+  def rollbackTo(snapshotId: Long): Snapshot = withCommitLock {
+    val target = snapshot(snapshotId).getOrElse(
+      throw new IllegalArgumentException(
+        s"snapshot $snapshotId not found in $tablePath (vacuumed or never committed)"))
+    val prev = currentSnapshot.getOrElse(
+      throw new IllegalStateException(s"no snapshot in $tablePath"))
+    val id = latestSnapshotId + 1
+    val s = Snapshot(id, "rollback", target.rowsAdded, prev.tieredSeg,
+      target.files, System.currentTimeMillis(), tag = s"rollback-to-$snapshotId")
+    commitManifest(s)
+    s
+  }
+
   /** Drop history: keep the last `keepLast` snapshots, delete older
     * manifests, then physically remove (a) data dirs referenced only by
     * dropped snapshots and (b) log segments at or below every kept

@@ -74,6 +74,25 @@ class MergeSpec extends AnyFunSuite with SparkSpec {
     assert(t.merge(Seq((1L, 1L)).toDF("k", "v"), Seq("k")).isEmpty)
   }
 
+  test("rollback pins the old file list, keeps history, and survives vacuum") {
+    val t = tmpTable()
+    t.commitAppend(Seq((1L, 10L)).toDF("k", "v").coalesce(1))
+    t.commitAppend(Seq((2L, 20L)).toDF("k", "v").coalesce(1))
+    val rb = t.rollbackTo(1L)
+    assert(rb.op == "rollback" && rb.id == 3L)
+    assert(t.readCold().count() == 1, "current state is snapshot 1's again")
+    assert(t.readColdAsOf(2L).count() == 2, "rolled-back snapshot stays time-travelable")
+    // CDC across the rollback reports the un-committed rows as deletes
+    val ops = t.incrementalRead(2L, 3L, Seq("k"))
+      .select(col("op"), col("k")).as[(String, Long)].collect().toSet
+    assert(ops == Set(("-D", 2L)))
+    // vacuum keeps dirs referenced by the (rolled-back) head
+    t.vacuum(keepLast = 1)
+    assert(t.readCold().as[(Long, Long)].collect().toSeq == Seq((1L, 10L)))
+    // rolling back to a vacuumed snapshot fails loudly
+    intercept[IllegalArgumentException](t.rollbackTo(2L))
+  }
+
   test("incrementalRead sees merge as +U / -D / +I ops") {
     val t = tmpTable()
     t.commitAppend(Seq((1L, 10L), (2L, 20L)).toDF("k", "v"))
