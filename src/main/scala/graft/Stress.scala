@@ -58,7 +58,38 @@ object Stress {
     )
     val qs = results.map { case (k, sec, rows) =>
       s""""$k":{"sec":$sec,"rows":$rows}""" }.mkString("{", ",", "}")
-    println(s"""{"metric":"stress","docs":${n * copies},"copies":$copies,"results":$qs}""")
+
+    // File-skipping stress: orders committed in half-year bands (the
+    // time-ingested layout), then a one-band range query through
+    // readColdWhere vs the full scan — files opened is the scale
+    // metric (wall-clock at this size is dominated by fixed overhead;
+    // at 100 TB files-not-opened IS the win).
+    val skipDir = java.nio.file.Files
+      .createTempDirectory("graft-stress-skip").toString
+    val t = new graft.storage.TieredTable(spark, s"$skipDir/orders")
+    val orders = graft.tables.Tables.load(spark, sfDir, "orders")
+    val d = col("o_orderdate")
+    val bands = (0 until 14).map { i =>
+      val lo = add_months(lit("1995-01-01").cast("date"), i * 6)
+      val hi = add_months(lit("1995-01-01").cast("date"), (i + 1) * 6)
+      d >= lo && (if (i == 13) lit(true) else d < hi)
+    }
+    bands.foreach(b => t.commitAppend(orders.filter(b).coalesce(1)))
+    val cond = d >= lit("1997-01-01").cast("date") &&
+      d < lit("1997-07-01").cast("date")
+    val (kept, total) = t.skippingCounts(cond)
+    val tFull0 = System.nanoTime()
+    val fullRows = t.readCold().filter(cond).count()
+    val fullSec = (System.nanoTime() - tFull0) / 1e9
+    val tSkip0 = System.nanoTime()
+    val skipRows = t.readColdWhere(cond).count()
+    val skipSec = (System.nanoTime() - tSkip0) / 1e9
+    require(fullRows == skipRows, "skipping changed an answer")
+    val skipJson = s""""q13_skip":{"files_kept":$kept,"files_total":$total,""" +
+      s""""full_sec":$fullSec,"skip_sec":$skipSec,"rows":$skipRows}"""
+
+    println(s"""{"metric":"stress","docs":${n * copies},"copies":$copies,""" +
+      s""""results":$qs,$skipJson}""")
     spark.stop()
   }
 }
