@@ -236,13 +236,30 @@ object FileStats {
     }
 
   /** The file paths under `roots` that might hold a row matching ALL
-    * `filters`, plus the total file count. Conservative in every
-    * unknown case.
+    * `filters`, plus the total file count. Both prune layers apply —
+    * min/max range boxes and (where built) per-column blooms; every
+    * unknown case keeps the file.
     */
   def prune(roots: Seq[String], filters: Seq[Filter]): (Seq[String], Int) = {
-    val all = filesWithStats(roots)
+    val all = roots.flatMap { r =>
+      val dir = Paths.get(r)
+      if (!Files.isDirectory(dir)) Nil
+      else {
+        val side = readSidecar(dir)
+        val bloom = readBloomSidecar(dir)
+        Files.walk(dir).iterator().asScala
+          .filter(p => Files.isRegularFile(p) &&
+            p.getFileName.toString.endsWith(".parquet"))
+          .map { p =>
+            val rel = dir.relativize(p).toString
+            (p.toString, side.getOrElse(rel, Map.empty[String, ColStat]),
+              bloom.getOrElse(rel, Map.empty[String, java.util.BitSet]))
+          }.toSeq
+      }
+    }
     val kept = all.collect {
-      case (f, stats) if filters.forall(mayMatch(stats, _)) => f
+      case (f, stats, blooms) if filters.forall(fl =>
+        mayMatch(stats, fl) && bloomMayMatch(blooms, fl)) => f
     }
     (kept, all.size)
   }
@@ -345,6 +362,131 @@ object FileStats {
         // strings with prefix p live in [p, p + U+FFFF): skip when the
         // file's whole range is below p or above every p-prefixed string
         mx.compareTo(p) >= 0 && mn.compareTo(p + "￿") <= 0
+      case _ => true
+    }
+
+  // ---- bloom-filter skipping (point lookups on scattered columns) ----
+
+  /** Min/max boxes are useless for equality probes on columns whose
+    * values scatter across every file (random ids, uuids): each file's
+    * range covers the whole domain. A small per-file BLOOM FILTER
+    * answers "could value v be in this file?" instead — Iceberg's
+    * bloom-filter file-skipping analog.
+    *
+    * Layout: `m` = 8192 bits, 4 probes per value, probe i = bits
+    * [15i, 15i+13) of hash60(col ":" value-as-string). Long/int and
+    * string columns only — their Spark cast-to-string rendering is
+    * reproducible driver-side at prune time, which is what makes the
+    * probe hash of a pushed literal match the build hash exactly.
+    *
+    * Build cost: one extra pass over the just-written files, but the
+    * aggregation state is the `collect_set` of probe positions —
+    * bounded at 8192 ints per (file, column) regardless of row count,
+    * so the build is shuffle-light and driver-safe at any scale (on a
+    * cluster the writer tasks would emit these, like the stats).
+    */
+  val BloomSidecarName = "_graft_bloom"
+  val BloomBits = 8192
+
+  private[storage] def bloomPositions(h: Long): Seq[Int] =
+    (0 until 4).map(i => ((h >>> (15 * i)) & 0x1fff).toInt)
+
+  /** Build + write `_graft_bloom` for the given columns of every file
+    * under `dir`. Non-long/string columns are skipped silently.
+    */
+  def writeBloomSidecar(spark: org.apache.spark.sql.SparkSession,
+                        dir: Path, cols: Seq[String]): Unit = {
+    import org.apache.spark.sql.functions._
+    val df = spark.read.parquet(dir.toString)
+    val usable = cols.filter { c =>
+      df.schema.fields.find(_.name == c).exists(f => f.dataType match {
+        case _: org.apache.spark.sql.types.IntegerType |
+             _: org.apache.spark.sql.types.LongType |
+             _: org.apache.spark.sql.types.ShortType |
+             _: org.apache.spark.sql.types.ByteType |
+             _: org.apache.spark.sql.types.StringType => true
+        case _ => false
+      })
+    }
+    if (usable.isEmpty) return
+    val perCol = usable.map { c =>
+      val h = graft.functions.TextFunctions.hash60(
+        concat(lit(s"$c:"), col(c).cast("string")))
+      val pos = (0 until 4).map(i =>
+        shiftrightunsigned(h, 15 * i).bitwiseAND(lit(0x1fffL)).cast("int"))
+      df.filter(col(c).isNotNull)
+        .select(input_file_name().as("__f"),
+          explode(array(pos: _*)).as("__p"))
+        .groupBy(col("__f"))
+        .agg(collect_set(col("__p")).as("__ps"))
+        .select(col("__f"), lit(c).as("__c"), col("__ps"))
+    }.reduce(_.unionByName(_))
+    val rows = perCol.collect() // ≤ files × cols rows, ≤ 8192 ints each
+    val body = new StringBuilder("v1\n")
+    rows.sortBy(r => (r.getString(0), r.getString(1))).foreach { r =>
+      val bits = new java.util.BitSet(BloomBits)
+      r.getSeq[Int](2).foreach(bits.set)
+      val rel = dir.relativize(Paths.get(
+        r.getString(0).stripPrefix("file:"))).toString
+      body.append(Seq(rel, r.getString(1),
+        Base64.getEncoder.encodeToString(bits.toByteArray))
+        .mkString("\t")).append('\n')
+    }
+    Files.writeString(dir.resolve(BloomSidecarName), body.toString)
+  }
+
+  /** file(relative) -> col -> bitset; empty when the sidecar is absent. */
+  def readBloomSidecar(dir: Path): Map[String, Map[String, java.util.BitSet]] = {
+    val p = dir.resolve(BloomSidecarName)
+    if (!Files.exists(p)) Map.empty
+    else Files.readAllLines(p).asScala.drop(1).filter(_.nonEmpty).map { l =>
+      val parts = l.split("\t", -1)
+      (parts(0), parts(1),
+        java.util.BitSet.valueOf(Base64.getDecoder.decode(parts(2))))
+    }.groupBy(_._1).map { case (f, rs) =>
+      f -> rs.map(r => r._2 -> r._3).toMap
+    }.toMap
+  }
+
+  /** Spark-cast-to-string rendering of a pushed-literal value for the
+    * bloom-supported types; None = not bloom-decidable.
+    */
+  private def bloomRender(v: Any): Option[String] = v match {
+    case null => None
+    case s: String => Some(s)
+    case n: Byte => Some(n.toString)
+    case n: Short => Some(n.toString)
+    case n: Int => Some(n.toString)
+    case n: Long => Some(n.toString)
+    case _ => None
+  }
+
+  private def bloomMayContain(bits: java.util.BitSet, colName: String,
+                              v: Any): Boolean =
+    bloomRender(v) match {
+      case None => true
+      case Some(s) =>
+        val h = graft.operators.Similarity.jvmHash60(s"$colName:$s")
+        bloomPositions(h).forall(bits.get)
+    }
+
+  /** Bloom verdict for one filter against one file's blooms — only
+    * equality-shaped predicates are decidable; everything else keeps.
+    */
+  def bloomMayMatch(blooms: Map[String, java.util.BitSet], f: Filter): Boolean =
+    f match {
+      case EqualTo(a, v) =>
+        blooms.get(a).forall(bloomMayContain(_, a, v))
+      case EqualNullSafe(a, v) if v != null =>
+        blooms.get(a).forall(bloomMayContain(_, a, v))
+      case In(a, vs) =>
+        blooms.get(a) match {
+          case Some(bits) if vs != null =>
+            vs.exists(v => v == null || bloomMayContain(bits, a, v))
+          case _ => true
+        }
+      case And(l, r) => bloomMayMatch(blooms, l) && bloomMayMatch(blooms, r)
+      case Or(l, r) => bloomMayMatch(blooms, l) || bloomMayMatch(blooms, r)
       case _ => true
     }
 

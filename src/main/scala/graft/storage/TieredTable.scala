@@ -47,7 +47,8 @@ import graft.operators.Upsert
   */
 class TieredTable(spark: SparkSession, rawTablePath: String,
                   pk: Seq[String] = Nil, mergeOnRead: Boolean = false,
-                  val partitionBy: Seq[String] = Nil) {
+                  val partitionBy: Seq[String] = Nil,
+                  val bloomCols: Seq[String] = Nil) {
   /** `file:`-scheme URIs are normalized to plain paths — `Paths.get`
     * would otherwise treat the whole URI as a RELATIVE path and
     * silently create the table tree under the process CWD (the round-1
@@ -230,6 +231,10 @@ class TieredTable(spark: SparkSession, rawTablePath: String,
     // together (see FileStats; this is the Iceberg manifest-entry
     // lower/upper-bounds analog)
     FileStats.writeSidecar(Paths.get(path))
+    // opt-in per-file blooms for point-lookup columns whose values
+    // scatter across files (min/max boxes can't prune those)
+    if (bloomCols.nonEmpty)
+      FileStats.writeBloomSidecar(spark, Paths.get(path), bloomCols)
   }
 
   private def withCommitLock[A](f: => A): A =
@@ -939,8 +944,9 @@ class TieredTable(spark: SparkSession, rawTablePath: String,
 object TieredTable {
   def apply(spark: SparkSession, path: String, pk: Seq[String] = Nil,
             mergeOnRead: Boolean = false,
-            partitionBy: Seq[String] = Nil): TieredTable =
-    new TieredTable(spark, path, pk, mergeOnRead, partitionBy)
+            partitionBy: Seq[String] = Nil,
+            bloomCols: Seq[String] = Nil): TieredTable =
+    new TieredTable(spark, path, pk, mergeOnRead, partitionBy, bloomCols)
 
   /** One commit lock per table path: all writes to a table flow through
     * the (single) Spark driver, so a JVM-level stripe is the right

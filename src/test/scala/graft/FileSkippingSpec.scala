@@ -197,6 +197,35 @@ class FileSkippingSpec extends AnyFunSuite with SparkSpec {
     assert(t.readColdWhere(col("x") === 3L && col("y") === 17L).count() == 1)
   }
 
+  test("bloom skipping prunes point lookups that min/max cannot") {
+    val dir = Files.createTempDirectory("graft-bl").toString
+    val t = new TieredTable(spark, s"$dir/t", bloomCols = Seq("id", "name"))
+    // ids SCATTER across commits (stride 4): every file's [min,max]
+    // spans nearly the whole domain, so range stats are useless here
+    for (b <- 0 until 4)
+      t.commitAppend((0 until 100).map(i => (i.toLong * 4 + b, s"u${i * 4 + b}"))
+        .toDF("id", "name").coalesce(1))
+    val probe = col("id") === 202L // lives only in commit b=2
+    val (kept, total) = t.skippingCounts(probe)
+    assert(total == 4 && kept == 1,
+      s"bloom should isolate the one file holding 202 ($kept/$total)")
+    sameAnswer(t, probe)
+    // string equality probes use the same machinery
+    assert(t.skippingCounts(col("name") === "u203")._1 == 1)
+    sameAnswer(t, col("name") === "u203")
+    // a value no file holds: usually 0 files (false positives allowed,
+    // never false negatives — the answer stays exact)
+    val missing = t.readColdWhere(col("id") === 999999L)
+    assert(missing.count() == 0)
+    // IN-lists union the per-value verdicts
+    val inProbe = col("id").isin(202L, 203L)
+    assert(t.skippingCounts(inProbe)._1 == 2)
+    sameAnswer(t, inProbe)
+    // range predicates are NOT bloom-decidable and fall back to stats
+    assert(t.skippingCounts(col("id") > 2L)._1 == 4)
+    sameAnswer(t, col("id") > 2L)
+  }
+
   test("schema evolution: pruned-away late column comes back as typed null") {
     val t = tmpTable()
     t.commitAppend(Seq(1L, 2L).toDF("id").coalesce(1))
