@@ -71,7 +71,8 @@ class GraftTableCatalog extends TableCatalog {
         Seq(catName, db, ident.name)))
     require(!e.mergeOnRead || mode == "snapshots" || mode == "files",
       s"merge-on-read PK table $db.$base is not SQL-addressable; use the API")
-    val t = TieredTable(spark, e.path, e.pk, e.mergeOnRead, e.partitionBy)
+    val t = TieredTable(spark, e.path, e.pk, e.mergeOnRead, e.partitionBy,
+      e.bloomCols)
     mode match {
       case "snapshots" =>
         new SnapshotsTable(ident.toString,
@@ -212,10 +213,17 @@ class GraftTableCatalog extends TableCatalog {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
     pk.foreach(k => require(schema.fieldNames.contains(k),
       s"primary-key column $k not in schema"))
+    // 'bloom-columns' property: point-lookup columns that get per-file
+    // bloom sidecars on every write (see FileStats bloom skipping)
+    val bloomCols = props.get("bloom-columns")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    bloomCols.foreach(k => require(schema.fieldNames.contains(k),
+      s"bloom-columns column $k not in schema"))
     val meta = Paths.get(path, "meta")
     Files.createDirectories(meta)
     Files.writeString(meta.resolve("SCHEMA"), schema.toDDL)
-    TieredCatalog.register(db, ident.name, path, pk, partitionBy = partCols)
+    TieredCatalog.register(db, ident.name, path, pk, partitionBy = partCols,
+      bloomCols = bloomCols)
     loadTable(ident)
   }
 

@@ -18,15 +18,17 @@ object TieredCatalog {
     s"${sys.props("java.io.tmpdir")}/graft-warehouse"
 
   case class Entry(path: String, pk: Seq[String], mergeOnRead: Boolean,
-                   partitionBy: Seq[String] = Nil)
+                   partitionBy: Seq[String] = Nil,
+                   bloomCols: Seq[String] = Nil)
 
   private val reg = TrieMap.empty[(String, String), Entry]
 
   def register(db: String, table: String, path: String,
                pk: Seq[String] = Nil, mergeOnRead: Boolean = false,
-               partitionBy: Seq[String] = Nil): Unit =
+               partitionBy: Seq[String] = Nil,
+               bloomCols: Seq[String] = Nil): Unit =
     reg.put((db.toLowerCase, table.toLowerCase),
-      Entry(path, pk, mergeOnRead, partitionBy))
+      Entry(path, pk, mergeOnRead, partitionBy, bloomCols))
 
   def lookup(db: String, table: String): Option[Entry] =
     reg.get((db.toLowerCase, table.toLowerCase))

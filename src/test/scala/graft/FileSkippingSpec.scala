@@ -226,6 +226,27 @@ class FileSkippingSpec extends AnyFunSuite with SparkSpec {
     sameAnswer(t, col("id") > 2L)
   }
 
+  test("SQL DDL: bloom-columns property makes INSERTs write blooms and scans skip") {
+    spark.sql("""CREATE TABLE graft.skipdb.bl (id BIGINT, name STRING)
+                 TBLPROPERTIES ('bloom-columns'='id')""")
+    try {
+      // scattered ids per insert: min/max can't separate the files
+      for (b <- 0 until 3)
+        spark.sql(s"""INSERT INTO graft.skipdb.bl
+          SELECT id * 4 + $b AS id, concat('u', id * 4 + $b) AS name
+          FROM range(100)""")
+      val got = spark.sql(
+        "SELECT name FROM graft.skipdb.bl WHERE id = 202").collect()
+      assert(got.map(_.getString(0)).toSeq == Seq("u202"))
+      // file count per insert tracks write parallelism; the invariant
+      // is that the point lookup opens exactly ONE of them
+      assert(FileStats.lastSkipFor("skipdb.bl").exists(
+          s => s._1 == 1 && s._2 >= 3),
+        s"the SQL point lookup should open 1 bloom-guarded file, " +
+          s"got ${FileStats.lastSkipFor("skipdb.bl")}")
+    } finally spark.sql("DROP TABLE graft.skipdb.bl")
+  }
+
   test("schema evolution: pruned-away late column comes back as typed null") {
     val t = tmpTable()
     t.commitAppend(Seq(1L, 2L).toDF("id").coalesce(1))
