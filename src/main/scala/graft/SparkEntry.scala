@@ -64,6 +64,8 @@ object SparkEntry {
     "s10_rand_proj"  -> (Pipeline.s10RandProj _),
     "s11_semantic_dedup" -> (Pipeline.s11SemanticDedup _),
     "s12_pq_encode"  -> (Pipeline.s12PqEncode _),
+    "s13_cross_lsh"  -> (Pipeline.s13CrossLsh _),
+    "e9_top_users"   -> (Pipeline.e9TopUsers _),
     "c1_decontam"    -> (Pipeline.c1Decontam _),
     "c5_source_report" -> (Pipeline.c5SourceReport _),
     "c6_pipeline_e2e" -> (Pipeline.c6PipelineE2e _),
@@ -490,6 +492,33 @@ object SparkEntry {
          |    CASE WHEN CAST(('0x' || substr(md5('rp:$j:' || s[2]::VARCHAR), 1, 15)) AS BIGINT) & 1 = 1
          |         THEN s[1] ELSE -s[1] END), (a,x) -> a+x) AS p$j""").mkString(",\n")}
          |FROM v""".stripMargin,
+    "s13_cross_lsh" ->
+      s"""WITH $embCtes,
+         |proj AS (SELECT vec_id, t.t AS t, p.p AS p,
+         |    list_reduce(list_transform(list_zip(v, range(0, len(v))), s ->
+         |      CASE WHEN CAST(('0x' || substr(md5((t.t*4 + p.p)::VARCHAR || ':' || s[2]::VARCHAR), 1, 15)) AS BIGINT) & 1 = 1
+         |           THEN s[1] ELSE -s[1] END), (a,x) -> a+x) AS pr
+         |  FROM n, UNNEST(range(0, 8)) t(t), UNNEST(range(0, 4)) p(p)),
+         |buck AS (SELECT vec_id,
+         |           t::VARCHAR || ':' ||
+         |           CAST(sum(CASE WHEN pr >= 0 THEN 1::BIGINT << p ELSE 0::BIGINT END) AS BIGINT)::VARCHAR AS bucket
+         |         FROM proj GROUP BY vec_id, t),
+         |cand AS (SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+         |         FROM buck a JOIN buck b ON a.bucket = b.bucket
+         |         WHERE a.vec_id % 2 = 0 AND b.vec_id % 2 = 1)
+         |SELECT a_id, b_id FROM cand
+         |  JOIN n na ON a_id = na.vec_id JOIN n nb ON b_id = nb.vec_id
+         |  WHERE list_reduce(list_transform(list_zip(na.v, nb.v), s -> s[1]*s[2]), (a,x) -> a+x)
+         |          / (na.nrm * nb.nrm) >= 0.4""".stripMargin,
+    "e9_top_users" ->
+      """WITH c AS (SELECT event_type, user_id, COUNT(*) AS cnt
+        |           FROM events GROUP BY event_type, user_id)
+        |SELECT event_type, CAST(rank AS BIGINT) AS rank, user_id, cnt FROM (
+        |  SELECT event_type, user_id, cnt,
+        |         row_number() OVER (PARTITION BY event_type
+        |           ORDER BY cnt DESC, user_id) AS rank
+        |  FROM c)
+        |WHERE rank <= 5""".stripMargin,
     "s12_pq_encode" ->
       """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
         |ss AS (SELECT unnest(range(0, 8)) AS s),

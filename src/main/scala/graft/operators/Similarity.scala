@@ -129,6 +129,21 @@ object Similarity {
   def lshNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                       threshold: Double, planes: Int = 4,
                       tables: Int = 8, dim: Int = 64): DataFrame = {
+    val sig = lshBuckets(df, idCol, vecCol, planes, tables, dim)
+    sig.select(col("id").as("a_id"), col("v").as("va"), col("nrm").as("na"), col("bucket"))
+      .join(sig.select(col("id").as("b_id"), col("v").as("vb"), col("nrm").as("nb"), col("bucket")),
+        Seq("bucket"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("cos") >= threshold)
+      .select(col("a_id"), col("b_id")).distinct()
+  }
+
+  /** (id, v, nrm, bucket) with one row per (vector, hash table) — the
+    * shared signature step of the sign-LSH family.
+    */
+  private def lshBuckets(df: DataFrame, idCol: String, vecCol: String,
+                         planes: Int, tables: Int, dim: Int): DataFrame = {
     val v = Scale.widen(df.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v")))
       .withColumn("nrm", l2norm(col("v")))
     val bucketCols = (0 until tables).map { t =>
@@ -140,11 +155,25 @@ object Similarity {
       }.reduce((a, b) => a + b)
       concat_ws(":", lit(t.toString), bits)
     }
-    val sig = v.withColumn("bucket", explode(array(bucketCols: _*)))
-    sig.select(col("id").as("a_id"), col("v").as("va"), col("nrm").as("na"), col("bucket"))
-      .join(sig.select(col("id").as("b_id"), col("v").as("vb"), col("nrm").as("nb"), col("bucket")),
+    v.withColumn("bucket", explode(array(bucketCols: _*)))
+  }
+
+  /** CROSS-CORPUS sign-LSH similarity join: pairs (a_id, b_id) with
+    * cosine ≥ threshold where the sides come from DIFFERENT tables —
+    * the record-linkage / find-my-eval-set-in-the-training-corpus
+    * shape. Both sides are bucketed by the SAME deterministic
+    * hyperplane family, so only same-bucket cross pairs are scored;
+    * the exact cosine check runs after. Shuffle carries (bucket, id,
+    * vec) × tables per side — O((|A|+|B|)·L), never |A|·|B|.
+    */
+  def lshCrossPairs(a: DataFrame, b: DataFrame, idCol: String,
+                    vecCol: String, threshold: Double, planes: Int = 4,
+                    tables: Int = 8, dim: Int = 64): DataFrame = {
+    val sa = lshBuckets(a, idCol, vecCol, planes, tables, dim)
+    val sb = lshBuckets(b, idCol, vecCol, planes, tables, dim)
+    sa.select(col("id").as("a_id"), col("v").as("va"), col("nrm").as("na"), col("bucket"))
+      .join(sb.select(col("id").as("b_id"), col("v").as("vb"), col("nrm").as("nb"), col("bucket")),
         Seq("bucket"))
-      .filter(col("a_id") < col("b_id"))
       .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .filter(col("cos") >= threshold)
       .select(col("a_id"), col("b_id")).distinct()

@@ -610,7 +610,40 @@ object Pipeline {
       width = 56, maxDist = 3)
   }
 
+  /** S13 — cross-corpus LSH similarity join: the even-id half of the
+    * embedding table probed against the odd-id half (the
+    * record-linkage / eval-contamination shape) — only same-bucket
+    * cross pairs are scored, then the exact cosine gate applies.
+    */
+  def s13CrossLsh(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    Similarity.lshCrossPairs(
+      e.filter(pmod(col("vec_id"), lit(2)) === 0),
+      e.filter(pmod(col("vec_id"), lit(2)) === 1),
+      "vec_id", "embedding", threshold = 0.4)
+  }
+
   // ---- event analytics ----
+
+  /** E9 — top-5 users per event type by activity: the grouped top-k
+    * (leaderboard-per-segment) rollup. Counts partial-aggregate
+    * map-side; the per-type top-k is the partial-aggregating
+    * [[graft.functions.TopKAgg]], so the final exchange carries ≤ k
+    * survivors per (task, type) — never the full (type, user) matrix
+    * sorted.
+    */
+  def e9TopUsers(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.load(spark, dir, "events")
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("cnt"))
+    val topk = udaf(new graft.functions.TopKAgg(5))
+    counts.groupBy(col("event_type"))
+      .agg(topk(col("cnt").cast("double"), col("user_id")).as("nn"))
+      .select(col("event_type"), posexplode(col("nn")))
+      .select(col("event_type"), (col("pos") + 1).cast("long").as("rank"),
+        col("col._1").cast("long").as("cnt"), col("col._2").as("user_id"))
+      .select(col("event_type"), col("rank"), col("user_id"), col("cnt"))
+  }
 
   /** E1 — batch sessionization (30-min gap) over the events table. */
   def e1Sessionize(spark: SparkSession, dir: String): DataFrame =

@@ -157,4 +157,22 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
       "vec_id", "embedding").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(again == out)
   }
+
+  test("lshCrossPairs equals the mixed-parity restriction of the self-join") {
+    import org.apache.spark.sql.functions._
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val self = graft.operators.Similarity.lshNearDupPairs(
+      e, "vec_id", "embedding", threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expected = self.collect {
+      case (a, b) if a % 2 == 0 && b % 2 == 1 => (a, b)
+      case (a, b) if a % 2 == 1 && b % 2 == 0 => (b, a)
+    }.toSet
+    val cross = graft.operators.Similarity.lshCrossPairs(
+      e.filter(pmod(col("vec_id"), lit(2)) === 0),
+      e.filter(pmod(col("vec_id"), lit(2)) === 1),
+      "vec_id", "embedding", threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cross == expected)
+  }
 }
