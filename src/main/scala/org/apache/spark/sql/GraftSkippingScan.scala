@@ -1,15 +1,20 @@
 package org.apache.spark.sql
 
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow}
+import org.apache.spark.sql.connector.expressions.{FieldReference, NamedReference}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min}
 import org.apache.spark.sql.connector.expressions.filter.Predicate
-import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.execution.datasources.DataSourceStrategy
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
 
 import graft.storage.FileStats
+import graft.storage.FileStats.ColStat
 
 /** Scan builder adding MANIFEST-LEVEL FILE SKIPPING to the SQL read
   * path of an (unpartitioned) tiered table: pushed filters are
@@ -31,10 +36,156 @@ class GraftSkippingScanBuilder(spark: SparkSession, tableName: String,
                                inner: ScanBuilder)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates
     with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters {
 
   private var pushedExprs: Seq[Expression] = Nil
   private var required: Option[StructType] = None
+  private var aggResult: Option[(StructType, Seq[Any])] = None
+
+  /** METADATA-ONLY AGGREGATES: an unfiltered, ungrouped COUNT(*) /
+    * COUNT(col) / MIN / MAX is answered entirely from the stats
+    * sidecars — zero data files opened, the Iceberg answer-count-from-
+    * manifests capability. Refused (→ normal scan + agg) whenever any
+    * file lacks the needed exact stats, a filter was pushed, or the
+    * value domain can't round-trip exactly (strings/decimals/doubles
+    * stay on the scan path; long/int/date/timestamp are exact).
+    */
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    planMetadataAgg(agg).isDefined
+
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    aggResult = planMetadataAgg(agg)
+    aggResult.isDefined
+  }
+
+  private def col1(e: org.apache.spark.sql.connector.expressions.Expression)
+      : Option[String] = e match {
+    case f: NamedReference if f.fieldNames.length == 1 =>
+      Some(f.fieldNames.head)
+    case _ => None
+  }
+
+  private def planMetadataAgg(agg: Aggregation)
+      : Option[(StructType, Seq[Any])] = {
+    if (agg.groupByExpressions.nonEmpty || pushedExprs.nonEmpty) return None
+    val files = FileStats.filesWithStats(roots)
+    if (files.isEmpty) return planOverEmpty(agg)
+    // every file must carry a sidecar (rows known) — a statless file
+    // makes every count/bound unknown
+    if (files.exists(_._2.isEmpty)) return None
+    def rowsOf(stats: Map[String, ColStat]): Long = stats.head._2.rows
+    if (files.exists(f => rowsOf(f._2) < 0)) return None
+    val fields = scala.collection.mutable.ArrayBuffer.empty[StructField]
+    val values = scala.collection.mutable.ArrayBuffer.empty[Any]
+    agg.aggregateExpressions.foreach {
+      case _: CountStar =>
+        fields += StructField(s"agg_${fields.size}", LongType, nullable = false)
+        values += files.map(f => rowsOf(f._2)).sum
+      case c: Count if !c.isDistinct =>
+        val name = col1(c.column).getOrElse(return None)
+        // per file: rows − nulls; a file without the column (schema
+        // evolution) reads as all-null there → contributes 0
+        var total = 0L
+        files.foreach { case (_, stats) =>
+          stats.get(name) match {
+            case Some(s) => if (s.nulls < 0) return None
+              else total += rowsOf(stats) - s.nulls
+            case None => // column absent from this file → all null → +0
+          }
+        }
+        fields += StructField(s"agg_${fields.size}", LongType, nullable = false)
+        values += total
+      case m: Min =>
+        val name = col1(m.column).getOrElse(return None)
+        val (dt, v) = boundOf(files, name, takeMin = true).getOrElse(return None)
+        fields += StructField(s"agg_${fields.size}", dt, nullable = true)
+        values += v
+      case m: Max =>
+        val name = col1(m.column).getOrElse(return None)
+        val (dt, v) = boundOf(files, name, takeMin = false).getOrElse(return None)
+        fields += StructField(s"agg_${fields.size}", dt, nullable = true)
+        values += v
+      case _ => return None
+    }
+    Some((StructType(fields.toSeq), values.toSeq))
+  }
+
+  /** Zero-file table: COUNT → 0, MIN/MAX → null. */
+  private def planOverEmpty(agg: Aggregation)
+      : Option[(StructType, Seq[Any])] = {
+    val fields = scala.collection.mutable.ArrayBuffer.empty[StructField]
+    val values = scala.collection.mutable.ArrayBuffer.empty[Any]
+    agg.aggregateExpressions.foreach {
+      case _: CountStar | _: Count =>
+        fields += StructField(s"agg_${fields.size}", LongType, nullable = false)
+        values += 0L
+      case m: Min =>
+        val name = col1(m.column).getOrElse(return None)
+        val dt = sparkTypeOf(name).getOrElse(return None)
+        fields += StructField(s"agg_${fields.size}", dt, nullable = true)
+        values += null
+      case m: Max =>
+        val name = col1(m.column).getOrElse(return None)
+        val dt = sparkTypeOf(name).getOrElse(return None)
+        fields += StructField(s"agg_${fields.size}", dt, nullable = true)
+        values += null
+      case _ => return None
+    }
+    Some((StructType(fields.toSeq), values.toSeq))
+  }
+
+  private def sparkTypeOf(name: String): Option[DataType] =
+    fullSchema.fields.find(_.name == name).map(_.dataType) match {
+      case Some(t @ (LongType | IntegerType | DateType |
+                     TimestampType | TimestampNTZType)) => Some(t)
+      case _ => None // strings/doubles/decimals: stay on the scan path
+    }
+
+  /** Exact global bound of `name` across all files, as (Spark type,
+    * internal value). None = not provable from stats. Files without
+    * the column contribute nothing; all-null files have no bound but
+    * don't block others (MIN/MAX ignore nulls).
+    */
+  private def boundOf(files: Seq[(String, Map[String, ColStat])],
+                      name: String, takeMin: Boolean)
+      : Option[(DataType, Any)] = {
+    val dt = sparkTypeOf(name).getOrElse(return None)
+    val expectedTag = dt match {
+      case LongType | IntegerType => "long"
+      case DateType => "date"
+      case TimestampType => "ts"
+      case TimestampNTZType => "tsn"
+      case _ => return None
+    }
+    var best: Option[Long] = None
+    files.foreach { case (_, stats) =>
+      stats.get(name) match {
+        case None => // column absent here → contributes nothing
+        case Some(s) if s.tag != expectedTag => return None
+        case Some(s) =>
+          (s.min, s.max) match {
+            case (Some(mn), Some(mx)) =>
+              val v = (if (takeMin) mn else mx).toLong
+              best = Some(best.fold(v)(b =>
+                if (takeMin) math.min(b, v) else math.max(b, v)))
+            case _ =>
+              // bounds unknown: only safe if the file is ALL nulls
+              if (!(s.nulls >= 0 && s.rows >= 0 && s.nulls == s.rows))
+                return None
+          }
+      }
+    }
+    val internal: Any = best match {
+      case None => null
+      case Some(v) => dt match {
+        case LongType | TimestampType | TimestampNTZType => v
+        case IntegerType | DateType => v.toInt
+        case _ => return None
+      }
+    }
+    Some((dt, internal))
+  }
 
   override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
     pushedExprs = filters
@@ -60,6 +211,12 @@ class GraftSkippingScanBuilder(spark: SparkSession, tableName: String,
   }
 
   override def build(): Scan = {
+    aggResult match {
+      case Some((schema, values)) =>
+        FileStats.recordSkip(tableName, 0, FileStats.filesWithStats(roots).size)
+        return new GraftMetadataAggScan(tableName, schema, values)
+      case None =>
+    }
     val sourceFilters = pushedExprs.flatMap(e =>
       DataSourceStrategy.translateFilter(e, supportNestedPredicatePushdown = false))
     val (kept, total) = FileStats.prune(roots, sourceFilters)
@@ -85,4 +242,34 @@ class GraftSkippingScanBuilder(spark: SparkSession, tableName: String,
       b.build()
     }
   }
+}
+
+/** One-row scan serving a fully-pushed-down aggregate straight from
+  * the stats sidecars — the "answer COUNT(*) from manifests" path.
+  */
+class GraftMetadataAggScan(tableName: String, schema: StructType,
+                           values: Seq[Any]) extends Scan with Batch {
+  override def readSchema(): StructType = schema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"GraftMetadataAggScan($tableName, metadata-only)"
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(GraftAggPartition(values))
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftAggReaderFactory
+}
+
+case class GraftAggPartition(values: Seq[Any]) extends InputPartition
+
+class GraftAggReaderFactory extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private var served = false
+      override def next(): Boolean =
+        if (served) false else { served = true; true }
+      override def get(): InternalRow =
+        new GenericInternalRow(
+          p.asInstanceOf[GraftAggPartition].values.toArray)
+      override def close(): Unit = ()
+    }
 }

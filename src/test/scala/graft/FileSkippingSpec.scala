@@ -247,6 +247,42 @@ class FileSkippingSpec extends AnyFunSuite with SparkSpec {
     } finally spark.sql("DROP TABLE graft.skipdb.bl")
   }
 
+  test("metadata-only aggregates: COUNT/MIN/MAX answered from sidecars, no files opened") {
+    val t = tmpTable()
+    for (b <- 0 until 3)
+      t.commitAppend(((b * 100) until (b * 100 + 50)).map(i => (i.toLong, s"n$i"))
+        .toDF("id", "name").coalesce(1))
+    t.appendLog(Seq((900L, "hot")).toDF("id", "name").coalesce(1)) // hot tail counts too
+    graft.plans.TieredCatalog.register("skipdb", "agg", t.tablePath)
+    try {
+      val df = spark.sql(
+        "SELECT COUNT(*) AS c, COUNT(name) AS cn, MIN(id) AS mn, MAX(id) AS mx FROM graft.skipdb.agg")
+      assert(df.queryExecution.executedPlan.toString.contains("GraftMetadataAggScan"),
+        "the aggregate should be served from metadata, not a parquet scan")
+      val r = df.head()
+      assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+        (151L, 151L, 0L, 900L))
+      // a filtered aggregate must fall back to the real scan — and agree
+      val filtered = spark.sql(
+        "SELECT COUNT(*) AS c FROM graft.skipdb.agg WHERE id >= 100")
+      assert(!filtered.queryExecution.executedPlan.toString
+        .contains("GraftMetadataAggScan"))
+      assert(filtered.head().getLong(0) == 101L)
+      // AVG is not metadata-derivable → full scan, correct answer
+      val avg = spark.sql("SELECT AVG(id) AS a FROM graft.skipdb.agg")
+      assert(!avg.queryExecution.executedPlan.toString
+        .contains("GraftMetadataAggScan"))
+      // nulls: COUNT(col) subtracts them; MIN/MAX ignore all-null files
+      t.commitAppend(Seq((Some(950L), None: Option[String]))
+        .toDF("id", "name").coalesce(1))
+      val r2 = spark.sql(
+        "SELECT COUNT(*) AS c, COUNT(name) AS cn, MAX(id) AS mx FROM graft.skipdb.agg")
+      assert(r2.queryExecution.executedPlan.toString.contains("GraftMetadataAggScan"))
+      assert((r2.head().getLong(0), r2.head().getLong(1), r2.head().getLong(2)) ==
+        (152L, 151L, 950L))
+    } finally graft.plans.TieredCatalog.unregister("skipdb", "agg")
+  }
+
   test("schema evolution: pruned-away late column comes back as typed null") {
     val t = tmpTable()
     t.commitAppend(Seq(1L, 2L).toDF("id").coalesce(1))
