@@ -62,6 +62,7 @@ class GraftTableCatalog extends TableCatalog {
       case n if n.endsWith("__snapshots") =>
         (n.stripSuffix("__snapshots"), "snapshots")
       case n if n.endsWith("__files") => (n.stripSuffix("__files"), "files")
+      case n if n.endsWith("__stats") => (n.stripSuffix("__stats"), "stats")
       case n if n.endsWith("__cold") => (n.stripSuffix("__cold"), "cold")
       case VersionSuffix(n, v) => (n, s"v$v") // time travel: VERSION AS OF
       case n => (n, "union")
@@ -93,6 +94,20 @@ class GraftTableCatalog extends TableCatalog {
           .map(s => FilesTable.Row(f"${t.tablePath}/log/seg-$s%06d", "hot",
             dirBytes(f"${t.tablePath}/log/seg-$s%06d")))
         new FilesTable(ident.toString, cold ++ hot)
+      case "stats" =>
+        // the skipping sidecars as a queryable relation (Iceberg $files'
+        // bounds columns): one row per (file, column) with the exact
+        // min/max/null accounting scan planning prunes by
+        val rows = t.unionPaths.flatMap { root =>
+          val dir = Paths.get(root)
+          graft.storage.FileStats.readSidecar(dir).toSeq.flatMap {
+            case (file, cols) => cols.toSeq.map { case (c, s) =>
+              StatsTable.Row(s"$root/$file", c, s.tag,
+                s.min.orNull, s.max.orNull, s.nulls, s.rows)
+            }
+          }
+        }
+        new StatsTable(ident.toString, rows)
       case "cold" =>
         parquet(spark, ident.toString, t.coldFiles)
       case v if v.startsWith("v") =>
@@ -520,6 +535,60 @@ object FilesTable {
     StructField("file_path", StringType, nullable = false),
     StructField("tier", StringType, nullable = false),
     StructField("size_bytes", LongType, nullable = false)))
+}
+
+/** In-memory DSv2 table for the `__stats` listing: the file-skipping
+  * sidecars (per-file, per-column min/max/null bounds) as a relation.
+  */
+class StatsTable(tableName: String, rows: Seq[StatsTable.Row])
+    extends Table with SupportsRead {
+  override def name(): String = tableName
+  override def schema(): StructType = StatsTable.Schema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new Scan with Batch {
+      override def readSchema(): StructType = StatsTable.Schema
+      override def toBatch: Batch = this
+      override def planInputPartitions(): Array[InputPartition] =
+        Array(StatsPartition(rows))
+      override def createReaderFactory(): PartitionReaderFactory =
+        new StatsReaderFactory
+    }
+}
+
+object StatsTable {
+  case class Row(path: String, column: String, tag: String,
+                 min: String, max: String, nulls: Long, rows: Long)
+
+  val Schema: StructType = StructType(Seq(
+    StructField("file_path", StringType, nullable = false),
+    StructField("column", StringType, nullable = false),
+    StructField("domain", StringType, nullable = false),
+    StructField("min_value", StringType, nullable = true),
+    StructField("max_value", StringType, nullable = true),
+    StructField("null_count", LongType, nullable = false),
+    StructField("row_count", LongType, nullable = false)))
+}
+
+case class StatsPartition(rows: Seq[StatsTable.Row]) extends InputPartition
+
+class StatsReaderFactory extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private val it = p.asInstanceOf[StatsPartition].rows.iterator
+      private var cur: StatsTable.Row = _
+      override def next(): Boolean =
+        if (it.hasNext) { cur = it.next(); true } else false
+      override def get(): InternalRow =
+        new GenericInternalRow(Array[Any](
+          UTF8String.fromString(cur.path), UTF8String.fromString(cur.column),
+          UTF8String.fromString(cur.tag),
+          Option(cur.min).map(UTF8String.fromString).orNull,
+          Option(cur.max).map(UTF8String.fromString).orNull,
+          cur.nulls, cur.rows))
+      override def close(): Unit = ()
+    }
 }
 
 case class FilesPartition(rows: Seq[FilesTable.Row]) extends InputPartition

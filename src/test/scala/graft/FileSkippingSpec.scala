@@ -283,6 +283,24 @@ class FileSkippingSpec extends AnyFunSuite with SparkSpec {
     } finally graft.plans.TieredCatalog.unregister("skipdb", "agg")
   }
 
+  test("__stats metadata table exposes the skipping bounds in SQL") {
+    val t = tmpTable()
+    t.commitAppend(((0 until 100).map(_.toLong)).toDF("id").coalesce(1))
+    t.appendLog(Seq(500L).toDF("id").coalesce(1))
+    graft.plans.TieredCatalog.register("skipdb", "st", t.tablePath)
+    try {
+      val rows = spark.sql(
+        """SELECT column, domain, min_value, max_value, null_count, row_count
+          |FROM graft.skipdb.st__stats ORDER BY row_count DESC""".stripMargin)
+        .collect()
+      assert(rows.length == 2, "one cold file + one hot segment")
+      assert(rows(0).getString(0) == "id" && rows(0).getString(1) == "long")
+      assert(rows(0).getString(2) == "0" && rows(0).getString(3) == "99")
+      assert(rows(0).getLong(4) == 0L && rows(0).getLong(5) == 100L)
+      assert(rows(1).getString(2) == "500" && rows(1).getLong(5) == 1L)
+    } finally graft.plans.TieredCatalog.unregister("skipdb", "st")
+  }
+
   test("schema evolution: pruned-away late column comes back as typed null") {
     val t = tmpTable()
     t.commitAppend(Seq(1L, 2L).toDF("id").coalesce(1))
