@@ -74,6 +74,10 @@ object FileStats {
           if phys == PrimitiveTypeName.INT64 &&
             t.getUnit == LogicalTypeAnnotation.TimeUnit.MICROS =>
         if (t.isAdjustedToUTC) "ts" else "tsn"
+      // unsigned int annotations would compare wrongly in the signed
+      // long domain (large uint32 surfaces negative) — refuse them
+      case i: LogicalTypeAnnotation.IntLogicalTypeAnnotation if !i.isSigned =>
+        "none"
       case _: LogicalTypeAnnotation.IntLogicalTypeAnnotation |
            null =>
         phys match {

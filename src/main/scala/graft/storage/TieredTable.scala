@@ -510,11 +510,16 @@ class TieredTable(spark: SparkSession, rawTablePath: String,
         .select(col("b.*")).head()
       val top = (1L << bits) - 1
       val ranks = metric.zipWithIndex.map { case (m, i) =>
-        val (mn, mx) = (bounds.getDouble(2 * i), bounds.getDouble(2 * i + 1))
-        if (mx <= mn) lit(0L)
-        else least(greatest(
-            floor((m - mn) * (top.toDouble / (mx - mn))), lit(0.0)),
-          lit(top.toDouble)).cast("long")
+        // an all-NULL column has no bounds (min/max aggregate over zero
+        // non-null values) — rank it constant instead of NPE-ing
+        if (bounds.isNullAt(2 * i) || bounds.isNullAt(2 * i + 1)) lit(0L)
+        else {
+          val (mn, mx) = (bounds.getDouble(2 * i), bounds.getDouble(2 * i + 1))
+          if (mx <= mn) lit(0L)
+          else coalesce(least(greatest(
+              floor((m - mn) * (top.toDouble / (mx - mn))), lit(0.0)),
+            lit(top.toDouble)).cast("long"), lit(0L)) // null value → rank 0
+        }
       }
       val k = ranks.size
       // Morton interleave: bit b of rank i lands at position b*k + i

@@ -301,6 +301,23 @@ class FileSkippingSpec extends AnyFunSuite with SparkSpec {
     } finally graft.plans.TieredCatalog.unregister("skipdb", "st")
   }
 
+  test("z-order tolerates null and all-null clustered columns") {
+    val t = tmpTable()
+    t.commitAppend(Seq((1L, Some(5L)), (2L, None), (3L, Some(9L)))
+      .toDF("x", "y").coalesce(1))
+    t.commitAppend(Seq((None: Option[Long], None: Option[Long]))
+      .toDF("x", "y").coalesce(1))
+    // y has nulls, and after these commits an all-null z column is
+    // exercised by clustering on a fully-null frame too
+    t.compactZOrder(Seq("x", "y"), nFiles = 2, bits = 4)
+    assert(t.readCold().count() == 4)
+    val allNull = tmpTable()
+    allNull.commitAppend(Seq((None: Option[Long], 1L), (None, 2L))
+      .toDF("x", "v").coalesce(1))
+    allNull.compactZOrder(Seq("x"), nFiles = 1, bits = 4)
+    assert(allNull.readCold().count() == 2)
+  }
+
   test("schema evolution: pruned-away late column comes back as typed null") {
     val t = tmpTable()
     t.commitAppend(Seq(1L, 2L).toDF("id").coalesce(1))
