@@ -54,6 +54,12 @@ object Demo {
         p.orders.readStreamLog(Datagen.orderStream(spark).schema),
         s"$base/ckpt", Trigger.ProcessingTime("5 seconds")))
     set.run()
+    // wait for the FIRST enriched snapshot, not a fixed sleep — the
+    // revenue stream reads the enriched table's cold tier, which only
+    // exists after the first tiering commit lands
+    val firstBy = System.currentTimeMillis() + math.max(runSecs, 30) * 1000L
+    while (p.enriched.latestSnapshotId == 0L &&
+      System.currentTimeMillis() < firstBy) Thread.sleep(100)
     Thread.sleep(runSecs * 1000L / 2)
 
     // 3. revenue aggregation starts once enriched data exists
@@ -101,7 +107,7 @@ object Demo {
       .head().getLong(0)
     println(s"[demo] VERSION AS OF $firstSnap count = $thenCount (now: $hotCold)")
 
-    set.stopAll(); revQ.stop()
+    set.stopAll(); graft.streaming.StatementSet.stopGracefully(revQ)
     spark.stop()
     println("[demo] done")
   }

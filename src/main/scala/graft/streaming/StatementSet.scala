@@ -57,9 +57,22 @@ class StatementSet {
     }
   }
 
-  def stopAll(): Unit = started.foreach(_.stop())
+  def stopAll(): Unit = started.foreach(StatementSet.stopGracefully(_))
 }
 
 object StatementSet {
   def apply(): StatementSet = new StatementSet
+
+  /** Stop a query after letting any in-flight trigger finish (bounded
+    * wait): interrupting a mid-batch foreachBatch write leaves its AQE
+    * materialization future racing SparkContext shutdown — the batch
+    * aborts with stack noise on an otherwise clean exit.
+    */
+  def stopGracefully(q: org.apache.spark.sql.streaming.StreamingQuery,
+                     quiesceMs: Long = 5000): Unit = {
+    val deadline = System.currentTimeMillis() + quiesceMs
+    while (q.status.isTriggerActive && System.currentTimeMillis() < deadline)
+      Thread.sleep(25)
+    q.stop()
+  }
 }
