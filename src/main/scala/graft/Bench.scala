@@ -37,6 +37,8 @@ object Bench {
     catch { case _: Throwable => }
     try graft.queries.Lakehouse.demoRolledBack(spark, sfDir)
     catch { case _: Throwable => }
+    try graft.queries.Lakehouse.demoTableBloom(spark, sfDir)
+    catch { case _: Throwable => }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -43,6 +43,8 @@ object SparkEntry {
     "q13_file_skip"  -> (Lakehouse.q13FileSkipping _),
     "q14_merge"      -> (Lakehouse.q14Merge _),
     "q15_rollback"   -> (Lakehouse.q15Rollback _),
+    "q16_meta_agg"   -> (Lakehouse.q16MetaAgg _),
+    "q17_bloom_lookup" -> (Lakehouse.q17BloomLookup _),
     // training-data pipeline: dedup / similarity / text analysis
     "d1_exact_dedup" -> (Pipeline.d1ExactDedup _),
     "d2_fingerprint" -> (Pipeline.d2Fingerprint _),
@@ -251,6 +253,12 @@ object SparkEntry {
       """SELECT COUNT(*) AS cnt, CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
         |FROM orders
         |WHERE o_orderdate BETWEEN DATE '1997-06-01' AND DATE '1998-06-01'""".stripMargin,
+    "q16_meta_agg" ->
+      """SELECT COUNT(*) AS cnt, MIN(o_orderkey) AS min_key,
+        |       MAX(o_orderkey) AS max_key FROM orders""".stripMargin,
+    "q17_bloom_lookup" ->
+      """SELECT o_orderkey, o_custkey, o_orderpriority
+        |FROM orders WHERE o_orderkey IN (7, 1100, 40)""".stripMargin,
     "q15_rollback" ->
       """SELECT COUNT(*) AS cnt, CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
         |FROM orders WHERE o_orderdate < DATE '1999-01-01'""".stripMargin,

@@ -231,6 +231,64 @@ object Lakehouse {
     demoRolledBack(spark, dir).readCold()
       .agg(count(lit(1)).as("cnt"), sum(col("o_orderkey")).as("key_sum"))
 
+  /** Q16 — METADATA-ONLY aggregates through the SQL catalog: an
+    * unfiltered COUNT(*) + MIN/MAX over the date-banded table is
+    * served by `GraftMetadataAggScan` straight from the stats sidecars
+    * (zero parquet files opened — plan-asserted in FileSkippingSpec);
+    * the oracle recomputes the same numbers by actually scanning.
+    */
+  /** The graft catalog is session-lazy: any session that runs the SQL
+    * catalog queries (Verify/Bench run without the test harness's
+    * pre-configured session) gets it bound here on first use.
+    */
+  private def ensureCatalog(spark: SparkSession): Unit =
+    if (spark.conf.getOption("spark.sql.catalog.graft").isEmpty)
+      spark.conf.set("spark.sql.catalog.graft",
+        classOf[graft.plans.GraftTableCatalog].getName)
+
+  def q16MetaAgg(spark: SparkSession, dir: String): DataFrame = {
+    ensureCatalog(spark)
+    val t = demoTableByDate(spark, dir)
+    graft.plans.TieredCatalog.register("bench", "orders_bydate", t.tablePath)
+    spark.sql(
+      """SELECT COUNT(*) AS cnt, MIN(o_orderkey) AS min_key,
+        |       MAX(o_orderkey) AS max_key
+        |FROM graft.bench.orders_bydate""".stripMargin)
+  }
+
+  /** Build-once fixture for Q17: orders in three commits split by
+    * `o_orderkey % 3` — every file spans the whole key range, so
+    * min/max boxes cannot separate them — written with a bloom on the
+    * key column.
+    */
+  def demoTableBloom(spark: SparkSession, dir: String): TieredTable = {
+    val safe = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val path = s"${sys.props("java.io.tmpdir")}/graft-tiered/v$FormatVersion/$safe/orders_bloom"
+    val donePath = Paths.get(path, "meta", "LATEST")
+    val t = TieredTable(spark, path, bloomCols = Seq("o_orderkey"))
+    if (!Files.exists(donePath)) {
+      val orders = Tables.load(spark, dir, "orders")
+      (0 to 2).foreach(i => t.commitAppend(
+        orders.filter(pmod(col("o_orderkey"), lit(3)) === i).coalesce(1)))
+    }
+    t
+  }
+
+  /** Q17 — BLOOM-pruned SQL point lookup: equality probes on the
+    * modulo-scattered key open one of three files by bloom sidecar
+    * (ranges keep all three — spec-asserted); the oracle recomputes
+    * the probed rows from the raw fixture.
+    */
+  def q17BloomLookup(spark: SparkSession, dir: String): DataFrame = {
+    ensureCatalog(spark)
+    val t = demoTableBloom(spark, dir)
+    graft.plans.TieredCatalog.register("bench", "orders_bloom", t.tablePath)
+    spark.sql(
+      """SELECT o_orderkey, o_custkey, o_orderpriority
+        |FROM graft.bench.orders_bloom
+        |WHERE o_orderkey IN (7, 1100, 40)""".stripMargin)
+  }
+
   /** Q12 — partition-pruned read: one priority's rows through the
     * partitioned table's hot∪cold union. The scan touches ONLY the
     * `o_orderpriority=<p>/` directories (plan-asserted in

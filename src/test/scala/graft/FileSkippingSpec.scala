@@ -318,6 +318,19 @@ class FileSkippingSpec extends AnyFunSuite with SparkSpec {
     assert(allNull.readCold().count() == 2)
   }
 
+  test("q16/q17 fixtures: SQL metadata aggregate and bloom point lookup") {
+    val dir = "/root/testdata/sf0.001"
+    val q16 = graft.queries.Lakehouse.q16MetaAgg(spark, dir)
+    assert(q16.queryExecution.executedPlan.toString.contains("GraftMetadataAggScan"))
+    // bloom fixture: modulo-split files share the whole key range, so
+    // only the bloom can isolate a real key's file
+    val t = graft.queries.Lakehouse.demoTableBloom(spark, dir)
+    val k = t.readCold().agg(min(col("o_orderkey"))).head().getLong(0)
+    val (kept, total) = t.skippingCounts(col("o_orderkey") === k)
+    assert(total == 3 && kept == 1,
+      s"bloom should isolate key $k's file, got $kept/$total")
+  }
+
   test("schema evolution: pruned-away late column comes back as typed null") {
     val t = tmpTable()
     t.commitAppend(Seq(1L, 2L).toDF("id").coalesce(1))
