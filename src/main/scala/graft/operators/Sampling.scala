@@ -71,10 +71,12 @@ object Sampling {
       else pow(col("__n").cast("double") / nMin.toDouble, alpha - 1.0)
     val u = pmod(keyHash(salt, col(keyCol)), lit(1000000L)).cast("double") /
       1000000.0
-    df.join(broadcast(counts.select(col(groupCol), rate.as("__rate"))),
-        Seq(groupCol))
+    // null-SAFE join: a null source is a real group (groupBy counts it);
+    // a plain equi-join would silently drop its rows from the mixture
+    val rates = counts.select(col(groupCol).as("__grp"), rate.as("__rate"))
+    df.join(broadcast(rates), df(groupCol) <=> col("__grp"))
       .filter(u < col("__rate"))
-      .drop("__rate")
+      .drop("__grp", "__rate")
   }
 
   /** Deterministic shard assignment: `shard_id` = salted key hash mod

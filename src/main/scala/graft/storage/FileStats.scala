@@ -38,6 +38,19 @@ object FileStats {
 
   val SidecarName = "_graft_stats"
 
+  /** Parquet files under `dir` (recursive), with the walk stream CLOSED
+    * — a leaked directory stream per commit/scan would exhaust file
+    * descriptors over a session's thousands of prune calls.
+    */
+  private def parquetFiles(dir: Path): Seq[Path] = {
+    val stream = Files.walk(dir)
+    try stream.iterator().asScala
+      .filter(p => Files.isRegularFile(p) &&
+        p.getFileName.toString.endsWith(".parquet"))
+      .toList
+    finally stream.close()
+  }
+
   /** Last skip decision per table name — observability for specs and
     * operators (how many files did the last SQL scan actually open?).
     */
@@ -115,9 +128,7 @@ object FileStats {
     */
   def collect(dir: Path): Map[String, Map[String, ColStat]] = {
     val conf = new Configuration()
-    val files = Files.walk(dir).iterator().asScala
-      .filter(p => Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet"))
-      .toSeq
+    val files = parquetFiles(dir)
     files.flatMap { f =>
       try {
         val reader = ParquetFileReader.open(conf, new HadoopPath(f.toString))
@@ -231,11 +242,8 @@ object FileStats {
       if (!Files.isDirectory(dir)) Nil
       else {
         val side = readSidecar(dir)
-        Files.walk(dir).iterator().asScala
-          .filter(p => Files.isRegularFile(p) &&
-            p.getFileName.toString.endsWith(".parquet"))
+        parquetFiles(dir)
           .map(p => p.toString -> side.getOrElse(dir.relativize(p).toString, Map.empty))
-          .toSeq
       }
     }
 
@@ -251,14 +259,11 @@ object FileStats {
       else {
         val side = readSidecar(dir)
         val bloom = readBloomSidecar(dir)
-        Files.walk(dir).iterator().asScala
-          .filter(p => Files.isRegularFile(p) &&
-            p.getFileName.toString.endsWith(".parquet"))
-          .map { p =>
-            val rel = dir.relativize(p).toString
-            (p.toString, side.getOrElse(rel, Map.empty[String, ColStat]),
-              bloom.getOrElse(rel, Map.empty[String, java.util.BitSet]))
-          }.toSeq
+        parquetFiles(dir).map { p =>
+          val rel = dir.relativize(p).toString
+          (p.toString, side.getOrElse(rel, Map.empty[String, ColStat]),
+            bloom.getOrElse(rel, Map.empty[String, java.util.BitSet]))
+        }
       }
     }
     val kept = all.collect {

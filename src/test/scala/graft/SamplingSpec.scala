@@ -207,5 +207,11 @@ class SamplingSpec extends AnyFunSuite with SparkSpec {
     // alpha = 1 keeps natural proportions (rate 1 everywhere)
     assert(graft.operators.Sampling.temperatureMix(df, "id", "src", alpha = 1.0)
       .count() == df.count())
+    // a NULL source is a real group, not silently dropped
+    val withNull = rows.toDF("id", "src")
+      .union(Seq((5000L, null.asInstanceOf[String])).toDF("id", "src"))
+    val mixed = graft.operators.Sampling.temperatureMix(withNull, "id", "src")
+    assert(mixed.filter(col("src").isNull).count() == 1,
+      "the singleton null group has rate 1.0 and must survive")
   }
 }
