@@ -392,13 +392,18 @@ class TieredTable(spark: SparkSession, rawTablePath: String,
         s"merge key ${on.mkString(",")} missing from source")
       whenMatchedUpdate.keys.foreach(c => require(target.columns.contains(c),
         s"unknown target column $c in merge assignment"))
-      val dupKeys = source.groupBy(on.map(col): _*)
+      // SQL MERGE `ON t.k = s.k` semantics: NULL keys never match — a
+      // null-key source row inserts, a null-key target row passes
+      // through untouched. The ambiguity check therefore only applies
+      // to non-null-key source rows (null-key rows cannot multi-match).
+      val nonNullKeys = on.map(col(_).isNotNull).reduce(_ && _)
+      val dupKeys = source.filter(nonNullKeys).groupBy(on.map(col): _*)
         .agg(count(lit(1)).as("__n")).filter(col("__n") > 1L)
       require(dupKeys.limit(1).count() == 0,
         "merge source has duplicate key rows — MERGE would be ambiguous")
       val t = target.withColumn("__t", lit(true)).alias("t")
       val s = source.withColumn("__s", lit(true)).alias("s")
-      val joinCond = on.map(k => col(s"t.$k") <=> col(s"s.$k")).reduce(_ && _)
+      val joinCond = on.map(k => col(s"t.$k") === col(s"s.$k")).reduce(_ && _)
       val j = t.join(s, joinCond, "full_outer")
       val matched = col("t.__t").isNotNull && col("s.__s").isNotNull
       val deleteHit = whenMatchedDelete

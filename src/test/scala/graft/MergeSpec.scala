@@ -69,6 +69,20 @@ class MergeSpec extends AnyFunSuite with SparkSpec {
     assert(t.readCold().count() == 3)
   }
 
+  test("NULL keys never match: null source inserts, null target passes through") {
+    val t = tmpTable()
+    t.commitAppend(Seq((Some(1L), 10L), (None: Option[Long], 20L))
+      .toDF("k", "v"))
+    // two null-key source rows are fine (no multi-match possible) and
+    // both insert; the null-key target row is untouched
+    t.merge(Seq((Some(1L), 11L), (None: Option[Long], 91L),
+        (None: Option[Long], 92L)).toDF("k", "v"), Seq("k"),
+      whenMatchedUpdate = Map("v" -> col("s.v")))
+    val out = t.readCold().as[(Option[Long], Long)].collect()
+      .map(r => (r._1, r._2)).sortBy(p => (p._1.getOrElse(Long.MaxValue), p._2))
+    assert(out.toSeq == Seq((Some(1L), 11L), (None, 20L), (None, 91L), (None, 92L)))
+  }
+
   test("merge on an empty table is a no-op returning None") {
     val t = tmpTable()
     assert(t.merge(Seq((1L, 1L)).toDF("k", "v"), Seq("k")).isEmpty)
