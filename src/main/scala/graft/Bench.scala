@@ -11,17 +11,17 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Untimed warmup at the smallest sf: compiles and JITs every query's
-    // codegen once (schemas are identical across sf dirs, so generated-
-    // code caches carry over) — the timed loop then measures steady-state
-    // execution at the target scale, not first-query JVM warmup.
-    val warmDir = "/root/testdata/sf0.001"
+    // Untimed warmup at the TARGET sf: compiles + JITs every query's
+    // generated code and primes the page cache — the timed loop then
+    // measures steady-state execution, not first-query JVM warmup
+    // (observed: a generate+aggregate plan's first compile costs ~5 s
+    // that vanishes on the second run). Memoized pair/vector frames
+    // are evicted afterwards so the timed pass still pays each query's
+    // real dataflow, not a cache hit.
     SparkEntry.queries.foreach { case (_, fn) =>
-      try fn(spark, warmDir).count()
+      try fn(spark, sfDir).count()
       catch { case _: Throwable => }
     }
-    // Free the warmup dir's memoized pair/vector caches — the timed loop
-    // runs at sfDir and must not compete with stale sf0.001 partitions.
     graft.queries.Pipeline.clearMemo(spark)
     // Stage the tiered demo fixture for the TARGET dir untimed: building
     // it is test-data preparation (the equivalent of the parquet fixtures
