@@ -369,7 +369,11 @@ class TieredSqlTable(tableName: String, spark: SparkSession,
   override def schema(): StructType = declared.getOrElse {
     if (paths.isEmpty) throw new IllegalStateException(
       s"empty table $tableName has no persisted schema")
-    inner.schema
+    // partitioned tables can't run partition discovery across several
+    // Hive roots in one scan — read the schema from one root (they
+    // share the layout; cross-root schema evolution needs a declared
+    // schema via CREATE TABLE)
+    if (entry.partitionBy.isEmpty) inner.schema else partRoots.head.schema
   }
 
   override def capabilities(): util.Set[TableCapability] =
@@ -379,14 +383,28 @@ class TieredSqlTable(tableName: String, spark: SparkSession,
     if (entry.partitionBy.isEmpty)
       // unpartitioned: stock parquet scan wrapped with manifest-level
       // file skipping (footer-stats sidecars prune the file list at
-      // scan build; partitioned layouts get directory pruning instead)
+      // scan build)
       new org.apache.spark.sql.GraftSkippingScanBuilder(spark, tableName,
         paths, schema(), readOpts, inner.newScanBuilder(options))
-    else if (paths.lengthCompare(1) <= 0)
-      inner.newScanBuilder(options)
-    else
-      new org.apache.spark.sql.GraftCompositeScanBuilder(
-        partRoots.map(_.newScanBuilder(options)))
+    else {
+      // partitioned: per-root scans (each root is its own partition-
+      // discovery base path), EACH wrapped with stats skipping —
+      // directory pruning handles the partition column, the sidecars
+      // prune by every other column; basePath keeps partition-column
+      // discovery alive when a root's scan is rebuilt over a file list
+      val wrapped = paths.zip(partRoots).zipWithIndex.map {
+        case ((root, tbl), i) =>
+          val opts = new CaseInsensitiveStringMap(
+            (readOpts.asScala ++ Map("basePath" -> root)).asJava)
+          // per-root metric name: children record independently
+          new org.apache.spark.sql.GraftSkippingScanBuilder(spark,
+            s"$tableName#$i", Seq(root), schema(), opts,
+            tbl.newScanBuilder(options), entry.partitionBy)
+      }
+      if (wrapped.lengthCompare(1) <= 0 && wrapped.nonEmpty) wrapped.head
+      else if (wrapped.isEmpty) inner.newScanBuilder(options)
+      else new org.apache.spark.sql.GraftCompositeScanBuilder(wrapped)
+    }
 
   /** `DELETE FROM graft.<db>.<t> WHERE …` — filters that translate to
     * Column predicates run through the SAME copy-on-write commit as the

@@ -3,7 +3,7 @@ package org.apache.spark.sql
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.connector.expressions.filter.Predicate
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.execution.datasources.v2.FileScanBuilder
+
 import org.apache.spark.sql.types.StructType
 
 /** DSv2 scan over SEVERAL partitioned parquet roots as one relation.
@@ -29,19 +29,33 @@ class GraftCompositeScanBuilder(builders: Seq[ScanBuilder])
     with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters {
   require(builders.nonEmpty, "need at least one child scan builder")
-  private val children = builders.map(_.asInstanceOf[FileScanBuilder])
+  // children are addressed through the pushdown INTERFACES, not a
+  // concrete builder class — so stock per-root ParquetScanBuilders and
+  // wrapping builders (e.g. GraftSkippingScanBuilder) both compose
+  private val children = builders
 
   override def pruneColumns(requiredSchema: StructType): Unit =
-    children.foreach(_.pruneColumns(requiredSchema))
+    children.foreach {
+      case c: SupportsPushDownRequiredColumns => c.pruneColumns(requiredSchema)
+      case _ =>
+    }
 
   /** All children share format, declared schema, and partition columns,
     * so the residual (post-scan) filter set is identical — forward to
     * every child, report the first's residuals.
     */
   override def pushFilters(filters: Seq[Expression]): Seq[Expression] =
-    children.map(_.pushFilters(filters)).head
+    children.map {
+      case c: org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters =>
+        c.pushFilters(filters)
+      case _ => filters
+    }.head
 
-  override def pushedFilters: Array[Predicate] = children.head.pushedFilters
+  override def pushedFilters: Array[Predicate] = children.head match {
+    case c: org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters =>
+      c.pushedFilters
+    case _ => Array.empty
+  }
 
   override def build(): Scan = new GraftCompositeScan(children.map(_.build()))
 }

@@ -33,7 +33,8 @@ import graft.storage.FileStats.ColStat
 class GraftSkippingScanBuilder(spark: SparkSession, tableName: String,
                                roots: Seq[String], fullSchema: StructType,
                                options: CaseInsensitiveStringMap,
-                               inner: ScanBuilder)
+                               inner: ScanBuilder,
+                               partitionCols: Seq[String] = Nil)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates
@@ -84,6 +85,9 @@ class GraftSkippingScanBuilder(spark: SparkSession, tableName: String,
         values += files.map(f => rowsOf(f._2)).sum
       case c: Count if !c.isDistinct =>
         val name = col1(c.column).getOrElse(return None)
+        // partition-column values live in DIRECTORY names, invisible to
+        // file stats — only the scan can count/bound them
+        if (partitionCols.contains(name)) return None
         // per file: rows − nulls; a file without the column (schema
         // evolution) reads as all-null there → contributes 0
         var total = 0L
@@ -98,11 +102,13 @@ class GraftSkippingScanBuilder(spark: SparkSession, tableName: String,
         values += total
       case m: Min =>
         val name = col1(m.column).getOrElse(return None)
+        if (partitionCols.contains(name)) return None
         val (dt, v) = boundOf(files, name, takeMin = true).getOrElse(return None)
         fields += StructField(s"agg_${fields.size}", dt, nullable = true)
         values += v
       case m: Max =>
         val name = col1(m.column).getOrElse(return None)
+        if (partitionCols.contains(name)) return None
         val (dt, v) = boundOf(files, name, takeMin = false).getOrElse(return None)
         fields += StructField(s"agg_${fields.size}", dt, nullable = true)
         values += v
@@ -226,7 +232,9 @@ class GraftSkippingScanBuilder(spark: SparkSession, tableName: String,
       // rebuild the scan over the surviving files only. The FULL table
       // schema is passed as the user-specified schema so a column whose
       // only carrier file was pruned still resolves (as nulls) instead
-      // of vanishing from the scan output.
+      // of vanishing from the scan output. For a Hive-partitioned root
+      // the caller supplies basePath in `options`, so partition-column
+      // discovery from the dir names survives the switch to a file list.
       val pruned = ParquetTable(tableName, spark, options, kept,
         Some(fullSchema), classOf[ParquetFileFormat])
       val b = pruned.newScanBuilder(options)

@@ -331,6 +331,39 @@ class FileSkippingSpec extends AnyFunSuite with SparkSpec {
       s"bloom should isolate key $k's file, got $kept/$total")
   }
 
+  test("partitioned tables: stats skip on non-partition columns; partition aggs fall back") {
+    val dir = Files.createTempDirectory("graft-pt").toString
+    val t = new TieredTable(spark, s"$dir/t", partitionBy = Seq("grp"))
+    // two commits with disjoint id ranges; each commit spans both
+    // partitions, so directory pruning alone cannot separate them
+    for (b <- 0 until 2)
+      t.commitAppend((0 until 100).map(i =>
+        (b * 1000L + i, if (i % 2 == 0) "a" else "b")).toDF("id", "grp")
+        .repartition(1))
+    graft.plans.TieredCatalog.register("skipdb", "pt", t.tablePath,
+      partitionBy = Seq("grp"))
+    try {
+      // id range hits commit 2 only; partition filter narrows to grp=a
+      val r = spark.sql(
+        """SELECT COUNT(*) AS c FROM graft.skipdb.pt
+          |WHERE grp = 'a' AND id >= 1000""".stripMargin).head().getLong(0)
+      assert(r == 50L)
+      val childSkips = (0 until 2).flatMap(i =>
+        FileStats.lastSkipFor(s"skipdb.pt#$i"))
+      assert(childSkips.exists(s => s._1 < s._2),
+        s"stats should prune the out-of-range commit's root, got $childSkips")
+      // metadata aggregates on a partitioned table still answer
+      // correctly: COUNT(*) is file-derivable, MIN(grp) is not
+      val agg = spark.sql(
+        "SELECT COUNT(*) AS c, MIN(grp) AS mg FROM graft.skipdb.pt")
+      val ar = agg.head()
+      assert(ar.getLong(0) == 200L && ar.getString(1) == "a")
+      assert(!agg.queryExecution.executedPlan.toString
+        .contains("GraftMetadataAggScan"),
+        "MIN(partition column) must not be served from file stats")
+    } finally graft.plans.TieredCatalog.unregister("skipdb", "pt")
+  }
+
   test("schema evolution: pruned-away late column comes back as typed null") {
     val t = tmpTable()
     t.commitAppend(Seq(1L, 2L).toDF("id").coalesce(1))
