@@ -54,6 +54,7 @@ object SparkEntry {
     "d6_simhash_pairs" -> (Pipeline.d6SimhashPairs _),
     "d7_dedup_groups" -> (Pipeline.d7DedupGroups _),
     "d8_chunk_dedup" -> (Pipeline.d8ChunkDedup _),
+    "d9_best_rep"  -> (Pipeline.d9BestRep _),
     "s1_knn_brute"   -> (Pipeline.s1KnnBrute _),
     "s2_lsh_ann"     -> (Pipeline.s2LshAnn _),
     "s3_neardup_brute" -> (Pipeline.s3NearDupBrute _),
@@ -101,6 +102,7 @@ object SparkEntry {
     "e6_json_props"     -> (Pipeline.e6JsonProps _),
     "e7_funnel"         -> (Pipeline.e7Funnel _),
     "e8_retention"      -> (Pipeline.e8Retention _),
+    "e10_transitions"   -> (Pipeline.e10Transitions _),
     "a1_asof"           -> (Relational.a1Asof _),
     "r1_range"          -> (Relational.r1Range _),
     "g1_rollup"         -> (Relational.g1Rollup _),
@@ -313,6 +315,31 @@ object SparkEntry {
          |         bit_count(xor(a.simhash, b.simhash)) AS hamming
          |  FROM keyed a JOIN keyed b ON a.blk = b.blk AND a.id < b.id)
          |WHERE hamming <= 3""".stripMargin,
+    "d9_best_rep" ->
+      s"""WITH RECURSIVE $shingleCtes,
+         |edges AS (SELECT a_id AS src, b_id AS dst FROM ver
+         |          UNION ALL SELECT b_id, a_id FROM ver),
+         |nodes AS (SELECT DISTINCT src AS id FROM edges),
+         |reach AS (
+         |  SELECT id, id AS r FROM nodes
+         |  UNION
+         |  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src
+         |),
+         |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+         |sel AS (SELECT component, id,
+         |          row_number() OVER (PARTITION BY component
+         |            ORDER BY d.n_chars DESC, id) AS rn,
+         |          count(*) OVER (PARTITION BY component) AS n_members
+         |        FROM comp JOIN documents d ON comp.id = d.doc_id)
+         |SELECT component, id AS rep_id, CAST(n_members AS BIGINT) AS n_members
+         |FROM sel WHERE rn = 1""".stripMargin,
+    "e10_transitions" ->
+      """WITH j AS (SELECT event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS next_type
+        |  FROM events)
+        |SELECT event_type AS from_type, next_type AS to_type, COUNT(*) AS cnt
+        |FROM j WHERE next_type IS NOT NULL GROUP BY 1, 2""".stripMargin,
     "d7_dedup_groups" ->
       s"""WITH RECURSIVE $shingleCtes,
          |edges AS (SELECT a_id AS src, b_id AS dst FROM ver

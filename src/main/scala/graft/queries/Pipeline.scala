@@ -117,6 +117,24 @@ object Pipeline {
   def d7DedupGroups(spark: SparkSession, dir: String): DataFrame =
     Dedup.connectedComponents(d3NgramPairs(spark, dir))
 
+  /** D9 — QUALITY-AWARE representative election: each near-dup cluster
+    * (connected components over the memoized d3 pair graph) keeps its
+    * highest-quality member (n_chars; ties to the smallest id) instead
+    * of d7's arbitrary min-id label — the "keep the best copy" pass a
+    * production dedup pipeline actually wants. One dimension-sized
+    * join + one partial-aggregated max_by per cluster on top of the
+    * shared component computation.
+    */
+  def d9BestRep(spark: SparkSession, dir: String): DataFrame = {
+    val comps = Dedup.connectedComponents(d3NgramPairs(spark, dir))
+    comps.join(docs(spark, dir).select(col("doc_id").as("id"), col("n_chars")),
+        Seq("id"))
+      .groupBy(col("component"))
+      .agg(count(lit(1)).as("n_members"),
+        max_by(col("id"), struct(col("n_chars"), -col("id"))).as("rep_id"))
+      .select(col("component"), col("rep_id"), col("n_members"))
+  }
+
   /** D8 — chunk-level (sub-document) exact dedup: repeated 16-token
     * passages survive only at their first corpus-wide occurrence; per
     * document, the chunk accounting plus the fingerprint of the
@@ -643,6 +661,23 @@ object Pipeline {
       .select(col("event_type"), (col("pos") + 1).cast("long").as("rank"),
         col("col._1").cast("long").as("cnt"), col("col._2").as("user_id"))
       .select(col("event_type"), col("rank"), col("user_id"), col("cnt"))
+  }
+
+  /** E10 — user-journey transition counts: the (event_type → next
+    * event_type) Markov matrix over per-user ordered streams. One hash
+    * shuffle on user_id + in-partition sort (the minimum any per-user
+    * ordering needs — same budget as sessionization), then a
+    * partial-aggregated count per transition pair; the matrix is
+    * |event_types|² rows regardless of corpus size.
+    */
+  def e10Transitions(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.load(spark, dir, "events")
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("cnt"))
   }
 
   /** E1 — batch sessionization (30-min gap) over the events table. */
