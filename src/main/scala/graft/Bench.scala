@@ -48,6 +48,12 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // The per-query line above is ~2.7 KB; harnesses that keep only a
+    // bounded tail of stdout truncate its head and fail to parse it.
+    // Emit a short, self-contained total-only line LAST so the end of
+    // the output always carries a parseable summary.
+    val maxQ = if (results.nonEmpty) results.values.max else 0.0
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${results.size},"max":$maxQ%.3f,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -38,6 +38,7 @@ object SparkEntry {
     "q8_notnull_drop"-> (Parity.q8NotNullDrop _),
     "q9_snapshots"   -> (Lakehouse.q9Snapshots _),
     "q10_incremental"-> (Lakehouse.q10Incremental _),
+    "q10b_changelog" -> (Lakehouse.q10bChangelog _),
     "q11_time_travel"-> (Lakehouse.q11TimeTravel _),
     "q12_partition_pruned"-> (Lakehouse.q12PartitionPruned _),
     "q13_file_skip"  -> (Lakehouse.q13FileSkipping _),
@@ -245,6 +246,29 @@ object SparkEntry {
       """SELECT '+I' AS op, COUNT(*) AS cnt,
         |       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
         |FROM orders WHERE o_orderkey % 3 = 1""".stripMargin,
+    // the MERGE recomputed per changelog kind: -D (matched deletes),
+    // -U (before-image: the OLD balance), +U (after: old + n_orders),
+    // +I (synthetic inserts at acctbal 0)
+    "q10b_changelog" ->
+      """WITH base AS (
+        |  SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY o_custkey),
+        |upd AS (SELECT o_custkey AS k, n_orders FROM base WHERE o_custkey % 3 = 0),
+        |ins AS (SELECT o_custkey + 10000000 AS k FROM base WHERE o_custkey % 7 = 0),
+        |matched AS (SELECT c.c_custkey, c.c_acctbal, u.n_orders
+        |            FROM customer c JOIN upd u ON c.c_custkey = u.k),
+        |ops AS (
+        |  SELECT '-D' AS op, c_custkey AS key, c_acctbal AS bal
+        |  FROM matched WHERE n_orders >= 15
+        |  UNION ALL
+        |  SELECT '-U', c_custkey, c_acctbal FROM matched WHERE n_orders < 15
+        |  UNION ALL
+        |  SELECT '+U', c_custkey, c_acctbal + n_orders
+        |  FROM matched WHERE n_orders < 15
+        |  UNION ALL
+        |  SELECT '+I', k, 0.0 FROM ins)
+        |SELECT op, COUNT(*) AS cnt, CAST(SUM(key) AS BIGINT) AS key_sum,
+        |       CAST(SUM(CAST(bal AS DECIMAL(15,2))) * 100 AS BIGINT) AS bal_cents
+        |FROM ops GROUP BY op""".stripMargin,
     "q11_time_travel" ->
       """SELECT COUNT(*) AS cnt, CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
         |FROM orders WHERE o_orderkey % 3 = 0""".stripMargin,

@@ -63,10 +63,12 @@ object Stress {
     // time-ingested layout), then a one-band range query through
     // readColdWhere vs the full scan — files opened is the scale
     // metric (wall-clock at this size is dominated by fixed overhead;
-    // at 100 TB files-not-opened IS the win).
+    // at 100 TB files-not-opened IS the win). Measured at 1× (14 files)
+    // AND `copies`× (14 × copies files — each copy commits its own
+    // bands with shifted keys) to show the skip RATIO holds as the
+    // file count grows: planning touches O(matching files) regardless.
     val skipDir = java.nio.file.Files
       .createTempDirectory("graft-stress-skip").toString
-    val t = new graft.storage.TieredTable(spark, s"$skipDir/orders")
     val orders = graft.tables.Tables.load(spark, sfDir, "orders")
     val d = col("o_orderdate")
     val bands = (0 until 14).map { i =>
@@ -74,22 +76,67 @@ object Stress {
       val hi = add_months(lit("1995-01-01").cast("date"), (i + 1) * 6)
       d >= lo && (if (i == 13) lit(true) else d < hi)
     }
-    bands.foreach(b => t.commitAppend(orders.filter(b).coalesce(1)))
     val cond = d >= lit("1997-01-01").cast("date") &&
       d < lit("1997-07-01").cast("date")
-    val (kept, total) = t.skippingCounts(cond)
-    val tFull0 = System.nanoTime()
-    val fullRows = t.readCold().filter(cond).count()
-    val fullSec = (System.nanoTime() - tFull0) / 1e9
-    val tSkip0 = System.nanoTime()
-    val skipRows = t.readColdWhere(cond).count()
-    val skipSec = (System.nanoTime() - tSkip0) / 1e9
-    require(fullRows == skipRows, "skipping changed an answer")
-    val skipJson = s""""q13_skip":{"files_kept":$kept,"files_total":$total,""" +
-      s""""full_sec":$fullSec,"skip_sec":$skipSec,"rows":$skipRows}"""
+    def q13At(name: String, nCopies: Int): String = {
+      val t = new graft.storage.TieredTable(spark, s"$skipDir/$name")
+      for (k <- 0 until nCopies; b <- bands)
+        t.commitAppend(orders.filter(b)
+          .withColumn("o_orderkey", col("o_orderkey") + lit(k * 100000000L))
+          .coalesce(1))
+      val tPlan0 = System.nanoTime()
+      val (kept, total) = t.skippingCounts(cond)
+      val planSec = (System.nanoTime() - tPlan0) / 1e9
+      val tFull0 = System.nanoTime()
+      val fullRows = t.readCold().filter(cond).count()
+      val fullSec = (System.nanoTime() - tFull0) / 1e9
+      val tSkip0 = System.nanoTime()
+      val skipRows = t.readColdWhere(cond).count()
+      val skipSec = (System.nanoTime() - tSkip0) / 1e9
+      require(fullRows == skipRows, "skipping changed an answer")
+      s""""q13_skip_${nCopies}x":{"files_kept":$kept,"files_total":$total,""" +
+        s""""plan_sec":$planSec,"full_sec":$fullSec,"skip_sec":$skipSec,""" +
+        s""""rows":$skipRows}"""
+    }
+    val q13Json = q13At("orders_1x", 1) + "," + q13At("orders_Nx", copies)
+
+    // q16 metadata-only aggregate at copies×: COUNT/MIN/MAX answered
+    // from the sidecars — files OPENED must stay 0 as file count grows.
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.plans.GraftTableCatalog].getName)
+    graft.plans.TieredCatalog.register("stress", "orders_nx",
+      s"$skipDir/orders_Nx")
+    val tAgg0 = System.nanoTime()
+    val agg = spark.sql(
+      """SELECT COUNT(*) AS cnt, MIN(o_orderkey) AS mn, MAX(o_orderkey) AS mx
+        |FROM graft.stress.orders_nx""".stripMargin).collect()(0)
+    val aggSec = (System.nanoTime() - tAgg0) / 1e9
+    val (aggOpened, aggTotal) = graft.storage.FileStats
+      .lastSkipFor("stress.orders_nx").getOrElse((-1, -1))
+    val q16Json = s""""q16_meta_agg_${copies}x":{"files_opened":$aggOpened,""" +
+      s""""files_total":$aggTotal,"sec":$aggSec,"cnt":${agg.getLong(0)}}"""
+
+    // q17 bloom point lookup at (3·copies) key-scattered files: every
+    // file spans the whole key range (min/max useless); the bloom must
+    // keep ~1 file no matter how many commits the table accumulates.
+    val nBloomFiles = 3 * copies
+    val tb = new graft.storage.TieredTable(spark, s"$skipDir/orders_bloom",
+      bloomCols = Seq("o_orderkey"))
+    for (i <- 0 until nBloomFiles)
+      tb.commitAppend(orders
+        .filter(pmod(col("o_orderkey"), lit(nBloomFiles)) === i).coalesce(1))
+    val probe = col("o_orderkey") === 7L
+    val tBloom0 = System.nanoTime()
+    val (bKept, bTotal) = tb.skippingCounts(probe)
+    val bloomPlanSec = (System.nanoTime() - tBloom0) / 1e9
+    val bloomRows = tb.readColdWhere(probe).count()
+    require(bloomRows == orders.filter(probe).count(),
+      "bloom skipping changed an answer")
+    val q17Json = s""""q17_bloom_${copies}x":{"files_kept":$bKept,""" +
+      s""""files_total":$bTotal,"plan_sec":$bloomPlanSec,"rows":$bloomRows}"""
 
     println(s"""{"metric":"stress","docs":${n * copies},"copies":$copies,""" +
-      s""""results":$qs,$skipJson}""")
+      s""""results":$qs,$q13Json,$q16Json,$q17Json}""")
     spark.stop()
   }
 }

@@ -159,10 +159,20 @@ object Sampling {
     * boundary-score group. Greedy semantics are preserved exactly: whole
     * groups above the cutoff fit by construction, and the boundary group
     * takes rows in key order until the remainder is spent.
+    *
+    * The driver-side fetch is HARD-BOUNDED at `maxDistinctScores + 1`
+    * rows (a `LIMIT` under the score sort, so Spark plans
+    * TakeOrderedAndProject, never a global sort): a continuous score —
+    * O(corpus) distinct values — cannot flood the driver. If the budget
+    * is not exhausted within that prefix AND more score groups exist,
+    * the call fails fast with instructions to bucketize, instead of
+    * silently collecting the corpus.
     */
   def budgetSelect(df: DataFrame, keyCol: String, tokCol: String,
-                   scoreCol: String, budget: Long): DataFrame = {
+                   scoreCol: String, budget: Long,
+                   maxDistinctScores: Int = 100000): DataFrame = {
     require(budget >= 0, "need a non-negative budget")
+    require(maxDistinctScores > 0, "need a positive distinct-score bound")
     require(!df.columns.contains("__cum"),
       "input columns collide with budgetSelect internals: __cum")
     // Rows with a NULL score or NULL token count are never selected
@@ -175,7 +185,8 @@ object Sampling {
     val perScore = clean.groupBy(col(scoreCol))
       .agg(sum(col(tokCol).cast("long")).as("__t"))
       .orderBy(col(scoreCol).desc)
-      .collect() // O(distinct scores) — driver-side by design
+      .limit(maxDistinctScores + 1)
+      .collect() // bounded: at most maxDistinctScores + 1 rows
     var cum = 0L
     var boundary: Option[(Any, Long)] = None // (cutoff score, tokens before)
     val it = perScore.iterator
@@ -185,8 +196,14 @@ object Sampling {
       if (cum + t <= budget) cum += t
       else boundary = Some((r.get(0), cum))
     }
+    if (boundary.isEmpty && perScore.length > maxDistinctScores)
+      throw new IllegalArgumentException(
+        s"budgetSelect: '$scoreCol' has more than $maxDistinctScores " +
+          "distinct values and the budget was not exhausted within the " +
+          "top groups — the score looks continuous. Bucketize it first " +
+          "(e.g. round/floor to a bounded grid) or raise maxDistinctScores.")
     boundary match {
-      case None => clean // every group fits
+      case None => clean // every group fits (all score groups were seen)
       case Some((cut, before)) =>
         val wB = Window.partitionBy(col(scoreCol)).orderBy(col(keyCol))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -113,6 +113,26 @@ object Similarity {
   def planeSign(seed: Int, j: Int): Double =
     if ((jvmHash60(s"$seed:$j") & 1L) == 1L) 1.0 else -1.0
 
+  /** Smallest hyperplane count p ≥ 4 whose 2^p buckets per table keep
+    * the EXPECTED bucket size (n / 2^p) at or under `maxBucket` — the
+    * per-bucket join is the quadratic piece of the LSH family, so the
+    * plane count must grow with the corpus or a fixed default (16
+    * buckets) turns into an O(n²/16) skew bomb at 100 TB. The recall
+    * trade: each extra plane roughly halves a true pair's per-table
+    * collision odds (P ≈ (1−θ/π)^planes), so deployments that raise
+    * `planes` far beyond the floor should raise `tables` with it
+    * (overall P(candidate) = 1−(1−(1−θ/π)^planes)^tables).
+    *
+    * The bound is in expectation for spread-out data; genuinely
+    * near-identical vectors always share buckets — that collision IS
+    * the signal, and its cost is output-sized, not a hashing artifact.
+    */
+  def planesFor(n: Long, maxBucket: Long = 1024L): Int = {
+    var p = 4
+    while (p < 30 && (n >> p) > maxBucket) p += 1
+    p
+  }
+
   /** Multi-table sign-LSH (random hyperplane) bucketed near-dup:
     * `tables` hash tables of `planes` hyperplanes each (plane seed =
     * t*planes+p); signature bit p of table t = (Σ_j s·v_j) ≥ 0; bucket
@@ -122,14 +142,19 @@ object Similarity {
     * oracle reproduces candidate set and verification exactly; pair with
     * [[nearDupPairsBrute]] to measure recall.
     *
+    * `planes` ≤ 0 (the default) derives the plane count from the corpus
+    * size via [[planesFor]] — one extra count() job; pass it explicitly
+    * to skip the count or to pin a geometry for reproducibility.
+    *
     * Scale: shuffle carries (bucket, id, vec) × tables — O(n·L), never
     * O(n²); the per-bucket join is the only quadratic piece and bucket
     * sizes shrink geometrically in `planes`.
     */
   def lshNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
-                      threshold: Double, planes: Int = 4,
+                      threshold: Double, planes: Int = 0,
                       tables: Int = 8, dim: Int = 64): DataFrame = {
-    val sig = lshBuckets(df, idCol, vecCol, planes, tables, dim)
+    val p = if (planes > 0) planes else planesFor(df.count())
+    val sig = lshBuckets(df, idCol, vecCol, p, tables, dim)
     sig.select(col("id").as("a_id"), col("v").as("va"), col("nrm").as("na"), col("bucket"))
       .join(sig.select(col("id").as("b_id"), col("v").as("vb"), col("nrm").as("nb"), col("bucket")),
         Seq("bucket"))
@@ -165,12 +190,17 @@ object Similarity {
     * hyperplane family, so only same-bucket cross pairs are scored;
     * the exact cosine check runs after. Shuffle carries (bucket, id,
     * vec) × tables per side — O((|A|+|B|)·L), never |A|·|B|.
+    *
+    * `planes` ≤ 0 derives the geometry from the COMBINED corpus size
+    * ([[planesFor]]; both sides hash into the same buckets, so the
+    * bucket-size bound must count both).
     */
   def lshCrossPairs(a: DataFrame, b: DataFrame, idCol: String,
-                    vecCol: String, threshold: Double, planes: Int = 4,
+                    vecCol: String, threshold: Double, planes: Int = 0,
                     tables: Int = 8, dim: Int = 64): DataFrame = {
-    val sa = lshBuckets(a, idCol, vecCol, planes, tables, dim)
-    val sb = lshBuckets(b, idCol, vecCol, planes, tables, dim)
+    val p = if (planes > 0) planes else planesFor(a.count() + b.count())
+    val sa = lshBuckets(a, idCol, vecCol, p, tables, dim)
+    val sb = lshBuckets(b, idCol, vecCol, p, tables, dim)
     sa.select(col("id").as("a_id"), col("v").as("va"), col("nrm").as("na"), col("bucket"))
       .join(sb.select(col("id").as("b_id"), col("v").as("vb"), col("nrm").as("nb"), col("bucket")),
         Seq("bucket"))

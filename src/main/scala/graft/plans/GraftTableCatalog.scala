@@ -379,6 +379,27 @@ class TieredSqlTable(tableName: String, spark: SparkSession,
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE).asJava
 
+  /** Partition spec + table properties power Spark's built-in
+    * `SHOW CREATE TABLE` (reference README.md:116-122): the rendered
+    * DDL carries `PARTITIONED BY` from here and `TBLPROPERTIES` with
+    * the graft-specific knobs (`primary-key`, `bloom-columns`, `path`),
+    * so the statement round-trips — running it against a fresh catalog
+    * re-attaches an equivalent table at the same location.
+    */
+  override def partitioning(): Array[Transform] =
+    entry.partitionBy.map(c =>
+      org.apache.spark.sql.connector.expressions.Expressions.identity(c))
+      .toArray
+
+  override def properties(): util.Map[String, String] = {
+    val m = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    if (entry.pk.nonEmpty) m += "primary-key" -> entry.pk.mkString(",")
+    if (entry.bloomCols.nonEmpty)
+      m += "bloom-columns" -> entry.bloomCols.mkString(",")
+    m += "path" -> entry.path
+    m.asJava
+  }
+
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     if (entry.partitionBy.isEmpty)
       // unpartitioned: stock parquet scan wrapped with manifest-level

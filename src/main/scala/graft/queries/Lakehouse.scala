@@ -88,6 +88,27 @@ object Lakehouse {
       .groupBy(col("op"))
       .agg(count(lit(1)).as("cnt"), sum(col("o_orderkey")).as("key_sum"))
 
+  /** Q10b — FULL changelog-kind coverage: the incremental read across
+    * the merged-customer table's MERGE commit (snapshot 1 → 2) carries
+    * all four Fluss/Flink changelog op kinds — `+I` (inserted synthetic
+    * customers), `-D` (churned heavy accounts), and for every updated
+    * account the `-U`/`+U` before/after pair. Per-op counts, key sums,
+    * and exact-cents balance sums: the balance column separates the
+    * before-image (`-U` carries the OLD acctbal) from the after-image
+    * (`+U` carries old + n_orders) — a downstream aggregator could
+    * retract/apply exactly these values. The oracle recomputes every op
+    * relationally from the raw fixture.
+    */
+  def q10bChangelog(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    demoMergedCustomer(spark, dir).incrementalRead(1L, 2L, Seq("c_custkey"))
+      .groupBy(col("op"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("c_custkey")).as("key_sum"),
+        (sum(col("c_acctbal").cast(DecimalType(15, 2))) * 100)
+          .cast("long").as("bal_cents"))
+  }
+
   /** Q11 — time travel: batch read AS OF snapshot 1 (before the second
     * tier), Iceberg's `VERSION AS OF` semantics. The manifest pins the
     * exact file list of the older snapshot, so the read is reproducible

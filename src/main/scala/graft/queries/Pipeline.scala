@@ -161,7 +161,7 @@ object Pipeline {
   def s2LshAnn(spark: SparkSession, dir: String): DataFrame =
     memo(spark, s"s2:$dir") {
       Similarity.lshNearDupPairs(emb(spark, dir), "vec_id", "embedding",
-        threshold = 0.4, planes = 4, tables = 8)
+        threshold = 0.4)
     }
 
   /** S3 — exact all-pairs cosine ≥ 0.4 (the recall baseline for S2). */

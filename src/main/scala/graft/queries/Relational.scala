@@ -197,10 +197,13 @@ object Relational {
     * the Q5 twist that the supplier must sit in the customer's nation;
     * revenue per nation in exact e4 fixed-point.
     *
-    * Scale shape: region/nation/customer/supplier are dimensions
-    * (broadcast); lineitem (the 100 TB fact) joins orders on its own
-    * key and never shuffles twice; the supplier-nation equality is an
-    * extra predicate on broadcast rows, not a join reorder hazard.
+    * Scale shape: region/nation are bounded dims (25/5 rows at ANY
+    * scale factor — broadcast unconditionally); customer and supplier
+    * GROW with SF (sf100 customer ≈ 15 M rows), so they carry NO
+    * broadcast hint — AQE broadcasts them when the runtime size
+    * qualifies and falls back to shuffled hash join when it doesn't,
+    * instead of OOMing the executors at 100×. lineitem (the 100 TB
+    * fact) joins orders on its own key and never shuffles twice.
     */
   def p3LocalSupplier(spark: SparkSession, dir: String): DataFrame = {
     val region = Tables.load(spark, dir, "region")
@@ -212,8 +215,8 @@ object Relational {
     val lineitem = Tables.load(spark, dir, "lineitem")
     lineitem
       .join(orders, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey") &&
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .join(supplier, col("l_suppkey") === col("s_suppkey") &&
         col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
@@ -225,7 +228,9 @@ object Relational {
 
   /** P4 — TPC-H Q10-shaped returned-item report: top-20 customers by
     * revenue lost to returns in a two-year window; exact e4 revenue,
-    * `TakeOrderedAndProject` top-k (never a global sort).
+    * `TakeOrderedAndProject` top-k (never a global sort). customer
+    * scales with SF, so no forced broadcast — AQE decides at runtime;
+    * nation (25 rows forever) keeps its hint.
     */
   def p4ReturnedItems(spark: SparkSession, dir: String): DataFrame = {
     val customer = Tables.load(spark, dir, "customer")
@@ -237,7 +242,7 @@ object Relational {
       .filter(col("l_returnflag") === "R")
     lineitem
       .join(orders, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
       .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
       .agg(fixedPoint(sum(col("l_extendedprice").cast(M) *
@@ -254,10 +259,12 @@ object Relational {
     * order-sensitive double division in the hashed output; the reader
     * (or a final projection) divides.
     *
-    * Plan shape: the fact table joins every dimension broadcast (part,
-    * customer, supplier, nation ×2 roles, region) — only the l⋈o
-    * orderkey join shuffles, once, and the two conditional sums ride
-    * one aggregation. At 100 TB: same plan, with o co-partitioned or
+    * Plan shape: bounded dims (filtered part, nation ×2 roles, region)
+    * broadcast by hint; customer and supplier scale with SF so they get
+    * NO hint — AQE broadcasts when the runtime size qualifies, else a
+    * shuffled hash join (the correct 100× behavior). The l⋈o orderkey
+    * join shuffles once, and the two conditional sums ride one
+    * aggregation. At 100 TB: same plan, with o co-partitioned or
     * bucketed on orderkey.
     */
   def p5MarketShare(spark: SparkSession, dir: String): DataFrame = {
@@ -278,10 +285,10 @@ object Relational {
     lineitem
       .join(broadcast(part), col("l_partkey") === col("p_partkey"))
       .join(orders, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
       .join(broadcast(nationC), col("c_nationkey") === col("cn_key"))
       .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
-      .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey"))
+      .join(supplier, col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(nationS), col("s_nationkey") === col("sn_key"))
       .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
       .agg(

@@ -115,7 +115,10 @@ object FileStats {
       Some(n.longValue.toString)
     case (t, n: java.lang.Number) if t.startsWith("decimal:") =>
       Some(n.longValue.toString)
-    case ("double", n: java.lang.Number) => Some(n.doubleValue.toString)
+    case ("double", n: java.lang.Number) =>
+      // a NaN bound (nonconforming writer) can't order → unusable
+      val d = n.doubleValue
+      if (d.isNaN) None else Some(d.toString)
     case ("string", b: Binary) =>
       val s = b.toStringUsingUTF8
       if (isAscii(s)) Some(s) else None
@@ -233,27 +236,18 @@ object FileStats {
 
   // ---- pruning ----
 
-  /** All data files under the given roots with their stats (empty map
-    * per file when unknown), keyed by absolute path.
-    */
-  def filesWithStats(roots: Seq[String]): Seq[(String, Map[String, ColStat])] =
-    roots.flatMap { r =>
-      val dir = Paths.get(r)
-      if (!Files.isDirectory(dir)) Nil
-      else {
-        val side = readSidecar(dir)
-        parquetFiles(dir)
-          .map(p => p.toString -> side.getOrElse(dir.relativize(p).toString, Map.empty))
-      }
-    }
+  /** One entry per data file: (absolute path, range stats, blooms). */
+  type FileEntry = (String, Map[String, ColStat], Map[String, java.util.BitSet])
 
-  /** The file paths under `roots` that might hold a row matching ALL
-    * `filters`, plus the total file count. Both prune layers apply —
-    * min/max range boxes and (where built) per-column blooms; every
-    * unknown case keeps the file.
+  /** List every data file under `roots` with its stats AND bloom
+    * sidecar content — ONE filesystem walk + sidecar parse. Callers
+    * that plan repeatedly over the same roots (a scan builder's
+    * pushdown negotiation calls in several hooks) should call this
+    * once and reuse the listing: at 100 TB the per-plan cost must be
+    * one walk, not one per hook.
     */
-  def prune(roots: Seq[String], filters: Seq[Filter]): (Seq[String], Int) = {
-    val all = roots.flatMap { r =>
+  def listWithSidecars(roots: Seq[String]): Seq[FileEntry] =
+    roots.flatMap { r =>
       val dir = Paths.get(r)
       if (!Files.isDirectory(dir)) Nil
       else {
@@ -266,6 +260,17 @@ object FileStats {
         }
       }
     }
+
+  /** The file paths under `roots` that might hold a row matching ALL
+    * `filters`, plus the total file count. Both prune layers apply —
+    * min/max range boxes and (where built) per-column blooms; every
+    * unknown case keeps the file.
+    */
+  def prune(roots: Seq[String], filters: Seq[Filter]): (Seq[String], Int) =
+    pruneListed(listWithSidecars(roots), filters)
+
+  /** [[prune]] over a pre-computed [[listWithSidecars]] listing. */
+  def pruneListed(all: Seq[FileEntry], filters: Seq[Filter]): (Seq[String], Int) = {
     val kept = all.collect {
       case (f, stats, blooms) if filters.forall(fl =>
         mayMatch(stats, fl) && bloomMayMatch(blooms, fl)) => f
@@ -336,10 +341,16 @@ object FileStats {
 
   private def rangeMayContain(stats: Map[String, ColStat], a: String, v: Any): Boolean =
     withBounds(stats, a, v) { (tag, mn, mx, l) =>
-      val lo = cmp(tag, mn, l); val hi = cmp(tag, mx, l)
-      (lo, hi) match {
-        case (Some(c1), Some(c2)) => c1 <= 0 && c2 >= 0
-        case _ => true
+      // NaN sits OUTSIDE parquet footer min/max (the spec excludes it
+      // from stats), so an `= NaN` probe is not decidable from range
+      // bounds: a file whose box misses NaN may still hold NaN rows.
+      if (tag == "double" && l.asInstanceOf[Double].isNaN) true
+      else {
+        val lo = cmp(tag, mn, l); val hi = cmp(tag, mx, l)
+        (lo, hi) match {
+          case (Some(c1), Some(c2)) => c1 <= 0 && c2 >= 0
+          case _ => true
+        }
       }
     }
 
@@ -347,7 +358,14 @@ object FileStats {
   private def boundCmp(stats: Map[String, ColStat], a: String, v: Any,
                        pass: (Int, Int) => Boolean, useMax: Boolean): Boolean =
     withBounds(stats, a, v) { (tag, mn, mx, l) =>
-      cmp(tag, if (useMax) mx else mn, l) match {
+      // Spark orders NaN GREATER than every value, but the footer max
+      // excludes NaN — a max-based skip could drop a file whose NaN
+      // rows match (`col > x` is TRUE for NaN). Max-side decisions on
+      // floating columns are therefore non-decidable (Iceberg needs
+      // nan_value_counts for this); the min side stays safe — NaN
+      // never satisfies `col < x`.
+      if (tag == "double" && useMax) true
+      else cmp(tag, if (useMax) mx else mn, l) match {
         case Some(c) => pass(c, 0)
         case None => true
       }
@@ -435,14 +453,27 @@ object FileStats {
     rows.sortBy(r => (r.getString(0), r.getString(1))).foreach { r =>
       val bits = new java.util.BitSet(BloomBits)
       r.getSeq[Int](2).foreach(bits.set)
-      val rel = dir.relativize(Paths.get(
-        r.getString(0).stripPrefix("file:"))).toString
+      // input_file_name() is a URI whose path may be percent-encoded
+      // (spaces, unicode); decode it properly or the sidecar key won't
+      // match the Files.walk-derived relative path at prune time and
+      // blooms silently stop pruning.
+      val rel = dir.relativize(Paths.get(uriPath(r.getString(0)))).toString
       body.append(Seq(rel, r.getString(1),
         Base64.getEncoder.encodeToString(bits.toByteArray))
         .mkString("\t")).append('\n')
     }
     Files.writeString(dir.resolve(BloomSidecarName), body.toString)
   }
+
+  /** Decoded filesystem path of a `file:`-scheme URI (percent-encoding
+    * resolved); falls back to scheme-stripping for strings `new URI`
+    * rejects (e.g. raw unencoded spaces).
+    */
+  private def uriPath(name: String): String =
+    try {
+      val p = new java.net.URI(name).getPath
+      if (p != null && p.nonEmpty) p else name.stripPrefix("file:")
+    } catch { case NonFatal(_) => name.stripPrefix("file:") }
 
   /** file(relative) -> col -> bitset; empty when the sidecar is absent. */
   def readBloomSidecar(dir: Path): Map[String, Map[String, java.util.BitSet]] = {

@@ -134,7 +134,40 @@ class TieredTable(spark: SparkSession, rawTablePath: String,
 
   def currentSnapshot: Option[Snapshot] = snapshot(latestSnapshotId)
 
+  /** Publish snapshot `s`: claim its id, write its manifest, swap
+    * `LATEST`.
+    *
+    * Cross-PROCESS safety (two Spark drivers on one warehouse) rides a
+    * filesystem compare-and-swap: `Files.createFile` on the manifest
+    * path is POSIX `open(O_CREAT|O_EXCL)` — exactly one process can
+    * create `snap-N.props`, so exactly one committer wins snapshot id N
+    * (= "my parent is still LATEST"; ids are dense, so claiming N is
+    * claiming the right to succeed N−1). The loser gets
+    * [[TieredTable.CommitConflictException]] BEFORE touching `LATEST`:
+    * it reloads state and retries (its verbs recompute from
+    * `currentSnapshot`, see [[TieredTable.retryOnConflict]]) or fails
+    * loudly — `LATEST` is never corrupted and the winner's files are
+    * never orphaned. A plain rename here would NOT do this: Linux
+    * `rename(2)` silently replaces the target, so the slower of two
+    * same-id committers would overwrite the winner's manifest. This is
+    * the Iceberg-catalog CAS (expected-parent conditional swap) on a
+    * filesystem; an object-store deployment swaps `createFile` for a
+    * conditional PUT (`If-None-Match: *`).
+    *
+    * Crash window: a committer that dies between the claim and the
+    * `LATEST` swap leaves a claimed-but-unpublished id; subsequent
+    * commits fail loudly (operator runs vacuum/repair) rather than
+    * guessing — the same stance Iceberg takes on orphaned metadata.
+    */
   private def commitManifest(s: Snapshot): Unit = {
+    val target = manifestPath(s.id)
+    try Files.createFile(target) // the CAS: create-exclusive claim of id
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new TieredTable.CommitConflictException(
+          s"snapshot ${s.id} of $tablePath was claimed by a concurrent " +
+            "committer — reload table state and retry the commit")
+    }
     val body =
       s"""id=${s.id}
          |op=${s.op}
@@ -146,7 +179,10 @@ class TieredTable(spark: SparkSession, rawTablePath: String,
          |""".stripMargin
     val tmp = Files.createTempFile(metaDir, "snap", ".tmp")
     Files.writeString(tmp, body)
-    Files.move(tmp, manifestPath(s.id), StandardCopyOption.ATOMIC_MOVE)
+    // REPLACE_EXISTING replaces only OUR zero-byte claim — the claim
+    // made this id ours; content lands atomically under readers.
+    Files.move(tmp, target,
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
     val tmp2 = Files.createTempFile(metaDir, "latest", ".tmp")
     Files.writeString(tmp2, s.id.toString)
     Files.move(tmp2, metaDir.resolve("LATEST"),
@@ -365,9 +401,11 @@ class TieredTable(spark: SparkSession, rawTablePath: String,
     *    target schema by name).
     *
     * Commits one `merge` snapshot; None when the table has no current
-    * snapshot to merge into (use [[commitAppend]] to seed). The source
-    * must be unique on the key — SQL raises on a multi-match MERGE and
-    * so do we, deterministically, instead of multiplying target rows.
+    * snapshot to merge into (use [[commitAppend]] to seed). Source rows
+    * must match each target row at most once — SQL raises on a
+    * multi-match MERGE and so do we, deterministically, instead of
+    * multiplying target rows; duplicate NOT-matched source keys legally
+    * insert one row each (SQL semantics).
     *
     * Scale shape: ONE shuffle — a full-outer hash join on the key
     * (broadcast when the source is dimension-sized); assignments and
@@ -394,13 +432,18 @@ class TieredTable(spark: SparkSession, rawTablePath: String,
         s"unknown target column $c in merge assignment"))
       // SQL MERGE `ON t.k = s.k` semantics: NULL keys never match — a
       // null-key source row inserts, a null-key target row passes
-      // through untouched. The ambiguity check therefore only applies
-      // to non-null-key source rows (null-key rows cannot multi-match).
+      // through untouched. SQL MERGE only errors when a TARGET row is
+      // matched by more than one source row; duplicate not-matched
+      // source keys legally insert one row each — so the ambiguity
+      // check applies to non-null source keys that actually join a
+      // target row (semi-join), not to every duplicate source key.
       val nonNullKeys = on.map(col(_).isNotNull).reduce(_ && _)
-      val dupKeys = source.filter(nonNullKeys).groupBy(on.map(col): _*)
+      val dupKeys = source.filter(nonNullKeys)
+        .join(target.select(on.map(col): _*), on, "left_semi")
+        .groupBy(on.map(col): _*)
         .agg(count(lit(1)).as("__n")).filter(col("__n") > 1L)
       require(dupKeys.limit(1).count() == 0,
-        "merge source has duplicate key rows — MERGE would be ambiguous")
+        "merge source matches a target row more than once — MERGE is ambiguous")
       val t = target.withColumn("__t", lit(true)).alias("t")
       val s = source.withColumn("__s", lit(true)).alias("s")
       val joinCond = on.map(k => col(s"t.$k") === col(s"s.$k")).reduce(_ && _)
@@ -800,17 +843,21 @@ class TieredTable(spark: SparkSession, rawTablePath: String,
 
   /** CDC-style incremental read: the changelog taking snapshot `from`
     * to snapshot `to`, keyed by `keyCols` — Iceberg's changelog-scan
-    * analog. Ops: `+I` keys only in `to`, `-D` keys only in `from`
-    * (future delete paths; log and copy-on-write upsert tables today
-    * only grow/rewrite keys), `+U` keys in both whose row content
-    * changed. `+I`/`+U` rows carry the `to` version, `-D` the `from`
-    * version (schema-evolved columns null where absent).
+    * analog, carrying the full Fluss/Flink upsert changelog contract
+    * (reference README.md:153-169): `+I` keys only in `to`, `-D` keys
+    * only in `from`, and for keys in both whose row content changed a
+    * PAIR of rows — `-U` (update_before: the `from`-version row being
+    * retracted) and `+U` (update_after: the `to`-version row). The
+    * before-image is what lets a downstream aggregator retract the old
+    * value without re-reading the prior snapshot. `+I`/`+U` rows carry
+    * the `to` version, `-D`/`-U` the `from` version (schema-evolved
+    * columns null where absent).
     *
-    * Scale: three hash-joins on the key — anti ×2 + one inner with a
-    * row-fingerprint comparison; no full-row distinct, no driver state.
-    * This is the "consume only what changed" primitive a downstream
-    * incremental pipeline (sync, re-index, re-embed) wants instead of
-    * re-reading the table.
+    * Scale: hash-joins on the key — anti ×2, one inner with a
+    * row-fingerprint comparison, plus a semi-join for the before-image;
+    * no full-row distinct, no driver state. This is the "consume only
+    * what changed" primitive a downstream incremental pipeline (sync,
+    * re-index, re-embed) wants instead of re-reading the table.
     */
   def incrementalRead(from: Long, to: Long, keyCols: Seq[String]): DataFrame = {
     require(keyCols.nonEmpty, "incrementalRead needs key columns")
@@ -838,7 +885,14 @@ class TieredTable(spark: SparkSession, rawTablePath: String,
       .filter(col("__fp") =!= col("__fp_old"))
       .drop("__fp", "__fp_old")
       .withColumn("op", lit("+U"))
-    inserts.unionByName(updates, allowMissingColumns = true)
+    // update_before (-U): the from-version of every updated key — a
+    // key-semi-join against the changed-key set, so the before-image
+    // costs one more key-hash join, never a second fingerprint pass.
+    val updateBefores = a.join(
+        updates.select(keyCols.map(col): _*), keyCols, "left_semi")
+      .withColumn("op", lit("-U"))
+    inserts.unionByName(updateBefores, allowMissingColumns = true)
+      .unionByName(updates, allowMissingColumns = true)
       .unionByName(deletes, allowMissingColumns = true)
   }
 
@@ -957,6 +1011,34 @@ object TieredTable {
             partitionBy: Seq[String] = Nil,
             bloomCols: Seq[String] = Nil): TieredTable =
     new TieredTable(spark, path, pk, mergeOnRead, partitionBy, bloomCols)
+
+  /** A concurrent committer (another process) won the snapshot id this
+    * commit targeted. The table is uncorrupted; the commit did not
+    * publish. Reload state and retry — [[retryOnConflict]] does exactly
+    * that for the idempotently-recomputable verbs.
+    */
+  class CommitConflictException(msg: String) extends RuntimeException(msg)
+
+  /** Retry `commit` on [[CommitConflictException]] up to `maxAttempts`
+    * times. Correct for every TieredTable verb because each one
+    * re-reads `currentSnapshot`/`logSegments` inside its own commit
+    * section — a retry recomputes against the state the winning
+    * committer published, exactly the Iceberg-client retry loop.
+    * Data files written by a failed attempt are orphaned (never
+    * referenced by any manifest) and reclaimed by maintenance.
+    */
+  def retryOnConflict[A](maxAttempts: Int = 3)(commit: => A): A = {
+    var attempt = 1
+    while (true) {
+      try return commit
+      catch {
+        case e: CommitConflictException =>
+          if (attempt >= maxAttempts) throw e
+          attempt += 1
+      }
+    }
+    sys.error("unreachable")
+  }
 
   /** One commit lock per table path: all writes to a table flow through
     * the (single) Spark driver, so a JVM-level stripe is the right

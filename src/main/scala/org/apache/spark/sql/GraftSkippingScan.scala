@@ -44,6 +44,15 @@ class GraftSkippingScanBuilder(spark: SparkSession, tableName: String,
   private var required: Option[StructType] = None
   private var aggResult: Option[(StructType, Seq[Any])] = None
 
+  /** ONE filesystem walk + sidecar parse per scan build: Spark calls
+    * this builder through several pushdown hooks (supportComplete →
+    * pushAggregation → build), and the roots are pinned at table load,
+    * so the listing is computed once and shared — per-plan cost stays
+    * O(1 walk), the number the 100 TB planning story depends on.
+    */
+  private lazy val listed = FileStats.listWithSidecars(roots)
+  private lazy val listedStats = listed.map(e => (e._1, e._2))
+
   /** METADATA-ONLY AGGREGATES: an unfiltered, ungrouped COUNT(*) /
     * COUNT(col) / MIN / MAX is answered entirely from the stats
     * sidecars — zero data files opened, the Iceberg answer-count-from-
@@ -70,7 +79,7 @@ class GraftSkippingScanBuilder(spark: SparkSession, tableName: String,
   private def planMetadataAgg(agg: Aggregation)
       : Option[(StructType, Seq[Any])] = {
     if (agg.groupByExpressions.nonEmpty || pushedExprs.nonEmpty) return None
-    val files = FileStats.filesWithStats(roots)
+    val files = listedStats
     if (files.isEmpty) return planOverEmpty(agg)
     // every file must carry a sidecar (rows known) — a statless file
     // makes every count/bound unknown
@@ -219,13 +228,13 @@ class GraftSkippingScanBuilder(spark: SparkSession, tableName: String,
   override def build(): Scan = {
     aggResult match {
       case Some((schema, values)) =>
-        FileStats.recordSkip(tableName, 0, FileStats.filesWithStats(roots).size)
+        FileStats.recordSkip(tableName, 0, listed.size)
         return new GraftMetadataAggScan(tableName, schema, values)
       case None =>
     }
     val sourceFilters = pushedExprs.flatMap(e =>
       DataSourceStrategy.translateFilter(e, supportNestedPredicatePushdown = false))
-    val (kept, total) = FileStats.prune(roots, sourceFilters)
+    val (kept, total) = FileStats.pruneListed(listed, sourceFilters)
     FileStats.recordSkip(tableName, kept.size, total)
     if (sourceFilters.isEmpty || kept.size == total) inner.build()
     else {

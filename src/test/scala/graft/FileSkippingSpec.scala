@@ -226,6 +226,20 @@ class FileSkippingSpec extends AnyFunSuite with SparkSpec {
     sameAnswer(t, col("id") > 2L)
   }
 
+  test("bloom skipping survives a table path with spaces (URI percent-encoding)") {
+    // input_file_name() returns a percent-encoded URI ("…/with%20space/…");
+    // the sidecar key must decode it or blooms silently stop pruning
+    val dir = Files.createTempDirectory("graft bl space").toString
+    val t = new TieredTable(spark, s"$dir/with space/t", bloomCols = Seq("id"))
+    for (b <- 0 until 4)
+      t.commitAppend((0 until 100).map(i => i.toLong * 4 + b)
+        .toDF("id").coalesce(1))
+    val (kept, total) = t.skippingCounts(col("id") === 202L)
+    assert(total == 4 && kept == 1,
+      s"bloom must still prune under an encoded path ($kept/$total)")
+    sameAnswer(t, col("id") === 202L)
+  }
+
   test("SQL DDL: bloom-columns property makes INSERTs write blooms and scans skip") {
     spark.sql("""CREATE TABLE graft.skipdb.bl (id BIGINT, name STRING)
                  TBLPROPERTIES ('bloom-columns'='id')""")

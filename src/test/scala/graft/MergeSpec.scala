@@ -46,14 +46,23 @@ class MergeSpec extends AnyFunSuite with SparkSpec {
     assert(t.readCold().as[(Long, Long)].collect().toSeq == Seq((1L, 1L)))
   }
 
-  test("duplicate-key source is rejected (ambiguous MERGE)") {
+  test("multi-matching source is rejected; duplicate NOT-matched keys insert") {
     val t = tmpTable()
     t.commitAppend(Seq((1L, 10L)).toDF("k", "v"))
+    // two source rows hit target key 1 → ambiguous, SQL MERGE errors
     val dup = Seq((1L, 1L), (1L, 2L)).toDF("k", "v")
     val e = intercept[IllegalArgumentException] {
       t.merge(dup, Seq("k"), whenMatchedUpdate = Map("v" -> col("s.v")))
     }
-    assert(e.getMessage.contains("duplicate key"))
+    assert(e.getMessage.contains("more than once"))
+    // duplicate source keys that match NO target row legally insert one
+    // row each (SQL semantics — only target multi-match is ambiguous)
+    val t2 = tmpTable()
+    t2.commitAppend(Seq((1L, 10L)).toDF("k", "v"))
+    t2.merge(Seq((9L, 91L), (9L, 92L)).toDF("k", "v"), Seq("k"),
+      whenMatchedUpdate = Map("v" -> col("s.v")))
+    assert(t2.readCold().as[(Long, Long)].collect().sortBy(_._2).toSeq ==
+      Seq((1L, 10L), (9L, 91L), (9L, 92L)))
   }
 
   test("hot tail blocks merge until tiered") {
@@ -107,7 +116,7 @@ class MergeSpec extends AnyFunSuite with SparkSpec {
     intercept[IllegalArgumentException](t.rollbackTo(2L))
   }
 
-  test("incrementalRead sees merge as +U / -D / +I ops") {
+  test("incrementalRead sees merge as -U/+U pairs, -D, +I ops") {
     val t = tmpTable()
     t.commitAppend(Seq((1L, 10L), (2L, 20L)).toDF("k", "v"))
     t.merge(Seq((1L, 11L, false), (2L, 0L, true), (3L, 30L, false))
@@ -115,7 +124,10 @@ class MergeSpec extends AnyFunSuite with SparkSpec {
       whenMatchedUpdate = Map("v" -> col("s.v")),
       whenMatchedDelete = Some(col("s.del")))
     val ops = t.incrementalRead(1L, 2L, Seq("k"))
-      .select(col("op"), col("k")).as[(String, Long)].collect().toSet
-    assert(ops == Set(("+U", 1L), ("-D", 2L), ("+I", 3L)))
+      .select(col("op"), col("k"), col("v"))
+      .as[(String, Long, Long)].collect().toSet
+    // the update carries its before-image: -U has the OLD v, +U the new
+    assert(ops == Set(("-U", 1L, 10L), ("+U", 1L, 11L),
+      ("-D", 2L, 20L), ("+I", 3L, 30L)))
   }
 }

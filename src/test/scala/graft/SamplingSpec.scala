@@ -123,6 +123,28 @@ class SamplingSpec extends AnyFunSuite with SparkSpec {
     assert(sel == Set(1L))
   }
 
+  test("budgetSelect fails fast on continuous scores instead of collecting the corpus") {
+    // every row has a distinct score and the budget is NOT exhausted
+    // within the bounded prefix → must error with bucketize guidance,
+    // never collect O(corpus) rows onto the driver
+    val continuous = spark.range(0, 500).selectExpr("id",
+      "CAST(id AS DOUBLE) / 7.0 AS score", "1L AS tok")
+    val ex = intercept[IllegalArgumentException] {
+      Sampling.budgetSelect(continuous, "id", "tok", "score",
+        budget = 1000000L, maxDistinctScores = 100)
+    }
+    assert(ex.getMessage.contains("Bucketize"))
+    // but the same bound is fine when the budget IS exhausted inside the
+    // top groups (only the prefix down to the cutoff matters)...
+    val some = Sampling.budgetSelect(continuous, "id", "tok", "score",
+      budget = 10L, maxDistinctScores = 100)
+    assert(some.count() == 10)
+    // ...and when the distinct cardinality is genuinely under the bound
+    val all = Sampling.budgetSelect(continuous, "id", "tok", "score",
+      budget = 1000000L, maxDistinctScores = 1000)
+    assert(all.count() == 500)
+  }
+
   test("round-3 plans: c7 one exchange, c8 no global sort, s7 partial aggs, t7 broadcast tag") {
     val dir = "/root/testdata/sf0.001"
     // c7: rank + stratum-size windows and the final per-source aggregate

@@ -42,6 +42,48 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(lsh.contains((0L, 3L)))
   }
 
+  test("planesFor bounds expected bucket size and grows with the corpus") {
+    // floor of 4 planes up to 16k vectors, then log growth
+    assert(Similarity.planesFor(500) == 4)
+    assert(Similarity.planesFor(16384) == 4)
+    assert(Similarity.planesFor(16400) == 5)
+    assert(Similarity.planesFor(1L << 20) == 10)   // 1M → 1k buckets
+    assert(Similarity.planesFor(1L << 34) == 24)   // 16B → bucket ≤ 1024
+    // monotone and bounded: expected bucket size never exceeds the cap
+    Seq(1L, 1000L, 100000L, 10000000L, 1000000000L).foreach { n =>
+      val p = Similarity.planesFor(n)
+      assert((n >> p) <= 1024L, s"n=$n planes=$p")
+    }
+  }
+
+  test("derived-geometry LSH still finds planted near-dups on a skew-heavy corpus") {
+    // 200 vectors: 100 near-identical clones of one direction (the skew
+    // cluster — real near-dups that MUST collide) + 100 spread across
+    // orthogonal-ish directions. Derived planes (floor 4) buckets the
+    // spread mass; the clones share signatures by similarity, which is
+    // the signal, not an artifact.
+    val dim = 8
+    val rows = (0 until 100).map { i =>
+      val v = Array.fill(dim)(0.0f); v(0) = 1.0f; v(1) = (i % 7) * 1e-4f
+      (i.toLong, v)
+    } ++ (100 until 200).map { i =>
+      val v = Array.fill(dim)(0.0f); v(i % dim) = 1.0f; v((i + 3) % dim) = 0.3f
+      (i.toLong, v)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val got = Similarity.lshNearDupPairs(df, "vec_id", "embedding",
+        threshold = 0.999, dim = dim) // planes derived (= floor 4 here)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every clone pair is cosine ≈ 1 and sign-identical → all found
+    val clonePairs = (for (a <- 0 until 100; b <- a + 1 until 100)
+      yield (a.toLong, b.toLong)).toSet
+    assert(clonePairs.subsetOf(got))
+    // and nothing below the threshold sneaks in (exact verification gate)
+    val brute = Similarity.nearDupPairsBrute(df, "vec_id", "embedding", 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.subsetOf(brute))
+  }
+
   test("ivfKnn with nprobe = nCentroids degenerates to exact knn") {
     // probing every cell searches the whole corpus → must equal brute force
     val exact = Similarity.knnBrute(vecs.filter($"vec_id" === 0L), vecs,

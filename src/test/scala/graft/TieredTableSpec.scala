@@ -35,6 +35,45 @@ class TieredTableSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("cross-process commit CAS: loser fails loudly, LATEST uncorrupted, retry wins") {
+    import java.nio.file.Paths
+    val dir = Files.createTempDirectory("graft-cas").toString
+    val mine = TieredTable(spark, s"$dir/t")
+    mine.commitAppend(Seq(1L).toDF("id")) // snapshot 1
+    // Simulate a SECOND DRIVER in the race window: it claimed snapshot 2
+    // (created the manifest file — the create-exclusive CAS token) but
+    // has not yet swapped LATEST. A JVM lock can't see this writer; only
+    // the filesystem CAS can.
+    val foreign = Paths.get(s"$dir/t/meta/snap-000002.props")
+    Files.createFile(foreign)
+    val e = intercept[TieredTable.CommitConflictException] {
+      mine.commitAppend(Seq(2L).toDF("id"))
+    }
+    assert(e.getMessage.contains("concurrent committer"))
+    // the loser corrupted nothing: LATEST still 1, table fully readable
+    assert(mine.latestSnapshotId == 1L)
+    assert(mine.readCold().as[Long].collect().toSeq == Seq(1L))
+    // the foreign driver publishes its commit (same files as snapshot 1)
+    val m1 = Files.readString(Paths.get(s"$dir/t/meta/snap-000001.props"))
+    Files.writeString(foreign, m1.replaceFirst("(?m)^id=1$", "id=2"))
+    Files.writeString(Paths.get(s"$dir/t/meta/LATEST"), "2")
+    // retryOnConflict recomputes against the published state → wins id 3
+    val s = TieredTable.retryOnConflict() {
+      mine.commitAppend(Seq(3L).toDF("id"))
+    }
+    assert(s.id == 3L && mine.latestSnapshotId == 3L)
+    assert(mine.readCold().as[Long].collect().sorted.toSeq == Seq(1L, 3L))
+    // a conflict that never resolves (crashed claimer) exhausts the
+    // retries and surfaces — loud failure, not a hang or a guess
+    Files.createFile(Paths.get(s"$dir/t/meta/snap-000004.props"))
+    intercept[TieredTable.CommitConflictException] {
+      TieredTable.retryOnConflict(maxAttempts = 2) {
+        mine.commitAppend(Seq(4L).toDF("id"))
+      }
+    }
+    assert(mine.latestSnapshotId == 3L, "failed retries never move LATEST")
+  }
+
   test("snapshot ids are monotone and rows_added is accounted") {
     val t = tmpTable()
     t.appendLog(Seq(1L, 2L).toDF("id")); t.tier()
@@ -69,15 +108,16 @@ class TieredTableSpec extends AnyFunSuite with SparkSpec {
     assert(got == Map(1 -> "a", 2 -> "b2", 3 -> "c"))
   }
 
-  test("incremental read emits +I for new keys and +U for changed rows only") {
+  test("incremental read emits +I for new keys and -U/+U pairs for changed rows only") {
     val t = tmpTable(pk = Seq("k"))
     t.commitUpsert(Seq((1, "a"), (2, "b"), (4, "d")).toDF("k", "v")) // snap 1
     t.commitUpsert(Seq((2, "b2"), (3, "c"), (4, "d")).toDF("k", "v")) // snap 2
     val got = t.incrementalRead(1L, 2L, Seq("k"))
       .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSet
-    // k=3 is new (+I), k=2 changed (+U); k=1 and the unchanged k=4
-    // produce NO changelog rows
-    assert(got == Set((3, "c", "+I"), (2, "b2", "+U")))
+    // k=3 is new (+I); k=2 changed → retraction of the OLD row (-U)
+    // plus the new row (+U) — the Fluss upsert-changelog pair; k=1 and
+    // the unchanged k=4 produce NO changelog rows
+    assert(got == Set((3, "c", "+I"), (2, "b", "-U"), (2, "b2", "+U")))
     // identical snapshots → empty changelog
     assert(t.incrementalRead(2L, 2L, Seq("k")).count() == 0)
   }
@@ -120,8 +160,8 @@ class TieredTableSpec extends AnyFunSuite with SparkSpec {
     assert(got == Map(1L -> ((10L, 100L)), 2L -> ((200L, 20L)),
       3L -> ((30L, 300L))))
     val cdc = t.incrementalRead(1L, s.get.id, Seq("id"))
-      .collect().map(r => (r.getLong(0), r.getString(3))).toSet
-    assert(cdc == Set((2L, "+U")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(3))).toSet
+    assert(cdc == Set((2L, 20L, "-U"), (2L, 200L, "+U")))
     // no match → no commit; NULL predicate rows untouched
     assert(t.updateWhere(col("id") === 99L, Map("a" -> lit(0L))).isEmpty)
   }
