@@ -53,7 +53,11 @@ object Bench {
     // Emit a short, self-contained total-only line LAST so the end of
     // the output always carries a parseable summary.
     val maxQ = if (results.nonEmpty) results.values.max else 0.0
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${results.size},"max":$maxQ%.3f,"sf":"$sfDir"}""")
+    // Locale.ROOT: the f-interpolator uses the default locale, and a
+    // comma decimal separator would silently break the JSON.
+    println(String.format(java.util.Locale.ROOT,
+      """{"metric":"total","value":%.3f,"unit":"sec","n":%d,"max":%.3f,"sf":"%s"}""",
+      Double.box(total), Int.box(results.size), Double.box(maxQ), sfDir))
     spark.stop()
   }
 }

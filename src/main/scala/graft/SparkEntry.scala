@@ -80,6 +80,7 @@ object SparkEntry {
     "c8_budget_select" -> (Pipeline.c8BudgetSelect _),
     "c9_mixture"     -> (Pipeline.c9Mixture _),
     "c10_temp_mix"   -> (Pipeline.c10TemperatureMix _),
+    "c11_source_quota" -> (Pipeline.c11SourceQuota _),
     "t1_langid"      -> (Pipeline.t1LangId _),
     "t2_quality"     -> (Pipeline.t2Quality _),
     "t3_tokens"      -> (Pipeline.t3Tokens _),
@@ -91,6 +92,7 @@ object SparkEntry {
     "t9_bigram_lm"   -> (Pipeline.t9BigramLm _),
     "t10_pii"        -> (Pipeline.t10Pii _),
     "t11_gopher"     -> (Pipeline.t11GopherRules _),
+    "t12_normalize"  -> (Pipeline.t12Normalize _),
     "m1_media_features" -> (Pipeline.m1MediaFeatures _),
     "m2_frame_sample"   -> (Pipeline.m2FrameSample _),
     "m3_resize"         -> (Pipeline.m3Resize _),
@@ -117,6 +119,8 @@ object SparkEntry {
     "p3_local_supplier" -> (Relational.p3LocalSupplier _),
     "p4_returned_items" -> (Relational.p4ReturnedItems _),
     "p5_market_share"   -> (Relational.p5MarketShare _),
+    "p6_forecast"       -> (Relational.p6ForecastRevenue _),
+    "p7_nation_trade"   -> (Relational.p7NationTrade _),
     "g7_set_ops"        -> (Relational.g7SetOps _),
   )
 
@@ -661,6 +665,24 @@ object SparkEntry {
         |             % 1000000) / 1000000.0 < r.rate)
         |SELECT source, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
         |FROM k GROUP BY source""".stripMargin,
+    "c11_source_quota" ->
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source ORDER BY
+        |      CAST(('0x' || substr(md5('quota:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT),
+        |      doc_id) AS rk
+        |  FROM documents)
+        |WHERE rk <= 15""".stripMargin,
+    "t12_normalize" ->
+      """WITH n AS (SELECT doc_id,
+        |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+        |  FROM documents)
+        |SELECT doc_id, md5(t) AS norm_fp,
+        |  CAST(length(t) AS BIGINT) AS n_chars_norm,
+        |  CAST(length(t) - length(regexp_replace(t, '[a-z0-9]', '', 'g')) AS BIGINT) AS n_alnum,
+        |  CAST(length(t) - length(replace(t, ' ', '')) AS BIGINT) AS n_space,
+        |  CAST(length(regexp_replace(t, '[a-z0-9 ]', '', 'g')) AS BIGINT) AS n_other
+        |FROM n""".stripMargin,
     "t11_gopher" ->
       """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS tk FROM documents),
         |m AS (SELECT doc_id,
@@ -1003,6 +1025,30 @@ object SparkEntry {
         |JOIN supplier ON l_suppkey = s_suppkey
         |JOIN nation sn ON s_nationkey = sn.n_nationkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "p6_forecast" ->
+      """SELECT
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2)) *
+        |       CAST(l_discount AS DECIMAL(15,2))) AS DECIMAL(25,4)) * 10000 AS BIGINT) AS revenue_e4,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01'
+        |  AND CAST(l_discount AS DECIMAL(15,2)) BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
+    "p7_nation_trade" ->
+      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2)) *
+        |       (1 - CAST(l_discount AS DECIMAL(15,2)))) AS DECIMAL(25,4)) * 10000 AS BIGINT) AS volume_e4
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |WHERE sn.n_name IN ('NATION_3', 'NATION_8')
+        |  AND cn.n_name IN ('NATION_3', 'NATION_8')
+        |  AND sn.n_name <> cn.n_name
+        |GROUP BY 1, 2, 3""".stripMargin,
     "g7_set_ops" ->
       """WITH h1 AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderdate < '1998-07-01'),
         |h2 AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderdate >= '1998-07-01')

@@ -145,6 +145,34 @@ object Sampling {
       .drop("__rn")
   }
 
+  /** Per-group quota: cap every group (domain, source, site) at
+    * `maxPerGroup` rows — the per-domain cap a web-corpus pipeline
+    * applies so no single site dominates the training mixture. Each
+    * group keeps the `maxPerGroup` rows with the smallest salted key
+    * hashes (tie-broken by key): a deterministic uniform election, so
+    * the kept set is reproducible across runs/engines and STABLE under
+    * corpus growth everywhere the hash order is preserved — unlike
+    * "first K seen", which depends on scan order.
+    *
+    * Scale: one hash-shuffle on the group column. The rank filter is a
+    * top-k per key, which Spark executes as WindowGroupLimit — each map
+    * task pre-prunes its partition to its local top-`maxPerGroup`
+    * BEFORE the exchange, so a mega-domain with 10⁹ pages ships
+    * ~maxPerGroup rows per upstream partition, not its whole crawl;
+    * the post-shuffle task never materializes the full group either.
+    */
+  def quotaGroups(df: DataFrame, keyCol: String, groupCol: String,
+                  maxPerGroup: Int, salt: String = "quota"): DataFrame = {
+    require(maxPerGroup > 0, "need a positive per-group quota")
+    require(!df.columns.contains("__rn"),
+      "input columns collide with quotaGroups internals: __rn")
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(keyHash(salt, col(keyCol)), col(keyCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= maxPerGroup)
+      .drop("__rn")
+  }
+
   /** Greedy selection under a global token budget: rows in
     * (`scoreCol` DESC, `keyCol` ASC) order are taken while the running
     * `tokCol` total stays ≤ `budget` — the "best documents until the

@@ -343,6 +343,28 @@ object Pipeline {
       (rLen && rMean && rSym && rStop && rAlpha).cast("long").as("pass"))
   }
 
+  /** T12 — text normalization + charset profile: the canonical-form
+    * pass that precedes exact dedup (lowercase, collapse whitespace
+    * runs, trim) plus integer charset accounting (alnum / space /
+    * other counts — the inputs of junk-ratio filters). Pure map-side
+    * projection, codegen'd string ops; only the md5 fingerprint of the
+    * normalized text leaves the task, never the text itself — at
+    * 100 TB the downstream exact-dedup shuffle carries 16-byte
+    * digests, the same shape as d1/d2.
+    */
+  def t12Normalize(spark: SparkSession, dir: String): DataFrame = {
+    val norm = trim(regexp_replace(lower(col("text")), "\\s+", " "))
+    val nAlnum = length(norm) - length(regexp_replace(norm, "[a-z0-9]", ""))
+    val nSpace = length(norm) - length(regexp_replace(norm, " ", ""))
+    docs(spark, dir).select(
+      col("doc_id"),
+      md5(norm).as("norm_fp"),
+      length(norm).cast("long").as("n_chars_norm"),
+      nAlnum.cast("long").as("n_alnum"),
+      nSpace.cast("long").as("n_space"),
+      (length(norm) - nAlnum - nSpace).cast("long").as("n_other"))
+  }
+
   /** C10 — temperature-reweighted source mixture (α = 0.5): heavy
     * sources damped to sqrt proportions, the smallest source kept
     * whole, elections by deterministic key hash
@@ -353,6 +375,17 @@ object Pipeline {
     Sampling.temperatureMix(docs(spark, dir), "doc_id", "source", alpha = 0.5)
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("sum_doc_id"))
+
+  /** C11 — per-domain quota: every source capped at 15 documents by
+    * deterministic hash election ([[Sampling.quotaGroups]]) — the "no
+    * single site dominates the mixture" rule of web-corpus curation.
+    * The output is the elected (doc_id, source) set itself, so the
+    * oracle checks exactly WHICH documents were elected, not counts.
+    */
+  def c11SourceQuota(spark: SparkSession, dir: String): DataFrame =
+    Sampling.quotaGroups(docs(spark, dir), "doc_id", "source",
+        maxPerGroup = 15)
+      .select(col("doc_id"), col("source"))
 
   /** T3 — token counting three ways: whitespace, regex pre-tokenizer,
     * approximate BPE (ceil(len/4) per word).

@@ -300,6 +300,68 @@ object Relational {
       .orderBy(col("o_year"))
   }
 
+  /** P6 — TPC-H Q6-shaped forecast-revenue change: a pure
+    * filter-and-aggregate over the fact table — no join, and the only
+    * exchange is the final single-row reduce. At 100 TB this query IS
+    * the scan: all three predicates (ship-date range, discount band,
+    * quantity cap) push into the parquet reader as `PushedFilters`, so
+    * row groups outside the bands never decompress, and with
+    * date-banded files (partitioning or z-order) the sidecar skipping
+    * stack (q13) prunes whole files at planning time. The discount
+    * band compares in exact DECIMAL(15,2) — stored doubles are 2-dp
+    * values, so the cast is exact on both engines and no row can sit
+    * on a float boundary.
+    */
+  def p6ForecastRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val disc = col("l_discount").cast(M)
+    Tables.load(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= "1997-01-01" &&
+        col("l_shipdate") < "1998-01-01" &&
+        disc >= lit("0.05").cast(M) && disc <= lit("0.07").cast(M) &&
+        col("l_quantity") < 24)
+      .agg(
+        fixedPoint(sum(col("l_extendedprice").cast(M) * disc)
+          .cast(DecimalType(25, 4)), 4).as("revenue_e4"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** P7 — TPC-H Q7-shaped cross-nation trade volume: yearly shipping
+    * flows between one nation pair, in both directions. The nation dim
+    * enters TWICE (supplier role + customer role), filtered to the
+    * pair BEFORE the join, so the broadcast carries two rows per role
+    * and the inner joins prune the fact early; the pair-direction
+    * disjunction then runs on broadcast-joined columns. customer and
+    * supplier scale with SF → no hint, AQE decides (same stance as
+    * p3/p4/p5); lineitem⋈orders is the one big shuffle.
+    */
+  def p7NationTrade(spark: SparkSession, dir: String): DataFrame = {
+    val pair = Seq("NATION_3", "NATION_8")
+    val nS = Tables.load(spark, dir, "nation")
+      .filter(col("n_name").isin(pair: _*))
+      .select(col("n_nationkey").as("sn_key"),
+        col("n_name").as("supp_nation"))
+    val nC = Tables.load(spark, dir, "nation")
+      .filter(col("n_name").isin(pair: _*))
+      .select(col("n_nationkey").as("cn_key"),
+        col("n_name").as("cust_nation"))
+    val supplier = Tables.load(spark, dir, "supplier")
+    val customer = Tables.load(spark, dir, "customer")
+    val orders = Tables.load(spark, dir, "orders")
+    val lineitem = Tables.load(spark, dir, "lineitem")
+    lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(supplier, col("l_suppkey") === col("s_suppkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nS), col("s_nationkey") === col("sn_key"))
+      .join(broadcast(nC), col("c_nationkey") === col("cn_key"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(fixedPoint(sum(col("l_extendedprice").cast(M) *
+          (lit(1) - col("l_discount").cast(M)))
+        .cast(DecimalType(25, 4)), 4).as("volume_e4"))
+  }
+
   /** G7 — set operations (INTERSECT / EXCEPT): customers active in the
     * first half of the date range vs the second, one accounting row. Both
     * operands pre-aggregate to distinct keys, so the set ops run at

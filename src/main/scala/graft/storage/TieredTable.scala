@@ -48,7 +48,8 @@ import graft.operators.Upsert
 class TieredTable(spark: SparkSession, rawTablePath: String,
                   pk: Seq[String] = Nil, mergeOnRead: Boolean = false,
                   val partitionBy: Seq[String] = Nil,
-                  val bloomCols: Seq[String] = Nil) {
+                  val bloomCols: Seq[String] = Nil,
+                  metaStore: MetaStore = null) {
   /** `file:`-scheme URIs are normalized to plain paths — `Paths.get`
     * would otherwise treat the whole URI as a RELATIVE path and
     * silently create the table tree under the process CWD (the round-1
@@ -72,6 +73,16 @@ class TieredTable(spark: SparkSession, rawTablePath: String,
   private val dataDir = Paths.get(tablePath, "data")
   private val metaDir = Paths.get(tablePath, "meta")
   Seq(logDir, dataDir, metaDir).foreach(Files.createDirectories(_))
+
+  /** All snapshot-manifest / LATEST-pointer IO goes through this store
+    * — the full metadata surface is the object-store primitive set
+    * (GET / PUT / conditional PUT / DELETE, see [[MetaStore]]), so the
+    * commit protocol runs unchanged on a store with no atomic rename
+    * (MetaStoreSpec commits through [[InMemoryMetaStore]]). Default:
+    * files under `meta/` via [[LocalFsMetaStore]].
+    */
+  private val meta: MetaStore =
+    Option(metaStore).getOrElse(new LocalFsMetaStore(metaDir))
 
   /** Internal versioning column for PK (upsert) tables: rows from a later
     * commit win. Present only in at-rest files of PK tables.
@@ -103,71 +114,51 @@ class TieredTable(spark: SparkSession, rawTablePath: String,
     }
   }
 
-  private def manifestPath(id: Long): Path =
-    metaDir.resolve(f"snap-$id%06d.props")
+  private def manifestKey(id: Long): String = f"snap-$id%06d.props"
 
-  /** Path of a snapshot's manifest file (the Iceberg `manifest_list`
+  /** Location of a snapshot's manifest (the Iceberg `manifest_list`
     * analog — ours is one flat manifest per snapshot, not a list of
     * manifests).
     */
-  def manifestList(id: Long): String = manifestPath(id).toString
+  def manifestList(id: Long): String = meta.location(manifestKey(id))
 
-  def latestSnapshotId: Long = {
-    val latest = metaDir.resolve("LATEST")
-    if (Files.exists(latest)) Files.readString(latest).trim.toLong else 0L
-  }
+  def latestSnapshotId: Long =
+    meta.get("LATEST").map(_.trim.toLong).getOrElse(0L)
 
-  def snapshot(id: Long): Option[Snapshot] = {
-    val p = manifestPath(id)
-    if (!Files.exists(p)) None
-    else {
-      val kv = Files.readAllLines(p).toArray(Array.empty[String])
+  def snapshot(id: Long): Option[Snapshot] =
+    meta.get(manifestKey(id)).map { body =>
+      val kv = body.linesIterator
         .filter(_.contains("=")).map { l =>
           val i = l.indexOf('='); l.substring(0, i) -> l.substring(i + 1)
         }.toMap
-      Some(Snapshot(kv("id").toLong, kv("op"), kv("rowsAdded").toLong,
+      Snapshot(kv("id").toLong, kv("op"), kv("rowsAdded").toLong,
         kv("tieredSeg").toLong,
         kv.get("files").filter(_.nonEmpty).map(_.split(",").toSeq).getOrElse(Nil),
-        kv("committedAt").toLong, kv.getOrElse("tag", "")))
+        kv("committedAt").toLong, kv.getOrElse("tag", ""))
     }
-  }
 
   def currentSnapshot: Option[Snapshot] = snapshot(latestSnapshotId)
 
-  /** Publish snapshot `s`: claim its id, write its manifest, swap
-    * `LATEST`.
+  /** Publish snapshot `s`: claim its id with the manifest body, then
+    * swap `LATEST`.
     *
-    * Cross-PROCESS safety (two Spark drivers on one warehouse) rides a
-    * filesystem compare-and-swap: `Files.createFile` on the manifest
-    * path is POSIX `open(O_CREAT|O_EXCL)` — exactly one process can
-    * create `snap-N.props`, so exactly one committer wins snapshot id N
+    * Cross-PROCESS safety (two Spark drivers on one warehouse) rides
+    * ONE primitive: [[MetaStore.putIfAbsent]] — a conditional PUT of
+    * `snap-N.props`. Exactly one committer wins snapshot id N
     * (= "my parent is still LATEST"; ids are dense, so claiming N is
     * claiming the right to succeed N−1). The loser gets
     * [[TieredTable.CommitConflictException]] BEFORE touching `LATEST`:
     * it reloads state and retries (its verbs recompute from
     * `currentSnapshot`, see [[TieredTable.retryOnConflict]]) or fails
     * loudly — `LATEST` is never corrupted and the winner's files are
-    * never orphaned. A plain rename here would NOT do this: Linux
-    * `rename(2)` silently replaces the target, so the slower of two
-    * same-id committers would overwrite the winner's manifest. This is
-    * the Iceberg-catalog CAS (expected-parent conditional swap) on a
-    * filesystem; an object-store deployment swaps `createFile` for a
-    * conditional PUT (`If-None-Match: *`).
-    *
-    * Crash window: a committer that dies between the claim and the
-    * `LATEST` swap leaves a claimed-but-unpublished id; subsequent
-    * commits fail loudly (operator runs vacuum/repair) rather than
-    * guessing — the same stance Iceberg takes on orphaned metadata.
+    * never orphaned. This is the Iceberg-catalog CAS (expected-parent
+    * conditional swap, the role the reference delegates to its REST
+    * catalog — fluss-iceberg/docker-compose.yml:126-137) expressed in
+    * store-portable form: `open(O_CREAT|O_EXCL)` on a filesystem
+    * ([[LocalFsMetaStore]]), `If-None-Match: *` on S3/MinIO — the
+    * reference warehouse (docker-compose.yml:139-155).
     */
   private def commitManifest(s: Snapshot): Unit = {
-    val target = manifestPath(s.id)
-    try Files.createFile(target) // the CAS: create-exclusive claim of id
-    catch {
-      case _: java.nio.file.FileAlreadyExistsException =>
-        throw new TieredTable.CommitConflictException(
-          s"snapshot ${s.id} of $tablePath was claimed by a concurrent " +
-            "committer — reload table state and retry the commit")
-    }
     val body =
       s"""id=${s.id}
          |op=${s.op}
@@ -177,16 +168,11 @@ class TieredTable(spark: SparkSession, rawTablePath: String,
          |committedAt=${s.committedAt}
          |tag=${s.tag}
          |""".stripMargin
-    val tmp = Files.createTempFile(metaDir, "snap", ".tmp")
-    Files.writeString(tmp, body)
-    // REPLACE_EXISTING replaces only OUR zero-byte claim — the claim
-    // made this id ours; content lands atomically under readers.
-    Files.move(tmp, target,
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-    val tmp2 = Files.createTempFile(metaDir, "latest", ".tmp")
-    Files.writeString(tmp2, s.id.toString)
-    Files.move(tmp2, metaDir.resolve("LATEST"),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    if (!meta.putIfAbsent(manifestKey(s.id), body))
+      throw new TieredTable.CommitConflictException(
+        s"snapshot ${s.id} of $tablePath was claimed by a concurrent " +
+          "committer — reload table state and retry the commit")
+    meta.put("LATEST", s.id.toString)
   }
 
   // ---- hot tier: append log ----
@@ -734,7 +720,7 @@ class TieredTable(spark: SparkSession, rawTablePath: String,
     (1L until keepIds.head).flatMap(snapshot).foreach { old =>
       old.files.filterNot(referenced).map(Paths.get(_))
         .filter(Files.exists(_)).foreach { p => rmTree(p); removed += 1 }
-      Files.deleteIfExists(manifestPath(old.id)); removed += 1
+      meta.delete(manifestKey(old.id)); removed += 1
     }
     val minWatermark = kept.map(_.tieredSeg).min
     logSegments.filter(_ <= minWatermark).map(segPath)
@@ -1009,8 +995,10 @@ object TieredTable {
   def apply(spark: SparkSession, path: String, pk: Seq[String] = Nil,
             mergeOnRead: Boolean = false,
             partitionBy: Seq[String] = Nil,
-            bloomCols: Seq[String] = Nil): TieredTable =
-    new TieredTable(spark, path, pk, mergeOnRead, partitionBy, bloomCols)
+            bloomCols: Seq[String] = Nil,
+            metaStore: MetaStore = null): TieredTable =
+    new TieredTable(spark, path, pk, mergeOnRead, partitionBy, bloomCols,
+      metaStore)
 
   /** A concurrent committer (another process) won the snapshot id this
     * commit targeted. The table is uncorrupted; the commit did not

@@ -236,4 +236,27 @@ class SamplingSpec extends AnyFunSuite with SparkSpec {
     assert(mixed.filter(col("src").isNull).count() == 1,
       "the singleton null group has rate 1.0 and must survive")
   }
+
+  test("quotaGroups caps each group, deterministically, with a group-limited plan") {
+    import spark.implicits._
+    val df = ((1 to 40).map(i => (i.toLong, "mega")) ++
+              (50 to 54).map(i => (i.toLong, "tiny")))
+      .toDF("doc_id", "source")
+    val got = Sampling.quotaGroups(df, "doc_id", "source", maxPerGroup = 10)
+    val sizes = got.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sizes == Map("mega" -> 10L, "tiny" -> 5L),
+      "over-quota group capped, small group untouched")
+    // deterministic election: identical membership on re-run
+    val again = Sampling.quotaGroups(df, "doc_id", "source", maxPerGroup = 10)
+    assert(got.collect().map(_.getLong(0)).sorted.toSeq ==
+      again.collect().map(_.getLong(0)).sorted.toSeq)
+    // the scale property: the rank<=k filter compiles to a group-limit
+    // (WindowGroupLimit), which pre-prunes each map partition to its
+    // local top-k BEFORE the exchange — a mega-domain never ships its
+    // whole crawl through the shuffle
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"expected a WindowGroupLimit group-limited plan, got:\n$plan")
+  }
 }

@@ -169,4 +169,30 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
     assert(passes > 0 && passes < out.length,
       "rule bounds should split the fixture corpus, not rubber-stamp it")
   }
+
+  test("t12 normalization: lower/collapse/trim is idempotent; charset counts partition") {
+    import spark.implicits._
+    def norm(c: org.apache.spark.sql.Column) =
+      trim(regexp_replace(lower(c), "\\s+", " "))
+    val df = Seq((1L, "  Hello,\t\tWORLD!!  this   is\n a Test  "),
+                 (2L, "already normal text"),
+                 (3L, "123  MIXED\r\n456")).toDF("doc_id", "text")
+    val once = df.select(col("doc_id"), norm(col("text")).as("t"))
+    val t1 = once.orderBy("doc_id").as[(Long, String)].collect()
+    assert(t1(0)._2 == "hello, world!! this is a test")
+    assert(t1(1)._2 == "already normal text")
+    assert(t1(2)._2 == "123 mixed 456")
+    // idempotent: normalizing a normalized text is the identity
+    val twice = once.select(col("doc_id"), norm(col("t")).as("t"))
+      .orderBy("doc_id").as[(Long, String)].collect()
+    assert(twice.toSeq == t1.toSeq)
+    // the three charset counters partition the normalized length
+    val counted = graft.queries.Pipeline
+      .t12Normalize(spark, "/root/testdata/sf0.001").collect()
+    assert(counted.nonEmpty)
+    counted.foreach { r =>
+      assert(r.getLong(2) == r.getLong(3) + r.getLong(4) + r.getLong(5),
+        s"alnum+space+other != length for doc ${r.getLong(0)}")
+    }
+  }
 }
