@@ -29,5 +29,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // The bench container has 128 GiB; a 16g heap made the 90+-query
+  // bench GC-bound once the memoized/cached frames accumulated
+  // (run-to-run variance with a different "slow" query each time).
+  // One forked JVM runs at a time, so 48g is safely inside the box.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
 )

@@ -69,6 +69,7 @@ object SparkEntry {
     "s11_semantic_dedup" -> (Pipeline.s11SemanticDedup _),
     "s12_pq_encode"  -> (Pipeline.s12PqEncode _),
     "s13_cross_lsh"  -> (Pipeline.s13CrossLsh _),
+    "s14_ann_recall" -> (Pipeline.s14AnnRecall _),
     "e9_top_users"   -> (Pipeline.e9TopUsers _),
     "c1_decontam"    -> (Pipeline.c1Decontam _),
     "c5_source_report" -> (Pipeline.c5SourceReport _),
@@ -573,6 +574,23 @@ object SparkEntry {
          |  JOIN n na ON a_id = na.vec_id JOIN n nb ON b_id = nb.vec_id
          |  WHERE list_reduce(list_transform(list_zip(na.v, nb.v), s -> s[1]*s[2]), (a,x) -> a+x)
          |          / (na.nrm * nb.nrm) >= 0.4""".stripMargin,
+    "s14_ann_recall" ->
+      s"""WITH $embCtes,
+         |$lshPairCtes,
+         |scored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    list_reduce(list_transform(list_zip(q.v, c.v), s -> s[1]*s[2]), (a,x) -> a+x)
+         |      / (q.nrm * c.nrm) AS cos
+         |  FROM n q JOIN n c ON q.vec_id <> c.vec_id WHERE q.vec_id < 5),
+         |brute AS (SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |           row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         |    FROM scored) WHERE rank <= 10),
+         |sym AS (SELECT a_id AS query_id, b_id AS neighbor_id FROM vpairs
+         |        UNION ALL SELECT b_id, a_id FROM vpairs)
+         |SELECT b.query_id, count(*) AS k,
+         |  CAST(sum(CASE WHEN s.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+         |FROM brute b LEFT JOIN sym s USING (query_id, neighbor_id)
+         |GROUP BY b.query_id""".stripMargin,
     "e9_top_users" ->
       """WITH c AS (SELECT event_type, user_id, COUNT(*) AS cnt
         |           FROM events GROUP BY event_type, user_id)

@@ -164,6 +164,32 @@ object Pipeline {
         threshold = 0.4)
     }
 
+  /** S14 — ANN quality measurement as a first-class query ("measure,
+    * don't guess"): per probe, how many of the exact cosine top-10
+    * (s1) the LSH near-dup retrieval (s2, symmetrized pairs) actually
+    * reaches. Exact integers (hits of a deterministic set against a
+    * deterministic set), so the oracle reproduces it bit-for-bit.
+    * Recall < 1 here is the LSH contract, not a bug — top-10 neighbors
+    * below the 0.4 cosine verification threshold are unreachable by
+    * construction; this query is what makes that trade measurable when
+    * tuning planes/tables at corpus scale. Cost: both inputs are
+    * memo-shared with s1/s2; the join runs at candidate-set size.
+    */
+  def s14AnnRecall(spark: SparkSession, dir: String): DataFrame = {
+    val brute = s1KnnBrute(spark, dir)
+      .select(col("query_id"), col("neighbor_id"))
+    val pairs = s2LshAnn(spark, dir)
+    val sym = pairs
+      .select(col("a_id").as("query_id"), col("b_id").as("neighbor_id"))
+      .unionByName(pairs
+        .select(col("b_id").as("query_id"), col("a_id").as("neighbor_id")))
+      .withColumn("__hit", lit(1L))
+    brute.join(sym, Seq("query_id", "neighbor_id"), "left_outer")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("k"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_hits"))
+  }
+
   /** S3 — exact all-pairs cosine ≥ 0.4 (the recall baseline for S2). */
   def s3NearDupBrute(spark: SparkSession, dir: String): DataFrame =
     Similarity.nearDupPairsBrute(emb(spark, dir), "vec_id", "embedding",

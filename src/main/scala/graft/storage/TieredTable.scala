@@ -839,11 +839,15 @@ class TieredTable(spark: SparkSession, rawTablePath: String,
     * the `to` version, `-D`/`-U` the `from` version (schema-evolved
     * columns null where absent).
     *
-    * Scale: hash-joins on the key — anti ×2, one inner with a
-    * row-fingerprint comparison, plus a semi-join for the before-image;
-    * no full-row distinct, no driver state. This is the "consume only
-    * what changed" primitive a downstream incremental pipeline (sync,
-    * re-index, re-embed) wants instead of re-reading the table.
+    * Scale: ONE full-outer hash join on the key — each snapshot is
+    * scanned exactly once, fingerprinted map-side, and every op kind
+    * (including the -U/+U pair, whose two versions sit in the same
+    * joined row) is derived from join-side presence + fingerprint
+    * inequality, then emitted by a 0/1/2-row explode. No second
+    * fingerprint pass, no anti/semi joins re-scanning a snapshot, no
+    * driver state. This is the "consume only what changed" primitive a
+    * downstream incremental pipeline (sync, re-index, re-embed) wants
+    * instead of re-reading the table.
     */
   def incrementalRead(from: Long, to: Long, keyCols: Seq[String]): DataFrame = {
     require(keyCols.nonEmpty, "incrementalRead needs key columns")
@@ -851,35 +855,54 @@ class TieredTable(spark: SparkSession, rawTablePath: String,
     val b = readColdAsOf(to)
     require(keyCols.forall(a.columns.contains),
       s"key columns ${keyCols.mkString(",")} missing in snapshot $from")
+    require(keyCols.forall(b.columns.contains),
+      s"key columns ${keyCols.mkString(",")} missing in snapshot $to")
     // row fingerprint over the columns both snapshots share, in a fixed
     // order. Each column is hashed SEPARATELY into a fixed-width 32-char
     // digest before the row-level hash: separator-based concat is
     // ambiguous whenever a value's string rendering contains the
     // separator (("ab","c") vs ("a","bc")); fixed-width blocks are not.
     // The null marker is 32 dashes — not a hex string, so it can never
-    // collide with a real md5 digest.
+    // collide with a real md5 digest. The fingerprint doubles as the
+    // side-presence flag: it is non-null exactly when the side matched
+    // (coalesce makes it non-null for every real row).
     val common = b.columns.filter(a.columns.contains).sorted.toSeq
     def fp(df: DataFrame) = md5(concat(
       common.map(c => coalesce(md5(col(c).cast("string")), lit("-" * 32))): _*))
-    val inserts = b.join(a.select(keyCols.map(col): _*), keyCols, "left_anti")
-      .withColumn("op", lit("+I"))
-    val deletes = a.join(b.select(keyCols.map(col): _*), keyCols, "left_anti")
-      .withColumn("op", lit("-D"))
-    val updates = b.withColumn("__fp", fp(b))
-      .join(a.withColumn("__fp", fp(a)).select((keyCols.map(col) :+
-        col("__fp").as("__fp_old")): _*), keyCols)
-      .filter(col("__fp") =!= col("__fp_old"))
-      .drop("__fp", "__fp_old")
-      .withColumn("op", lit("+U"))
-    // update_before (-U): the from-version of every updated key — a
-    // key-semi-join against the changed-key set, so the before-image
-    // costs one more key-hash join, never a second fingerprint pass.
-    val updateBefores = a.join(
-        updates.select(keyCols.map(col): _*), keyCols, "left_semi")
-      .withColumn("op", lit("-U"))
-    inserts.unionByName(updateBefores, allowMissingColumns = true)
-      .unionByName(updates, allowMissingColumns = true)
-      .unionByName(deletes, allowMissingColumns = true)
+    def nonKey(df: DataFrame) = df.columns.filterNot(keyCols.contains).toSeq
+    val aPref = a.select(keyCols.map(col) ++
+      nonKey(a).map(c => col(c).as(s"__a_$c")) :+ fp(a).as("__fp_a"): _*)
+    val bPref = b.select(keyCols.map(col) ++
+      nonKey(b).map(c => col(c).as(s"__b_$c")) :+ fp(b).as("__fp_b"): _*)
+    // USING-join keys coalesce across sides; null keys never match (SQL
+    // join semantics), so a null-key row surfaces as unmatched on its
+    // own side — +I when only in `to`, -D when only in `from`.
+    val j = aPref.join(bPref, keyCols, "full_outer")
+      // unchanged rows (the overwhelming majority between adjacent
+      // snapshots) drop BEFORE the explode; null-safe: a missing side
+      // makes the comparison null = changed
+      .filter(coalesce(col("__fp_a") =!= col("__fp_b"), lit(true)))
+    // output layout = the old unionByName union schema: `to`-version
+    // columns, op, then any a-only (schema-evolution) leftovers; each
+    // version-struct draws from its own side, null where the column
+    // does not exist on that side (typed from whichever side has it)
+    val outCols = b.columns.toSeq ++
+      a.columns.filterNot(b.columns.contains).toSeq
+    def typeOf(c: String) = b.schema.find(_.name == c)
+      .orElse(a.schema.find(_.name == c)).get.dataType
+    def verStruct(op: String, side: String) = struct(
+      outCols.map { c =>
+        val v =
+          if (keyCols.contains(c)) col(c)
+          else if (side == "a" && a.columns.contains(c)) col(s"__a_$c")
+          else if (side == "b" && b.columns.contains(c)) col(s"__b_$c")
+          else lit(null)
+        v.cast(typeOf(c)).as(c)
+      } :+ lit(op).as("op"): _*)
+    val rows = when(col("__fp_a").isNull, array(verStruct("+I", "b")))
+      .when(col("__fp_b").isNull, array(verStruct("-D", "a")))
+      .otherwise(array(verStruct("-U", "a"), verStruct("+U", "b")))
+    j.select(explode(rows).as("__r")).select(col("__r.*"))
   }
 
   /** Cold-tier parquet paths as of the latest snapshot (one manifest

@@ -122,6 +122,30 @@ class TieredTableSpec extends AnyFunSuite with SparkSpec {
     assert(t.incrementalRead(2L, 2L, Seq("k")).count() == 0)
   }
 
+  test("changelog replay: the op algebra alone carries an aggregate across snapshots") {
+    // THE reason -U exists (reference README.md:153-169 upsert
+    // semantics): a downstream aggregator holding sum(v)@from applies
+    // +(+I, +U) and −(-U, -D) from the changelog — never re-reading
+    // either snapshot — and must land exactly on sum(v)@to.
+    val t = tmpTable(pk = Seq("k"))
+    t.commitUpsert(Seq((1, 10L), (2, 20L), (3, 30L)).toDF("k", "v")) // snap 1
+    t.commitUpsert(Seq((2, 25L), (4, 40L)).toDF("k", "v"))           // snap 2
+    t.deleteWhere(col("k") === 1)                                    // snap 3
+    val sumAt = (id: Long) => t.readColdAsOf(id)
+      .agg(sum(col("v"))).head().getLong(0)
+    val delta = t.incrementalRead(1L, 3L, Seq("k"))
+      .select(sum(when(col("op").isin("+I", "+U"), col("v"))
+        .otherwise(-col("v")))).head().getLong(0)
+    assert(sumAt(1L) + delta == sumAt(3L),
+      "replaying the changelog must reproduce the target aggregate")
+    // and the -U/+U pair nets the k=2 update: -20 + 25
+    val pair = t.incrementalRead(1L, 3L, Seq("k"))
+      .filter(col("k") === 2)
+      .collect().map(r => (r.getString(r.fieldIndex("op")),
+        r.getLong(r.fieldIndex("v")))).toSet
+    assert(pair == Set(("-U", 20L), ("+U", 25L)))
+  }
+
   test("deleteWhere rewrites the cold tier; incremental read emits -D") {
     val t = tmpTable()
     t.appendLog(Seq(1L, 2L, 3L).toDF("id")); t.tier() // snap 1
