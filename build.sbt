@@ -29,9 +29,12 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // The bench container has 128 GiB; a 16g heap made the 90+-query
-  // bench GC-bound once the memoized/cached frames accumulated
-  // (run-to-run variance with a different "slow" query each time).
-  // One forked JVM runs at a time, so 48g is safely inside the box.
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  // 16g, deliberately — NOT the box's 128 GiB. Measured (round 5): a
+  // 48g heap made the heavy aggregation/join stress queries 4-6×
+  // SLOWER (d3 17s → 70-97s): Spark sizes its execution memory off the
+  // heap, so giant pre-spill hash maps probe randomly across ~30 GB
+  // (cache/TLB-thrash) where the 16g config spills early into
+  // sequential sort-merge passes. Override per-run with
+  // SPARK_DRIVER_MEM when a workload genuinely needs more.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

@@ -1,6 +1,33 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** The full per-query JSON line (first; may be head-truncated by
+    * bounded tail capture — the summary line is the parse-safe one).
+    * Doubles render via Double.toString — locale-independent by spec.
+    */
+  def perQueryLine(results: Map[String, Double], sfDir: String): String = {
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val total = if (results.nonEmpty) results.values.sum else 0.0
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+  }
+
+  /** The short trailing summary line — the DRIVER-PARSE CONTRACT (the
+    * machine-read perf signal; a malformed line cost rounds 1-4 their
+    * bench grade). Must stay one line, short enough to survive any
+    * bounded tail capture, and strict JSON. Locale.ROOT because the
+    * f-interpolator would use the default locale, and a comma decimal
+    * separator silently breaks the JSON. Spec-guarded: BenchFormatSpec
+    * parses both lines with a real JSON parser.
+    */
+  def summaryLine(results: Map[String, Double], sfDir: String): String = {
+    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val maxQ = if (results.nonEmpty) results.values.max else 0.0
+    String.format(java.util.Locale.ROOT,
+      """{"metric":"total","value":%.3f,"unit":"sec","n":%d,"max":%.3f,"sf":"%s"}""",
+      Double.box(total), Int.box(results.size), Double.box(maxQ), sfDir)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -44,20 +71,12 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
-    // The per-query line above is ~2.7 KB; harnesses that keep only a
+    println(perQueryLine(results, sfDir))
+    // The per-query line above is ~3 KB; harnesses that keep only a
     // bounded tail of stdout truncate its head and fail to parse it.
     // Emit a short, self-contained total-only line LAST so the end of
     // the output always carries a parseable summary.
-    val maxQ = if (results.nonEmpty) results.values.max else 0.0
-    // Locale.ROOT: the f-interpolator uses the default locale, and a
-    // comma decimal separator would silently break the JSON.
-    println(String.format(java.util.Locale.ROOT,
-      """{"metric":"total","value":%.3f,"unit":"sec","n":%d,"max":%.3f,"sf":"%s"}""",
-      Double.box(total), Int.box(results.size), Double.box(maxQ), sfDir))
+    println(summaryLine(results, sfDir))
     spark.stop()
   }
 }

@@ -123,6 +123,8 @@ object SparkEntry {
     "p6_forecast"       -> (Relational.p6ForecastRevenue _),
     "p7_nation_trade"   -> (Relational.p7NationTrade _),
     "g7_set_ops"        -> (Relational.g7SetOps _),
+    "g8_exists"         -> (Relational.g8ExistsSubquery _),
+    "g9_above_avg"      -> (Relational.g9AboveAvg _),
   )
 
   /** Shared DuckDB CTE fragments for the pipeline oracles. hash60(s) =
@@ -1074,5 +1076,24 @@ object SparkEntry {
         |  (SELECT count(*) FROM (SELECT * FROM h1 INTERSECT SELECT * FROM h2)) AS in_both,
         |  (SELECT count(*) FROM (SELECT * FROM h1 EXCEPT SELECT * FROM h2)) AS h1_only,
         |  (SELECT count(*) FROM (SELECT * FROM h2 EXCEPT SELECT * FROM h1)) AS h2_only""".stripMargin,
+    "g8_exists" ->
+      """SELECT count(*) AS n_calm_customers
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_orderpriority = '1-URGENT')""".stripMargin,
+    "g9_above_avg" ->
+      """SELECT count(*) AS n_above,
+        |       sum(o_orderkey) AS key_sum
+        |FROM (
+        |  SELECT o_orderkey, o_custkey,
+        |         CAST(CAST(o_totalprice AS DECIMAL(15,2)) * 100 AS BIGINT) AS cents
+        |  FROM orders) o
+        |WHERE o.cents * (SELECT count(*) FROM orders o2
+        |                 WHERE o2.o_custkey = o.o_custkey)
+        |    > (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(15,2)) * 100) AS BIGINT)
+        |       FROM orders o2 WHERE o2.o_custkey = o.o_custkey)""".stripMargin,
   )
 }

@@ -304,13 +304,15 @@ object Relational {
     * filter-and-aggregate over the fact table — no join, and the only
     * exchange is the final single-row reduce. At 100 TB this query IS
     * the scan: all three predicates (ship-date range, discount band,
-    * quantity cap) push into the parquet reader as `PushedFilters`, so
-    * row groups outside the bands never decompress, and with
-    * date-banded files (partitioning or z-order) the sidecar skipping
-    * stack (q13) prunes whole files at planning time. The discount
-    * band compares in exact DECIMAL(15,2) — stored doubles are 2-dp
-    * values, so the cast is exact on both engines and no row can sit
-    * on a float boundary.
+    * quantity cap) reach the parquet reader as `PushedFilters`
+    * (plan-verified), so row groups outside the bands never
+    * decompress, and with date-banded files (partitioning or z-order)
+    * the sidecar skipping stack (q13) prunes whole files at planning
+    * time. The discount band compares in exact DECIMAL(15,2) — stored
+    * doubles are 2-dp values, so the cast is exact on both engines and
+    * no row can sit on a float boundary; because pushdown cannot
+    * unwrap that cast, a redundant strictly-wider raw-double band
+    * rides along purely for the scan.
     */
   def p6ForecastRevenue(spark: SparkSession, dir: String): DataFrame = {
     val disc = col("l_discount").cast(M)
@@ -318,6 +320,14 @@ object Relational {
       .filter(col("l_shipdate") >= "1997-01-01" &&
         col("l_shipdate") < "1998-01-01" &&
         disc >= lit("0.05").cast(M) && disc <= lit("0.07").cast(M) &&
+        // redundant STRICTLY-WIDER raw-double band: the exact decimal
+        // band above sits behind a cast, which parquet pushdown cannot
+        // unwrap — this plain-attribute version reaches the reader
+        // (row-group stats + dictionary filtering) while the decimal
+        // comparison stays the authoritative predicate. (0.0449,
+        // 0.0751) ⊇ every double whose 2-dp rounding lands in
+        // [0.05, 0.07], so it can never exclude a qualifying row.
+        col("l_discount") > 0.0449 && col("l_discount") < 0.0751 &&
         col("l_quantity") < 24)
       .agg(
         fixedPoint(sum(col("l_extendedprice").cast(M) * disc)
@@ -377,6 +387,51 @@ object Relational {
     val h1Only = h1.except(h2).agg(count(lit(1)).as("h1_only"))
     val h2Only = h2.except(h1).agg(count(lit(1)).as("h2_only"))
     both.crossJoin(h1Only).crossJoin(h2Only)
+  }
+
+  /** G8 — correlated EXISTS / NOT EXISTS subqueries through the SQL
+    * surface: customers who ordered at least once but never urgently.
+    * Catalyst decorrelates both predicates into semi/anti hash joins
+    * (the same physical shape as g2's explicit semi/anti) — declared
+    * here so the subquery REWRITE path is under the oracle, not just
+    * the join operators it lowers to. Scale: two key-joins against an
+    * aggregate-free orders projection; no per-row subquery execution
+    * exists after decorrelation.
+    */
+  def g8ExistsSubquery(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "customer").createOrReplaceTempView("g8_customer")
+    Tables.load(spark, dir, "orders").createOrReplaceTempView("g8_orders")
+    spark.sql(
+      """SELECT count(*) AS n_calm_customers
+        |FROM g8_customer c
+        |WHERE EXISTS (SELECT 1 FROM g8_orders o
+        |              WHERE o.o_custkey = c.c_custkey)
+        |  AND NOT EXISTS (SELECT 1 FROM g8_orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_orderpriority = '1-URGENT')""".stripMargin)
+  }
+
+  /** G9 — correlated SCALAR subqueries, exact arithmetic: orders whose
+    * price beats their customer's average. The comparison is the
+    * integer cross-multiply `cents · n > sum_cents` (never a double
+    * average — summation order would make the boundary engine-
+    * dependent). Catalyst decorrelates both scalar aggregates into one
+    * grouped aggregate joined back on the key; at 100 TB that is one
+    * shuffle of (custkey, partial sum/count), not a per-row lookup.
+    */
+  def g9AboveAvg(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "orders").createOrReplaceTempView("g9_orders")
+    spark.sql(
+      """SELECT count(*) AS n_above,
+        |       sum(o_orderkey) AS key_sum
+        |FROM (
+        |  SELECT o_orderkey, o_custkey,
+        |         CAST(CAST(o_totalprice AS DECIMAL(15,2)) * 100 AS BIGINT) AS cents
+        |  FROM g9_orders) o
+        |WHERE o.cents * (SELECT count(*) FROM g9_orders o2
+        |                 WHERE o2.o_custkey = o.o_custkey)
+        |    > (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(15,2)) * 100) AS BIGINT)
+        |       FROM g9_orders o2 WHERE o2.o_custkey = o.o_custkey)""".stripMargin)
   }
 
   /** P2 — TPC-H Q3-shaped shipping priority: three-way join, filtered

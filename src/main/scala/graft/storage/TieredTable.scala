@@ -845,12 +845,39 @@ class TieredTable(spark: SparkSession, rawTablePath: String,
     * joined row) is derived from join-side presence + fingerprint
     * inequality, then emitted by a 0/1/2-row explode. No second
     * fingerprint pass, no anti/semi joins re-scanning a snapshot, no
-    * driver state. This is the "consume only what changed" primitive a
-    * downstream incremental pipeline (sync, re-index, re-embed) wants
-    * instead of re-reading the table.
+    * driver state. Append-only lineages skip even that: a keyless
+    * table whose `from` files all survive into `to` answers with a
+    * straight scan of the NEW files as +I — O(new data), the dominant
+    * tail-following case. This is the "consume only what changed"
+    * primitive a downstream incremental pipeline (sync, re-index,
+    * re-embed) wants instead of re-reading the table.
     */
   def incrementalRead(from: Long, to: Long, keyCols: Seq[String]): DataFrame = {
     require(keyCols.nonEmpty, "incrementalRead needs key columns")
+    // APPEND-ONLY FAST PATH: when the table has no primary key and
+    // every `from` file survives unchanged into `to` (pure-append
+    // lineage — a delete/compact/rewrite would have dropped or
+    // replaced a file and broken the subset), the changelog is
+    // definitionally the new files' rows as +I: rows of a keyless
+    // table are immutable facts, so nothing can have updated or
+    // disappeared. Cost: O(new data) — no join, no fingerprints, and
+    // the dominant CDC case (tail-following an append table) never
+    // re-reads the base. Key-level diff semantics (the -U/+U pair
+    // machinery) apply only to keyed tables, where the join path below
+    // remains in force.
+    val appendOnly: Option[Seq[String]] = (snapshot(from), snapshot(to)) match {
+      case (Some(sa), Some(sb)) if pk.isEmpty &&
+        sa.files.toSet.subsetOf(sb.files.toSet) =>
+        Some(sb.files.filterNot(sa.files.toSet))
+      case _ => None
+    }
+    appendOnly match {
+      case Some(newFiles) =>
+        return if (newFiles.isEmpty)
+          emptyLike(readColdAsOf(to).schema.add("op", StringType))
+        else readParquet(newFiles).withColumn("op", lit("+I"))
+      case None =>
+    }
     val a = readColdAsOf(from)
     val b = readColdAsOf(to)
     require(keyCols.forall(a.columns.contains),
@@ -903,6 +930,38 @@ class TieredTable(spark: SparkSession, rawTablePath: String,
       .when(col("__fp_b").isNull, array(verStruct("-D", "a")))
       .otherwise(array(verStruct("-U", "a"), verStruct("+U", "b")))
     j.select(explode(rows).as("__r")).select(col("__r.*"))
+  }
+
+  /** Pull-based changelog consumption — the polling analog of the
+    * reference's continuous changelog subscription (README.md:153-169):
+    * returns `(nextCursor, changelog)` where the changelog carries
+    * every change AFTER snapshot `fromSnapshot` up to the current
+    * snapshot, and `nextCursor` is the snapshot id to pass on the next
+    * poll. Exactly-once per snapshot range by construction — the
+    * cursor IS a snapshot id, so a consumer that persists it with its
+    * own output (the Kafka-offset pattern) is resume-safe across
+    * process restarts; commits that land between polls coalesce into
+    * one delta (intermediate versions of a key collapse, which is the
+    * snapshot-diff semantic — consumers needing every intermediate
+    * version poll per snapshot id instead).
+    *
+    * `fromSnapshot = 0` bootstraps: the whole current snapshot arrives
+    * as `+I` (no diff join — one scan). An unchanged table returns an
+    * EMPTY frame without reading data pages (one manifest read plus a
+    * footer for the schema), so idle polling stays cheap at any table
+    * size.
+    */
+  def changelogSince(fromSnapshot: Long,
+                     keyCols: Seq[String]): (Long, DataFrame) = {
+    val cur = latestSnapshotId
+    require(cur > 0, s"no committed snapshot in $tablePath — nothing to follow")
+    require(fromSnapshot >= 0 && fromSnapshot <= cur,
+      s"cursor $fromSnapshot out of range (current snapshot is $cur)")
+    if (fromSnapshot == 0)
+      (cur, readColdAsOf(cur).withColumn("op", lit("+I")))
+    else if (fromSnapshot == cur)
+      (cur, emptyLike(readColdAsOf(cur).schema.add("op", StringType)))
+    else (cur, incrementalRead(fromSnapshot, cur, keyCols))
   }
 
   /** Cold-tier parquet paths as of the latest snapshot (one manifest

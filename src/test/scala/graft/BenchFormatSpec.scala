@@ -1,0 +1,58 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Guards the driver-parse contract of graft.Bench's output: the
+  * trailing summary line must be strict one-line JSON regardless of
+  * platform locale, short enough to survive bounded tail capture, and
+  * numerically consistent with the per-query line. A malformed or
+  * truncation-prone bench line cost rounds 1-4 their machine-readable
+  * perf signal — this spec makes the format a tested invariant instead
+  * of a hope.
+  */
+class BenchFormatSpec extends AnyFunSuite {
+  import org.json4s._
+  import org.json4s.jackson.JsonMethods.parse
+
+  private val results = Map("q1" -> 0.25, "q2" -> 1.75, "q3" -> 0.5)
+
+  test("summary line is one short strict-JSON line with the right fields") {
+    val line = Bench.summaryLine(results, "/data/sf0.1")
+    assert(!line.contains("\n"))
+    assert(line.length < 200, "must survive any bounded tail capture")
+    val j = parse(line)
+    assert((j \ "metric") == JString("total"))
+    assert((j \ "unit") == JString("sec"))
+    assert((j \ "sf") == JString("/data/sf0.1"))
+    val JDouble(total) = j \ "value"
+    val JDouble(mx) = j \ "max"
+    val JInt(n) = j \ "n"
+    assert(math.abs(total - 2.5) < 1e-9 && math.abs(mx - 1.75) < 1e-9)
+    assert(n == 3)
+  }
+
+  test("summary line stays valid JSON under a comma-decimal locale") {
+    val saved = java.util.Locale.getDefault
+    try {
+      java.util.Locale.setDefault(java.util.Locale.GERMANY)
+      val line = Bench.summaryLine(results, "/d")
+      // under Locale.GERMANY a locale-sensitive %.3f renders "2,500"
+      assert(line.contains("\"value\":2.500"), s"comma decimal leaked: $line")
+      val JDouble(total) = parse(line) \ "value"
+      assert(math.abs(total - 2.5) < 1e-9)
+    } finally java.util.Locale.setDefault(saved)
+  }
+
+  test("per-query line parses and agrees with the summary") {
+    val line = Bench.perQueryLine(results, "/d")
+    val j = parse(line)
+    val JObject(qs) = j \ "queries"
+    assert(qs.map(_._1).toSet == Set("q1", "q2", "q3"))
+    val JDouble(total) = j \ "value"
+    assert(math.abs(total - 2.5) < 1e-9)
+    // empty result set still yields parseable lines
+    assert((parse(Bench.summaryLine(Map.empty, "/d")) \ "n") == JInt(0))
+    val JDouble(z) = parse(Bench.perQueryLine(Map.empty, "/d")) \ "value"
+    assert(z == 0.0)
+  }
+}

@@ -146,6 +146,51 @@ class TieredTableSpec extends AnyFunSuite with SparkSpec {
     assert(pair == Set(("-U", 20L), ("+U", 25L)))
   }
 
+  test("append-only CDC fast path: new files arrive as +I with no diff join") {
+    val t = tmpTable()
+    t.appendLog(Seq(1L, 2L).toDF("id")); t.tier() // snap 1
+    t.appendLog(Seq(3L).toDF("id"));     t.tier() // snap 2
+    val cdc = t.incrementalRead(1L, 2L, Seq("id"))
+    assert(cdc.collect().map(r => (r.getLong(0), r.getString(1))).toSet ==
+      Set((3L, "+I")))
+    // pure-append lineage must never pay the fingerprint diff join —
+    // the changelog is a straight scan of the files added since `from`
+    val plan = cdc.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"append lineage must not diff-join:\n$plan")
+    assert(t.incrementalRead(2L, 2L, Seq("id")).count() == 0)
+    // a rewrite (delete) breaks the file-subset lineage → the join
+    // path takes over (covered further by the deleteWhere spec)
+    t.deleteWhere(col("id") === 1L)
+    val afterRewrite = t.incrementalRead(2L, 3L, Seq("id"))
+    assert(afterRewrite.collect().map(r => (r.getLong(0), r.getString(1)))
+      .toSet == Set((1L, "-D")))
+  }
+
+  test("changelogSince: cursor-driven polling consumes each commit range exactly once") {
+    val t = tmpTable(pk = Seq("k"))
+    intercept[IllegalArgumentException] { t.changelogSince(0L, Seq("k")) }
+    t.commitUpsert(Seq((1, "a"), (2, "b")).toDF("k", "v")) // snap 1
+    // bootstrap from cursor 0: the whole snapshot arrives as +I
+    val (c1, boot) = t.changelogSince(0L, Seq("k"))
+    assert(c1 == 1L)
+    assert(boot.collect().map(r => (r.getInt(0), r.getString(1),
+      r.getString(r.fieldIndex("op")))).toSet ==
+      Set((1, "a", "+I"), (2, "b", "+I")))
+    // idle poll: empty frame, stable cursor, schema intact
+    val (c2, none) = t.changelogSince(c1, Seq("k"))
+    assert(c2 == c1 && none.count() == 0 && none.columns.contains("op"))
+    // two commits land between polls → ONE coalesced delta
+    t.commitUpsert(Seq((2, "b2")).toDF("k", "v")) // snap 2
+    t.commitUpsert(Seq((3, "c")).toDF("k", "v"))  // snap 3
+    val (c3, delta) = t.changelogSince(c2, Seq("k"))
+    assert(c3 == 3L)
+    assert(delta.collect().map(r => (r.getInt(0), r.getString(1),
+      r.getString(r.fieldIndex("op")))).toSet ==
+      Set((2, "b", "-U"), (2, "b2", "+U"), (3, "c", "+I")))
+    // a stale-future cursor is rejected loudly, never silently replayed
+    intercept[IllegalArgumentException] { t.changelogSince(9L, Seq("k")) }
+  }
+
   test("deleteWhere rewrites the cold tier; incremental read emits -D") {
     val t = tmpTable()
     t.appendLog(Seq(1L, 2L, 3L).toDF("id")); t.tier() // snap 1
