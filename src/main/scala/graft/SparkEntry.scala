@@ -46,6 +46,7 @@ object SparkEntry {
     "q15_rollback"   -> (Lakehouse.q15Rollback _),
     "q16_meta_agg"   -> (Lakehouse.q16MetaAgg _),
     "q17_bloom_lookup" -> (Lakehouse.q17BloomLookup _),
+    "q18_incr_mv"    -> (Lakehouse.q18IncrementalMv _),
     // training-data pipeline: dedup / similarity / text analysis
     "d1_exact_dedup" -> (Pipeline.d1ExactDedup _),
     "d2_fingerprint" -> (Pipeline.d2Fingerprint _),
@@ -685,6 +686,23 @@ object SparkEntry {
         |             % 1000000) / 1000000.0 < r.rate)
         |SELECT source, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
         |FROM k GROUP BY source""".stripMargin,
+    "q18_incr_mv" ->
+      """WITH base AS (
+        |  SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY o_custkey),
+        |upd AS (SELECT o_custkey AS k, n_orders FROM base WHERE o_custkey % 3 = 0),
+        |ins AS (SELECT o_custkey + 10000000 AS k FROM base WHERE o_custkey % 7 = 0),
+        |merged AS (
+        |  SELECT c.c_nationkey AS nk,
+        |         CASE WHEN u.k IS NOT NULL THEN c.c_acctbal + u.n_orders
+        |              ELSE c.c_acctbal END AS bal
+        |  FROM customer c LEFT JOIN upd u ON c.c_custkey = u.k
+        |  WHERE u.k IS NULL OR u.n_orders < 15
+        |  UNION ALL
+        |  SELECT CAST(k % 25 AS INTEGER), 0.0 FROM ins)
+        |SELECT CAST(nk AS BIGINT) AS nation_key,
+        |       CAST(SUM(CAST(bal AS DECIMAL(15,2))) * 100 AS BIGINT) AS bal_cents,
+        |       COUNT(*) AS n_rows
+        |FROM merged GROUP BY 1""".stripMargin,
     "c11_source_quota" ->
       """SELECT doc_id, source FROM (
         |  SELECT doc_id, source,

@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Incremental materialized-aggregate maintenance — the batch analog of
+  * the reference's continuously-maintained `nation_revenue` PK table
+  * (/root/reference/README.md:196-200,247-250), driven by the
+  * TieredTable changelog instead of a running stream.
+  *
+  * A grouped (SUM, COUNT) state is carried forward by APPLYING a
+  * changelog delta: `+I`/`+U` rows add their value, `-U`/`-D` rows
+  * retract theirs — exactly why the changelog carries the update_before
+  * image: the old value is retracted without re-reading the prior
+  * snapshot. Pairing with [[graft.storage.TieredTable.changelogSince]]
+  * gives an exactly-once maintenance loop: poll the cursor, apply the
+  * delta, persist state + cursor together.
+  *
+  * Scale: the delta aggregates map-side to (group, Δsum, Δcount) —
+  * changelog-sized, usually tiny against the state — then ONE
+  * full-outer key join merges it into the state. The base table is
+  * never touched; maintenance cost is O(|delta| + |state|), the whole
+  * point of incremental view maintenance. SUM/COUNT are the
+  * self-maintainable aggregates (AVG derives as sum/cnt); MIN/MAX are
+  * NOT maintainable under retraction without per-group history — use a
+  * rebuild for those, by design.
+  */
+object IncrementalAgg {
+
+  /** Merge a changelog `delta` (op column + group + value columns) into
+    * a `(groupCols, sumCol, cntCol)` state frame. Groups whose count
+    * reaches zero drop out of the state (the last row of a group was
+    * retracted). Value arithmetic should be exact (integer cents /
+    * fixed-point) — retraction must cancel bit-for-bit.
+    */
+  def applyDelta(state: DataFrame, delta: DataFrame, groupCols: Seq[String],
+                 valCol: String, sumCol: String, cntCol: String,
+                 opCol: String = "op"): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    val sign = when(col(opCol).isin("+I", "+U"), 1L)
+      .when(col(opCol).isin("-U", "-D"), -1L)
+      .otherwise(lit(null).cast("long")) // unknown op: poison → null sum
+    val d = delta
+      .groupBy(groupCols.map(col): _*)
+      .agg(sum(sign * col(valCol)).as("__dsum"),
+        sum(sign).as("__dcnt"))
+    state.join(d, groupCols, "full_outer")
+      .select(groupCols.map(col) ++ Seq(
+        (coalesce(col(sumCol), lit(0L)) + coalesce(col("__dsum"), lit(0L)))
+          .as(sumCol),
+        (coalesce(col(cntCol), lit(0L)) + coalesce(col("__dcnt"), lit(0L)))
+          .as(cntCol)): _*)
+      .filter(col(cntCol) > 0L)
+  }
+
+  /** The state a fresh rebuild would produce — the bootstrap for the
+    * maintenance loop and the invariant the spec checks `applyDelta`
+    * against: state(snapshot N) maintained from state(snapshot M) +
+    * changelog(M→N) must equal `rebuild` at N exactly.
+    */
+  def rebuild(df: DataFrame, groupCols: Seq[String], valCol: String,
+              sumCol: String, cntCol: String): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(sum(col(valCol)).as(sumCol), count(lit(1)).as(cntCol))
+}

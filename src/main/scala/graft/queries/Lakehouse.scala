@@ -109,6 +109,33 @@ object Lakehouse {
           .cast("long").as("bal_cents"))
   }
 
+  /** Q18 — incremental materialized-view maintenance: the per-nation
+    * account-balance aggregate carried from snapshot 1 to snapshot 2 by
+    * APPLYING the changelog (retract `-U`/`-D`, apply `+I`/`+U`) —
+    * never re-reading the base table — the batch analog of the
+    * reference's continuously-maintained `nation_revenue`
+    * (README.md:196-200,247-250), and the operator that makes the
+    * update_before image earn its keep. The oracle recomputes the
+    * FINAL state relationally from the raw fixture, so a wrong sign,
+    * a missed retraction, or a double-applied delta all hash-mismatch.
+    * Exact integer cents throughout — retraction cancels bit-for-bit.
+    */
+  def q18IncrementalMv(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    import graft.operators.IncrementalAgg
+    val t = demoMergedCustomer(spark, dir)
+    val cents = (col("c_acctbal").cast(DecimalType(15, 2)) * 100).cast("long")
+    val state1 = IncrementalAgg.rebuild(
+      t.readColdAsOf(1L).select(
+        col("c_nationkey").cast("long").as("nation_key"), cents.as("__v")),
+      Seq("nation_key"), "__v", "bal_cents", "n_rows")
+    val delta = t.incrementalRead(1L, 2L, Seq("c_custkey")).select(
+      col("c_nationkey").cast("long").as("nation_key"), cents.as("__v"),
+      col("op"))
+    IncrementalAgg.applyDelta(state1, delta, Seq("nation_key"),
+      "__v", "bal_cents", "n_rows")
+  }
+
   /** Q11 — time travel: batch read AS OF snapshot 1 (before the second
     * tier), Iceberg's `VERSION AS OF` semantics. The manifest pins the
     * exact file list of the older snapshot, so the read is reproducible
