@@ -728,6 +728,58 @@ class TieredTable(spark: SparkSession, rawTablePath: String,
     removed
   }
 
+  private def rmTreeAt(p: Path): Unit =
+    Files.walk(p).sorted(Comparator.reverseOrder[Path]())
+      .forEach(Files.deleteIfExists(_))
+
+  /** Remove ORPHANED debris — Iceberg's `remove_orphan_files`
+    * maintenance analog, and the documented repair for the commit
+    * crash windows:
+    *
+    *  1. `data/snap-*` dirs referenced by NO surviving manifest — a
+    *     committer that lost the CAS race (or died before claiming)
+    *     wrote data files that no snapshot ever published;
+    *     [[TieredTable.retryOnConflict]] deliberately leaves them for
+    *     this collector.
+    *  2. `log/_tmp-seg-*` dirs — an [[appendLog]] that died before its
+    *     atomic rename.
+    *  3. EMPTY manifest claims above `LATEST` — a committer that died
+    *     between the local-FS claim and the content swap; the dead
+    *     claim would block every future commit of that id with a
+    *     conflict. Only provably-dead (zero-length) claims are
+    *     removed: a fully-written manifest whose `LATEST` swap never
+    *     happened has unknown outcome and is left for the operator
+    *     (the Iceberg "commit state unknown" stance).
+    *
+    * Run with no active writers (same contract as Iceberg's orphan
+    * cleanup — a concurrent committer's in-flight claim is
+    * indistinguishable from a dead one). Live data — every file of
+    * every surviving snapshot, and every real log segment — is never
+    * touched. Returns entries removed.
+    */
+  def gcOrphans(): Int = withCommitLock {
+    val latest = latestSnapshotId
+    val live = (1L to latest).flatMap(snapshot).flatMap(_.files)
+      .map(p => Paths.get(p).getFileName.toString).toSet
+    var removed = 0
+    Option(new File(dataDir.toString).list()).getOrElse(Array.empty)
+      .filter(_.startsWith("snap-")).filterNot(live)
+      .foreach { d => rmTreeAt(dataDir.resolve(d)); removed += 1 }
+    Option(new File(logDir.toString).list()).getOrElse(Array.empty)
+      .filter(_.startsWith("_tmp-seg-"))
+      .foreach { d => rmTreeAt(logDir.resolve(d)); removed += 1 }
+    var id = latest + 1
+    var claim = meta.get(manifestKey(id))
+    while (claim.isDefined) {
+      if (claim.exists(_.trim.isEmpty)) {
+        meta.delete(manifestKey(id)); removed += 1
+      }
+      id += 1
+      claim = meta.get(manifestKey(id))
+    }
+    removed
+  }
+
   // ---- reads ----
 
   private def emptyLike(schema: StructType): DataFrame =

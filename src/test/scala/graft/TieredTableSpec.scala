@@ -146,6 +146,44 @@ class TieredTableSpec extends AnyFunSuite with SparkSpec {
     assert(pair == Set(("-U", 20L), ("+U", 25L)))
   }
 
+  test("gcOrphans removes failed-commit debris, unblocks the id space, spares live data") {
+    import java.nio.file.Paths
+    val dir = Files.createTempDirectory("graft-gc").toString
+    val t = TieredTable(spark, s"$dir/t")
+    t.appendLog(Seq(1L, 2L).toDF("id")); t.tier() // snap 1 (live)
+    t.appendLog(Seq(3L).toDF("id"))               // hot tail (live)
+    // debris: an unpublished data dir (lost CAS race), a crashed
+    // append temp dir, and a dead zero-length manifest claim
+    val orphanData = Paths.get(s"$dir/t/data/snap-000099")
+    Files.createDirectories(orphanData)
+    Files.writeString(orphanData.resolve("part-junk.parquet"), "x")
+    val tmpSeg = Paths.get(s"$dir/t/log/_tmp-seg-000042")
+    Files.createDirectories(tmpSeg)
+    Files.writeString(tmpSeg.resolve("part-junk.parquet"), "x")
+    Files.createFile(Paths.get(s"$dir/t/meta/snap-000002.props"))
+    // the dead claim blocks the next commit with a conflict — and the
+    // loser leaves its own already-written data dir behind, exactly
+    // the debris retryOnConflict documents for this collector
+    intercept[TieredTable.CommitConflictException] {
+      t.commitAppend(Seq(9L).toDF("id"))
+    }
+    assert(t.gcOrphans() == 4,
+      "orphan dir + temp seg + dead claim + the failed commit's data dir")
+    // live data untouched, debris gone
+    assert(t.readUnion().as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
+    assert(!Files.exists(orphanData) && !Files.exists(tmpSeg))
+    // the id space is unblocked: the commit now lands as snapshot 2
+    assert(t.commitAppend(Seq(9L).toDF("id")).id == 2L)
+    assert(t.readCold().as[Long].collect().sorted.toSeq == Seq(1L, 2L, 9L))
+    // a FULLY-WRITTEN unpublished manifest (unknown outcome) is spared
+    val m2 = Files.readString(Paths.get(s"$dir/t/meta/snap-000002.props"))
+    Files.writeString(Paths.get(s"$dir/t/meta/snap-000003.props"),
+      m2.replaceFirst("(?m)^id=2$", "id=3"))
+    assert(t.gcOrphans() == 0)
+    assert(Files.exists(Paths.get(s"$dir/t/meta/snap-000003.props")),
+      "unknown-outcome manifests are an operator decision, not GC fodder")
+  }
+
   test("append-only CDC fast path: new files arrive as +I with no diff join") {
     val t = tmpTable()
     t.appendLog(Seq(1L, 2L).toDF("id")); t.tier() // snap 1
