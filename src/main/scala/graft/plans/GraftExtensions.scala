@@ -16,8 +16,76 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * /root/reference/README.md:236-238).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectParser((_, delegate) => new TemporalJoinParser(delegate))
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_changes"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[GraftExtensions].getName, "graft_changes"),
+      (args: Seq[Expression]) => GraftChangesTvf.plan(args)))
+  }
+}
+
+/** SQL surface for the CDC changelog: the table-valued function
+  * `graft_changes('<db>.<table>', <fromSnapshot>, <toSnapshot>)` —
+  * the Flink-SQL-changelog / Iceberg-`table_changes` analog of
+  * [[graft.storage.TieredTable.incrementalRead]]. Key columns come
+  * from the registered table's primary key; keyless (append-only)
+  * tables pass them as an optional fourth argument (`'col1,col2'`).
+  * The builder splices the incremental read's logical plan in place of
+  * the TVF, so everything downstream — projections, filters,
+  * aggregates, EXPLAIN — is ordinary Catalyst over an ordinary plan;
+  * filters on the output push into the underlying snapshot scans like
+  * any other subquery.
+  */
+object GraftChangesTvf {
+  import org.apache.spark.sql.catalyst.expressions.Literal
+  import org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias
+  import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+
+  private def str(e: Expression): Option[String] = e match {
+    case Literal(v, StringType) if v != null => Some(v.toString)
+    case _ => None
+  }
+  private def long(e: Expression): Option[Long] = e match {
+    case Literal(v: Int, IntegerType) => Some(v.toLong)
+    case Literal(v: Long, LongType) => Some(v)
+    case _ => None
+  }
+  private def fail(msg: String): Nothing =
+    throw new org.apache.spark.sql.AnalysisException(
+      errorClass = "USER_RAISED_EXCEPTION",
+      messageParameters = Map("errorMessage" -> s"graft_changes: $msg"))
+
+  def plan(args: Seq[Expression]): LogicalPlan = {
+    if (args.size < 3 || args.size > 4)
+      fail("expected (table, fromSnapshot, toSnapshot[, keyCols]), " +
+        s"got ${args.size} arguments")
+    val tbl = str(args(0)).getOrElse(
+      fail("table must be a string literal like 'db.table'"))
+    val from = long(args(1)).getOrElse(
+      fail("fromSnapshot must be an integer literal"))
+    val to = long(args(2)).getOrElse(
+      fail("toSnapshot must be an integer literal"))
+    val parts = tbl.split("\\.").toSeq match {
+      case Seq(TieredCatalog.CatalogName, db, t) => Seq(db, t)
+      case p @ Seq(_, _) => p
+      case _ => fail(s"table must be '<db>.<table>', got '$tbl'")
+    }
+    val entry = TieredCatalog.lookup(parts.head, parts(1)).getOrElse(
+      fail(s"unknown graft table '$tbl' — register or CREATE it first"))
+    val keys = args.lift(3).flatMap(str)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(entry.pk)
+    if (keys.isEmpty)
+      fail(s"'$tbl' has no primary key — pass key columns as the " +
+        "fourth argument, e.g. graft_changes('db.t', 1, 2, 'id')")
+    val spark = org.apache.spark.sql.SparkSession.active
+    val t = graft.storage.TieredTable(spark, entry.path, entry.pk,
+      entry.mergeOnRead, entry.partitionBy, entry.bloomCols)
+    SubqueryAlias("graft_changes",
+      t.incrementalRead(from, to, keys).queryExecution.logical)
+  }
 }
 
 object TemporalJoinParser {

@@ -38,6 +38,42 @@ class SqlSurfaceSpec extends AnyFunSuite with SparkSpec {
     assert(snaps.collect().map(_.getLong(0)).toSeq == Seq(1L))
   }
 
+  test("graft_changes TVF: the CDC changelog is queryable SQL") {
+    val dir = Files.createTempDirectory("graft-tvf").toString
+    val t = TieredTable(spark, s"$dir/t", pk = Seq("k"))
+    t.commitUpsert(Seq((1, "a"), (2, "b")).toDF("k", "v")) // snap 1
+    t.commitUpsert(Seq((2, "b2"), (3, "c")).toDF("k", "v")) // snap 2
+    graft.plans.TieredCatalog.register("tvf", "kv", s"$dir/t", pk = Seq("k"))
+    val got = spark.sql(
+      """SELECT op, count(*) AS n, sum(k) AS key_sum
+        |FROM graft_changes('tvf.kv', 1, 2)
+        |GROUP BY op ORDER BY op""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq(("+I", 1L, 3L), ("+U", 1L, 2L), ("-U", 1L, 2L)))
+    // the spliced plan is ordinary Catalyst: filters/projections compose
+    assert(spark.sql(
+      "SELECT v FROM graft_changes('tvf.kv', 1, 2) WHERE op = '+I'")
+      .collect().map(_.getString(0)).toSeq == Seq("c"))
+    // keyless tables name their key columns in the fourth argument
+    val ta = TieredTable(spark, s"$dir/a")
+    ta.appendLog(Seq(10L).toDF("id")); ta.tier()
+    ta.appendLog(Seq(20L).toDF("id")); ta.tier()
+    graft.plans.TieredCatalog.register("tvf", "applog", s"$dir/a")
+    assert(spark.sql(
+      "SELECT id, op FROM graft_changes('tvf.applog', 1, 2, 'id')")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((20L, "+I")))
+    // errors are loud and named: no key columns / unknown table
+    val e1 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT * FROM graft_changes('tvf.applog', 1, 2)").collect()
+    }
+    assert(e1.getMessage.contains("no primary key"))
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT * FROM graft_changes('tvf.nope', 1, 2)").collect()
+    }
+    assert(e2.getMessage.contains("unknown graft table"))
+  }
+
   test("FOR SYSTEM_TIME AS OF temporal join parses and joins the current snapshot") {
     // The reference's enrichment query (README.md:222-239): orders
     // stream ⟕ customer FOR SYSTEM_TIME AS OF o.proctime ⟕ nation —
