@@ -108,6 +108,7 @@ object SparkEntry {
     "e7_funnel"         -> (Pipeline.e7Funnel _),
     "e8_retention"      -> (Pipeline.e8Retention _),
     "e10_transitions"   -> (Pipeline.e10Transitions _),
+    "e11_session_window" -> (Pipeline.e11SessionWindow _),
     "a1_asof"           -> (Relational.a1Asof _),
     "r1_range"          -> (Relational.r1Range _),
     "g1_rollup"         -> (Relational.g1Rollup _),
@@ -372,6 +373,17 @@ object SparkEntry {
         |  FROM events)
         |SELECT event_type AS from_type, next_type AS to_type, COUNT(*) AS cnt
         |FROM j WHERE next_type IS NOT NULL GROUP BY 1, 2""".stripMargin,
+    "e11_session_window" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+        |l AS (SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev FROM e),
+        |s AS (SELECT *, CASE WHEN prev IS NULL OR us - prev >= 1800000000
+        |                     THEN 1 ELSE 0 END AS nw FROM l),
+        |x AS (SELECT *, CAST(sum(nw) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid FROM s)
+        |SELECT user_id, min(us) AS start_us,
+        |       max(us) + 1800000000 AS end_excl_us,
+        |       count(*) AS n_events
+        |FROM x GROUP BY user_id, sid""".stripMargin,
     "d7_dedup_groups" ->
       s"""WITH RECURSIVE $shingleCtes,
          |edges AS (SELECT a_id AS src, b_id AS dst FROM ver

@@ -136,6 +136,26 @@ object Events {
       .select(us(col("window.start")).as("window_start_us"),
         col("event_type"), col("cnt"))
 
+  /** Batch sessionization via the built-in session_window() — the same
+    * operator [[sessionStream]] runs continuously, here in batch where
+    * the DuckDB oracle can hash-check it (e11). Window contract is
+    * half-open [first, last+gap): an event exactly `gap` after its
+    * predecessor starts a NEW session (vs [[sessionizeBatch]]'s
+    * strictly-greater split — both are standard, declared explicitly).
+    * Scale: one hash-shuffle on (user, merged-window) with partial
+    * counts map-side — Spark's native session merge, no window
+    * functions, no per-user sort.
+    */
+  def sessionizeNative(events: DataFrame,
+                       gap: String = "30 minutes"): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        us(col("session_window.start")).as("start_us"),
+        us(col("session_window.end")).as("end_excl_us"),
+        col("n_events"))
+
   /** Streaming sessionization via the built-in session_window(): gap-
     * merged per-user sessions, finalized once the watermark passes the
     * session end (append mode → each session emitted exactly once).

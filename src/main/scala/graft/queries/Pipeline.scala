@@ -743,6 +743,15 @@ object Pipeline {
   def e1Sessionize(spark: SparkSession, dir: String): DataFrame =
     Events.sessionizeBatch(Tables.load(spark, dir, "events"), gapMinutes = 30)
 
+  /** E11 — sessionization by the NATIVE session_window operator (the
+    * one the streaming path runs continuously), under the oracle: the
+    * half-open [first, last+gap) window contract, counts per merged
+    * per-user session. Complements e1, which pins the window-function
+    * formulation of the same analysis.
+    */
+  def e11SessionWindow(spark: SparkSession, dir: String): DataFrame =
+    Events.sessionizeNative(Tables.load(spark, dir, "events"))
+
   /** E2 — tumbling-hour rollup: events + distinct users per hour. */
   def e2Hourly(spark: SparkSession, dir: String): DataFrame =
     Events.hourlyBatch(Tables.load(spark, dir, "events"))
