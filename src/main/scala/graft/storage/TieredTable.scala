@@ -768,6 +768,12 @@ class TieredTable(spark: SparkSession, rawTablePath: String,
     Option(new File(logDir.toString).list()).getOrElse(Array.empty)
       .filter(_.startsWith("_tmp-seg-"))
       .foreach { d => rmTreeAt(logDir.resolve(d)); removed += 1 }
+    // metadata temp files a crashed LocalFsMetaStore write left behind
+    // (atomic-move sources; harmless but accumulate) — safe under the
+    // writer-quiet contract
+    Option(new File(metaDir.toString).list()).getOrElse(Array.empty)
+      .filter(_.endsWith(".tmp"))
+      .foreach { f => Files.deleteIfExists(metaDir.resolve(f)); removed += 1 }
     var id = latest + 1
     var claim = meta.get(manifestKey(id))
     while (claim.isDefined) {

@@ -160,6 +160,7 @@ class TieredTableSpec extends AnyFunSuite with SparkSpec {
     val tmpSeg = Paths.get(s"$dir/t/log/_tmp-seg-000042")
     Files.createDirectories(tmpSeg)
     Files.writeString(tmpSeg.resolve("part-junk.parquet"), "x")
+    Files.writeString(Paths.get(s"$dir/t/meta/snapdead.tmp"), "crashed")
     Files.createFile(Paths.get(s"$dir/t/meta/snap-000002.props"))
     // the dead claim blocks the next commit with a conflict — and the
     // loser leaves its own already-written data dir behind, exactly
@@ -167,8 +168,8 @@ class TieredTableSpec extends AnyFunSuite with SparkSpec {
     intercept[TieredTable.CommitConflictException] {
       t.commitAppend(Seq(9L).toDF("id"))
     }
-    assert(t.gcOrphans() == 4,
-      "orphan dir + temp seg + dead claim + the failed commit's data dir")
+    assert(t.gcOrphans() == 5, "orphan dir + temp seg + meta temp + " +
+      "dead claim + the failed commit's data dir")
     // live data untouched, debris gone
     assert(t.readUnion().as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
     assert(!Files.exists(orphanData) && !Files.exists(tmpSeg))
