@@ -52,6 +52,7 @@ object SparkEntry {
     "d2_fingerprint" -> (Pipeline.d2Fingerprint _),
     "d3_ngram_pairs" -> (Pipeline.d3NgramPairs _),
     "d4_minhash_lsh" -> (Pipeline.d4MinhashLsh _),
+    "d10_incr_dedup" -> (Pipeline.d10IncrementalDedup _),
     "d5_simhash"     -> (Pipeline.d5Simhash _),
     "d6_simhash_pairs" -> (Pipeline.d6SimhashPairs _),
     "d7_dedup_groups" -> (Pipeline.d7DedupGroups _),
@@ -111,6 +112,7 @@ object SparkEntry {
     "e11_session_window" -> (Pipeline.e11SessionWindow _),
     "a1_asof"           -> (Relational.a1Asof _),
     "r1_range"          -> (Relational.r1Range _),
+    "r2_interval"       -> (Relational.r2Interval _),
     "g1_rollup"         -> (Relational.g1Rollup _),
     "g2_semi_anti"      -> (Relational.g2SemiAnti _),
     "g3_running_total"  -> (Relational.g3RunningTotal _),
@@ -124,6 +126,10 @@ object SparkEntry {
     "p5_market_share"   -> (Relational.p5MarketShare _),
     "p6_forecast"       -> (Relational.p6ForecastRevenue _),
     "p7_nation_trade"   -> (Relational.p7NationTrade _),
+    "p8_promo_revenue"  -> (Relational.p8PromoRevenue _),
+    "p9_banded_revenue" -> (Relational.p9BandedRevenue _),
+    "p10_big_orders"    -> (Relational.p10BigOrders _),
+    "p11_top_supplier"  -> (Relational.p11TopSupplier _),
     "g7_set_ops"        -> (Relational.g7SetOps _),
     "g8_exists"         -> (Relational.g8ExistsSubquery _),
     "g9_above_avg"      -> (Relational.g9AboveAvg _),
@@ -334,6 +340,25 @@ object SparkEntry {
          |         FROM bands a JOIN bands b ON a.bsig = b.bsig AND a.doc_id < b.doc_id)
          |SELECT cand.a_id, cand.b_id, inter, union_sz
          |FROM cand JOIN ver ON cand.a_id = ver.a_id AND cand.b_id = ver.b_id""".stripMargin,
+    // incremental == full restricted to pairs touching the delta: the
+    // oracle IS d4's pipeline plus that restriction, which is the
+    // operator's correctness contract
+    "d10_incr_dedup" ->
+      s"""WITH $shingleCtes,
+         |mins AS (SELECT doc_id, s.i AS i,
+         |           min(((sh % 2147483647) *
+         |                ((CAST(('0x' || substr(md5('a:' || s.i::VARCHAR), 1, 15)) AS BIGINT) % 2147483646) + 1)
+         |                + (CAST(('0x' || substr(md5('b:' || s.i::VARCHAR), 1, 15)) AS BIGINT) % 2147483647))
+         |               % 2147483647) AS mh
+         |         FROM sh, UNNEST(range(0, 16)) s(i) GROUP BY doc_id, s.i),
+         |bands AS (SELECT doc_id,
+         |            (i // 4)::VARCHAR || ',' || string_agg(mh::VARCHAR, ',' ORDER BY i) AS bsig
+         |          FROM mins GROUP BY doc_id, i // 4),
+         |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |         FROM bands a JOIN bands b ON a.bsig = b.bsig AND a.doc_id < b.doc_id)
+         |SELECT cand.a_id, cand.b_id, inter, union_sz
+         |FROM cand JOIN ver ON cand.a_id = ver.a_id AND cand.b_id = ver.b_id
+         |WHERE cand.a_id % 10 = 0 OR cand.b_id % 10 = 0""".stripMargin,
     "d5_simhash" ->
       s"""WITH $simhashCtes
          |SELECT id, simhash FROM sig""".stripMargin,
@@ -959,6 +984,16 @@ object SparkEntry {
         |FROM events a JOIN events b
         |  ON a.event_type = b.event_type AND a.event_id < b.event_id
         | AND abs(a.value - b.value) <= 0.015625""".stripMargin,
+    "r2_interval" ->
+      """WITH clicks AS (SELECT event_id AS click_id, user_id, ts
+        |                FROM events WHERE event_type = 'click'),
+        |     errors AS (SELECT user_id, ts
+        |                FROM events WHERE event_type = 'error')
+        |SELECT c.click_id, count(e.user_id) AS n_recent_errors
+        |FROM clicks c LEFT JOIN errors e
+        |  ON c.user_id = e.user_id
+        | AND e.ts >= c.ts - INTERVAL 24 HOUR AND e.ts <= c.ts
+        |GROUP BY 1""".stripMargin,
     "g1_rollup" ->
       """SELECT l_returnflag, l_linestatus,
         |       CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(15,2))) AS DECIMAL(15,2)) * 100 AS BIGINT) AS sum_qty_cents,
@@ -1099,6 +1134,50 @@ object SparkEntry {
         |  AND cn.n_name IN ('NATION_3', 'NATION_8')
         |  AND sn.n_name <> cn.n_name
         |GROUP BY 1, 2, 3""".stripMargin,
+    "p8_promo_revenue" ->
+      """SELECT
+        |  CAST(CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
+        |       THEN CAST(l_extendedprice AS DECIMAL(15,2)) *
+        |            (1 - CAST(l_discount AS DECIMAL(15,2)))
+        |       ELSE CAST(0 AS DECIMAL(15,2)) END) AS DECIMAL(25,4)) * 10000 AS BIGINT) AS promo_e4,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2)) *
+        |       (1 - CAST(l_discount AS DECIMAL(15,2)))) AS DECIMAL(25,4)) * 10000 AS BIGINT) AS total_e4
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= '1998-03-01' AND l_shipdate < '1998-04-01'""".stripMargin,
+    "p9_banded_revenue" ->
+      """SELECT
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2)) *
+        |       (1 - CAST(l_discount AS DECIMAL(15,2)))) AS DECIMAL(25,4)) * 10000 AS BIGINT) AS revenue_e4,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+        |       AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 20
+        |       AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 30
+        |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    "p10_big_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey,
+        |    CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(15,2))) AS DECIMAL(15,2)) * 100 AS BIGINT) AS qty_cents
+        |  FROM lineitem GROUP BY 1)
+        |SELECT c_name, c_custkey, o_orderkey, o_orderdate AS order_date, qty_cents
+        |FROM orders
+        |JOIN big ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE qty_cents > 25000
+        |ORDER BY qty_cents DESC, o_orderkey LIMIT 100""".stripMargin,
+    "p11_top_supplier" ->
+      """WITH revenue AS (
+        |  SELECT l_suppkey,
+        |    CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2)) *
+        |         (1 - CAST(l_discount AS DECIMAL(15,2)))) AS DECIMAL(25,4)) * 10000 AS BIGINT) AS total_rev_e4
+        |  FROM lineitem
+        |  WHERE l_shipdate >= '1998-01-01' AND l_shipdate < '1998-04-01'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name, total_rev_e4
+        |FROM supplier JOIN revenue ON s_suppkey = l_suppkey
+        |WHERE total_rev_e4 = (SELECT MAX(total_rev_e4) FROM revenue)""".stripMargin,
     "g7_set_ops" ->
       """WITH h1 AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderdate < '1998-07-01'),
         |h2 AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderdate >= '1998-07-01')

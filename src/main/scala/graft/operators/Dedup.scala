@@ -223,6 +223,60 @@ object Dedup {
     verifyPairs(cand, vectors, num, den)
   }
 
+  /** Incremental MinHash-LSH near-dup pairs: the pairs a NEW batch of
+    * documents (`deltaVectors`) introduces against a standing corpus
+    * whose shingle vectors are already indexed (`corpusVectors`) —
+    * delta×delta plus delta×corpus, exactly the full-recompute pair set
+    * restricted to pairs touching the delta (corpus×corpus pairs were
+    * emitted when THOSE rows were the delta; over a sequence of batches
+    * the union of incremental outputs IS the full pair set).
+    *
+    * This is how dedup runs at 100 TB: the corpus is never re-shingled
+    * or re-joined against itself — per batch the work is O(Δ) signature
+    * math plus band-bucket probes of the index and verification joins
+    * that only ever pull the corpus rows a candidate names. Feed it from
+    * the changelog ([[graft.storage.TieredTable.incrementalRead]] `+I`
+    * rows → delta; the persisted vector index is itself maintained by
+    * appending the delta's vectors after the batch commits).
+    *
+    * Same hash family, banding, and exact-Jaccard verification as
+    * [[minhashLshPairsFrom]], so the d10 oracle replays it in SQL.
+    */
+  def incrementalLshPairs(corpusVectors: DataFrame, deltaVectors: DataFrame,
+                          k: Int = 16, bands: Int = 4,
+                          num: Int = 4, den: Int = 5): DataFrame = {
+    require(k % bands == 0, "k must divide into bands")
+    val rows = k / bands
+    def stacked(vectors: DataFrame): DataFrame = {
+      val sig = minhashSignatureFrom(vectors, k)
+      val bandCols = (0 until bands).map { b =>
+        val parts = (0 until rows).map(r => col(s"mh${b * rows + r}"))
+        concat_ws(",", lit(b.toString) +: parts: _*).as(s"band$b")
+      }
+      sig.select(col("id") +: bandCols: _*).select(col("id"),
+        explode(array((0 until bands).map(b => col(s"band$b")): _*)).as("sig"))
+    }
+    // referenced twice (delta×delta + delta×corpus probes): the delta is
+    // batch-sized, so materializing it once is cheap and keeps the big
+    // side single-pass
+    val dStack = stacked(deltaVectors).localCheckpoint(true)
+    val cStack = stacked(corpusVectors)
+    val dd = dStack.select(col("id").as("a_id"), col("sig"))
+      .join(dStack.select(col("id").as("b_id"), col("sig")), Seq("sig"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"))
+    // corpus side streams through the bucket join once; id order is
+    // normalized so the pair key is orientation-free
+    val dc = dStack.select(col("id").as("d_id"), col("sig"))
+      .join(cStack.select(col("id").as("c_id"), col("sig")), Seq("sig"))
+      .select(least(col("d_id"), col("c_id")).as("a_id"),
+        greatest(col("d_id"), col("c_id")).as("b_id"))
+    val cand = dd.union(dc).distinct()
+    // verification pulls only candidate-named rows from either side: the
+    // id-equi-joins prune the corpus scan to matched keys
+    verifyPairs(cand, corpusVectors.unionByName(deltaVectors), num, den)
+  }
+
   /** Connected components over a near-dup pair graph — the "keep one
     * representative per duplicate cluster" step after any pair-finding
     * variant. Min-label propagation with POINTER JUMPING: each round a

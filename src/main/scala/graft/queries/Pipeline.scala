@@ -96,6 +96,25 @@ object Pipeline {
     Dedup.minhashLshPairsFrom(docVectors(spark, dir),
       k = 16, bands = 4, num = 4, den = 5)
 
+  /** D10 — incremental dedup of an arriving batch against the standing
+    * corpus: docs with `doc_id % 10 == 0` play the delta (the changelog
+    * `+I` rows of a new commit), the rest the already-indexed corpus.
+    * Output = d4's full pair set restricted to pairs touching the delta
+    * (the oracle states exactly that equivalence) — computed WITHOUT the
+    * corpus×corpus join: at 100 TB each batch costs O(Δ) plus bucket
+    * probes of the index, which is why dedup stays incremental instead
+    * of quadratic-in-corpus per refresh. Both sides slice the memoized
+    * vector substrate, so the bench measures the operator, not
+    * re-shingling.
+    */
+  def d10IncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val v = docVectors(spark, dir)
+    Dedup.incrementalLshPairs(
+      corpusVectors = v.filter(col("id") % 10 =!= 0),
+      deltaVectors = v.filter(col("id") % 10 === 0),
+      k = 16, bands = 4, num = 4, den = 5)
+  }
+
   /** D5 — 48-bit SimHash signature per document (wider than the classic
     * 32 because the synthetic vocabulary is tiny — more bits spread the
     * Hamming distances and keep near-dup blocking selective).

@@ -59,6 +59,32 @@ object Relational {
       Tables.load(spark, dir, "events"), "event_id", "value",
       eps = 0.015625, partCols = Seq("event_type"))
 
+  /** R2 — event-time interval join (batch analog of the stream-stream
+    * operator, [[graft.streaming.StreamJoins.intervalJoin]]): per click,
+    * how many errors the same user hit in the preceding 24 hours (the
+    * band that is nontrivial at the fixture's ~7 h median per-user event
+    * gap). The IDENTICAL helper call runs streaming (watermarked state
+    * join, StreamJoinsSpec) — here the analyzer elides the watermark and
+    * plans a banded equi-join: one shuffle per side on the user key,
+    * then a grouped count at click cardinality. LEFT join so zero-error
+    * clicks keep their row (count of a null column skips nulls on both
+    * engines).
+    */
+  def r2Interval(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_uid"),
+        col("ts").as("c_ts"))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id").as("e_uid"), col("ts").as("e_ts"))
+    graft.streaming.StreamJoins.intervalJoin(
+        clicks, errors, "c_uid", "e_uid", "c_ts", "e_ts",
+        lookback = "24 HOUR", lookahead = "0 SECOND",
+        watermark = "1 hour", joinType = "left_outer")
+      .groupBy(col("click_id"))
+      .agg(count(col("e_uid")).as("n_recent_errors"))
+  }
+
   /** G1 — ROLLUP aggregation over lineitem (grand total + per-flag +
     * per-flag-and-status), exact decimal sums.
     */
@@ -370,6 +396,111 @@ object Relational {
       .agg(fixedPoint(sum(col("l_extendedprice").cast(M) *
           (lit(1) - col("l_discount").cast(M)))
         .cast(DecimalType(25, 4)), 4).as("volume_e4"))
+  }
+
+  /** P8 — TPC-H Q14-shaped promo revenue split: lineitem⋈part over one
+    * ship-month, conditional aggregation separating promo-part revenue
+    * from total revenue. The month filter reaches the lineitem scan as
+    * pushed predicates, so at 100 TB the query reads one month of the
+    * fact, not the table; part scales with SF (sf100 ≈ 20 M rows) so it
+    * gets NO broadcast hint — AQE decides (the p3/p4/p5 stance). Both
+    * sums come out of ONE partial aggregate (the CASE WHEN split is a
+    * map-side expression), so the promo/total ratio costs no second
+    * pass; the output is the two exact fixed-point operands rather than
+    * the double ratio — division is the caller's one inexact step.
+    */
+  def p8PromoRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val rev = col("l_extendedprice").cast(M) *
+      (lit(1) - col("l_discount").cast(M))
+    Tables.load(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= "1998-03-01" &&
+        col("l_shipdate") < "1998-04-01")
+      .join(Tables.load(spark, dir, "part"),
+        col("l_partkey") === col("p_partkey"))
+      .agg(
+        fixedPoint(sum(when(col("p_type").startsWith("PROMO"), rev)
+            .otherwise(lit(0).cast(M))).cast(DecimalType(25, 4)), 4)
+          .as("promo_e4"),
+        fixedPoint(sum(rev).cast(DecimalType(25, 4)), 4).as("total_e4"))
+  }
+
+  /** P9 — TPC-H Q19-shaped disjunctive bands: revenue from three
+    * brand/size/quantity bands OR-ed together across lineitem⋈part.
+    * The shape exists to keep the OR-of-ANDs on the RIGHT side of the
+    * plan: Catalyst splits the disjunction into per-side conjunctions
+    * of the common columns (`l_quantity` bounds push to the lineitem
+    * scan, `p_brand`/`p_size` bounds to the part scan) before the join,
+    * so each side scans only rows that can satisfy SOME band — the
+    * classic Q19 trap is evaluating the whole disjunction post-join.
+    * Join stance as p8: no hint on part, AQE decides.
+    */
+  def p9BandedRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.load(spark, dir, "lineitem")
+    val p = Tables.load(spark, dir, "part")
+    val band1 = col("p_brand") === "Brand#1" &&
+      col("p_size").between(1, 10) && col("l_quantity").between(1, 11)
+    val band2 = col("p_brand") === "Brand#2" &&
+      col("p_size").between(1, 20) && col("l_quantity").between(10, 20)
+    val band3 = col("p_brand") === "Brand#3" &&
+      col("p_size").between(1, 30) && col("l_quantity").between(20, 30)
+    l.join(p, col("l_partkey") === col("p_partkey"))
+      .filter(band1 || band2 || band3)
+      .agg(fixedPoint(sum(col("l_extendedprice").cast(M) *
+          (lit(1) - col("l_discount").cast(M))).cast(DecimalType(25, 4)), 4)
+          .as("revenue_e4"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** P10 — TPC-H Q18-shaped large-volume orders: the grouped-HAVING
+    * derived table (per-order quantity > 250) drives the join back into
+    * orders⋈customer. Scale shape: the fact aggregates FIRST —
+    * lineitem's one hash-shuffle on `l_orderkey` reduces it to order
+    * cardinality before anything joins, and the HAVING filter then cuts
+    * that to the handful of jumbo orders, so the orders/customer joins
+    * see a tiny build side (AQE broadcasts it at runtime — exactly the
+    * dynamic-broadcast case the forced-hint removal in p3/p4/p5 was
+    * about). Top-100 bounds the output; the sort is on the aggregate,
+    * tie-broken by the unique order key for engine determinism.
+    */
+  def p10BigOrders(spark: SparkSession, dir: String): DataFrame = {
+    val big = Tables.load(spark, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(fixedPoint(sum(col("l_quantity").cast(M)).cast(M), 2)
+        .as("qty_cents"))
+      .filter(col("qty_cents") > 25000L)
+    Tables.load(spark, dir, "orders")
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.load(spark, dir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate").as("order_date"), col("qty_cents"))
+      .orderBy(col("qty_cents").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
+  /** P11 — TPC-H Q15-shaped top supplier: per-supplier quarterly
+    * revenue, keep the max-revenue supplier(s) — aggregate-of-aggregate
+    * with the scalar max joined back. The revenue aggregate is computed
+    * ONCE and feeds both the max reduction and the equality probe (the
+    * self-referential view Q15 defines); the single-row max is an
+    * explicit broadcast — genuinely bounded, unlike the SF-scaled
+    * tables the p3/p4/p5 fix de-hinted. Equality compares exact
+    * fixed-point BIGINTs, so the "which supplier ties the max" boundary
+    * is engine-deterministic where a double revenue would not be.
+    */
+  def p11TopSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val revenue = Tables.load(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= "1998-01-01" &&
+        col("l_shipdate") < "1998-04-01")
+      .groupBy(col("l_suppkey"))
+      .agg(fixedPoint(sum(col("l_extendedprice").cast(M) *
+          (lit(1) - col("l_discount").cast(M))).cast(DecimalType(25, 4)), 4)
+        .as("total_rev_e4"))
+    val maxRev = revenue.agg(max(col("total_rev_e4")).as("mx"))
+    Tables.load(spark, dir, "supplier")
+      .join(revenue, col("s_suppkey") === col("l_suppkey"))
+      .join(broadcast(maxRev), col("total_rev_e4") === col("mx"))
+      .select(col("s_suppkey"), col("s_name"), col("total_rev_e4"))
   }
 
   /** G7 — set operations (INTERSECT / EXCEPT): customers active in the

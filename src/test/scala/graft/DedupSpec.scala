@@ -47,6 +47,35 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(lsh.contains((1L, 4L)), "identical docs always collide in every band")
   }
 
+  test("incremental LSH pairs == full pairs restricted to the delta") {
+    // duplicates planted in every orientation: delta×delta (10,20),
+    // delta×corpus (1,10 and 2,30... via shared text), corpus×corpus
+    // (1,2) — the last must be ABSENT from the incremental output
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),   // dup of 1
+      (3L, "unrelated content lives in this row alone today"),
+    ).toDF("doc_id", "text")
+    val delta = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta"),  // dup of 1,2
+      (20L, "alpha beta gamma delta epsilon zeta eta theta"),  // dup of all
+      (30L, "totally fresh text that matches nothing else yet"),
+    ).toDF("doc_id", "text")
+    val cv = Dedup.shingleVectors(corpus, "doc_id", "text", n = 3)
+    val dv = Dedup.shingleVectors(delta, "doc_id", "text", n = 3)
+    val inc = Dedup.incrementalLshPairs(cv, dv, k = 16, bands = 4,
+        num = 4, den = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = Dedup.minhashLshPairsFrom(
+        Dedup.shingleVectors(corpus.unionByName(delta), "doc_id", "text",
+          n = 3), k = 16, bands = 4, num = 4, den = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val deltaIds = Set(10L, 20L, 30L)
+    assert(inc == full.filter(p => deltaIds(p._1) || deltaIds(p._2)))
+    assert(full.contains((1L, 2L)) && !inc.contains((1L, 2L)),
+      "corpus-internal pairs are the prior batches' job")
+  }
+
   test("simhash: identical docs get identical signatures; near-dups are close") {
     val sig = Dedup.simhash(docs, "doc_id", "text", width = 32)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
