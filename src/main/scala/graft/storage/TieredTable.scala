@@ -505,6 +505,32 @@ class TieredTable(spark: SparkSession, rawTablePath: String,
     s
   } }
 
+  /** Auto-compaction policy — the maintenance loop's "should I?" next
+    * to [[compact]]'s "do it": rewrite only when the cold tier has
+    * fragmented into more than `maxFiles` parquet files AND their mean
+    * size is under `minAvgBytes`. Both conditions matter at scale: a
+    * high-frequency tiering cadence (the 30 s freshness SLA ≈ 2.9 k
+    * commits/day) shatters the tier into file counts that dominate
+    * planning time, but a tier that is merely LARGE (many
+    * healthy-sized files) must not be rewritten — compaction is a full
+    * read+write of the tier, and re-copying 100 TB because a counter
+    * crossed 64 is the expensive non-mistake. Returns Some(snapshot)
+    * when it compacted, None when the tier is healthy (callers loop:
+    * `table.compactIfNeeded()` after every N commits, the
+    * docker-compose tiering-service cadence).
+    */
+  def compactIfNeeded(maxFiles: Int = 64, minAvgBytes: Long = 32L << 20,
+                      sortBy: Seq[String] = Nil): Option[Snapshot] =
+    currentSnapshot.flatMap { snap =>
+      val parts = snap.files.flatMap { d =>
+        Option(new File(d).listFiles()).map(_.toSeq).getOrElse(Nil)
+      }.filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      val n = parts.size
+      if (n > maxFiles && n > 0 && parts.map(_.length()).sum / n < minAvgBytes)
+        compact(sortBy)
+      else None
+    }
+
   /** Z-ORDER compaction: rewrite the cold tier clustered on the Morton
     * (bit-interleaved) curve over `zCols` — the multi-dimensional
     * sibling of `compact(sortBy)`. Each numeric column is min/max

@@ -8,6 +8,7 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 import graft.functions.TextAnalysis._
 import graft.functions.TextFunctions.tokens
+import graft.operators.Dedup
 import graft.storage.TieredTable
 
 /** A document record on the streaming ingest path. */
@@ -37,6 +38,16 @@ class CorpusPipeline(spark: SparkSession, baseDir: String) {
 
   val corpus  = TieredTable(spark, s"$baseDir/corpus_clean")
   val rejects = TieredTable(spark, s"$baseDir/corpus_rejects")
+  /** Standing shingle-vector index of every accepted doc (id, shs,
+    * n_sh) — what each micro-batch's near-dup probe joins against.
+    */
+  val vectors = TieredTable(spark, s"$baseDir/corpus_vectors")
+  /** Near-dup pairs, appended incrementally: batch N contributes
+    * exactly the pairs touching batch N's docs
+    * ([[Dedup.incrementalLshPairs]]), so the table's union over batches
+    * IS the full corpus pair set — no job ever recomputes it.
+    */
+  val nearDups = TieredTable(spark, s"$baseDir/corpus_neardups")
 
   /** Start the pipeline over a streaming source with columns
     * (doc_id, text, lang, source). Non-null text is required upstream
@@ -44,7 +55,8 @@ class CorpusPipeline(spark: SparkSession, baseDir: String) {
     * this operator if the source may produce it).
     */
   def start(source: DataFrame, checkpoint: String, minTokens: Long = 5,
-            trigger: Trigger = Trigger.ProcessingTime(0)): StreamingQuery = {
+            trigger: Trigger = Trigger.ProcessingTime(0),
+            nearDup: Boolean = false): StreamingQuery = {
     import spark.implicits._
     // key function lives on the companion so the task closure ships a
     // static reference, not this pipeline (whose session/table handles
@@ -63,12 +75,39 @@ class CorpusPipeline(spark: SparkSession, baseDir: String) {
             .withColumn("approx_bpe", approxBpeCount(t)),
           tag = Some(s"corpus-$batchId"))
         rejects.appendLog(drop, tag = Some(s"rejects-$batchId"))
+        if (nearDup) probeNearDups(keep, batchId)
         corpus.tier()
         (): Unit
       }
       .trigger(trigger)
       .option("checkpointLocation", s"$checkpoint/corpus")
       .start()
+  }
+
+  /** The incremental near-dup stage of one micro-batch: shingle the
+    * accepted docs ONCE, LSH-probe them against the standing vector
+    * index (delta×delta ∪ delta×index — [[Dedup.incrementalLshPairs]]),
+    * append the found pairs, then append the delta's vectors so the
+    * NEXT batch probes against them too. Per batch the cost is O(Δ)
+    * vector math + bucket probes; the corpus text is never re-read —
+    * this is the streaming face of the d10 batch query, and the reason
+    * dedup stays a per-commit delta job at 100 TB instead of a
+    * quadratic refresh. Batch-tagged appends keep crash replays
+    * idempotent for BOTH tables (the pair batch and the vector batch
+    * carry the same tag, so a replayed micro-batch is a no-op on each).
+    */
+  private def probeNearDups(keep: DataFrame, batchId: Long): Unit = {
+    // two downstream consumers (pair probe + index append): materialize
+    // the delta's vectors once
+    val dv = Dedup.shingleVectors(keep, "doc_id", "text", n = 3)
+      .localCheckpoint(true)
+    val pairs =
+      if (vectors.unionPaths.isEmpty)
+        // first batch: no standing index yet — delta×delta only
+        Dedup.minhashLshPairsFrom(dv)
+      else Dedup.incrementalLshPairs(vectors.readUnion(), dv)
+    nearDups.appendLog(pairs, tag = Some(s"neardups-$batchId"))
+    vectors.appendLog(dv, tag = Some(s"vectors-$batchId"))
   }
 }
 

@@ -195,6 +195,43 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(graft.operators.Dedup.exact(clean, "doc_id", "text").count() == 2)
   }
 
+  test("streaming near-dup stage: union of incremental pair batches == full recompute") {
+    import graft.streaming.{CorpusDoc, CorpusPipeline}
+    val dir = java.nio.file.Files.createTempDirectory("graft-neardup").toString
+    val p = new CorpusPipeline(spark, dir)
+    val src = MemoryStream[CorpusDoc]
+    val q = p.start(src.toDF(), s"$dir/ckpt", minTokens = 3, nearDup = true)
+    val base = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 w13 w14 w15 w16 w17 w18 w19 w20"
+    src.addData(
+      CorpusDoc(1L, base, "en", "web"),
+      CorpusDoc(2L, "one two three four five six seven eight nine ten", "en", "web"))
+    q.processAllAvailable()
+    src.addData(
+      // near-dup of 1 ACROSS batches (exact dups never reach this stage
+      // — firstOccurrence eats them): one appended word, Jaccard 18/20
+      CorpusDoc(3L, base + " extra", "en", "crawl"),
+      CorpusDoc(4L, "totally different content in this very document here", "en", "crawl"))
+    q.processAllAvailable()
+    q.stop()
+
+    def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("a_id", "b_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val incremental = pairSet(p.nearDups.readUnion())
+    // the cross-batch planted pair came out of the standing index, not
+    // batch-local data
+    assert(incremental.contains((1L, 3L)))
+    // THE contract: batches of incremental pairs sum to exactly the full
+    // corpus recompute — nothing missed at batch boundaries, nothing
+    // duplicated
+    val full = pairSet(graft.operators.Dedup.minhashLshPairs(
+      p.corpus.readUnion(), "doc_id", "text"))
+    assert(incremental == full)
+    // the index holds every accepted doc's vectors for the next batch
+    assert(p.vectors.readUnion().select("id").collect()
+      .map(_.getLong(0)).toSet == Set(1L, 2L, 3L, 4L))
+  }
+
   test("dropDuplicatesWithinWatermark drops key dups inside the watermark") {
     import java.sql.Timestamp
     val src = MemoryStream[Ev]

@@ -306,6 +306,29 @@ class TieredTableSpec extends AnyFunSuite with SparkSpec {
     assert(t.snapshots().count() == 1)
   }
 
+  test("compactIfNeeded fires only on many-small-files fragmentation") {
+    val t = tmpTable()
+    (0 until 4).foreach { i => t.appendLog(Seq(i.toLong).toDF("id")); t.tier() }
+    val before = t.readUnion().as[Long].collect().sorted.toSeq
+    // 4 snapshot dirs of tiny files: over a maxFiles=3 budget → compacts
+    assert(t.compactIfNeeded(maxFiles = 3).isDefined)
+    assert(t.currentSnapshot.get.files.size == 1)
+    assert(t.readUnion().as[Long].collect().sorted.toSeq == before)
+    // healthy tier: under the file budget → no rewrite, no new snapshot
+    // (the one compacted snapshot dir still holds a part file per
+    // shuffle partition, so the budget is on PART files, not dirs)
+    val snapId = t.currentSnapshot.get.id
+    assert(t.compactIfNeeded(maxFiles = 8).isEmpty)
+    // big-but-healthy guard: many files whose AVERAGE size is above the
+    // floor must not be rewritten (minAvgBytes = 0 makes every file
+    // "healthy"; re-copying a large tier on file count alone is the
+    // expensive non-mistake)
+    (0 until 4).foreach { i => t.appendLog(Seq(10L + i).toDF("id")); t.tier() }
+    assert(t.compactIfNeeded(maxFiles = 3, minAvgBytes = 0L).isEmpty)
+    assert(t.currentSnapshot.get.id > snapId) // tiering advanced…
+    assert(t.currentSnapshot.get.op != "compact") // …but nothing compacted
+  }
+
   test("schema evolution: a column added mid-stream is null for older tiers") {
     val t = tmpTable()
     t.appendLog(Seq(1L, 2L).toDF("id")); t.tier()
