@@ -110,6 +110,8 @@ object SparkEntry {
     "e8_retention"      -> (Pipeline.e8Retention _),
     "e10_transitions"   -> (Pipeline.e10Transitions _),
     "e11_session_window" -> (Pipeline.e11SessionWindow _),
+    "e12_sliding"       -> (Pipeline.e12Sliding _),
+    "c12_quantile_gate" -> (Pipeline.c12QuantileGate _),
     "a1_asof"           -> (Relational.a1Asof _),
     "r1_range"          -> (Relational.r1Range _),
     "r2_interval"       -> (Relational.r2Interval _),
@@ -133,6 +135,7 @@ object SparkEntry {
     "g7_set_ops"        -> (Relational.g7SetOps _),
     "g8_exists"         -> (Relational.g8ExistsSubquery _),
     "g9_above_avg"      -> (Relational.g9AboveAvg _),
+    "g10_trailing_count" -> (Relational.g10TrailingCount _),
   )
 
   /** Shared DuckDB CTE fragments for the pipeline oracles. hash60(s) =
@@ -934,6 +937,21 @@ object SparkEntry {
       """SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us,
         |       count(*) AS cnt, count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY 1""".stripMargin,
+    // each event belongs to the two epoch-aligned 2h windows whose
+    // start is its hour or the hour before — the same expansion
+    // Spark's window(ts, '2 hours', '1 hour') performs map-side
+    "e12_sliding" ->
+      """SELECT ((epoch_us(ts) // 3600000000) - k.k) * 3600000000 AS window_start_us,
+        |       count(*) AS cnt, count(DISTINCT user_id) AS n_users
+        |FROM events, UNNEST(range(0, 2)) k(k)
+        |GROUP BY 1""".stripMargin,
+    "c12_quantile_gate" ->
+      """SELECT doc_id, lang, pr FROM (
+        |  SELECT doc_id, lang,
+        |         percent_rank() OVER (PARTITION BY lang
+        |                              ORDER BY n_chars, doc_id) AS pr
+        |  FROM documents)
+        |WHERE pr >= 0.9""".stripMargin,
     "e5_pivot" ->
       """SELECT epoch_us(ts) // 3600000000 AS hour,
         |  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
@@ -1204,5 +1222,11 @@ object SparkEntry {
         |                 WHERE o2.o_custkey = o.o_custkey)
         |    > (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(15,2)) * 100) AS BIGINT)
         |       FROM orders o2 WHERE o2.o_custkey = o.o_custkey)""".stripMargin,
+    "g10_trailing_count" ->
+      """SELECT event_id, user_id,
+        |       count(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |                      RANGE BETWEEN 3600000000 PRECEDING
+        |                                AND CURRENT ROW) AS trail_cnt
+        |FROM events""".stripMargin,
   )
 }

@@ -55,6 +55,30 @@ object Stress {
       time("d8_chunk_dedup") {
         graft.operators.Dedup.chunkDedup(widened, "doc_id", "text",
           chunkTokens = 16) },
+      // d10's O(Δ) claim, measured against d4_lsh's full recompute on
+      // the SAME corpus and substrate: a 10%-of-corpus batch probed
+      // against the standing index should cost a fraction of the full
+      // pair job — the number SCALING.md quotes for why per-commit
+      // dedup stays flat as the corpus grows. Two variants: bands
+      // recomputed from the vector index (no persisted band table), and
+      // the production shape probing a PERSISTED band index (built
+      // untimed below — on disk it is maintenance state, not query work)
+      time("d10_incremental") {
+        graft.operators.Dedup.incrementalLshPairs(
+          corpusVectors = vec.filter(col("id") % 10 =!= 0),
+          deltaVectors = vec.filter(col("id") % 10 === 0),
+          k = 16, bands = 4, num = 4, den = 5) },
+      {
+        val cBands = graft.operators.Dedup
+          .lshBands(vec.filter(col("id") % 10 =!= 0), k = 16, bands = 4)
+          .localCheckpoint(true) // the standing index, staged untimed
+        time("d10_incr_indexed") {
+          graft.operators.Dedup.incrementalLshPairs(
+            corpusVectors = vec.filter(col("id") % 10 =!= 0),
+            deltaVectors = vec.filter(col("id") % 10 === 0),
+            k = 16, bands = 4, num = 4, den = 5,
+            corpusBands = Some(cBands)) }
+      },
     )
     val qs = results.map { case (k, sec, rows) =>
       s""""$k":{"sec":$sec,"rows":$rows}""" }.mkString("{", ",", "}")

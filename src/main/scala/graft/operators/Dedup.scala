@@ -223,6 +223,25 @@ object Dedup {
     verifyPairs(cand, vectors, num, den)
   }
 
+  /** LSH band signatures (id, sig) of a vector set — the persistable
+    * bucket index behind [[incrementalLshPairs]]. `bands` rows per doc,
+    * computed map-side from the shingle vector (no shuffle). Persist
+    * this next to the vectors (one narrow table, `bands` short strings
+    * per doc) and each future batch probes it WITHOUT re-hashing the
+    * corpus.
+    */
+  def lshBands(vectors: DataFrame, k: Int = 16, bands: Int = 4): DataFrame = {
+    require(k % bands == 0, "k must divide into bands")
+    val rows = k / bands
+    val sig = minhashSignatureFrom(vectors, k)
+    val bandCols = (0 until bands).map { b =>
+      val parts = (0 until rows).map(r => col(s"mh${b * rows + r}"))
+      concat_ws(",", lit(b.toString) +: parts: _*).as(s"band$b")
+    }
+    sig.select(col("id") +: bandCols: _*).select(col("id"),
+      explode(array((0 until bands).map(b => col(s"band$b")): _*)).as("sig"))
+  }
+
   /** Incremental MinHash-LSH near-dup pairs: the pairs a NEW batch of
     * documents (`deltaVectors`) introduces against a standing corpus
     * whose shingle vectors are already indexed (`corpusVectors`) —
@@ -231,44 +250,41 @@ object Dedup {
     * emitted when THOSE rows were the delta; over a sequence of batches
     * the union of incremental outputs IS the full pair set).
     *
-    * This is how dedup runs at 100 TB: the corpus is never re-shingled
-    * or re-joined against itself — per batch the work is O(Δ) signature
-    * math plus band-bucket probes of the index and verification joins
-    * that only ever pull the corpus rows a candidate names. Feed it from
-    * the changelog ([[graft.storage.TieredTable.incrementalRead]] `+I`
-    * rows → delta; the persisted vector index is itself maintained by
-    * appending the delta's vectors after the batch commits).
+    * This is how dedup runs at 100 TB, and the plan shape is built for
+    * it: the delta's band signatures are BROADCAST (a micro-batch is
+    * bounded by contract), so the corpus-side probe is a map-side hash
+    * lookup — the index never shuffles, and when `corpusBands` passes
+    * the persisted [[lshBands]] table the corpus is never re-hashed
+    * either. Per batch: O(Δ) signature math + one streaming pass over
+    * the band index + verification joins that pull only candidate-named
+    * rows. Feed it from the changelog
+    * ([[graft.storage.TieredTable.incrementalRead]] `+I` rows → delta;
+    * append the delta's vectors and bands after the batch commits —
+    * [[graft.streaming.CorpusPipeline]] wires exactly that).
     *
     * Same hash family, banding, and exact-Jaccard verification as
     * [[minhashLshPairsFrom]], so the d10 oracle replays it in SQL.
     */
   def incrementalLshPairs(corpusVectors: DataFrame, deltaVectors: DataFrame,
                           k: Int = 16, bands: Int = 4,
-                          num: Int = 4, den: Int = 5): DataFrame = {
-    require(k % bands == 0, "k must divide into bands")
-    val rows = k / bands
-    def stacked(vectors: DataFrame): DataFrame = {
-      val sig = minhashSignatureFrom(vectors, k)
-      val bandCols = (0 until bands).map { b =>
-        val parts = (0 until rows).map(r => col(s"mh${b * rows + r}"))
-        concat_ws(",", lit(b.toString) +: parts: _*).as(s"band$b")
-      }
-      sig.select(col("id") +: bandCols: _*).select(col("id"),
-        explode(array((0 until bands).map(b => col(s"band$b")): _*)).as("sig"))
-    }
+                          num: Int = 4, den: Int = 5,
+                          corpusBands: Option[DataFrame] = None): DataFrame = {
     // referenced twice (delta×delta + delta×corpus probes): the delta is
     // batch-sized, so materializing it once is cheap and keeps the big
     // side single-pass
-    val dStack = stacked(deltaVectors).localCheckpoint(true)
-    val cStack = stacked(corpusVectors)
+    val dStack = lshBands(deltaVectors, k, bands).localCheckpoint(true)
+    val cStack = corpusBands.getOrElse(lshBands(corpusVectors, k, bands))
     val dd = dStack.select(col("id").as("a_id"), col("sig"))
       .join(dStack.select(col("id").as("b_id"), col("sig")), Seq("sig"))
       .filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"))
-    // corpus side streams through the bucket join once; id order is
-    // normalized so the pair key is orientation-free
-    val dc = dStack.select(col("id").as("d_id"), col("sig"))
-      .join(cStack.select(col("id").as("c_id"), col("sig")), Seq("sig"))
+    // the batch side is the build side BY CONTRACT (bounded micro-batch)
+    // — broadcast it so the corpus index streams map-side through the
+    // probe instead of shuffling O(corpus) band rows every batch; id
+    // order is normalized so the pair key is orientation-free
+    val dc = cStack.select(col("id").as("c_id"), col("sig"))
+      .join(broadcast(dStack.select(col("id").as("d_id"), col("sig"))),
+        Seq("sig"))
       .select(least(col("d_id"), col("c_id")).as("a_id"),
         greatest(col("d_id"), col("c_id")).as("b_id"))
     val cand = dd.union(dc).distinct()

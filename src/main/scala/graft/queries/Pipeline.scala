@@ -432,6 +432,29 @@ object Pipeline {
         maxPerGroup = 15)
       .select(col("doc_id"), col("source"))
 
+  /** C12 — quantile-gate calibration: a raw quality signal (chars here;
+    * any per-doc score) is converted to its PER-LANGUAGE percentile
+    * rank and gated at the 90th — how a real pipeline sets "keep the
+    * top decile" thresholds without hand-tuning per-language absolute
+    * cutoffs (longer-written languages would otherwise dominate). One
+    * hash-shuffle on lang + in-partition sort; the rank ordering is
+    * made total by the doc id so tied scores get engine-deterministic
+    * ranks, and percent_rank's (rank−1)/(n−1) is the same single
+    * double division on both engines. At 100 TB swap the exact window
+    * for approx_percentile cutoffs per language (constant-size state);
+    * the gate semantics stay identical.
+    */
+  def c12QuantileGate(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("n_chars"), col("doc_id"))
+    docs(spark, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .withColumn("pr", percent_rank().over(w))
+      .filter(col("pr") >= 0.9)
+      .select(col("doc_id"), col("lang"), col("pr"))
+  }
+
   /** T3 — token counting three ways: whitespace, regex pre-tokenizer,
     * approximate BPE (ceil(len/4) per word).
     */
@@ -774,6 +797,22 @@ object Pipeline {
   /** E2 — tumbling-hour rollup: events + distinct users per hour. */
   def e2Hourly(spark: SparkSession, dir: String): DataFrame =
     Events.hourlyBatch(Tables.load(spark, dir, "events"))
+
+  /** E12 — SLIDING-window rollup (2 h windows every 1 h): each event
+    * feeds two overlapping windows. Spark's `window()` expands the
+    * slide map-side (each row emits its ⌈len/slide⌉ window starts
+    * before the one hash-shuffle on the window key), so overlap
+    * multiplies mapper output width, never adds passes or shuffles —
+    * the standard trend-smoothing companion to e2's tumbling hour.
+    * Epoch-aligned starts; exact distinct users per window.
+    */
+  def e12Sliding(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .groupBy(window(col("ts"), "2 hours", "1 hour"))
+      .agg(count(lit(1)).as("cnt"),
+        count_distinct(col("user_id")).as("n_users"))
+      .select(unix_micros(col("window.start")).as("window_start_us"),
+        col("cnt"), col("n_users"))
 
   /** E3 — per-type order statistics incl. exact interpolated median. */
   def e3Stats(spark: SparkSession, dir: String): DataFrame =

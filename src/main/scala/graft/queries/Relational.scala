@@ -503,6 +503,29 @@ object Relational {
       .select(col("s_suppkey"), col("s_name"), col("total_rev_e4"))
   }
 
+  /** G10 — time-RANGE window frame: per event, how many events the same
+    * user produced in the trailing hour (self included) — the
+    * RANGE-BETWEEN-INTERVAL sibling of g3's ROWS frame, and the window
+    * formulation of what r2 computes as a join. The frame is expressed
+    * on the µs epoch so both engines bound it with identical integer
+    * arithmetic; one hash-shuffle on the user key + one in-partition
+    * time sort, frame evaluation is the sliding two-pointer pass over
+    * each partition (state = one window of rows, never the history).
+    * COUNT output keeps it integer-exact — a double SUM over a RANGE
+    * frame would be order-sensitive under timestamp ties.
+    */
+  def g10TrailingCount(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"))
+      .rangeBetween(-3600000000L, 0L)
+    Tables.load(spark, dir, "events")
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("trail_cnt", count(lit(1)).over(w))
+      .select(col("event_id"), col("user_id"), col("trail_cnt"))
+  }
+
   /** G7 — set operations (INTERSECT / EXCEPT): customers active in the
     * first half of the date range vs the second, one accounting row. Both
     * operands pre-aggregate to distinct keys, so the set ops run at

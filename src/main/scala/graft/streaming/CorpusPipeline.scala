@@ -39,9 +39,14 @@ class CorpusPipeline(spark: SparkSession, baseDir: String) {
   val corpus  = TieredTable(spark, s"$baseDir/corpus_clean")
   val rejects = TieredTable(spark, s"$baseDir/corpus_rejects")
   /** Standing shingle-vector index of every accepted doc (id, shs,
-    * n_sh) — what each micro-batch's near-dup probe joins against.
+    * n_sh) — what near-dup candidates are VERIFIED against.
     */
   val vectors = TieredTable(spark, s"$baseDir/corpus_vectors")
+  /** Standing LSH band-signature index (id, sig) — what each
+    * micro-batch's broadcast probe scans, so the corpus is never
+    * re-hashed ([[graft.operators.Dedup.lshBands]]).
+    */
+  val bandsIdx = TieredTable(spark, s"$baseDir/corpus_bands")
   /** Near-dup pairs, appended incrementally: batch N contributes
     * exactly the pairs touching batch N's docs
     * ([[Dedup.incrementalLshPairs]]), so the table's union over batches
@@ -105,9 +110,15 @@ class CorpusPipeline(spark: SparkSession, baseDir: String) {
       if (vectors.unionPaths.isEmpty)
         // first batch: no standing index yet — delta×delta only
         Dedup.minhashLshPairsFrom(dv)
-      else Dedup.incrementalLshPairs(vectors.readUnion(), dv)
+      else Dedup.incrementalLshPairs(vectors.readUnion(), dv,
+        corpusBands = Some(bandsIdx.readUnion()))
+    // pairs FIRST: a crash mid-sequence then replays into tag no-ops on
+    // the already-appended tables and fresh appends on the rest — the
+    // probe must never see this batch's own rows in the index, which
+    // holds because the index appends come after
     nearDups.appendLog(pairs, tag = Some(s"neardups-$batchId"))
     vectors.appendLog(dv, tag = Some(s"vectors-$batchId"))
+    bandsIdx.appendLog(Dedup.lshBands(dv), tag = Some(s"bands-$batchId"))
   }
 }
 

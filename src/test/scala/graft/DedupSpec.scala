@@ -76,6 +76,22 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
       "corpus-internal pairs are the prior batches' job")
   }
 
+  test("incremental probe broadcasts the delta side, not the index") {
+    val corpus = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    val delta = Seq((10L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    val cv = Dedup.shingleVectors(corpus, "doc_id", "text", n = 3)
+    val plan = Dedup.incrementalLshPairs(cv,
+        Dedup.shingleVectors(delta, "doc_id", "text", n = 3),
+        corpusBands = Some(Dedup.lshBands(cv)))
+      .queryExecution.executedPlan.toString
+    // the contract that matters at 100 TB: the batch-sized delta is the
+    // broadcast build side, so the standing index streams map-side and
+    // never shuffles O(corpus) band rows
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+
   test("simhash: identical docs get identical signatures; near-dups are close") {
     val sig = Dedup.simhash(docs, "doc_id", "text", width = 32)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -227,9 +227,12 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     val full = pairSet(graft.operators.Dedup.minhashLshPairs(
       p.corpus.readUnion(), "doc_id", "text"))
     assert(incremental == full)
-    // the index holds every accepted doc's vectors for the next batch
+    // the index holds every accepted doc's vectors for the next batch,
+    // and the band index carries `bands` signature rows per doc (what
+    // the broadcast probe scans instead of re-hashing the corpus)
     assert(p.vectors.readUnion().select("id").collect()
       .map(_.getLong(0)).toSet == Set(1L, 2L, 3L, 4L))
+    assert(p.bandsIdx.readUnion().count() == 16) // 4 docs × 4 bands
   }
 
   test("dropDuplicatesWithinWatermark drops key dups inside the watermark") {
