@@ -136,6 +136,8 @@ object SparkEntry {
     "g8_exists"         -> (Relational.g8ExistsSubquery _),
     "g9_above_avg"      -> (Relational.g9AboveAvg _),
     "g10_trailing_count" -> (Relational.g10TrailingCount _),
+    "k1_salted_agg"     -> (Relational.k1SaltedAgg _),
+    "k2_salted_join"    -> (Relational.k2SaltedJoin _),
   )
 
   /** Shared DuckDB CTE fragments for the pipeline oracles. hash60(s) =
@@ -1228,5 +1230,15 @@ object SparkEntry {
         |                      RANGE BETWEEN 3600000000 PRECEDING
         |                                AND CURRENT ROW) AS trail_cnt
         |FROM events""".stripMargin,
+    // the oracles for the skew rewrites are the UNREWRITTEN queries:
+    // salting must be row-for-row invisible
+    "k1_salted_agg" ->
+      """SELECT event_type, count(*) AS cnt
+        |FROM events GROUP BY 1""".stripMargin,
+    "k2_salted_join" ->
+      """SELECT count(*) AS n_rows,
+        |       CAST(sum(l_orderkey) AS BIGINT) AS key_sum,
+        |       CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(15,2)) * 100 AS BIGINT)) AS BIGINT) AS price_cents_sum
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey""".stripMargin,
   )
 }

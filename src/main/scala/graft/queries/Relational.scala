@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
-import graft.operators.{Joins, Upsert}
+import graft.operators.{Joins, Skew, Upsert}
 import graft.tables.Tables
 
 /** Relational coverage beyond the reference's own workload: the join
@@ -586,6 +586,43 @@ object Relational {
         |                 WHERE o2.o_custkey = o.o_custkey)
         |    > (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(15,2)) * 100) AS BIGINT)
         |       FROM g9_orders o2 WHERE o2.o_custkey = o.o_custkey)""".stripMargin)
+  }
+
+  /** K1 — salted two-phase aggregation under the oracle: per-event-type
+    * counts via [[Skew.saltedAgg]] (key spread over 8 salt buckets,
+    * partial count → merged sum). The oracle is the PLAIN group-by —
+    * salting is semantics-preserving by construction, and that identity
+    * is exactly what this query pins: however a hot key is spread, the
+    * merge phase reassembles the same integers. Integer counts only; a
+    * double SUM would be summation-order-sensitive across salt splits.
+    * Scale: the production case is a key so hot one reducer would take
+    * the whole partition even after AQE's split — the salt phase caps
+    * any reducer's share at 1/buckets of the hot key.
+    */
+  def k1SaltedAgg(spark: SparkSession, dir: String): DataFrame =
+    Skew.saltedAgg(Tables.load(spark, dir, "events"), "event_type",
+      buckets = 8,
+      partial = Seq("c" -> count(lit(1))),
+      merge = Seq("cnt" -> sum(col("c"))))
+
+  /** K2 — salted fact⋈build join under the oracle: lineitem joined to
+    * orders on the order key through [[Skew.saltedJoin]] (build side
+    * replicated ×4, fact side randomly salted), reduced to one
+    * accounting row. The oracle is the plain join — the replicate-and-
+    * salt rewrite must be row-for-row invisible no matter which salt
+    * each fact row draws. Exact integer outputs (count + key sum + an
+    * exact-cents revenue sum) so the identity is bit-checkable.
+    */
+  def k2SaltedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"),
+        fixedPoint(col("l_extendedprice").cast(M), 2).as("price_cents"))
+    val orders = Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey").as("l_orderkey"), col("o_custkey"))
+    Skew.saltedJoin(l, orders, "l_orderkey", buckets = 4)
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("l_orderkey")).as("key_sum"),
+        sum(col("price_cents")).as("price_cents_sum"))
   }
 
   /** P2 — TPC-H Q3-shaped shipping priority: three-way join, filtered
