@@ -122,6 +122,25 @@ class TieredTableSpec extends AnyFunSuite with SparkSpec {
     assert(t.incrementalRead(2L, 2L, Seq("k")).count() == 0)
   }
 
+  test("maintenance rewrites are changelog-invisible: compact emits no CDC rows") {
+    // compact()/compactZOrder() replace EVERY file yet preserve content
+    // — a file-lineage diff would report the whole table as churned,
+    // so the CDC contract has to be content-level: a changelog spanning
+    // a maintenance rewrite must be empty (else every downstream MV
+    // re-applies the full table after each compaction).
+    val t = tmpTable(pk = Seq("k"))
+    t.commitUpsert(Seq((1, "a"), (2, "b")).toDF("k", "v")) // snap 1
+    t.compact()                                            // snap 2: rewrite
+    assert(t.incrementalRead(1L, 2L, Seq("k")).count() == 0)
+    t.compactZOrder(Seq("k"))                              // snap 3: rewrite
+    assert(t.incrementalRead(1L, 3L, Seq("k")).count() == 0)
+    // and a real change AFTER the rewrites still surfaces, alone
+    t.commitUpsert(Seq((2, "b2")).toDF("k", "v"))          // snap 4
+    val got = t.incrementalRead(1L, 4L, Seq("k"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSet
+    assert(got == Set((2, "b", "-U"), (2, "b2", "+U")))
+  }
+
   test("changelog replay: the op algebra alone carries an aggregate across snapshots") {
     // THE reason -U exists (reference README.md:153-169 upsert
     // semantics): a downstream aggregator holding sum(v)@from applies
