@@ -1,0 +1,104 @@
+package graft.operators
+
+import java.util.concurrent.atomic.AtomicBoolean
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.storage.TieredTable
+
+/** A continuously-maintained materialized aggregate — the runner that
+  * turns [[IncrementalAgg]]'s delta algebra plus
+  * [[TieredTable.changelogSince]]'s cursor into the reference's
+  * always-fresh `nation_revenue` table
+  * (/root/reference/README.md:196-200,247-250) without a standing
+  * stream job.
+  *
+  * Exactly-once by construction: each [[refresh]] commits the merged
+  * state via [[TieredTable.commitOverwrite]] with a tag that ENCODES
+  * the new cursor, so state and cursor are one atomic snapshot — a
+  * maintainer that crashes between apply and commit replays into a tag
+  * no-op, and the cursor read on restart ([[cursor]]) comes from the
+  * state table itself, not a side file that could drift.
+  *
+  * Scale: a refresh costs O(|changelog delta| + |state|) — the delta
+  * aggregates map-side to per-group partials, one full-outer key join
+  * merges them, the base table is never re-read (IncrementalAgg's
+  * contract). The follower thread only schedules; every data move is a
+  * Spark job. Single-maintainer contract: run ONE follower per state
+  * table (the commit tags make a second one harmless but useless).
+  */
+class MaterializedView(source: TieredTable, state: TieredTable,
+                       keyCols: Seq[String], groupCols: Seq[String],
+                       valCol: String, sumCol: String = "sum_v",
+                       cntCol: String = "cnt") {
+  require(groupCols.nonEmpty, "need at least one group column")
+
+  private val CursorTag = "mv-cursor-"
+  private val running = new AtomicBoolean(false)
+  @volatile private var follower: Option[Thread] = None
+
+  /** The source snapshot this view is current through — persisted in
+    * the state table's latest snapshot tag; 0 = never refreshed
+    * (bootstrap pending).
+    */
+  def cursor: Long = state.currentSnapshot.map(_.tag) match {
+    case Some(t) if t.startsWith(CursorTag) =>
+      t.drop(CursorTag.length).toLong
+    case _ => 0L
+  }
+
+  /** The maintained aggregate as of the last refresh. */
+  def view(): DataFrame = state.readCold()
+
+  /** One maintenance step: poll the source changelog past the
+    * persisted cursor, apply it to the state, commit state+cursor as
+    * one tagged overwrite. Returns true when a delta was applied,
+    * false when the view was already current.
+    */
+  def refresh(): Boolean = synchronized {
+    val from = cursor
+    val (to, delta) = source.changelogSince(from, keyCols)
+    if (to == from) return false
+    val cur =
+      if (from == 0L)
+        // bootstrap: empty state with the output schema — the full
+        // snapshot arrives as +I rows through the same delta path
+        delta.select(groupCols.map(col): _*).limit(0)
+          .withColumn(sumCol, lit(0L)).withColumn(cntCol, lit(0L))
+      else state.readCold()
+    val next = IncrementalAgg.applyDelta(cur, delta, groupCols, valCol,
+      sumCol, cntCol)
+    state.commitOverwrite(next, tag = Some(s"$CursorTag$to"))
+    true
+  }
+
+  /** Follow the source continuously: a daemon thread calling
+    * [[refresh]] every `intervalMs` until [[stop]] — the freshness
+    * knob, same contract as the reference's `table.datalake.freshness`.
+    */
+  def start(intervalMs: Long = 1000L): Unit = synchronized {
+    if (running.compareAndSet(false, true)) {
+      val t = new Thread(() => {
+        while (running.get()) {
+          try refresh()
+          catch { case _: InterruptedException => }
+          try Thread.sleep(intervalMs)
+          catch { case _: InterruptedException => }
+        }
+      }, s"graft-mv-follower")
+      t.setDaemon(true)
+      t.start()
+      follower = Some(t)
+    }
+  }
+
+  /** Stop the follower after its current step; the view stays at its
+    * last committed cursor and [[refresh]]/[[start]] resume from there.
+    */
+  def stop(): Unit = {
+    running.set(false)
+    follower.foreach { t => t.interrupt(); t.join(10000L) }
+    follower = None
+  }
+}

@@ -357,6 +357,24 @@ class TieredTable(spark: SparkSession, rawTablePath: String,
     }
   }
 
+  /** Full-content replace commit — the batch `INSERT OVERWRITE` verb
+    * (Flink's batch-mode overwrite of a Fluss table) and the
+    * state-swap primitive [[graft.operators.MaterializedView]] commits
+    * its maintained aggregate with: the new content REPLACES the
+    * previous snapshot wholesale, tag-idempotent like every other
+    * commit verb (a replayed maintenance step with the same tag is a
+    * no-op returning the existing snapshot). Older snapshots remain
+    * time-travelable until [[vacuum]].
+    */
+  def commitOverwrite(df: DataFrame,
+                      tag: Option[String] = None): Snapshot = withCommitLock {
+    tag.flatMap(taggedSnapshot) match {
+      case Some(existing) => return existing
+      case None =>
+    }
+    commitReplace(df, op = "overwrite", tag = tag)
+  }
+
   /** Commit a snapshot whose file list REPLACES the previous one (full
     * rewrite), vs [[commitAppend]]'s accumulate.
     */

@@ -62,6 +62,64 @@ class IncrementalAggSpec extends AnyFunSuite with SparkSpec {
       (r.getString(0), r.getLong(1), r.getLong(2))).toSeq == rebuilt(t))
   }
 
+  test("MaterializedView: cursor rides the state commit; refresh is exactly-once") {
+    import graft.operators.MaterializedView
+    val dir = Files.createTempDirectory("graft-mv").toString
+    val src = TieredTable(spark, s"$dir/src", pk = Seq("k"))
+    val st = TieredTable(spark, s"$dir/state")
+    val mv = new MaterializedView(src, st, Seq("k"), Seq("g"), "v")
+    src.commitUpsert(Seq((1, "a", 10L), (2, "b", 20L), (3, "a", 5L))
+      .toDF("k", "g", "v"))
+    assert(mv.cursor == 0L)
+    assert(mv.refresh(), "bootstrap must apply")
+    def got() = mv.view().orderBy("g").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got() == Seq(("a", 15L, 2L), ("b", 20L, 1L)))
+    assert(mv.cursor == src.latestSnapshotId)
+    // current view: refresh is a no-op and commits nothing
+    val snaps = st.latestSnapshotId
+    assert(!mv.refresh())
+    assert(st.latestSnapshotId == snaps)
+    // update + delete flow through retraction; multiple commits, one poll
+    src.commitUpsert(Seq((2, "b", 25L), (4, "a", 1L)).toDF("k", "g", "v"))
+    src.deleteWhere(col("k") === 1)
+    assert(mv.refresh())
+    assert(got() == Seq(("a", 6L, 2L), ("b", 25L, 1L)))
+    assert(got() == IncrementalAgg.rebuild(src.readCold(), Seq("g"), "v",
+      "sum_v", "cnt").orderBy("g").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq)
+    // a SECOND handle over the same tables resumes from the persisted
+    // cursor — restart-safety without any side file
+    val mv2 = new MaterializedView(src, st, Seq("k"), Seq("g"), "v")
+    assert(mv2.cursor == src.latestSnapshotId && !mv2.refresh())
+  }
+
+  test("MaterializedView follower converges while the source keeps committing") {
+    import graft.operators.MaterializedView
+    val dir = Files.createTempDirectory("graft-mvf").toString
+    val src = TieredTable(spark, s"$dir/src", pk = Seq("k"))
+    val st = TieredTable(spark, s"$dir/state")
+    val mv = new MaterializedView(src, st, Seq("k"), Seq("g"), "v")
+    src.commitUpsert(Seq((1, "a", 1L)).toDF("k", "g", "v"))
+    mv.start(intervalMs = 50L)
+    try {
+      for (i <- 2 to 5)
+        src.commitUpsert(Seq((i, "a", i.toLong)).toDF("k", "g", "v"))
+      val deadline = System.currentTimeMillis() + 30000L
+      def current() = mv.cursor == src.latestSnapshotId
+      while (!current() && System.currentTimeMillis() < deadline)
+        Thread.sleep(100L)
+      assert(current(), "follower must catch up to the source head")
+      assert(mv.view().agg(sum(col("sum_v"))).head().getLong(0) == 15L)
+    } finally mv.stop()
+    // stopped: new commits stay unapplied until an explicit refresh
+    src.commitUpsert(Seq((9, "a", 100L)).toDF("k", "g", "v"))
+    val c = mv.cursor
+    Thread.sleep(200L)
+    assert(mv.cursor == c, "a stopped follower must not advance")
+    assert(mv.refresh())
+  }
+
   test("a fully retracted group drops out of the state") {
     val state = Seq(("a", 10L, 2L), ("b", 5L, 1L)).toDF("g", "sum_v", "n_rows")
     val delta = Seq(("-D", "b", 5L), ("+I", "c", 7L)).toDF("op", "g", "v")
