@@ -37,6 +37,13 @@ class MaterializedView(source: TieredTable, state: TieredTable,
   private val CursorTag = "mv-cursor-"
   private val running = new AtomicBoolean(false)
   @volatile private var follower: Option[Thread] = None
+  /** Last error a follower step hit, if any — a transient failure (a
+    * commit conflict, an interrupted Spark job) must not silently kill
+    * the maintenance thread, so the loop records and retries on the
+    * next tick; operators poll this for alerting. Cleared by the next
+    * successful step.
+    */
+  @volatile var lastError: Option[Throwable] = None
 
   /** The source snapshot this view is current through — persisted in
     * the state table's latest snapshot tag; 0 = never refreshed
@@ -81,8 +88,8 @@ class MaterializedView(source: TieredTable, state: TieredTable,
     if (running.compareAndSet(false, true)) {
       val t = new Thread(() => {
         while (running.get()) {
-          try refresh()
-          catch { case _: InterruptedException => }
+          try { refresh(); lastError = None }
+          catch { case scala.util.control.NonFatal(e) => lastError = Some(e) }
           try Thread.sleep(intervalMs)
           catch { case _: InterruptedException => }
         }
