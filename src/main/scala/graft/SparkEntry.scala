@@ -138,6 +138,7 @@ object SparkEntry {
     "g10_trailing_count" -> (Relational.g10TrailingCount _),
     "k1_salted_agg"     -> (Relational.k1SaltedAgg _),
     "k2_salted_join"    -> (Relational.k2SaltedJoin _),
+    "k3_bucketed_join"  -> (Relational.k3BucketedJoin _),
   )
 
   /** Shared DuckDB CTE fragments for the pipeline oracles. hash60(s) =
@@ -1236,6 +1237,13 @@ object SparkEntry {
       """SELECT event_type, count(*) AS cnt
         |FROM events GROUP BY 1""".stripMargin,
     "k2_salted_join" ->
+      """SELECT count(*) AS n_rows,
+        |       CAST(sum(l_orderkey) AS BIGINT) AS key_sum,
+        |       CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(15,2)) * 100 AS BIGINT)) AS BIGINT) AS price_cents_sum
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey""".stripMargin,
+    // k3 = the same relational result through the bucketed layout — the
+    // co-located physical plan must be content-invisible
+    "k3_bucketed_join" ->
       """SELECT count(*) AS n_rows,
         |       CAST(sum(l_orderkey) AS BIGINT) AS key_sum,
         |       CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(15,2)) * 100 AS BIGINT)) AS BIGINT) AS price_cents_sum

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
-import graft.operators.{Joins, Skew, Upsert}
+import graft.operators.{Bucketing, Joins, Skew, Upsert}
 import graft.tables.Tables
 
 /** Relational coverage beyond the reference's own workload: the join
@@ -620,6 +620,48 @@ object Relational {
     val orders = Tables.load(spark, dir, "orders")
       .select(col("o_orderkey").as("l_orderkey"), col("o_custkey"))
     Skew.saltedJoin(l, orders, "l_orderkey", buckets = 4)
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("l_orderkey")).as("key_sum"),
+        sum(col("price_cents")).as("price_cents_sum"))
+  }
+
+  /** Stage the k3 bucketed tables for `dir` once per session: both join
+    * sides written `bucketBy(8, key)` + per-bucket sorted into the
+    * session warehouse — the one corpus-wide shuffle paid AT INGEST
+    * that every later join on the key skips. Idempotent per (session,
+    * dir): the table name carries the dir fingerprint, so verify/bench
+    * runs at different scale factors stage independent copies, and a
+    * bench warmup pass stages untimed.
+    */
+  private def stageK3(spark: SparkSession, dir: String): (String, String) = {
+    val sfx = java.lang.Long.toHexString(
+      graft.operators.Similarity.jvmHash60(dir))
+    val (lt, ot) = (s"k3_lineitem_$sfx", s"k3_orders_$sfx")
+    if (!spark.catalog.tableExists(lt) || !spark.catalog.tableExists(ot)) {
+      Bucketing.writeBucketed(
+        Tables.load(spark, dir, "lineitem")
+          .select(col("l_orderkey"),
+            fixedPoint(col("l_extendedprice").cast(M), 2).as("price_cents")),
+        lt, "l_orderkey", buckets = 8)
+      Bucketing.writeBucketed(
+        Tables.load(spark, dir, "orders")
+          .select(col("o_orderkey").as("l_orderkey"), col("o_custkey")),
+        ot, "l_orderkey", buckets = 8)
+    }
+    (lt, ot)
+  }
+
+  /** K3 — bucketed co-located join under the oracle: both sides live
+    * bucketed on the join key (staged by [[stageK3]]), so the join
+    * plans with NO exchange on either side (BucketingSpec pins that) —
+    * at 100 TB this is the difference between one corpus shuffle at
+    * ingest and one per query. The oracle is the plain unbucketed
+    * join: the layout must be row-for-row invisible, same contract
+    * family as k1/k2.
+    */
+  def k3BucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val (lt, ot) = stageK3(spark, dir)
+    Bucketing.coLocatedJoin(lt, ot, "l_orderkey")
       .agg(count(lit(1)).as("n_rows"),
         sum(col("l_orderkey")).as("key_sum"),
         sum(col("price_cents")).as("price_cents_sum"))

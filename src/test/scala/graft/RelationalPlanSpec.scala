@@ -87,6 +87,20 @@ class RelationalPlanSpec extends AnyFunSuite with SparkSpec {
         "reducing the fact to order grain first")
   }
 
+  test("k3: the bucketed join never hash-repartitions either side") {
+    val plan = planOf(Relational.k3BucketedJoin(spark, dir))
+    // the property that matters at 100 TB: no Exchange hashpartitioning
+    // anywhere — the bucketed layout supplies the join's distribution.
+    // (At this fixture size AQE rightly broadcasts the small side
+    // instead of the bucket-aligned sort-merge; a BroadcastExchange of
+    // the dim is not a corpus shuffle. BucketingSpec pins the forced
+    // SMJ case with the broadcast threshold off.)
+    assert(!plan.contains("Exchange hashpartitioning"),
+      "a hash repartition defeats the bucketed layout\n" + plan.take(2000))
+    assert(plan.contains("Bucketed: true"),
+      "both scans must read the bucketed layout\n" + plan.take(2000))
+  }
+
   test("g8/g9: correlated subqueries fully decorrelate into joins") {
     val g8 = planOf(Relational.g8ExistsSubquery(spark, dir))
     assert(g8.contains("LeftSemi"), "EXISTS must lower to a semi join")
