@@ -72,6 +72,7 @@ object SparkEntry {
     "s12_pq_encode"  -> (Pipeline.s12PqEncode _),
     "s13_cross_lsh"  -> (Pipeline.s13CrossLsh _),
     "s14_ann_recall" -> (Pipeline.s14AnnRecall _),
+    "s15_mmr_rerank" -> (Pipeline.s15MmrRerank _),
     "e9_top_users"   -> (Pipeline.e9TopUsers _),
     "c1_decontam"    -> (Pipeline.c1Decontam _),
     "c5_source_report" -> (Pipeline.c5SourceReport _),

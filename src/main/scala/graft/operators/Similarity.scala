@@ -64,6 +64,64 @@ object Similarity {
     topKByGroup(scored, "query_id", "cos", "neighbor_id", k)
   }
 
+  /** MMR-diversified top-k retrieval: re-rank one query's candidate
+    * pool by Maximal Marginal Relevance — greedily pick the item
+    * maximizing `λ·sim(q,d) − (1−λ)·max_{s∈picked} sim(d,s)`, so the
+    * result trades raw similarity against redundancy with what is
+    * already picked (the dedup-at-retrieval-time companion to s11's
+    * dedup-at-corpus-time).
+    *
+    * Scale split: candidate MINING is distributed ([[knnBrute]] — swap
+    * in the LSH/IVF miners at corpus scale), the greedy re-rank runs on
+    * the driver over the BOUNDED candidate pool (≤ `candidates` rows —
+    * the constant-size-collect precedent of the PQ codebook). O(C·k)
+    * dot products of constant-size vectors; ties break by smaller id,
+    * so the selection is engine-deterministic.
+    */
+  def mmrRerank(corpus: DataFrame, idCol: String, vecCol: String,
+                queryId: Long, candidates: Int = 50, k: Int = 5,
+                lambda: Double = 0.7): DataFrame = {
+    require(k > 0 && candidates >= k, "need candidates >= k > 0")
+    require(lambda >= 0.0 && lambda <= 1.0, "lambda in [0,1]")
+    val spark = corpus.sparkSession
+    val cand = knnBrute(corpus.filter(col(idCol) === queryId), corpus,
+      idCol, vecCol, candidates)
+    val vecs = corpus.select(col(idCol).as("nid"),
+      toDouble(col(vecCol)).as("v"))
+    val pool = cand.join(vecs, col("neighbor_id") === col("nid"))
+      .select(col("neighbor_id"), col("v"))
+      .collect() // bounded: ≤ `candidates` rows of dim-sized vectors
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1)
+    val qv = corpus.filter(col(idCol) === queryId)
+      .select(toDouble(col(vecCol))).head().getSeq[Double](0).toArray
+    def dotp(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    def cosv(a: Array[Double], b: Array[Double]): Double =
+      dotp(a, b) / (math.sqrt(dotp(a, a)) * math.sqrt(dotp(b, b)))
+    val vecOf = pool.toMap
+    val simQ = pool.map { case (id, v) => id -> cosv(qv, v) }.toMap
+    val picked = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+    val remaining = scala.collection.mutable.LinkedHashMap(pool: _*)
+    while (picked.size < k && remaining.nonEmpty) {
+      val (bestId, bestScore) = remaining.iterator.map { case (id, v) =>
+        val redundancy =
+          if (picked.isEmpty) 0.0
+          else picked.iterator.map(p => cosv(v, vecOf(p._1))).max
+        id -> (lambda * simQ(id) - (1 - lambda) * redundancy)
+      }.minBy { case (id, s) => (-s, id) } // max score, ties → smaller id
+      picked += ((bestId, bestScore))
+      remaining.remove(bestId)
+    }
+    import spark.implicits._
+    picked.toSeq.zipWithIndex
+      .map { case ((id, s), i) => (id, (i + 1).toLong,
+        math.rint(s * 1e6).toLong) }
+      .toDF("neighbor_id", "rank", "mmr_e6")
+  }
+
   /** Shared top-k-per-group via the partial-aggregating TopKAgg;
     * output (group, neighbor_id, rank 1..k), (score desc, id asc) order.
     */

@@ -183,6 +183,17 @@ object Pipeline {
         threshold = 0.4)
     }
 
+  /** S15 — MMR-diversified top-5 for probe vector 0 over a top-50
+    * candidate pool (λ=0.7): retrieval that penalizes redundancy with
+    * what is already picked — the rows-only sibling of e4 (the greedy
+    * argmax chain is deterministic but not SQL-expressible, so the
+    * oracle checks shape, not hashes; SimilaritySpec pins the
+    * diversity behavior on a crafted fixture).
+    */
+  def s15MmrRerank(spark: SparkSession, dir: String): DataFrame =
+    Similarity.mmrRerank(emb(spark, dir), "vec_id", "embedding",
+      queryId = 0L, candidates = 50, k = 5, lambda = 0.7)
+
   /** S14 — ANN quality measurement as a first-class query ("measure,
     * don't guess"): per probe, how many of the exact cosine top-10
     * (s1) the LSH near-dup retrieval (s2, symmetrized pairs) actually

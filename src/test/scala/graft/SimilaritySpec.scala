@@ -119,6 +119,31 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(Similarity.planeSign(0, 0) == (if ((h & 1) == 1) 1.0 else -1.0))
   }
 
+  test("mmrRerank trades similarity for diversity; λ=1 is plain top-k") {
+    // query 0 points at +x; 1 and 2 are near-identical close matches;
+    // 3 is diagonal, 4 near-orthogonal. With the first pick sitting
+    // almost ON the query, any candidate's redundancy-to-picked tracks
+    // its query similarity (2-D geometry), so diversity needs a
+    // diversity-leaning λ to beat the twin — 0.3 gives ≥0.09 margins
+    // at every greedy step.
+    val m = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.99f, 0.05f)),
+      (2L, Array(0.99f, 0.06f)),
+      (3L, Array(0.7071f, 0.7071f)),
+      (4L, Array(0.05f, 1.0f)),
+    ).toDF("vec_id", "embedding")
+    def ids(lambda: Double) =
+      Similarity.mmrRerank(m, "vec_id", "embedding", queryId = 0L,
+        candidates = 4, k = 3, lambda = lambda)
+        .orderBy("rank").collect().map(_.getLong(0)).toSeq
+    // λ=1: pure similarity — the redundant twin ranks second
+    assert(ids(1.0) == Seq(1L, 2L, 3L))
+    // λ=0.3: best match first, then the two DIVERSE directions — the
+    // near-twin of pick 1 is priced out of the whole top-3
+    assert(ids(0.3) == Seq(1L, 4L, 3L))
+  }
+
   test("knnGraphFromPairs ranks each endpoint's candidates, both directions") {
     import org.apache.spark.sql.functions.col
     // candidate edges: 0-3, 0-2, 0-1 (so node 0 has three candidates,
