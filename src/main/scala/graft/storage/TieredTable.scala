@@ -540,11 +540,28 @@ class TieredTable(spark: SparkSession, rawTablePath: String,
   def compactIfNeeded(maxFiles: Int = 64, minAvgBytes: Long = 32L << 20,
                       sortBy: Seq[String] = Nil): Option[Snapshot] =
     currentSnapshot.flatMap { snap =>
-      val parts = snap.files.flatMap { d =>
-        Option(new File(d).listFiles()).map(_.toSeq).getOrElse(Nil)
-      }.filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      // recursive walk: partitioned snapshots nest part files under
+      // Hive `col=value/` dirs — a flat listing would count 0 parts
+      // and silently exempt exactly the tables most prone to
+      // fragmentation (every partition adds files per commit)
+      val parts: Seq[Long] = snap.files.flatMap { d =>
+        val root = java.nio.file.Paths.get(d)
+        if (!Files.exists(root)) Nil
+        else {
+          val s = Files.walk(root)
+          try {
+            val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+            s.forEach { p =>
+              if (Files.isRegularFile(p) &&
+                p.getFileName.toString.endsWith(".parquet"))
+                buf += Files.size(p)
+            }
+            buf.toList
+          } finally s.close()
+        }
+      }
       val n = parts.size
-      if (n > maxFiles && n > 0 && parts.map(_.length()).sum / n < minAvgBytes)
+      if (n > maxFiles && n > 0 && parts.sum / n < minAvgBytes)
         compact(sortBy)
       else None
     }

@@ -348,6 +348,25 @@ class TieredTableSpec extends AnyFunSuite with SparkSpec {
     assert(t.currentSnapshot.get.op != "compact") // …but nothing compacted
   }
 
+  test("compactIfNeeded sees part files under Hive partition dirs") {
+    // partitioned snapshots nest parts under col=value/ — the policy
+    // must count those (a flat listing would silently exempt exactly
+    // the most fragmentation-prone tables)
+    val dir = Files.createTempDirectory("graft-tt-part").toString
+    val t = new TieredTable(spark, s"$dir/t", partitionBy = Seq("p"))
+    (0 until 4).foreach { i =>
+      t.commitAppend(Seq((i.toLong, s"p${i % 2}")).toDF("id", "p"))
+    }
+    val before = t.readCold().select("id").as[Long].collect().sorted.toSeq
+    assert(t.compactIfNeeded(maxFiles = 3).isDefined,
+      "4 partitioned commits of tiny files must trip a 3-file budget")
+    assert(t.currentSnapshot.get.op == "compact")
+    assert(t.readCold().select("id").as[Long].collect().sorted.toSeq
+      == before)
+    // partition pruning still works after the policy-driven rewrite
+    assert(t.readCold().filter(col("p") === "p0").count() == 2)
+  }
+
   test("schema evolution: a column added mid-stream is null for older tiers") {
     val t = tmpTable()
     t.appendLog(Seq(1L, 2L).toDF("id")); t.tier()
