@@ -107,6 +107,41 @@ object Demo {
       .head().getLong(0)
     println(s"[demo] VERSION AS OF $firstSnap count = $thenCount (now: $hotCold)")
 
+    // 7. round-trippable DDL (reference README.md:116-122)
+    println("[demo] SHOW CREATE TABLE graft.fluss.nation_revenue:")
+    spark.sql("SHOW CREATE TABLE graft.fluss.nation_revenue")
+      .head().getString(0).linesIterator
+      .foreach(l => println(s"[demo]   $l"))
+
+    // 8. the changelog surface: what changed in nation_revenue between
+    //    its first and latest snapshot, as +I/-U/+U/-D rows (the Fluss
+    //    upsert-changelog contract, README.md:153-169)
+    val revSnaps = TieredCatalog.lookup("fluss", "nation_revenue")
+      .map(e => graft.storage.TieredTable(spark, e.path, e.pk)).get
+    if (revSnaps.latestSnapshotId > 1L) {
+      val ops = spark.sql(
+        s"""SELECT op, COUNT(*) AS n
+           |FROM graft_changes('fluss.nation_revenue', 1,
+           |                   ${revSnaps.latestSnapshotId})
+           |GROUP BY op ORDER BY op""".stripMargin)
+        .collect().map(r => s"${r.getString(0)}=${r.getLong(1)}")
+      println(s"[demo] graft_changes over nation_revenue: ${ops.mkString(" ")}")
+    }
+
+    // 9. a continuously-maintained MV following that changelog by
+    //    cursor — the reference's always-fresh aggregate without a
+    //    standing stream job: order counts per nation key, maintained
+    //    from enriched_orders' CDC
+    val mvState = graft.storage.TieredTable(spark, s"$base/tables/mv_state")
+    val mv = new graft.operators.MaterializedView(
+      p.enriched, mvState, keyCols = Seq("order_key"),
+      groupCols = Seq("nation_name"), valCol = "order_key",
+      sumCol = "key_sum", cntCol = "n_orders")
+    mv.refresh()
+    println(s"[demo] MV (orders per nation) cursor=${mv.cursor}, " +
+      s"groups=${mv.view().count()}; refresh again applied=" +
+      s"${mv.refresh()} (already current)")
+
     set.stopAll(); graft.streaming.StatementSet.stopGracefully(revQ)
     spark.stop()
     println("[demo] done")

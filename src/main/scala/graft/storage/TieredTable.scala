@@ -789,6 +789,24 @@ class TieredTable(spark: SparkSession, rawTablePath: String,
     removed
   }
 
+  /** Time-based retention — Iceberg's `expire_snapshots(older_than)`
+    * shape over [[vacuum]]'s count-based machinery: drop snapshots
+    * committed before `cutoffMs`, but always keep at least `keepLast`
+    * newest (the floor that protects time travel and in-flight
+    * incremental readers whose cursors sit near the head). The policy
+    * verb the retention cron calls with `now − retentionMs`; returns
+    * files+manifests removed.
+    */
+  def expireOlderThan(cutoffMs: Long, keepLast: Int = 1): Int = {
+    val latest = latestSnapshotId
+    if (latest == 0L) return 0
+    // oldest snapshot that is still fresh — everything before it may go
+    val firstFresh = (1L to latest)
+      .find(id => snapshot(id).exists(_.committedAt >= cutoffMs))
+      .getOrElse(latest)
+    vacuum(keepLast = math.max(keepLast, (latest - firstFresh + 1).toInt))
+  }
+
   private def rmTreeAt(p: Path): Unit =
     Files.walk(p).sorted(Comparator.reverseOrder[Path]())
       .forEach(Files.deleteIfExists(_))

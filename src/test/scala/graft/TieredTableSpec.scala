@@ -348,6 +348,24 @@ class TieredTableSpec extends AnyFunSuite with SparkSpec {
     assert(t.currentSnapshot.get.op != "compact") // …but nothing compacted
   }
 
+  test("expireOlderThan drops only pre-cutoff history, floor keeps the head") {
+    val t = tmpTable()
+    t.appendLog(Seq(1L).toDF("id")); t.tier()          // snap 1
+    Thread.sleep(15L)
+    val cutoff = System.currentTimeMillis()
+    Thread.sleep(15L)
+    t.appendLog(Seq(2L).toDF("id")); t.tier()          // snap 2
+    t.appendLog(Seq(3L).toDF("id")); t.tier()          // snap 3
+    assert(t.expireOlderThan(cutoff) > 0)
+    // snap 1 expired; 2 and 3 (fresh) survive with full content
+    assert(t.snapshots().count() == 2)
+    assert(t.readUnion().as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
+    // a cutoff in the future can never remove the current snapshot
+    assert(t.expireOlderThan(System.currentTimeMillis() + 60000L) >= 0)
+    assert(t.snapshots().count() == 1)
+    assert(t.readUnion().as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
+  }
+
   test("compactIfNeeded sees part files under Hive partition dirs") {
     // partitioned snapshots nest parts under col=value/ — the policy
     // must count those (a flat listing would silently exempt exactly
