@@ -137,6 +137,7 @@ object SparkEntry {
     "g8_exists"         -> (Relational.g8ExistsSubquery _),
     "g9_above_avg"      -> (Relational.g9AboveAvg _),
     "g10_trailing_count" -> (Relational.g10TrailingCount _),
+    "g11_not_in"        -> (Relational.g11NotIn _),
     "k1_salted_agg"     -> (Relational.k1SaltedAgg _),
     "k2_salted_join"    -> (Relational.k2SaltedJoin _),
     "k3_bucketed_join"  -> (Relational.k3BucketedJoin _),
@@ -1232,6 +1233,11 @@ object SparkEntry {
         |                      RANGE BETWEEN 3600000000 PRECEDING
         |                                AND CURRENT ROW) AS trail_cnt
         |FROM events""".stripMargin,
+    "g11_not_in" ->
+      """SELECT count(*) AS n_calm, sum(c_custkey) AS key_sum
+        |FROM customer
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+        |                        WHERE o_orderpriority = '1-URGENT')""".stripMargin,
     // the oracles for the skew rewrites are the UNREWRITTEN queries:
     // salting must be row-for-row invisible
     "k1_salted_agg" ->

@@ -503,6 +503,28 @@ object Relational {
       .select(col("s_suppkey"), col("s_name"), col("total_rev_e4"))
   }
 
+  /** G11 — `NOT IN` subquery under the oracle: customers with no
+    * urgent order, phrased the null-aware way. SQL's NOT IN is
+    * three-valued (one NULL in the subquery empties the result), so
+    * Catalyst lowers it to a null-aware anti join — a DIFFERENT
+    * operator from g8's NOT EXISTS anti join, which is why both
+    * phrasings are pinned. Scale note, stated because it is the trap:
+    * NAAJ broadcasts the subquery side or degenerates to a nested-loop
+    * join — on an SF-scaled subquery prefer NOT EXISTS (plain anti
+    * hash join); here the subquery is the filtered urgent-order key
+    * set, and the oracle proves the two phrasings agree on null-free
+    * keys.
+    */
+  def g11NotIn(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "customer").createOrReplaceTempView("g11_customer")
+    Tables.load(spark, dir, "orders").createOrReplaceTempView("g11_orders")
+    spark.sql(
+      """SELECT count(*) AS n_calm, sum(c_custkey) AS key_sum
+        |FROM g11_customer
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM g11_orders
+        |                        WHERE o_orderpriority = '1-URGENT')""".stripMargin)
+  }
+
   /** G10 — time-RANGE window frame: per event, how many events the same
     * user produced in the trailing hour (self included) — the
     * RANGE-BETWEEN-INTERVAL sibling of g3's ROWS frame, and the window

@@ -101,6 +101,13 @@ class RelationalPlanSpec extends AnyFunSuite with SparkSpec {
       "both scans must read the bucketed layout\n" + plan.take(2000))
   }
 
+  test("g11: NOT IN lowers to a null-aware anti join, not a per-row subquery") {
+    val plan = planOf(Relational.g11NotIn(spark, dir))
+    assert(plan.contains("LeftAnti"), plan.take(2000))
+    assert(!plan.linesIterator.exists(_.contains("Subquery")),
+      "the IN-subquery must be rewritten into the join")
+  }
+
   test("g8/g9: correlated subqueries fully decorrelate into joins") {
     val g8 = planOf(Relational.g8ExistsSubquery(spark, dir))
     assert(g8.contains("LeftSemi"), "EXISTS must lower to a semi join")
