@@ -133,6 +133,7 @@ object SparkEntry {
     "p9_banded_revenue" -> (Relational.p9BandedRevenue _),
     "p10_big_orders"    -> (Relational.p10BigOrders _),
     "p11_top_supplier"  -> (Relational.p11TopSupplier _),
+    "p12_priority_check" -> (Relational.p12PriorityCheck _),
     "g7_set_ops"        -> (Relational.g7SetOps _),
     "g8_exists"         -> (Relational.g8ExistsSubquery _),
     "g9_above_avg"      -> (Relational.g9AboveAvg _),
@@ -1233,6 +1234,13 @@ object SparkEntry {
         |                      RANGE BETWEEN 3600000000 PRECEDING
         |                                AND CURRENT ROW) AS trail_cnt
         |FROM events""".stripMargin,
+    "p12_priority_check" ->
+      """SELECT o_orderpriority, count(*) AS n_orders
+        |FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o_orderpriority""".stripMargin,
     "g11_not_in" ->
       """SELECT count(*) AS n_calm, sum(c_custkey) AS key_sum
         |FROM customer

@@ -503,6 +503,28 @@ object Relational {
       .select(col("s_suppkey"), col("s_name"), col("total_rev_e4"))
   }
 
+  /** P12 — TPC-H Q4-shaped priority check: orders per priority that had
+    * at least one LATE line (shipped > 60 days after the order date —
+    * the fixture's stand-in for Q4's commit<receipt test). The
+    * correlated EXISTS carries a cross-table predicate, so Catalyst
+    * decorrelates into a semi join on the order key whose extra
+    * condition evaluates inside the join — one fact shuffle, then a
+    * priority-cardinality aggregate. The semi join keeps the fact scan
+    * single-pass: no order is counted twice however many late lines it
+    * has.
+    */
+  def p12PriorityCheck(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "orders").createOrReplaceTempView("p12_orders")
+    Tables.load(spark, dir, "lineitem").createOrReplaceTempView("p12_lineitem")
+    spark.sql(
+      """SELECT o_orderpriority, count(*) AS n_orders
+        |FROM p12_orders o
+        |WHERE EXISTS (SELECT 1 FROM p12_lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o_orderpriority""".stripMargin)
+  }
+
   /** G11 — `NOT IN` subquery under the oracle: customers with no
     * urgent order, phrased the null-aware way. SQL's NOT IN is
     * three-valued (one NULL in the subquery empties the result), so
