@@ -47,6 +47,8 @@ object SparkEntry {
     "q16_meta_agg"   -> (Lakehouse.q16MetaAgg _),
     "q17_bloom_lookup" -> (Lakehouse.q17BloomLookup _),
     "q18_incr_mv"    -> (Lakehouse.q18IncrementalMv _),
+    "q19_iceberg_read" -> (Lakehouse.q19IcebergRead _),
+    "q19b_iceberg_asof" -> (Lakehouse.q19bIcebergAsOf _),
     // training-data pipeline: dedup / similarity / text analysis
     "d1_exact_dedup" -> (Pipeline.d1ExactDedup _),
     "d2_fingerprint" -> (Pipeline.d2Fingerprint _),
@@ -294,6 +296,16 @@ object SparkEntry {
         |       CAST(SUM(CAST(bal AS DECIMAL(15,2))) * 100 AS BIGINT) AS bal_cents
         |FROM ops GROUP BY op""".stripMargin,
     "q11_time_travel" ->
+      """SELECT COUNT(*) AS cnt, CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+        |FROM orders WHERE o_orderkey % 3 = 0""".stripMargin,
+    // the Iceberg-exported cold tier must equal the cold subset (segs
+    // 0,1 of the modulo split) — same accounting as q7b, reached
+    // through the exported Iceberg metadata chain instead
+    "q19_iceberg_read" ->
+      """SELECT COUNT(*) AS cnt, CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+        |FROM orders WHERE o_orderkey % 3 IN (0, 1)""".stripMargin,
+    // Iceberg time travel to snapshot 1 = the first tiered segment
+    "q19b_iceberg_asof" ->
       """SELECT COUNT(*) AS cnt, CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
         |FROM orders WHERE o_orderkey % 3 = 0""".stripMargin,
     "q12_partition_pruned" ->
@@ -1219,7 +1231,7 @@ object SparkEntry {
         |                    AND o.o_orderpriority = '1-URGENT')""".stripMargin,
     "g9_above_avg" ->
       """SELECT count(*) AS n_above,
-        |       sum(o_orderkey) AS key_sum
+        |       CAST(sum(o_orderkey) AS BIGINT) AS key_sum
         |FROM (
         |  SELECT o_orderkey, o_custkey,
         |         CAST(CAST(o_totalprice AS DECIMAL(15,2)) * 100 AS BIGINT) AS cents
@@ -1242,7 +1254,7 @@ object SparkEntry {
         |                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
         |GROUP BY o_orderpriority""".stripMargin,
     "g11_not_in" ->
-      """SELECT count(*) AS n_calm, sum(c_custkey) AS key_sum
+      """SELECT count(*) AS n_calm, CAST(sum(c_custkey) AS BIGINT) AS key_sum
         |FROM customer
         |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
         |                        WHERE o_orderpriority = '1-URGENT')""".stripMargin,

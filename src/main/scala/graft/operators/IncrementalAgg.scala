@@ -37,9 +37,17 @@ object IncrementalAgg {
                  valCol: String, sumCol: String, cntCol: String,
                  opCol: String = "op"): DataFrame = {
     require(groupCols.nonEmpty, "need at least one group column")
+    // Unknown op: FAIL LOUDLY. A null sign would not poison the sums —
+    // Spark's sum() skips NULL inputs, so a malformed or future-op row
+    // would silently vanish from both __dsum and __dcnt, corrupting the
+    // maintained aggregate (the opposite of the exactly-once contract).
+    // raise_error sits in the otherwise-branch, so the known-op hot
+    // path never evaluates it.
     val sign = when(col(opCol).isin("+I", "+U"), 1L)
       .when(col(opCol).isin("-U", "-D"), -1L)
-      .otherwise(lit(null).cast("long")) // unknown op: poison → null sum
+      .otherwise(raise_error(concat(
+        lit(s"IncrementalAgg: unknown changelog op in '$opCol': "),
+        coalesce(col(opCol), lit("NULL")))).cast("long"))
     val d = delta
       .groupBy(groupCols.map(col): _*)
       .agg(sum(sign * col(valCol)).as("__dsum"),

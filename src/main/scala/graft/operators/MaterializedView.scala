@@ -49,10 +49,24 @@ class MaterializedView(source: TieredTable, state: TieredTable,
     * the state table's latest snapshot tag; 0 = never refreshed
     * (bootstrap pending).
     */
-  def cursor: Long = state.currentSnapshot.map(_.tag) match {
-    case Some(t) if t.startsWith(CursorTag) =>
-      t.drop(CursorTag.length).toLong
-    case _ => 0L
+  def cursor: Long = {
+    // Scan snapshots newest-first rather than trusting only the head:
+    // an untagged maintenance commit on the state table (compact(),
+    // gcOrphans' rewrite, a manual commit) is CURSOR-TRANSPARENT — the
+    // view's watermark is the newest mv-cursor-<digits> tag anywhere in
+    // the retained history, not whatever happens to be the head.
+    // toLongOption (not toLong) so a foreign tag that merely shares the
+    // prefix is skipped, never a crash.
+    Iterator.iterate(state.latestSnapshotId)(_ - 1L)
+      .takeWhile(_ >= 1L)
+      .flatMap(state.snapshot)
+      .flatMap { s =>
+        if (s.tag.startsWith(CursorTag))
+          s.tag.drop(CursorTag.length).toLongOption
+        else None
+      }
+      .nextOption()
+      .getOrElse(0L)
   }
 
   /** The maintained aggregate as of the last refresh. */

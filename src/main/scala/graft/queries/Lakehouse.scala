@@ -147,6 +147,38 @@ object Lakehouse {
     demoTable(spark, dir).readColdAsOf(1L)
       .agg(count(lit(1)).as("cnt"), sum(col("o_orderkey")).as("key_sum"))
 
+  /** Q19 — cross-format interop: export the demo table's cold tier as
+    * Apache Iceberg v2 metadata, then read it back through
+    * [[graft.storage.IcebergExport.readTable]] — a reader that resolves
+    * data files PURELY from the exported artifacts (version-hint →
+    * metadata.json → manifest-list Avro → manifest Avro), sharing no
+    * code with TieredTable's scan path. This is the reference's
+    * Trino-reads-the-Iceberg-tier promise (README.md:257-292) as a
+    * checkable query: the oracle recomputes the cold subset straight
+    * from the raw fixture, so a wrong manifest, missed file, or stale
+    * version hint all hash-mismatch.
+    */
+  def q19IcebergRead(spark: SparkSession, dir: String): DataFrame = {
+    val t = demoTable(spark, dir)
+    graft.storage.IcebergExport.export(t)
+    graft.storage.IcebergExport.readTable(spark, t.tablePath)
+      .agg(count(lit(1)).as("cnt"), sum(col("o_orderkey")).as("key_sum"))
+  }
+
+  /** Q19b — Iceberg time travel over the SAME exported metadata:
+    * resolve snapshot 1 (before the second tier) through the Iceberg
+    * snapshot list and its own manifest list — must equal q11's
+    * TieredTable time travel, recomputed by the oracle from the modulo
+    * split.
+    */
+  def q19bIcebergAsOf(spark: SparkSession, dir: String): DataFrame = {
+    val t = demoTable(spark, dir)
+    graft.storage.IcebergExport.export(t)
+    graft.storage.IcebergExport.readTable(spark, t.tablePath,
+        asOfSnapshotId = Some(1L))
+      .agg(count(lit(1)).as("cnt"), sum(col("o_orderkey")).as("key_sum"))
+  }
+
   /** Partitioned variant of the demo table: orders laid out Hive-style
     * by `o_orderpriority` (Iceberg partition-spec role). Built once per
     * sf dir, idempotent, same tier split as [[demoTable]].

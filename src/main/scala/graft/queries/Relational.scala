@@ -285,10 +285,12 @@ object Relational {
     * order-sensitive double division in the hashed output; the reader
     * (or a final projection) divides.
     *
-    * Plan shape: bounded dims (filtered part, nation ×2 roles, region)
-    * broadcast by hint; customer and supplier scale with SF so they get
-    * NO hint — AQE broadcasts when the runtime size qualifies, else a
-    * shuffled hash join (the correct 100× behavior). The l⋈o orderkey
+    * Plan shape: truly bounded dims (nation ×2 roles, region — fixed
+    * 25/5 rows at any SF) broadcast by hint; part, customer and
+    * supplier scale with SF so they get NO hint — a one-type filter on
+    * part keeps a constant FRACTION, not a constant size, so a forced
+    * broadcast would OOM at 100×. AQE broadcasts when the runtime size
+    * qualifies, else a shuffled hash join (the correct 100× behavior). The l⋈o orderkey
     * join shuffles once, and the two conditional sums ride one
     * aggregation. At 100 TB: same plan, with o co-partitioned or
     * bucketed on orderkey.
@@ -309,7 +311,7 @@ object Relational {
     val vol = col("l_extendedprice").cast(M) *
       (lit(1) - col("l_discount").cast(M))
     lineitem
-      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .join(part, col("l_partkey") === col("p_partkey"))
       .join(orders, col("l_orderkey") === col("o_orderkey"))
       .join(customer, col("o_custkey") === col("c_custkey"))
       .join(broadcast(nationC), col("c_nationkey") === col("cn_key"))
@@ -541,7 +543,7 @@ object Relational {
     Tables.load(spark, dir, "customer").createOrReplaceTempView("g11_customer")
     Tables.load(spark, dir, "orders").createOrReplaceTempView("g11_orders")
     spark.sql(
-      """SELECT count(*) AS n_calm, sum(c_custkey) AS key_sum
+      """SELECT count(*) AS n_calm, CAST(sum(c_custkey) AS BIGINT) AS key_sum
         |FROM g11_customer
         |WHERE c_custkey NOT IN (SELECT o_custkey FROM g11_orders
         |                        WHERE o_orderpriority = '1-URGENT')""".stripMargin)
@@ -621,7 +623,7 @@ object Relational {
     Tables.load(spark, dir, "orders").createOrReplaceTempView("g9_orders")
     spark.sql(
       """SELECT count(*) AS n_above,
-        |       sum(o_orderkey) AS key_sum
+        |       CAST(sum(o_orderkey) AS BIGINT) AS key_sum
         |FROM (
         |  SELECT o_orderkey, o_custkey,
         |         CAST(CAST(o_totalprice AS DECIMAL(15,2)) * 100 AS BIGINT) AS cents

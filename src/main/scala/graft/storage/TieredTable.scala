@@ -46,7 +46,7 @@ import graft.operators.Upsert
   * conditional PUT — isolated in [[commitManifest]]).
   */
 class TieredTable(spark: SparkSession, rawTablePath: String,
-                  pk: Seq[String] = Nil, mergeOnRead: Boolean = false,
+                  val pk: Seq[String] = Nil, val mergeOnRead: Boolean = false,
                   val partitionBy: Seq[String] = Nil,
                   val bloomCols: Seq[String] = Nil,
                   metaStore: MetaStore = null) {

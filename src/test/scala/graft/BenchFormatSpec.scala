@@ -43,6 +43,27 @@ class BenchFormatSpec extends AnyFunSuite {
     } finally java.util.Locale.setDefault(saved)
   }
 
+  test("chunked query lines are short, strict JSON, and reassemble the full map") {
+    // 30 queries → multiple parts; every line must stay under ~1 KB so
+    // a bounded TAIL capture keeps whole lines, and the union of parts
+    // must reproduce every (query, time) pair.
+    val many = (1 to 30).map(i => f"q$i%02d" -> i * 0.125).toMap
+    val lines = Bench.chunkedQueryLines(many, "/d")
+    assert(lines.size > 1)
+    val reassembled = lines.flatMap { l =>
+      assert(!l.contains("\n") && l.length < 1024, s"line too long: $l")
+      val j = parse(l)
+      assert((j \ "metric") == JString("queries_part"))
+      val JInt(parts) = j \ "parts"
+      assert(parts == lines.size)
+      val JObject(qs) = j \ "queries"
+      qs.map { case (k, v) => k -> v.asInstanceOf[JDouble].num }
+    }.toMap
+    assert(reassembled.keySet == many.keySet)
+    for ((k, v) <- many)
+      assert(math.abs(reassembled(k) - v) < 5e-4, s"$k drifted")
+  }
+
   test("per-query line parses and agrees with the summary") {
     val line = Bench.perQueryLine(results, "/d")
     val j = parse(line)

@@ -1,0 +1,141 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.storage.{IcebergExport, TieredTable}
+
+/** The Iceberg-v2 export contract: spec-shaped artifacts (reserved
+  * field-ids, required Avro file metadata, version-hint protocol) and
+  * a full round trip through a reader that resolves data ONLY from the
+  * exported metadata chain — the in-suite stand-in for an external
+  * Iceberg engine (reference README.md:257-292).
+  */
+class IcebergExportSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private def freshTable(): TieredTable = {
+    val dir = Files.createTempDirectory("graft-ice").toString
+    val t = TieredTable(spark, s"$dir/t")
+    t.appendLog(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"))
+    t.tier()                                   // snapshot 1
+    t.appendLog(Seq((4L, "d"), (5L, "e")).toDF("id", "v"))
+    t.tier()                                   // snapshot 2
+    t
+  }
+
+  test("export writes the Iceberg layout and the independent reader round-trips") {
+    val t = freshTable()
+    val mpath = IcebergExport.export(t)
+    val mdir = Paths.get(t.tablePath, "metadata")
+    assert(Files.readString(mdir.resolve("version-hint.text")).trim == "1")
+    assert(mpath.getFileName.toString == "v00001.metadata.json")
+    val md = Files.readString(mpath)
+    for (k <- Seq("\"format-version\":2", "current-snapshot-id",
+        "manifest-list", "table-uuid", "schemas", "partition-specs"))
+      assert(md.contains(k), s"metadata.json missing $k")
+
+    // the reader shares no graft-manifest code: same rows as readCold
+    val viaIceberg = IcebergExport.readTable(spark, t.tablePath)
+      .select("id", "v").as[(Long, String)].collect().toSet
+    val viaGraft = t.readCold()
+      .select("id", "v").as[(Long, String)].collect().toSet
+    assert(viaIceberg == viaGraft && viaIceberg.size == 5)
+  }
+
+  test("manifest avro files carry the spec's reserved field-ids and key-value metadata") {
+    import org.apache.avro.file.DataFileReader
+    import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+    val t = freshTable()
+    IcebergExport.export(t)
+    val mdir = Paths.get(t.tablePath, "metadata")
+
+    val listReader = new DataFileReader[GenericRecord](
+      mdir.resolve("snap-000002-manifest-list.avro").toFile,
+      new GenericDatumReader[GenericRecord]())
+    try {
+      for (k <- Seq("snapshot-id", "sequence-number", "format-version"))
+        assert(listReader.getMetaKeys.asScala.toSet.contains(k))
+      val sch = listReader.getSchema
+      // spec-reserved manifest_file ids
+      assert(sch.getField("manifest_path").getObjectProp("field-id") == 500)
+      assert(sch.getField("added_snapshot_id").getObjectProp("field-id") == 503)
+      assert(sch.getField("content").getObjectProp("field-id") == 517)
+      val entries = listReader.iterator().asScala.toList
+      assert(entries.size == 1)
+      val manifestPath = entries.head.get("manifest_path").toString
+      assert(Files.exists(Paths.get(manifestPath)))
+
+      val mReader = new DataFileReader[GenericRecord](
+        Paths.get(manifestPath).toFile, new GenericDatumReader[GenericRecord]())
+      try {
+        val metas = mReader.getMetaKeys.asScala.toSet
+        for (k <- Seq("schema", "partition-spec", "partition-spec-id",
+            "format-version", "content"))
+          assert(metas.contains(k), s"manifest missing metadata key $k")
+        val es = mReader.getSchema
+        assert(es.getField("status").getObjectProp("field-id") == 0)
+        val dataFile = es.getField("data_file")
+        assert(dataFile.getObjectProp("field-id") == 2)
+        assert(dataFile.schema().getField("file_path")
+          .getObjectProp("field-id") == 100)
+        assert(dataFile.schema().getField("record_count")
+          .getObjectProp("field-id") == 103)
+        // snapshot 2's manifest: snapshot-1 files EXISTING(0), new ADDED(1)
+        val rows = mReader.iterator().asScala.toList
+        val statuses = rows.map(_.get("status").asInstanceOf[Int]).toSet
+        assert(statuses == Set(0, 1),
+          "carried-over files must be EXISTING, new files ADDED")
+        val total = rows.map(_.get("data_file").asInstanceOf[GenericRecord]
+          .get("record_count").asInstanceOf[Long]).sum
+        assert(total == 5L, "record counts must come from real footers")
+      } finally mReader.close()
+    } finally listReader.close()
+  }
+
+  test("iceberg time travel resolves historic snapshots; re-export bumps the version") {
+    val t = freshTable()
+    IcebergExport.export(t)
+    val asOf1 = IcebergExport.readTable(spark, t.tablePath,
+        asOfSnapshotId = Some(1L))
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(asOf1 == Seq(1L, 2L, 3L),
+      "snapshot 1 through Iceberg = readColdAsOf(1)")
+
+    // a third commit, then re-export: immutable metadata files, new hint
+    t.commitAppend(Seq((6L, "f")).toDF("id", "v"))
+    IcebergExport.export(t)
+    val mdir = Paths.get(t.tablePath, "metadata")
+    assert(Files.readString(mdir.resolve("version-hint.text")).trim == "2")
+    assert(Files.exists(mdir.resolve("v00001.metadata.json")),
+      "earlier metadata versions are immutable, never overwritten")
+    val now = IcebergExport.readTable(spark, t.tablePath)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(now == (1L to 6L))
+  }
+
+  test("compaction exports correctly: the rewritten file list, not the stale one") {
+    val t = freshTable()
+    t.compact()
+    IcebergExport.export(t)
+    val viaIceberg = IcebergExport.readTable(spark, t.tablePath)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(viaIceberg == (1L to 5L),
+      "post-compaction export must list the compacted files exactly once")
+  }
+
+  test("merge-on-read and partitioned layouts are refused, not silently wrong") {
+    val dir = Files.createTempDirectory("graft-ice-ref").toString
+    val mor = TieredTable(spark, s"$dir/mor", pk = Seq("id"), mergeOnRead = true)
+    mor.commitUpsert(Seq((1L, "a")).toDF("id", "v"))
+    assertThrows[IllegalArgumentException](IcebergExport.export(mor))
+
+    val part = TieredTable(spark, s"$dir/part", partitionBy = Seq("v"))
+    part.commitAppend(Seq((1L, "a")).toDF("id", "v"))
+    assertThrows[IllegalArgumentException](IcebergExport.export(part))
+  }
+}

@@ -5,7 +5,7 @@ import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.storage.{InMemoryMetaStore, LocalFsMetaStore, MetaStore, TieredTable}
+import graft.storage.{HttpMetaStore, InMemoryMetaStore, LocalFsMetaStore, MetaStore, TieredTable}
 
 /** The commit protocol's portability contract: every store in
   * [[stores]] must give putIfAbsent exactly-one-winner semantics, and a
@@ -19,7 +19,10 @@ class MetaStoreSpec extends AnyFunSuite with SparkSpec {
   private def stores: Seq[(String, () => MetaStore)] = Seq(
     "local-fs" -> (() =>
       new LocalFsMetaStore(Files.createTempDirectory("graft-ms"))),
-    "in-memory-object" -> (() => new InMemoryMetaStore()))
+    "in-memory-object" -> (() => new InMemoryMetaStore()),
+    // wire-level: conditional PUT over real sockets against the stub's
+    // server-side arbitration — 16 threads race genuine HTTP requests
+    "http-object" -> (() => new HttpMetaStore(ObjectStoreStub.freshBucketUrl())))
 
   for ((name, mk) <- stores) {
     test(s"$name: putIfAbsent has exactly one winner under contention") {
@@ -76,6 +79,25 @@ class MetaStoreSpec extends AnyFunSuite with SparkSpec {
     val t2 = TieredTable(spark, s"$dir/t", metaStore = store)
     assert(t2.latestSnapshotId == 2L)
     assert(t2.readUnion().as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L, 4L))
+  }
+
+  test("tiered table commits end-to-end over HTTP conditional PUT") {
+    val store = new HttpMetaStore(ObjectStoreStub.freshBucketUrl())
+    val dir = Files.createTempDirectory("graft-httptable").toString
+    val t = TieredTable(spark, s"$dir/t", metaStore = store)
+    t.appendLog(Seq(1L, 2L).toDF("id")); t.tier()
+    t.appendLog(Seq(3L).toDF("id"));     t.tier()
+    assert(t.readCold().as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
+    assert(t.readColdAsOf(1).as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+    // manifests live behind HTTP URLs, nothing on the local meta/ dir
+    val snaps = t.snapshots().orderBy("snapshot_id").collect()
+    assert(snaps.forall(_.getAs[String]("manifest_list").startsWith("http://")))
+    assert(Option(Paths.get(s"$dir/t/meta").toFile.list()).get.isEmpty,
+      "metadata must live in the object store, not in meta/ files")
+    // a second driver handle resolves committed state over the wire
+    val t2 = TieredTable(spark, s"$dir/t", metaStore =
+      new HttpMetaStore(store.location("").stripSuffix("/")))
+    assert(t2.latestSnapshotId == 2L)
   }
 
   test("two drivers on one object store: conditional PUT arbitrates, loser retries") {

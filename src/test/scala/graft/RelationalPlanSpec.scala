@@ -53,6 +53,26 @@ class RelationalPlanSpec extends AnyFunSuite with SparkSpec {
       .contains("ResolvedHint"))
   }
 
+  test("p5: broadcast hints only on bounded dims, never on SF-scaled tables") {
+    // nation (25 rows) and region (5 rows) are bounded at ANY scale
+    // factor, so their hints stay; part/customer/supplier/orders/
+    // lineitem grow with SF — a type-filter on part keeps a constant
+    // FRACTION, not a constant size, so hinting it is a 100× OOM
+    // (VERDICT r5). Inspect the actual hinted subtrees, not the string.
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    val analyzed =
+      Relational.p5MarketShare(spark, dir).queryExecution.analyzed
+    val hintedCols = analyzed.collect {
+      case h: ResolvedHint => h.child.output.map(_.name)
+    }.flatten.toSet
+    assert(hintedCols.nonEmpty, "bounded nation/region hints must stay")
+    for (c <- Seq("p_partkey", "c_custkey", "s_suppkey",
+        "o_orderkey", "l_orderkey")) {
+      assert(!hintedCols.contains(c),
+        s"SF-scaled column $c sits under a forced broadcast hint")
+    }
+  }
+
   test("p8: the ship-month band reaches the lineitem scan") {
     val plan = planOf(Relational.p8PromoRevenue(spark, dir))
     assert(plan.contains("GreaterThanOrEqual(l_shipdate"), plan.take(2000))
