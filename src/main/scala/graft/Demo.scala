@@ -31,14 +31,26 @@ object Demo {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    run(spark, runSecs)
+    spark.stop()
+    println("[demo] done")
+  }
+
+  /** The demo body, returning every report line — so DemoSpec checks
+    * the walkthrough's observable claims instead of eyeballs on stdout
+    * (VERDICT r5 item 10).
+    */
+  def run(spark: SparkSession, runSecs: Int): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    def say(line: String): Unit = { out += line; println(line) }
 
     val base = Files.createTempDirectory("graft-demo").toString
     val p = new DemoPipeline(spark, s"$base/tables")
-    println(s"[demo] tables at $base/tables")
+    say(s"[demo] tables at $base/tables")
 
     // 1. bounded dim ingest (README.md:213-214)
     p.loadDims()
-    println(s"[demo] dims loaded: customer=${p.customer.readCold().count()} " +
+    say(s"[demo] dims loaded: customer=${p.customer.readCold().count()} " +
       s"nation=${p.nation.readCold().count()} (PK last-write-wins applied)")
 
     // 2. the statement set (README.md:211-216): ingest + enrichment,
@@ -74,20 +86,20 @@ object Demo {
       "SELECT COUNT(*) FROM graft.fluss.enriched_orders").head().getLong(0)
     val coldOnly = spark.sql(
       "SELECT COUNT(*) FROM graft.fluss.enriched_orders__cold").head().getLong(0)
-    println(s"[demo] Flink-role count (hot∪cold) = $hotCold")
-    println(s"[demo] Trino-role count (cold only) = $coldOnly")
-    println(f"[demo] invariant hot∪cold ≥ cold: ${hotCold >= coldOnly}")
-    println("[demo] top nations by continuously-maintained revenue:")
+    say(s"[demo] Flink-role count (hot∪cold) = $hotCold")
+    say(s"[demo] Trino-role count (cold only) = $coldOnly")
+    say(f"[demo] invariant hot∪cold ≥ cold: ${hotCold >= coldOnly}")
+    say("[demo] top nations by continuously-maintained revenue:")
     spark.sql(
       """SELECT nation_name, revenue FROM graft.fluss.nation_revenue
         |ORDER BY revenue DESC, nation_name LIMIT 5""".stripMargin)
-      .collect().foreach(r => println(s"[demo]   ${r.getString(0)}: ${r.getDecimal(1)}"))
-    println("[demo] snapshot history (graft.fluss.enriched_orders__snapshots):")
+      .collect().foreach(r => say(s"[demo]   ${r.getString(0)}: ${r.getDecimal(1)}"))
+    say("[demo] snapshot history (graft.fluss.enriched_orders__snapshots):")
     spark.sql(
       """SELECT snapshot_id, operation, rows_added, tiered_seg
         |FROM graft.fluss.enriched_orders__snapshots ORDER BY snapshot_id""".stripMargin)
       .collect().take(10)
-      .foreach(r => println(s"[demo]   $r"))
+      .foreach(r => say(s"[demo]   $r"))
 
     // 5. the reference's temporal-join SQL, verbatim shape
     //    (README.md:236-238), through the parser extension
@@ -97,7 +109,7 @@ object Demo {
       """SELECT COUNT(*) FROM graft.fluss.enriched_orders o
         |LEFT JOIN graft.fluss.customer FOR SYSTEM_TIME AS OF o.proctime AS c
         |  ON o.cust_key = c.cust_key""".stripMargin).head().getLong(0)
-    println(s"[demo] FOR SYSTEM_TIME AS OF join over the stream output: $enriched rows")
+    say(s"[demo] FOR SYSTEM_TIME AS OF join over the stream output: $enriched rows")
     // 6. SQL time travel to the first committed snapshot
     val firstSnap = spark.sql(
       """SELECT MIN(snapshot_id) FROM graft.fluss.enriched_orders__snapshots""")
@@ -105,13 +117,13 @@ object Demo {
     val thenCount = spark.sql(
       s"SELECT COUNT(*) FROM graft.fluss.enriched_orders VERSION AS OF $firstSnap")
       .head().getLong(0)
-    println(s"[demo] VERSION AS OF $firstSnap count = $thenCount (now: $hotCold)")
+    say(s"[demo] VERSION AS OF $firstSnap count = $thenCount (now: $hotCold)")
 
     // 7. round-trippable DDL (reference README.md:116-122)
-    println("[demo] SHOW CREATE TABLE graft.fluss.nation_revenue:")
+    say("[demo] SHOW CREATE TABLE graft.fluss.nation_revenue:")
     spark.sql("SHOW CREATE TABLE graft.fluss.nation_revenue")
       .head().getString(0).linesIterator
-      .foreach(l => println(s"[demo]   $l"))
+      .foreach(l => say(s"[demo]   $l"))
 
     // 8. the changelog surface: what changed in nation_revenue between
     //    its first and latest snapshot, as +I/-U/+U/-D rows (the Fluss
@@ -125,7 +137,7 @@ object Demo {
            |                   ${revSnaps.latestSnapshotId})
            |GROUP BY op ORDER BY op""".stripMargin)
         .collect().map(r => s"${r.getString(0)}=${r.getLong(1)}")
-      println(s"[demo] graft_changes over nation_revenue: ${ops.mkString(" ")}")
+      say(s"[demo] graft_changes over nation_revenue: ${ops.mkString(" ")}")
     }
 
     // 9. a continuously-maintained MV following that changelog by
@@ -138,12 +150,49 @@ object Demo {
       groupCols = Seq("nation_name"), valCol = "order_key",
       sumCol = "key_sum", cntCol = "n_orders")
     mv.refresh()
-    println(s"[demo] MV (orders per nation) cursor=${mv.cursor}, " +
+    say(s"[demo] MV (orders per nation) cursor=${mv.cursor}, " +
       s"groups=${mv.view().count()}; refresh again applied=" +
       s"${mv.refresh()} (already current)")
 
     set.stopAll(); graft.streaming.StatementSet.stopGracefully(revQ)
-    spark.stop()
-    println("[demo] done")
+
+    // 10. the cold tier as an Apache-Iceberg-v2 table: export the
+    //     metadata chain and re-read PURELY through it — the
+    //     Trino-reads-the-tier interop (README.md:257-292)
+    graft.storage.IcebergExport.export(p.enriched)
+    val iceCount = graft.storage.IcebergExport
+      .readTable(spark, p.enriched.tablePath).count()
+    say(s"[demo] Iceberg-exported cold tier reads $iceCount rows " +
+      s"(TieredTable cold: ${p.enriched.readCold().count()})")
+
+    // 11. change data feed: a CDF table's commits publish op-tagged
+    //     change files; the MV maintenance loop runs as an ORDINARY
+    //     StreamingQuery with its cursor in the Spark checkpoint
+    import spark.implicits._
+    val cdfSrc = graft.storage.TieredTable(spark, s"$base/tables/cdf_src",
+      changeDataFeed = true)
+    cdfSrc.commitAppend(Seq(("ASIA", 10L), ("EMEA", 5L)).toDF("region", "amount"))
+    val cdfState = graft.storage.TieredTable(spark, s"$base/tables/cdf_state")
+    val smv = new graft.operators.MaterializedView(cdfSrc, cdfState,
+      keyCols = Seq("region"), groupCols = Seq("region"),
+      valCol = "amount", sumCol = "sum_amount", cntCol = "n")
+    val sq = smv.startStream(s"$base/ckpt/cdf-mv", intervalMs = 200L)
+    try {
+      sq.processAllAvailable()
+      cdfSrc.commitAppend(Seq(("ASIA", 7L)).toDF("region", "amount"))
+      sq.processAllAvailable()
+    } finally sq.stop()
+    val asia = smv.view().filter($"region" === "ASIA")
+      .select("sum_amount").as[Long].head()
+    say(s"[demo] streaming-MV over the change feed: ASIA sum=$asia " +
+      "(exactly-once, cursor in the Spark checkpoint)")
+
+    // 12. schema evolution: metadata-only RENAME — history included
+    cdfSrc.renameColumn("amount", "amount_usd")
+    val renamedAsOf1 = cdfSrc.readColdAsOf(1L).columns.mkString(",")
+    say(s"[demo] after RENAME amount->amount_usd, snapshot 1 reads as: " +
+      renamedAsOf1)
+
+    out.toSeq
   }
 }

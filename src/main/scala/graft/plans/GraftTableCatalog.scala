@@ -252,12 +252,25 @@ class GraftTableCatalog extends TableCatalog {
     }
   }
 
-  /** `ALTER TABLE graft.<db>.<t> ADD COLUMN(S)` — the DDL face of the
-    * storage layer's schema evolution (segments/snapshots already merge
-    * schemas on read). The persisted declared schema gains the column;
-    * existing rows surface NULL there until data written after the
-    * change carries it. Other change kinds (renames, drops, type
-    * changes) are rejected — they would require rewriting history.
+  /** `ALTER TABLE graft.<db>.<t> ADD / RENAME / DROP COLUMN` — the DDL
+    * face of the storage layer's schema evolution.
+    *
+    * ADD is declared-schema-only: existing rows surface NULL until data
+    * written after the change carries the column (segments/snapshots
+    * merge schemas on read).
+    *
+    * RENAME/DROP are the storage layer's metadata-only column mapping
+    * ([[graft.storage.TieredTable.renameColumn]]/`dropColumn`) — every
+    * TieredTable read, time travel included, presents the current
+    * names with historical data intact. The SQL scan path, however, is
+    * Spark's name-based parquet source over the raw file list, so the
+    * DDL additionally runs one [[graft.storage.TieredTable.compact]]:
+    * compaction reads THROUGH the mapping and rewrites the head
+    * snapshot's files under the new names, converging the physical
+    * layout the SQL scan sees (old snapshots keep old names and stay
+    * time-travelable via the API). This rewrite-on-DDL is the honest
+    * cost of name-based files vs Iceberg's field-id indirection — paid
+    * once at the ALTER, not per read. Type changes stay rejected.
     */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val db = ident.namespace().mkString(".")
@@ -267,14 +280,40 @@ class GraftTableCatalog extends TableCatalog {
     var schema: StructType =
       if (Files.exists(metaP)) StructType.fromDDL(Files.readString(metaP))
       else loadTable(ident).asInstanceOf[TieredSqlTable].schema()
+    lazy val tt = TieredTable(SparkSession.active, e.path, e.pk,
+      e.mergeOnRead, e.partitionBy, e.bloomCols)
+    var needsConverge = false
     changes.foreach {
       case add: TableChange.AddColumn =>
         require(add.fieldNames.length == 1,
           "nested column adds are not supported")
         schema = schema.add(add.fieldNames()(0), add.dataType(),
           add.isNullable)
+      case rn: TableChange.RenameColumn =>
+        require(rn.fieldNames.length == 1,
+          "nested column renames are not supported")
+        val oldName = rn.fieldNames()(0)
+        if (tt.latestSnapshotId > 0 || tt.logSegments.nonEmpty)
+          tt.renameColumn(oldName, rn.newName())
+        schema = StructType(schema.map(f =>
+          if (f.name == oldName) f.copy(name = rn.newName()) else f))
+        needsConverge = true
+      case del: TableChange.DeleteColumn =>
+        require(del.fieldNames.length == 1,
+          "nested column drops are not supported")
+        val name = del.fieldNames()(0)
+        if (tt.latestSnapshotId > 0 || tt.logSegments.nonEmpty)
+          tt.dropColumn(name)
+        schema = StructType(schema.filterNot(_.name == name))
       case other => throw new UnsupportedOperationException(
-        s"unsupported table change: $other (only ADD COLUMN)")
+        s"unsupported table change: $other (ADD/RENAME/DROP COLUMN only)")
+    }
+    if (needsConverge || changes.exists(_.isInstanceOf[TableChange.DeleteColumn])) {
+      // converge the physical head layout for the name-based SQL scan;
+      // a hot tail would re-surface old names in the union read, so
+      // tier it into the rewrite
+      if (tt.logSegments.nonEmpty) tt.tier()
+      if (tt.latestSnapshotId > 0) tt.compact()
     }
     Files.createDirectories(metaP.getParent)
     Files.writeString(metaP, schema.toDDL)

@@ -135,6 +135,17 @@ class CatalogSpec extends AnyFunSuite with SparkSpec {
 
   test("ALTER TABLE ADD COLUMN evolves the declared schema; __files lists tiers") {
     spark.sql("DROP TABLE IF EXISTS graft.wf.evo")
+    // a previous JVM's managed table leaves its location on disk with no
+    // registration for DROP to find — purge so the CREATE safety check
+    // (refuse non-empty unregistered locations) can pass
+    val leftover = java.nio.file.Paths.get(
+      graft.plans.TieredCatalog.warehouse, "wf", "evo")
+    if (java.nio.file.Files.exists(leftover)) {
+      val s = java.nio.file.Files.walk(leftover)
+      try s.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(java.nio.file.Files.deleteIfExists(_))
+      finally s.close()
+    }
     spark.sql("CREATE TABLE graft.wf.evo (id BIGINT, v STRING)")
     spark.sql("INSERT INTO graft.wf.evo VALUES (1, 'a'), (2, 'b')")
     spark.sql("ALTER TABLE graft.wf.evo ADD COLUMN score DOUBLE")
@@ -147,8 +158,10 @@ class CatalogSpec extends AnyFunSuite with SparkSpec {
       "SELECT SUM(CASE WHEN score IS NULL THEN 1 ELSE 0 END) FROM graft.wf.evo")
       .head().getLong(0) == 2)
     // rejected change kinds fail loudly instead of corrupting history
+    // (RENAME/DROP are now supported — SchemaEvolutionSpec — so the
+    // rejected representative is a TYPE change)
     intercept[Exception] {
-      spark.sql("ALTER TABLE graft.wf.evo DROP COLUMN v")
+      spark.sql("ALTER TABLE graft.wf.evo ALTER COLUMN score TYPE STRING")
     }
     // __files: both appends are hot segments until tiering; then cold
     val hotRows = spark.sql(

@@ -1,0 +1,111 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.MaterializedView
+import graft.storage.TieredTable
+
+/** The change-data-feed contract (SURVEY §2 C2/C3 streaming side): every
+  * content-changing commit publishes its op-tagged delta as parquet
+  * change files; the files stream through Spark's file source with the
+  * consumer cursor in the Spark CHECKPOINT; and the MaterializedView
+  * streaming runner is exactly-once across a restart — the reference's
+  * continuous changelog subscription (README.md:153-169,247-250) as an
+  * ordinary StreamingQuery.
+  */
+class ChangeFeedSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  test("append-lineage commits publish +I change files; compact publishes none") {
+    val dir = Files.createTempDirectory("graft-cdf").toString
+    val t = TieredTable(spark, s"$dir/t", changeDataFeed = true)
+    t.appendLog(Seq((1L, "a"), (2L, "b")).toDF("id", "v")); t.tier()
+    t.commitAppend(Seq((3L, "c")).toDF("id", "v"))
+    val c1 = spark.read.parquet(s"$dir/t/changes/snap-000001")
+    assert(c1.select("op").distinct().as[String].collect().toSeq == Seq("+I"))
+    assert(c1.count() == 2)
+    val c2 = spark.read.parquet(s"$dir/t/changes/snap-000002")
+      .select("id", "v", "op").as[(Long, String, String)].collect().toSet
+    assert(c2 == Set((3L, "c", "+I")))
+    // compact rewrites bytes, not content — no change file by definition
+    t.compact()
+    assert(t.latestSnapshotId == 3L)
+    assert(!Files.exists(Paths.get(s"$dir/t/changes/snap-000003")))
+  }
+
+  test("PK commits publish the full op vocabulary (+I, -U/+U pairs, -D)") {
+    val dir = Files.createTempDirectory("graft-cdf-pk").toString
+    val t = TieredTable(spark, s"$dir/t", pk = Seq("id"), changeDataFeed = true)
+    t.commitUpsert(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    // snapshot 2: update key 1, insert key 3
+    t.commitUpsert(Seq((1L, "a2"), (3L, "c")).toDF("id", "v"))
+    val ops2 = spark.read.parquet(s"$dir/t/changes/snap-000002")
+      .select("op", "id", "v").as[(String, Long, String)].collect().toSet
+    assert(ops2 == Set(("-U", 1L, "a"), ("+U", 1L, "a2"), ("+I", 3L, "c")),
+      "the -U before-image must carry the OLD value")
+    // snapshot 3: delete key 2
+    t.deleteWhere(col("id") === 2L)
+    val ops3 = spark.read.parquet(s"$dir/t/changes/snap-000003")
+      .select("op", "id", "v").as[(String, Long, String)].collect().toSet
+    assert(ops3 == Set(("-D", 2L, "b")))
+  }
+
+  test("keyless content-rewriting commit fails loudly instead of guessing a diff") {
+    val dir = Files.createTempDirectory("graft-cdf-keyless").toString
+    val t = TieredTable(spark, s"$dir/t", changeDataFeed = true)
+    t.commitAppend(Seq((1L, "a")).toDF("id", "v"))
+    val e = intercept[IllegalStateException] {
+      t.commitOverwrite(Seq((9L, "z")).toDF("id", "v"))
+    }
+    assert(e.getMessage.contains("append-lineage"))
+  }
+
+  test("readStreamChanges delivers committed deltas; checkpoint survives restart exactly-once") {
+    val dir = Files.createTempDirectory("graft-cdf-mv").toString
+    val src = TieredTable(spark, s"$dir/src", changeDataFeed = true)
+    src.commitAppend(Seq(("a", 1L), ("a", 2L), ("b", 3L)).toDF("k", "v"))
+    val state = TieredTable(spark, s"$dir/state")
+    val mv = new MaterializedView(src, state, keyCols = Seq("k"),
+      groupCols = Seq("k"), valCol = "v")
+    val ckpt = Files.createTempDirectory("graft-cdf-ckpt").toString
+
+    val q = mv.startStream(ckpt, intervalMs = 100L)
+    try q.processAllAvailable() finally q.stop()
+    def viewMap(): Map[String, (Long, Long)] =
+      mv.view().select("k", "sum_v", "cnt").as[(String, Long, Long)]
+        .collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(viewMap() == Map("a" -> (3L, 2L), "b" -> (3L, 1L)))
+
+    // new commits while the query is DOWN; the restarted query resumes
+    // from the checkpoint and applies only the unseen change files
+    src.commitAppend(Seq(("b", 7L), ("c", 10L)).toDF("k", "v"))
+    val stateSnapsBefore = state.latestSnapshotId
+    val q2 = mv.startStream(ckpt, intervalMs = 100L)
+    try q2.processAllAvailable() finally q2.stop()
+    assert(viewMap() == Map("a" -> (3L, 2L), "b" -> (10L, 2L), "c" -> (10L, 1L)))
+    assert(state.latestSnapshotId == stateSnapsBefore + 1,
+      "exactly one state commit for the one new change file — the " +
+        "bootstrap batch must NOT replay after restart")
+  }
+
+  test("a WAL-replayed micro-batch is a no-op (tag idempotence)") {
+    val dir = Files.createTempDirectory("graft-cdf-replay").toString
+    val src = TieredTable(spark, s"$dir/src", changeDataFeed = true)
+    src.commitAppend(Seq(("a", 5L)).toDF("k", "v"))
+    val state = TieredTable(spark, s"$dir/state")
+    val mv = new MaterializedView(src, state, keyCols = Seq("k"),
+      groupCols = Seq("k"), valCol = "v")
+    val batch = spark.read.parquet(s"$dir/src/changes/snap-000001")
+    mv.applyStreamBatch(batch, batchId = 0L)
+    val afterFirst = state.latestSnapshotId
+    val sumFirst = mv.view().select("sum_v").as[Long].collect().toSeq
+    // the crash-replay: same batchId, same data, applied again
+    mv.applyStreamBatch(batch, batchId = 0L)
+    assert(state.latestSnapshotId == afterFirst, "replay must not commit")
+    assert(mv.view().select("sum_v").as[Long].collect().toSeq == sumFirst,
+      "replay must not double-apply the delta")
+  }
+}

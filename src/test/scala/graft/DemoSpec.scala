@@ -1,0 +1,39 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The README walkthrough parity, machine-checked: Demo.run returns its
+  * report lines and this spec asserts the walkthrough's OBSERVABLE
+  * claims — the hot∪cold ≥ cold signature, the temporal join, the
+  * Iceberg round trip, the exactly-once streaming MV, and the rename
+  * evolution — so demo rot is a test failure, not an eyeball miss
+  * (VERDICT r5 item 10).
+  */
+class DemoSpec extends AnyFunSuite with SparkSpec {
+
+  test("demo walkthrough claims hold end-to-end") {
+    val lines = Demo.run(spark, runSecs = 8)
+    def has(p: String): Boolean = lines.exists(_.contains(p))
+
+    assert(has("dims loaded"), lines.mkString("\n"))
+    assert(has("invariant hot∪cold ≥ cold: true"))
+    assert(has("FOR SYSTEM_TIME AS OF join"))
+    assert(has("VERSION AS OF"))
+    assert(has("SHOW CREATE TABLE"))
+    assert(has("MV (orders per nation) cursor="))
+
+    // Iceberg interop: the independent reader's count must equal the
+    // TieredTable cold read it mirrors
+    val ice = lines.find(_.contains("Iceberg-exported")).getOrElse(
+      fail("no Iceberg export line in demo output"))
+    val nums = "\\d+".r.findAllIn(ice).map(_.toLong).toSeq
+    assert(nums.size >= 2 && nums.head == nums(1),
+      s"Iceberg read disagrees with cold read: $ice")
+
+    // streaming MV over the change feed applied both commits exactly once
+    assert(has("ASIA sum=17"), lines.mkString("\n"))
+
+    // rename evolution: the pre-rename snapshot reads through the new name
+    assert(has("snapshot 1 reads as: region,amount_usd"))
+  }
+}

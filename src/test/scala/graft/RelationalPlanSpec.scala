@@ -121,6 +121,31 @@ class RelationalPlanSpec extends AnyFunSuite with SparkSpec {
       "both scans must read the bucketed layout\n" + plan.take(2000))
   }
 
+  test("no product query plans an unpartitioned (global) window") {
+    // a WindowExec with an empty partition spec funnels the whole
+    // input through ONE task — the single worst scale hazard a window
+    // refactor can introduce. Walk the optimized plans of every
+    // non-fixture-building query and require every Window node to be
+    // keyed. (q*/k* queries build tiered/bucketed fixtures inside the
+    // query function, so they are exercised by their own specs instead;
+    // q1 has the product window path over the raw fixture and is kept.)
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow, WindowGroupLimit}
+    val names = SparkEntry.queries.keys.filterNot(n =>
+      (n.startsWith("q") && n != "q1_pk_dedup") || n.startsWith("k"))
+    for (name <- names) {
+      val df = SparkEntry.queries(name)(spark, dir)
+      df.queryExecution.optimizedPlan.foreach {
+        case w: LWindow =>
+          assert(w.partitionSpec.nonEmpty,
+            s"$name plans a global (unpartitioned) Window")
+        case w: WindowGroupLimit =>
+          assert(w.partitionSpec.nonEmpty,
+            s"$name plans a global (unpartitioned) WindowGroupLimit")
+        case _ =>
+      }
+    }
+  }
+
   test("g11: NOT IN lowers to a null-aware anti join, not a per-row subquery") {
     val plan = planOf(Relational.g11NotIn(spark, dir))
     assert(plan.contains("LeftAnti"), plan.take(2000))

@@ -104,8 +104,13 @@ class SamplingSpec extends AnyFunSuite with SparkSpec {
     val budget = 800L
     val got = Sampling.budgetSelect(base, "id", "tok", "score", budget)
       .collect().map(_.getLong(0)).toSet
-    // oracle: single global running-sum window (fine at test scale)
-    val w = Window.orderBy(col("score").desc, col("id"))
+    // oracle: single global running-sum window (fine at test scale);
+    // partitioned by an unfoldable derived constant — same one-partition
+    // semantics (Spark 4 folds a bare literal back to a global window),
+    // but it keeps the test log clean of "No Partition Defined" noise so
+    // a REAL global-window regression in product code stays visible
+    val w = Window.partitionBy(pmod(xxhash64(col("id")), lit(1)))
+      .orderBy(col("score").desc, col("id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val want = base.withColumn("cum", sum(col("tok")).over(w))
       .filter(col("cum") <= budget).collect().map(_.getLong(0)).toSet
