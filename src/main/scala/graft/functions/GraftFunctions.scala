@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSession
 
-import graft.functions.expressions.{DotProduct, ShingleHashes}
+import graft.functions.expressions.{DotProduct, ProcTime, ShingleHashes}
 
 /** SQL registration for graft's custom Catalyst expressions, so the
   * DataFrame API and `spark.sql` expose the same surface:
@@ -34,6 +34,12 @@ object GraftFunctions {
             s"graft_shingle_hashes: integer width expected, got $other")
         }
         ShingleHashes(exprs.head, n)
+      })
+    org.apache.spark.sql.GraftSqlBridge.registerFunction(
+      spark, "graft_proctime",
+      exprs => {
+        require(exprs.isEmpty, "graft_proctime() takes no arguments")
+        ProcTime()
       })
   }
 }

@@ -59,6 +59,14 @@ class GraftTableCatalog extends TableCatalog {
     val db = ident.namespace().mkString(".")
     val VersionSuffix = "^(.*)__v([0-9]+)$".r
     val (base, mode) = ident.name match {
+      // the reference's exact spelling, reachable with backticks:
+      // SELECT * FROM graft.db.`t$snapshots` (README.md:275); `$` is
+      // not legal in a bare Spark identifier, hence the `__` twins
+      case n if n.endsWith("$snapshots") =>
+        (n.stripSuffix("$snapshots"), "snapshots")
+      case n if n.endsWith("$files") => (n.stripSuffix("$files"), "files")
+      case n if n.endsWith("$stats") => (n.stripSuffix("$stats"), "stats")
+      case n if n.endsWith("$cold") => (n.stripSuffix("$cold"), "cold")
       case n if n.endsWith("__snapshots") =>
         (n.stripSuffix("__snapshots"), "snapshots")
       case n if n.endsWith("__files") => (n.stripSuffix("__files"), "files")
@@ -73,7 +81,7 @@ class GraftTableCatalog extends TableCatalog {
     require(!e.mergeOnRead || mode == "snapshots" || mode == "files",
       s"merge-on-read PK table $db.$base is not SQL-addressable; use the API")
     val t = TieredTable(spark, e.path, e.pk, e.mergeOnRead, e.partitionBy,
-      e.bloomCols)
+      e.bloomCols, changeDataFeed = e.changeDataFeed)
     mode match {
       case "snapshots" =>
         new SnapshotsTable(ident.toString,
@@ -162,7 +170,8 @@ class GraftTableCatalog extends TableCatalog {
         Seq(catName, db, ident.name)))
     require(!e.mergeOnRead,
       s"merge-on-read PK table $db.${ident.name} is not SQL-addressable; use the API")
-    TieredTable(SparkSession.active, e.path, e.pk, e.mergeOnRead, e.partitionBy)
+    TieredTable(SparkSession.active, e.path, e.pk, e.mergeOnRead,
+      e.partitionBy, changeDataFeed = e.changeDataFeed)
   }
 
   private def parquet(spark: SparkSession, name: String,
@@ -234,11 +243,15 @@ class GraftTableCatalog extends TableCatalog {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
     bloomCols.foreach(k => require(schema.fieldNames.contains(k),
       s"bloom-columns column $k not in schema"))
+    // 'change-data-feed' property: commits publish op-tagged parquet
+    // change files (see TieredTable.writeChangeFeed) — the Delta-CDF
+    // surface through SQL DDL
+    val cdf = props.get("change-data-feed").exists(_.trim.toBoolean)
     val meta = Paths.get(path, "meta")
     Files.createDirectories(meta)
     Files.writeString(meta.resolve("SCHEMA"), schema.toDDL)
     TieredCatalog.register(db, ident.name, path, pk, partitionBy = partCols,
-      bloomCols = bloomCols)
+      bloomCols = bloomCols, changeDataFeed = cdf)
     loadTable(ident)
   }
 
@@ -281,7 +294,8 @@ class GraftTableCatalog extends TableCatalog {
       if (Files.exists(metaP)) StructType.fromDDL(Files.readString(metaP))
       else loadTable(ident).asInstanceOf[TieredSqlTable].schema()
     lazy val tt = TieredTable(SparkSession.active, e.path, e.pk,
-      e.mergeOnRead, e.partitionBy, e.bloomCols)
+      e.mergeOnRead, e.partitionBy, e.bloomCols,
+      changeDataFeed = e.changeDataFeed)
     var needsConverge = false
     changes.foreach {
       case add: TableChange.AddColumn =>
@@ -435,6 +449,7 @@ class TieredSqlTable(tableName: String, spark: SparkSession,
     if (entry.pk.nonEmpty) m += "primary-key" -> entry.pk.mkString(",")
     if (entry.bloomCols.nonEmpty)
       m += "bloom-columns" -> entry.bloomCols.mkString(",")
+    if (entry.changeDataFeed) m += "change-data-feed" -> "true"
     m += "path" -> entry.path
     m.asJava
   }

@@ -19,16 +19,18 @@ object TieredCatalog {
 
   case class Entry(path: String, pk: Seq[String], mergeOnRead: Boolean,
                    partitionBy: Seq[String] = Nil,
-                   bloomCols: Seq[String] = Nil)
+                   bloomCols: Seq[String] = Nil,
+                   changeDataFeed: Boolean = false)
 
   private val reg = TrieMap.empty[(String, String), Entry]
 
   def register(db: String, table: String, path: String,
                pk: Seq[String] = Nil, mergeOnRead: Boolean = false,
                partitionBy: Seq[String] = Nil,
-               bloomCols: Seq[String] = Nil): Unit =
+               bloomCols: Seq[String] = Nil,
+               changeDataFeed: Boolean = false): Unit =
     reg.put((db.toLowerCase, table.toLowerCase),
-      Entry(path, pk, mergeOnRead, partitionBy, bloomCols))
+      Entry(path, pk, mergeOnRead, partitionBy, bloomCols, changeDataFeed))
 
   def lookup(db: String, table: String): Option[Entry] =
     reg.get((db.toLowerCase, table.toLowerCase))

@@ -50,7 +50,11 @@ class TieredTable(spark: SparkSession, rawTablePath: String,
                   val partitionBy: Seq[String] = Nil,
                   val bloomCols: Seq[String] = Nil,
                   metaStore: MetaStore = null,
-                  val changeDataFeed: Boolean = false) {
+                  val changeDataFeed: Boolean = false,
+                  val icebergExport: Boolean = false) {
+  require(!icebergExport || (partitionBy.isEmpty && !mergeOnRead),
+    "icebergExport supports unpartitioned copy-on-write tables " +
+      "(IcebergExport's documented scope)")
   /** `file:`-scheme URIs are normalized to plain paths — `Paths.get`
     * would otherwise treat the whole URI as a RELATIVE path and
     * silently create the table tree under the process CWD (the round-1
@@ -177,6 +181,11 @@ class TieredTable(spark: SparkSession, rawTablePath: String,
           "committer — reload table state and retry the commit")
     meta.put("LATEST", s.id.toString)
     if (changeDataFeed) writeChangeFeed(s)
+    // opt-in continuous interop: every commit refreshes the exported
+    // Iceberg metadata, the reference's tiering-service behavior (the
+    // Iceberg tier is always externally readable, README.md:257-292).
+    // Metadata-only — O(files) footer reads, no data rewrite.
+    if (icebergExport) IcebergExport.export(this)
   }
 
   /** CHANGE DATA FEED (opt-in): every content-changing commit also
@@ -1376,9 +1385,10 @@ object TieredTable {
             partitionBy: Seq[String] = Nil,
             bloomCols: Seq[String] = Nil,
             metaStore: MetaStore = null,
-            changeDataFeed: Boolean = false): TieredTable =
+            changeDataFeed: Boolean = false,
+            icebergExport: Boolean = false): TieredTable =
     new TieredTable(spark, path, pk, mergeOnRead, partitionBy, bloomCols,
-      metaStore, changeDataFeed)
+      metaStore, changeDataFeed, icebergExport)
 
   /** A concurrent committer (another process) won the snapshot id this
     * commit targeted. The table is uncorrupted; the commit did not

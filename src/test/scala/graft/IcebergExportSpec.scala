@@ -128,6 +128,24 @@ class IcebergExportSpec extends AnyFunSuite with SparkSpec {
       "post-compaction export must list the compacted files exactly once")
   }
 
+  test("icebergExport flag: every commit refreshes the metadata automatically") {
+    // the reference's tiering-service behavior: the Iceberg tier stays
+    // externally readable with no manual export step
+    val dir = Files.createTempDirectory("graft-ice-auto").toString
+    val t = TieredTable(spark, s"$dir/t", icebergExport = true)
+    t.commitAppend(Seq((1L, "a")).toDF("id", "v"))
+    val mdir = Paths.get(s"$dir/t", "metadata")
+    assert(Files.readString(mdir.resolve("version-hint.text")).trim == "1")
+    t.commitAppend(Seq((2L, "b")).toDF("id", "v"))
+    assert(Files.readString(mdir.resolve("version-hint.text")).trim == "2")
+    assert(IcebergExport.readTable(spark, s"$dir/t")
+      .select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+    // documented scope enforced at construction, not first-commit time
+    assertThrows[IllegalArgumentException](
+      TieredTable(spark, s"$dir/t2", pk = Seq("id"), mergeOnRead = true,
+        icebergExport = true))
+  }
+
   test("merge-on-read and partitioned layouts are refused, not silently wrong") {
     val dir = Files.createTempDirectory("graft-ice-ref").toString
     val mor = TieredTable(spark, s"$dir/mor", pk = Seq("id"), mergeOnRead = true)
