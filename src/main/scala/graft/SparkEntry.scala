@@ -49,6 +49,8 @@ object SparkEntry {
     "q18_incr_mv"    -> (Lakehouse.q18IncrementalMv _),
     "q19_iceberg_read" -> (Lakehouse.q19IcebergRead _),
     "q19b_iceberg_asof" -> (Lakehouse.q19bIcebergAsOf _),
+    "q20_schema_evolution" -> (Lakehouse.q20SchemaEvolution _),
+    "q21_change_feed" -> (Lakehouse.q21ChangeFeed _),
     // training-data pipeline: dedup / similarity / text analysis
     "d1_exact_dedup" -> (Pipeline.d1ExactDedup _),
     "d2_fingerprint" -> (Pipeline.d2Fingerprint _),
@@ -308,6 +310,31 @@ object SparkEntry {
     "q19b_iceberg_asof" ->
       """SELECT COUNT(*) AS cnt, CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
         |FROM orders WHERE o_orderkey % 3 = 0""".stripMargin,
+    // mid-history RENAME: totals through the mapped read must equal the
+    // plain fixture totals — no row lost on either side of the rename
+    "q20_schema_evolution" ->
+      """SELECT COUNT(*) AS cnt, CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+        |       CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(15,2)) * 100 AS BIGINT)) AS BIGINT) AS price_cents
+        |FROM orders""".stripMargin,
+    // the committed change files per op kind: bootstrap +I of all
+    // customers, -U/+U before/after pairs of the %3 update (+1 balance),
+    // and the %7 synthetic inserts at balance 0
+    "q21_change_feed" ->
+      """WITH ops AS (
+        |  SELECT '+I' AS op, c_custkey AS k,
+        |         CAST(c_acctbal AS DECIMAL(15,2)) AS bal FROM customer
+        |  UNION ALL
+        |  SELECT '+I', c_custkey + 10000000,
+        |         CAST(0.0 AS DECIMAL(15,2)) FROM customer WHERE c_custkey % 7 = 0
+        |  UNION ALL
+        |  SELECT '-U', c_custkey,
+        |         CAST(c_acctbal AS DECIMAL(15,2)) FROM customer WHERE c_custkey % 3 = 0
+        |  UNION ALL
+        |  SELECT '+U', c_custkey,
+        |         CAST(c_acctbal AS DECIMAL(15,2)) + 1 FROM customer WHERE c_custkey % 3 = 0)
+        |SELECT op, COUNT(*) AS cnt, CAST(SUM(k) AS BIGINT) AS key_sum,
+        |       CAST(SUM(bal) * 100 AS BIGINT) AS bal_cents
+        |FROM ops GROUP BY op""".stripMargin,
     "q12_partition_pruned" ->
       """SELECT COUNT(*) AS cnt, CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
         |FROM orders WHERE o_orderpriority = '1-URGENT'""".stripMargin,

@@ -147,6 +147,91 @@ object Lakehouse {
     demoTable(spark, dir).readColdAsOf(1L)
       .agg(count(lit(1)).as("cnt"), sum(col("o_orderkey")).as("key_sum"))
 
+  /** Fixture for q20: a tiered table whose price column is RENAMED
+    * between its two commits — snapshot 1's files carry `price`,
+    * snapshot 2's carry `price_usd`; the COLMAP mapping makes every
+    * read (mixed vintages coalesced) present the current name. Built
+    * once per sf dir; a trailing done-marker makes the multi-step
+    * build crash-safe (a half-built fixture rebuilds).
+    */
+  def demoRenamedTable(spark: SparkSession, dir: String): TieredTable = {
+    val safe = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val path = s"${sys.props("java.io.tmpdir")}/graft-tiered/v$FormatVersion/$safe/renamed"
+    val done = Paths.get(path, "meta", "_FIXTURE_DONE")
+    val t = TieredTable(spark, path)
+    if (!Files.exists(done)) {
+      val o = Tables.load(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"))
+      t.commitAppend(o.filter(pmod(col("o_orderkey"), lit(2)) === 0)
+        .withColumnRenamed("o_totalprice", "price"))
+      t.renameColumn("price", "price_usd")
+      t.commitAppend(o.filter(pmod(col("o_orderkey"), lit(2)) === 1)
+        .withColumnRenamed("o_totalprice", "price_usd"))
+      Files.writeString(done, "ok")
+    }
+    t
+  }
+
+  /** Q20 — schema evolution under the oracle: after the mid-history
+    * RENAME, the full read must present every order's price under the
+    * new name with no row lost on either side of the evolution — the
+    * oracle recomputes the totals from the raw fixture, so a mapping
+    * bug (dropped old-name files, missed coalesce, resurrected name)
+    * hash-mismatches. Exact cents arithmetic as everywhere.
+    */
+  def q20SchemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    demoRenamedTable(spark, dir).readCold()
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("o_orderkey")).cast("long").as("key_sum"),
+        sum((col("price_usd").cast(DecimalType(15, 2)) * 100).cast("long"))
+          .cast("long").as("price_cents"))
+  }
+
+  /** Fixture for q21: a PK table with the CHANGE DATA FEED on — two
+    * upsert commits whose change files carry the bootstrap `+I` set,
+    * the `-U`/`+U` before/after pairs of the updated third, and the
+    * inserted synthetics.
+    */
+  def demoCdfTable(spark: SparkSession, dir: String): TieredTable = {
+    val safe = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val path = s"${sys.props("java.io.tmpdir")}/graft-tiered/v$FormatVersion/$safe/cdf_customer"
+    val done = Paths.get(path, "meta", "_FIXTURE_DONE")
+    val t = TieredTable(spark, path, pk = Seq("k"), changeDataFeed = true)
+    if (!Files.exists(done)) {
+      val cust = Tables.load(spark, dir, "customer")
+        .select(col("c_custkey").as("k"), col("c_acctbal").as("bal"))
+      t.commitUpsert(cust)
+      val upd = cust.filter(pmod(col("k"), lit(3)) === 0)
+        .withColumn("bal", col("bal") + 1)
+      val ins = cust.filter(pmod(col("k"), lit(7)) === 0)
+        .select((col("k") + 10000000L).as("k"), lit(0.0).as("bal"))
+      t.commitUpsert(upd.unionByName(ins))
+      Files.writeString(done, "ok")
+    }
+    t
+  }
+
+  /** Q21 — the change data feed under the oracle: read the COMMITTED
+    * change files (the exact bytes a streaming consumer replays) as a
+    * batch and account per op kind — counts, key sums, and exact-cents
+    * balance sums separating the `-U` before-image from the `+U`
+    * after-image. The oracle recomputes all four accounting rows
+    * relationally from the raw fixture, so a wrong op, a missed pair,
+    * or a double-published file hash-mismatches.
+    */
+  def q21ChangeFeed(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val t = demoCdfTable(spark, dir)
+    spark.read.option("mergeSchema", "true")
+      .parquet(s"${t.tablePath}/changes/snap-*")
+      .groupBy(col("op"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("k")).cast("long").as("key_sum"),
+        (sum(col("bal").cast(DecimalType(15, 2))) * 100)
+          .cast("long").as("bal_cents"))
+  }
+
   /** Q19 — cross-format interop: export the demo table's cold tier as
     * Apache Iceberg v2 metadata, then read it back through
     * [[graft.storage.IcebergExport.readTable]] — a reader that resolves
