@@ -13,6 +13,7 @@ import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWri
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{Path => HadoopPath}
 import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.types._
 
@@ -84,12 +85,22 @@ object IcebergExport {
       |]}""".stripMargin)
 
   /** Iceberg v2 `manifest_entry` with nested `data_file` (r2). The
-    * `partition` struct (r102) is empty — unpartitioned spec. Optional
-    * per-column stats fields are omitted (legal per spec; graft's own
-    * skipping stats live in the `_graft_stats` sidecars).
+    * `partition` struct (r102) is empty — unpartitioned spec. The
+    * per-column stats maps (spec-optional) ARE exported — value/null
+    * counts and lower/upper bounds keyed by schema field id, encoded
+    * as Iceberg's array-of-key-value "map" with the reserved element
+    * ids (k119/v120, k121/v122, k126/v127, k129/v130) — they are what
+    * an external Iceberg reader prunes files with.
     */
+  private def kvMap(name: String, keyId: Int, valId: Int,
+                    valType: String): String =
+    s"""["null",{"type":"array","logicalType":"map","items":{
+       |"type":"record","name":"$name","fields":[
+       |{"name":"key","type":"int","field-id":$keyId},
+       |{"name":"value","type":"$valType","field-id":$valId}]}}]""".stripMargin
+
   private val ManifestEntrySchema: Schema = new Schema.Parser().parse(
-    """{"type":"record","name":"manifest_entry","fields":[
+    s"""{"type":"record","name":"manifest_entry","fields":[
       |{"name":"status","type":"int","field-id":0},
       |{"name":"snapshot_id","type":["null","long"],"default":null,"field-id":1},
       |{"name":"sequence_number","type":["null","long"],"default":null,"field-id":3},
@@ -100,7 +111,15 @@ object IcebergExport {
       |{"name":"file_format","type":"string","field-id":101},
       |{"name":"partition","field-id":102,"type":{"type":"record","name":"r102","fields":[]}},
       |{"name":"record_count","type":"long","field-id":103},
-      |{"name":"file_size_in_bytes","type":"long","field-id":104}
+      |{"name":"file_size_in_bytes","type":"long","field-id":104},
+      |{"name":"value_counts","field-id":109,"default":null,
+      |  "type":${kvMap("k119_v120", 119, 120, "long")}},
+      |{"name":"null_value_counts","field-id":110,"default":null,
+      |  "type":${kvMap("k121_v122", 121, 122, "long")}},
+      |{"name":"lower_bounds","field-id":125,"default":null,
+      |  "type":${kvMap("k126_v127", 126, 127, "bytes")}},
+      |{"name":"upper_bounds","field-id":128,"default":null,
+      |  "type":${kvMap("k129_v130", 129, 130, "bytes")}}
       |]}}]}""".stripMargin)
 
   private def metadataDir(table: TieredTable): Path =
@@ -178,10 +197,53 @@ object IcebergExport {
       s"unrenderable JSON value: $other (${other.getClass})")
   }
 
-  /** Parquet part files under a snapshot data dir, with per-file
-    * (rows, bytes) from the footer — the manifest entry's accounting.
+  /** Per-column footer stats of one part file, Iceberg-shaped:
+    * (valueCount, nullCount, lower/upper as single-value binary).
+    * Bounds use Iceberg's single-value serialization — LITTLE-endian
+    * fixed-width for int/long/float/double (and date as int days),
+    * raw UTF-8 for strings; columns whose footer stats are missing in
+    * ANY row group export counts only (a partial bound is wrong, no
+    * bound is merely less prunable).
     */
-  private def partFiles(dir: String): Seq[(String, Long, Long)] = {
+  private case class ColStats(valueCount: Long, nullCount: Long,
+                              lower: Option[Array[Byte]],
+                              upper: Option[Array[Byte]])
+
+  /** Encode one typed bound. Returns None for types we don't bound
+    * (decimals, timestamps — omission is spec-legal; counts still
+    * export).
+    */
+  private def encodeBound(pt: org.apache.parquet.schema.PrimitiveType,
+                          v: AnyRef): Option[Array[Byte]] = {
+    import java.nio.{ByteBuffer, ByteOrder}
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    def le(n: Int) = ByteBuffer.allocate(n).order(ByteOrder.LITTLE_ENDIAN)
+    val logical = pt.getLogicalTypeAnnotation
+    (pt.getPrimitiveTypeName, v) match {
+      case (PrimitiveTypeName.INT64, l: java.lang.Long)
+        // timestamps also land in INT64 — only plain/int64 logical
+        if logical == null ||
+          logical.isInstanceOf[LogicalTypeAnnotation.IntLogicalTypeAnnotation] =>
+        Some(le(8).putLong(l).array())
+      case (PrimitiveTypeName.INT32, i: java.lang.Integer) =>
+        // covers plain ints and DATE (days since epoch — same int)
+        Some(le(4).putInt(i).array())
+      case (PrimitiveTypeName.DOUBLE, d: java.lang.Double) =>
+        Some(le(8).putDouble(d).array())
+      case (PrimitiveTypeName.FLOAT, f: java.lang.Float) =>
+        Some(le(4).putFloat(f).array())
+      case (PrimitiveTypeName.BINARY, b: org.apache.parquet.io.api.Binary)
+        if logical.isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation] =>
+        Some(b.getBytes.clone())
+      case _ => None
+    }
+  }
+
+  /** Parquet part files under a snapshot data dir, with per-file
+    * (rows, bytes, per-column stats) from the footer — the manifest
+    * entry's accounting and pruning metadata.
+    */
+  private def partFiles(dir: String): Seq[(String, Long, Long, Map[String, ColStats])] = {
     val conf = new Configuration()
     val stream = Files.walk(Paths.get(dir))
     val files =
@@ -192,9 +254,50 @@ object IcebergExport {
       finally stream.close()
     files.map { f =>
       val reader = ParquetFileReader.open(conf, new HadoopPath(f.toString))
-      val rows = try reader.getFooter.getBlocks.asScala.map(_.getRowCount).sum
-      finally reader.close()
-      (f.toString, rows, Files.size(f))
+      try {
+        val blocks = reader.getFooter.getBlocks.asScala.toSeq
+        val rows = blocks.map(_.getRowCount).sum
+        // merge chunk stats per column path; a chunk without usable
+        // stats poisons that column's bounds (rows could lie anywhere)
+        var acc = Map.empty[String, (org.apache.parquet.schema.PrimitiveType,
+          Long, Long, Option[AnyRef], Option[AnyRef], Boolean)]
+        for (b <- blocks; c <- b.getColumns.asScala) {
+          val name = c.getPath.toDotString
+          if (!name.contains(".")) { // top-level primitives only
+            val st = c.getStatistics
+            val ok = st != null && st.isNumNullsSet
+            val (nulls, mn, mx) =
+              if (!ok) (0L, None, None)
+              else if (!st.hasNonNullValue)
+                (st.getNumNulls, None, None)
+              else (st.getNumNulls,
+                Option(st.genericGetMin.asInstanceOf[AnyRef]),
+                Option(st.genericGetMax.asInstanceOf[AnyRef]))
+            acc.get(name) match {
+              case None =>
+                acc += name -> (c.getPrimitiveType, c.getValueCount, nulls, mn, mx, ok)
+              case Some((pt, vc0, nl0, mn0, mx0, ok0)) =>
+                val cmp = pt.comparator()
+                  .asInstanceOf[java.util.Comparator[AnyRef]]
+                def pick(a: Option[AnyRef], b: Option[AnyRef], lo: Boolean) =
+                  (a, b) match {
+                    case (Some(x), Some(y)) =>
+                      Some(if ((cmp.compare(x, y) < 0) == lo) x else y)
+                    case (x, y) => x.orElse(y)
+                  }
+                acc += name -> (pt, vc0 + c.getValueCount, nl0 + nulls,
+                  pick(mn0, mn, lo = true), pick(mx0, mx, lo = false),
+                  ok0 && ok)
+            }
+          }
+        }
+        val stats = acc.flatMap { case (name, (pt, vc, nl, mn, mx, ok)) =>
+          if (!ok) None
+          else Some(name -> ColStats(vc, nl,
+            mn.flatMap(encodeBound(pt, _)), mx.flatMap(encodeBound(pt, _))))
+        }
+        (f.toString, rows, Files.size(f), stats)
+      } finally reader.close()
     }
   }
 
@@ -252,12 +355,27 @@ object IcebergExport {
         .groupBy(_._1).map { case (f, xs) => f -> xs.map(_._2).min }
 
     val snapshotObjs = snaps.map { s =>
+      val snapSchema = table.readColdAsOf(s.id).schema
+      // top-level column name → iceberg field id (the icebergSchema
+      // assignment order: depth-first, so top-level ids are stable per
+      // snapshot schema)
+      val fieldIds: Map[String, Int] = {
+        var id = 0
+        snapSchema.fields.map { f =>
+          id += 1
+          val topId = id
+          // advance past nested ids the field consumed
+          val nextId = () => { id += 1; id }
+          icebergType(f.dataType, nextId)
+          f.name -> topId
+        }.toMap
+      }
       // one manifest per snapshot, listing every live file of that
       // snapshot; files added earlier carry EXISTING status with their
       // original (data) sequence number — the v2 inheritance rules
       val entries = s.files.flatMap { dir =>
         val addedIn = addedBy(dir)
-        partFiles(dir).map { case (path, rows, bytes) =>
+        partFiles(dir).map { case (path, rows, bytes, colStats) =>
           val e = new GenericData.Record(ManifestEntrySchema)
           e.put("status", if (addedIn == s.id) 1 else 0) // ADDED / EXISTING
           e.put("snapshot_id", addedIn)
@@ -272,11 +390,38 @@ object IcebergExport {
             df.getSchema.getField("partition").schema()))
           df.put("record_count", rows)
           df.put("file_size_in_bytes", bytes)
+          // the stats maps, keyed by schema field id
+          def kvList(field: String,
+                     value: (String, ColStats) => Option[Any]): java.util.List[GenericRecord] = {
+            val arrSchema = df.getSchema.getField(field).schema()
+              .getTypes.get(1) // ["null", array]
+            val itemSchema = arrSchema.getElementType
+            val out = new java.util.ArrayList[GenericRecord]()
+            colStats.toSeq.sortBy(_._1).foreach { case (name, cs) =>
+              fieldIds.get(name).foreach { fid =>
+                value(name, cs).foreach { v =>
+                  val kv = new GenericData.Record(itemSchema)
+                  kv.put("key", fid)
+                  kv.put("value", v)
+                  out.add(kv)
+                }
+              }
+            }
+            out
+          }
+          df.put("value_counts",
+            kvList("value_counts", (_, cs) => Some(cs.valueCount)))
+          df.put("null_value_counts",
+            kvList("null_value_counts", (_, cs) => Some(cs.nullCount)))
+          df.put("lower_bounds", kvList("lower_bounds",
+            (_, cs) => cs.lower.map(java.nio.ByteBuffer.wrap)))
+          df.put("upper_bounds", kvList("upper_bounds",
+            (_, cs) => cs.upper.map(java.nio.ByteBuffer.wrap)))
           e.put("data_file", df)
           e
         }
       }
-      val (schemaObj, _) = icebergSchema(table.readColdAsOf(s.id).schema)
+      val (schemaObj, _) = icebergSchema(snapSchema)
       val manifestPath = mdir.resolve(f"manifest-${s.id}%06d.avro")
       writeAvro(manifestPath, ManifestEntrySchema, Map(
         "schema" -> toJson(schemaObj),
@@ -416,5 +561,75 @@ object IcebergExport {
     }
     require(dataFiles.nonEmpty, s"snapshot $currentId lists no data files")
     spark.read.option("mergeSchema", "true").parquet(dataFiles: _*)
+  }
+
+  private def decodeLongLE(buf: java.nio.ByteBuffer): Long =
+    buf.duplicate().order(java.nio.ByteOrder.LITTLE_ENDIAN).getLong(0)
+
+  /** Current-snapshot data files whose exported [lower, upper] bounds
+    * for long-typed `column` may intersect `[lo, hi]` — the pruning an
+    * EXTERNAL Iceberg reader performs from the manifest stats, resolved
+    * purely from the exported chain. Strictly conservative: entries
+    * without bounds for the column are kept. Returns (kept, total).
+    */
+  def dataFilesWhereLong(tablePath: String, column: String,
+                         lo: Long, hi: Long): (Seq[String], Int) = {
+    import org.json4s.jackson.JsonMethods
+    val mdir = Paths.get(tablePath, "metadata")
+    val version = currentVersion(mdir).getOrElse(
+      throw new IllegalStateException(s"no version-hint.text under $mdir"))
+    val md = JsonMethods.parse(
+      Files.readString(mdir.resolve(f"v$version%05d.metadata.json")))
+    val fieldId = jsonAt(md, "schemas").asInstanceOf[org.json4s.JArray]
+      .arr.headOption
+      .map(s => jsonAt(s, "fields").asInstanceOf[org.json4s.JArray].arr)
+      .getOrElse(Nil)
+      .collectFirst {
+        case f if jsonAt(f, "name") == org.json4s.JString(column) =>
+          jLong(jsonAt(f, "id")).toInt
+      }
+      .getOrElse(throw new IllegalArgumentException(
+        s"column $column not in the exported schema"))
+    val currentId = jLong(jsonAt(md, "current-snapshot-id"))
+    val snap = jsonAt(md, "snapshots").asInstanceOf[org.json4s.JArray]
+      .arr.find(s => jLong(jsonAt(s, "snapshot-id")) == currentId).get
+    val listPath = jsonAt(snap, "manifest-list") match {
+      case org.json4s.JString(p) => p
+      case other => throw new IllegalStateException(s"bad manifest-list: $other")
+    }
+    val (manifestFiles, _) = readAvro(listPath)
+    val entries = manifestFiles.flatMap { mf =>
+      readAvro(mf.get("manifest_path").toString)._1
+    }.filter(_.get("status").asInstanceOf[Int] != 2)
+    def boundOf(e: GenericRecord, field: String): Option[Long] = {
+      val m = e.get("data_file").asInstanceOf[GenericRecord].get(field)
+      Option(m).flatMap { arr =>
+        arr.asInstanceOf[java.util.List[GenericRecord]].asScala
+          .find(_.get("key").asInstanceOf[Int] == fieldId)
+          .map(kv => decodeLongLE(kv.get("value").asInstanceOf[java.nio.ByteBuffer]))
+      }
+    }
+    val kept = entries.filter { e =>
+      (boundOf(e, "lower_bounds"), boundOf(e, "upper_bounds")) match {
+        case (Some(mn), Some(mx)) => mx >= lo && mn <= hi
+        case _ => true // no bounds → conservative keep
+      }
+    }.map(_.get("data_file").asInstanceOf[GenericRecord]
+      .get("file_path").toString)
+    (kept, entries.size)
+  }
+
+  /** Range read THROUGH the exported pruning metadata: scan only the
+    * files [[dataFilesWhereLong]] keeps, then apply the predicate in
+    * full (pruning is an optimization, never a semantics change).
+    */
+  def readTableWhereLong(spark: SparkSession, tablePath: String,
+                         column: String, lo: Long, hi: Long): DataFrame = {
+    val (kept, _) = dataFilesWhereLong(tablePath, column, lo, hi)
+    import org.apache.spark.sql.functions.col
+    if (kept.isEmpty)
+      readTable(spark, tablePath).filter(col(column).between(lo, hi)).limit(0)
+    else spark.read.option("mergeSchema", "true").parquet(kept: _*)
+      .filter(col(column).between(lo, hi))
   }
 }

@@ -128,6 +128,51 @@ class IcebergExportSpec extends AnyFunSuite with SparkSpec {
       "post-compaction export must list the compacted files exactly once")
   }
 
+  test("manifests carry per-column stats; an external reader prunes files with them") {
+    import org.apache.avro.file.DataFileReader
+    import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+    // two commits with DISJOINT id ranges → two files with disjoint
+    // [lower, upper] bounds; a range query should open only one
+    val dir = Files.createTempDirectory("graft-ice-stats").toString
+    val t = TieredTable(spark, s"$dir/t")
+    t.commitAppend(spark.range(0, 100).selectExpr("id", "CAST(id AS STRING) AS v")
+      .coalesce(1))
+    t.commitAppend(spark.range(1000, 1100).selectExpr("id", "CAST(id AS STRING) AS v")
+      .coalesce(1))
+    IcebergExport.export(t)
+
+    // decode the stats maps straight from the Avro manifest: field id 1
+    // is `id` (first schema column); bounds are little-endian longs
+    val mdir = Paths.get(s"$dir/t", "metadata")
+    val mReader = new DataFileReader[GenericRecord](
+      mdir.resolve("manifest-000002.avro").toFile,
+      new GenericDatumReader[GenericRecord]())
+    val entries = try mReader.iterator().asScala.toList finally mReader.close()
+    assert(entries.size == 2)
+    def bound(e: GenericRecord, which: String): Long = {
+      val arr = e.get("data_file").asInstanceOf[GenericRecord].get(which)
+        .asInstanceOf[java.util.List[GenericRecord]].asScala
+      val kv = arr.find(_.get("key").asInstanceOf[Int] == 1).get
+      kv.get("value").asInstanceOf[java.nio.ByteBuffer]
+        .duplicate().order(java.nio.ByteOrder.LITTLE_ENDIAN).getLong(0)
+    }
+    val ranges = entries.map(e => (bound(e, "lower_bounds"), bound(e, "upper_bounds"))).toSet
+    assert(ranges == Set((0L, 99L), (1000L, 1099L)),
+      s"footer min/max must round-trip through the LE binary encoding: $ranges")
+    val counts = entries.map(_.get("data_file").asInstanceOf[GenericRecord]
+      .get("value_counts").asInstanceOf[java.util.List[GenericRecord]].asScala
+      .find(_.get("key").asInstanceOf[Int] == 1).get
+      .get("value").asInstanceOf[Long]).sorted
+    assert(counts == Seq(100L, 100L))
+
+    // the pruning an external Iceberg reader performs from these stats
+    val (kept, total) = IcebergExport.dataFilesWhereLong(s"$dir/t", "id", 1050L, 1060L)
+    assert(total == 2 && kept.size == 1, s"range must prune to one file ($kept)")
+    val rows = IcebergExport.readTableWhereLong(spark, s"$dir/t", "id", 1050L, 1060L)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(rows == (1050L to 1060L), "pruning must never change the answer")
+  }
+
   test("icebergExport flag: every commit refreshes the metadata automatically") {
     // the reference's tiering-service behavior: the Iceberg tier stays
     // externally readable with no manual export step
