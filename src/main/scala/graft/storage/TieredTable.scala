@@ -866,6 +866,16 @@ class TieredTable(spark: SparkSession, rawTablePath: String,
         .filter(Files.exists(_)).foreach { p => rmTree(p); removed += 1 }
       meta.delete(manifestKey(old.id)); removed += 1
     }
+    // change files follow their snapshot's retention: a consumer whose
+    // checkpoint lags past the vacuum horizon has lost replayability
+    // anyway (same files-vs-retention contract as Delta CDF) — keeping
+    // the dropped snapshots' deltas would only grow without bound
+    if (changeDataFeed) {
+      (1L until keepIds.head).foreach { old =>
+        val cf = changesDir.resolve(f"snap-$old%06d")
+        if (Files.exists(cf)) { rmTree(cf); removed += 1 }
+      }
+    }
     val minWatermark = kept.map(_.tieredSeg).min
     logSegments.filter(_ <= minWatermark).map(segPath)
       .filter(Files.exists(_)).foreach { p => rmTree(p); removed += 1 }
@@ -930,6 +940,10 @@ class TieredTable(spark: SparkSession, rawTablePath: String,
     Option(new File(logDir.toString).list()).getOrElse(Array.empty)
       .filter(_.startsWith("_tmp-seg-"))
       .foreach { d => rmTreeAt(logDir.resolve(d)); removed += 1 }
+    // change-feed writes that died before their atomic rename
+    Option(new File(changesDir.toString).list()).getOrElse(Array.empty)
+      .filter(_.startsWith("_tmp-snap-"))
+      .foreach { d => rmTreeAt(changesDir.resolve(d)); removed += 1 }
     // metadata temp files a crashed LocalFsMetaStore write left behind
     // (atomic-move sources; harmless but accumulate) — safe under the
     // writer-quiet contract

@@ -91,6 +91,27 @@ class ChangeFeedSpec extends AnyFunSuite with SparkSpec {
         "bootstrap batch must NOT replay after restart")
   }
 
+  test("vacuum retires change files with their snapshots; gc sweeps dead temp dirs") {
+    val dir = Files.createTempDirectory("graft-cdf-vac").toString
+    val t = TieredTable(spark, s"$dir/t", changeDataFeed = true)
+    t.commitAppend(Seq((1L, "a")).toDF("id", "v"))
+    t.commitAppend(Seq((2L, "b")).toDF("id", "v"))
+    t.commitAppend(Seq((3L, "c")).toDF("id", "v"))
+    assert((1 to 3).forall(i =>
+      Files.exists(Paths.get(f"$dir/t/changes/snap-$i%06d"))))
+    t.vacuum(keepLast = 1)
+    // dropped snapshots' deltas go with them (the Delta-CDF retention
+    // contract); the kept snapshot's delta survives
+    assert(!Files.exists(Paths.get(s"$dir/t/changes/snap-000001")))
+    assert(!Files.exists(Paths.get(s"$dir/t/changes/snap-000002")))
+    assert(Files.exists(Paths.get(s"$dir/t/changes/snap-000003")))
+    // a change-feed write that died before its atomic rename is debris
+    // for the orphan collector, never a visible change file
+    Files.createDirectories(Paths.get(s"$dir/t/changes/_tmp-snap-000009"))
+    assert(t.gcOrphans() >= 1)
+    assert(!Files.exists(Paths.get(s"$dir/t/changes/_tmp-snap-000009")))
+  }
+
   test("a WAL-replayed micro-batch is a no-op (tag idempotence)") {
     val dir = Files.createTempDirectory("graft-cdf-replay").toString
     val src = TieredTable(spark, s"$dir/src", changeDataFeed = true)
