@@ -161,14 +161,15 @@ object IcebergExport {
   }
 
   /** (schema object for metadata.json, last assigned column id). */
-  private def icebergSchema(st: StructType): (Map[String, Any], Int) = {
+  private def icebergSchema(st: StructType,
+                            schemaId: Int = 0): (Map[String, Any], Int) = {
     var id = 0
     val nextId = () => { id += 1; id }
     val fields = st.fields.map { f =>
       Map("id" -> nextId(), "name" -> f.name, "required" -> !f.nullable,
         "type" -> icebergType(f.dataType, nextId))
     }.toSeq
-    (Map("type" -> "struct", "schema-id" -> 0,
+    (Map("type" -> "struct", "schema-id" -> schemaId,
       "fields" -> fields), id)
   }
 
@@ -341,6 +342,46 @@ object IcebergExport {
     val mdir = metadataDir(table)
     Files.createDirectories(mdir)
 
+    // Idempotence fast-path: exporting the same (snapshot, schema)
+    // twice is a no-op returning the current metadata version — what
+    // makes per-commit auto-export and per-query export calls cheap.
+    // The fingerprint covers the head id and the CURRENT read schema
+    // (so a rename without a new commit still re-exports).
+    val fingerprint = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.update(s"${head.id}:${table.readCold().schema.toDDL}"
+        .getBytes(StandardCharsets.UTF_8))
+      md.digest().map("%02x".format(_)).mkString
+    }
+    currentVersion(mdir).foreach { v =>
+      val prior = mdir.resolve(f"v$v%05d.metadata.json")
+      if (Files.exists(prior) &&
+          Files.readString(prior).contains(
+            s""""graft.export-fingerprint":"$fingerprint""""))
+        return prior
+    }
+
+    // A RENAME whose old name still lives in head data files cannot be
+    // exported: our data files carry no Iceberg field-ids, so external
+    // readers match columns BY NAME — un-converged files would surface
+    // NULL under the renamed column. compact() reads through the
+    // mapping and rewrites the head under current names; refuse until
+    // then (a loud refusal beats silently-null interop).
+    val renamedAway = table.columnMapping.collect {
+      case ("rename", old, _) => old
+    }.toSet
+    if (renamedAway.nonEmpty) {
+      val session = table.readCold().sparkSession
+      val physical = session.read.option("mergeSchema", "true")
+        .parquet(head.files: _*).schema.fieldNames.toSet
+      val stale = renamedAway.intersect(physical)
+      require(stale.isEmpty,
+        s"cannot export ${table.tablePath} as Iceberg: renamed-away " +
+          s"column(s) ${stale.mkString(", ")} still present in head " +
+          "data files — run compact() to converge the layout first " +
+          "(name-based external readers would read NULLs)")
+    }
+
     // merge-on-read PK deltas carry __seq and need Iceberg delete files
     // to resolve — refuse rather than export raw unresolved deltas
     require(!table.mergeOnRead,
@@ -354,8 +395,28 @@ object IcebergExport {
       snaps.flatMap(s => s.files.map(_ -> s.id))
         .groupBy(_._1).map { case (f, xs) => f -> xs.map(_._2).min }
 
+    // Per-snapshot schemas are the RAW physical file schemas, not the
+    // column-mapped view: our data files carry no Iceberg field-ids, so
+    // an external reader matches BY NAME — a historic snapshot must be
+    // described by the names its files actually contain (Iceberg's
+    // per-snapshot schema-id exists for exactly this). After a rename
+    // converges (compact), the head's raw schema equals the mapped one.
+    val session = table.readCold().sparkSession
+    val rawSchemaOf: Map[Long, StructType] = snaps.map { s =>
+      s.id -> session.read.option("mergeSchema", "true")
+        .parquet(s.files: _*).schema
+    }.toMap
+    val distinctSchemas: Seq[StructType] =
+      snaps.map(s => rawSchemaOf(s.id))
+        .foldLeft(Vector.empty[StructType]) { (acc, st) =>
+          if (acc.exists(_.toDDL == st.toDDL)) acc else acc :+ st
+        }
+    val schemaIdOf: Map[Long, Int] = snaps.map { s =>
+      s.id -> distinctSchemas.indexWhere(_.toDDL == rawSchemaOf(s.id).toDDL)
+    }.toMap
+
     val snapshotObjs = snaps.map { s =>
-      val snapSchema = table.readColdAsOf(s.id).schema
+      val snapSchema = rawSchemaOf(s.id)
       // top-level column name → iceberg field id (the icebergSchema
       // assignment order: depth-first, so top-level ids are stable per
       // snapshot schema)
@@ -421,11 +482,11 @@ object IcebergExport {
           e
         }
       }
-      val (schemaObj, _) = icebergSchema(snapSchema)
+      val (schemaObj, _) = icebergSchema(snapSchema, schemaIdOf(s.id))
       val manifestPath = mdir.resolve(f"manifest-${s.id}%06d.avro")
       writeAvro(manifestPath, ManifestEntrySchema, Map(
         "schema" -> toJson(schemaObj),
-        "schema-id" -> "0",
+        "schema-id" -> schemaIdOf(s.id).toString,
         "partition-spec" -> "[]",
         "partition-spec-id" -> "0",
         "format-version" -> "2",
@@ -469,10 +530,12 @@ object IcebergExport {
         "summary" -> (Map("operation" ->
           (if (s.op == "tier" || s.op == "append") "append" else "overwrite"))
           ++ s.summary),
-        "schema-id" -> 0)
+        "schema-id" -> schemaIdOf(s.id))
     }
 
-    val (schemaObj, lastColId) = icebergSchema(table.readCold().schema)
+    val schemaObjs = distinctSchemas.zipWithIndex
+      .map { case (st, i) => icebergSchema(st, i) }
+    val lastColId = schemaObjs.map(_._2).max
     val version = currentVersion(mdir).getOrElse(0) + 1
     val metadata = Map(
       "format-version" -> 2,
@@ -484,14 +547,16 @@ object IcebergExport {
       "last-sequence-number" -> head.id,
       "last-updated-ms" -> head.committedAt,
       "last-column-id" -> lastColId,
-      "current-schema-id" -> 0,
-      "schemas" -> Seq(schemaObj),
+      "current-schema-id" -> schemaIdOf(head.id),
+      "schemas" -> schemaObjs.map(_._1),
       "default-spec-id" -> 0,
       "partition-specs" -> Seq(Map("spec-id" -> 0, "fields" -> Seq.empty[Any])),
       "last-partition-id" -> 999,
       "default-sort-order-id" -> 0,
       "sort-orders" -> Seq(Map("order-id" -> 0, "fields" -> Seq.empty[Any])),
-      "properties" -> Map("write.format.default" -> "parquet"),
+      "properties" -> Map(
+        "write.format.default" -> "parquet",
+        "graft.export-fingerprint" -> fingerprint),
       "current-snapshot-id" -> head.id,
       "snapshots" -> snapshotObjs,
       "snapshot-log" -> snaps.map(s =>
@@ -580,8 +645,9 @@ object IcebergExport {
       throw new IllegalStateException(s"no version-hint.text under $mdir"))
     val md = JsonMethods.parse(
       Files.readString(mdir.resolve(f"v$version%05d.metadata.json")))
+    val curSchemaId = jLong(jsonAt(md, "current-schema-id"))
     val fieldId = jsonAt(md, "schemas").asInstanceOf[org.json4s.JArray]
-      .arr.headOption
+      .arr.find(s => jLong(jsonAt(s, "schema-id")) == curSchemaId)
       .map(s => jsonAt(s, "fields").asInstanceOf[org.json4s.JArray].arr)
       .getOrElse(Nil)
       .collectFirst {

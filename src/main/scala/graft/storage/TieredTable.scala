@@ -981,6 +981,13 @@ class TieredTable(spark: SparkSession, rawTablePath: String,
     * travel included) surface through the CURRENT declared schema with
     * their data intact.
     */
+  /** The persisted evolution ops, for consumers that must reason about
+    * physical-vs-declared layout (e.g. [[IcebergExport]] refuses to
+    * export a rename whose old name still lives in head data files —
+    * a name-based external reader would surface nulls).
+    */
+  def columnMapping: Seq[(String, String, String)] = colMapOps()
+
   private def colMapOps(): Seq[(String, String, String)] =
     meta.get("COLMAP").map(_.linesIterator.flatMap { l =>
       l.split('\t') match {

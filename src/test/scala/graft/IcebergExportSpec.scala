@@ -106,16 +106,33 @@ class IcebergExportSpec extends AnyFunSuite with SparkSpec {
     assert(asOf1 == Seq(1L, 2L, 3L),
       "snapshot 1 through Iceberg = readColdAsOf(1)")
 
+    // same-state re-export is a fingerprint no-op (what makes
+    // per-commit auto-export cheap)
+    IcebergExport.export(t)
+    val mdir = Paths.get(t.tablePath, "metadata")
+    assert(Files.readString(mdir.resolve("version-hint.text")).trim == "1",
+      "re-exporting an unchanged table must not mint a new version")
+
     // a third commit, then re-export: immutable metadata files, new hint
     t.commitAppend(Seq((6L, "f")).toDF("id", "v"))
     IcebergExport.export(t)
-    val mdir = Paths.get(t.tablePath, "metadata")
     assert(Files.readString(mdir.resolve("version-hint.text")).trim == "2")
     assert(Files.exists(mdir.resolve("v00001.metadata.json")),
       "earlier metadata versions are immutable, never overwritten")
     val now = IcebergExport.readTable(spark, t.tablePath)
       .select("id").as[Long].collect().sorted.toSeq
     assert(now == (1L to 6L))
+
+    // a rename is refused until the head layout converges — name-based
+    // external readers would surface NULLs from un-rewritten files
+    t.renameColumn("v", "label")
+    val e = intercept[IllegalArgumentException](IcebergExport.export(t))
+    assert(e.getMessage.contains("compact"))
+    t.compact() // reads through the mapping, rewrites under new names
+    IcebergExport.export(t)
+    assert(Files.readString(mdir.resolve("version-hint.text")).trim == "3")
+    assert(IcebergExport.readTable(spark, t.tablePath).columns.toSeq ==
+      Seq("id", "label"))
   }
 
   test("compaction exports correctly: the rewritten file list, not the stale one") {
