@@ -252,6 +252,33 @@ class TieredTable(spark: SparkSession, rawTablePath: String,
                         maxFilesPerTrigger: Int = 64): DataFrame = {
     require(changeDataFeed,
       s"table $tablePath was not created with changeDataFeed = true")
+    // Rename guard: the file stream matches columns BY NAME, so change
+    // files committed BEFORE a rename would surface NULL under the new
+    // name — silent data loss for a bootstrapping consumer. Refuse
+    // while any retained change file still carries a renamed-away
+    // column; vacuum (which retires change files with their snapshots)
+    // clears the condition. O(retained change files) footer reads, at
+    // stream construction only.
+    val renamedAway = colMapOps().collect {
+      case ("rename", old, _) => old
+    }.toSet
+    if (renamedAway.nonEmpty) {
+      val stale = Option(new File(changesDir.toString).list())
+        .getOrElse(Array.empty)
+        .filter(_.startsWith("snap-")).sorted
+        .flatMap { d =>
+          val cols = spark.read.parquet(changesDir.resolve(d).toString)
+            .columns.toSet
+          val hit = renamedAway.intersect(cols)
+          if (hit.nonEmpty) Some(d -> hit) else None
+        }
+      require(stale.isEmpty,
+        s"change files ${stale.map(_._1).mkString(", ")} in $tablePath " +
+          s"still carry renamed-away column(s) " +
+          s"${stale.flatMap(_._2).distinct.mkString(", ")} — a new " +
+          "consumer would read NULLs there; vacuum past the rename " +
+          "before streaming the feed")
+    }
     spark.readStream
       .schema(schema.add("op", StringType))
       .option("maxFilesPerTrigger", maxFilesPerTrigger)

@@ -112,6 +112,25 @@ class ChangeFeedSpec extends AnyFunSuite with SparkSpec {
     assert(!Files.exists(Paths.get(s"$dir/t/changes/_tmp-snap-000009")))
   }
 
+  test("pre-rename change files block the stream until vacuum retires them") {
+    val dir = Files.createTempDirectory("graft-cdf-ren").toString
+    val t = TieredTable(spark, s"$dir/t", changeDataFeed = true)
+    t.commitAppend(Seq((1L, "a")).toDF("id", "v"))
+    t.renameColumn("v", "label")
+    t.commitAppend(Seq((2L, "b")).toDF("id", "label"))
+    // the snap-1 change file carries the old name — a bootstrapping
+    // consumer under the new schema would read NULLs from it
+    val e = intercept[IllegalArgumentException] {
+      t.readStreamChanges(t.readCold().schema)
+    }
+    assert(e.getMessage.contains("vacuum past the rename"))
+    // vacuum retires the offending delta with its snapshot; the feed
+    // opens cleanly on the post-rename files
+    t.vacuum(keepLast = 1)
+    val stream = t.readStreamChanges(t.readCold().schema)
+    assert(stream.isStreaming && stream.columns.contains("label"))
+  }
+
   test("a WAL-replayed micro-batch is a no-op (tag idempotence)") {
     val dir = Files.createTempDirectory("graft-cdf-replay").toString
     val src = TieredTable(spark, s"$dir/src", changeDataFeed = true)
