@@ -138,6 +138,10 @@ object SparkEntry {
     "p10_big_orders"    -> (Relational.p10BigOrders _),
     "p11_top_supplier"  -> (Relational.p11TopSupplier _),
     "p12_priority_check" -> (Relational.p12PriorityCheck _),
+    "p13_order_dist"    -> (Relational.p13OrderDist _),
+    "p14_supplier_parts" -> (Relational.p14SupplierParts _),
+    "p15_small_qty"     -> (Relational.p15SmallQty _),
+    "p16_sales_opp"     -> (Relational.p16SalesOpp _),
     "g7_set_ops"        -> (Relational.g7SetOps _),
     "g8_exists"         -> (Relational.g8ExistsSubquery _),
     "g9_above_avg"      -> (Relational.g9AboveAvg _),
@@ -1280,6 +1284,53 @@ object SparkEntry {
         |              WHERE l.l_orderkey = o.o_orderkey
         |                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
         |GROUP BY o_orderpriority""".stripMargin,
+    "p13_order_dist" ->
+      """SELECT n_orders, count(*) AS custdist
+        |FROM (SELECT c_custkey, count(o_orderkey) AS n_orders
+        |      FROM customer LEFT JOIN orders
+        |        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |      GROUP BY 1)
+        |GROUP BY 1""".stripMargin,
+    "p14_supplier_parts" ->
+      """SELECT p_brand, p_type, p_size,
+        |       count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM part JOIN lineitem ON p_partkey = l_partkey
+        |WHERE p_brand <> 'Brand#1'
+        |  AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+        |                        WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_type, p_size""".stripMargin,
+    "p15_small_qty" ->
+      """WITH pq AS (
+        |  SELECT l_partkey AS pk,
+        |    CAST(sum(CAST(CAST(l_quantity AS DECIMAL(15,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_qc,
+        |    count(*) AS cnt
+        |  FROM lineitem GROUP BY 1)
+        |SELECT count(*) AS n_small,
+        |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(15,2)) * 100 AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |JOIN pq ON pk = l_partkey
+        |WHERE p_brand = 'Brand#2'
+        |  AND CAST(CAST(l_quantity AS DECIMAL(15,2)) * 100 AS BIGINT) * 5 * cnt < sum_qc""".stripMargin,
+    "p16_sales_opp" ->
+      """WITH pos AS (
+        |  SELECT CAST(sum(CAST(CAST(c_acctbal AS DECIMAL(15,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_cents,
+        |         count(*) AS cnt
+        |  FROM customer
+        |  WHERE c_acctbal > 0 AND c_nationkey IN (1, 3, 5, 7, 9, 11))
+        |SELECT c_nationkey AS cntrycode, count(*) AS numcust,
+        |       CAST(sum(acctbal_cents) AS BIGINT) AS totacctbal_cents
+        |FROM (SELECT c_custkey, c_nationkey,
+        |             CAST(CAST(c_acctbal AS DECIMAL(15,2)) * 100 AS BIGINT) AS acctbal_cents
+        |      FROM customer
+        |      WHERE c_nationkey IN (1, 3, 5, 7, 9, 11)) c
+        |CROSS JOIN pos
+        |WHERE acctbal_cents * cnt > sum_cents
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_orderpriority = '1-URGENT'
+        |                    AND o.o_orderdate >= '1998-06-01')
+        |GROUP BY c_nationkey""".stripMargin,
     "g11_not_in" ->
       """SELECT count(*) AS n_calm, CAST(sum(c_custkey) AS BIGINT) AS key_sum
         |FROM customer

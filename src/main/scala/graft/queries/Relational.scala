@@ -527,6 +527,114 @@ object Relational {
         |GROUP BY o_orderpriority""".stripMargin)
   }
 
+  /** P13 — TPC-H Q13-shaped customer order-count distribution: LEFT
+    * join customer→orders with a non-key predicate IN the join
+    * condition (priority ≠ urgent — rows failing it null out instead
+    * of dropping the customer, the semantic that makes Q13 a left-join
+    * benchmark rather than a WHERE), count orders per customer
+    * (count(col) skips the null side, so order-less customers land in
+    * bucket 0), then the distribution of those counts. Scale shape:
+    * one customer-key shuffle for the join+first aggregate; the second
+    * aggregate's domain is order-count values — tiny, whatever the SF.
+    */
+  def p13OrderDist(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "customer")
+      .join(Tables.load(spark, dir, "orders"),
+        col("c_custkey") === col("o_custkey") &&
+          col("o_orderpriority") =!= "1-URGENT", "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("n_orders"))
+      .groupBy(col("n_orders"))
+      .agg(count(lit(1)).as("custdist"))
+
+  /** P14 — TPC-H Q16-shaped supplier-relationship count: DISTINCT
+    * suppliers able to supply each (brand, type, size) bucket, with a
+    * NOT IN exclusion list (negative-balance suppliers — the fixture's
+    * stand-in for Q16's complaint filter; lineitem plays partsupp).
+    * This is the suite's only count(DISTINCT) over a join — the
+    * distinct dedups (group, suppkey) BEFORE the final count, so the
+    * shuffle carries the deduped relationship set, not line items. The
+    * exclusion subquery is supplier-bounded; Spark plans the null-aware
+    * anti join against a broadcast — fine here and exactly the NAAJ
+    * size caveat g11 documents.
+    */
+  def p14SupplierParts(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "part").createOrReplaceTempView("p14_part")
+    Tables.load(spark, dir, "lineitem").createOrReplaceTempView("p14_lineitem")
+    Tables.load(spark, dir, "supplier").createOrReplaceTempView("p14_supplier")
+    spark.sql(
+      """SELECT p_brand, p_type, p_size,
+        |       count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM p14_part JOIN p14_lineitem ON p_partkey = l_partkey
+        |WHERE p_brand <> 'Brand#1'
+        |  AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM p14_supplier
+        |                        WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_type, p_size""".stripMargin)
+  }
+
+  /** P15 — TPC-H Q17-shaped small-quantity revenue: lines of one brand
+    * whose quantity sits under 20% of that part's average quantity.
+    * The correlated per-part average decorrelates into ONE grouped
+    * aggregate of the fact joined back on the part key — the fact is
+    * scanned twice (once to build per-part sums, once to probe) but
+    * shuffled on `l_partkey` both times, so AQE can co-locate; no
+    * per-row subquery survives. The 0.2·avg comparison is the integer
+    * cross-multiply `qty_cents·5·cnt < sum_qty_cents` — exact where
+    * `qty < 0.2*avg(qty)` on doubles is an engine-rounding coin flip.
+    */
+  def p15SmallQty(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "lineitem").createOrReplaceTempView("p15_lineitem")
+    Tables.load(spark, dir, "part").createOrReplaceTempView("p15_part")
+    spark.sql(
+      """WITH pq AS (
+        |  SELECT l_partkey AS pk,
+        |    CAST(sum(CAST(CAST(l_quantity AS DECIMAL(15,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_qc,
+        |    count(*) AS cnt
+        |  FROM p15_lineitem GROUP BY 1)
+        |SELECT count(*) AS n_small,
+        |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(15,2)) * 100 AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM p15_lineitem JOIN p15_part ON l_partkey = p_partkey
+        |JOIN pq ON pk = l_partkey
+        |WHERE p_brand = 'Brand#2'
+        |  AND CAST(CAST(l_quantity AS DECIMAL(15,2)) * 100 AS BIGINT) * 5 * cnt < sum_qc""".stripMargin)
+  }
+
+  /** P16 — TPC-H Q22-shaped sales opportunity: per country, the
+    * well-funded customers (balance above the positive-balance average
+    * of the candidate countries) with no recent urgent order. Q22's
+    * three surfaces in one query: the IN country-code gate
+    * (`c_nationkey` stands in for the fixture-less phone prefix), an
+    * ungrouped scalar-aggregate subquery consumed as a CROSS JOIN of
+    * one row (broadcast — never a shuffle), and a correlated NOT
+    * EXISTS that lowers to an anti hash join on the customer key. The
+    * above-average gate is the exact cross-multiply
+    * `cents·cnt > sum_cents`, g9's convention.
+    */
+  def p16SalesOpp(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "customer").createOrReplaceTempView("p16_customer")
+    Tables.load(spark, dir, "orders").createOrReplaceTempView("p16_orders")
+    spark.sql(
+      """WITH pos AS (
+        |  SELECT CAST(sum(CAST(CAST(c_acctbal AS DECIMAL(15,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_cents,
+        |         count(*) AS cnt
+        |  FROM p16_customer
+        |  WHERE c_acctbal > 0 AND c_nationkey IN (1, 3, 5, 7, 9, 11))
+        |SELECT c_nationkey AS cntrycode, count(*) AS numcust,
+        |       CAST(sum(acctbal_cents) AS BIGINT) AS totacctbal_cents
+        |FROM (SELECT c_custkey, c_nationkey,
+        |             CAST(CAST(c_acctbal AS DECIMAL(15,2)) * 100 AS BIGINT) AS acctbal_cents
+        |      FROM p16_customer
+        |      WHERE c_nationkey IN (1, 3, 5, 7, 9, 11)) c
+        |CROSS JOIN pos
+        |WHERE acctbal_cents * cnt > sum_cents
+        |  AND NOT EXISTS (SELECT 1 FROM p16_orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_orderpriority = '1-URGENT'
+        |                    AND o.o_orderdate >= '1998-06-01')
+        |GROUP BY c_nationkey""".stripMargin)
+  }
+
   /** G11 — `NOT IN` subquery under the oracle: customers with no
     * urgent order, phrased the null-aware way. SQL's NOT IN is
     * three-valued (one NULL in the subquery empties the result), so

@@ -153,6 +153,48 @@ class RelationalPlanSpec extends AnyFunSuite with SparkSpec {
       "the IN-subquery must be rewritten into the join")
   }
 
+  test("p13: left join survives the non-key join predicate; two aggregates stack") {
+    val plan = planOf(Relational.p13OrderDist(spark, dir))
+    // the priority test lives in the JOIN condition — as a WHERE it
+    // would delete order-less customers instead of null-extending them
+    assert(plan.contains("LeftOuter"), plan.take(2000))
+    assert(plan.linesIterator.count(l =>
+      l.contains("HashAggregate") && l.contains("keys=")) >= 2,
+      "per-customer count and the distribution aggregate must both plan")
+  }
+
+  test("p14: count(DISTINCT) dedups before counting; NOT IN joins, no subquery") {
+    val plan = planOf(Relational.p14SupplierParts(spark, dir))
+    assert(plan.contains("LeftAnti"),
+      "the supplier exclusion must lower to an anti join\n" + plan.take(2000))
+    // two-phase distinct: a keyed aggregate on (group, l_suppkey)
+    // must sit under the final count — the dedup shuffle carries
+    // relationships, not line items
+    assert(plan.linesIterator.exists(l =>
+      l.contains("HashAggregate") && l.contains("l_suppkey") &&
+        l.contains("keys=") && l.contains("p_brand")),
+      "distinct dedup aggregate missing\n" + plan.take(3000))
+  }
+
+  test("p15: the correlated per-part average fully decorrelates") {
+    val plan = planOf(Relational.p15SmallQty(spark, dir))
+    assert(!plan.linesIterator.exists(_.contains("Subquery")),
+      "no per-row subquery execution may survive\n" + plan.take(2000))
+    assert(plan.linesIterator.exists(l =>
+      l.contains("HashAggregate") && l.contains("l_partkey")),
+      "per-part aggregate must plan as one grouped aggregate")
+  }
+
+  test("p16: NOT EXISTS lowers to an anti join; the avg gate is one row broadcast") {
+    val plan = planOf(Relational.p16SalesOpp(spark, dir))
+    assert(plan.contains("LeftAnti"),
+      "NOT EXISTS must lower to an anti join\n" + plan.take(2000))
+    // the positive-balance average is an ungrouped single-row aggregate
+    // consumed via a broadcast nested-loop cross join — never a shuffle
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      "the one-row scalar gate must broadcast\n" + plan.take(2000))
+  }
+
   test("g8/g9: correlated subqueries fully decorrelate into joins") {
     val g8 = planOf(Relational.g8ExistsSubquery(spark, dir))
     assert(g8.contains("LeftSemi"), "EXISTS must lower to a semi join")
