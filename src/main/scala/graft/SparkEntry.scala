@@ -51,6 +51,7 @@ object SparkEntry {
     "q19b_iceberg_asof" -> (Lakehouse.q19bIcebergAsOf _),
     "q20_schema_evolution" -> (Lakehouse.q20SchemaEvolution _),
     "q21_change_feed" -> (Lakehouse.q21ChangeFeed _),
+    "q22_iceberg_part" -> (Lakehouse.q22IcebergPart _),
     // training-data pipeline: dedup / similarity / text analysis
     "d1_exact_dedup" -> (Pipeline.d1ExactDedup _),
     "d2_fingerprint" -> (Pipeline.d2Fingerprint _),
@@ -339,6 +340,14 @@ object SparkEntry {
         |SELECT op, COUNT(*) AS cnt, CAST(SUM(k) AS BIGINT) AS key_sum,
         |       CAST(SUM(bal) * 100 AS BIGINT) AS bal_cents
         |FROM ops GROUP BY op""".stripMargin,
+    // the partitioned cold tier (even order keys) through the exported
+    // Iceberg chain, grouped BY the manifest-reconstructed partition
+    // column — a misparsed partition value changes the group keys
+    "q22_iceberg_part" ->
+      """SELECT o_orderpriority, COUNT(*) AS cnt,
+        |       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+        |FROM orders WHERE o_orderkey % 2 = 0
+        |GROUP BY o_orderpriority""".stripMargin,
     "q12_partition_pruned" ->
       """SELECT COUNT(*) AS cnt, CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
         |FROM orders WHERE o_orderpriority = '1-URGENT'""".stripMargin,

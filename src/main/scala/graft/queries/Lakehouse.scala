@@ -282,6 +282,26 @@ object Lakehouse {
     t
   }
 
+  /** Q22 — the PARTITIONED cold tier through the exported Iceberg
+    * chain: export [[demoTablePartitioned]] (hive layout by
+    * `o_orderpriority`) with an identity partition spec, read it back
+    * through [[graft.storage.IcebergExport.readTable]] — which must
+    * reconstruct the partition column from the manifests' typed
+    * partition structs, since hive-layout data pages don't contain it
+    * — and aggregate BY the partition column. A missing, mistyped, or
+    * misparsed partition value changes the group keys and
+    * hash-mismatches against the oracle's recomputation from the raw
+    * fixture.
+    */
+  def q22IcebergPart(spark: SparkSession, dir: String): DataFrame = {
+    val t = demoTablePartitioned(spark, dir)
+    graft.storage.IcebergExport.export(t)
+    graft.storage.IcebergExport.readTable(spark, t.tablePath)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("o_orderkey")).cast("long").as("key_sum"))
+  }
+
   /** Date-clustered variant of the demo table: orders land in three
     * commits by `o_orderdate` range — the natural layout of any
     * time-ingested fact table (each day's load covers a narrow date

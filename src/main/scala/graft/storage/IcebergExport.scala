@@ -51,11 +51,14 @@ import org.apache.spark.sql.types._
   * zero-egress sandbox; the independent-reader path keeps the check
   * honest: a wrong manifest, a missed file, or a bad path breaks it.)
   *
-  * Scope: unpartitioned, non-merge-on-read tables — the shape of the
-  * reference's tiered log tables. Partitioned layouts put key=value
-  * values in directory names (not data pages), and merge-on-read PK
-  * tables need positional/equality deletes; both are documented
-  * refusals rather than silent wrong answers.
+  * Scope: copy-on-write tables, unpartitioned or identity-partitioned.
+  * A hive-layout partition value lives in directory names, not data
+  * pages, so the export parses it from the path and stores it TYPED in
+  * the manifest's partition struct with an identity partition spec —
+  * Iceberg's `add_files` migration semantics, which external readers
+  * resolve as constant columns. Merge-on-read PK tables need
+  * positional/equality deletes and stay a documented refusal rather
+  * than a silent wrong answer.
   *
   * Scale: export is a METADATA-ONLY pass — it lists the snapshot's
   * files and reads parquet footers for record counts (the same numbers
@@ -99,28 +102,103 @@ object IcebergExport {
        |{"name":"key","type":"int","field-id":$keyId},
        |{"name":"value","type":"$valType","field-id":$valId}]}}]""".stripMargin
 
-  private val ManifestEntrySchema: Schema = new Schema.Parser().parse(
-    s"""{"type":"record","name":"manifest_entry","fields":[
-      |{"name":"status","type":"int","field-id":0},
-      |{"name":"snapshot_id","type":["null","long"],"default":null,"field-id":1},
-      |{"name":"sequence_number","type":["null","long"],"default":null,"field-id":3},
-      |{"name":"file_sequence_number","type":["null","long"],"default":null,"field-id":4},
-      |{"name":"data_file","field-id":2,"type":{"type":"record","name":"r2","fields":[
-      |{"name":"content","type":"int","field-id":134},
-      |{"name":"file_path","type":"string","field-id":100},
-      |{"name":"file_format","type":"string","field-id":101},
-      |{"name":"partition","field-id":102,"type":{"type":"record","name":"r102","fields":[]}},
-      |{"name":"record_count","type":"long","field-id":103},
-      |{"name":"file_size_in_bytes","type":"long","field-id":104},
-      |{"name":"value_counts","field-id":109,"default":null,
-      |  "type":${kvMap("k119_v120", 119, 120, "long")}},
-      |{"name":"null_value_counts","field-id":110,"default":null,
-      |  "type":${kvMap("k121_v122", 121, 122, "long")}},
-      |{"name":"lower_bounds","field-id":125,"default":null,
-      |  "type":${kvMap("k126_v127", 126, 127, "bytes")}},
-      |{"name":"upper_bounds","field-id":128,"default":null,
-      |  "type":${kvMap("k129_v130", 129, 130, "bytes")}}
-      |]}}]}""".stripMargin)
+  /** Manifest entry Avro schema, parameterized by the table's identity
+    * partition fields: the `partition` struct (r102) carries one typed,
+    * nullable field per partition column with the spec's 1000+i
+    * partition field-ids. Empty seq = the unpartitioned shape.
+    */
+  private def manifestEntrySchema(partFields: Seq[(String, String)]): Schema = {
+    val pf = partFields.zipWithIndex.map { case ((n, t), i) =>
+      s"""{"name":"$n","type":["null","$t"],"default":null,"field-id":${1000 + i}}"""
+    }.mkString(",")
+    new Schema.Parser().parse(
+      s"""{"type":"record","name":"manifest_entry","fields":[
+        |{"name":"status","type":"int","field-id":0},
+        |{"name":"snapshot_id","type":["null","long"],"default":null,"field-id":1},
+        |{"name":"sequence_number","type":["null","long"],"default":null,"field-id":3},
+        |{"name":"file_sequence_number","type":["null","long"],"default":null,"field-id":4},
+        |{"name":"data_file","field-id":2,"type":{"type":"record","name":"r2","fields":[
+        |{"name":"content","type":"int","field-id":134},
+        |{"name":"file_path","type":"string","field-id":100},
+        |{"name":"file_format","type":"string","field-id":101},
+        |{"name":"partition","field-id":102,"type":{"type":"record","name":"r102","fields":[$pf]}},
+        |{"name":"record_count","type":"long","field-id":103},
+        |{"name":"file_size_in_bytes","type":"long","field-id":104},
+        |{"name":"value_counts","field-id":109,"default":null,
+        |  "type":${kvMap("k119_v120", 119, 120, "long")}},
+        |{"name":"null_value_counts","field-id":110,"default":null,
+        |  "type":${kvMap("k121_v122", 121, 122, "long")}},
+        |{"name":"lower_bounds","field-id":125,"default":null,
+        |  "type":${kvMap("k126_v127", 126, 127, "bytes")}},
+        |{"name":"upper_bounds","field-id":128,"default":null,
+        |  "type":${kvMap("k129_v130", 129, 130, "bytes")}}
+        |]}}]}""".stripMargin)
+  }
+
+  /** Spark partition-column type → the Avro primitive its manifest
+    * partition value is stored as. Iceberg stores DATE partition values
+    * as int days since epoch; other types are refused loudly (a wrong
+    * partition value corrupts every external read that prunes on it).
+    */
+  private def avroPartType(dt: DataType): String = dt match {
+    case IntegerType | ShortType | ByteType => "int"
+    case LongType => "long"
+    case StringType => "string"
+    case DateType => "int"
+    case other => throw new IllegalArgumentException(
+      "Iceberg export supports int/long/string/date partition columns; " +
+        s"got $other")
+  }
+
+  /** Hive-layout `%xx` path unescaping (the inverse of the escaping
+    * Spark applies writing `col=value/` directories).
+    */
+  private def unescapePathName(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length) {
+        val hex = s.substring(i + 1, i + 3)
+        val code = try Integer.parseInt(hex, 16) catch { case _: NumberFormatException => -1 }
+        if (code >= 0) { sb.append(code.toChar); i += 3 }
+        else { sb.append(c); i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** The `col=value` partition values of one data file, parsed from its
+    * path segments under the snapshot dir. `None` = the Hive null
+    * partition. Every partition column must appear — a partitioned
+    * writer always lays out every level.
+    */
+  private def partitionValuesOf(filePath: String, snapDir: String,
+                                partCols: Seq[String]): Seq[Option[String]] = {
+    val rel = Paths.get(snapDir).toAbsolutePath.normalize
+      .relativize(Paths.get(filePath).toAbsolutePath.normalize)
+    val segs = (0 until rel.getNameCount - 1).map(rel.getName(_).toString)
+    partCols.map { c =>
+      val pre = c + "="
+      val seg = segs.find(_.startsWith(pre)).getOrElse(
+        throw new IllegalStateException(
+          s"partition segment $c=... missing in $filePath"))
+      val raw = unescapePathName(seg.substring(pre.length))
+      if (raw == "__HIVE_DEFAULT_PARTITION__") None else Some(raw)
+    }
+  }
+
+  /** Directory-name partition string → the typed Avro value the
+    * manifest stores (must round-trip exactly what the data dir says).
+    */
+  private def typedPartValue(raw: String, dt: DataType): AnyRef = dt match {
+    case IntegerType | ShortType | ByteType => Integer.valueOf(raw.toInt)
+    case LongType => java.lang.Long.valueOf(raw.toLong)
+    case StringType => raw
+    case DateType =>
+      Integer.valueOf(java.time.LocalDate.parse(raw).toEpochDay.toInt)
+    case other => throw new IllegalArgumentException(s"unsupported $other")
+  }
 
   private def metadataDir(table: TieredTable): Path =
     Paths.get(table.tablePath, "metadata")
@@ -240,6 +318,20 @@ object IcebergExport {
     }
   }
 
+  /** Raw physical read of snapshot data dirs: mergeSchema, no column
+    * mapping. Partitioned tables read per root (one multi-root read
+    * sees "conflicting directory structures"); partition columns come
+    * back discovered and typed, appended after the data columns — the
+    * same shape TieredTable's own readParquet presents.
+    */
+  private def rawRead(session: SparkSession, table: TieredTable,
+                      files: Seq[String]): DataFrame =
+    if (table.partitionBy.isEmpty)
+      session.read.option("mergeSchema", "true").parquet(files: _*)
+    else
+      files.map(f => session.read.option("mergeSchema", "true").parquet(f))
+        .reduce(_.unionByName(_, allowMissingColumns = true))
+
   /** Parquet part files under a snapshot data dir, with per-file
     * (rows, bytes, per-column stats) from the footer — the manifest
     * entry's accounting and pruning metadata.
@@ -331,11 +423,6 @@ object IcebergExport {
     * Returns the metadata.json path.
     */
   def export(table: TieredTable): Path = {
-    require(table.partitionBy.isEmpty,
-      "Iceberg export supports unpartitioned tables: a hive-layout " +
-        "partition value lives in directory names, which a file-list " +
-        "reader cannot recover — read the partitioned layout through " +
-        "TieredTable instead")
     val head = table.currentSnapshot.getOrElse(
       throw new IllegalStateException(
         s"no snapshot to export in ${table.tablePath}"))
@@ -372,8 +459,7 @@ object IcebergExport {
     }.toSet
     if (renamedAway.nonEmpty) {
       val session = table.readCold().sparkSession
-      val physical = session.read.option("mergeSchema", "true")
-        .parquet(head.files: _*).schema.fieldNames.toSet
+      val physical = rawRead(session, table, head.files).schema.fieldNames.toSet
       val stale = renamedAway.intersect(physical)
       require(stale.isEmpty,
         s"cannot export ${table.tablePath} as Iceberg: renamed-away " +
@@ -403,8 +489,7 @@ object IcebergExport {
     // converges (compact), the head's raw schema equals the mapped one.
     val session = table.readCold().sparkSession
     val rawSchemaOf: Map[Long, StructType] = snaps.map { s =>
-      s.id -> session.read.option("mergeSchema", "true")
-        .parquet(s.files: _*).schema
+      s.id -> rawRead(session, table, s.files).schema
     }.toMap
     val distinctSchemas: Seq[StructType] =
       snaps.map(s => rawSchemaOf(s.id))
@@ -415,40 +500,69 @@ object IcebergExport {
       s.id -> distinctSchemas.indexWhere(_.toDDL == rawSchemaOf(s.id).toDDL)
     }.toMap
 
+    // top-level column name → iceberg field id (the icebergSchema
+    // assignment order: depth-first, so top-level ids are stable per
+    // snapshot schema)
+    def fieldIdsOf(schema: StructType): Map[String, Int] = {
+      var id = 0
+      schema.fields.map { f =>
+        id += 1
+        val topId = id
+        // advance past nested ids the field consumed
+        val nextId = () => { id += 1; id }
+        icebergType(f.dataType, nextId)
+        f.name -> topId
+      }.toMap
+    }
+
+    // Identity partition spec: partition columns are discovered (typed)
+    // from the hive layout and appear in each snapshot's raw schema, so
+    // source-ids resolve against the head schema; partition field-ids
+    // take the spec's 1000+ range. The manifest partition struct stores
+    // the typed `col=value` directory values — exactly Iceberg's
+    // `add_files` migration semantics (data pages lack the column; the
+    // manifest supplies it, and [[readTable]] reconstructs it).
+    val headSchema = rawSchemaOf(head.id)
+    val partTypes: Seq[(String, DataType)] = table.partitionBy.map { c =>
+      c -> headSchema.find(_.name == c).getOrElse(throw new IllegalStateException(
+        s"partition column $c absent from the discovered head schema")).dataType
+    }
+    val entrySchema = manifestEntrySchema(
+      partTypes.map { case (n, dt) => n -> avroPartType(dt) })
+    val headFieldIds = fieldIdsOf(headSchema)
+    val specFields = table.partitionBy.zipWithIndex.map { case (c, i) =>
+      Map("name" -> c, "transform" -> "identity",
+        "source-id" -> headFieldIds(c), "field-id" -> (1000 + i))
+    }
+
     val snapshotObjs = snaps.map { s =>
       val snapSchema = rawSchemaOf(s.id)
-      // top-level column name → iceberg field id (the icebergSchema
-      // assignment order: depth-first, so top-level ids are stable per
-      // snapshot schema)
-      val fieldIds: Map[String, Int] = {
-        var id = 0
-        snapSchema.fields.map { f =>
-          id += 1
-          val topId = id
-          // advance past nested ids the field consumed
-          val nextId = () => { id += 1; id }
-          icebergType(f.dataType, nextId)
-          f.name -> topId
-        }.toMap
-      }
+      val fieldIds: Map[String, Int] = fieldIdsOf(snapSchema)
       // one manifest per snapshot, listing every live file of that
       // snapshot; files added earlier carry EXISTING status with their
       // original (data) sequence number — the v2 inheritance rules
       val entries = s.files.flatMap { dir =>
         val addedIn = addedBy(dir)
         partFiles(dir).map { case (path, rows, bytes, colStats) =>
-          val e = new GenericData.Record(ManifestEntrySchema)
+          val e = new GenericData.Record(entrySchema)
           e.put("status", if (addedIn == s.id) 1 else 0) // ADDED / EXISTING
           e.put("snapshot_id", addedIn)
           e.put("sequence_number", addedIn)       // data sequence number
           e.put("file_sequence_number", addedIn)
           val df = new GenericData.Record(
-            ManifestEntrySchema.getField("data_file").schema())
+            entrySchema.getField("data_file").schema())
           df.put("content", 0)                    // DATA
           df.put("file_path", path)
           df.put("file_format", "PARQUET")
-          df.put("partition", new GenericData.Record(
-            df.getSchema.getField("partition").schema()))
+          val partRec = new GenericData.Record(
+            df.getSchema.getField("partition").schema())
+          if (partTypes.nonEmpty) {
+            val vals = partitionValuesOf(path, dir, table.partitionBy)
+            partTypes.zip(vals).foreach { case ((c, dt), ov) =>
+              partRec.put(c, ov.map(typedPartValue(_, dt)).orNull)
+            }
+          }
+          df.put("partition", partRec)
           df.put("record_count", rows)
           df.put("file_size_in_bytes", bytes)
           // the stats maps, keyed by schema field id
@@ -484,10 +598,10 @@ object IcebergExport {
       }
       val (schemaObj, _) = icebergSchema(snapSchema, schemaIdOf(s.id))
       val manifestPath = mdir.resolve(f"manifest-${s.id}%06d.avro")
-      writeAvro(manifestPath, ManifestEntrySchema, Map(
+      writeAvro(manifestPath, entrySchema, Map(
         "schema" -> toJson(schemaObj),
         "schema-id" -> schemaIdOf(s.id).toString,
-        "partition-spec" -> "[]",
+        "partition-spec" -> toJson(specFields),
         "partition-spec-id" -> "0",
         "format-version" -> "2",
         "content" -> "data"), entries)
@@ -550,8 +664,8 @@ object IcebergExport {
       "current-schema-id" -> schemaIdOf(head.id),
       "schemas" -> schemaObjs.map(_._1),
       "default-spec-id" -> 0,
-      "partition-specs" -> Seq(Map("spec-id" -> 0, "fields" -> Seq.empty[Any])),
-      "last-partition-id" -> 999,
+      "partition-specs" -> Seq(Map("spec-id" -> 0, "fields" -> specFields)),
+      "last-partition-id" -> (999 + table.partitionBy.size),
       "default-sort-order-id" -> 0,
       "sort-orders" -> Seq(Map("order-id" -> 0, "fields" -> Seq.empty[Any])),
       "properties" -> Map(
@@ -615,17 +729,84 @@ object IcebergExport {
       case other => throw new IllegalStateException(s"bad manifest-list: $other")
     }
     val (manifestFiles, _) = readAvro(listPath)
-    val dataFiles = manifestFiles.flatMap { mf =>
-      val (entries, _) = readAvro(mf.get("manifest_path").toString)
-      entries.collect {
-        // status 2 = DELETED: the file left the table in this snapshot
-        case e if e.get("status").asInstanceOf[Int] != 2 =>
-          e.get("data_file").asInstanceOf[GenericRecord]
-            .get("file_path").toString
+    // identity partition fields of the default spec — partition values
+    // live in the manifests (add_files-style layout), not in data pages
+    val specFields = jsonAt(md, "partition-specs")
+      .asInstanceOf[org.json4s.JArray].arr.headOption
+      .map(s => jsonAt(s, "fields").asInstanceOf[org.json4s.JArray].arr)
+      .getOrElse(Nil)
+      .map { f =>
+        val org.json4s.JString(name) = jsonAt(f, "name"): @unchecked
+        name
       }
+    val liveEntries = manifestFiles.flatMap { mf =>
+      val (entries, _) = readAvro(mf.get("manifest_path").toString)
+      // status 2 = DELETED: the file left the table in this snapshot
+      entries.filter(_.get("status").asInstanceOf[Int] != 2)
+        .map(_.get("data_file").asInstanceOf[GenericRecord])
     }
-    require(dataFiles.nonEmpty, s"snapshot $currentId lists no data files")
-    spark.read.option("mergeSchema", "true").parquet(dataFiles: _*)
+    require(liveEntries.nonEmpty, s"snapshot $currentId lists no data files")
+    if (specFields.isEmpty) {
+      spark.read.option("mergeSchema", "true")
+        .parquet(liveEntries.map(_.get("file_path").toString): _*)
+    } else {
+      // the snapshot's own schema names the partition column types
+      val snapSchemaId = jLong(jsonAt(snap, "schema-id"))
+      val schemaFields = jsonAt(md, "schemas")
+        .asInstanceOf[org.json4s.JArray].arr
+        .find(s => jLong(jsonAt(s, "schema-id")) == snapSchemaId)
+        .map(s => jsonAt(s, "fields").asInstanceOf[org.json4s.JArray].arr)
+        .getOrElse(throw new IllegalStateException(
+          s"schema $snapSchemaId not in metadata"))
+      val typeOf: Map[String, String] = schemaFields.map { f =>
+        val org.json4s.JString(n) = jsonAt(f, "name"): @unchecked
+        val org.json4s.JString(t) = jsonAt(f, "type"): @unchecked
+        n -> t
+      }.toMap
+      def sparkType(t: String): String = t match {
+        case "int" => "int"
+        case "long" => "bigint"
+        case "string" => "string"
+        case "date" => "date"
+        case other => throw new IllegalArgumentException(
+          s"unsupported partition type $other")
+      }
+      // group data files by partition tuple; each group scans once and
+      // gets its partition columns attached as typed constants — the
+      // constant-vector read every Iceberg engine does for identity
+      // transforms. Plan width is O(partitions in the snapshot), the
+      // same width TieredTable's own partitioned read plans.
+      val byPart: Map[Seq[Option[Any]], Seq[String]] = liveEntries.map { e =>
+        val rec = e.get("partition").asInstanceOf[GenericRecord]
+        val vals = specFields.map { c =>
+          Option(rec.get(c)).map {
+            case u: org.apache.avro.util.Utf8 => u.toString
+            case v => v
+          }
+        }
+        (vals, e.get("file_path").toString)
+      }.groupBy(_._1).map { case (k, xs) => k -> xs.map(_._2) }
+      val colOrder = schemaFields.map { f =>
+        val org.json4s.JString(n) = jsonAt(f, "name"): @unchecked
+        n
+      }
+      byPart.toSeq.sortBy(_._1.toString).map { case (vals, files) =>
+        var df = spark.read.option("mergeSchema", "true").parquet(files: _*)
+        specFields.zip(vals).foreach { case (c, ov) =>
+          import org.apache.spark.sql.functions.{lit, col => fcol}
+          val st = sparkType(typeOf(c))
+          val value = ov match {
+            case None => lit(null).cast(st)
+            case Some(v) if typeOf(c) == "date" =>
+              lit(java.time.LocalDate.ofEpochDay(
+                v.asInstanceOf[Int].toLong))
+            case Some(v) => lit(v).cast(st)
+          }
+          df = df.withColumn(c, value)
+        }
+        df.select(colOrder.map(org.apache.spark.sql.functions.col): _*)
+      }.reduce(_.unionByName(_))
+    }
   }
 
   private def decodeLongLE(buf: java.nio.ByteBuffer): Long =

@@ -52,9 +52,10 @@ class TieredTable(spark: SparkSession, rawTablePath: String,
                   metaStore: MetaStore = null,
                   val changeDataFeed: Boolean = false,
                   val icebergExport: Boolean = false) {
-  require(!icebergExport || (partitionBy.isEmpty && !mergeOnRead),
-    "icebergExport supports unpartitioned copy-on-write tables " +
-      "(IcebergExport's documented scope)")
+  require(!icebergExport || !mergeOnRead,
+    "icebergExport supports copy-on-write tables only " +
+      "(IcebergExport's documented scope: a merge-on-read delta " +
+      "needs Iceberg delete files to resolve)")
   /** `file:`-scheme URIs are normalized to plain paths — `Paths.get`
     * would otherwise treat the whole URI as a RELATIVE path and
     * silently create the table tree under the process CWD (the round-1

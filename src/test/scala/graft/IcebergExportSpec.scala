@@ -208,14 +208,66 @@ class IcebergExportSpec extends AnyFunSuite with SparkSpec {
         icebergExport = true))
   }
 
-  test("merge-on-read and partitioned layouts are refused, not silently wrong") {
+  test("merge-on-read layouts are refused, not silently wrong") {
     val dir = Files.createTempDirectory("graft-ice-ref").toString
     val mor = TieredTable(spark, s"$dir/mor", pk = Seq("id"), mergeOnRead = true)
     mor.commitUpsert(Seq((1L, "a")).toDF("id", "v"))
     assertThrows[IllegalArgumentException](IcebergExport.export(mor))
+  }
 
-    val part = TieredTable(spark, s"$dir/part", partitionBy = Seq("v"))
-    part.commitAppend(Seq((1L, "a")).toDF("id", "v"))
-    assertThrows[IllegalArgumentException](IcebergExport.export(part))
+  test("identity-partitioned export: partition values come back from the manifests") {
+    import org.apache.avro.file.DataFileReader
+    import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+    val dir = Files.createTempDirectory("graft-ice-part").toString
+    val t = TieredTable(spark, s"$dir/t", partitionBy = Seq("prio"))
+    t.commitAppend(Seq((1L, "high", 10.0), (2L, "low", 20.0),
+      (3L, "high", 30.0)).toDF("id", "prio", "score"))
+    t.commitAppend(Seq((4L, "low", 40.0), (5L, "mid", 50.0))
+      .toDF("id", "prio", "score"))
+    IcebergExport.export(t)
+
+    // the metadata carries a real identity spec in the 1000+ id range
+    val md = Files.readString(
+      Paths.get(s"$dir/t", "metadata", "v00001.metadata.json"))
+    assert(md.contains("\"transform\":\"identity\""), md.take(500))
+    assert(md.contains("\"field-id\":1000"))
+    assert(md.contains("\"name\":\"prio\""))
+
+    // manifest partition structs carry the typed directory values
+    val mReader = new DataFileReader[GenericRecord](
+      Paths.get(s"$dir/t", "metadata", "manifest-000002.avro").toFile,
+      new GenericDatumReader[GenericRecord]())
+    val entries = try mReader.iterator().asScala.toList finally mReader.close()
+    val prios = entries.map(_.get("data_file").asInstanceOf[GenericRecord]
+      .get("partition").asInstanceOf[GenericRecord].get("prio").toString).toSet
+    assert(prios == Set("high", "low", "mid"),
+      s"every hive dir value must surface in a partition struct: $prios")
+
+    // the independent reader reconstructs the column data pages lack
+    val viaIceberg = IcebergExport.readTable(spark, s"$dir/t")
+      .select("id", "prio", "score").as[(Long, String, Double)]
+      .collect().toSet
+    val viaGraft = t.readCold()
+      .select("id", "prio", "score").as[(Long, String, Double)]
+      .collect().toSet
+    assert(viaIceberg == viaGraft && viaIceberg.size == 5)
+
+    // time travel re-resolves partition values from snapshot 1's manifests
+    val asOf1 = IcebergExport.readTable(spark, s"$dir/t", asOfSnapshotId = Some(1L))
+      .select("id", "prio").as[(Long, String)].collect().toSet
+    assert(asOf1 == Set((1L, "high"), (2L, "low"), (3L, "high")))
+  }
+
+  test("partitioned export: typed int partition column and the null partition") {
+    val dir = Files.createTempDirectory("graft-ice-part-int").toString
+    val t = TieredTable(spark, s"$dir/t", partitionBy = Seq("bucket"))
+    t.commitAppend(Seq((1L, Some(7), "a"), (2L, Some(9), "b"),
+      (3L, None, "c")).toDF("id", "bucket", "v"))
+    IcebergExport.export(t)
+    val got = IcebergExport.readTable(spark, s"$dir/t")
+      .select("id", "bucket", "v").as[(Long, Option[Int], String)]
+      .collect().toSet
+    assert(got == Set((1L, Some(7), "a"), (2L, Some(9), "b"), (3L, None, "c")),
+      "int values must come back typed and the hive null partition as NULL")
   }
 }
