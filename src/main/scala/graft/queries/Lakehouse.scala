@@ -302,6 +302,59 @@ object Lakehouse {
         sum(col("o_orderkey")).cast("long").as("key_sum"))
   }
 
+  /** Merge-on-read orders table: the full fixture as the base delta,
+    * then two overlapping upsert waves (every 7th key re-priced and
+    * re-statused at seq 2, every 13th again at seq 3 — keys divisible
+    * by both get the seq-3 version). Three live delta dirs, resolution
+    * entirely via last-write-wins — the reference's huge-PK-table
+    * shape where per-batch rewrites are the bottleneck.
+    */
+  def demoTableMor(spark: SparkSession, dir: String): TieredTable = {
+    val safe = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val path = s"${sys.props("java.io.tmpdir")}/graft-tiered/v$FormatVersion/$safe/orders_mor"
+    val donePath = Paths.get(path, "meta", "LATEST")
+    val t = TieredTable(spark, path, pk = Seq("o_orderkey"), mergeOnRead = true)
+    if (!Files.exists(donePath)) {
+      // money on DECIMAL(15,2) from the base batch on: exact arithmetic
+      // and one schema across all delta dirs (the fixture ships DOUBLE)
+      val orders = Tables.load(spark, dir, "orders")
+        .withColumn("o_totalprice", col("o_totalprice").cast("decimal(15,2)"))
+      t.commitUpsert(orders)                                        // seq 1
+      t.commitUpsert(orders                                         // seq 2
+        .filter(pmod(col("o_orderkey"), lit(7)) === 0)
+        .withColumn("o_totalprice",
+          (col("o_totalprice") * 2).cast("decimal(15,2)"))
+        .withColumn("o_orderstatus", lit("R")))
+      t.commitUpsert(orders                                         // seq 3
+        .filter(pmod(col("o_orderkey"), lit(13)) === 0)
+        .withColumn("o_totalprice",
+          (col("o_totalprice") + 1000).cast("decimal(15,2)"))
+        .withColumn("o_orderstatus", lit("X")))
+    }
+    t
+  }
+
+  /** Q23 — merge-on-read through the exported Iceberg chain: export
+    * [[demoTableMor]] (three overlapping delta dirs) and read it back
+    * through [[graft.storage.IcebergExport.readTable]], which must
+    * apply the exported EQUALITY-DELETE files — a delete at sequence d
+    * removes matching PKs from data files with strictly smaller data
+    * sequence — to resolve last-write-wins with zero graft metadata. A
+    * missed delete double-counts a key (cnt/key_sum shift); a
+    * mis-sequenced one surfaces a stale price or status (price_cents /
+    * group keys shift) against the oracle's CASE recomputation.
+    */
+  def q23IcebergMor(spark: SparkSession, dir: String): DataFrame = {
+    val t = demoTableMor(spark, dir)
+    graft.storage.IcebergExport.export(t)
+    graft.storage.IcebergExport.readTable(spark, t.tablePath)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("o_orderkey")).cast("long").as("key_sum"),
+        sum((col("o_totalprice") * 100).cast("long")).cast("long")
+          .as("price_cents"))
+  }
+
   /** Date-clustered variant of the demo table: orders land in three
     * commits by `o_orderdate` range — the natural layout of any
     * time-ingested fact table (each day's load covers a narrow date

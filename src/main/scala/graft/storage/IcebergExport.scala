@@ -51,19 +51,31 @@ import org.apache.spark.sql.types._
   * zero-egress sandbox; the independent-reader path keeps the check
   * honest: a wrong manifest, a missed file, or a bad path breaks it.)
   *
-  * Scope: copy-on-write tables, unpartitioned or identity-partitioned.
-  * A hive-layout partition value lives in directory names, not data
-  * pages, so the export parses it from the path and stores it TYPED in
-  * the manifest's partition struct with an identity partition spec —
-  * Iceberg's `add_files` migration semantics, which external readers
-  * resolve as constant columns. Merge-on-read PK tables need
-  * positional/equality deletes and stay a documented refusal rather
-  * than a silent wrong answer.
+  * Scope: unpartitioned or identity-partitioned tables, copy-on-write
+  * or merge-on-read. A hive-layout partition value lives in directory
+  * names, not data pages, so the export parses it from the path and
+  * stores it TYPED in the manifest's partition struct with an identity
+  * partition spec — Iceberg's `add_files` migration semantics, which
+  * external readers resolve as constant columns.
   *
-  * Scale: export is a METADATA-ONLY pass — it lists the snapshot's
-  * files and reads parquet footers for record counts (the same numbers
-  * a cluster writer returns in task commit messages); no data file is
-  * read or rewritten. Cost is O(files), not O(rows).
+  * Merge-on-read PK tables export as Iceberg v2 EQUALITY DELETES —
+  * the exact construct Flink's Iceberg upsert sink writes: each delta
+  * dir at graft sequence `s` becomes data files at data-sequence `s`
+  * plus one equality-delete file (the dir's distinct PK tuples) at
+  * sequence `s`, and the spec's rule "an equality delete applies to
+  * data files with STRICTLY SMALLER data sequence number" is
+  * last-write-wins on `__seq` verbatim. The internal `__seq` column is
+  * excluded from the exported schemas (name-projecting readers never
+  * see it), and rewrite commits (compact/delete/update) — whose single
+  * resolved dir has no older live files — export with no deletes.
+  *
+  * Scale: for copy-on-write tables export is a METADATA-ONLY pass — it
+  * lists the snapshot's files and reads parquet footers for record
+  * counts (the same numbers a cluster writer returns in task commit
+  * messages); no data file is read or rewritten. Cost is O(files), not
+  * O(rows). Merge-on-read adds one column-pruned PK scan per NEW delta
+  * dir (delete files are written once per dir, keyed by sequence) —
+  * O(|delta| PK cells), the cost a Flink upsert writer pays inline.
   */
 object IcebergExport {
 
@@ -131,7 +143,9 @@ object IcebergExport {
         |{"name":"lower_bounds","field-id":125,"default":null,
         |  "type":${kvMap("k126_v127", 126, 127, "bytes")}},
         |{"name":"upper_bounds","field-id":128,"default":null,
-        |  "type":${kvMap("k129_v130", 129, 130, "bytes")}}
+        |  "type":${kvMap("k129_v130", 129, 130, "bytes")}},
+        |{"name":"equality_ids","field-id":135,"default":null,
+        |  "type":["null",{"type":"array","element-id":136,"items":"int"}]}
         |]}}]}""".stripMargin)
   }
 
@@ -468,11 +482,15 @@ object IcebergExport {
           "(name-based external readers would read NULLs)")
     }
 
-    // merge-on-read PK deltas carry __seq and need Iceberg delete files
-    // to resolve — refuse rather than export raw unresolved deltas
-    require(!table.mergeOnRead,
-      "Iceberg export supports copy-on-write tables only (a merge-on-" +
-        "read delta needs Iceberg delete files to resolve)")
+    // merge-on-read deltas resolve via equality-delete files below; the
+    // one unsupported combination is partitioned + merge-on-read, whose
+    // deletes would need partition-scoped delete files (v2 forbids
+    // global equality deletes under a partitioned spec)
+    val isMor = table.mergeOnRead && table.pk.nonEmpty
+    require(!isMor || table.partitionBy.isEmpty,
+      "Iceberg export of a PARTITIONED merge-on-read table needs " +
+        "partition-scoped delete files — compact() to a resolved " +
+        "layout first, or use copy-on-write")
     val snaps = (1L to head.id).flatMap(table.snapshot(_))
     require(snaps.exists(_.id == head.id), "head manifest must be readable")
 
@@ -488,8 +506,13 @@ object IcebergExport {
     // per-snapshot schema-id exists for exactly this). After a rename
     // converges (compact), the head's raw schema equals the mapped one.
     val session = table.readCold().sparkSession
+    // the internal merge-on-read version column never exports: external
+    // readers project by name against the exported schema, and the
+    // version information lives in manifest sequence numbers instead
     val rawSchemaOf: Map[Long, StructType] = snaps.map { s =>
-      s.id -> rawRead(session, table, s.files).schema
+      val st = rawRead(session, table, s.files).schema
+      s.id -> (if (isMor) StructType(st.fields.filterNot(_.name == table.SeqCol))
+               else st)
     }.toMap
     val distinctSchemas: Seq[StructType] =
       snaps.map(s => rawSchemaOf(s.id))
@@ -533,6 +556,69 @@ object IcebergExport {
     val specFields = table.partitionBy.zipWithIndex.map { case (c, i) =>
       Map("name" -> c, "transform" -> "identity",
         "source-id" -> headFieldIds(c), "field-id" -> (1000 + i))
+    }
+
+    // Every live merge-on-read dir must be PK-UNIQUE to be representable:
+    // within one sequence number Iceberg applies no self-delete, so
+    // duplicate keys in one dir would BOTH survive an external read
+    // while graft's reader resolves one. Checked once per dir ever —
+    // dirs are immutable — with results cached in a marker file, so
+    // per-commit auto-export pays O(new delta), not O(table).
+    if (isMor) {
+      import org.apache.spark.sql.functions.col
+      val markerFile = mdir.resolve("pk-checked-dirs.txt")
+      val checked: Set[String] =
+        if (Files.exists(markerFile))
+          Files.readAllLines(markerFile).asScala.toSet
+        else Set.empty
+      val toCheck = snaps.flatMap(_.files).distinct.filterNot(checked)
+      toCheck.foreach { dir =>
+        val pkDf = session.read.parquet(dir).select(table.pk.map(col): _*)
+        require(pkDf.count() == pkDf.distinct().count(),
+          s"cannot export ${table.tablePath} as Iceberg: dir $dir " +
+            "carries duplicate primary keys — not representable as " +
+            "equality deletes (same-sequence rows never delete each " +
+            "other); compact() first or dedup the batch with " +
+            "versionOrder")
+      }
+      if (toCheck.nonEmpty)
+        Files.write(markerFile,
+          (checked ++ toCheck).toSeq.sorted.asJava,
+          StandardCharsets.UTF_8)
+    }
+
+    // Equality-delete files (merge-on-read): one per delta dir that
+    // supersedes an older live dir in at least one exported snapshot —
+    // the dir's distinct PK tuples, at the dir's sequence number.
+    // Written ONCE per sequence (dirs are immutable, re-export reuses),
+    // as a single parquet file so the manifest references one path.
+    val eqDelOf: Map[String, (Path, Long)] = if (!isMor) Map.empty else {
+      val superseding: Seq[String] = snaps.flatMap { s =>
+        val minSeq = s.files.map(addedBy).min
+        s.files.filter(d => addedBy(d) > minSeq)
+      }.distinct
+      superseding.sortBy(addedBy).map { dir =>
+        val seq = addedBy(dir)
+        val out = mdir.resolve(f"eqdel-$seq%06d.parquet")
+        if (!Files.exists(out)) {
+          import org.apache.spark.sql.functions.col
+          val keys = session.read.parquet(dir)
+            .select(table.pk.map(col): _*).distinct()
+          val tmp = mdir.resolve(s"eqdel-tmp-${UUID.randomUUID()}")
+          keys.coalesce(1).write.parquet(tmp.toString)
+          val stream = Files.walk(tmp)
+          val part =
+            try stream.iterator().asScala.find(p =>
+              Files.isRegularFile(p) &&
+                p.getFileName.toString.endsWith(".parquet")).get
+            finally stream.close()
+          Files.move(part, out)
+          val rest = Files.walk(tmp)
+          try rest.iterator().asScala.toList.reverse.foreach(Files.delete)
+          finally rest.close()
+        }
+        dir -> (out, partFiles(out.toString).head._2)
+      }.toMap
     }
 
     val snapshotObjs = snaps.map { s =>
@@ -606,34 +692,79 @@ object IcebergExport {
         "format-version" -> "2",
         "content" -> "data"), entries)
 
-      val mf = new GenericData.Record(ManifestFileSchema)
-      mf.put("manifest_path", manifestPath.toString)
-      mf.put("manifest_length", Files.size(manifestPath))
-      mf.put("partition_spec_id", 0)
-      mf.put("content", 0) // data manifest
-      mf.put("sequence_number", s.id)
-      mf.put("min_sequence_number",
-        s.files.map(addedBy).minOption.getOrElse(s.id))
-      mf.put("added_snapshot_id", s.id)
-      val added = entries.count(_.get("status") == 1)
-      mf.put("added_files_count", added)
-      mf.put("existing_files_count", entries.size - added)
-      mf.put("deleted_files_count", 0)
-      val addedRows = entries.filter(_.get("status") == 1)
-        .map(_.get("data_file").asInstanceOf[GenericRecord]
-          .get("record_count").asInstanceOf[Long]).sum
-      val totalRows = entries
-        .map(_.get("data_file").asInstanceOf[GenericRecord]
-          .get("record_count").asInstanceOf[Long]).sum
-      mf.put("added_rows_count", addedRows)
-      mf.put("existing_rows_count", totalRows - addedRows)
-      mf.put("deleted_rows_count", 0L)
+      def manifestFile(path: Path, content: Int,
+                       es: Seq[GenericRecord]): GenericRecord = {
+        val mf = new GenericData.Record(ManifestFileSchema)
+        mf.put("manifest_path", path.toString)
+        mf.put("manifest_length", Files.size(path))
+        mf.put("partition_spec_id", 0)
+        mf.put("content", content)
+        mf.put("sequence_number", s.id)
+        mf.put("min_sequence_number",
+          es.map(_.get("sequence_number").asInstanceOf[Long])
+            .minOption.getOrElse(s.id))
+        mf.put("added_snapshot_id", s.id)
+        val added = es.count(_.get("status") == 1)
+        mf.put("added_files_count", added)
+        mf.put("existing_files_count", es.size - added)
+        mf.put("deleted_files_count", 0)
+        def rowsOf(filtered: Seq[GenericRecord]) = filtered
+          .map(_.get("data_file").asInstanceOf[GenericRecord]
+            .get("record_count").asInstanceOf[Long]).sum
+        val addedRows = rowsOf(es.filter(_.get("status") == 1))
+        mf.put("added_rows_count", addedRows)
+        mf.put("existing_rows_count", rowsOf(es) - addedRows)
+        mf.put("deleted_rows_count", 0L)
+        mf
+      }
+      val mfs = Seq(manifestFile(manifestPath, 0, entries)) ++ {
+        // delete manifest: an equality-delete entry for every live dir
+        // that supersedes an older live dir of THIS snapshot, at the
+        // superseding dir's sequence number. equality_ids name the PK
+        // field ids of the snapshot's schema.
+        val minSeq = s.files.map(addedBy).minOption.getOrElse(s.id)
+        val delDirs = s.files.filter(d => addedBy(d) > minSeq).sortBy(addedBy)
+        if (!isMor || delDirs.isEmpty) Nil
+        else {
+          val pkIds = new java.util.ArrayList[Integer]()
+          table.pk.foreach(c => pkIds.add(Integer.valueOf(fieldIds(c))))
+          val delEntries = delDirs.map { d =>
+            val (path, rows) = eqDelOf(d)
+            val e = new GenericData.Record(entrySchema)
+            e.put("status", if (addedBy(d) == s.id) 1 else 0)
+            e.put("snapshot_id", addedBy(d))
+            e.put("sequence_number", addedBy(d))
+            e.put("file_sequence_number", addedBy(d))
+            val df = new GenericData.Record(
+              entrySchema.getField("data_file").schema())
+            df.put("content", 2)                  // EQUALITY_DELETES
+            df.put("file_path", path.toString)
+            df.put("file_format", "PARQUET")
+            df.put("partition", new GenericData.Record(
+              df.getSchema.getField("partition").schema()))
+            df.put("record_count", rows)
+            df.put("file_size_in_bytes", Files.size(path))
+            df.put("equality_ids", pkIds)
+            e.put("data_file", df)
+            e
+          }
+          val delPath = mdir.resolve(f"manifest-del-${s.id}%06d.avro")
+          writeAvro(delPath, entrySchema, Map(
+            "schema" -> toJson(schemaObj),
+            "schema-id" -> schemaIdOf(s.id).toString,
+            "partition-spec" -> toJson(specFields),
+            "partition-spec-id" -> "0",
+            "format-version" -> "2",
+            "content" -> "deletes"), delEntries)
+          Seq(manifestFile(delPath, 1, delEntries))
+        }
+      }
 
       val listPath = mdir.resolve(f"snap-${s.id}%06d-manifest-list.avro")
       writeAvro(listPath, ManifestFileSchema, Map(
         "snapshot-id" -> s.id.toString,
         "sequence-number" -> s.id.toString,
-        "format-version" -> "2"), Seq(mf))
+        "format-version" -> "2"), mfs)
 
       Map(
         "snapshot-id" -> s.id,
@@ -739,73 +870,133 @@ object IcebergExport {
         val org.json4s.JString(name) = jsonAt(f, "name"): @unchecked
         name
       }
-    val liveEntries = manifestFiles.flatMap { mf =>
-      val (entries, _) = readAvro(mf.get("manifest_path").toString)
-      // status 2 = DELETED: the file left the table in this snapshot
-      entries.filter(_.get("status").asInstanceOf[Int] != 2)
-        .map(_.get("data_file").asInstanceOf[GenericRecord])
-    }
+    // manifest-list `content`: 0 = data manifests, 1 = delete manifests
+    val (dataManifests, deleteManifests) =
+      manifestFiles.partition(_.get("content").asInstanceOf[Int] == 0)
+    def liveOf(mfs: Seq[GenericRecord]): Seq[(GenericRecord, Long)] =
+      mfs.flatMap { mf =>
+        val (entries, _) = readAvro(mf.get("manifest_path").toString)
+        // status 2 = DELETED: the file left the table in this snapshot
+        entries.filter(_.get("status").asInstanceOf[Int] != 2)
+          .map(e => (e.get("data_file").asInstanceOf[GenericRecord],
+            e.get("sequence_number").asInstanceOf[Long]))
+      }
+    val liveEntries = liveOf(dataManifests)
+    val deleteEntries = liveOf(deleteManifests)
     require(liveEntries.nonEmpty, s"snapshot $currentId lists no data files")
-    if (specFields.isEmpty) {
-      spark.read.option("mergeSchema", "true")
-        .parquet(liveEntries.map(_.get("file_path").toString): _*)
+    // the snapshot's own schema names the column order and types — also
+    // the projection boundary: data files may physically carry columns
+    // the schema doesn't list (a merge-on-read __seq), which a
+    // name-projecting reader must not surface
+    val snapSchemaId = jLong(jsonAt(snap, "schema-id"))
+    val schemaFields = jsonAt(md, "schemas")
+      .asInstanceOf[org.json4s.JArray].arr
+      .find(s => jLong(jsonAt(s, "schema-id")) == snapSchemaId)
+      .map(s => jsonAt(s, "fields").asInstanceOf[org.json4s.JArray].arr)
+      .getOrElse(throw new IllegalStateException(
+        s"schema $snapSchemaId not in metadata"))
+    val colOrder = schemaFields.map { f =>
+      val org.json4s.JString(n) = jsonAt(f, "name"): @unchecked
+      n
+    }
+    if (specFields.isEmpty && deleteEntries.isEmpty) {
+      val df = spark.read.option("mergeSchema", "true")
+        .parquet(liveEntries.map(_._1.get("file_path").toString): _*)
+      if (df.columns.toSeq == colOrder) df
+      else df.select(colOrder.map(org.apache.spark.sql.functions.col): _*)
     } else {
-      // the snapshot's own schema names the partition column types
-      val snapSchemaId = jLong(jsonAt(snap, "schema-id"))
-      val schemaFields = jsonAt(md, "schemas")
-        .asInstanceOf[org.json4s.JArray].arr
-        .find(s => jLong(jsonAt(s, "schema-id")) == snapSchemaId)
-        .map(s => jsonAt(s, "fields").asInstanceOf[org.json4s.JArray].arr)
-        .getOrElse(throw new IllegalStateException(
-          s"schema $snapSchemaId not in metadata"))
-      val typeOf: Map[String, String] = schemaFields.map { f =>
-        val org.json4s.JString(n) = jsonAt(f, "name"): @unchecked
-        val org.json4s.JString(t) = jsonAt(f, "type"): @unchecked
-        n -> t
+      import org.apache.spark.sql.functions.{col, lit}
+      // primitive types only — a nested column can't be null-padded or
+      // used as a partition source, and fails loudly below if needed
+      val typeOf: Map[String, String] = schemaFields.collect {
+        case f if jsonAt(f, "type").isInstanceOf[org.json4s.JString] =>
+          val org.json4s.JString(n) = jsonAt(f, "name"): @unchecked
+          val org.json4s.JString(t) = jsonAt(f, "type"): @unchecked
+          n -> t
       }.toMap
       def sparkType(t: String): String = t match {
+        case "boolean" => "boolean"
         case "int" => "int"
         case "long" => "bigint"
+        case "float" => "float"
+        case "double" => "double"
         case "string" => "string"
         case "date" => "date"
+        case "timestamptz" => "timestamp"
+        case "timestamp" => "timestamp_ntz"
+        case "binary" => "binary"
+        case t if t.startsWith("decimal") => t
         case other => throw new IllegalArgumentException(
-          s"unsupported partition type $other")
+          s"unsupported type $other")
       }
-      // group data files by partition tuple; each group scans once and
-      // gets its partition columns attached as typed constants — the
-      // constant-vector read every Iceberg engine does for identity
-      // transforms. Plan width is O(partitions in the snapshot), the
-      // same width TieredTable's own partitioned read plans.
-      val byPart: Map[Seq[Option[Any]], Seq[String]] = liveEntries.map { e =>
-        val rec = e.get("partition").asInstanceOf[GenericRecord]
-        val vals = specFields.map { c =>
-          Option(rec.get(c)).map {
-            case u: org.apache.avro.util.Utf8 => u.toString
-            case v => v
-          }
-        }
-        (vals, e.get("file_path").toString)
-      }.groupBy(_._1).map { case (k, xs) => k -> xs.map(_._2) }
-      val colOrder = schemaFields.map { f =>
+      val idToName: Map[Int, String] = schemaFields.map { f =>
         val org.json4s.JString(n) = jsonAt(f, "name"): @unchecked
-        n
-      }
-      byPart.toSeq.sortBy(_._1.toString).map { case (vals, files) =>
-        var df = spark.read.option("mergeSchema", "true").parquet(files: _*)
-        specFields.zip(vals).foreach { case (c, ov) =>
-          import org.apache.spark.sql.functions.{lit, col => fcol}
-          val st = sparkType(typeOf(c))
-          val value = ov match {
-            case None => lit(null).cast(st)
-            case Some(v) if typeOf(c) == "date" =>
-              lit(java.time.LocalDate.ofEpochDay(
-                v.asInstanceOf[Int].toLong))
-            case Some(v) => lit(v).cast(st)
+        jLong(jsonAt(f, "id")).toInt -> n
+      }.toMap
+      // group data files by (sequence, partition tuple); each group
+      // scans once, gets its partition columns attached as typed
+      // constants (the constant-vector read every Iceberg engine does
+      // for identity transforms) and its data sequence number for
+      // delete application. Plan width is O(sequences × partitions in
+      // the snapshot) — the width graft's own tiered read plans.
+      val byGroup: Map[(Long, Seq[Option[Any]]), Seq[String]] =
+        liveEntries.map { case (e, seq) =>
+          val rec = e.get("partition").asInstanceOf[GenericRecord]
+          val vals = specFields.map { c =>
+            Option(rec.get(c)).map {
+              case u: org.apache.avro.util.Utf8 => u.toString
+              case v => v
+            }
           }
-          df = df.withColumn(c, value)
+          ((seq, vals), e.get("file_path").toString)
+        }.groupBy(_._1).map { case (k, xs) => k -> xs.map(_._2) }
+      val data = byGroup.toSeq.sortBy(_._1.toString)
+        .map { case ((seq, vals), files) =>
+          var df = spark.read.option("mergeSchema", "true").parquet(files: _*)
+          specFields.zip(vals).foreach { case (c, ov) =>
+            val st = sparkType(typeOf(c))
+            val value = ov match {
+              case None => lit(null).cast(st)
+              case Some(v) if typeOf(c) == "date" =>
+                lit(java.time.LocalDate.ofEpochDay(
+                  v.asInstanceOf[Int].toLong))
+              case Some(v) => lit(v).cast(st)
+            }
+            df = df.withColumn(c, value)
+          }
+          // schema-evolved groups: a column the snapshot schema names
+          // may be absent from this group's files — pad typed nulls
+          colOrder.filterNot(df.columns.contains).foreach { c =>
+            df = df.withColumn(c, lit(null).cast(sparkType(typeOf(c))))
+          }
+          df.select((colOrder :+ "__ice_fseq").map {
+            case "__ice_fseq" => lit(seq).as("__ice_fseq")
+            case c => col(c)
+          }: _*)
+        }.reduce(_.unionByName(_))
+      val resolved =
+        if (deleteEntries.isEmpty) data
+        else {
+          // v2 equality deletes: a delete at sequence d removes rows
+          // whose equality columns match from data files with data
+          // sequence STRICTLY below d — one anti-join with the
+          // inequality folded into the condition, never a per-file loop
+          val eqIds = deleteEntries.head._1.get("equality_ids")
+            .asInstanceOf[java.util.List[Integer]].asScala.map(_.toInt).toSeq
+          val eqNames = eqIds.map(idToName)
+          val dels = deleteEntries.map { case (e, seq) =>
+            spark.read.parquet(e.get("file_path").toString)
+              .select(eqNames.map(col): _*)
+              .withColumn("__ice_dseq", lit(seq))
+          }.reduce(_.unionByName(_))
+          val renamed = dels.select(
+            (eqNames.map(n => col(n).as(s"__ice_del_$n")) :+
+              col("__ice_dseq")): _*)
+          val cond = eqNames.map(n => data(n) <=> renamed(s"__ice_del_$n"))
+            .reduce(_ && _) && renamed("__ice_dseq") > data("__ice_fseq")
+          data.join(renamed, cond, "left_anti")
         }
-        df.select(colOrder.map(org.apache.spark.sql.functions.col): _*)
-      }.reduce(_.unionByName(_))
+      resolved.select(colOrder.map(col): _*)
     }
   }
 
@@ -845,9 +1036,11 @@ object IcebergExport {
       case other => throw new IllegalStateException(s"bad manifest-list: $other")
     }
     val (manifestFiles, _) = readAvro(listPath)
-    val entries = manifestFiles.flatMap { mf =>
-      readAvro(mf.get("manifest_path").toString)._1
-    }.filter(_.get("status").asInstanceOf[Int] != 2)
+    val entries = manifestFiles
+      .filter(_.get("content").asInstanceOf[Int] == 0) // data manifests only
+      .flatMap { mf =>
+        readAvro(mf.get("manifest_path").toString)._1
+      }.filter(_.get("status").asInstanceOf[Int] != 2)
     def boundOf(e: GenericRecord, field: String): Option[Long] = {
       val m = e.get("data_file").asInstanceOf[GenericRecord].get(field)
       Option(m).flatMap { arr =>
@@ -866,17 +1059,56 @@ object IcebergExport {
     (kept, entries.size)
   }
 
+  /** Whether the CURRENT snapshot's manifest list carries delete
+    * manifests — the signal that file-level pruning alone cannot serve
+    * a read (a kept data file may hold superseded row versions that
+    * only the equality-delete anti-join removes).
+    */
+  private def currentHasDeletes(tablePath: String): Boolean = {
+    import org.json4s.jackson.JsonMethods
+    val mdir = Paths.get(tablePath, "metadata")
+    val version = currentVersion(mdir).getOrElse(return false)
+    val md = JsonMethods.parse(
+      Files.readString(mdir.resolve(f"v$version%05d.metadata.json")))
+    val currentId = jLong(jsonAt(md, "current-snapshot-id"))
+    jsonAt(md, "snapshots").asInstanceOf[org.json4s.JArray].arr
+      .find(s => jLong(jsonAt(s, "snapshot-id")) == currentId)
+      .map(s => jsonAt(s, "manifest-list"))
+      .collect { case org.json4s.JString(p) => p }
+      .exists(p => readAvro(p)._1
+        .exists(_.get("content").asInstanceOf[Int] == 1))
+  }
+
   /** Range read THROUGH the exported pruning metadata: scan only the
     * files [[dataFilesWhereLong]] keeps, then apply the predicate in
     * full (pruning is an optimization, never a semantics change).
+    * Snapshots with equality deletes fall back to the full delete-
+    * applying read — the stance [[TieredTable.readColdWhere]] takes for
+    * merge-on-read: a key's winning version may live in a pruned file,
+    * so resolution must precede pruning.
     */
   def readTableWhereLong(spark: SparkSession, tablePath: String,
                          column: String, lo: Long, hi: Long): DataFrame = {
-    val (kept, _) = dataFilesWhereLong(tablePath, column, lo, hi)
     import org.apache.spark.sql.functions.col
-    if (kept.isEmpty)
-      readTable(spark, tablePath).filter(col(column).between(lo, hi)).limit(0)
-    else spark.read.option("mergeSchema", "true").parquet(kept: _*)
-      .filter(col(column).between(lo, hi))
+    if (currentHasDeletes(tablePath))
+      return readTable(spark, tablePath).filter(col(column).between(lo, hi))
+    val (kept, _) = dataFilesWhereLong(tablePath, column, lo, hi)
+    val base = readTable(spark, tablePath)
+    if (kept.isEmpty) base.filter(col(column).between(lo, hi)).limit(0)
+    else {
+      // project through the exported schema — raw part files may carry
+      // internal columns (a compacted merge-on-read __seq) it excludes.
+      // A schema column data pages LACK (identity partition value) means
+      // raw file scans can't serve the read: use the full metadata read.
+      val df = spark.read.option("mergeSchema", "true").parquet(kept: _*)
+      if (!base.columns.forall(df.columns.contains))
+        base.filter(col(column).between(lo, hi))
+      else {
+        val projected =
+          if (df.columns.toSeq == base.columns.toSeq) df
+          else df.select(base.columns.map(col).toIndexedSeq: _*)
+        projected.filter(col(column).between(lo, hi))
+      }
+    }
   }
 }

@@ -52,10 +52,10 @@ class TieredTable(spark: SparkSession, rawTablePath: String,
                   metaStore: MetaStore = null,
                   val changeDataFeed: Boolean = false,
                   val icebergExport: Boolean = false) {
-  require(!icebergExport || !mergeOnRead,
-    "icebergExport supports copy-on-write tables only " +
-      "(IcebergExport's documented scope: a merge-on-read delta " +
-      "needs Iceberg delete files to resolve)")
+  require(!icebergExport || !(mergeOnRead && partitionBy.nonEmpty),
+    "icebergExport of a partitioned merge-on-read table is unsupported " +
+      "(IcebergExport's documented scope: its equality deletes would " +
+      "need partition-scoped delete files)")
   /** `file:`-scheme URIs are normalized to plain paths — `Paths.get`
     * would otherwise treat the whole URI as a RELATIVE path and
     * silently create the table tree under the process CWD (the round-1
@@ -623,8 +623,16 @@ class TieredTable(spark: SparkSession, rawTablePath: String,
     val out = dataDir.resolve(f"snap-$id%06d")
     // mergeSchema for the same reason as tier(): heterogeneous snapshot
     // schemas must compact to the union schema, and compact REPLACES the
-    // whole file list.
-    val all0 = readParquet(prev.files)
+    // whole file list. Merge-on-read tables compact to the RESOLVED
+    // state with the version counter reset (the deleteWhere/updateWhere
+    // convention, and Iceberg's rewrite_data_files semantics) —
+    // superseded versions are maintenance debt, and carrying them into
+    // the rewrite would leave last-write-wins ties inside one file that
+    // no sequence-number scheme (ours or an external reader's
+    // equality-delete application) can break.
+    val all0 =
+      if (pk.nonEmpty && mergeOnRead) readCold().withColumn(SeqCol, lit(0L))
+      else readParquet(prev.files)
     val all = if (sortBy.isEmpty) all0 else all0.sort(sortBy.map(col): _*)
     writeData(all, out.toString)
     val rows = writtenRows(out.toString)

@@ -205,14 +205,96 @@ class IcebergExportSpec extends AnyFunSuite with SparkSpec {
     // documented scope enforced at construction, not first-commit time
     assertThrows[IllegalArgumentException](
       TieredTable(spark, s"$dir/t2", pk = Seq("id"), mergeOnRead = true,
-        icebergExport = true))
+        partitionBy = Seq("v"), icebergExport = true))
   }
 
-  test("merge-on-read layouts are refused, not silently wrong") {
-    val dir = Files.createTempDirectory("graft-ice-ref").toString
-    val mor = TieredTable(spark, s"$dir/mor", pk = Seq("id"), mergeOnRead = true)
-    mor.commitUpsert(Seq((1L, "a")).toDF("id", "v"))
-    assertThrows[IllegalArgumentException](IcebergExport.export(mor))
+  test("merge-on-read export: equality deletes resolve last-write-wins externally") {
+    import org.apache.avro.file.DataFileReader
+    import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+    val dir = Files.createTempDirectory("graft-ice-mor").toString
+    val t = TieredTable(spark, s"$dir/t", pk = Seq("id"), mergeOnRead = true)
+    t.commitUpsert(Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("id", "v", "score"))                       // seq 1
+    t.commitUpsert(Seq((2L, "B2", 22.0), (4L, "d", 40.0))
+      .toDF("id", "v", "score"))                       // seq 2: updates 2
+    t.commitUpsert(Seq((1L, "A3", 11.0)).toDF("id", "v", "score")) // seq 3
+    IcebergExport.export(t)
+
+    val mdir = Paths.get(s"$dir/t", "metadata")
+    // delete files exist for the superseding sequences, parquet of PKs
+    assert(Files.exists(mdir.resolve("eqdel-000002.parquet")))
+    assert(Files.exists(mdir.resolve("eqdel-000003.parquet")))
+    val delKeys = spark.read
+      .parquet(mdir.resolve("eqdel-000002.parquet").toString)
+      .as[Long].collect().toSet
+    assert(delKeys == Set(2L, 4L), "delete file = the delta's PK tuples")
+
+    // head manifest list carries a data manifest AND a delete manifest
+    val lReader = new DataFileReader[GenericRecord](
+      mdir.resolve("snap-000003-manifest-list.avro").toFile,
+      new GenericDatumReader[GenericRecord]())
+    val mfs = try lReader.iterator().asScala.toList finally lReader.close()
+    assert(mfs.map(_.get("content").asInstanceOf[Int]).sorted == List(0, 1))
+
+    // delete manifest entries carry content=2 and the PK equality id
+    val delMf = mfs.find(_.get("content") == 1).get
+    val dReader = new DataFileReader[GenericRecord](
+      new java.io.File(delMf.get("manifest_path").toString),
+      new GenericDatumReader[GenericRecord]())
+    val dEntries = try dReader.iterator().asScala.toList finally dReader.close()
+    assert(dEntries.nonEmpty)
+    val df0 = dEntries.head.get("data_file").asInstanceOf[GenericRecord]
+    assert(df0.get("content") == 2, "equality-delete content code")
+    assert(df0.get("equality_ids") != null)
+
+    // the independent reader applies the deletes: last write wins, and
+    // the internal __seq column never surfaces
+    val viaIceberg = IcebergExport.readTable(spark, s"$dir/t")
+    assert(viaIceberg.columns.toSeq == Seq("id", "v", "score"))
+    assert(viaIceberg.as[(Long, String, Double)].collect().toSet ==
+      Set((1L, "A3", 11.0), (2L, "B2", 22.0), (3L, "c", 30.0), (4L, "d", 40.0)))
+    assert(viaIceberg.collect().toSet ==
+      t.readCold().collect().toSet)
+
+    // time travel resolves the deletes OF THAT snapshot only
+    val asOf2 = IcebergExport.readTable(spark, s"$dir/t", asOfSnapshotId = Some(2L))
+      .select("id", "v").as[(Long, String)].collect().toSet
+    assert(asOf2 == Set((1L, "a"), (2L, "B2"), (3L, "c"), (4L, "d")))
+  }
+
+  test("merge-on-read export after compact(): resolved layout, no deletes, no __seq") {
+    val dir = Files.createTempDirectory("graft-ice-mor-c").toString
+    val t = TieredTable(spark, s"$dir/t", pk = Seq("id"), mergeOnRead = true)
+    t.commitUpsert(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    t.commitUpsert(Seq((2L, "B2"), (3L, "c")).toDF("id", "v"))
+    t.compact()
+    IcebergExport.export(t)
+    val got = IcebergExport.readTable(spark, s"$dir/t")
+    assert(got.columns.toSeq == Seq("id", "v"),
+      "physical __seq must not leak through the exported schema")
+    assert(got.as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "B2"), (3L, "c")))
+    // stats pruning path stays usable and __seq-free on the resolved layout
+    val pruned = IcebergExport.readTableWhereLong(
+      spark, s"$dir/t", "id", 2L, 3L)
+    assert(pruned.columns.toSeq == Seq("id", "v"))
+    assert(pruned.select("id").as[Long].collect().toSet == Set(2L, 3L))
+  }
+
+  test("merge-on-read refusals: duplicate in-batch PKs; partitioned MoR") {
+    val dir = Files.createTempDirectory("graft-ice-mor-ref").toString
+    val dup = TieredTable(spark, s"$dir/dup", pk = Seq("id"), mergeOnRead = true)
+    dup.commitUpsert(Seq((1L, "a")).toDF("id", "v"))
+    // duplicate keys WITHIN one delta: not representable as equality
+    // deletes (same-sequence rows never delete each other)
+    dup.commitAppend(Seq((1L, "x"), (1L, "y"), (2L, "b")).toDF("id", "v"),
+      op = "upsert")
+    assertThrows[IllegalArgumentException](IcebergExport.export(dup))
+
+    val pm = TieredTable(spark, s"$dir/pm", pk = Seq("id"),
+      mergeOnRead = true, partitionBy = Seq("v"))
+    pm.commitUpsert(Seq((1L, "a")).toDF("id", "v"))
+    assertThrows[IllegalArgumentException](IcebergExport.export(pm))
   }
 
   test("identity-partitioned export: partition values come back from the manifests") {
