@@ -144,6 +144,9 @@ object SparkEntry {
     "p14_supplier_parts" -> (Relational.p14SupplierParts _),
     "p15_small_qty"     -> (Relational.p15SmallQty _),
     "p16_sales_opp"     -> (Relational.p16SalesOpp _),
+    "p17_mincost_supplier" -> (Relational.p17MinCostSupplier _),
+    "p18_product_profit"   -> (Relational.p18ProductProfit _),
+    "p19_important_stock"  -> (Relational.p19ImportantStock _),
     "g7_set_ops"        -> (Relational.g7SetOps _),
     "g8_exists"         -> (Relational.g8ExistsSubquery _),
     "g9_above_avg"      -> (Relational.g9AboveAvg _),
@@ -1359,6 +1362,46 @@ object SparkEntry {
         |                    AND o.o_orderpriority = '1-URGENT'
         |                    AND o.o_orderdate >= '1998-06-01')
         |GROUP BY c_nationkey""".stripMargin,
+    "p17_mincost_supplier" ->
+      """WITH bridge AS (
+        |  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+        |offer AS (
+        |  SELECT p_partkey, s_name, s_nationkey,
+        |         CAST(CAST(s_acctbal AS DECIMAL(15,2)) * 100 AS BIGINT) AS acctbal_cents
+        |  FROM part
+        |  JOIN bridge ON p_partkey = l_partkey
+        |  JOIN supplier ON s_suppkey = l_suppkey
+        |  WHERE p_size <= 5 AND p_type = 'ECONOMY')
+        |SELECT o.p_partkey, o.s_name, n_name, o.acctbal_cents
+        |FROM offer o JOIN nation ON o.s_nationkey = n_nationkey
+        |WHERE o.acctbal_cents = (SELECT min(o2.acctbal_cents)
+        |                         FROM offer o2
+        |                         WHERE o2.p_partkey = o.p_partkey)""".stripMargin,
+    "p18_product_profit" ->
+      """SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+        |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(15,2)) *
+        |             (1 - CAST(l_discount AS DECIMAL(15,2))) AS DECIMAL(25,4))
+        |         - CAST(CAST(p_retailprice AS DECIMAL(15,2)) *
+        |             CAST(l_quantity AS DECIMAL(15,2)) AS DECIMAL(25,4))) * 10000 AS BIGINT) AS profit_e4
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE p_name LIKE '%red%'
+        |GROUP BY n_name, year(o_orderdate)""".stripMargin,
+    "p19_important_stock" ->
+      """WITH v AS (
+        |  SELECT l_partkey,
+        |    CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(15,2)) *
+        |             (1 - CAST(l_discount AS DECIMAL(15,2))) AS DECIMAL(25,4)) * 10000) AS BIGINT) AS value_e4
+        |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |  WHERE s_nationkey IN (1, 2, 3, 4, 5)
+        |  GROUP BY l_partkey),
+        |tot AS (SELECT CAST(SUM(value_e4) AS BIGINT) AS total_e4 FROM v)
+        |SELECT l_partkey, value_e4
+        |FROM v CROSS JOIN tot
+        |WHERE value_e4 * 1000 > total_e4""".stripMargin,
     "g11_not_in" ->
       """SELECT count(*) AS n_calm, CAST(sum(c_custkey) AS BIGINT) AS key_sum
         |FROM customer

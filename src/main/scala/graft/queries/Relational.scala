@@ -635,6 +635,96 @@ object Relational {
         |GROUP BY c_nationkey""".stripMargin)
   }
 
+  /** P17 — TPC-H Q2-shaped minimum-cost supplier: for every part in a
+    * size/type bucket, the supplier(s) offering it at the MINIMUM
+    * account balance (the fixture's supply-cost stand-in; distinct
+    * lineitem (partkey, suppkey) pairs play partsupp). The correlated
+    * scalar-MIN subquery is Q2's signature — Catalyst decorrelates it
+    * into one grouped MIN over the offer set joined back on the part
+    * key, so the physical plan is two shuffles on `p_partkey` (offer
+    * build + min probe), never a per-part subquery execution. Ties on
+    * the minimum keep every tied supplier, deterministic as a set.
+    * Balance compares in exact cents (g9's convention).
+    */
+  def p17MinCostSupplier(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "lineitem").createOrReplaceTempView("p17_lineitem")
+    Tables.load(spark, dir, "part").createOrReplaceTempView("p17_part")
+    Tables.load(spark, dir, "supplier").createOrReplaceTempView("p17_supplier")
+    Tables.load(spark, dir, "nation").createOrReplaceTempView("p17_nation")
+    spark.sql(
+      """WITH bridge AS (
+        |  SELECT DISTINCT l_partkey, l_suppkey FROM p17_lineitem),
+        |offer AS (
+        |  SELECT p_partkey, s_name, s_nationkey,
+        |         CAST(CAST(s_acctbal AS DECIMAL(15,2)) * 100 AS BIGINT) AS acctbal_cents
+        |  FROM p17_part
+        |  JOIN bridge ON p_partkey = l_partkey
+        |  JOIN p17_supplier ON s_suppkey = l_suppkey
+        |  WHERE p_size <= 5 AND p_type = 'ECONOMY')
+        |SELECT o.p_partkey, o.s_name, n_name, o.acctbal_cents
+        |FROM offer o JOIN p17_nation ON o.s_nationkey = n_nationkey
+        |WHERE o.acctbal_cents = (SELECT min(o2.acctbal_cents)
+        |                         FROM offer o2
+        |                         WHERE o2.p_partkey = o.p_partkey)""".stripMargin)
+  }
+
+  /** P18 — TPC-H Q9-shaped product profit by nation and year: filtered
+    * parts' lines, profit = revenue − cost (p_retailprice·quantity is
+    * the fixture's supply-cost stand-in), grouped by the SUPPLIER's
+    * nation and the order year. Five-table star: the fact shuffles
+    * once per join key, part is filter-reduced before its join but
+    * stays UN-hinted (SF-scaled — AQE decides, p8/p9's stance), nation
+    * broadcast (bounded at 25 rows forever). Money in exact DECIMAL
+    * with the e4 fixed-point output convention.
+    */
+  def p18ProductProfit(spark: SparkSession, dir: String): DataFrame = {
+    val lineitem = Tables.load(spark, dir, "lineitem")
+    val part = Tables.load(spark, dir, "part")
+      .filter(col("p_name").like("%red%"))
+    val supplier = Tables.load(spark, dir, "supplier")
+    val orders = Tables.load(spark, dir, "orders")
+    val nation = Tables.load(spark, dir, "nation")
+    val revenue = (col("l_extendedprice").cast(M) *
+      (lit(1) - col("l_discount").cast(M))).cast(DecimalType(25, 4))
+    val cost = (col("p_retailprice").cast(M) *
+      col("l_quantity").cast(M)).cast(DecimalType(25, 4))
+    lineitem
+      .join(part, col("l_partkey") === col("p_partkey"))
+      .join(supplier, col("l_suppkey") === col("s_suppkey"))
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"),
+        year(col("o_orderdate")).as("o_year"))
+      .agg(fixedPoint(sum(revenue - cost).cast(DecimalType(25, 4)), 4)
+        .as("profit_e4"))
+  }
+
+  /** P19 — TPC-H Q11-shaped important stock: parts whose revenue
+    * through suppliers of a nation group exceeds 0.1% of that group's
+    * TOTAL revenue. Q11's signature is the ungrouped global-total
+    * scalar subquery consumed by HAVING — planned as a one-row
+    * broadcast CROSS JOIN against the per-part aggregate, so the
+    * per-part set is scanned once and the threshold costs nothing at
+    * scale. The share gate is the exact integer cross-multiply
+    * `value·1000 > total` — never a double division.
+    */
+  def p19ImportantStock(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "lineitem").createOrReplaceTempView("p19_lineitem")
+    Tables.load(spark, dir, "supplier").createOrReplaceTempView("p19_supplier")
+    spark.sql(
+      """WITH v AS (
+        |  SELECT l_partkey,
+        |    CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(15,2)) *
+        |             (1 - CAST(l_discount AS DECIMAL(15,2))) AS DECIMAL(25,4)) * 10000) AS BIGINT) AS value_e4
+        |  FROM p19_lineitem JOIN p19_supplier ON l_suppkey = s_suppkey
+        |  WHERE s_nationkey IN (1, 2, 3, 4, 5)
+        |  GROUP BY l_partkey),
+        |tot AS (SELECT CAST(SUM(value_e4) AS BIGINT) AS total_e4 FROM v)
+        |SELECT l_partkey, value_e4
+        |FROM v CROSS JOIN tot
+        |WHERE value_e4 * 1000 > total_e4""".stripMargin)
+  }
+
   /** G11 — `NOT IN` subquery under the oracle: customers with no
     * urgent order, phrased the null-aware way. SQL's NOT IN is
     * three-valued (one NULL in the subquery empties the result), so
