@@ -443,14 +443,29 @@ object IcebergExport {
     val mdir = metadataDir(table)
     Files.createDirectories(mdir)
 
-    // Idempotence fast-path: exporting the same (snapshot, schema)
-    // twice is a no-op returning the current metadata version — what
-    // makes per-commit auto-export and per-query export calls cheap.
-    // The fingerprint covers the head id and the CURRENT read schema
-    // (so a rename without a new commit still re-exports).
+    // merge-on-read deltas resolve via equality-delete files below; the
+    // one unsupported combination is partitioned + merge-on-read, whose
+    // deletes would need partition-scoped delete files (v2 forbids
+    // global equality deletes under a partitioned spec)
+    val isMor = table.mergeOnRead && table.pk.nonEmpty
+    require(!isMor || table.partitionBy.isEmpty,
+      "Iceberg export of a PARTITIONED merge-on-read table needs " +
+        "partition-scoped delete files — compact() to a resolved " +
+        "layout first, or use copy-on-write")
+    val snaps = (1L to head.id).flatMap(table.snapshot(_))
+    require(snaps.exists(_.id == head.id), "head manifest must be readable")
+
+    // Idempotence fast-path: exporting the same (snapshot history,
+    // schema) twice is a no-op returning the current metadata version —
+    // what makes per-commit auto-export and per-query export calls
+    // cheap. The fingerprint covers the head id, the CURRENT read
+    // schema (so a rename without a new commit still re-exports) and
+    // the RETAINED snapshot set (so a vacuum/expire without a new
+    // commit re-exports and garbage-collects expired artifacts).
     val fingerprint = {
       val md = java.security.MessageDigest.getInstance("MD5")
-      md.update(s"${head.id}:${table.readCold().schema.toDDL}"
+      md.update((s"${head.id}:${table.readCold().schema.toDDL}:" +
+        snaps.map(_.id).mkString(","))
         .getBytes(StandardCharsets.UTF_8))
       md.digest().map("%02x".format(_)).mkString
     }
@@ -481,18 +496,6 @@ object IcebergExport {
           "data files — run compact() to converge the layout first " +
           "(name-based external readers would read NULLs)")
     }
-
-    // merge-on-read deltas resolve via equality-delete files below; the
-    // one unsupported combination is partitioned + merge-on-read, whose
-    // deletes would need partition-scoped delete files (v2 forbids
-    // global equality deletes under a partitioned spec)
-    val isMor = table.mergeOnRead && table.pk.nonEmpty
-    require(!isMor || table.partitionBy.isEmpty,
-      "Iceberg export of a PARTITIONED merge-on-read table needs " +
-        "partition-scoped delete files — compact() to a resolved " +
-        "layout first, or use copy-on-write")
-    val snaps = (1L to head.id).flatMap(table.snapshot(_))
-    require(snaps.exists(_.id == head.id), "head manifest must be readable")
 
     // file dir → snapshot id that ADDED it (first snapshot listing it)
     val addedBy: Map[String, Long] =
@@ -812,6 +815,39 @@ object IcebergExport {
     Files.write(mpath, toJson(metadata).getBytes(StandardCharsets.UTF_8))
     Files.write(mdir.resolve("version-hint.text"),
       version.toString.getBytes(StandardCharsets.UTF_8))
+
+    // GC artifacts of snapshots no longer retained (vacuum/expire ran
+    // since the last export) — Iceberg expire_snapshots semantics: the
+    // NEW metadata version is complete and self-consistent; prior
+    // metadata versions may reference the removed files, the accepted
+    // Iceberg trade (expired history is gone, not half-kept). Without
+    // this, manifests/eqdel files of expired snapshots accumulate
+    // forever — at a 30 s tiering cadence that is ~2.9 k orphaned Avro
+    // files per day.
+    val retainedIds: Set[Long] = snaps.map(_.id).toSet
+    val retainedSeqs: Set[Long] =
+      snaps.flatMap(_.files).distinct.map(addedBy).toSet
+    val artifact = """(manifest-del-|manifest-|snap-|eqdel-)(\d{6}).*""".r
+    val listing = Files.list(mdir)
+    try listing.iterator().asScala.foreach { p =>
+      p.getFileName.toString match {
+        case artifact(kind, num) =>
+          val id = num.toLong
+          val live =
+            if (kind == "eqdel-") retainedSeqs(id) else retainedIds(id)
+          if (!live) Files.deleteIfExists(p)
+        case _ =>
+      }
+    } finally listing.close()
+    // the PK-uniqueness marker follows its dirs (vacuumed dirs re-add
+    // their lines never; a shrinking file keeps the scan O(live dirs))
+    val markerFile = mdir.resolve("pk-checked-dirs.txt")
+    if (Files.exists(markerFile)) {
+      val liveDirs = snaps.flatMap(_.files).toSet
+      val keptLines =
+        Files.readAllLines(markerFile).asScala.filter(liveDirs).toSeq
+      Files.write(markerFile, keptLines.sorted.asJava, StandardCharsets.UTF_8)
+    }
     mpath
   }
 

@@ -281,6 +281,58 @@ class IcebergExportSpec extends AnyFunSuite with SparkSpec {
     assert(pruned.select("id").as[Long].collect().toSet == Set(2L, 3L))
   }
 
+  test("merge-on-read export across ADD COLUMN: evolved groups pad, deletes still apply") {
+    val dir = Files.createTempDirectory("graft-ice-mor-ev").toString
+    val t = TieredTable(spark, s"$dir/t", pk = Seq("id"), mergeOnRead = true)
+    t.commitUpsert(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))      // seq 1
+    t.commitUpsert(Seq((2L, "B2", 7.5), (3L, "c", 9.0))            // seq 2: +w
+      .toDF("id", "v", "w"))
+    IcebergExport.export(t)
+    val got = IcebergExport.readTable(spark, s"$dir/t")
+    assert(got.columns.toSeq == Seq("id", "v", "w"))
+    assert(got.as[(Long, String, Option[Double])].collect().toSet ==
+      Set((1L, "a", None), (2L, "B2", Some(7.5)), (3L, "c", Some(9.0))),
+      "pre-evolution rows pad w as NULL; the seq-2 delete still " +
+        "removes the superseded id=2 row")
+  }
+
+  test("export GC: expired snapshots' manifests and eqdel files are reclaimed") {
+    val dir = Files.createTempDirectory("graft-ice-gc").toString
+    val t = TieredTable(spark, s"$dir/t", pk = Seq("id"), mergeOnRead = true)
+    t.commitUpsert(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))       // seq 1
+    t.commitUpsert(Seq((2L, "B2")).toDF("id", "v"))                 // seq 2
+    t.compact()                                                     // seq 3
+    t.commitUpsert(Seq((3L, "c")).toDF("id", "v"))                  // seq 4
+    IcebergExport.export(t)
+    val mdir = Paths.get(s"$dir/t", "metadata")
+    assert(Files.exists(mdir.resolve("manifest-000001.avro")))
+    assert(Files.exists(mdir.resolve("eqdel-000002.parquet")))
+
+    // expire everything before the compacted rewrite, then re-export:
+    // the vacuum alone must trigger a new version (fingerprint covers
+    // the retained set) and the expired snapshots' artifacts must go
+    t.vacuum(keepLast = 2)                          // keeps snaps 3, 4
+    IcebergExport.export(t)
+    assert(!Files.exists(mdir.resolve("manifest-000001.avro")))
+    assert(!Files.exists(mdir.resolve("manifest-000002.avro")))
+    assert(!Files.exists(mdir.resolve("manifest-del-000002.avro")))
+    assert(!Files.exists(mdir.resolve("snap-000001-manifest-list.avro")))
+    assert(!Files.exists(mdir.resolve("eqdel-000002.parquet")),
+      "an eqdel whose sequence left the retained dirs must be reclaimed")
+    assert(Files.exists(mdir.resolve("manifest-000003.avro")))
+    assert(Files.exists(mdir.resolve("eqdel-000004.parquet")),
+      "the live delta's eqdel stays (seq 4 supersedes the rewrite)")
+
+    // the post-GC export is complete and still resolves correctly
+    assert(IcebergExport.readTable(spark, s"$dir/t")
+      .as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "B2"), (3L, "c")))
+    // a second export with nothing changed is the fast-path no-op
+    val v = Files.readString(mdir.resolve("version-hint.text")).trim
+    IcebergExport.export(t)
+    assert(Files.readString(mdir.resolve("version-hint.text")).trim == v)
+  }
+
   test("merge-on-read refusals: duplicate in-batch PKs; partitioned MoR") {
     val dir = Files.createTempDirectory("graft-ice-mor-ref").toString
     val dup = TieredTable(spark, s"$dir/dup", pk = Seq("id"), mergeOnRead = true)
