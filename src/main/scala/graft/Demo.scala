@@ -193,6 +193,21 @@ object Demo {
     say(s"[demo] after RENAME amount->amount_usd, snapshot 1 reads as: " +
       renamedAsOf1)
 
+    // 13. merge-on-read PK tier through Iceberg EQUALITY DELETES: each
+    //     upsert delta exports as data files + a PK delete file at its
+    //     sequence; the external reader resolves last-write-wins purely
+    //     from the v2 sequence rules (no graft code in the read)
+    val morT = graft.storage.TieredTable(spark, s"$base/tables/mor_accounts",
+      pk = Seq("acct"), mergeOnRead = true)
+    morT.commitUpsert(Seq((1L, 100L), (2L, 200L)).toDF("acct", "balance"))
+    morT.commitUpsert(Seq((2L, 250L), (3L, 300L)).toDF("acct", "balance"))
+    graft.storage.IcebergExport.export(morT)
+    val morRows = graft.storage.IcebergExport
+      .readTable(spark, morT.tablePath)
+      .orderBy("acct").as[(Long, Long)].collect().toSeq
+    say(s"[demo] merge-on-read tier via Iceberg equality deletes: " +
+      morRows.map { case (k, b) => s"$k->$b" }.mkString(", "))
+
     out.toSeq
   }
 }

@@ -35,5 +35,10 @@ class DemoSpec extends AnyFunSuite with SparkSpec {
 
     // rename evolution: the pre-rename snapshot reads through the new name
     assert(has("snapshot 1 reads as: region,amount_usd"))
+
+    // merge-on-read interop: the equality-delete read resolves
+    // last-write-wins (2 -> 250 supersedes 200) with all keys present
+    assert(has("equality deletes: 1->100, 2->250, 3->300"),
+      lines.mkString("\n"))
   }
 }
