@@ -147,6 +147,9 @@ object SparkEntry {
     "p17_mincost_supplier" -> (Relational.p17MinCostSupplier _),
     "p18_product_profit"   -> (Relational.p18ProductProfit _),
     "p19_important_stock"  -> (Relational.p19ImportantStock _),
+    "p20_late_mode"     -> (Relational.p20LateMode _),
+    "p21_promo_suppliers" -> (Relational.p21PromoSuppliers _),
+    "p22_waiting_suppliers" -> (Relational.p22WaitingSuppliers _),
     "g7_set_ops"        -> (Relational.g7SetOps _),
     "g8_exists"         -> (Relational.g8ExistsSubquery _),
     "g9_above_avg"      -> (Relational.g9AboveAvg _),
@@ -1402,6 +1405,48 @@ object SparkEntry {
         |SELECT l_partkey, value_e4
         |FROM v CROSS JOIN tot
         |WHERE value_e4 * 1000 > total_e4""".stripMargin,
+    "p20_late_mode" ->
+      """SELECT l_linestatus,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= '1998-01-01'
+        |  AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+        |GROUP BY l_linestatus""".stripMargin,
+    "p21_promo_suppliers" ->
+      """WITH shipped AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    CAST(sum(CAST(CAST(l_quantity AS DECIMAL(15,2)) * 100 AS BIGINT)) AS BIGINT) AS q_cents
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_type = 'ECONOMY' AND l_shipdate >= '1998-01-01'
+        |  GROUP BY 1, 2),
+        |tot AS (SELECT l_partkey AS pk, CAST(sum(q_cents) AS BIGINT) AS tot_cents
+        |        FROM shipped GROUP BY 1)
+        |SELECT s_suppkey, s_name, n_name
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |WHERE s_suppkey IN (SELECT l_suppkey
+        |                    FROM shipped JOIN tot ON l_partkey = pk
+        |                    WHERE q_cents * 5 > tot_cents)""".stripMargin,
+    "p22_waiting_suppliers" ->
+      """SELECT s_suppkey, s_name, count(*) AS numwait
+        |FROM (
+        |  SELECT DISTINCT l1.l_suppkey, l1.l_orderkey
+        |  FROM lineitem l1
+        |  JOIN orders o ON l1.l_orderkey = o.o_orderkey
+        |  WHERE o.o_orderstatus = 'F'
+        |    AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+        |    AND EXISTS (SELECT 1 FROM lineitem l2
+        |                WHERE l2.l_orderkey = l1.l_orderkey
+        |                  AND l2.l_suppkey <> l1.l_suppkey)
+        |    AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                    JOIN orders o3 ON l3.l_orderkey = o3.o_orderkey
+        |                    WHERE l3.l_orderkey = l1.l_orderkey
+        |                      AND l3.l_suppkey <> l1.l_suppkey
+        |                      AND l3.l_shipdate > o3.o_orderdate + INTERVAL 60 DAY)
+        |) w JOIN supplier ON s_suppkey = w.l_suppkey
+        |GROUP BY s_suppkey, s_name""".stripMargin,
     "g11_not_in" ->
       """SELECT count(*) AS n_calm, CAST(sum(c_custkey) AS BIGINT) AS key_sum
         |FROM customer

@@ -930,4 +930,99 @@ object Relational {
       .orderBy(col("revenue_e4").desc, col("l_orderkey"))
       .limit(10)
   }
+
+  /** P20 — TPC-H Q12-shaped shipmode priority split: per line status
+    * (the fixture's stand-in for Q12's ship mode), how many LATE 1998
+    * lines (shipped > 30 days after the order date — the stand-in for
+    * Q12's commit<receipt test) belong to high- vs low-priority
+    * orders. The conditional split is two map-side CASE sums inside
+    * ONE aggregate over ONE orders⋈lineitem key join — Q12's point is
+    * that the priority pivot costs nothing beyond the join. Scale: one
+    * fact shuffle on the order key, output at line-status cardinality;
+    * both CASE branches are codegen'd integer adds, no second pass.
+    */
+  def p20LateMode(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= "1998-01-01")
+      .join(Tables.load(spark, dir, "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") >
+        col("o_orderdate") + expr("INTERVAL 30 DAYS"))
+      .groupBy(col("l_linestatus"))
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L)).as("high_line_count"),
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+          .otherwise(1L)).as("low_line_count"))
+
+  /** P21 — TPC-H Q20-shaped promotion-eligible suppliers: suppliers
+    * whose 1998 shipped quantity of some ECONOMY part exceeds 20% of
+    * that part's total shipped quantity (the fixture's stand-in for
+    * Q20's availqty > half-of-shipped test; lineitem plays partsupp).
+    * Q20's shape is a nested aggregate feeding a correlated threshold:
+    * here both grains come from ONE pass — the (part, supplier) sums
+    * roll up to per-part totals with a second small aggregate, and the
+    * threshold join runs at (part, supplier) cardinality, never
+    * re-reading lineitem. Quantities compare in exact cents
+    * (`q·5 > tot` cross-multiply, no division). Scale: one fact
+    * shuffle on the part key; everything after is aggregate-sized;
+    * supplier/nation dims are bounded joins at the end.
+    */
+  def p21PromoSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    val shipped = Tables.load(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= "1998-01-01")
+      .join(Tables.load(spark, dir, "part")
+          .filter(col("p_type") === "ECONOMY")
+          .select(col("p_partkey")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(fixedPoint(sum(col("l_quantity").cast(M)), 2).as("q_cents"))
+    val perPart = shipped.groupBy(col("l_partkey").as("pk"))
+      .agg(sum(col("q_cents")).as("tot_cents"))
+    val eligible = shipped
+      .join(perPart, col("l_partkey") === col("pk"))
+      .filter(col("q_cents") * 5 > col("tot_cents"))
+      .select(col("l_suppkey")).distinct()
+    Tables.load(spark, dir, "supplier")
+      .join(eligible, col("s_suppkey") === col("l_suppkey"))
+      .join(broadcast(Tables.load(spark, dir, "nation")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_name"))
+  }
+
+  /** P22 — TPC-H Q21-shaped waiting-supplier count: per supplier, the
+    * finished multi-supplier orders where THEIR line was the only late
+    * one (shipped > 60 days after the order date). Q21 is written as a
+    * double correlated EXISTS / NOT EXISTS; the scale-correct plan is
+    * the aggregate reformulation used here — per order, count distinct
+    * suppliers and distinct LATE suppliers in one grouped pass, then a
+    * supplier qualifies iff the order has >1 suppliers and exactly one
+    * late supplier (theirs). That turns two correlated probes over the
+    * fact into ONE orderkey-grouped aggregate + a key join, no
+    * re-scans. The oracle keeps the EXISTS phrasing, so the
+    * reformulation's equivalence is itself under the hash check.
+    * Scale: two shuffles total (orderkey agg, supplier rollup), both
+    * on natural keys; no per-row subquery survives.
+    */
+  def p22WaitingSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    val lines = Tables.load(spark, dir, "lineitem")
+      .join(Tables.load(spark, dir, "orders")
+          .filter(col("o_orderstatus") === "F")
+          .select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (col("l_shipdate") >
+          col("o_orderdate") + expr("INTERVAL 60 DAYS")).as("late"))
+    val perOrder = lines.groupBy(col("l_orderkey").as("ok"))
+      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(when(col("late"), col("l_suppkey"))).as("n_late"))
+    val waiting = lines.filter(col("late"))
+      .select(col("l_orderkey"), col("l_suppkey")).distinct()
+      .join(perOrder, col("l_orderkey") === col("ok"))
+      .filter(col("n_supp") > 1 && col("n_late") === 1)
+    Tables.load(spark, dir, "supplier")
+      .join(waiting, col("s_suppkey") === col("l_suppkey"))
+      .groupBy(col("s_suppkey"), col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+  }
 }
