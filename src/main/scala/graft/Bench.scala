@@ -54,6 +54,11 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // UTC pin: events.ts normalization (Tables.load) reinterprets
+      // TIMESTAMP_NTZ through the session timezone — benched plans must
+      // compute the same instants as the correctness-gated Verify run
+      // on any host
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       // bucketed staging (k3) writes catalog tables — keep the

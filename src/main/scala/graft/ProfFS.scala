@@ -5,6 +5,7 @@ object ProfFS {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val t = graft.queries.Lakehouse.demoTableByDate(spark, "/root/testdata/sf0.001")

@@ -960,10 +960,14 @@ object Relational {
     * that part's total shipped quantity (the fixture's stand-in for
     * Q20's availqty > half-of-shipped test; lineitem plays partsupp).
     * Q20's shape is a nested aggregate feeding a correlated threshold:
-    * here both grains come from ONE pass — the (part, supplier) sums
-    * roll up to per-part totals with a second small aggregate, and the
-    * threshold join runs at (part, supplier) cardinality, never
-    * re-reading lineitem. Quantities compare in exact cents
+    * here the (part, supplier) sums roll up to per-part totals with a
+    * second small aggregate, and the threshold join runs at
+    * (part, supplier) cardinality. `shipped` is referenced twice;
+    * collapsing the two references to one physical fact scan relies on
+    * Spark's ReusedExchange (the grouped subtree is identical on both
+    * paths) — even when the reuse does not fire, the second read is of
+    * the same single-shuffle aggregate, not a new join shape.
+    * Quantities compare in exact cents
     * (`q·5 > tot` cross-multiply, no division). Scale: one fact
     * shuffle on the part key; everything after is aggregate-sized;
     * supplier/nation dims are bounded joins at the end.
