@@ -53,6 +53,7 @@ object SparkEntry {
     "q21_change_feed" -> (Lakehouse.q21ChangeFeed _),
     "q22_iceberg_part" -> (Lakehouse.q22IcebergPart _),
     "q23_iceberg_mor" -> (Lakehouse.q23IcebergMor _),
+    "q24_iceberg_part_mor" -> (Lakehouse.q24IcebergPartMor _),
     // training-data pipeline: dedup / similarity / text analysis
     "d1_exact_dedup" -> (Pipeline.d1ExactDedup _),
     "d2_fingerprint" -> (Pipeline.d2Fingerprint _),
@@ -373,6 +374,24 @@ object SparkEntry {
         |           THEN CAST(CAST(o_totalprice AS DECIMAL(15,2)) * 2 AS DECIMAL(15,2))
         |         ELSE CAST(o_totalprice AS DECIMAL(15,2)) END AS price
         |  FROM orders) GROUP BY o_orderstatus""".stripMargin,
+    // partitioned merge-on-read: partition-scoped equality deletes +
+    // manifest-reconstructed partition column, both group keys — the
+    // oracle recomputes winning versions per key from the raw fixture
+    "q24_iceberg_part_mor" ->
+      """SELECT o_orderpriority, o_orderstatus, COUNT(*) AS cnt,
+        |       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+        |       CAST(SUM(CAST(price * 100 AS BIGINT)) AS BIGINT) AS price_cents
+        |FROM (
+        |  SELECT o_orderkey, o_orderpriority,
+        |    CASE WHEN o_orderkey % 13 = 0 THEN 'X'
+        |         WHEN o_orderkey % 7 = 0 THEN 'R'
+        |         ELSE o_orderstatus END AS o_orderstatus,
+        |    CASE WHEN o_orderkey % 13 = 0
+        |           THEN CAST(CAST(o_totalprice AS DECIMAL(15,2)) + 1000 AS DECIMAL(15,2))
+        |         WHEN o_orderkey % 7 = 0
+        |           THEN CAST(CAST(o_totalprice AS DECIMAL(15,2)) * 2 AS DECIMAL(15,2))
+        |         ELSE CAST(o_totalprice AS DECIMAL(15,2)) END AS price
+        |  FROM orders) GROUP BY o_orderpriority, o_orderstatus""".stripMargin,
     "q12_partition_pruned" ->
       """SELECT COUNT(*) AS cnt, CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
         |FROM orders WHERE o_orderpriority = '1-URGENT'""".stripMargin,

@@ -355,6 +355,63 @@ object Lakehouse {
           .as("price_cents"))
   }
 
+  /** PARTITIONED merge-on-read orders table — the reference's
+    * huge-PK-table shape under a partition spec (the first combination
+    * a production user hits): hive-partitioned by `o_orderpriority`
+    * with the partition column part of the PK (the Flink-Iceberg
+    * upsert-sink rule, so a key never changes partitions and the
+    * exported partition-scoped equality deletes are exact). Same
+    * overlapping upsert waves as [[demoTableMor]]; each wave derives
+    * from the base fixture, so every key keeps its priority.
+    */
+  def demoTableMorPart(spark: SparkSession, dir: String): TieredTable = {
+    val safe = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val path = s"${sys.props("java.io.tmpdir")}/graft-tiered/v$FormatVersion/$safe/orders_mor_part"
+    val donePath = Paths.get(path, "meta", "LATEST")
+    val t = TieredTable(spark, path, pk = Seq("o_orderpriority", "o_orderkey"),
+      mergeOnRead = true, partitionBy = Seq("o_orderpriority"))
+    if (!Files.exists(donePath)) {
+      val orders = Tables.load(spark, dir, "orders")
+        .withColumn("o_totalprice", col("o_totalprice").cast("decimal(15,2)"))
+      t.commitUpsert(orders)                                        // seq 1
+      t.commitUpsert(orders                                         // seq 2
+        .filter(pmod(col("o_orderkey"), lit(7)) === 0)
+        .withColumn("o_totalprice",
+          (col("o_totalprice") * 2).cast("decimal(15,2)"))
+        .withColumn("o_orderstatus", lit("R")))
+      t.commitUpsert(orders                                         // seq 3
+        .filter(pmod(col("o_orderkey"), lit(13)) === 0)
+        .withColumn("o_totalprice",
+          (col("o_totalprice") + 1000).cast("decimal(15,2)"))
+        .withColumn("o_orderstatus", lit("X")))
+    }
+    t
+  }
+
+  /** Q24 — PARTITIONED merge-on-read through the exported Iceberg
+    * chain: [[demoTableMorPart]]'s three overlapping delta waves under
+    * a hive partition spec export as PARTITION-SCOPED equality-delete
+    * files (one per partition per superseding sequence — the v2 rule
+    * that forbids global equality deletes under a partitioned spec),
+    * and [[graft.storage.IcebergExport.readTable]] must both
+    * reconstruct the partition column from the manifests AND apply the
+    * scoped deletes for last-write-wins. Grouping by (priority,
+    * status) makes either failure visible: a missed scoped delete
+    * double-counts a key in its partition; a misparsed partition value
+    * shifts the priority group keys — both hash-mismatch against the
+    * oracle's CASE recomputation from the raw fixture.
+    */
+  def q24IcebergPartMor(spark: SparkSession, dir: String): DataFrame = {
+    val t = demoTableMorPart(spark, dir)
+    graft.storage.IcebergExport.export(t)
+    graft.storage.IcebergExport.readTable(spark, t.tablePath)
+      .groupBy(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("o_orderkey")).cast("long").as("key_sum"),
+        sum((col("o_totalprice") * 100).cast("long")).cast("long")
+          .as("price_cents"))
+  }
+
   /** Date-clustered variant of the demo table: orders land in three
     * commits by `o_orderdate` range — the natural layout of any
     * time-ingested fact table (each day's load covers a narrow date

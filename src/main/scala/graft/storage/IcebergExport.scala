@@ -61,21 +61,34 @@ import org.apache.spark.sql.types._
   * Merge-on-read PK tables export as Iceberg v2 EQUALITY DELETES —
   * the exact construct Flink's Iceberg upsert sink writes: each delta
   * dir at graft sequence `s` becomes data files at data-sequence `s`
-  * plus one equality-delete file (the dir's distinct PK tuples) at
+  * plus equality-delete files (the dir's distinct PK tuples, written
+  * by however many tasks produced them — no single-writer funnel) at
   * sequence `s`, and the spec's rule "an equality delete applies to
   * data files with STRICTLY SMALLER data sequence number" is
-  * last-write-wins on `__seq` verbatim. The internal `__seq` column is
-  * excluded from the exported schemas (name-projecting readers never
-  * see it), and rewrite commits (compact/delete/update) — whose single
-  * resolved dir has no older live files — export with no deletes.
+  * last-write-wins on `__seq` verbatim. Partitioned merge-on-read
+  * tables write their delete files hive-partitioned, so each file is
+  * PARTITION-SCOPED per the v2 spec — exact because partition columns
+  * must be part of the PK (a key never changes partitions, the
+  * Flink-Iceberg upsert-sink rule, enforced at construction). The
+  * internal `__seq` column is excluded from the exported schemas
+  * (name-projecting readers never see it), and rewrite commits
+  * (compact/delete/update) — whose single resolved dir has no older
+  * live files — export with no deletes.
   *
   * Scale: for copy-on-write tables export is a METADATA-ONLY pass — it
   * lists the snapshot's files and reads parquet footers for record
   * counts (the same numbers a cluster writer returns in task commit
-  * messages); no data file is read or rewritten. Cost is O(files), not
-  * O(rows). Merge-on-read adds one column-pruned PK scan per NEW delta
-  * dir (delete files are written once per dir, keyed by sequence) —
-  * O(|delta| PK cells), the cost a Flink upsert writer pays inline.
+  * messages); no data file is read or rewritten. Merge-on-read adds
+  * one column-pruned PK scan per NEW delta dir (delete files are
+  * written once per dir, keyed by sequence) — O(|delta| PK cells),
+  * the cost a Flink upsert writer pays inline. Re-export after new
+  * commits is O(Δ), not O(history × files): per-dir footer stats and
+  * per-snapshot schemas persist in sidecar caches (`dir-stats.json`,
+  * `export-state.json`), and already-written manifest/list Avro files
+  * are REUSED byte-for-byte while the exported history prefix is
+  * untouched — only the new snapshots' footers are opened and only
+  * their manifests written, so per-commit auto-export
+  * (`icebergExport = true`) has flat commit latency as history grows.
   */
 object IcebergExport {
 
@@ -346,11 +359,23 @@ object IcebergExport {
       files.map(f => session.read.option("mergeSchema", "true").parquet(f))
         .reduce(_.unionByName(_, allowMissingColumns = true))
 
+  /** One part file's manifest accounting: (path, rows, bytes,
+    * per-column footer stats).
+    */
+  private type FileStat = (String, Long, Long, Map[String, ColStats])
+
+  /** Test instrumentation: parquet footers opened by [[partFiles]]
+    * over the JVM's lifetime — how IcebergExportSpec proves the
+    * incremental claim (a re-export after one append opens only the
+    * NEW dir's footers; prior dirs are served from `dir-stats.json`).
+    */
+  private[graft] val footerOpens = new java.util.concurrent.atomic.AtomicLong(0)
+
   /** Parquet part files under a snapshot data dir, with per-file
     * (rows, bytes, per-column stats) from the footer — the manifest
     * entry's accounting and pruning metadata.
     */
-  private def partFiles(dir: String): Seq[(String, Long, Long, Map[String, ColStats])] = {
+  private def partFiles(dir: String): Seq[FileStat] = {
     val conf = new Configuration()
     val stream = Files.walk(Paths.get(dir))
     val files =
@@ -360,6 +385,7 @@ object IcebergExport {
         .toList.sortBy(_.toString)
       finally stream.close()
     files.map { f =>
+      footerOpens.incrementAndGet()
       val reader = ParquetFileReader.open(conf, new HadoopPath(f.toString))
       try {
         val blocks = reader.getFooter.getBlocks.asScala.toSeq
@@ -430,6 +456,107 @@ object IcebergExport {
     } finally reader.close()
   }
 
+  // ---- incremental-export sidecars ----
+  //
+  // Two cache files under metadata/ make re-export O(Δ) instead of
+  // O(history × files):
+  //  - dir-stats.json    per-dir footer stats. Data dirs are immutable
+  //                      once committed, so a dir's stats never change;
+  //                      re-export reads footers only for dirs it has
+  //                      never seen.
+  //  - export-state.json the export watermark: last exported head id,
+  //                      the retained snapshot ids it saw, and each
+  //                      snapshot's raw schema DDL (files are immutable,
+  //                      so a snapshot's physical schema never changes —
+  //                      caching it skips the per-snapshot parquet
+  //                      schema-inference job).
+  // Both are CACHES, not sources of truth: losing or corrupting either
+  // just makes the next export recompute from footers.
+
+  private def b64(b: Array[Byte]): String =
+    java.util.Base64.getEncoder.encodeToString(b)
+
+  private case class ExportState(head: Long, retained: Seq[Long],
+                                 schemas: Map[Long, String])
+
+  private def loadExportState(mdir: Path): Option[ExportState] = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val f = mdir.resolve("export-state.json")
+    if (!Files.exists(f)) return None
+    try {
+      val md = JsonMethods.parse(Files.readString(f))
+      val retained = jsonAt(md, "retained").asInstanceOf[JArray].arr.map(jLong)
+      val schemas = jsonAt(md, "schemas").asInstanceOf[JObject].obj.map {
+        case (k, JString(ddl)) => k.toLong -> ddl
+        case (k, other) => throw new IllegalStateException(s"$k -> $other")
+      }.toMap
+      Some(ExportState(jLong(jsonAt(md, "head")), retained, schemas))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  private def saveExportState(mdir: Path, st: ExportState): Unit =
+    Files.write(mdir.resolve("export-state.json"), toJson(Map(
+      "head" -> st.head,
+      "retained" -> st.retained,
+      "schemas" -> st.schemas.map { case (k, v) => k.toString -> v }
+    )).getBytes(StandardCharsets.UTF_8))
+
+  /** `{dir: [[path, rows, bytes, {col: [vc, nc, lo?, hi?]}], …]}` with
+    * bounds base64-encoded; positional arrays keep the file compact.
+    */
+  private def loadDirStats(mdir: Path): Map[String, Seq[FileStat]] = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val f = mdir.resolve("dir-stats.json")
+    if (!Files.exists(f)) return Map.empty
+    def ob(v: JValue): Option[Array[Byte]] = v match {
+      case JString(s) => Some(java.util.Base64.getDecoder.decode(s))
+      case _ => None
+    }
+    try {
+      JsonMethods.parse(Files.readString(f)).asInstanceOf[JObject].obj.map {
+        case (dir, JArray(files)) =>
+          dir -> files.map { fo =>
+            val JArray(List(JString(path), rows, bytes, JObject(cols))) =
+              fo: @unchecked
+            val colStats = cols.map {
+              case (name, JArray(List(vc, nc, lo, hi))) =>
+                name -> ColStats(jLong(vc), jLong(nc), ob(lo), ob(hi))
+              case (name, other) =>
+                throw new IllegalStateException(s"$name -> $other")
+            }.toMap
+            (path, jLong(rows), jLong(bytes), colStats)
+          }
+        case (dir, other) =>
+          throw new IllegalStateException(s"$dir -> $other")
+      }.toMap
+    } catch { case scala.util.control.NonFatal(_) => Map.empty }
+  }
+
+  private def saveDirStats(mdir: Path, m: Map[String, Seq[FileStat]]): Unit = {
+    val obj: Map[String, Any] = m.map { case (dir, files) =>
+      dir -> files.map { case (p, r, b, cols) =>
+        Seq[Any](p, r, b, cols.map { case (n, cs) =>
+          n -> Seq[Any](cs.valueCount, cs.nullCount,
+            cs.lower.map(b64).orNull, cs.upper.map(b64).orNull)
+        })
+      }
+    }
+    Files.write(mdir.resolve("dir-stats.json"),
+      toJson(obj).getBytes(StandardCharsets.UTF_8))
+  }
+
+  /** Depth-first delete — eqdel entries are directories (hive-layout
+    * when partitioned), so the GC needs more than deleteIfExists.
+    */
+  private def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p)) {
+      val s = Files.walk(p)
+      val all = try s.iterator().asScala.toList finally s.close()
+      all.reverse.foreach(Files.deleteIfExists(_))
+    }
+
   /** Export the table's retained snapshot history as an Iceberg v2
     * table rooted at the graft table path. Idempotent per call; each
     * call writes a new metadata version (the Iceberg pattern — metadata
@@ -443,15 +570,19 @@ object IcebergExport {
     val mdir = metadataDir(table)
     Files.createDirectories(mdir)
 
-    // merge-on-read deltas resolve via equality-delete files below; the
-    // one unsupported combination is partitioned + merge-on-read, whose
-    // deletes would need partition-scoped delete files (v2 forbids
-    // global equality deletes under a partitioned spec)
+    // merge-on-read deltas resolve via equality-delete files below.
+    // Partitioned merge-on-read writes PARTITION-SCOPED delete files
+    // (v2 forbids global equality deletes under a partitioned spec),
+    // which is only exact when a key can never change partitions —
+    // hence partition columns ⊆ PK, the Flink-Iceberg upsert-sink rule.
     val isMor = table.mergeOnRead && table.pk.nonEmpty
-    require(!isMor || table.partitionBy.isEmpty,
-      "Iceberg export of a PARTITIONED merge-on-read table needs " +
-        "partition-scoped delete files — compact() to a resolved " +
-        "layout first, or use copy-on-write")
+    require(!isMor || table.partitionBy.isEmpty ||
+        table.partitionBy.forall(table.pk.contains),
+      "Iceberg export of a PARTITIONED merge-on-read table requires " +
+        "partition columns to be part of the primary key — a key that " +
+        "changed partitions would escape its partition-scoped equality " +
+        "deletes; compact() to a resolved layout first, or use " +
+        "copy-on-write")
     val snaps = (1L to head.id).flatMap(table.snapshot(_))
     require(snaps.exists(_.id == head.id), "head manifest must be readable")
 
@@ -476,6 +607,26 @@ object IcebergExport {
             s""""graft.export-fingerprint":"$fingerprint""""))
         return prior
     }
+
+    // ---- incremental-export state (sidecar docs above) ----
+    // Manifest/list reuse is sound only when the already-exported
+    // PREFIX of history is untouched: the currently retained ids
+    // at-or-below the previous head equal exactly the ids that export
+    // saw. Then every prefix dir keeps its addedBy (new snapshot ids
+    // are larger and cannot lower a min), every prefix snapshot keeps
+    // its schema id (distinct-schema order is first-occurrence), so
+    // the bytes this export would write for a prefix snapshot equal
+    // the bytes already on disk. Expiry since the last export breaks
+    // the condition → full manifest rewrite (rare; the footer-stat
+    // cache still makes it cheap).
+    val state = loadExportState(mdir)
+    val prevHead = state.map(_.head).getOrElse(0L)
+    val prefixStable = state.exists(st =>
+      snaps.map(_.id).filter(_ <= st.head).toSet == st.retained.toSet)
+    val statsCache = scala.collection.mutable.Map[String, Seq[FileStat]](
+      loadDirStats(mdir).toSeq: _*)
+    def partFilesCached(dir: String): Seq[FileStat] =
+      statsCache.getOrElseUpdate(dir, partFiles(dir))
 
     // A RENAME whose old name still lives in head data files cannot be
     // exported: our data files carry no Iceberg field-ids, so external
@@ -512,11 +663,45 @@ object IcebergExport {
     // the internal merge-on-read version column never exports: external
     // readers project by name against the exported schema, and the
     // version information lives in manifest sequence numbers instead
-    val rawSchemaOf: Map[Long, StructType] = snaps.map { s =>
-      val st = rawRead(session, table, s.files).schema
-      s.id -> (if (isMor) StructType(st.fields.filterNot(_.name == table.SeqCol))
-               else st)
-    }.toMap
+    val schemaDdlCache: Map[Long, String] =
+      state.map(_.schemas).getOrElse(Map.empty)
+    def stripSeq(st: StructType): StructType =
+      if (isMor) StructType(st.fields.filterNot(_.name == table.SeqCol))
+      else st
+    // parquet-style schema merge for append-lineage snapshots: common
+    // fields must agree on type (else None → caller falls back to a
+    // full mergeSchema read); new fields append, nullable (old files
+    // lack them)
+    def mergeStruct(base: StructType, extra: StructType): Option[StructType] = {
+      val byName = base.fields.map(f => f.name -> f).toMap
+      if (extra.fields.exists(f =>
+          byName.get(f.name).exists(_.dataType != f.dataType))) None
+      else Some(StructType(base.fields ++
+        extra.fields.filterNot(f => byName.contains(f.name))
+          .map(_.copy(nullable = true))))
+    }
+    // Snapshot manifests and data files are immutable, so a cached DDL
+    // is always valid — only never-exported snapshots pay a schema
+    // read, and an APPEND-LINEAGE snapshot (files ⊇ its predecessor's)
+    // infers over its NEW dirs only, merged onto the predecessor's
+    // schema: per-commit auto-export never re-reads old footers, not
+    // even through Spark's mergeSchema inference.
+    val rawSchemaOf: scala.collection.mutable.Map[Long, StructType] =
+      scala.collection.mutable.Map.empty
+    snaps.foldLeft(Option.empty[TieredTable#Snapshot]) { (prev, s) =>
+      val st = schemaDdlCache.get(s.id).map(StructType.fromDDL)
+        .orElse(prev
+          .filter(p => p.files.toSet.subsetOf(s.files.toSet))
+          .flatMap { p =>
+            val newDirs = s.files.filterNot(p.files.toSet)
+            if (newDirs.isEmpty) Some(rawSchemaOf(p.id))
+            else mergeStruct(rawSchemaOf(p.id),
+              stripSeq(rawRead(session, table, newDirs).schema))
+          })
+        .getOrElse(stripSeq(rawRead(session, table, s.files).schema))
+      rawSchemaOf(s.id) = st
+      Some(s)
+    }
     val distinctSchemas: Seq[StructType] =
       snaps.map(s => rawSchemaOf(s.id))
         .foldLeft(Vector.empty[StructType]) { (acc, st) =>
@@ -590,49 +775,77 @@ object IcebergExport {
           StandardCharsets.UTF_8)
     }
 
-    // Equality-delete files (merge-on-read): one per delta dir that
-    // supersedes an older live dir in at least one exported snapshot —
-    // the dir's distinct PK tuples, at the dir's sequence number.
-    // Written ONCE per sequence (dirs are immutable, re-export reuses),
-    // as a single parquet file so the manifest references one path.
-    val eqDelOf: Map[String, (Path, Long)] = if (!isMor) Map.empty else {
-      val superseding: Seq[String] = snaps.flatMap { s =>
-        val minSeq = s.files.map(addedBy).min
-        s.files.filter(d => addedBy(d) > minSeq)
-      }.distinct
-      superseding.sortBy(addedBy).map { dir =>
-        val seq = addedBy(dir)
-        val out = mdir.resolve(f"eqdel-$seq%06d.parquet")
-        if (!Files.exists(out)) {
-          import org.apache.spark.sql.functions.col
-          val keys = session.read.parquet(dir)
-            .select(table.pk.map(col): _*).distinct()
-          val tmp = mdir.resolve(s"eqdel-tmp-${UUID.randomUUID()}")
-          keys.coalesce(1).write.parquet(tmp.toString)
-          val stream = Files.walk(tmp)
-          val part =
-            try stream.iterator().asScala.find(p =>
-              Files.isRegularFile(p) &&
-                p.getFileName.toString.endsWith(".parquet")).get
-            finally stream.close()
-          Files.move(part, out)
-          val rest = Files.walk(tmp)
-          try rest.iterator().asScala.toList.reverse.foreach(Files.delete)
-          finally rest.close()
-        }
-        dir -> (out, partFiles(out.toString).head._2)
-      }.toMap
-    }
+    // Equality-delete files (merge-on-read): for each delta dir that
+    // supersedes an older live dir in at least one exported snapshot,
+    // one DELETE DIRECTORY holding the dir's distinct PK tuples at the
+    // dir's sequence number. The key set is written by however many
+    // tasks produced it — no single-task funnel (a 100×-scale upsert
+    // wave's distinct-PK set through one writer is a straggler/OOM
+    // shape); the v2 spec allows any number of delete files and the
+    // manifest lists them all. When the table is partitioned the keys
+    // are written hive-partitioned, making each delete file
+    // PARTITION-SCOPED per the v2 spec (partition cols ⊆ PK, enforced
+    // above, so a key never changes partitions and scoped deletes are
+    // exact). Written ONCE per sequence (dirs are immutable,
+    // re-export reuses); the tmp-write + atomic dir rename publishes
+    // all of a sequence's delete files or none.
+    val eqDelFilesOf: Map[String, Seq[(String, Long, Long, Seq[Option[String]])]] =
+      if (!isMor) Map.empty else {
+        val superseding: Seq[String] = snaps.flatMap { s =>
+          val minSeq = s.files.map(addedBy).min
+          s.files.filter(d => addedBy(d) > minSeq)
+        }.distinct
+        superseding.sortBy(addedBy).map { dir =>
+          val seq = addedBy(dir)
+          val out = mdir.resolve(f"eqdel-$seq%06d")
+          if (!Files.exists(out)) {
+            import org.apache.spark.sql.functions.col
+            val keys = session.read.parquet(dir)
+              .select(table.pk.map(col): _*).distinct()
+            val tmp = mdir.resolve(s"eqdel-tmp-${UUID.randomUUID()}")
+            // scope via SHADOW partition columns (`__p_<col>=value/`
+            // dirs): the spec requires delete-file rows to physically
+            // contain every equality column, and a plain partitionBy
+            // would strip them from the pages
+            val w =
+              if (table.partitionBy.isEmpty) keys.write
+              else table.partitionBy
+                .foldLeft(keys)((d, c) => d.withColumn(s"__p_$c", col(c)))
+                .write.partitionBy(table.partitionBy.map("__p_" + _): _*)
+            w.parquet(tmp.toString)
+            Files.move(tmp, out,
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          }
+          dir -> partFilesCached(out.toString).map { case (p, rows, bytes, _) =>
+            (p, rows, bytes,
+              partitionValuesOf(p, out.toString, table.partitionBy.map("__p_" + _)))
+          }
+        }.toMap
+      }
 
     val snapshotObjs = snaps.map { s =>
       val snapSchema = rawSchemaOf(s.id)
       val fieldIds: Map[String, Int] = fieldIdsOf(snapSchema)
+      val manifestPath = mdir.resolve(f"manifest-${s.id}%06d.avro")
+      val delPath = mdir.resolve(f"manifest-del-${s.id}%06d.avro")
+      val listPath = mdir.resolve(f"snap-${s.id}%06d-manifest-list.avro")
+      val minSeq = s.files.map(addedBy).minOption.getOrElse(s.id)
+      val delDirs = s.files.filter(d => addedBy(d) > minSeq).sortBy(addedBy)
+      val needsDel = isMor && delDirs.nonEmpty
+      // Reuse: under a stable prefix (see above) an already-exported
+      // snapshot's manifest, delete manifest, and manifest list are
+      // byte-for-byte what this export would write — skip the footer
+      // walk and the Avro writes entirely.
+      val reusable = prefixStable && s.id <= prevHead &&
+        Files.exists(manifestPath) && Files.exists(listPath) &&
+        (!needsDel || Files.exists(delPath))
+      if (!reusable) {
       // one manifest per snapshot, listing every live file of that
       // snapshot; files added earlier carry EXISTING status with their
       // original (data) sequence number — the v2 inheritance rules
       val entries = s.files.flatMap { dir =>
         val addedIn = addedBy(dir)
-        partFiles(dir).map { case (path, rows, bytes, colStats) =>
+        partFilesCached(dir).map { case (path, rows, bytes, colStats) =>
           val e = new GenericData.Record(entrySchema)
           e.put("status", if (addedIn == s.id) 1 else 0) // ADDED / EXISTING
           e.put("snapshot_id", addedIn)
@@ -686,7 +899,6 @@ object IcebergExport {
         }
       }
       val (schemaObj, _) = icebergSchema(snapSchema, schemaIdOf(s.id))
-      val manifestPath = mdir.resolve(f"manifest-${s.id}%06d.avro")
       writeAvro(manifestPath, entrySchema, Map(
         "schema" -> toJson(schemaObj),
         "schema-id" -> schemaIdOf(s.id).toString,
@@ -721,37 +933,43 @@ object IcebergExport {
         mf
       }
       val mfs = Seq(manifestFile(manifestPath, 0, entries)) ++ {
-        // delete manifest: an equality-delete entry for every live dir
+        // delete manifest: equality-delete entries for every live dir
         // that supersedes an older live dir of THIS snapshot, at the
-        // superseding dir's sequence number. equality_ids name the PK
-        // field ids of the snapshot's schema.
-        val minSeq = s.files.map(addedBy).minOption.getOrElse(s.id)
-        val delDirs = s.files.filter(d => addedBy(d) > minSeq).sortBy(addedBy)
-        if (!isMor || delDirs.isEmpty) Nil
+        // superseding dir's sequence number — one entry PER DELETE
+        // FILE (a sequence may have many, partition-scoped when the
+        // table is partitioned). equality_ids name the PK field ids
+        // of the snapshot's schema.
+        if (!needsDel) Nil
         else {
           val pkIds = new java.util.ArrayList[Integer]()
           table.pk.foreach(c => pkIds.add(Integer.valueOf(fieldIds(c))))
-          val delEntries = delDirs.map { d =>
-            val (path, rows) = eqDelOf(d)
-            val e = new GenericData.Record(entrySchema)
-            e.put("status", if (addedBy(d) == s.id) 1 else 0)
-            e.put("snapshot_id", addedBy(d))
-            e.put("sequence_number", addedBy(d))
-            e.put("file_sequence_number", addedBy(d))
-            val df = new GenericData.Record(
-              entrySchema.getField("data_file").schema())
-            df.put("content", 2)                  // EQUALITY_DELETES
-            df.put("file_path", path.toString)
-            df.put("file_format", "PARQUET")
-            df.put("partition", new GenericData.Record(
-              df.getSchema.getField("partition").schema()))
-            df.put("record_count", rows)
-            df.put("file_size_in_bytes", Files.size(path))
-            df.put("equality_ids", pkIds)
-            e.put("data_file", df)
-            e
+          val delEntries = delDirs.flatMap { d =>
+            val dseq = addedBy(d)
+            eqDelFilesOf(d).map { case (path, rows, bytes, partVals) =>
+              val e = new GenericData.Record(entrySchema)
+              e.put("status", if (dseq == s.id) 1 else 0)
+              e.put("snapshot_id", dseq)
+              e.put("sequence_number", dseq)
+              e.put("file_sequence_number", dseq)
+              val df = new GenericData.Record(
+                entrySchema.getField("data_file").schema())
+              df.put("content", 2)                // EQUALITY_DELETES
+              df.put("file_path", path)
+              df.put("file_format", "PARQUET")
+              val partRec = new GenericData.Record(
+                df.getSchema.getField("partition").schema())
+              if (partTypes.nonEmpty)
+                partTypes.zip(partVals).foreach { case ((c, dt), ov) =>
+                  partRec.put(c, ov.map(typedPartValue(_, dt)).orNull)
+                }
+              df.put("partition", partRec)
+              df.put("record_count", rows)
+              df.put("file_size_in_bytes", bytes)
+              df.put("equality_ids", pkIds)
+              e.put("data_file", df)
+              e
+            }
           }
-          val delPath = mdir.resolve(f"manifest-del-${s.id}%06d.avro")
           writeAvro(delPath, entrySchema, Map(
             "schema" -> toJson(schemaObj),
             "schema-id" -> schemaIdOf(s.id).toString,
@@ -763,11 +981,11 @@ object IcebergExport {
         }
       }
 
-      val listPath = mdir.resolve(f"snap-${s.id}%06d-manifest-list.avro")
       writeAvro(listPath, ManifestFileSchema, Map(
         "snapshot-id" -> s.id.toString,
         "sequence-number" -> s.id.toString,
         "format-version" -> "2"), mfs)
+      } // end if (!reusable)
 
       Map(
         "snapshot-id" -> s.id,
@@ -835,7 +1053,7 @@ object IcebergExport {
           val id = num.toLong
           val live =
             if (kind == "eqdel-") retainedSeqs(id) else retainedIds(id)
-          if (!live) Files.deleteIfExists(p)
+          if (!live) deleteRecursively(p) // eqdel entries are dirs
         case _ =>
       }
     } finally listing.close()
@@ -848,6 +1066,13 @@ object IcebergExport {
         Files.readAllLines(markerFile).asScala.filter(liveDirs).toSeq
       Files.write(markerFile, keptLines.sorted.asJava, StandardCharsets.UTF_8)
     }
+    // persist the incremental-export sidecars, pruned with the GC —
+    // stats of dead data dirs / eqdel dirs go with their files
+    val liveStatDirs: Set[String] = snaps.flatMap(_.files).toSet ++
+      retainedSeqs.map(q => mdir.resolve(f"eqdel-$q%06d").toString)
+    saveDirStats(mdir, statsCache.toMap.filter { case (k, _) => liveStatDirs(k) })
+    saveExportState(mdir, ExportState(head.id, snaps.map(_.id),
+      snaps.map(s => s.id -> rawSchemaOf(s.id).toDDL).toMap))
     mpath
   }
 
@@ -1021,8 +1246,29 @@ object IcebergExport {
             .asInstanceOf[java.util.List[Integer]].asScala.map(_.toInt).toSeq
           val eqNames = eqIds.map(idToName)
           val dels = deleteEntries.map { case (e, seq) =>
-            spark.read.parquet(e.get("file_path").toString)
-              .select(eqNames.map(col): _*)
+            var df = spark.read.parquet(e.get("file_path").toString)
+            // partition-scoped delete files are hive-written: their
+            // partition columns live in the manifest's partition
+            // struct, not in data pages — reattach them as typed
+            // constants, the same add_files resolution the data side
+            // gets. Scoping is then enforced by the equality condition
+            // itself (partition cols ⊆ equality cols by construction).
+            val rec = e.get("partition").asInstanceOf[GenericRecord]
+            eqNames.filterNot(df.columns.contains).foreach { c =>
+              val ov = Option(rec.get(c)).map {
+                case u: org.apache.avro.util.Utf8 => u.toString
+                case v => v
+              }
+              val value = ov match {
+                case None => lit(null).cast(sparkType(typeOf(c)))
+                case Some(v) if typeOf(c) == "date" =>
+                  lit(java.time.LocalDate.ofEpochDay(
+                    v.asInstanceOf[Int].toLong))
+                case Some(v) => lit(v).cast(sparkType(typeOf(c)))
+              }
+              df = df.withColumn(c, value)
+            }
+            df.select(eqNames.map(col): _*)
               .withColumn("__ice_dseq", lit(seq))
           }.reduce(_.unionByName(_))
           val renamed = dels.select(

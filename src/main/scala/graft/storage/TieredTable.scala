@@ -52,10 +52,13 @@ class TieredTable(spark: SparkSession, rawTablePath: String,
                   metaStore: MetaStore = null,
                   val changeDataFeed: Boolean = false,
                   val icebergExport: Boolean = false) {
-  require(!icebergExport || !(mergeOnRead && partitionBy.nonEmpty),
-    "icebergExport of a partitioned merge-on-read table is unsupported " +
-      "(IcebergExport's documented scope: its equality deletes would " +
-      "need partition-scoped delete files)")
+  require(!icebergExport || !(mergeOnRead && partitionBy.nonEmpty) ||
+      partitionBy.forall(pk.contains),
+    "icebergExport of a partitioned merge-on-read table requires the " +
+      "partition columns to be part of the primary key — " +
+      "IcebergExport writes partition-scoped equality deletes, which " +
+      "are exact only when a key can never change partitions (the " +
+      "Flink-Iceberg upsert-sink rule)")
   /** `file:`-scheme URIs are normalized to plain paths — `Paths.get`
     * would otherwise treat the whole URI as a RELATIVE path and
     * silently create the table tree under the process CWD (the round-1
@@ -167,6 +170,20 @@ class TieredTable(spark: SparkSession, rawTablePath: String,
     * reference warehouse (docker-compose.yml:139-155).
     */
   private def commitManifest(s: Snapshot): Unit = {
+    // The keyless-CDF refusal runs BEFORE anything publishes: it needs
+    // only op + file lineage, and refusing after the manifest swap
+    // would leave a published snapshot with no change file — the feed
+    // would silently skip a commit. (A content-rewriting verb on a
+    // keyless CDF table is un-diffable: a rowwise diff needs a key.)
+    if (changeDataFeed && pk.isEmpty &&
+        s.op != "compact" && s.op != "zorder" && s.id > 1)
+      snapshot(s.id - 1).foreach { a =>
+        if (!a.files.toSet.subsetOf(s.files.toSet))
+          throw new IllegalStateException(
+            s"change-data-feed on keyless table $tablePath supports " +
+              s"append-lineage commits only; '${s.op}' rewrote the file " +
+              "list and a rowwise diff needs a primary key")
+      }
     val body =
       s"""id=${s.id}
          |op=${s.op}
@@ -207,9 +224,9 @@ class TieredTable(spark: SparkSession, rawTablePath: String,
     * `compact`/`zorder` rewrite bytes, not content — no change file by
     * definition. Keyless tables support append-lineage verbs only; a
     * content-rewriting verb (rollback/overwrite/delete) on a keyless
-    * CDF table fails loudly AFTER the data commit publishes — the
-    * table is consistent, the feed refuses to guess a rowwise diff
-    * without identity.
+    * CDF table is refused BEFORE its manifest publishes (the check in
+    * [[commitManifest]] needs only op + file lineage) — no snapshot is
+    * created, so the feed never has a committed-but-undiffable gap.
     *
     * Atomicity: the delta lands in a temp dir, then one atomic rename
     * publishes it — the file stream sees the whole change file set of
@@ -237,6 +254,11 @@ class TieredTable(spark: SparkSession, rawTablePath: String,
       val target = changesDir.resolve(f"snap-${s.id}%06d")
       val tmp = changesDir.resolve(f"_tmp-snap-${s.id}%06d")
       d.write.mode("overwrite").parquet(tmp.toString)
+      // column-set sidecar, committed atomically WITH the change files:
+      // the rename guard in [[readStreamChanges]] reads this one-line
+      // file instead of opening parquet footers (underscore-prefixed →
+      // invisible to the file stream, like _SUCCESS)
+      Files.writeString(tmp.resolve("_COLUMNS"), d.columns.mkString(","))
       Files.move(tmp, target,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     }
@@ -258,8 +280,10 @@ class TieredTable(spark: SparkSession, rawTablePath: String,
     // name — silent data loss for a bootstrapping consumer. Refuse
     // while any retained change file still carries a renamed-away
     // column; vacuum (which retires change files with their snapshots)
-    // clears the condition. O(retained change files) footer reads, at
-    // stream construction only.
+    // clears the condition. Each change dir's column set rides in its
+    // `_COLUMNS` sidecar (committed atomically with the files), so the
+    // guard is a one-line read per retained dir — no parquet footer is
+    // opened (sidecar-less dirs from older layouts fall back to one).
     val renamedAway = colMapOps().collect {
       case ("rename", old, _) => old
     }.toSet
@@ -268,8 +292,12 @@ class TieredTable(spark: SparkSession, rawTablePath: String,
         .getOrElse(Array.empty)
         .filter(_.startsWith("snap-")).sorted
         .flatMap { d =>
-          val cols = spark.read.parquet(changesDir.resolve(d).toString)
-            .columns.toSet
+          val colsFile = changesDir.resolve(d).resolve("_COLUMNS")
+          val cols: Set[String] =
+            if (Files.exists(colsFile))
+              Files.readString(colsFile).trim.split(",").toSet
+            else spark.read.parquet(changesDir.resolve(d).toString)
+              .columns.toSet
           val hit = renamedAway.intersect(cols)
           if (hit.nonEmpty) Some(d -> hit) else None
         }

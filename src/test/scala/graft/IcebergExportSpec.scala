@@ -221,13 +221,13 @@ class IcebergExportSpec extends AnyFunSuite with SparkSpec {
     IcebergExport.export(t)
 
     val mdir = Paths.get(s"$dir/t", "metadata")
-    // delete files exist for the superseding sequences, parquet of PKs
-    assert(Files.exists(mdir.resolve("eqdel-000002.parquet")))
-    assert(Files.exists(mdir.resolve("eqdel-000003.parquet")))
+    // delete dirs exist for the superseding sequences, parquet of PKs
+    assert(Files.isDirectory(mdir.resolve("eqdel-000002")))
+    assert(Files.isDirectory(mdir.resolve("eqdel-000003")))
     val delKeys = spark.read
-      .parquet(mdir.resolve("eqdel-000002.parquet").toString)
+      .parquet(mdir.resolve("eqdel-000002").toString)
       .as[Long].collect().toSet
-    assert(delKeys == Set(2L, 4L), "delete file = the delta's PK tuples")
+    assert(delKeys == Set(2L, 4L), "delete files = the delta's PK tuples")
 
     // head manifest list carries a data manifest AND a delete manifest
     val lReader = new DataFileReader[GenericRecord](
@@ -306,7 +306,7 @@ class IcebergExportSpec extends AnyFunSuite with SparkSpec {
     IcebergExport.export(t)
     val mdir = Paths.get(s"$dir/t", "metadata")
     assert(Files.exists(mdir.resolve("manifest-000001.avro")))
-    assert(Files.exists(mdir.resolve("eqdel-000002.parquet")))
+    assert(Files.isDirectory(mdir.resolve("eqdel-000002")))
 
     // expire everything before the compacted rewrite, then re-export:
     // the vacuum alone must trigger a new version (fingerprint covers
@@ -317,10 +317,10 @@ class IcebergExportSpec extends AnyFunSuite with SparkSpec {
     assert(!Files.exists(mdir.resolve("manifest-000002.avro")))
     assert(!Files.exists(mdir.resolve("manifest-del-000002.avro")))
     assert(!Files.exists(mdir.resolve("snap-000001-manifest-list.avro")))
-    assert(!Files.exists(mdir.resolve("eqdel-000002.parquet")),
+    assert(!Files.exists(mdir.resolve("eqdel-000002")),
       "an eqdel whose sequence left the retained dirs must be reclaimed")
     assert(Files.exists(mdir.resolve("manifest-000003.avro")))
-    assert(Files.exists(mdir.resolve("eqdel-000004.parquet")),
+    assert(Files.isDirectory(mdir.resolve("eqdel-000004")),
       "the live delta's eqdel stays (seq 4 supersedes the rewrite)")
 
     // the post-GC export is complete and still resolves correctly
@@ -333,7 +333,7 @@ class IcebergExportSpec extends AnyFunSuite with SparkSpec {
     assert(Files.readString(mdir.resolve("version-hint.text")).trim == v)
   }
 
-  test("merge-on-read refusals: duplicate in-batch PKs; partitioned MoR") {
+  test("merge-on-read refusals: duplicate in-batch PKs; partition cols outside the PK") {
     val dir = Files.createTempDirectory("graft-ice-mor-ref").toString
     val dup = TieredTable(spark, s"$dir/dup", pk = Seq("id"), mergeOnRead = true)
     dup.commitUpsert(Seq((1L, "a")).toDF("id", "v"))
@@ -343,10 +343,101 @@ class IcebergExportSpec extends AnyFunSuite with SparkSpec {
       op = "upsert")
     assertThrows[IllegalArgumentException](IcebergExport.export(dup))
 
+    // partitioned MoR with a partition column OUTSIDE the PK: a key
+    // could change partitions and escape its partition-scoped deletes
     val pm = TieredTable(spark, s"$dir/pm", pk = Seq("id"),
       mergeOnRead = true, partitionBy = Seq("v"))
     pm.commitUpsert(Seq((1L, "a")).toDF("id", "v"))
     assertThrows[IllegalArgumentException](IcebergExport.export(pm))
+  }
+
+  test("partitioned merge-on-read export: partition-scoped deletes resolve last-write-wins") {
+    import org.apache.avro.file.DataFileReader
+    import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+    val dir = Files.createTempDirectory("graft-ice-pmor").toString
+    // partition column ∈ PK (the Flink-Iceberg upsert-sink rule): keys
+    // never change partitions, so scoped deletes are exact
+    val t = TieredTable(spark, s"$dir/t", pk = Seq("region", "id"),
+      mergeOnRead = true, partitionBy = Seq("region"))
+    t.commitUpsert(Seq(("eu", 1L, 10.0), ("eu", 2L, 20.0),
+      ("us", 1L, 30.0), ("us", 2L, 40.0)).toDF("region", "id", "score")) // seq 1
+    t.commitUpsert(Seq(("eu", 2L, 22.0), ("us", 1L, 33.0))
+      .toDF("region", "id", "score"))                                    // seq 2
+    t.commitUpsert(Seq(("us", 1L, 35.0), ("us", 3L, 50.0))
+      .toDF("region", "id", "score"))                                    // seq 3
+    IcebergExport.export(t)
+    val mdir = Paths.get(s"$dir/t", "metadata")
+
+    // the seq-2 delete dir is hive-partitioned: >1 delete file, each
+    // scoped to its region (the v2 partitioned-spec requirement), and
+    // the delete manifest's partition structs carry the region values
+    assert(Files.isDirectory(mdir.resolve("eqdel-000002")))
+    val delFiles = Files.walk(mdir.resolve("eqdel-000002")).iterator().asScala
+      .filter(p => p.getFileName.toString.endsWith(".parquet")).toList
+    assert(delFiles.size > 1,
+      s"multi-partition delta must produce >1 scoped delete file: $delFiles")
+    val dReader = new DataFileReader[GenericRecord](
+      mdir.resolve("manifest-del-000003.avro").toFile,
+      new GenericDatumReader[GenericRecord]())
+    val dEntries = try dReader.iterator().asScala.toList finally dReader.close()
+    val delRegions = dEntries.map(_.get("data_file").asInstanceOf[GenericRecord]
+      .get("partition").asInstanceOf[GenericRecord].get("region").toString).toSet
+    assert(delRegions == Set("eu", "us"),
+      s"delete entries must carry their partition scope: $delRegions")
+
+    // the independent reader resolves: per-key last write wins
+    val viaIceberg = IcebergExport.readTable(spark, s"$dir/t")
+      .select("region", "id", "score").as[(String, Long, Double)]
+      .collect().toSet
+    assert(viaIceberg == Set(("eu", 1L, 10.0), ("eu", 2L, 22.0),
+      ("us", 1L, 35.0), ("us", 2L, 40.0), ("us", 3L, 50.0)))
+    assert(viaIceberg == t.readCold()
+      .select("region", "id", "score").as[(String, Long, Double)]
+      .collect().toSet)
+
+    // time travel applies only the deletes visible at that snapshot
+    val asOf2 = IcebergExport.readTable(spark, s"$dir/t", asOfSnapshotId = Some(2L))
+      .select("region", "id", "score").as[(String, Long, Double)]
+      .collect().toSet
+    assert(asOf2 == Set(("eu", 1L, 10.0), ("eu", 2L, 22.0),
+      ("us", 1L, 33.0), ("us", 2L, 40.0)))
+  }
+
+  test("incremental export: unchanged prefix reuses manifests, opens only new footers") {
+    val t = freshTable()                       // snapshots 1, 2
+    IcebergExport.export(t)
+    val mdir = Paths.get(t.tablePath, "metadata")
+    val m1 = Files.readAllBytes(mdir.resolve("manifest-000001.avro"))
+    val l1 = Files.readAllBytes(mdir.resolve("snap-000001-manifest-list.avro"))
+    assert(Files.exists(mdir.resolve("dir-stats.json")))
+    assert(Files.exists(mdir.resolve("export-state.json")))
+
+    t.commitAppend(Seq((6L, "f")).toDF("id", "v").coalesce(1)) // snapshot 3
+    val before = IcebergExport.footerOpens.get()
+    IcebergExport.export(t)
+    val opened = IcebergExport.footerOpens.get() - before
+    assert(opened == 1,
+      s"re-export after one single-file append must open exactly that " +
+        s"file's footer (opened $opened) — prior dirs come from dir-stats.json")
+    // Avro files embed a random sync marker, so byte-identity proves
+    // the prefix manifests were REUSED, not deterministically rewritten
+    assert(java.util.Arrays.equals(
+      Files.readAllBytes(mdir.resolve("manifest-000001.avro")), m1),
+      "prefix manifest must be reused byte-for-byte")
+    assert(java.util.Arrays.equals(
+      Files.readAllBytes(mdir.resolve("snap-000001-manifest-list.avro")), l1),
+      "prefix manifest list must be reused byte-for-byte")
+    assert(Files.exists(mdir.resolve("manifest-000003.avro")))
+    assert(IcebergExport.readTable(spark, t.tablePath)
+      .select("id").as[Long].collect().sorted.toSeq == (1L to 6L))
+
+    // losing the caches is safe: next export recomputes and still reads
+    Files.delete(mdir.resolve("dir-stats.json"))
+    Files.delete(mdir.resolve("export-state.json"))
+    t.commitAppend(Seq((7L, "g")).toDF("id", "v").coalesce(1)) // snapshot 4
+    IcebergExport.export(t)
+    assert(IcebergExport.readTable(spark, t.tablePath)
+      .select("id").as[Long].collect().sorted.toSeq == (1L to 7L))
   }
 
   test("identity-partitioned export: partition values come back from the manifests") {
