@@ -53,7 +53,7 @@ class ChangeFeedSpec extends AnyFunSuite with SparkSpec {
     assert(ops3 == Set(("-D", 2L, "b")))
   }
 
-  test("keyless content-rewriting commit fails loudly instead of guessing a diff") {
+  test("keyless content-rewriting commit is refused BEFORE it publishes") {
     val dir = Files.createTempDirectory("graft-cdf-keyless").toString
     val t = TieredTable(spark, s"$dir/t", changeDataFeed = true)
     t.commitAppend(Seq((1L, "a")).toDF("id", "v"))
@@ -61,6 +61,11 @@ class ChangeFeedSpec extends AnyFunSuite with SparkSpec {
       t.commitOverwrite(Seq((9L, "z")).toDF("id", "v"))
     }
     assert(e.getMessage.contains("append-lineage"))
+    // the refusal ran before the manifest swap: NO snapshot exists for
+    // the refused verb and the table still reads its pre-verb content
+    assert(t.latestSnapshotId == 1L, "refused verb must not publish")
+    assert(t.snapshot(2L).isEmpty, "refused verb must not claim a manifest")
+    assert(t.readCold().as[(Long, String)].collect().toSeq == Seq((1L, "a")))
   }
 
   test("readStreamChanges delivers committed deltas; checkpoint survives restart exactly-once") {
@@ -119,7 +124,15 @@ class ChangeFeedSpec extends AnyFunSuite with SparkSpec {
     t.renameColumn("v", "label")
     t.commitAppend(Seq((2L, "b")).toDF("id", "label"))
     // the snap-1 change file carries the old name — a bootstrapping
-    // consumer under the new schema would read NULLs from it
+    // consumer under the new schema would read NULLs from it. The
+    // guard resolves column sets from the `_COLUMNS` sidecars (one
+    // line per dir, committed atomically with the change files) — no
+    // parquet footer is opened at stream construction.
+    import java.nio.file.Paths
+    for (snap <- Seq("snap-000001", "snap-000002"))
+      assert(Files.exists(
+        Paths.get(s"$dir/t", "changes", snap, "_COLUMNS")),
+        s"change dir $snap must carry its column-set sidecar")
     val e = intercept[IllegalArgumentException] {
       t.readStreamChanges(t.readCold().schema)
     }
