@@ -965,8 +965,11 @@ object Relational {
     * (part, supplier) cardinality. `shipped` is referenced twice;
     * collapsing the two references to one physical fact scan relies on
     * Spark's ReusedExchange (the grouped subtree is identical on both
-    * paths) — even when the reuse does not fire, the second read is of
-    * the same single-shuffle aggregate, not a new join shape.
+    * paths). When the reuse does not fire, the whole grouped subtree —
+    * lineitem scan, part join, and its shuffle — is computed a second
+    * time; the PLAN SHAPE is unchanged (still no new join shape), but
+    * the one-fact-shuffle scale claim below holds only under exchange
+    * reuse.
     * Quantities compare in exact cents
     * (`q·5 > tot` cross-multiply, no division). Scale: one fact
     * shuffle on the part key; everything after is aggregate-sized;
