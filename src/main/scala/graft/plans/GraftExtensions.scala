@@ -11,9 +11,12 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * `spark.sql.extensions=graft.plans.GraftExtensions` (alongside
   * `spark.sql.catalog.graft=graft.plans.GraftTableCatalog`).
   *
-  * Currently one extension: the `FOR SYSTEM_TIME AS OF` temporal-join
-  * clause (the reference's most distinctive SQL construct,
-  * /root/reference/README.md:236-238).
+  * Extensions: the `FOR SYSTEM_TIME AS OF` temporal-join clause (the
+  * reference's most distinctive SQL construct,
+  * /root/reference/README.md:236-238), the `graft_changes` CDC TVF,
+  * and the `CREATE/DROP MATERIALIZED VIEW` streaming DDL
+  * ([[MaterializedViewSql]] — the reference's continuous
+  * INSERT-INTO-SELECT jobs, README.md:222-250).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -136,7 +139,11 @@ class TemporalJoinParser(delegate: ParserInterface) extends ParserInterface {
     }
 
   override def parsePlan(sqlText: String): LogicalPlan =
-    withRewrite(sqlText, delegate.parsePlan)
+    // MATERIALIZED VIEW DDL first: Spark's grammar has no such
+    // statement, and intercepting up front keeps the error messages
+    // ours instead of a generic ParseException
+    MaterializedViewSql.parse(sqlText, delegate)
+      .getOrElse(withRewrite(sqlText, delegate.parsePlan))
   override def parseQuery(sqlText: String): LogicalPlan =
     withRewrite(sqlText, delegate.parseQuery)
   override def parseExpression(sqlText: String): Expression =

@@ -136,6 +136,62 @@ class SqlSurfaceSpec extends AnyFunSuite with SparkSpec {
     assert(e2.getMessage.contains("unknown graft table"))
   }
 
+  test("CREATE MATERIALIZED VIEW drives a continuous MV from pure SQL, exactly-once across restart") {
+    val dir = Files.createTempDirectory("graft-mv-sql").toString
+    val src = TieredTable(spark, s"$dir/src", changeDataFeed = true)
+    graft.plans.TieredCatalog.register("mvdb", "src", s"$dir/src",
+      changeDataFeed = true)
+    src.commitAppend(Seq(("a", 10L), ("b", 20L), ("a", 5L)).toDF("k", "v"))
+
+    spark.sql(
+      s"""CREATE MATERIALIZED VIEW graft.mvdb.rev
+         |OPTIONS('path'='$dir/rev', 'checkpoint'='$dir/ckpt', 'interval'='100')
+         |AS SELECT k, SUM(v) AS sum_v, COUNT(*) AS cnt
+         |FROM graft.mvdb.src GROUP BY k""".stripMargin)
+    val q1 = graft.plans.MaterializedViewSql.query("mvdb", "rev").get
+    q1.processAllAvailable()
+    def viewRows(): Set[(String, Long, Long)] =
+      spark.sql("SELECT k, sum_v, cnt FROM graft.mvdb.rev")
+        .as[(String, Long, Long)].collect().toSet
+    assert(viewRows() == Set(("a", 15L, 2L), ("b", 20L, 1L)))
+
+    // the view keeps following the source while running
+    src.commitAppend(Seq(("b", 7L), ("c", 1L)).toDF("k", "v"))
+    q1.processAllAvailable()
+    assert(viewRows() == Set(("a", 15L, 2L), ("b", 27L, 2L), ("c", 1L, 1L)))
+
+    // RESTART: drop (stream stops, state files stay), commit while the
+    // maintainer is down, re-create on the same path/checkpoint — the
+    // Spark checkpoint resumes the cursor and batch tags make any WAL
+    // replay a no-op: totals reflect every source row exactly once
+    spark.sql("DROP MATERIALIZED VIEW graft.mvdb.rev")
+    assert(graft.plans.MaterializedViewSql.query("mvdb", "rev").isEmpty)
+    src.commitAppend(Seq(("a", 100L)).toDF("k", "v"))
+    spark.sql(
+      s"""CREATE MATERIALIZED VIEW graft.mvdb.rev
+         |OPTIONS('path'='$dir/rev', 'checkpoint'='$dir/ckpt', 'interval'='100')
+         |AS SELECT k, SUM(v) AS sum_v, COUNT(*) AS cnt
+         |FROM graft.mvdb.src GROUP BY k""".stripMargin)
+    val q2 = graft.plans.MaterializedViewSql.query("mvdb", "rev").get
+    q2.processAllAvailable()
+    assert(viewRows() ==
+      Set(("a", 115L, 3L), ("b", 27L, 2L), ("c", 1L, 1L)),
+      "restart must resume the checkpoint cursor — no loss, no double count")
+    spark.sql("DROP MATERIALIZED VIEW graft.mvdb.rev")
+
+    // unsupported shapes are refused at CREATE time, loudly
+    val e1 = intercept[org.apache.spark.sql.AnalysisException](spark.sql(
+      """CREATE MATERIALIZED VIEW graft.mvdb.bad AS
+        |SELECT k, AVG(v) AS a, COUNT(*) AS cnt
+        |FROM graft.mvdb.src GROUP BY k""".stripMargin))
+    assert(e1.getMessage.contains("unsupported select item"))
+    val e2 = intercept[org.apache.spark.sql.AnalysisException](spark.sql(
+      """CREATE MATERIALIZED VIEW graft.mvdb.bad AS
+        |SELECT k, SUM(v) AS s, COUNT(*) AS c
+        |FROM graft.mvdb.nosuch GROUP BY k""".stripMargin))
+    assert(e2.getMessage.contains("unknown source table"))
+  }
+
   test("FOR SYSTEM_TIME AS OF temporal join parses and joins the current snapshot") {
     // The reference's enrichment query (README.md:222-239): orders
     // stream ⟕ customer FOR SYSTEM_TIME AS OF o.proctime ⟕ nation —
