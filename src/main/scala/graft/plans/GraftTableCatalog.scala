@@ -107,8 +107,7 @@ class GraftTableCatalog extends TableCatalog {
         // bounds columns): one row per (file, column) with the exact
         // min/max/null accounting scan planning prunes by
         val rows = t.unionPaths.flatMap { root =>
-          val dir = Paths.get(root)
-          graft.storage.FileStats.readSidecar(dir).toSeq.flatMap {
+          graft.storage.FileStats.readSidecar(root).toSeq.flatMap {
             case (file, cols) => cols.toSeq.map { case (c, s) =>
               StatsTable.Row(s"$root/$file", c, s.tag,
                 s.min.orNull, s.max.orNull, s.nulls, s.rows)

@@ -1,6 +1,5 @@
 package graft.storage
 
-import java.nio.file.{Files, Path, Paths}
 import java.util.Base64
 
 import scala.jdk.CollectionConverters._
@@ -38,17 +37,20 @@ object FileStats {
 
   val SidecarName = "_graft_stats"
 
-  /** Parquet files under `dir` (recursive), with the walk stream CLOSED
-    * — a leaked directory stream per commit/scan would exhaust file
-    * descriptors over a session's thousands of prune calls.
+  /** Parquet files under `dir` (recursive) via the [[TableFs]] facade
+    * — local nio or the object-store FS, resolved per path.
     */
-  private def parquetFiles(dir: Path): Seq[Path] = {
-    val stream = Files.walk(dir)
-    try stream.iterator().asScala
-      .filter(p => Files.isRegularFile(p) &&
-        p.getFileName.toString.endsWith(".parquet"))
-      .toList
-    finally stream.close()
+  private def parquetFiles(dir: String): Seq[String] =
+    TableFs.forPath(dir).listFiles(dir)
+      .collect { case (p, _) if p.endsWith(".parquet") => p }
+
+  /** Path of `p` relative to root `dir`, scheme-independent: both are
+    * reduced to their URI path components first (a `graftos://` root
+    * and its files share the authority).
+    */
+  private def relTo(dir: String, p: String): String = {
+    val dp = uriPath(dir).stripSuffix("/")
+    uriPath(p).stripPrefix(dp).stripPrefix("/")
   }
 
   /** Last skip decision per table name — observability for specs and
@@ -129,8 +131,8 @@ object FileStats {
     * partitioned layouts nest files under `col=value/` subdirs). Keys
     * are paths RELATIVE to `dir`.
     */
-  def collect(dir: Path): Map[String, Map[String, ColStat]] = {
-    val conf = new Configuration()
+  def collect(dir: String): Map[String, Map[String, ColStat]] = {
+    val conf = new Configuration(TableFs.hadoopConf)
     val files = parquetFiles(dir)
     files.flatMap { f =>
       try {
@@ -165,7 +167,7 @@ object FileStats {
                 acc += name -> (t0, mergedMin, mergedMax, mergedNl, ok0 && ok)
             }
           }
-          val rel = dir.relativize(f).toString
+          val rel = relTo(dir, f)
           Some(rel -> acc.map { case (col, (tag, mn, mx, nl, ok)) =>
             col -> (if (ok) ColStat(tag, mn, mx, nl, rows)
                     else ColStat("none", None, None, -1L, rows))
@@ -206,31 +208,30 @@ object FileStats {
     * parquet write, BEFORE any atomic rename publishes the directory —
     * so data and stats commit together.
     */
-  def writeSidecar(dir: Path): Unit = {
+  def writeSidecar(dir: String): Unit = {
     val stats = collect(dir)
     val body = new StringBuilder("v1\n")
     for ((file, cols) <- stats.toSeq.sortBy(_._1); (col, s) <- cols.toSeq.sortBy(_._1)) {
       body.append(Seq(file, col, s.tag, enc(s.min), enc(s.max),
         s.nulls.toString, s.rows.toString).mkString("\t")).append('\n')
     }
-    Files.writeString(dir.resolve(SidecarName), body.toString)
+    TableFs.forPath(dir).writeString(s"$dir/$SidecarName", body.toString)
   }
 
   /** Load a directory's sidecar; empty map when absent (pre-stats dirs
     * — every file is kept).
     */
-  def readSidecar(dir: Path): Map[String, Map[String, ColStat]] = {
-    val p = dir.resolve(SidecarName)
-    if (!Files.exists(p)) Map.empty
-    else {
-      Files.readAllLines(p).asScala.drop(1).filter(_.nonEmpty).map { l =>
+  def readSidecar(dir: String): Map[String, Map[String, ColStat]] = {
+    TableFs.forPath(dir).readString(s"$dir/$SidecarName") match {
+      case None => Map.empty
+      case Some(bodyText) => bodyText.linesIterator.drop(1).filter(_.nonEmpty).map { l =>
         val parts = l.split("\t", -1)
         (parts(0), parts(1),
           ColStat(parts(2), dec(parts(3)), dec(parts(4)),
             parts(5).toLong, parts(6).toLong))
-      }.groupBy(_._1).map { case (f, rowsOfFile) =>
+      }.toSeq.groupBy(_._1).map { case (f, rowsOfFile) =>
         f -> rowsOfFile.map(r => r._2 -> r._3).toMap
-      }.toMap
+      }
     }
   }
 
@@ -248,14 +249,13 @@ object FileStats {
     */
   def listWithSidecars(roots: Seq[String]): Seq[FileEntry] =
     roots.flatMap { r =>
-      val dir = Paths.get(r)
-      if (!Files.isDirectory(dir)) Nil
+      if (!TableFs.forPath(r).exists(r)) Nil
       else {
-        val side = readSidecar(dir)
-        val bloom = readBloomSidecar(dir)
-        parquetFiles(dir).map { p =>
-          val rel = dir.relativize(p).toString
-          (p.toString, side.getOrElse(rel, Map.empty[String, ColStat]),
+        val side = readSidecar(r)
+        val bloom = readBloomSidecar(r)
+        parquetFiles(r).map { p =>
+          val rel = relTo(r, p)
+          (p, side.getOrElse(rel, Map.empty[String, ColStat]),
             bloom.getOrElse(rel, Map.empty[String, java.util.BitSet]))
         }
       }
@@ -422,9 +422,9 @@ object FileStats {
     * under `dir`. Non-long/string columns are skipped silently.
     */
   def writeBloomSidecar(spark: org.apache.spark.sql.SparkSession,
-                        dir: Path, cols: Seq[String]): Unit = {
+                        dir: String, cols: Seq[String]): Unit = {
     import org.apache.spark.sql.functions._
-    val df = spark.read.parquet(dir.toString)
+    val df = spark.read.parquet(dir)
     val usable = cols.filter { c =>
       df.schema.fields.find(_.name == c).exists(f => f.dataType match {
         case _: org.apache.spark.sql.types.IntegerType |
@@ -457,12 +457,13 @@ object FileStats {
       // (spaces, unicode); decode it properly or the sidecar key won't
       // match the Files.walk-derived relative path at prune time and
       // blooms silently stop pruning.
-      val rel = dir.relativize(Paths.get(uriPath(r.getString(0)))).toString
+      val rel = relTo(dir, r.getString(0))
       body.append(Seq(rel, r.getString(1),
         Base64.getEncoder.encodeToString(bits.toByteArray))
         .mkString("\t")).append('\n')
     }
-    Files.writeString(dir.resolve(BloomSidecarName), body.toString)
+    TableFs.forPath(dir).writeString(s"$dir/$BloomSidecarName",
+      body.toString)
   }
 
   /** Decoded filesystem path of a `file:`-scheme URI (percent-encoding
@@ -476,17 +477,18 @@ object FileStats {
     } catch { case NonFatal(_) => name.stripPrefix("file:") }
 
   /** file(relative) -> col -> bitset; empty when the sidecar is absent. */
-  def readBloomSidecar(dir: Path): Map[String, Map[String, java.util.BitSet]] = {
-    val p = dir.resolve(BloomSidecarName)
-    if (!Files.exists(p)) Map.empty
-    else Files.readAllLines(p).asScala.drop(1).filter(_.nonEmpty).map { l =>
-      val parts = l.split("\t", -1)
-      (parts(0), parts(1),
-        java.util.BitSet.valueOf(Base64.getDecoder.decode(parts(2))))
-    }.groupBy(_._1).map { case (f, rs) =>
-      f -> rs.map(r => r._2 -> r._3).toMap
-    }.toMap
-  }
+  def readBloomSidecar(dir: String): Map[String, Map[String, java.util.BitSet]] =
+    TableFs.forPath(dir).readString(s"$dir/$BloomSidecarName") match {
+      case None => Map.empty
+      case Some(bodyText) =>
+        bodyText.linesIterator.drop(1).filter(_.nonEmpty).map { l =>
+          val parts = l.split("\t", -1)
+          (parts(0), parts(1),
+            java.util.BitSet.valueOf(Base64.getDecoder.decode(parts(2))))
+        }.toSeq.groupBy(_._1).map { case (f, rs) =>
+          f -> rs.map(r => r._2 -> r._3).toMap
+        }
+    }
 
   /** Spark-cast-to-string rendering of a pushed-literal value for the
     * bloom-supported types; None = not bloom-decidable.

@@ -564,6 +564,14 @@ object IcebergExport {
     * Returns the metadata.json path.
     */
   def export(table: TieredTable): Path = {
+    // Scope: local-filesystem tables. The export's Avro/json writers
+    // are java.nio; on a `graftos://` table a silent Paths.get would
+    // create a literal "graftos:" dir on local disk shadowing the
+    // bucket — refuse loudly instead (extend the writers over TableFs
+    // to lift this).
+    require(!table.remote,
+      s"Iceberg export of object-store table ${table.tablePath} is not " +
+        "supported yet — the metadata writers are local-filesystem")
     val head = table.currentSnapshot.getOrElse(
       throw new IllegalStateException(
         s"no snapshot to export in ${table.tablePath}"))

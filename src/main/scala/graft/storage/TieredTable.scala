@@ -62,9 +62,13 @@ class TieredTable(spark: SparkSession, rawTablePath: String,
   /** `file:`-scheme URIs are normalized to plain paths — `Paths.get`
     * would otherwise treat the whole URI as a RELATIVE path and
     * silently create the table tree under the process CWD (the round-1
-    * crash-debris bug). Other schemes are rejected: this implementation
-    * is local-filesystem; a cluster deployment swaps the java.nio calls
-    * for a Hadoop FileSystem.
+    * crash-debris bug). `graftos://host:port/bucket/...` addresses the
+    * OBJECT-STORE data plane ([[GraftObjectFileSystem]]): data parquet,
+    * log segments, change files, and (by default) the metadata plane
+    * all live in the bucket — the reference's MinIO warehouse shape,
+    * with zero local-disk files and zero rename dependence (remote
+    * publication is marker objects + the MetaStore manifest CAS, see
+    * [[appendLog]]/[[commitManifest]]). Other schemes are rejected.
     */
   val tablePath: String =
     if (rawTablePath.startsWith("file:")) {
@@ -73,27 +77,56 @@ class TieredTable(spark: SparkSession, rawTablePath: String,
       require(slashless.startsWith("/"),
         s"malformed file: URI for table path: $rawTablePath")
       slashless
+    } else if (rawTablePath.startsWith(GraftObjectFileSystem.Scheme + "://")) {
+      rawTablePath.stripSuffix("/")
     } else {
       require(!rawTablePath.matches("^[A-Za-z][A-Za-z0-9+.-]*:.*"),
-        s"unsupported URI scheme for table path: $rawTablePath (local paths only)")
+        s"unsupported URI scheme for table path: $rawTablePath " +
+          s"(local paths or ${GraftObjectFileSystem.Scheme}:// only)")
       rawTablePath
     }
-  private val logDir  = Paths.get(tablePath, "log")
-  private val dataDir = Paths.get(tablePath, "data")
-  private val metaDir = Paths.get(tablePath, "meta")
-  private val changesDir = Paths.get(tablePath, "changes")
-  Seq(logDir, dataDir, metaDir).foreach(Files.createDirectories(_))
-  if (changeDataFeed) Files.createDirectories(changesDir)
+
+  /** True when the table lives in an object store: no atomic rename
+    * exists there, so every publish that locally rides a rename rides
+    * a marker object instead.
+    */
+  val remote: Boolean =
+    tablePath.startsWith(GraftObjectFileSystem.Scheme + "://")
+  if (remote)
+    GraftObjectFileSystem.register(spark.sparkContext.hadoopConfiguration)
+
+  /** Every file operation outside Spark jobs goes through this facade:
+    * java.nio locally, Hadoop FileSystem remotely ([[TableFs]]).
+    */
+  private val fs: TableFs =
+    if (remote) new HadoopTableFs(spark.sparkContext.hadoopConfiguration)
+    else LocalTableFs
+
+  private val logDir  = s"$tablePath/log"
+  private val dataDir = s"$tablePath/data"
+  private val metaDir = s"$tablePath/meta"
+  private val changesDir = s"$tablePath/changes"
+  if (!remote) { // implicit dirs on an object store
+    Seq(logDir, dataDir, metaDir).foreach(fs.mkdirs)
+    if (changeDataFeed) fs.mkdirs(changesDir)
+  }
 
   /** All snapshot-manifest / LATEST-pointer IO goes through this store
     * — the full metadata surface is the object-store primitive set
     * (GET / PUT / conditional PUT / DELETE, see [[MetaStore]]), so the
     * commit protocol runs unchanged on a store with no atomic rename
     * (MetaStoreSpec commits through [[InMemoryMetaStore]]). Default:
-    * files under `meta/` via [[LocalFsMetaStore]].
+    * files under `meta/` via [[LocalFsMetaStore]]; for a `graftos://`
+    * table, the SAME bucket over HTTP via [[HttpMetaStore]] — metadata
+    * and data co-located object-store-side, nothing on local disk.
     */
   private val meta: MetaStore =
-    Option(metaStore).getOrElse(new LocalFsMetaStore(metaDir))
+    Option(metaStore).getOrElse {
+      if (remote)
+        new HttpMetaStore(tablePath.replaceFirst(
+          s"^${GraftObjectFileSystem.Scheme}://", "http://") + "/meta")
+      else new LocalFsMetaStore(Paths.get(metaDir))
+    }
 
   /** Internal versioning column for PK (upsert) tables: rows from a later
     * commit win. Present only in at-rest files of PK tables.
@@ -251,16 +284,28 @@ class TieredTable(spark: SparkSession, rawTablePath: String,
             "list and a rowwise diff needs a primary key")
       }
     delta.foreach { d =>
-      val target = changesDir.resolve(f"snap-${s.id}%06d")
-      val tmp = changesDir.resolve(f"_tmp-snap-${s.id}%06d")
-      d.write.mode("overwrite").parquet(tmp.toString)
-      // column-set sidecar, committed atomically WITH the change files:
-      // the rename guard in [[readStreamChanges]] reads this one-line
-      // file instead of opening parquet footers (underscore-prefixed →
-      // invisible to the file stream, like _SUCCESS)
-      Files.writeString(tmp.resolve("_COLUMNS"), d.columns.mkString(","))
-      Files.move(tmp, target,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      val target = s"$changesDir/snap-${"%06d".format(s.id)}"
+      if (remote) {
+        // No atomic dir rename on an object store: write straight to
+        // the final prefix. Files become visible per-object, so a
+        // streaming consumer may see one commit's change files across
+        // two adjacent micro-batches — row-level exactly-once holds
+        // (each file is delivered once; the delta algebra is additive),
+        // only the all-files-in-one-batch grouping weakens. The
+        // sidecar lands after the data files.
+        d.write.mode("overwrite").parquet(target)
+        fs.writeString(s"$target/_COLUMNS", d.columns.mkString(","))
+      } else {
+        val tmp = s"$changesDir/_tmp-snap-${"%06d".format(s.id)}"
+        d.write.mode("overwrite").parquet(tmp)
+        // column-set sidecar, committed atomically WITH the change
+        // files: the rename guard in [[readStreamChanges]] reads this
+        // one-line file instead of opening parquet footers
+        // (underscore-prefixed → invisible to the file stream, like
+        // _SUCCESS)
+        fs.writeString(s"$tmp/_COLUMNS", d.columns.mkString(","))
+        fs.move(tmp, target)
+      }
     }
   }
 
@@ -288,16 +333,15 @@ class TieredTable(spark: SparkSession, rawTablePath: String,
       case ("rename", old, _) => old
     }.toSet
     if (renamedAway.nonEmpty) {
-      val stale = Option(new File(changesDir.toString).list())
-        .getOrElse(Array.empty)
+      val stale = fs.listNames(changesDir)
         .filter(_.startsWith("snap-")).sorted
         .flatMap { d =>
-          val colsFile = changesDir.resolve(d).resolve("_COLUMNS")
           val cols: Set[String] =
-            if (Files.exists(colsFile))
-              Files.readString(colsFile).trim.split(",").toSet
-            else spark.read.parquet(changesDir.resolve(d).toString)
-              .columns.toSet
+            fs.readString(s"$changesDir/$d/_COLUMNS") match {
+              case Some(line) => line.trim.split(",").toSet
+              case None => spark.read.parquet(s"$changesDir/$d")
+                .columns.toSet
+            }
           val hit = renamedAway.intersect(cols)
           if (hit.nonEmpty) Some(d -> hit) else None
         }
@@ -316,28 +360,39 @@ class TieredTable(spark: SparkSession, rawTablePath: String,
 
   // ---- hot tier: append log ----
 
-  private def segPath(i: Long): Path = logDir.resolve(f"seg-$i%06d")
+  private def segPath(i: Long): String = s"$logDir/seg-${"%06d".format(i)}"
 
+  /** Committed log segments. Local: every `seg-N` dir (the atomic
+    * rename published it whole). Remote: only `seg-N` prefixes whose
+    * `_SEG` marker object landed — objects appear one by one on a
+    * store with no rename, so the marker (written LAST, one atomic
+    * PUT) is what makes a segment visible all-or-nothing.
+    */
   def logSegments: Seq[Long] =
-    Option(new File(logDir.toString).list()).getOrElse(Array.empty)
+    fs.listNames(logDir)
       .filter(_.startsWith("seg-")).map(_.stripPrefix("seg-").toLong)
-      .sorted.toSeq
+      .filter(s => !remote || fs.exists(s"${segPath(s)}/_SEG"))
+      .sorted
 
   /** Segment id already committed under `tag`, if any (idempotence for
-    * streaming replays: the tag rides inside the atomically-renamed
-    * segment dir, so data + marker commit together).
+    * streaming replays: the tag rides inside the segment dir and
+    * commits with it — under the rename locally, before the `_SEG`
+    * marker remotely).
     */
   def taggedSegment(tag: String): Option[Long] =
     logSegments.find { s =>
-      val t = segPath(s).resolve("_TAG")
-      Files.exists(t) && Files.readString(t).trim == tag
+      fs.readString(s"${segPath(s)}/_TAG").exists(_.trim == tag)
     }
 
-  /** Append a batch to the hot log; returns the new segment id. Writes go
-    * to a temp dir then atomic-rename into place so readers never see a
-    * partial segment. With `tag` (e.g. "batch-7" from a streaming
-    * micro-batch) the append is exactly-once: a replayed batch whose tag
-    * already landed is skipped.
+  /** Append a batch to the hot log; returns the new segment id.
+    * Locally, writes go to a temp dir then atomic-rename into place so
+    * readers never see a partial segment; remotely (no rename), data
+    * writes straight to the final prefix and the `_SEG` marker —
+    * written last, one atomic object PUT — publishes it (a crashed
+    * append leaves a markerless, invisible prefix that the next append
+    * of the same id overwrites). With `tag` (e.g. "batch-7" from a
+    * streaming micro-batch) the append is exactly-once: a replayed
+    * batch whose tag already landed is skipped.
     */
   def appendLog(df: DataFrame, tag: Option[String] = None): Long = withCommitLock {
     tag.flatMap(taggedSegment) match {
@@ -350,10 +405,16 @@ class TieredTable(spark: SparkSession, rawTablePath: String,
     val next = math.max(
       logSegments.lastOption.map(_ + 1).getOrElse(0L),
       currentSnapshot.map(_.tieredSeg + 1).getOrElse(0L))
-    val tmp = logDir.resolve(f"_tmp-seg-$next%06d")
-    writeData(df, tmp.toString)
-    tag.foreach(t => Files.writeString(tmp.resolve("_TAG"), t))
-    Files.move(tmp, segPath(next), StandardCopyOption.ATOMIC_MOVE)
+    if (remote) {
+      writeData(df, segPath(next))
+      tag.foreach(t => fs.writeString(s"${segPath(next)}/_TAG", t))
+      fs.writeString(s"${segPath(next)}/_SEG", "")
+    } else {
+      val tmp = s"$logDir/_tmp-seg-${"%06d".format(next)}"
+      writeData(df, tmp)
+      tag.foreach(t => fs.writeString(s"$tmp/_TAG", t))
+      fs.move(tmp, segPath(next))
+    }
     next
   }
 
@@ -391,18 +452,20 @@ class TieredTable(spark: SparkSession, rawTablePath: String,
     // any atomic rename publishes it — data and skipping stats commit
     // together (see FileStats; this is the Iceberg manifest-entry
     // lower/upper-bounds analog)
-    FileStats.writeSidecar(Paths.get(path))
+    FileStats.writeSidecar(path)
     // opt-in per-file blooms for point-lookup columns whose values
     // scatter across files (min/max boxes can't prune those)
     if (bloomCols.nonEmpty)
-      FileStats.writeBloomSidecar(spark, Paths.get(path), bloomCols)
+      FileStats.writeBloomSidecar(spark, path, bloomCols)
   }
 
   private def withCommitLock[A](f: => A): A =
     // canonicalize the key: equivalent spellings of one directory
     // (trailing slash, relative segments) must share the lock
     TieredTable.lockFor(
-      Paths.get(tablePath).toAbsolutePath.normalize.toString).synchronized(f)
+      if (remote) tablePath
+      else Paths.get(tablePath).toAbsolutePath.normalize.toString
+    ).synchronized(f)
 
   // ---- tiering: hot → cold ----
 
@@ -417,15 +480,15 @@ class TieredTable(spark: SparkSession, rawTablePath: String,
     val todo = logSegments.filter(s => s > watermark && upToSeg.forall(s <= _))
     if (todo.isEmpty) return None
     val id = latestSnapshotId + 1
-    val out = dataDir.resolve(f"snap-$id%06d")
+    val out = s"$dataDir/snap-${"%06d".format(id)}"
     // mergeSchema: segments appended with evolved schemas must tier to
     // the union schema — a footer-of-one-file read here would silently
     // drop mid-stream columns, and vacuum() would make the loss permanent.
-    val batch0 = readParquet(todo.map(segPath(_).toString))
+    val batch0 = readParquet(todo.map(segPath(_)))
     val batch = if (pk.nonEmpty && mergeOnRead) batch0.withColumn(SeqCol, lit(id)) else batch0
-    writeData(batch, out.toString)
-    val rows = writtenRows(out.toString)
-    val files = prev.map(_.files).getOrElse(Nil) :+ out.toString
+    writeData(batch, out)
+    val rows = writtenRows(out)
+    val files = prev.map(_.files).getOrElse(Nil) :+ out
     val s = Snapshot(id, "tier", rows, todo.max, files, System.currentTimeMillis())
     commitManifest(s)
     Some(s)
@@ -446,12 +509,12 @@ class TieredTable(spark: SparkSession, rawTablePath: String,
     }
     val prev = currentSnapshot
     val id = latestSnapshotId + 1
-    val out = dataDir.resolve(f"snap-$id%06d")
+    val out = s"$dataDir/snap-${"%06d".format(id)}"
     val batch = if (pk.nonEmpty && mergeOnRead) df.withColumn(SeqCol, lit(id)) else df
-    writeData(batch, out.toString)
-    val rows = writtenRows(out.toString)
+    writeData(batch, out)
+    val rows = writtenRows(out)
     val s = Snapshot(id, op, rows, prev.map(_.tieredSeg).getOrElse(-1L),
-      prev.map(_.files).getOrElse(Nil) :+ out.toString,
+      prev.map(_.files).getOrElse(Nil) :+ out,
       System.currentTimeMillis(), tag.getOrElse(""))
     commitManifest(s)
     s
@@ -521,11 +584,11 @@ class TieredTable(spark: SparkSession, rawTablePath: String,
                             tag: Option[String]): Snapshot = {
     val prev = currentSnapshot
     val id = latestSnapshotId + 1
-    val out = dataDir.resolve(f"snap-$id%06d")
-    writeData(df, out.toString)
-    val rows = writtenRows(out.toString)
+    val out = s"$dataDir/snap-${"%06d".format(id)}"
+    writeData(df, out)
+    val rows = writtenRows(out)
     val s = Snapshot(id, op, rows, prev.map(_.tieredSeg).getOrElse(-1L),
-      Seq(out.toString), System.currentTimeMillis(), tag.getOrElse(""))
+      Seq(out), System.currentTimeMillis(), tag.getOrElse(""))
     commitManifest(s)
     s
   }
@@ -623,11 +686,11 @@ class TieredTable(spark: SparkSession, rawTablePath: String,
         if (pk.nonEmpty && mergeOnRead) result.withColumn(SeqCol, lit(0L))
         else result
       val id = latestSnapshotId + 1
-      val out = dataDir.resolve(f"snap-$id%06d")
-      writeData(toWrite, out.toString)
-      val rows = writtenRows(out.toString)
+      val out = s"$dataDir/snap-${"%06d".format(id)}"
+      writeData(toWrite, out)
+      val rows = writtenRows(out)
       val snap = Snapshot(id, "merge", rows, prev.tieredSeg,
-        Seq(out.toString), System.currentTimeMillis())
+        Seq(out), System.currentTimeMillis())
       commitManifest(snap)
       Some(snap)
     }
@@ -648,7 +711,7 @@ class TieredTable(spark: SparkSession, rawTablePath: String,
     */
   def compact(sortBy: Seq[String] = Nil): Option[Snapshot] = withCommitLock { currentSnapshot.map { prev =>
     val id = latestSnapshotId + 1
-    val out = dataDir.resolve(f"snap-$id%06d")
+    val out = s"$dataDir/snap-${"%06d".format(id)}"
     // mergeSchema for the same reason as tier(): heterogeneous snapshot
     // schemas must compact to the union schema, and compact REPLACES the
     // whole file list. Merge-on-read tables compact to the RESOLVED
@@ -662,10 +725,10 @@ class TieredTable(spark: SparkSession, rawTablePath: String,
       if (pk.nonEmpty && mergeOnRead) readCold().withColumn(SeqCol, lit(0L))
       else readParquet(prev.files)
     val all = if (sortBy.isEmpty) all0 else all0.sort(sortBy.map(col): _*)
-    writeData(all, out.toString)
-    val rows = writtenRows(out.toString)
+    writeData(all, out)
+    val rows = writtenRows(out)
     val s = Snapshot(id, "compact", rows, prev.tieredSeg,
-      Seq(out.toString), System.currentTimeMillis())
+      Seq(out), System.currentTimeMillis())
     commitManifest(s)
     s
   } }
@@ -692,19 +755,8 @@ class TieredTable(spark: SparkSession, rawTablePath: String,
       // and silently exempt exactly the tables most prone to
       // fragmentation (every partition adds files per commit)
       val parts: Seq[Long] = snap.files.flatMap { d =>
-        val root = java.nio.file.Paths.get(d)
-        if (!Files.exists(root)) Nil
-        else {
-          val s = Files.walk(root)
-          try {
-            val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
-            s.forEach { p =>
-              if (Files.isRegularFile(p) &&
-                p.getFileName.toString.endsWith(".parquet"))
-                buf += Files.size(p)
-            }
-            buf.toList
-          } finally s.close()
+        fs.listFiles(d).collect {
+          case (p, size) if p.endsWith(".parquet") => size
         }
       }
       val n = parts.size
@@ -778,11 +830,11 @@ class TieredTable(spark: SparkSession, rawTablePath: String,
         .sortWithinPartitions(col("__z"))
         .drop("__z")
       val id = latestSnapshotId + 1
-      val out = dataDir.resolve(f"snap-$id%06d")
-      writeData(clustered, out.toString)
-      val rows = writtenRows(out.toString)
+      val out = s"$dataDir/snap-${"%06d".format(id)}"
+      writeData(clustered, out)
+      val rows = writtenRows(out)
       val s = Snapshot(id, "zorder", rows, prev.tieredSeg,
-        Seq(out.toString), System.currentTimeMillis())
+        Seq(out), System.currentTimeMillis())
       commitManifest(s)
       s
     }
@@ -818,16 +870,16 @@ class TieredTable(spark: SparkSession, rawTablePath: String,
       else {
         val kept = resolved.filter(!hit)
         val id = latestSnapshotId + 1
-        val out = dataDir.resolve(f"snap-$id%06d")
+        val out = s"$dataDir/snap-${"%06d".format(id)}"
         // merge-on-read readers resolve versions via SeqCol — the rewrite
         // is already resolved, so every surviving row restarts at seq 0
         val toWrite =
           if (pk.nonEmpty && mergeOnRead) kept.withColumn(SeqCol, lit(0L))
           else kept
-        writeData(toWrite, out.toString)
-        val rows = writtenRows(out.toString)
+        writeData(toWrite, out)
+        val rows = writtenRows(out)
         val s = Snapshot(id, "delete", rows, watermark,
-          Seq(out.toString), System.currentTimeMillis())
+          Seq(out), System.currentTimeMillis())
         commitManifest(s)
         Some(s)
       }
@@ -874,11 +926,11 @@ class TieredTable(spark: SparkSession, rawTablePath: String,
         if (pk.nonEmpty && mergeOnRead) updated.withColumn(SeqCol, lit(0L))
         else updated
       val id = latestSnapshotId + 1
-      val out = dataDir.resolve(f"snap-$id%06d")
-      writeData(toWrite, out.toString)
-      val rows = writtenRows(out.toString)
+      val out = s"$dataDir/snap-${"%06d".format(id)}"
+      writeData(toWrite, out)
+      val rows = writtenRows(out)
       val s = Snapshot(id, "update", rows, watermark,
-        Seq(out.toString), System.currentTimeMillis())
+        Seq(out), System.currentTimeMillis())
       commitManifest(s)
       Some(s)
     }
@@ -921,13 +973,9 @@ class TieredTable(spark: SparkSession, rawTablePath: String,
     if (kept.isEmpty) return 0
     val referenced = kept.flatMap(_.files).toSet
     var removed = 0
-    def rmTree(p: Path): Unit = {
-      Files.walk(p).sorted(Comparator.reverseOrder[Path]())
-        .forEach(Files.deleteIfExists(_))
-    }
     (1L until keepIds.head).flatMap(snapshot).foreach { old =>
-      old.files.filterNot(referenced).map(Paths.get(_))
-        .filter(Files.exists(_)).foreach { p => rmTree(p); removed += 1 }
+      old.files.filterNot(referenced)
+        .foreach { p => if (fs.deleteRecursively(p)) removed += 1 }
       meta.delete(manifestKey(old.id)); removed += 1
     }
     // change files follow their snapshot's retention: a consumer whose
@@ -936,13 +984,13 @@ class TieredTable(spark: SparkSession, rawTablePath: String,
     // the dropped snapshots' deltas would only grow without bound
     if (changeDataFeed) {
       (1L until keepIds.head).foreach { old =>
-        val cf = changesDir.resolve(f"snap-$old%06d")
-        if (Files.exists(cf)) { rmTree(cf); removed += 1 }
+        val cf = s"$changesDir/snap-${"%06d".format(old)}"
+        if (fs.deleteRecursively(cf)) removed += 1
       }
     }
     val minWatermark = kept.map(_.tieredSeg).min
     logSegments.filter(_ <= minWatermark).map(segPath)
-      .filter(Files.exists(_)).foreach { p => rmTree(p); removed += 1 }
+      .foreach { p => if (fs.deleteRecursively(p)) removed += 1 }
     removed
   }
 
@@ -963,10 +1011,6 @@ class TieredTable(spark: SparkSession, rawTablePath: String,
       .getOrElse(latest)
     vacuum(keepLast = math.max(keepLast, (latest - firstFresh + 1).toInt))
   }
-
-  private def rmTreeAt(p: Path): Unit =
-    Files.walk(p).sorted(Comparator.reverseOrder[Path]())
-      .forEach(Files.deleteIfExists(_))
 
   /** Remove ORPHANED debris — Iceberg's `remove_orphan_files`
     * maintenance analog, and the documented repair for the commit
@@ -996,24 +1040,27 @@ class TieredTable(spark: SparkSession, rawTablePath: String,
   def gcOrphans(): Int = withCommitLock {
     val latest = latestSnapshotId
     val live = (1L to latest).flatMap(snapshot).flatMap(_.files)
-      .map(p => Paths.get(p).getFileName.toString).toSet
+      .map(p => p.stripSuffix("/").split('/').last).toSet
     var removed = 0
-    Option(new File(dataDir.toString).list()).getOrElse(Array.empty)
+    fs.listNames(dataDir)
       .filter(_.startsWith("snap-")).filterNot(live)
-      .foreach { d => rmTreeAt(dataDir.resolve(d)); removed += 1 }
-    Option(new File(logDir.toString).list()).getOrElse(Array.empty)
+      .foreach { d => fs.deleteRecursively(s"$dataDir/$d"); removed += 1 }
+    // appendLog debris: local `_tmp-seg-*` dirs that died before their
+    // atomic rename; remote markerless `seg-*` prefixes never become
+    // visible and are overwritten by the next append of the same id
+    fs.listNames(logDir)
       .filter(_.startsWith("_tmp-seg-"))
-      .foreach { d => rmTreeAt(logDir.resolve(d)); removed += 1 }
+      .foreach { d => fs.deleteRecursively(s"$logDir/$d"); removed += 1 }
     // change-feed writes that died before their atomic rename
-    Option(new File(changesDir.toString).list()).getOrElse(Array.empty)
+    fs.listNames(changesDir)
       .filter(_.startsWith("_tmp-snap-"))
-      .foreach { d => rmTreeAt(changesDir.resolve(d)); removed += 1 }
+      .foreach { d => fs.deleteRecursively(s"$changesDir/$d"); removed += 1 }
     // metadata temp files a crashed LocalFsMetaStore write left behind
     // (atomic-move sources; harmless but accumulate) — safe under the
     // writer-quiet contract
-    Option(new File(metaDir.toString).list()).getOrElse(Array.empty)
+    fs.listNames(metaDir)
       .filter(_.endsWith(".tmp"))
-      .foreach { f => Files.deleteIfExists(metaDir.resolve(f)); removed += 1 }
+      .foreach { f => fs.deleteFile(s"$metaDir/$f"); removed += 1 }
     var id = latest + 1
     var claim = meta.get(manifestKey(id))
     while (claim.isDefined) {
@@ -1370,7 +1417,7 @@ class TieredTable(spark: SparkSession, rawTablePath: String,
     val snap = currentSnapshot
     val watermark = snap.map(_.tieredSeg).getOrElse(-1L)
     snap.map(_.files).getOrElse(Nil) ++
-      logSegments.filter(_ > watermark).map(segPath(_).toString)
+      logSegments.filter(_ > watermark).map(segPath(_))
   }
 
   /** Hot tail: log segments not yet covered by the latest snapshot. */
@@ -1380,9 +1427,9 @@ class TieredTable(spark: SparkSession, rawTablePath: String,
     if (segs.isEmpty) {
       val schema = spark.read.parquet(
         (currentSnapshot.map(_.files).getOrElse(Nil) ++
-          logSegments.map(segPath(_).toString)).head).schema
+          logSegments.map(segPath(_))).head).schema
       emptyLike(StructType(schema.filterNot(_.name == SeqCol)))
-    } else readParquet(segs.map(segPath(_).toString))
+    } else readParquet(segs.map(segPath(_)))
   }
 
   /** The union read (Flink batch role): cold ∪ hot tail, exactly once per
@@ -1396,7 +1443,7 @@ class TieredTable(spark: SparkSession, rawTablePath: String,
     val hotSegs = logSegments.filter(_ > watermark)
     val hot =
       if (hotSegs.isEmpty) None
-      else Some(readParquet(hotSegs.map(segPath(_).toString)))
+      else Some(readParquet(hotSegs.map(segPath(_))))
     val cold = snap.map { s =>
       val raw = readParquet(s.files)
       if (pk.isEmpty || !mergeOnRead) raw

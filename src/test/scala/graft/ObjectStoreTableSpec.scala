@@ -1,0 +1,125 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.storage.{IcebergExport, TieredTable}
+
+/** The OBJECT-STORE DATA PLANE end-to-end: a `graftos://` table whose
+  * parquet, log segments, change files, sidecars AND metadata all live
+  * in the HTTP object store ([[ObjectStoreStub]] — the S3/MinIO
+  * semantics over real sockets; the reference's warehouse,
+  * docker-compose.yml:139-155). Zero files on local disk, zero rename
+  * dependence: data publication is marker objects, commit atomicity is
+  * the MetaStore conditional PUT.
+  */
+class ObjectStoreTableSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private def freshTable(cdf: Boolean = false): (TieredTable, String) = {
+    val root = ObjectStoreStub.freshBucketFsUrl() + "/t"
+    (TieredTable(spark, root, changeDataFeed = cdf), root)
+  }
+  private def bucketKey(root: String): String =
+    root.replaceFirst("^graftos://[^/]+/", "")
+
+  test("append/tier/union/time-travel e2e with zero local data files") {
+    val (t, root) = freshTable()
+    // hot appends (log segments published via _SEG marker objects)
+    t.appendLog(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    t.appendLog(Seq((3L, "c")).toDF("id", "v"))
+    assert(t.logSegments == Seq(0L, 1L))
+    // tag idempotence across the marker protocol
+    val segId = t.appendLog(Seq((99L, "z")).toDF("id", "v"), tag = Some("b-1"))
+    assert(t.appendLog(Seq((99L, "z")).toDF("id", "v"), tag = Some("b-1")) == segId)
+
+    t.tier()                                             // snapshot 1: cold
+    assert(t.readCold().count() == 4L)
+    t.appendLog(Seq((4L, "d")).toDF("id", "v"))          // hot tail
+    // union read: cold ∪ hot, every row exactly once
+    assert(t.readUnion().select("id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L, 3L, 4L, 99L))
+
+    t.commitAppend(Seq((5L, "e")).toDF("id", "v"))       // snapshot 2
+    // time travel re-resolves snapshot 1's file list from the manifests
+    assert(t.readColdAsOf(1L).count() == 4L)
+    assert(t.readColdAsOf(2L).count() == 5L)
+
+    // THE POINT: nothing of this table landed on the local filesystem…
+    assert(!Files.exists(Paths.get(root)) &&
+      !Files.exists(Paths.get("graftos:")),
+      "a graftos table must not leak onto the local disk")
+    // …and the bucket holds the parquet, the _SEG markers, the stats
+    // sidecars, and the manifests
+    val keys = ObjectStoreStub.keysUnder(bucketKey(root))
+    assert(keys.exists(k => k.contains("/data/snap-000001/") &&
+      k.endsWith(".parquet")), s"cold parquet must live in the bucket")
+    assert(keys.exists(_.endsWith("/_SEG")), "segment markers in the bucket")
+    assert(keys.exists(_.endsWith("/_graft_stats")), "sidecars in the bucket")
+    assert(keys.exists(_.endsWith("meta/LATEST")), "metadata in the bucket")
+  }
+
+  test("file-skipping sidecars prune object-store scans") {
+    val (t, _) = freshTable()
+    t.commitAppend(spark.range(0, 100)
+      .selectExpr("id", "CAST(id AS STRING) AS v").coalesce(1))
+    t.commitAppend(spark.range(1000, 1100)
+      .selectExpr("id", "CAST(id AS STRING) AS v").coalesce(1))
+    val got = t.readColdWhere(col("id").between(1040L, 1050L))
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(got == (1040L to 1050L))
+  }
+
+  test("change-data feed streams from the bucket, exactly-once under a checkpoint") {
+    val (t, root) = freshTable(cdf = true)
+    t.commitAppend(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))  // snap 1
+    t.commitAppend(Seq((3L, "c")).toDF("id", "v"))             // snap 2
+    val keys = ObjectStoreStub.keysUnder(bucketKey(root))
+    assert(keys.exists(k => k.contains("/changes/snap-000001/") &&
+      k.endsWith(".parquet")), "change files must live in the bucket")
+    assert(keys.exists(_.endsWith("/changes/snap-000001/_COLUMNS")))
+
+    val ckpt = Files.createTempDirectory("graft-os-ckpt").toString
+    val outDir = Files.createTempDirectory("graft-os-out").toString
+    def runStream(): Unit = {
+      val q = t.readStreamChanges(t.readCold().schema)
+        .writeStream.format("parquet")
+        .option("checkpointLocation", ckpt)
+        .option("path", outDir)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(60000L)
+    }
+    runStream()
+    assert(spark.read.parquet(outDir).count() == 3L)
+    // restart after one more commit: only the new delta is delivered
+    t.commitAppend(Seq((4L, "d")).toDF("id", "v"))             // snap 3
+    runStream()
+    assert(spark.read.parquet(outDir)
+      .select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L, 4L),
+      "checkpointed consumer must see every change row exactly once")
+  }
+
+  test("PK upsert, merge-on-read resolution, vacuum, and Iceberg export refusal stay coherent remotely") {
+    val base = ObjectStoreStub.freshBucketFsUrl() + "/pk"
+    val t = TieredTable(spark, base, pk = Seq("id"), mergeOnRead = true)
+    t.commitUpsert(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))  // seq 1
+    t.commitUpsert(Seq((2L, "B2"), (3L, "c")).toDF("id", "v")) // seq 2
+    assert(t.readCold().as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "B2"), (3L, "c")),
+      "last-write-wins must resolve across bucket-resident deltas")
+    t.compact()                                                // seq 3
+    val removed = t.vacuum(keepLast = 1)
+    assert(removed > 0)
+    assert(t.readCold().count() == 3L)
+    val keys = ObjectStoreStub.keysUnder(bucketKey(base))
+    assert(!keys.exists(_.contains("/data/snap-000001/")),
+      "vacuum must reclaim bucket objects of expired snapshots")
+    // IcebergExport is documented local-only (its Avro/json writers are
+    // java.nio); a remote table refuses loudly instead of silently
+    // writing metadata to a local path that shadows the bucket
+    assertThrows[Exception](IcebergExport.export(t))
+  }
+}
