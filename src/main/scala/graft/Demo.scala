@@ -209,6 +209,81 @@ object Demo {
     say(s"[demo] merge-on-read tier via Iceberg equality deletes: " +
       morRows.map { case (k, b) => s"$k->$b" }.mkString(", "))
 
+    // 14. INCREMENTAL re-export: another upsert, then export again —
+    //     only the new delta's footers are opened (sidecar caches) and
+    //     the prior manifests are reused byte-for-byte
+    val m1 = java.nio.file.Paths.get(morT.tablePath,
+      "metadata", "manifest-000001.avro")
+    val m1Bytes = java.nio.file.Files.readAllBytes(m1)
+    val opensBefore = graft.storage.IcebergExport.footerOpens.get()
+    morT.commitUpsert(Seq((1L, 150L)).toDF("acct", "balance"))
+    graft.storage.IcebergExport.export(morT)
+    val opened = graft.storage.IcebergExport.footerOpens.get() - opensBefore
+    val reused = java.util.Arrays.equals(
+      java.nio.file.Files.readAllBytes(m1), m1Bytes)
+    say(s"[demo] incremental re-export: footers opened=$opened " +
+      s"(new delta + its delete file only), prefix manifest reused " +
+      s"byte-for-byte=$reused")
+
+    // 15. PARTITIONED merge-on-read export: partition-scoped equality
+    //     deletes (partition col ∈ PK — keys never change partitions)
+    val pmor = graft.storage.TieredTable(spark, s"$base/tables/pmor_accounts",
+      pk = Seq("region", "acct"), mergeOnRead = true,
+      partitionBy = Seq("region"))
+    pmor.commitUpsert(Seq(("eu", 1L, 10L), ("us", 1L, 20L))
+      .toDF("region", "acct", "balance"))
+    pmor.commitUpsert(Seq(("eu", 1L, 11L), ("us", 2L, 30L))
+      .toDF("region", "acct", "balance"))
+    graft.storage.IcebergExport.export(pmor)
+    val pmorRows = graft.storage.IcebergExport
+      .readTable(spark, pmor.tablePath)
+      .orderBy("region", "acct")
+      .select("region", "acct", "balance").as[(String, Long, Long)]
+      .collect().toSeq
+    say(s"[demo] partitioned merge-on-read via partition-scoped " +
+      s"deletes: ${pmorRows.map { case (r, k, b) => s"$r/$k->$b" }.mkString(", ")}")
+
+    // 16. continuous MV from PURE SQL over a CDF table's change feed —
+    //     the reference's continuous INSERT-INTO-SELECT as DDL. A
+    //     fresh source: cdf_src's step-12 rename left pre-rename
+    //     change files, which the stream's rename guard refuses until
+    //     vacuum (by design — a bootstrapping consumer would read
+    //     NULLs there)
+    val sqlSrc = graft.storage.TieredTable(spark,
+      s"$base/tables/cdf_sql_src", changeDataFeed = true)
+    sqlSrc.commitAppend(Seq(("ASIA", 10L), ("EMEA", 5L), ("ASIA", 7L))
+      .toDF("region", "amount_usd"))
+    TieredCatalog.register("fluss", "cdf_sql_src", s"$base/tables/cdf_sql_src",
+      changeDataFeed = true)
+    spark.sql(
+      s"""CREATE MATERIALIZED VIEW graft.fluss.region_totals
+         |OPTIONS('path'='$base/tables/region_totals',
+         |        'checkpoint'='$base/ckpt/region-totals')
+         |AS SELECT region, SUM(amount_usd) AS total, COUNT(*) AS n
+         |FROM graft.fluss.cdf_sql_src GROUP BY region""".stripMargin)
+    graft.plans.MaterializedViewSql.query("fluss", "region_totals")
+      .get.processAllAvailable()
+    val sqlMv = spark.sql(
+      """SELECT region, total FROM graft.fluss.region_totals
+        |ORDER BY region""".stripMargin)
+      .collect().map(r => s"${r.getString(0)}=${r.getLong(1)}").mkString(" ")
+    spark.sql("DROP MATERIALIZED VIEW graft.fluss.region_totals")
+    say(s"[demo] CREATE MATERIALIZED VIEW (pure SQL, change-feed " +
+      s"maintained): $sqlMv")
+
+    // 17. the OBJECT-STORE data plane: the same table protocol against
+    //     an in-process HTTP object store — parquet, markers, and
+    //     metadata all bucket-resident, no local files, no renames
+    graft.storage.DemoObjectStore.withStore { fsUrl =>
+      val ost = graft.storage.TieredTable(spark, s"$fsUrl/demo_t")
+      ost.appendLog(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+      ost.tier()
+      ost.appendLog(Seq((3L, "c")).toDF("id", "v"))
+      say(s"[demo] object-store table at $fsUrl/demo_t: " +
+        s"cold=${ost.readCold().count()} union=${ost.readUnion().count()} " +
+        "(zero local-disk files)")
+    }
+
     out.toSeq
   }
 }

@@ -1,0 +1,109 @@
+package graft.storage
+
+import java.io.OutputStream
+import java.net.InetSocketAddress
+import java.util.concurrent.{ConcurrentHashMap, Executors}
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+
+/** In-process HTTP object store speaking the primitive set
+  * [[HttpMetaStore]] (metadata) and [[GraftObjectFileSystem]] (data)
+  * consume — S3-style semantics over real sockets: GET / PUT /
+  * conditional PUT (`If-None-Match: *`, arbitrated server-side by one
+  * ConcurrentHashMap.putIfAbsent) / DELETE / prefix LIST (`?list` →
+  * `size TAB mtime TAB key` lines). Objects are bytes with an mtime.
+  *
+  * This is demo/test INFRASTRUCTURE (the MinIO stand-in —
+  * /root/reference/fluss-iceberg/docker-compose.yml:139-155), not a
+  * production store: state is one in-memory map. The ObjectStoreStub
+  * test fixture and [[DemoObjectStore]] both run on it.
+  */
+class InMemoryObjectStoreServer {
+  private case class Obj(bytes: Array[Byte], mtime: Long)
+  private val objects = new ConcurrentHashMap[String, Obj]()
+
+  val server: HttpServer = {
+    val s = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    s.setExecutor(Executors.newFixedThreadPool(8))
+    s.createContext("/", (ex: HttpExchange) => handle(ex))
+    s.start()
+    s
+  }
+
+  def port: Int = server.getAddress.getPort
+
+  def stop(): Unit = server.stop(0)
+
+  /** Keys currently held under a prefix — introspection for specs. */
+  def keysUnder(prefix: String): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    objects.keySet().asScala
+      .filter(k => k == prefix || k.startsWith(prefix + "/")).toSeq.sorted
+  }
+
+  private def respond(ex: HttpExchange, status: Int,
+                      body: Array[Byte] = Array.empty): Unit = {
+    // -1 = no body (204); 0 = chunked would confuse clients, use length
+    ex.sendResponseHeaders(status, if (body.isEmpty) -1 else body.length)
+    val os: OutputStream = ex.getResponseBody
+    try if (body.nonEmpty) os.write(body)
+    finally os.close()
+  }
+
+  private def decode(s: String): String =
+    java.net.URLDecoder.decode(s, "UTF-8")
+
+  private def handle(ex: HttpExchange): Unit = {
+    try {
+      val key = ex.getRequestURI.getRawPath.stripPrefix("/")
+        .split("/", -1).map(decode).mkString("/")
+      val listing = Option(ex.getRequestURI.getQuery).contains("list")
+      ex.getRequestMethod match {
+        case "GET" if listing =>
+          import scala.jdk.CollectionConverters._
+          val lines = objects.entrySet().asScala
+            .filter(e => e.getKey == key || e.getKey.startsWith(key + "/"))
+            .toSeq.sortBy(_.getKey)
+            .map(e => s"${e.getValue.bytes.length}\t${e.getValue.mtime}\t${e.getKey}")
+          respond(ex, 200, lines.mkString("\n")
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        case "GET" =>
+          Option(objects.get(key)) match {
+            case Some(o) => respond(ex, 200, o.bytes)
+            case None => respond(ex, 404)
+          }
+        case "PUT" =>
+          val body = ex.getRequestBody.readAllBytes()
+          val obj = Obj(body, System.currentTimeMillis())
+          val conditional =
+            Option(ex.getRequestHeaders.getFirst("If-None-Match"))
+              .contains("*")
+          if (conditional) {
+            // the atomic server-side arbitration: exactly one winner
+            if (objects.putIfAbsent(key, obj) == null) respond(ex, 201)
+            else respond(ex, 412)
+          } else {
+            objects.put(key, obj)
+            respond(ex, 200)
+          }
+        case "DELETE" =>
+          objects.remove(key)
+          respond(ex, 204)
+        case _ => respond(ex, 405)
+      }
+    } catch {
+      case scala.util.control.NonFatal(_) => respond(ex, 500)
+    } finally ex.close()
+  }
+}
+
+/** Scoped store for [[graft.Demo]]: start, hand the block a
+  * `graftos://` bucket root, stop.
+  */
+object DemoObjectStore {
+  def withStore[A](f: String => A): A = {
+    val store = new InMemoryObjectStoreServer()
+    try f(s"graftos://127.0.0.1:${store.port}/demo")
+    finally store.stop()
+  }
+}

@@ -40,5 +40,21 @@ class DemoSpec extends AnyFunSuite with SparkSpec {
     // last-write-wins (2 -> 250 supersedes 200) with all keys present
     assert(has("equality deletes: 1->100, 2->250, 3->300"),
       lines.mkString("\n"))
+
+    // incremental re-export: the prior manifests were reused, not
+    // rewritten (byte-identity across the second export)
+    assert(has("prefix manifest reused byte-for-byte=true"),
+      lines.mkString("\n"))
+
+    // partitioned merge-on-read: scoped deletes resolve per partition
+    // (eu/1 -> 11 supersedes 10; both us keys present)
+    assert(has("partition-scoped deletes: eu/1->11, us/1->20, us/2->30"),
+      lines.mkString("\n"))
+
+    // the SQL materialized view maintained both ASIA rows exactly once
+    assert(has("ASIA=17"), lines.mkString("\n"))
+
+    // the object-store table answered both reads from the bucket
+    assert(has("cold=2 union=3"), lines.mkString("\n"))
   }
 }
