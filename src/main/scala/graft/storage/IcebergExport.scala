@@ -1,8 +1,8 @@
 package graft.storage
 
-import java.io.File
+
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Path, Paths}
+import java.nio.file.Paths
 import java.util.UUID
 
 import scala.jdk.CollectionConverters._
@@ -89,6 +89,11 @@ import org.apache.spark.sql.types._
   * untouched — only the new snapshots' footers are opened and only
   * their manifests written, so per-commit auto-export
   * (`icebergExport = true`) has flat commit latency as history grows.
+  * All metadata IO rides [[TableFs]], so a `graftos://` table exports
+  * its chain INTO the bucket (each Avro/json artifact buffered and
+  * written in one PUT; eqdel dirs publish via `_DONE` markers instead
+  * of renames) — the reference's Iceberg-tier-on-MinIO warehouse
+  * shape, with [[readTable]] resolving from bucket objects alone.
   */
 object IcebergExport {
 
@@ -202,9 +207,16 @@ object IcebergExport {
     */
   private def partitionValuesOf(filePath: String, snapDir: String,
                                 partCols: Seq[String]): Seq[Option[String]] = {
-    val rel = Paths.get(snapDir).toAbsolutePath.normalize
-      .relativize(Paths.get(filePath).toAbsolutePath.normalize)
-    val segs = (0 until rel.getNameCount - 1).map(rel.getName(_).toString)
+    // string-prefix relativize (scheme-safe): partFiles listings are
+    // generated under snapDir, so the dir string is a literal prefix
+    val rel =
+      if (filePath.startsWith(snapDir))
+        filePath.stripPrefix(snapDir).stripPrefix("/")
+      else { // local normalization fallback (relative spellings)
+        val d = Paths.get(snapDir).toAbsolutePath.normalize
+        d.relativize(Paths.get(filePath).toAbsolutePath.normalize).toString
+      }
+    val segs = rel.split("/").dropRight(1).toSeq
     partCols.map { c =>
       val pre = c + "="
       val seg = segs.find(_.startsWith(pre)).getOrElse(
@@ -227,8 +239,13 @@ object IcebergExport {
     case other => throw new IllegalArgumentException(s"unsupported $other")
   }
 
-  private def metadataDir(table: TieredTable): Path =
-    Paths.get(table.tablePath, "metadata")
+  private def metadataDir(table: TieredTable): String =
+    s"${table.tablePath}/metadata"
+
+  /** Facade for a metadata path — java.nio locally, the object-store
+    * FS for `graftos://` tables ([[TableFs.forPath]]).
+    */
+  private def fsFor(path: String): TableFs = TableFs.forPath(path)
 
   /** Spark type → Iceberg schema-JSON type string (primitives) or
     * nested object. Field-ids are assigned depth-first starting from
@@ -376,17 +393,12 @@ object IcebergExport {
     * entry's accounting and pruning metadata.
     */
   private def partFiles(dir: String): Seq[FileStat] = {
-    val conf = new Configuration()
-    val stream = Files.walk(Paths.get(dir))
-    val files =
-      try stream.iterator().asScala
-        .filter(p => Files.isRegularFile(p) &&
-          p.getFileName.toString.endsWith(".parquet"))
-        .toList.sortBy(_.toString)
-      finally stream.close()
-    files.map { f =>
+    val conf = new Configuration(TableFs.hadoopConf)
+    val files = TableFs.forPath(dir).listFiles(dir)
+      .filter(_._1.endsWith(".parquet")).sortBy(_._1)
+    files.map { case (f, fileBytes) =>
       footerOpens.incrementAndGet()
-      val reader = ParquetFileReader.open(conf, new HadoopPath(f.toString))
+      val reader = ParquetFileReader.open(conf, new HadoopPath(f))
       try {
         val blocks = reader.getFooter.getBlocks.asScala.toSeq
         val rows = blocks.map(_.getRowCount).sum
@@ -429,25 +441,36 @@ object IcebergExport {
           else Some(name -> ColStats(vc, nl,
             mn.flatMap(encodeBound(pt, _)), mx.flatMap(encodeBound(pt, _))))
         }
-        (f.toString, rows, Files.size(f), stats)
+        (f, rows, fileBytes, stats)
       } finally reader.close()
     }
   }
 
-  private def writeAvro(path: Path, schema: Schema,
+  /** Write an Avro object file through the path's [[TableFs]] (one
+    * buffered PUT on an object store); returns the byte length — the
+    * `manifest_length` the manifest-list entry records.
+    */
+  private def writeAvro(path: String, schema: Schema,
                         meta: Map[String, String],
-                        records: Seq[GenericRecord]): Unit = {
+                        records: Seq[GenericRecord]): Long = {
+    val buf = new java.io.ByteArrayOutputStream()
     val writer =
       new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
     meta.foreach { case (k, v) => writer.setMeta(k, v) }
-    writer.create(schema, path.toFile)
+    writer.create(schema, buf)
     try records.foreach(writer.append)
     finally writer.close()
+    val bytes = buf.toByteArray
+    fsFor(path).writeBytes(path, bytes)
+    bytes.length.toLong
   }
 
   private def readAvro(path: String): (Seq[GenericRecord], Map[String, String]) = {
-    val reader =
-      new DataFileReader[GenericRecord](new File(path), new GenericDatumReader[GenericRecord]())
+    val bytes = fsFor(path).readBytes(path).getOrElse(
+      throw new java.io.FileNotFoundException(path))
+    val reader = new DataFileReader[GenericRecord](
+      new org.apache.avro.file.SeekableByteArrayInput(bytes),
+      new GenericDatumReader[GenericRecord]())
     try {
       val metas = reader.getMetaKeys.asScala.map { k =>
         k -> new String(reader.getMeta(k), StandardCharsets.UTF_8)
@@ -479,13 +502,13 @@ object IcebergExport {
   private case class ExportState(head: Long, retained: Seq[Long],
                                  schemas: Map[Long, String])
 
-  private def loadExportState(mdir: Path): Option[ExportState] = {
+  private def loadExportState(mdir: String): Option[ExportState] = {
     import org.json4s._
     import org.json4s.jackson.JsonMethods
-    val f = mdir.resolve("export-state.json")
-    if (!Files.exists(f)) return None
+    val body = fsFor(mdir).readString(s"$mdir/export-state.json")
+      .getOrElse(return None)
     try {
-      val md = JsonMethods.parse(Files.readString(f))
+      val md = JsonMethods.parse(body)
       val retained = jsonAt(md, "retained").asInstanceOf[JArray].arr.map(jLong)
       val schemas = jsonAt(md, "schemas").asInstanceOf[JObject].obj.map {
         case (k, JString(ddl)) => k.toLong -> ddl
@@ -495,27 +518,27 @@ object IcebergExport {
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
-  private def saveExportState(mdir: Path, st: ExportState): Unit =
-    Files.write(mdir.resolve("export-state.json"), toJson(Map(
+  private def saveExportState(mdir: String, st: ExportState): Unit =
+    fsFor(mdir).writeString(s"$mdir/export-state.json", toJson(Map(
       "head" -> st.head,
       "retained" -> st.retained,
       "schemas" -> st.schemas.map { case (k, v) => k.toString -> v }
-    )).getBytes(StandardCharsets.UTF_8))
+    )))
 
   /** `{dir: [[path, rows, bytes, {col: [vc, nc, lo?, hi?]}], …]}` with
     * bounds base64-encoded; positional arrays keep the file compact.
     */
-  private def loadDirStats(mdir: Path): Map[String, Seq[FileStat]] = {
+  private def loadDirStats(mdir: String): Map[String, Seq[FileStat]] = {
     import org.json4s._
     import org.json4s.jackson.JsonMethods
-    val f = mdir.resolve("dir-stats.json")
-    if (!Files.exists(f)) return Map.empty
+    val body = fsFor(mdir).readString(s"$mdir/dir-stats.json")
+      .getOrElse(return Map.empty)
     def ob(v: JValue): Option[Array[Byte]] = v match {
       case JString(s) => Some(java.util.Base64.getDecoder.decode(s))
       case _ => None
     }
     try {
-      JsonMethods.parse(Files.readString(f)).asInstanceOf[JObject].obj.map {
+      JsonMethods.parse(body).asInstanceOf[JObject].obj.map {
         case (dir, JArray(files)) =>
           dir -> files.map { fo =>
             val JArray(List(JString(path), rows, bytes, JObject(cols))) =
@@ -534,7 +557,7 @@ object IcebergExport {
     } catch { case scala.util.control.NonFatal(_) => Map.empty }
   }
 
-  private def saveDirStats(mdir: Path, m: Map[String, Seq[FileStat]]): Unit = {
+  private def saveDirStats(mdir: String, m: Map[String, Seq[FileStat]]): Unit = {
     val obj: Map[String, Any] = m.map { case (dir, files) =>
       dir -> files.map { case (p, r, b, cols) =>
         Seq[Any](p, r, b, cols.map { case (n, cs) =>
@@ -543,19 +566,16 @@ object IcebergExport {
         })
       }
     }
-    Files.write(mdir.resolve("dir-stats.json"),
-      toJson(obj).getBytes(StandardCharsets.UTF_8))
+    fsFor(mdir).writeString(s"$mdir/dir-stats.json", toJson(obj))
   }
 
   /** Depth-first delete — eqdel entries are directories (hive-layout
     * when partitioned), so the GC needs more than deleteIfExists.
     */
-  private def deleteRecursively(p: Path): Unit =
-    if (Files.exists(p)) {
-      val s = Files.walk(p)
-      val all = try s.iterator().asScala.toList finally s.close()
-      all.reverse.foreach(Files.deleteIfExists(_))
-    }
+  private def deleteRecursively(p: String): Unit = {
+    fsFor(p).deleteRecursively(p)
+    ()
+  }
 
   /** Export the table's retained snapshot history as an Iceberg v2
     * table rooted at the graft table path. Idempotent per call; each
@@ -563,20 +583,13 @@ object IcebergExport {
     * files are immutable, `version-hint.text` names the current one).
     * Returns the metadata.json path.
     */
-  def export(table: TieredTable): Path = {
-    // Scope: local-filesystem tables. The export's Avro/json writers
-    // are java.nio; on a `graftos://` table a silent Paths.get would
-    // create a literal "graftos:" dir on local disk shadowing the
-    // bucket — refuse loudly instead (extend the writers over TableFs
-    // to lift this).
-    require(!table.remote,
-      s"Iceberg export of object-store table ${table.tablePath} is not " +
-        "supported yet — the metadata writers are local-filesystem")
+  def export(table: TieredTable): String = {
     val head = table.currentSnapshot.getOrElse(
       throw new IllegalStateException(
         s"no snapshot to export in ${table.tablePath}"))
     val mdir = metadataDir(table)
-    Files.createDirectories(mdir)
+    val metaFs = fsFor(mdir)
+    metaFs.mkdirs(mdir)
 
     // merge-on-read deltas resolve via equality-delete files below.
     // Partitioned merge-on-read writes PARTITION-SCOPED delete files
@@ -609,10 +622,9 @@ object IcebergExport {
       md.digest().map("%02x".format(_)).mkString
     }
     currentVersion(mdir).foreach { v =>
-      val prior = mdir.resolve(f"v$v%05d.metadata.json")
-      if (Files.exists(prior) &&
-          Files.readString(prior).contains(
-            s""""graft.export-fingerprint":"$fingerprint""""))
+      val prior = s"$mdir/v${"%05d".format(v)}.metadata.json"
+      if (metaFs.readString(prior).exists(_.contains(
+            s""""graft.export-fingerprint":"$fingerprint"""")))
         return prior
     }
 
@@ -762,11 +774,11 @@ object IcebergExport {
     // per-commit auto-export pays O(new delta), not O(table).
     if (isMor) {
       import org.apache.spark.sql.functions.col
-      val markerFile = mdir.resolve("pk-checked-dirs.txt")
+      val markerFile = s"$mdir/pk-checked-dirs.txt"
       val checked: Set[String] =
-        if (Files.exists(markerFile))
-          Files.readAllLines(markerFile).asScala.toSet
-        else Set.empty
+        metaFs.readString(markerFile)
+          .map(_.linesIterator.filter(_.nonEmpty).toSet)
+          .getOrElse(Set.empty)
       val toCheck = snaps.flatMap(_.files).distinct.filterNot(checked)
       toCheck.foreach { dir =>
         val pkDf = session.read.parquet(dir).select(table.pk.map(col): _*)
@@ -778,9 +790,8 @@ object IcebergExport {
             "versionOrder")
       }
       if (toCheck.nonEmpty)
-        Files.write(markerFile,
-          (checked ++ toCheck).toSeq.sorted.asJava,
-          StandardCharsets.UTF_8)
+        metaFs.writeString(markerFile,
+          (checked ++ toCheck).toSeq.sorted.mkString("\n"))
     }
 
     // Equality-delete files (merge-on-read): for each delta dir that
@@ -805,28 +816,41 @@ object IcebergExport {
         }.distinct
         superseding.sortBy(addedBy).map { dir =>
           val seq = addedBy(dir)
-          val out = mdir.resolve(f"eqdel-$seq%06d")
-          if (!Files.exists(out)) {
+          val out = s"$mdir/eqdel-${"%06d".format(seq)}"
+          // publish protocol: local = tmp write + atomic dir rename;
+          // remote = direct write + a _DONE marker object written last
+          // (a crashed write leaves a markerless, invisible prefix)
+          val done =
+            if (table.remote) metaFs.readString(s"$out/_DONE").isDefined
+            else metaFs.exists(out)
+          if (!done) {
             import org.apache.spark.sql.functions.col
             val keys = session.read.parquet(dir)
               .select(table.pk.map(col): _*).distinct()
-            val tmp = mdir.resolve(s"eqdel-tmp-${UUID.randomUUID()}")
             // scope via SHADOW partition columns (`__p_<col>=value/`
             // dirs): the spec requires delete-file rows to physically
             // contain every equality column, and a plain partitionBy
             // would strip them from the pages
-            val w =
-              if (table.partitionBy.isEmpty) keys.write
-              else table.partitionBy
-                .foldLeft(keys)((d, c) => d.withColumn(s"__p_$c", col(c)))
-                .write.partitionBy(table.partitionBy.map("__p_" + _): _*)
-            w.parquet(tmp.toString)
-            Files.move(tmp, out,
-              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+            def write(target: String): Unit = {
+              val w =
+                if (table.partitionBy.isEmpty) keys.write
+                else table.partitionBy
+                  .foldLeft(keys)((d, c) => d.withColumn(s"__p_$c", col(c)))
+                  .write.partitionBy(table.partitionBy.map("__p_" + _): _*)
+              w.mode("overwrite").parquet(target)
+            }
+            if (table.remote) {
+              write(out)
+              metaFs.writeString(s"$out/_DONE", "")
+            } else {
+              val tmp = s"$mdir/eqdel-tmp-${UUID.randomUUID()}"
+              write(tmp)
+              metaFs.move(tmp, out)
+            }
           }
-          dir -> partFilesCached(out.toString).map { case (p, rows, bytes, _) =>
+          dir -> partFilesCached(out).map { case (p, rows, bytes, _) =>
             (p, rows, bytes,
-              partitionValuesOf(p, out.toString, table.partitionBy.map("__p_" + _)))
+              partitionValuesOf(p, out, table.partitionBy.map("__p_" + _)))
           }
         }.toMap
       }
@@ -834,9 +858,9 @@ object IcebergExport {
     val snapshotObjs = snaps.map { s =>
       val snapSchema = rawSchemaOf(s.id)
       val fieldIds: Map[String, Int] = fieldIdsOf(snapSchema)
-      val manifestPath = mdir.resolve(f"manifest-${s.id}%06d.avro")
-      val delPath = mdir.resolve(f"manifest-del-${s.id}%06d.avro")
-      val listPath = mdir.resolve(f"snap-${s.id}%06d-manifest-list.avro")
+      val manifestPath = s"$mdir/manifest-${"%06d".format(s.id)}.avro"
+      val delPath = s"$mdir/manifest-del-${"%06d".format(s.id)}.avro"
+      val listPath = s"$mdir/snap-${"%06d".format(s.id)}-manifest-list.avro"
       val minSeq = s.files.map(addedBy).minOption.getOrElse(s.id)
       val delDirs = s.files.filter(d => addedBy(d) > minSeq).sortBy(addedBy)
       val needsDel = isMor && delDirs.nonEmpty
@@ -845,8 +869,8 @@ object IcebergExport {
       // byte-for-byte what this export would write — skip the footer
       // walk and the Avro writes entirely.
       val reusable = prefixStable && s.id <= prevHead &&
-        Files.exists(manifestPath) && Files.exists(listPath) &&
-        (!needsDel || Files.exists(delPath))
+        metaFs.exists(manifestPath) && metaFs.exists(listPath) &&
+        (!needsDel || metaFs.exists(delPath))
       if (!reusable) {
       // one manifest per snapshot, listing every live file of that
       // snapshot; files added earlier carry EXISTING status with their
@@ -907,7 +931,7 @@ object IcebergExport {
         }
       }
       val (schemaObj, _) = icebergSchema(snapSchema, schemaIdOf(s.id))
-      writeAvro(manifestPath, entrySchema, Map(
+      val manifestLen = writeAvro(manifestPath, entrySchema, Map(
         "schema" -> toJson(schemaObj),
         "schema-id" -> schemaIdOf(s.id).toString,
         "partition-spec" -> toJson(specFields),
@@ -915,11 +939,11 @@ object IcebergExport {
         "format-version" -> "2",
         "content" -> "data"), entries)
 
-      def manifestFile(path: Path, content: Int,
+      def manifestFile(path: String, length: Long, content: Int,
                        es: Seq[GenericRecord]): GenericRecord = {
         val mf = new GenericData.Record(ManifestFileSchema)
-        mf.put("manifest_path", path.toString)
-        mf.put("manifest_length", Files.size(path))
+        mf.put("manifest_path", path)
+        mf.put("manifest_length", length)
         mf.put("partition_spec_id", 0)
         mf.put("content", content)
         mf.put("sequence_number", s.id)
@@ -940,7 +964,7 @@ object IcebergExport {
         mf.put("deleted_rows_count", 0L)
         mf
       }
-      val mfs = Seq(manifestFile(manifestPath, 0, entries)) ++ {
+      val mfs = Seq(manifestFile(manifestPath, manifestLen, 0, entries)) ++ {
         // delete manifest: equality-delete entries for every live dir
         // that supersedes an older live dir of THIS snapshot, at the
         // superseding dir's sequence number — one entry PER DELETE
@@ -978,14 +1002,14 @@ object IcebergExport {
               e
             }
           }
-          writeAvro(delPath, entrySchema, Map(
+          val delLen = writeAvro(delPath, entrySchema, Map(
             "schema" -> toJson(schemaObj),
             "schema-id" -> schemaIdOf(s.id).toString,
             "partition-spec" -> toJson(specFields),
             "partition-spec-id" -> "0",
             "format-version" -> "2",
             "content" -> "deletes"), delEntries)
-          Seq(manifestFile(delPath, 1, delEntries))
+          Seq(manifestFile(delPath, delLen, 1, delEntries))
         }
       }
 
@@ -1000,7 +1024,7 @@ object IcebergExport {
         "parent-snapshot-id" -> s.parentId.getOrElse(-1L),
         "sequence-number" -> s.id,
         "timestamp-ms" -> s.committedAt,
-        "manifest-list" -> listPath.toString,
+        "manifest-list" -> listPath,
         "summary" -> (Map("operation" ->
           (if (s.op == "tier" || s.op == "append") "append" else "overwrite"))
           ++ s.summary),
@@ -1037,10 +1061,9 @@ object IcebergExport {
         Map("timestamp-ms" -> s.committedAt, "snapshot-id" -> s.id)),
       "metadata-log" -> Seq.empty[Any])
 
-    val mpath = mdir.resolve(f"v$version%05d.metadata.json")
-    Files.write(mpath, toJson(metadata).getBytes(StandardCharsets.UTF_8))
-    Files.write(mdir.resolve("version-hint.text"),
-      version.toString.getBytes(StandardCharsets.UTF_8))
+    val mpath = s"$mdir/v${"%05d".format(version)}.metadata.json"
+    metaFs.writeString(mpath, toJson(metadata))
+    metaFs.writeString(s"$mdir/version-hint.text", version.toString)
 
     // GC artifacts of snapshots no longer retained (vacuum/expire ran
     // since the last export) — Iceberg expire_snapshots semantics: the
@@ -1054,42 +1077,37 @@ object IcebergExport {
     val retainedSeqs: Set[Long] =
       snaps.flatMap(_.files).distinct.map(addedBy).toSet
     val artifact = """(manifest-del-|manifest-|snap-|eqdel-)(\d{6}).*""".r
-    val listing = Files.list(mdir)
-    try listing.iterator().asScala.foreach { p =>
-      p.getFileName.toString match {
+    metaFs.listNames(mdir).foreach { name =>
+      name match {
         case artifact(kind, num) =>
           val id = num.toLong
           val live =
             if (kind == "eqdel-") retainedSeqs(id) else retainedIds(id)
-          if (!live) deleteRecursively(p) // eqdel entries are dirs
+          if (!live) deleteRecursively(s"$mdir/$name") // eqdel entries are dirs
         case _ =>
       }
-    } finally listing.close()
+    }
     // the PK-uniqueness marker follows its dirs (vacuumed dirs re-add
     // their lines never; a shrinking file keeps the scan O(live dirs))
-    val markerFile = mdir.resolve("pk-checked-dirs.txt")
-    if (Files.exists(markerFile)) {
+    val markerFile = s"$mdir/pk-checked-dirs.txt"
+    metaFs.readString(markerFile).foreach { body =>
       val liveDirs = snaps.flatMap(_.files).toSet
-      val keptLines =
-        Files.readAllLines(markerFile).asScala.filter(liveDirs).toSeq
-      Files.write(markerFile, keptLines.sorted.asJava, StandardCharsets.UTF_8)
+      val keptLines = body.linesIterator.filter(liveDirs).toSeq
+      metaFs.writeString(markerFile, keptLines.sorted.mkString("\n"))
     }
     // persist the incremental-export sidecars, pruned with the GC —
     // stats of dead data dirs / eqdel dirs go with their files
     val liveStatDirs: Set[String] = snaps.flatMap(_.files).toSet ++
-      retainedSeqs.map(q => mdir.resolve(f"eqdel-$q%06d").toString)
+      retainedSeqs.map(q => s"$mdir/eqdel-${"%06d".format(q)}")
     saveDirStats(mdir, statsCache.toMap.filter { case (k, _) => liveStatDirs(k) })
     saveExportState(mdir, ExportState(head.id, snaps.map(_.id),
       snaps.map(s => s.id -> rawSchemaOf(s.id).toDDL).toMap))
     mpath
   }
 
-  private def currentVersion(mdir: Path): Option[Int] = {
-    val hint = mdir.resolve("version-hint.text")
-    if (Files.exists(hint))
-      Files.readString(hint).trim.toIntOption
-    else None
-  }
+  private def currentVersion(mdir: String): Option[Int] =
+    fsFor(mdir).readString(s"$mdir/version-hint.text")
+      .flatMap(_.trim.toIntOption)
 
   // ---- the independent reader (the in-suite "second engine") ----
 
@@ -1113,11 +1131,14 @@ object IcebergExport {
   def readTable(spark: SparkSession, tablePath: String,
                 asOfSnapshotId: Option[Long] = None): DataFrame = {
     import org.json4s.jackson.JsonMethods
-    val mdir = Paths.get(tablePath, "metadata")
+    if (tablePath.startsWith(GraftObjectFileSystem.Scheme + "://"))
+      GraftObjectFileSystem.register(spark.sparkContext.hadoopConfiguration)
+    val mdir = s"$tablePath/metadata"
     val version = currentVersion(mdir).getOrElse(
       throw new IllegalStateException(s"no version-hint.text under $mdir"))
-    val mpath = mdir.resolve(f"v$version%05d.metadata.json")
-    val md = JsonMethods.parse(Files.readString(mpath))
+    val mpath = s"$mdir/v${"%05d".format(version)}.metadata.json"
+    val md = JsonMethods.parse(fsFor(mpath).readString(mpath).getOrElse(
+      throw new java.io.FileNotFoundException(mpath)))
     val currentId = asOfSnapshotId.getOrElse(
       jLong(jsonAt(md, "current-snapshot-id")))
     val snap = jsonAt(md, "snapshots").asInstanceOf[org.json4s.JArray]
@@ -1302,11 +1323,12 @@ object IcebergExport {
   def dataFilesWhereLong(tablePath: String, column: String,
                          lo: Long, hi: Long): (Seq[String], Int) = {
     import org.json4s.jackson.JsonMethods
-    val mdir = Paths.get(tablePath, "metadata")
+    val mdir = s"$tablePath/metadata"
     val version = currentVersion(mdir).getOrElse(
       throw new IllegalStateException(s"no version-hint.text under $mdir"))
-    val md = JsonMethods.parse(
-      Files.readString(mdir.resolve(f"v$version%05d.metadata.json")))
+    val mpath = s"$mdir/v${"%05d".format(version)}.metadata.json"
+    val md = JsonMethods.parse(fsFor(mpath).readString(mpath).getOrElse(
+      throw new java.io.FileNotFoundException(mpath)))
     val curSchemaId = jLong(jsonAt(md, "current-schema-id"))
     val fieldId = jsonAt(md, "schemas").asInstanceOf[org.json4s.JArray]
       .arr.find(s => jLong(jsonAt(s, "schema-id")) == curSchemaId)
@@ -1356,10 +1378,11 @@ object IcebergExport {
     */
   private def currentHasDeletes(tablePath: String): Boolean = {
     import org.json4s.jackson.JsonMethods
-    val mdir = Paths.get(tablePath, "metadata")
+    val mdir = s"$tablePath/metadata"
     val version = currentVersion(mdir).getOrElse(return false)
-    val md = JsonMethods.parse(
-      Files.readString(mdir.resolve(f"v$version%05d.metadata.json")))
+    val mpath = s"$mdir/v${"%05d".format(version)}.metadata.json"
+    val md = JsonMethods.parse(fsFor(mpath).readString(mpath).getOrElse(
+      return false))
     val currentId = jLong(jsonAt(md, "current-snapshot-id"))
     jsonAt(md, "snapshots").asInstanceOf[org.json4s.JArray].arr
       .find(s => jLong(jsonAt(s, "snapshot-id")) == currentId)

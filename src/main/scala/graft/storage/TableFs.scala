@@ -23,6 +23,9 @@ private[graft] trait TableFs {
   /** None = absent. */
   def readString(path: String): Option[String]
   def writeString(path: String, body: String): Unit
+  /** None = absent. */
+  def readBytes(path: String): Option[Array[Byte]]
+  def writeBytes(path: String, body: Array[Byte]): Unit
   /** Publish: atomic rename locally; Hadoop rename (copy+delete on an
     * object store) remotely — remote callers must not rely on
     * atomicity and use marker objects instead.
@@ -64,6 +67,12 @@ private[graft] object LocalTableFs extends TableFs {
   }
   override def writeString(path: String, body: String): Unit =
     Files.writeString(Paths.get(path), body)
+  override def readBytes(path: String): Option[Array[Byte]] = {
+    val p = Paths.get(path)
+    if (Files.exists(p)) Some(Files.readAllBytes(p)) else None
+  }
+  override def writeBytes(path: String, body: Array[Byte]): Unit =
+    Files.write(Paths.get(path), body)
   override def move(src: String, dst: String): Unit =
     Files.move(Paths.get(src), Paths.get(dst), StandardCopyOption.ATOMIC_MOVE)
   override def deleteRecursively(path: String): Boolean = {
@@ -109,9 +118,23 @@ private[graft] class HadoopTableFs(conf: Configuration) extends TableFs {
         java.nio.charset.StandardCharsets.UTF_8))
     }
   }
-  override def writeString(path: String, body: String): Unit = {
+  override def writeString(path: String, body: String): Unit =
+    writeBytes(path, body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  override def readBytes(path: String): Option[Array[Byte]] = {
+    val fs = fsOf(path)
+    val p = new HPath(path)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val out = new java.io.ByteArrayOutputStream()
+      try org.apache.hadoop.io.IOUtils.copyBytes(in, out, 4096, false)
+      finally in.close()
+      Some(out.toByteArray)
+    }
+  }
+  override def writeBytes(path: String, body: Array[Byte]): Unit = {
     val out = fsOf(path).create(new HPath(path), true)
-    try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    try out.write(body)
     finally out.close()
   }
   override def move(src: String, dst: String): Unit =

@@ -1,8 +1,8 @@
 package graft.storage
 
-import java.io.File
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
-import java.util.Comparator
+
+import java.nio.file.Paths
+
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._

@@ -33,8 +33,8 @@ class IcebergExportSpec extends AnyFunSuite with SparkSpec {
     val mpath = IcebergExport.export(t)
     val mdir = Paths.get(t.tablePath, "metadata")
     assert(Files.readString(mdir.resolve("version-hint.text")).trim == "1")
-    assert(mpath.getFileName.toString == "v00001.metadata.json")
-    val md = Files.readString(mpath)
+    assert(mpath.endsWith("/v00001.metadata.json"))
+    val md = Files.readString(Paths.get(mpath))
     for (k <- Seq("\"format-version\":2", "current-snapshot-id",
         "manifest-list", "table-uuid", "schemas", "partition-specs"))
       assert(md.contains(k), s"metadata.json missing $k")

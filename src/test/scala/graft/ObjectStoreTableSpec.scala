@@ -102,7 +102,7 @@ class ObjectStoreTableSpec extends AnyFunSuite with SparkSpec {
       "checkpointed consumer must see every change row exactly once")
   }
 
-  test("PK upsert, merge-on-read resolution, vacuum, and Iceberg export refusal stay coherent remotely") {
+  test("PK upsert, merge-on-read resolution, vacuum, and Iceberg export run fully in the bucket") {
     val base = ObjectStoreStub.freshBucketFsUrl() + "/pk"
     val t = TieredTable(spark, base, pk = Seq("id"), mergeOnRead = true)
     t.commitUpsert(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))  // seq 1
@@ -110,6 +110,24 @@ class ObjectStoreTableSpec extends AnyFunSuite with SparkSpec {
     assert(t.readCold().as[(Long, String)].collect().toSet ==
       Set((1L, "a"), (2L, "B2"), (3L, "c")),
       "last-write-wins must resolve across bucket-resident deltas")
+
+    // Iceberg export writes its whole metadata chain INTO the bucket
+    // (equality deletes included — two live deltas) and the
+    // independent reader resolves purely from bucket objects
+    val mpath = IcebergExport.export(t)
+    assert(mpath.startsWith("graftos://"), mpath)
+    val exportKeys = ObjectStoreStub.keysUnder(bucketKey(base))
+    assert(exportKeys.exists(_.endsWith("metadata/version-hint.text")))
+    assert(exportKeys.exists(_.contains("metadata/manifest-")))
+    assert(exportKeys.exists(_.contains("metadata/snap-")),
+      s"manifest list must be bucket-resident")
+    assert(IcebergExport.readTable(spark, base)
+      .as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "B2"), (3L, "c")),
+      "the external-reader chain must resolve from bucket objects alone")
+    assert(!Files.exists(Paths.get("graftos:")),
+      "no local shadow directory may appear")
+
     t.compact()                                                // seq 3
     val removed = t.vacuum(keepLast = 1)
     assert(removed > 0)
@@ -117,9 +135,12 @@ class ObjectStoreTableSpec extends AnyFunSuite with SparkSpec {
     val keys = ObjectStoreStub.keysUnder(bucketKey(base))
     assert(!keys.exists(_.contains("/data/snap-000001/")),
       "vacuum must reclaim bucket objects of expired snapshots")
-    // IcebergExport is documented local-only (its Avro/json writers are
-    // java.nio); a remote table refuses loudly instead of silently
-    // writing metadata to a local path that shadows the bucket
-    assertThrows[Exception](IcebergExport.export(t))
+    // re-export after the vacuum: GC reclaims bucket metadata of the
+    // expired snapshots, the chain still reads
+    IcebergExport.export(t)
+    val keys2 = ObjectStoreStub.keysUnder(bucketKey(base))
+    assert(!keys2.exists(_.contains("metadata/manifest-000001")),
+      "export GC must reclaim expired manifests from the bucket")
+    assert(IcebergExport.readTable(spark, base).count() == 3L)
   }
 }
