@@ -1189,36 +1189,54 @@ object IcebergExport {
       val org.json4s.JString(n) = jsonAt(f, "name"): @unchecked
       n
     }
+    // primitive types only — a nested column can't be null-padded or
+    // used as a partition source, and fails loudly below if needed
+    val typeOf: Map[String, String] = schemaFields.collect {
+      case f if jsonAt(f, "type").isInstanceOf[org.json4s.JString] =>
+        val org.json4s.JString(n) = jsonAt(f, "name"): @unchecked
+        val org.json4s.JString(t) = jsonAt(f, "type"): @unchecked
+        n -> t
+    }.toMap
+    def sparkType(t: String): String = t match {
+      case "boolean" => "boolean"
+      case "int" => "int"
+      case "long" => "bigint"
+      case "float" => "float"
+      case "double" => "double"
+      case "string" => "string"
+      case "date" => "date"
+      case "timestamptz" => "timestamp"
+      case "timestamp" => "timestamp_ntz"
+      case "binary" => "binary"
+      case t if t.startsWith("decimal") => t
+      case other => throw new IllegalArgumentException(
+        s"unsupported type $other")
+    }
+    // An all-primitive snapshot schema DRIVES the scan (the stance of
+    // every real Iceberg engine: the declared schema is authoritative;
+    // files a column predates read it as null, extra physical columns
+    // like a merge-on-read __seq are never even decoded). This also
+    // kills the per-group mergeSchema footer-inference job — at scale
+    // a readTable was paying one distributed schema inference per
+    // (sequence × partition) group per call. Nested types fall back
+    // to inference.
+    def ddlSchema(names: Seq[String]): Option[StructType] =
+      if (names.forall(typeOf.contains))
+        Some(StructType.fromDDL(
+          names.map(n => s"`$n` ${sparkType(typeOf(n))}").mkString(", ")))
+      else None
+    val declared = ddlSchema(colOrder)
+    def readData(files: Seq[String]): DataFrame = declared match {
+      case Some(st) => spark.read.schema(st).parquet(files: _*)
+      case None =>
+        spark.read.option("mergeSchema", "true").parquet(files: _*)
+    }
     if (specFields.isEmpty && deleteEntries.isEmpty) {
-      val df = spark.read.option("mergeSchema", "true")
-        .parquet(liveEntries.map(_._1.get("file_path").toString): _*)
+      val df = readData(liveEntries.map(_._1.get("file_path").toString))
       if (df.columns.toSeq == colOrder) df
       else df.select(colOrder.map(org.apache.spark.sql.functions.col): _*)
     } else {
       import org.apache.spark.sql.functions.{col, lit}
-      // primitive types only — a nested column can't be null-padded or
-      // used as a partition source, and fails loudly below if needed
-      val typeOf: Map[String, String] = schemaFields.collect {
-        case f if jsonAt(f, "type").isInstanceOf[org.json4s.JString] =>
-          val org.json4s.JString(n) = jsonAt(f, "name"): @unchecked
-          val org.json4s.JString(t) = jsonAt(f, "type"): @unchecked
-          n -> t
-      }.toMap
-      def sparkType(t: String): String = t match {
-        case "boolean" => "boolean"
-        case "int" => "int"
-        case "long" => "bigint"
-        case "float" => "float"
-        case "double" => "double"
-        case "string" => "string"
-        case "date" => "date"
-        case "timestamptz" => "timestamp"
-        case "timestamp" => "timestamp_ntz"
-        case "binary" => "binary"
-        case t if t.startsWith("decimal") => t
-        case other => throw new IllegalArgumentException(
-          s"unsupported type $other")
-      }
       val idToName: Map[Int, String] = schemaFields.map { f =>
         val org.json4s.JString(n) = jsonAt(f, "name"): @unchecked
         jLong(jsonAt(f, "id")).toInt -> n
@@ -1242,7 +1260,7 @@ object IcebergExport {
         }.groupBy(_._1).map { case (k, xs) => k -> xs.map(_._2) }
       val data = byGroup.toSeq.sortBy(_._1.toString)
         .map { case ((seq, vals), files) =>
-          var df = spark.read.option("mergeSchema", "true").parquet(files: _*)
+          var df = readData(files)
           specFields.zip(vals).foreach { case (c, ov) =>
             val st = sparkType(typeOf(c))
             val value = ov match {
@@ -1274,13 +1292,22 @@ object IcebergExport {
           val eqIds = deleteEntries.head._1.get("equality_ids")
             .asInstanceOf[java.util.List[Integer]].asScala.map(_.toInt).toSeq
           val eqNames = eqIds.map(idToName)
+          // delete files physically carry every equality column (the
+          // v2 spec's requirement; our writer's shadow-partition trick
+          // exists for exactly this), so the declared eqNames schema
+          // drives the scan — no per-file inference
+          val delSchema = ddlSchema(eqNames)
           val dels = deleteEntries.map { case (e, seq) =>
-            var df = spark.read.parquet(e.get("file_path").toString)
-            // partition-scoped delete files are hive-written: their
-            // partition columns live in the manifest's partition
-            // struct, not in data pages — reattach them as typed
-            // constants, the same add_files resolution the data side
-            // gets. Scoping is then enforced by the equality condition
+            val path = e.get("file_path").toString
+            var df = delSchema match {
+              case Some(st) => spark.read.schema(st).parquet(path)
+              case None => spark.read.parquet(path)
+            }
+            // fallback for sidecar-less foreign delete files whose
+            // partition columns live only in the manifest's partition
+            // struct: reattach them as typed constants (no-op under
+            // the declared-schema read — the columns are present).
+            // Scoping is then enforced by the equality condition
             // itself (partition cols ⊆ equality cols by construction).
             val rec = e.get("partition").asInstanceOf[GenericRecord]
             eqNames.filterNot(df.columns.contains).foreach { c =>
