@@ -402,20 +402,31 @@ class TieredTable(spark: SparkSession, rawTablePath: String,
     // floor at watermark+1: after vacuum() deletes tiered segments the
     // directory may be empty, but reusing an id ≤ tieredSeg would park
     // rows where every read filters them out — silent loss
-    val next = math.max(
+    val floor = math.max(
       logSegments.lastOption.map(_ + 1).getOrElse(0L),
       currentSnapshot.map(_.tieredSeg + 1).getOrElse(0L))
     if (remote) {
+      // Cross-PROCESS id arbitration: locally the atomic rename makes
+      // the second writer of one segment id fail loudly, but a direct
+      // remote write has no such gate — two drivers picking the same
+      // id would interleave objects in one prefix. The segment id is
+      // therefore CLAIMED via the MetaStore conditional PUT (the same
+      // primitive the manifest commit rides); the loser advances to
+      // the next id. A claim whose writer died pre-marker leaves an
+      // id gap — harmless, every reader tolerates sparse segment ids.
+      var next = floor
+      while (!meta.putIfAbsent(f"segclaim-$next%06d", "")) next += 1
       writeData(df, segPath(next))
       tag.foreach(t => fs.writeString(s"${segPath(next)}/_TAG", t))
       fs.writeString(s"${segPath(next)}/_SEG", "")
+      next
     } else {
-      val tmp = s"$logDir/_tmp-seg-${"%06d".format(next)}"
+      val tmp = s"$logDir/_tmp-seg-${"%06d".format(floor)}"
       writeData(df, tmp)
       tag.foreach(t => fs.writeString(s"$tmp/_TAG", t))
-      fs.move(tmp, segPath(next))
+      fs.move(tmp, segPath(floor))
+      floor
     }
-    next
   }
 
   /** Serializes the read-modify-write of every mutating operation on
@@ -989,8 +1000,11 @@ class TieredTable(spark: SparkSession, rawTablePath: String,
       }
     }
     val minWatermark = kept.map(_.tieredSeg).min
-    logSegments.filter(_ <= minWatermark).map(segPath)
+    val tieredSegs = logSegments.filter(_ <= minWatermark)
+    tieredSegs.map(segPath)
       .foreach { p => if (fs.deleteRecursively(p)) removed += 1 }
+    // remote segment-id claims retire with their segments
+    if (remote) tieredSegs.foreach(s => meta.delete(f"segclaim-$s%06d"))
     removed
   }
 

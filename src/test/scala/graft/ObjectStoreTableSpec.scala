@@ -61,6 +61,30 @@ class ObjectStoreTableSpec extends AnyFunSuite with SparkSpec {
     assert(keys.exists(_.endsWith("meta/LATEST")), "metadata in the bucket")
   }
 
+  test("remote appendLog claims its segment id via the metadata CAS") {
+    import graft.storage.HttpMetaStore
+    val bucket = ObjectStoreStub.freshBucketUrl()
+    val root = bucket.replaceFirst("^http://", "graftos://") + "/t"
+    val t = TieredTable(spark, root)
+    assert(t.appendLog(Seq((1L, "a")).toDF("id", "v")) == 0L)
+    // a concurrent driver's in-flight claim on the next id: this
+    // writer must NOT write into the claimed prefix (locally the
+    // atomic rename arbitrates; remotely the conditional PUT does)
+    val foreignMeta = new HttpMetaStore(s"$bucket/t/meta")
+    assert(foreignMeta.putIfAbsent("segclaim-000001", ""))
+    assert(t.appendLog(Seq((2L, "b")).toDF("id", "v")) == 2L,
+      "the claimed id must be skipped, not co-written")
+    assert(t.logSegments == Seq(0L, 2L),
+      "sparse segment ids are legal; the dead claim leaves a gap")
+    assert(t.readUnion().select("id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L))
+    // tiering + vacuum retire the claims with their segments
+    t.tier()
+    t.vacuum(keepLast = 1)
+    assert(foreignMeta.get("segclaim-000002").isEmpty,
+      "vacuum must retire the claims of tiered-away segments")
+  }
+
   test("file-skipping sidecars prune object-store scans") {
     val (t, _) = freshTable()
     t.commitAppend(spark.range(0, 100)
