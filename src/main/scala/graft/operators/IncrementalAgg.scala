@@ -35,8 +35,23 @@ object IncrementalAgg {
     */
   def applyDelta(state: DataFrame, delta: DataFrame, groupCols: Seq[String],
                  valCol: String, sumCol: String, cntCol: String,
-                 opCol: String = "op"): DataFrame = {
+                 opCol: String = "op"): DataFrame =
+    applyDeltaMulti(state, delta, groupCols, Seq(valCol -> sumCol), cntCol,
+      opCol)
+
+  /** [[applyDelta]] generalized to ANY number of maintained SUM
+    * columns: `sums` maps each delta value column to its state alias.
+    * One map-side delta aggregation and one full-outer merge join
+    * regardless of how many sums ride along — the per-column cost is a
+    * projection, not a pass.
+    */
+  def applyDeltaMulti(state: DataFrame, delta: DataFrame,
+                      groupCols: Seq[String], sums: Seq[(String, String)],
+                      cntCol: String, opCol: String = "op"): DataFrame = {
     require(groupCols.nonEmpty, "need at least one group column")
+    require(sums.nonEmpty, "need at least one maintained sum")
+    require(sums.map(_._2).distinct.size == sums.size,
+      "maintained sum aliases must be distinct")
     // Unknown op: FAIL LOUDLY. A null sign would not poison the sums —
     // Spark's sum() skips NULL inputs, so a malformed or future-op row
     // would silently vanish from both __dsum and __dcnt, corrupting the
@@ -48,14 +63,18 @@ object IncrementalAgg {
       .otherwise(raise_error(concat(
         lit(s"IncrementalAgg: unknown changelog op in '$opCol': "),
         coalesce(col(opCol), lit("NULL")))).cast("long"))
+    val aggs = sums.zipWithIndex.map { case ((v, _), i) =>
+      sum(sign * col(v)).as(s"__dsum$i")
+    } :+ sum(sign).as("__dcnt")
     val d = delta
       .groupBy(groupCols.map(col): _*)
-      .agg(sum(sign * col(valCol)).as("__dsum"),
-        sum(sign).as("__dcnt"))
+      .agg(aggs.head, aggs.tail: _*)
     state.join(d, groupCols, "full_outer")
-      .select(groupCols.map(col) ++ Seq(
-        (coalesce(col(sumCol), lit(0L)) + coalesce(col("__dsum"), lit(0L)))
-          .as(sumCol),
+      .select(groupCols.map(col) ++
+        sums.zipWithIndex.map { case ((_, alias), i) =>
+          (coalesce(col(alias), lit(0L)) +
+            coalesce(col(s"__dsum$i"), lit(0L))).as(alias)
+        } ++ Seq(
         (coalesce(col(cntCol), lit(0L)) + coalesce(col("__dcnt"), lit(0L)))
           .as(cntCol)): _*)
       .filter(col(cntCol) > 0L)
@@ -68,6 +87,13 @@ object IncrementalAgg {
     */
   def rebuild(df: DataFrame, groupCols: Seq[String], valCol: String,
               sumCol: String, cntCol: String): DataFrame =
-    df.groupBy(groupCols.map(col): _*)
-      .agg(sum(col(valCol)).as(sumCol), count(lit(1)).as(cntCol))
+    rebuildMulti(df, groupCols, Seq(valCol -> sumCol), cntCol)
+
+  /** Multi-sum rebuild — the invariant partner of [[applyDeltaMulti]]. */
+  def rebuildMulti(df: DataFrame, groupCols: Seq[String],
+                   sums: Seq[(String, String)], cntCol: String): DataFrame = {
+    val aggs = sums.map { case (v, alias) => sum(col(v)).as(alias) } :+
+      count(lit(1)).as(cntCol)
+    df.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
 }

@@ -31,8 +31,16 @@ import graft.storage.TieredTable
 class MaterializedView(source: TieredTable, state: TieredTable,
                        keyCols: Seq[String], groupCols: Seq[String],
                        valCol: String, sumCol: String = "sum_v",
-                       cntCol: String = "cnt") {
+                       cntCol: String = "cnt",
+                       extraSums: Seq[(String, String)] = Nil) {
   require(groupCols.nonEmpty, "need at least one group column")
+
+  /** All maintained sums: (delta value column → state alias). The
+    * primary (valCol, sumCol) pair plus any `extraSums` — any number
+    * of SUM columns ride the same one-aggregation + one-merge-join
+    * maintenance step ([[IncrementalAgg.applyDeltaMulti]]).
+    */
+  private val sums: Seq[(String, String)] = (valCol -> sumCol) +: extraSums
 
   private val CursorTag = "mv-cursor-"
   private val running = new AtomicBoolean(false)
@@ -82,14 +90,10 @@ class MaterializedView(source: TieredTable, state: TieredTable,
     val (to, delta) = source.changelogSince(from, keyCols)
     if (to == from) return false
     val cur =
-      if (from == 0L)
-        // bootstrap: empty state with the output schema — the full
-        // snapshot arrives as +I rows through the same delta path
-        delta.select(groupCols.map(col): _*).limit(0)
-          .withColumn(sumCol, lit(0L)).withColumn(cntCol, lit(0L))
+      if (from == 0L) emptyState(delta)
       else state.readCold()
-    val next = IncrementalAgg.applyDelta(cur, delta, groupCols, valCol,
-      sumCol, cntCol)
+    val next = IncrementalAgg.applyDeltaMulti(cur, delta, groupCols, sums,
+      cntCol)
     state.commitOverwrite(next, tag = Some(s"$CursorTag$to"))
     true
   }
@@ -166,12 +170,18 @@ class MaterializedView(source: TieredTable, state: TieredTable,
       if (state.taggedSnapshot(tag).isDefined) return // WAL replay: no-op
       if (batch.isEmpty) return
       val cur =
-        if (state.latestSnapshotId == 0L)
-          batch.select(groupCols.map(col): _*).limit(0)
-            .withColumn(sumCol, lit(0L)).withColumn(cntCol, lit(0L))
+        if (state.latestSnapshotId == 0L) emptyState(batch)
         else state.readCold()
-      val next = IncrementalAgg.applyDelta(cur, batch, groupCols, valCol,
-        sumCol, cntCol)
+      val next = IncrementalAgg.applyDeltaMulti(cur, batch, groupCols, sums,
+        cntCol)
       state.commitOverwrite(next, tag = Some(tag))
     }
+
+  /** Bootstrap: empty state with the output schema — the full snapshot
+    * arrives as +I rows through the same delta path.
+    */
+  private def emptyState(delta: DataFrame): DataFrame =
+    sums.foldLeft(delta.select(groupCols.map(col): _*).limit(0)) {
+      (d, sa) => d.withColumn(sa._2, lit(0L))
+    }.withColumn(cntCol, lit(0L))
 }

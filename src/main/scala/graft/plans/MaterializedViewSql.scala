@@ -49,9 +49,10 @@ import graft.storage.TieredTable
   * depends on it; delete the directory to discard the view for good).
   *
   * Scope: the aggregate shape [[graft.operators.IncrementalAgg]]
-  * maintains — any number of group columns, one SUM column, one
-  * COUNT(*)/COUNT(1) — over one CDF-enabled source. Anything else
-  * fails loudly at CREATE time, never silently at maintenance time.
+  * maintains — any number of group columns, any number of SUM
+  * columns, one COUNT(*)/COUNT(1) — over one CDF-enabled source.
+  * Anything else fails loudly at CREATE time, never silently at
+  * maintenance time.
   */
 object MaterializedViewSql {
 
@@ -124,8 +125,7 @@ object MaterializedViewSql {
         val (srcDb, srcTable) = dbTable(src.mkString("."), "source table")
         val groupCols = groupExprs.map(e => attr(e).getOrElse(fail(
           s"GROUP BY supports plain columns only, got $e")))
-        var valCol: Option[String] = None
-        var sumAlias: Option[String] = None
+        val sums = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
         var cntAlias: Option[String] = None
         aggExprs.foreach {
           case e if attr(e).isDefined =>
@@ -133,12 +133,11 @@ object MaterializedViewSql {
               fail(s"non-aggregate column ${attr(e).get} not in GROUP BY")
           case Alias(UnresolvedFunction(Seq(fn), args, _, _, _, _, _), name)
               if fn.equalsIgnoreCase("sum") =>
-            if (sumAlias.isDefined) fail("exactly one SUM column supported")
-            valCol = args match {
-              case Seq(a: UnresolvedAttribute) => Some(a.name)
+            val v = args match {
+              case Seq(a: UnresolvedAttribute) => a.name
               case other => fail(s"SUM argument must be a plain column, got $other")
             }
-            sumAlias = Some(name)
+            sums += (v -> name)
           case Alias(UnresolvedFunction(Seq(fn), args, _, _, _, _, _), name)
               if fn.equalsIgnoreCase("count") =>
             args match {
@@ -149,11 +148,14 @@ object MaterializedViewSql {
             cntAlias = Some(name)
           case other => fail(
             s"unsupported select item $other — the maintainable shape is " +
-              "group columns + SUM(col) AS <alias> + COUNT(*) AS <alias>")
+              "group columns + SUM(col) AS <alias> (any number) + " +
+              "COUNT(*) AS <alias>")
         }
+        if (sums.isEmpty) fail("a SUM(col) AS <alias> item is required")
+        if (sums.map(_._2).distinct.size != sums.size)
+          fail("SUM aliases must be distinct")
         CreateMaterializedViewCommand(db, mv, srcDb, srcTable, groupCols,
-          valCol.getOrElse(fail("a SUM(col) AS <alias> item is required")),
-          sumAlias.get,
+          sums.toSeq,
           cntAlias.getOrElse(fail("a COUNT(*) AS <alias> item is required")),
           options)
       case other => fail(
@@ -163,8 +165,8 @@ object MaterializedViewSql {
 
   private[plans] def startView(session: SparkSession, db: String, mv: String,
                                srcDb: String, srcTable: String,
-                               groupCols: Seq[String], valCol: String,
-                               sumAlias: String, cntAlias: String,
+                               groupCols: Seq[String],
+                               sums: Seq[(String, String)], cntAlias: String,
                                options: Map[String, String]): Unit = {
     if (running.contains(key(db, mv)))
       fail(s"materialized view $db.$mv is already running — DROP it first")
@@ -180,7 +182,7 @@ object MaterializedViewSql {
       s"${TieredCatalog.warehouse}/$db/$mv")
     val state = TieredTable(session, statePath)
     val view = new MaterializedView(source, state, entry.pk, groupCols,
-      valCol, sumAlias, cntAlias)
+      sums.head._1, sums.head._2, cntAlias, extraSums = sums.tail)
     val checkpoint = options.getOrElse("checkpoint", s"$statePath/_checkpoint")
     val intervalMs = options.get("interval").map(_.toLong).getOrElse(1000L)
     val q = view.startStream(checkpoint, intervalMs)
@@ -200,12 +202,13 @@ object MaterializedViewSql {
   * RunnableCommand, so `spark.sql(...)` runs it eagerly like any DDL.
   */
 case class CreateMaterializedViewCommand(db: String, mv: String,
-    srcDb: String, srcTable: String, groupCols: Seq[String], valCol: String,
-    sumAlias: String, cntAlias: String, options: Map[String, String])
+    srcDb: String, srcTable: String, groupCols: Seq[String],
+    sums: Seq[(String, String)], cntAlias: String,
+    options: Map[String, String])
   extends LeafRunnableCommand {
   override def run(session: SparkSession): Seq[Row] = {
     MaterializedViewSql.startView(session, db, mv, srcDb, srcTable,
-      groupCols, valCol, sumAlias, cntAlias, options)
+      groupCols, sums, cntAlias, options)
     Seq.empty
   }
 }

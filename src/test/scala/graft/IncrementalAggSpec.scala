@@ -120,6 +120,40 @@ class IncrementalAggSpec extends AnyFunSuite with SparkSpec {
     assert(mv.refresh())
   }
 
+  test("multi-sum state equals a multi-sum rebuild across randomized rounds") {
+    val rnd = new scala.util.Random(23)
+    val dir = Files.createTempDirectory("graft-ivm-multi").toString
+    val t = TieredTable(spark, s"$dir/t", pk = Seq("k"))
+    val sums = Seq("v" -> "sum_v", "w" -> "sum_w")
+    def rows(ks: Seq[Int]) = ks.map(k =>
+      (k, s"g${k % 3}", rnd.between(-50L, 50L), rnd.between(0L, 9L)))
+      .toDF("k", "g", "v", "w")
+    def rebuiltMulti() =
+      IncrementalAgg.rebuildMulti(t.readCold(), Seq("g"), sums, "n_rows")
+        .orderBy("g").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSeq
+    t.commitUpsert(rows(1 to 30))
+    val (c0, boot) = t.changelogSince(0L, Seq("k"))
+    var cursor = c0
+    var state = IncrementalAgg.applyDeltaMulti(
+      IncrementalAgg.rebuildMulti(boot.limit(0), Seq("g"), sums, "n_rows"),
+      boot, Seq("g"), sums, "n_rows").localCheckpoint(true)
+    for (_ <- 1 to 4) {
+      t.commitUpsert(rows(rnd.shuffle((1 to 45).toList).take(12)))
+      if (rnd.nextBoolean()) t.deleteWhere(col("k") % 7 === 3)
+      val (to, delta) = t.changelogSince(cursor, Seq("k"))
+      state = IncrementalAgg.applyDeltaMulti(state, delta, Seq("g"), sums,
+        "n_rows").localCheckpoint(true)
+      cursor = to
+      val maintained = state.orderBy("g").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSeq
+      assert(maintained == rebuiltMulti(),
+        "both maintained sums must equal a from-scratch rebuild")
+    }
+  }
+
   test("a fully retracted group drops out of the state") {
     val state = Seq(("a", 10L, 2L), ("b", 5L, 1L)).toDF("g", "sum_v", "n_rows")
     val delta = Seq(("-D", "b", 5L), ("+I", "c", 7L)).toDF("op", "g", "v")

@@ -179,6 +179,24 @@ class SqlSurfaceSpec extends AnyFunSuite with SparkSpec {
       "restart must resume the checkpoint cursor — no loss, no double count")
     spark.sql("DROP MATERIALIZED VIEW graft.mvdb.rev")
 
+    // multiple SUM columns ride the same maintenance step
+    val multiSrc = TieredTable(spark, s"$dir/msrc", changeDataFeed = true)
+    graft.plans.TieredCatalog.register("mvdb", "msrc", s"$dir/msrc",
+      changeDataFeed = true)
+    multiSrc.commitAppend(Seq(("a", 10L, 1L), ("a", 5L, 2L), ("b", 3L, 4L))
+      .toDF("k", "v", "w"))
+    spark.sql(
+      s"""CREATE MATERIALIZED VIEW graft.mvdb.multi
+         |OPTIONS('path'='$dir/multi', 'checkpoint'='$dir/mckpt')
+         |AS SELECT k, SUM(v) AS sum_v, SUM(w) AS sum_w, COUNT(*) AS cnt
+         |FROM graft.mvdb.msrc GROUP BY k""".stripMargin)
+    graft.plans.MaterializedViewSql.query("mvdb", "multi").get
+      .processAllAvailable()
+    assert(spark.sql("SELECT k, sum_v, sum_w, cnt FROM graft.mvdb.multi")
+      .as[(String, Long, Long, Long)].collect().toSet ==
+      Set(("a", 15L, 3L, 2L), ("b", 3L, 4L, 1L)))
+    spark.sql("DROP MATERIALIZED VIEW graft.mvdb.multi")
+
     // unsupported shapes are refused at CREATE time, loudly
     val e1 = intercept[org.apache.spark.sql.AnalysisException](spark.sql(
       """CREATE MATERIALIZED VIEW graft.mvdb.bad AS
