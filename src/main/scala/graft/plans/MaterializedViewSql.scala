@@ -91,7 +91,20 @@ object MaterializedViewSql {
       case Create(name, opts, select) =>
         val (db, mv) = dbTable(name, "view name")
         val options = Option(opts).map { o =>
-          Opt.findAllMatchIn(o).map(m => m.group(1) -> m.group(2)).toMap
+          // refuse-loudly, not skip-silently: a malformed pair (e.g.
+          // unquoted keys) or an unknown key silently falling back to
+          // defaults would repoint state/checkpoint without a word
+          val leftover = Opt.replaceAllIn(o, "").replaceAll("[\\s,]+", "")
+          if (leftover.nonEmpty)
+            fail(s"malformed OPTIONS near '$leftover' — the form is " +
+              "OPTIONS('key'='value', …) with single-quoted keys and values")
+          val pairs =
+            Opt.findAllMatchIn(o).map(m => m.group(1) -> m.group(2)).toMap
+          val unknown = pairs.keySet -- Set("path", "checkpoint", "interval")
+          if (unknown.nonEmpty)
+            fail(s"unknown option(s) ${unknown.mkString(", ")} — " +
+              "supported: path, checkpoint, interval")
+          pairs
         }.getOrElse(Map.empty)
         Some(fromSelect(db, mv, options, delegate.parseQuery(select)))
       case Drop(name) =>

@@ -46,11 +46,19 @@ object FileStats {
 
   /** Path of `p` relative to root `dir`, scheme-independent: both are
     * reduced to their URI path components first (a `graftos://` root
-    * and its files share the authority).
+    * and its files share the authority). When the root is NOT a
+    * literal prefix (a RELATIVE local table path vs an absolute
+    * input_file_name URI), fall back to filesystem normalization —
+    * which either produces the right key or fails loudly; a silently
+    * wrong key would disable sidecar pruning without a trace.
     */
   private def relTo(dir: String, p: String): String = {
     val dp = uriPath(dir).stripSuffix("/")
-    uriPath(p).stripPrefix(dp).stripPrefix("/")
+    val pp = uriPath(p)
+    if (pp.startsWith(dp + "/")) pp.drop(dp.length + 1)
+    else java.nio.file.Paths.get(dp).toAbsolutePath.normalize
+      .relativize(java.nio.file.Paths.get(pp).toAbsolutePath.normalize)
+      .toString
   }
 
   /** Last skip decision per table name — observability for specs and

@@ -171,7 +171,8 @@ class GraftObjectFileSystem extends FileSystem {
                       bufferSize: Int, replication: Short, blockSize: Long,
                       progress: Progressable): FSDataOutputStream = {
     val key = keyOf(f)
-    if (!overwrite && getBytes(key).isDefined)
+    // existence probe via the metadata listing, not a full-body GET
+    if (!overwrite && listKeys(key).exists(_._1 == key))
       throw new IOException(s"$f already exists")
     val buf = new ByteArrayOutputStream() {
       private var closed = false

@@ -137,7 +137,7 @@ class TieredTable(spark: SparkSession, rawTablePath: String,
 
   case class Snapshot(id: Long, op: String, rowsAdded: Long,
                       tieredSeg: Long, files: Seq[String], committedAt: Long,
-                      tag: String = "") {
+                      tag: String = "", changeDir: String = "") {
     /** Parent snapshot id (None for the first commit) — ids are assigned
       * sequentially, so lineage survives even after the parent's
       * manifest is vacuumed.
@@ -178,7 +178,8 @@ class TieredTable(spark: SparkSession, rawTablePath: String,
       Snapshot(kv("id").toLong, kv("op"), kv("rowsAdded").toLong,
         kv("tieredSeg").toLong,
         kv.get("files").filter(_.nonEmpty).map(_.split(",").toSeq).getOrElse(Nil),
-        kv("committedAt").toLong, kv.getOrElse("tag", ""))
+        kv("committedAt").toLong, kv.getOrElse("tag", ""),
+        kv.getOrElse("changeDir", ""))
     }
 
   def currentSnapshot: Option[Snapshot] = snapshot(latestSnapshotId)
@@ -217,6 +218,18 @@ class TieredTable(spark: SparkSession, rawTablePath: String,
               s"append-lineage commits only; '${s.op}' rewrote the file " +
               "list and a rowwise diff needs a primary key")
       }
+    // CDF publication protocol (crash-safe on stores with NO atomic
+    // rename): (1) finish any predecessor's interrupted publication,
+    // (2) write this commit's delta FULLY to an invisible tmp dir,
+    // (3) the manifest body NAMES the tmp's uuid, (4) after the CAS +
+    // LATEST swap, finalize tmp → changes/snap-N (atomic rename
+    // locally; name-stable per-object copy remotely, so a crashed
+    // finalize re-runs to convergence via the recovery sweep — no
+    // partial delta is ever permanent, no committed delta is ever
+    // lost). A CAS loser deletes its own tmp.
+    if (changeDataFeed) recoverChangeDeltas()
+    val cdfPrep: Option[(String, String)] =
+      if (changeDataFeed) prepareChangeDelta(s) else None
     val body =
       s"""id=${s.id}
          |op=${s.op}
@@ -225,13 +238,16 @@ class TieredTable(spark: SparkSession, rawTablePath: String,
          |files=${s.files.mkString(",")}
          |committedAt=${s.committedAt}
          |tag=${s.tag}
+         |changeDir=${cdfPrep.map(_._2).getOrElse("")}
          |""".stripMargin
-    if (!meta.putIfAbsent(manifestKey(s.id), body))
+    if (!meta.putIfAbsent(manifestKey(s.id), body)) {
+      cdfPrep.foreach { case (tmp, _) => fs.deleteRecursively(tmp) }
       throw new TieredTable.CommitConflictException(
         s"snapshot ${s.id} of $tablePath was claimed by a concurrent " +
           "committer — reload table state and retry the commit")
+    }
     meta.put("LATEST", s.id.toString)
-    if (changeDataFeed) writeChangeFeed(s)
+    cdfPrep.foreach { case (tmp, _) => finalizeChangeDelta(s.id, tmp) }
     // opt-in continuous interop: every commit refreshes the exported
     // Iceberg metadata, the reference's tiering-service behavior (the
     // Iceberg tier is always externally readable, README.md:257-292).
@@ -261,51 +277,95 @@ class TieredTable(spark: SparkSession, rawTablePath: String,
     * [[commitManifest]] needs only op + file lineage) — no snapshot is
     * created, so the feed never has a committed-but-undiffable gap.
     *
-    * Atomicity: the delta lands in a temp dir, then one atomic rename
-    * publishes it — the file stream sees the whole change file set of
-    * a commit or none of it.
+    * Durability: the delta is FULLY written to an invisible tmp dir
+    * BEFORE the manifest CAS, the manifest names the tmp's uuid, and
+    * publication happens after the LATEST swap — one atomic rename
+    * locally (whole set or none), a name-stable per-object copy
+    * remotely whose crash is repaired to convergence by
+    * [[recoverChangeDeltas]]. No partial delta is ever permanent and
+    * no committed delta is ever lost.
     */
-  private def writeChangeFeed(s: Snapshot): Unit = {
-    if (s.op == "compact" || s.op == "zorder") return // content-identical
+  private def changeDelta(s: Snapshot): Option[DataFrame] = {
+    if (s.op == "compact" || s.op == "zorder") return None // content-identical
     val from = s.id - 1
-    val delta: Option[DataFrame] =
-      if (from == 0L)
-        Some(readColdAsOf(s.id).withColumn("op", lit("+I")))
-      else if (pk.nonEmpty)
-        Some(incrementalRead(from, s.id, pk))
-      else snapshot(from) match {
-        case Some(a) if a.files.toSet.subsetOf(s.files.toSet) =>
-          val newFiles = s.files.filterNot(a.files.toSet)
-          if (newFiles.isEmpty) None
-          else Some(readParquet(newFiles).withColumn("op", lit("+I")))
-        case _ => throw new IllegalStateException(
-          s"change-data-feed on keyless table $tablePath supports " +
-            s"append-lineage commits only; '${s.op}' rewrote the file " +
-            "list and a rowwise diff needs a primary key")
-      }
-    delta.foreach { d =>
-      val target = s"$changesDir/snap-${"%06d".format(s.id)}"
-      if (remote) {
-        // No atomic dir rename on an object store: write straight to
-        // the final prefix. Files become visible per-object, so a
-        // streaming consumer may see one commit's change files across
-        // two adjacent micro-batches — row-level exactly-once holds
-        // (each file is delivered once; the delta algebra is additive),
-        // only the all-files-in-one-batch grouping weakens. The
-        // sidecar lands after the data files.
-        d.write.mode("overwrite").parquet(target)
-        fs.writeString(s"$target/_COLUMNS", d.columns.mkString(","))
-      } else {
-        val tmp = s"$changesDir/_tmp-snap-${"%06d".format(s.id)}"
-        d.write.mode("overwrite").parquet(tmp)
-        // column-set sidecar, committed atomically WITH the change
-        // files: the rename guard in [[readStreamChanges]] reads this
-        // one-line file instead of opening parquet footers
-        // (underscore-prefixed → invisible to the file stream, like
-        // _SUCCESS)
-        fs.writeString(s"$tmp/_COLUMNS", d.columns.mkString(","))
-        fs.move(tmp, target)
-      }
+    if (from == 0L)
+      Some(readColdOf(s).withColumn("op", lit("+I")))
+    else if (pk.nonEmpty)
+      Some(incrementalReadOf(snapshot(from).getOrElse(
+        throw new IllegalStateException(
+          s"parent snapshot $from of $tablePath is unreadable")), s, pk))
+    else snapshot(from) match {
+      case Some(a) if a.files.toSet.subsetOf(s.files.toSet) =>
+        val newFiles = s.files.filterNot(a.files.toSet)
+        if (newFiles.isEmpty) None
+        else Some(readParquet(newFiles).withColumn("op", lit("+I")))
+      case _ => throw new IllegalStateException(
+        "unreachable: keyless non-append lineage is refused by the " +
+          "pre-publish guard in commitManifest")
+    }
+  }
+
+  /** Write snapshot `s`'s delta FULLY to an invisible tmp dir (step 2
+    * of the publication protocol); returns (tmpPath, uuid), None when
+    * the commit produces no change file. The `_COLUMNS` sidecar rides
+    * inside — tmp is complete before anything publishes.
+    */
+  private def prepareChangeDelta(s: Snapshot): Option[(String, String)] =
+    changeDelta(s).map { d =>
+      val uuid = java.util.UUID.randomUUID().toString
+      val tmp = s"$changesDir/_tmp-snap-${"%06d".format(s.id)}-$uuid"
+      d.write.mode("overwrite").parquet(tmp)
+      fs.writeString(s"$tmp/_COLUMNS", d.columns.mkString(","))
+      (tmp, uuid)
+    }
+
+  /** Step 4: tmp → `changes/snap-N`. Local: one atomic rename (the
+    * stream sees all files or none). Remote: per-object copy with
+    * names preserved, parquet first and `_COLUMNS` last, then the tmp
+    * is deleted — idempotent under re-run, which is what lets the
+    * recovery sweep converge a crashed finalize instead of leaving a
+    * permanently partial delta.
+    */
+  private def finalizeChangeDelta(id: Long, tmp: String): Unit = {
+    val target = s"$changesDir/snap-${"%06d".format(id)}"
+    if (!remote) {
+      if (fs.exists(target)) fs.deleteRecursively(tmp) // already final
+      else fs.move(tmp, target)
+    } else {
+      val entries = fs.listFiles(tmp)
+        .map { case (path, _) => path.split('/').last }
+        .filterNot(n => n.startsWith(".") || n == "_SUCCESS")
+      def copy(name: String): Unit =
+        fs.readBytes(s"$tmp/$name")
+          .foreach(fs.writeBytes(s"$target/$name", _))
+      entries.filter(_.endsWith(".parquet")).sorted.foreach(copy)
+      entries.filter(_ == "_COLUMNS").foreach(copy)
+      fs.deleteRecursively(tmp)
+      ()
+    }
+  }
+
+  /** Step 1 / the repair path: finish or discard `_tmp-snap-N-<uuid>`
+    * dirs. A tmp whose uuid the COMMITTED manifest names is a crashed
+    * finalize — finish it (copy is name-stable, so this converges);
+    * one a committed manifest does NOT name is CAS-loser debris —
+    * deleted; one above `LATEST` may be in flight — left alone.
+    */
+  private def recoverChangeDeltas(): Unit = {
+    val tmpRe = """_tmp-snap-(\d{6})-(.+)""".r
+    val latest = latestSnapshotId
+    fs.listNames(changesDir).foreach {
+      case d @ tmpRe(num, uuid) =>
+        val id = num.toLong
+        snapshot(id) match {
+          case Some(snap) if snap.changeDir == uuid =>
+            finalizeChangeDelta(id, s"$changesDir/$d")
+          case Some(_) => fs.deleteRecursively(s"$changesDir/$d")
+          case None if id <= latest =>
+            fs.deleteRecursively(s"$changesDir/$d") // vacuumed/lost
+          case None => // above LATEST: possibly in flight — leave
+        }
+      case _ =>
     }
   }
 
@@ -320,6 +380,9 @@ class TieredTable(spark: SparkSession, rawTablePath: String,
                         maxFilesPerTrigger: Int = 64): DataFrame = {
     require(changeDataFeed,
       s"table $tablePath was not created with changeDataFeed = true")
+    // finish any interrupted change publication before a consumer
+    // starts listing — the crashed-finalize repair path
+    withCommitLock(recoverChangeDeltas())
     // Rename guard: the file stream matches columns BY NAME, so change
     // files committed BEFORE a rename would surface NULL under the new
     // name — silent data loss for a bootstrapping consumer. Refuse
@@ -369,10 +432,18 @@ class TieredTable(spark: SparkSession, rawTablePath: String,
     * PUT) is what makes a segment visible all-or-nothing.
     */
   def logSegments: Seq[Long] =
-    fs.listNames(logDir)
-      .filter(_.startsWith("seg-")).map(_.stripPrefix("seg-").toLong)
-      .filter(s => !remote || fs.exists(s"${segPath(s)}/_SEG"))
-      .sorted
+    if (!remote)
+      fs.listNames(logDir)
+        .filter(_.startsWith("seg-")).map(_.stripPrefix("seg-").toLong)
+        .sorted
+    else {
+      // ONE prefix listing serves both the names and the markers — a
+      // per-segment exists() probe would cost 1+S round trips per read
+      val segRe = """.*/seg-(\d{6})/_SEG""".r
+      fs.listFiles(logDir).map(_._1).collect {
+        case segRe(num) => num.toLong
+      }.sorted
+    }
 
   /** Segment id already committed under `tag`, if any (idempotence for
     * streaming replays: the tag rides inside the segment dir and
@@ -413,7 +484,9 @@ class TieredTable(spark: SparkSession, rawTablePath: String,
       // therefore CLAIMED via the MetaStore conditional PUT (the same
       // primitive the manifest commit rides); the loser advances to
       // the next id. A claim whose writer died pre-marker leaves an
-      // id gap — harmless, every reader tolerates sparse segment ids.
+      // id gap (harmless — every reader tolerates sparse segment ids)
+      // and invisible data objects; [[gcOrphans]] reclaims both under
+      // its writer-quiet contract.
       var next = floor
       while (!meta.putIfAbsent(f"segclaim-$next%06d", "")) next += 1
       writeData(df, segPath(next))
@@ -1052,6 +1125,9 @@ class TieredTable(spark: SparkSession, rawTablePath: String,
     * touched. Returns entries removed.
     */
   def gcOrphans(): Int = withCommitLock {
+    // finish interrupted CDF publications FIRST: a tmp the committed
+    // manifest names is recoverable state, not debris
+    if (changeDataFeed) recoverChangeDeltas()
     val latest = latestSnapshotId
     val live = (1L to latest).flatMap(snapshot).flatMap(_.files)
       .map(p => p.stripSuffix("/").split('/').last).toSet
@@ -1060,12 +1136,28 @@ class TieredTable(spark: SparkSession, rawTablePath: String,
       .filter(_.startsWith("snap-")).filterNot(live)
       .foreach { d => fs.deleteRecursively(s"$dataDir/$d"); removed += 1 }
     // appendLog debris: local `_tmp-seg-*` dirs that died before their
-    // atomic rename; remote markerless `seg-*` prefixes never become
-    // visible and are overwritten by the next append of the same id
+    // atomic rename
     fs.listNames(logDir)
       .filter(_.startsWith("_tmp-seg-"))
       .foreach { d => fs.deleteRecursively(s"$logDir/$d"); removed += 1 }
-    // change-feed writes that died before their atomic rename
+    // remote appendLog debris: a writer that died between its segclaim
+    // and the _SEG marker left invisible data objects and a dead claim
+    // that no future append can reuse — reclaim both (writer-quiet
+    // contract: an in-flight append is indistinguishable from a dead
+    // one, same stance as the rest of this collector)
+    if (remote) {
+      val visible = logSegments.toSet
+      fs.listNames(logDir)
+        .filter(_.startsWith("seg-")).map(_.stripPrefix("seg-").toLong)
+        .filterNot(visible)
+        .foreach { sId =>
+          fs.deleteRecursively(segPath(sId))
+          meta.delete(f"segclaim-$sId%06d")
+          removed += 1
+        }
+    }
+    // change-feed tmp dirs recoverChangeDeltas left: unreferenced by
+    // any committed manifest (CAS losers, pre-claim deaths)
     fs.listNames(changesDir)
       .filter(_.startsWith("_tmp-snap-"))
       .foreach { d => fs.deleteRecursively(s"$changesDir/$d"); removed += 1 }
@@ -1273,10 +1365,16 @@ class TieredTable(spark: SparkSession, rawTablePath: String,
   def readColdAsOf(snapshotId: Long): DataFrame = snapshot(snapshotId) match {
     case None => throw new IllegalArgumentException(
       s"snapshot $snapshotId not found in $tablePath (vacuumed or never committed)")
-    case Some(s) =>
-      val raw = readParquet(s.files)
-      if (pk.isEmpty || !mergeOnRead) raw
-      else Upsert.latestByKey(raw, pk, Seq(col(SeqCol).desc)).drop(SeqCol)
+    case Some(s) => readColdOf(s)
+  }
+
+  /** [[readColdAsOf]] for a Snapshot IN HAND — what lets the change
+    * feed compute a commit's delta before its manifest publishes.
+    */
+  private def readColdOf(s: Snapshot): DataFrame = {
+    val raw = readParquet(s.files)
+    if (pk.isEmpty || !mergeOnRead) raw
+    else Upsert.latestByKey(raw, pk, Seq(col(SeqCol).desc)).drop(SeqCol)
   }
 
   /** CDC-style incremental read: the changelog taking snapshot `from`
@@ -1305,6 +1403,18 @@ class TieredTable(spark: SparkSession, rawTablePath: String,
     * re-embed) wants instead of re-reading the table.
     */
   def incrementalRead(from: Long, to: Long, keyCols: Seq[String]): DataFrame = {
+    def resolve(id: Long): Snapshot = snapshot(id).getOrElse(
+      throw new IllegalArgumentException(
+        s"snapshot $id not found in $tablePath (vacuumed or never committed)"))
+    incrementalReadOf(resolve(from), resolve(to), keyCols)
+  }
+
+  /** [[incrementalRead]] over Snapshots IN HAND — the `to` side need
+    * not be published yet (the change feed diffs a commit against its
+    * parent before the manifest CAS).
+    */
+  private def incrementalReadOf(sa: Snapshot, sb: Snapshot,
+                                keyCols: Seq[String]): DataFrame = {
     require(keyCols.nonEmpty, "incrementalRead needs key columns")
     // APPEND-ONLY FAST PATH: when the table has no primary key and
     // every `from` file survives unchanged into `to` (pure-append
@@ -1317,25 +1427,23 @@ class TieredTable(spark: SparkSession, rawTablePath: String,
     // re-reads the base. Key-level diff semantics (the -U/+U pair
     // machinery) apply only to keyed tables, where the join path below
     // remains in force.
-    val appendOnly: Option[Seq[String]] = (snapshot(from), snapshot(to)) match {
-      case (Some(sa), Some(sb)) if pk.isEmpty &&
-        sa.files.toSet.subsetOf(sb.files.toSet) =>
+    val appendOnly: Option[Seq[String]] =
+      if (pk.isEmpty && sa.files.toSet.subsetOf(sb.files.toSet))
         Some(sb.files.filterNot(sa.files.toSet))
-      case _ => None
-    }
+      else None
     appendOnly match {
       case Some(newFiles) =>
         return if (newFiles.isEmpty)
-          emptyLike(readColdAsOf(to).schema.add("op", StringType))
+          emptyLike(readColdOf(sb).schema.add("op", StringType))
         else readParquet(newFiles).withColumn("op", lit("+I"))
       case None =>
     }
-    val a = readColdAsOf(from)
-    val b = readColdAsOf(to)
+    val a = readColdOf(sa)
+    val b = readColdOf(sb)
     require(keyCols.forall(a.columns.contains),
-      s"key columns ${keyCols.mkString(",")} missing in snapshot $from")
+      s"key columns ${keyCols.mkString(",")} missing in snapshot ${sa.id}")
     require(keyCols.forall(b.columns.contains),
-      s"key columns ${keyCols.mkString(",")} missing in snapshot $to")
+      s"key columns ${keyCols.mkString(",")} missing in snapshot ${sb.id}")
     // row fingerprint over the columns both snapshots share, in a fixed
     // order. Each column is hashed SEPARATELY into a fixed-width 32-char
     // digest before the row-level hash: separator-based concat is

@@ -144,6 +144,27 @@ class ChangeFeedSpec extends AnyFunSuite with SparkSpec {
     assert(stream.isStreaming && stream.columns.contains("label"))
   }
 
+  test("a crashed change publication is repaired at the next consumer, never a permanent gap") {
+    import java.nio.file.Paths
+    val dir = Files.createTempDirectory("graft-cdf-crash").toString
+    val t = TieredTable(spark, s"$dir/t", changeDataFeed = true)
+    t.commitAppend(Seq((1L, "a")).toDF("id", "v"))            // snap 1
+    t.commitAppend(Seq((2L, "b"), (3L, "c")).toDF("id", "v")) // snap 2
+    val uuid = t.snapshot(2L).get.changeDir
+    assert(uuid.nonEmpty, "the manifest must name its change dir")
+    // reconstruct the crash state: manifest published, finalize never
+    // ran — the prepared tmp (complete by protocol) is still in place
+    val target = Paths.get(s"$dir/t/changes/snap-000002")
+    val tmp = Paths.get(s"$dir/t/changes/_tmp-snap-000002-$uuid")
+    Files.move(target, tmp)
+    // constructing a consumer triggers the repair sweep
+    t.readStreamChanges(t.readCold().schema)
+    assert(Files.exists(target) && !Files.exists(tmp),
+      "recovery must finalize the named tmp")
+    assert(spark.read.parquet(target.toString)
+      .select("id").as[Long].collect().sorted.toSeq == Seq(2L, 3L))
+  }
+
   test("a WAL-replayed micro-batch is a no-op (tag idempotence)") {
     val dir = Files.createTempDirectory("graft-cdf-replay").toString
     val src = TieredTable(spark, s"$dir/src", changeDataFeed = true)

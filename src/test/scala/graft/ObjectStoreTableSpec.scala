@@ -126,6 +126,57 @@ class ObjectStoreTableSpec extends AnyFunSuite with SparkSpec {
       "checkpointed consumer must see every change row exactly once")
   }
 
+  test("a crashed remote change finalize converges — no permanent partial delta") {
+    val (t, root) = freshTable(cdf = true)
+    t.commitAppend(Seq((1L, "a")).toDF("id", "v"))            // snap 1
+    t.commitAppend(Seq((2L, "b"), (3L, "c")).toDF("id", "v")) // snap 2
+    val uuid = t.snapshot(2L).get.changeDir
+    assert(uuid.nonEmpty)
+    val tfs = graft.storage.TableFs.forPath(root)
+    val target = s"$root/changes/snap-000002"
+    val tmp = s"$root/changes/_tmp-snap-000002-$uuid"
+    // reconstruct a PARTIAL finalize crash: the complete prepared tmp
+    // exists, only part of it was copied to the final prefix
+    tfs.listFiles(target).foreach { case (f, _) =>
+      val name = f.split('/').last
+      tfs.readBytes(f).foreach(tfs.writeBytes(s"$tmp/$name", _))
+    }
+    val parquets = tfs.listFiles(target).map(_._1).filter(_.endsWith(".parquet"))
+    tfs.deleteFile(parquets.head) // the un-copied remainder
+    assert(tfs.listFiles(target).count(_._1.endsWith(".parquet")) ==
+      parquets.size - 1)
+    // the repair sweep converges the copy by name and retires the tmp
+    t.readStreamChanges(t.readCold().schema)
+    assert(tfs.listFiles(target).count(_._1.endsWith(".parquet")) ==
+      parquets.size, "recovery must complete the interrupted copy")
+    assert(!tfs.exists(tmp))
+    assert(spark.read.parquet(target)
+      .select("id").as[Long].collect().sorted.toSeq == Seq(2L, 3L),
+      "the full delta must be readable after repair")
+  }
+
+  test("gcOrphans reclaims markerless remote segments and their dead claims") {
+    import graft.storage.HttpMetaStore
+    val bucket = ObjectStoreStub.freshBucketUrl()
+    val root = bucket.replaceFirst("^http://", "graftos://") + "/t"
+    val t = TieredTable(spark, root)
+    t.appendLog(Seq((1L, "a")).toDF("id", "v"))
+    // reconstruct an append that died between claim and marker: data
+    // objects exist under seg-1, the claim is taken, no _SEG
+    val foreignMeta = new HttpMetaStore(s"$bucket/t/meta")
+    assert(foreignMeta.putIfAbsent("segclaim-000001", ""))
+    val tfs = graft.storage.TableFs.forPath(root)
+    tfs.writeBytes(s"$root/log/seg-000001/part-dead.parquet", Array[Byte](1, 2))
+    assert(t.logSegments == Seq(0L), "markerless prefix must stay invisible")
+    assert(t.gcOrphans() > 0)
+    assert(!tfs.exists(s"$root/log/seg-000001"),
+      "gcOrphans must reclaim the invisible data objects")
+    assert(foreignMeta.get("segclaim-000001").isEmpty,
+      "gcOrphans must free the dead claim")
+    // the freed id is reusable again
+    assert(t.appendLog(Seq((2L, "b")).toDF("id", "v")) == 1L)
+  }
+
   test("PK upsert, merge-on-read resolution, vacuum, and Iceberg export run fully in the bucket") {
     val base = ObjectStoreStub.freshBucketFsUrl() + "/pk"
     val t = TieredTable(spark, base, pk = Seq("id"), mergeOnRead = true)
