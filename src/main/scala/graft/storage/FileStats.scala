@@ -56,9 +56,17 @@ object FileStats {
     val dp = uriPath(dir).stripSuffix("/")
     val pp = uriPath(p)
     if (pp.startsWith(dp + "/")) pp.drop(dp.length + 1)
-    else java.nio.file.Paths.get(dp).toAbsolutePath.normalize
-      .relativize(java.nio.file.Paths.get(pp).toAbsolutePath.normalize)
-      .toString
+    else {
+      // toRealPath resolves symlinks (a /tmp → /private/tmp style
+      // divergence between the given table path and the canonicalized
+      // input_file_name would otherwise relativize into a ../-key
+      // that matches nothing and silently disables pruning)
+      def real(x: String): java.nio.file.Path = {
+        val p0 = java.nio.file.Paths.get(x).toAbsolutePath.normalize
+        try p0.toRealPath() catch { case _: java.io.IOException => p0 }
+      }
+      real(dp).relativize(real(pp)).toString
+    }
   }
 
   /** Last skip decision per table name — observability for specs and

@@ -25,6 +25,9 @@ import org.apache.hadoop.util.Progressable
   *  - `DELETE /k`         → remove object
   *  - `GET /k?list`       → `size TAB mtimeMillis TAB key` lines for
   *                          the exact key and every key under `k/`
+  *  - `PUT /k` + `x-copy-source: /src` → server-side object copy (the
+  *                          S3 CopyObject shape — no bytes transit the
+  *                          client)
   *
   * Rename-free by philosophy: an object store HAS no atomic rename, so
   * [[rename]] is the S3A-style client-side copy+delete — present only
@@ -221,6 +224,21 @@ class GraftObjectFileSystem extends FileSystem {
   }
 
   override def mkdirs(f: Path, permission: FsPermission): Boolean = true
+
+  /** Server-side object copy (S3 CopyObject shape): the store
+    * duplicates `src` into `dst` without the bytes transiting this
+    * client — what keeps commit-path promotions (change-delta
+    * finalize) off the driver's memory and bandwidth.
+    */
+  def copyObject(src: Path, dst: Path): Unit = {
+    val r = send(HttpRequest.newBuilder(uriFor(keyOf(dst))).timeout(Timeout)
+      .header("x-copy-source", "/" + keyOf(src))
+      .PUT(HttpRequest.BodyPublishers.noBody()).build(),
+      HttpResponse.BodyHandlers.discarding())
+    if (r.statusCode() != 200 && r.statusCode() != 201)
+      throw new IOException(
+        s"COPY ${keyOf(src)} -> ${keyOf(dst)} returned ${r.statusCode()}")
+  }
 }
 
 object GraftObjectFileSystem {

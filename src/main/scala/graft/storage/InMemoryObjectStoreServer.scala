@@ -11,7 +11,9 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer}
   * consume — S3-style semantics over real sockets: GET / PUT /
   * conditional PUT (`If-None-Match: *`, arbitrated server-side by one
   * ConcurrentHashMap.putIfAbsent) / DELETE / prefix LIST (`?list` →
-  * `size TAB mtime TAB key` lines). Objects are bytes with an mtime.
+  * `size TAB mtime TAB key` lines) / server-side copy (PUT with
+  * `x-copy-source`, the S3 CopyObject shape). Objects are bytes with
+  * an mtime.
   *
   * This is demo/test INFRASTRUCTURE (the MinIO stand-in —
   * /root/reference/fluss-iceberg/docker-compose.yml:139-155), not a
@@ -70,6 +72,17 @@ class InMemoryObjectStoreServer {
         case "GET" =>
           Option(objects.get(key)) match {
             case Some(o) => respond(ex, 200, o.bytes)
+            case None => respond(ex, 404)
+          }
+        case "PUT"
+            if ex.getRequestHeaders.getFirst("x-copy-source") != null =>
+          // server-side copy (the S3 CopyObject shape)
+          val src = ex.getRequestHeaders.getFirst("x-copy-source")
+            .stripPrefix("/").split("/", -1).map(decode).mkString("/")
+          Option(objects.get(src)) match {
+            case Some(o) =>
+              objects.put(key, Obj(o.bytes, System.currentTimeMillis()))
+              respond(ex, 200)
             case None => respond(ex, 404)
           }
         case "PUT" =>

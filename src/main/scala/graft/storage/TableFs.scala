@@ -31,6 +31,12 @@ private[graft] trait TableFs {
     * atomicity and use marker objects instead.
     */
   def move(src: String, dst: String): Unit
+  /** Duplicate one file. Never buffers whole objects in memory:
+    * local = filesystem copy, remote = server-side object copy where
+    * the store supports it ([[GraftObjectFileSystem.copyObject]]),
+    * else a bounded-buffer stream copy.
+    */
+  def copy(src: String, dst: String): Unit
   /** Remove a file or a whole tree; false = nothing existed. */
   def deleteRecursively(path: String): Boolean
   def deleteFile(path: String): Unit
@@ -75,6 +81,9 @@ private[graft] object LocalTableFs extends TableFs {
     Files.write(Paths.get(path), body)
   override def move(src: String, dst: String): Unit =
     Files.move(Paths.get(src), Paths.get(dst), StandardCopyOption.ATOMIC_MOVE)
+  override def copy(src: String, dst: String): Unit =
+    Files.copy(Paths.get(src), Paths.get(dst),
+      StandardCopyOption.REPLACE_EXISTING)
   override def deleteRecursively(path: String): Boolean = {
     val p = Paths.get(path)
     if (!Files.exists(p)) return false
@@ -140,6 +149,14 @@ private[graft] class HadoopTableFs(conf: Configuration) extends TableFs {
   override def move(src: String, dst: String): Unit =
     if (!fsOf(src).rename(new HPath(src), new HPath(dst)))
       throw new java.io.IOException(s"rename $src -> $dst failed")
+  override def copy(src: String, dst: String): Unit = fsOf(src) match {
+    case g: GraftObjectFileSystem => g.copyObject(new HPath(src), new HPath(dst))
+    case fs =>
+      val in = fs.open(new HPath(src))
+      val out = fs.create(new HPath(dst), true)
+      try org.apache.hadoop.io.IOUtils.copyBytes(in, out, 8192, false)
+      finally { in.close(); out.close() }
+  }
   override def deleteRecursively(path: String): Boolean =
     fsOf(path).delete(new HPath(path), true)
   override def deleteFile(path: String): Unit = {

@@ -330,16 +330,25 @@ class TieredTable(spark: SparkSession, rawTablePath: String,
     val target = s"$changesDir/snap-${"%06d".format(id)}"
     if (!remote) {
       if (fs.exists(target)) fs.deleteRecursively(tmp) // already final
-      else fs.move(tmp, target)
+      else
+        try fs.move(tmp, target)
+        catch {
+          // cross-PROCESS finalize race (a consumer's recovery sweep
+          // vs the live committer): losing the rename is success —
+          // the other side published the same content
+          case e: java.nio.file.FileSystemException =>
+            if (!fs.exists(target)) throw e
+            fs.deleteRecursively(tmp)
+            ()
+        }
     } else {
       val entries = fs.listFiles(tmp)
         .map { case (path, _) => path.split('/').last }
         .filterNot(n => n.startsWith(".") || n == "_SUCCESS")
-      def copy(name: String): Unit =
-        fs.readBytes(s"$tmp/$name")
-          .foreach(fs.writeBytes(s"$target/$name", _))
-      entries.filter(_.endsWith(".parquet")).sorted.foreach(copy)
-      entries.filter(_ == "_COLUMNS").foreach(copy)
+      entries.filter(_.endsWith(".parquet")).sorted
+        .foreach(n => fs.copy(s"$tmp/$n", s"$target/$n"))
+      entries.filter(_ == "_COLUMNS")
+        .foreach(n => fs.copy(s"$tmp/$n", s"$target/$n"))
       fs.deleteRecursively(tmp)
       ()
     }
@@ -351,19 +360,34 @@ class TieredTable(spark: SparkSession, rawTablePath: String,
     * one a committed manifest does NOT name is CAS-loser debris —
     * deleted; one above `LATEST` may be in flight — left alone.
     */
+  private[storage] val ChangeTmpRe = """_tmp-snap-(\d{6})-(.+)""".r
+
+  /** snapshot(id), absorbing the claimed-but-empty crash window a died
+    * LocalFsMetaStore putIfAbsent leaves: an unparseable manifest reads
+    * as None here (the claim itself stays for gcOrphans / the
+    * operator) instead of wedging every recovery-sweep caller.
+    */
+  private def snapshotIfReadable(id: Long): Option[Snapshot] =
+    try snapshot(id)
+    catch { case scala.util.control.NonFatal(_) => None }
+
   private def recoverChangeDeltas(): Unit = {
-    val tmpRe = """_tmp-snap-(\d{6})-(.+)""".r
     val latest = latestSnapshotId
     fs.listNames(changesDir).foreach {
-      case d @ tmpRe(num, uuid) =>
+      case d @ ChangeTmpRe(num, uuid) =>
         val id = num.toLong
-        snapshot(id) match {
-          case Some(snap) if snap.changeDir == uuid =>
+        snapshotIfReadable(id) match {
+          case Some(snap) if snap.changeDir == uuid && id <= latest =>
             finalizeChangeDelta(id, s"$changesDir/$d")
-          case Some(_) => fs.deleteRecursively(s"$changesDir/$d")
+          case Some(_) if id <= latest =>
+            fs.deleteRecursively(s"$changesDir/$d") // CAS-loser debris
           case None if id <= latest =>
             fs.deleteRecursively(s"$changesDir/$d") // vacuumed/lost
-          case None => // above LATEST: possibly in flight — leave
+          case _ =>
+            // above LATEST: an in-flight commit, or the claimed-but-
+            // never-swapped "commit state unknown" window — both are
+            // the operator's call (the gcOrphans stance); leave the
+            // tmp so a resolved commit keeps its recoverable delta
         }
       case _ =>
     }
@@ -1126,8 +1150,11 @@ class TieredTable(spark: SparkSession, rawTablePath: String,
     */
   def gcOrphans(): Int = withCommitLock {
     // finish interrupted CDF publications FIRST: a tmp the committed
-    // manifest names is recoverable state, not debris
-    if (changeDataFeed) recoverChangeDeltas()
+    // manifest names is recoverable state, not debris. Unconditional —
+    // the sweep needs only listings and manifests, and a maintenance
+    // handle opened WITHOUT changeDataFeed=true must not demote a
+    // recoverable delta to debris
+    recoverChangeDeltas()
     val latest = latestSnapshotId
     val live = (1L to latest).flatMap(snapshot).flatMap(_.files)
       .map(p => p.stripSuffix("/").split('/').last).toSet
@@ -1141,26 +1168,54 @@ class TieredTable(spark: SparkSession, rawTablePath: String,
       .filter(_.startsWith("_tmp-seg-"))
       .foreach { d => fs.deleteRecursively(s"$logDir/$d"); removed += 1 }
     // remote appendLog debris: a writer that died between its segclaim
-    // and the _SEG marker left invisible data objects and a dead claim
-    // that no future append can reuse — reclaim both (writer-quiet
-    // contract: an in-flight append is indistinguishable from a dead
-    // one, same stance as the rest of this collector)
+    // and the _SEG marker left a dead claim no future append can reuse
+    // — and possibly invisible data objects. Reclaim both (writer-
+    // quiet contract: an in-flight append is indistinguishable from a
+    // dead one, same stance as the rest of this collector). Claims are
+    // allocated densely from the floor, so walking the id range until
+    // both the claims AND the visible segments run out covers the
+    // died-before-first-PUT case that a prefix listing cannot see.
     if (remote) {
       val visible = logSegments.toSet
       fs.listNames(logDir)
         .filter(_.startsWith("seg-")).map(_.stripPrefix("seg-").toLong)
         .filterNot(visible)
-        .foreach { sId =>
-          fs.deleteRecursively(segPath(sId))
-          meta.delete(f"segclaim-$sId%06d")
-          removed += 1
+        .foreach { sId => fs.deleteRecursively(segPath(sId)); removed += 1 }
+      val maxVisible = visible.maxOption.getOrElse(-1L)
+      var id = 0L
+      while (id <= maxVisible || meta.get(f"segclaim-$id%06d").isDefined) {
+        if (!visible(id) && meta.get(f"segclaim-$id%06d").isDefined) {
+          meta.delete(f"segclaim-$id%06d"); removed += 1
         }
+        id += 1
+      }
     }
-    // change-feed tmp dirs recoverChangeDeltas left: unreferenced by
-    // any committed manifest (CAS losers, pre-claim deaths)
+    // change-feed tmp dirs recoverChangeDeltas left behind: delete the
+    // UNREFERENCED ones (CAS losers, pre-claim deaths). A tmp whose id
+    // is still CLAIMED stays when the manifest names it (the
+    // above-LATEST unknown-state window) or cannot be read (the
+    // claimed-but-empty crash window) — both are the operator's call,
+    // and once the dead claim itself is collected (the loop below /
+    // a repair), the orphaned tmp becomes ordinary debris here.
     fs.listNames(changesDir)
       .filter(_.startsWith("_tmp-snap-"))
-      .foreach { d => fs.deleteRecursively(s"$changesDir/$d"); removed += 1 }
+      .foreach { d =>
+        val keep = d match {
+          case ChangeTmpRe(num, uuid) =>
+            val id = num.toLong
+            meta.get(manifestKey(id)) match {
+              case None => false // no claim at all → debris
+              case Some(_) => snapshotIfReadable(id) match {
+                case Some(snap) => snap.changeDir == uuid
+                case None => true // claimed, unreadable: unknown state
+              }
+            }
+          case _ => false
+        }
+        if (!keep) {
+          fs.deleteRecursively(s"$changesDir/$d"); removed += 1
+        }
+      }
     // metadata temp files a crashed LocalFsMetaStore write left behind
     // (atomic-move sources; harmless but accumulate) — safe under the
     // writer-quiet contract

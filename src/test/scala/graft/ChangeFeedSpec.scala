@@ -165,6 +165,27 @@ class ChangeFeedSpec extends AnyFunSuite with SparkSpec {
       .select("id").as[Long].collect().sorted.toSeq == Seq(2L, 3L))
   }
 
+  test("an empty claimed manifest never wedges the recovery sweep") {
+    import java.nio.file.Paths
+    val dir = Files.createTempDirectory("graft-cdf-claim").toString
+    val t = TieredTable(spark, s"$dir/t", changeDataFeed = true)
+    t.commitAppend(Seq((1L, "a")).toDF("id", "v"))            // snap 1
+    // reconstruct the LocalFsMetaStore crash window: a committer died
+    // between its O_EXCL claim and the content move — snap-2.props is
+    // claimed but EMPTY — and its prepared tmp is still in place
+    Files.createFile(Paths.get(s"$dir/t/meta/snap-000002.props"))
+    Files.createDirectories(
+      Paths.get(s"$dir/t/changes/_tmp-snap-000002-deadbeef"))
+    // consumers and maintenance must keep working (the empty claim
+    // itself stays loud for commits / the operator, as documented)
+    val stream = t.readStreamChanges(t.readCold().schema)
+    assert(stream.isStreaming)
+    assert(t.gcOrphans() >= 0)
+    // the claimed-but-unknown id keeps its tmp for the operator
+    assert(Files.exists(
+      Paths.get(s"$dir/t/changes/_tmp-snap-000002-deadbeef")))
+  }
+
   test("a WAL-replayed micro-batch is a no-op (tag idempotence)") {
     val dir = Files.createTempDirectory("graft-cdf-replay").toString
     val src = TieredTable(spark, s"$dir/src", changeDataFeed = true)

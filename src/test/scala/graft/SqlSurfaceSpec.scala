@@ -208,6 +208,21 @@ class SqlSurfaceSpec extends AnyFunSuite with SparkSpec {
         |SELECT k, SUM(v) AS s, COUNT(*) AS c
         |FROM graft.mvdb.nosuch GROUP BY k""".stripMargin))
     assert(e2.getMessage.contains("unknown source table"))
+
+    // OPTIONS refuse loudly: a malformed pair (unquoted keys) or an
+    // unknown key must not silently repoint state/checkpoint
+    val e3 = intercept[org.apache.spark.sql.AnalysisException](spark.sql(
+      s"""CREATE MATERIALIZED VIEW graft.mvdb.bad
+         |OPTIONS(path='$dir/x') AS
+         |SELECT k, SUM(v) AS s, COUNT(*) AS c
+         |FROM graft.mvdb.src GROUP BY k""".stripMargin))
+    assert(e3.getMessage.contains("malformed OPTIONS"), e3.getMessage)
+    val e4 = intercept[org.apache.spark.sql.AnalysisException](spark.sql(
+      s"""CREATE MATERIALIZED VIEW graft.mvdb.bad
+         |OPTIONS('chekpoint'='$dir/c') AS
+         |SELECT k, SUM(v) AS s, COUNT(*) AS c
+         |FROM graft.mvdb.src GROUP BY k""".stripMargin))
+    assert(e4.getMessage.contains("unknown option"), e4.getMessage)
   }
 
   test("FOR SYSTEM_TIME AS OF temporal join parses and joins the current snapshot") {
