@@ -1,6 +1,6 @@
 package graft.storage
 
-import java.io.{ByteArrayInputStream, ByteArrayOutputStream, FileNotFoundException, IOException}
+import java.io.{ByteArrayOutputStream, FileNotFoundException, IOException}
 import java.net.{URI, URLEncoder}
 import java.net.http.{HttpClient, HttpRequest, HttpResponse}
 import java.time.Duration
@@ -20,7 +20,8 @@ import org.apache.hadoop.util.Progressable
   * docker-compose.yml:139-155) runs with zero local-disk data files.
   *
   * Wire protocol (the object-store primitive set, no more):
-  *  - `GET /k`            → object bytes (404 = absent)
+  *  - `GET /k`            → object bytes (404 = absent); with
+  *                          `Range: bytes=a-b` → the 206 slice
   *  - `PUT /k`            → create/overwrite object (bytes)
   *  - `DELETE /k`         → remove object
   *  - `GET /k?list`       → `size TAB mtimeMillis TAB key` lines for
@@ -40,10 +41,12 @@ import org.apache.hadoop.util.Progressable
   * is a no-op, a "directory" is any key prefix with objects under it),
   * exactly the S3 model.
   *
-  * Scale honesty: [[open]] buffers the whole object (the test stub
-  * serves from memory); a production impl swaps in ranged GETs for
-  * parquet's footer-then-row-group access pattern — the call surface
-  * (`Seekable`/`PositionedReadable`) is already the ranged-read shape.
+  * Reads are RANGED: [[open]] never fetches an object body up front —
+  * each `read`/`readFully` issues a `Range: bytes=a-b` GET for exactly
+  * the requested window, which is the access pattern parquet's
+  * footer-then-row-group reader drives (tail probe, footer, then the
+  * projected column chunks). A full-object scan degrades gracefully to
+  * sequential ranged reads; no object ever transits memory whole.
   */
 class GraftObjectFileSystem extends FileSystem {
   import GraftObjectFileSystem._
@@ -165,9 +168,69 @@ class GraftObjectFileSystem extends FileSystem {
   }
 
   override def open(f: Path, bufferSize: Int): FSDataInputStream = {
-    val bytes = getBytes(keyOf(f)).getOrElse(
+    val key = keyOf(f)
+    val size = listKeys(key).find(_._1 == key).map(_._2).getOrElse(
       throw new FileNotFoundException(f.toString))
-    new FSDataInputStream(new BytesInputStream(bytes))
+    new FSDataInputStream(new RangedInputStream(key, size))
+  }
+
+  /** One ranged GET for `[position, position+length)` of `key`,
+    * copied into `buffer` at `offset`; returns bytes delivered.
+    */
+  private def rangeGet(key: String, position: Long, length: Int,
+                       buffer: Array[Byte], offset: Int): Int = {
+    val r = send(HttpRequest.newBuilder(uriFor(key)).timeout(Timeout)
+      .header("Range", s"bytes=$position-${position + length - 1}")
+      .GET().build(), HttpResponse.BodyHandlers.ofByteArray())
+    if (r.statusCode() != 206 && r.statusCode() != 200)
+      throw new IOException(s"ranged GET $key returned ${r.statusCode()}")
+    val body = r.body()
+    val n = math.min(length, body.length)
+    System.arraycopy(body, 0, buffer, offset, n)
+    n
+  }
+
+  /** Seekable stream over ranged GETs — no buffering beyond each
+    * caller-supplied window.
+    */
+  private class RangedInputStream(key: String, size: Long)
+    extends java.io.InputStream with Seekable with PositionedReadable {
+    private var pos = 0L
+    override def getPos: Long = pos
+    override def seek(p: Long): Unit = {
+      if (p < 0 || p > size) throw new java.io.EOFException(s"seek($p)")
+      pos = p
+    }
+    override def seekToNewSource(targetPos: Long): Boolean = false
+    override def read(): Int = {
+      val b = new Array[Byte](1)
+      if (read(b, 0, 1) < 1) -1 else b(0) & 0xff
+    }
+    override def read(buf: Array[Byte], off: Int, len: Int): Int = {
+      if (len == 0) return 0
+      if (pos >= size) return -1
+      val n = rangeGet(key, pos,
+        math.min(len.toLong, size - pos).toInt, buf, off)
+      pos += n
+      n
+    }
+    override def read(position: Long, buffer: Array[Byte], offset: Int,
+                      length: Int): Int = {
+      if (position >= size) return -1
+      rangeGet(key, position,
+        math.min(length.toLong, size - position).toInt, buffer, offset)
+    }
+    override def readFully(position: Long, buffer: Array[Byte],
+                           offset: Int, length: Int): Unit = {
+      var done = 0
+      while (done < length) {
+        val n = read(position + done, buffer, offset + done, length - done)
+        if (n < 0) throw new java.io.EOFException(key)
+        done += n
+      }
+    }
+    override def readFully(position: Long, buffer: Array[Byte]): Unit =
+      readFully(position, buffer, 0, buffer.length)
   }
 
   override def create(f: Path, permission: FsPermission, overwrite: Boolean,
@@ -256,29 +319,4 @@ object GraftObjectFileSystem {
     if (conf.get(s"fs.$Scheme.impl") == null)
       conf.set(s"fs.$Scheme.impl", classOf[GraftObjectFileSystem].getName)
 
-  /** Whole-object buffer presented through Hadoop's seekable-stream
-    * interface (the access pattern a ranged-GET impl would serve).
-    */
-  private class BytesInputStream(data: Array[Byte])
-    extends ByteArrayInputStream(data) with Seekable with PositionedReadable {
-    override def seek(p: Long): Unit = {
-      if (p < 0 || p > count) throw new java.io.EOFException(s"seek($p)")
-      pos = p.toInt
-    }
-    override def getPos: Long = pos.toLong
-    override def seekToNewSource(targetPos: Long): Boolean = false
-    override def read(position: Long, buffer: Array[Byte], offset: Int,
-                      length: Int): Int = {
-      if (position >= count) return -1
-      val n = math.min(length, count - position.toInt)
-      System.arraycopy(data, position.toInt, buffer, offset, n)
-      n
-    }
-    override def readFully(position: Long, buffer: Array[Byte], offset: Int,
-                           length: Int): Unit =
-      if (read(position, buffer, offset, length) < length)
-        throw new java.io.EOFException()
-    override def readFully(position: Long, buffer: Array[Byte]): Unit =
-      readFully(position, buffer, 0, buffer.length)
-  }
 }

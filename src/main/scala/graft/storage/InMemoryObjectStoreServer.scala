@@ -13,7 +13,7 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer}
   * ConcurrentHashMap.putIfAbsent) / DELETE / prefix LIST (`?list` →
   * `size TAB mtime TAB key` lines) / server-side copy (PUT with
   * `x-copy-source`, the S3 CopyObject shape). Objects are bytes with
-  * an mtime.
+  * an mtime; GET honors `Range: bytes=a-b` with a 206 slice.
   *
   * This is demo/test INFRASTRUCTURE (the MinIO stand-in —
   * /root/reference/fluss-iceberg/docker-compose.yml:139-155), not a
@@ -71,7 +71,20 @@ class InMemoryObjectStoreServer {
             .getBytes(java.nio.charset.StandardCharsets.UTF_8))
         case "GET" =>
           Option(objects.get(key)) match {
-            case Some(o) => respond(ex, 200, o.bytes)
+            case Some(o) =>
+              // ranged read (`Range: bytes=a-b`, inclusive) → 206 with
+              // the slice — the S3 GetObject range semantics parquet's
+              // footer-then-row-group access pattern rides on
+              val range = Option(ex.getRequestHeaders.getFirst("Range"))
+              val rangeRe = """bytes=(\d+)-(\d+)""".r
+              range match {
+                case Some(rangeRe(a, b)) =>
+                  val lo = a.toLong.min(o.bytes.length.toLong).toInt
+                  val hi = (b.toLong + 1).min(o.bytes.length.toLong).toInt
+                  respond(ex, 206,
+                    java.util.Arrays.copyOfRange(o.bytes, lo, hi.max(lo)))
+                case _ => respond(ex, 200, o.bytes)
+              }
             case None => respond(ex, 404)
           }
         case "PUT"

@@ -61,6 +61,33 @@ class ObjectStoreTableSpec extends AnyFunSuite with SparkSpec {
     assert(keys.exists(_.endsWith("meta/LATEST")), "metadata in the bucket")
   }
 
+  test("reads are ranged: seek/readFully windows round-trip without whole-object GETs") {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val root = ObjectStoreStub.freshBucketFsUrl()
+    val tfs = graft.storage.TableFs.forPath(root)
+    val payload = Array.tabulate[Byte](100000)(i => (i * 131 % 251).toByte)
+    tfs.writeBytes(s"$root/blob.bin", payload)
+    val fs = new HPath(s"$root/blob.bin")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(new HPath(s"$root/blob.bin"))
+    try {
+      // positioned window from the middle (the parquet row-group shape)
+      val mid = new Array[Byte](1234)
+      in.readFully(54321L, mid)
+      assert(mid.toSeq == payload.slice(54321, 54321 + 1234).toSeq)
+      // tail probe (the parquet footer shape)
+      val tail = new Array[Byte](8)
+      in.readFully(payload.length - 8L, tail)
+      assert(tail.toSeq == payload.takeRight(8).toSeq)
+      // seek + sequential read across a window boundary
+      in.seek(99990L)
+      val rest = new Array[Byte](16)
+      val n = in.read(rest, 0, 16)
+      assert(n == 10 && rest.take(10).toSeq == payload.takeRight(10).toSeq)
+      assert(in.read() == -1, "EOF after the last byte")
+    } finally in.close()
+  }
+
   test("remote appendLog claims its segment id via the metadata CAS") {
     import graft.storage.HttpMetaStore
     val bucket = ObjectStoreStub.freshBucketUrl()
