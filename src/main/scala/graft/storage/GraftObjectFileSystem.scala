@@ -182,12 +182,24 @@ class GraftObjectFileSystem extends FileSystem {
     val r = send(HttpRequest.newBuilder(uriFor(key)).timeout(Timeout)
       .header("Range", s"bytes=$position-${position + length - 1}")
       .GET().build(), HttpResponse.BodyHandlers.ofByteArray())
-    if (r.statusCode() != 206 && r.statusCode() != 200)
-      throw new IOException(s"ranged GET $key returned ${r.statusCode()}")
     val body = r.body()
-    val n = math.min(length, body.length)
-    System.arraycopy(body, 0, buffer, offset, n)
-    n
+    r.statusCode() match {
+      case 206 =>
+        val n = math.min(length, body.length)
+        System.arraycopy(body, 0, buffer, offset, n)
+        n
+      case 200 =>
+        // a server/proxy that ignored Range returned the FULL object:
+        // slice at the requested position — copying from offset 0
+        // would silently corrupt every non-prefix read
+        if (position >= body.length) -1
+        else {
+          val n = math.min(length.toLong, body.length - position).toInt
+          System.arraycopy(body, position.toInt, buffer, offset, n)
+          n
+        }
+      case sc => throw new IOException(s"ranged GET $key returned $sc")
+    }
   }
 
   /** Seekable stream over ranged GETs — no buffering beyond each
@@ -225,7 +237,8 @@ class GraftObjectFileSystem extends FileSystem {
       var done = 0
       while (done < length) {
         val n = read(position + done, buffer, offset + done, length - done)
-        if (n < 0) throw new java.io.EOFException(key)
+        if (n <= 0) throw new java.io.EOFException(
+          s"$key: ${length - done} bytes short at ${position + done}")
         done += n
       }
     }
@@ -294,8 +307,10 @@ class GraftObjectFileSystem extends FileSystem {
     * finalize) off the driver's memory and bandwidth.
     */
   def copyObject(src: Path, dst: Path): Unit = {
+    // the source rides a header, but the server decodes it with the
+    // same per-segment rules as a path — encode it the same way
     val r = send(HttpRequest.newBuilder(uriFor(keyOf(dst))).timeout(Timeout)
-      .header("x-copy-source", "/" + keyOf(src))
+      .header("x-copy-source", uriFor(keyOf(src)).getRawPath)
       .PUT(HttpRequest.BodyPublishers.noBody()).build(),
       HttpResponse.BodyHandlers.discarding())
     if (r.statusCode() != 200 && r.statusCode() != 201)

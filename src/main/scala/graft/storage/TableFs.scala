@@ -153,9 +153,11 @@ private[graft] class HadoopTableFs(conf: Configuration) extends TableFs {
     case g: GraftObjectFileSystem => g.copyObject(new HPath(src), new HPath(dst))
     case fs =>
       val in = fs.open(new HPath(src))
-      val out = fs.create(new HPath(dst), true)
-      try org.apache.hadoop.io.IOUtils.copyBytes(in, out, 8192, false)
-      finally { in.close(); out.close() }
+      try {
+        val out = fs.create(new HPath(dst), true)
+        try org.apache.hadoop.io.IOUtils.copyBytes(in, out, 8192, false)
+        finally out.close()
+      } finally in.close()
   }
   override def deleteRecursively(path: String): Boolean =
     fsOf(path).delete(new HPath(path), true)

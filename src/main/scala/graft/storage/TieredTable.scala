@@ -345,10 +345,17 @@ class TieredTable(spark: SparkSession, rawTablePath: String,
       val entries = fs.listFiles(tmp)
         .map { case (path, _) => path.split('/').last }
         .filterNot(n => n.startsWith(".") || n == "_SUCCESS")
-      entries.filter(_.endsWith(".parquet")).sorted
-        .foreach(n => fs.copy(s"$tmp/$n", s"$target/$n"))
-      entries.filter(_ == "_COLUMNS")
-        .foreach(n => fs.copy(s"$tmp/$n", s"$target/$n"))
+      // cross-PROCESS finalize race (the commit lock is JVM-local): a
+      // concurrent finalizer may promote and delete the tmp under us —
+      // a copy whose SOURCE vanished is that race, i.e. success
+      def copyTolerant(n: String): Unit =
+        try fs.copy(s"$tmp/$n", s"$target/$n")
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            if (fs.exists(s"$tmp/$n")) throw e
+        }
+      entries.filter(_.endsWith(".parquet")).sorted.foreach(copyTolerant)
+      entries.filter(_ == "_COLUMNS").foreach(copyTolerant)
       fs.deleteRecursively(tmp)
       ()
     }
@@ -1181,13 +1188,20 @@ class TieredTable(spark: SparkSession, rawTablePath: String,
         .filter(_.startsWith("seg-")).map(_.stripPrefix("seg-").toLong)
         .filterNot(visible)
         .foreach { sId => fs.deleteRecursively(segPath(sId)); removed += 1 }
-      val maxVisible = visible.maxOption.getOrElse(-1L)
+      // walk 0..horizon unconditionally (vacuum leaves holes below the
+      // watermark), then keep going while claims remain — allocation is
+      // dense above the floor, so the first missing claim past the
+      // horizon ends the range. One metadata GET per id.
+      val horizon = math.max(visible.maxOption.getOrElse(-1L),
+        currentSnapshot.map(_.tieredSeg + 1).getOrElse(0L))
       var id = 0L
-      while (id <= maxVisible || meta.get(f"segclaim-$id%06d").isDefined) {
-        if (!visible(id) && meta.get(f"segclaim-$id%06d").isDefined) {
-          meta.delete(f"segclaim-$id%06d"); removed += 1
-        }
+      var walk = true
+      while (walk) {
+        val claimKey = f"segclaim-$id%06d"
+        val claimed = meta.get(claimKey).isDefined
+        if (claimed && !visible(id)) { meta.delete(claimKey); removed += 1 }
         id += 1
+        walk = id <= horizon || claimed
       }
     }
     // change-feed tmp dirs recoverChangeDeltas left behind: delete the
