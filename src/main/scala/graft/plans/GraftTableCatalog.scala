@@ -42,7 +42,16 @@ import graft.storage.TieredTable
   * resolved parquet; merge-on-read PK tables are an API-level surface
   * (`readCold`) and rejected here.
   */
-class GraftTableCatalog extends TableCatalog {
+class GraftTableCatalog extends TableCatalog
+  with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
+
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
+    GraftProcedures.load(ident)
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    GraftProcedures.list(namespace)
+
   private var catName: String = TieredCatalog.CatalogName
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit =
