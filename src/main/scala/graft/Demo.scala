@@ -271,7 +271,17 @@ object Demo {
     say(s"[demo] CREATE MATERIALIZED VIEW (pure SQL, change-feed " +
       s"maintained): $sqlMv")
 
-    // 17. the OBJECT-STORE data plane: the same table protocol against
+    // 17. SQL maintenance procedures — the Trino/Spark
+    //     `CALL iceberg.system.*` surface over the same verbs
+    spark.sql("CALL graft.system.compact('fluss.cdf_sql_src')")
+    spark.sql("CALL graft.system.vacuum('fluss.cdf_sql_src', 1)")
+    val snapOps = spark.sql(
+      """SELECT operation FROM graft.fluss.cdf_sql_src__snapshots
+        |ORDER BY snapshot_id""".stripMargin)
+      .collect().map(_.getString(0)).mkString(",")
+    say(s"[demo] CALL graft.system.compact + vacuum: retained ops = $snapOps")
+
+    // 18. the OBJECT-STORE data plane: the same table protocol against
     //     an in-process HTTP object store — parquet, markers, and
     //     metadata all bucket-resident, no local files, no renames
     graft.storage.DemoObjectStore.withStore { fsUrl =>

@@ -54,6 +54,9 @@ class DemoSpec extends AnyFunSuite with SparkSpec {
     // the SQL materialized view maintained both ASIA rows exactly once
     assert(has("ASIA=17"), lines.mkString("\n"))
 
+    // SQL maintenance: compact then vacuum leaves only the rewrite
+    assert(has("retained ops = compact"), lines.mkString("\n"))
+
     // the object-store table answered both reads from the bucket
     assert(has("cold=2 union=3"), lines.mkString("\n"))
   }
