@@ -13,13 +13,16 @@ import graft.functions.TextFunctions.hash60
   * The IMAGE decode path is REAL: [[decodeImageFeatures]] decodes
   * PNG/JPEG/BMP/GIF payloads with the JDK's own `javax.imageio`
   * codecs and extracts raster dimensions, mean-luma brightness, and a
-  * deterministic 8×8 average-hash perceptual hash. The container
-  * ships no AUDIO/VIDEO codecs, so that leg of the decode remains a
-  * clearly-marked deterministic stub ([[decodeStub]] — raw payload
-  * bytes interpreted as samples); everything around it — schema,
-  * partitioning, the mapPartitions batch shape, the feature schema —
-  * is the real production plumbing and is tested. Swap the stub for
-  * an ffmpeg binding and nothing else changes.
+  * deterministic 8×8 average-hash perceptual hash. The AUDIO decode
+  * path is REAL too: [[decodeAudioFeatures]] decodes WAV/AIFF/AU PCM
+  * payloads with the JDK's own `javax.sound.sampled` stack and
+  * extracts duration, RMS loudness, peak, and zero-crossing rate.
+  * The container ships no VIDEO codecs, so that leg of the decode
+  * remains a clearly-marked deterministic stub ([[decodeStub]] — raw
+  * payload bytes interpreted as samples); everything around it —
+  * schema, partitioning, the mapPartitions batch shape, the feature
+  * schema — is the real production plumbing and is tested. Swap the
+  * stub for an ffmpeg binding and nothing else changes.
   *
   * Scale notes: payloads never pass through the driver; feature
   * extraction is a narrow per-partition map (no shuffle); metadata-only
@@ -162,6 +165,134 @@ object Multimodal {
     media.select(col("media_id").cast("long"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (id, bytes) => imageFeatures(id, bytes) })
+  }
+
+  /** One decoded AUDIO clip's features (the real-codec path). */
+  case class AudioFeatures(media_id: Long, sample_rate: Double, channels: Int,
+                           n_frames: Long, duration_s: Double, n_bytes: Int,
+                           rms: Double, peak: Double, zero_cross_rate: Double)
+
+  /** REAL audio decode — the JDK's own `javax.sound.sampled` stack
+    * (WAV/AIFF/AU containers with PCM payloads ship with every JVM;
+    * μ-law/a-law payloads convert through the JDK's codec). The
+    * container's "no codec libs" constraint now binds only VIDEO,
+    * which keeps [[decodeStub]].
+    *
+    * Features per clip, over the channel-averaged (mono-mixdown)
+    * signal normalized to [-1, 1]:
+    *  - `rms`: root-mean-square level — the standard loudness proxy
+    *  - `peak`: max absolute sample
+    *  - `zero_cross_rate`: sign changes per adjacent-sample step —
+    *    the classic cheap voiced/unvoiced + noisiness signal (exact
+    *    zeros keep the previous sign, so digital silence contributes
+    *    no crossings)
+    * plus the container facts: sample rate, channel count, frame
+    * count, duration. Decode streams the PCM in bounded chunks — no
+    * whole-clip sample buffer is materialized.
+    *
+    * Undecodable payloads return None (quarantine rows, never a task
+    * crash — the [[imageFeatures]] stance applied to audio).
+    */
+  private[graft] def audioFeatures(id: Long,
+                                   payload: Array[Byte]): Option[AudioFeatures] = {
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+    val opened =
+      try {
+        val raw = AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        val enc = raw.getFormat.getEncoding
+        // non-PCM payloads (μ-law/a-law) route through the JDK's
+        // converter; raw PCM passes through untouched
+        if (enc == AudioFormat.Encoding.PCM_SIGNED ||
+            enc == AudioFormat.Encoding.PCM_UNSIGNED) Some(raw)
+        else Some(AudioSystem.getAudioInputStream(
+          AudioFormat.Encoding.PCM_SIGNED, raw))
+      } catch { case scala.util.control.NonFatal(_) => None }
+    opened.flatMap { ais =>
+      try {
+        val fmt = ais.getFormat
+        val bits = fmt.getSampleSizeInBits
+        val ch = fmt.getChannels
+        val big = fmt.isBigEndian
+        val signed = fmt.getEncoding == AudioFormat.Encoding.PCM_SIGNED
+        if ((bits != 8 && bits != 16 && bits != 24 && bits != 32) || ch < 1)
+          None
+        else {
+          val bps = bits / 8          // bytes per single-channel sample
+          val frameBytes = bps * ch
+          val full = (1L << (bits - 1)).toDouble // full-scale magnitude
+          val shift = 64 - bits                  // sign-extension shift
+          // one channel's sample at byte offset `off`, in [-1, 1]
+          def sampleAt(b: Array[Byte], off: Int): Double = {
+            var v = 0L
+            if (big) {
+              var i = 0
+              while (i < bps) { v = (v << 8) | (b(off + i) & 0xffL); i += 1 }
+            } else {
+              var i = bps - 1
+              while (i >= 0) { v = (v << 8) | (b(off + i) & 0xffL); i -= 1 }
+            }
+            val s = if (signed) (v << shift) >> shift else v - (1L << (bits - 1))
+            s / full
+          }
+          // bounded-chunk streaming decode with partial-frame carry —
+          // a clip never materializes as one sample array
+          val buf = new Array[Byte](frameBytes * 4096)
+          var carry = 0
+          var nFrames = 0L
+          var sumSq = 0.0
+          var peak = 0.0
+          var crossings = 0L
+          var prevSign = 0
+          var eof = false
+          while (!eof) {
+            val n = ais.read(buf, carry, buf.length - carry)
+            if (n <= 0) eof = true
+            else {
+              val avail = carry + n
+              val frames = avail / frameBytes
+              var f = 0
+              while (f < frames) {
+                var acc = 0.0
+                var c = 0
+                while (c < ch) { acc += sampleAt(buf, f * frameBytes + c * bps); c += 1 }
+                val mono = acc / ch
+                sumSq += mono * mono
+                val abs = math.abs(mono)
+                if (abs > peak) peak = abs
+                val sign = if (mono > 0) 1 else if (mono < 0) -1 else prevSign
+                if (prevSign != 0 && sign != prevSign) crossings += 1
+                prevSign = sign
+                f += 1
+              }
+              carry = avail - frames * frameBytes
+              if (carry > 0)
+                System.arraycopy(buf, frames * frameBytes, buf, 0, carry)
+              nFrames += frames
+            }
+          }
+          if (nFrames == 0) None
+          else Some(AudioFeatures(id, fmt.getSampleRate.toDouble, ch, nFrames,
+            nFrames / fmt.getSampleRate.toDouble, payload.length,
+            math.sqrt(sumSq / nFrames), peak,
+            if (nFrames > 1) crossings.toDouble / (nFrames - 1) else 0.0))
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+      finally ais.close()
+    }
+  }
+
+  /** Partition-wise REAL audio decode over (media_id, payload) — same
+    * dataflow shape as [[decodeImageFeatures]] (narrow iterator map,
+    * payloads never leave their executor); rows no JDK audio reader
+    * accepts are dropped (count the diff for quarantine metrics).
+    */
+  def decodeAudioFeatures(media: DataFrame): Dataset[AudioFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) => audioFeatures(id, bytes) })
   }
 
   /** Metadata-only resize: rescales dimensions, payload untouched (a

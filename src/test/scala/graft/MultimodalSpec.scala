@@ -138,4 +138,96 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(got.map(_.media_id).toSeq == Seq(1L),
       "only the decodable payload survives; junk rows drop, no task crash")
   }
+
+  // ---- REAL audio decode (JDK javax.sound.sampled codecs) ----
+
+  /** Encode interleaved [-1,1] samples as an audio file via the JDK's
+    * own writer. `channels` consecutive samples form one frame.
+    */
+  private def encodeAudio(samples: Array[Double], sampleRate: Float = 8000f,
+                          channels: Int = 1, bits: Int = 16,
+                          big: Boolean = false, signed: Boolean = true,
+                          aiff: Boolean = false): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val bps = bits / 8
+    val full = 1L << (bits - 1)
+    val pcm = new Array[Byte](samples.length * bps)
+    samples.zipWithIndex.foreach { case (s, i) =>
+      val q = math.max(-full, math.min(full - 1, math.round(s * full)))
+      val v = if (signed) q else q + full
+      for (b <- 0 until bps) {
+        val shift = if (big) 8 * (bps - 1 - b) else 8 * b
+        pcm(i * bps + b) = ((v >> shift) & 0xff).toByte
+      }
+    }
+    val fmt = new AudioFormat(sampleRate, bits, channels, signed, big)
+    val ais = new AudioInputStream(new java.io.ByteArrayInputStream(pcm),
+      fmt, samples.length / channels)
+    val out = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais,
+      if (aiff) AudioFileFormat.Type.AIFF else AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  test("decodeAudioFeatures: real WAV decode — duration, rms, peak, zcr") {
+    val n = 8000
+    val silence = Array.fill(n)(0.0)
+    // ±0.5 square wave, period 8 → sign flips every 4 samples
+    val square = Array.tabulate(n)(i => if (i % 8 < 4) 0.5 else -0.5)
+    val sine = Array.tabulate(n)(i => 0.8 * math.sin(2 * math.Pi * 440 * i / 8000))
+    val df = Seq(
+      (1L, encodeAudio(silence)),
+      (2L, encodeAudio(square)),
+      (3L, encodeAudio(sine))).toDF("media_id", "payload")
+    val got = Multimodal.decodeAudioFeatures(df)
+      .collect().map(f => f.media_id -> f).toMap
+    assert(got.size == 3)
+    val s = got(1L)
+    assert(s.sample_rate == 8000.0 && s.channels == 1 && s.n_frames == n)
+    assert(s.duration_s == 1.0 && s.rms == 0.0 && s.peak == 0.0 &&
+      s.zero_cross_rate == 0.0, s)
+    // 0.5 quantizes exactly at 16 bits (16384/32768)
+    assert(got(2L).rms == 0.5 && got(2L).peak == 0.5, got(2L))
+    assert(math.abs(got(2L).zero_cross_rate - 0.25) < 0.01, got(2L))
+    assert(math.abs(got(3L).rms - 0.8 / math.sqrt(2)) < 0.01, got(3L))
+    assert(math.abs(got(3L).peak - 0.8) < 0.01, got(3L))
+    // 440 Hz sine crosses zero 2·440 times/s → 880/7999 per step
+    assert(math.abs(got(3L).zero_cross_rate - 880.0 / (n - 1)) < 0.005, got(3L))
+  }
+
+  test("audio decode: container/word-size invariance and stereo mixdown") {
+    val n = 4000
+    val sine = Array.tabulate(n)(i => 0.6 * math.sin(2 * math.Pi * 200 * i / 8000))
+    val wav16 = encodeAudio(sine)
+    // same samples, big-endian AIFF container → identical quantization
+    val aiff16 = encodeAudio(sine, big = true, aiff = true)
+    // 8-bit unsigned WAV → same signal within quantization error
+    val wav8 = encodeAudio(sine, bits = 8, signed = false)
+    // stereo with right = -left → mono mixdown is digital silence
+    val stereo = Array.tabulate(2 * n)(i =>
+      if (i % 2 == 0) sine(i / 2) else -sine(i / 2))
+    val wavSt = encodeAudio(stereo, channels = 2)
+    val got = Multimodal.decodeAudioFeatures(
+      Seq((1L, wav16), (2L, aiff16), (3L, wav8), (4L, wavSt))
+        .toDF("media_id", "payload"))
+      .collect().map(f => f.media_id -> f).toMap
+    assert(got(1L).rms == got(2L).rms,
+      "same 16-bit samples, different container/endianness → identical rms")
+    assert(got(1L).zero_cross_rate == got(2L).zero_cross_rate)
+    assert(math.abs(got(1L).rms - got(3L).rms) < 0.01,
+      "8-bit decode within quantization error of 16-bit")
+    assert(got(4L).channels == 2 && got(4L).n_frames == n)
+    assert(got(4L).rms == 0.0, "anti-phase stereo mixes down to silence")
+  }
+
+  test("decodeAudioFeatures quarantines undecodable payloads instead of crashing") {
+    val good = encodeAudio(Array.fill(100)(0.1))
+    val junk = Array.tabulate[Byte](64)(i => (i * 13).toByte)
+    val got = Multimodal.decodeAudioFeatures(
+      Seq((1L, good), (2L, junk), (3L, Array.empty[Byte]))
+        .toDF("media_id", "payload"))
+      .collect()
+    assert(got.map(_.media_id).toSeq == Seq(1L),
+      "only the decodable payload survives; junk rows drop, no task crash")
+  }
 }
