@@ -26,6 +26,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[GraftExtensions].getName, "graft_changes"),
       (args: Seq[Expression]) => GraftChangesTvf.plan(args)))
+    // internal splice point of EXECUTE STATEMENT SET (StreamingInsertSql):
+    // re-analyzes a registered statement plan at every call site
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_stream_stmt"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[GraftExtensions].getName, "graft_stream_stmt"),
+      (args: Seq[Expression]) => StreamingInsertSql.plan(args)))
   }
 }
 
@@ -139,10 +146,11 @@ class TemporalJoinParser(delegate: ParserInterface) extends ParserInterface {
     }
 
   override def parsePlan(sqlText: String): LogicalPlan =
-    // MATERIALIZED VIEW DDL first: Spark's grammar has no such
-    // statement, and intercepting up front keeps the error messages
-    // ours instead of a generic ParseException
+    // graft DDL first: Spark's grammar has neither MATERIALIZED VIEW
+    // nor EXECUTE STATEMENT SET, and intercepting up front keeps the
+    // error messages ours instead of a generic ParseException
     MaterializedViewSql.parse(sqlText, delegate)
+      .orElse(StreamingInsertSql.parse(sqlText, delegate))
       .getOrElse(withRewrite(sqlText, delegate.parsePlan))
   override def parseQuery(sqlText: String): LogicalPlan =
     withRewrite(sqlText, delegate.parseQuery)

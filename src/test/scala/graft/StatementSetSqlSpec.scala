@@ -1,0 +1,199 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.plans.{StreamingInsertSql, TieredCatalog}
+import graft.storage.TieredTable
+
+/** The reference's continuous SQL jobs (README.md:211-250) as pure SQL:
+  * `EXECUTE STATEMENT SET BEGIN INSERT INTO … SELECT …; … END` starts
+  * one continuous StreamingQuery per INSERT — chained enrich → revenue
+  * topology, processing-time temporal dim joins, exactly-once across
+  * STOP + re-EXECUTE on the same checkpoints.
+  */
+class StatementSetSqlSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  test("EXECUTE STATEMENT SET: the reference's chained enrich→revenue pipeline from pure SQL") {
+    val dir = Files.createTempDirectory("graft-stmtset").toString
+    val customer = TieredTable(spark, s"$dir/customer", pk = Seq("cust_key"))
+    val nation = TieredTable(spark, s"$dir/nation", pk = Seq("nation_key"))
+    val orders = TieredTable(spark, s"$dir/orders")
+    TieredCatalog.register("ss", "customer", s"$dir/customer", pk = Seq("cust_key"))
+    TieredCatalog.register("ss", "nation", s"$dir/nation", pk = Seq("nation_key"))
+    TieredCatalog.register("ss", "orders", s"$dir/orders")
+    customer.commitUpsert(Seq((1L, "alice", 10L), (2L, "bob", 20L))
+      .toDF("cust_key", "name", "nation_key"))
+    nation.commitUpsert(Seq((10L, "FRANCE"), (20L, "GERMANY"))
+      .toDF("nation_key", "nation_name"))
+    orders.appendLog(Seq((100L, 1L, 5.0), (101L, 2L, 7.0))
+      .toDF("order_key", "cust_key", "total_price"))
+
+    // chained sinks are DDL'd first — the declared schema lets the
+    // downstream stream start against the still-empty upstream sink
+    // (the reference CREATEs every table before EXECUTE, README.md:141-202)
+    spark.sql("DROP TABLE IF EXISTS graft.ss.enriched")
+    spark.sql("DROP TABLE IF EXISTS graft.ss.revenue")
+    spark.sql(s"""CREATE TABLE graft.ss.enriched
+      |  (order_key BIGINT, cust_key BIGINT, total_price DOUBLE,
+      |   cust_name STRING, nation_name STRING)
+      |  TBLPROPERTIES ('path' = '$dir/enriched')""".stripMargin)
+    spark.sql(s"""CREATE TABLE graft.ss.revenue
+      |  (nation_name STRING, revenue DOUBLE, cnt BIGINT)
+      |  TBLPROPERTIES ('primary-key' = 'nation_name', 'path' = '$dir/revenue')""".stripMargin)
+
+    val setSql =
+      s"""EXECUTE STATEMENT SET
+         |WITH('checkpoint'='$dir/ckpt', 'interval'='100')
+         |BEGIN
+         |  INSERT INTO graft.ss.enriched
+         |    SELECT o.order_key, o.cust_key, o.total_price,
+         |           c.name AS cust_name, n.nation_name
+         |    FROM graft.ss.orders o
+         |    LEFT JOIN graft.ss.customer FOR SYSTEM_TIME AS OF o.proctime AS c
+         |      ON o.cust_key = c.cust_key
+         |    LEFT JOIN graft.ss.nation FOR SYSTEM_TIME AS OF o.proctime AS n
+         |      ON c.nation_key = n.nation_key;
+         |  INSERT INTO graft.ss.revenue
+         |    SELECT nation_name, SUM(total_price) AS revenue, COUNT(*) AS cnt
+         |    FROM graft.ss.enriched GROUP BY nation_name;
+         |END""".stripMargin
+    spark.sql(setSql)
+    val qEnrich = StreamingInsertSql.query("ss", "enriched").get
+    val qRevenue = StreamingInsertSql.query("ss", "revenue").get
+
+    def enrichedRows(): Set[(Long, String, String)] =
+      spark.sql("SELECT order_key, cust_name, nation_name FROM graft.ss.enriched")
+        .as[(Long, String, String)].collect().toSet
+    def revenueRows(): Set[(String, Double, Long)] =
+      spark.sql("SELECT nation_name, revenue, cnt FROM graft.ss.revenue")
+        .as[(String, Double, Long)].collect().toSet
+
+    qEnrich.processAllAvailable()
+    qRevenue.processAllAvailable()
+    assert(enrichedRows() == Set(
+      (100L, "alice", "FRANCE"), (101L, "bob", "GERMANY")))
+    assert(revenueRows() == Set(
+      ("FRANCE", 5.0, 1L), ("GERMANY", 7.0, 1L)))
+
+    // processing-time temporal join: the dim update is visible to the
+    // NEXT batch; already-emitted rows never retract (README.md:236-238)
+    customer.commitUpsert(Seq((1L, "alice", 20L))
+      .toDF("cust_key", "name", "nation_key"))
+    orders.appendLog(Seq((102L, 1L, 11.0))
+      .toDF("order_key", "cust_key", "total_price"))
+    qEnrich.processAllAvailable()
+    qRevenue.processAllAvailable()
+    assert(enrichedRows() == Set(
+      (100L, "alice", "FRANCE"),       // emitted before the dim moved
+      (101L, "bob", "GERMANY"),
+      (102L, "alice", "GERMANY")))     // joined against the NEW dim state
+    assert(revenueRows() == Set(
+      ("FRANCE", 5.0, 1L), ("GERMANY", 18.0, 2L)))
+
+    // exactly-once across restart: STOP both, append while down,
+    // re-EXECUTE on the same checkpoints — cursors resume, batch tags
+    // make any WAL replay a no-op
+    spark.sql("STOP STREAMING INSERT INTO graft.ss.enriched")
+    spark.sql("STOP STREAMING INSERT graft.ss.revenue")
+    assert(StreamingInsertSql.query("ss", "enriched").isEmpty)
+    orders.appendLog(Seq((103L, 2L, 3.0))
+      .toDF("order_key", "cust_key", "total_price"))
+    spark.sql(setSql)
+    val q2e = StreamingInsertSql.query("ss", "enriched").get
+    val q2r = StreamingInsertSql.query("ss", "revenue").get
+    q2e.processAllAvailable()
+    q2r.processAllAvailable()
+    assert(enrichedRows().size == 4, "no loss, no double-append on restart")
+    assert(revenueRows() == Set(
+      ("FRANCE", 5.0, 1L), ("GERMANY", 21.0, 3L)))
+    spark.sql("STOP STREAMING INSERT graft.ss.enriched")
+    spark.sql("STOP STREAMING INSERT graft.ss.revenue")
+    spark.sql("DROP TABLE graft.ss.enriched")
+    spark.sql("DROP TABLE graft.ss.revenue")
+  }
+
+  test("statement-set statements may carry ';' inside string literals") {
+    val dir = Files.createTempDirectory("graft-stmtsemi").toString
+    val src = TieredTable(spark, s"$dir/src")
+    TieredCatalog.register("ssq", "src", s"$dir/src")
+    TieredCatalog.register("ssq", "out", s"$dir/out")
+    src.appendLog(Seq(1L, 2L).toDF("id"))
+    spark.sql(
+      s"""EXECUTE STATEMENT SET WITH('checkpoint'='$dir/ckpt') BEGIN
+         |  INSERT INTO graft.ssq.out
+         |    SELECT id, ';' AS sep FROM graft.ssq.src;
+         |END""".stripMargin)
+    val q = StreamingInsertSql.query("ssq", "out").get
+    q.processAllAvailable()
+    assert(spark.sql("SELECT id, sep FROM graft.ssq.out")
+      .as[(Long, String)].collect().toSet == Set((1L, ";"), (2L, ";")))
+    spark.sql("STOP STREAMING INSERT graft.ssq.out")
+  }
+
+  test("DISTINCT body deduplicates ACROSS batches (streaming-agg lowering, not per-batch)") {
+    val dir = Files.createTempDirectory("graft-stmtdist").toString
+    val src = TieredTable(spark, s"$dir/src")
+    val sink = TieredTable(spark, s"$dir/sink", pk = Seq("id"))
+    TieredCatalog.register("sd", "src", s"$dir/src")
+    TieredCatalog.register("sd", "sink", s"$dir/sink", pk = Seq("id"))
+    src.appendLog(Seq(1L, 1L, 2L).toDF("id"))
+    spark.sql(
+      s"""EXECUTE STATEMENT SET WITH('checkpoint'='$dir/ckpt', 'interval'='100') BEGIN
+         |  INSERT INTO graft.sd.sink SELECT DISTINCT id FROM graft.sd.src;
+         |END""".stripMargin)
+    val q = StreamingInsertSql.query("sd", "sink").get
+    q.processAllAvailable()
+    assert(spark.sql("SELECT id FROM graft.sd.sink")
+      .as[Long].collect().toSet == Set(1L, 2L))
+    // a duplicate arriving in a LATER batch is still a duplicate —
+    // state lives in the Spark checkpoint, not the micro-batch
+    src.appendLog(Seq(2L, 3L).toDF("id"))
+    q.processAllAvailable()
+    assert(spark.sql("SELECT id FROM graft.sd.sink")
+      .as[Long].collect().toSet == Set(1L, 2L, 3L))
+    val n = sink.readUnion().count()
+    assert(n == 3, s"PK sink must hold exactly the distinct ids, got $n")
+    spark.sql("STOP STREAMING INSERT graft.sd.sink")
+  }
+
+  test("statement-set refusals are loud and named") {
+    val dir = Files.createTempDirectory("graft-stmtbad").toString
+    val src = TieredTable(spark, s"$dir/src")
+    TieredCatalog.register("sb", "src", s"$dir/src")
+    TieredCatalog.register("sb", "sink", s"$dir/sink")
+    src.appendLog(Seq(1L).toDF("id"))
+    def bad(sql: String): String =
+      intercept[org.apache.spark.sql.AnalysisException](spark.sql(sql))
+        .getMessage
+
+    assert(bad("EXECUTE STATEMENT SET BEGIN DELETE FROM graft.sb.src; END")
+      .contains("only INSERT INTO"))
+    assert(bad("EXECUTE STATEMENT SET BEGIN INSERT INTO graft.sb.nope SELECT id FROM graft.sb.src; END")
+      .contains("unknown sink table"))
+    assert(bad("EXECUTE STATEMENT SET BEGIN INSERT INTO graft.sb.sink SELECT id FROM graft.sb.ghost; END")
+      .contains("unknown stream source"))
+    assert(bad("EXECUTE STATEMENT SET BEGIN INSERT INTO graft.sb.src SELECT id FROM graft.sb.src; END")
+      .contains("insert into itself"))
+    // a grouped body emits an update changelog → PK sink required
+    assert(bad("EXECUTE STATEMENT SET BEGIN INSERT INTO graft.sb.sink SELECT id, COUNT(*) AS c FROM graft.sb.src GROUP BY id; END")
+      .contains("primary key"))
+    assert(bad(
+      """EXECUTE STATEMENT SET BEGIN
+        |INSERT INTO graft.sb.sink SELECT id FROM graft.sb.src;
+        |INSERT INTO graft.sb.sink SELECT id FROM graft.sb.src;
+        |END""".stripMargin)
+      .contains("one continuous writer per sink"))
+    assert(bad("EXECUTE STATEMENT SET WITH(checkpoint='/x') BEGIN INSERT INTO graft.sb.sink SELECT id FROM graft.sb.src; END")
+      .contains("malformed WITH"))
+    assert(bad("EXECUTE STATEMENT SET WITH('chekpoint'='/x') BEGIN INSERT INTO graft.sb.sink SELECT id FROM graft.sb.src; END")
+      .contains("unknown option"))
+    assert(bad("STOP STREAMING INSERT graft.sb.sink")
+      .contains("no running continuous INSERT"))
+    // the splice TVF is internal, not a user surface
+    assert(bad("SELECT * FROM graft_stream_stmt(999999)")
+      .contains("not a user TVF"))
+  }
+}
