@@ -108,6 +108,8 @@ object SparkEntry {
     "m2_frame_sample"   -> (Pipeline.m2FrameSample _),
     "m3_resize"         -> (Pipeline.m3Resize _),
     "m4_media_dedup"    -> (Pipeline.m4MediaDedup _),
+    "m5_image_decode_real" -> (Pipeline.m5RealImageDecode _),
+    "m6_audio_decode_real" -> (Pipeline.m6RealAudioDecode _),
     "e1_sessionize"     -> (Pipeline.e1Sessionize _),
     "e2_hourly"         -> (Pipeline.e2Hourly _),
     "e3_stats"          -> (Pipeline.e3Stats _),

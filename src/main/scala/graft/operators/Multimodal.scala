@@ -167,6 +167,78 @@ object Multimodal {
       .mapPartitions(_.flatMap { case (id, bytes) => imageFeatures(id, bytes) })
   }
 
+  /** Deterministic REAL-PNG payload for an id: a 32×24 gray gradient
+    * whose pattern varies by id — a genuine JDK-encoded PNG, so the
+    * decode path under test is the production one.
+    */
+  private[graft] def encodePng(id: Long): Array[Byte] = {
+    val w = 32; val h = 24
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val g = (x * 3 + y * 5 + (id % 251).toInt * 37) % 256
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** Deterministic REAL-WAV payload for an id: 0.1 s of a 16-bit mono
+    * 8 kHz sine whose frequency/amplitude derive from the id — a
+    * genuine RIFF/WAVE container written by the JDK's own writer.
+    */
+  private[graft] def encodeWav(id: Long): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val n = 800
+    val sr = 8000f
+    val freq = 100.0 + (id % 40) * 20.0 // 100–880 Hz
+    val amp = 0.2 + (id % 7) * 0.1      // 0.2–0.8
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val s = math.round(amp * math.sin(2 * math.Pi * freq * i / sr) * 32768).toInt
+      val q = math.max(-32768, math.min(32767, s))
+      pcm(2 * i) = (q & 0xff).toByte
+      pcm(2 * i + 1) = ((q >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new AudioFormat(sr, 16, 1, true, false)
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  /** Real-encoded media corpora derived from an id column — the
+    * [[synthesize]] stance with GENUINE payload bytes, so [[
+    * decodeImageFeatures]]/[[decodeAudioFeatures]] exercise the real
+    * codec end-to-end at any scale. Encoding is a narrow partition-wise
+    * map; payloads are born and consumed executor-side.
+    */
+  def synthesizeImagePayloads(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    Scale.widen(df.select(col(idCol).cast("long").as("media_id")))
+      .as[Long].mapPartitions(_.map(id => (id, encodePng(id))))
+      .toDF("media_id", "payload")
+  }
+
+  def synthesizeAudioPayloads(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    Scale.widen(df.select(col(idCol).cast("long").as("media_id")))
+      .as[Long].mapPartitions(_.map(id => (id, encodeWav(id))))
+      .toDF("media_id", "payload")
+  }
+
   /** One decoded AUDIO clip's features (the real-codec path). */
   case class AudioFeatures(media_id: Long, sample_rate: Double, channels: Int,
                            n_frames: Long, duration_s: Double, n_bytes: Int,

@@ -740,6 +740,34 @@ object Pipeline {
       width = 56, maxDist = 3)
   }
 
+  /** M5 — REAL image decode end-to-end: genuine JDK-encoded PNG
+    * payloads (one per document id) decoded by the production
+    * `javax.imageio` path; features are the decoded raster facts.
+    * No SQL oracle can re-decode a PNG, so the driver records the
+    * rows-only check (the e4/s15 stance); bit-exactness is
+    * spec-pinned in MultimodalSpec with known images.
+    */
+  def m5RealImageDecode(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.decodeImageFeatures(
+        Multimodal.synthesizeImagePayloads(docs(spark, dir), "doc_id"))
+      .toDF()
+      .select(col("media_id"), col("width"), col("height"),
+        round(col("brightness"), 4).as("brightness"), col("phash"))
+
+  /** M6 — REAL audio decode end-to-end: genuine RIFF/WAVE payloads
+    * (16-bit mono sines, id-derived frequency/amplitude) decoded by
+    * the production `javax.sound.sampled` path. Rows-only driver
+    * check for the same reason as M5; exactness spec-pinned.
+    */
+  def m6RealAudioDecode(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.decodeAudioFeatures(
+        Multimodal.synthesizeAudioPayloads(docs(spark, dir), "doc_id"))
+      .toDF()
+      .select(col("media_id"), col("sample_rate"), col("channels"),
+        col("n_frames"), round(col("rms"), 4).as("rms"),
+        round(col("peak"), 4).as("peak"),
+        round(col("zero_cross_rate"), 6).as("zero_cross_rate"))
+
   /** S13 — cross-corpus LSH similarity join: the even-id half of the
     * embedding table probed against the odd-id half (the
     * record-linkage / eval-contamination shape) — only same-bucket

@@ -220,6 +220,24 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(got(4L).rms == 0.0, "anti-phase stereo mixes down to silence")
   }
 
+  test("synthesized real payloads all decode — the m5/m6 query substrate") {
+    val ids = Seq(0L, 1L, 6L, 250L, 251L).toDF("id")
+    val imgs = Multimodal.decodeImageFeatures(
+      Multimodal.synthesizeImagePayloads(ids, "id")).collect()
+    assert(imgs.length == 5, "every generated PNG must decode")
+    assert(imgs.forall(f => f.width == 32 && f.height == 24))
+    assert(imgs.map(_.phash).distinct.length > 1,
+      "patterns vary by id — phashes must not collapse")
+    val auds = Multimodal.decodeAudioFeatures(
+      Multimodal.synthesizeAudioPayloads(ids, "id")).collect()
+    assert(auds.length == 5, "every generated WAV must decode")
+    assert(auds.forall(a => a.n_frames == 800 && a.sample_rate == 8000.0 &&
+      a.channels == 1))
+    // id 6 → amp 0.8 sine: rms ≈ 0.8/√2 over full periods
+    val a6 = auds.find(_.media_id == 6L).get
+    assert(math.abs(a6.rms - 0.8 / math.sqrt(2)) < 0.02, a6)
+  }
+
   test("decodeAudioFeatures quarantines undecodable payloads instead of crashing") {
     val good = encodeAudio(Array.fill(100)(0.1))
     val junk = Array.tabulate[Byte](64)(i => (i * 13).toByte)
