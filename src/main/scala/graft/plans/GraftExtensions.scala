@@ -21,6 +21,10 @@ import org.apache.spark.sql.types.{DataType, StructType}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectParser((_, delegate) => new TemporalJoinParser(delegate))
+    // SQL UPDATE / MERGE INTO over graft tables → storage-layer verbs
+    // (RowLevelSql); resolution-stage so the lowering happens before
+    // CheckAnalysis rejects the un-rewritten row-level plan
+    ext.injectResolutionRule(GraftRowLevelRule)
     ext.injectTableFunction((
       FunctionIdentifier("graft_changes"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(

@@ -391,6 +391,11 @@ class TieredSqlTable(tableName: String, spark: SparkSession,
     with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete {
 
+  /** The catalog entry behind this relation — [[RowLevelSql]] lowers
+    * SQL UPDATE / MERGE INTO through it to the storage layer's verbs.
+    */
+  private[plans] def catalogEntry: TieredCatalog.Entry = entry
+
   /** Declared schema persisted by CREATE TABLE, if any — lets an empty
     * table resolve for reads and INSERT column checking.
     */

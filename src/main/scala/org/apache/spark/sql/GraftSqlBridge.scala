@@ -13,6 +13,14 @@ object GraftSqlBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** DataFrame over an analyzed/unresolved logical plan (classic
+    * `Dataset.ofRows` is `private[sql]`) — the MERGE source query.
+    */
+  def ofRows(spark: SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
   /** Resolve a predicate Column against `df`, split the OPTIMIZED
     * filter condition into conjuncts, and translate each to a
     * data-source [[org.apache.spark.sql.sources.Filter]]. Running the

@@ -1,0 +1,195 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.plans.TieredCatalog
+import graft.storage.TieredTable
+
+/** SQL `UPDATE` / `MERGE INTO` over graft tables ([[graft.plans.RowLevelSql]])
+  * — the analyzer-rule lowering onto the storage layer's copy-on-write
+  * verbs, plus its loud refusals for shapes the key-join merge cannot
+  * express.
+  */
+class RowLevelSqlSpec extends AnyFunSuite with SparkSpec {
+
+  private def freshTable(name: String): (TieredTable, String) = {
+    val dir = Files.createTempDirectory(s"graft-rl-$name").toString
+    TieredCatalog.register("rl", name, s"$dir/t")
+    (TieredTable(spark, s"$dir/t"), s"graft.rl.$name")
+  }
+
+  test("SQL UPDATE rewrites matching rows and commits an update snapshot") {
+    import spark.implicits._
+    val (t, sql) = freshTable("u1")
+    t.appendLog(Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("id", "price"))
+    t.tier()
+    spark.sql(s"UPDATE $sql SET price = price * 2 WHERE id <= 2")
+    val rows = spark.sql(s"SELECT id, price FROM $sql ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(rows == Seq((1L, 20.0), (2L, 40.0), (3L, 30.0)))
+    val ops = spark.sql(
+      s"SELECT operation FROM ${sql}__snapshots ORDER BY snapshot_id")
+      .collect().map(_.getString(0)).toSeq
+    assert(ops == Seq("tier", "update"))
+    // no-match UPDATE commits nothing (the verb's cheap matched probe)
+    spark.sql(s"UPDATE $sql SET price = 0 WHERE id = 99")
+    assert(spark.sql(s"SELECT COUNT(*) FROM ${sql}__snapshots")
+      .head().getLong(0) == 2)
+  }
+
+  test("SQL UPDATE three-valued logic: NULL predicate keeps the row") {
+    import spark.implicits._
+    val (t, sql) = freshTable("u2")
+    t.appendLog(Seq((Some(1L), 1.0), (None, 2.0)).toDF("id", "v"))
+    t.tier()
+    // id = 1 is NULL on the null-id row — it must pass through untouched
+    spark.sql(s"UPDATE $sql SET v = -1 WHERE id = 1")
+    val vs = spark.sql(s"SELECT v FROM $sql ORDER BY v")
+      .collect().map(_.getDouble(0)).toSeq
+    assert(vs == Seq(-1.0, 2.0))
+  }
+
+  test("SQL UPDATE assignments see the ORIGINAL row (simultaneous semantics)") {
+    import spark.implicits._
+    val (t, sql) = freshTable("u3")
+    t.appendLog(Seq((1L, 2.0, 3.0)).toDF("id", "a", "b")); t.tier()
+    // a := b, b := a must SWAP, not chain
+    spark.sql(s"UPDATE $sql SET a = b, b = a WHERE id = 1")
+    val r = spark.sql(s"SELECT a, b FROM $sql").head()
+    assert((r.getDouble(0), r.getDouble(1)) == (3.0, 2.0))
+  }
+
+  test("SQL MERGE: update + delete + insert in one statement") {
+    import spark.implicits._
+    val (t, sql) = freshTable("m1")
+    t.appendLog(Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("id", "price"))
+    t.tier()
+    spark.sql(
+      s"""MERGE INTO $sql AS tgt
+         |USING (SELECT * FROM VALUES
+         |         (1L, 11.0, 'upd'), (2L, 0.0, 'del'), (9L, 90.0, 'new')
+         |       AS v(id, price, op)) AS src
+         |ON tgt.id = src.id
+         |WHEN MATCHED AND src.op = 'del' THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET price = src.price
+         |WHEN NOT MATCHED THEN INSERT (id, price) VALUES (src.id, src.price)
+         |""".stripMargin)
+    val rows = spark.sql(s"SELECT id, price FROM $sql ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(rows == Seq((1L, 11.0), (3L, 30.0), (9L, 90.0)))
+    val ops = spark.sql(
+      s"SELECT operation FROM ${sql}__snapshots ORDER BY snapshot_id")
+      .collect().map(_.getString(0)).toSeq
+    assert(ops == Seq("tier", "merge"))
+  }
+
+  test("SQL MERGE INSERT * and WHEN MATCHED UPDATE SET * shapes resolve") {
+    import spark.implicits._
+    val (t, sql) = freshTable("m2")
+    t.appendLog(Seq((1L, 1.0), (2L, 2.0)).toDF("id", "v")); t.tier()
+    spark.sql(
+      s"""MERGE INTO $sql t
+         |USING (SELECT * FROM VALUES (2L, 22.0), (5L, 55.0) AS v(id, v)) s
+         |ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *
+         |""".stripMargin)
+    val rows = spark.sql(s"SELECT id, v FROM $sql ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(rows == Seq((1L, 1.0), (2L, 22.0), (5L, 55.0)))
+  }
+
+  test("SQL MERGE clause order: conditional UPDATE first shields DELETE") {
+    import spark.implicits._
+    val (t, sql) = freshTable("m3")
+    t.appendLog(Seq((1L, 1.0), (2L, 2.0), (3L, 3.0)).toDF("id", "v"))
+    t.tier()
+    // UPDATE clause (v < 2) wins for id=1; DELETE takes the rest of the
+    // matched set (ids 2,3); id 4 in source but not matched → no insert
+    // clause → dropped.
+    spark.sql(
+      s"""MERGE INTO $sql t
+         |USING (SELECT * FROM VALUES (1L), (2L), (3L), (4L) AS v(id)) s
+         |ON t.id = s.id
+         |WHEN MATCHED AND t.v < 2 THEN UPDATE SET v = t.v + 100
+         |WHEN MATCHED THEN DELETE
+         |""".stripMargin)
+    val rows = spark.sql(s"SELECT id, v FROM $sql ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(rows == Seq((1L, 101.0)))
+  }
+
+  test("SQL MERGE multi-match source raises the SQL ambiguity error") {
+    import spark.implicits._
+    val (t, sql) = freshTable("m4")
+    t.appendLog(Seq((1L, 1.0)).toDF("id", "v")); t.tier()
+    val e = intercept[Exception] {
+      spark.sql(
+        s"""MERGE INTO $sql t
+           |USING (SELECT * FROM VALUES (1L, 10.0), (1L, 11.0) AS v(id, v)) s
+           |ON t.id = s.id
+           |WHEN MATCHED THEN UPDATE SET v = s.v
+           |""".stripMargin)
+    }
+    assert(e.getMessage.toLowerCase.contains("ambiguous"))
+  }
+
+  test("row-level SQL refusals are loud and analysis-time") {
+    import spark.implicits._
+    val (t, sql) = freshTable("m5")
+    t.appendLog(Seq((1L, 1.0)).toDF("id", "v")); t.tier()
+    def refuses(stmt: String, needle: String): Unit = {
+      val e = intercept[org.apache.spark.sql.AnalysisException] {
+        spark.sql(stmt)
+      }
+      assert(e.getMessage.contains(needle), s"message: ${e.getMessage}")
+    }
+    // non-equi ON
+    refuses(
+      s"""MERGE INTO $sql t USING (SELECT 1L AS id, 2.0 AS v) s
+         |ON t.id < s.id WHEN MATCHED THEN DELETE""".stripMargin,
+      "conjunction of column equalities")
+    // differently-named key columns
+    refuses(
+      s"""MERGE INTO $sql t USING (SELECT 1L AS sid, 2.0 AS v) s
+         |ON t.id = s.sid WHEN MATCHED THEN DELETE""".stripMargin,
+      "shared column names")
+    // NOT MATCHED BY SOURCE
+    refuses(
+      s"""MERGE INTO $sql t USING (SELECT 1L AS id, 2.0 AS v) s
+         |ON t.id = s.id
+         |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin,
+      "NOT MATCHED BY SOURCE")
+    // conditional INSERT
+    refuses(
+      s"""MERGE INTO $sql t USING (SELECT 1L AS id, 2.0 AS v) s
+         |ON t.id = s.id
+         |WHEN NOT MATCHED AND s.v > 0 THEN INSERT *""".stripMargin,
+      "conditional WHEN NOT MATCHED INSERT")
+    // reshaping INSERT (value is not the same-named source column)
+    refuses(
+      s"""MERGE INTO $sql t USING (SELECT 1L AS id, 2.0 AS v) s
+         |ON t.id = s.id
+         |WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v * 2)
+         |""".stripMargin,
+      "same-named source column")
+    // subquery in UPDATE predicate
+    refuses(
+      s"UPDATE $sql SET v = 0 WHERE id IN (SELECT 1L)",
+      "subqueries")
+  }
+
+  test("SQL UPDATE on a PK upsert table rewrites through the same verb") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-rl-pk").toString
+    TieredCatalog.register("rl", "pk1", s"$dir/t", pk = Seq("id"))
+    val t = TieredTable(spark, s"$dir/t", pk = Seq("id"))
+    t.commitUpsert(Seq((1L, "a"), (2L, "b")).toDF("id", "name"))
+    spark.sql("UPDATE graft.rl.pk1 SET name = 'z' WHERE id = 2")
+    val rows = spark.sql("SELECT id, name FROM graft.rl.pk1 ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(rows == Seq((1L, "a"), (2L, "z")))
+  }
+}
