@@ -294,6 +294,32 @@ object Demo {
         "(zero local-disk files)")
     }
 
+    // 19. the SQL DML triangle on a PK table: UPDATE and MERGE INTO
+    //     lower onto the same copy-on-write verbs DELETE already uses
+    //     (RowLevelSql) — no Scala API in sight
+    val dmlT = graft.storage.TieredTable(spark, s"$base/tables/dml_accounts",
+      pk = Seq("acct"))
+    dmlT.commitUpsert(Seq((1L, 100L), (2L, 200L), (3L, 300L))
+      .toDF("acct", "balance"))
+    TieredCatalog.register("fluss", "dml_accounts",
+      s"$base/tables/dml_accounts", pk = Seq("acct"))
+    spark.sql(
+      "UPDATE graft.fluss.dml_accounts SET balance = balance + 1 WHERE acct = 1")
+    spark.sql(
+      """MERGE INTO graft.fluss.dml_accounts t
+        |USING (SELECT * FROM VALUES (2L, 999L, 'upd'), (3L, 0L, 'del'),
+        |       (4L, 400L, 'new') AS v(acct, balance, op)) s
+        |ON t.acct = s.acct
+        |WHEN MATCHED AND s.op = 'del' THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET balance = s.balance
+        |WHEN NOT MATCHED THEN INSERT (acct, balance) VALUES (s.acct, s.balance)
+        |""".stripMargin)
+    spark.sql("DELETE FROM graft.fluss.dml_accounts WHERE acct = 4")
+    val dmlRows = spark.sql(
+      "SELECT acct, balance FROM graft.fluss.dml_accounts ORDER BY acct")
+      .collect().map(r => s"${r.getLong(0)}->${r.getLong(1)}").mkString(", ")
+    say(s"[demo] SQL UPDATE + MERGE INTO + DELETE: $dmlRows")
+
     out.toSeq
   }
 }

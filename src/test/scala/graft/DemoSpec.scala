@@ -59,5 +59,10 @@ class DemoSpec extends AnyFunSuite with SparkSpec {
 
     // the object-store table answered both reads from the bucket
     assert(has("cold=2 union=3"), lines.mkString("\n"))
+
+    // SQL DML triangle: UPDATE bumped acct 1, MERGE updated 2 /
+    // deleted 3 / inserted 4, DELETE removed 4 again
+    assert(has("SQL UPDATE + MERGE INTO + DELETE: 1->101, 2->999"),
+      lines.mkString("\n"))
   }
 }
