@@ -47,6 +47,7 @@ object SparkEntry {
     "q16_meta_agg"   -> (Lakehouse.q16MetaAgg _),
     "q17_bloom_lookup" -> (Lakehouse.q17BloomLookup _),
     "q18_incr_mv"    -> (Lakehouse.q18IncrementalMv _),
+    "q18b_incr_mv_full" -> (Lakehouse.q18bIncrementalMvFull _),
     "q19_iceberg_read" -> (Lakehouse.q19IcebergRead _),
     "q19b_iceberg_asof" -> (Lakehouse.q19bIcebergAsOf _),
     "q20_schema_evolution" -> (Lakehouse.q20SchemaEvolution _),
@@ -847,6 +848,30 @@ object SparkEntry {
         |       CAST(SUM(CAST(bal AS DECIMAL(15,2))) * 100 AS BIGINT) AS bal_cents,
         |       COUNT(*) AS n_rows
         |FROM merged GROUP BY 1""".stripMargin,
+    "q18b_incr_mv_full" ->
+      """WITH base AS (
+        |  SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY o_custkey),
+        |upd AS (SELECT o_custkey AS k, n_orders FROM base WHERE o_custkey % 3 = 0),
+        |ins AS (SELECT o_custkey + 10000000 AS k FROM base WHERE o_custkey % 7 = 0),
+        |merged AS (
+        |  SELECT c.c_nationkey AS nk,
+        |         CASE WHEN u.k IS NOT NULL THEN c.c_acctbal + u.n_orders
+        |              ELSE c.c_acctbal END AS bal
+        |  FROM customer c LEFT JOIN upd u ON c.c_custkey = u.k
+        |  WHERE u.k IS NULL OR u.n_orders < 15
+        |  UNION ALL
+        |  SELECT CAST(k % 25 AS INTEGER), 0.0 FROM ins),
+        |cents AS (
+        |  SELECT CAST(nk AS BIGINT) AS nation_key,
+        |         CAST(CAST(bal AS DECIMAL(15,2)) * 100 AS BIGINT) AS v
+        |  FROM merged)
+        |SELECT nation_key,
+        |       SUM(v) AS bal_cents,
+        |       COUNT(*) AS n_rows,
+        |       MIN(v) AS min_cents,
+        |       MAX(v) AS max_cents,
+        |       AVG(v) AS avg_cents
+        |FROM cents GROUP BY nation_key""".stripMargin,
     "c11_source_quota" ->
       """SELECT doc_id, source FROM (
         |  SELECT doc_id, source,

@@ -80,6 +80,144 @@ object IncrementalAgg {
       .filter(col(cntCol) > 0L)
   }
 
+  /** The full maintainable-aggregate vocabulary of one view: any
+    * number of SUMs, one COUNT(*), plus MIN / MAX / AVG columns.
+    * Each entry maps a source value column to its state alias.
+    *
+    * SUM/COUNT are self-maintainable from the changelog alone. AVG
+    * derives exactly from a maintained (sum, non-null-count) pair —
+    * the state carries hidden `__avs_<alias>` / `__avc_<alias>`
+    * columns and projects `alias = sum / count` per commit. MIN/MAX
+    * are self-maintainable on INSERTS (`least`/`greatest` against the
+    * delta) but NOT under retraction: deleting the current minimum
+    * reveals an unknown runner-up. [[applyDeltaFull]] handles that
+    * honestly with a DIRTY-GROUP recompute — the retraction case
+    * re-aggregates ONLY the affected groups from the source snapshot
+    * the delta leads up to (a semi-join-pruned scan), so the common
+    * path stays O(|delta| + |state|) and the worst case is
+    * O(|delta| + |state| + |base ∩ dirty groups|), never a full
+    * rebuild. (Flink's min-with-retract keeps a per-key multiset of
+    * every value ever seen instead — state linear in the DATA; the
+    * recompute trade keeps state linear in the GROUPS.)
+    */
+  case class AggSpec(sums: Seq[(String, String)], cntCol: String,
+                     mins: Seq[(String, String)] = Nil,
+                     maxs: Seq[(String, String)] = Nil,
+                     avgs: Seq[(String, String)] = Nil) {
+    def aliases: Seq[String] =
+      sums.map(_._2) ++ Seq(cntCol) ++ mins.map(_._2) ++ maxs.map(_._2) ++
+        avgs.map(_._2)
+    require(aliases.distinct.size == aliases.size,
+      "maintained aggregate aliases must be distinct")
+    /** Hidden AVG accumulators (exact sum + non-null count). */
+    private[operators] def avgSum(alias: String) = s"__avs_$alias"
+    private[operators] def avgCnt(alias: String) = s"__avc_$alias"
+  }
+
+  /** [[applyDeltaMulti]] generalized to the FULL vocabulary. `baseAsOf`
+    * must be the source table's state AS OF the snapshot the delta
+    * reads through — evaluated ONLY when a retraction actually
+    * touches a group's current MIN/MAX (the dirty set), so sum-only
+    * and insert-only maintenance never reads the base at all.
+    */
+  def applyDeltaFull(state: DataFrame, delta: DataFrame,
+                     groupCols: Seq[String], spec: AggSpec,
+                     baseAsOf: => DataFrame,
+                     opCol: String = "op"): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    require(spec.sums.nonEmpty, "need at least one maintained sum")
+    val sign = when(col(opCol).isin("+I", "+U"), 1L)
+      .when(col(opCol).isin("-U", "-D"), -1L)
+      .otherwise(raise_error(concat(
+        lit(s"IncrementalAgg: unknown changelog op in '$opCol': "),
+        coalesce(col(opCol), lit("NULL")))).cast("long"))
+    val ins = col(opCol).isin("+I", "+U")
+
+    // one map-side delta aggregation carrying every accumulator
+    val aggs =
+      spec.sums.zipWithIndex.map { case ((v, _), i) =>
+        sum(sign * col(v)).as(s"__dsum$i") } ++
+      Seq(sum(sign).as("__dcnt")) ++
+      spec.avgs.zipWithIndex.flatMap { case ((v, _), i) => Seq(
+        sum(sign * col(v)).as(s"__das$i"),
+        sum(when(col(v).isNotNull, sign).otherwise(0L)).as(s"__dac$i")) } ++
+      spec.mins.zipWithIndex.flatMap { case ((v, _), i) => Seq(
+        min(when(ins, col(v))).as(s"__dmi$i"),
+        min(when(!ins, col(v))).as(s"__dmr$i")) } ++
+      spec.maxs.zipWithIndex.flatMap { case ((v, _), i) => Seq(
+        max(when(ins, col(v))).as(s"__dxi$i"),
+        max(when(!ins, col(v))).as(s"__dxr$i")) }
+    val d = delta.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+
+    // merge join: candidates for every aggregate; groups at count zero
+    // drop out before any recompute can be owed for them
+    val candCols =
+      spec.sums.zipWithIndex.map { case ((_, alias), i) =>
+        (coalesce(col(alias), lit(0L)) + coalesce(col(s"__dsum$i"), lit(0L)))
+          .as(alias) } ++
+      Seq((coalesce(col(spec.cntCol), lit(0L)) +
+        coalesce(col("__dcnt"), lit(0L))).as(spec.cntCol)) ++
+      spec.avgs.zipWithIndex.flatMap { case ((_, alias), i) => Seq(
+        (coalesce(col(spec.avgSum(alias)), lit(0.0)) +
+          coalesce(col(s"__das$i").cast("double"), lit(0.0)))
+          .as(spec.avgSum(alias)),
+        (coalesce(col(spec.avgCnt(alias)), lit(0L)) +
+          coalesce(col(s"__dac$i"), lit(0L))).as(spec.avgCnt(alias))) } ++
+      spec.mins.zipWithIndex.map { case ((_, alias), i) =>
+        least(col(alias), col(s"__dmi$i")).as(alias) } ++
+      spec.maxs.zipWithIndex.map { case ((_, alias), i) =>
+        greatest(col(alias), col(s"__dxi$i")).as(alias) }
+    val merged = state.join(d, groupCols, "full_outer")
+      .select((groupCols.map(col) ++ candCols): _*)
+      .filter(col(spec.cntCol) > 0L)
+
+    val projected = finishAvgs(merged, spec)
+    if (spec.mins.isEmpty && spec.maxs.isEmpty) return projected
+
+    // dirty detection runs on the SMALL join of delta-agg × state
+    // min/max columns — a retracted value at or beyond the candidate
+    // bound means the true bound is unknown
+    val stateBounds = state.select((groupCols ++ spec.mins.map(_._2) ++
+      spec.maxs.map(_._2)).distinct.map(col): _*)
+    val dirtyCond =
+      (spec.mins.zipWithIndex.map { case ((_, alias), i) =>
+        col(s"__dmr$i") <= least(col(alias), col(s"__dmi$i")) } ++
+       spec.maxs.zipWithIndex.map { case ((_, alias), i) =>
+        col(s"__dxr$i") >= greatest(col(alias), col(s"__dxi$i")) })
+        .reduce(_ || _)
+    val dirtyKeys = d.join(stateBounds, groupCols, "left")
+      .filter(dirtyCond).select(groupCols.map(col): _*)
+    if (dirtyKeys.isEmpty) return projected
+
+    // recompute ONLY the dirty groups' bounds from the base snapshot
+    // the delta reads through (semi-join prunes the scan)
+    val reAggs = spec.mins.map { case (v, alias) =>
+      min(col(v)).as(s"__r_$alias") } ++
+      spec.maxs.map { case (v, alias) => max(col(v)).as(s"__r_$alias") }
+    val recomputed = baseAsOf.join(dirtyKeys, groupCols, "left_semi")
+      .groupBy(groupCols.map(col): _*)
+      .agg(lit(true).as("__r_hit"), reAggs: _*)
+    val patched = merged.join(recomputed, groupCols, "left")
+      .select((groupCols.map(col) ++
+        spec.sums.map(s => col(s._2)) ++ Seq(col(spec.cntCol)) ++
+        spec.avgs.flatMap(a =>
+          Seq(col(spec.avgSum(a._2)), col(spec.avgCnt(a._2)))) ++
+        (spec.mins ++ spec.maxs).map { case (_, alias) =>
+          when(col("__r_hit"), col(s"__r_$alias")).otherwise(col(alias))
+            .as(alias) }): _*)
+    finishAvgs(patched, spec)
+  }
+
+  /** Project the visible AVG columns from their hidden accumulators
+    * (NULL when the group has no non-null values — SQL AVG semantics).
+    */
+  private def finishAvgs(df: DataFrame, spec: AggSpec): DataFrame =
+    spec.avgs.foldLeft(df) { case (acc, (_, alias)) =>
+      acc.withColumn(alias,
+        when(col(spec.avgCnt(alias)) > 0L,
+          col(spec.avgSum(alias)) / col(spec.avgCnt(alias))))
+    }
+
   /** The state a fresh rebuild would produce — the bootstrap for the
     * maintenance loop and the invariant the spec checks `applyDelta`
     * against: state(snapshot N) maintained from state(snapshot M) +
@@ -95,5 +233,23 @@ object IncrementalAgg {
     val aggs = sums.map { case (v, alias) => sum(col(v)).as(alias) } :+
       count(lit(1)).as(cntCol)
     df.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Full-vocabulary rebuild — the invariant partner of
+    * [[applyDeltaFull]] (hidden AVG accumulators included, so a
+    * maintained state and a rebuilt state compare frame-equal).
+    */
+  def rebuildFull(df: DataFrame, groupCols: Seq[String],
+                  spec: AggSpec): DataFrame = {
+    val aggs =
+      spec.sums.map { case (v, alias) => sum(col(v)).as(alias) } ++
+      Seq(count(lit(1)).as(spec.cntCol)) ++
+      spec.avgs.flatMap { case (v, alias) => Seq(
+        coalesce(sum(col(v)).cast("double"), lit(0.0)).as(spec.avgSum(alias)),
+        count(col(v)).as(spec.avgCnt(alias))) } ++
+      spec.mins.map { case (v, alias) => min(col(v)).as(alias) } ++
+      spec.maxs.map { case (v, alias) => max(col(v)).as(alias) }
+    finishAvgs(
+      df.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*), spec)
   }
 }

@@ -32,7 +32,10 @@ class MaterializedView(source: TieredTable, state: TieredTable,
                        keyCols: Seq[String], groupCols: Seq[String],
                        valCol: String, sumCol: String = "sum_v",
                        cntCol: String = "cnt",
-                       extraSums: Seq[(String, String)] = Nil) {
+                       extraSums: Seq[(String, String)] = Nil,
+                       mins: Seq[(String, String)] = Nil,
+                       maxs: Seq[(String, String)] = Nil,
+                       avgs: Seq[(String, String)] = Nil) {
   require(groupCols.nonEmpty, "need at least one group column")
 
   /** All maintained sums: (delta value column → state alias). The
@@ -41,6 +44,13 @@ class MaterializedView(source: TieredTable, state: TieredTable,
     * maintenance step ([[IncrementalAgg.applyDeltaMulti]]).
     */
   private val sums: Seq[(String, String)] = (valCol -> sumCol) +: extraSums
+
+  /** The view's full aggregate vocabulary. MIN/MAX retraction repair
+    * reads the source AS OF the delta's snapshot for the affected
+    * groups only ([[IncrementalAgg.applyDeltaFull]]); AVG rides hidden
+    * (sum, count) accumulator columns in the state table.
+    */
+  private val spec = IncrementalAgg.AggSpec(sums, cntCol, mins, maxs, avgs)
 
   private val CursorTag = "mv-cursor-"
   private val running = new AtomicBoolean(false)
@@ -77,8 +87,14 @@ class MaterializedView(source: TieredTable, state: TieredTable,
       .getOrElse(0L)
   }
 
-  /** The maintained aggregate as of the last refresh. */
-  def view(): DataFrame = state.readCold()
+  /** The maintained aggregate as of the last refresh (hidden AVG
+    * accumulator columns projected away).
+    */
+  def view(): DataFrame = {
+    val hidden = avgs.map(a => spec.avgSum(a._2)) ++
+      avgs.map(a => spec.avgCnt(a._2))
+    state.readCold().drop(hidden: _*)
+  }
 
   /** One maintenance step: poll the source changelog past the
     * persisted cursor, apply it to the state, commit state+cursor as
@@ -92,8 +108,8 @@ class MaterializedView(source: TieredTable, state: TieredTable,
     val cur =
       if (from == 0L) emptyState(delta)
       else state.readCold()
-    val next = IncrementalAgg.applyDeltaMulti(cur, delta, groupCols, sums,
-      cntCol)
+    val next = IncrementalAgg.applyDeltaFull(cur, delta, groupCols, spec,
+      source.readColdAsOf(to))
     state.commitOverwrite(next, tag = Some(s"$CursorTag$to"))
     true
   }
@@ -172,16 +188,41 @@ class MaterializedView(source: TieredTable, state: TieredTable,
       val cur =
         if (state.latestSnapshotId == 0L) emptyState(batch)
         else state.readCold()
-      val next = IncrementalAgg.applyDeltaMulti(cur, batch, groupCols, sums,
-        cntCol)
+      // MIN/MAX retraction repair anchors at the newest snapshot whose
+      // change files are IN this batch (parsed from the file paths);
+      // a spec-driven in-memory batch has no file provenance — fall
+      // back to the source head (identical when batches track commits)
+      lazy val anchor: Long = {
+        import org.apache.spark.sql.functions.{input_file_name, max => fmax, regexp_extract}
+        // project first, aggregate second — input_file_name() is
+        // non-deterministic and illegal inside an aggregate argument
+        Option(batch
+          .select(regexp_extract(input_file_name(),
+            "changes/snap-(\\d+)", 1).cast("long").as("__snap"))
+          .agg(fmax("__snap").as("s"))
+          .head().getAs[java.lang.Long]("s"))
+          .map(_.toLong).getOrElse(source.latestSnapshotId)
+      }
+      val next = IncrementalAgg.applyDeltaFull(cur, batch, groupCols, spec,
+        source.readColdAsOf(anchor))
       state.commitOverwrite(next, tag = Some(tag))
     }
 
   /** Bootstrap: empty state with the output schema — the full snapshot
-    * arrives as +I rows through the same delta path.
+    * arrives as +I rows through the same delta path. MIN/MAX columns
+    * start NULL typed as their source value column; AVG accumulators
+    * start at (0.0, 0).
     */
-  private def emptyState(delta: DataFrame): DataFrame =
-    sums.foldLeft(delta.select(groupCols.map(col): _*).limit(0)) {
+  private def emptyState(delta: DataFrame): DataFrame = {
+    val base = sums.foldLeft(delta.select(groupCols.map(col): _*).limit(0)) {
       (d, sa) => d.withColumn(sa._2, lit(0L))
     }.withColumn(cntCol, lit(0L))
+    val withAvg = avgs.foldLeft(base) { (d, a) =>
+      d.withColumn(spec.avgSum(a._2), lit(0.0))
+        .withColumn(spec.avgCnt(a._2), lit(0L))
+    }
+    (mins ++ maxs).foldLeft(withAvg) { case (d, (v, alias)) =>
+      d.withColumn(alias, lit(null).cast(delta.schema(v).dataType))
+    }
+  }
 }

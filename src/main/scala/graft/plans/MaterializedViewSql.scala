@@ -49,10 +49,14 @@ import graft.storage.TieredTable
   * depends on it; delete the directory to discard the view for good).
   *
   * Scope: the aggregate shape [[graft.operators.IncrementalAgg]]
-  * maintains — any number of group columns, any number of SUM
-  * columns, one COUNT(*)/COUNT(1) — over one CDF-enabled source.
-  * Anything else fails loudly at CREATE time, never silently at
-  * maintenance time.
+  * maintains — any number of group columns, any number of SUM / MIN /
+  * MAX / AVG columns, one COUNT(*)/COUNT(1) — over one CDF-enabled
+  * source. MIN/MAX are retraction-correct via the dirty-group repair
+  * ([[graft.operators.IncrementalAgg.applyDeltaFull]]); AVG rides
+  * hidden accumulator columns in the state table (project explicit
+  * columns rather than `SELECT *` to avoid seeing them). Anything
+  * else fails loudly at CREATE time, never silently at maintenance
+  * time.
   */
 object MaterializedViewSql {
 
@@ -139,18 +143,30 @@ object MaterializedViewSql {
         val groupCols = groupExprs.map(e => attr(e).getOrElse(fail(
           s"GROUP BY supports plain columns only, got $e")))
         val sums = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+        val mins = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+        val maxs = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+        val avgs = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
         var cntAlias: Option[String] = None
+        def plainArg(fn: String, args: Seq[Expression]): String = args match {
+          case Seq(a: UnresolvedAttribute) => a.name
+          case other => fail(s"$fn argument must be a plain column, got $other")
+        }
         aggExprs.foreach {
           case e if attr(e).isDefined =>
             if (!groupCols.contains(attr(e).get))
               fail(s"non-aggregate column ${attr(e).get} not in GROUP BY")
           case Alias(UnresolvedFunction(Seq(fn), args, _, _, _, _, _), name)
               if fn.equalsIgnoreCase("sum") =>
-            val v = args match {
-              case Seq(a: UnresolvedAttribute) => a.name
-              case other => fail(s"SUM argument must be a plain column, got $other")
-            }
-            sums += (v -> name)
+            sums += (plainArg("SUM", args) -> name)
+          case Alias(UnresolvedFunction(Seq(fn), args, _, _, _, _, _), name)
+              if fn.equalsIgnoreCase("min") =>
+            mins += (plainArg("MIN", args) -> name)
+          case Alias(UnresolvedFunction(Seq(fn), args, _, _, _, _, _), name)
+              if fn.equalsIgnoreCase("max") =>
+            maxs += (plainArg("MAX", args) -> name)
+          case Alias(UnresolvedFunction(Seq(fn), args, _, _, _, _, _), name)
+              if fn.equalsIgnoreCase("avg") =>
+            avgs += (plainArg("AVG", args) -> name)
           case Alias(UnresolvedFunction(Seq(fn), args, _, _, _, _, _), name)
               if fn.equalsIgnoreCase("count") =>
             args match {
@@ -161,16 +177,18 @@ object MaterializedViewSql {
             cntAlias = Some(name)
           case other => fail(
             s"unsupported select item $other — the maintainable shape is " +
-              "group columns + SUM(col) AS <alias> (any number) + " +
-              "COUNT(*) AS <alias>")
+              "group columns + SUM/MIN/MAX/AVG(col) AS <alias> (any " +
+              "number of each) + COUNT(*) AS <alias>")
         }
         if (sums.isEmpty) fail("a SUM(col) AS <alias> item is required")
-        if (sums.map(_._2).distinct.size != sums.size)
-          fail("SUM aliases must be distinct")
+        val aliases = sums.map(_._2) ++ mins.map(_._2) ++ maxs.map(_._2) ++
+          avgs.map(_._2)
+        if (aliases.distinct.size != aliases.size)
+          fail("aggregate aliases must be distinct")
         CreateMaterializedViewCommand(db, mv, srcDb, srcTable, groupCols,
           sums.toSeq,
           cntAlias.getOrElse(fail("a COUNT(*) AS <alias> item is required")),
-          options)
+          options, mins.toSeq, maxs.toSeq, avgs.toSeq)
       case other => fail(
         s"the view body must be a GROUP BY aggregate, got:\n$other")
     }
@@ -180,7 +198,10 @@ object MaterializedViewSql {
                                srcDb: String, srcTable: String,
                                groupCols: Seq[String],
                                sums: Seq[(String, String)], cntAlias: String,
-                               options: Map[String, String]): Unit = {
+                               options: Map[String, String],
+                               mins: Seq[(String, String)] = Nil,
+                               maxs: Seq[(String, String)] = Nil,
+                               avgs: Seq[(String, String)] = Nil): Unit = {
     if (running.contains(key(db, mv)))
       fail(s"materialized view $db.$mv is already running — DROP it first")
     val entry = TieredCatalog.lookup(srcDb, srcTable).getOrElse(
@@ -195,7 +216,8 @@ object MaterializedViewSql {
       s"${TieredCatalog.warehouse}/$db/$mv")
     val state = TieredTable(session, statePath)
     val view = new MaterializedView(source, state, entry.pk, groupCols,
-      sums.head._1, sums.head._2, cntAlias, extraSums = sums.tail)
+      sums.head._1, sums.head._2, cntAlias, extraSums = sums.tail,
+      mins = mins, maxs = maxs, avgs = avgs)
     val checkpoint = options.getOrElse("checkpoint", s"$statePath/_checkpoint")
     val intervalMs = options.get("interval").map(_.toLong).getOrElse(1000L)
     val q = view.startStream(checkpoint, intervalMs)
@@ -217,11 +239,14 @@ object MaterializedViewSql {
 case class CreateMaterializedViewCommand(db: String, mv: String,
     srcDb: String, srcTable: String, groupCols: Seq[String],
     sums: Seq[(String, String)], cntAlias: String,
-    options: Map[String, String])
+    options: Map[String, String],
+    mins: Seq[(String, String)] = Nil,
+    maxs: Seq[(String, String)] = Nil,
+    avgs: Seq[(String, String)] = Nil)
   extends LeafRunnableCommand {
   override def run(session: SparkSession): Seq[Row] = {
     MaterializedViewSql.startView(session, db, mv, srcDb, srcTable,
-      groupCols, sums, cntAlias, options)
+      groupCols, sums, cntAlias, options, mins, maxs, avgs)
     Seq.empty
   }
 }

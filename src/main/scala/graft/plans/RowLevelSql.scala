@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.{Column, Row, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.expressions.{And, Attribute, AttributeReference, AttributeSet, Cast, CaseWhen, Coalesce, EqualTo, Expression, Literal, Not, SubqueryExpression}
-import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, InsertAction, LogicalPlan, MergeIntoTable, SubqueryAlias, UpdateAction, UpdateTable}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, DeleteFromTable, InsertAction, LogicalPlan, MergeIntoTable, SubqueryAlias, UpdateAction, UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
@@ -96,6 +96,23 @@ object RowLevelSql {
       keyName(a, "UPDATE") -> reanchor(a.value, "UPDATE", anchor)
     }
     GraftUpdateCommand(tst.catalogEntry, assigns, cond)
+  }
+
+  // ---------------- DELETE ----------------
+
+  /** SQL DELETE with an ARBITRARY predicate. [[TieredSqlTable]]'s DSv2
+    * `SupportsDelete` already serves deletes whose predicates translate
+    * to data-source filters; this lowering (which wins the analyzer
+    * race by running in the resolution batch) removes that limit —
+    * any deterministic, subquery-free expression works, through the
+    * identical storage verb. The hot-tail/empty-table behaviors match
+    * `TieredSqlTable.deleteWhere` exactly.
+    */
+  private[plans] def lowerDelete(tst: TieredSqlTable,
+                                 d: DeleteFromTable): LogicalPlan = {
+    val anchor = (_: AttributeReference) => Nil: Seq[String]
+    GraftDeleteCommand(tst.catalogEntry,
+      reanchor(d.condition, "DELETE", anchor))
   }
 
   // ---------------- MERGE ----------------
@@ -245,6 +262,8 @@ case class GraftRowLevelRule(session: SparkSession)
       tieredTarget(u.table).fold(plan)(RowLevelSql.lowerUpdate(_, u))
     case m: MergeIntoTable if m.resolved =>
       tieredTarget(m.targetTable).fold(plan)(RowLevelSql.lowerMerge(_, m))
+    case d: DeleteFromTable if d.resolved =>
+      tieredTarget(d.table).fold(plan)(RowLevelSql.lowerDelete(_, d))
     case _ => plan
   }
 }
@@ -260,6 +279,25 @@ case class GraftUpdateCommand(entry: TieredCatalog.Entry,
     val t = RowLevelSql.tieredOf(session, entry)
     import org.apache.spark.sql.functions.lit
     t.updateWhere(condition.getOrElse(lit(true)), assignments.toMap)
+    Seq.empty
+  }
+}
+
+/** Execution node for `DELETE FROM graft.<db>.<t> WHERE <any expr>` —
+  * the storage layer's copy-on-write [[TieredTable.deleteWhere]] with
+  * the same preconditions [[TieredSqlTable.deleteWhere]] applies (an
+  * empty table is a no-op; a hot-only table names tier() as the fix).
+  */
+case class GraftDeleteCommand(entry: TieredCatalog.Entry, condition: Column)
+  extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    val t = RowLevelSql.tieredOf(session, entry)
+    if (t.latestSnapshotId == 0L && t.logSegments.isEmpty) return Seq.empty
+    if (t.currentSnapshot.isEmpty)
+      throw new IllegalStateException(
+        s"table at ${entry.path} has un-tiered hot log segments and no " +
+          "snapshot; tier() before DELETE")
+    t.deleteWhere(condition)
     Seq.empty
   }
 }

@@ -136,6 +136,41 @@ object Lakehouse {
       "__v", "bal_cents", "n_rows")
   }
 
+  /** Q18b — q18's maintenance with the FULL aggregate vocabulary:
+    * SUM/COUNT plus MIN/MAX/AVG carried across the same snapshot-1 →
+    * snapshot-2 changelog. MIN/MAX are NOT self-maintainable under
+    * retraction — the merge DELETES customers (some holding their
+    * nation's extreme balance) and UPDATES balances (retracting the
+    * old value) — so this query exercises the dirty-group repair in
+    * [[IncrementalAgg.applyDeltaFull]]: affected groups re-aggregate
+    * from the snapshot-2 base via a semi-join-pruned scan, clean
+    * groups never touch it. The oracle recomputes the final state
+    * relationally, so a stale bound (the classic min-stuck-after-
+    * delete bug) hash-mismatches. AVG rides exact integer-cents
+    * accumulators; the division is the same two operands on both
+    * engines.
+    */
+  def q18bIncrementalMvFull(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    import graft.operators.IncrementalAgg
+    val t = demoMergedCustomer(spark, dir)
+    val cents = (col("c_acctbal").cast(DecimalType(15, 2)) * 100).cast("long")
+    val spec = IncrementalAgg.AggSpec(
+      sums = Seq("__v" -> "bal_cents"), cntCol = "n_rows",
+      mins = Seq("__v" -> "min_cents"), maxs = Seq("__v" -> "max_cents"),
+      avgs = Seq("__v" -> "avg_cents"))
+    def shaped(df: DataFrame) = df.select(
+      col("c_nationkey").cast("long").as("nation_key"), cents.as("__v"))
+    val state1 = IncrementalAgg.rebuildFull(
+      shaped(t.readColdAsOf(1L)), Seq("nation_key"), spec)
+    val delta = t.incrementalRead(1L, 2L, Seq("c_custkey")).select(
+      col("c_nationkey").cast("long").as("nation_key"), cents.as("__v"),
+      col("op"))
+    IncrementalAgg.applyDeltaFull(state1, delta, Seq("nation_key"), spec,
+      shaped(t.readColdAsOf(2L)))
+      .drop("__avs_avg_cents", "__avc_avg_cents")
+  }
+
   /** Q11 — time travel: batch read AS OF snapshot 1 (before the second
     * tier), Iceberg's `VERSION AS OF` semantics. The manifest pins the
     * exact file list of the older snapshot, so the read is reproducible

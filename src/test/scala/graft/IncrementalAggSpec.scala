@@ -163,4 +163,74 @@ class IncrementalAggSpec extends AnyFunSuite with SparkSpec {
         (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
     assert(out == Seq(("a", 10L, 2L), ("c", 7L, 1L)))
   }
+
+  private val fullSpec = IncrementalAgg.AggSpec(
+    sums = Seq("v" -> "sum_v"), cntCol = "n_rows",
+    mins = Seq("v" -> "min_v"), maxs = Seq("v" -> "max_v"),
+    avgs = Seq("v" -> "avg_v"))
+
+  private def fullRows(df: org.apache.spark.sql.DataFrame) =
+    df.select("g", "sum_v", "n_rows", "min_v", "max_v", "avg_v")
+      .orderBy("g").collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), math.rint(r.getDouble(5) * 1e9))).toSeq
+
+  test("full vocabulary (MIN/MAX/AVG) maintained state equals rebuild " +
+       "across randomized retraction rounds") {
+    val rnd = new scala.util.Random(23)
+    val dir = Files.createTempDirectory("graft-ivm-full").toString
+    val t = TieredTable(spark, s"$dir/t", pk = Seq("k"))
+    def rows(ks: Seq[Int]) =
+      ks.map(k => (k, s"g${k % 3}", rnd.between(-50L, 50L))).toDF("k", "g", "v")
+    t.commitUpsert(rows(1 to 30))
+    val (c0, boot) = t.changelogSince(0L, Seq("k"))
+    var cursor = c0
+    var state = IncrementalAgg.applyDeltaFull(
+      IncrementalAgg.rebuildFull(boot.limit(0), Seq("g"), fullSpec),
+      boot, Seq("g"), fullSpec, t.readColdAsOf(c0))
+      .localCheckpoint(true)
+    for (round <- 1 to 6) {
+      // updates move values (each is a -U/+U pair in the changelog —
+      // the update might retract the current min/max); round 2 and 5
+      // delete aggressively, INCLUDING extreme values
+      t.commitUpsert(rows(rnd.shuffle((1 to 40).toList).take(8)))
+      if (round == 2 || round == 5) t.deleteWhere(col("k") % 4 === round % 4)
+      val (next, delta) = t.changelogSince(cursor, Seq("k"))
+      assert(next > cursor)
+      state = IncrementalAgg.applyDeltaFull(state, delta, Seq("g"),
+        fullSpec, t.readColdAsOf(next)).localCheckpoint(true)
+      cursor = next
+      assert(fullRows(state) ==
+        fullRows(IncrementalAgg.rebuildFull(t.readCold(), Seq("g"), fullSpec)),
+        s"full-vocabulary state diverged from rebuild in round $round")
+    }
+  }
+
+  test("retracting the current minimum triggers the dirty-group repair " +
+       "and never touches clean groups' base") {
+    val dir = Files.createTempDirectory("graft-ivm-minret").toString
+    val t = TieredTable(spark, s"$dir/t", pk = Seq("k"))
+    t.commitUpsert(Seq((1, "a", 5L), (2, "a", 9L), (3, "b", 1L), (4, "b", 7L))
+      .toDF("k", "g", "v"))
+    val (c1, boot) = t.changelogSince(0L, Seq("k"))
+    val s1 = IncrementalAgg.applyDeltaFull(
+      IncrementalAgg.rebuildFull(boot.limit(0), Seq("g"), fullSpec),
+      boot, Seq("g"), fullSpec, t.readColdAsOf(c1)).localCheckpoint(true)
+    // delete group a's minimum (5) — a's min must repair to 9 via the
+    // base recompute; b is untouched
+    t.deleteWhere(col("k") === 1)
+    val (c2, delta) = t.changelogSince(c1, Seq("k"))
+    val s2 = IncrementalAgg.applyDeltaFull(s1, delta, Seq("g"), fullSpec,
+      t.readColdAsOf(c2))
+    assert(fullRows(s2) == Seq(
+      ("a", 9L, 1L, 9L, 9L, math.rint(9.0 * 1e9)),
+      ("b", 8L, 2L, 1L, 7L, math.rint(4.0 * 1e9))))
+    // insert-only delta: the maintained bound needs NO base read — the
+    // base argument is by-name and must never be evaluated
+    t.commitUpsert(Seq((5, "a", 3L)).toDF("k", "g", "v"))
+    val (c3, d3) = t.changelogSince(c2, Seq("k"))
+    val s3 = IncrementalAgg.applyDeltaFull(s2, d3, Seq("g"), fullSpec,
+      sys.error("insert-only delta must not read the base"))
+    assert(fullRows(s3).head == ("a", 12L, 2L, 3L, 9L, math.rint(6.0 * 1e9)))
+  }
 }

@@ -181,6 +181,27 @@ class RowLevelSqlSpec extends AnyFunSuite with SparkSpec {
       "subqueries")
   }
 
+  test("SQL DELETE accepts arbitrary predicates beyond pushable filters") {
+    import spark.implicits._
+    val (t, sql) = freshTable("d1")
+    t.appendLog(Seq((1L, 10.0), (2L, 2.0), (3L, 30.0)).toDF("id", "v"))
+    t.tier()
+    // `id * v >= 20` has no data-source Filter translation — the DSv2
+    // SupportsDelete path would refuse it; the rule lowering serves it
+    spark.sql(s"DELETE FROM $sql WHERE id * v >= 20")
+    val ids = spark.sql(s"SELECT id FROM $sql ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(ids == Seq(1L, 2L))
+    val ops = spark.sql(
+      s"SELECT operation FROM ${sql}__snapshots ORDER BY snapshot_id")
+      .collect().map(_.getString(0)).toSeq
+    assert(ops == Seq("tier", "delete"))
+    // no-match DELETE commits nothing; hot-only still names tier()
+    spark.sql(s"DELETE FROM $sql WHERE id * v > 1e9")
+    assert(spark.sql(s"SELECT COUNT(*) FROM ${sql}__snapshots")
+      .head().getLong(0) == 2)
+  }
+
   test("SQL UPDATE on a PK upsert table rewrites through the same verb") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-rl-pk").toString

@@ -200,7 +200,7 @@ class SqlSurfaceSpec extends AnyFunSuite with SparkSpec {
     // unsupported shapes are refused at CREATE time, loudly
     val e1 = intercept[org.apache.spark.sql.AnalysisException](spark.sql(
       """CREATE MATERIALIZED VIEW graft.mvdb.bad AS
-        |SELECT k, AVG(v) AS a, COUNT(*) AS cnt
+        |SELECT k, collect_list(v) AS a, COUNT(*) AS cnt
         |FROM graft.mvdb.src GROUP BY k""".stripMargin))
     assert(e1.getMessage.contains("unsupported select item"))
     val e2 = intercept[org.apache.spark.sql.AnalysisException](spark.sql(
@@ -223,6 +223,44 @@ class SqlSurfaceSpec extends AnyFunSuite with SparkSpec {
          |SELECT k, SUM(v) AS s, COUNT(*) AS c
          |FROM graft.mvdb.src GROUP BY k""".stripMargin))
     assert(e4.getMessage.contains("unknown option"), e4.getMessage)
+  }
+
+  test("MV with MIN/MAX/AVG: retraction-correct bounds from pure SQL") {
+    val dir = Files.createTempDirectory("graft-mv-minmax").toString
+    // PK source: upserts and deletes produce -U/-D retractions in the
+    // change feed — the case where MIN/MAX need the dirty-group repair
+    val src = TieredTable(spark, s"$dir/src", pk = Seq("id"),
+      changeDataFeed = true)
+    graft.plans.TieredCatalog.register("mvdb", "msrc2", s"$dir/src",
+      pk = Seq("id"), changeDataFeed = true)
+    src.commitUpsert(Seq((1L, "a", 5L), (2L, "a", 9L), (3L, "b", 1L))
+      .toDF("id", "k", "v"))
+    spark.sql(
+      s"""CREATE MATERIALIZED VIEW graft.mvdb.bounds
+         |OPTIONS('path'='$dir/bounds', 'checkpoint'='$dir/bckpt')
+         |AS SELECT k, SUM(v) AS sum_v, MIN(v) AS min_v, MAX(v) AS max_v,
+         |          AVG(v) AS avg_v, COUNT(*) AS cnt
+         |FROM graft.mvdb.msrc2 GROUP BY k""".stripMargin)
+    val q = graft.plans.MaterializedViewSql.query("mvdb", "bounds").get
+    q.processAllAvailable()
+    def rows(): Set[(String, Long, Long, Long, Double, Long)] =
+      spark.sql("""SELECT k, sum_v, min_v, max_v, avg_v, cnt
+                  |FROM graft.mvdb.bounds""".stripMargin)
+        .as[(String, Long, Long, Long, Double, Long)].collect().toSet
+    assert(rows() == Set(("a", 14L, 5L, 9L, 7.0, 2L), ("b", 1L, 1L, 1L, 1.0, 1L)))
+
+    // delete group a's current minimum — the maintained min must
+    // repair to the runner-up (9), not stick at 5
+    src.deleteWhere($"id" === 1L)
+    q.processAllAvailable()
+    assert(rows() == Set(("a", 9L, 9L, 9L, 9.0, 1L), ("b", 1L, 1L, 1L, 1.0, 1L)))
+
+    // an upsert that LOWERS an existing key's value retracts the old
+    // max: 9 -> 2 makes a's max repair downward through the same path
+    src.commitUpsert(Seq((2L, "a", 2L)).toDF("id", "k", "v"))
+    q.processAllAvailable()
+    assert(rows() == Set(("a", 2L, 2L, 2L, 2.0, 1L), ("b", 1L, 1L, 1L, 1.0, 1L)))
+    spark.sql("DROP MATERIALIZED VIEW graft.mvdb.bounds")
   }
 
   test("FOR SYSTEM_TIME AS OF temporal join parses and joins the current snapshot") {
