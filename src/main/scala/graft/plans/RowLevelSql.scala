@@ -188,16 +188,30 @@ object RowLevelSql {
     // storage verb excludes them before assignment).
     val updAssigns: Seq[(String, Column)] = upd.toSeq.flatMap {
       case (u, _) =>
-        u.assignments.map { a =>
+        u.assignments.flatMap { a =>
           val name = keyName(a, "MERGE UPDATE")
           if (!tSet.exists(_.name.equalsIgnoreCase(name)))
             fail(s"MERGE UPDATE assigns unknown target column $name")
-          val value = u.condition match {
-            case None => a.value
-            case Some(c) =>
-              CaseWhen(Seq((hit(c), a.value)), Some(a.key))
+          // `UPDATE SET *` expands to every column INCLUDING the join
+          // key as `k = s.k` — tautological under the equi-join (the
+          // matched rows' values are equal by ON), so drop it rather
+          // than trip the key-is-identity guard; any NON-identity
+          // assignment to a key column still refuses downstream.
+          val identityOnKey = on.exists(_.equalsIgnoreCase(name)) &&
+            (stripCast(a.value) match {
+              case v: AttributeReference =>
+                sSet.contains(v) && v.name.equalsIgnoreCase(name)
+              case _ => false
+            })
+          if (identityOnKey) None
+          else {
+            val value = u.condition match {
+              case None => a.value
+              case Some(c) =>
+                CaseWhen(Seq((hit(c), a.value)), Some(a.key))
+            }
+            Some(name -> reanchor(value, "MERGE", sideOf))
           }
-          name -> reanchor(value, "MERGE", sideOf)
         }
     }
 

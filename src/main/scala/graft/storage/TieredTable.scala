@@ -751,6 +751,13 @@ class TieredTable(spark: SparkSession, rawTablePath: String,
         s"merge key ${on.mkString(",")} missing from source")
       whenMatchedUpdate.keys.foreach(c => require(target.columns.contains(c),
         s"unknown target column $c in merge assignment"))
+      // SQL MERGE forbids updating the join-key columns (a matched row
+      // rekeyed mid-merge is neither matched nor inserted — undefined);
+      // same identity argument as updateWhere for PK columns.
+      val frozen = (on ++ pk).toSet.intersect(whenMatchedUpdate.keySet)
+      require(frozen.isEmpty,
+        s"MERGE cannot update key column(s) ${frozen.mkString(", ")} of " +
+          s"$tablePath — join keys and primary keys are row identity")
       // SQL MERGE `ON t.k = s.k` semantics: NULL keys never match — a
       // null-key source row inserts, a null-key target row passes
       // through untouched. SQL MERGE only errors when a TARGET row is
@@ -1014,6 +1021,17 @@ class TieredTable(spark: SparkSession, rawTablePath: String,
                   assignments: Map[String, org.apache.spark.sql.Column])
       : Option[Snapshot] = withCommitLock {
     require(assignments.nonEmpty, "updateWhere needs at least one assignment")
+    // A PK table's keys are its row identity: reassigning them can
+    // silently coin duplicate keys in the resolved state (two rows
+    // updated onto one key), breaking every upsert/changelog invariant
+    // downstream. Delete + re-insert is the honest spelling.
+    if (pk.nonEmpty) {
+      val touched = assignments.keySet.intersect(pk.toSet)
+      require(touched.isEmpty,
+        s"cannot UPDATE primary-key column(s) ${touched.mkString(", ")} of " +
+          s"$tablePath — a key is the row's identity; DELETE and re-insert " +
+          "instead")
+    }
     val prev = currentSnapshot.getOrElse(throw new IllegalStateException(
       s"no snapshot in $tablePath — nothing to update"))
     val watermark = prev.tieredSeg

@@ -213,4 +213,28 @@ class RowLevelSqlSpec extends AnyFunSuite with SparkSpec {
       .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
     assert(rows == Seq((1L, "a"), (2L, "z")))
   }
+
+  test("key columns are row identity: UPDATE of a PK column and MERGE " +
+       "onto a join key both refuse") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-rl-pkguard").toString
+    TieredCatalog.register("rl", "pkg", s"$dir/t", pk = Seq("id"))
+    val t = TieredTable(spark, s"$dir/t", pk = Seq("id"))
+    t.commitUpsert(Seq((1L, "a"), (2L, "b")).toDF("id", "name"))
+    // two rows updated onto one key would coin a duplicate PK silently
+    val e1 = intercept[Exception] {
+      spark.sql("UPDATE graft.rl.pkg SET id = 9 WHERE id >= 1")
+    }
+    assert(e1.getMessage.contains("primary-key column"), e1.getMessage)
+    val e2 = intercept[Exception] {
+      spark.sql(
+        """MERGE INTO graft.rl.pkg t
+          |USING (SELECT 1L AS id, 'x' AS name) s ON t.id = s.id
+          |WHEN MATCHED THEN UPDATE SET id = 7""".stripMargin)
+    }
+    assert(e2.getMessage.contains("key column"), e2.getMessage)
+    // the table is untouched by both refusals
+    assert(spark.sql("SELECT COUNT(*) FROM graft.rl.pkg__snapshots")
+      .head().getLong(0) == 1L)
+  }
 }
