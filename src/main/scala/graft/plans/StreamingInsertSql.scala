@@ -20,7 +20,8 @@ import graft.streaming.StatementSet
   *
   * {{{
   * EXECUTE STATEMENT SET
-  * [WITH('checkpoint'='<dir>', 'interval'='<ms>')]
+  * [WITH('checkpoint'='<dir>', 'interval'='<ms>',
+  *       'watermark'='<event-time col>:<delay>')]
   * BEGIN
   *   INSERT INTO graft.db.enriched
   *     SELECT o.order_key, …, c.name AS cust_name
@@ -168,10 +169,16 @@ object StreamingInsertSql {
               "WITH('key'='value', …) with single-quoted keys and values")
           val pairs =
             Opt.findAllMatchIn(o).map(m => m.group(1) -> m.group(2)).toMap
-          val unknown = pairs.keySet -- Set("checkpoint", "interval")
+          val unknown = pairs.keySet --
+            Set("checkpoint", "interval", "watermark")
           if (unknown.nonEmpty)
             fail(s"unknown option(s) ${unknown.mkString(", ")} — " +
-              "supported: checkpoint, interval")
+              "supported: checkpoint, interval, watermark")
+          pairs.get("watermark").foreach { w =>
+            if (!w.contains(":"))
+              fail("watermark must be '<event-time column>:<delay>', " +
+                s"e.g. 'ts:10 seconds', got '$w'")
+          }
           pairs
         }.getOrElse(Map.empty)
         val stmts = splitStatements(body).map {
@@ -259,10 +266,9 @@ object StreamingInsertSql {
     val grouped = parsed.collectFirst {
       case _: Aggregate => (); case _: Distinct => ()
     }.isDefined
-    if (grouped && sinkEntry.pk.isEmpty)
-      fail(s"a GROUP BY/DISTINCT statement emits an update changelog — " +
-        s"sink '$db.$table' must declare a primary key (or use an " +
-        "append-only body)")
+    // (grouped + keyless sink is checked at execute time — a WATERMARK
+    // option turns it into append-mode windowed aggregation, which IS
+    // meaningful for an append-only sink; see start())
     val id = nextId.incrementAndGet()
     val shadow = s"graft_stream_src_$id"
     // rewrite ONLY the stream relation to the shadow name; keep the
@@ -315,6 +321,26 @@ object StreamingInsertSql {
       .getOrElse(s"${sinkEntry.path}/_insert_checkpoint")
     val intervalMs = options.get("interval").map(_.toLong).getOrElse(1000L)
     val tagPrefix = s"stmtins-${key(low.db, low.table)}"
+    // WITH('watermark'='<col>:<delay>') — the event-time contract:
+    // applied to EVERY statement's stream in the set (split mixed
+    // shapes into separate sets). With a PK sink the watermark merely
+    // bounds aggregation state (update mode, late groups expire); with
+    // a KEYLESS sink it changes the emission contract to APPEND mode —
+    // each window emits ONCE, when the watermark passes its end, the
+    // Flink tumbling-window INSERT semantics
+    // (GROUP BY window(ts, '10 seconds') in Spark spelling).
+    val watermark: Option[(String, String)] =
+      options.get("watermark").map { w =>
+        val Array(c, d) = w.split(":", 2)
+        (c.trim, d.trim)
+      }
+    if (low.grouped && sinkEntry.pk.isEmpty && watermark.isEmpty)
+      fail(s"a GROUP BY/DISTINCT statement emits an update changelog — " +
+        s"sink '${low.db}.${low.table}' must declare a primary key, or " +
+        "pass WITH('watermark'='<col>:<delay>') and group by " +
+        "window(<col>, …) for append-mode finalized windows")
+    def withWm(df: DataFrame): DataFrame =
+      watermark.map { case (c, d) => df.withWatermark(c, d) }.getOrElse(df)
 
     def writeBatch(out: DataFrame, batchId: Long): Unit =
       if (sinkEntry.pk.nonEmpty)
@@ -324,12 +350,14 @@ object StreamingInsertSql {
     val q =
       if (low.grouped) {
         // Spark-native streaming aggregation: the shadow is a STREAMING
-        // temp view, the analyzed splice is a streaming aggregate, its
-        // update-mode changelog upserts into the PK sink per trigger
-        src.readStreamLog(schema).createOrReplaceTempView(low.shadow)
+        // temp view, the analyzed splice is a streaming aggregate. PK
+        // sink → update-mode changelog upserting per trigger; keyless
+        // sink (watermark required, enforced above) → append mode, one
+        // emission per finalized window
+        withWm(src.readStreamLog(schema)).createOrReplaceTempView(low.shadow)
         session.sql(s"SELECT * FROM graft_stream_stmt(${low.planId})")
           .writeStream
-          .outputMode("update")
+          .outputMode(if (sinkEntry.pk.nonEmpty) "update" else "append")
           .foreachBatch { (b: DataFrame, batchId: Long) =>
             writeBatch(b, batchId); (): Unit
           }

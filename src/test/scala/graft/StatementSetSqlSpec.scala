@@ -159,6 +159,64 @@ class StatementSetSqlSpec extends AnyFunSuite with SparkSpec {
     spark.sql("STOP STREAMING INSERT graft.sd.sink")
   }
 
+  test("event-time tumbling windows: WITH('watermark') + GROUP BY window " +
+       "appends each finalized window exactly once") {
+    val dir = Files.createTempDirectory("graft-stmtwin").toString
+    val src = TieredTable(spark, s"$dir/src")
+    val sink = TieredTable(spark, s"$dir/sink") // KEYLESS: append mode
+    TieredCatalog.register("sw", "src", s"$dir/src")
+    TieredCatalog.register("sw", "sink", s"$dir/sink")
+    def batch(rows: (Long, Long)*) = rows.toDF("sec", "v")
+      .selectExpr("timestamp_seconds(sec) AS ts", "v")
+    // three rows in window [0,10), one at 25s (window [20,30))
+    src.appendLog(batch((1L, 10L), (2L, 20L), (3L, 30L), (25L, 5L)))
+    spark.sql(
+      s"""EXECUTE STATEMENT SET
+         |WITH('checkpoint'='$dir/ckpt', 'interval'='100',
+         |     'watermark'='ts:0 seconds')
+         |BEGIN
+         |  INSERT INTO graft.sw.sink
+         |    SELECT window.start AS ws, COUNT(*) AS n, SUM(v) AS sum_v
+         |    FROM graft.sw.src GROUP BY window(ts, '10 seconds');
+         |END""".stripMargin)
+    val q = StreamingInsertSql.query("sw", "sink").get
+    q.processAllAvailable()
+    def rows(): Seq[(Long, Long, Long)] =
+      spark.sql("SELECT unix_timestamp(ws), n, sum_v FROM graft.sw.sink")
+        .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    // watermark reached 25s after the first batch → window [0,10)
+    // finalized and emitted ONCE; [20,30) still open
+    assert(rows() == Seq((0L, 3L, 60L)))
+    // advancing event time past 30s closes [20,30); the earlier window
+    // must NOT re-emit (append contract)
+    src.appendLog(batch((45L, 1L)))
+    q.processAllAvailable()
+    assert(rows() == Seq((0L, 3L, 60L), (20L, 1L, 5L)))
+    spark.sql("STOP STREAMING INSERT graft.sw.sink")
+
+    // the same windowed body into a PK sink runs UPDATE mode: windows
+    // surface immediately and refine in place, no watermark wait
+    val usink = TieredTable(spark, s"$dir/usink", pk = Seq("ws"))
+    TieredCatalog.register("sw", "usink", s"$dir/usink", pk = Seq("ws"))
+    spark.sql(
+      s"""EXECUTE STATEMENT SET
+         |WITH('checkpoint'='$dir/uckpt', 'interval'='100',
+         |     'watermark'='ts:0 seconds')
+         |BEGIN
+         |  INSERT INTO graft.sw.usink
+         |    SELECT window.start AS ws, COUNT(*) AS n, SUM(v) AS sum_v
+         |    FROM graft.sw.src GROUP BY window(ts, '10 seconds');
+         |END""".stripMargin)
+    val uq = StreamingInsertSql.query("sw", "usink").get
+    uq.processAllAvailable()
+    // every window visible, including ones the watermark has not
+    // closed ([40,50)); counts are the full per-window aggregates
+    assert(spark.sql("SELECT unix_timestamp(ws), n, sum_v FROM graft.sw.usink")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq ==
+      Seq((0L, 3L, 60L), (20L, 1L, 5L), (40L, 1L, 1L)))
+    spark.sql("STOP STREAMING INSERT graft.sw.usink")
+  }
+
   test("statement-set refusals are loud and named") {
     val dir = Files.createTempDirectory("graft-stmtbad").toString
     val src = TieredTable(spark, s"$dir/src")
@@ -190,6 +248,8 @@ class StatementSetSqlSpec extends AnyFunSuite with SparkSpec {
       .contains("malformed WITH"))
     assert(bad("EXECUTE STATEMENT SET WITH('chekpoint'='/x') BEGIN INSERT INTO graft.sb.sink SELECT id FROM graft.sb.src; END")
       .contains("unknown option"))
+    assert(bad("EXECUTE STATEMENT SET WITH('watermark'='ts 10 seconds') BEGIN INSERT INTO graft.sb.sink SELECT id FROM graft.sb.src; END")
+      .contains("<event-time column>:<delay>"))
     assert(bad("STOP STREAMING INSERT graft.sb.sink")
       .contains("no running continuous INSERT"))
     // the splice TVF is internal, not a user surface
