@@ -320,6 +320,49 @@ object Demo {
       .collect().map(r => s"${r.getLong(0)}->${r.getLong(1)}").mkString(", ")
     say(s"[demo] SQL UPDATE + MERGE INTO + DELETE: $dmlRows")
 
+    // 20. THE REFERENCE SCRIPT, VERBATIM: the faker-source DDL
+    //     (sql-client.sql) and the README walkthrough run unchanged
+    //     through the Flink-dialect SQL surface — faker connector,
+    //     quoted SET, CREATE/USE CATALOG, PROCTIME computed column,
+    //     PK NOT ENFORCED, datalake properties, EXECUTE STATEMENT SET,
+    //     temporal-join enrichment, continuous revenue
+    val prevCat = spark.sessionState.catalogManager.currentCatalog.name
+    val prevWh = TieredCatalog.warehouse
+    TieredCatalog.warehouse = s"$base/flink_wh"
+    try {
+      graft.plans.FlinkScript.run(spark,
+        graft.plans.FlinkScript.referenceSqlClientScript)
+      graft.plans.FlinkScript.run(spark,
+        graft.plans.FlinkScript.referenceWalkthroughScript)
+      val qe = graft.plans.StreamingInsertSql.query("", "enriched_orders").get
+      val qr = graft.plans.StreamingInsertSql.query("", "nation_revenue").get
+      qe.processAllAvailable(); qr.processAllAvailable()
+      graft.plans.FlinkScript.run(spark,
+        "SET 'execution.runtime-mode' = 'batch';")
+      val n = spark.sql("SELECT COUNT(1) FROM enriched_orders")
+        .head().getLong(0)
+      val trino = graft.storage.IcebergExport.readTable(spark,
+        TieredCatalog.lookup("", "nation_revenue").get.path)
+        .orderBy(org.apache.spark.sql.functions.col("revenue").desc)
+        .select("nation_name").limit(1).head().getString(0)
+      say(s"[demo] reference script verbatim: enriched COUNT(1)=$n, " +
+        s"top nation via exported Iceberg (Trino role)=$trino")
+      spark.sql("STOP STREAMING INSERT INTO enriched_orders")
+      spark.sql("STOP STREAMING INSERT INTO nation_revenue")
+    } finally {
+      spark.sessionState.catalogManager.setCurrentCatalog(prevCat)
+      TieredCatalog.warehouse = prevWh
+      graft.plans.FlinkScript.run(spark,
+        "SET 'execution.runtime-mode' = 'batch';")
+      Seq("fluss_order", "fluss_customer", "fluss_nation",
+        "enriched_orders", "nation_revenue")
+        .foreach(TieredCatalog.unregister("", _))
+      Seq("source_order", "source_customer", "source_nation").foreach { v =>
+        spark.catalog.dropTempView(v)
+        graft.sources.FakerSource.unregister(v)
+      }
+    }
+
     out.toSeq
   }
 }

@@ -1,0 +1,373 @@
+package graft.plans
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+
+import graft.sources.FakerSource
+
+/** The Flink-SQL dialect surface: exactly the statements the reference
+  * demo issues that Spark's grammar lacks, intercepted textually and
+  * lowered onto the graft catalog/stream machinery — so the reference's
+  * own script (/root/reference/flink/sql/sql-client.sql plus the
+  * README.md walkthrough, lines 104-316) runs verbatim:
+  *
+  *  - `CREATE TEMPORARY TABLE … WITH ('connector'='faker', …)` →
+  *    a deterministic [[graft.sources.FakerSource]] generator table
+  *  - `SET 'key' = 'value'` (Flink's quoted SET) → session conf under
+  *    `graft.flink.*`; `execution.runtime-mode` and
+  *    `table.exec.sink.not-null-enforcer` change statement semantics
+  *  - `CREATE CATALOG name WITH (…)` / `USE CATALOG name` → registers
+  *    the graft table catalog under `name` and switches to it
+  *  - Flink-dialect `CREATE TABLE` bodies: `PRIMARY KEY (…) NOT
+  *    ENFORCED` → the `primary-key` table property, `col AS PROCTIME()`
+  *    computed columns → recorded proctime attributes (accepted in
+  *    `FOR SYSTEM_TIME AS OF`), `WITH ('k'='v')` → `TBLPROPERTIES`,
+  *    `TIMESTAMP_LTZ` → `TIMESTAMP`, `'table.datalake.enabled'` →
+  *    the `datalake` property (auto-tier + Iceberg export per commit)
+  *  - `SHOW CREATE TABLE <faker table>` → echoes the original DDL
+  *  - bare `INSERT INTO … SELECT` while
+  *    `SET 'execution.runtime-mode' = 'streaming'` is in force → a
+  *    single-statement continuous insert ([[StreamingInsertSql]]),
+  *    Flink's unbounded-source INSERT job
+  *
+  * Everything else falls through to Spark's parser untouched.
+  */
+object FlinkDialect {
+
+  /** Session-conf prefix for Flink-style SET keys. */
+  val ConfPrefix = "graft.flink."
+  val RuntimeModeKey = s"${ConfPrefix}execution.runtime-mode"
+  val NotNullEnforcerKey = s"${ConfPrefix}table.exec.sink.not-null-enforcer"
+
+  /** Column names declared `AS PROCTIME()` in any Flink-dialect CREATE
+    * TABLE this process has seen — [[TemporalJoinParser]] accepts them
+    * in `FOR SYSTEM_TIME AS OF` exactly like the literal `proctime`.
+    */
+  private val proctimeCols = ConcurrentHashMap.newKeySet[String]()
+  def registerProctime(col: String): Unit = proctimeCols.add(col.toLowerCase)
+  def isProctime(col: String): Boolean =
+    proctimeCols.contains(col.toLowerCase)
+
+  def notNullEnforcer(spark: SparkSession): String =
+    spark.conf.getOption(NotNullEnforcerKey).getOrElse("ERROR").toUpperCase
+
+  def streamingMode(spark: SparkSession): Boolean =
+    spark.conf.getOption(RuntimeModeKey).exists(_.equalsIgnoreCase("streaming"))
+
+  // ---------------------------------------------------------------- lexing
+
+  /** Index of the matching ')' for the '(' at `open` (quote-aware — a
+    * paren inside a '…' SQL string literal doesn't count).
+    */
+  private def matchParen(s: String, open: Int): Int = {
+    require(s.charAt(open) == '(', s"expected '(' at $open")
+    var depth = 0; var inStr = false; var i = open
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\'') inStr = !inStr
+      else if (!inStr && c == '(') depth += 1
+      else if (!inStr && c == ')') { depth -= 1; if (depth == 0) return i }
+      i += 1
+    }
+    throw new IllegalArgumentException(s"unbalanced parentheses in: $s")
+  }
+
+  /** Split on top-level commas (quote- and paren-aware). */
+  private[plans] def splitTopLevel(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var depth = 0; var inStr = false; var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\'') { inStr = !inStr; cur.append(c) }
+      else if (!inStr && c == '(') { depth += 1; cur.append(c) }
+      else if (!inStr && c == ')') { depth -= 1; cur.append(c) }
+      else if (!inStr && c == ',' && depth == 0) {
+        out += cur.toString; cur.clear()
+      }
+      else cur.append(c)
+      i += 1
+    }
+    out += cur.toString
+    out.result().map(_.trim).filter(_.nonEmpty)
+  }
+
+  /** `'k' = 'v'` pairs with Flink's '' quote escape, insertion-ordered. */
+  private val OptPair =
+    """'((?:[^']|'')*)'\s*=\s*'((?:[^']|'')*)'""".r
+  private[plans] def parseOptions(block: String): Seq[(String, String)] =
+    OptPair.findAllMatchIn(block)
+      .map(m => m.group(1).replace("''", "'") -> m.group(2).replace("''", "'"))
+      .toSeq
+
+  private def fail(msg: String): Nothing =
+    throw new org.apache.spark.sql.AnalysisException(
+      errorClass = "USER_RAISED_EXCEPTION",
+      messageParameters = Map("errorMessage" -> s"Flink dialect: $msg"))
+
+  // ------------------------------------------------------- column rewriting
+
+  private val PkConstraint =
+    """(?is)^\s*PRIMARY\s+KEY\s*\(([^)]*)\)\s*NOT\s+ENFORCED\s*$""".r
+  private val ProctimeCol =
+    """(?is)^\s*`?([A-Za-z_]\w*)`?\s+AS\s+PROCTIME\s*\(\s*\)\s*$""".r
+
+  /** Flink column block → (Spark column DDL, primary key, proctime col).
+    * `TIMESTAMP_LTZ` maps to Spark's session-local-timezone TIMESTAMP.
+    */
+  private[plans] def processColumns(block: String)
+      : (String, Seq[String], Option[String]) = {
+    var pk = Seq.empty[String]
+    var proctime = Option.empty[String]
+    val kept = splitTopLevel(block).flatMap {
+      case PkConstraint(cols) =>
+        pk = cols.split(",").map(_.trim.stripPrefix("`").stripSuffix("`"))
+          .filter(_.nonEmpty).toSeq
+        None
+      case ProctimeCol(name) =>
+        proctime = Some(name); None
+      case coldef =>
+        Some(coldef.replaceAll("(?i)\\bTIMESTAMP_LTZ\\b", "TIMESTAMP"))
+    }
+    (kept.mkString(", "), pk, proctime)
+  }
+
+  // ------------------------------------------------------ statement parsing
+
+  private val SetStmt =
+    """(?is)^\s*SET\s+'((?:[^']|'')*)'\s*=\s*'((?:[^']|'')*)'\s*;?\s*$""".r
+  private val CreateCatalogStmt =
+    """(?is)^\s*CREATE\s+CATALOG\s+`?([A-Za-z_]\w*)`?\s+WITH\s*\(.*\)\s*;?\s*$""".r
+  private val UseCatalogStmt =
+    """(?is)^\s*USE\s+CATALOG\s+`?([A-Za-z_]\w*)`?\s*;?\s*$""".r
+  private val ShowCreateStmt =
+    """(?is)^\s*SHOW\s+CREATE\s+TABLE\s+`?([A-Za-z_]\w*)`?\s*;?\s*$""".r
+  private val CreateTempHead =
+    """(?is)^\s*CREATE\s+TEMPORARY\s+TABLE\s+`?([A-Za-z_]\w*)`?\s*""".r
+  private val CreateTableHead =
+    """(?is)^\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([A-Za-z0-9_.`]+)\s*""".r
+  private val InsertHead =
+    """(?is)^\s*INSERT\s+INTO\s+([A-Za-z0-9_.`]+)\s+(SELECT\b.*?);?\s*$""".r
+
+  /** Intercept a Flink-dialect statement; None = not ours, delegate. */
+  def parse(sqlText: String, delegate: ParserInterface): Option[LogicalPlan] =
+    sqlText match {
+      case SetStmt(k, v) =>
+        Some(FlinkSetCommand(k.replace("''", "'").trim,
+          v.replace("''", "'").trim))
+      case CreateCatalogStmt(name) =>
+        Some(CreateCatalogCommand(name))
+      case UseCatalogStmt(name) =>
+        Some(UseCatalogCommand(name))
+      case ShowCreateStmt(name) if FakerSource.lookup(name).isDefined =>
+        Some(ShowFakerDdlCommand(name))
+      case _ =>
+        CreateTempHead.findPrefixMatchOf(sqlText)
+          .map(m => parseCreateTemporary(sqlText, m.group(1), m.end))
+          .orElse(parseFlinkCreateTable(sqlText, delegate))
+          .orElse(parseStreamingInsert(sqlText))
+    }
+
+  /** `CREATE TEMPORARY TABLE name (cols…) WITH (options…)` — only the
+    * faker connector is meaningful locally; other connectors are
+    * refused by name.
+    */
+  private def parseCreateTemporary(sql: String, name: String,
+                                   afterName: Int): LogicalPlan = {
+    val open = sql.indexOf('(', afterName)
+    if (open < 0) fail(s"CREATE TEMPORARY TABLE $name: missing column list")
+    val close = matchParen(sql, open)
+    val (colDdl, pk, proctime) = processColumns(sql.substring(open + 1, close))
+    val rest = sql.substring(close + 1).trim
+    val WithTail = """(?is)^WITH\s*\(""".r
+    val opts = WithTail.findPrefixMatchOf(rest) match {
+      case Some(m) =>
+        val o = rest.indexOf('(', m.end - 1)
+        parseOptions(rest.substring(o + 1, matchParen(rest, o)))
+      case None => Seq.empty
+    }
+    val optMap = opts.toMap
+    val connector = optMap.getOrElse("connector",
+      fail(s"CREATE TEMPORARY TABLE $name: no 'connector' option — " +
+        "only the faker connector is supported locally"))
+    if (!connector.equalsIgnoreCase("faker"))
+      fail(s"CREATE TEMPORARY TABLE $name: connector '$connector' is not " +
+        "available in this environment (supported: faker)")
+    val schema = SparkSession.active.sessionState.sqlParser
+      .parseTableSchema(colDdl)
+    val FieldExpr = """fields\.(.+)\.expression""".r
+    val FieldNull = """fields\.(.+)\.null-rate""".r
+    val exprs = opts.collect { case (FieldExpr(c), v) => c -> v }.toMap
+    val nullRates = opts.collect {
+      case (FieldNull(c), v) => c -> v.toDouble }.toMap
+    val unknownCols = (exprs.keySet ++ nullRates.keySet) --
+      schema.fieldNames.toSet
+    if (unknownCols.nonEmpty)
+      fail(s"CREATE TEMPORARY TABLE $name: fields.* options for " +
+        s"undeclared column(s) ${unknownCols.mkString(", ")}")
+    proctime.foreach(registerProctime)
+    CreateFakerTableCommand(FakerSource.FakerTable(
+      name = name, schema = schema,
+      numRows = optMap.get("number-of-rows").map(_.toLong),
+      rowsPerSecond = optMap.get("rows-per-second").map(_.toInt),
+      primaryKey = pk, ddlText = sql.trim,
+      exprs = exprs, nullRates = nullRates))
+  }
+
+  /** Flink-dialect `CREATE TABLE`: rewrite to Spark DDL iff the body
+    * carries a Flink-ism (PK constraint, PROCTIME column, `WITH`
+    * properties); a plain Spark CREATE TABLE is left to the delegate.
+    */
+  private def parseFlinkCreateTable(sql: String,
+                                    delegate: ParserInterface): Option[LogicalPlan] =
+    CreateTableHead.findPrefixMatchOf(sql).flatMap { m =>
+      val tableName = m.group(2)
+      val open = sql.indexOf('(', m.end)
+      if (open < 0) None
+      else {
+        val close =
+          try matchParen(sql, open)
+          catch { case _: IllegalArgumentException => return None }
+        val (colDdl, pk, proctime) =
+          processColumns(sql.substring(open + 1, close))
+        val rest = sql.substring(close + 1).trim.stripSuffix(";").trim
+        val WithTail = """(?is)^WITH\s*\(""".r
+        val withOpts = WithTail.findPrefixMatchOf(rest) match {
+          case Some(w) =>
+            val o = rest.indexOf('(', w.end - 1)
+            if (rest.substring(matchParen(rest, o) + 1).trim.nonEmpty)
+              fail(s"CREATE TABLE $tableName: trailing text after WITH(…)")
+            Some(parseOptions(rest.substring(o + 1, matchParen(rest, o))))
+          case None if rest.isEmpty => None
+          case None => return None // PARTITIONED BY etc. — not ours
+        }
+        if (pk.isEmpty && proctime.isEmpty && withOpts.isEmpty) None
+        else {
+          proctime.foreach(registerProctime)
+          // Flink property names → graft table properties
+          val mapped = withOpts.getOrElse(Seq.empty).flatMap {
+            case ("table.datalake.enabled", v) => Some("datalake" -> v)
+            case ("table.datalake.freshness", v) => Some("freshness" -> v)
+            case ("connector", _) => None // fluss is the storage itself
+            case ("bootstrap.servers", _) => None
+            case (k, v) => Some(k -> v)
+          } ++ (if (pk.nonEmpty) Seq("primary-key" -> pk.mkString(",")) else Nil)
+          val props =
+            if (mapped.isEmpty) ""
+            else mapped.map { case (k, v) =>
+              s"'${k.replace("'", "''")}' = '${v.replace("'", "''")}'"
+            }.mkString(" TBLPROPERTIES (", ", ", ")")
+          val ifNotExists = Option(m.group(1)).getOrElse("")
+          Some(delegate.parsePlan(
+            s"CREATE TABLE $ifNotExists$tableName ($colDdl)$props"))
+        }
+      }
+    }
+
+  /** Bare `INSERT INTO … SELECT` under `'execution.runtime-mode' =
+    * 'streaming'` → a one-statement continuous insert, Flink's
+    * unbounded INSERT job. Only when the sink resolves in the graft
+    * registry (or the source is a faker table) — anything else is
+    * Spark's ordinary batch INSERT.
+    */
+  private def parseStreamingInsert(sql: String): Option[LogicalPlan] = {
+    val spark = SparkSession.active
+    if (!streamingMode(spark)) None
+    else InsertHead.findPrefixMatchOf(sql).flatMap { m =>
+      val sink = m.group(1)
+      val resolvable = StreamingInsertSql.resolveDbTable(sink).exists {
+        case (db, t) => TieredCatalog.lookup(db, t).isDefined
+      }
+      if (!resolvable) None
+      else {
+        val (db, t) = StreamingInsertSql.resolveDbTable(sink).get
+        Some(ExecuteStatementSetCommand(Seq((db, t, m.group(2))), Map.empty))
+      }
+    }
+  }
+}
+
+/** Flink `SET 'k' = 'v'` — stored under `graft.flink.<k>`; the
+  * runtime-mode and not-null-enforcer keys are read back by the
+  * dialect's INSERT lowering.
+  */
+case class FlinkSetCommand(key: String, value: String)
+  extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    session.conf.set(s"${FlinkDialect.ConfPrefix}$key", value)
+    Seq.empty
+  }
+}
+
+/** `CREATE CATALOG name WITH (…)` — the graft table catalog under
+  * another name (the reference's `fluss_catalog`,
+  * /root/reference/README.md:129-134). All names share one table
+  * registry; the catalog name is pure addressing.
+  */
+case class CreateCatalogCommand(name: String) extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    session.conf.set(s"spark.sql.catalog.$name",
+      classOf[GraftTableCatalog].getName)
+    Seq.empty
+  }
+}
+
+/** `USE CATALOG name` (README.md:135) — Flink's catalog switch; Spark
+  * spells it `SET CATALOG`. Tables created unqualified afterwards land
+  * in the catalog's root namespace.
+  */
+case class UseCatalogCommand(name: String) extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    if (!session.conf.getOption(s"spark.sql.catalog.$name").isDefined)
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "USER_RAISED_EXCEPTION",
+        messageParameters = Map("errorMessage" ->
+          s"USE CATALOG: catalog '$name' does not exist — CREATE CATALOG it first"))
+    session.sessionState.catalogManager.setCurrentCatalog(name)
+    Seq.empty
+  }
+}
+
+/** Registers the faker table and materializes its bounded content as a
+  * temp view, so batch `SELECT`s over the source work like Flink's.
+  */
+case class CreateFakerTableCommand(table: graft.sources.FakerSource.FakerTable)
+  extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    // building the bounded frame compiles every generator, so a bad
+    // faker expression fails at CREATE time, not first read; an
+    // unbounded table compiles through its stream frame instead
+    table.numRows match {
+      case Some(_) =>
+        val df = table.bounded(session)
+        FakerSource.register(table)
+        df.createOrReplaceTempView(table.name)
+      case None =>
+        table.stream(session)
+        FakerSource.register(table)
+    }
+    Seq.empty
+  }
+}
+
+/** `SHOW CREATE TABLE` for a faker temporary table: echo the original
+  * DDL (README.md:114-123).
+  */
+case class ShowFakerDdlCommand(name: String) extends LeafRunnableCommand {
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+    Seq(org.apache.spark.sql.catalyst.expressions.AttributeReference(
+      "createtab_stmt", org.apache.spark.sql.types.StringType,
+      nullable = false)())
+  override def run(session: SparkSession): Seq[Row] = {
+    val t = FakerSource.lookup(name).getOrElse(
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "USER_RAISED_EXCEPTION",
+        messageParameters = Map("errorMessage" ->
+          s"SHOW CREATE TABLE: unknown faker table '$name'")))
+    Seq(Row(t.ddlText))
+  }
+}

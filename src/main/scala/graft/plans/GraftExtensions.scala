@@ -105,15 +105,18 @@ object GraftChangesTvf {
 object TemporalJoinParser {
   /** `FOR SYSTEM_TIME AS OF <proctime-attr>` where the attribute is a
     * (possibly qualified) processing-time attribute — the last segment
-    * must be `proctime` (any case) or `PROCTIME()`. Event-time
-    * versioned joins (AS OF an event-time column) deliberately do NOT
-    * match: they would need per-row dim versioning, so they fall
-    * through to Spark's parser and fail loudly instead of silently
-    * joining the current snapshot.
+    * must be `proctime` (any case), `PROCTIME()`, or a column declared
+    * `AS PROCTIME()` in a Flink-dialect CREATE TABLE (the reference's
+    * `ptime`, README.md:148 — checked via
+    * [[FlinkDialect.isProctime]]). Event-time versioned joins (AS OF an
+    * event-time column) deliberately do NOT match: they would need
+    * per-row dim versioning, so they fall through to Spark's parser and
+    * fail loudly instead of silently joining the current snapshot.
     */
   private val AsOf =
     ("""(?is)\s+FOR\s+SYSTEM_TIME\s+AS\s+OF\s+""" +
-     """(?:[A-Za-z_][A-Za-z0-9_]*\s*\.\s*)*(?:PROCTIME\s*\(\s*\)|PROCTIME\b)""").r
+     """(?:`?[A-Za-z_][A-Za-z0-9_]*`?\s*\.\s*)*""" +
+     """(?:PROCTIME\s*\(\s*\)|`?([A-Za-z_][A-Za-z0-9_]*)`?)""").r
 
   /** Strip the clause: in batch execution over the snapshot-isolated
     * graft catalog, "dim as of the probe row's processing time" IS the
@@ -124,7 +127,15 @@ object TemporalJoinParser {
     * [[graft.streaming.DemoPipeline]].)
     */
   def rewrite(sqlText: String): String =
-    AsOf.replaceAllIn(sqlText, "")
+    AsOf.replaceAllIn(sqlText, m => Option(m.group(1)) match {
+      // bare attribute: erase only a known processing-time name —
+      // `proctime` or a declared `AS PROCTIME()` column
+      case Some(attr)
+        if attr.equalsIgnoreCase("proctime") || FlinkDialect.isProctime(attr) =>
+        ""
+      case Some(_) => java.util.regex.Matcher.quoteReplacement(m.matched)
+      case None => "" // literal PROCTIME()
+    })
 }
 
 /** Delegating parser that erases `FOR SYSTEM_TIME AS OF <proctime>`
@@ -150,11 +161,13 @@ class TemporalJoinParser(delegate: ParserInterface) extends ParserInterface {
     }
 
   override def parsePlan(sqlText: String): LogicalPlan =
-    // graft DDL first: Spark's grammar has neither MATERIALIZED VIEW
-    // nor EXECUTE STATEMENT SET, and intercepting up front keeps the
-    // error messages ours instead of a generic ParseException
+    // graft DDL first: Spark's grammar has neither MATERIALIZED VIEW,
+    // EXECUTE STATEMENT SET, nor the Flink-dialect verbs, and
+    // intercepting up front keeps the error messages ours instead of a
+    // generic ParseException
     MaterializedViewSql.parse(sqlText, delegate)
       .orElse(StreamingInsertSql.parse(sqlText, delegate))
+      .orElse(FlinkDialect.parse(sqlText, delegate))
       .getOrElse(withRewrite(sqlText, delegate.parsePlan))
   override def parseQuery(sqlText: String): LogicalPlan =
     withRewrite(sqlText, delegate.parseQuery)

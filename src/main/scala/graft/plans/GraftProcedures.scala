@@ -81,6 +81,11 @@ object GraftProcedures {
   private def str(r: InternalRow, i: Int): String = r.getUTF8String(i).toString
 
   private val procs: Map[String, Proc] = Seq(
+    Proc("tier",
+      "fold committed hot-log segments into a new cold snapshot (the " +
+        "lake tiering service's verb, run on the freshness schedule)",
+      Seq(p("table", StringType)),
+      r => { resolve(str(r, 0)).tier(); () }),
     Proc("compact",
       "rewrite the cold tier into one resolved snapshot; optional " +
         "sort columns give range-clustered output",

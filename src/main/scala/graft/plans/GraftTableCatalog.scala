@@ -255,11 +255,15 @@ class GraftTableCatalog extends TableCatalog
     // change files (see TieredTable.writeChangeFeed) — the Delta-CDF
     // surface through SQL DDL
     val cdf = props.get("change-data-feed").exists(_.trim.toBoolean)
+    // 'datalake' property (Flink dialect maps 'table.datalake.enabled'
+    // here): streaming-SQL commits auto-tier and Iceberg-export —
+    // the reference's datalake-enabled tables (README.md:188-191)
+    val datalake = props.get("datalake").exists(_.trim.toBoolean)
     val meta = Paths.get(path, "meta")
     Files.createDirectories(meta)
     Files.writeString(meta.resolve("SCHEMA"), schema.toDDL)
     TieredCatalog.register(db, ident.name, path, pk, partitionBy = partCols,
-      bloomCols = bloomCols, changeDataFeed = cdf)
+      bloomCols = bloomCols, changeDataFeed = cdf, datalake = datalake)
     loadTable(ident)
   }
 

@@ -132,12 +132,38 @@ object StreamingInsertSql {
      """([A-Za-z0-9_.`]+)\s*;?\s*""").r
   private val Opt = """'([^']*)'\s*=\s*'([^']*)'""".r
 
-  private def dbTable(raw: String, what: String): (String, String) =
+  /** Is `cat` a catalog name backed by [[GraftTableCatalog]] (the
+    * builtin `graft` or a `CREATE CATALOG` alias)?
+    */
+  private def isGraftCatalog(cat: String): Boolean =
+    cat.equalsIgnoreCase(TieredCatalog.CatalogName) ||
+      SparkSession.active.conf.getOption(s"spark.sql.catalog.$cat")
+        .contains(classOf[GraftTableCatalog].getName)
+
+  /** Resolve a possibly-qualified table reference to (db, table).
+    * Single-part names resolve against the current catalog/namespace
+    * when the current catalog is graft-backed (the Flink-dialect
+    * `USE CATALOG` flow), else the root namespace.
+    */
+  def resolveDbTable(raw: String): Option[(String, String)] =
     raw.replace("`", "").split("\\.").toSeq match {
-      case Seq(TieredCatalog.CatalogName, db, t) => (db, t)
-      case Seq(db, t) => (db, t)
-      case _ => fail(s"$what must be '<db>.<table>', got '$raw'")
+      case Seq(cat, db, t) if isGraftCatalog(cat) => Some((db, t))
+      case Seq(_, _, _) => None
+      case Seq(db, t) => Some((db, t))
+      case Seq(t) =>
+        val cm = SparkSession.active.sessionState.catalogManager
+        val db =
+          if (isGraftCatalog(cm.currentCatalog.name))
+            cm.currentNamespace.mkString(".")
+          else ""
+        Some((db, t))
+      case _ => None
     }
+
+  private def dbTable(raw: String, what: String): (String, String) =
+    resolveDbTable(raw).getOrElse(
+      fail(s"$what must be '[catalog.]<db>.<table>' or an unqualified " +
+        s"name in the current graft catalog, got '$raw'"))
 
   /** Quote-aware `;` split — a semicolon inside a `'…'` SQL string
     * literal ('' = the escaped quote) does not end a statement.
@@ -242,7 +268,16 @@ object StreamingInsertSql {
 
   private case class Lowered(db: String, table: String, selectText: String,
                              srcDb: String, srcTable: String,
-                             grouped: Boolean, planId: Long, shadow: String)
+                             grouped: Boolean, planId: Long, shadow: String,
+                             faker: Boolean = false) {
+    /** A bounded faker source loads as one batch (the finite generator
+      * job that completes — Flink's bounded-source INSERT); only an
+      * unbounded faker source runs as a rate stream.
+      */
+    def fakerBounded: Boolean =
+      faker && graft.sources.FakerSource.lookup(srcTable)
+        .exists(_.numRows.isDefined)
+  }
 
   /** Validate one INSERT and register its spliced plan. Pure analysis —
     * nothing starts here.
@@ -253,13 +288,25 @@ object StreamingInsertSql {
       fail(s"unknown sink table '$db.$table' — CREATE or register it first"))
     val parsed = parseSelect(select, session)
     val (srcRel, aliased) = leftmostRelation(parsed)
-    val (srcDb, srcTable) = dbTable(srcRel.multipartIdentifier.mkString("."),
-      "stream source")
-    if (key(srcDb, srcTable) == key(db, table))
+    // a source naming a registered faker table — bare, or through
+    // Flink's default-catalog spelling
+    // `default_catalog`.`default_database`.source_x (README.md:213-215)
+    // — is the generator path (the reference's EXECUTE STATEMENT SET
+    // loads); everything else must be a graft table
+    val srcParts = srcRel.multipartIdentifier
+    val faker = graft.sources.FakerSource.lookup(srcParts.last).isDefined &&
+      (srcParts.size == 1 ||
+        srcParts.init.map(_.toLowerCase) ==
+          Seq("default_catalog", "default_database"))
+    val (srcDb, srcTable) =
+      if (faker) ("", srcParts.last)
+      else dbTable(srcParts.mkString("."), "stream source")
+    if (!faker && key(srcDb, srcTable) == key(db, table))
       fail(s"'$db.$table' cannot continuously insert into itself")
-    TieredCatalog.lookup(srcDb, srcTable).getOrElse(
-      fail(s"unknown stream source '$srcDb.$srcTable' — the leftmost FROM " +
-        "relation must be a registered graft table"))
+    if (!faker)
+      TieredCatalog.lookup(srcDb, srcTable).getOrElse(
+        fail(s"unknown stream source '$srcDb.$srcTable' — the leftmost FROM " +
+          "relation must be a registered graft table or faker source"))
     // an Aggregate/Distinct ANYWHERE in the body (the root may be a
     // Sort/Limit over it) must take the streaming-aggregation lowering:
     // per-batch re-analysis would silently emit batch-partial groups
@@ -274,20 +321,102 @@ object StreamingInsertSql {
     // rewrite ONLY the stream relation to the shadow name; keep the
     // user's qualified references resolving by re-aliasing an unaliased
     // relation under its original terminal name
+    // single-part dim references resolve against the PARSE-TIME current
+    // catalog/namespace and are baked in fully qualified: the
+    // micro-batch body re-analyzes inside the stream's CLONED session,
+    // whose current catalog is not the statement author's (the
+    // reference's unqualified `fluss_customer` after USE CATALOG,
+    // README.md:222-239)
+    val cm = session.sessionState.catalogManager
+    def qualified(r: UnresolvedRelation): Option[Seq[String]] =
+      r.multipartIdentifier match {
+        case Seq(t) if isGraftCatalog(cm.currentCatalog.name) &&
+          TieredCatalog.lookup(cm.currentNamespace.mkString("."), t).isDefined =>
+          Some(Seq(cm.currentCatalog.name) ++ cm.currentNamespace ++ Seq(t))
+        case _ => None
+      }
     val spliced = parsed.transformUp {
       case r: UnresolvedRelation if r.eq(srcRel) =>
         val sub = UnresolvedRelation(Seq(shadow))
         if (aliased) sub
         else SubqueryAlias(r.multipartIdentifier.last, sub)
+      case r: UnresolvedRelation =>
+        qualified(r).map { q =>
+          SubqueryAlias(r.multipartIdentifier.last, UnresolvedRelation(q))
+        }.getOrElse(r)
     }
     plans.put(id, spliced)
-    Lowered(db, table, select, srcDb, srcTable, grouped, id, shadow)
+    Lowered(db, table, select, srcDb, srcTable, grouped, id, shadow, faker)
   }
 
   private def tableOf(session: SparkSession,
                       e: TieredCatalog.Entry): TieredTable =
+    // datalake entries export the Iceberg metadata chain on every
+    // commit (incremental, O(Δ)) — the reference's tiering-service
+    // interop for 'table.datalake.enabled' tables
     TieredTable(session, e.path, e.pk, e.mergeOnRead, e.partitionBy,
-      e.bloomCols, changeDataFeed = e.changeDataFeed)
+      e.bloomCols, changeDataFeed = e.changeDataFeed,
+      icebergExport = e.datalake)
+
+  /** NOT NULL columns of the sink's declared schema present in the
+    * output — enforced per Flink's `table.exec.sink.not-null-enforcer`
+    * (sql-client.sql:50): DROP filters violating rows (pushed-down
+    * IsNotNull), ERROR (the Flink default) raises on the first
+    * violating row via a codegen'd conditional.
+    */
+  private def declaredSchema(e: TieredCatalog.Entry)
+      : Option[org.apache.spark.sql.types.StructType] =
+    graft.storage.TableFs.forPath(e.path)
+      .readString(s"${e.path}/meta/SCHEMA")
+      .map(org.apache.spark.sql.types.StructType.fromDDL)
+
+  /** Primary-key columns are implicitly NOT NULL (the Flink PK
+    * contract) on top of the declared non-nullable columns.
+    */
+  private def notNullCols(e: TieredCatalog.Entry): Seq[String] =
+    (declaredSchema(e)
+      .map(_.fields.filter(!_.nullable).map(_.name).toSeq)
+      .getOrElse(Nil) ++ e.pk).distinct
+
+  /** SQL INSERT maps the SELECT's output to the sink's columns BY
+    * POSITION, coercing types (the reference's enrichment INSERT emits
+    * `c.name` and `n.name` — two `name` columns — into
+    * `cust_name`/`nation_name`, and its revenue INSERT narrows the
+    * widened SUM decimal back to the declared DECIMAL(15,2),
+    * README.md:222-251): rename and cast to the declared schema when
+    * one exists.
+    */
+  private def conformToSink(e: TieredCatalog.Entry, df: DataFrame): DataFrame =
+    declaredSchema(e) match {
+      case Some(s) =>
+        if (s.size != df.columns.length)
+          fail(s"INSERT produces ${df.columns.length} columns but the " +
+            s"sink declares ${s.size} (${s.fieldNames.mkString(", ")})")
+        import org.apache.spark.sql.functions.col
+        df.toDF(s.fieldNames.toIndexedSeq: _*)
+          .select(s.fields.toIndexedSeq.map(f =>
+            col(f.name).cast(f.dataType).as(f.name)): _*)
+      case None => df
+    }
+
+  private def applySinkPolicy(session: SparkSession, cols: Seq[String],
+                              df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit, raise_error, when}
+    val present = cols.filter(df.columns.contains)
+    if (present.isEmpty) df
+    else FlinkDialect.notNullEnforcer(session) match {
+      case "DROP" => graft.operators.SinkPolicy.enforceNotNull(df, present)
+      case _ => df.select(df.columns.toSeq.map { c =>
+        if (present.contains(c))
+          when(col(c).isNull, raise_error(lit(
+            s"column $c is NOT NULL but the insert produced a null row " +
+              "(sink policy ERROR; SET 'table.exec.sink." +
+              "not-null-enforcer'='DROP' to drop such rows)")))
+            .otherwise(col(c)).as(c)
+        else col(c)
+      }: _*)
+    }
+  }
 
   /** Start one lowered statement as its continuous query. */
   private def start(session: SparkSession, low: Lowered,
@@ -297,25 +426,35 @@ object StreamingInsertSql {
       fail(s"a continuous INSERT into ${low.db}.${low.table} is already " +
         "running — STOP STREAMING INSERT it first")
     val sinkEntry = TieredCatalog.lookup(low.db, low.table).get
-    val srcEntry = TieredCatalog.lookup(low.srcDb, low.srcTable).get
+    val srcEntry =
+      if (low.faker) None else TieredCatalog.lookup(low.srcDb, low.srcTable)
     val sink = tableOf(session, sinkEntry)
-    val src = tableOf(session, srcEntry)
-    // stream schema: the declared CREATE TABLE schema when one was
-    // persisted (lets a chained set start against a still-empty
-    // upstream sink — the reference DDLs every table first), else the
-    // data's own schema
-    val schema = graft.storage.TableFs.forPath(srcEntry.path)
-      .readString(s"${srcEntry.path}/meta/SCHEMA")
-      .map(org.apache.spark.sql.types.StructType.fromDDL)
-      .getOrElse {
-        try src.readUnion().schema
-        catch {
-          case _: IllegalStateException => fail(
-            s"stream source '${low.srcDb}.${low.srcTable}' is empty and " +
-              "has no declared schema — CREATE TABLE it with columns or " +
-              "append a first batch")
-        }
-      }
+    // the source stream: a graft table's hot log, or an unbounded faker
+    // generator's rate stream
+    def sourceStream(): DataFrame = srcEntry match {
+      case Some(e) =>
+        val src = tableOf(session, e)
+        // stream schema: the declared CREATE TABLE schema when one was
+        // persisted (lets a chained set start against a still-empty
+        // upstream sink — the reference DDLs every table first), else
+        // the data's own schema
+        val schema = graft.storage.TableFs.forPath(e.path)
+          .readString(s"${e.path}/meta/SCHEMA")
+          .map(org.apache.spark.sql.types.StructType.fromDDL)
+          .getOrElse {
+            try src.readUnion().schema
+            catch {
+              case _: IllegalStateException => fail(
+                s"stream source '${low.srcDb}.${low.srcTable}' is empty " +
+                  "and has no declared schema — CREATE TABLE it with " +
+                  "columns or append a first batch")
+            }
+          }
+        src.readStreamLog(schema)
+      case None =>
+        graft.sources.FakerSource.lookup(low.srcTable).get.stream(session)
+    }
+    val sinkNotNull = notNullCols(sinkEntry)
     val checkpoint = options.get("checkpoint")
       .map(c => s"$c/${low.db}.${low.table}")
       .getOrElse(s"${sinkEntry.path}/_insert_checkpoint")
@@ -342,10 +481,18 @@ object StreamingInsertSql {
     def withWm(df: DataFrame): DataFrame =
       watermark.map { case (c, d) => df.withWatermark(c, d) }.getOrElse(df)
 
-    def writeBatch(out: DataFrame, batchId: Long): Unit =
+    def writeBatch(out0: DataFrame, batchId: Long): Unit = {
+      val out = applySinkPolicy(session, sinkNotNull,
+        conformToSink(sinkEntry, out0))
       if (sinkEntry.pk.nonEmpty)
         sink.commitUpsert(out, tag = Some(s"$tagPrefix-$batchId"))
       else sink.appendLog(out, tag = Some(s"$tagPrefix-$batchId"))
+      // datalake-enabled sink: tier within the trigger — freshness =
+      // trigger period, the reference's 30 s datalake SLA collapsed to
+      // the micro-batch cadence (README.md:188-191); the constructed
+      // sink also Iceberg-exports each commit (tableOf)
+      if (sinkEntry.datalake && sinkEntry.pk.isEmpty) { sink.tier(); () }
+    }
 
     val q =
       if (low.grouped) {
@@ -354,7 +501,7 @@ object StreamingInsertSql {
         // sink → update-mode changelog upserting per trigger; keyless
         // sink (watermark required, enforced above) → append mode, one
         // emission per finalized window
-        withWm(src.readStreamLog(schema)).createOrReplaceTempView(low.shadow)
+        withWm(sourceStream()).createOrReplaceTempView(low.shadow)
         session.sql(s"SELECT * FROM graft_stream_stmt(${low.planId})")
           .writeStream
           .outputMode(if (sinkEntry.pk.nonEmpty) "update" else "append")
@@ -367,7 +514,7 @@ object StreamingInsertSql {
       } else {
         // micro-batch re-analysis: shadow = THIS batch, dims = their
         // current committed snapshots (processing-time temporal join)
-        src.readStreamLog(schema).writeStream
+        sourceStream().writeStream
           .foreachBatch { (b: DataFrame, batchId: Long) =>
             b.createOrReplaceTempView(low.shadow)
             val out = b.sparkSession.sql(
@@ -383,6 +530,41 @@ object StreamingInsertSql {
     q
   }
 
+  /** One-shot load from a BOUNDED faker source — the finite generator
+    * job that runs to completion (the reference's EXECUTE STATEMENT SET
+    * dim/order loads, README.md:211-217; `rows-per-second` is demo
+    * pacing, not semantics — the bounded dataset is identical, so the
+    * local run fast-forwards it). A PK sink takes last-write-wins on
+    * GENERATION order: the faker batch is narrow over `spark.range`,
+    * so `monotonically_increasing_id` ascends with the row id.
+    */
+  private def runFakerLoad(session: SparkSession, low: Lowered): Unit = {
+    import org.apache.spark.sql.functions.{col, monotonically_increasing_id}
+    val sinkEntry = TieredCatalog.lookup(low.db, low.table).get
+    val sink = tableOf(session, sinkEntry)
+    val ft = graft.sources.FakerSource.lookup(low.srcTable).get
+    try {
+      ft.bounded(session).createOrReplaceTempView(low.shadow)
+      val out0 = session.sql(s"SELECT * FROM graft_stream_stmt(${low.planId})")
+      val out = applySinkPolicy(session, notNullCols(sinkEntry),
+        conformToSink(sinkEntry, out0))
+      if (sinkEntry.pk.nonEmpty) {
+        val seq = graft.sources.FakerSource.SeqCol
+        require(!out.columns.contains(seq), s"column $seq is reserved")
+        val withSeq = out.withColumn(seq, monotonically_increasing_id())
+        sink.commitUpsert(graft.operators.Upsert
+          .latestByKey(withSeq, sinkEntry.pk, Seq(col(seq).desc)).drop(seq))
+      } else {
+        sink.appendLog(out)
+        if (sinkEntry.datalake) { sink.tier(); () }
+      }
+    } finally {
+      session.catalog.dropTempView(low.shadow)
+      plans.remove(low.planId)
+      (): Unit
+    }
+  }
+
   private[plans] def execute(session: SparkSession,
                              stmts: Seq[(String, String, String)],
                              options: Map[String, String]): Unit = {
@@ -390,14 +572,24 @@ object StreamingInsertSql {
     val lowered = stmts.map { case (db, t, select) =>
       lower(session, db, t, select)
     }
+    // bounded faker loads run to completion first (they feed the
+    // streaming statements of the same set); continuous statements
+    // then start together
+    val (bounded, continuous) = lowered.partition(_.fakerBounded)
+    try bounded.foreach(runFakerLoad(session, _))
+    catch {
+      case e: Throwable =>
+        lowered.foreach(low => plans.remove(low.planId))
+        throw e
+    }
     val set = StatementSet()
-    lowered.foreach(low => set.add(start(session, low, options)))
+    continuous.foreach(low => set.add(start(session, low, options)))
     try set.run()
     catch {
       case e: Throwable =>
         // unwind everything this set touched — including spliced plans
         // of statements that never reached start()
-        lowered.foreach { low =>
+        continuous.foreach { low =>
           cleanup(session, key(low.db, low.table))
           plans.remove(low.planId)
         }

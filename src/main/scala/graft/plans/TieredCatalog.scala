@@ -17,10 +17,16 @@ object TieredCatalog {
   @volatile var warehouse: String =
     s"${sys.props("java.io.tmpdir")}/graft-warehouse"
 
+  /** `datalake` mirrors the reference's `table.datalake.enabled`
+    * property (README.md:188-191): commits through the SQL streaming
+    * surface auto-tier hot→cold and export the Iceberg metadata chain,
+    * playing the lake tiering service.
+    */
   case class Entry(path: String, pk: Seq[String], mergeOnRead: Boolean,
                    partitionBy: Seq[String] = Nil,
                    bloomCols: Seq[String] = Nil,
-                   changeDataFeed: Boolean = false)
+                   changeDataFeed: Boolean = false,
+                   datalake: Boolean = false)
 
   private val reg = TrieMap.empty[(String, String), Entry]
 
@@ -28,9 +34,11 @@ object TieredCatalog {
                pk: Seq[String] = Nil, mergeOnRead: Boolean = false,
                partitionBy: Seq[String] = Nil,
                bloomCols: Seq[String] = Nil,
-               changeDataFeed: Boolean = false): Unit =
+               changeDataFeed: Boolean = false,
+               datalake: Boolean = false): Unit =
     reg.put((db.toLowerCase, table.toLowerCase),
-      Entry(path, pk, mergeOnRead, partitionBy, bloomCols, changeDataFeed))
+      Entry(path, pk, mergeOnRead, partitionBy, bloomCols, changeDataFeed,
+        datalake))
 
   def lookup(db: String, table: String): Option[Entry] =
     reg.get((db.toLowerCase, table.toLowerCase))

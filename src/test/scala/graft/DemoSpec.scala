@@ -64,5 +64,10 @@ class DemoSpec extends AnyFunSuite with SparkSpec {
     // deleted 3 / inserted 4, DELETE removed 4 again
     assert(has("SQL UPDATE + MERGE INTO + DELETE: 1->101, 2->999"),
       lines.mkString("\n"))
+
+    // the reference script ran VERBATIM: all 10000 generated orders
+    // enriched, and the Trino role answered from exported Iceberg
+    assert(has("reference script verbatim: enriched COUNT(1)=10000"),
+      lines.mkString("\n"))
   }
 }
