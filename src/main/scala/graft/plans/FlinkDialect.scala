@@ -115,14 +115,25 @@ object FlinkDialect {
     """(?is)^\s*PRIMARY\s+KEY\s*\(([^)]*)\)\s*NOT\s+ENFORCED\s*$""".r
   private val ProctimeCol =
     """(?is)^\s*`?([A-Za-z_]\w*)`?\s+AS\s+PROCTIME\s*\(\s*\)\s*$""".r
+  private val WatermarkClause =
+    ("""(?is)^\s*WATERMARK\s+FOR\s+`?([A-Za-z_]\w*)`?\s+AS\s+.*?""" +
+     """INTERVAL\s+'(\d+)'\s+([A-Za-z]+)\s*$""").r
 
-  /** Flink column block → (Spark column DDL, primary key, proctime col).
+  /** The parsed Flink column block: Spark column DDL plus the stripped
+    * constraint/computed clauses. `watermark` is `<col>:<delay>` in
+    * Spark's `withWatermark` delay spelling.
+    */
+  private[plans] case class ColumnBlock(ddl: String, pk: Seq[String],
+                                        proctime: Option[String],
+                                        watermark: Option[String])
+
+  /** Flink column block → Spark DDL + PK + PROCTIME + WATERMARK.
     * `TIMESTAMP_LTZ` maps to Spark's session-local-timezone TIMESTAMP.
     */
-  private[plans] def processColumns(block: String)
-      : (String, Seq[String], Option[String]) = {
+  private[plans] def processColumns(block: String): ColumnBlock = {
     var pk = Seq.empty[String]
     var proctime = Option.empty[String]
+    var watermark = Option.empty[String]
     val kept = splitTopLevel(block).flatMap {
       case PkConstraint(cols) =>
         pk = cols.split(",").map(_.trim.stripPrefix("`").stripSuffix("`"))
@@ -130,10 +141,16 @@ object FlinkDialect {
         None
       case ProctimeCol(name) =>
         proctime = Some(name); None
+      case WatermarkClause(col, n, unit) =>
+        val u = unit.toLowerCase.stripSuffix("s")
+        require(Set("second", "minute", "hour", "day").contains(u),
+          s"WATERMARK: unsupported interval unit '$unit'")
+        watermark = Some(s"$col:$n ${u}s")
+        None
       case coldef =>
         Some(coldef.replaceAll("(?i)\\bTIMESTAMP_LTZ\\b", "TIMESTAMP"))
     }
-    (kept.mkString(", "), pk, proctime)
+    ColumnBlock(kept.mkString(", "), pk, proctime, watermark)
   }
 
   // ------------------------------------------------------ statement parsing
@@ -181,7 +198,8 @@ object FlinkDialect {
     val open = sql.indexOf('(', afterName)
     if (open < 0) fail(s"CREATE TEMPORARY TABLE $name: missing column list")
     val close = matchParen(sql, open)
-    val (colDdl, pk, proctime) = processColumns(sql.substring(open + 1, close))
+    val cb = processColumns(sql.substring(open + 1, close))
+    val (colDdl, pk, proctime) = (cb.ddl, cb.pk, cb.proctime)
     val rest = sql.substring(close + 1).trim
     val WithTail = """(?is)^WITH\s*\(""".r
     val opts = WithTail.findPrefixMatchOf(rest) match {
@@ -215,7 +233,7 @@ object FlinkDialect {
       numRows = optMap.get("number-of-rows").map(_.toLong),
       rowsPerSecond = optMap.get("rows-per-second").map(_.toInt),
       primaryKey = pk, ddlText = sql.trim,
-      exprs = exprs, nullRates = nullRates))
+      exprs = exprs, nullRates = nullRates, watermark = cb.watermark))
   }
 
   /** Flink-dialect `CREATE TABLE`: rewrite to Spark DDL iff the body
@@ -232,8 +250,8 @@ object FlinkDialect {
         val close =
           try matchParen(sql, open)
           catch { case _: IllegalArgumentException => return None }
-        val (colDdl, pk, proctime) =
-          processColumns(sql.substring(open + 1, close))
+        val cb = processColumns(sql.substring(open + 1, close))
+        val (colDdl, pk, proctime) = (cb.ddl, cb.pk, cb.proctime)
         val rest = sql.substring(close + 1).trim.stripSuffix(";").trim
         val WithTail = """(?is)^WITH\s*\(""".r
         val withOpts = WithTail.findPrefixMatchOf(rest) match {
@@ -245,7 +263,8 @@ object FlinkDialect {
           case None if rest.isEmpty => None
           case None => return None // PARTITIONED BY etc. — not ours
         }
-        if (pk.isEmpty && proctime.isEmpty && withOpts.isEmpty) None
+        if (pk.isEmpty && proctime.isEmpty && withOpts.isEmpty &&
+          cb.watermark.isEmpty) None
         else {
           proctime.foreach(registerProctime)
           // Flink property names → graft table properties
@@ -255,7 +274,8 @@ object FlinkDialect {
             case ("connector", _) => None // fluss is the storage itself
             case ("bootstrap.servers", _) => None
             case (k, v) => Some(k -> v)
-          } ++ (if (pk.nonEmpty) Seq("primary-key" -> pk.mkString(",")) else Nil)
+          } ++ (if (pk.nonEmpty) Seq("primary-key" -> pk.mkString(",")) else Nil) ++
+            cb.watermark.map("watermark" -> _)
           val props =
             if (mapped.isEmpty) ""
             else mapped.map { case (k, v) =>

@@ -259,11 +259,21 @@ class GraftTableCatalog extends TableCatalog
     // here): streaming-SQL commits auto-tier and Iceberg-export —
     // the reference's datalake-enabled tables (README.md:188-191)
     val datalake = props.get("datalake").exists(_.trim.toBoolean)
+    // 'watermark' property ('<col>:<delay>', the Flink dialect's
+    // WATERMARK FOR clause): streaming statements reading this table
+    // default their event-time watermark to it
+    val watermark = props.get("watermark").map(_.trim).filter(_.nonEmpty)
+    watermark.foreach { w =>
+      val c = w.split(":", 2).head
+      require(schema.fieldNames.contains(c),
+        s"watermark column $c not in schema")
+    }
     val meta = Paths.get(path, "meta")
     Files.createDirectories(meta)
     Files.writeString(meta.resolve("SCHEMA"), schema.toDDL)
     TieredCatalog.register(db, ident.name, path, pk, partitionBy = partCols,
-      bloomCols = bloomCols, changeDataFeed = cdf, datalake = datalake)
+      bloomCols = bloomCols, changeDataFeed = cdf, datalake = datalake,
+      watermark = watermark)
     loadTable(ident)
   }
 
@@ -447,7 +457,12 @@ class TieredSqlTable(tableName: String, spark: SparkSession,
   }
 
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE).asJava
+    // TRUNCATE admits full-table `INSERT OVERWRITE` (Flink's batch
+    // overwrite verb); partition-scoped overwrite is deliberately NOT
+    // declared (OVERWRITE_BY_FILTER absent) so it refuses at analysis
+    // instead of silently truncating everything
+    Set(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE).asJava
 
   /** Partition spec + table properties power Spark's built-in
     * `SHOW CREATE TABLE` (reference README.md:116-122): the rendered
@@ -467,6 +482,8 @@ class TieredSqlTable(tableName: String, spark: SparkSession,
     if (entry.bloomCols.nonEmpty)
       m += "bloom-columns" -> entry.bloomCols.mkString(",")
     if (entry.changeDataFeed) m += "change-data-feed" -> "true"
+    if (entry.datalake) m += "datalake" -> "true"
+    entry.watermark.foreach(w => m += "watermark" -> w)
     m += "path" -> entry.path
     m.asJava
   }
@@ -525,16 +542,40 @@ class TieredSqlTable(tableName: String, spark: SparkSession,
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new WriteBuilder {
+    new WriteBuilder
+      with org.apache.spark.sql.connector.write.SupportsTruncate {
+      private var overwriteAll = false
+      override def truncate(): WriteBuilder = { overwriteAll = true; this }
       override def build(): V1Write = new V1Write {
         override def toInsertableRelation: InsertableRelation =
           new InsertableRelation {
             override def insert(data: org.apache.spark.sql.DataFrame,
                                 overwrite: Boolean): Unit = {
-              require(!overwrite,
-                s"INSERT OVERWRITE is not supported on tiered table $tableName")
-              if (entry.pk.nonEmpty) t.commitUpsert(data)
+              if (overwriteAll || overwrite) {
+                // `INSERT OVERWRITE` — Flink's batch replace verb: the
+                // new content REPLACES the current snapshot wholesale.
+                // A PK sink first applies last-write-wins within the
+                // batch (arrival order; narrow plans preserve it), the
+                // same contract as every other PK write
+                val wm = t.currentSnapshot.map(_.tieredSeg).getOrElse(-1L)
+                require(!t.logSegments.exists(_ > wm),
+                  s"table $tableName has un-tiered hot log segments — " +
+                    "they would resurface over the replaced snapshot; " +
+                    "tier() before INSERT OVERWRITE")
+                val batch =
+                  if (entry.pk.isEmpty) data
+                  else {
+                    import org.apache.spark.sql.functions.{col, monotonically_increasing_id}
+                    val seq = "__ow_seq"
+                    graft.operators.Upsert.latestByKey(
+                      data.withColumn(seq, monotonically_increasing_id()),
+                      entry.pk, Seq(col(seq).desc)).drop(seq)
+                  }
+                t.commitOverwrite(batch)
+              }
+              else if (entry.pk.nonEmpty) t.commitUpsert(data)
               else t.appendLog(data)
+              (): Unit
             }
           }
       }

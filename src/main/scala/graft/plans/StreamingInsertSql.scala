@@ -468,8 +468,14 @@ object StreamingInsertSql {
     // each window emits ONCE, when the watermark passes its end, the
     // Flink tumbling-window INSERT semantics
     // (GROUP BY window(ts, '10 seconds') in Spark spelling).
+    // explicit WITH option first, else the SOURCE table's declared
+    // event-time contract (`WATERMARK FOR …` DDL / faker dialect)
+    val declaredWm: Option[String] =
+      if (low.faker)
+        graft.sources.FakerSource.lookup(low.srcTable).flatMap(_.watermark)
+      else srcEntry.flatMap(_.watermark)
     val watermark: Option[(String, String)] =
-      options.get("watermark").map { w =>
+      options.get("watermark").orElse(declaredWm).map { w =>
         val Array(c, d) = w.split(":", 2)
         (c.trim, d.trim)
       }

@@ -22,11 +22,17 @@ object TieredCatalog {
     * surface auto-tier hot→cold and export the Iceberg metadata chain,
     * playing the lake tiering service.
     */
+  /** `watermark` is the table's declared event-time contract
+    * (`WATERMARK FOR <col> AS <col> - INTERVAL '<n>' <unit>` in the
+    * Flink dialect), stored as `<col>:<delay>`; streaming statements
+    * reading the table default their watermark to it.
+    */
   case class Entry(path: String, pk: Seq[String], mergeOnRead: Boolean,
                    partitionBy: Seq[String] = Nil,
                    bloomCols: Seq[String] = Nil,
                    changeDataFeed: Boolean = false,
-                   datalake: Boolean = false)
+                   datalake: Boolean = false,
+                   watermark: Option[String] = None)
 
   private val reg = TrieMap.empty[(String, String), Entry]
 
@@ -35,10 +41,11 @@ object TieredCatalog {
                partitionBy: Seq[String] = Nil,
                bloomCols: Seq[String] = Nil,
                changeDataFeed: Boolean = false,
-               datalake: Boolean = false): Unit =
+               datalake: Boolean = false,
+               watermark: Option[String] = None): Unit =
     reg.put((db.toLowerCase, table.toLowerCase),
       Entry(path, pk, mergeOnRead, partitionBy, bloomCols, changeDataFeed,
-        datalake))
+        datalake, watermark))
 
   def lookup(db: String, table: String): Option[Entry] =
     reg.get((db.toLowerCase, table.toLowerCase))

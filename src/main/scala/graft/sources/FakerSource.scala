@@ -30,7 +30,8 @@ object FakerSource {
                         numRows: Option[Long], rowsPerSecond: Option[Int],
                         primaryKey: Seq[String], ddlText: String,
                         exprs: Map[String, String],
-                        nullRates: Map[String, Double]) {
+                        nullRates: Map[String, Double],
+                        watermark: Option[String] = None) {
 
     /** Generator columns as functions of the row-id column. */
     private[FakerSource] def columns(id: Column): Seq[Column] =

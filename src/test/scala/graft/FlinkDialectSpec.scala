@@ -15,6 +15,7 @@ import graft.sources.FakerSource
   * [[ReferenceScriptSpec]].
   */
 class FlinkDialectSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
 
   test("faker DDL: deterministic generators honor ranges, types, escapes") {
     spark.sql("""CREATE TEMPORARY TABLE faker_probe (
@@ -214,6 +215,96 @@ class FlinkDialectSpec extends AnyFunSuite with SparkSpec {
       spark.sql("DROP TABLE graft.fk.nn_sink")
       spark.catalog.dropTempView("nullable_src")
       FakerSource.unregister("nullable_src")
+    }
+  }
+
+  test("WATERMARK FOR DDL: the declared event-time contract drives " +
+       "windowed streaming inserts") {
+    val dir = Files.createTempDirectory("graft-wmddl").toString
+    spark.sql(s"""CREATE TABLE graft.fk.ev_src (
+      |  `ts` TIMESTAMP_LTZ,
+      |  `v` BIGINT,
+      |  WATERMARK FOR `ts` AS `ts` - INTERVAL '0' SECOND
+      |) WITH ('path' = '$dir/ev_src')""".stripMargin)
+    assert(TieredCatalog.lookup("fk", "ev_src").get.watermark ==
+      Some("ts:0 seconds"))
+    // the declaration round-trips through SHOW CREATE TABLE
+    assert(spark.sql("SHOW CREATE TABLE graft.fk.ev_src").head()
+      .getString(0).contains("'watermark' = 'ts:0 seconds'"))
+    spark.sql(s"""CREATE TABLE graft.fk.ev_sink (`ws` TIMESTAMP, `n` BIGINT)
+      |TBLPROPERTIES ('path' = '$dir/ev_sink')""".stripMargin)
+    val src = graft.storage.TieredTable(spark, s"$dir/ev_src")
+    src.appendLog(Seq((1L, 10L), (3L, 30L), (25L, 5L)).toDF("sec", "v")
+      .selectExpr("timestamp_seconds(sec) AS ts", "v"))
+    try {
+      // NO WITH('watermark') — the sink is keyless, so this only
+      // starts because the SOURCE declares the event-time contract
+      spark.sql(
+        s"""EXECUTE STATEMENT SET
+           |WITH('checkpoint'='$dir/ckpt', 'interval'='100')
+           |BEGIN
+           |  INSERT INTO graft.fk.ev_sink
+           |    SELECT window.start AS ws, COUNT(*) AS n
+           |    FROM graft.fk.ev_src GROUP BY window(ts, '10 seconds');
+           |END""".stripMargin)
+      val q = graft.plans.StreamingInsertSql.query("fk", "ev_sink").get
+      q.processAllAvailable()
+      // watermark reached 25s → window [0,10) finalized with 2 rows
+      assert(spark.sql(
+        "SELECT unix_timestamp(ws), n FROM graft.fk.ev_sink")
+        .as[(Long, Long)].collect().toSeq == Seq((0L, 2L)))
+    } finally {
+      spark.sql("STOP STREAMING INSERT graft.fk.ev_sink")
+      spark.sql("DROP TABLE graft.fk.ev_src")
+      spark.sql("DROP TABLE graft.fk.ev_sink")
+    }
+  }
+
+  test("INSERT OVERWRITE: Flink's batch replace verb, hot-tail guarded") {
+    val dir = Files.createTempDirectory("graft-ow").toString
+    spark.sql(s"""CREATE TABLE graft.fk.ow_log (`k` BIGINT, `v` STRING)
+      |TBLPROPERTIES ('path' = '$dir/ow_log')""".stripMargin)
+    try {
+      spark.sql("INSERT INTO graft.fk.ow_log SELECT * FROM VALUES " +
+        "(1L, 'a'), (2L, 'b') AS t(k, v)")
+      // the INSERT landed in the hot log — an overwrite would be
+      // silently resurrected by the un-tiered tail, so it refuses
+      val e = intercept[Exception](spark.sql(
+        "INSERT OVERWRITE graft.fk.ow_log SELECT * FROM VALUES " +
+          "(9L, 'z') AS t(k, v)"))
+      def messages(t: Throwable): Seq[String] =
+        if (t == null) Nil else t.getMessage +: messages(t.getCause)
+      assert(messages(e).exists(m => m != null && m.contains("un-tiered")),
+        messages(e).mkString("\n"))
+      spark.sql("CALL graft.system.tier('fk.ow_log')")
+      spark.sql("INSERT OVERWRITE graft.fk.ow_log SELECT * FROM VALUES " +
+        "(9L, 'z') AS t(k, v)")
+      assert(spark.sql("SELECT k, v FROM graft.fk.ow_log")
+        .as[(Long, String)].collect().toSeq == Seq((9L, "z")))
+      // history keeps the pre-overwrite snapshot time-travelable
+      val snaps = spark.sql(
+        """SELECT snapshot_id, operation FROM `graft`.`fk`.`ow_log$snapshots`
+          |ORDER BY snapshot_id""".stripMargin)
+        .as[(Long, String)].collect().toSeq
+      assert(snaps.map(_._2) == Seq("tier", "overwrite"), snaps.toString)
+      assert(spark.sql(
+        s"SELECT COUNT(*) FROM graft.fk.ow_log VERSION AS OF ${snaps.head._1}")
+        .head().getLong(0) == 2L)
+
+      // PK sink: overwrite applies last-write-wins within the batch
+      spark.sql(s"""CREATE TABLE graft.fk.ow_pk (`k` BIGINT NOT NULL,
+        |`v` STRING, PRIMARY KEY (`k`) NOT ENFORCED)
+        |WITH ('path' = '$dir/ow_pk')""".stripMargin)
+      spark.sql("INSERT INTO graft.fk.ow_pk SELECT * FROM VALUES " +
+        "(1L, 'old'), (2L, 'old') AS t(k, v)")
+      spark.sql("INSERT OVERWRITE graft.fk.ow_pk SELECT * FROM VALUES " +
+        "(5L, 'first'), (5L, 'last'), (6L, 'only') AS t(k, v)")
+      assert(spark.sql("SELECT k, v FROM graft.fk.ow_pk ORDER BY k")
+        .as[(Long, String)].collect().toSeq ==
+        Seq((5L, "last"), (6L, "only")))
+      spark.sql("DROP TABLE graft.fk.ow_pk")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft.fk.ow_log")
     }
   }
 
