@@ -215,7 +215,7 @@ class GraftTableCatalog extends TableCatalog
     partCols.foreach(c => require(schema.fieldNames.contains(c),
       s"partition column $c not in schema"))
     val db = ident.namespace().mkString(".")
-    require(TieredCatalog.lookup(db, ident.name).isEmpty,
+    require(TieredCatalog.lookupLocal(db, ident.name).isEmpty,
       s"table $db.${ident.name} already exists")
     val props = properties.asScala
     val path = props.getOrElse("path",
@@ -274,6 +274,9 @@ class GraftTableCatalog extends TableCatalog
     TieredCatalog.register(db, ident.name, path, pk, partitionBy = partCols,
       bloomCols = bloomCols, changeDataFeed = cdf, datalake = datalake,
       watermark = watermark)
+    // DDL-created tables are durable: the entry persists under the
+    // warehouse `_catalog/` and recovers lazily in a fresh process
+    TieredCatalog.persist(db, ident.name)
     loadTable(ident)
   }
 
@@ -365,6 +368,7 @@ class GraftTableCatalog extends TableCatalog
     val db = ident.namespace().mkString(".")
     val entry = TieredCatalog.lookup(db, ident.name)
     val dropped = TieredCatalog.unregister(db, ident.name)
+    TieredCatalog.deletePersisted(db, ident.name)
     entry.filter(_.path.startsWith(s"${TieredCatalog.warehouse}/"))
       .foreach(e => deleteTree(Paths.get(e.path)))
     dropped

@@ -49,12 +49,104 @@ object TieredCatalog {
 
   def lookup(db: String, table: String): Option[Entry] =
     reg.get((db.toLowerCase, table.toLowerCase))
+      .orElse(recover(db.toLowerCase, table.toLowerCase))
+
+  /** In-memory registry only — no persisted-catalog recovery. CREATE
+    * TABLE's duplicate check uses this so a stale descriptor from an
+    * earlier process (whose temp data dir still exists) can't block a
+    * fresh CREATE; the committed-state check on the table location
+    * still guards real data.
+    */
+  def lookupLocal(db: String, table: String): Option[Entry] =
+    reg.get((db.toLowerCase, table.toLowerCase))
 
   def unregister(db: String, table: String): Boolean =
     reg.remove((db.toLowerCase, table.toLowerCase)).isDefined
 
   def listTables(db: String): Seq[String] =
-    reg.keys.collect { case (d, t) if d == db.toLowerCase => t }.toSeq.sorted
+    (reg.keys.collect { case (d, t) if d == db.toLowerCase => t }.toSet ++
+      listPersisted(db.toLowerCase)).toSeq.sorted
 
   def clear(): Unit = reg.clear()
+
+  // ------------------------------------------------------ durable catalog
+  // DDL-created tables survive a process restart: `CREATE TABLE`
+  // persists its registry entry as one JSON object under the
+  // warehouse's `_catalog/` (the metastore role — rides TableFs, so a
+  // remote warehouse keeps its catalog in the bucket too), and a
+  // registry miss recovers from it lazily. API-registered tables
+  // (tests, embedded use) stay deliberately process-local.
+
+  private def fs: graft.storage.TableFs =
+    graft.storage.TableFs.forPath(warehouse)
+  private def catalogDir: String = s"$warehouse/_catalog"
+  private def enc(s: String): String =
+    java.net.URLEncoder.encode(s, "UTF-8")
+  private def entryFile(db: String, table: String): String =
+    s"$catalogDir/${enc(db)}@${enc(table)}.json"
+
+  /** Persist `db.table`'s current entry (call after register). */
+  def persist(db: String, table: String): Unit =
+    reg.get((db.toLowerCase, table.toLowerCase)).foreach { e =>
+      val json = org.json4s.jackson.JsonMethods.compact(
+        org.json4s.jackson.JsonMethods.render(toJson(e)))
+      fs.mkdirs(catalogDir)
+      fs.writeString(entryFile(db.toLowerCase, table.toLowerCase), json)
+    }
+
+  /** Remove the persisted entry (DROP TABLE). */
+  def deletePersisted(db: String, table: String): Unit = {
+    val f = entryFile(db.toLowerCase, table.toLowerCase)
+    if (fs.exists(f)) fs.deleteFile(f)
+  }
+
+  private def toJson(e: Entry): org.json4s.JValue = {
+    import org.json4s.JsonDSL._
+    ("path" -> e.path) ~ ("pk" -> e.pk) ~
+      ("mergeOnRead" -> e.mergeOnRead) ~
+      ("partitionBy" -> e.partitionBy) ~ ("bloomCols" -> e.bloomCols) ~
+      ("changeDataFeed" -> e.changeDataFeed) ~
+      ("datalake" -> e.datalake) ~ ("watermark" -> e.watermark)
+  }
+
+  private def fromJson(j: org.json4s.JValue): Entry = {
+    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+    Entry(
+      path = (j \ "path").extract[String],
+      pk = (j \ "pk").extract[Seq[String]],
+      mergeOnRead = (j \ "mergeOnRead").extract[Boolean],
+      partitionBy = (j \ "partitionBy").extract[Seq[String]],
+      bloomCols = (j \ "bloomCols").extract[Seq[String]],
+      changeDataFeed = (j \ "changeDataFeed").extract[Boolean],
+      datalake = (j \ "datalake").extract[Boolean],
+      watermark = (j \ "watermark").extractOpt[String])
+  }
+
+  /** Registry miss → lazy recovery from the persisted catalog. A
+    * descriptor whose table data no longer exists is stale debris
+    * (e.g. a wiped temp warehouse) — dropped, not resurrected.
+    */
+  private def recover(db: String, table: String): Option[Entry] = {
+    val f = entryFile(db, table)
+    fs.readString(f).flatMap { json =>
+      val e = fromJson(org.json4s.jackson.JsonMethods.parse(json))
+      if (graft.storage.TableFs.forPath(e.path).exists(e.path)) {
+        reg.putIfAbsent((db, table), e)
+        Some(reg((db, table)))
+      } else {
+        fs.deleteFile(f)
+        None
+      }
+    }
+  }
+
+  private def listPersisted(db: String): Seq[String] =
+    if (!fs.exists(catalogDir)) Nil
+    else fs.listNames(catalogDir).flatMap { n =>
+      n.stripSuffix(".json").split("@", 2) match {
+        case Array(d, t) if java.net.URLDecoder.decode(d, "UTF-8") == db =>
+          Some(java.net.URLDecoder.decode(t, "UTF-8"))
+        case _ => None
+      }
+    }
 }

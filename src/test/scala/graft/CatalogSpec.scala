@@ -281,9 +281,19 @@ class CatalogSpec extends AnyFunSuite with SparkSpec {
     spark.sql("CREATE TABLE graft.wf.survivor (id BIGINT)")
     spark.sql("INSERT INTO graft.wf.survivor VALUES (1), (2)")
     val path = TieredCatalog.lookup("wf", "survivor").get.path
-    // simulate a NEW process: the registry forgot the table but its
-    // committed data is still at the managed location
+    // simulate a NEW process: the in-memory registry forgot the table.
+    // The DURABLE catalog still remembers it, so the CREATE is refused
+    // as a plain name conflict (the table exists, r8)
     TieredCatalog.unregister("wf", "survivor")
+    val dup = intercept[Exception] {
+      spark.sql("CREATE TABLE graft.wf.survivor (id BIGINT)")
+    }
+    assert(dup.getMessage.contains("already exists"))
+    // second layer: even with the durable descriptor gone (a foreign
+    // or crashed process left committed data at the managed location
+    // with no catalog entry), the location guard still refuses
+    TieredCatalog.unregister("wf", "survivor")
+    TieredCatalog.deletePersisted("wf", "survivor")
     val e = intercept[Exception] {
       spark.sql("CREATE TABLE graft.wf.survivor (id BIGINT)")
     }

@@ -92,6 +92,7 @@ class FlinkDialectSpec extends AnyFunSuite with SparkSpec {
 
   test("Flink CREATE TABLE: PK NOT ENFORCED, WITH props, PROCTIME, LTZ") {
     val dir = Files.createTempDirectory("graft-flinkddl").toString
+    spark.sql("DROP TABLE IF EXISTS graft.fd.lake_t")
     spark.sql(s"""CREATE TABLE graft.fd.lake_t (
       |  `id` INT NOT NULL,
       |  `name` STRING,
@@ -148,6 +149,7 @@ class FlinkDialectSpec extends AnyFunSuite with SparkSpec {
       |  'connector' = 'faker', 'rows-per-second' = '500',
       |  'fields.v.expression' = '#{number.numberBetween ''0'',''100''}'
       |)""".stripMargin)
+    spark.sql("DROP TABLE IF EXISTS graft.fk.tick_sink")
     spark.sql(s"""CREATE TABLE graft.fk.tick_sink (`v` BIGINT)
       |TBLPROPERTIES ('path' = '$dir/tick_sink')""".stripMargin)
     try {
@@ -184,6 +186,7 @@ class FlinkDialectSpec extends AnyFunSuite with SparkSpec {
       |  'fields.k.expression' = '#{number.numberBetween ''0'',''10''}',
       |  'fields.k.null-rate' = '0.3'
       |)""".stripMargin)
+    spark.sql("DROP TABLE IF EXISTS graft.fk.nn_sink")
     spark.sql(s"""CREATE TABLE graft.fk.nn_sink (`k` BIGINT NOT NULL)
       |TBLPROPERTIES ('path' = '$dir/nn_sink')""".stripMargin)
     try {
@@ -221,6 +224,7 @@ class FlinkDialectSpec extends AnyFunSuite with SparkSpec {
   test("WATERMARK FOR DDL: the declared event-time contract drives " +
        "windowed streaming inserts") {
     val dir = Files.createTempDirectory("graft-wmddl").toString
+    spark.sql("DROP TABLE IF EXISTS graft.fk.ev_src")
     spark.sql(s"""CREATE TABLE graft.fk.ev_src (
       |  `ts` TIMESTAMP_LTZ,
       |  `v` BIGINT,
@@ -231,6 +235,7 @@ class FlinkDialectSpec extends AnyFunSuite with SparkSpec {
     // the declaration round-trips through SHOW CREATE TABLE
     assert(spark.sql("SHOW CREATE TABLE graft.fk.ev_src").head()
       .getString(0).contains("'watermark' = 'ts:0 seconds'"))
+    spark.sql("DROP TABLE IF EXISTS graft.fk.ev_sink")
     spark.sql(s"""CREATE TABLE graft.fk.ev_sink (`ws` TIMESTAMP, `n` BIGINT)
       |TBLPROPERTIES ('path' = '$dir/ev_sink')""".stripMargin)
     val src = graft.storage.TieredTable(spark, s"$dir/ev_src")
@@ -262,6 +267,7 @@ class FlinkDialectSpec extends AnyFunSuite with SparkSpec {
 
   test("INSERT OVERWRITE: Flink's batch replace verb, hot-tail guarded") {
     val dir = Files.createTempDirectory("graft-ow").toString
+    spark.sql("DROP TABLE IF EXISTS graft.fk.ow_log")
     spark.sql(s"""CREATE TABLE graft.fk.ow_log (`k` BIGINT, `v` STRING)
       |TBLPROPERTIES ('path' = '$dir/ow_log')""".stripMargin)
     try {
@@ -292,7 +298,8 @@ class FlinkDialectSpec extends AnyFunSuite with SparkSpec {
         .head().getLong(0) == 2L)
 
       // PK sink: overwrite applies last-write-wins within the batch
-      spark.sql(s"""CREATE TABLE graft.fk.ow_pk (`k` BIGINT NOT NULL,
+      spark.sql("DROP TABLE IF EXISTS graft.fk.ow_pk")
+    spark.sql(s"""CREATE TABLE graft.fk.ow_pk (`k` BIGINT NOT NULL,
         |`v` STRING, PRIMARY KEY (`k`) NOT ENFORCED)
         |WITH ('path' = '$dir/ow_pk')""".stripMargin)
       spark.sql("INSERT INTO graft.fk.ow_pk SELECT * FROM VALUES " +
@@ -325,6 +332,10 @@ class FlinkDialectSpec extends AnyFunSuite with SparkSpec {
       assert(TieredCatalog.lookup("", "probe_t").exists(_.pk == Seq("id")))
       val err = intercept[Exception](spark.sql("USE CATALOG nope_catalog"))
       assert(err.getMessage.contains("does not exist"))
+      // DROP (not bare unregister): removes the durable-catalog
+      // descriptor too, so suite re-runs can re-CREATE the name
+      spark.sql("DROP TABLE probe_t")
+      assert(TieredCatalog.lookup("", "probe_t").isEmpty)
     } finally {
       spark.sessionState.catalogManager.setCurrentCatalog(before)
       TieredCatalog.unregister("", "probe_t")

@@ -321,6 +321,9 @@ class SqlSurfaceSpec extends AnyFunSuite with SparkSpec {
 
   test("SHOW CREATE TABLE renders round-trippable DDL incl. graft properties") {
     val dir = Files.createTempDirectory("graft-sct").toString
+    // purge preamble: a crashed earlier run may have left a durable
+    // descriptor for this fixed name in the shared warehouse
+    spark.sql("DROP TABLE IF EXISTS graft.sct.t")
     spark.sql(
       s"""CREATE TABLE graft.sct.t (id BIGINT, name STRING, pri STRING)
          |PARTITIONED BY (pri)
@@ -332,9 +335,12 @@ class SqlSurfaceSpec extends AnyFunSuite with SparkSpec {
     assert(ddl.contains("PARTITIONED BY (pri)"), ddl)
     assert(ddl.contains("primary-key") && ddl.contains("bloom-columns"), ddl)
     assert(ddl.contains("path"), ddl)
-    // ROUND TRIP: a fresh catalog (registry dropped, files kept) rebuilt
-    // by executing the rendered DDL re-attaches an equivalent table
+    // ROUND TRIP: a fresh catalog (registry dropped, durable descriptor
+    // removed, files kept — e.g. attaching the table in a DIFFERENT
+    // warehouse) rebuilt by executing the rendered DDL re-attaches an
+    // equivalent table
     graft.plans.TieredCatalog.unregister("sct", "t")
+    graft.plans.TieredCatalog.deletePersisted("sct", "t")
     spark.sql(ddl)
     val e = graft.plans.TieredCatalog.lookup("sct", "t").get
     assert(e.pk == Seq("id") && e.bloomCols == Seq("name") &&
