@@ -160,11 +160,23 @@ object Demo {
     // 10. the cold tier as an Apache-Iceberg-v2 table: export the
     //     metadata chain and re-read PURELY through it — the
     //     Trino-reads-the-tier interop (README.md:257-292)
-    graft.storage.IcebergExport.export(p.enriched)
+    val demoMloc = graft.storage.IcebergExport.export(p.enriched)
     val iceCount = graft.storage.IcebergExport
       .readTable(spark, p.enriched.tablePath).count()
     say(s"[demo] Iceberg-exported cold tier reads $iceCount rows " +
       s"(TieredTable cold: ${p.enriched.readCold().count()})")
+    // 10b. the same table DISCOVERED by name over the Iceberg REST
+    //      catalog protocol (the reference's iceberg-rest service on
+    //      8181, docker-compose.yml:127-133) — url + name, no paths
+    val restCat = new graft.storage.IcebergRestCatalogServer
+    try {
+      restCat.register("fluss", "enriched_orders", demoMloc)
+      val viaRest = graft.storage.IcebergRestClient
+        .loadTable(spark, restCat.url, "fluss", "enriched_orders").count()
+      say(s"[demo] REST-catalog read (url+name only): $viaRest rows, " +
+        s"tables=${graft.storage.IcebergRestClient
+          .listTables(restCat.url, "fluss").mkString(",")}")
+    } finally restCat.stop()
 
     // 11. change data feed: a CDF table's commits publish op-tagged
     //     change files; the MV maintenance loop runs as an ORDINARY

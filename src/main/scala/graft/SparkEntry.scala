@@ -55,6 +55,7 @@ object SparkEntry {
     "q22_iceberg_part" -> (Lakehouse.q22IcebergPart _),
     "q23_iceberg_mor" -> (Lakehouse.q23IcebergMor _),
     "q24_iceberg_part_mor" -> (Lakehouse.q24IcebergPartMor _),
+    "q25_insert_overwrite" -> (Lakehouse.q25InsertOverwrite _),
     // training-data pipeline: dedup / similarity / text analysis
     "d1_exact_dedup" -> (Pipeline.d1ExactDedup _),
     "d2_fingerprint" -> (Pipeline.d2Fingerprint _),
@@ -411,6 +412,9 @@ object SparkEntry {
     "q15_rollback" ->
       """SELECT COUNT(*) AS cnt, CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
         |FROM orders WHERE o_orderdate < DATE '1999-01-01'""".stripMargin,
+    "q25_insert_overwrite" ->
+      """SELECT COUNT(*) AS cnt, CAST(SUM(c_custkey) AS BIGINT) AS key_sum
+        |FROM customer WHERE c_mktsegment = 'MACHINERY'""".stripMargin,
     "q14_merge" ->
       """WITH base AS (
         |  SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY o_custkey),

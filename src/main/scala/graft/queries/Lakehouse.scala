@@ -630,4 +630,36 @@ object Lakehouse {
     demoTablePartitioned(spark, dir).readUnion()
       .filter(col("o_orderpriority") === "1-URGENT")
       .agg(count(lit(1)).as("cnt"), sum(col("o_orderkey")).as("key_sum"))
+
+  /** Build-once fixture for Q25: the BUILDING customer segment is
+    * committed, then SQL `INSERT OVERWRITE` (Flink's batch replace
+    * verb, through the DSv2 truncate write) replaces the content with
+    * the MACHINERY segment. Current state is machinery-only; the
+    * pre-overwrite snapshot stays time-travelable.
+    */
+  def demoOverwritten(spark: SparkSession, dir: String): TieredTable = {
+    ensureCatalog(spark)
+    val safe = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val path = s"${sys.props("java.io.tmpdir")}/graft-tiered/v$FormatVersion/$safe/customer_overwrite"
+    val t = TieredTable(spark, path)
+    if (t.latestSnapshotId < 2) {
+      val customer = Tables.load(spark, dir, "customer")
+      t.commitAppend(customer.filter(col("c_mktsegment") === "BUILDING"))
+      graft.plans.TieredCatalog.register("bench", "customer_overwrite", path)
+      customer.createOrReplaceTempView("q25_customer_src")
+      spark.sql(
+        """INSERT OVERWRITE graft.bench.customer_overwrite
+          |SELECT * FROM q25_customer_src
+          |WHERE c_mktsegment = 'MACHINERY'""".stripMargin)
+    }
+    t
+  }
+
+  /** Q25 — INSERT OVERWRITE: the replaced content is exactly the
+    * machinery segment (the oracle recomputes it from the raw
+    * fixture); the building rows are gone from the current snapshot.
+    */
+  def q25InsertOverwrite(spark: SparkSession, dir: String): DataFrame =
+    demoOverwritten(spark, dir).readCold()
+      .agg(count(lit(1)).as("cnt"), sum(col("c_custkey")).as("key_sum"))
 }

@@ -1131,20 +1131,35 @@ object IcebergExport {
   def readTable(spark: SparkSession, tablePath: String,
                 asOfSnapshotId: Option[Long] = None): DataFrame = {
     import org.json4s.jackson.JsonMethods
-    if (tablePath.startsWith(GraftObjectFileSystem.Scheme + "://"))
-      GraftObjectFileSystem.register(spark.sparkContext.hadoopConfiguration)
     val mdir = s"$tablePath/metadata"
     val version = currentVersion(mdir).getOrElse(
       throw new IllegalStateException(s"no version-hint.text under $mdir"))
     val mpath = s"$mdir/v${"%05d".format(version)}.metadata.json"
     val md = JsonMethods.parse(fsFor(mpath).readString(mpath).getOrElse(
       throw new java.io.FileNotFoundException(mpath)))
+    readFromMetadata(spark, md, asOfSnapshotId)
+  }
+
+  /** Resolve and scan purely from a PARSED Iceberg table-metadata
+    * document — the entry point a catalog-served read uses (the REST
+    * catalog's `LoadTableResult.metadata`,
+    * [[IcebergRestCatalogServer]]); [[readTable]] is this after the
+    * file-based version-hint resolution.
+    */
+  def readFromMetadata(spark: SparkSession, md: org.json4s.JValue,
+                       asOfSnapshotId: Option[Long] = None): DataFrame = {
+    jsonAt(md, "location") match {
+      case org.json4s.JString(loc)
+        if loc.startsWith(GraftObjectFileSystem.Scheme + "://") =>
+        GraftObjectFileSystem.register(spark.sparkContext.hadoopConfiguration)
+      case _ =>
+    }
     val currentId = asOfSnapshotId.getOrElse(
       jLong(jsonAt(md, "current-snapshot-id")))
     val snap = jsonAt(md, "snapshots").asInstanceOf[org.json4s.JArray]
       .arr.find(s => jLong(jsonAt(s, "snapshot-id")) == currentId)
       .getOrElse(throw new IllegalArgumentException(
-        s"snapshot $currentId not in $mpath"))
+        s"snapshot $currentId not in the table metadata"))
     val listPath = jsonAt(snap, "manifest-list") match {
       case org.json4s.JString(p) => p
       case other => throw new IllegalStateException(s"bad manifest-list: $other")

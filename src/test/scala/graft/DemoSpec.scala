@@ -69,5 +69,9 @@ class DemoSpec extends AnyFunSuite with SparkSpec {
     // enriched, and the Trino role answered from exported Iceberg
     assert(has("reference script verbatim: enriched COUNT(1)=10000"),
       lines.mkString("\n"))
+
+    // the REST catalog served the same tier by URL + name
+    assert(has("REST-catalog read (url+name only):") &&
+      has("tables=enriched_orders"), lines.mkString("\n"))
   }
 }
