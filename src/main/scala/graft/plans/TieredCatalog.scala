@@ -124,21 +124,25 @@ object TieredCatalog {
 
   /** Registry miss → lazy recovery from the persisted catalog. A
     * descriptor whose table data no longer exists is stale debris
-    * (e.g. a wiped temp warehouse) — dropped, not resurrected.
+    * (e.g. a wiped temp warehouse) — dropped, not resurrected. A
+    * descriptor that cannot be read or parsed (corruption, an
+    * unreachable remote warehouse) degrades to a plain miss rather
+    * than poisoning every lookup; it is left in place for inspection.
     */
-  private def recover(db: String, table: String): Option[Entry] = {
-    val f = entryFile(db, table)
-    fs.readString(f).flatMap { json =>
-      val e = fromJson(org.json4s.jackson.JsonMethods.parse(json))
-      if (graft.storage.TableFs.forPath(e.path).exists(e.path)) {
-        reg.putIfAbsent((db, table), e)
-        Some(reg((db, table)))
-      } else {
-        fs.deleteFile(f)
-        None
+  private def recover(db: String, table: String): Option[Entry] =
+    try {
+      val f = entryFile(db, table)
+      fs.readString(f).flatMap { json =>
+        val e = fromJson(org.json4s.jackson.JsonMethods.parse(json))
+        if (graft.storage.TableFs.forPath(e.path).exists(e.path)) {
+          reg.putIfAbsent((db, table), e)
+          Some(reg((db, table)))
+        } else {
+          fs.deleteFile(f)
+          None
+        }
       }
-    }
-  }
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   private def listPersisted(db: String): Seq[String] =
     if (!fs.exists(catalogDir)) Nil

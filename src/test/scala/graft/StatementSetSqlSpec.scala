@@ -159,6 +159,67 @@ class StatementSetSqlSpec extends AnyFunSuite with SparkSpec {
     spark.sql("STOP STREAMING INSERT graft.sd.sink")
   }
 
+  test("event-time hopping and session windows run through the same " +
+       "streaming-aggregation lowering") {
+    val dir = Files.createTempDirectory("graft-stmthop").toString
+    val src = TieredTable(spark, s"$dir/src")
+    TieredCatalog.register("hw", "src", s"$dir/src")
+    def batch(rows: (Long, Long)*) = rows.toDF("sec", "v")
+      .selectExpr("timestamp_seconds(sec) AS ts", "v")
+    // rows at 1s, 7s (overlapping hops), 30s; session gap rows at 40s
+    src.appendLog(batch((1L, 10L), (7L, 20L), (30L, 5L), (40L, 1L)))
+
+    // HOPPING: 10s windows sliding by 5s — a row belongs to TWO
+    // windows; finalized windows append once each
+    val hopSink = TieredTable(spark, s"$dir/hop")
+    TieredCatalog.register("hw", "hop", s"$dir/hop")
+    spark.sql(
+      s"""EXECUTE STATEMENT SET
+         |WITH('checkpoint'='$dir/hopckpt', 'interval'='100',
+         |     'watermark'='ts:0 seconds')
+         |BEGIN
+         |  INSERT INTO graft.hw.hop
+         |    SELECT window.start AS ws, COUNT(*) AS n, SUM(v) AS sum_v
+         |    FROM graft.hw.src
+         |    GROUP BY window(ts, '10 seconds', '5 seconds');
+         |END""".stripMargin)
+    val hq = StreamingInsertSql.query("hw", "hop").get
+    hq.processAllAvailable()
+    // watermark reached 40s: every window before it finalized.
+    // 1s ∈ [-5,5)+[0,10); 7s ∈ [0,10)+[5,15); 30s ∈ [25,35)+[30,40)
+    val hop = spark.sql(
+      "SELECT unix_timestamp(ws), n, sum_v FROM graft.hw.hop")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(hop == Seq((-5L, 1L, 10L), (0L, 2L, 30L), (5L, 1L, 20L),
+      (25L, 1L, 5L), (30L, 1L, 5L)), hop.toString)
+    spark.sql("STOP STREAMING INSERT graft.hw.hop")
+
+    // SESSION windows, keyed per Spark's streaming contract (global
+    // session aggregation is unsupported; APPEND mode only → keyless
+    // sink): sessions per key, each emitted once when the watermark
+    // passes its close. grp 0 holds 1s+7s (gap 6s → TWO sessions);
+    // grp 1 holds 30s+40s — the 40s session stays open at watermark 40
+    val sesSink = TieredTable(spark, s"$dir/ses")
+    TieredCatalog.register("hw", "ses", s"$dir/ses")
+    spark.sql(
+      s"""EXECUTE STATEMENT SET
+         |WITH('checkpoint'='$dir/sesckpt', 'interval'='100',
+         |     'watermark'='ts:0 seconds')
+         |BEGIN
+         |  INSERT INTO graft.hw.ses
+         |    SELECT session_window.start AS ss, grp, COUNT(*) AS n
+         |    FROM (SELECT ts, v % 2 AS grp FROM graft.hw.src)
+         |    GROUP BY grp, session_window(ts, '5 seconds');
+         |END""".stripMargin)
+    val sq = StreamingInsertSql.query("hw", "ses").get
+    sq.processAllAvailable()
+    val ses = spark.sql("SELECT unix_timestamp(ss), grp, n FROM graft.hw.ses")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(ses == Seq((1L, 0L, 1L), (7L, 0L, 1L), (30L, 1L, 1L)),
+      ses.toString)
+    spark.sql("STOP STREAMING INSERT graft.hw.ses")
+  }
+
   test("event-time tumbling windows: WITH('watermark') + GROUP BY window " +
        "appends each finalized window exactly once") {
     val dir = Files.createTempDirectory("graft-stmtwin").toString
