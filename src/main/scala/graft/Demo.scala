@@ -332,6 +332,31 @@ object Demo {
       .collect().map(r => s"${r.getLong(0)}->${r.getLong(1)}").mkString(", ")
     say(s"[demo] SQL UPDATE + MERGE INTO + DELETE: $dmlRows")
 
+    // 21(run early as 19b). SQL DDL in the bucket + the durable
+    //     catalog: CREATE a table whose WAREHOUSE is the object store,
+    //     upsert via SQL, wipe the in-memory registry, read again —
+    //     recovery resolves from bucket objects alone
+    graft.storage.DemoObjectStore.withStore { fsUrl =>
+      val prevWh = TieredCatalog.warehouse
+      TieredCatalog.warehouse = fsUrl
+      try {
+        spark.sql("""CREATE TABLE graft.osd.kv (
+          |`id` BIGINT NOT NULL, `v` STRING,
+          |PRIMARY KEY (`id`) NOT ENFORCED)""".stripMargin)
+        spark.sql("INSERT INTO graft.osd.kv SELECT * FROM VALUES " +
+          "(1L, 'x'), (2L, 'z') AS t(id, v)")
+        spark.sql("INSERT INTO graft.osd.kv SELECT * FROM VALUES " +
+          "(1L, 'y') AS t(id, v)")
+        TieredCatalog.unregister("osd", "kv")
+        val rows = spark.sql("SELECT id, v FROM graft.osd.kv ORDER BY id")
+          .collect().map(r => s"${r.getLong(0)}->${r.getString(1)}")
+          .mkString(", ")
+        say(s"[demo] bucket-warehouse SQL, durable catalog across a " +
+          s"registry wipe: $rows")
+        spark.sql("DROP TABLE graft.osd.kv")
+      } finally TieredCatalog.warehouse = prevWh
+    }
+
     // 20. THE REFERENCE SCRIPT, VERBATIM: the faker-source DDL
     //     (sql-client.sql) and the README walkthrough run unchanged
     //     through the Flink-dialect SQL surface — faker connector,

@@ -227,19 +227,13 @@ class GraftTableCatalog extends TableCatalog
     // would silently destroy data. Only genuinely uncommitted leftovers
     // (e.g. a temp dir from a writer that died mid-commit) are cleared.
     if (!props.contains("path")) {
-      val root = Paths.get(path)
-      val committed = Files.exists(root.resolve("meta").resolve("LATEST")) ||
-        {
-          val log = root.resolve("log")
-          Files.isDirectory(log) && {
-            val s = Files.list(log)
-            try s.iterator().asScala.nonEmpty finally s.close()
-          }
-        }
+      val fs = graft.storage.TableFs.forPath(path)
+      val committed = fs.exists(s"$path/meta/LATEST") ||
+        fs.listNames(s"$path/log").nonEmpty
       require(!committed, s"table location $path is not empty (committed " +
         s"state found); DROP TABLE the previous table or pass an explicit " +
         s"'path' property")
-      deleteTree(root)
+      fs.deleteRecursively(path)
     }
     val pk = props.get("primary-key")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
@@ -268,9 +262,9 @@ class GraftTableCatalog extends TableCatalog
       require(schema.fieldNames.contains(c),
         s"watermark column $c not in schema")
     }
-    val meta = Paths.get(path, "meta")
-    Files.createDirectories(meta)
-    Files.writeString(meta.resolve("SCHEMA"), schema.toDDL)
+    val tfs = graft.storage.TableFs.forPath(path)
+    tfs.mkdirs(s"$path/meta")
+    tfs.writeString(s"$path/meta/SCHEMA", schema.toDDL)
     TieredCatalog.register(db, ident.name, path, pk, partitionBy = partCols,
       bloomCols = bloomCols, changeDataFeed = cdf, datalake = datalake,
       watermark = watermark)
@@ -281,13 +275,7 @@ class GraftTableCatalog extends TableCatalog
   }
 
   private def dirBytes(path: String): Long = {
-    val p = Paths.get(path)
-    if (!Files.exists(p)) 0L
-    else {
-      val s = Files.walk(p)
-      try s.filter(Files.isRegularFile(_)).mapToLong(Files.size(_)).sum()
-      finally s.close()
-    }
+    graft.storage.TableFs.forPath(path).listFiles(path).map(_._2).sum
   }
 
   /** `ALTER TABLE graft.<db>.<t> ADD / RENAME / DROP COLUMN` — the DDL
@@ -314,10 +302,11 @@ class GraftTableCatalog extends TableCatalog
     val db = ident.namespace().mkString(".")
     val e = TieredCatalog.lookup(db, ident.name)
       .getOrElse(throw new NoSuchTableException(Seq(catName, db, ident.name)))
-    val metaP = Paths.get(e.path, "meta", "SCHEMA")
+    val afs = graft.storage.TableFs.forPath(e.path)
+    val metaP = s"${e.path}/meta/SCHEMA"
     var schema: StructType =
-      if (Files.exists(metaP)) StructType.fromDDL(Files.readString(metaP))
-      else loadTable(ident).asInstanceOf[TieredSqlTable].schema()
+      afs.readString(metaP).map(StructType.fromDDL)
+        .getOrElse(loadTable(ident).asInstanceOf[TieredSqlTable].schema())
     lazy val tt = TieredTable(SparkSession.active, e.path, e.pk,
       e.mergeOnRead, e.partitionBy, e.bloomCols,
       changeDataFeed = e.changeDataFeed)
@@ -354,8 +343,8 @@ class GraftTableCatalog extends TableCatalog
       if (tt.logSegments.nonEmpty) tt.tier()
       if (tt.latestSnapshotId > 0) tt.compact()
     }
-    Files.createDirectories(metaP.getParent)
-    Files.writeString(metaP, schema.toDDL)
+    afs.mkdirs(s"${e.path}/meta")
+    afs.writeString(metaP, schema.toDDL)
     loadTable(ident)
   }
 
@@ -370,20 +359,10 @@ class GraftTableCatalog extends TableCatalog
     val dropped = TieredCatalog.unregister(db, ident.name)
     TieredCatalog.deletePersisted(db, ident.name)
     entry.filter(_.path.startsWith(s"${TieredCatalog.warehouse}/"))
-      .foreach(e => deleteTree(Paths.get(e.path)))
+      .foreach(e =>
+        graft.storage.TableFs.forPath(e.path).deleteRecursively(e.path))
     dropped
   }
-
-  /** Recursive delete with the walk stream closed (leaked directory
-    * streams exhaust file descriptors over many DDLs).
-    */
-  private def deleteTree(root: java.nio.file.Path): Unit =
-    if (Files.exists(root)) {
-      val s = Files.walk(root)
-      try s.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(Files.deleteIfExists(_))
-      finally s.close()
-    }
 
   override def renameTable(from: Identifier, to: Identifier): Unit =
     throw new UnsupportedOperationException("RENAME TABLE is not supported")
@@ -418,8 +397,8 @@ class TieredSqlTable(tableName: String, spark: SparkSession,
     * table resolve for reads and INSERT column checking.
     */
   private val declared: Option[StructType] = {
-    val p = Paths.get(entry.path, "meta", "SCHEMA")
-    if (Files.exists(p)) Some(StructType.fromDDL(Files.readString(p))) else None
+    graft.storage.TableFs.forPath(entry.path)
+      .readString(s"${entry.path}/meta/SCHEMA").map(StructType.fromDDL)
   }
 
   private val paths = t.unionPaths

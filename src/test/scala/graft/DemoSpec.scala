@@ -73,5 +73,10 @@ class DemoSpec extends AnyFunSuite with SparkSpec {
     // the REST catalog served the same tier by URL + name
     assert(has("REST-catalog read (url+name only):") &&
       has("tables=enriched_orders"), lines.mkString("\n"))
+
+    // bucket-warehouse SQL DDL + durable catalog: the upsert applied
+    // and the table survived the registry wipe
+    assert(has("durable catalog across a registry wipe: 1->y, 2->z"),
+      lines.mkString("\n"))
   }
 }
