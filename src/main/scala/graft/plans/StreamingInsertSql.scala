@@ -457,7 +457,18 @@ object StreamingInsertSql {
     val sinkNotNull = notNullCols(sinkEntry)
     val checkpoint = options.get("checkpoint")
       .map(c => s"$c/${low.db}.${low.table}")
-      .getOrElse(s"${sinkEntry.path}/_insert_checkpoint")
+      .getOrElse {
+        if (sinkEntry.path.contains("://"))
+          // remote (bucket) sink: the Spark checkpoint is ENGINE-LOCAL
+          // cursor state, not table state — exactly-once rides the
+          // batch-tagged commits, not checkpoint atomicity, so it does
+          // not belong in the bucket (and Spark's checkpoint manager
+          // wants rename/list semantics object stores don't promise).
+          // Keyed by the full sink path: same table → same cursor.
+          s"${sys.props("java.io.tmpdir")}/graft-ckpt/" +
+            sinkEntry.path.replaceAll("[^A-Za-z0-9.]", "_")
+        else s"${sinkEntry.path}/_insert_checkpoint"
+      }
     val intervalMs = options.get("interval").map(_.toLong).getOrElse(1000L)
     val tagPrefix = s"stmtins-${key(low.db, low.table)}"
     // WITH('watermark'='<col>:<delay>') — the event-time contract:

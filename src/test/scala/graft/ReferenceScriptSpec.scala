@@ -142,4 +142,51 @@ class ReferenceScriptSpec extends AnyFunSuite with SparkSpec {
       }
     }
   }
+
+  test("the same script runs with the warehouse in the BUCKET (MinIO role)") {
+    graft.storage.DemoObjectStore.withStore { fsUrl =>
+      val prevWarehouse = TieredCatalog.warehouse
+      val prevCatalog = spark.sessionState.catalogManager.currentCatalog.name
+      TieredCatalog.warehouse = fsUrl
+      try {
+        FlinkScript.run(spark, sqlClientScript)
+        FlinkScript.run(spark, setupScript)
+        val qEnrich = StreamingInsertSql.query("", "enriched_orders").get
+        val qRevenue = StreamingInsertSql.query("", "nation_revenue").get
+        qEnrich.processAllAvailable()
+        qRevenue.processAllAvailable()
+        FlinkScript.run(spark, "SET 'execution.runtime-mode' = 'batch';")
+        assert(spark.sql("SELECT COUNT(1) FROM enriched_orders")
+          .head().getLong(0) == 10000L)
+        // the Trino role resolves the ENTIRE metadata chain from
+        // bucket objects (datalake export wrote into the bucket)
+        val path = TieredCatalog.lookup("", "enriched_orders").get.path
+        assert(path.startsWith("graftos://"), path)
+        assert(IcebergExport.readTable(spark, path).count() == 10000L)
+        // revenue matches the batch recomputation, same as locally
+        val got = spark.table("nation_revenue")
+          .collect().map(r => r.getString(0) -> r.getDecimal(1)).toMap
+        val exp = spark.table("enriched_orders")
+          .where(col("nation_name").isNotNull)
+          .groupBy("nation_name")
+          .agg(sum("total_price").cast("decimal(15,2)").as("revenue"))
+          .collect().map(r => r.getString(0) -> r.getDecimal(1)).toMap
+        assert(got == exp)
+      } finally {
+        try {
+          spark.sql("STOP STREAMING INSERT INTO enriched_orders")
+          spark.sql("STOP STREAMING INSERT INTO nation_revenue")
+        } catch { case _: Throwable => }
+        FlinkScript.run(spark, "SET 'execution.runtime-mode' = 'batch';")
+        spark.sessionState.catalogManager.setCurrentCatalog(prevCatalog)
+        TieredCatalog.warehouse = prevWarehouse
+        Seq("fluss_order", "fluss_customer", "fluss_nation",
+          "enriched_orders", "nation_revenue")
+          .foreach(TieredCatalog.unregister("", _))
+        Seq("source_order", "source_customer", "source_nation").foreach { v =>
+          spark.catalog.dropTempView(v); FakerSource.unregister(v)
+        }
+      }
+    }
+  }
 }
