@@ -43,7 +43,49 @@ import graft.storage.TieredTable
   * (`readCold`) and rejected here.
   */
 class GraftTableCatalog extends TableCatalog
-  with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
+  with org.apache.spark.sql.connector.catalog.ProcedureCatalog
+  with org.apache.spark.sql.connector.catalog.SupportsNamespaces {
+
+  // ---- namespaces: auto-namespace semantics (a database EXISTS the
+  // moment a name is used — the path-based-catalog stance, so CREATE
+  // TABLE into a fresh db never needs a prior CREATE DATABASE); SHOW
+  // DATABASES lists the ones that actually hold tables, in-memory or
+  // persisted. USE <catalog>.<db> rides namespaceExists.
+  override def listNamespaces(): Array[Array[String]] =
+    TieredCatalog.listDatabases().filter(_.nonEmpty).map(Array(_)).toArray
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces() else Array.empty
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.length <= 1
+  override def loadNamespaceMetadata(namespace: Array[String])
+      : util.Map[String, String] = {
+    if (!namespaceExists(namespace))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchNamespaceException(catName +: namespace.toSeq)
+    java.util.Collections.emptyMap[String, String]()
+  }
+  override def createNamespace(namespace: Array[String],
+                               metadata: util.Map[String, String]): Unit = {
+    // auto-namespaces: accept single-level CREATE DATABASE as a no-op
+    if (namespace.length != 1)
+      throw new UnsupportedOperationException(
+        "only single-level databases are supported")
+  }
+  override def alterNamespace(namespace: Array[String],
+                              changes: org.apache.spark.sql.connector
+                                .catalog.NamespaceChange*): Unit =
+    throw new UnsupportedOperationException(
+      "graft namespaces carry no metadata to alter")
+  override def dropNamespace(namespace: Array[String],
+                             cascade: Boolean): Boolean = {
+    val db = namespace.mkString(".")
+    val tables = TieredCatalog.listTables(db)
+    if (tables.nonEmpty && !cascade)
+      throw new IllegalStateException(
+        s"database $db holds ${tables.size} table(s); DROP ... CASCADE")
+    tables.foreach(t => dropTable(Identifier.of(namespace, t)))
+    tables.nonEmpty
+  }
 
   override def loadProcedure(ident: Identifier)
       : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =

@@ -67,6 +67,10 @@ object TieredCatalog {
     (reg.keys.collect { case (d, t) if d == db.toLowerCase => t }.toSet ++
       listPersisted(db.toLowerCase)).toSeq.sorted
 
+  /** Databases with at least one table — in-memory or persisted. */
+  def listDatabases(): Seq[String] =
+    (reg.keys.map(_._1).toSet ++ listPersistedDbs()).toSeq.sorted
+
   def clear(): Unit = reg.clear()
 
   // ------------------------------------------------------ durable catalog
@@ -153,4 +157,13 @@ object TieredCatalog {
         case _ => None
       }
     }
+
+  private def listPersistedDbs(): Seq[String] =
+    if (!fs.exists(catalogDir)) Nil
+    else fs.listNames(catalogDir).flatMap { n =>
+      n.stripSuffix(".json").split("@", 2) match {
+        case Array(d, _) => Some(java.net.URLDecoder.decode(d, "UTF-8"))
+        case _ => None
+      }
+    }.distinct
 }

@@ -308,6 +308,33 @@ class CatalogSpec extends AnyFunSuite with SparkSpec {
     spark.sql("DROP TABLE graft.wf.survivor")
   }
 
+  test("namespaces: SHOW DATABASES, USE db, auto-namespace CREATE") {
+    val dir = Files.createTempDirectory("graft-ns").toString
+    spark.sql("DROP TABLE IF EXISTS graft.nsdemo.t1")
+    // CREATE TABLE into a FRESH database needs no CREATE DATABASE
+    // (auto-namespace, the path-based-catalog stance)
+    spark.sql(s"""CREATE TABLE graft.nsdemo.t1 (id BIGINT)
+      |TBLPROPERTIES ('path' = '$dir/t1')""".stripMargin)
+    try {
+      val dbs = spark.sql("SHOW DATABASES IN graft").collect()
+        .map(_.getString(0)).toSeq
+      assert(dbs.contains("nsdemo"), dbs.toString)
+      assert(spark.sql("SHOW TABLES IN graft.nsdemo").collect()
+        .map(_.getString(1)).toSeq == Seq("t1"))
+      // USE the namespace; unqualified resolution follows
+      val prevCat = spark.sessionState.catalogManager.currentCatalog.name
+      spark.sql("USE graft.nsdemo")
+      try {
+        spark.sql("INSERT INTO t1 SELECT * FROM VALUES (7L) AS v(id)")
+        assert(spark.sql("SELECT id FROM t1").head().getLong(0) == 7L)
+      } finally spark.sessionState.catalogManager.setCurrentCatalog(prevCat)
+      // CREATE DATABASE is an accepted no-op; DROP refuses non-empty
+      spark.sql("CREATE DATABASE IF NOT EXISTS graft.nsdemo")
+      val e = intercept[Exception](spark.sql("DROP DATABASE graft.nsdemo"))
+      assert(e.getMessage.contains("CASCADE"))
+    } finally spark.sql("DROP TABLE IF EXISTS graft.nsdemo.t1")
+  }
+
   test("__files reports normalized paths and real sizes for file: URIs") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-uri").toString
