@@ -328,10 +328,18 @@ class CatalogSpec extends AnyFunSuite with SparkSpec {
         spark.sql("INSERT INTO t1 SELECT * FROM VALUES (7L) AS v(id)")
         assert(spark.sql("SELECT id FROM t1").head().getLong(0) == 7L)
       } finally spark.sessionState.catalogManager.setCurrentCatalog(prevCat)
-      // CREATE DATABASE is an accepted no-op; DROP refuses non-empty
+      // DESCRIBE resolves through the catalog schema
+      assert(spark.sql("DESCRIBE TABLE graft.nsdemo.t1").collect()
+        .exists(r => r.getString(0) == "id" && r.getString(1) == "bigint"))
+      // CREATE DATABASE is an accepted no-op; DROP refuses non-empty,
+      // CASCADE drops the tables with it
       spark.sql("CREATE DATABASE IF NOT EXISTS graft.nsdemo")
       val e = intercept[Exception](spark.sql("DROP DATABASE graft.nsdemo"))
       assert(e.getMessage.contains("CASCADE"))
+      spark.sql("DROP DATABASE graft.nsdemo CASCADE")
+      assert(TieredCatalog.lookup("nsdemo", "t1").isEmpty)
+      assert(!spark.sql("SHOW DATABASES IN graft").collect()
+        .map(_.getString(0)).contains("nsdemo"))
     } finally spark.sql("DROP TABLE IF EXISTS graft.nsdemo.t1")
   }
 
