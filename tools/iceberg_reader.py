@@ -1,0 +1,266 @@
+#!/usr/bin/env python3
+"""A FOREIGN Iceberg v2 reader: pure Python + DuckDB, sharing zero code
+(and zero language) with the Scala engine. Resolves an exported table
+purely from its Iceberg artifacts — version-hint.text → metadata.json →
+manifest-list Avro → manifest Avro → parquet — including v2 equality
+deletes (sequence-number rules) and identity-partition constants from
+the manifest partition structs, then scans with DuckDB.
+
+No Avro library exists in this environment, so the Avro object
+container format is decoded here from first principles (null codec,
+the primitives Iceberg manifests use: record/string/bytes/long/int/
+boolean/union/array). This is the Trino role the reference stack
+assigns to a separate engine: if this reader and the engine agree,
+the export really is Iceberg, not a private format.
+
+Usage:
+  python3 tools/iceberg_reader.py <table_path> [--compare <parquet_glob>]
+
+Prints one JSON line: {"rows": N, "files": n, "deletes": m,
+"hash": "<md5 of canonicalized rows>"} plus, with --compare,
+"match": true|false against the expected parquet read the same way.
+"""
+import hashlib
+import io
+import json
+import struct
+import sys
+
+
+# ---------------------------------------------------------------- Avro
+
+def _read_long(buf):
+    """Zigzag varint (Avro int and long share the encoding)."""
+    shift = 0
+    acc = 0
+    while True:
+        b = buf.read(1)
+        if not b:
+            raise EOFError("varint past end")
+        byte = b[0]
+        acc |= (byte & 0x7F) << shift
+        if not byte & 0x80:
+            break
+        shift += 7
+    return (acc >> 1) ^ -(acc & 1)
+
+
+def _read_bytes(buf):
+    return buf.read(_read_long(buf))
+
+
+def _decode(schema, buf):
+    """Decode one value of `schema` (parsed Avro JSON) from buf."""
+    if isinstance(schema, str):
+        t = schema
+    elif isinstance(schema, list):  # union: zigzag branch index
+        return _decode(schema[_read_long(buf)], buf)
+    else:
+        t = schema["type"]
+    if t == "null":
+        return None
+    if t == "boolean":
+        return buf.read(1)[0] != 0
+    if t in ("int", "long"):
+        return _read_long(buf)
+    if t == "float":
+        return struct.unpack("<f", buf.read(4))[0]
+    if t == "double":
+        return struct.unpack("<d", buf.read(8))[0]
+    if t == "bytes":
+        return _read_bytes(buf)
+    if t == "string":
+        return _read_bytes(buf).decode("utf-8")
+    if t == "record":
+        return {f["name"]: _decode(f["type"], buf)
+                for f in schema["fields"]}
+    if t == "array":
+        out = []
+        while True:
+            n = _read_long(buf)
+            if n == 0:
+                return out
+            if n < 0:  # block with byte size prefix
+                _read_long(buf)
+                n = -n
+            for _ in range(n):
+                out.append(_decode(schema["items"], buf))
+    if t == "map":
+        out = {}
+        while True:
+            n = _read_long(buf)
+            if n == 0:
+                return out
+            if n < 0:
+                _read_long(buf)
+                n = -n
+            for _ in range(n):
+                k = _read_bytes(buf).decode("utf-8")
+                out[k] = _decode(schema["values"], buf)
+    raise ValueError(f"unsupported Avro type: {t}")
+
+
+def read_avro(raw):
+    """Avro object container file → (records, file metadata)."""
+    buf = io.BytesIO(raw)
+    assert buf.read(4) == b"Obj\x01", "not an Avro object container"
+    meta = {}
+    while True:
+        n = _read_long(buf)
+        if n == 0:
+            break
+        if n < 0:
+            _read_long(buf)
+            n = -n
+        for _ in range(n):
+            k = _read_bytes(buf).decode("utf-8")
+            meta[k] = _read_bytes(buf)
+    codec = meta.get("avro.codec", b"null").decode()
+    assert codec == "null", f"unsupported codec {codec}"
+    schema = json.loads(meta["avro.schema"])
+    sync = buf.read(16)
+    records = []
+    while True:
+        head = buf.read(1)
+        if not head:
+            break
+        buf.seek(-1, 1)
+        count = _read_long(buf)
+        _read_long(buf)  # block byte size
+        for _ in range(count):
+            records.append(_decode(schema, buf))
+        assert buf.read(16) == sync, "sync marker mismatch"
+    return records, meta
+
+
+# ------------------------------------------------------------- Iceberg
+
+def _read_file(path):
+    with open(path, "rb") as f:
+        return f.read()
+
+
+def resolve(table_path):
+    """Iceberg metadata chain → scan plan. Returns (schema_cols:
+    [(name, iceberg_type)], data: [(path, seq, {part_col: const})],
+    deletes: [(path, seq, [eq col names])]).
+    """
+    mdir = f"{table_path}/metadata"
+    version = int(_read_file(f"{mdir}/version-hint.text").decode().strip())
+    md = json.loads(_read_file(f"{mdir}/v{version:05d}.metadata.json"))
+    current = md["current-snapshot-id"]
+    snap = next(s for s in md["snapshots"] if s["snapshot-id"] == current)
+    schema = next(s for s in md["schemas"]
+                  if s["schema-id"] == snap["schema-id"])
+    cols = [(f["name"], f["type"]) for f in schema["fields"]]
+    id_to_name = {f["id"]: f["name"] for f in schema["fields"]}
+    spec_fields = [f["name"]
+                   for f in md["partition-specs"][0].get("fields", [])]
+
+    mf_list, _ = read_avro(_read_file(snap["manifest-list"]))
+    data, deletes = [], []
+    for mf in mf_list:
+        entries, _ = read_avro(_read_file(mf["manifest_path"]))
+        for e in entries:
+            if e["status"] == 2:  # DELETED — left the table
+                continue
+            df = e["data_file"]
+            seq = e["sequence_number"]
+            if mf["content"] == 0:
+                part = {k: v for k, v in (df.get("partition") or {}).items()
+                        if k in spec_fields}
+                data.append((df["file_path"], seq, part))
+            else:
+                eq = [id_to_name[i] for i in (df.get("equality_ids") or [])]
+                deletes.append((df["file_path"], seq, eq))
+    return cols, data, deletes
+
+
+def scan(table_path):
+    """Resolve + scan with DuckDB. Returns (duckdb connection holding
+    view `resolved`, n_data_files, n_delete_files, columns)."""
+    import duckdb
+    cols, data, deletes = resolve(table_path)
+    names = [c for c, _ in cols]
+    con = duckdb.connect()
+
+    def one_file(path, seq, part):
+        # the declared schema drives projection: physical extras (a
+        # merge-on-read __seq) are never read; partition columns come
+        # back as constants from the manifest struct
+        sel = []
+        for c in names:
+            if c in part:
+                v = part[c]
+                lit = "NULL" if v is None else (
+                    f"'{v}'" if isinstance(v, str) else repr(v))
+                sel.append(f"{lit} AS \"{c}\"")
+            else:
+                sel.append(f"\"{c}\"")
+        return (f"SELECT {', '.join(sel)}, CAST({seq} AS BIGINT) AS __fseq "
+                f"FROM read_parquet('{path}')")
+
+    data_sql = " UNION ALL ".join(one_file(p, s, pt) for p, s, pt in data)
+    con.execute(f"CREATE VIEW data AS {data_sql}")
+
+    # v2 equality deletes: a delete at sequence s erases matching rows
+    # in data files with sequence < s (last-write-wins)
+    survivors = "SELECT * FROM data"
+    groups = {}
+    for p, s, eq in deletes:
+        groups.setdefault(tuple(eq), []).append((p, s))
+    for gi, (eq, files) in enumerate(groups.items()):
+        eq_proj = ", ".join(f"\"{c}\"" for c in eq)
+        del_sql = " UNION ALL ".join(
+            f"SELECT {eq_proj}, "
+            f"CAST({s} AS BIGINT) AS __dseq FROM read_parquet('{p}')"
+            for p, s in files)
+        con.execute(f"CREATE VIEW del{gi} AS {del_sql}")
+        cond = " AND ".join(f"d.\"{c}\" = t.\"{c}\"" for c in eq)
+        survivors = (f"SELECT * FROM ({survivors}) t WHERE NOT EXISTS ("
+                     f"SELECT 1 FROM del{gi} d WHERE {cond} "
+                     f"AND d.__dseq > t.__fseq)")
+    proj = ", ".join(f"\"{c}\"" for c in names)
+    con.execute(f"CREATE VIEW resolved AS SELECT {proj} "
+                f"FROM ({survivors})")
+    return con, len(data), len(deletes), names
+
+
+def canonical_hash(con, relation, names):
+    """md5 over rows canonicalized engine-independently: columns sorted
+    by name, rows sorted, every value rendered by DuckDB as VARCHAR."""
+    ordered = sorted(names)
+    casts = ", ".join(
+        f"COALESCE(CAST(\"{c}\" AS VARCHAR), '\\N')" for c in ordered)
+    rows = con.execute(
+        f"SELECT concat_ws('|', {casts}) FROM {relation}").fetchall()
+    h = hashlib.md5()
+    for (line,) in sorted(rows):
+        h.update(line.encode("utf-8"))
+        h.update(b"\n")
+    return h.hexdigest()
+
+
+def main():
+    table_path = sys.argv[1]
+    compare = None
+    if "--compare" in sys.argv:
+        compare = sys.argv[sys.argv.index("--compare") + 1]
+    con, nfiles, ndeletes, names = scan(table_path)
+    nrows = con.execute("SELECT COUNT(*) FROM resolved").fetchone()[0]
+    out = {"rows": nrows, "files": nfiles, "deletes": ndeletes,
+           "hash": canonical_hash(con, "resolved", names)}
+    if compare is not None:
+        proj = ", ".join(f"\"{c}\"" for c in names)
+        con.execute(f"CREATE VIEW expected AS SELECT {proj} "
+                    f"FROM read_parquet('{compare}')")
+        out["expected_rows"] = con.execute(
+            "SELECT COUNT(*) FROM expected").fetchone()[0]
+        out["match"] = (out["hash"] ==
+                        canonical_hash(con, "expected", names))
+    print(json.dumps(out))
+    sys.exit(0 if out.get("match", True) else 1)
+
+
+if __name__ == "__main__":
+    main()
