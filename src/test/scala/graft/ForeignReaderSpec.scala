@@ -28,12 +28,10 @@ class ForeignReaderSpec extends AnyFunSuite with SparkSpec {
     catch { case _: Throwable => false }
 
   /** Run the reader with --compare; returns the parsed JSON line. */
-  private def readForeign(tablePath: String,
-                          expectedGlob: String): Map[String, Any] = {
+  private def runReader(args: Seq[String]): Map[String, Any] = {
     val out = new StringBuilder
     val code = scala.sys.process.Process(
-      Seq("python3", "tools/iceberg_reader.py", tablePath,
-        "--compare", expectedGlob))
+      Seq("python3", "tools/iceberg_reader.py") ++ args)
       .!(scala.sys.process.ProcessLogger(l => { out.append(l); () },
         l => { out.append(l); () }))
     assert(code == 0, s"foreign reader exit $code: $out")
@@ -41,6 +39,10 @@ class ForeignReaderSpec extends AnyFunSuite with SparkSpec {
     implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
     json.extract[Map[String, Any]]
   }
+
+  private def readForeign(tablePath: String,
+                          expectedGlob: String): Map[String, Any] =
+    runReader(Seq(tablePath, "--compare", expectedGlob))
 
   private def dump(df: org.apache.spark.sql.DataFrame, dir: String): String = {
     df.write.mode("overwrite").parquet(dir)
@@ -72,6 +74,23 @@ class ForeignReaderSpec extends AnyFunSuite with SparkSpec {
     val r = readForeign(t.tablePath, dump(t.readCold(), s"$dir/expected"))
     assert(r("rows") == 3 && r("match") == true, r.toString)
     assert(r("deletes").toString.toInt >= 2, s"delete files read: $r")
+  }
+
+  test("the foreign engine DISCOVERS the table over the REST catalog " +
+       "(url + name, never a path)") {
+    assume(pythonOk, "driver-side python3+duckdb unavailable")
+    val dir = Files.createTempDirectory("graft-foreign-rest").toString
+    val t = TieredTable(spark, s"$dir/revenue", pk = Seq("nation"))
+    t.commitUpsert(Seq(("FRANCE", 10L), ("GERMANY", 20L))
+      .toDF("nation", "revenue"))
+    val mloc = IcebergExport.export(t)
+    val server = new graft.storage.IcebergRestCatalogServer
+    try {
+      server.register("fluss", "revenue", mloc)
+      val r = runReader(Seq("--rest", server.url, "fluss", "revenue",
+        "--compare", dump(t.readCold(), s"$dir/expected")))
+      assert(r("rows") == 2 && r("match") == true, r.toString)
+    } finally server.stop()
   }
 
   test("partitioned merge-on-read: partition constants + scoped deletes") {

@@ -15,6 +15,13 @@ the export really is Iceberg, not a private format.
 
 Usage:
   python3 tools/iceberg_reader.py <table_path> [--compare <parquet_glob>]
+  python3 tools/iceberg_reader.py --rest <catalog_url> <ns> <table> \
+      [--compare <parquet_glob>]
+
+The --rest mode is the full Trino shape: the table is DISCOVERED over
+the Iceberg REST catalog protocol (GET /v1/namespaces/{ns}/tables/{t},
+LoadTableResult with the embedded metadata document) — the reader
+knows a URL and a name, never a path.
 
 Prints one JSON line: {"rows": N, "files": n, "deletes": m,
 "hash": "<md5 of canonicalized rows>"} plus, with --compare,
@@ -140,14 +147,28 @@ def _read_file(path):
         return f.read()
 
 
-def resolve(table_path):
-    """Iceberg metadata chain → scan plan. Returns (schema_cols:
+def load_metadata_file(table_path):
+    """File-based resolution: version-hint → current metadata.json."""
+    mdir = f"{table_path}/metadata"
+    version = int(_read_file(f"{mdir}/version-hint.text").decode().strip())
+    return json.loads(_read_file(f"{mdir}/v{version:05d}.metadata.json"))
+
+
+def load_metadata_rest(url, ns, table):
+    """REST-catalog resolution: LoadTableResult's embedded metadata."""
+    import urllib.request
+    from urllib.parse import quote
+    req = f"{url}/v1/namespaces/{quote(ns)}/tables/{quote(table)}"
+    with urllib.request.urlopen(req, timeout=30) as resp:
+        body = json.loads(resp.read().decode("utf-8"))
+    return body["metadata"]
+
+
+def resolve(md):
+    """Parsed table metadata → scan plan. Returns (schema_cols:
     [(name, iceberg_type)], data: [(path, seq, {part_col: const})],
     deletes: [(path, seq, [eq col names])]).
     """
-    mdir = f"{table_path}/metadata"
-    version = int(_read_file(f"{mdir}/version-hint.text").decode().strip())
-    md = json.loads(_read_file(f"{mdir}/v{version:05d}.metadata.json"))
     current = md["current-snapshot-id"]
     snap = next(s for s in md["snapshots"] if s["snapshot-id"] == current)
     schema = next(s for s in md["schemas"]
@@ -176,11 +197,11 @@ def resolve(table_path):
     return cols, data, deletes
 
 
-def scan(table_path):
+def scan(md):
     """Resolve + scan with DuckDB. Returns (duckdb connection holding
     view `resolved`, n_data_files, n_delete_files, columns)."""
     import duckdb
-    cols, data, deletes = resolve(table_path)
+    cols, data, deletes = resolve(md)
     names = [c for c, _ in cols]
     con = duckdb.connect()
 
@@ -242,11 +263,14 @@ def canonical_hash(con, relation, names):
 
 
 def main():
-    table_path = sys.argv[1]
     compare = None
     if "--compare" in sys.argv:
         compare = sys.argv[sys.argv.index("--compare") + 1]
-    con, nfiles, ndeletes, names = scan(table_path)
+    if sys.argv[1] == "--rest":
+        md = load_metadata_rest(sys.argv[2], sys.argv[3], sys.argv[4])
+    else:
+        md = load_metadata_file(sys.argv[1])
+    con, nfiles, ndeletes, names = scan(md)
     nrows = con.execute("SELECT COUNT(*) FROM resolved").fetchone()[0]
     out = {"rows": nrows, "files": nfiles, "deletes": ndeletes,
            "hash": canonical_hash(con, "resolved", names)}
