@@ -874,7 +874,8 @@ object SparkEntry {
         |       COUNT(*) AS n_rows,
         |       MIN(v) AS min_cents,
         |       MAX(v) AS max_cents,
-        |       AVG(v) AS avg_cents
+        |       SUM(v) AS avg_num_cents,
+        |       COUNT(v) AS avg_den
         |FROM cents GROUP BY nation_key""".stripMargin,
     "c11_source_quota" ->
       """SELECT doc_id, source FROM (

@@ -191,6 +191,19 @@ object Similarity {
     p
   }
 
+  /** Corpus size for [[planesFor]] WITHOUT an eager Spark job: CBO /
+    * parquet-footer metadata via [[graft.storage.FileStats.estimatedRows]]
+    * (driver-side, bounded footer sample), falling back to an exact
+    * `count()` only for frames with no file-backed leaf — which are
+    * in-memory test fixtures, small by construction. r8 verdict #4:
+    * the previous `df.count()` here ran two full scans at 100 TB
+    * before the pair query's own action even started. Overestimation
+    * is safe (more planes → finer buckets); only the ORDER of
+    * magnitude steers the geometry.
+    */
+  private def sizeForPlanes(df: DataFrame): Long =
+    graft.storage.FileStats.estimatedRows(df).getOrElse(df.count())
+
   /** Multi-table sign-LSH (random hyperplane) bucketed near-dup:
     * `tables` hash tables of `planes` hyperplanes each (plane seed =
     * t*planes+p); signature bit p of table t = (Σ_j s·v_j) ≥ 0; bucket
@@ -211,7 +224,7 @@ object Similarity {
   def lshNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                       threshold: Double, planes: Int = 0,
                       tables: Int = 8, dim: Int = 64): DataFrame = {
-    val p = if (planes > 0) planes else planesFor(df.count())
+    val p = if (planes > 0) planes else planesFor(sizeForPlanes(df))
     val sig = lshBuckets(df, idCol, vecCol, p, tables, dim)
     sig.select(col("id").as("a_id"), col("v").as("va"), col("nrm").as("na"), col("bucket"))
       .join(sig.select(col("id").as("b_id"), col("v").as("vb"), col("nrm").as("nb"), col("bucket")),
@@ -256,7 +269,8 @@ object Similarity {
   def lshCrossPairs(a: DataFrame, b: DataFrame, idCol: String,
                     vecCol: String, threshold: Double, planes: Int = 0,
                     tables: Int = 8, dim: Int = 64): DataFrame = {
-    val p = if (planes > 0) planes else planesFor(a.count() + b.count())
+    val p = if (planes > 0) planes
+            else planesFor(sizeForPlanes(a) + sizeForPlanes(b))
     val sa = lshBuckets(a, idCol, vecCol, p, tables, dim)
     val sb = lshBuckets(b, idCol, vecCol, p, tables, dim)
     sa.select(col("id").as("a_id"), col("v").as("va"), col("nrm").as("na"), col("bucket"))

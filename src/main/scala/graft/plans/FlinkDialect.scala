@@ -43,14 +43,46 @@ object FlinkDialect {
   val RuntimeModeKey = s"${ConfPrefix}execution.runtime-mode"
   val NotNullEnforcerKey = s"${ConfPrefix}table.exec.sink.not-null-enforcer"
 
-  /** Column names declared `AS PROCTIME()` in any Flink-dialect CREATE
-    * TABLE this process has seen — [[TemporalJoinParser]] accepts them
-    * in `FOR SYSTEM_TIME AS OF` exactly like the literal `proctime`.
+  /** Columns declared `AS PROCTIME()` in Flink-dialect CREATE TABLEs —
+    * [[TemporalJoinParser]] accepts them in `FOR SYSTEM_TIME AS OF`
+    * exactly like the literal `proctime`. Keyed by (table, column) and
+    * UNREGISTERED on DROP TABLE (r8 advice): a process-global
+    * column-name-only set would, once any table ever declared `ts AS
+    * PROCTIME()`, silently snapshot-collapse `AS OF x.ts` in every
+    * later query — including ones where `ts` is an EVENT-time column
+    * of an unrelated table, defeating the loud-failure guard for
+    * event-time versioned joins. Table keys are the UNQUALIFIED last
+    * name segment (what a FROM/JOIN alias binding exposes textually).
     */
   private val proctimeCols = ConcurrentHashMap.newKeySet[String]()
-  def registerProctime(col: String): Unit = proctimeCols.add(col.toLowerCase)
-  def isProctime(col: String): Boolean =
-    proctimeCols.contains(col.toLowerCase)
+  private def lastSegment(table: String): String =
+    table.split('.').last.stripPrefix("`").stripSuffix("`").toLowerCase
+  private def ptKey(table: String, col: String): String =
+    lastSegment(table) + "|" + col.toLowerCase
+  def registerProctime(table: String, col: String): Unit =
+    proctimeCols.add(ptKey(table, col))
+  def unregisterProctime(table: String): Unit = {
+    val prefix = lastSegment(table) + "|"
+    proctimeCols.removeIf(_.startsWith(prefix))
+  }
+  /** Does ANY live table declare `col` as proctime? The fallback test
+    * for attributes whose qualifier cannot be resolved textually.
+    */
+  def isProctime(col: String): Boolean = {
+    val suffix = "|" + col.toLowerCase
+    proctimeCols.stream.anyMatch(_.endsWith(suffix))
+  }
+  /** Does `table` (unqualified name) declare `col` as proctime? */
+  def isProctimeOf(table: String, col: String): Boolean =
+    proctimeCols.contains(ptKey(table, col))
+  /** Does `table` declare ANY proctime column? A table that declares
+    * one but not the asked-for attribute is a provable NON-match —
+    * the clause must survive and fail loudly rather than collapse.
+    */
+  def hasProctimeDecls(table: String): Boolean = {
+    val prefix = lastSegment(table) + "|"
+    proctimeCols.stream.anyMatch(_.startsWith(prefix))
+  }
 
   def notNullEnforcer(spark: SparkSession): String =
     spark.conf.getOption(NotNullEnforcerKey).getOrElse("ERROR").toUpperCase
@@ -227,7 +259,7 @@ object FlinkDialect {
     if (unknownCols.nonEmpty)
       fail(s"CREATE TEMPORARY TABLE $name: fields.* options for " +
         s"undeclared column(s) ${unknownCols.mkString(", ")}")
-    proctime.foreach(registerProctime)
+    proctime.foreach(registerProctime(name, _))
     CreateFakerTableCommand(FakerSource.FakerTable(
       name = name, schema = schema,
       numRows = optMap.get("number-of-rows").map(_.toLong),
@@ -266,12 +298,19 @@ object FlinkDialect {
         if (pk.isEmpty && proctime.isEmpty && withOpts.isEmpty &&
           cb.watermark.isEmpty) None
         else {
-          proctime.foreach(registerProctime)
+          proctime.foreach(registerProctime(tableName, _))
           // Flink property names → graft table properties
           val mapped = withOpts.getOrElse(Seq.empty).flatMap {
             case ("table.datalake.enabled", v) => Some("datalake" -> v)
             case ("table.datalake.freshness", v) => Some("freshness" -> v)
-            case ("connector", _) => None // fluss is the storage itself
+            // 'fluss' IS this storage layer — drop the option; any
+            // other connector must refuse loudly (same stance as the
+            // CREATE TEMPORARY TABLE path), not silently create a
+            // local graft table where the user asked for kafka
+            case ("connector", v) if v.equalsIgnoreCase("fluss") => None
+            case ("connector", v) =>
+              fail(s"CREATE TABLE $tableName: connector '$v' is not " +
+                "available in this environment (supported: fluss)")
             case ("bootstrap.servers", _) => None
             case (k, v) => Some(k -> v)
           } ++ (if (pk.nonEmpty) Seq("primary-key" -> pk.mkString(",")) else Nil) ++

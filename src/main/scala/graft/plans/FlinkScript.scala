@@ -23,8 +23,14 @@ object FlinkScript {
     var i = 0
     def inStatementSet: Boolean = {
       val up = cur.toString.trim.toUpperCase
+      // the block closes only at a STANDALONE trailing END keyword —
+      // a bare suffix test would close it at any inner statement whose
+      // text merely ends in "end" (a column named `trend`, `weekend`,
+      // an APPEND hint) and split the set at the wrong ';'
       up.startsWith("EXECUTE STATEMENT SET") &&
-        !up.endsWith("END") // the block closes at END;
+        !(up.endsWith("END") &&
+          (up.length == 3 || !Character.isLetterOrDigit(up.charAt(up.length - 4)) &&
+            up.charAt(up.length - 4) != '_'))
     }
     while (i < noComments.length) {
       val c = noComments.charAt(i)

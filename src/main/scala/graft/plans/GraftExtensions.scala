@@ -115,8 +115,34 @@ object TemporalJoinParser {
     */
   private val AsOf =
     ("""(?is)\s+FOR\s+SYSTEM_TIME\s+AS\s+OF\s+""" +
-     """(?:`?[A-Za-z_][A-Za-z0-9_]*`?\s*\.\s*)*""" +
+     """((?:`?[A-Za-z_][A-Za-z0-9_]*`?\s*\.\s*)*)""" +
      """(?:PROCTIME\s*\(\s*\)|`?([A-Za-z_][A-Za-z0-9_]*)`?)""").r
+
+  /** FROM/JOIN table references with their optional alias — the
+    * textual binding environment for resolving an AS OF attribute's
+    * qualifier to a table. Alias candidates that are SQL keywords
+    * (the `FOR` of the clause itself, ON, WHERE, …) are not aliases.
+    */
+  private val Bind =
+    ("""(?is)\b(?:FROM|JOIN)\s+""" +
+     """(?:`?[A-Za-z_][A-Za-z0-9_]*`?\s*\.\s*)*`?([A-Za-z_][A-Za-z0-9_]*)`?""" +
+     """(?:\s+(?:AS\s+)?`?([A-Za-z_][A-Za-z0-9_]*)`?)?""").r
+  private val Reserved = Set(
+    "for", "on", "where", "left", "right", "full", "inner", "outer",
+    "cross", "join", "group", "order", "as", "using", "natural", "union",
+    "limit", "having", "select", "lateral", "when", "matched", "set")
+
+  /** The (unqualified) table name bound to `qual` — via an explicit
+    * alias or the table's own last name segment — if this statement
+    * binds it textually; None for subquery aliases and anything the
+    * regex can't see.
+    */
+  private def boundTable(sql: String, qual: String): Option[String] =
+    Bind.findAllMatchIn(sql).flatMap { m =>
+      val tbl = m.group(1)
+      val alias = Option(m.group(2)).filterNot(a => Reserved(a.toLowerCase))
+      if (alias.getOrElse(tbl).equalsIgnoreCase(qual)) Some(tbl) else None
+    }.toSeq.headOption
 
   /** Strip the clause: in batch execution over the snapshot-isolated
     * graft catalog, "dim as of the probe row's processing time" IS the
@@ -125,16 +151,31 @@ object TemporalJoinParser {
     * joins in batch runtime mode; streaming per-batch semantics come
     * from re-resolving the dim per micro-batch, see
     * [[graft.streaming.DemoPipeline]].)
+    *
+    * Which attributes count as processing time (r8 advice — the old
+    * any-table column-name check silently collapsed event-time AS OF
+    * on unrelated tables): the literal `proctime`/`PROCTIME()` always;
+    * a declared `AS PROCTIME()` column when its qualifier resolves to
+    * the declaring table; when the qualifier resolves to a DIFFERENT
+    * table that declares its own proctime column, the attribute is a
+    * provable non-match and the clause SURVIVES (failing loudly
+    * downstream); only an unresolvable qualifier falls back to the
+    * any-live-table name check — now bounded by DROP TABLE
+    * unregistration.
     */
   def rewrite(sqlText: String): String =
-    AsOf.replaceAllIn(sqlText, m => Option(m.group(1)) match {
-      // bare attribute: erase only a known processing-time name —
-      // `proctime` or a declared `AS PROCTIME()` column
-      case Some(attr)
-        if attr.equalsIgnoreCase("proctime") || FlinkDialect.isProctime(attr) =>
-        ""
-      case Some(_) => java.util.regex.Matcher.quoteReplacement(m.matched)
+    AsOf.replaceAllIn(sqlText, m => Option(m.group(2)) match {
       case None => "" // literal PROCTIME()
+      case Some(attr) if attr.equalsIgnoreCase("proctime") => ""
+      case Some(attr) =>
+        val qual = Option(m.group(1)).map(_.trim).filter(_.nonEmpty)
+          .map(_.split('.').last.trim.stripPrefix("`").stripSuffix("`"))
+        val erase = qual.flatMap(boundTable(sqlText, _)) match {
+          case Some(tbl) if FlinkDialect.isProctimeOf(tbl, attr) => true
+          case Some(tbl) if FlinkDialect.hasProctimeDecls(tbl) => false
+          case _ => FlinkDialect.isProctime(attr)
+        }
+        if (erase) "" else java.util.regex.Matcher.quoteReplacement(m.matched)
     })
 }
 

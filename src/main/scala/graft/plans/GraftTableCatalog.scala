@@ -400,6 +400,8 @@ class GraftTableCatalog extends TableCatalog
     val entry = TieredCatalog.lookup(db, ident.name)
     val dropped = TieredCatalog.unregister(db, ident.name)
     TieredCatalog.deletePersisted(db, ident.name)
+    graft.plans.FlinkDialect.unregisterProctime(ident.name)
+    entry.foreach(e => StreamingInsertSql.dropRemoteCheckpoint(e.path))
     entry.filter(_.path.startsWith(s"${TieredCatalog.warehouse}/"))
       .foreach(e =>
         graft.storage.TableFs.forPath(e.path).deleteRecursively(e.path))

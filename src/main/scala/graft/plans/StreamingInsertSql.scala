@@ -95,6 +95,45 @@ object StreamingInsertSql {
   private def key(db: String, table: String) =
     s"${db.toLowerCase}.${table.toLowerCase}"
 
+  /** Engine-local checkpoint directory for a remote (bucket) sink.
+    * Keyed INJECTIVELY: a readable sanitized tail of the path plus a
+    * digest of (full path, table creation id) — the old lossy
+    * char-replacement mapped '/' and '_' to the same character, so two
+    * distinct bucket paths could share a cursor (r8 advice). The
+    * creation id is a uuid persisted at `meta/CREATION_ID` in the
+    * table directory (created on first use): a managed DROP TABLE
+    * purges the directory, so recreating a table at the same path
+    * mints a NEW id → a fresh checkpoint, never a stale source cursor
+    * silently skipping the new table's early rows. An EXTERNAL drop
+    * keeps the directory and its data — there resuming the cursor is
+    * exactly right.
+    */
+  private[graft] def remoteCheckpointDir(path: String): String = {
+    val fs = graft.storage.TableFs.forPath(path)
+    val idFile = s"$path/meta/CREATION_ID"
+    val id = fs.readString(idFile).getOrElse {
+      val fresh = java.util.UUID.randomUUID().toString
+      fs.writeString(idFile, fresh)
+      fresh
+    }
+    val digest = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s"$path|$id".getBytes("UTF-8"))
+      .take(9).map("%02x".format(_)).mkString
+    val human = path.replaceAll("[^A-Za-z0-9.]", "_").takeRight(48)
+    s"${sys.props("java.io.tmpdir")}/graft-ckpt/$human-$digest"
+  }
+
+  /** Best-effort removal of a remote sink's engine-local checkpoint —
+    * DROP TABLE calls this BEFORE the table directory (and with it the
+    * creation id) disappears, so the cursor dies with the table.
+    */
+  private[graft] def dropRemoteCheckpoint(path: String): Unit =
+    if (path.contains("://"))
+      try {
+        val dir = remoteCheckpointDir(path)
+        graft.storage.TableFs.forPath(dir).deleteRecursively(dir)
+      } catch { case scala.util.control.NonFatal(_) => () }
+
   /** The live query continuously inserting into `db.table`, if any. */
   def query(db: String, table: String): Option[StreamingQuery] =
     running.get(key(db, table)).map(_.query)
@@ -464,9 +503,7 @@ object StreamingInsertSql {
           // batch-tagged commits, not checkpoint atomicity, so it does
           // not belong in the bucket (and Spark's checkpoint manager
           // wants rename/list semantics object stores don't promise).
-          // Keyed by the full sink path: same table → same cursor.
-          s"${sys.props("java.io.tmpdir")}/graft-ckpt/" +
-            sinkEntry.path.replaceAll("[^A-Za-z0-9.]", "_")
+          remoteCheckpointDir(sinkEntry.path)
         else s"${sinkEntry.path}/_insert_checkpoint"
       }
     val intervalMs = options.get("interval").map(_.toLong).getOrElse(1000L)

@@ -146,9 +146,13 @@ object Lakehouse {
     * from the snapshot-2 base via a semi-join-pruned scan, clean
     * groups never touch it. The oracle recomputes the final state
     * relationally, so a stale bound (the classic min-stuck-after-
-    * delete bug) hash-mismatches. AVG rides exact integer-cents
-    * accumulators; the division is the same two operands on both
-    * engines.
+    * delete bug) hash-mismatches. AVG is verified through its EXACT
+    * integer accumulators (`avg_num_cents`/`avg_den` BIGINT) rather
+    * than the finished double — cross-engine float-kernel agreement
+    * is not something a hash gate may depend on (repo convention:
+    * no float division in hashed output, cf. p5/g9); the double
+    * [[IncrementalAgg.finishAvgs]] projection remains the SQL MV
+    * surface.
     */
   def q18bIncrementalMvFull(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
@@ -168,7 +172,12 @@ object Lakehouse {
       col("op"))
     IncrementalAgg.applyDeltaFull(state1, delta, Seq("nation_key"), spec,
       shaped(t.readColdAsOf(2L)))
-      .drop("__avs_avg_cents", "__avc_avg_cents")
+      // hashed output carries the exact accumulators, never the
+      // finished double (the cents sums sit far inside 2^53, so the
+      // long cast is value-exact)
+      .withColumn("avg_num_cents", col("__avs_avg_cents").cast("long"))
+      .withColumn("avg_den", col("__avc_avg_cents"))
+      .drop("__avs_avg_cents", "__avc_avg_cents", "avg_cents")
   }
 
   /** Q11 — time travel: batch read AS OF snapshot 1 (before the second

@@ -638,13 +638,18 @@ object Relational {
   /** P17 — TPC-H Q2-shaped minimum-cost supplier: for every part in a
     * size/type bucket, the supplier(s) offering it at the MINIMUM
     * account balance (the fixture's supply-cost stand-in; distinct
-    * lineitem (partkey, suppkey) pairs play partsupp). The correlated
-    * scalar-MIN subquery is Q2's signature — Catalyst decorrelates it
-    * into one grouped MIN over the offer set joined back on the part
-    * key, so the physical plan is two shuffles on `p_partkey` (offer
-    * build + min probe), never a per-part subquery execution. Ties on
-    * the minimum keep every tied supplier, deterministic as a set.
-    * Balance compares in exact cents (g9's convention).
+    * lineitem (partkey, suppkey) pairs play partsupp). Q2's signature
+    * correlated scalar-MIN is expressed as `MIN() OVER (PARTITION BY
+    * p_partkey)` + filter rather than a correlated subquery: Catalyst
+    * decorrelates the subquery form into a join against a SECOND
+    * evaluation of the inlined `offer` CTE — the 3-way
+    * lineitem⋈part⋈supplier join would execute twice (the classic
+    * TPC-H Q2 double-scan, r8 verdict #2). The window form computes
+    * the per-part minimum in the SAME shuffle pass that already
+    * partitions offers by `p_partkey` — ONE scan of the fact join,
+    * one exchange, at any scale. Ties on the minimum keep every tied
+    * supplier, deterministic as a set. Balance compares in exact
+    * cents (g9's convention).
     */
   def p17MinCostSupplier(spark: SparkSession, dir: String): DataFrame = {
     Tables.load(spark, dir, "lineitem").createOrReplaceTempView("p17_lineitem")
@@ -661,11 +666,13 @@ object Relational {
         |  JOIN bridge ON p_partkey = l_partkey
         |  JOIN p17_supplier ON s_suppkey = l_suppkey
         |  WHERE p_size <= 5 AND p_type = 'ECONOMY')
-        |SELECT o.p_partkey, o.s_name, n_name, o.acctbal_cents
-        |FROM offer o JOIN p17_nation ON o.s_nationkey = n_nationkey
-        |WHERE o.acctbal_cents = (SELECT min(o2.acctbal_cents)
-        |                         FROM offer o2
-        |                         WHERE o2.p_partkey = o.p_partkey)""".stripMargin)
+        |SELECT p_partkey, s_name, n_name, acctbal_cents
+        |FROM (
+        |  SELECT o.p_partkey, o.s_name, n_name, o.acctbal_cents,
+        |         min(o.acctbal_cents)
+        |           OVER (PARTITION BY o.p_partkey) AS min_cents
+        |  FROM offer o JOIN p17_nation ON o.s_nationkey = n_nationkey)
+        |WHERE acctbal_cents = min_cents""".stripMargin)
   }
 
   /** P18 — TPC-H Q9-shaped product profit by nation and year: filtered
@@ -1004,15 +1011,24 @@ object Relational {
     * the aggregate reformulation used here — per order, count distinct
     * suppliers and distinct LATE suppliers in one grouped pass, then a
     * supplier qualifies iff the order has >1 suppliers and exactly one
-    * late supplier (theirs). That turns two correlated probes over the
-    * fact into ONE orderkey-grouped aggregate + a key join, no
-    * re-scans. The oracle keeps the EXISTS phrasing, so the
+    * late supplier (theirs). That turns two correlated probes over
+    * the fact into ONE pass: the fact join aggregates once to
+    * per-(order, supplier) grain with `max(late)` — after which every
+    * downstream question (how many suppliers per order, how many of
+    * them late, is THIS one late) is answered from that single small
+    * frame by an order-partitioned window, so the lineitem⋈orders
+    * join is scanned exactly once (r8 verdict #3 killed the earlier
+    * shape that fed the join to both an aggregate and a
+    * `distinct()` probe — two evaluations of the fact join, pure
+    * waste at 100×). The oracle keeps the EXISTS phrasing, so the
     * reformulation's equivalence is itself under the hash check.
-    * Scale: two shuffles total (orderkey agg, supplier rollup), both
-    * on natural keys; no per-row subquery survives.
+    * Scale: two shuffles total — (orderkey, suppkey) grain agg, then
+    * the orderkey window rides a strict re-partition prefix of it;
+    * no per-row subquery and no fact re-scan survive.
     */
   def p22WaitingSuppliers(spark: SparkSession, dir: String): DataFrame = {
-    val lines = Tables.load(spark, dir, "lineitem")
+    import org.apache.spark.sql.expressions.Window
+    val grain = Tables.load(spark, dir, "lineitem")
       .join(Tables.load(spark, dir, "orders")
           .filter(col("o_orderstatus") === "F")
           .select(col("o_orderkey"), col("o_orderdate")),
@@ -1020,13 +1036,13 @@ object Relational {
       .select(col("l_orderkey"), col("l_suppkey"),
         (col("l_shipdate") >
           col("o_orderdate") + expr("INTERVAL 60 DAYS")).as("late"))
-    val perOrder = lines.groupBy(col("l_orderkey").as("ok"))
-      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
-        countDistinct(when(col("late"), col("l_suppkey"))).as("n_late"))
-    val waiting = lines.filter(col("late"))
-      .select(col("l_orderkey"), col("l_suppkey")).distinct()
-      .join(perOrder, col("l_orderkey") === col("ok"))
-      .filter(col("n_supp") > 1 && col("n_late") === 1)
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max(col("late")).as("late"))
+    val w = Window.partitionBy(col("l_orderkey"))
+    val waiting = grain
+      .withColumn("n_supp", count(lit(1)).over(w))
+      .withColumn("n_late", sum(when(col("late"), 1L).otherwise(0L)).over(w))
+      .filter(col("late") && col("n_supp") > 1 && col("n_late") === 1)
     Tables.load(spark, dir, "supplier")
       .join(waiting, col("s_suppkey") === col("l_suppkey"))
       .groupBy(col("s_suppkey"), col("s_name"))

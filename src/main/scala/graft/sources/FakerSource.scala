@@ -85,7 +85,10 @@ object FakerSource {
 
   def register(t: FakerTable): Unit = reg.put(t.name.toLowerCase, t)
   def lookup(name: String): Option[FakerTable] = reg.get(name.toLowerCase)
-  def unregister(name: String): Boolean = reg.remove(name.toLowerCase).isDefined
+  def unregister(name: String): Boolean = {
+    graft.plans.FlinkDialect.unregisterProctime(name)
+    reg.remove(name.toLowerCase).isDefined
+  }
   def clear(): Unit = reg.clear()
 
   /** Uniform [0, n) long, deterministic per (tag, id) — the Datagen

@@ -147,6 +147,62 @@ object FileStats {
     * partitioned layouts nest files under `col=value/` subdirs). Keys
     * are paths RELATIVE to `dir`.
     */
+  /** Row-count ESTIMATE for a query's underlying file relations —
+    * driver-side metadata only, NEVER a Spark job. Used where a
+    * parameter must scale with corpus size (LSH plane sizing) but an
+    * eager `count()` would run a full scan before the real query even
+    * starts (r8 verdict #4: two such scans at 100 TB, pure waste).
+    *
+    * Resolution order per leaf relation: CBO row count when ANALYZE
+    * stats exist; otherwise parquet FOOTER record counts — bounded at
+    * `sampleFiles` footer opens and extrapolated by byte size, so the
+    * driver cost is O(64 footer reads) regardless of table file count.
+    * Filters above the scan are deliberately IGNORED: the estimate is
+    * an upper bound, and overestimating rows only adds hyperplanes
+    * (finer buckets — safe), never a skew bomb. Returns None when the
+    * plan has no file-backed leaf (pure in-memory frames) — callers
+    * fall back to an exact count there, where the input is small by
+    * construction.
+    */
+  def estimatedRows(df: org.apache.spark.sql.DataFrame,
+                    sampleFiles: Int = 64): Option[Long] = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val plan = df.queryExecution.optimizedPlan
+    plan.stats.rowCount.map(_.longValue).orElse {
+      val conf = df.sparkSession.sessionState.newHadoopConf()
+      val perLeaf = plan.collect {
+        case lr: LogicalRelation => lr.relation match {
+          case fs: HadoopFsRelation =>
+            val files = fs.location.inputFiles.filter(_.endsWith(".parquet"))
+            if (files.isEmpty) None
+            else {
+              val sample = files.take(sampleFiles)
+              var rows = 0L; var bytes = 0L
+              sample.foreach { f =>
+                try {
+                  val p = new HadoopPath(f)
+                  bytes += p.getFileSystem(conf).getFileStatus(p).getLen
+                  val r = ParquetFileReader.open(conf, p)
+                  try rows += r.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+                  finally r.close()
+                } catch { case NonFatal(_) => /* keep the partial sum */ }
+              }
+              if (sample.length == files.length || bytes == 0L) Some(rows)
+              else {
+                // extrapolate the unread tail by its byte size at the
+                // sampled rows-per-byte density
+                val total = fs.location.sizeInBytes
+                Some((rows.toDouble / bytes * math.max(total, bytes)).toLong)
+              }
+            }
+          case _ => None
+        }
+      }
+      val known = perLeaf.flatten
+      if (known.isEmpty) None else Some(known.sum)
+    }
+  }
+
   def collect(dir: String): Map[String, Map[String, ColStat]] = {
     val conf = new Configuration(TableFs.hadoopConf)
     val files = parquetFiles(dir)

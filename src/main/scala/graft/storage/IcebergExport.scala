@@ -583,6 +583,28 @@ object IcebergExport {
     * files are immutable, `version-hint.text` names the current one).
     * Returns the metadata.json path.
     */
+  /** [[export]] + catalog-arbitrated publication: stage the new
+    * metadata document, then swap the catalog pointer through the REST
+    * commit protocol — asserting the state this committer exported
+    * FROM (`assert-create` for a first publication, `assert-ref-
+    * snapshot-id main=<current>` afterwards), so a concurrent
+    * committer's swap surfaces as the spec's 409
+    * [[IcebergRestClient.CommitFailedException]] instead of a lost
+    * update. This is the reference tiering job's relationship to its
+    * `iceberg-rest` service: the catalog is the commit AUTHORITY, the
+    * job merely proposes (fluss-iceberg/docker-compose.yml:126-137).
+    * Returns the committed metadata location.
+    */
+  def exportAndPublish(table: TieredTable, catalogUrl: String,
+                       ns: String, name: String): String = {
+    val expected = IcebergRestClient.tableState(catalogUrl, ns, name)
+      .flatMap(_._2)
+    val mloc = export(table)
+    IcebergRestClient.commitTable(catalogUrl, ns, name, mloc,
+      expectedSnapshotId = expected)
+    mloc
+  }
+
   def export(table: TieredTable): String = {
     val head = table.currentSnapshot.getOrElse(
       throw new IllegalStateException(

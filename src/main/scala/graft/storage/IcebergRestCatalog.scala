@@ -17,8 +17,9 @@ import org.json4s.jackson.JsonMethods
   * iceberg.properties` points at it): tables are named in a catalog
   * and loaded over HTTP, never by filesystem path.
   *
-  * Serves the read-side subset of the REST catalog OpenAPI an
-  * external query engine drives:
+  * Serves the subset of the REST catalog OpenAPI an external engine
+  * drives — reads AND the write path (the reference's REST service is
+  * the COMMIT AUTHORITY for the tiering job, not just a directory):
   *
   *  - `GET /v1/config` → engine handshake
   *  - `GET /v1/namespaces` → namespace listing
@@ -27,15 +28,37 @@ import org.json4s.jackson.JsonMethods
   *    `metadata-location` plus the full embedded table-metadata
   *    document (served through [[TableFs]], so a bucket-resident
   *    metadata chain is proxied straight from the bucket)
+  *  - `POST /v1/namespaces/{ns}/register` → RegisterTableRequest
+  *    (`name` + `metadata-location`): create the table entry from an
+  *    existing metadata document; 409 AlreadyExistsException if the
+  *    name is taken — the spec's register endpoint, verbatim
+  *  - `POST /v1/namespaces/{ns}/tables/{t}` → CommitTableRequest:
+  *    `requirements` are validated against the CURRENT state under the
+  *    table's commit lock — `assert-create`, `assert-table-uuid`,
+  *    `assert-ref-snapshot-id` (branch `main`) — and a failed
+  *    requirement is the spec's 409 CommitFailedException: the loser
+  *    of a commit race must rebase, exactly the arbitration the
+  *    reference's `iceberg-rest` service performs. Updates use the
+  *    pointer-swap profile (`set-metadata-location`, the Nessie/JDBC
+  *    catalog commit shape): the client stages the full new
+  *    metadata.json in storage first, the catalog validates + swaps
+  *    the pointer atomically. Snapshot-building update actions
+  *    (`add-snapshot` …) are refused loudly with guidance, never
+  *    half-applied.
+  *  - `DELETE /v1/namespaces/{ns}/tables/{t}` → drop (204; 404 when
+  *    absent)
   *
-  * Registration is the catalog-commit surface: `register` swaps the
-  * table's current metadata pointer (what a real REST catalog does on
-  * every Iceberg commit) — re-register after each [[IcebergExport
-  * .export]] and external readers see the new snapshot atomically.
+  * In-process `register` remains for wiring convenience and performs
+  * the same pointer swap the HTTP route does.
   */
 class IcebergRestCatalogServer {
   private val tables =
     new ConcurrentHashMap[(String, String), String]() // (ns, t) → metadata loc
+  /** Serializes commits per catalog (commit payloads are metadata-
+    * sized; a real REST catalog serializes per table the same way —
+    * arbitration, not a data-path bottleneck).
+    */
+  private val commitLock = new Object
 
   val server: HttpServer = {
     val s = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
@@ -66,9 +89,75 @@ class IcebergRestCatalogServer {
     try os.write(body) finally os.close()
   }
 
-  private def err(ex: HttpExchange, status: Int, msg: String): Unit =
+  private def err(ex: HttpExchange, status: Int, msg: String,
+                  errType: String = "RESTException"): Unit =
     respond(ex, status, JsonMethods.compact(JsonMethods.render(
-      "error" -> (("message" -> msg) ~ ("code" -> status)))))
+      "error" -> (("message" -> msg) ~ ("type" -> errType) ~
+        ("code" -> status)))))
+
+  private def readBody(ex: HttpExchange): org.json4s.JValue = {
+    val is = ex.getRequestBody
+    val raw = try new String(is.readAllBytes(), "UTF-8") finally is.close()
+    if (raw.isEmpty) org.json4s.JObject() else JsonMethods.parse(raw)
+  }
+
+  private def jStr(v: org.json4s.JValue): Option[String] = v match {
+    case org.json4s.JString(s) => Some(s)
+    case _ => None
+  }
+  private def jNum(v: org.json4s.JValue): Option[Long] = v match {
+    case org.json4s.JInt(n) => Some(n.longValue)
+    case org.json4s.JLong(n) => Some(n)
+    case _ => None
+  }
+
+  /** LoadTableResult / CommitTableResponse body for a pointer. */
+  private def loadResult(loc: String): Either[String, String] =
+    TableFs.forPath(loc).readString(loc) match {
+      case None => Left(s"metadata location unreadable: $loc")
+      case Some(body) => Right(JsonMethods.compact(JsonMethods.render(
+        ("metadata-location" -> loc) ~
+          ("metadata" -> JsonMethods.parse(body)))))
+    }
+
+  /** Validate one CommitTableRequest requirement against the current
+    * pointer (None = table absent). Returns the failure message, or
+    * None when satisfied. Unknown requirement types FAIL the commit —
+    * silently ignoring an assertion the client relies on would turn
+    * the arbitration into a lost-update machine.
+    */
+  private def checkRequirement(req: org.json4s.JValue,
+                               current: Option[String]): Option[String] = {
+    def currentMeta: Option[org.json4s.JValue] =
+      current.flatMap(loc => TableFs.forPath(loc).readString(loc))
+        .map(JsonMethods.parse(_))
+    jStr(req \ "type") match {
+      case Some("assert-create") =>
+        if (current.isEmpty) None
+        else Some("requirement failed: table already exists (assert-create)")
+      case Some("assert-table-uuid") =>
+        val want = jStr(req \ "uuid")
+        val have = currentMeta.flatMap(m => jStr(m \ "table-uuid"))
+        if (want.isDefined && want == have) None
+        else Some(s"requirement failed: table-uuid is " +
+          s"${have.getOrElse("<absent>")}, expected ${want.getOrElse("?")}")
+      case Some("assert-ref-snapshot-id") =>
+        val ref = jStr(req \ "ref").getOrElse("main")
+        if (ref != "main")
+          Some(s"unknown ref '$ref' — this catalog tracks branch 'main'")
+        else {
+          val want = jNum(req \ "snapshot-id") // absent = ref must not exist
+          val have = currentMeta.flatMap(m => jNum(m \ "current-snapshot-id"))
+          if (want == have) None
+          else Some(s"requirement failed: branch main is at snapshot " +
+            s"${have.getOrElse("<none>")}, expected ${want.getOrElse("<none>")}")
+        }
+      case Some(other) =>
+        Some(s"unsupported requirement type '$other' — supported: " +
+          "assert-create, assert-table-uuid, assert-ref-snapshot-id")
+      case None => Some("requirement with no 'type'")
+    }
+  }
 
   private def handle(ex: HttpExchange): Unit = {
     try {
@@ -93,17 +182,89 @@ class IcebergRestCatalogServer {
             "identifiers" -> ids)))
         case ("GET", Seq("v1", "namespaces", ns, "tables", t)) =>
           Option(tables.get((ns, t))) match {
-            case None => err(ex, 404, s"Table does not exist: $ns.$t")
-            case Some(loc) =>
-              TableFs.forPath(loc).readString(loc) match {
-                case None => err(ex, 500,
-                  s"metadata location unreadable: $loc")
-                case Some(body) =>
-                  respond(ex, 200, JsonMethods.compact(JsonMethods.render(
-                    ("metadata-location" -> loc) ~
-                      ("metadata" -> JsonMethods.parse(body)))))
-              }
+            case None => err(ex, 404, s"Table does not exist: $ns.$t",
+              "NoSuchTableException")
+            case Some(loc) => loadResult(loc) match {
+              case Left(msg) => err(ex, 500, msg)
+              case Right(body) => respond(ex, 200, body)
+            }
           }
+
+        // ---- write path: the catalog as commit authority ----
+        case ("POST", Seq("v1", "namespaces", ns, "register")) =>
+          val body = readBody(ex)
+          (jStr(body \ "name"), jStr(body \ "metadata-location")) match {
+            case (Some(t), Some(loc)) =>
+              loadResult(loc) match { // unreadable metadata never registers
+                case Left(msg) => err(ex, 400, msg)
+                case Right(resp) =>
+                  if (tables.putIfAbsent((ns, t), loc) != null)
+                    err(ex, 409, s"Table already exists: $ns.$t",
+                      "AlreadyExistsException")
+                  else respond(ex, 200, resp)
+              }
+            case _ => err(ex, 400,
+              "RegisterTableRequest needs 'name' and 'metadata-location'")
+          }
+
+        case ("POST", Seq("v1", "namespaces", ns, "tables", t)) =>
+          val body = readBody(ex)
+          val reqs = (body \ "requirements") match {
+            case org.json4s.JArray(rs) => rs
+            case org.json4s.JNothing => Nil
+            case _ => Nil
+          }
+          val updates = (body \ "updates") match {
+            case org.json4s.JArray(us) => us
+            case _ => Nil
+          }
+          val newLoc = updates.flatMap(u => jStr(u \ "action") match {
+            case Some("set-metadata-location") =>
+              jStr(u \ "metadata-location").map(Right(_)).orElse(
+                Some(Left("set-metadata-location with no 'metadata-location'")))
+            case Some(other) => Some(Left(
+              s"unsupported update action '$other' — this catalog commits " +
+                "by pointer swap: stage the new metadata.json and send " +
+                "{\"action\":\"set-metadata-location\",...}"))
+            case None => Some(Left("update with no 'action'"))
+          })
+          newLoc.collectFirst { case Left(m) => m } match {
+            case Some(bad) => err(ex, 400, bad)
+            case None => newLoc.collect { case Right(l) => l } match {
+              case Seq(loc) => commitLock.synchronized {
+                val current = Option(tables.get((ns, t)))
+                val creating = reqs.exists(r =>
+                  jStr(r \ "type").contains("assert-create"))
+                if (current.isEmpty && !creating)
+                  err(ex, 404, s"Table does not exist: $ns.$t — a first " +
+                    "commit must carry the assert-create requirement",
+                    "NoSuchTableException")
+                else reqs.iterator.map(checkRequirement(_, current))
+                  .collectFirst { case Some(m) => m } match {
+                  case Some(m) =>
+                    err(ex, 409, s"Commit failed for $ns.$t: $m",
+                      "CommitFailedException")
+                  case None => loadResult(loc) match {
+                    case Left(msg) => err(ex, 400, msg)
+                    case Right(resp) =>
+                      tables.put((ns, t), loc) // the arbitrated swap
+                      respond(ex, 200, resp)
+                  }
+                }
+              }
+              case Seq() => err(ex, 400,
+                "CommitTableRequest carried no set-metadata-location update")
+              case _ => err(ex, 400,
+                "multiple set-metadata-location updates in one commit")
+            }
+          }
+
+        case ("DELETE", Seq("v1", "namespaces", ns, "tables", t)) =>
+          if (tables.remove((ns, t)) != null) {
+            ex.sendResponseHeaders(204, -1); ex.close()
+          } else err(ex, 404, s"Table does not exist: $ns.$t",
+            "NoSuchTableException")
+
         case _ => err(ex, 404, "route not found")
       }
     } catch {
@@ -119,19 +280,33 @@ class IcebergRestCatalogServer {
   */
 object IcebergRestClient {
 
-  private def get(url: String): (Int, String) = {
+  /** The spec's CommitFailedException surfaced client-side: the commit
+    * lost the race (or asserted a stale snapshot) — rebase and retry.
+    */
+  class CommitFailedException(msg: String) extends RuntimeException(msg)
+
+  private def http(method: String, url: String,
+                   body: Option[String] = None): (Int, String) = {
     val conn = new java.net.URL(url).openConnection()
       .asInstanceOf[java.net.HttpURLConnection]
-    conn.setRequestMethod("GET")
+    conn.setRequestMethod(method)
     conn.setConnectTimeout(5000)
     conn.setReadTimeout(30000)
+    body.foreach { b =>
+      conn.setDoOutput(true)
+      conn.setRequestProperty("Content-Type", "application/json")
+      val os = conn.getOutputStream
+      try os.write(b.getBytes("UTF-8")) finally os.close()
+    }
     val status = conn.getResponseCode
     val is = if (status < 400) conn.getInputStream else conn.getErrorStream
-    val body =
+    val resp =
       if (is == null) ""
       else try new String(is.readAllBytes(), "UTF-8") finally is.close()
-    (status, body)
+    (status, resp)
   }
+
+  private def get(url: String): (Int, String) = http("GET", url)
 
   def listNamespaces(baseUrl: String): Seq[String] = {
     val (status, body) = get(s"$baseUrl/v1/namespaces")
@@ -168,6 +343,80 @@ object IcebergRestClient {
     require(status == 200, s"loadTable: HTTP $status $body")
     val md = JsonMethods.parse(body) \ "metadata"
     IcebergExport.readFromMetadata(spark, md, asOfSnapshotId)
+  }
+
+  /** RegisterTableRequest: create `ns.table` from an existing staged
+    * metadata.json. 409 (name taken) surfaces as
+    * [[CommitFailedException]] — the caller should commit instead.
+    */
+  def registerTable(baseUrl: String, ns: String, table: String,
+                    metadataLocation: String): Unit = {
+    val body = JsonMethods.compact(JsonMethods.render(
+      ("name" -> table) ~ ("metadata-location" -> metadataLocation)))
+    val (status, resp) =
+      http("POST", s"$baseUrl/v1/namespaces/${enc(ns)}/register", Some(body))
+    if (status == 409) throw new CommitFailedException(resp)
+    require(status == 200, s"registerTable: HTTP $status $resp")
+  }
+
+  /** CommitTableRequest through the catalog's arbitration: assert the
+    * expected current snapshot (None = the table must not exist yet →
+    * assert-create) and swap the pointer to the staged metadata
+    * document. Throws [[CommitFailedException]] on 409 — the caller
+    * lost the race and must re-export from the new current state.
+    */
+  def commitTable(baseUrl: String, ns: String, table: String,
+                  metadataLocation: String,
+                  expectedSnapshotId: Option[Long],
+                  tableUuid: Option[String] = None): Unit = {
+    import org.json4s.JsonDSL._
+    val reqs: List[org.json4s.JValue] = expectedSnapshotId match {
+      case None => List(("type" -> "assert-create"): org.json4s.JObject)
+      case Some(id) =>
+        (("type" -> "assert-ref-snapshot-id") ~ ("ref" -> "main") ~
+          ("snapshot-id" -> id)) ::
+          tableUuid.map(u =>
+            (("type" -> "assert-table-uuid") ~ ("uuid" -> u))
+              : org.json4s.JValue).toList
+    }
+    val body = JsonMethods.compact(JsonMethods.render(
+      ("requirements" -> org.json4s.JArray(reqs)) ~
+        ("updates" -> Seq(
+          ("action" -> "set-metadata-location") ~
+            ("metadata-location" -> metadataLocation)))))
+    val (status, resp) = http("POST",
+      s"$baseUrl/v1/namespaces/${enc(ns)}/tables/${enc(table)}", Some(body))
+    if (status == 409) throw new CommitFailedException(resp)
+    require(status == 200, s"commitTable: HTTP $status $resp")
+  }
+
+  /** The table's current metadata-location and current-snapshot-id as
+    * the catalog serves them — what a committer rebases against.
+    */
+  def tableState(baseUrl: String, ns: String,
+                 table: String): Option[(String, Option[Long])] = {
+    val (status, body) =
+      get(s"$baseUrl/v1/namespaces/${enc(ns)}/tables/${enc(table)}")
+    if (status == 404) None
+    else {
+      require(status == 200, s"tableState: HTTP $status $body")
+      val j = JsonMethods.parse(body)
+      val loc = (j \ "metadata-location").asInstanceOf[org.json4s.JString].s
+      val snap = (j \ "metadata" \ "current-snapshot-id") match {
+        case org.json4s.JInt(n) => Some(n.longValue)
+        case org.json4s.JLong(n) => Some(n)
+        case _ => None
+      }
+      Some((loc, snap))
+    }
+  }
+
+  def dropTable(baseUrl: String, ns: String, table: String): Boolean = {
+    val (status, resp) = http("DELETE",
+      s"$baseUrl/v1/namespaces/${enc(ns)}/tables/${enc(table)}")
+    if (status == 204) true
+    else if (status == 404) false
+    else throw new IllegalStateException(s"dropTable: HTTP $status $resp")
   }
 
   private def enc(s: String): String =

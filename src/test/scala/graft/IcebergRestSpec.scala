@@ -66,6 +66,116 @@ class IcebergRestSpec extends AnyFunSuite with SparkSpec {
     } finally server.stop()
   }
 
+  test("REST write path: register, arbitrated commit, 409 on a lost " +
+       "race, exactly one winner") {
+    val dir = Files.createTempDirectory("graft-rest-w").toString
+    val t = TieredTable(spark, s"$dir/w", pk = Seq("k"))
+    t.commitUpsert(Seq((1L, "a")).toDF("k", "v"))
+    val mloc1 = IcebergExport.export(t)
+
+    val server = new IcebergRestCatalogServer
+    try {
+      // table create over HTTP — the spec's register endpoint
+      IcebergRestClient.registerTable(server.url, "fluss", "w", mloc1)
+      assert(IcebergRestClient.listTables(server.url, "fluss") == Seq("w"))
+      // a second create of the same name is the spec's 409
+      val dup = intercept[IcebergRestClient.CommitFailedException](
+        IcebergRestClient.registerTable(server.url, "fluss", "w", mloc1))
+      assert(dup.getMessage.contains("AlreadyExists"))
+
+      // commit: new snapshot staged in storage, pointer swapped by the
+      // catalog only when the asserted current state still holds
+      t.commitUpsert(Seq((2L, "b")).toDF("k", "v"))
+      val mloc2 = IcebergExport.export(t)
+      val Some((_, Some(head1))) =
+        IcebergRestClient.tableState(server.url, "fluss", "w")
+      IcebergRestClient.commitTable(server.url, "fluss", "w", mloc2,
+        expectedSnapshotId = Some(head1))
+      val viaRest = IcebergRestClient
+        .loadTable(spark, server.url, "fluss", "w")
+        .orderBy("k").as[(Long, String)].collect().toSeq
+      assert(viaRest == Seq((1L, "a"), (2L, "b")))
+
+      // the LOSER of a race: asserting the old head now 409s — never
+      // a silent lost update
+      val stale = intercept[IcebergRestClient.CommitFailedException](
+        IcebergRestClient.commitTable(server.url, "fluss", "w", mloc1,
+          expectedSnapshotId = Some(head1)))
+      assert(stale.getMessage.contains("CommitFailed"))
+
+      // two committers racing the SAME expected state through the
+      // HTTP endpoint: exactly one 200, one 409
+      t.commitUpsert(Seq((3L, "c")).toDF("k", "v"))
+      val mloc3 = IcebergExport.export(t)
+      val Some((_, Some(head2))) =
+        IcebergRestClient.tableState(server.url, "fluss", "w")
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration._
+      val gate = new java.util.concurrent.CountDownLatch(1)
+      val racers = Seq(mloc3, mloc2).map(m => Future {
+        gate.await()
+        try { IcebergRestClient.commitTable(server.url, "fluss", "w", m,
+          expectedSnapshotId = Some(head2)); "win" }
+        catch { case _: IcebergRestClient.CommitFailedException => "lose" }
+      })
+      gate.countDown()
+      val results = racers.map(Await.result(_, 30.seconds)).toList
+      assert(results.sorted == List("lose", "win"), s"got $results")
+
+      // a commit with an unsupported update action is refused loudly
+      val (st, resp) = {
+        val conn = new java.net.URL(
+          s"${server.url}/v1/namespaces/fluss/tables/w").openConnection()
+          .asInstanceOf[java.net.HttpURLConnection]
+        conn.setRequestMethod("POST"); conn.setDoOutput(true)
+        val os = conn.getOutputStream
+        os.write("""{"requirements":[],"updates":[{"action":"add-snapshot"}]}"""
+          .getBytes("UTF-8")); os.close()
+        val code = conn.getResponseCode
+        val is = if (code < 400) conn.getInputStream else conn.getErrorStream
+        (code, new String(is.readAllBytes(), "UTF-8"))
+      }
+      assert(st == 400 && resp.contains("set-metadata-location"))
+
+      // first-commit path: a fresh name commits with assert-create
+      IcebergRestClient.commitTable(server.url, "fluss", "w2", mloc1,
+        expectedSnapshotId = None)
+      assert(IcebergRestClient.listTables(server.url, "fluss")
+        .contains("w2"))
+      // …but a commit against an ABSENT table without assert-create 404s
+      val e404 = intercept[IllegalArgumentException](
+        IcebergRestClient.commitTable(server.url, "fluss", "nope", mloc1,
+          expectedSnapshotId = Some(1L)))
+      assert(e404.getMessage.contains("404"))
+
+      // DELETE drops the entry
+      assert(IcebergRestClient.dropTable(server.url, "fluss", "w2"))
+      assert(!IcebergRestClient.dropTable(server.url, "fluss", "w2"))
+    } finally server.stop()
+  }
+
+  test("exportAndPublish: the tiering job proposes, the catalog " +
+       "arbitrates — reader sees the new snapshot only after the " +
+       "commit lands") {
+    val dir = Files.createTempDirectory("graft-rest-p").toString
+    val t = TieredTable(spark, s"$dir/p", pk = Seq("k"))
+    t.commitUpsert(Seq((1L, 10L)).toDF("k", "v"))
+    val server = new IcebergRestCatalogServer
+    try {
+      IcebergExport.exportAndPublish(t, server.url, "fluss", "p")
+      assert(IcebergRestClient.loadTable(spark, server.url, "fluss", "p")
+        .count() == 1)
+      t.commitUpsert(Seq((2L, 20L)).toDF("k", "v"))
+      // storage has the new snapshot; the CATALOG still serves the old
+      assert(IcebergRestClient.loadTable(spark, server.url, "fluss", "p")
+        .count() == 1, "uncommitted snapshot must stay invisible")
+      IcebergExport.exportAndPublish(t, server.url, "fluss", "p")
+      assert(IcebergRestClient.loadTable(spark, server.url, "fluss", "p")
+        .count() == 2)
+    } finally server.stop()
+  }
+
   test("a bucket-resident table serves through the catalog (the " +
        "Iceberg-on-MinIO shape)") {
     graft.storage.DemoObjectStore.withStore { fsUrl =>

@@ -175,12 +175,19 @@ def resolve(md):
                   if s["schema-id"] == snap["schema-id"])
     cols = [(f["name"], f["type"]) for f in schema["fields"]]
     id_to_name = {f["id"]: f["name"] for f in schema["fields"]}
-    spec_fields = [f["name"]
-                   for f in md["partition-specs"][0].get("fields", [])]
+    # partition field names are resolved per manifest via its
+    # partition-spec-id (falling back to the table's default-spec-id) —
+    # a table whose spec evolved has manifests pointing at DIFFERENT
+    # specs, and spec [0] is merely the oldest
+    specs_by_id = {s["spec-id"]: [f["name"] for f in s.get("fields", [])]
+                   for s in md.get("partition-specs", [])}
+    default_spec = specs_by_id.get(md.get("default-spec-id", 0), [])
 
     mf_list, _ = read_avro(_read_file(snap["manifest-list"]))
     data, deletes = [], []
     for mf in mf_list:
+        spec_fields = specs_by_id.get(mf.get("partition_spec_id"),
+                                      default_spec)
         entries, _ = read_avro(_read_file(mf["manifest_path"]))
         for e in entries:
             if e["status"] == 2:  # DELETED — left the table
@@ -221,7 +228,16 @@ def scan(md):
         return (f"SELECT {', '.join(sel)}, CAST({seq} AS BIGINT) AS __fseq "
                 f"FROM read_parquet('{path}')")
 
-    data_sql = " UNION ALL ".join(one_file(p, s, pt) for p, s, pt in data)
+    if data:
+        data_sql = " UNION ALL ".join(one_file(p, s, pt)
+                                      for p, s, pt in data)
+    else:
+        # a snapshot with zero live data files (freshly truncated /
+        # delete-everything) must scan as an EMPTY relation, not an
+        # invalid zero-branch UNION
+        empty = ", ".join(f"NULL AS \"{c}\"" for c in names)
+        data_sql = (f"SELECT {empty}, CAST(0 AS BIGINT) AS __fseq "
+                    "WHERE FALSE")
     con.execute(f"CREATE VIEW data AS {data_sql}")
 
     # v2 equality deletes: a delete at sequence s erases matching rows
