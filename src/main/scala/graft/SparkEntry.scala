@@ -56,6 +56,7 @@ object SparkEntry {
     "q23_iceberg_mor" -> (Lakehouse.q23IcebergMor _),
     "q24_iceberg_part_mor" -> (Lakehouse.q24IcebergPartMor _),
     "q25_insert_overwrite" -> (Lakehouse.q25InsertOverwrite _),
+    "q25b_partition_overwrite" -> (Lakehouse.q25bPartitionOverwrite _),
     // training-data pipeline: dedup / similarity / text analysis
     "d1_exact_dedup" -> (Pipeline.d1ExactDedup _),
     "d2_fingerprint" -> (Pipeline.d2Fingerprint _),
@@ -415,6 +416,18 @@ object SparkEntry {
     "q25_insert_overwrite" ->
       """SELECT COUNT(*) AS cnt, CAST(SUM(c_custkey) AS BIGINT) AS key_sum
         |FROM customer WHERE c_mktsegment = 'MACHINERY'""".stripMargin,
+    "q25b_partition_overwrite" ->
+      """WITH final AS (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice FROM orders
+        |  WHERE o_orderkey % 2 = 0 AND o_orderpriority <> '1-URGENT'
+        |  UNION ALL
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice FROM orders
+        |  WHERE o_orderkey % 2 = 1 AND o_orderpriority = '1-URGENT')
+        |SELECT o_orderpriority, COUNT(*) AS cnt,
+        |       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))) * 100 AS BIGINT)
+        |         AS price_cents
+        |FROM final GROUP BY o_orderpriority""".stripMargin,
     "q14_merge" ->
       """WITH base AS (
         |  SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY o_custkey),

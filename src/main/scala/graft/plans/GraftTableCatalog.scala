@@ -460,9 +460,24 @@ class TieredSqlTable(tableName: String, spark: SparkSession,
     * becomes its own child table and scans are concatenated by
     * [[org.apache.spark.sql.GraftCompositeScanBuilder]].
     */
+  /** Partition-discovery base of a union-path entry: a `col=value`
+    * SUBDIR entry (kept partition of a partition-scoped overwrite)
+    * anchors at its snapshot root so the bound partition columns still
+    * surface; a plain dir entry is its own base.
+    */
+  private def partBase(p: String): String = {
+    var b = p.stripSuffix("/")
+    def lastSeg = b.substring(b.lastIndexOf('/') + 1)
+    while (entry.partitionBy.exists(c => lastSeg.startsWith(c + "=")))
+      b = b.substring(0, b.lastIndexOf('/'))
+    b
+  }
+
   private lazy val partRoots = paths.map(p =>
-    ParquetTable(tableName, spark, readOpts, Seq(p), declared,
-      classOf[ParquetFileFormat]))
+    ParquetTable(tableName, spark,
+      new CaseInsensitiveStringMap(
+        (readOpts.asScala ++ Map("basePath" -> partBase(p))).asJava),
+      Seq(p), declared, classOf[ParquetFileFormat]))
 
   override def name(): String = tableName
 
@@ -485,11 +500,13 @@ class TieredSqlTable(tableName: String, spark: SparkSession,
 
   override def capabilities(): util.Set[TableCapability] =
     // TRUNCATE admits full-table `INSERT OVERWRITE` (Flink's batch
-    // overwrite verb); partition-scoped overwrite is deliberately NOT
-    // declared (OVERWRITE_BY_FILTER absent) so it refuses at analysis
-    // instead of silently truncating everything
+    // overwrite verb). OVERWRITE_BY_FILTER admits `INSERT OVERWRITE …
+    // PARTITION (col = v)` — but the write builder accepts ONLY
+    // partition-column equality filters binding a leading prefix of
+    // the spec; any other filter still refuses at analysis time
+    // rather than silently over- or under-truncating.
     Set(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
-      TableCapability.TRUNCATE).asJava
+      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER).asJava
 
   /** Partition spec + table properties power Spark's built-in
     * `SHOW CREATE TABLE` (reference README.md:116-122): the rendered
@@ -531,7 +548,7 @@ class TieredSqlTable(tableName: String, spark: SparkSession,
       val wrapped = paths.zip(partRoots).zipWithIndex.map {
         case ((root, tbl), i) =>
           val opts = new CaseInsensitiveStringMap(
-            (readOpts.asScala ++ Map("basePath" -> root)).asJava)
+            (readOpts.asScala ++ Map("basePath" -> partBase(root))).asJava)
           // per-root metric name: children record independently
           new org.apache.spark.sql.GraftSkippingScanBuilder(spark,
             s"$tableName#$i", Seq(root), schema(), opts,
@@ -570,15 +587,66 @@ class TieredSqlTable(tableName: String, spark: SparkSession,
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder
-      with org.apache.spark.sql.connector.write.SupportsTruncate {
+      with org.apache.spark.sql.connector.write.SupportsTruncate
+      with org.apache.spark.sql.connector.write.SupportsOverwrite {
       private var overwriteAll = false
+      private var partOverwrite = Option.empty[Seq[(String, String)]]
       override def truncate(): WriteBuilder = { overwriteAll = true; this }
+      override def overwrite(filters: Array[org.apache.spark.sql.sources.Filter])
+          : WriteBuilder = {
+        import org.apache.spark.sql.sources.{AlwaysTrue, EqualTo}
+        if (filters.isEmpty || filters.forall(_.isInstanceOf[AlwaysTrue])) {
+          overwriteAll = true; return this
+        }
+        // only partition-column equality survives analysis — a
+        // non-partition filter would need row-level deletion semantics
+        // this verb does not have, so it refuses loudly (r8 stance,
+        // now with the partition-scoped case actually admitted)
+        // Spark spells a static PARTITION (col = v) as EqualNullSafe
+        val eqs = filters.toSeq.map {
+          case EqualTo(a, v) if entry.partitionBy.contains(a) && v != null =>
+            a -> String.valueOf(v)
+          case org.apache.spark.sql.sources.EqualNullSafe(a, v)
+              if entry.partitionBy.contains(a) && v != null =>
+            a -> String.valueOf(v)
+          case f => throw new UnsupportedOperationException(
+            s"INSERT OVERWRITE of $tableName supports the full-table " +
+              "form and PARTITION (col = value) on partition columns " +
+              s"(${entry.partitionBy.mkString(", ")}); filter $f is " +
+              "neither — refusing rather than over- or under-truncating")
+        }
+        val byCol = eqs.toMap
+        require(byCol.size == eqs.size,
+          s"INSERT OVERWRITE of $tableName: duplicate partition column " +
+            "in the PARTITION clause")
+        val prefix = entry.partitionBy
+          .map(c => c -> byCol.get(c)).takeWhile(_._2.isDefined)
+          .map { case (c, v) => c -> v.get }
+        require(prefix.map(_._1).toSet == byCol.keySet,
+          s"INSERT OVERWRITE of $tableName: PARTITION must bind a " +
+            s"leading prefix of (${entry.partitionBy.mkString(", ")}) — " +
+            s"got (${byCol.keys.mkString(", ")})")
+        partOverwrite = Some(prefix)
+        this
+      }
       override def build(): V1Write = new V1Write {
         override def toInsertableRelation: InsertableRelation =
           new InsertableRelation {
             override def insert(data: org.apache.spark.sql.DataFrame,
                                 overwrite: Boolean): Unit = {
-              if (overwriteAll || overwrite) {
+              if (partOverwrite.isDefined) {
+                val batch =
+                  if (entry.pk.isEmpty) data
+                  else {
+                    import org.apache.spark.sql.functions.{col, monotonically_increasing_id}
+                    val seq = "__ow_seq"
+                    graft.operators.Upsert.latestByKey(
+                      data.withColumn(seq, monotonically_increasing_id()),
+                      entry.pk, Seq(col(seq).desc)).drop(seq)
+                  }
+                t.commitOverwritePartitions(batch, partOverwrite.get)
+              }
+              else if (overwriteAll || overwrite) {
                 // `INSERT OVERWRITE` — Flink's batch replace verb: the
                 // new content REPLACES the current snapshot wholesale.
                 // A PK sink first applies last-write-wins within the

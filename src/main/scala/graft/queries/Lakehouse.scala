@@ -671,4 +671,55 @@ object Lakehouse {
   def q25InsertOverwrite(spark: SparkSession, dir: String): DataFrame =
     demoOverwritten(spark, dir).readCold()
       .agg(count(lit(1)).as("cnt"), sum(col("c_custkey")).as("key_sum"))
+
+  /** Fixture for q25b: the PARTITIONED orders table (hive layout by
+    * `o_orderpriority`, the q12/q22 shape) with ONE partition
+    * backfilled through the SQL `INSERT OVERWRITE … PARTITION` verb:
+    * snapshot 1 holds the even-key orders, then the `1-URGENT`
+    * partition alone is replaced by the odd-key urgent orders. The
+    * kept partitions are subdir references into snapshot 1 (metadata
+    * surgery, never a rewrite) — so a read that loses a kept
+    * partition, resurrects the replaced one, or drops the partition
+    * column from subdir entries all hash-mismatch. Built once per sf
+    * dir; `latestSnapshotId < 2` doubles as the crash-safe marker.
+    */
+  def demoPartOverwritten(spark: SparkSession, dir: String): TieredTable = {
+    ensureCatalog(spark)
+    val safe = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val path = s"${sys.props("java.io.tmpdir")}/graft-tiered/v$FormatVersion/$safe/orders_pow"
+    val t = TieredTable(spark, path, partitionBy = Seq("o_orderpriority"))
+    if (t.latestSnapshotId < 2) {
+      val orders = Tables.load(spark, dir, "orders")
+      t.commitAppend(orders.filter(pmod(col("o_orderkey"), lit(2)) === 0))
+      graft.plans.TieredCatalog.register("bench", "orders_pow", path,
+        partitionBy = Seq("o_orderpriority"))
+      orders.createOrReplaceTempView("q25b_orders_src")
+      spark.sql(
+        """INSERT OVERWRITE graft.bench.orders_pow
+          |PARTITION (o_orderpriority = '1-URGENT')
+          |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+          |       o_orderdate
+          |FROM q25b_orders_src
+          |WHERE o_orderkey % 2 = 1 AND o_orderpriority = '1-URGENT'
+          |""".stripMargin)
+    }
+    t
+  }
+
+  /** Q25b — partition-scoped INSERT OVERWRITE (the daily-backfill
+    * verb): per-priority counts, key sums, and exact cents over the
+    * post-backfill state. The oracle recomputes the keep/replace split
+    * from the raw fixture, so both failure modes of the metadata
+    * surgery — a lost untouched partition and a resurrected replaced
+    * one — change the group totals and hash-mismatch.
+    */
+  def q25bPartitionOverwrite(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    demoPartOverwritten(spark, dir).readCold()
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("o_orderkey")).as("key_sum"),
+        (sum(col("o_totalprice").cast(DecimalType(15, 2))) * 100)
+          .cast("long").as("price_cents"))
+  }
 }

@@ -207,19 +207,15 @@ object IcebergExport {
     */
   private def partitionValuesOf(filePath: String, snapDir: String,
                                 partCols: Seq[String]): Seq[Option[String]] = {
-    // string-prefix relativize (scheme-safe): partFiles listings are
-    // generated under snapDir, so the dir string is a literal prefix
-    val rel =
-      if (filePath.startsWith(snapDir))
-        filePath.stripPrefix(snapDir).stripPrefix("/")
-      else { // local normalization fallback (relative spellings)
-        val d = Paths.get(snapDir).toAbsolutePath.normalize
-        d.relativize(Paths.get(filePath).toAbsolutePath.normalize).toString
-      }
-    val segs = rel.split("/").dropRight(1).toSeq
+    // parse from the FULL path's directory segments (innermost match
+    // wins): a snapshot-file entry may itself be a `col=value` subdir
+    // (partition-scoped overwrite keeps untouched partitions by
+    // reference), so the value segment can sit AT or ABOVE snapDir,
+    // not only under it
+    val segs = filePath.split("/").dropRight(1).toSeq
     partCols.map { c =>
       val pre = c + "="
-      val seg = segs.find(_.startsWith(pre)).getOrElse(
+      val seg = segs.reverse.find(_.startsWith(pre)).getOrElse(
         throw new IllegalStateException(
           s"partition segment $c=... missing in $filePath"))
       val raw = unescapePathName(seg.substring(pre.length))
@@ -373,8 +369,16 @@ object IcebergExport {
     if (table.partitionBy.isEmpty)
       session.read.option("mergeSchema", "true").parquet(files: _*)
     else
-      files.map(f => session.read.option("mergeSchema", "true").parquet(f))
-        .reduce(_.unionByName(_, allowMissingColumns = true))
+      // a `col=value` subdir entry anchors partition discovery at its
+      // snapshot root (basePath), same as TieredTable.readParquet
+      files.map { f =>
+        var base = f.stripSuffix("/")
+        def lastSeg = base.substring(base.lastIndexOf('/') + 1)
+        while (table.partitionBy.exists(c => lastSeg.startsWith(c + "=")))
+          base = base.substring(0, base.lastIndexOf('/'))
+        session.read.option("mergeSchema", "true")
+          .option("basePath", base).parquet(f)
+      }.reduce(_.unionByName(_, allowMissingColumns = true))
 
   /** One part file's manifest accounting: (path, rows, bytes,
     * per-column footer stats).

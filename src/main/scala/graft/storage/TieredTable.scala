@@ -692,6 +692,126 @@ class TieredTable(spark: SparkSession, rawTablePath: String,
     commitReplace(df, op = "overwrite", tag = tag)
   }
 
+  /** PARTITION-SCOPED overwrite — `INSERT OVERWRITE t PARTITION
+    * (p = v, …)`, the daily-backfill verb of every partitioned lake
+    * table (Flink/Iceberg users re-run one day without touching the
+    * rest). `partValues` must bind a LEADING PREFIX of `partitionBy`
+    * in declared order, by equality, non-null — anything else refuses
+    * loudly rather than over- or under-truncating.
+    *
+    * Scale shape: the untouched partitions are NEVER rewritten — the
+    * new snapshot's file list references the kept `col=value` subdirs
+    * of the previous snapshot's directories plus one new directory
+    * holding the replacement content (metadata surgery, exactly an
+    * Iceberg overwrite snapshot's keep/delete manifest split). Cost is
+    * O(new partition data + partition-dir listings), independent of
+    * table size. Older snapshots still reference their full
+    * directories, so history stays time-travelable until [[vacuum]]
+    * (whose liveness check is prefix-aware for exactly this reason).
+    *
+    * PK tables additionally require `partitionBy ⊆ pk` — the
+    * Flink-Iceberg upsert-sink rule: a key that could change
+    * partitions would make "replace this partition's keys" undefined.
+    */
+  def commitOverwritePartitions(df: DataFrame,
+                                partValues: Seq[(String, String)],
+                                tag: Option[String] = None): Snapshot =
+    withCommitLock {
+      require(partitionBy.nonEmpty,
+        s"$tablePath is not partitioned — partition-scoped INSERT " +
+          "OVERWRITE needs a PARTITIONED BY table")
+      require(partValues.nonEmpty, "no partition values to overwrite")
+      val cols = partValues.map(_._1)
+      require(cols == partitionBy.take(cols.length),
+        s"partition overwrite must bind a leading prefix of " +
+          s"(${partitionBy.mkString(", ")}) in declared order; got " +
+          s"(${cols.mkString(", ")})")
+      require(pk.isEmpty || partitionBy.forall(pk.contains),
+        s"partition-scoped overwrite of a PK table requires partition " +
+          s"columns to be part of the primary key (a key must never " +
+          s"change partitions); $tablePath has pk=(${pk.mkString(",")}) " +
+          s"partitionBy=(${partitionBy.mkString(",")})")
+      tag.flatMap(taggedSnapshot) match {
+        case Some(existing) => return existing
+        case None =>
+      }
+      val prev = currentSnapshot.getOrElse(throw new IllegalStateException(
+        s"no snapshot in $tablePath — nothing to partition-overwrite " +
+          "(use a plain append/overwrite to seed)"))
+      require(!logSegments.exists(_ > prev.tieredSeg),
+        s"table $tablePath has un-tiered hot log segments — they would " +
+          "resurface over the replaced partition; tier() first")
+
+      val id = latestSnapshotId + 1
+      val out = s"$dataDir/snap-${"%06d".format(id)}"
+      val batch =
+        if (pk.nonEmpty && mergeOnRead) df.withColumn(SeqCol, lit(id))
+        else df
+      writeData(batch, out)
+      // the written content must lie ENTIRELY inside the target
+      // partitions — a metadata check on the produced directory tree
+      // (never a data scan); violation deletes the staged dir and fails
+      partValues.foldLeft(Seq(out)) { case (dirs, (c, v)) =>
+        dirs.flatMap { d =>
+          val children = fs.listNames(d).filter(_.startsWith(c + "="))
+          val bad = children.filterNot(ch =>
+            TieredTable.unescapePathName(ch.drop(c.length + 1)) == v)
+          if (bad.nonEmpty) {
+            fs.deleteRecursively(out)
+            throw new IllegalArgumentException(
+              s"INSERT OVERWRITE PARTITION ($c=$v): the SELECT produced " +
+                s"rows outside the target partition (${bad.mkString(", ")})" +
+                " — staged write discarded")
+          }
+          children.map(ch => s"$d/$ch")
+        }
+      }
+      val keptDirs = prev.files.flatMap(keptOutsideTarget(_, partValues))
+      val rows = writtenRows(out)
+      val s = Snapshot(id, "overwrite-partition", rows, prev.tieredSeg,
+        keptDirs :+ out, System.currentTimeMillis(), tag.getOrElse(""))
+      commitManifest(s)
+      s
+    }
+
+  /** The partition binding a snapshot-file entry carries in its own
+    * path — trailing `col=value` segments added by earlier
+    * partition-scoped overwrites (a plain snapshot dir binds nothing).
+    */
+  private def partBinding(entry: String): Map[String, String] = {
+    val segs = entry.stripSuffix("/").split('/').filter(_.nonEmpty).toSeq
+    segs.reverse
+      .takeWhile(s => partitionBy.exists(c => s.startsWith(c + "=")))
+      .map { s =>
+        val c = partitionBy.find(c0 => s.startsWith(c0 + "=")).get
+        c -> TieredTable.unescapePathName(s.drop(c.length + 1))
+      }.toMap
+  }
+
+  /** The sub-entries of `entry` that survive an overwrite of
+    * `target` — the keep/delete split of the metadata surgery:
+    * disjoint entries survive whole, fully-covered entries vanish,
+    * partially-covered ones split one directory level at a time along
+    * the target prefix (recursion depth ≤ |target|).
+    */
+  private def keptOutsideTarget(entry: String,
+                                target: Seq[(String, String)]): Seq[String] = {
+    val bound = partBinding(entry)
+    if (target.exists { case (c, v) => bound.get(c).exists(_ != v) })
+      Seq(entry) // provably disjoint from the target — kept whole
+    else if (target.forall { case (c, v) => bound.get(c).contains(v) })
+      Seq.empty // fully inside the target — replaced
+    else {
+      val (c, v) = target.find { case (c0, _) => !bound.contains(c0) }.get
+      fs.listNames(entry).filter(_.startsWith(c + "=")).flatMap { ch =>
+        val full = s"$entry/$ch"
+        if (TieredTable.unescapePathName(ch.drop(c.length + 1)) == v)
+          keptOutsideTarget(full, target)
+        else Seq(full)
+      }
+    }
+  }
+
   /** Commit a snapshot whose file list REPLACES the previous one (full
     * rewrite), vs [[commitAppend]]'s accumulate.
     */
@@ -1104,10 +1224,19 @@ class TieredTable(spark: SparkSession, rawTablePath: String,
     val keepIds = (math.max(1L, latest - keepLast + 1) to latest)
     val kept = keepIds.flatMap(snapshot)
     if (kept.isEmpty) return 0
-    val referenced = kept.flatMap(_.files).toSet
+    val referenced = kept.flatMap(_.files).map(_.stripSuffix("/")).toSet
+    // prefix-aware liveness: a kept snapshot may reference a `col=value`
+    // SUBDIR of an old snapshot's directory (partition-scoped
+    // overwrite), so neither that directory nor anything under a
+    // referenced path may be deleted
+    def inUse(p0: String): Boolean = {
+      val p = p0.stripSuffix("/")
+      referenced.exists(r =>
+        r == p || r.startsWith(p + "/") || p.startsWith(r + "/"))
+    }
     var removed = 0
     (1L until keepIds.head).flatMap(snapshot).foreach { old =>
-      old.files.filterNot(referenced)
+      old.files.filterNot(inUse)
         .foreach { p => if (fs.deleteRecursively(p)) removed += 1 }
       meta.delete(manifestKey(old.id)); removed += 1
     }
@@ -1181,8 +1310,13 @@ class TieredTable(spark: SparkSession, rawTablePath: String,
     // recoverable delta to debris
     recoverChangeDeltas()
     val latest = latestSnapshotId
+    // a subdir entry (snap-N/col=value) keeps its whole snap-N dir
+    // live — take the snap-* segment, not the path's last segment
     val live = (1L to latest).flatMap(snapshot).flatMap(_.files)
-      .map(p => p.stripSuffix("/").split('/').last).toSet
+      .map { p =>
+        val segs = p.stripSuffix("/").split('/')
+        segs.find(_.startsWith("snap-")).getOrElse(segs.last)
+      }.toSet
     var removed = 0
     fs.listNames(dataDir)
       .filter(_.startsWith("snap-")).filterNot(live)
@@ -1379,8 +1513,25 @@ class TieredTable(spark: SparkSession, rawTablePath: String,
       // "conflicting directory structures". Filters push through the
       // union into every branch, so partition pruning still applies
       // per scan; the union is plan-width, not data movement.
-      files.map(f => spark.read.option("mergeSchema", "true").parquet(f))
+      // A `col=value` SUBDIR entry (partition-scoped overwrite keeps
+      // untouched partitions by reference) anchors discovery at its
+      // snapshot root via basePath, so the bound partition columns
+      // still surface as columns.
+      files.map(f => spark.read.option("mergeSchema", "true")
+          .option("basePath", partDiscoveryBase(f)).parquet(f))
         .reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  /** Partition-discovery base of a snapshot-file entry: the entry with
+    * its trailing `col=value` segments stripped (= the snapshot dir the
+    * subdir was kept from; a plain dir entry is its own base).
+    */
+  private def partDiscoveryBase(f: String): String = {
+    var b = f.stripSuffix("/")
+    def lastSeg = b.substring(b.lastIndexOf('/') + 1)
+    while (partitionBy.exists(c => lastSeg.startsWith(c + "=")))
+      b = b.substring(0, b.lastIndexOf('/'))
+    b
   }
 
   def readCold(): DataFrame = currentSnapshot match {
@@ -1721,6 +1872,28 @@ class TieredTable(spark: SparkSession, rawTablePath: String,
 }
 
 object TieredTable {
+
+  /** Hive path-name unescape (`%2F` → `/`), the inverse of the
+    * escaping Spark's partitioned writer applies to `col=value`
+    * directory names — partition-dir comparisons must happen in the
+    * UNescaped value domain.
+    */
+  private[storage] def unescapePathName(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length) {
+        val code =
+          try Integer.parseInt(s.substring(i + 1, i + 3), 16)
+          catch { case _: NumberFormatException => -1 }
+        if (code >= 0) { sb.append(code.toChar); i += 3 }
+        else { sb.append(c); i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
   def apply(spark: SparkSession, path: String, pk: Seq[String] = Nil,
             mergeOnRead: Boolean = false,
             partitionBy: Seq[String] = Nil,
