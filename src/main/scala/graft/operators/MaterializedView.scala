@@ -165,8 +165,27 @@ class MaterializedView(source: TieredTable, state: TieredTable,
   def startStream(checkpointDir: String,
                   intervalMs: Long = 1000L): org.apache.spark.sql.streaming.StreamingQuery = {
     import org.apache.spark.sql.streaming.Trigger
-    val schema = source.readCold().schema
-    source.readStreamChanges(schema)
+    // prefer the DSv2 change-feed source (`t$changes`,
+    // [[graft.plans.ChangeFeedTable]]): offsets are change-dir
+    // snapshot ids in Spark's checkpoint — no per-file source log —
+    // and the same spelling external consumers use. Falls back to the
+    // file-source feed for tables not registered in the catalog
+    // (pure-API usage); both deliver the identical op-tagged frame.
+    val spark = org.apache.spark.sql.SparkSession.active
+    val registered = graft.plans.TieredCatalog.listDatabases().iterator
+      .flatMap(db => graft.plans.TieredCatalog.listTables(db).iterator
+        .map(tb => (db, tb)))
+      .find { case (db, tb) =>
+        graft.plans.TieredCatalog.lookupLocal(db, tb)
+          .exists(_.path == source.tablePath) }
+    val feed = registered match {
+      case Some((db, tb))
+          if spark.conf.getOption("spark.sql.catalog.graft").isDefined =>
+        spark.readStream.table(s"graft.$db.`$tb$$changes`")
+      case _ =>
+        source.readStreamChanges(source.readCold().schema)
+    }
+    feed
       .writeStream
       .queryName("graft-mv-stream")
       .option("checkpointLocation", checkpointDir)

@@ -118,18 +118,22 @@ class GraftTableCatalog extends TableCatalog
       case n if n.endsWith("$files") => (n.stripSuffix("$files"), "files")
       case n if n.endsWith("$stats") => (n.stripSuffix("$stats"), "stats")
       case n if n.endsWith("$cold") => (n.stripSuffix("$cold"), "cold")
+      case n if n.endsWith("$changes") => (n.stripSuffix("$changes"), "changes")
       case n if n.endsWith("__snapshots") =>
         (n.stripSuffix("__snapshots"), "snapshots")
       case n if n.endsWith("__files") => (n.stripSuffix("__files"), "files")
       case n if n.endsWith("__stats") => (n.stripSuffix("__stats"), "stats")
       case n if n.endsWith("__cold") => (n.stripSuffix("__cold"), "cold")
+      case n if n.endsWith("__changes") =>
+        (n.stripSuffix("__changes"), "changes")
       case VersionSuffix(n, v) => (n, s"v$v") // time travel: VERSION AS OF
       case n => (n, "union")
     }
     val e = TieredCatalog.lookup(db, base)
       .getOrElse(throw new NoSuchTableException(
         Seq(catName, db, ident.name)))
-    require(!e.mergeOnRead || mode == "snapshots" || mode == "files",
+    require(!e.mergeOnRead || mode == "snapshots" || mode == "files" ||
+        mode == "changes",
       s"merge-on-read PK table $db.$base is not SQL-addressable; use the API")
     val t = TieredTable(spark, e.path, e.pk, e.mergeOnRead, e.partitionBy,
       e.bloomCols, changeDataFeed = e.changeDataFeed)
@@ -166,6 +170,13 @@ class GraftTableCatalog extends TableCatalog
           }
         }
         new StatsTable(ident.toString, rows)
+      case "changes" =>
+        require(e.changeDataFeed,
+          s"$db.$base was not created with change-data-feed — " +
+            "TBLPROPERTIES ('change-data-feed'='true')")
+        new ChangeFeedTable(ident.toString, spark, t,
+          StructType(new TieredSqlTable(s"$db.$base", spark, t, e).schema()
+            .filterNot(_.name == t.SeqCol)))
       case "cold" =>
         parquet(spark, ident.toString, t.coldFiles)
       case v if v.startsWith("v") =>

@@ -400,6 +400,24 @@ class TieredTable(spark: SparkSession, rawTablePath: String,
     }
   }
 
+  /** Committed change-file directory ids, ascending — the offset
+    * domain of the DSv2 change-feed stream
+    * ([[graft.plans.ChangeFeedTable]]). Finishes any interrupted
+    * publication first, same as [[readStreamChanges]], so a consumer
+    * never observes a half-published delta.
+    */
+  def committedChangeIds(): Seq[Long] = {
+    require(changeDataFeed,
+      s"table $tablePath was not created with changeDataFeed = true")
+    withCommitLock(recoverChangeDeltas())
+    fs.listNames(changesDir).filter(_.startsWith("snap-"))
+      .map(_.stripPrefix("snap-").toLong).sorted
+  }
+
+  /** Path of one committed change directory. */
+  def changeDirPath(id: Long): String =
+    s"$changesDir/snap-${"%06d".format(id)}"
+
   /** The change feed as an unbounded Structured Streaming source:
     * Spark's file source over the committed change files. `schema` is
     * the TABLE schema; the feed adds the `op` column. Consumers running
