@@ -109,6 +109,7 @@ object SparkEntry {
     "t12_normalize"  -> (Pipeline.t12Normalize _),
     "m1_media_features" -> (Pipeline.m1MediaFeatures _),
     "m2_frame_sample"   -> (Pipeline.m2FrameSample _),
+    "m2b_gif_frames"    -> (Pipeline.m2bGifFrames _),
     "m3_resize"         -> (Pipeline.m3Resize _),
     "m4_media_dedup"    -> (Pipeline.m4MediaDedup _),
     "m5_image_decode_real" -> (Pipeline.m5RealImageDecode _),

@@ -754,6 +754,23 @@ object Pipeline {
       .select(col("media_id"), col("width"), col("height"),
         round(col("brightness"), 4).as("brightness"), col("phash"))
 
+  /** M2b — REAL animated-GIF frame sampling end-to-end: genuine
+    * multi-frame GIFs (2–6 frames, JDK sequence-written) decoded
+    * frame-by-frame by the production `javax.imageio` GIF reader;
+    * every 2nd frame is kept and perceptually hashed. The metadata
+    * frame-sample (m2) stays oracle-checked; this is the decode leg
+    * made real for one container format. Rows-only driver check (no
+    * SQL oracle can decode a GIF); bit-exactness spec-pinned in
+    * MultimodalSpec against independently re-encoded frames.
+    */
+  def m2bGifFrames(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.decodeGifFrames(
+        Multimodal.synthesizeGifPayloads(docs(spark, dir), "doc_id"),
+        step = 2)
+      .toDF()
+      .select(col("media_id"), col("n_frames"), col("frame_idx"),
+        col("width"), col("height"), col("phash"))
+
   /** M6 — REAL audio decode end-to-end: genuine RIFF/WAVE payloads
     * (16-bit mono sines, id-derived frequency/amplitude) decoded by
     * the production `javax.sound.sampled` path. Rows-only driver

@@ -238,6 +238,51 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(math.abs(a6.rms - 0.8 / math.sqrt(2)) < 0.02, a6)
   }
 
+  test("decodeGifFrames: real multi-frame GIF decode — frame count, " +
+       "stride, per-frame phash equals the pre-encode raster's") {
+    // a 4-frame animation, sampled at stride 2 → frames 0 and 2
+    val gif = Multimodal.encodeGif(2L) // floorMod(2,5)+2 = 4 frames
+    val got = Multimodal.decodeGifFrames(
+        Seq((2L, gif)).toDF("media_id", "payload"), step = 2)
+      .collect().sortBy(_.frame_idx)
+    assert(got.map(_.frame_idx).toSeq == Seq(0, 2), got.toSeq)
+    assert(got.forall(f => f.n_frames == 4 && f.width == 24 && f.height == 16))
+    // each sampled frame's phash equals the phash of the SAME raster
+    // independently encoded as a standalone PNG — proves the GIF path
+    // decodes the right frame bit-for-bit (grays survive the palette)
+    got.foreach { f =>
+      val img = Multimodal.gifFrameImage(2L, f.frame_idx)
+      val png = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", png)
+      val still = Multimodal.imageFeatures(0L, png.toByteArray).get
+      assert(still.phash == f.phash,
+        s"frame ${f.frame_idx}: GIF phash ${f.phash} != still ${still.phash}")
+    }
+    // frames differ from each other (the animation actually animates)
+    assert(got.map(_.phash).distinct.length == got.length)
+    // stride 1 yields every frame
+    assert(Multimodal.decodeGifFrames(
+      Seq((2L, gif)).toDF("media_id", "payload"), step = 1).count() == 4)
+  }
+
+  test("decodeGifFrames quarantines undecodable payloads; synthesized " +
+       "GIFs all decode — the m2b query substrate") {
+    val junk = Array.tabulate[Byte](64)(i => (i * 11).toByte)
+    val mixed = Multimodal.decodeGifFrames(
+        Seq((1L, Multimodal.encodeGif(1L)), (2L, junk),
+          (3L, Array.empty[Byte])).toDF("media_id", "payload"), step = 1)
+      .collect()
+    assert(mixed.map(_.media_id).distinct.toSeq == Seq(1L),
+      "only the decodable GIF survives; junk drops, no task crash")
+    val ids = Seq(0L, 1L, 4L, 250L, 251L).toDF("id")
+    val frames = Multimodal.decodeGifFrames(
+      Multimodal.synthesizeGifPayloads(ids, "id"), step = 2).collect()
+    // floorMod(id,5)+2 frames each, stride 2 → ceil(n/2) rows
+    val expect = Seq(0L, 1L, 4L, 250L, 251L)
+      .map(id => (math.floorMod(id, 5L) + 2 + 1) / 2).sum
+    assert(frames.length == expect, s"${frames.length} != $expect")
+  }
+
   test("decodeAudioFeatures quarantines undecodable payloads instead of crashing") {
     val good = encodeAudio(Array.fill(100)(0.1))
     val junk = Array.tabulate[Byte](64)(i => (i * 13).toByte)
