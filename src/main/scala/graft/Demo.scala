@@ -357,6 +357,112 @@ object Demo {
       } finally TieredCatalog.warehouse = prevWh
     }
 
+    // 19c. FULL-vocabulary incremental view maintenance (q18b's
+    //      machinery): SUM/COUNT plus MIN/MAX/AVG carried across a
+    //      changelog with retractions — the dirty-group repair
+    //      re-aggregates ONLY the groups whose bound a retraction
+    //      touched
+    {
+      import graft.operators.IncrementalAgg
+      val fvSrc = graft.storage.TieredTable(spark, s"$base/tables/fv_src",
+        pk = Seq("id"))
+      fvSrc.commitUpsert(Seq((1L, "a", 10L), (2L, "a", 99L), (3L, "b", 5L))
+        .toDF("id", "grp", "v"))
+      val spec = IncrementalAgg.AggSpec(
+        sums = Seq("v" -> "sum_v"), cntCol = "n",
+        mins = Seq("v" -> "min_v"), maxs = Seq("v" -> "max_v"),
+        avgs = Seq("v" -> "avg_v"))
+      val st1 = IncrementalAgg.rebuildFull(
+        fvSrc.readColdAsOf(1L).select($"grp", $"v"), Seq("grp"), spec)
+      // delete the current max of group a — NOT self-maintainable
+      fvSrc.deleteWhere($"id" === 2L)
+      val delta = fvSrc.incrementalRead(1L, 2L, Seq("id"))
+        .select($"grp", $"v", $"op")
+      val st2 = IncrementalAgg.applyDeltaFull(st1, delta, Seq("grp"), spec,
+        fvSrc.readColdAsOf(2L).select($"grp", $"v"))
+      val aRow = st2.filter($"grp" === "a")
+        .select("sum_v", "n", "min_v", "max_v").as[(Long, Long, Long, Long)]
+        .head()
+      say(s"[demo] full-vocab incremental MV after deleting group a's " +
+        s"max: sum/n/min/max = $aRow (the stale-bound bug would still " +
+        "say max=99)")
+    }
+
+    // 19d. partition-scoped INSERT OVERWRITE — the daily-backfill verb:
+    //      one partition replaced by metadata surgery, untouched
+    //      partitions kept by subdir reference, history time-travelable
+    {
+      val powDir = s"$base/tables/pow_events"
+      spark.sql("DROP TABLE IF EXISTS graft.fluss.pow_events")
+      spark.sql(s"""CREATE TABLE graft.fluss.pow_events
+        |(id BIGINT, day STRING, v BIGINT)
+        |PARTITIONED BY (day) TBLPROPERTIES ('path'='$powDir')""".stripMargin)
+      spark.sql("INSERT INTO graft.fluss.pow_events VALUES " +
+        "(1, 'd0', 10), (2, 'd1', 20), (3, 'd2', 30)")
+      spark.sql("CALL graft.system.tier('fluss.pow_events')")
+      spark.sql("INSERT OVERWRITE graft.fluss.pow_events " +
+        "PARTITION (day = 'd1') SELECT 9L, 99L")
+      val powNow = spark.sql(
+        "SELECT id, day FROM graft.fluss.pow_events ORDER BY id")
+        .collect().map(r => s"${r.getLong(0)}@${r.getString(1)}")
+        .mkString(", ")
+      val powWas = spark.sql(
+        "SELECT COUNT(*) FROM graft.fluss.pow_events VERSION AS OF 1")
+        .head().getLong(0)
+      say(s"[demo] INSERT OVERWRITE PARTITION (day='d1'): now [$powNow]; " +
+        s"snapshot 1 still reads $powWas rows")
+      spark.sql("DROP TABLE graft.fluss.pow_events")
+    }
+
+    // 19e. the REST catalog as COMMIT AUTHORITY: the export job
+    //      proposes, the catalog arbitrates — a stale-state commit
+    //      409s instead of silently winning
+    {
+      val rc = new graft.storage.IcebergRestCatalogServer
+      try {
+        val arbT = graft.storage.TieredTable(spark, s"$base/tables/arb",
+          pk = Seq("k"))
+        arbT.commitUpsert(Seq((1L, "x")).toDF("k", "v"))
+        val loc1 = graft.storage.IcebergExport
+          .exportAndPublish(arbT, rc.url, "fluss", "arb")
+        arbT.commitUpsert(Seq((2L, "y")).toDF("k", "v"))
+        graft.storage.IcebergExport.exportAndPublish(arbT, rc.url, "fluss", "arb")
+        val lost =
+          try { graft.storage.IcebergRestClient.commitTable(rc.url, "fluss",
+            "arb", loc1, expectedSnapshotId = Some(1L)); "accepted?!" }
+          catch { case _: graft.storage.IcebergRestClient.CommitFailedException =>
+            "409 CommitFailed" }
+        val arbRows = graft.storage.IcebergRestClient
+          .loadTable(spark, rc.url, "fluss", "arb").count()
+        say(s"[demo] REST commit arbitration: 2 commits published, " +
+          s"catalog serves $arbRows rows; a stale committer got $lost")
+      } finally rc.stop()
+    }
+
+    // 19f. the DSv2 change-feed source: the Delta/Iceberg spelling —
+    //      readStream.table on t$changes with offsets in the checkpoint
+    {
+      val cfDir = s"$base/tables/cf_demo"
+      val cfT = graft.storage.TieredTable(spark, cfDir,
+        changeDataFeed = true)
+      TieredCatalog.register("fluss", "cf_demo", cfDir,
+        changeDataFeed = true)
+      cfT.commitAppend(Seq((1L, "a")).toDF("id", "v"))
+      val seen = new java.util.concurrent.atomic.AtomicLong(0)
+      val cq = spark.readStream.table("graft.fluss.`cf_demo$changes`")
+        .writeStream.option("checkpointLocation", s"$base/ckpt/cf-demo")
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          seen.addAndGet(b.count()); (): Unit }
+        .start()
+      try {
+        cq.processAllAvailable()
+        cfT.commitAppend(Seq((2L, "b")).toDF("id", "v"))
+        cq.processAllAvailable()
+      } finally cq.stop()
+      say(s"[demo] readStream.table(cf_demo$$changes): ${seen.get()} " +
+        "change rows via snapshot-id offsets in the Spark checkpoint")
+    }
+
     // 20. THE REFERENCE SCRIPT, VERBATIM: the faker-source DDL
     //     (sql-client.sql) and the README walkthrough run unchanged
     //     through the Flink-dialect SQL surface — faker connector,

@@ -160,8 +160,31 @@ object Stress {
     val q17Json = s""""q17_bloom_${copies}x":{"files_kept":$bKept,""" +
       s""""files_total":$bTotal,"plan_sec":$bloomPlanSec,"rows":$bloomRows}"""
 
+    // Iceberg-export latency curve: a table accumulating snapshots,
+    // export re-run after EVERY commit (the tiering service's cadence,
+    // `icebergExport = true`). The r8 incremental-export work claims
+    // O(Δ) per call — existing snapshots' manifests are reused
+    // byte-for-byte, only the new snapshot's manifest is built — so
+    // per-export wall time must stay FLAT as history deepens. The
+    // spec pins footer-open counts; this prints the measured curve
+    // (SCALING.md's number): export seconds at a 1/10/30/60-snapshot
+    // history over a fixed-size delta.
+    val te = new graft.storage.TieredTable(spark, s"$skipDir/orders_export")
+    val expDelta = orders.limit(2000).coalesce(1).localCheckpoint(true)
+    val expCheck = Set(1, 10, 30, 60)
+    val expTimes = (1 to 60).flatMap { i =>
+      te.commitAppend(expDelta.withColumn("o_orderkey",
+        col("o_orderkey") + lit(i * 1000000000L)))
+      val t0 = System.nanoTime()
+      graft.storage.IcebergExport.export(te)
+      val sec = (System.nanoTime() - t0) / 1e9
+      if (expCheck(i)) Some(i -> sec) else None
+    }
+    val expJson = s""""iceberg_export_curve":{""" + expTimes.map {
+      case (i, s) => s""""snapshots_$i":$s""" }.mkString(",") + "}"
+
     println(s"""{"metric":"stress","docs":${n * copies},"copies":$copies,""" +
-      s""""results":$qs,$q13Json,$q16Json,$q17Json}""")
+      s""""results":$qs,$q13Json,$q16Json,$q17Json,$expJson}""")
     spark.stop()
   }
 }

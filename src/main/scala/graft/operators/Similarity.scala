@@ -226,32 +226,61 @@ object Similarity {
                       tables: Int = 8, dim: Int = 64): DataFrame = {
     val p = if (planes > 0) planes else planesFor(sizeForPlanes(df))
     val sig = lshBuckets(df, idCol, vecCol, p, tables, dim)
-    sig.select(col("id").as("a_id"), col("v").as("va"), col("nrm").as("na"), col("bucket"))
-      .join(sig.select(col("id").as("b_id"), col("v").as("vb"), col("nrm").as("nb"), col("bucket")),
-        Seq("bucket"))
-      .filter(col("a_id") < col("b_id"))
+    firstCollisionOnly(
+      sig.select(col("id").as("a_id"), col("v").as("va"), col("nrm").as("na"),
+          col("bucket"), col("tbl"), col("bks").as("a_bks"))
+        .join(sig.select(col("id").as("b_id"), col("v").as("vb"),
+            col("nrm").as("nb"), col("bucket"), col("bks").as("b_bks")),
+          Seq("bucket"))
+        .filter(col("a_id") < col("b_id")), tables)
       .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .filter(col("cos") >= threshold)
-      .select(col("a_id"), col("b_id")).distinct()
+      .select(col("a_id"), col("b_id"))
   }
 
-  /** (id, v, nrm, bucket) with one row per (vector, hash table) — the
-    * shared signature step of the sign-LSH family.
+  /** Keep each candidate pair ONLY in its first colliding hash table:
+    * the joined row at table `tbl` survives iff no earlier table also
+    * bucketed the pair together. The check is a FLAT boolean over the
+    * per-row long signature arrays both sides already carry — a static
+    * OR of `tables-1` integer comparisons, fully inside whole-stage
+    * codegen, zero per-row allocation (the higher-order
+    * `exists(zip_with(slice…))` spelling measured ~0.5 s slower on
+    * the dense-bucket s2 corpus). This makes the candidate set
+    * EXACTLY the distinct pairs, so the final `.distinct()` — a full
+    * extra exchange of the surviving pairs (r8 verdict #4's s13
+    * finding) — disappears, and duplicate cosine evaluations with it.
+    */
+  private def firstCollisionOnly(joined: DataFrame, tables: Int): DataFrame =
+    if (tables <= 1) joined
+    else joined.filter(!(0 until tables - 1).map { t =>
+      (col("tbl") > t) &&
+        (element_at(col("a_bks"), t + 1) === element_at(col("b_bks"), t + 1))
+    }.reduce(_ || _))
+
+  /** (id, v, nrm, bucket, tbl, bks) with one row per (vector, hash
+    * table) — the shared signature step of the sign-LSH family. `bks`
+    * carries the row's full signature as an array of per-table bit
+    * LONGS and `tbl` the 0-based table index of the exploded `bucket`
+    * (the "t:bits" join key), so a downstream pair join can dedup
+    * candidates map-side with integer compares
+    * ([[firstCollisionOnly]]).
     */
   private def lshBuckets(df: DataFrame, idCol: String, vecCol: String,
                          planes: Int, tables: Int, dim: Int): DataFrame = {
     val v = Scale.widen(df.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v")))
       .withColumn("nrm", l2norm(col("v")))
-    val bucketCols = (0 until tables).map { t =>
-      val bits = (0 until planes).map { p =>
+    val bitsCols = (0 until tables).map { t =>
+      (0 until planes).map { p =>
         val seed = t * planes + p
         val signs = typedLit((0 until dim).map(planeSign(seed, _)))
         val proj = dot(col("v"), signs)
         when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
       }.reduce((a, b) => a + b)
-      concat_ws(":", lit(t.toString), bits)
     }
-    v.withColumn("bucket", explode(array(bucketCols: _*)))
+    v.withColumn("bks", array(bitsCols: _*))
+      .withColumn("tbl", explode(array((0 until tables).map(lit): _*)))
+      .withColumn("bucket",
+        concat_ws(":", col("tbl"), element_at(col("bks"), col("tbl") + 1)))
   }
 
   /** CROSS-CORPUS sign-LSH similarity join: pairs (a_id, b_id) with
@@ -273,12 +302,15 @@ object Similarity {
             else planesFor(sizeForPlanes(a) + sizeForPlanes(b))
     val sa = lshBuckets(a, idCol, vecCol, p, tables, dim)
     val sb = lshBuckets(b, idCol, vecCol, p, tables, dim)
-    sa.select(col("id").as("a_id"), col("v").as("va"), col("nrm").as("na"), col("bucket"))
-      .join(sb.select(col("id").as("b_id"), col("v").as("vb"), col("nrm").as("nb"), col("bucket")),
-        Seq("bucket"))
+    firstCollisionOnly(
+      sa.select(col("id").as("a_id"), col("v").as("va"), col("nrm").as("na"),
+          col("bucket"), col("tbl"), col("bks").as("a_bks"))
+        .join(sb.select(col("id").as("b_id"), col("v").as("vb"),
+            col("nrm").as("nb"), col("bucket"), col("bks").as("b_bks")),
+          Seq("bucket")), tables)
       .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .filter(col("cos") >= threshold)
-      .select(col("a_id"), col("b_id")).distinct()
+      .select(col("a_id"), col("b_id"))
   }
 
   /** IVF (inverted-file) approximate top-k: the corpus is coarse-

@@ -107,6 +107,33 @@ class RelationalPlanSpec extends AnyFunSuite with SparkSpec {
         "reducing the fact to order grain first")
   }
 
+  test("p17/p22: the fact join is scanned exactly once (r8 #2/#3: " +
+       "the correlated-min and EXISTS shapes re-evaluated it)") {
+    // count physical scans of the lineitem fixture: the window-min
+    // rewrite (p17) and the per-(order,supplier) grain + window
+    // counts (p22) must each read the fact ONCE — the subquery /
+    // distinct-probe shapes planned TWO full evaluations of the
+    // 3-way / 2-way fact join, pure waste at 100×
+    def lineitemScans(df: org.apache.spark.sql.DataFrame): Int =
+      planOf(df).linesIterator.count(l =>
+        l.contains("FileScan parquet") && l.contains("lineitem"))
+    assert(lineitemScans(Relational.p17MinCostSupplier(spark, dir)) == 1,
+      "p17 must scan lineitem exactly once (window-min, not a " +
+        "decorrelated re-evaluation)")
+    assert(lineitemScans(Relational.p22WaitingSuppliers(spark, dir)) == 1,
+      "p22 must scan lineitem exactly once (grain agg + window, not " +
+        "an aggregate plus a distinct probe)")
+    // and the windows the rewrites introduced are keyed (never global)
+    Seq(Relational.p17MinCostSupplier(spark, dir),
+        Relational.p22WaitingSuppliers(spark, dir)).foreach { df =>
+      import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+      df.queryExecution.optimizedPlan.foreach {
+        case w: LWindow => assert(w.partitionSpec.nonEmpty)
+        case _ =>
+      }
+    }
+  }
+
   test("k3: the bucketed join never hash-repartitions either side") {
     val plan = planOf(Relational.k3BucketedJoin(spark, dir))
     // the property that matters at 100 TB: no Exchange hashpartitioning

@@ -56,6 +56,44 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("plane sizing is metadata-only: building an LSH pair query " +
+       "over parquet triggers NO Spark job before its own action") {
+    // r8 verdict #4: the old df.count() sizing ran two full scans
+    // before the pair query even started — at 100 TB, pure waste.
+    // The estimate now comes from parquet footers/CBO driver-side.
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          s: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val pairs = Similarity.lshNearDupPairs(emb, "vec_id", "embedding",
+        threshold = 0.4)
+      val cross = Similarity.lshCrossPairs(
+        emb.filter(org.apache.spark.sql.functions.col("vec_id") < 100),
+        emb.filter(org.apache.spark.sql.functions.col("vec_id") >= 100),
+        "vec_id", "embedding", threshold = 0.4)
+      Thread.sleep(500) // listener events are async; drain
+      assert(jobs.get() == 0,
+        s"building the pair queries ran ${jobs.get()} eager job(s)")
+      // …and the queries themselves still work (the estimate fed a
+      // sane geometry)
+      assert(pairs.count() >= 0 && cross.count() >= 0)
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("footer row estimate matches the exact count on a parquet table") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    assert(graft.storage.FileStats.estimatedRows(emb).contains(emb.count()),
+      "an unfiltered single-table scan's footer estimate is EXACT")
+    // filters are deliberately ignored — the estimate upper-bounds
+    val half = emb.filter(org.apache.spark.sql.functions.col("vec_id") < 10)
+    assert(graft.storage.FileStats.estimatedRows(half).exists(_ >= 10))
+  }
+
   test("derived-geometry LSH still finds planted near-dups on a skew-heavy corpus") {
     // 200 vectors: 100 near-identical clones of one direction (the skew
     // cluster — real near-dups that MUST collide) + 100 spread across
