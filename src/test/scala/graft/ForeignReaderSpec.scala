@@ -93,6 +93,42 @@ class ForeignReaderSpec extends AnyFunSuite with SparkSpec {
     } finally server.stop()
   }
 
+  test("the foreign engine sees a new snapshot ONLY after its HTTP " +
+       "commit lands — the arbitration made observable from outside") {
+    assume(pythonOk, "driver-side python3+duckdb unavailable")
+    val dir = Files.createTempDirectory("graft-foreign-commit").toString
+    val t = TieredTable(spark, s"$dir/w", pk = Seq("k"))
+    t.commitUpsert(Seq((1L, 10L)).toDF("k", "v"))
+    val server = new graft.storage.IcebergRestCatalogServer
+    try {
+      graft.storage.IcebergExport
+        .exportAndPublish(t, server.url, "fluss", "w")
+      val before = runReader(Seq("--rest", server.url, "fluss", "w",
+        "--compare", dump(t.readCold(), s"$dir/exp1")))
+      assert(before("rows") == 1 && before("match") == true)
+
+      // a new engine commit + STAGED export: storage has snapshot 2,
+      // the catalog still points at snapshot 1 — the foreign reader
+      // must keep seeing the OLD state
+      t.commitUpsert(Seq((2L, 20L)).toDF("k", "v"))
+      val staged = graft.storage.IcebergExport.export(t)
+      val stale = runReader(Seq("--rest", server.url, "fluss", "w",
+        "--compare", s"$dir/exp1/*.parquet"))
+      assert(stale("rows") == 1 && stale("match") == true,
+        s"staged-but-uncommitted snapshot must stay invisible: $stale")
+
+      // the HTTP commit (with its snapshot assertion) swaps the
+      // pointer — NOW the foreign reader sees both rows
+      val Some((_, Some(head))) = graft.storage.IcebergRestClient
+        .tableState(server.url, "fluss", "w")
+      graft.storage.IcebergRestClient.commitTable(server.url, "fluss",
+        "w", staged, expectedSnapshotId = Some(head))
+      val after = runReader(Seq("--rest", server.url, "fluss", "w",
+        "--compare", dump(t.readCold(), s"$dir/exp2")))
+      assert(after("rows") == 2 && after("match") == true, after.toString)
+    } finally server.stop()
+  }
+
   test("partitioned merge-on-read: partition constants + scoped deletes") {
     assume(pythonOk, "driver-side python3+duckdb unavailable")
     val dir = Files.createTempDirectory("graft-foreign-pmor").toString
