@@ -122,6 +122,44 @@ class FlinkDialectSpec extends AnyFunSuite with SparkSpec {
       "o.event_ts AS c ON o.id = c.id"
     assert(TemporalJoinParser.rewrite(ev) == ev)
     spark.sql("DROP TABLE graft.fd.lake_t")
+    // DROP TABLE unregisters the declaration: the same AS OF x.pt no
+    // longer collapses — once `lake_t` is gone there is no live table
+    // for which `pt` means processing time (r8 advice: the old
+    // process-global set silently snapshot-joined event-time columns
+    // of unrelated tables forever)
+    assert(!FlinkDialect.isProctime("pt"),
+      "DROP TABLE must unregister its proctime columns")
+    assert(TemporalJoinParser.rewrite(sqlText) == sqlText,
+      "after DROP, the clause must survive and fail loudly downstream")
+  }
+
+  test("AS OF qualifier resolution: a table that declares its OWN " +
+       "proctime is a provable non-match for other attributes") {
+    FlinkDialect.registerProctime("dims", "ts")
+    FlinkDialect.registerProctime("orders", "otime")
+    try {
+      // o binds `orders`, which declares otime (not ts) as proctime —
+      // `o.ts` is provably NOT a processing-time attribute of orders
+      // even though `dims` declares a ts proctime: the clause survives
+      val ev = "SELECT * FROM orders o LEFT JOIN dims FOR SYSTEM_TIME " +
+        "AS OF o.ts AS d ON o.id = d.id"
+      assert(TemporalJoinParser.rewrite(ev) == ev,
+        "an event-time ts of a proctime-declaring table must not collapse")
+      // the declaring table's own attribute still collapses
+      val ok = "SELECT * FROM orders o LEFT JOIN dims FOR SYSTEM_TIME " +
+        "AS OF o.otime AS d ON o.id = d.id"
+      assert(TemporalJoinParser.rewrite(ok) ==
+        "SELECT * FROM orders o LEFT JOIN dims AS d ON o.id = d.id")
+      // unresolvable qualifier (subquery alias) falls back to the
+      // any-live-table check
+      val sub = "SELECT * FROM (SELECT * FROM x) q LEFT JOIN dims " +
+        "FOR SYSTEM_TIME AS OF q.ts AS d ON q.id = d.id"
+      assert(TemporalJoinParser.rewrite(sub) ==
+        "SELECT * FROM (SELECT * FROM x) q LEFT JOIN dims AS d ON q.id = d.id")
+    } finally {
+      FlinkDialect.unregisterProctime("dims")
+      FlinkDialect.unregisterProctime("orders")
+    }
   }
 
   test("script splitter: statement-set blocks, comments, quoted ';'") {

@@ -278,6 +278,35 @@ class StatementSetSqlSpec extends AnyFunSuite with SparkSpec {
     spark.sql("STOP STREAMING INSERT graft.sw.usink")
   }
 
+  test("remote-sink checkpoint keys are injective and die with the " +
+       "table (r8 advice: sanitizer collisions + stale cursors)") {
+    import graft.plans.StreamingInsertSql
+    graft.storage.DemoObjectStore.withStore { fsUrl =>
+      // the old lossy sanitizer mapped '/' and '_' to the same char —
+      // these two DISTINCT bucket paths collided; the digest key must
+      // separate them
+      val a = s"$fsUrl/bkt/a_b/t"
+      val b = s"$fsUrl/bkt/a/b_t"
+      val ka = StreamingInsertSql.remoteCheckpointDir(a)
+      val kb = StreamingInsertSql.remoteCheckpointDir(b)
+      assert(ka != kb, s"distinct sink paths must not share a cursor: $ka")
+      // stable across calls (same table → same cursor)…
+      assert(StreamingInsertSql.remoteCheckpointDir(a) == ka)
+      // …until the creation id goes away with the table directory:
+      // a recreated table at the same path mints a NEW checkpoint, so
+      // a restarted continuous INSERT can never resume a stale source
+      // cursor and silently skip the new table's early rows
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(ka)) // simulate accumulated cursor state
+      StreamingInsertSql.dropRemoteCheckpoint(a)
+      assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(ka)),
+        "DROP must delete the engine-local checkpoint")
+      graft.storage.TableFs.forPath(a).deleteFile(s"$a/meta/CREATION_ID")
+      val ka2 = StreamingInsertSql.remoteCheckpointDir(a)
+      assert(ka2 != ka, "a recreated table must mint a fresh checkpoint key")
+    }
+  }
+
   test("statement-set refusals are loud and named") {
     val dir = Files.createTempDirectory("graft-stmtbad").toString
     val src = TieredTable(spark, s"$dir/src")
