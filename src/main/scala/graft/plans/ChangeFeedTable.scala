@@ -5,7 +5,7 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, SupportsAdmissionControl}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
 import org.apache.spark.sql.types.{StringType, StructType}
@@ -74,7 +74,8 @@ class ChangeFeedTable(tableName: String, spark: SparkSession,
         override def toMicroBatchStream(checkpointLocation: String)
             : MicroBatchStream =
           new ChangeFeedStream(tableName, t,
-            dirs => innerScan(dirs))
+            dirs => innerScan(dirs),
+            Option(options.get("maxSnapshotsPerTrigger")).map(_.toInt))
       }
     }
 
@@ -92,13 +93,38 @@ case class ChangeFeedOffset(id: Long) extends Offset {
 }
 
 class ChangeFeedStream(tableName: String, t: TieredTable,
-                       scanOver: Seq[String] => Scan)
-    extends MicroBatchStream {
+                       scanOver: Seq[String] => Scan,
+                       maxSnapshotsPerTrigger: Option[Int] = None)
+    extends MicroBatchStream with SupportsAdmissionControl {
 
   override def initialOffset(): Offset = ChangeFeedOffset(0L)
 
   override def latestOffset(): Offset =
     ChangeFeedOffset(t.committedChangeIds().lastOption.getOrElse(0L))
+
+  /** ADMISSION CONTROL (`.option("maxSnapshotsPerTrigger", n)`): a
+    * consumer catching up after downtime advances at most `n` change
+    * directories per micro-batch instead of planning the whole backlog
+    * as one giant batch — at a 30 s tiering cadence a day of downtime
+    * is ~2.9 k snapshots, and bounded batches keep executor memory and
+    * commit latency flat during catch-up. Default: drain everything
+    * (the small-backlog case).
+    */
+  override def getDefaultReadLimit: ReadLimit =
+    maxSnapshotsPerTrigger.map(n => ReadLimit.maxFiles(n))
+      .getOrElse(ReadLimit.allAvailable())
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[ChangeFeedOffset].id
+    val pending = t.committedChangeIds().filter(_ > s)
+    val taken = limit match {
+      case m: ReadMaxFiles => pending.take(m.maxFiles())
+      case _ => pending
+    }
+    ChangeFeedOffset(taken.lastOption.getOrElse(s))
+  }
+
+  override def reportLatestOffset(): Offset = latestOffset()
 
   override def deserializeOffset(json: String): Offset =
     ChangeFeedOffset(json.trim.toLong)

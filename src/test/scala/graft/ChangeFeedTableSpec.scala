@@ -78,6 +78,33 @@ class ChangeFeedTableSpec extends AnyFunSuite with SparkSpec {
     } finally q2.stop()
   }
 
+  test("admission control: maxSnapshotsPerTrigger bounds catch-up " +
+       "batches instead of one giant backlog batch") {
+    val (t, feedName) = freshTable("ac")
+    (1 to 5).foreach(i =>
+      t.commitAppend(Seq((i.toLong, s"v$i")).toDF("id", "v")))
+    val ckpt = Files.createTempDirectory("graft-cft-ac").toString
+    val batches = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = spark.readStream
+      .option("maxSnapshotsPerTrigger", "2")
+      .table(feedName)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        batches.synchronized { batches += b.count() }; (): Unit
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      val counts = batches.synchronized(batches.toList).filter(_ > 0)
+      assert(counts.sum == 5, s"all rows must arrive: $counts")
+      assert(counts.forall(_ <= 2),
+        s"no batch may exceed 2 snapshots' rows: $counts")
+      assert(counts.length >= 3,
+        s"a 5-snapshot backlog at 2/trigger needs >= 3 batches: $counts")
+    } finally q.stop()
+  }
+
   test("PK feed carries the full op vocabulary through SQL") {
     val dir = Files.createTempDirectory("graft-cft-pk").toString
     val t = TieredTable(spark, s"$dir/pk", pk = Seq("id"),
