@@ -463,6 +463,58 @@ object Demo {
         "change rows via snapshot-id offsets in the Spark checkpoint")
     }
 
+    // 19g. the DSv2 LOG-TAIL stream — one name, both runtime modes:
+    //      spark.read.table = batch union, spark.readStream.table =
+    //      hot-tail stream with segment-id offsets (r9)
+    {
+      val ltDir = s"$base/tables/logtail_demo"
+      val ltT = graft.storage.TieredTable(spark, ltDir)
+      TieredCatalog.register("fluss", "logtail_demo", ltDir)
+      ltT.appendLog(Seq((1L, "a")).toDF("id", "v"))
+      val seen = new java.util.concurrent.atomic.AtomicLong(0)
+      val lq = spark.readStream.table("graft.fluss.logtail_demo")
+        .writeStream.option("checkpointLocation", s"$base/ckpt/logtail-demo")
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          seen.addAndGet(b.count()); (): Unit }
+        .start()
+      try {
+        lq.processAllAvailable()
+        ltT.appendLog(Seq((2L, "b")).toDF("id", "v"))
+        lq.processAllAvailable()
+      } finally lq.stop()
+      val batchRows = spark.read.table("graft.fluss.logtail_demo").count()
+      say(s"[demo] runtime-mode switch on ONE name: readStream.table " +
+        s"streamed ${seen.get()} rows (segment-id offsets), read.table " +
+        s"batch-reads $batchRows")
+    }
+
+    // 19h. planner-visible statistics + dynamic partition pruning (r9):
+    //      the tiered table reports exact sidecar row counts (so it
+    //      broadcasts with no hint) and prunes files at EXECUTION time
+    //      from a filtered dim join's keys
+    {
+      val dppDir = s"$base/tables/dpp_demo"
+      val dppT = graft.storage.TieredTable(spark, dppDir,
+        partitionBy = Seq("day"))
+      TieredCatalog.register("fluss", "dpp_demo", dppDir,
+        partitionBy = Seq("day"))
+      dppT.commitAppend((0 until 300).map(i => (i.toLong, s"d${i % 3}"))
+        .toDF("id", "day"))
+      // the filtering side must be a real scan with its own selective
+      // predicate — the shape DPP plans against (a LocalRelation dim
+      // fails the pruning-benefit heuristic)
+      Seq(("d1", "keep"), ("d9", "no")).toDF("day", "tag")
+        .write.parquet(s"$base/tables/dpp_dim")
+      val dim = spark.read.parquet(s"$base/tables/dpp_dim")
+        .filter(org.apache.spark.sql.functions.col("tag") === "keep")
+      val joined = spark.table("graft.fluss.dpp_demo").join(dim, "day")
+      val n = joined.count()
+      val dpp = joined.queryExecution.executedPlan.toString
+        .contains("dynamicpruning")
+      say(s"[demo] runtime file pruning: dim-filtered join read $n rows" +
+        s", DPP subquery planned=$dpp, stats-driven broadcast with no hint")
+    }
+
     // 20. THE REFERENCE SCRIPT, VERBATIM: the faker-source DDL
     //     (sql-client.sql) and the README walkthrough run unchanged
     //     through the Flink-dialect SQL surface — faker connector,

@@ -57,6 +57,7 @@ object SparkEntry {
     "q24_iceberg_part_mor" -> (Lakehouse.q24IcebergPartMor _),
     "q25_insert_overwrite" -> (Lakehouse.q25InsertOverwrite _),
     "q25b_partition_overwrite" -> (Lakehouse.q25bPartitionOverwrite _),
+    "q26_runtime_prune" -> (Lakehouse.q26RuntimePrune _),
     // training-data pipeline: dedup / similarity / text analysis
     "d1_exact_dedup" -> (Pipeline.d1ExactDedup _),
     "d2_fingerprint" -> (Pipeline.d2Fingerprint _),
@@ -429,6 +430,13 @@ object SparkEntry {
         |       CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))) * 100 AS BIGINT)
         |         AS price_cents
         |FROM final GROUP BY o_orderpriority""".stripMargin,
+    // q26 joins the partitioned table against a dim that keeps exactly
+    // the two urgent priorities — the oracle is the equivalent IN
+    // filter over the raw fixture (runtime pruning must be invisible)
+    "q26_runtime_prune" ->
+      """SELECT COUNT(*) AS cnt, CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+        |FROM orders
+        |WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')""".stripMargin,
     "q14_merge" ->
       """WITH base AS (
         |  SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY o_custkey),

@@ -97,7 +97,12 @@ class ChangeFeedStream(tableName: String, t: TieredTable,
                        maxSnapshotsPerTrigger: Option[Int] = None)
     extends MicroBatchStream with SupportsAdmissionControl {
 
-  override def initialOffset(): Offset = ChangeFeedOffset(0L)
+  /** A fresh consumer bootstraps from the suffix that retention kept:
+    * deltas at or below the recorded vacuum horizon are gone, and that
+    * history belongs to the batch read.
+    */
+  override def initialOffset(): Offset =
+    ChangeFeedOffset(t.changeFeedHorizon)
 
   override def latestOffset(): Offset =
     ChangeFeedOffset(t.committedChangeIds().lastOption.getOrElse(0L))
@@ -141,6 +146,18 @@ class ChangeFeedStream(tableName: String, t: TieredTable,
     val s = start.asInstanceOf[ChangeFeedOffset].id
     val e = end.asInstanceOf[ChangeFeedOffset].id
     if (e <= s) return Array.empty
+    // retention contract, enforced: the recorded vacuum horizon tells
+    // "delta retired before you read it" (loud failure) apart from
+    // "snapshot that never published a delta" (legitimately sparse
+    // ids) — after the dirs are gone the two are otherwise
+    // indistinguishable, and silent skipping would look identical to
+    // an empty feed
+    val horizon = t.changeFeedHorizon
+    if (s < horizon) throw new IllegalStateException(
+      s"$tableName: change deltas ${s + 1}..$horizon were retired " +
+        "(vacuum) before this consumer read them — restart from a " +
+        "fresh checkpoint and backfill from the batch read " +
+        "(spark.read.table)")
     val ids = t.committedChangeIds().filter(id => id > s && id <= e)
     if (ids.isEmpty) Array.empty
     else scanOver(ids.map(t.changeDirPath)).toBatch.planInputPartitions()
@@ -162,4 +179,108 @@ class ChangeFeedStream(tableName: String, t: TieredTable,
 
   /** Streaming-progress source description. */
   override def toString: String = s"$tableName (change feed)"
+}
+
+/** Offset = highest log-segment id consumed. Segment ids start at 0
+  * (unlike change-dir snapshot ids, which start at 1), so the
+  * nothing-consumed sentinel is -1.
+  */
+case class LogTailOffset(id: Long) extends Offset {
+  override def json(): String = id.toString
+}
+
+/** Streaming source over a LOG table's hot tail — the DSv2 spelling of
+  * the reference's streaming SELECT from an append table (the
+  * runtime-mode switch's streaming half):
+  *
+  * {{{ spark.readStream.table("graft.db.t") }}}
+  *
+  * Offsets are LOG-SEGMENT IDS, the same cursor design as the change
+  * feed's snapshot ids: `latestOffset` is one listing of committed
+  * segments (no data read), a micro-batch (start, end] plans exactly
+  * the segments in that id range, and checkpointed offsets replay the
+  * SAME ids after a crash — exactly-once without a per-file log. A
+  * segment is visible all-or-nothing (atomic rename locally, `_SEG`
+  * marker object remotely), so a batch never sees a partial append.
+  * History that was already tiered before the stream started is the
+  * BATCH read's business (`spark.read.table`); retention is the
+  * tiering/vacuum contract — a consumer lagging past vacuum's horizon
+  * fails loudly on the missing segment rather than silently skipping.
+  *
+  * `.option("maxSegmentsPerTrigger", n)` bounds catch-up batches, same
+  * admission-control shape as the change feed.
+  */
+class LogTailStream(tableName: String, t: TieredTable,
+                    scanOver: Seq[String] => Scan,
+                    maxSegmentsPerTrigger: Option[Int] = None)
+    extends MicroBatchStream with SupportsAdmissionControl {
+
+  /** A fresh consumer bootstraps from the oldest SURVIVING segment —
+    * history that tiering+vacuum already retired into the cold tier is
+    * the batch read's business, not a failure.
+    */
+  override def initialOffset(): Offset =
+    LogTailOffset(t.logSegments.headOption.map(_ - 1).getOrElse(-1L))
+
+  override def latestOffset(): Offset =
+    LogTailOffset(t.logSegments.lastOption.getOrElse(-1L))
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxSegmentsPerTrigger.map(n => ReadLimit.maxFiles(n))
+      .getOrElse(ReadLimit.allAvailable())
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[LogTailOffset].id
+    val pending = t.logSegments.filter(_ > s)
+    val taken = limit match {
+      case m: ReadMaxFiles => pending.take(m.maxFiles())
+      case _ => pending
+    }
+    LogTailOffset(taken.lastOption.getOrElse(s))
+  }
+
+  override def reportLatestOffset(): Offset = latestOffset()
+
+  override def deserializeOffset(json: String): Offset =
+    LogTailOffset(json.trim.toLong)
+
+  /** PER-SEGMENT planning, partitions concatenated as plain file
+    * partitions: the reader factory below is one segment's parquet
+    * factory (schema + conf — file paths and partition values ride
+    * inside each planned partition), so partitions from any id range
+    * pair with it. A multi-root composite scan here would break that
+    * pairing — its factory expects child-tagged partitions whose
+    * indices shift with the batch's id range.
+    */
+  override def planInputPartitions(start: Offset,
+                                   end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[LogTailOffset].id
+    val e = end.asInstanceOf[LogTailOffset].id
+    if (e <= s) return Array.empty
+    val listed = t.logSegments
+    // retention contract: a CHECKPOINTED consumer lagging past
+    // vacuum's horizon has lost replayability — fail loudly rather
+    // than silently skipping the retired prefix (ids are allocated
+    // densely, so a missing prefix below the oldest survivor can only
+    // mean retirement, never a skipped allocation)
+    listed.headOption.filter(min => s + 1 < min).foreach { min =>
+      throw new IllegalStateException(
+        s"$tableName: log segments ${s + 1}..${min - 1} were retired " +
+          "(tiering + vacuum) before this consumer read them — restart " +
+          "from a fresh checkpoint and backfill history from the batch " +
+          "read (spark.read.table)")
+    }
+    val ids = listed.filter(id => id > s && id <= e)
+    ids.toArray.flatMap(id =>
+      scanOver(Seq(t.segmentDirPath(id))).toBatch.planInputPartitions())
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    scanOver(t.logSegments.headOption.map(t.segmentDirPath).toSeq)
+      .toBatch.createReaderFactory()
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def toString: String = s"$tableName (log tail)"
 }

@@ -516,7 +516,13 @@ class TieredSqlTable(tableName: String, spark: SparkSession,
     // partition-column equality filters binding a leading prefix of
     // the spec; any other filter still refuses at analysis time
     // rather than silently over- or under-truncating.
-    Set(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
+    // MICRO_BATCH_READ: log tables stream their hot tail
+    // (`spark.readStream.table`); PK tables refuse with a pointer at
+    // their `$changes` feed — declared here so the refusal can say
+    // WHERE the stream actually lives instead of Spark's generic
+    // "does not support micro batch scan".
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      TableCapability.V1_BATCH_WRITE,
       TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER).asJava
 
   /** Partition spec + table properties power Spark's built-in
@@ -543,13 +549,53 @@ class TieredSqlTable(tableName: String, spark: SparkSession,
     m.asJava
   }
 
+  /** The streaming face behind `spark.readStream.table` — the log
+    * tail as segment-id-cursor micro-batches ([[LogTailStream]]). A
+    * PK table's stream IS its change feed; sending a consumer there
+    * beats silently streaming raw upsert segments whose key collisions
+    * the batch read would have deduplicated.
+    */
+  private def logTailStream(options: CaseInsensitiveStringMap)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    if (entry.pk.nonEmpty) throw new UnsupportedOperationException(
+      s"$tableName is a primary-key table — its stream is the change " +
+        s"feed: spark.readStream.table(\"graft.<db>.`<table>$$changes`\") " +
+        "(op-tagged upsert changelog)")
+    new LogTailStream(tableName, t, dirs => segmentScan(dirs),
+      Option(options.get("maxSegmentsPerTrigger")).map(_.toInt))
+  }
+
+  /** Scan over a set of committed log-segment dirs with the table
+    * schema. Partitioned tables write Hive layout INSIDE each segment,
+    * and Spark can't run partition discovery over several such roots
+    * in one scan — so each segment is its own child anchored at its
+    * own basePath, concatenated by [[org.apache.spark.sql.GraftCompositeScan]].
+    */
+  private def segmentScan(dirs: Seq[String])
+      : org.apache.spark.sql.connector.read.Scan = {
+    val s = schema()
+    val scans = dirs.map { d =>
+      val opts = new CaseInsensitiveStringMap(
+        (readOpts.asScala ++ Map("basePath" -> d)).asJava)
+      ParquetTable(tableName, spark, opts, Seq(d), Some(s),
+        classOf[ParquetFileFormat])
+        .newScanBuilder(opts).build()
+    }
+    scans match {
+      case Nil => new org.apache.spark.sql.GraftEmptyScan(tableName, s)
+      case Seq(one) => one
+      case many => new org.apache.spark.sql.GraftCompositeScan(many)
+    }
+  }
+
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     if (entry.partitionBy.isEmpty)
       // unpartitioned: stock parquet scan wrapped with manifest-level
       // file skipping (footer-stats sidecars prune the file list at
       // scan build)
       new org.apache.spark.sql.GraftSkippingScanBuilder(spark, tableName,
-        paths, schema(), readOpts, inner.newScanBuilder(options))
+        paths, schema(), readOpts, inner.newScanBuilder(options),
+        streamFactory = Some(_ => logTailStream(options)))
     else {
       // partitioned: per-root scans (each root is its own partition-
       // discovery base path), EACH wrapped with stats skipping —
@@ -563,11 +609,18 @@ class TieredSqlTable(tableName: String, spark: SparkSession,
           // per-root metric name: children record independently
           new org.apache.spark.sql.GraftSkippingScanBuilder(spark,
             s"$tableName#$i", Seq(root), schema(), opts,
-            tbl.newScanBuilder(options), entry.partitionBy)
+            tbl.newScanBuilder(options), entry.partitionBy,
+            streamFactory = Some(_ => logTailStream(options)))
       }
       if (wrapped.lengthCompare(1) <= 0 && wrapped.nonEmpty) wrapped.head
-      else if (wrapped.isEmpty) inner.newScanBuilder(options)
-      else new org.apache.spark.sql.GraftCompositeScanBuilder(wrapped)
+      else if (wrapped.isEmpty)
+        // no committed roots yet — still present the streaming face so
+        // a consumer can start tailing before the first append
+        new org.apache.spark.sql.GraftSkippingScanBuilder(spark, tableName,
+          Nil, schema(), readOpts, inner.newScanBuilder(options),
+          entry.partitionBy, streamFactory = Some(_ => logTailStream(options)))
+      else new org.apache.spark.sql.GraftCompositeScanBuilder(wrapped,
+        streamFactory = Some(_ => logTailStream(options)))
     }
 
   /** `DELETE FROM graft.<db>.<t> WHERE …` — filters that translate to

@@ -640,6 +640,38 @@ object Lakehouse {
       .filter(col("o_orderpriority") === "1-URGENT")
       .agg(count(lit(1)).as("cnt"), sum(col("o_orderkey")).as("key_sum"))
 
+  /** Q26 — dynamic partition pruning under the oracle (r9): the
+    * partitioned hot∪cold table joined through the SQL catalog against
+    * a dimension whose surviving keys are only known after its own
+    * filter runs — Spark plans a `dynamicpruning` subquery and the
+    * graft scan (SupportsRuntimeV2Filtering) re-prunes its file list
+    * from the broadcast keys at EXECUTION time, partition columns by
+    * Hive path segment, everything else by stats/bloom sidecar. The
+    * oracle recomputes the join relationally from the raw fixture, so
+    * an over-eager runtime skip (a dropped file that held matching
+    * rows) hash-mismatches; the DPP plan shape itself is pinned in
+    * RuntimeScanSpec. Scale: this is the difference between scanning
+    * every partition of a 100 TB fact and scanning the two the dim
+    * actually kept.
+    */
+  def q26RuntimePrune(spark: SparkSession, dir: String): DataFrame = {
+    ensureCatalog(spark)
+    val t = demoTablePartitioned(spark, dir)
+    graft.plans.TieredCatalog.register("bench", "orders_part", t.tablePath,
+      partitionBy = Seq("o_orderpriority"))
+    val dimPath = s"${t.tablePath}_dim"
+    // 4-row dim parquet; rewritten idempotently (the filtering side
+    // must be a real scan with its own selective predicate — the shape
+    // dynamic partition pruning plans against)
+    spark.createDataFrame(Seq(("1-URGENT", "keep"), ("2-HIGH", "keep"),
+      ("5-LOW", "drop"), ("9-NONE", "drop"))).toDF("prio", "tag")
+      .coalesce(1).write.mode("overwrite").parquet(dimPath)
+    val dim = spark.read.parquet(dimPath).filter(col("tag") === "keep")
+    spark.table("graft.bench.orders_part")
+      .join(dim, col("o_orderpriority") === col("prio"))
+      .agg(count(lit(1)).as("cnt"), sum(col("o_orderkey")).as("key_sum"))
+  }
+
   /** Build-once fixture for Q25: the BUILDING customer segment is
     * committed, then SQL `INSERT OVERWRITE` (Flink's batch replace
     * verb, through the DSv2 truncate write) replaces the content with

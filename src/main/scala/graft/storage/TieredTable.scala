@@ -418,6 +418,22 @@ class TieredTable(spark: SparkSession, rawTablePath: String,
   def changeDirPath(id: Long): String =
     s"$changesDir/snap-${"%06d".format(id)}"
 
+  /** Highest snapshot id whose change delta was RETIRED by vacuum
+    * (0 = nothing retired). The change-feed stream uses this to fail
+    * loudly when a consumer's checkpoint lags past retention instead
+    * of silently skipping — and to bootstrap fresh consumers from the
+    * surviving suffix.
+    */
+  def changeFeedHorizon: Long =
+    meta.get(TieredTable.ChangesHorizonKey).map(_.trim.toLong).getOrElse(0L)
+
+  private def ChangesHorizonKey = TieredTable.ChangesHorizonKey
+
+  /** Path of one committed log segment (the DSv2 log-tail stream plans
+    * micro-batches as (start, end] ranges of these).
+    */
+  def segmentDirPath(id: Long): String = segPath(id)
+
   /** The change feed as an unbounded Structured Streaming source:
     * Spark's file source over the committed change files. `schema` is
     * the TABLE schema; the feed adds the `op` column. Consumers running
@@ -1261,12 +1277,20 @@ class TieredTable(spark: SparkSession, rawTablePath: String,
     // change files follow their snapshot's retention: a consumer whose
     // checkpoint lags past the vacuum horizon has lost replayability
     // anyway (same files-vs-retention contract as Delta CDF) — keeping
-    // the dropped snapshots' deltas would only grow without bound
+    // the dropped snapshots' deltas would only grow without bound.
+    // The horizon is RECORDED (monotonic meta key) so the streaming
+    // source can tell "retired before you read it" (loud failure)
+    // apart from "snapshot that never published a delta" (legitimately
+    // sparse ids) — without the marker the two are indistinguishable
+    // after the dirs are gone.
     if (changeDataFeed) {
       (1L until keepIds.head).foreach { old =>
         val cf = s"$changesDir/snap-${"%06d".format(old)}"
         if (fs.deleteRecursively(cf)) removed += 1
       }
+      val horizon = keepIds.head - 1
+      if (horizon > changeFeedHorizon)
+        meta.put(ChangesHorizonKey, horizon.toString)
     }
     val minWatermark = kept.map(_.tieredSeg).min
     val tieredSegs = logSegments.filter(_ <= minWatermark)
@@ -1890,6 +1914,11 @@ class TieredTable(spark: SparkSession, rawTablePath: String,
 }
 
 object TieredTable {
+
+  /** Meta key recording the change-feed retention horizon (see
+    * [[TieredTable.changeFeedHorizon]]).
+    */
+  private[storage] val ChangesHorizonKey = "changes-horizon"
 
   /** Hive path-name unescape (`%2F` → `/`), the inverse of the
     * escaping Spark's partitioned writer applies to `col=value`

@@ -1,6 +1,7 @@
 package org.apache.spark.sql
 
 import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.connector.expressions.NamedReference
 import org.apache.spark.sql.connector.expressions.filter.Predicate
 import org.apache.spark.sql.connector.read._
 
@@ -24,7 +25,9 @@ import org.apache.spark.sql.types.StructType
   * [[org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters]]
   * seam (same rationale as [[GraftSqlBridge]]).
   */
-class GraftCompositeScanBuilder(builders: Seq[ScanBuilder])
+class GraftCompositeScanBuilder(builders: Seq[ScanBuilder],
+    streamFactory: Option[String =>
+      org.apache.spark.sql.connector.read.streaming.MicroBatchStream] = None)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters {
@@ -57,17 +60,37 @@ class GraftCompositeScanBuilder(builders: Seq[ScanBuilder])
     case _ => Array.empty
   }
 
-  override def build(): Scan = new GraftCompositeScan(children.map(_.build()))
+  override def build(): Scan =
+    new GraftCompositeScan(children.map(_.build()), streamFactory)
 }
 
 /** Concatenation of child scans: one Batch whose input partitions are
   * the children's, tagged with the child index so the reader factory
   * can dispatch. Row/columnar decisions delegate per partition.
+  *
+  * Reports SUMMED statistics (a multi-root tiered table must still be
+  * eligible as a join's broadcast side — without this the relation
+  * falls back to `defaultSizeInBytes` and never broadcasts) and
+  * forwards runtime filters to every child that can act on them, so
+  * dynamic partition pruning crosses the hot∪cold union intact.
+  * `batches` is a def, not a cached val: a runtime `filter` narrows
+  * the children's file lists, and partition planning after it must
+  * observe the narrowed state.
   */
-class GraftCompositeScan(children: Seq[Scan]) extends Scan with Batch {
+class GraftCompositeScan(children: Seq[Scan],
+    streamFactory: Option[String =>
+      org.apache.spark.sql.connector.read.streaming.MicroBatchStream] = None)
+    extends Scan with Batch
+    with SupportsReportStatistics with SupportsRuntimeV2Filtering {
   override def readSchema(): StructType = children.head.readSchema()
   override def toBatch: Batch = this
-  private lazy val batches = children.map(_.toBatch)
+
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    streamFactory.map(_(checkpointLocation)).getOrElse(
+      throw new UnsupportedOperationException(
+        "composite scan: micro-batch scan is not supported"))
+  private def batches = children.map(_.toBatch)
   override def planInputPartitions(): Array[InputPartition] =
     batches.zipWithIndex.flatMap { case (b, i) =>
       b.planInputPartitions().map(GraftCompositePartition(i, _))
@@ -76,6 +99,51 @@ class GraftCompositeScan(children: Seq[Scan]) extends Scan with Batch {
     GraftCompositeReaderFactory(batches.map(_.createReaderFactory()))
   override def description(): String =
     s"GraftCompositeScan(${children.size} roots)"
+
+  /** Sum of the children's estimates; unknown as soon as any child
+    * can't say (a partial sum would UNDERestimate, and a too-small
+    * size is the dangerous direction — it green-lights a broadcast).
+    */
+  override def estimateStatistics(): Statistics = {
+    val childStats = children.map {
+      case s: SupportsReportStatistics => Some(s.estimateStatistics())
+      case _ => None
+    }
+    def total(f: Statistics => java.util.OptionalLong): java.util.OptionalLong = {
+      var sum = 0L
+      childStats.foreach {
+        case Some(st) =>
+          val v = f(st)
+          if (!v.isPresent) return java.util.OptionalLong.empty()
+          sum += v.getAsLong
+        case None => return java.util.OptionalLong.empty()
+      }
+      java.util.OptionalLong.of(sum)
+    }
+    val size = total(_.sizeInBytes)
+    val rows = total(_.numRows)
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong = size
+      override def numRows(): java.util.OptionalLong = rows
+    }
+  }
+
+  /** Union of the children's filterable attributes: a child that can't
+    * act on a given attribute just keeps all its files — runtime
+    * pruning is advisory, so over-claiming is safe and under-claiming
+    * would disable pruning for every root.
+    */
+  override def filterAttributes(): Array[NamedReference] =
+    children.flatMap {
+      case s: SupportsRuntimeV2Filtering => s.filterAttributes().toSeq
+      case _ => Nil
+    }.distinct.toArray
+
+  override def filter(predicates: Array[Predicate]): Unit =
+    children.foreach {
+      case s: SupportsRuntimeV2Filtering => s.filter(predicates)
+      case _ =>
+    }
 }
 
 case class GraftCompositePartition(child: Int, inner: InputPartition)

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow
 import org.apache.spark.sql.connector.expressions.{FieldReference, NamedReference}
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min}
 import org.apache.spark.sql.connector.expressions.filter.Predicate
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownRequiredColumns, SupportsReportStatistics, SupportsRuntimeV2Filtering}
 import org.apache.spark.sql.execution.datasources.DataSourceStrategy
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
@@ -34,7 +34,9 @@ class GraftSkippingScanBuilder(spark: SparkSession, tableName: String,
                                roots: Seq[String], fullSchema: StructType,
                                options: CaseInsensitiveStringMap,
                                inner: ScanBuilder,
-                               partitionCols: Seq[String] = Nil)
+                               partitionCols: Seq[String] = Nil,
+                               streamFactory: Option[String =>
+                                 org.apache.spark.sql.connector.read.streaming.MicroBatchStream] = None)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates
@@ -236,29 +238,294 @@ class GraftSkippingScanBuilder(spark: SparkSession, tableName: String,
       DataSourceStrategy.translateFilter(e, supportNestedPredicatePushdown = false))
     val (kept, total) = FileStats.pruneListed(listed, sourceFilters)
     FileStats.recordSkip(tableName, kept.size, total)
-    if (sourceFilters.isEmpty || kept.size == total) inner.build()
-    else {
-      // rebuild the scan over the surviving files only. The FULL table
-      // schema is passed as the user-specified schema so a column whose
-      // only carrier file was pruned still resolves (as nulls) instead
-      // of vanishing from the scan output. For a Hive-partitioned root
-      // the caller supplies basePath in `options`, so partition-column
-      // discovery from the dir names survives the switch to a file list.
-      val pruned = ParquetTable(tableName, spark, options, kept,
-        Some(fullSchema), classOf[ParquetFileFormat])
-      val b = pruned.newScanBuilder(options)
-      b match {
-        case c: org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters =>
-          c.pushFilters(pushedExprs)
-        case _ =>
-      }
-      (b, required) match {
-        case (c: SupportsPushDownRequiredColumns, Some(r)) => c.pruneColumns(r)
-        case _ =>
-      }
-      b.build()
+    val keptSet = kept.toSet
+    val keptEntries =
+      if (kept.size == total) listed else listed.filter(e => keptSet(e._1))
+    val staticScan =
+      if (sourceFilters.isEmpty || kept.size == total) inner.build()
+      else buildOver(kept)
+    new GraftRuntimeScan(spark, tableName, options, fullSchema,
+      keptEntries, staticScan, pushedExprs, required, partitionCols,
+      buildOver, streamFactory)
+  }
+
+  /** Rebuild the scan over an explicit surviving-file list. The FULL
+    * table schema is passed as the user-specified schema so a column
+    * whose only carrier file was pruned still resolves (as nulls)
+    * instead of vanishing from the scan output. For a Hive-partitioned
+    * root the caller supplies basePath in `options`, so partition-
+    * column discovery from the dir names survives the switch to a file
+    * list.
+    */
+  private def buildOver(files: Seq[String]): Scan = {
+    val pruned = ParquetTable(tableName, spark, options, files,
+      Some(fullSchema), classOf[ParquetFileFormat])
+    val b = pruned.newScanBuilder(options)
+    b match {
+      case c: org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters =>
+        c.pushFilters(pushedExprs)
+      case _ =>
+    }
+    (b, required) match {
+      case (c: SupportsPushDownRequiredColumns, Some(r)) => c.pruneColumns(r)
+      case _ =>
+    }
+    b.build()
+  }
+}
+
+/** The scan a [[GraftSkippingScanBuilder]] actually returns: the
+  * statically-pruned parquet scan, wrapped with the two DSv2 faces a
+  * 100 TB planner needs and a stock file scan cannot give us over a
+  * sidecar-indexed tiered table:
+  *
+  *  - '''[[SupportsReportStatistics]]''' — size from the underlying
+  *    file scan, EXACT row count from the `_graft_stats` sidecars of
+  *    the surviving files (every file carries one → sum; else defer
+  *    to the file scan's estimate). Without a number here a multi-root
+  *    table inherits `defaultSizeInBytes` and is never chosen as the
+  *    broadcast side of a join.
+  *  - '''[[SupportsRuntimeV2Filtering]]''' — Spark's dynamic partition
+  *    pruning hands the scan the build-side join keys at EXECUTION
+  *    time as `IN (...)` predicates; we re-prune the file list against
+  *    them using (a) Hive-layout `col=value` path segments for
+  *    partition columns and (b) the same min/max + bloom sidecar check
+  *    the static pushdown uses for data columns — Iceberg's
+  *    runtime-filtering behavior, driven from one already-computed
+  *    listing. Skipping is advisory: surviving files still flow
+  *    through the join, so a conservative keep never affects results.
+  *
+  * Re-planning after `filter()` rebuilds the child scan over the
+  * narrowed file list via the builder's `rebuild` closure; the batch
+  * is cached per file-list state so reader factory and partitions are
+  * always a consistent snapshot.
+  */
+class GraftRuntimeScan(spark: SparkSession, tableName: String,
+                       options: CaseInsensitiveStringMap,
+                       fullSchema: StructType,
+                       keptEntries: Seq[FileStats.FileEntry],
+                       staticScan: Scan,
+                       pushedExprs: Seq[Expression],
+                       required: Option[StructType],
+                       partitionCols: Seq[String],
+                       rebuild: Seq[String] => Scan,
+                       streamFactory: Option[String =>
+                         org.apache.spark.sql.connector.read.streaming.MicroBatchStream] = None)
+    extends Scan with Batch
+    with SupportsReportStatistics with SupportsRuntimeV2Filtering {
+
+  /** Streaming face of the same table (the log-tail source) when the
+    * owning table wired one in; otherwise the default refusal stands.
+    */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    streamFactory.map(_(checkpointLocation)).getOrElse(
+      throw new UnsupportedOperationException(
+        s"$tableName: micro-batch scan is not supported"))
+
+  @volatile private var runtimeEntries: Option[Seq[FileStats.FileEntry]] = None
+  @volatile private var effective: (Option[Seq[FileStats.FileEntry]], Scan) =
+    (None, staticScan)
+
+  override def readSchema(): StructType = staticScan.readSchema()
+
+  override def description(): String = {
+    val rt = runtimeEntries.fold("")(e =>
+      s", runtime-kept ${e.size}/${keptEntries.size}")
+    s"GraftRuntimeScan($tableName$rt) ${staticScan.description()}"
+  }
+
+  // ---- statistics ----
+
+  /** Exact row total from the sidecars of the CURRENT surviving files;
+    * None when any file lacks one (then the file scan's byte-based
+    * estimate stands alone).
+    */
+  private def sidecarRows(entries: Seq[FileStats.FileEntry]): Option[Long] = {
+    var total = 0L
+    entries.foreach { case (_, stats, _) =>
+      if (stats.isEmpty) return None
+      val r = stats.head._2.rows
+      if (r < 0) return None
+      total += r
+    }
+    Some(total)
+  }
+
+  override def estimateStatistics(): Statistics = {
+    val entries = runtimeEntries.getOrElse(keptEntries)
+    val inner = currentScan match {
+      case s: SupportsReportStatistics => Some(s.estimateStatistics())
+      case _ => None
+    }
+    val size = inner.map(_.sizeInBytes).getOrElse(java.util.OptionalLong.empty())
+    val rows = sidecarRows(entries) match {
+      case Some(n) => java.util.OptionalLong.of(n)
+      case None =>
+        inner.map(_.numRows).getOrElse(java.util.OptionalLong.empty())
+    }
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong = size
+      override def numRows(): java.util.OptionalLong = rows
     }
   }
+
+  // ---- runtime filtering ----
+
+  /** Columns we can act on at runtime: Hive partition columns (values
+    * live in the directory names) plus any column that has range stats
+    * or a bloom in at least one sidecar — RESTRICTED to the scan's
+    * pruned output. Spark's PartitionPruning rule RESOLVES every
+    * claimed attribute against the relation's output and raises an
+    * AnalysisException on a miss, so claiming a pruned-away column
+    * doesn't just disable DPP — it fails the query.
+    */
+  override def filterAttributes(): Array[NamedReference] = {
+    val visible = readSchema().fieldNames.toSet
+    val statCols = keptEntries.iterator
+      .flatMap(e => e._2.keysIterator ++ e._3.keysIterator).toSet
+    (partitionCols ++ statCols).distinct.filter(visible)
+      .map(c => FieldReference.column(c): NamedReference).toArray
+  }
+
+  override def filter(predicates: Array[Predicate]): Unit = {
+    val v1 = org.apache.spark.sql.internal.connector.PredicateUtils
+      .toV1(predicates).toSeq
+    if (v1.isEmpty) return
+    val survivors = keptEntries.filter { case (path, stats, blooms) =>
+      v1.forall(f => FileStats.mayMatch(stats, f) &&
+        FileStats.bloomMayMatch(blooms, f) &&
+        GraftPartitionPathFilter.mayMatch(path, partitionCols, f))
+    }
+    FileStats.recordSkip(s"$tableName@runtime", survivors.size,
+      keptEntries.size)
+    if (survivors.size < keptEntries.size) runtimeEntries = Some(survivors)
+  }
+
+  /** The scan matching the current runtime-filter state; rebuilt (and
+    * cached) when `filter` narrowed the file list.
+    */
+  private def currentScan: Scan = {
+    val want = runtimeEntries
+    val cached = effective
+    if (cached._1 eq want) cached._2
+    else {
+      val s = runtimeEntries match {
+        case Some(e) if e.isEmpty =>
+          new GraftEmptyScan(tableName, staticScan.readSchema())
+        case Some(e) => rebuild(e.map(_._1))
+        case None => staticScan
+      }
+      effective = (want, s)
+      s
+    }
+  }
+
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] =
+    currentScan.toBatch.planInputPartitions()
+  override def createReaderFactory(): PartitionReaderFactory =
+    currentScan.toBatch.createReaderFactory()
+}
+
+/** Zero-partition scan for the "runtime filter excluded every file"
+  * case — rebuilding a parquet scan over an empty file list is not a
+  * shape Spark's file index is designed for.
+  */
+class GraftEmptyScan(tableName: String, schema: StructType)
+    extends Scan with Batch {
+  override def readSchema(): StructType = schema
+  override def toBatch: Batch = this
+  override def description(): String = s"GraftEmptyScan($tableName)"
+  override def planInputPartitions(): Array[InputPartition] = Array.empty
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftAggReaderFactory // never invoked: zero partitions
+}
+
+/** Prunes files by their Hive-layout `col=value` path segments against
+  * runtime (or any v1) filters — dynamic partition pruning's file-level
+  * act. Only equality shapes are decided (`=`, `IN`, null checks);
+  * everything else conservatively keeps the file. A file whose path
+  * carries no segment for the column keeps too.
+  */
+object GraftPartitionPathFilter {
+  import org.apache.spark.sql.sources._
+
+  /** Hive escapes special path chars as %XX; undo that (hex pairs
+    * only — malformed sequences stay literal).
+    */
+  private def unescape(s: String): String = {
+    if (!s.contains('%')) return s
+    val b = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length &&
+          Character.digit(s.charAt(i + 1), 16) >= 0 &&
+          Character.digit(s.charAt(i + 2), 16) >= 0) {
+        b.append(((Character.digit(s.charAt(i + 1), 16) << 4) +
+          Character.digit(s.charAt(i + 2), 16)).toChar)
+        i += 3
+      } else { b.append(c); i += 1 }
+    }
+    b.toString
+  }
+
+  private val HiveNull = "__HIVE_DEFAULT_PARTITION__"
+
+  private def segmentOf(path: String, col: String): Option[String] = {
+    val prefix = col + "="
+    path.split('/').collectFirst {
+      case seg if seg.startsWith(prefix) =>
+        unescape(seg.substring(prefix.length))
+    }
+  }
+
+  /** Literal rendered in the same form Hive writes it into the dir
+    * name (dates ISO, numbers plain, strings verbatim).
+    */
+  private def render(v: Any): Option[String] = v match {
+    case null => None
+    case s: String => Some(s)
+    case s: org.apache.spark.unsafe.types.UTF8String => Some(s.toString)
+    case d: java.sql.Date => Some(d.toString)
+    case d: java.time.LocalDate => Some(d.toString)
+    case n @ (_: java.lang.Integer | _: java.lang.Long | _: java.lang.Short |
+              _: java.lang.Byte | _: java.lang.Boolean) => Some(n.toString)
+    case _ => None // timestamps/decimals/doubles: formatting too
+                   // engine-sensitive to skip on — keep the file
+  }
+
+  def mayMatch(path: String, partitionCols: Seq[String], f: Filter)
+      : Boolean = f match {
+    case EqualTo(a, v) if partitionCols.contains(a) =>
+      decide(path, a, seg => render(v).forall(r => seg == r))
+    case EqualNullSafe(a, null) if partitionCols.contains(a) =>
+      decide(path, a, seg => seg == HiveNull)
+    case EqualNullSafe(a, v) if partitionCols.contains(a) =>
+      decide(path, a, seg => render(v).forall(r => seg == r))
+    case In(a, vs) if partitionCols.contains(a) =>
+      if (vs == null) true
+      else decide(path, a, seg =>
+        vs.exists(v => v != null && render(v).forall(r => seg == r)))
+    case IsNull(a) if partitionCols.contains(a) =>
+      decide(path, a, seg => seg == HiveNull)
+    case IsNotNull(a) if partitionCols.contains(a) =>
+      decide(path, a, seg => seg != HiveNull)
+    case And(l, r) =>
+      mayMatch(path, partitionCols, l) && mayMatch(path, partitionCols, r)
+    case Or(l, r) =>
+      mayMatch(path, partitionCols, l) || mayMatch(path, partitionCols, r)
+    case _ => true
+  }
+
+  /** A null partition segment can only satisfy the null checks; a
+    * missing segment keeps the file (path layout unknown → advisory
+    * skip declines).
+    */
+  private def decide(path: String, col: String, ok: String => Boolean)
+      : Boolean =
+    segmentOf(path, col).forall(ok)
 }
 
 /** One-row scan serving a fully-pushed-down aggregate straight from

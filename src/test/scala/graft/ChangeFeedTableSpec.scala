@@ -149,6 +149,34 @@ class ChangeFeedTableSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("retention horizon: a lagging consumer fails loudly after " +
+       "vacuum; a fresh consumer bootstraps from the surviving suffix") {
+    val (t, feedName) = freshTable("vac")
+    (1 to 3).foreach(i =>
+      t.commitAppend(Seq((i.toLong, s"v$i")).toDF("id", "v")))
+    t.vacuum(keepLast = 1) // retires deltas 1..2, records horizon 2
+    assert(t.changeFeedHorizon == 2L)
+
+    val cat = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+    val tbl = cat.loadTable(org.apache.spark.sql.connector.catalog
+      .Identifier.of(Array("cft"), "vac$changes"))
+    val ms = tbl.asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsRead]
+      .newScanBuilder(org.apache.spark.sql.util.CaseInsensitiveStringMap.empty)
+      .build().toMicroBatchStream("/tmp/unused-ck")
+    // checkpoint at delta 1 — deltas 2 is retired → loud failure, not
+    // a silent skip that looks like an empty feed
+    val e = intercept[IllegalStateException] {
+      ms.planInputPartitions(graft.plans.ChangeFeedOffset(1L),
+        graft.plans.ChangeFeedOffset(3L))
+    }
+    assert(e.getMessage.contains("retired"), e.getMessage)
+    // fresh consumer: initial offset = horizon → only snap-3 arrives
+    assert(ms.initialOffset() == graft.plans.ChangeFeedOffset(2L))
+    val rows = spark.read.table(feedName).count()
+    assert(rows == 1L, "batch read sees only the surviving delta")
+  }
+
   test("t$changes on a non-CDF table refuses loudly") {
     val dir = Files.createTempDirectory("graft-cft-no").toString
     TieredTable(spark, s"$dir/no").commitAppend(Seq((1L, 1L)).toDF("id", "v"))

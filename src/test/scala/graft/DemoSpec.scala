@@ -78,5 +78,14 @@ class DemoSpec extends AnyFunSuite with SparkSpec {
     // and the table survived the registry wipe
     assert(has("durable catalog across a registry wipe: 1->y, 2->z"),
       lines.mkString("\n"))
+
+    // r9: one name, both runtime modes (log-tail stream + batch union)
+    assert(has("runtime-mode switch on ONE name: readStream.table " +
+      "streamed 2 rows"), lines.mkString("\n"))
+    assert(has("batch-reads 2"), lines.mkString("\n"))
+
+    // r9: stats-driven planning + runtime file pruning on the fact scan
+    assert(has("runtime file pruning: dim-filtered join read 100 rows, " +
+      "DPP subquery planned=true"), lines.mkString("\n"))
   }
 }
