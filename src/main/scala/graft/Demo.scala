@@ -486,6 +486,22 @@ object Demo {
       say(s"[demo] runtime-mode switch on ONE name: readStream.table " +
         s"streamed ${seen.get()} rows (segment-id offsets), read.table " +
         s"batch-reads $batchRows")
+
+      // ...and the WRITE half (r9): stream the same table into a graft
+      // sink with writeStream.toTable — epochs commit exactly-once as
+      // tagged segments by zero-copy file move
+      val sinkDir = s"$base/tables/logtail_sink"
+      graft.storage.TieredTable(spark, sinkDir) // init storage layout
+      graft.storage.TableFs.forPath(sinkDir)
+        .writeString(s"$sinkDir/meta/SCHEMA", "id BIGINT, v STRING")
+      TieredCatalog.register("fluss", "logtail_sink", sinkDir)
+      val wq = spark.readStream.table("graft.fluss.logtail_demo")
+        .writeStream.option("checkpointLocation", s"$base/ckpt/logtail-sink")
+        .toTable("graft.fluss.logtail_sink")
+      try wq.processAllAvailable() finally wq.stop()
+      val sunk = spark.read.table("graft.fluss.logtail_sink").count()
+      say(s"[demo] writeStream.toTable: $sunk rows committed exactly-once " +
+        "as epoch-tagged segments (zero-copy file move)")
     }
 
     // 19h. planner-visible statistics + dynamic partition pruning (r9):

@@ -5,7 +5,7 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, SupportsAdmissionControl}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
 import org.apache.spark.sql.types.{StringType, StructType}
@@ -95,7 +95,18 @@ case class ChangeFeedOffset(id: Long) extends Offset {
 class ChangeFeedStream(tableName: String, t: TieredTable,
                        scanOver: Seq[String] => Scan,
                        maxSnapshotsPerTrigger: Option[Int] = None)
-    extends MicroBatchStream with SupportsAdmissionControl {
+    extends MicroBatchStream with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow {
+
+  /** `Trigger.AvailableNow`: pin the drain target at query start so
+    * the run processes exactly the feed available THEN (in bounded
+    * admission-control batches) and stops — commits landing mid-drain
+    * wait for the next run.
+    */
+  @volatile private var availableNowCap: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap =
+      Some(t.committedChangeIds().lastOption.getOrElse(t.changeFeedHorizon))
 
   /** A fresh consumer bootstraps from the suffix that retention kept:
     * deltas at or below the recorded vacuum horizon are gone, and that
@@ -121,7 +132,8 @@ class ChangeFeedStream(tableName: String, t: TieredTable,
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = start.asInstanceOf[ChangeFeedOffset].id
-    val pending = t.committedChangeIds().filter(_ > s)
+    val pending = t.committedChangeIds()
+      .filter(id => id > s && availableNowCap.forall(id <= _))
     val taken = limit match {
       case m: ReadMaxFiles => pending.take(m.maxFiles())
       case _ => pending
@@ -213,7 +225,15 @@ case class LogTailOffset(id: Long) extends Offset {
 class LogTailStream(tableName: String, t: TieredTable,
                     scanOver: Seq[String] => Scan,
                     maxSegmentsPerTrigger: Option[Int] = None)
-    extends MicroBatchStream with SupportsAdmissionControl {
+    extends MicroBatchStream with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow {
+
+  /** `Trigger.AvailableNow`: drain exactly the segments committed at
+    * query start, then stop (same contract as the change feed above).
+    */
+  @volatile private var availableNowCap: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(t.logSegments.lastOption.getOrElse(-1L))
 
   /** A fresh consumer bootstraps from the oldest SURVIVING segment —
     * history that tiering+vacuum already retired into the cold tier is
@@ -231,7 +251,8 @@ class LogTailStream(tableName: String, t: TieredTable,
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = start.asInstanceOf[LogTailOffset].id
-    val pending = t.logSegments.filter(_ > s)
+    val pending = t.logSegments
+      .filter(id => id > s && availableNowCap.forall(id <= _))
     val taken = limit match {
       case m: ReadMaxFiles => pending.take(m.maxFiles())
       case _ => pending

@@ -521,8 +521,11 @@ class TieredSqlTable(tableName: String, spark: SparkSession,
     // their `$changes` feed — declared here so the refusal can say
     // WHERE the stream actually lives instead of Spark's generic
     // "does not support micro batch scan".
+    // STREAMING_WRITE: `df.writeStream.toTable` — executors stage
+    // parquet per epoch, the driver commits it as a tagged segment
+    // (flat log) or through the upsert/layout read-back paths.
     Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
-      TableCapability.V1_BATCH_WRITE,
+      TableCapability.V1_BATCH_WRITE, TableCapability.STREAMING_WRITE,
       TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER).asJava
 
   /** Partition spec + table properties power Spark's built-in
@@ -694,6 +697,19 @@ class TieredSqlTable(tableName: String, spark: SparkSession,
         this
       }
       override def build(): V1Write = new V1Write {
+        /** Streaming face of the same sink (`writeStream.toTable`):
+          * append/update epochs only — a continuously-truncating sink
+          * has no meaning over a snapshot log.
+          */
+        override def toStreaming
+            : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+          if (overwriteAll || partOverwrite.isDefined)
+            throw new UnsupportedOperationException(
+              s"$tableName: streaming INSERT OVERWRITE is not a thing — " +
+                "stream in append mode; overwrite is a batch verb")
+          new org.apache.spark.sql.GraftStreamingWrite(spark, t, entry.pk,
+            entry.partitionBy, info.schema(), info.queryId(), tableName)
+        }
         override def toInsertableRelation: InsertableRelation =
           new InsertableRelation {
             override def insert(data: org.apache.spark.sql.DataFrame,

@@ -660,12 +660,14 @@ object Lakehouse {
     graft.plans.TieredCatalog.register("bench", "orders_part", t.tablePath,
       partitionBy = Seq("o_orderpriority"))
     val dimPath = s"${t.tablePath}_dim"
-    // 4-row dim parquet; rewritten idempotently (the filtering side
-    // must be a real scan with its own selective predicate — the shape
-    // dynamic partition pruning plans against)
-    spark.createDataFrame(Seq(("1-URGENT", "keep"), ("2-HIGH", "keep"),
-      ("5-LOW", "drop"), ("9-NONE", "drop"))).toDF("prio", "tag")
-      .coalesce(1).write.mode("overwrite").parquet(dimPath)
+    // 4-row dim parquet (the filtering side must be a real scan with
+    // its own selective predicate — the shape dynamic partition
+    // pruning plans against); built once, _SUCCESS-gated so a crashed
+    // half-write rebuilds instead of poisoning the read
+    if (!Files.exists(Paths.get(s"$dimPath/_SUCCESS")))
+      spark.createDataFrame(Seq(("1-URGENT", "keep"), ("2-HIGH", "keep"),
+        ("5-LOW", "drop"), ("9-NONE", "drop"))).toDF("prio", "tag")
+        .coalesce(1).write.mode("overwrite").parquet(dimPath)
     val dim = spark.read.parquet(dimPath).filter(col("tag") === "keep")
     spark.table("graft.bench.orders_part")
       .join(dim, col("o_orderpriority") === col("prio"))

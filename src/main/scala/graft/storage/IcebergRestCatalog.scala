@@ -260,7 +260,12 @@ class IcebergRestCatalogServer {
           }
 
         case ("DELETE", Seq("v1", "namespaces", ns, "tables", t)) =>
-          if (tables.remove((ns, t)) != null) {
+          // under the commit lock: a drop racing a commit must order
+          // strictly before or after the pointer swap, never between
+          // its state read and its put (which would resurrect the
+          // dropped table)
+          val removed = commitLock.synchronized(tables.remove((ns, t)))
+          if (removed != null) {
             ex.sendResponseHeaders(204, -1); ex.close()
           } else err(ex, 404, s"Table does not exist: $ns.$t",
             "NoSuchTableException")

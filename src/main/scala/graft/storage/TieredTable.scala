@@ -434,6 +434,12 @@ class TieredTable(spark: SparkSession, rawTablePath: String,
     */
   def segmentDirPath(id: Long): String = segPath(id)
 
+  /** Remove a streaming-sink staging dir (epoch commit/abort cleanup).
+    * Exists because the `org.apache.spark.sql` bridge classes can't
+    * see the `private[graft]` [[TableFs]] seam directly.
+    */
+  def dropStagingDir(path: String): Unit = fs.deleteRecursively(path)
+
   /** The change feed as an unbounded Structured Streaming source:
     * Spark's file source over the committed change files. `schema` is
     * the TABLE schema; the feed adds the `op` column. Consumers running
@@ -566,6 +572,58 @@ class TieredTable(spark: SparkSession, rawTablePath: String,
       floor
     }
   }
+
+  /** Commit PRE-WRITTEN parquet files as one log segment — the DSv2
+    * streaming sink's zero-copy path: executors already wrote the
+    * epoch's rows (one parquet file per task) into a staging dir under
+    * this table, so the commit is renames + a stats sidecar; the data
+    * is never read or rewritten. Flat (unpartitioned) log tables only —
+    * partitioned layout and PK dedup need a pass over the rows, and
+    * those sinks take the read-back commit paths instead. Same `tag`
+    * idempotence and id-allocation rules as [[appendLog]]; on a
+    * replayed tag the staged files are DROPPED (their bytes already
+    * committed under the tag).
+    */
+  def appendLogFiles(files: Seq[String], tag: Option[String] = None): Long =
+    withCommitLock {
+      require(partitionBy.isEmpty,
+        "appendLogFiles commits raw files — only a flat (unpartitioned) " +
+          "log table can take them without a layout pass")
+      require(pk.isEmpty,
+        "appendLogFiles skips key dedup — PK tables commit through " +
+          "commitUpsert")
+      tag.flatMap(taggedSegment) match {
+        case Some(existing) =>
+          files.foreach(fs.deleteFile)
+          return existing
+        case None =>
+      }
+      val floor = math.max(
+        logSegments.lastOption.map(_ + 1).getOrElse(0L),
+        currentSnapshot.map(_.tieredSeg + 1).getOrElse(0L))
+      def fileName(p: String) = p.substring(p.lastIndexOf('/') + 1)
+      if (remote) {
+        var next = floor
+        while (!meta.putIfAbsent(f"segclaim-$next%06d", "")) next += 1
+        files.foreach(f => fs.move(f, s"${segPath(next)}/${fileName(f)}"))
+        FileStats.writeSidecar(segPath(next))
+        if (bloomCols.nonEmpty)
+          FileStats.writeBloomSidecar(spark, segPath(next), bloomCols)
+        tag.foreach(t => fs.writeString(s"${segPath(next)}/_TAG", t))
+        fs.writeString(s"${segPath(next)}/_SEG", "")
+        next
+      } else {
+        val tmp = s"$logDir/_tmp-seg-${"%06d".format(floor)}"
+        fs.mkdirs(tmp)
+        files.foreach(f => fs.move(f, s"$tmp/${fileName(f)}"))
+        FileStats.writeSidecar(tmp)
+        if (bloomCols.nonEmpty)
+          FileStats.writeBloomSidecar(spark, tmp, bloomCols)
+        tag.foreach(t => fs.writeString(s"$tmp/_TAG", t))
+        fs.move(tmp, segPath(floor))
+        floor
+      }
+    }
 
   /** Serializes the read-modify-write of every mutating operation on
     * this table (segment-id allocation, prev-snapshot resolution, data
@@ -1367,6 +1425,14 @@ class TieredTable(spark: SparkSession, rawTablePath: String,
     // atomic rename
     fs.listNames(logDir)
       .filter(_.startsWith("_tmp-seg-"))
+      .foreach { d => fs.deleteRecursively(s"$logDir/$d"); removed += 1 }
+    // streaming-sink staging (`_stream-<queryId>/epoch-N/`) a dead
+    // query left behind — invisible to readers (not a `seg-` prefix),
+    // reclaimed under the same writer-quiet contract as everything
+    // else here (an in-flight stream is indistinguishable from a dead
+    // one; don't run gc under a live writer)
+    fs.listNames(logDir)
+      .filter(_.startsWith("_stream-"))
       .foreach { d => fs.deleteRecursively(s"$logDir/$d"); removed += 1 }
     // remote appendLog debris: a writer that died between its segclaim
     // and the _SEG marker left a dead claim no future append can reuse

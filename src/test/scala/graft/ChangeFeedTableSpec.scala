@@ -149,6 +149,24 @@ class ChangeFeedTableSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("Trigger.AvailableNow on the change feed drains and self-stops") {
+    import org.apache.spark.sql.streaming.Trigger
+    val (t, feedName) = freshTable("an")
+    (1 to 3).foreach(i =>
+      t.commitAppend(Seq((i.toLong, s"v$i")).toDF("id", "v")))
+    val ckpt = Files.createTempDirectory("graft-cft-an").toString
+    val n = new java.util.concurrent.atomic.AtomicLong(0)
+    val q = spark.readStream.option("maxSnapshotsPerTrigger", "1")
+      .table(feedName)
+      .writeStream.option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        n.addAndGet(b.count()); (): Unit }
+      .start()
+    assert(q.awaitTermination(120000), "AvailableNow must self-stop")
+    assert(n.get() == 3L)
+  }
+
   test("retention horizon: a lagging consumer fails loudly after " +
        "vacuum; a fresh consumer bootstraps from the surviving suffix") {
     val (t, feedName) = freshTable("vac")

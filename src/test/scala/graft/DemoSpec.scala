@@ -87,5 +87,9 @@ class DemoSpec extends AnyFunSuite with SparkSpec {
     // r9: stats-driven planning + runtime file pruning on the fact scan
     assert(has("runtime file pruning: dim-filtered join read 100 rows, " +
       "DPP subquery planned=true"), lines.mkString("\n"))
+
+    // r9: the DSv2 streaming sink closes the loop — both ends by name
+    assert(has("writeStream.toTable: 2 rows committed exactly-once"),
+      lines.mkString("\n"))
   }
 }

@@ -136,6 +136,38 @@ class LogStreamTableSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("Trigger.AvailableNow drains the committed tail in bounded " +
+       "batches and self-stops; a later run picks up only the delta") {
+    import org.apache.spark.sql.streaming.Trigger
+    val (t, name) = freshTable("an")
+    (1 to 3).foreach(i =>
+      t.appendLog(Seq((i.toLong, s"v$i")).toDF("id", "v")))
+    val ckpt = Files.createTempDirectory("graft-lts-an").toString
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    def drain(): Unit = {
+      val q = spark.readStream
+        .option("maxSegmentsPerTrigger", "1").table(name)
+        .writeStream.option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          seen.synchronized {
+            seen ++= b.select(col("id"), col("v")).as[(Long, String)]
+              .collect()
+          }
+          (): Unit
+        }
+        .start()
+      assert(q.awaitTermination(120000), "AvailableNow must self-stop")
+    }
+    drain()
+    assert(seen.toSet == Set((1L, "v1"), (2L, "v2"), (3L, "v3")))
+    assert(seen.size == 3, s"exactly once: $seen")
+    t.appendLog(Seq((4L, "v4")).toDF("id", "v"))
+    drain()
+    assert(seen.size == 4 && seen.toSet.contains((4L, "v4")),
+      s"the second run drains only the delta: $seen")
+  }
+
   test("a consumer lagging past vacuum fails loudly; a fresh consumer " +
        "bootstraps from the surviving tail") {
     val (t, name) = freshTable("vac")
