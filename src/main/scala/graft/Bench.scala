@@ -74,6 +74,11 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // storage-partitioned joins (k4): co-partitioned DSv2 scans
+      // report KeyGroupedPartitioning and join without exchanges
+      .config("spark.sql.sources.v2.bucketing.enabled", "true")
+      .config("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+      .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
       // bucketed staging (k3) writes catalog tables — keep the
       // warehouse out of the repo dir; the warmup pass stages them so
       // the timed pass measures the join, not the ingest shuffle

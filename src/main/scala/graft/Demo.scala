@@ -531,6 +531,44 @@ object Demo {
         s", DPP subquery planned=$dpp, stats-driven broadcast with no hint")
     }
 
+    // 19i. storage-partitioned join (r9): two tables partitioned on
+    //      the join key report KeyGroupedPartitioning and join with
+    //      ZERO exchanges on either side — Iceberg's SPJ
+    {
+      val saved = Seq("spark.sql.sources.v2.bucketing.enabled",
+        "spark.sql.sources.v2.bucketing.pushPartValues.enabled",
+        "spark.sql.requireAllClusterKeysForCoPartition",
+        "spark.sql.autoBroadcastJoinThreshold", "spark.sql.adaptive.enabled")
+        .map(k => k -> spark.conf.getOption(k))
+      try {
+        spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+        spark.conf.set(
+          "spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+        spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        Seq("spj_a", "spj_b").foreach { n =>
+          val t = graft.storage.TieredTable(spark, s"$base/tables/$n",
+            partitionBy = Seq("day"))
+          t.appendLog((0 until 120).map(i => (i.toLong, s"d${i % 3}"))
+            .toDF("id", "day"))
+          TieredCatalog.register("fluss", n, s"$base/tables/$n",
+            partitionBy = Seq("day"))
+        }
+        val joined = spark.table("graft.fluss.spj_a")
+          .join(spark.table("graft.fluss.spj_b"), Seq("day", "id"))
+        val rows = joined.count()
+        val exchanges = joined.queryExecution.executedPlan.collect {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+        }.size
+        say(s"[demo] storage-partitioned join: $rows rows, " +
+          s"$exchanges exchanges (key-grouped scans, shuffle-free)")
+      } finally saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
+
     // 20. THE REFERENCE SCRIPT, VERBATIM: the faker-source DDL
     //     (sql-client.sql) and the README walkthrough run unchanged
     //     through the Flink-dialect SQL surface — faker connector,

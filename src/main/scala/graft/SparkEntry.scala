@@ -166,6 +166,7 @@ object SparkEntry {
     "k1_salted_agg"     -> (Relational.k1SaltedAgg _),
     "k2_salted_join"    -> (Relational.k2SaltedJoin _),
     "k3_bucketed_join"  -> (Relational.k3BucketedJoin _),
+    "k4_spj_join"       -> (Lakehouse.k4SpjJoin _),
   )
 
   /** Shared DuckDB CTE fragments for the pipeline oracles. hash60(s) =
@@ -1542,5 +1543,14 @@ object SparkEntry {
         |       CAST(sum(l_orderkey) AS BIGINT) AS key_sum,
         |       CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(15,2)) * 100 AS BIGINT)) AS BIGINT) AS price_cents_sum
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey""".stripMargin,
+    // k4 = the k1/k2/k3 family through partition LAYOUT: the B side is
+    // the %3==0 subset, so the 1:1 keyed join must reproduce exactly
+    // that slice of orders with both sides' columns aligned per row
+    "k4_spj_join" ->
+      """SELECT o_orderpriority, count(*) AS n_rows,
+        |       CAST(sum(o_custkey) AS BIGINT) AS cust_sum,
+        |       CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(15,2)) * 100 AS BIGINT)) AS BIGINT) AS price_cents_sum
+        |FROM orders WHERE o_orderkey % 3 = 0
+        |GROUP BY o_orderpriority""".stripMargin,
   )
 }

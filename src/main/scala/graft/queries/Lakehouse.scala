@@ -674,6 +674,49 @@ object Lakehouse {
       .agg(count(lit(1)).as("cnt"), sum(col("o_orderkey")).as("key_sum"))
   }
 
+  /** K4 — storage-partitioned join under the oracle (r9): two tiered
+    * tables Hive-partitioned on the same key (orders and a derived
+    * financials subset, both by `o_orderpriority`), joined on
+    * (partition key, order key) through the SQL catalog. With
+    * `spark.sql.sources.v2.bucketing.enabled` the scans report
+    * `KeyGroupedPartitioning` and the join plans with NO exchange on
+    * either side (StoragePartitionedJoinSpec pins the plan; Verify and
+    * Bench run with the conf on) — Iceberg's SPJ, the k1/k2/k3 family
+    * member where the co-location comes from the table LAYOUT rather
+    * than salting or bucketing. The oracle recomputes the join
+    * relationally from the raw fixture, so a key mistyped or a file
+    * mis-grouped by the keyed planning hash-mismatches.
+    */
+  def k4SpjJoin(spark: SparkSession, dir: String): DataFrame = {
+    ensureCatalog(spark)
+    val a = demoTablePartitioned(spark, dir)
+    graft.plans.TieredCatalog.register("bench", "orders_part", a.tablePath,
+      partitionBy = Seq("o_orderpriority"))
+    val safe = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val path = s"${sys.props("java.io.tmpdir")}/graft-tiered/v$FormatVersion/$safe/orders_fin_part"
+    val t = TieredTable(spark, path, partitionBy = Seq("o_orderpriority"))
+    if (!Files.exists(Paths.get(path, "meta", "LATEST"))) {
+      val orders = Tables.load(spark, dir, "orders")
+      t.appendLog(orders
+        .filter(pmod(col("o_orderkey"), lit(3)) === 0)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          (col("o_totalprice").cast("decimal(15,2)") * 100)
+            .cast("long").as("price_cents")))
+      t.tier()
+    }
+    graft.plans.TieredCatalog.register("bench", "orders_fin_part", path,
+      partitionBy = Seq("o_orderpriority"))
+    val aDf = spark.table("graft.bench.orders_part")
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_custkey"))
+    val bDf = spark.table("graft.bench.orders_fin_part")
+      .select(col("o_orderpriority"), col("o_orderkey"), col("price_cents"))
+    aDf.join(bDf, Seq("o_orderpriority", "o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("o_custkey")).cast("long").as("cust_sum"),
+        sum(col("price_cents")).cast("long").as("price_cents_sum"))
+  }
+
   /** Build-once fixture for Q25: the BUILDING customer segment is
     * committed, then SQL `INSERT OVERWRITE` (Flink's batch replace
     * verb, through the DSv2 truncate write) replaces the content with

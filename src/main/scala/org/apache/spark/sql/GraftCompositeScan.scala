@@ -81,9 +81,45 @@ class GraftCompositeScan(children: Seq[Scan],
     streamFactory: Option[String =>
       org.apache.spark.sql.connector.read.streaming.MicroBatchStream] = None)
     extends Scan with Batch
-    with SupportsReportStatistics with SupportsRuntimeV2Filtering {
+    with SupportsReportStatistics with SupportsRuntimeV2Filtering
+    with SupportsReportPartitioning {
   override def readSchema(): StructType = children.head.readSchema()
   override def toBatch: Batch = this
+
+  /** Storage-partitioned joins across the union: when EVERY root
+    * reports the same key-grouped partitioning (each file split
+    * carries its typed key), the concatenation is itself key-grouped —
+    * a key's rows may span several roots, which Spark's partition
+    * grouping merges by key value. One root declining (unknown
+    * partitioning) declines for the union: a single unkeyed split
+    * would silently break the join's co-location.
+    */
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning = {
+    val reported = children.map {
+      case s: SupportsReportPartitioning => s.outputPartitioning()
+      case _ => return new org.apache.spark.sql.connector.read.partitioning
+        .UnknownPartitioning(0)
+    }
+    reported.head match {
+      case k: org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning
+          if reported.forall {
+            case k2: org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning =>
+              k2.keys.toSeq == k.keys.toSeq
+            case _ => false
+          } =>
+        // numPartitions is advisory (the physical plan regroups from
+        // the actual partitions); the sum over-counts shared keys,
+        // which is the safe direction
+        new org.apache.spark.sql.connector.read.partitioning
+          .KeyGroupedPartitioning(k.keys, reported.map {
+            case k2: org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning =>
+              k2.numPartitions
+          }.sum)
+      case _ => new org.apache.spark.sql.connector.read.partitioning
+        .UnknownPartitioning(0)
+    }
+  }
 
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
@@ -93,7 +129,13 @@ class GraftCompositeScan(children: Seq[Scan],
   private def batches = children.map(_.toBatch)
   override def planInputPartitions(): Array[InputPartition] =
     batches.zipWithIndex.flatMap { case (b, i) =>
-      b.planInputPartitions().map(GraftCompositePartition(i, _))
+      b.planInputPartitions().map {
+        // keep the child's partition key visible on the wrapper — the
+        // SPJ grouping above only engages if every concatenated split
+        // still answers HasPartitionKey
+        case hk: HasPartitionKey => GraftCompositeKeyedPartition(i, hk)
+        case p => GraftCompositePartition(i, p)
+      }
     }.toArray
   override def createReaderFactory(): PartitionReaderFactory =
     GraftCompositeReaderFactory(batches.map(_.createReaderFactory()))
@@ -151,19 +193,33 @@ case class GraftCompositePartition(child: Int, inner: InputPartition)
   override def preferredLocations(): Array[String] = inner.preferredLocations()
 }
 
+/** Same, for a child split that knows its partition key — the wrapper
+  * must keep answering [[HasPartitionKey]] or the union loses its
+  * storage-partitioned-join eligibility.
+  */
+case class GraftCompositeKeyedPartition(child: Int,
+                                        inner: InputPartition with HasPartitionKey)
+    extends InputPartition with HasPartitionKey {
+  override def partitionKey(): org.apache.spark.sql.catalyst.InternalRow =
+    inner.partitionKey()
+  override def preferredLocations(): Array[String] = inner.preferredLocations()
+}
+
 case class GraftCompositeReaderFactory(factories: Seq[PartitionReaderFactory])
     extends PartitionReaderFactory {
+  private def parts(p: InputPartition): (Int, InputPartition) = p match {
+    case GraftCompositePartition(i, inner) => (i, inner)
+    case GraftCompositeKeyedPartition(i, inner) => (i, inner)
+  }
   override def createReader(p: InputPartition)
-      : PartitionReader[org.apache.spark.sql.catalyst.InternalRow] = p match {
-    case GraftCompositePartition(i, inner) => factories(i).createReader(inner)
+      : PartitionReader[org.apache.spark.sql.catalyst.InternalRow] = {
+    val (i, inner) = parts(p); factories(i).createReader(inner)
   }
   override def createColumnarReader(p: InputPartition)
-      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = p match {
-    case GraftCompositePartition(i, inner) =>
-      factories(i).createColumnarReader(inner)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    val (i, inner) = parts(p); factories(i).createColumnarReader(inner)
   }
-  override def supportColumnarReads(p: InputPartition): Boolean = p match {
-    case GraftCompositePartition(i, inner) =>
-      factories(i).supportColumnarReads(inner)
+  override def supportColumnarReads(p: InputPartition): Boolean = {
+    val (i, inner) = parts(p); factories(i).supportColumnarReads(inner)
   }
 }

@@ -2,10 +2,11 @@ package org.apache.spark.sql
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow}
-import org.apache.spark.sql.connector.expressions.{FieldReference, NamedReference}
+import org.apache.spark.sql.connector.expressions.{Expressions, FieldReference, NamedReference}
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min}
 import org.apache.spark.sql.connector.expressions.filter.Predicate
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownRequiredColumns, SupportsReportStatistics, SupportsRuntimeV2Filtering}
+import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownRequiredColumns, SupportsReportPartitioning, SupportsReportStatistics, SupportsRuntimeV2Filtering}
+import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.execution.datasources.DataSourceStrategy
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
@@ -312,7 +313,8 @@ class GraftRuntimeScan(spark: SparkSession, tableName: String,
                        streamFactory: Option[String =>
                          org.apache.spark.sql.connector.read.streaming.MicroBatchStream] = None)
     extends Scan with Batch
-    with SupportsReportStatistics with SupportsRuntimeV2Filtering {
+    with SupportsReportStatistics with SupportsRuntimeV2Filtering
+    with SupportsReportPartitioning {
 
   /** Streaming face of the same table (the log-tail source) when the
     * owning table wired one in; otherwise the default refusal stands.
@@ -421,11 +423,151 @@ class GraftRuntimeScan(spark: SparkSession, tableName: String,
     }
   }
 
+  // ---- storage-partitioned join (SPJ) ----
+
+  /** Hive partition columns as KEY-GROUPED OUTPUT PARTITIONING — the
+    * DSv2 contract behind storage-partitioned joins: two tables
+    * partitioned on the join key report `KeyGroupedPartitioning` over
+    * identity transforms, each input partition carries its typed key
+    * ([[HasPartitionKey]]), and `EnsureRequirements` plans the join
+    * with NO shuffle on either side — Iceberg's SPJ behavior, the
+    * single biggest exchange-eliminator for recurring fact⋈fact joins
+    * at 100 TB (both sides already live partitioned on the key; the
+    * join should cost zero data movement).
+    *
+    * Gated on Spark's own `spark.sql.sources.v2.bucketing.enabled` AND
+    * on every file of the scan yielding a typed key from its
+    * `col=value` path segments (a single unkeyable file → report
+    * [[UnknownPartitioning]]; correctness never depends on the claim).
+    * Only claimed when every partition column survives column pruning —
+    * the planner resolves the claimed keys against the scan output.
+    */
+  private def spjUsable: Boolean =
+    partitionCols.nonEmpty &&
+      org.apache.spark.sql.internal.SQLConf.get.v2BucketingEnabled && {
+        val visible = readSchema().fieldNames.toSet
+        partitionCols.forall(visible)
+      }
+
+  /** Entries grouped by typed partition key (raw segment strings as the
+    * group key — [[InternalRow]] has no value equality); None when any
+    * file can't prove its key.
+    */
+  private def keyedGroups(entries: Seq[FileStats.FileEntry])
+      : Option[Seq[(InternalRow, Seq[String])]] = {
+    val groups = scala.collection.mutable.LinkedHashMap
+      .empty[Seq[String], (InternalRow, scala.collection.mutable.Buffer[String])]
+    entries.foreach { case (path, _, _) =>
+      val raw = partitionCols.map(c =>
+        GraftPartitionPathFilter.segmentOf(path, c).getOrElse(return None))
+      groups.get(raw) match {
+        case Some((_, files)) => files += path
+        case None =>
+          val key = GraftPartitionKeys.typedKey(raw, partitionCols,
+            fullSchema).getOrElse(return None)
+          groups(raw) = (key, scala.collection.mutable.Buffer(path))
+      }
+    }
+    Some(groups.values.map { case (k, fs) => (k, fs.toSeq) }.toSeq)
+  }
+
+  override def outputPartitioning(): Partitioning =
+    if (spjUsable) keyedGroups(keptEntries) match {
+      case Some(groups) if groups.nonEmpty =>
+        new KeyGroupedPartitioning(
+          partitionCols.map(c => Expressions.identity(c):
+            org.apache.spark.sql.connector.expressions.Expression).toArray,
+          groups.size)
+      case _ => new UnknownPartitioning(0)
+    } else new UnknownPartitioning(0)
+
   override def toBatch: Batch = this
-  override def planInputPartitions(): Array[InputPartition] =
+  override def planInputPartitions(): Array[InputPartition] = {
+    if (spjUsable) {
+      val entries = runtimeEntries.getOrElse(keptEntries)
+      keyedGroups(entries) match {
+        case Some(groups) if groups.nonEmpty =>
+          // one rebuilt child scan per key: every wrapped split carries
+          // the group's typed key for Spark's partition grouping (the
+          // per-group reader parameters are identical, so one factory
+          // serves them all — see createReaderFactory)
+          return groups.flatMap { case (key, files) =>
+            rebuild(files).toBatch.planInputPartitions()
+              .map(GraftKeyedPartition(key, _))
+          }.toArray
+        case _ =>
+      }
+    }
     currentScan.toBatch.planInputPartitions()
+  }
   override def createReaderFactory(): PartitionReaderFactory =
-    currentScan.toBatch.createReaderFactory()
+    GraftKeyedReaderFactory(currentScan.toBatch.createReaderFactory())
+}
+
+/** Typed partition-key decoding from Hive `col=value` path segments —
+  * the values [[HasPartitionKey]] hands Spark must match the partition
+  * columns' declared Spark types exactly (they are compared across both
+  * join sides). Types with an unambiguous round-trip only; anything
+  * else declines and the scan reports unknown partitioning.
+  */
+object GraftPartitionKeys {
+  private val HiveNull = "__HIVE_DEFAULT_PARTITION__"
+
+  def typedKey(raw: Seq[String], cols: Seq[String], schema: StructType)
+      : Option[InternalRow] = {
+    val vals = new Array[Any](cols.length)
+    var i = 0
+    while (i < cols.length) {
+      val seg = raw(i)
+      if (seg == HiveNull) vals(i) = null
+      else {
+        val dt = schema.fields.find(_.name == cols(i))
+          .map(_.dataType).getOrElse(return None)
+        val v: Any = try dt match {
+          case StringType => UTF8String.fromString(seg)
+          case IntegerType => seg.toInt
+          case LongType => seg.toLong
+          case ShortType => seg.toShort
+          case ByteType => seg.toByte
+          case BooleanType => seg.toBoolean
+          case DateType => java.time.LocalDate.parse(seg).toEpochDay.toInt
+          case _ => return None
+        } catch { case _: RuntimeException => return None }
+        vals(i) = v
+      }
+      i += 1
+    }
+    Some(new GenericInternalRow(vals))
+  }
+}
+
+/** A child file split plus the typed partition key of the Hive
+  * directory it came from — what makes the scan's partitions
+  * key-groupable by Spark's SPJ machinery.
+  */
+case class GraftKeyedPartition(key: InternalRow, inner: InputPartition)
+    extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow = key
+  override def preferredLocations(): Array[String] = inner.preferredLocations()
+}
+
+/** Unwraps [[GraftKeyedPartition]] before delegating; non-keyed
+  * partitions pass straight through, so the same factory serves both
+  * the grouped and the flat planning paths.
+  */
+case class GraftKeyedReaderFactory(inner: PartitionReaderFactory)
+    extends PartitionReaderFactory {
+  private def unwrap(p: InputPartition): InputPartition = p match {
+    case GraftKeyedPartition(_, i) => i
+    case other => other
+  }
+  override def createReader(p: InputPartition)
+      : PartitionReader[InternalRow] = inner.createReader(unwrap(p))
+  override def createColumnarReader(p: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+    inner.createColumnarReader(unwrap(p))
+  override def supportColumnarReads(p: InputPartition): Boolean =
+    inner.supportColumnarReads(unwrap(p))
 }
 
 /** Zero-partition scan for the "runtime filter excluded every file"
@@ -473,7 +615,7 @@ object GraftPartitionPathFilter {
 
   private val HiveNull = "__HIVE_DEFAULT_PARTITION__"
 
-  private def segmentOf(path: String, col: String): Option[String] = {
+  private[sql] def segmentOf(path: String, col: String): Option[String] = {
     val prefix = col + "="
     path.split('/').collectFirst {
       case seg if seg.startsWith(prefix) =>

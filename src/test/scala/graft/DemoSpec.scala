@@ -91,5 +91,9 @@ class DemoSpec extends AnyFunSuite with SparkSpec {
     // r9: the DSv2 streaming sink closes the loop — both ends by name
     assert(has("writeStream.toTable: 2 rows committed exactly-once"),
       lines.mkString("\n"))
+
+    // r9: SPJ — the co-partitioned join must be exchange-free
+    assert(has("storage-partitioned join: 120 rows, 0 exchanges"),
+      lines.mkString("\n"))
   }
 }
