@@ -569,6 +569,21 @@ object Demo {
       }
     }
 
+    // 19j. catalog functions (r9): graft.system.* resolves from SQL
+    //      with no registration — DSv2 FunctionCatalog with
+    //      codegen-friendly magic-method bindings
+    {
+      val r = spark.sql(
+        """SELECT graft.system.hash60('demo') AS h,
+          |       graft.system.dot_product(array(1.0d, 2.0d),
+          |                                array(3.0d, 4.0d)) AS dp,
+          |       graft.system.bucket(16, 'demo') AS bk""".stripMargin)
+        .collect().head
+      say(s"[demo] catalog functions: hash60=${r.getLong(0)}, " +
+        s"dot_product=${r.getDouble(1)}, bucket=${r.getInt(2)} " +
+        "(graft.system.*, zero registration)")
+    }
+
     // 20. THE REFERENCE SCRIPT, VERBATIM: the faker-source DDL
     //     (sql-client.sql) and the README walkthrough run unchanged
     //     through the Flink-dialect SQL surface — faker connector,

@@ -108,6 +108,7 @@ object SparkEntry {
     "t10_pii"        -> (Pipeline.t10Pii _),
     "t11_gopher"     -> (Pipeline.t11GopherRules _),
     "t12_normalize"  -> (Pipeline.t12Normalize _),
+    "t13_sql_functions" -> (Pipeline.t13SqlFunctions _),
     "m1_media_features" -> (Pipeline.m1MediaFeatures _),
     "m2_frame_sample"   -> (Pipeline.m2FrameSample _),
     "m2b_gif_frames"    -> (Pipeline.m2bGifFrames _),
@@ -983,6 +984,21 @@ object SparkEntry {
       """SELECT w AS word, count(*) AS cnt
         |FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
         |GROUP BY w""".stripMargin,
+    // t13 = the graft.system.* catalog functions recomputed
+    // relationally: hash60 = first 15 hex chars of md5 base 16;
+    // shingle count = distinct 3-gram hash60s (docs under 3 tokens → 0);
+    // bucket = hash60 of the decimal doc_id string mod 16
+    "t13_sql_functions" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |         CAST(('0x' || substr(md5(array_to_string(list_slice(t, i, i+2), ' ')), 1, 15)) AS BIGINT) AS sh
+        |       FROM toks, UNNEST(range(1, len(t)-1)) r(i) WHERE len(t) >= 3),
+        |counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |       CAST(('0x' || substr(md5(d.text), 1, 15)) AS BIGINT) AS h60,
+        |       CAST(COALESCE(c.n_sh, 0) AS BIGINT) AS n_sh,
+        |       CAST(CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 16 AS BIGINT) AS bk
+        |FROM documents d LEFT JOIN counts c ON d.doc_id = c.doc_id""".stripMargin,
     "t6_repetition" ->
       """SELECT doc_id,
         |  CAST(GREATEST(len(t) - 4, 0) AS BIGINT) AS n_windows,

@@ -44,7 +44,26 @@ import graft.storage.TieredTable
   */
 class GraftTableCatalog extends TableCatalog
   with org.apache.spark.sql.connector.catalog.ProcedureCatalog
-  with org.apache.spark.sql.connector.catalog.SupportsNamespaces {
+  with org.apache.spark.sql.connector.catalog.SupportsNamespaces
+  with org.apache.spark.sql.connector.catalog.FunctionCatalog {
+
+  // ---- SQL-callable engine functions (`graft.system.*`): the DSv2
+  // FunctionCatalog face — see [[GraftSqlFunctions]] for the entries
+  // and their magic-method (codegen-friendly) bindings.
+  override def listFunctions(namespace: Array[String])
+      : Array[org.apache.spark.sql.connector.catalog.Identifier] = {
+    if (!namespaceExists(namespace) &&
+        !namespace.sameElements(GraftSqlFunctions.Namespace))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchNamespaceException(catName +: namespace.toSeq)
+    GraftSqlFunctions.list(namespace)
+  }
+  override def loadFunction(
+      ident: org.apache.spark.sql.connector.catalog.Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    GraftSqlFunctions.load(ident).getOrElse(
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchFunctionException(ident))
 
   // ---- namespaces: auto-namespace semantics (a database EXISTS the
   // moment a name is used — the path-based-catalog stance, so CREATE

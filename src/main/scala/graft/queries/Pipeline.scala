@@ -483,6 +483,27 @@ object Pipeline {
     docs(spark, dir).select(
       col("doc_id"), rollingFingerprint(tokens(col("text"))).as("fp"))
 
+  /** T13 — the catalog FUNCTION surface under the oracle (r9): the
+    * same document profile computed through `graft.system.*` SQL
+    * functions ([[graft.plans.GraftSqlFunctions]] — DSv2
+    * FunctionCatalog, magic-method codegen bindings) instead of the
+    * Column/expression API. The oracle recomputes hash60, the
+    * distinct 3-shingle count, and the md5 bucket relationally in
+    * DuckDB, so the SQL-resolved functions must agree bit-for-bit
+    * with the engine kernels they share.
+    */
+  def t13SqlFunctions(spark: SparkSession, dir: String): DataFrame = {
+    docs(spark, dir).createOrReplaceTempView("t13_docs")
+    spark.sql(
+      """SELECT doc_id,
+        |       graft.system.hash60(text) AS h60,
+        |       CAST(size(graft.system.shingle_hashes(split(text, ' '), 3))
+        |            AS BIGINT) AS n_sh,
+        |       CAST(graft.system.bucket(16, CAST(doc_id AS STRING))
+        |            AS BIGINT) AS bk
+        |FROM t13_docs""".stripMargin)
+  }
+
   /** T5 — corpus word-frequency table (the classic shuffle-side agg). */
   def t5WordCount(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)

@@ -95,5 +95,9 @@ class DemoSpec extends AnyFunSuite with SparkSpec {
     // r9: SPJ — the co-partitioned join must be exchange-free
     assert(has("storage-partitioned join: 120 rows, 0 exchanges"),
       lines.mkString("\n"))
+
+    // r9: the catalog function surface resolves with no registration
+    assert(has("catalog functions: hash60=") &&
+      has("dot_product=11.0"), lines.mkString("\n"))
   }
 }

@@ -119,6 +119,21 @@ class StoragePartitionedJoinSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("aggregation on the partition key is exchange-free too: the " +
+       "keyed scan satisfies the groupBy's clustering") {
+    val a = mkPart("agga", rowsA)
+    withSpj {
+      val agg = spark.table(a).groupBy($"grp")
+        .agg(count(lit(1)).as("n"), sum($"v").as("s"))
+      val got = agg.orderBy($"grp").as[(String, Long, Long)].collect().toSeq
+      val expected = rowsA.groupBy(_._2).toSeq.map { case (g, vs) =>
+        (g, vs.size.toLong, vs.map(_._3).sum) }.sortBy(_._1)
+      assert(got == expected)
+      assert(shuffles(agg) == 0,
+        agg.queryExecution.executedPlan.toString)
+    }
+  }
+
   test("conf off → normal exchanges; results identical either way") {
     val a = mkPart("offa", rowsA)
     val b = mkPart("offb", rowsB)
