@@ -584,6 +584,27 @@ object Demo {
         "(graft.system.*, zero registration)")
     }
 
+    // 19k. snapshot tags (r9): pin the current corpus state under a
+    //      name; later ingest and retention never disturb the pinned
+    //      read — the reproducible-training-run primitive
+    {
+      val tagDir = s"$base/tables/tag_demo"
+      val tt = graft.storage.TieredTable(spark, tagDir)
+      TieredCatalog.register("fluss", "tag_demo", tagDir)
+      tt.commitAppend(Seq((1L, "epoch0")).toDF("id", "v"))
+      spark.sql("CALL graft.system.create_tag('fluss.tag_demo', 'run-1')")
+      tt.commitAppend(Seq((2L, "epoch1")).toDF("id", "v"))
+      tt.vacuum(keepLast = 1) // retention respects the tag
+      val pinned = spark.sql(
+        "SELECT v FROM graft.fluss.tag_demo VERSION AS OF 'run-1'")
+        .as[String].collect().toSeq
+      val refs = spark.sql(
+        "SELECT name, snapshot_id FROM graft.fluss.`tag_demo$refs`")
+        .as[(String, Long)].collect().toSeq
+      say(s"[demo] snapshot tag: VERSION AS OF 'run-1' → ${pinned.mkString(",")} " +
+        s"after vacuum; refs=${refs.mkString(",")}")
+    }
+
     // 20. THE REFERENCE SCRIPT, VERBATIM: the faker-source DDL
     //     (sql-client.sql) and the README walkthrough run unchanged
     //     through the Flink-dialect SQL surface — faker connector,

@@ -58,6 +58,7 @@ object SparkEntry {
     "q25_insert_overwrite" -> (Lakehouse.q25InsertOverwrite _),
     "q25b_partition_overwrite" -> (Lakehouse.q25bPartitionOverwrite _),
     "q26_runtime_prune" -> (Lakehouse.q26RuntimePrune _),
+    "q27_tag_travel"    -> (Lakehouse.q27TagTravel _),
     // training-data pipeline: dedup / similarity / text analysis
     "d1_exact_dedup" -> (Pipeline.d1ExactDedup _),
     "d2_fingerprint" -> (Pipeline.d2Fingerprint _),
@@ -439,6 +440,12 @@ object SparkEntry {
       """SELECT COUNT(*) AS cnt, CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
         |FROM orders
         |WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')""".stripMargin,
+    // q27 = VERSION AS OF a snapshot TAG pinning snapshot 1 (the
+    // %3==0 modulo segment) — same accounting as q11, through the
+    // named-ref resolution
+    "q27_tag_travel" ->
+      """SELECT COUNT(*) AS cnt, CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+        |FROM orders WHERE o_orderkey % 3 = 0""".stripMargin,
     "q14_merge" ->
       """WITH base AS (
         |  SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY o_custkey),

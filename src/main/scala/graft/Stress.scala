@@ -160,6 +160,68 @@ object Stress {
     val q17Json = s""""q17_bloom_${copies}x":{"files_kept":$bKept,""" +
       s""""files_total":$bTotal,"plan_sec":$bloomPlanSec,"rows":$bloomRows}"""
 
+    // Storage-partitioned join at copies×: two tiered tables
+    // Hive-partitioned on the same key, joined on (partition key, row
+    // key) — once with v2 bucketing ON (keyed scans, zero exchanges)
+    // and once OFF (both sides fully shuffled). Wall-clock plus the
+    // counted exchanges; at 100 TB the exchange count IS the win (the
+    // shuffled bytes scale with the fact tables, the SPJ plan moves
+    // none).
+    val spjOrders = (0 until copies).map { k =>
+      orders.select(
+        (col("o_orderkey") + lit(k * 100000000L)).as("k"),
+        col("o_custkey"))
+    }.reduce(_.union(_))
+      // 32 partition values = the executor width: the comparison
+      // measures the EXCHANGES, not a parallelism handicap (SPJ runs
+      // one task per partition-value group at this scale)
+      .withColumn("pp", pmod(col("k"), lit(32)).cast("string"))
+      .localCheckpoint(true)
+    val spjJson = {
+      Seq("a", "b").foreach { s =>
+        val t = new graft.storage.TieredTable(spark, s"$skipDir/spj_$s",
+          partitionBy = Seq("pp"))
+        t.appendLog(spjOrders)
+        graft.plans.TieredCatalog.register("stress", s"spj_$s",
+          s"$skipDir/spj_$s", partitionBy = Seq("pp"))
+      }
+      def run(on: Boolean): (Double, Int, Long) = {
+        spark.conf.set("spark.sql.sources.v2.bucketing.enabled", on.toString)
+        spark.conf.set(
+          "spark.sql.sources.v2.bucketing.pushPartValues.enabled", on.toString)
+        spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition",
+          (!on).toString)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        // exchange counting reads the plan pre-execution; AQE's
+        // adaptive root would hide it
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try {
+          val j = spark.table("graft.stress.spj_a")
+            .select(col("pp"), col("k"), col("o_custkey").as("ca"))
+            .join(spark.table("graft.stress.spj_b")
+              .select(col("pp"), col("k"), col("o_custkey").as("cb")),
+              Seq("pp", "k"))
+          val t0 = System.nanoTime()
+          val rows = j.count()
+          val sec = (System.nanoTime() - t0) / 1e9
+          val ex = j.queryExecution.executedPlan.collect {
+            case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+          }.size
+          (sec, ex, rows)
+        } finally Seq("spark.sql.sources.v2.bucketing.enabled",
+          "spark.sql.sources.v2.bucketing.pushPartValues.enabled",
+          "spark.sql.requireAllClusterKeysForCoPartition",
+          "spark.sql.autoBroadcastJoinThreshold",
+          "spark.sql.adaptive.enabled").foreach(spark.conf.unset)
+      }
+      val (onSec, onEx, onRows) = run(on = true)
+      val (offSec, offEx, offRows) = run(on = false)
+      require(onRows == offRows, "SPJ changed an answer")
+      s""""spj_join_${copies}x":{"rows":$onRows,"spj_sec":$onSec,""" +
+        s""""spj_exchanges":$onEx,"shuffle_sec":$offSec,""" +
+        s""""shuffle_exchanges":$offEx}"""
+    }
+
     // Iceberg-export latency curve: a table accumulating snapshots,
     // export re-run after EVERY commit (the tiering service's cadence,
     // `icebergExport = true`). The r8 incremental-export work claims
@@ -184,7 +246,7 @@ object Stress {
       case (i, s) => s""""snapshots_$i":$s""" }.mkString(",") + "}"
 
     println(s"""{"metric":"stress","docs":${n * copies},"copies":$copies,""" +
-      s""""results":$qs,$q13Json,$q16Json,$q17Json,$expJson}""")
+      s""""results":$qs,$q13Json,$q16Json,$q17Json,$spjJson,$expJson}""")
     spark.stop()
   }
 }

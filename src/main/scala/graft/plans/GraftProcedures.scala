@@ -128,7 +128,19 @@ object GraftProcedures {
       "remove crash debris no surviving snapshot references (run with " +
         "no active writers)",
       Seq(p("table", StringType)),
-      r => { resolve(str(r, 0)).gcOrphans(); () })
+      r => { resolve(str(r, 0)).gcOrphans(); () }),
+    Proc("create_tag",
+      "pin a snapshot (default: the current head) under an immutable " +
+        "name — VERSION AS OF 'name' reads it and retention keeps it " +
+        "until drop_tag",
+      Seq(p("table", StringType), p("tag", StringType),
+        p("snapshot_id", LongType, Some("-1"))),
+      r => { resolve(str(r, 0)).createTag(str(r, 1), r.getLong(2)); () }),
+    Proc("drop_tag",
+      "remove a snapshot tag; the snapshot becomes ordinary history " +
+        "(the next vacuum may reclaim it)",
+      Seq(p("table", StringType), p("tag", StringType)),
+      r => { resolve(str(r, 0)).dropTag(str(r, 1)); () })
   ).map(pr => pr.procName -> pr).toMap
 
   def load(ident: Identifier): UnboundProcedure = {

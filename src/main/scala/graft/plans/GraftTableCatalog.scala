@@ -138,6 +138,7 @@ class GraftTableCatalog extends TableCatalog
       case n if n.endsWith("$stats") => (n.stripSuffix("$stats"), "stats")
       case n if n.endsWith("$cold") => (n.stripSuffix("$cold"), "cold")
       case n if n.endsWith("$changes") => (n.stripSuffix("$changes"), "changes")
+      case n if n.endsWith("$refs") => (n.stripSuffix("$refs"), "refs")
       case n if n.endsWith("__snapshots") =>
         (n.stripSuffix("__snapshots"), "snapshots")
       case n if n.endsWith("__files") => (n.stripSuffix("__files"), "files")
@@ -145,6 +146,7 @@ class GraftTableCatalog extends TableCatalog
       case n if n.endsWith("__cold") => (n.stripSuffix("__cold"), "cold")
       case n if n.endsWith("__changes") =>
         (n.stripSuffix("__changes"), "changes")
+      case n if n.endsWith("__refs") => (n.stripSuffix("__refs"), "refs")
       case VersionSuffix(n, v) => (n, s"v$v") // time travel: VERSION AS OF
       case n => (n, "union")
     }
@@ -196,6 +198,12 @@ class GraftTableCatalog extends TableCatalog
         new ChangeFeedTable(ident.toString, spark, t,
           StructType(new TieredSqlTable(s"$db.$base", spark, t, e).schema()
             .filterNot(_.name == t.SeqCol)))
+      case "refs" =>
+        // Iceberg's $refs metadata listing: one row per named ref.
+        // Only tags exist today (branches would add type='branch').
+        new RefsTable(ident.toString, t.tags.map { case (n, id) =>
+          RefsTable.Row(n, "tag", id)
+        })
       case "cold" =>
         parquet(spark, ident.toString, t.coldFiles)
       case v if v.startsWith("v") =>
@@ -216,7 +224,11 @@ class GraftTableCatalog extends TableCatalog
   override def loadTable(ident: Identifier, version: String): Table = {
     val spark = SparkSession.active
     val t = tiered(ident)
-    val snap = t.snapshot(version.toLong).getOrElse(
+    // numeric → snapshot id; anything else → a snapshot TAG (Iceberg's
+    // `VERSION AS OF 'name'` ref resolution)
+    val snap = (if (version.nonEmpty && version.forall(_.isDigit))
+        t.snapshot(version.toLong)
+      else t.tagSnapshot(version)).getOrElse(
       throw new NoSuchTableException(
         Seq(catName, ident.namespace().mkString("."),
           s"${ident.name} VERSION AS OF $version")))
@@ -715,7 +727,38 @@ class TieredSqlTable(tableName: String, spark: SparkSession,
         partOverwrite = Some(prefix)
         this
       }
-      override def build(): V1Write = new V1Write {
+      override def build(): V1Write = new TieredV1Write
+
+      /** WRITE-SIDE CLUSTERING (r9): a partitioned sink shuffles the
+        * incoming batch ONCE by its partition columns (and sorts
+        * within tasks) before the layout write, so each `col=value`
+        * dir is produced by the tasks that own its key instead of
+        * every task opening a file in every dir — at 100 TB ingest
+        * that is the difference between |partitions| files and
+        * |tasks|×|partitions| small files per commit, Iceberg's hash
+        * distribution-mode. Done HERE, inside the V1 insert, and not
+        * via `RequiresDistributionAndOrdering`: Spark's V1 fallback
+        * exec re-plans from `AppendData.analyzedQuery` — the
+        * pre-V2Writes original — so a declared write distribution is
+        * structurally ignored on this path (verified against the
+        * 4.1 strategy bytecode; the injected RebalancePartitions never
+        * executes). PK sinks skip it: commitUpsert's key dedup
+        * reshuffles anyway, and a pre-shuffle would just double the
+        * exchange. Opt out with
+        * `spark.graft.write.distributionMode=none` (skew stance: one
+        * giant partition value → one writer task).
+        */
+      private def clusterForLayout(data: org.apache.spark.sql.DataFrame)
+          : org.apache.spark.sql.DataFrame = {
+        import org.apache.spark.sql.functions.col
+        val on = entry.pk.isEmpty && entry.partitionBy.nonEmpty &&
+          spark.conf.get("spark.graft.write.distributionMode", "hash") != "none"
+        if (!on) data
+        else data.repartition(entry.partitionBy.map(col): _*)
+          .sortWithinPartitions(entry.partitionBy.map(col): _*)
+      }
+
+      class TieredV1Write extends V1Write {
         /** Streaming face of the same sink (`writeStream.toTable`):
           * append/update epochs only — a continuously-truncating sink
           * has no meaning over a snapshot log.
@@ -735,7 +778,7 @@ class TieredSqlTable(tableName: String, spark: SparkSession,
                                 overwrite: Boolean): Unit = {
               if (partOverwrite.isDefined) {
                 val batch =
-                  if (entry.pk.isEmpty) data
+                  if (entry.pk.isEmpty) clusterForLayout(data)
                   else {
                     import org.apache.spark.sql.functions.{col, monotonically_increasing_id}
                     val seq = "__ow_seq"
@@ -757,7 +800,7 @@ class TieredSqlTable(tableName: String, spark: SparkSession,
                     "they would resurface over the replaced snapshot; " +
                     "tier() before INSERT OVERWRITE")
                 val batch =
-                  if (entry.pk.isEmpty) data
+                  if (entry.pk.isEmpty) clusterForLayout(data)
                   else {
                     import org.apache.spark.sql.functions.{col, monotonically_increasing_id}
                     val seq = "__ow_seq"
@@ -768,7 +811,7 @@ class TieredSqlTable(tableName: String, spark: SparkSession,
                 t.commitOverwrite(batch)
               }
               else if (entry.pk.nonEmpty) t.commitUpsert(data)
-              else t.appendLog(data)
+              else t.appendLog(clusterForLayout(data))
               (): Unit
             }
           }
@@ -880,6 +923,53 @@ object FilesTable {
     StructField("file_path", StringType, nullable = false),
     StructField("tier", StringType, nullable = false),
     StructField("size_bytes", LongType, nullable = false)))
+}
+
+/** In-memory DSv2 table for the `$refs` listing — named snapshot refs
+  * (Iceberg's refs metadata table; graft has tags, a branch would add
+  * `type='branch'`). Driver-side metadata like `$snapshots`.
+  */
+class RefsTable(tableName: String, rows: Seq[RefsTable.Row])
+    extends Table with SupportsRead {
+  override def name(): String = tableName
+  override def schema(): StructType = RefsTable.Schema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new Scan with Batch {
+      override def readSchema(): StructType = RefsTable.Schema
+      override def toBatch: Batch = this
+      override def planInputPartitions(): Array[InputPartition] =
+        Array(RefsPartition(rows))
+      override def createReaderFactory(): PartitionReaderFactory =
+        new RefsReaderFactory
+    }
+}
+
+object RefsTable {
+  case class Row(name: String, refType: String, snapshotId: Long)
+
+  val Schema: StructType = StructType(Seq(
+    StructField("name", StringType, nullable = false),
+    StructField("type", StringType, nullable = false),
+    StructField("snapshot_id", LongType, nullable = false)))
+}
+
+case class RefsPartition(rows: Seq[RefsTable.Row]) extends InputPartition
+
+class RefsReaderFactory extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private val it = p.asInstanceOf[RefsPartition].rows.iterator
+      private var cur: RefsTable.Row = _
+      override def next(): Boolean =
+        if (it.hasNext) { cur = it.next(); true } else false
+      override def get(): InternalRow =
+        new GenericInternalRow(Array[Any](
+          UTF8String.fromString(cur.name),
+          UTF8String.fromString(cur.refType), cur.snapshotId))
+      override def close(): Unit = ()
+    }
 }
 
 /** In-memory DSv2 table for the `__stats` listing: the file-skipping

@@ -191,6 +191,25 @@ object Lakehouse {
     demoTable(spark, dir).readColdAsOf(1L)
       .agg(count(lit(1)).as("cnt"), sum(col("o_orderkey")).as("key_sum"))
 
+  /** Q27 — snapshot TAGS under the oracle (r9): the demo table's first
+    * snapshot (the `%3 == 0` segment) pinned under an immutable name,
+    * read back through SQL `VERSION AS OF 'q27_base'` — Iceberg's
+    * named-ref time travel, the reproducible-corpus-pin a training run
+    * records. Same oracle accounting as q11; the ref resolution, not
+    * the snapshot read, is what's newly under test. Tag creation is
+    * idempotent (the fixture may pre-exist).
+    */
+  def q27TagTravel(spark: SparkSession, dir: String): DataFrame = {
+    ensureCatalog(spark)
+    val t = demoTable(spark, dir)
+    graft.plans.TieredCatalog.register("bench", "orders_tagged", t.tablePath)
+    if (t.tagSnapshot("q27_base").isEmpty) t.createTag("q27_base", 1L)
+    spark.sql(
+      """SELECT COUNT(*) AS cnt, CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+        |FROM graft.bench.orders_tagged VERSION AS OF 'q27_base'"""
+        .stripMargin)
+  }
+
   /** Fixture for q20: a tiered table whose price column is RENAMED
     * between its two commits — snapshot 1's files carry `price`,
     * snapshot 2's carry `price_usd`; the COLMAP mapping makes every

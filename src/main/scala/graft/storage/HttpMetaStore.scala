@@ -96,5 +96,28 @@ class HttpMetaStore(baseUrl: String,
         s"DELETE ${uri(key)} returned ${r.statusCode()}")
   }
 
+  /** Prefix listing via the store's `?list` (the S3 ListObjectsV2
+    * role): lines of `size\tmtime\tfullKey`; keys are returned relative
+    * to this store's base prefix and filtered client-side.
+    */
+  override def listKeys(prefix: String): Seq[String] = {
+    val r = send(HttpRequest.newBuilder(URI.create(s"$base?list"))
+      .timeout(timeout).GET().build())
+    r.statusCode() match {
+      case 200 =>
+        val basePath = URI.create(base).getPath.stripPrefix("/")
+        r.body().split("\n").toSeq.filter(_.nonEmpty).flatMap { line =>
+          val full = line.split("\t").last
+          val rel = full.stripPrefix(basePath).stripPrefix("/")
+          if (rel.nonEmpty && rel.startsWith(prefix) && !rel.contains("/"))
+            Some(rel)
+          else None
+        }.sorted
+      case 404 => Nil
+      case s => throw new java.io.IOException(
+        s"LIST $base returned $s")
+    }
+  }
+
   override def location(key: String): String = uri(key).toString
 }

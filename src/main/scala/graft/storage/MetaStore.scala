@@ -2,6 +2,8 @@ package graft.storage
 
 import java.nio.file.{Files, Path, StandardCopyOption}
 
+import scala.jdk.CollectionConverters._
+
 /** The key-value primitive set a TieredTable commit needs from its
   * metadata store — deliberately exactly the operations an object store
   * offers (GET / PUT / conditional PUT / DELETE), so the commit
@@ -39,6 +41,13 @@ trait MetaStore {
   def put(key: String, body: String): Unit
 
   def delete(key: String): Unit
+
+  /** Keys starting with `prefix`, sorted — the S3 ListObjectsV2 shape.
+    * Used for DISCOVERABLE key families whose names are not derivable
+    * (snapshot tags); manifest ids stay sequential probes, so the hot
+    * commit path never depends on listing consistency.
+    */
+  def listKeys(prefix: String): Seq[String]
 
   /** Display/diagnostic location of a key (a filesystem path, an object
     * URL, ...) — what metadata tables report as `manifest_list`.
@@ -91,6 +100,16 @@ class LocalFsMetaStore(dir: Path) extends MetaStore {
   override def delete(key: String): Unit =
     Files.deleteIfExists(dir.resolve(key))
 
+  override def listKeys(prefix: String): Seq[String] = {
+    if (!Files.isDirectory(dir)) return Nil
+    val s = Files.list(dir)
+    try s.iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(n => n.startsWith(prefix) && !n.endsWith(".tmp"))
+      .toSeq.sorted
+    finally s.close()
+  }
+
   override def location(key: String): String = dir.resolve(key).toString
 }
 
@@ -115,6 +134,9 @@ class InMemoryMetaStore(name: String = "mem") extends MetaStore {
   override def put(key: String, body: String): Unit = objects.put(key, body)
 
   override def delete(key: String): Unit = objects.remove(key)
+
+  override def listKeys(prefix: String): Seq[String] =
+    objects.keySet().asScala.filter(_.startsWith(prefix)).toSeq.sorted
 
   override def location(key: String): String = s"$name://$key"
 }

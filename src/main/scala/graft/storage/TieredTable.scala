@@ -1304,17 +1304,72 @@ class TieredTable(spark: SparkSession, rawTablePath: String,
     s
   }
 
-  /** Drop history: keep the last `keepLast` snapshots, delete older
-    * manifests, then physically remove (a) data dirs referenced only by
-    * dropped snapshots and (b) log segments at or below every kept
-    * snapshot's tiering watermark (their rows live in the cold tier).
-    * Returns the number of filesystem entries removed.
+  // ---- snapshot tags: named immutable refs (Iceberg's `tags`) ----
+
+  private val TagKeyPrefix = "ref-tag-"
+
+  /** Pin `snapshotId` (default: the current head) under an immutable
+    * name — Iceberg's snapshot tag: `VERSION AS OF 'name'` resolves it,
+    * `` `t$refs` `` lists it, and [[vacuum]]/[[expireOlderThan]] will
+    * NOT drop a tagged snapshot or its files until [[dropTag]]. The
+    * training-data use: tag the exact corpus state a run consumed and
+    * the read stays reproducible through any amount of later ingest
+    * and retention. Creation is the store's atomic conditional PUT, so
+    * two racing creators of one name get exactly one winner — same
+    * primitive as the manifest commit.
+    */
+  def createTag(name: String, snapshotId: Long = -1L): Unit = withCommitLock {
+    require(name.nonEmpty && name.forall(c =>
+        c.isLetterOrDigit || c == '-' || c == '_' || c == '.'),
+      s"tag name must be [A-Za-z0-9._-]+, got '$name'")
+    val id = if (snapshotId == -1L) latestSnapshotId else snapshotId
+    require(snapshot(id).isDefined,
+      s"cannot tag snapshot $id of $tablePath — not found " +
+        "(never committed, or already vacuumed)")
+    require(meta.putIfAbsent(s"$TagKeyPrefix$name", id.toString),
+      s"tag '$name' already exists on $tablePath (tags are immutable — " +
+        "drop it first to re-point)")
+  }
+
+  /** Remove the tag; the snapshot becomes ordinary history again (the
+    * NEXT vacuum may reclaim it). Loud on unknown names — silently
+    * "dropping" a typo would leave the real tag pinning files forever.
+    */
+  def dropTag(name: String): Unit = withCommitLock {
+    val key = s"$TagKeyPrefix$name"
+    require(meta.get(key).isDefined,
+      s"tag '$name' does not exist on $tablePath")
+    meta.delete(key)
+  }
+
+  /** All tags as (name, snapshotId), sorted by name. */
+  def tags: Seq[(String, Long)] =
+    meta.listKeys(TagKeyPrefix).flatMap { k =>
+      meta.get(k).flatMap(_.trim.toLongOption)
+        .map(id => (k.stripPrefix(TagKeyPrefix), id))
+    }
+
+  /** The snapshot a tag names; None for unknown tags (callers raise
+    * with their own context).
+    */
+  def tagSnapshot(name: String): Option[Snapshot] =
+    meta.get(s"$TagKeyPrefix$name")
+      .flatMap(_.trim.toLongOption).flatMap(snapshot)
+
+  /** Drop history: keep the last `keepLast` snapshots PLUS every tagged
+    * snapshot, delete older manifests, then physically remove (a) data
+    * dirs referenced only by dropped snapshots and (b) log segments at
+    * or below every suffix-kept snapshot's tiering watermark (their
+    * rows live in the cold tier; tag reads are snapshot-file reads, so
+    * a tagged OLD snapshot does not hold hot segments alive). Returns
+    * the number of filesystem entries removed.
     */
   def vacuum(keepLast: Int = 1): Int = withCommitLock {
     require(keepLast >= 1, "must keep at least the current snapshot")
     val latest = latestSnapshotId
     val keepIds = (math.max(1L, latest - keepLast + 1) to latest)
-    val kept = keepIds.flatMap(snapshot)
+    val taggedIds = tags.map(_._2).toSet
+    val kept = (keepIds ++ taggedIds.filter(_ < keepIds.head)).flatMap(snapshot)
     if (kept.isEmpty) return 0
     val referenced = kept.flatMap(_.files).map(_.stripSuffix("/")).toSet
     // prefix-aware liveness: a kept snapshot may reference a `col=value`
@@ -1327,11 +1382,12 @@ class TieredTable(spark: SparkSession, rawTablePath: String,
         r == p || r.startsWith(p + "/") || p.startsWith(r + "/"))
     }
     var removed = 0
-    (1L until keepIds.head).flatMap(snapshot).foreach { old =>
-      old.files.filterNot(inUse)
-        .foreach { p => if (fs.deleteRecursively(p)) removed += 1 }
-      meta.delete(manifestKey(old.id)); removed += 1
-    }
+    (1L until keepIds.head).filterNot(taggedIds).flatMap(snapshot)
+      .foreach { old =>
+        old.files.filterNot(inUse)
+          .foreach { p => if (fs.deleteRecursively(p)) removed += 1 }
+        meta.delete(manifestKey(old.id)); removed += 1
+      }
     // change files follow their snapshot's retention: a consumer whose
     // checkpoint lags past the vacuum horizon has lost replayability
     // anyway (same files-vs-retention contract as Delta CDF) — keeping
@@ -1350,7 +1406,9 @@ class TieredTable(spark: SparkSession, rawTablePath: String,
       if (horizon > changeFeedHorizon)
         meta.put(ChangesHorizonKey, horizon.toString)
     }
-    val minWatermark = kept.map(_.tieredSeg).min
+    // suffix-kept only: a tagged old snapshot's watermark must not
+    // hold hot log segments alive (its rows are its cold files)
+    val minWatermark = keepIds.flatMap(snapshot).map(_.tieredSeg).min
     val tieredSegs = logSegments.filter(_ <= minWatermark)
     tieredSegs.map(segPath)
       .foreach { p => if (fs.deleteRecursively(p)) removed += 1 }

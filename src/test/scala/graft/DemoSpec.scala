@@ -99,5 +99,9 @@ class DemoSpec extends AnyFunSuite with SparkSpec {
     // r9: the catalog function surface resolves with no registration
     assert(has("catalog functions: hash60=") &&
       has("dot_product=11.0"), lines.mkString("\n"))
+
+    // r9: tags pin state through ingest + retention
+    assert(has("snapshot tag: VERSION AS OF 'run-1' → epoch0 after " +
+      "vacuum; refs=(run-1,1)"), lines.mkString("\n"))
   }
 }

@@ -57,6 +57,21 @@ class MetaStoreSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  for ((name, mk) <- stores) {
+    test(s"$name: listKeys returns exactly the prefix family, sorted") {
+      val store = mk()
+      store.put("ref-tag-beta", "2")
+      store.put("ref-tag-alpha", "1")
+      store.put("snap-000001.props", "x") // different family: excluded
+      store.put("LATEST", "1")
+      assert(store.listKeys("ref-tag-") ==
+        Seq("ref-tag-alpha", "ref-tag-beta"))
+      assert(store.listKeys("nope-") == Seq.empty)
+      store.delete("ref-tag-alpha")
+      assert(store.listKeys("ref-tag-") == Seq("ref-tag-beta"))
+    }
+  }
+
   test("tiered table commits end-to-end through a rename-free object store") {
     val store = new InMemoryMetaStore("s3-sim")
     val dir = Files.createTempDirectory("graft-objtable").toString
