@@ -605,6 +605,28 @@ object Demo {
         s"after vacuum; refs=${refs.mkString(",")}")
     }
 
+    // 19l. write-audit-publish (r9): stage a candidate batch invisibly
+    //      (spark.graft.wap.id + INSERT INTO), audit it through
+    //      VERSION AS OF, publish only on approval — the quality gate
+    //      between a pipeline and the corpus it feeds
+    {
+      val wapDir = s"$base/tables/wap_demo"
+      val wt = graft.storage.TieredTable(spark, wapDir)
+      TieredCatalog.register("fluss", "wap_demo", wapDir)
+      wt.commitAppend(Seq((1L, "corpus")).toDF("id", "v"))
+      spark.conf.set("spark.graft.wap.id", "batch-7")
+      try spark.sql("INSERT INTO graft.fluss.wap_demo VALUES (2, 'candidate')")
+      finally spark.conf.unset("spark.graft.wap.id")
+      val mainBefore = spark.table("graft.fluss.wap_demo").count()
+      val audit = spark.sql(
+        "SELECT count(*) FROM graft.fluss.wap_demo VERSION AS OF 'batch-7'")
+        .head().getLong(0)
+      spark.sql("CALL graft.system.publish_wap('fluss.wap_demo', 'batch-7')")
+      val mainAfter = spark.table("graft.fluss.wap_demo").count()
+      say(s"[demo] write-audit-publish: main=$mainBefore while staged, " +
+        s"audit view=$audit, published → main=$mainAfter")
+    }
+
     // 20. THE REFERENCE SCRIPT, VERBATIM: the faker-source DDL
     //     (sql-client.sql) and the README walkthrough run unchanged
     //     through the Flink-dialect SQL surface — faker connector,

@@ -59,6 +59,7 @@ object SparkEntry {
     "q25b_partition_overwrite" -> (Lakehouse.q25bPartitionOverwrite _),
     "q26_runtime_prune" -> (Lakehouse.q26RuntimePrune _),
     "q27_tag_travel"    -> (Lakehouse.q27TagTravel _),
+    "q28_wap_publish"   -> (Lakehouse.q28Wap _),
     // training-data pipeline: dedup / similarity / text analysis
     "d1_exact_dedup" -> (Pipeline.d1ExactDedup _),
     "d2_fingerprint" -> (Pipeline.d2Fingerprint _),
@@ -446,6 +447,15 @@ object SparkEntry {
     "q27_tag_travel" ->
       """SELECT COUNT(*) AS cnt, CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
         |FROM orders WHERE o_orderkey % 3 = 0""".stripMargin,
+    // q28 = the post-publish state of the write-audit-publish fixture:
+    // base (%3==1) ∪ the published staged batch (%3==2)
+    "q28_wap_publish" ->
+      """SELECT o_orderpriority, COUNT(*) AS cnt,
+        |       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))) * 100 AS BIGINT)
+        |         AS price_cents
+        |FROM orders WHERE o_orderkey % 3 IN (1, 2)
+        |GROUP BY o_orderpriority""".stripMargin,
     "q14_merge" ->
       """WITH base AS (
         |  SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY o_custkey),

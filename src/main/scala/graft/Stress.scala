@@ -214,6 +214,10 @@ object Stress {
           "spark.sql.autoBroadcastJoinThreshold",
           "spark.sql.adaptive.enabled").foreach(spark.conf.unset)
       }
+      // warm BOTH paths once (codegen + OS page cache for the freshly
+      // written tables) before timing — whichever leg runs first would
+      // otherwise eat the cold-read penalty and bias the comparison
+      run(on = true); run(on = false)
       val (onSec, onEx, onRows) = run(on = true)
       val (offSec, offEx, offRows) = run(on = false)
       require(onRows == offRows, "SPJ changed an answer")

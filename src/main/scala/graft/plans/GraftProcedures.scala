@@ -140,7 +140,18 @@ object GraftProcedures {
       "remove a snapshot tag; the snapshot becomes ordinary history " +
         "(the next vacuum may reclaim it)",
       Seq(p("table", StringType), p("tag", StringType)),
-      r => { resolve(str(r, 0)).dropTag(str(r, 1)); () })
+      r => { resolve(str(r, 0)).dropTag(str(r, 1)); () }),
+    Proc("publish_wap",
+      "publish a staged write-audit-publish commit: cherry-pick its " +
+        "files onto the current head as a normal snapshot (stage with " +
+        "spark.graft.wap.id + INSERT INTO; audit via VERSION AS OF)",
+      Seq(p("table", StringType), p("wap_id", StringType)),
+      r => { resolve(str(r, 0)).publishStage(str(r, 1)); () }),
+    Proc("abandon_wap",
+      "discard a staged write-audit-publish commit and its data files " +
+        "— the audit said no",
+      Seq(p("table", StringType), p("wap_id", StringType)),
+      r => { resolve(str(r, 0)).abandonStage(str(r, 1)); () })
   ).map(pr => pr.procName -> pr).toMap
 
   def load(ident: Identifier): UnboundProcedure = {

@@ -199,11 +199,14 @@ class GraftTableCatalog extends TableCatalog
           StructType(new TieredSqlTable(s"$db.$base", spark, t, e).schema()
             .filterNot(_.name == t.SeqCol)))
       case "refs" =>
-        // Iceberg's $refs metadata listing: one row per named ref.
-        // Only tags exist today (branches would add type='branch').
-        new RefsTable(ident.toString, t.tags.map { case (n, id) =>
-          RefsTable.Row(n, "tag", id)
-        })
+        // Iceberg's $refs metadata listing: one row per named ref —
+        // tags, plus staged WAP commits as type='wap' (snapshot_id =
+        // the parent they were staged against; a branch would add
+        // type='branch')
+        new RefsTable(ident.toString,
+          t.tags.map { case (n, id) => RefsTable.Row(n, "tag", id) } ++
+            t.stagedIds.flatMap(w => t.stagedRead(w).map(s =>
+              RefsTable.Row(w, "wap", s.id))))
       case "cold" =>
         parquet(spark, ident.toString, t.coldFiles)
       case v if v.startsWith("v") =>
@@ -224,11 +227,12 @@ class GraftTableCatalog extends TableCatalog
   override def loadTable(ident: Identifier, version: String): Table = {
     val spark = SparkSession.active
     val t = tiered(ident)
-    // numeric → snapshot id; anything else → a snapshot TAG (Iceberg's
-    // `VERSION AS OF 'name'` ref resolution)
+    // numeric → snapshot id; anything else → a snapshot TAG, then a
+    // staged WAP commit (the audit read: parent + staged files) —
+    // Iceberg's `VERSION AS OF 'name'` ref resolution
     val snap = (if (version.nonEmpty && version.forall(_.isDigit))
         t.snapshot(version.toLong)
-      else t.tagSnapshot(version)).getOrElse(
+      else t.tagSnapshot(version).orElse(t.stagedRead(version))).getOrElse(
       throw new NoSuchTableException(
         Seq(catName, ident.namespace().mkString("."),
           s"${ident.name} VERSION AS OF $version")))
@@ -776,6 +780,22 @@ class TieredSqlTable(tableName: String, spark: SparkSession,
           new InsertableRelation {
             override def insert(data: org.apache.spark.sql.DataFrame,
                                 overwrite: Boolean): Unit = {
+              // write-audit-publish (Iceberg's `spark.wap.id` flow):
+              // with `spark.graft.wap.id` set, INSERT INTO stages the
+              // batch invisibly — audit via VERSION AS OF '<id>', then
+              // CALL graft.system.publish_wap / abandon_wap. Overwrite
+              // verbs refuse: a staged truncation cannot cherry-pick
+              // onto a head that moved past its base.
+              val wapId = Option(
+                spark.conf.get("spark.graft.wap.id", null)).filter(_.nonEmpty)
+              if (wapId.isDefined) {
+                require(!overwriteAll && !overwrite && partOverwrite.isEmpty,
+                  s"$tableName: INSERT OVERWRITE under spark.graft.wap.id " +
+                    "is not stageable — only appends cherry-pick onto a " +
+                    "moved head; unset the wap id to overwrite directly")
+                t.stageAppend(clusterForLayout(data), wapId.get)
+                return
+              }
               if (partOverwrite.isDefined) {
                 val batch =
                   if (entry.pk.isEmpty) clusterForLayout(data)

@@ -210,6 +210,66 @@ object Lakehouse {
         .stripMargin)
   }
 
+  /** Fixture for q28 — the write-audit-publish flow, end-to-end through
+    * the SQL surface: base load (`o_orderkey % 3 == 1`), then the
+    * `% 3 == 2` segment STAGED under `spark.graft.wap.id` via a plain
+    * `INSERT INTO`, audited through `VERSION AS OF 'q28-candidate'`
+    * (main reads must NOT see it yet — asserted here), then published
+    * with `CALL graft.system.publish_wap`. Crash-safe idempotence: a
+    * re-run that finds the stage pending just publishes it.
+    */
+  def demoWapPublished(spark: SparkSession, dir: String): TieredTable = {
+    ensureCatalog(spark)
+    val safe = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val path = s"${sys.props("java.io.tmpdir")}/graft-tiered/v$FormatVersion/$safe/orders_wap"
+    val t = TieredTable(spark, path)
+    graft.plans.TieredCatalog.register("bench", "orders_wap", path)
+    val wap = "q28-candidate"
+    if (t.latestSnapshotId < 1) {
+      val orders = Tables.load(spark, dir, "orders")
+      t.commitAppend(orders.filter(pmod(col("o_orderkey"), lit(3)) === 1))
+    }
+    if (t.latestSnapshotId < 2) {
+      if (t.stagedRead(wap).isEmpty) {
+        val orders = Tables.load(spark, dir, "orders")
+        orders.createOrReplaceTempView("q28_orders_src")
+        spark.conf.set("spark.graft.wap.id", wap)
+        try spark.sql(
+          """INSERT INTO graft.bench.orders_wap
+            |SELECT * FROM q28_orders_src WHERE o_orderkey % 3 = 2"""
+            .stripMargin)
+        finally spark.conf.unset("spark.graft.wap.id")
+      }
+      // the audit: staged rows are visible ONLY through the wap ref —
+      // a stage that leaked into the main read is the failure mode
+      // write-audit-publish exists to prevent
+      val mainN = spark.table("graft.bench.orders_wap").count()
+      val auditN = spark.sql(
+        "SELECT count(*) FROM graft.bench.orders_wap VERSION AS OF " +
+          s"'$wap'").head().getLong(0)
+      require(auditN > mainN,
+        s"wap stage leaked or vanished: main=$mainN audit=$auditN")
+      spark.sql(s"CALL graft.system.publish_wap('bench.orders_wap', '$wap')")
+    }
+    t
+  }
+
+  /** Q28 — write-audit-publish under the oracle: per-priority counts,
+    * key sums, and exact cents over the POST-PUBLISH state. The oracle
+    * recomputes the base∪staged split from the raw fixture, so a lost
+    * staged batch, a double publish, or a stage leaking before publish
+    * all change the totals and hash-mismatch.
+    */
+  def q28Wap(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    demoWapPublished(spark, dir).readCold()
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("o_orderkey")).as("key_sum"),
+        (sum(col("o_totalprice").cast(DecimalType(15, 2))) * 100)
+          .cast("long").as("price_cents"))
+  }
+
   /** Fixture for q20: a tiered table whose price column is RENAMED
     * between its two commits — snapshot 1's files carry `price`,
     * snapshot 2's carry `price_usd`; the COLMAP mapping makes every

@@ -1356,6 +1356,124 @@ class TieredTable(spark: SparkSession, rawTablePath: String,
     meta.get(s"$TagKeyPrefix$name")
       .flatMap(_.trim.toLongOption).flatMap(snapshot)
 
+  // ---- write-audit-publish: staged commits (Iceberg's WAP) ----
+
+  private val WapKeyPrefix = "wap-"
+
+  private case class StagedCommit(parent: Long, rows: Long,
+                                  files: Seq[String], stagedAt: Long)
+
+  private def stagedCommit(wapId: String): Option[StagedCommit] =
+    meta.get(s"$WapKeyPrefix$wapId").map { body =>
+      val kv = body.linesIterator.filter(_.contains("=")).map { l =>
+        val i = l.indexOf('='); l.substring(0, i) -> l.substring(i + 1)
+      }.toMap
+      StagedCommit(kv("parent").toLong, kv("rows").toLong,
+        kv("files").split(",").toSeq.filter(_.nonEmpty),
+        kv("stagedAt").toLong)
+    }
+
+  /** Stage an append WITHOUT publishing it — the write half of
+    * write-audit-publish (Iceberg's `spark.wap.id` flow). The batch's
+    * data files are fully written (same layout, sidecars, and blooms as
+    * a committed append) but no snapshot references them: every normal
+    * read, stream, and export is untouched until [[publishStage]].
+    * Audit the candidate via [[stagedRead]] (SQL:
+    * `VERSION AS OF '<wapId>'`), then publish or [[abandonStage]].
+    *
+    * Append-only tables: a staged UPSERT cannot cherry-pick — its merge
+    * result depends on the base it was computed against, and replaying
+    * it onto a moved head would silently resurrect overwritten keys.
+    * Refused loudly rather than approximated.
+    *
+    * One staged commit per id, arbitrated by the store's conditional
+    * PUT (two racing stagers of one id → one winner; the loser's data
+    * dir is deleted). Stage several ids for a multi-batch pipeline.
+    */
+  def stageAppend(df: DataFrame, wapId: String): Unit = withCommitLock {
+    require(wapId.nonEmpty && wapId.forall(c =>
+        c.isLetterOrDigit || c == '-' || c == '_' || c == '.'),
+      s"wap id must be [A-Za-z0-9._-]+, got '$wapId'")
+    require(pk.isEmpty,
+      s"write-audit-publish on $tablePath: staging supports append-only " +
+        "tables — a staged upsert's merge depends on the base it was " +
+        "computed against and cannot be replayed onto a moved head")
+    require(stagedCommit(wapId).isEmpty,
+      s"staged commit '$wapId' already exists on $tablePath — publish " +
+        "or abandon it first (one staged commit per id)")
+    // uuid'd dir: two racing stagers of one id must never write into
+    // one directory — the conditional PUT below picks the winner and
+    // the loser deletes its own private dir
+    val uuid = java.util.UUID.randomUUID().toString.take(8)
+    val out = s"$dataDir/wap-$wapId-$uuid"
+    writeData(df, out)
+    val rows = writtenRows(out)
+    val body =
+      s"""parent=$latestSnapshotId
+         |rows=$rows
+         |files=$out
+         |stagedAt=${System.currentTimeMillis()}
+         |""".stripMargin
+    if (!meta.putIfAbsent(s"$WapKeyPrefix$wapId", body)) {
+      fs.deleteRecursively(out)
+      throw new IllegalStateException(
+        s"staged commit '$wapId' on $tablePath was created by a " +
+          "concurrent stager — audit that one, or stage under a new id")
+    }
+  }
+
+  /** All staged (unpublished) commit ids, sorted. */
+  def stagedIds: Seq[String] =
+    meta.listKeys(WapKeyPrefix).map(_.stripPrefix(WapKeyPrefix))
+
+  /** The table as it WOULD look if `wapId` published onto the base it
+    * was staged against — the audit read. Synthesized as a snapshot
+    * view (parent's files + staged files) so `VERSION AS OF '<wapId>'`
+    * serves it through the same path as tags; None for unknown ids.
+    * Like tag reads, this is a snapshot-file read (cold tier only).
+    */
+  def stagedRead(wapId: String): Option[Snapshot] =
+    stagedCommit(wapId).map { st =>
+      val base = snapshot(st.parent)
+      Snapshot(st.parent, "wap", st.rows,
+        base.map(_.tieredSeg).getOrElse(-1L),
+        base.map(_.files).getOrElse(Nil) ++ st.files, st.stagedAt, wapId)
+    }
+
+  /** Publish a staged commit: cherry-pick its files onto the CURRENT
+    * head (which may have moved past the staged parent — appends
+    * commute, which is why staging is append-only) as a normal
+    * CAS-arbitrated snapshot, then release the staging key. The change
+    * feed sees the staged files as ordinary `+I` lineage.
+    */
+  def publishStage(wapId: String): Snapshot = withCommitLock {
+    val st = stagedCommit(wapId).getOrElse(throw new IllegalArgumentException(
+      s"no staged commit '$wapId' on $tablePath (published already, " +
+        "abandoned, or never staged)"))
+    val s = TieredTable.retryOnConflict() {
+      val prev = currentSnapshot
+      val snap = Snapshot(latestSnapshotId + 1, "publish", st.rows,
+        prev.map(_.tieredSeg).getOrElse(-1L),
+        prev.map(_.files).getOrElse(Nil) ++ st.files,
+        System.currentTimeMillis(), wapId)
+      commitManifest(snap)
+      snap
+    }
+    meta.delete(s"$WapKeyPrefix$wapId")
+    s
+  }
+
+  /** Discard a staged commit and its data files — the audit said no.
+    * Loud on unknown ids (a silently "abandoned" typo would leave the
+    * real candidate staged forever).
+    */
+  def abandonStage(wapId: String): Unit = withCommitLock {
+    val st = stagedCommit(wapId).getOrElse(throw new IllegalArgumentException(
+      s"no staged commit '$wapId' on $tablePath"))
+    meta.delete(s"$WapKeyPrefix$wapId")
+    st.files.foreach(fs.deleteRecursively)
+  }
+
   /** Drop history: keep the last `keepLast` snapshots PLUS every tagged
     * snapshot, delete older manifests, then physically remove (a) data
     * dirs referenced only by dropped snapshots and (b) log segments at
@@ -1368,7 +1486,12 @@ class TieredTable(spark: SparkSession, rawTablePath: String,
     require(keepLast >= 1, "must keep at least the current snapshot")
     val latest = latestSnapshotId
     val keepIds = (math.max(1L, latest - keepLast + 1) to latest)
-    val taggedIds = tags.map(_._2).toSet
+    // pinned outside the suffix: tagged snapshots, and the parents of
+    // staged (unpublished) WAP commits — an audit read resolves
+    // parent.files, so retention must not pull the base out from under
+    // a pending audit
+    val taggedIds = tags.map(_._2).toSet ++
+      stagedIds.flatMap(stagedCommit).map(_.parent).filter(_ > 0L)
     val kept = (keepIds ++ taggedIds.filter(_ < keepIds.head)).flatMap(snapshot)
     if (kept.isEmpty) return 0
     val referenced = kept.flatMap(_.files).map(_.stripSuffix("/")).toSet
@@ -1478,6 +1601,15 @@ class TieredTable(spark: SparkSession, rawTablePath: String,
     var removed = 0
     fs.listNames(dataDir)
       .filter(_.startsWith("snap-")).filterNot(live)
+      .foreach { d => fs.deleteRecursively(s"$dataDir/$d"); removed += 1 }
+    // WAP staging debris: a `wap-<id>-<uuid>` dir is live iff some
+    // staged manifest references it — a stager that died before its
+    // conditional PUT (or a CAS loser that crashed mid-cleanup) left a
+    // dir no manifest will ever name
+    val stagedLive = stagedIds.flatMap(stagedCommit).flatMap(_.files)
+      .map(_.stripSuffix("/").split('/').last).toSet
+    fs.listNames(dataDir)
+      .filter(_.startsWith("wap-")).filterNot(stagedLive)
       .foreach { d => fs.deleteRecursively(s"$dataDir/$d"); removed += 1 }
     // appendLog debris: local `_tmp-seg-*` dirs that died before their
     // atomic rename

@@ -103,5 +103,9 @@ class DemoSpec extends AnyFunSuite with SparkSpec {
     // r9: tags pin state through ingest + retention
     assert(has("snapshot tag: VERSION AS OF 'run-1' → epoch0 after " +
       "vacuum; refs=(run-1,1)"), lines.mkString("\n"))
+
+    // r9: write-audit-publish gates the corpus
+    assert(has("write-audit-publish: main=1 while staged, audit view=2, " +
+      "published → main=2"), lines.mkString("\n"))
   }
 }
