@@ -627,6 +627,25 @@ object Demo {
         s"audit view=$audit, published → main=$mainAfter")
     }
 
+    // 19m. declared write sort order + $partitions (r9): ingest
+    //      clusters by the declared key (disjoint per-file ranges →
+    //      range scans open O(matching files)), and per-partition
+    //      accounting answers from sidecars without opening data
+    {
+      val soDir = s"$base/tables/sorted_demo"
+      val st = graft.storage.TieredTable(spark, soDir,
+        partitionBy = Seq("p"), sortBy = Seq("k"))
+      TieredCatalog.register("fluss", "sorted_demo", soDir,
+        partitionBy = Seq("p"), sortBy = Seq("k"))
+      st.commitAppend(spark.range(100)
+        .selectExpr("CAST(id % 2 AS STRING) AS p", "id * 37 % 100 AS k"))
+      val parts = spark.sql(
+        "SELECT partition, file_count, row_count FROM " +
+          "graft.fluss.`sorted_demo$partitions` ORDER BY partition")
+        .collect().map(r => s"${r.getString(0)}:${r.getLong(2)}")
+      say(s"[demo] sorted write + $$partitions: ${parts.mkString(" ")}")
+    }
+
     // 20. THE REFERENCE SCRIPT, VERBATIM: the faker-source DDL
     //     (sql-client.sql) and the README walkthrough run unchanged
     //     through the Flink-dialect SQL surface — faker connector,

@@ -60,6 +60,7 @@ object SparkEntry {
     "q26_runtime_prune" -> (Lakehouse.q26RuntimePrune _),
     "q27_tag_travel"    -> (Lakehouse.q27TagTravel _),
     "q28_wap_publish"   -> (Lakehouse.q28Wap _),
+    "q29_sorted_scan"   -> (Lakehouse.q29SortedScan _),
     // training-data pipeline: dedup / similarity / text analysis
     "d1_exact_dedup" -> (Pipeline.d1ExactDedup _),
     "d2_fingerprint" -> (Pipeline.d2Fingerprint _),
@@ -455,6 +456,14 @@ object SparkEntry {
         |       CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))) * 100 AS BIGINT)
         |         AS price_cents
         |FROM orders WHERE o_orderkey % 3 IN (1, 2)
+        |GROUP BY o_orderpriority""".stripMargin,
+    // q29 = the same orders, scanned through the sort-clustered table
+    // inside a key band (file skipping prunes; values must not change)
+    "q29_sorted_scan" ->
+      """SELECT o_orderpriority, COUNT(*) AS cnt,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))) * 100 AS BIGINT)
+        |         AS price_cents
+        |FROM orders WHERE o_orderkey BETWEEN 10000 AND 20000
         |GROUP BY o_orderpriority""".stripMargin,
     "q14_merge" ->
       """WITH base AS (

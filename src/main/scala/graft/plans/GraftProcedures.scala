@@ -49,7 +49,8 @@ object GraftProcedures {
     val e = TieredCatalog.lookup(parts.head, parts(1)).getOrElse(
       fail(s"unknown graft table '$dbTable' — register or CREATE it first"))
     TieredTable(SparkSession.active, e.path, e.pk, e.mergeOnRead,
-      e.partitionBy, e.bloomCols, changeDataFeed = e.changeDataFeed)
+      e.partitionBy, e.bloomCols, changeDataFeed = e.changeDataFeed,
+      sortBy = e.sortBy)
   }
 
   private def p(name: String, dt: DataType,

@@ -139,6 +139,8 @@ class GraftTableCatalog extends TableCatalog
       case n if n.endsWith("$cold") => (n.stripSuffix("$cold"), "cold")
       case n if n.endsWith("$changes") => (n.stripSuffix("$changes"), "changes")
       case n if n.endsWith("$refs") => (n.stripSuffix("$refs"), "refs")
+      case n if n.endsWith("$partitions") =>
+        (n.stripSuffix("$partitions"), "partitions")
       case n if n.endsWith("__snapshots") =>
         (n.stripSuffix("__snapshots"), "snapshots")
       case n if n.endsWith("__files") => (n.stripSuffix("__files"), "files")
@@ -147,6 +149,8 @@ class GraftTableCatalog extends TableCatalog
       case n if n.endsWith("__changes") =>
         (n.stripSuffix("__changes"), "changes")
       case n if n.endsWith("__refs") => (n.stripSuffix("__refs"), "refs")
+      case n if n.endsWith("__partitions") =>
+        (n.stripSuffix("__partitions"), "partitions")
       case VersionSuffix(n, v) => (n, s"v$v") // time travel: VERSION AS OF
       case n => (n, "union")
     }
@@ -157,7 +161,7 @@ class GraftTableCatalog extends TableCatalog
         mode == "changes",
       s"merge-on-read PK table $db.$base is not SQL-addressable; use the API")
     val t = TieredTable(spark, e.path, e.pk, e.mergeOnRead, e.partitionBy,
-      e.bloomCols, changeDataFeed = e.changeDataFeed)
+      e.bloomCols, changeDataFeed = e.changeDataFeed, sortBy = e.sortBy)
     mode match {
       case "snapshots" =>
         new SnapshotsTable(ident.toString,
@@ -178,6 +182,34 @@ class GraftTableCatalog extends TableCatalog
           .map(s => FilesTable.Row(f"${t.tablePath}/log/seg-$s%06d", "hot",
             dirBytes(f"${t.tablePath}/log/seg-$s%06d")))
         new FilesTable(ident.toString, cold ++ hot)
+      case "partitions" =>
+        // Iceberg's $partitions analog: per partition value → exact
+        // file / row / byte accounting, entirely from the skipping
+        // sidecars + one listing per data dir — no data file is
+        // opened. Scoped to the COLD layout of the current snapshot
+        // (hot log segments are a row stream, not a partitioned
+        // layout; they join the accounting when tiered). The query
+        // a 100 TB operator asks before backfilling a day: how big
+        // IS that partition, without scanning it.
+        val partAgg = scala.collection.mutable.LinkedHashMap
+          .empty[String, (Long, Long, Long)]
+        t.currentSnapshot.map(_.files).getOrElse(Nil).foreach { root =>
+          val sizes = graft.storage.TableFs.forPath(root).listFiles(root)
+            .map { case (p, sz) =>
+              p.stripPrefix(root).stripPrefix("/") -> sz }.toMap
+          graft.storage.FileStats.readSidecar(root).foreach {
+            case (file, cols) =>
+              val partVal = file.split('/').dropRight(1)
+                .filter(_.contains("=")).mkString("/")
+              val rows = cols.values.map(_.rows).find(_ >= 0).getOrElse(0L)
+              val bytes = sizes.getOrElse(file, 0L)
+              val (f0, r0, b0) = partAgg.getOrElse(partVal, (0L, 0L, 0L))
+              partAgg(partVal) = (f0 + 1, r0 + rows, b0 + bytes)
+          }
+        }
+        new PartitionsTable(ident.toString, partAgg.toSeq.map {
+          case (p, (f, r, b)) => PartitionsTable.Row(p, f, r, b)
+        }.sortBy(_.partition))
       case "stats" =>
         // the skipping sidecars as a queryable relation (Iceberg $files'
         // bounds columns): one row per (file, column) with the exact
@@ -267,7 +299,7 @@ class GraftTableCatalog extends TableCatalog
     require(!e.mergeOnRead,
       s"merge-on-read PK table $db.${ident.name} is not SQL-addressable; use the API")
     TieredTable(SparkSession.active, e.path, e.pk, e.mergeOnRead,
-      e.partitionBy, changeDataFeed = e.changeDataFeed)
+      e.partitionBy, changeDataFeed = e.changeDataFeed, sortBy = e.sortBy)
   }
 
   private def parquet(spark: SparkSession, name: String,
@@ -341,6 +373,15 @@ class GraftTableCatalog extends TableCatalog
     // here): streaming-SQL commits auto-tier and Iceberg-export —
     // the reference's datalake-enabled tables (README.md:188-191)
     val datalake = props.get("datalake").exists(_.trim.toBoolean)
+    // 'write.sort-order' property (Iceberg's WRITE ORDERED BY): every
+    // cold write clusters rows by these columns — global range sort
+    // when unpartitioned (disjoint per-file bounds → range predicates
+    // prune to O(matching files)), local order within the layout
+    // tasks when partitioned
+    val sortCols = props.get("write.sort-order")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    sortCols.foreach(k => require(schema.fieldNames.contains(k),
+      s"write.sort-order column $k not in schema"))
     // 'watermark' property ('<col>:<delay>', the Flink dialect's
     // WATERMARK FOR clause): streaming statements reading this table
     // default their event-time watermark to it
@@ -355,7 +396,7 @@ class GraftTableCatalog extends TableCatalog
     tfs.writeString(s"$path/meta/SCHEMA", schema.toDDL)
     TieredCatalog.register(db, ident.name, path, pk, partitionBy = partCols,
       bloomCols = bloomCols, changeDataFeed = cdf, datalake = datalake,
-      watermark = watermark)
+      watermark = watermark, sortBy = sortCols)
     // DDL-created tables are durable: the entry persists under the
     // warehouse `_catalog/` and recovers lazily in a fresh process
     TieredCatalog.persist(db, ident.name)
@@ -397,7 +438,7 @@ class GraftTableCatalog extends TableCatalog
         .getOrElse(loadTable(ident).asInstanceOf[TieredSqlTable].schema())
     lazy val tt = TieredTable(SparkSession.active, e.path, e.pk,
       e.mergeOnRead, e.partitionBy, e.bloomCols,
-      changeDataFeed = e.changeDataFeed)
+      changeDataFeed = e.changeDataFeed, sortBy = e.sortBy)
     var needsConverge = false
     changes.foreach {
       case add: TableChange.AddColumn =>
@@ -988,6 +1029,58 @@ class RefsReaderFactory extends PartitionReaderFactory {
         new GenericInternalRow(Array[Any](
           UTF8String.fromString(cur.name),
           UTF8String.fromString(cur.refType), cur.snapshotId))
+      override def close(): Unit = ()
+    }
+}
+
+/** In-memory DSv2 table for the `$partitions` listing — per
+  * partition-value file/row/byte accounting from the stats sidecars
+  * (Iceberg's partitions metadata table). Driver-side metadata like
+  * `$snapshots`; `partition` is the Hive `col=value[/col=value…]`
+  * path ('' for unpartitioned tables).
+  */
+class PartitionsTable(tableName: String, rows: Seq[PartitionsTable.Row])
+    extends Table with SupportsRead {
+  override def name(): String = tableName
+  override def schema(): StructType = PartitionsTable.Schema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new Scan with Batch {
+      override def readSchema(): StructType = PartitionsTable.Schema
+      override def toBatch: Batch = this
+      override def planInputPartitions(): Array[InputPartition] =
+        Array(PartitionsPartition(rows))
+      override def createReaderFactory(): PartitionReaderFactory =
+        new PartitionsReaderFactory
+    }
+}
+
+object PartitionsTable {
+  case class Row(partition: String, fileCount: Long, rowCount: Long,
+                 sizeBytes: Long)
+
+  val Schema: StructType = StructType(Seq(
+    StructField("partition", StringType, nullable = false),
+    StructField("file_count", LongType, nullable = false),
+    StructField("row_count", LongType, nullable = false),
+    StructField("size_bytes", LongType, nullable = false)))
+}
+
+case class PartitionsPartition(rows: Seq[PartitionsTable.Row])
+  extends InputPartition
+
+class PartitionsReaderFactory extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private val it = p.asInstanceOf[PartitionsPartition].rows.iterator
+      private var cur: PartitionsTable.Row = _
+      override def next(): Boolean =
+        if (it.hasNext) { cur = it.next(); true } else false
+      override def get(): InternalRow =
+        new GenericInternalRow(Array[Any](
+          UTF8String.fromString(cur.partition),
+          cur.fileCount, cur.rowCount, cur.sizeBytes))
       override def close(): Unit = ()
     }
 }

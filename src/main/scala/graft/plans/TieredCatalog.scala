@@ -32,7 +32,8 @@ object TieredCatalog {
                    bloomCols: Seq[String] = Nil,
                    changeDataFeed: Boolean = false,
                    datalake: Boolean = false,
-                   watermark: Option[String] = None)
+                   watermark: Option[String] = None,
+                   sortBy: Seq[String] = Nil)
 
   private val reg = TrieMap.empty[(String, String), Entry]
 
@@ -42,10 +43,11 @@ object TieredCatalog {
                bloomCols: Seq[String] = Nil,
                changeDataFeed: Boolean = false,
                datalake: Boolean = false,
-               watermark: Option[String] = None): Unit =
+               watermark: Option[String] = None,
+               sortBy: Seq[String] = Nil): Unit =
     reg.put((db.toLowerCase, table.toLowerCase),
       Entry(path, pk, mergeOnRead, partitionBy, bloomCols, changeDataFeed,
-        datalake, watermark))
+        datalake, watermark, sortBy))
 
   def lookup(db: String, table: String): Option[Entry] =
     reg.get((db.toLowerCase, table.toLowerCase))
@@ -110,7 +112,8 @@ object TieredCatalog {
       ("mergeOnRead" -> e.mergeOnRead) ~
       ("partitionBy" -> e.partitionBy) ~ ("bloomCols" -> e.bloomCols) ~
       ("changeDataFeed" -> e.changeDataFeed) ~
-      ("datalake" -> e.datalake) ~ ("watermark" -> e.watermark)
+      ("datalake" -> e.datalake) ~ ("watermark" -> e.watermark) ~
+      ("sortBy" -> e.sortBy)
   }
 
   private def fromJson(j: org.json4s.JValue): Entry = {
@@ -123,7 +126,9 @@ object TieredCatalog {
       bloomCols = (j \ "bloomCols").extract[Seq[String]],
       changeDataFeed = (j \ "changeDataFeed").extract[Boolean],
       datalake = (j \ "datalake").extract[Boolean],
-      watermark = (j \ "watermark").extractOpt[String])
+      watermark = (j \ "watermark").extractOpt[String],
+      // absent in pre-r9 persisted entries — default, don't fail
+      sortBy = (j \ "sortBy").extractOpt[Seq[String]].getOrElse(Nil))
   }
 
   /** Registry miss → lazy recovery from the persisted catalog. A

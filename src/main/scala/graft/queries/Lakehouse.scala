@@ -270,6 +270,38 @@ object Lakehouse {
           .cast("long").as("price_cents"))
   }
 
+  /** Fixture for q29 — a table with a DECLARED write sort order
+    * (`write.sort-order` = o_orderkey): the one batch-committed load
+    * range-sorts globally, so files carry disjoint key ranges and the
+    * sidecars prune the q29 key-band scan to O(matching files).
+    */
+  def demoTableSorted(spark: SparkSession, dir: String): TieredTable = {
+    ensureCatalog(spark)
+    val safe = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val path = s"${sys.props("java.io.tmpdir")}/graft-tiered/v$FormatVersion/$safe/orders_sorted"
+    val t = TieredTable(spark, path, sortBy = Seq("o_orderkey"))
+    graft.plans.TieredCatalog.register("bench", "orders_sorted", path,
+      sortBy = Seq("o_orderkey"))
+    if (t.latestSnapshotId < 1)
+      t.commitAppend(Tables.load(spark, dir, "orders"))
+    t
+  }
+
+  /** Q29 — range scan over the sort-clustered table: priority totals
+    * inside a key band. Values are oracle-checked; the SCALE property
+    * (disjoint per-file bounds pruning the band to O(matching files))
+    * is pinned by WriteSortOrderSpec.
+    */
+  def q29SortedScan(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    demoTableSorted(spark, dir).readColdWhere(
+      col("o_orderkey").between(10000L, 20000L))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("cnt"),
+        (sum(col("o_totalprice").cast(DecimalType(15, 2))) * 100)
+          .cast("long").as("price_cents"))
+  }
+
   /** Fixture for q20: a tiered table whose price column is RENAMED
     * between its two commits — snapshot 1's files carry `price`,
     * snapshot 2's carry `price_usd`; the COLMAP mapping makes every

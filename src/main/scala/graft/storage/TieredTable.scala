@@ -51,7 +51,8 @@ class TieredTable(spark: SparkSession, rawTablePath: String,
                   val bloomCols: Seq[String] = Nil,
                   metaStore: MetaStore = null,
                   val changeDataFeed: Boolean = false,
-                  val icebergExport: Boolean = false) {
+                  val icebergExport: Boolean = false,
+                  val sortBy: Seq[String] = Nil) {
   require(!icebergExport || !(mergeOnRead && partitionBy.nonEmpty) ||
       partitionBy.forall(pk.contains),
     "icebergExport of a partitioned merge-on-read table requires the " +
@@ -651,7 +652,33 @@ class TieredTable(spark: SparkSession, rawTablePath: String,
     * and `PartitionFilters` land in the scan (plan-asserted in
     * TieredTableSpec).
     */
-  private def writeData(df: DataFrame, path: String): Unit = {
+  /** Declared write sort order (Iceberg's `WRITE ORDERED BY`): every
+    * COLD write — append, tier, compact, overwrite, staged — clusters
+    * rows by `sortBy` before landing. Unpartitioned: a GLOBAL sort
+    * (range exchange, Iceberg's range distribution-mode), so files
+    * carry DISJOINT sort-key ranges and the min/max sidecars prune a
+    * range predicate to O(matching files). Partitioned: sort within
+    * the layout tasks (hash mode + local order — cross-file
+    * disjointness would need range-splitting each partition value).
+    * The hot log append stays unsorted (latency path); tiering
+    * converges layout, same stance as compaction. Skipped when the
+    * batch predates the column (schema evolution: old segments tier
+    * without it) and under `spark.graft.write.distributionMode=none`
+    * (one giant sort run → one writer task, same opt-out as
+    * clustering).
+    */
+  private def applySortOrder(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val on = sortBy.nonEmpty &&
+      sortBy.forall(c => df.columns.exists(_.equalsIgnoreCase(c))) &&
+      spark.conf.get("spark.graft.write.distributionMode", "hash") != "none"
+    if (!on) df
+    else if (partitionBy.isEmpty) df.orderBy(sortBy.map(col): _*)
+    else df.sortWithinPartitions((partitionBy ++ sortBy).map(col): _*)
+  }
+
+  private def writeData(df0: DataFrame, path: String): Unit = {
+    val df = applySortOrder(df0)
     val w = df.write.mode("overwrite")
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .parquet(path)
@@ -2203,9 +2230,10 @@ object TieredTable {
             bloomCols: Seq[String] = Nil,
             metaStore: MetaStore = null,
             changeDataFeed: Boolean = false,
-            icebergExport: Boolean = false): TieredTable =
+            icebergExport: Boolean = false,
+            sortBy: Seq[String] = Nil): TieredTable =
     new TieredTable(spark, path, pk, mergeOnRead, partitionBy, bloomCols,
-      metaStore, changeDataFeed, icebergExport)
+      metaStore, changeDataFeed, icebergExport, sortBy)
 
   /** A concurrent committer (another process) won the snapshot id this
     * commit targeted. The table is uncorrupted; the commit did not

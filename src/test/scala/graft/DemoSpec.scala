@@ -107,5 +107,9 @@ class DemoSpec extends AnyFunSuite with SparkSpec {
     // r9: write-audit-publish gates the corpus
     assert(has("write-audit-publish: main=1 while staged, audit view=2, " +
       "published → main=2"), lines.mkString("\n"))
+
+    // r9: declared sort order + per-partition accounting
+    assert(has("sorted write + $partitions: p=0:50 p=1:50"),
+      lines.mkString("\n"))
   }
 }
