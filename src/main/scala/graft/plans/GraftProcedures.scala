@@ -142,6 +142,12 @@ object GraftProcedures {
         "(the next vacuum may reclaim it)",
       Seq(p("table", StringType), p("tag", StringType)),
       r => { resolve(str(r, 0)).dropTag(str(r, 1)); () }),
+    Proc("cherrypick_snapshot",
+      "re-apply one historical append onto the current head (the " +
+        "selective-recovery verb after rollback_to_snapshot); " +
+        "append-lineage snapshots only",
+      Seq(p("table", StringType), p("snapshot_id", LongType)),
+      r => { resolve(str(r, 0)).cherrypick(r.getLong(1)); () }),
     Proc("publish_wap",
       "publish a staged write-audit-publish commit: cherry-pick its " +
         "files onto the current head as a normal snapshot (stage with " +

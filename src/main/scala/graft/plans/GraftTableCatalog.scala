@@ -462,8 +462,31 @@ class GraftTableCatalog extends TableCatalog
         if (tt.latestSnapshotId > 0 || tt.logSegments.nonEmpty)
           tt.dropColumn(name)
         schema = StructType(schema.filterNot(_.name == name))
+      // ALTER TABLE … SET TBLPROPERTIES: the two knobs that are purely
+      // write-side policy re-point safely mid-life — sort order shapes
+      // FUTURE writes (existing layout converges at the next
+      // compact/tier, same stance as schema evolution), bloom columns
+      // shape future sidecars. Structural properties (primary-key,
+      // partitioning, path) define the layout itself and refuse.
+      case set: TableChange.SetProperty if set.property == "write.sort-order" =>
+        val cols = set.value.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        cols.foreach(c => require(schema.fieldNames.contains(c),
+          s"write.sort-order column $c not in schema"))
+        TieredCatalog.register(db, ident.name, e.path, e.pk, e.mergeOnRead,
+          e.partitionBy, e.bloomCols, e.changeDataFeed, e.datalake,
+          e.watermark, sortBy = cols)
+        TieredCatalog.persist(db, ident.name)
+      case set: TableChange.SetProperty if set.property == "bloom-columns" =>
+        val cols = set.value.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        cols.foreach(c => require(schema.fieldNames.contains(c),
+          s"bloom-columns column $c not in schema"))
+        TieredCatalog.register(db, ident.name, e.path, e.pk, e.mergeOnRead,
+          e.partitionBy, bloomCols = cols, e.changeDataFeed, e.datalake,
+          e.watermark, sortBy = e.sortBy)
+        TieredCatalog.persist(db, ident.name)
       case other => throw new UnsupportedOperationException(
-        s"unsupported table change: $other (ADD/RENAME/DROP COLUMN only)")
+        s"unsupported table change: $other (ADD/RENAME/DROP COLUMN, " +
+          "SET TBLPROPERTIES for write.sort-order / bloom-columns)")
     }
     if (needsConverge || changes.exists(_.isInstanceOf[TableChange.DeleteColumn])) {
       // converge the physical head layout for the name-based SQL scan;

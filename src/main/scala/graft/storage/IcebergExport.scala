@@ -1083,6 +1083,16 @@ object IcebergExport {
         "graft.export-fingerprint" -> fingerprint),
       "current-snapshot-id" -> head.id,
       "snapshots" -> snapshotObjs,
+      // named refs (Iceberg v2 `refs`): `main` is the head branch;
+      // graft snapshot TAGS export as Iceberg tags, so an external
+      // reader resolves the same pinned corpus states BY NAME that
+      // graft's `VERSION AS OF 'name'` serves — only tags whose
+      // snapshot is still retained (vacuum may have released others)
+      "refs" -> (Map(
+        "main" -> Map("snapshot-id" -> head.id, "type" -> "branch")) ++
+        table.tags.filter { case (_, id) => snaps.exists(_.id == id) }
+          .map { case (n, id) =>
+            n -> Map("snapshot-id" -> id, "type" -> "tag") }),
       "snapshot-log" -> snaps.map(s =>
         Map("timestamp-ms" -> s.committedAt, "snapshot-id" -> s.id)),
       "metadata-log" -> Seq.empty[Any])

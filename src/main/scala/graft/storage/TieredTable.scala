@@ -1331,6 +1331,46 @@ class TieredTable(spark: SparkSession, rawTablePath: String,
     s
   }
 
+  /** Re-apply one historical snapshot's APPEND onto the current head —
+    * Iceberg's `cherrypick_snapshot`. The selective-recovery verb after
+    * a [[rollbackTo]]: roll back past a bad commit, then cherry-pick
+    * the good commits that followed it. Only append-lineage snapshots
+    * qualify (their delta is exactly "these files joined the table";
+    * appends commute — same argument as [[publishStage]]); a verb that
+    * rewrote the file list (upsert resolve, compact, overwrite) is
+    * refused because replaying it onto a different base would silently
+    * resurrect or lose rows. Refuses when the head already references
+    * the files (double-pick would double-count).
+    */
+  def cherrypick(snapshotId: Long): Snapshot = withCommitLock {
+    val target = snapshot(snapshotId).getOrElse(
+      throw new IllegalArgumentException(
+        s"snapshot $snapshotId of $tablePath not found (never " +
+          "committed, or already vacuumed)"))
+    val parentFiles = snapshot(snapshotId - 1)
+      .map(_.files.toSet).getOrElse(Set.empty)
+    require(parentFiles.subsetOf(target.files.toSet),
+      s"snapshot $snapshotId ('${target.op}') rewrote the file list — " +
+        "only append-lineage snapshots cherry-pick; a replayed " +
+        "rewrite against a different base loses or resurrects rows")
+    val added = target.files.filterNot(parentFiles)
+    require(added.nonEmpty,
+      s"snapshot $snapshotId added no files — nothing to cherry-pick")
+    TieredTable.retryOnConflict() {
+      val prev = currentSnapshot
+      val prevFiles = prev.map(_.files.toSet).getOrElse(Set.empty)
+      require(!added.exists(prevFiles),
+        s"the current head already references snapshot $snapshotId's " +
+          "files — cherry-picking again would double-count its rows")
+      val s = Snapshot(latestSnapshotId + 1, "cherrypick",
+        target.rowsAdded, prev.map(_.tieredSeg).getOrElse(-1L),
+        prev.map(_.files).getOrElse(Nil) ++ added,
+        System.currentTimeMillis(), s"cherrypick-$snapshotId")
+      commitManifest(s)
+      s
+    }
+  }
+
   // ---- snapshot tags: named immutable refs (Iceberg's `tags`) ----
 
   private val TagKeyPrefix = "ref-tag-"

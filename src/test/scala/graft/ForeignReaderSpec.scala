@@ -76,6 +76,32 @@ class ForeignReaderSpec extends AnyFunSuite with SparkSpec {
     assert(r("deletes").toString.toInt >= 2, s"delete files read: $r")
   }
 
+  test("named refs: a graft snapshot tag exports as an Iceberg ref " +
+       "and the foreign reader resolves the pinned state by name") {
+    assume(pythonOk, "driver-side python3+duckdb unavailable")
+    val dir = Files.createTempDirectory("graft-foreign-ref").toString
+    val t = TieredTable(spark, s"$dir/corpus")
+    t.commitAppend(Seq((1L, "epoch0")).toDF("id", "v"))
+    t.createTag("train-run") // pins snapshot 1
+    t.commitAppend(Seq((2L, "epoch1")).toDF("id", "v"))
+    IcebergExport.export(t)
+
+    // by name → the tagged snapshot, bit-identical to the engine's
+    // own VERSION AS OF read
+    val pinned = runReader(Seq(t.tablePath, "--ref", "train-run",
+      "--compare", dump(t.readColdAsOf(1L), s"$dir/expected1")))
+    assert(pinned("rows") == 1 && pinned("match") == true, pinned.toString)
+    // `main` resolves the head branch
+    val head = runReader(Seq(t.tablePath, "--ref", "main",
+      "--compare", dump(t.readCold(), s"$dir/expected2")))
+    assert(head("rows") == 2 && head("match") == true, head.toString)
+    // unknown names refuse loudly, listing what exists
+    val code = scala.sys.process.Process(
+      Seq("python3", "tools/iceberg_reader.py", t.tablePath,
+        "--ref", "ghost")).!(scala.sys.process.ProcessLogger(_ => ()))
+    assert(code == 2, "unknown ref must exit 2")
+  }
+
   test("the foreign engine DISCOVERS the table over the REST catalog " +
        "(url + name, never a path)") {
     assume(pythonOk, "driver-side python3+duckdb unavailable")

@@ -64,6 +64,29 @@ class ProceduresSpec extends AnyFunSuite with SparkSpec {
     assert(!Files.exists(orphan))
   }
 
+  test("CALL cherrypick_snapshot: rollback past a bad commit, then " +
+       "re-apply the good append that followed it") {
+    val (t, ref) = fresh("cp")
+    t.commitAppend(Seq((1L, "good")).toDF("id", "v"))   // snap 1
+    t.commitAppend(Seq((2L, "BAD")).toDF("id", "v"))    // snap 2
+    t.commitAppend(Seq((3L, "good2")).toDF("id", "v"))  // snap 3
+    spark.sql(s"CALL graft.system.rollback_to_snapshot('$ref', 1)")
+    assert(t.readCold().count() == 1)
+    spark.sql(s"CALL graft.system.cherrypick_snapshot('$ref', 3)")
+    assert(t.readCold().select("v").as[String].collect().toSet ==
+      Set("good", "good2"),
+      "the picked append lands; the rolled-back one stays out")
+
+    // refusals: double-pick, rewrite-lineage snapshots, unknown ids
+    val dup = intercept[Exception](t.cherrypick(3L))
+    assert(dup.getMessage.contains("double-count"))
+    t.compact() // a rewrite snapshot
+    val rw = intercept[Exception](
+      t.cherrypick(t.latestSnapshotId))
+    assert(rw.getMessage.contains("rewrote the file list"))
+    intercept[IllegalArgumentException](t.cherrypick(99L))
+  }
+
   test("unknown procedure and unknown table fail loudly") {
     val e1 = intercept[org.apache.spark.sql.AnalysisException](
       spark.sql("CALL graft.system.nope('procdb.cv')"))

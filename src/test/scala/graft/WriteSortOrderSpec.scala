@@ -117,6 +117,26 @@ class WriteSortOrderSpec extends AnyFunSuite with SparkSpec {
     assert(bad.getMessage.contains("nope"))
   }
 
+  test("ALTER TABLE SET TBLPROPERTIES re-points write.sort-order " +
+       "mid-life; structural properties refuse") {
+    val name = "alter_sort"
+    spark.sql(s"DROP TABLE IF EXISTS graft.sorts.$name")
+    spark.sql(s"CREATE TABLE graft.sorts.$name (k BIGINT, v STRING)")
+    assert(TieredCatalog.lookup("sorts", name).get.sortBy.isEmpty)
+    spark.sql(s"ALTER TABLE graft.sorts.$name " +
+      "SET TBLPROPERTIES ('write.sort-order' = 'k')")
+    assert(TieredCatalog.lookup("sorts", name).get.sortBy == Seq("k"))
+
+    val badCol = intercept[Exception](spark.sql(
+      s"ALTER TABLE graft.sorts.$name " +
+        "SET TBLPROPERTIES ('write.sort-order' = 'nope')"))
+    assert(badCol.getMessage.contains("nope"))
+    val structural = intercept[Exception](spark.sql(
+      s"ALTER TABLE graft.sorts.$name " +
+        "SET TBLPROPERTIES ('primary-key' = 'k')"))
+    assert(structural.getMessage.contains("unsupported"))
+  }
+
   test("$partitions: per-partition file/row/byte accounting from " +
        "sidecars alone") {
     val dir = Files.createTempDirectory("graft-partmeta").toString

@@ -286,6 +286,19 @@ def main():
         md = load_metadata_rest(sys.argv[2], sys.argv[3], sys.argv[4])
     else:
         md = load_metadata_file(sys.argv[1])
+    if "--ref" in sys.argv:
+        # named-ref read (Iceberg `refs`): graft snapshot tags export as
+        # tags here, so the SAME pinned state graft serves via
+        # VERSION AS OF 'name' resolves from plain metadata — loud on
+        # unknown names, listing what exists
+        ref = sys.argv[sys.argv.index("--ref") + 1]
+        refs = md.get("refs") or {}
+        if ref not in refs:
+            print(json.dumps({"error": f"unknown ref '{ref}'",
+                              "refs": sorted(refs)}))
+            sys.exit(2)
+        md = dict(md)
+        md["current-snapshot-id"] = refs[ref]["snapshot-id"]
     con, nfiles, ndeletes, names = scan(md)
     nrows = con.execute("SELECT COUNT(*) FROM resolved").fetchone()[0]
     out = {"rows": nrows, "files": nfiles, "deletes": ndeletes,
