@@ -627,6 +627,29 @@ object Demo {
         s"audit view=$audit, published → main=$mainAfter")
     }
 
+    // 19l2. branches (r9): the multi-batch WAP — a day of batches
+    //       accumulates on a branch, the audit gates once, the corpus
+    //       advances once (fast_forward = ONE published snapshot)
+    {
+      val brDir = s"$base/tables/branch_demo"
+      val bt = graft.storage.TieredTable(spark, brDir)
+      TieredCatalog.register("fluss", "branch_demo", brDir)
+      bt.commitAppend(Seq((1L, "corpus")).toDF("id", "v"))
+      spark.sql("CALL graft.system.create_branch('fluss.branch_demo', 'day1')")
+      spark.conf.set("spark.graft.wap.branch", "day1")
+      try {
+        spark.sql("INSERT INTO graft.fluss.branch_demo VALUES (2, 'b1')")
+        spark.sql("INSERT INTO graft.fluss.branch_demo VALUES (3, 'b2')")
+      } finally spark.conf.unset("spark.graft.wap.branch")
+      val branchN = spark.sql(
+        "SELECT count(*) FROM graft.fluss.branch_demo VERSION AS OF 'day1'")
+        .head().getLong(0)
+      spark.sql("CALL graft.system.fast_forward('fluss.branch_demo', 'day1')")
+      say(s"[demo] branch day1: audit view=$branchN, fast_forward → " +
+        s"main=${spark.table("graft.fluss.branch_demo").count()} in " +
+        s"${bt.latestSnapshotId} snapshots")
+    }
+
     // 19m. declared write sort order + $partitions (r9): ingest
     //      clusters by the declared key (disjoint per-file ranges →
     //      range scans open O(matching files)), and per-partition

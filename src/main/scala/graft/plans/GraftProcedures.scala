@@ -158,7 +158,22 @@ object GraftProcedures {
       "discard a staged write-audit-publish commit and its data files " +
         "— the audit said no",
       Seq(p("table", StringType), p("wap_id", StringType)),
-      r => { resolve(str(r, 0)).abandonStage(str(r, 1)); () })
+      r => { resolve(str(r, 0)).abandonStage(str(r, 1)); () }),
+    Proc("create_branch",
+      "fork a mutable branch at the current head; INSERT INTO under " +
+        "spark.graft.wap.branch accumulates appends on it, invisible " +
+        "to main until fast_forward",
+      Seq(p("table", StringType), p("branch", StringType)),
+      r => { resolve(str(r, 0)).createBranch(str(r, 1)); () }),
+    Proc("fast_forward",
+      "publish every append accumulated on the branch onto the " +
+        "current head as one snapshot, then delete the branch",
+      Seq(p("table", StringType), p("branch", StringType)),
+      r => { resolve(str(r, 0)).fastForward(str(r, 1)); () }),
+    Proc("drop_branch",
+      "delete a branch and its unpublished data files",
+      Seq(p("table", StringType), p("branch", StringType)),
+      r => { resolve(str(r, 0)).dropBranch(str(r, 1)); () })
   ).map(pr => pr.procName -> pr).toMap
 
   def load(ident: Identifier): UnboundProcedure = {

@@ -238,7 +238,9 @@ class GraftTableCatalog extends TableCatalog
         new RefsTable(ident.toString,
           t.tags.map { case (n, id) => RefsTable.Row(n, "tag", id) } ++
             t.stagedIds.flatMap(w => t.stagedRead(w).map(s =>
-              RefsTable.Row(w, "wap", s.id))))
+              RefsTable.Row(w, "wap", s.id))) ++
+            t.branches.map { case (n, parent) =>
+              RefsTable.Row(n, "branch", parent) })
       case "cold" =>
         parquet(spark, ident.toString, t.coldFiles)
       case v if v.startsWith("v") =>
@@ -260,11 +262,12 @@ class GraftTableCatalog extends TableCatalog
     val spark = SparkSession.active
     val t = tiered(ident)
     // numeric → snapshot id; anything else → a snapshot TAG, then a
-    // staged WAP commit (the audit read: parent + staged files) —
+    // staged WAP commit, then a BRANCH (fork parent + its appends) —
     // Iceberg's `VERSION AS OF 'name'` ref resolution
     val snap = (if (version.nonEmpty && version.forall(_.isDigit))
         t.snapshot(version.toLong)
-      else t.tagSnapshot(version).orElse(t.stagedRead(version))).getOrElse(
+      else t.tagSnapshot(version).orElse(t.stagedRead(version))
+        .orElse(t.branchRead(version))).getOrElse(
       throw new NoSuchTableException(
         Seq(catName, ident.namespace().mkString("."),
           s"${ident.name} VERSION AS OF $version")))
@@ -852,12 +855,25 @@ class TieredSqlTable(tableName: String, spark: SparkSession,
               // onto a head that moved past its base.
               val wapId = Option(
                 spark.conf.get("spark.graft.wap.id", null)).filter(_.nonEmpty)
-              if (wapId.isDefined) {
+              val wapBranch = Option(
+                spark.conf.get("spark.graft.wap.branch", null))
+                .filter(_.nonEmpty)
+              require(wapId.isEmpty || wapBranch.isEmpty,
+                s"$tableName: both spark.graft.wap.id and " +
+                  "spark.graft.wap.branch are set — one staging target " +
+                  "at a time")
+              if (wapId.isDefined || wapBranch.isDefined) {
                 require(!overwriteAll && !overwrite && partOverwrite.isEmpty,
-                  s"$tableName: INSERT OVERWRITE under spark.graft.wap.id " +
-                    "is not stageable — only appends cherry-pick onto a " +
-                    "moved head; unset the wap id to overwrite directly")
-                t.stageAppend(clusterForLayout(data), wapId.get)
+                  s"$tableName: INSERT OVERWRITE under a wap staging " +
+                    "conf is not stageable — only appends cherry-pick " +
+                    "onto a moved head; unset it to overwrite directly")
+                wapId match {
+                  case Some(id) => t.stageAppend(clusterForLayout(data), id)
+                  // branch: multi-batch staging — every INSERT under the
+                  // conf accumulates on the branch until fast_forward
+                  case None =>
+                    t.appendToBranch(clusterForLayout(data), wapBranch.get)
+                }
                 return
               }
               if (partOverwrite.isDefined) {

@@ -1393,6 +1393,9 @@ class TieredTable(spark: SparkSession, rawTablePath: String,
     require(snapshot(id).isDefined,
       s"cannot tag snapshot $id of $tablePath — not found " +
         "(never committed, or already vacuumed)")
+    require(meta.get(s"$BranchKeyPrefix$name").isEmpty,
+      s"'$name' is already a BRANCH on $tablePath — tags and branches " +
+        "share the VERSION AS OF namespace")
     require(meta.putIfAbsent(s"$TagKeyPrefix$name", id.toString),
       s"tag '$name' already exists on $tablePath (tags are immutable — " +
         "drop it first to re-point)")
@@ -1541,6 +1544,132 @@ class TieredTable(spark: SparkSession, rawTablePath: String,
     st.files.foreach(fs.deleteRecursively)
   }
 
+  // ---- branches: named MUTABLE append-lineage refs ----
+
+  private val BranchKeyPrefix = "ref-branch-"
+
+  private case class BranchState(parent: Long, rows: Long,
+                                 files: Seq[String], createdAt: Long)
+
+  private def branchState(name: String): Option[BranchState] =
+    meta.get(s"$BranchKeyPrefix$name").map { body =>
+      val kv = body.linesIterator.filter(_.contains("=")).map { l =>
+        val i = l.indexOf('='); l.substring(0, i) -> l.substring(i + 1)
+      }.toMap
+      BranchState(kv("parent").toLong, kv("rows").toLong,
+        kv("files").split(",").toSeq.filter(_.nonEmpty),
+        kv("createdAt").toLong)
+    }
+
+  private def writeBranchState(name: String, st: BranchState): Unit =
+    meta.put(s"$BranchKeyPrefix$name",
+      s"""parent=${st.parent}
+         |rows=${st.rows}
+         |files=${st.files.mkString(",")}
+         |createdAt=${st.createdAt}
+         |""".stripMargin)
+
+  /** Create a branch forked at the current head — the MUTABLE ref:
+    * unlike a single staged WAP commit, a branch accumulates ANY
+    * number of appends ([[appendToBranch]], or `INSERT INTO` under
+    * `spark.graft.wap.branch`), each invisible to main until ONE
+    * [[fastForward]] publishes them all. The multi-batch
+    * write-audit-publish workflow: a pipeline lands a day of batches
+    * on the branch, the audit gates once, the corpus advances once.
+    * Append-only for the same reason as WAP — appends commute onto a
+    * moved head. Tags and branches share the `VERSION AS OF`
+    * namespace, so a name can be only one of them.
+    */
+  def createBranch(name: String): Unit = withCommitLock {
+    require(name.nonEmpty && name.forall(c =>
+        c.isLetterOrDigit || c == '-' || c == '_' || c == '.'),
+      s"branch name must be [A-Za-z0-9._-]+, got '$name'")
+    require(pk.isEmpty,
+      s"branches on $tablePath: append-only tables only — a branched " +
+        "upsert's merge depends on the base it was computed against")
+    require(tagSnapshot(name).isEmpty && meta.get(s"$TagKeyPrefix$name").isEmpty,
+      s"'$name' is already a TAG on $tablePath — tags and branches " +
+        "share the VERSION AS OF namespace")
+    require(meta.putIfAbsent(s"$BranchKeyPrefix$name",
+        s"""parent=$latestSnapshotId
+           |rows=0
+           |files=
+           |createdAt=${System.currentTimeMillis()}
+           |""".stripMargin),
+      s"branch '$name' already exists on $tablePath")
+  }
+
+  /** Append a batch to the branch — data files land fully (layout,
+    * sidecars, blooms), the branch head advances, main never sees it.
+    * Branch mutation is single-writer by contract (the JVM commit
+    * lock; a branch is one pipeline's workspace) — cross-process
+    * branch writers would need the manifest-CAS chain main has.
+    */
+  def appendToBranch(df: DataFrame, name: String): Unit = withCommitLock {
+    val st = branchState(name).getOrElse(
+      throw new IllegalArgumentException(
+        s"no branch '$name' on $tablePath — create_branch first"))
+    val uuid = java.util.UUID.randomUUID().toString.take(8)
+    val out = s"$dataDir/wap-br-$name-$uuid"
+    writeData(df, out)
+    writeBranchState(name, st.copy(rows = st.rows + writtenRows(out),
+      files = st.files :+ out))
+  }
+
+  /** All branches as (name, forkedAtSnapshotId), sorted by name. */
+  def branches: Seq[(String, Long)] =
+    meta.listKeys(BranchKeyPrefix).flatMap { k =>
+      branchState(k.stripPrefix(BranchKeyPrefix))
+        .map(st => (k.stripPrefix(BranchKeyPrefix), st.parent))
+    }
+
+  /** The branch's view: its fork parent's files + every branch append
+    * — what `VERSION AS OF '<branch>'` serves. None for unknown names.
+    */
+  def branchRead(name: String): Option[Snapshot] =
+    branchState(name).map { st =>
+      val base = snapshot(st.parent)
+      Snapshot(st.parent, "branch", st.rows,
+        base.map(_.tieredSeg).getOrElse(-1L),
+        base.map(_.files).getOrElse(Nil) ++ st.files, st.createdAt, name)
+    }
+
+  /** Publish every append accumulated on the branch onto the CURRENT
+    * head as ONE snapshot, then delete the branch — Iceberg's
+    * `fast_forward` collapsed with the WAP publish (appends commute
+    * past any head movement since the fork). Refuses an empty branch
+    * (nothing to publish is a pipeline bug worth hearing about).
+    */
+  def fastForward(name: String): Snapshot = withCommitLock {
+    val st = branchState(name).getOrElse(
+      throw new IllegalArgumentException(
+        s"no branch '$name' on $tablePath"))
+    require(st.files.nonEmpty,
+      s"branch '$name' on $tablePath has no appends — nothing to publish")
+    val s = TieredTable.retryOnConflict() {
+      val prev = currentSnapshot
+      val snap = Snapshot(latestSnapshotId + 1, "publish", st.rows,
+        prev.map(_.tieredSeg).getOrElse(-1L),
+        prev.map(_.files).getOrElse(Nil) ++ st.files,
+        System.currentTimeMillis(), s"branch-$name")
+      commitManifest(snap)
+      snap
+    }
+    meta.delete(s"$BranchKeyPrefix$name")
+    s
+  }
+
+  /** Delete the branch and its data files — the audit said no, or the
+    * workspace is abandoned. Loud on unknown names.
+    */
+  def dropBranch(name: String): Unit = withCommitLock {
+    val st = branchState(name).getOrElse(
+      throw new IllegalArgumentException(
+        s"no branch '$name' on $tablePath"))
+    meta.delete(s"$BranchKeyPrefix$name")
+    st.files.foreach(fs.deleteRecursively)
+  }
+
   /** Drop history: keep the last `keepLast` snapshots PLUS every tagged
     * snapshot, delete older manifests, then physically remove (a) data
     * dirs referenced only by dropped snapshots and (b) log segments at
@@ -1553,12 +1682,13 @@ class TieredTable(spark: SparkSession, rawTablePath: String,
     require(keepLast >= 1, "must keep at least the current snapshot")
     val latest = latestSnapshotId
     val keepIds = (math.max(1L, latest - keepLast + 1) to latest)
-    // pinned outside the suffix: tagged snapshots, and the parents of
-    // staged (unpublished) WAP commits — an audit read resolves
-    // parent.files, so retention must not pull the base out from under
-    // a pending audit
+    // pinned outside the suffix: tagged snapshots, and the fork
+    // parents of staged WAP commits and live branches — an audit /
+    // branch read resolves parent.files, so retention must not pull
+    // the base out from under a pending publish
     val taggedIds = tags.map(_._2).toSet ++
-      stagedIds.flatMap(stagedCommit).map(_.parent).filter(_ > 0L)
+      stagedIds.flatMap(stagedCommit).map(_.parent).filter(_ > 0L) ++
+      branches.map(_._2).filter(_ > 0L)
     val kept = (keepIds ++ taggedIds.filter(_ < keepIds.head)).flatMap(snapshot)
     if (kept.isEmpty) return 0
     val referenced = kept.flatMap(_.files).map(_.stripSuffix("/")).toSet
@@ -1669,11 +1799,12 @@ class TieredTable(spark: SparkSession, rawTablePath: String,
     fs.listNames(dataDir)
       .filter(_.startsWith("snap-")).filterNot(live)
       .foreach { d => fs.deleteRecursively(s"$dataDir/$d"); removed += 1 }
-    // WAP staging debris: a `wap-<id>-<uuid>` dir is live iff some
-    // staged manifest references it — a stager that died before its
+    // WAP/branch staging debris: a `wap-…` dir is live iff some staged
+    // or branch manifest references it — a stager that died before its
     // conditional PUT (or a CAS loser that crashed mid-cleanup) left a
     // dir no manifest will ever name
-    val stagedLive = stagedIds.flatMap(stagedCommit).flatMap(_.files)
+    val stagedLive = (stagedIds.flatMap(stagedCommit).flatMap(_.files) ++
+      branches.map(_._1).flatMap(b => branchRead(b).map(_.files).getOrElse(Nil)))
       .map(_.stripSuffix("/").split('/').last).toSet
     fs.listNames(dataDir)
       .filter(_.startsWith("wap-")).filterNot(stagedLive)

@@ -111,5 +111,9 @@ class DemoSpec extends AnyFunSuite with SparkSpec {
     // r9: declared sort order + per-partition accounting
     assert(has("sorted write + $partitions: p=0:50 p=1:50"),
       lines.mkString("\n"))
+
+    // r9: branch = multi-batch WAP, one published snapshot
+    assert(has("branch day1: audit view=3, fast_forward → main=3 in " +
+      "2 snapshots"), lines.mkString("\n"))
   }
 }

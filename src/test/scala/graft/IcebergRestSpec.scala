@@ -104,16 +104,23 @@ class IcebergRestSpec extends AnyFunSuite with SparkSpec {
       assert(stale.getMessage.contains("CommitFailed"))
 
       // two committers racing the SAME expected state through the
-      // HTTP endpoint: exactly one 200, one 409
+      // HTTP endpoint: exactly one 200, one 409. Both racers must
+      // carry NEW metadata documents built on the asserted base — a
+      // racer re-committing the CURRENTLY registered location is an
+      // idempotent no-op that legitimately succeeds without advancing
+      // the pointer (nothing is lost), so it cannot prove arbitration
       t.commitUpsert(Seq((3L, "c")).toDF("k", "v"))
       val mloc3 = IcebergExport.export(t)
+      val rivalLoc = s"$mloc3.rival.metadata.json"
+      graft.storage.TableFs.forPath(mloc3).writeString(rivalLoc,
+        graft.storage.TableFs.forPath(mloc3).readString(mloc3).get)
       val Some((_, Some(head2))) =
         IcebergRestClient.tableState(server.url, "fluss", "w")
       import scala.concurrent.{Await, Future}
       import scala.concurrent.ExecutionContext.Implicits.global
       import scala.concurrent.duration._
       val gate = new java.util.concurrent.CountDownLatch(1)
-      val racers = Seq(mloc3, mloc2).map(m => Future {
+      val racers = Seq(mloc3, rivalLoc).map(m => Future {
         gate.await()
         try { IcebergRestClient.commitTable(server.url, "fluss", "w", m,
           expectedSnapshotId = Some(head2)); "win" }
