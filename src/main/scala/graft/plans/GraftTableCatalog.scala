@@ -521,8 +521,27 @@ class GraftTableCatalog extends TableCatalog
     dropped
   }
 
-  override def renameTable(from: Identifier, to: Identifier): Unit =
-    throw new UnsupportedOperationException("RENAME TABLE is not supported")
+  /** `ALTER TABLE … RENAME TO …` — a catalog-only identity change
+    * (Iceberg's rename): the registry entry and its persisted
+    * descriptor move to the new name, the data stays where it is
+    * (renames never move bytes — at 100 TB that's the only sane
+    * contract). Refuses when the target name is taken.
+    */
+  override def renameTable(from: Identifier, to: Identifier): Unit = {
+    val db = from.namespace().mkString(".")
+    val ndb = to.namespace().mkString(".")
+    val e = TieredCatalog.lookup(db, from.name).getOrElse(
+      throw new NoSuchTableException(Seq(catName, db, from.name)))
+    require(TieredCatalog.lookup(ndb, to.name).isEmpty,
+      s"cannot rename $db.${from.name}: target $ndb.${to.name} " +
+        "already exists")
+    TieredCatalog.register(ndb, to.name, e.path, e.pk, e.mergeOnRead,
+      e.partitionBy, e.bloomCols, e.changeDataFeed, e.datalake,
+      e.watermark, e.sortBy)
+    TieredCatalog.persist(ndb, to.name)
+    TieredCatalog.unregister(db, from.name)
+    TieredCatalog.deletePersisted(db, from.name)
+  }
 }
 
 /** The read/write DSv2 surface of a tiered table's base name.

@@ -34,8 +34,9 @@ import graft.storage.TieredTable
   *
   * Unsupported SQL shapes refuse loudly AT ANALYSIS (non-equi ON,
   * differently-named key columns, >1 UPDATE or DELETE clause,
-  * conditional/non-identity INSERT, NOT MATCHED BY SOURCE, subqueries
-  * in predicates) — never silently approximated.
+  * non-identity INSERT values, NOT MATCHED BY SOURCE, subqueries in
+  * predicates) — never silently approximated. `WHEN NOT MATCHED AND
+  * <cond> THEN INSERT` is supported (source-side conditions only).
   */
 object RowLevelSql {
 
@@ -221,12 +222,23 @@ object RowLevelSql {
     // for target columns the source does not carry (alignment fills
     // them); anything else is a reshaping insert we refuse.
     val sourceNames = m.sourceTable.output.map(_.name)
+    var insertCond: Option[Column] = None
     val insert = m.notMatchedActions match {
       case Seq() => false
       case Seq(i: InsertAction) =>
-        if (i.condition.nonEmpty)
-          fail("conditional WHEN NOT MATCHED INSERT is not supported on " +
-            "tiered tables")
+        // WHEN NOT MATCHED AND <cond> THEN INSERT — the condition may
+        // reference only the SOURCE side (the target row doesn't exist
+        // for an unmatched source row; SQL and Spark both scope it so)
+        insertCond = i.condition.map { c =>
+          noSubquery(c, "MERGE")
+          c.references.foreach {
+            case a: AttributeReference if tSet.contains(a) =>
+              fail(s"WHEN NOT MATCHED condition references target " +
+                s"column ${a.name} — unmatched rows have no target side")
+            case _ => ()
+          }
+          reanchor(hit(c), "MERGE", sideOf)
+        }
         i.assignments.foreach { a =>
           val name = keyName(a, "MERGE INSERT")
           stripCast(a.value) match {
@@ -245,7 +257,7 @@ object RowLevelSql {
     }
 
     GraftMergeCommand(tst.catalogEntry, SourceHolder(m.sourceTable), on,
-      updAssigns, deleteCond, insert)
+      updAssigns, deleteCond, insert, insertCond)
   }
 
   private[plans] def tieredOf(session: SparkSession,
@@ -323,7 +335,8 @@ case class GraftDeleteCommand(entry: TieredCatalog.Entry, condition: Column)
 case class GraftMergeCommand(entry: TieredCatalog.Entry,
     sourcePlan: SourceHolder, on: Seq[String],
     updateAssigns: Seq[(String, Column)],
-    deleteCond: Option[Column], insert: Boolean)
+    deleteCond: Option[Column], insert: Boolean,
+    insertCond: Option[Column] = None)
   extends LeafRunnableCommand {
   override def run(session: SparkSession): Seq[Row] = {
     val t = RowLevelSql.tieredOf(session, entry)
@@ -332,7 +345,8 @@ case class GraftMergeCommand(entry: TieredCatalog.Entry,
     t.merge(source, on,
       whenMatchedUpdate = updateAssigns.toMap,
       whenMatchedDelete = deleteCond,
-      whenNotMatchedInsert = insert)
+      whenNotMatchedInsert = insert,
+      whenNotMatchedCond = insertCond)
     Seq.empty
   }
 }

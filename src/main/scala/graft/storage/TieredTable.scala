@@ -976,7 +976,9 @@ class TieredTable(spark: SparkSession, rawTablePath: String,
   def merge(source: DataFrame, on: Seq[String],
             whenMatchedUpdate: Map[String, org.apache.spark.sql.Column] = Map.empty,
             whenMatchedDelete: Option[org.apache.spark.sql.Column] = None,
-            whenNotMatchedInsert: Boolean = true): Option[Snapshot] =
+            whenNotMatchedInsert: Boolean = true,
+            whenNotMatchedCond: Option[org.apache.spark.sql.Column] = None)
+      : Option[Snapshot] =
     withCommitLock {
       require(on.nonEmpty, "merge needs at least one key column")
       val prev = currentSnapshot.getOrElse(return None)
@@ -1032,7 +1034,12 @@ class TieredTable(spark: SparkSession, rawTablePath: String,
       val inserted =
         if (!whenNotMatchedInsert) emptyLike(updated.schema)
         else {
-          val jj = j.filter(col("t.__t").isNull)
+          // conditional WHEN NOT MATCHED AND <cond> THEN INSERT: the
+          // condition gates WHICH unmatched source rows insert (NULL
+          // condition = no insert, SQL's three-valued WHEN semantics)
+          val insertGate = whenNotMatchedCond
+            .map(c => coalesce(c, lit(false))).getOrElse(lit(true))
+          val jj = j.filter(col("t.__t").isNull && insertGate)
           target.schema.fields.foreach(f =>
             require(source.columns.contains(f.name) || f.nullable,
               s"merge insert cannot supply non-nullable target column ${f.name}"))

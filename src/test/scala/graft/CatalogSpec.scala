@@ -396,4 +396,27 @@ class CatalogSpec extends AnyFunSuite with SparkSpec {
     spark.sql("DROP TABLE graft.wf.evpart")
   }
 
+  test("ALTER TABLE RENAME TO moves the identity, not the data; " +
+       "taken targets refuse") {
+    spark.sql("DROP TABLE IF EXISTS graft.wf.rn_old")
+    spark.sql("DROP TABLE IF EXISTS graft.wf.rn_new")
+    spark.sql("CREATE TABLE graft.wf.rn_old (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO graft.wf.rn_old VALUES (1, 'a'), (2, 'b')")
+    val path = graft.plans.TieredCatalog.lookup("wf", "rn_old").get.path
+
+    spark.sql("ALTER TABLE graft.wf.rn_old RENAME TO wf.rn_new")
+    assert(spark.table("graft.wf.rn_new").count() == 2)
+    assert(graft.plans.TieredCatalog.lookup("wf", "rn_old").isEmpty,
+      "the old name must be gone")
+    assert(graft.plans.TieredCatalog.lookup("wf", "rn_new").get.path == path,
+      "rename moves identity, never bytes")
+
+    spark.sql("CREATE TABLE graft.wf.rn_taken (id BIGINT)")
+    val e2 = intercept[Exception](
+      spark.sql("ALTER TABLE graft.wf.rn_new RENAME TO wf.rn_taken"))
+    assert(e2.getMessage.contains("already exists"))
+    spark.sql("DROP TABLE graft.wf.rn_new")
+    spark.sql("DROP TABLE graft.wf.rn_taken")
+  }
+
 }
