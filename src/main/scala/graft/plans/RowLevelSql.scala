@@ -33,10 +33,12 @@ import graft.storage.TieredTable
   * resolve them against the committed snapshot at execution time.
   *
   * Unsupported SQL shapes refuse loudly AT ANALYSIS (non-equi ON,
-  * differently-named key columns, >1 UPDATE or DELETE clause,
-  * non-identity INSERT values, NOT MATCHED BY SOURCE, subqueries in
-  * predicates) — never silently approximated. `WHEN NOT MATCHED AND
-  * <cond> THEN INSERT` is supported (source-side conditions only).
+  * differently-named key columns, >1 UPDATE or DELETE clause per
+  * WHEN family, non-identity INSERT values, subqueries in
+  * predicates) — never silently approximated. Supported beyond the
+  * basics: `WHEN NOT MATCHED AND <cond> THEN INSERT` (source-side
+  * conditions) and `WHEN NOT MATCHED BY SOURCE THEN UPDATE/DELETE`
+  * (target-side conditions — the dim-sync shape).
   */
 object RowLevelSql {
 
@@ -143,8 +145,6 @@ object RowLevelSql {
                                 m: MergeIntoTable): LogicalPlan = {
     if (m.withSchemaEvolution)
       fail("MERGE WITH SCHEMA EVOLUTION is not supported on tiered tables")
-    if (m.notMatchedBySourceActions.nonEmpty)
-      fail("WHEN NOT MATCHED BY SOURCE is not supported on tiered tables")
     val tSet = AttributeSet(m.targetTable.output)
     val sSet = AttributeSet(m.sourceTable.output)
     val sideOf = (a: AttributeReference) =>
@@ -221,6 +221,57 @@ object RowLevelSql {
     // resolved to the target schema by name. NULL literals are legal
     // for target columns the source does not carry (alignment fills
     // them); anything else is a reshaping insert we refuse.
+    // WHEN NOT MATCHED BY SOURCE (target rows no source row matched):
+    // same clause grammar as WHEN MATCHED — at most one UPDATE and one
+    // DELETE, first-match-wins — applied to the full-outer join's
+    // target-only leg. Conditions see only the target side (the source
+    // side is NULL for these rows; Spark scopes resolution so).
+    val (bsUpd, bsDel) = m.notMatchedBySourceActions match {
+      case Seq() => (None, None)
+      case Seq(u: UpdateAction) => (Some((u, true)), None)
+      case Seq(d: DeleteAction) => (None, Some((d, true)))
+      case Seq(d: DeleteAction, u: UpdateAction) =>
+        (Some((u, false)), Some((d, true)))
+      case Seq(u: UpdateAction, d: DeleteAction) =>
+        (Some((u, true)), Some((d, false)))
+      case other => fail("WHEN NOT MATCHED BY SOURCE supports at most " +
+        s"one UPDATE and one DELETE clause, got ${other.size} clauses")
+    }
+    bsUpd.foreach { case (u, _) => u.condition.foreach(noSubquery(_, "MERGE")) }
+    bsDel.foreach { case (d, _) => d.condition.foreach(noSubquery(_, "MERGE")) }
+    val bySourceDelete: Option[Column] = bsDel.flatMap { case (d, first) =>
+      val dc = d.condition.map(hit).getOrElse(Literal(true, BooleanType))
+      if (first) Some(dc)
+      else bsUpd.get._1.condition match {
+        case None => None // unconditional UPDATE first: DELETE is dead
+        case Some(uc) => Some(And(Not(hit(uc)), dc))
+      }
+    }.map(reanchor(_, "MERGE", sideOf))
+    val bySourceAssigns: Seq[(String, Column)] = bsUpd.toSeq.flatMap {
+      case (u, _) =>
+        u.assignments.flatMap { a =>
+          val name = keyName(a, "MERGE NOT MATCHED BY SOURCE UPDATE")
+          if (!tSet.exists(_.name.equalsIgnoreCase(name)))
+            fail("MERGE NOT MATCHED BY SOURCE UPDATE assigns unknown " +
+              s"target column $name")
+          // identity assignment (t.c = t.c, the SET * expansion shape)
+          // is a no-op — drop it
+          val identity = stripCast(a.value) match {
+            case v: AttributeReference =>
+              tSet.contains(v) && v.name.equalsIgnoreCase(name)
+            case _ => false
+          }
+          if (identity) None
+          else {
+            val value = u.condition match {
+              case None => a.value
+              case Some(c) => CaseWhen(Seq((hit(c), a.value)), Some(a.key))
+            }
+            Some(name -> reanchor(value, "MERGE", sideOf))
+          }
+        }
+    }
+
     val sourceNames = m.sourceTable.output.map(_.name)
     var insertCond: Option[Column] = None
     val insert = m.notMatchedActions match {
@@ -257,7 +308,8 @@ object RowLevelSql {
     }
 
     GraftMergeCommand(tst.catalogEntry, SourceHolder(m.sourceTable), on,
-      updAssigns, deleteCond, insert, insertCond)
+      updAssigns, deleteCond, insert, insertCond,
+      bySourceAssigns, bySourceDelete)
   }
 
   private[plans] def tieredOf(session: SparkSession,
@@ -336,7 +388,9 @@ case class GraftMergeCommand(entry: TieredCatalog.Entry,
     sourcePlan: SourceHolder, on: Seq[String],
     updateAssigns: Seq[(String, Column)],
     deleteCond: Option[Column], insert: Boolean,
-    insertCond: Option[Column] = None)
+    insertCond: Option[Column] = None,
+    bySourceAssigns: Seq[(String, Column)] = Nil,
+    bySourceDelete: Option[Column] = None)
   extends LeafRunnableCommand {
   override def run(session: SparkSession): Seq[Row] = {
     val t = RowLevelSql.tieredOf(session, entry)
@@ -346,7 +400,9 @@ case class GraftMergeCommand(entry: TieredCatalog.Entry,
       whenMatchedUpdate = updateAssigns.toMap,
       whenMatchedDelete = deleteCond,
       whenNotMatchedInsert = insert,
-      whenNotMatchedCond = insertCond)
+      whenNotMatchedCond = insertCond,
+      whenNotMatchedBySourceUpdate = bySourceAssigns.toMap,
+      whenNotMatchedBySourceDelete = bySourceDelete)
     Seq.empty
   }
 }

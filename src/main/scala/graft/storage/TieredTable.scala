@@ -977,7 +977,9 @@ class TieredTable(spark: SparkSession, rawTablePath: String,
             whenMatchedUpdate: Map[String, org.apache.spark.sql.Column] = Map.empty,
             whenMatchedDelete: Option[org.apache.spark.sql.Column] = None,
             whenNotMatchedInsert: Boolean = true,
-            whenNotMatchedCond: Option[org.apache.spark.sql.Column] = None)
+            whenNotMatchedCond: Option[org.apache.spark.sql.Column] = None,
+            whenNotMatchedBySourceUpdate: Map[String, org.apache.spark.sql.Column] = Map.empty,
+            whenNotMatchedBySourceDelete: Option[org.apache.spark.sql.Column] = None)
       : Option[Snapshot] =
     withCommitLock {
       require(on.nonEmpty, "merge needs at least one key column")
@@ -1029,8 +1031,28 @@ class TieredTable(spark: SparkSession, rawTablePath: String,
             case None => col(s"t.${f.name}")
           }
         }.toIndexedSeq: _*)
-      val targetOnly = j.filter(col("s.__s").isNull)
-        .select(target.columns.map(c => col(s"t.$c")).toIndexedSeq: _*)
+      // WHEN NOT MATCHED BY SOURCE (Delta/Spark 3.4 SQL): target rows
+      // no source row matched — delete the ones the delete condition
+      // hits, apply the update assignments to the ones its condition
+      // hits (conditions see only the target side; the source side is
+      // NULL here by construction). Identity when neither clause given.
+      whenNotMatchedBySourceUpdate.keys.foreach(c =>
+        require(target.columns.contains(c),
+          s"unknown target column $c in NOT MATCHED BY SOURCE assignment"))
+      val frozenBySource = (on ++ pk).toSet
+        .intersect(whenNotMatchedBySourceUpdate.keySet)
+      require(frozenBySource.isEmpty,
+        s"MERGE cannot update key column(s) ${frozenBySource.mkString(", ")}" +
+          s" of $tablePath — join keys and primary keys are row identity")
+      val bySourceDeleteHit = whenNotMatchedBySourceDelete
+        .map(c => coalesce(c, lit(false))).getOrElse(lit(false))
+      val targetOnly = j.filter(col("s.__s").isNull && !bySourceDeleteHit)
+        .select(target.schema.fields.map { f =>
+          whenNotMatchedBySourceUpdate.get(f.name) match {
+            case Some(v) => v.cast(f.dataType).as(f.name)
+            case None => col(s"t.${f.name}")
+          }
+        }.toIndexedSeq: _*)
       val inserted =
         if (!whenNotMatchedInsert) emptyLike(updated.schema)
         else {

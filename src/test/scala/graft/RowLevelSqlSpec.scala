@@ -154,6 +154,46 @@ class RowLevelSqlSpec extends AnyFunSuite with SparkSpec {
     assert(e.getMessage.contains("cannot be resolved"), e.getMessage)
   }
 
+  test("SQL MERGE WHEN NOT MATCHED BY SOURCE: the dim-sync shape — " +
+       "stale target rows update or delete, clause order honored") {
+    import spark.implicits._
+    val (t, sql) = freshTable("m7")
+    t.appendLog(Seq((1L, 10.0, "live"), (2L, 20.0, "live"),
+      (3L, 30.0, "live"), (4L, 40.0, "live")).toDF("id", "price", "st"))
+    t.tier()
+    // source carries 1 (update) — 2,3,4 are not matched by source:
+    // 2 deletes (price < 25), 3 and 4 mark stale
+    spark.sql(
+      s"""MERGE INTO $sql AS tgt
+         |USING (SELECT 1L AS id, 11.0 AS price) AS src
+         |ON tgt.id = src.id
+         |WHEN MATCHED THEN UPDATE SET price = src.price
+         |WHEN NOT MATCHED BY SOURCE AND tgt.price < 25 THEN DELETE
+         |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET st = 'stale'
+         |""".stripMargin)
+    val rows = spark.sql(s"SELECT id, price, st FROM $sql ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+    assert(rows.toSeq == Seq((1L, 11.0, "live"), (3L, 30.0, "stale"),
+      (4L, 40.0, "stale")),
+      s"delete-first-then-update ordering must hold: ${rows.toSeq}")
+
+    // a first UPDATE whose condition hits shields the trailing DELETE
+    // (first-match-wins; the parser itself requires non-last BY SOURCE
+    // clauses to carry conditions)
+    spark.sql(
+      s"""MERGE INTO $sql AS tgt
+         |USING (SELECT 99L AS id, 0.0 AS price) AS src
+         |ON tgt.id = src.id
+         |WHEN NOT MATCHED BY SOURCE AND tgt.price >= 0 THEN
+         |  UPDATE SET st = 'kept'
+         |WHEN NOT MATCHED BY SOURCE THEN DELETE
+         |""".stripMargin)
+    assert(spark.sql(s"SELECT count(*) FROM $sql").head().getLong(0) == 3,
+      "rows the UPDATE claimed must not fall through to DELETE")
+    assert(spark.sql(s"SELECT DISTINCT st FROM $sql").collect()
+      .map(_.getString(0)).toSet == Set("kept"))
+  }
+
   test("SQL MERGE multi-match source raises the SQL ambiguity error") {
     import spark.implicits._
     val (t, sql) = freshTable("m4")
@@ -189,12 +229,6 @@ class RowLevelSqlSpec extends AnyFunSuite with SparkSpec {
       s"""MERGE INTO $sql t USING (SELECT 1L AS sid, 2.0 AS v) s
          |ON t.id = s.sid WHEN MATCHED THEN DELETE""".stripMargin,
       "shared column names")
-    // NOT MATCHED BY SOURCE
-    refuses(
-      s"""MERGE INTO $sql t USING (SELECT 1L AS id, 2.0 AS v) s
-         |ON t.id = s.id
-         |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin,
-      "NOT MATCHED BY SOURCE")
     // reshaping INSERT (value is not the same-named source column)
     refuses(
       s"""MERGE INTO $sql t USING (SELECT 1L AS id, 2.0 AS v) s
