@@ -43,6 +43,7 @@ object SparkEntry {
     "q12_partition_pruned"-> (Lakehouse.q12PartitionPruned _),
     "q13_file_skip"  -> (Lakehouse.q13FileSkipping _),
     "q14_merge"      -> (Lakehouse.q14Merge _),
+    "q14b_dim_sync"  -> (Lakehouse.q14bDimSync _),
     "q15_rollback"   -> (Lakehouse.q15Rollback _),
     "q16_meta_agg"   -> (Lakehouse.q16MetaAgg _),
     "q17_bloom_lookup" -> (Lakehouse.q17BloomLookup _),
@@ -480,6 +481,16 @@ object SparkEntry {
         |UNION ALL
         |SELECT i.k, 'cust-' || i.k, CAST(i.k % 25 AS INTEGER), 0.0, 'NEW'
         |FROM ins i""".stripMargin,
+    // q14b = the dim-sync MERGE (WHEN NOT MATCHED BY SOURCE): matched
+    // keys (c_custkey%2=0) → LIVE; unmatched %5=0 → deleted; rest →
+    // STALE. The oracle recomputes the three-way split relationally.
+    "q14b_dim_sync" ->
+      """SELECT CASE WHEN c_custkey % 2 = 0 THEN 'LIVE'
+        |            ELSE 'STALE' END AS c_mktsegment,
+        |       COUNT(*) AS cnt, CAST(SUM(c_custkey) AS BIGINT) AS key_sum
+        |FROM customer
+        |WHERE c_custkey % 2 = 0 OR c_custkey % 5 <> 0
+        |GROUP BY 1""".stripMargin,
     "d1_exact_dedup" ->
       "SELECT min(doc_id) AS keep_id, count(*) AS n_dups FROM documents GROUP BY text",
     "d2_fingerprint" ->

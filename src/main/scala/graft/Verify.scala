@@ -13,6 +13,9 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // the SQL row-level rules (MERGE lowering, Flink dialect hooks)
+      // — q14b drives MERGE ... NOT MATCHED BY SOURCE through SQL
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       // storage-partitioned joins (k4): co-partitioned DSv2 scans
       // report KeyGroupedPartitioning and join without exchanges
       .config("spark.sql.sources.v2.bucketing.enabled", "true")

@@ -653,6 +653,47 @@ object Lakehouse {
       .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
         col("c_acctbal"), col("c_mktsegment"))
 
+  /** Fixture for q14b — the DIM-SYNC merge, driven through SQL: the
+    * source carries only the still-live keys (`c_custkey % 2 == 0`);
+    * one MERGE marks matched rows LIVE, deletes stale rows the policy
+    * hits (`% 5 == 0`), and marks the rest STALE — `WHEN NOT MATCHED
+    * BY SOURCE` doing the work a second anti-join statement would.
+    */
+  def demoDimSynced(spark: SparkSession, dir: String): TieredTable = {
+    ensureCatalog(spark)
+    val safe = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val path = s"${sys.props("java.io.tmpdir")}/graft-tiered/v$FormatVersion/$safe/customer_synced"
+    val t = TieredTable(spark, path)
+    graft.plans.TieredCatalog.register("bench", "customer_synced", path)
+    if (t.latestSnapshotId < 2) {
+      if (t.latestSnapshotId < 1)
+        t.commitAppend(Tables.load(spark, dir, "customer"))
+      Tables.load(spark, dir, "customer")
+        .filter(pmod(col("c_custkey"), lit(2)) === 0)
+        .select("c_custkey").createOrReplaceTempView("q14b_src")
+      spark.sql(
+        """MERGE INTO graft.bench.customer_synced AS t
+          |USING (SELECT c_custkey FROM q14b_src) AS s
+          |ON t.c_custkey = s.c_custkey
+          |WHEN MATCHED THEN UPDATE SET c_mktsegment = 'LIVE'
+          |WHEN NOT MATCHED BY SOURCE AND t.c_custkey % 5 = 0 THEN DELETE
+          |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET c_mktsegment = 'STALE'
+          |""".stripMargin)
+    }
+    t
+  }
+
+  /** Q14b — the synced state: per-segment counts and exact key sums;
+    * the oracle recomputes the live/stale/deleted split from the raw
+    * customer fixture, so a leg that fired on the wrong rows (or a
+    * delete that over- or under-pruned) hash-mismatches.
+    */
+  def q14bDimSync(spark: SparkSession, dir: String): DataFrame =
+    demoDimSynced(spark, dir).readCold()
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("c_custkey")).as("key_sum"))
+
   /** Q15 — ROLLBACK: the date-banded table is built (three commits)
     * and then rolled back to snapshot 2, so the current state is the
     * first two date bands again — Iceberg's `rollback_to_snapshot`,
