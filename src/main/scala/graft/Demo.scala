@@ -650,6 +650,29 @@ object Demo {
         s"${bt.latestSnapshotId} snapshots")
     }
 
+    // 19l3. selective recovery + dim sync (r9): roll back past a bad
+    //       commit, cherry-pick the good one that followed; then one
+    //       by-source MERGE retires rows the source no longer carries
+    {
+      val cpDir = s"$base/tables/recover_demo"
+      val ct = graft.storage.TieredTable(spark, cpDir)
+      TieredCatalog.register("fluss", "recover_demo", cpDir)
+      ct.commitAppend(Seq((1L, "good")).toDF("id", "v"))   // snap 1
+      ct.commitAppend(Seq((2L, "BAD")).toDF("id", "v"))    // snap 2
+      ct.commitAppend(Seq((3L, "good2")).toDF("id", "v"))  // snap 3
+      spark.sql("CALL graft.system.rollback_to_snapshot('fluss.recover_demo', 1)")
+      spark.sql("CALL graft.system.cherrypick_snapshot('fluss.recover_demo', 3)")
+      val kept = spark.table("graft.fluss.recover_demo")
+        .select("v").as[String].collect().sorted.mkString(",")
+      spark.sql(
+        """MERGE INTO graft.fluss.recover_demo AS t
+          |USING (SELECT 1L AS id) AS s
+          |ON t.id = s.id
+          |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+      say(s"[demo] rollback+cherry-pick kept [$kept]; by-source MERGE → " +
+        s"${spark.table("graft.fluss.recover_demo").count()} row")
+    }
+
     // 19m. declared write sort order + $partitions (r9): ingest
     //      clusters by the declared key (disjoint per-file ranges →
     //      range scans open O(matching files)), and per-partition

@@ -115,5 +115,9 @@ class DemoSpec extends AnyFunSuite with SparkSpec {
     // r9: branch = multi-batch WAP, one published snapshot
     assert(has("branch day1: audit view=3, fast_forward → main=3 in " +
       "2 snapshots"), lines.mkString("\n"))
+
+    // r9: selective recovery + by-source dim sync
+    assert(has("rollback+cherry-pick kept [good,good2]; by-source " +
+      "MERGE → 1 row"), lines.mkString("\n"))
   }
 }
