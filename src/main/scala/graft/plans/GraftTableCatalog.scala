@@ -428,7 +428,10 @@ class GraftTableCatalog extends TableCatalog
     * layout the SQL scan sees (old snapshots keep old names and stay
     * time-travelable via the API). This rewrite-on-DDL is the honest
     * cost of name-based files vs Iceberg's field-id indirection — paid
-    * once at the ALTER, not per read. Type changes stay rejected.
+    * once at the ALTER, not per read. ALTER COLUMN TYPE accepts the
+    * value-preserving widenings (int→long, float→double, decimal
+    * precision growth) through the same mapping+converge path; every
+    * other type change stays rejected.
     */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val db = ident.namespace().mkString(".")
@@ -465,6 +468,25 @@ class GraftTableCatalog extends TableCatalog
         if (tt.latestSnapshotId > 0 || tt.logSegments.nonEmpty)
           tt.dropColumn(name)
         schema = StructType(schema.filterNot(_.name == name))
+      // ALTER TABLE … ALTER COLUMN c TYPE <wider>: Iceberg's safe
+      // type promotions (int→long, float→double, decimal precision
+      // growth). Metadata-mapped in storage; the converge below
+      // rewrites the head so the name-based SQL scan never merges a
+      // mixed-width column. Unsafe changes refuse inside widenColumn.
+      case ut: TableChange.UpdateColumnType =>
+        require(ut.fieldNames.length == 1,
+          "nested column type changes are not supported")
+        val name = ut.fieldNames()(0)
+        if (tt.latestSnapshotId > 0 || tt.logSegments.nonEmpty)
+          tt.widenColumn(name, ut.newDataType())
+        else require(
+          graft.storage.TieredTable.safeWiden(
+            schema(schema.fieldIndex(name)).dataType, ut.newDataType()),
+          s"cannot change $name: not a value-preserving widening")
+        schema = StructType(schema.map(f =>
+          if (f.name.equalsIgnoreCase(name))
+            f.copy(dataType = ut.newDataType()) else f))
+        needsConverge = true
       // ALTER TABLE … SET TBLPROPERTIES: the two knobs that are purely
       // write-side policy re-point safely mid-life — sort order shapes
       // FUTURE writes (existing layout converges at the next

@@ -1956,6 +1956,7 @@ class TieredTable(spark: SparkSession, rawTablePath: String,
       l.split('\t') match {
         case Array("rename", a, b) => Some(("rename", a, b))
         case Array("drop", a)      => Some(("drop", a, ""))
+        case Array("widen", a, t)  => Some(("widen", a, t))
         case _ => None
       }
     }.toSeq).getOrElse(Nil)
@@ -1983,6 +1984,16 @@ class TieredTable(spark: SparkSession, rawTablePath: String,
           else d
         case ("drop", name, _) =>
           if (d.columns.contains(name)) d.drop(name) else d
+        case ("widen", name, typeDdl) =>
+          // files written before the widening carry the narrow type;
+          // the cast presents the declared one (idempotent on files
+          // already written wide). mergeSchema never sees a mixed
+          // vintage because widenColumn converges layout at DDL time
+          // (same invariant as rename/drop)
+          if (d.columns.contains(name))
+            d.withColumn(name, col(name).cast(
+              org.apache.spark.sql.types.DataType.fromDDL(typeDdl)))
+          else d
         case _ => d
       }
     }
@@ -2014,6 +2025,48 @@ class TieredTable(spark: SparkSession, rawTablePath: String,
     * (history included) without touching a data file. The name is
     * retired permanently — see [[retiredNames]].
     */
+  /** TYPE WIDENING (Iceberg's safe type promotions): byte/short/int →
+    * a wider integral, float → double, decimal(p,s) → decimal(p'>p,s).
+    * A mapping line casts old files' narrow values to the declared
+    * type on every read — current, union, time travel — exact by
+    * construction (these promotions are value-preserving, which is
+    * WHY the unsafe ones refuse). Unlike rename/drop this verb ALSO
+    * converges the live layout immediately (compact, then tier):
+    * parquet's schema merge refuses a mixed-width column outright, so
+    * no current read may ever see narrow and wide files in one list.
+    * Old snapshots stay uniform-narrow and time-travel through the
+    * cast. Rewrite-once-at-DDL, same cost stance as rename's SQL
+    * path.
+    */
+  def widenColumn(name: String,
+                  newType: org.apache.spark.sql.types.DataType): Unit =
+    withCommitLock {
+      val cur = readUnion().schema
+        .find(_.name.equalsIgnoreCase(name)).getOrElse(
+          throw new IllegalArgumentException(
+            s"no column $name in $tablePath")).dataType
+      require(TieredTable.safeWiden(cur, newType),
+        s"cannot change $name: ${cur.catalogString} -> " +
+          s"${newType.catalogString} is not a value-preserving widening " +
+          "(supported: integral -> wider integral, float -> double, " +
+          "decimal(p,s) -> decimal(p'>p, s))")
+      require(!(pk ++ partitionBy ++ bloomCols).contains(name),
+        s"$name is a key/layout column (pk/partition/bloom) — its bytes " +
+          "are load-bearing in manifests and sidecars; widen is refused")
+      appendColMap(s"widen\t$name\t${newType.catalogString}")
+      // converge IMMEDIATELY — unlike rename (where both vintages
+      // coexist as distinct columns and coalesce), a mixed-width
+      // column is something parquet's schema merge refuses outright,
+      // so no read may ever see narrow and wide files in one list.
+      // Order matters: compact rewrites the cold tier wide FIRST
+      // (uniform narrow in, wide out), then tier converts the hot
+      // tail (uniform narrow segments → one wide file appended to the
+      // already-wide cold list).
+      if (latestSnapshotId > 0) compact()
+      if (logSegments.exists(_ >
+          currentSnapshot.map(_.tieredSeg).getOrElse(-1L))) tier()
+    }
+
   def dropColumn(name: String): Unit = withCommitLock {
     require(readUnion().columns.contains(name), s"no column $name in $tablePath")
     require(!(pk ++ partitionBy ++ bloomCols).contains(name),
@@ -2441,6 +2494,28 @@ object TieredTable {
     * that for the idempotently-recomputable verbs.
     */
   class CommitConflictException(msg: String) extends RuntimeException(msg)
+
+  /** Value-preserving type promotions (Iceberg's safe set): widening
+    * never changes a value, only its container — which is why
+    * anything else (narrowing, string/number crossings, scale
+    * changes) refuses.
+    */
+  private[graft] def safeWiden(from: org.apache.spark.sql.types.DataType,
+                                 to: org.apache.spark.sql.types.DataType)
+      : Boolean = {
+    import org.apache.spark.sql.types._
+    def rank(d: DataType): Int = d match {
+      case ByteType => 1; case ShortType => 2
+      case IntegerType => 3; case LongType => 4; case _ => -1
+    }
+    (from, to) match {
+      case (f, t) if rank(f) > 0 && rank(t) > 0 => rank(t) > rank(f)
+      case (FloatType, DoubleType) => true
+      case (f: DecimalType, t: DecimalType) =>
+        t.scale == f.scale && t.precision > f.precision
+      case _ => false
+    }
+  }
 
   /** Retry `commit` on [[CommitConflictException]] up to `maxAttempts`
     * times. Correct for every TieredTable verb because each one

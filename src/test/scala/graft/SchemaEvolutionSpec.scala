@@ -96,4 +96,55 @@ class SchemaEvolutionSpec extends AnyFunSuite with SparkSpec {
     assert(spark.sql("SELECT COUNT(*), SUM(id) FROM graft.wf.evo2")
       .as[(Long, Long)].head() == ((3L, 6L)))
   }
+
+  test("type widening: int→long via the API keeps historical values " +
+       "exact; unsafe changes refuse") {
+    val dir = Files.createTempDirectory("graft-widen").toString
+    val t = TieredTable(spark, s"$dir/t")
+    t.commitAppend(Seq((1, "a"), (2147483647, "b")).toDF("n", "v"))
+    t.widenColumn("n", org.apache.spark.sql.types.LongType)
+    assert(t.readCold().schema("n").dataType ==
+      org.apache.spark.sql.types.LongType)
+    // values exact through the cast, including the old type's max
+    assert(t.readCold().select("n").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2147483647L))
+    // post-widen appends carry the wide type natively; compact merges
+    t.commitAppend(Seq((4000000000L, "c")).toDF("n", "v"))
+    t.compact()
+    assert(t.readCold().select("n").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2147483647L, 4000000000L))
+    // time travel: the pre-widen snapshot reads through the mapping
+    assert(t.readColdAsOf(1L).select("n").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2147483647L))
+
+    val narrow = intercept[IllegalArgumentException](
+      t.widenColumn("n", org.apache.spark.sql.types.IntegerType))
+    assert(narrow.getMessage.contains("value-preserving"))
+    val cross = intercept[IllegalArgumentException](
+      t.widenColumn("v", org.apache.spark.sql.types.LongType))
+    assert(cross.getMessage.contains("value-preserving"))
+  }
+
+  test("SQL DDL: ALTER COLUMN TYPE widens through the catalog; the " +
+       "scan converges and sums stay exact") {
+    spark.sql("DROP TABLE IF EXISTS graft.wf.evo3")
+    deleteTree(java.nio.file.Paths.get(
+      graft.plans.TieredCatalog.warehouse, "wf", "evo3"))
+    spark.sql("CREATE TABLE graft.wf.evo3 (id BIGINT, n INT)")
+    spark.sql("INSERT INTO graft.wf.evo3 VALUES (1, 100), (2, 2147483647)")
+    spark.sql("ALTER TABLE graft.wf.evo3 ALTER COLUMN n TYPE BIGINT")
+    assert(spark.table("graft.wf.evo3").schema("n").dataType ==
+      org.apache.spark.sql.types.LongType)
+    // a value only the wide type can hold now inserts
+    spark.sql("INSERT INTO graft.wf.evo3 VALUES (3, 4000000000)")
+    assert(spark.sql("SELECT SUM(n) FROM graft.wf.evo3").head().getLong(0) ==
+      100L + 2147483647L + 4000000000L)
+    // narrowing refuses — Spark's own analyzer gate fires first
+    // (NOT_SUPPORTED_CHANGE_COLUMN); widenColumn's check backs it up
+    val bad = intercept[Exception](spark.sql(
+      "ALTER TABLE graft.wf.evo3 ALTER COLUMN n TYPE INT"))
+    assert(bad.getMessage.contains("NOT_SUPPORTED_CHANGE_COLUMN") ||
+      bad.getMessage.contains("value-preserving"), bad.getMessage)
+    spark.sql("DROP TABLE graft.wf.evo3")
+  }
 }
