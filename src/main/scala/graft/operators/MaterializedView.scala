@@ -172,12 +172,17 @@ class MaterializedView(source: TieredTable, state: TieredTable,
     // file-source feed for tables not registered in the catalog
     // (pure-API usage); both deliver the identical op-tagged frame.
     val spark = org.apache.spark.sql.SparkSession.active
+    // the entry must ALSO carry changeDataFeed=true: the DSv2 `$changes`
+    // mode refuses entries without the flag, and a path can be
+    // registered under several names with differing flags (fixture
+    // aliases) — picking a flagless alias would fail a stream the
+    // file-source fallback serves fine
     val registered = graft.plans.TieredCatalog.listDatabases().iterator
       .flatMap(db => graft.plans.TieredCatalog.listTables(db).iterator
         .map(tb => (db, tb)))
       .find { case (db, tb) =>
         graft.plans.TieredCatalog.lookupLocal(db, tb)
-          .exists(_.path == source.tablePath) }
+          .exists(e => e.path == source.tablePath && e.changeDataFeed) }
     val feed = registered match {
       case Some((db, tb))
           if spark.conf.getOption("spark.sql.catalog.graft").isDefined =>

@@ -175,16 +175,16 @@ class ChangeFeedStream(tableName: String, t: TieredTable,
     else scanOver(ids.map(t.changeDirPath)).toBatch.planInputPartitions()
   }
 
-  /** Factory from a scan over ALL committed dirs — the reader factory
-    * only captures schema + hadoop conf, so it serves partitions from
-    * any id range of this feed.
+  /** Factory from a scan over ONE committed dir — the reader factory
+    * only captures schema + hadoop conf, so any single delta dir (or
+    * none) suffices to build it, and it then serves partitions from
+    * any id range of this feed. Listing EVERY dir here (the obvious
+    * spelling) would cost O(entire feed) per micro-batch — quadratic
+    * over a catch-up through a deep backlog.
     */
-  override def createReaderFactory(): PartitionReaderFactory = {
-    val ids = t.committedChangeIds()
-    scanOver(
-      if (ids.isEmpty) Nil else ids.map(t.changeDirPath)
-    ).toBatch.createReaderFactory()
-  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    scanOver(t.committedChangeIds().headOption.map(t.changeDirPath).toSeq)
+      .toBatch.createReaderFactory()
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
@@ -237,10 +237,15 @@ class LogTailStream(tableName: String, t: TieredTable,
 
   /** A fresh consumer bootstraps from the oldest SURVIVING segment —
     * history that tiering+vacuum already retired into the cold tier is
-    * the batch read's business, not a failure.
+    * the batch read's business, not a failure. When the hot log is
+    * EMPTY at start, bootstrap from the tiering watermark, not from
+    * -1: segment ids keep counting past vacuumed history, so a -1
+    * cursor would trip the retirement guard on the very first segment
+    * committed after start (a consumer that never lagged).
     */
   override def initialOffset(): Offset =
-    LogTailOffset(t.logSegments.headOption.map(_ - 1).getOrElse(-1L))
+    LogTailOffset(t.logSegments.headOption.map(_ - 1).getOrElse(
+      t.currentSnapshot.map(_.tieredSeg).getOrElse(-1L)))
 
   override def latestOffset(): Offset =
     LogTailOffset(t.logSegments.lastOption.getOrElse(-1L))

@@ -23,14 +23,16 @@ object FlinkScript {
     var i = 0
     def inStatementSet: Boolean = {
       val up = cur.toString.trim.toUpperCase
-      // the block closes only at a STANDALONE trailing END keyword —
-      // a bare suffix test would close it at any inner statement whose
-      // text merely ends in "end" (a column named `trend`, `weekend`,
-      // an APPEND hint) and split the set at the wrong ';'
-      up.startsWith("EXECUTE STATEMENT SET") &&
-        !(up.endsWith("END") &&
-          (up.length == 3 || !Character.isLetterOrDigit(up.charAt(up.length - 4)) &&
-            up.charAt(up.length - 4) != '_'))
+      if (!up.startsWith("EXECUTE STATEMENT SET")) return false
+      // the block closes only when the text after the LAST completed
+      // statement is exactly the keyword END: `BEGIN stmt; …; END;`.
+      // A bare suffix test closes at any inner statement merely ending
+      // in "end" (a column `trend`/`weekend`, an APPEND hint) — and a
+      // word-boundary test still closes mid-block at a SQL
+      // `CASE … END` expression, which sits INSIDE an unterminated
+      // statement and therefore never stands alone after a ';'
+      val afterLastStmt = up.substring(up.lastIndexOf(';') + 1).trim
+      afterLastStmt != "END"
     }
     while (i < noComments.length) {
       val c = noComments.charAt(i)

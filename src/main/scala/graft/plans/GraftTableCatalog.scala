@@ -194,18 +194,28 @@ class GraftTableCatalog extends TableCatalog
         val partAgg = scala.collection.mutable.LinkedHashMap
           .empty[String, (Long, Long, Long)]
         t.currentSnapshot.map(_.files).getOrElse(Nil).foreach { root =>
+          // a kept `col=value` SUBDIR reference (partition-scoped
+          // overwrite) carries no sidecar of its own — the sidecar
+          // lives at its snap-N parent; resolve there and scope the
+          // entries to the subdir's relative prefix
+          val base = graft.storage.PartitionPaths
+            .base(root, t.partitionBy)
+          val sub = root.stripSuffix("/").stripPrefix(base)
+            .stripPrefix("/")
           val sizes = graft.storage.TableFs.forPath(root).listFiles(root)
             .map { case (p, sz) =>
-              p.stripPrefix(root).stripPrefix("/") -> sz }.toMap
-          graft.storage.FileStats.readSidecar(root).foreach {
-            case (file, cols) =>
+              p.stripPrefix(base).stripPrefix("/") -> sz }.toMap
+          graft.storage.FileStats.readSidecar(base)
+            .filter { case (file, _) =>
+              sub.isEmpty || file.startsWith(sub + "/") }
+            .foreach { case (file, cols) =>
               val partVal = file.split('/').dropRight(1)
                 .filter(_.contains("=")).mkString("/")
               val rows = cols.values.map(_.rows).find(_ >= 0).getOrElse(0L)
               val bytes = sizes.getOrElse(file, 0L)
               val (f0, r0, b0) = partAgg.getOrElse(partVal, (0L, 0L, 0L))
               partAgg(partVal) = (f0 + 1, r0 + rows, b0 + bytes)
-          }
+            }
         }
         new PartitionsTable(ident.toString, partAgg.toSeq.map {
           case (p, (f, r, b)) => PartitionsTable.Row(p, f, r, b)
@@ -536,10 +546,17 @@ class GraftTableCatalog extends TableCatalog
     val dropped = TieredCatalog.unregister(db, ident.name)
     TieredCatalog.deletePersisted(db, ident.name)
     graft.plans.FlinkDialect.unregisterProctime(ident.name)
-    entry.foreach(e => StreamingInsertSql.dropRemoteCheckpoint(e.path))
+    // checkpoint lifetime follows the DATA's lifetime: a MANAGED drop
+    // purges both (re-create = a genuinely new table, fresh cursor);
+    // an EXTERNAL drop keeps the data AND its commit tags on disk, so
+    // the cursor must survive too — deleting only the checkpoint
+    // would make a re-registered stream restart at batch 0 and have
+    // its re-read batches swallowed by the old run's replay tags
     entry.filter(_.path.startsWith(s"${TieredCatalog.warehouse}/"))
-      .foreach(e =>
-        graft.storage.TableFs.forPath(e.path).deleteRecursively(e.path))
+      .foreach { e =>
+        StreamingInsertSql.dropRemoteCheckpoint(e.path)
+        graft.storage.TableFs.forPath(e.path).deleteRecursively(e.path)
+      }
     dropped
   }
 
@@ -619,13 +636,8 @@ class TieredSqlTable(tableName: String, spark: SparkSession,
     * anchors at its snapshot root so the bound partition columns still
     * surface; a plain dir entry is its own base.
     */
-  private def partBase(p: String): String = {
-    var b = p.stripSuffix("/")
-    def lastSeg = b.substring(b.lastIndexOf('/') + 1)
-    while (entry.partitionBy.exists(c => lastSeg.startsWith(c + "=")))
-      b = b.substring(0, b.lastIndexOf('/'))
-    b
-  }
+  private def partBase(p: String): String =
+    graft.storage.PartitionPaths.base(p, entry.partitionBy)
 
   private lazy val partRoots = paths.map(p =>
     ParquetTable(tableName, spark,

@@ -185,20 +185,8 @@ object IcebergExport {
   /** Hive-layout `%xx` path unescaping (the inverse of the escaping
     * Spark applies writing `col=value/` directories).
     */
-  private def unescapePathName(s: String): String = {
-    val sb = new StringBuilder(s.length)
-    var i = 0
-    while (i < s.length) {
-      val c = s.charAt(i)
-      if (c == '%' && i + 2 < s.length) {
-        val hex = s.substring(i + 1, i + 3)
-        val code = try Integer.parseInt(hex, 16) catch { case _: NumberFormatException => -1 }
-        if (code >= 0) { sb.append(code.toChar); i += 3 }
-        else { sb.append(c); i += 1 }
-      } else { sb.append(c); i += 1 }
-    }
-    sb.toString
-  }
+  private def unescapePathName(s: String): String =
+    PartitionPaths.unescape(s)
 
   /** The `col=value` partition values of one data file, parsed from its
     * path segments under the snapshot dir. `None` = the Hive null
@@ -372,12 +360,9 @@ object IcebergExport {
       // a `col=value` subdir entry anchors partition discovery at its
       // snapshot root (basePath), same as TieredTable.readParquet
       files.map { f =>
-        var base = f.stripSuffix("/")
-        def lastSeg = base.substring(base.lastIndexOf('/') + 1)
-        while (table.partitionBy.exists(c => lastSeg.startsWith(c + "=")))
-          base = base.substring(0, base.lastIndexOf('/'))
         session.read.option("mergeSchema", "true")
-          .option("basePath", base).parquet(f)
+          .option("basePath", PartitionPaths.base(f, table.partitionBy))
+          .parquet(f)
       }.reduce(_.unionByName(_, allowMissingColumns = true))
 
   /** One part file's manifest accounting: (path, rows, bytes,

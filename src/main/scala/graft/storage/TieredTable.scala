@@ -2104,13 +2104,8 @@ class TieredTable(spark: SparkSession, rawTablePath: String,
     * its trailing `col=value` segments stripped (= the snapshot dir the
     * subdir was kept from; a plain dir entry is its own base).
     */
-  private def partDiscoveryBase(f: String): String = {
-    var b = f.stripSuffix("/")
-    def lastSeg = b.substring(b.lastIndexOf('/') + 1)
-    while (partitionBy.exists(c => lastSeg.startsWith(c + "=")))
-      b = b.substring(0, b.lastIndexOf('/'))
-    b
-  }
+  private def partDiscoveryBase(f: String): String =
+    PartitionPaths.base(f, partitionBy)
 
   def readCold(): DataFrame = currentSnapshot match {
     case None => throw new IllegalStateException(s"no snapshot in $tablePath")
@@ -2461,21 +2456,8 @@ object TieredTable {
     * directory names — partition-dir comparisons must happen in the
     * UNescaped value domain.
     */
-  private[storage] def unescapePathName(s: String): String = {
-    val sb = new StringBuilder(s.length)
-    var i = 0
-    while (i < s.length) {
-      val c = s.charAt(i)
-      if (c == '%' && i + 2 < s.length) {
-        val code =
-          try Integer.parseInt(s.substring(i + 1, i + 3), 16)
-          catch { case _: NumberFormatException => -1 }
-        if (code >= 0) { sb.append(code.toChar); i += 3 }
-        else { sb.append(c); i += 1 }
-      } else { sb.append(c); i += 1 }
-    }
-    sb.toString
-  }
+  private[storage] def unescapePathName(s: String): String =
+    PartitionPaths.unescape(s)
 
   def apply(spark: SparkSession, path: String, pk: Seq[String] = Nil,
             mergeOnRead: Boolean = false,

@@ -593,25 +593,8 @@ class GraftEmptyScan(tableName: String, schema: StructType)
 object GraftPartitionPathFilter {
   import org.apache.spark.sql.sources._
 
-  /** Hive escapes special path chars as %XX; undo that (hex pairs
-    * only — malformed sequences stay literal).
-    */
-  private def unescape(s: String): String = {
-    if (!s.contains('%')) return s
-    val b = new java.lang.StringBuilder(s.length)
-    var i = 0
-    while (i < s.length) {
-      val c = s.charAt(i)
-      if (c == '%' && i + 2 < s.length &&
-          Character.digit(s.charAt(i + 1), 16) >= 0 &&
-          Character.digit(s.charAt(i + 2), 16) >= 0) {
-        b.append(((Character.digit(s.charAt(i + 1), 16) << 4) +
-          Character.digit(s.charAt(i + 2), 16)).toChar)
-        i += 3
-      } else { b.append(c); i += 1 }
-    }
-    b.toString
-  }
+  private def unescape(s: String): String =
+    graft.storage.PartitionPaths.unescape(s)
 
   private val HiveNull = "__HIVE_DEFAULT_PARTITION__"
 

@@ -198,6 +198,29 @@ class LogStreamTableSpec extends AnyFunSuite with SparkSpec {
     assert(parts.nonEmpty)
   }
 
+  test("a stream starting on an EMPTY hot log (all tiered+vacuumed) " +
+       "bootstraps at the watermark, not at -1") {
+    val (t, _) = freshTable("empty")
+    (1 to 3).foreach(i => t.appendLog(Seq((i.toLong, s"v$i")).toDF("id", "v")))
+    t.tier()
+    t.vacuum(keepLast = 1) // hot log now EMPTY; ids continue at 3
+    val cat = spark.sessionState.catalogManager
+      .catalog("graft").asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+    val tbl = cat.loadTable(org.apache.spark.sql.connector.catalog.Identifier
+      .of(Array("lts"), "empty"))
+    val ms = tbl.asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsRead]
+      .newScanBuilder(org.apache.spark.sql.util.CaseInsensitiveStringMap.empty)
+      .build().toMicroBatchStream("/tmp/unused-ck2")
+    val init = ms.initialOffset().asInstanceOf[graft.plans.LogTailOffset]
+    assert(init.id == 2L,
+      s"empty-log bootstrap must sit at the tiering watermark, got $init")
+    // the FIRST segment committed after start must plan, not trip the
+    // retirement guard — this consumer never lagged
+    t.appendLog(Seq((9L, "fresh")).toDF("id", "v"))
+    val parts = ms.planInputPartitions(init, ms.latestOffset())
+    assert(parts.nonEmpty, "post-start segment must be readable")
+  }
+
   test("a primary-key table refuses the direct stream and points at " +
        "its change feed") {
     val dir = Files.createTempDirectory("graft-lts-pk").toString

@@ -133,6 +133,28 @@ class StatementSetSqlSpec extends AnyFunSuite with SparkSpec {
     spark.sql("STOP STREAMING INSERT graft.ssq.out")
   }
 
+  test("statement-set statements may carry a SQL CASE … END expression " +
+       "(the block closes only at the standalone END after the last ';')") {
+    val dir = Files.createTempDirectory("graft-stmtcase").toString
+    val src = TieredTable(spark, s"$dir/src")
+    TieredCatalog.register("ssq", "csrc", s"$dir/src")
+    TieredCatalog.register("ssq", "cout", s"$dir/out")
+    src.appendLog(Seq(1L, 2L, 3L).toDF("id"))
+    spark.sql(
+      s"""EXECUTE STATEMENT SET WITH('checkpoint'='$dir/ckpt') BEGIN
+         |  INSERT INTO graft.ssq.cout
+         |    SELECT id, CASE WHEN id % 2 = 0 THEN 'even' ELSE 'odd' END
+         |      AS parity
+         |    FROM graft.ssq.csrc;
+         |END""".stripMargin)
+    val q = StreamingInsertSql.query("ssq", "cout").get
+    q.processAllAvailable()
+    assert(spark.sql("SELECT id, parity FROM graft.ssq.cout")
+      .as[(Long, String)].collect().toSet ==
+      Set((1L, "odd"), (2L, "even"), (3L, "odd")))
+    spark.sql("STOP STREAMING INSERT graft.ssq.cout")
+  }
+
   test("DISTINCT body deduplicates ACROSS batches (streaming-agg lowering, not per-batch)") {
     val dir = Files.createTempDirectory("graft-stmtdist").toString
     val src = TieredTable(spark, s"$dir/src")

@@ -162,4 +162,26 @@ class WriteSortOrderSpec extends AnyFunSuite with SparkSpec {
       .as[(String, Long)].collect().toSeq
     assert(fr == Seq(("", 42L)))
   }
+
+  test("$partitions accounts kept partitions after a partition-scoped " +
+       "overwrite (subdir roots resolve their parent's sidecar)") {
+    val name = "pow_meta"
+    spark.sql(s"DROP TABLE IF EXISTS graft.sorts.$name")
+    spark.sql(
+      s"""CREATE TABLE graft.sorts.$name (id BIGINT, p STRING)
+         |PARTITIONED BY (p)""".stripMargin)
+    spark.sql(s"INSERT INTO graft.sorts.$name " +
+      "SELECT id, CAST(id % 3 AS STRING) FROM range(300)")
+    spark.sql(s"CALL graft.system.tier('sorts.$name')")
+    // replace ONE partition with a smaller backfill; the other two
+    // survive as `p=value` SUBDIR references into the old snapshot
+    spark.sql(s"INSERT OVERWRITE graft.sorts.$name PARTITION (p = '1') " +
+      "SELECT id FROM range(10)")
+    val rows = spark.sql(
+      s"SELECT partition, row_count FROM graft.sorts.`$name$$partitions`")
+      .as[(String, Long)].collect().toSeq.sortBy(_._1)
+    assert(rows == Seq(("p=0", 100L), ("p=1", 10L), ("p=2", 100L)),
+      s"kept partitions must not vanish from the accounting: $rows")
+    spark.sql(s"DROP TABLE graft.sorts.$name")
+  }
 }
