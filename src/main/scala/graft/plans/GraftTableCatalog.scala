@@ -259,7 +259,18 @@ class GraftTableCatalog extends TableCatalog
           throw new NoSuchTableException(Seq(catName, db, ident.name)))
         parquet(spark, ident.toString, snap.files)
       case _ =>
-        new TieredSqlTable(ident.toString, spark, t, e)
+        // Iceberg's `spark.wap.branch` READ semantics: while
+        // `spark.graft.wap.branch` is set and THIS table has the
+        // branch, plain reads serve the branch view (fork parent +
+        // its appends, cold like any ref read) — so an audit pipeline
+        // runs its normal queries unchanged against the candidate
+        // state. Tables without the branch are untouched; writes
+        // under the conf already route to the branch in the sink.
+        val branchView = Option(
+          spark.conf.get("spark.graft.wap.branch", null))
+          .filter(_.nonEmpty).flatMap(t.branchRead)
+        new TieredSqlTable(ident.toString, spark, t, e,
+          readFilesOverride = branchView.map(_.files))
     }
   }
 
@@ -598,7 +609,8 @@ class GraftTableCatalog extends TableCatalog
   * same as the API path.
   */
 class TieredSqlTable(tableName: String, spark: SparkSession,
-                     t: TieredTable, entry: TieredCatalog.Entry)
+                     t: TieredTable, entry: TieredCatalog.Entry,
+                     readFilesOverride: Option[Seq[String]] = None)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete {
@@ -616,7 +628,10 @@ class TieredSqlTable(tableName: String, spark: SparkSession,
       .readString(s"${entry.path}/meta/SCHEMA").map(StructType.fromDDL)
   }
 
-  private val paths = t.unionPaths
+  // the READ side only: a branch view (spark.graft.wap.branch)
+  // substitutes the branch's file list; writes, deletes, and the
+  // streaming sink keep operating on the real table
+  private val paths = readFilesOverride.getOrElse(t.unionPaths)
 
   private val readOpts =
     new CaseInsensitiveStringMap(Map("mergeSchema" -> "true").asJava)

@@ -79,6 +79,31 @@ class BranchSpec extends AnyFunSuite with SparkSpec {
       "publishing the branch releases the pinned parent")
   }
 
+  test("spark.graft.wap.branch affects READS too: plain queries serve " +
+       "the branch view while set; tables without the branch untouched") {
+    val (t, name) = mk("readview")
+    val (other, otherName) = mk("readother")
+    t.commitAppend(Seq((1L, "base")).toDF("id", "v"))
+    other.commitAppend(Seq((7L, "other")).toDF("id", "v"))
+    t.createBranch("audit")
+    spark.conf.set("spark.graft.wap.branch", "audit")
+    try {
+      // writes keep routing to the branch…
+      spark.sql(s"INSERT INTO $name VALUES (2, 'cand')")
+      // …and plain reads of the SAME table now serve the branch view
+      assert(spark.table(name).as[(Long, String)].collect().toSet ==
+        Set((1L, "base"), (2L, "cand")),
+        "reads under wap.branch must see the branch (Iceberg semantics)")
+      // a table without that branch reads main as always
+      assert(spark.table(otherName).as[(Long, String)].collect().toSet ==
+        Set((7L, "other")))
+    } finally spark.conf.unset("spark.graft.wap.branch")
+    // conf unset → main view again (the candidate never published)
+    assert(spark.table(name).as[(Long, String)].collect().toSet ==
+      Set((1L, "base")))
+    t.dropBranch("audit")
+  }
+
   test("drop_branch discards unpublished files; refusals: duplicate, " +
        "tag/branch name collision, empty fast_forward, both confs set") {
     val (t, name) = mk("refuse")
