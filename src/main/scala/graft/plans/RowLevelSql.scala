@@ -37,8 +37,10 @@ import graft.storage.TieredTable
   * WHEN family, non-identity INSERT values, subqueries in
   * predicates) — never silently approximated. Supported beyond the
   * basics: `WHEN NOT MATCHED AND <cond> THEN INSERT` (source-side
-  * conditions) and `WHEN NOT MATCHED BY SOURCE THEN UPDATE/DELETE`
-  * (target-side conditions — the dim-sync shape).
+  * conditions), `WHEN NOT MATCHED BY SOURCE THEN UPDATE/DELETE`
+  * (target-side conditions — the dim-sync shape), and `MERGE WITH
+  * SCHEMA EVOLUTION` (star-form: source-only columns join the target
+  * as nullable).
   */
 object RowLevelSql {
 
@@ -143,8 +145,6 @@ object RowLevelSql {
 
   private[plans] def lowerMerge(tst: TieredSqlTable,
                                 m: MergeIntoTable): LogicalPlan = {
-    if (m.withSchemaEvolution)
-      fail("MERGE WITH SCHEMA EVOLUTION is not supported on tiered tables")
     val tSet = AttributeSet(m.targetTable.output)
     val sSet = AttributeSet(m.sourceTable.output)
     val sideOf = (a: AttributeReference) =>
@@ -153,6 +153,19 @@ object RowLevelSql {
       else fail(s"reference ${a.name} resolves to neither MERGE side")
     noSubquery(m.mergeCondition, "MERGE")
     val on = eqKeys(m.mergeCondition, tSet, sSet).distinct
+
+    // MERGE WITH SCHEMA EVOLUTION (Delta's star-form semantics):
+    // source-only columns become new nullable target columns. Spark's
+    // analyzer NARROWS star-assignments to the current target schema
+    // even with the keyword (verified against 4.1), so the evolution
+    // set is derived from the source-vs-target diff — which is exactly
+    // the star-form contract (an explicit new column in a SET list
+    // fails resolution before this rule and so cannot reach here).
+    val evolveCols: Seq[(String, org.apache.spark.sql.types.DataType)] =
+      if (!m.withSchemaEvolution) Nil
+      else m.sourceTable.output
+        .filterNot(sa => tSet.exists(_.name.equalsIgnoreCase(sa.name)))
+        .map(sa => sa.name -> sa.dataType)
 
     // WHEN MATCHED: at most one UPDATE and one DELETE clause; SQL's
     // first-match-wins ordering is encoded exactly — a second clause
@@ -221,6 +234,25 @@ object RowLevelSql {
     // resolved to the target schema by name. NULL literals are legal
     // for target columns the source does not carry (alignment fills
     // them); anything else is a reshaping insert we refuse.
+    // evolution + WHEN MATCHED UPDATE: the new columns update from
+    // the source under the SAME clause condition as the user's update
+    // (a conditional SET * guards every column it sets; the evolved
+    // columns behave identically). No matched-update clause → new
+    // columns arrive only through inserts.
+    val evolvedAssigns: Seq[(String, Column)] = upd.toSeq.flatMap {
+      case (u, _) => evolveCols.map { case (n, _) =>
+        val src = UnresolvedAttribute(Seq("s", n))
+        val value: Expression = u.condition match {
+          case None => src
+          case Some(c) =>
+            CaseWhen(Seq((hit(c), src)), Some(UnresolvedAttribute(Seq("t", n))))
+        }
+        n -> org.apache.spark.sql.GraftSqlBridge.column(value.transform {
+          case a: AttributeReference => UnresolvedAttribute(sideOf(a) :+ a.name)
+        })
+      }
+    }
+
     // WHEN NOT MATCHED BY SOURCE (target rows no source row matched):
     // same clause grammar as WHEN MATCHED — at most one UPDATE and one
     // DELETE, first-match-wins — applied to the full-outer join's
@@ -308,8 +340,8 @@ object RowLevelSql {
     }
 
     GraftMergeCommand(tst.catalogEntry, SourceHolder(m.sourceTable), on,
-      updAssigns, deleteCond, insert, insertCond,
-      bySourceAssigns, bySourceDelete)
+      updAssigns ++ evolvedAssigns, deleteCond, insert, insertCond,
+      bySourceAssigns, bySourceDelete, evolveCols)
   }
 
   private[plans] def tieredOf(session: SparkSession,
@@ -390,19 +422,37 @@ case class GraftMergeCommand(entry: TieredCatalog.Entry,
     deleteCond: Option[Column], insert: Boolean,
     insertCond: Option[Column] = None,
     bySourceAssigns: Seq[(String, Column)] = Nil,
-    bySourceDelete: Option[Column] = None)
+    bySourceDelete: Option[Column] = None,
+    evolveCols: Seq[(String, org.apache.spark.sql.types.DataType)] = Nil)
   extends LeafRunnableCommand {
   override def run(session: SparkSession): Seq[Row] = {
     val t = RowLevelSql.tieredOf(session, entry)
     val source =
       org.apache.spark.sql.GraftSqlBridge.ofRows(session, sourcePlan.plan)
+    // evolution also advances the DECLARED schema (when one exists —
+    // CREATE TABLE wrote it; API-registered tables have none), so the
+    // catalog's empty-table resolution and INSERT checking see the
+    // new columns too
+    if (evolveCols.nonEmpty) {
+      val fs = graft.storage.TableFs.forPath(entry.path)
+      val metaP = s"${entry.path}/meta/SCHEMA"
+      fs.readString(metaP).foreach { ddl =>
+        val cur = org.apache.spark.sql.types.StructType.fromDDL(ddl)
+        val add = evolveCols.filterNot { case (n, _) =>
+          cur.fieldNames.exists(_.equalsIgnoreCase(n)) }
+        if (add.nonEmpty)
+          fs.writeString(metaP, add.foldLeft(cur) { case (st, (n, dt)) =>
+            st.add(n, dt, nullable = true) }.toDDL)
+      }
+    }
     t.merge(source, on,
       whenMatchedUpdate = updateAssigns.toMap,
       whenMatchedDelete = deleteCond,
       whenNotMatchedInsert = insert,
       whenNotMatchedCond = insertCond,
       whenNotMatchedBySourceUpdate = bySourceAssigns.toMap,
-      whenNotMatchedBySourceDelete = bySourceDelete)
+      whenNotMatchedBySourceDelete = bySourceDelete,
+      evolveColumns = evolveCols)
     Seq.empty
   }
 }

@@ -979,7 +979,8 @@ class TieredTable(spark: SparkSession, rawTablePath: String,
             whenNotMatchedInsert: Boolean = true,
             whenNotMatchedCond: Option[org.apache.spark.sql.Column] = None,
             whenNotMatchedBySourceUpdate: Map[String, org.apache.spark.sql.Column] = Map.empty,
-            whenNotMatchedBySourceDelete: Option[org.apache.spark.sql.Column] = None)
+            whenNotMatchedBySourceDelete: Option[org.apache.spark.sql.Column] = None,
+            evolveColumns: Seq[(String, org.apache.spark.sql.types.DataType)] = Nil)
       : Option[Snapshot] =
     withCommitLock {
       require(on.nonEmpty, "merge needs at least one key column")
@@ -987,7 +988,14 @@ class TieredTable(spark: SparkSession, rawTablePath: String,
       require(!logSegments.exists(_ > prev.tieredSeg),
         s"hot log segments exist above the tiered watermark in $tablePath; " +
           "tier() before merge")
-      val target = readCold()
+      // MERGE WITH SCHEMA EVOLUTION: source-only columns join the
+      // target schema as nullable — existing rows surface NULL, the
+      // rewrite below persists the widened shape (Delta's star-form
+      // evolution semantics)
+      val target = evolveColumns.foldLeft(readCold()) { case (d, (n, dt)) =>
+        if (d.columns.exists(_.equalsIgnoreCase(n))) d
+        else d.withColumn(n, lit(null).cast(dt))
+      }
       require(on.forall(target.columns.contains),
         s"merge key ${on.mkString(",")} missing from target")
       require(on.forall(source.columns.contains),

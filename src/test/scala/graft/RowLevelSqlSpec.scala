@@ -194,6 +194,40 @@ class RowLevelSqlSpec extends AnyFunSuite with SparkSpec {
       .map(_.getString(0)).toSet == Set("kept"))
   }
 
+  test("MERGE WITH SCHEMA EVOLUTION: source-only columns join the " +
+       "target as nullable; without the keyword they are ignored") {
+    import spark.implicits._
+    val (t, sql) = freshTable("m8")
+    t.appendLog(Seq((1L, 10.0), (2L, 20.0)).toDF("id", "price"))
+    t.tier()
+    // WITHOUT the keyword: the extra source column is silently ignored
+    // (Spark narrows star-assignments to the target schema)
+    spark.sql(
+      s"""MERGE INTO $sql AS tgt
+         |USING (SELECT 1L AS id, 11.0 AS price, 'tag1' AS label) AS src
+         |ON tgt.id = src.id
+         |WHEN MATCHED THEN UPDATE SET *""".stripMargin)
+    assert(spark.table(sql).columns.toSeq == Seq("id", "price"))
+
+    // WITH the keyword: `label` evolves in — matched rows take the
+    // source value, untouched rows surface NULL, inserts carry it
+    spark.sql(
+      s"""MERGE WITH SCHEMA EVOLUTION INTO $sql AS tgt
+         |USING (SELECT * FROM VALUES (1L, 12.0, 'tag1'), (9L, 90.0, 'tag9')
+         |       AS v(id, price, label)) AS src
+         |ON tgt.id = src.id
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val rows = spark.sql(s"SELECT id, price, label FROM $sql ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1),
+        Option(r.getString(2)))).toSeq
+    assert(rows == Seq((1L, 12.0, Some("tag1")),
+      (2L, 20.0, None), (9L, 90.0, Some("tag9"))),
+      s"evolved column: matched=source, untouched=NULL, inserted=source; got $rows")
+    // the widened shape persists for ordinary reads and writes
+    assert(spark.table(sql).columns.toSeq == Seq("id", "price", "label"))
+  }
+
   test("SQL MERGE multi-match source raises the SQL ambiguity error") {
     import spark.implicits._
     val (t, sql) = freshTable("m4")
