@@ -673,6 +673,29 @@ object Demo {
         s"${spark.table("graft.fluss.recover_demo").count()} row")
     }
 
+    // 19l4. schema evolution, both verbs (r9): a type widens in place
+    //       (int→long, historical values exact), and one MERGE WITH
+    //       SCHEMA EVOLUTION teaches the corpus a new column
+    {
+      val evDir = s"$base/tables/evolve_demo"
+      val et = graft.storage.TieredTable(spark, evDir)
+      TieredCatalog.register("fluss", "evolve_demo", evDir)
+      et.commitAppend(Seq((1, "a"), (2147483647, "b")).toDF("n", "v"))
+      et.widenColumn("n", org.apache.spark.sql.types.LongType)
+      spark.sql(
+        """MERGE WITH SCHEMA EVOLUTION INTO graft.fluss.evolve_demo AS t
+          |USING (SELECT CAST(4000000000 AS BIGINT) AS n, 'c' AS v,
+          |              'fresh' AS quality) AS s
+          |ON t.n = s.n
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      val shape = spark.table("graft.fluss.evolve_demo").columns.mkString(",")
+      val maxN = spark.sql(
+        "SELECT max(n) FROM graft.fluss.evolve_demo").head().getLong(0)
+      say(s"[demo] evolution: widened n holds max=$maxN; " +
+        s"evolved shape=[$shape]")
+    }
+
     // 19m. declared write sort order + $partitions (r9): ingest
     //      clusters by the declared key (disjoint per-file ranges →
     //      range scans open O(matching files)), and per-partition

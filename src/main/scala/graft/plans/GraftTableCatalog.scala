@@ -718,6 +718,8 @@ class TieredSqlTable(tableName: String, spark: SparkSession,
     if (entry.changeDataFeed) m += "change-data-feed" -> "true"
     if (entry.datalake) m += "datalake" -> "true"
     entry.watermark.foreach(w => m += "watermark" -> w)
+    if (entry.sortBy.nonEmpty)
+      m += "write.sort-order" -> entry.sortBy.mkString(",")
     m += "path" -> entry.path
     m.asJava
   }

@@ -119,5 +119,9 @@ class DemoSpec extends AnyFunSuite with SparkSpec {
     // r9: selective recovery + by-source dim sync
     assert(has("rollback+cherry-pick kept [good,good2]; by-source " +
       "MERGE → 1 row"), lines.mkString("\n"))
+
+    // r9: widening + star-form MERGE evolution
+    assert(has("evolution: widened n holds max=4000000000; " +
+      "evolved shape=[n,v,quality]"), lines.mkString("\n"))
   }
 }
