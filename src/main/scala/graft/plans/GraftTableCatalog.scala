@@ -613,7 +613,27 @@ class TieredSqlTable(tableName: String, spark: SparkSession,
                      readFilesOverride: Option[Seq[String]] = None)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
-    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.TruncatableTable {
+
+  /** SQL `TRUNCATE TABLE` — an overwrite-with-nothing COMMIT: the
+    * table becomes empty, history stays time-travelable (rollback
+    * undoes a mistaken truncate — the reason this is a snapshot, not
+    * a purge). Same hot-tail precondition as INSERT OVERWRITE: an
+    * un-tiered log segment would resurface over the truncation.
+    */
+  override def truncateTable(): Boolean = {
+    val wm = t.currentSnapshot.map(_.tieredSeg).getOrElse(-1L)
+    require(!t.logSegments.exists(_ > wm),
+      s"table $tableName has un-tiered hot log segments — they would " +
+        "resurface over the truncation; tier() before TRUNCATE TABLE")
+    if (t.latestSnapshotId == 0L) return true // already empty
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      t.readCold().schema)
+    t.commitOverwrite(empty)
+    true
+  }
 
   /** The catalog entry behind this relation — [[RowLevelSql]] lowers
     * SQL UPDATE / MERGE INTO through it to the storage layer's verbs.

@@ -396,6 +396,29 @@ class CatalogSpec extends AnyFunSuite with SparkSpec {
     spark.sql("DROP TABLE graft.wf.evpart")
   }
 
+  test("TRUNCATE TABLE commits an empty state; history stays " +
+       "time-travelable; a hot tail refuses") {
+    import spark.implicits._
+    spark.sql("DROP TABLE IF EXISTS graft.wf.trunc")
+    spark.sql("CREATE TABLE graft.wf.trunc (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO graft.wf.trunc VALUES (1, 'a'), (2, 'b')")
+    val t = graft.storage.TieredTable(spark,
+      graft.plans.TieredCatalog.lookup("wf", "trunc").get.path)
+    // the INSERT lands hot — truncating over it must refuse
+    val hot = intercept[Exception](spark.sql("TRUNCATE TABLE graft.wf.trunc"))
+    assert(hot.getMessage.contains("tier()"), hot.getMessage)
+    t.tier()
+    spark.sql("TRUNCATE TABLE graft.wf.trunc")
+    assert(spark.table("graft.wf.trunc").count() == 0)
+    // history intact: the pre-truncate snapshot still reads
+    assert(spark.sql("SELECT * FROM graft.wf.trunc VERSION AS OF 1")
+      .as[(Long, String)].collect().toSet == Set((1L, "a"), (2L, "b")))
+    // and the table accepts new rows after
+    spark.sql("INSERT INTO graft.wf.trunc VALUES (3, 'c')")
+    assert(spark.table("graft.wf.trunc").count() == 1)
+    spark.sql("DROP TABLE graft.wf.trunc")
+  }
+
   test("ALTER TABLE RENAME TO moves the identity, not the data; " +
        "taken targets refuse") {
     spark.sql("DROP TABLE IF EXISTS graft.wf.rn_old")
