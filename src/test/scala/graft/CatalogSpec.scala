@@ -396,6 +396,21 @@ class CatalogSpec extends AnyFunSuite with SparkSpec {
     spark.sql("DROP TABLE graft.wf.evpart")
   }
 
+  test("CREATE OR REPLACE TABLE and RTAS replace through drop+create") {
+    spark.sql("DROP TABLE IF EXISTS graft.wf.ror")
+    spark.sql("DROP TABLE IF EXISTS graft.wf.ror2")
+    spark.sql("CREATE TABLE graft.wf.ror (id BIGINT)")
+    spark.sql("INSERT INTO graft.wf.ror VALUES (1)")
+    spark.sql("CREATE OR REPLACE TABLE graft.wf.ror (id BIGINT, v STRING)")
+    assert(spark.table("graft.wf.ror").columns.toSeq == Seq("id", "v"))
+    assert(spark.table("graft.wf.ror").count() == 0,
+      "REPLACE discards the old content with the old schema")
+    spark.sql("CREATE OR REPLACE TABLE graft.wf.ror2 AS SELECT 1L AS id")
+    assert(spark.table("graft.wf.ror2").count() == 1)
+    spark.sql("DROP TABLE graft.wf.ror")
+    spark.sql("DROP TABLE graft.wf.ror2")
+  }
+
   test("TRUNCATE TABLE commits an empty state; history stays " +
        "time-travelable; a hot tail refuses") {
     import spark.implicits._
