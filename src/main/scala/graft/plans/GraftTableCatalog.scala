@@ -614,7 +614,80 @@ class TieredSqlTable(tableName: String, spark: SparkSession,
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
-    with org.apache.spark.sql.connector.catalog.TruncatableTable {
+    with org.apache.spark.sql.connector.catalog.TruncatableTable
+    with org.apache.spark.sql.connector.catalog.SupportsPartitionManagement {
+
+  // ---- SHOW PARTITIONS (read-only partition management) ----
+  // Partitions in a Hive layout MATERIALIZE with their data (INSERT
+  // creates them, INSERT OVERWRITE PARTITION replaces them), so the
+  // mutation verbs refuse loudly rather than pretend an empty dir is
+  // a partition.
+
+  override def partitionSchema(): StructType =
+    StructType(schema().filter(f =>
+      entry.partitionBy.exists(_.equalsIgnoreCase(f.name))))
+
+  override def listPartitionIdentifiers(
+      names: Array[String],
+      ident: org.apache.spark.sql.catalyst.InternalRow)
+      : Array[org.apache.spark.sql.catalyst.InternalRow] = {
+    val pSchema = partitionSchema()
+    if (pSchema.isEmpty) return Array.empty
+    // distinct partition tuples from the Hive `col=value` segments of
+    // every live file — one listing per root, no data file opened
+    val tuples = t.unionPaths.flatMap { root =>
+      graft.storage.TableFs.forPath(root).listFiles(root)
+        .map(_._1).filter(_.endsWith(".parquet"))
+        .flatMap { f =>
+          val kv = f.split('/').filter(_.contains("="))
+            .map { seg =>
+              val i = seg.indexOf('=')
+              seg.substring(0, i) ->
+                graft.storage.PartitionPaths.unescape(seg.substring(i + 1))
+            }.toMap
+          if (pSchema.fieldNames.forall(kv.contains))
+            Some(pSchema.fieldNames.toSeq.map(kv))
+          else None
+        }
+    }.distinct.sortBy(_.mkString("/"))
+    def typed(values: Seq[String]): org.apache.spark.sql.catalyst.InternalRow =
+      org.apache.spark.sql.catalyst.InternalRow.fromSeq(
+        values.zip(pSchema.fields).map { case (v, f) =>
+          org.apache.spark.sql.catalyst.expressions.Cast(
+            org.apache.spark.sql.catalyst.expressions.Literal(
+              UTF8String.fromString(v), StringType),
+            f.dataType, Some("UTC")).eval()
+        })
+    // partial-spec filter: SHOW PARTITIONS t PARTITION (col = v)
+    val nameIdx = names.map(n => pSchema.fieldIndex(n))
+    tuples.map(typed).filter { row =>
+      nameIdx.zipWithIndex.forall { case (fi, ii) =>
+        val want = ident.get(ii, pSchema.fields(fi).dataType)
+        val have = row.get(fi, pSchema.fields(fi).dataType)
+        want == have || (want != null && want.equals(have))
+      }
+    }.toArray
+  }
+
+  private def refuseP(verb: String): Nothing =
+    throw new UnsupportedOperationException(
+      s"$tableName: $verb — Hive-layout partitions materialize with " +
+        "their data; use INSERT / INSERT OVERWRITE ... PARTITION")
+  override def createPartition(
+      ident: org.apache.spark.sql.catalyst.InternalRow,
+      props: util.Map[String, String]): Unit =
+    refuseP("ALTER TABLE ADD PARTITION is not supported")
+  override def dropPartition(
+      ident: org.apache.spark.sql.catalyst.InternalRow): Boolean =
+    refuseP("ALTER TABLE DROP PARTITION is not supported")
+  override def replacePartitionMetadata(
+      ident: org.apache.spark.sql.catalyst.InternalRow,
+      props: util.Map[String, String]): Unit =
+    refuseP("partition metadata is not supported")
+  override def loadPartitionMetadata(
+      ident: org.apache.spark.sql.catalyst.InternalRow)
+      : util.Map[String, String] =
+    java.util.Collections.emptyMap()
 
   /** SQL `TRUNCATE TABLE` — an overwrite-with-nothing COMMIT: the
     * table becomes empty, history stays time-travelable (rollback

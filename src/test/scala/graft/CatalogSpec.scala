@@ -396,6 +396,29 @@ class CatalogSpec extends AnyFunSuite with SparkSpec {
     spark.sql("DROP TABLE graft.wf.evpart")
   }
 
+  test("SHOW PARTITIONS lists live Hive partitions; partial specs " +
+       "filter; partition DDL refuses loudly") {
+    spark.sql("DROP TABLE IF EXISTS graft.wf.showp")
+    spark.sql(
+      """CREATE TABLE graft.wf.showp (id BIGINT, p STRING, q STRING)
+        |PARTITIONED BY (p, q)""".stripMargin)
+    spark.sql("INSERT INTO graft.wf.showp " +
+      "SELECT id, CAST(id % 2 AS STRING), CAST(id % 3 AS STRING) " +
+      "FROM range(60)")
+    val all = spark.sql("SHOW PARTITIONS graft.wf.showp")
+      .collect().map(_.getString(0)).toSet
+    assert(all == Set("p=0/q=0", "p=0/q=1", "p=0/q=2",
+      "p=1/q=0", "p=1/q=1", "p=1/q=2"), all.toString)
+    val partial = spark.sql(
+      "SHOW PARTITIONS graft.wf.showp PARTITION (p = '1')")
+      .collect().map(_.getString(0)).toSet
+    assert(partial == Set("p=1/q=0", "p=1/q=1", "p=1/q=2"))
+    val add = intercept[Exception](spark.sql(
+      "ALTER TABLE graft.wf.showp ADD PARTITION (p = '9', q = '9')"))
+    assert(add.getMessage.contains("materialize"), add.getMessage)
+    spark.sql("DROP TABLE graft.wf.showp")
+  }
+
   test("CREATE OR REPLACE TABLE and RTAS replace through drop+create") {
     spark.sql("DROP TABLE IF EXISTS graft.wf.ror")
     spark.sql("DROP TABLE IF EXISTS graft.wf.ror2")
