@@ -499,6 +499,9 @@ class GraftTableCatalog extends TableCatalog
           "nested column type changes are not supported")
         val name = ut.fieldNames()(0)
         if (tt.latestSnapshotId > 0 || tt.logSegments.nonEmpty)
+          // widenColumn IS the converge (compact-then-tier inside) —
+          // setting needsConverge here would compact the whole table
+          // a second time for nothing
           tt.widenColumn(name, ut.newDataType())
         else require(
           graft.storage.TieredTable.safeWiden(
@@ -507,7 +510,6 @@ class GraftTableCatalog extends TableCatalog
         schema = StructType(schema.map(f =>
           if (f.name.equalsIgnoreCase(name))
             f.copy(dataType = ut.newDataType()) else f))
-        needsConverge = true
       // ALTER TABLE … SET TBLPROPERTIES: the two knobs that are purely
       // write-side policy re-point safely mid-life — sort order shapes
       // FUTURE writes (existing layout converges at the next
@@ -624,8 +626,11 @@ class TieredSqlTable(tableName: String, spark: SparkSession,
   // a partition.
 
   override def partitionSchema(): StructType =
-    StructType(schema().filter(f =>
-      entry.partitionBy.exists(_.equalsIgnoreCase(f.name))))
+    // DECLARED `PARTITIONED BY` order, not table-schema order — the
+    // Hive dirs nest in declared order and SHOW PARTITIONS must
+    // render `p=…/q=…` to match the layout
+    StructType(entry.partitionBy.flatMap(c =>
+      schema().find(_.name.equalsIgnoreCase(c))))
 
   override def listPartitionIdentifiers(
       names: Array[String],
@@ -696,6 +701,15 @@ class TieredSqlTable(tableName: String, spark: SparkSession,
     * un-tiered log segment would resurface over the truncation.
     */
   override def truncateTable(): Boolean = {
+    // same staging stance as INSERT OVERWRITE: a truncation cannot
+    // cherry-pick onto a moved head, so it must not silently hit
+    // production main while a WAP staging conf is active
+    Seq("spark.graft.wap.id", "spark.graft.wap.branch").foreach { k =>
+      require(Option(spark.conf.get(k, null)).forall(_.isEmpty),
+        s"$tableName: TRUNCATE TABLE under $k is not stageable — " +
+          "only appends cherry-pick onto a moved head; unset it to " +
+          "truncate directly")
+    }
     val wm = t.currentSnapshot.map(_.tieredSeg).getOrElse(-1L)
     require(!t.logSegments.exists(_ > wm),
       s"table $tableName has un-tiered hot log segments — they would " +

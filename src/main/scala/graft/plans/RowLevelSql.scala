@@ -158,11 +158,26 @@ object RowLevelSql {
     // source-only columns become new nullable target columns. Spark's
     // analyzer NARROWS star-assignments to the current target schema
     // even with the keyword (verified against 4.1), so the evolution
-    // set is derived from the source-vs-target diff — which is exactly
-    // the star-form contract (an explicit new column in a SET list
-    // fails resolution before this rule and so cannot reach here).
+    // set is derived from the source-vs-target diff — GATED on a
+    // star-form clause being present: `UPDATE SET *` / `INSERT *`
+    // arrive as identity assignments covering EVERY target column,
+    // while an explicit SET list covers a subset and must not evolve
+    // anything it never mentioned (an explicit NEW column in a SET
+    // list fails resolution before this rule).
+    def coversAllTargetCols(assigns: Seq[Assignment]): Boolean =
+      m.targetTable.output.forall(tc => assigns.exists(_.key match {
+        case k: AttributeReference => k.name.equalsIgnoreCase(tc.name)
+        case _ => false
+      }))
+    val starForm = m.matchedActions.exists {
+      case u: UpdateAction => coversAllTargetCols(u.assignments)
+      case _ => false
+    } || m.notMatchedActions.exists {
+      case i: InsertAction => coversAllTargetCols(i.assignments)
+      case _ => false
+    }
     val evolveCols: Seq[(String, org.apache.spark.sql.types.DataType)] =
-      if (!m.withSchemaEvolution) Nil
+      if (!m.withSchemaEvolution || !starForm) Nil
       else m.sourceTable.output
         .filterNot(sa => tSet.exists(_.name.equalsIgnoreCase(sa.name)))
         .map(sa => sa.name -> sa.dataType)
@@ -239,8 +254,9 @@ object RowLevelSql {
     // (a conditional SET * guards every column it sets; the evolved
     // columns behave identically). No matched-update clause → new
     // columns arrive only through inserts.
-    val evolvedAssigns: Seq[(String, Column)] = upd.toSeq.flatMap {
-      case (u, _) => evolveCols.map { case (n, _) =>
+    val evolvedAssigns: Seq[(String, Column)] = upd.toSeq
+      .filter { case (u, _) => coversAllTargetCols(u.assignments) }
+      .flatMap { case (u, _) => evolveCols.map { case (n, _) =>
         val src = UnresolvedAttribute(Seq("s", n))
         val value: Expression = u.condition match {
           case None => src
@@ -250,8 +266,7 @@ object RowLevelSql {
         n -> org.apache.spark.sql.GraftSqlBridge.column(value.transform {
           case a: AttributeReference => UnresolvedAttribute(sideOf(a) :+ a.name)
         })
-      }
-    }
+      } }
 
     // WHEN NOT MATCHED BY SOURCE (target rows no source row matched):
     // same clause grammar as WHEN MATCHED — at most one UPDATE and one
@@ -429,11 +444,20 @@ case class GraftMergeCommand(entry: TieredCatalog.Entry,
     val t = RowLevelSql.tieredOf(session, entry)
     val source =
       org.apache.spark.sql.GraftSqlBridge.ofRows(session, sourcePlan.plan)
+    val committed = t.merge(source, on,
+      whenMatchedUpdate = updateAssigns.toMap,
+      whenMatchedDelete = deleteCond,
+      whenNotMatchedInsert = insert,
+      whenNotMatchedCond = insertCond,
+      whenNotMatchedBySourceUpdate = bySourceAssigns.toMap,
+      whenNotMatchedBySourceDelete = bySourceDelete,
+      evolveColumns = evolveCols)
     // evolution also advances the DECLARED schema (when one exists —
     // CREATE TABLE wrote it; API-registered tables have none), so the
     // catalog's empty-table resolution and INSERT checking see the
-    // new columns too
-    if (evolveCols.nonEmpty) {
+    // new columns too. ONLY after the merge COMMITTED: a refused or
+    // no-op merge must not leave a phantom column no snapshot carries
+    if (evolveCols.nonEmpty && committed.isDefined) {
       val fs = graft.storage.TableFs.forPath(entry.path)
       val metaP = s"${entry.path}/meta/SCHEMA"
       fs.readString(metaP).foreach { ddl =>
@@ -445,14 +469,6 @@ case class GraftMergeCommand(entry: TieredCatalog.Entry,
             st.add(n, dt, nullable = true) }.toDDL)
       }
     }
-    t.merge(source, on,
-      whenMatchedUpdate = updateAssigns.toMap,
-      whenMatchedDelete = deleteCond,
-      whenNotMatchedInsert = insert,
-      whenNotMatchedCond = insertCond,
-      whenNotMatchedBySourceUpdate = bySourceAssigns.toMap,
-      whenNotMatchedBySourceDelete = bySourceDelete,
-      evolveColumns = evolveCols)
     Seq.empty
   }
 }

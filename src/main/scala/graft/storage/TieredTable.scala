@@ -2049,19 +2049,27 @@ class TieredTable(spark: SparkSession, rawTablePath: String,
   def widenColumn(name: String,
                   newType: org.apache.spark.sql.types.DataType): Unit =
     withCommitLock {
-      val cur = readUnion().schema
+      // normalize to the column's DECLARED spelling: the COLMAP line
+      // and the key-column guard below match literally, so a
+      // case-mismatched caller name would write an inert mapping and
+      // slip past the guard
+      val field = readUnion().schema
         .find(_.name.equalsIgnoreCase(name)).getOrElse(
           throw new IllegalArgumentException(
-            s"no column $name in $tablePath")).dataType
+            s"no column $name in $tablePath"))
+      val actual = field.name
+      val cur = field.dataType
       require(TieredTable.safeWiden(cur, newType),
         s"cannot change $name: ${cur.catalogString} -> " +
           s"${newType.catalogString} is not a value-preserving widening " +
           "(supported: integral -> wider integral, float -> double, " +
           "decimal(p,s) -> decimal(p'>p, s))")
-      require(!(pk ++ partitionBy ++ bloomCols).contains(name),
-        s"$name is a key/layout column (pk/partition/bloom) — its bytes " +
-          "are load-bearing in manifests and sidecars; widen is refused")
-      appendColMap(s"widen\t$name\t${newType.catalogString}")
+      require(!(pk ++ partitionBy ++ bloomCols)
+          .exists(_.equalsIgnoreCase(actual)),
+        s"$actual is a key/layout column (pk/partition/bloom) — its " +
+          "bytes are load-bearing in manifests and sidecars; widen is " +
+          "refused")
+      appendColMap(s"widen\t$actual\t${newType.catalogString}")
       // converge IMMEDIATELY — unlike rename (where both vintages
       // coexist as distinct columns and coalesce), a mixed-width
       // column is something parquet's schema merge refuses outright,

@@ -417,6 +417,18 @@ class CatalogSpec extends AnyFunSuite with SparkSpec {
       "ALTER TABLE graft.wf.showp ADD PARTITION (p = '9', q = '9')"))
     assert(add.getMessage.contains("materialize"), add.getMessage)
     spark.sql("DROP TABLE graft.wf.showp")
+
+    // declared PARTITIONED BY order wins over table-schema order:
+    // dirs nest p=…/q=… even though the schema lists q before p
+    spark.sql("DROP TABLE IF EXISTS graft.wf.showp2")
+    spark.sql(
+      """CREATE TABLE graft.wf.showp2 (id BIGINT, q STRING, p STRING)
+        |PARTITIONED BY (p, q)""".stripMargin)
+    spark.sql("INSERT INTO graft.wf.showp2 VALUES (1, 'qq', 'pp')")
+    assert(spark.sql("SHOW PARTITIONS graft.wf.showp2")
+      .collect().map(_.getString(0)).toSeq == Seq("p=pp/q=qq"),
+      "SHOW PARTITIONS must render segments in layout order")
+    spark.sql("DROP TABLE graft.wf.showp2")
   }
 
   test("CREATE OR REPLACE TABLE and RTAS replace through drop+create") {
@@ -446,6 +458,14 @@ class CatalogSpec extends AnyFunSuite with SparkSpec {
     val hot = intercept[Exception](spark.sql("TRUNCATE TABLE graft.wf.trunc"))
     assert(hot.getMessage.contains("tier()"), hot.getMessage)
     t.tier()
+    // staging confs veto a direct truncation of main (same stance as
+    // INSERT OVERWRITE under wap)
+    spark.conf.set("spark.graft.wap.branch", "b1")
+    try {
+      val staged = intercept[Exception](
+        spark.sql("TRUNCATE TABLE graft.wf.trunc"))
+      assert(staged.getMessage.contains("not stageable"), staged.getMessage)
+    } finally spark.conf.unset("spark.graft.wap.branch")
     spark.sql("TRUNCATE TABLE graft.wf.trunc")
     assert(spark.table("graft.wf.trunc").count() == 0)
     // history intact: the pre-truncate snapshot still reads

@@ -228,6 +228,37 @@ class RowLevelSqlSpec extends AnyFunSuite with SparkSpec {
     assert(spark.table(sql).columns.toSeq == Seq("id", "price", "label"))
   }
 
+  test("SCHEMA EVOLUTION guards: explicit SET lists never evolve, and " +
+       "a refused merge leaves the declared schema untouched") {
+    import spark.implicits._
+    // non-star SET list: the unreferenced source column must NOT join
+    spark.sql("DROP TABLE IF EXISTS graft.rl.evg")
+    spark.sql("CREATE TABLE graft.rl.evg (id BIGINT, price DOUBLE)")
+    spark.sql("INSERT INTO graft.rl.evg VALUES (1, 10.0)")
+    val t = graft.storage.TieredTable(spark,
+      graft.plans.TieredCatalog.lookup("rl", "evg").get.path)
+    t.tier()
+    spark.sql(
+      """MERGE WITH SCHEMA EVOLUTION INTO graft.rl.evg AS tgt
+        |USING (SELECT 1L AS id, 11.0 AS price, 'x' AS sneak) AS src
+        |ON tgt.id = src.id
+        |WHEN MATCHED THEN UPDATE SET price = src.price""".stripMargin)
+    assert(spark.table("graft.rl.evg").columns.toSeq == Seq("id", "price"),
+      "an explicit SET list must not evolve columns it never mentioned")
+
+    // a REFUSED star-form merge (hot tail) must not advance the schema
+    spark.sql("INSERT INTO graft.rl.evg VALUES (2, 20.0)") // lands hot
+    intercept[Exception](spark.sql(
+      """MERGE WITH SCHEMA EVOLUTION INTO graft.rl.evg AS tgt
+        |USING (SELECT 3L AS id, 30.0 AS price, 'y' AS extra) AS src
+        |ON tgt.id = src.id
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin))
+    assert(spark.table("graft.rl.evg").columns.toSeq == Seq("id", "price"),
+      "a refused merge must not leave a phantom declared column")
+    spark.sql("DROP TABLE graft.rl.evg")
+  }
+
   test("SQL MERGE multi-match source raises the SQL ambiguity error") {
     import spark.implicits._
     val (t, sql) = freshTable("m4")
