@@ -221,6 +221,23 @@ object Demo {
     say(s"[demo] merge-on-read tier via Iceberg equality deletes: " +
       morRows.map { case (k, b) => s"$k->$b" }.mkString(", "))
 
+    // 13b. the SAME merge-on-read table through PLAIN SQL (r9): the
+    //      analyzer substitutes the resolved last-write-wins plan for
+    //      the relation — SELECT, time travel, and row-level verbs all
+    //      work on a table whose files hold every version of a key
+    graft.plans.TieredCatalog.register("fluss", "mor_accounts",
+      morT.tablePath, pk = Seq("acct"), mergeOnRead = true)
+    spark.sql(
+      "UPDATE graft.fluss.mor_accounts SET balance = balance + 5 WHERE acct = 3")
+    val morSql = spark.sql(
+      "SELECT acct, balance FROM graft.fluss.mor_accounts ORDER BY acct")
+      .collect().map(r => s"${r.getLong(0)}->${r.getLong(1)}").mkString(", ")
+    val morV1 = spark.sql(
+      "SELECT COUNT(*) FROM graft.fluss.mor_accounts VERSION AS OF 1")
+      .head().getLong(0)
+    say(s"[demo] merge-on-read through SQL: [$morSql]; VERSION AS OF 1 " +
+      s"resolves $morV1 row(s)")
+
     // 14. INCREMENTAL re-export: another upsert, then export again —
     //     only the new delta's footers are opened (sidecar caches) and
     //     the prior manifests are reused byte-for-byte

@@ -62,6 +62,7 @@ object SparkEntry {
     "q27_tag_travel"    -> (Lakehouse.q27TagTravel _),
     "q28_wap_publish"   -> (Lakehouse.q28Wap _),
     "q29_sorted_scan"   -> (Lakehouse.q29SortedScan _),
+    "q30_mor_sql"       -> (Lakehouse.q30MorSql _),
     // training-data pipeline: dedup / similarity / text analysis
     "d1_exact_dedup" -> (Pipeline.d1ExactDedup _),
     "d2_fingerprint" -> (Pipeline.d2Fingerprint _),
@@ -466,6 +467,26 @@ object SparkEntry {
         |         AS price_cents
         |FROM orders WHERE o_orderkey BETWEEN 10000 AND 20000
         |GROUP BY o_orderpriority""".stripMargin,
+    // q30 = merge-on-read resolved through PLAIN SQL (the analyzer
+    // substitution): oracle recomputes each key's winning version with
+    // the same CASE waves as q23, then filters/aggregates identically
+    "q30_mor_sql" ->
+      """SELECT o_orderstatus, COUNT(*) AS cnt,
+        |       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+        |       CAST(SUM(CAST(price * 100 AS BIGINT)) AS BIGINT) AS price_cents
+        |FROM (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 13 = 0 THEN 'X'
+        |         WHEN o_orderkey % 7 = 0 THEN 'R'
+        |         ELSE o_orderstatus END AS o_orderstatus,
+        |    CASE WHEN o_orderkey % 13 = 0
+        |           THEN CAST(CAST(o_totalprice AS DECIMAL(15,2)) + 1000 AS DECIMAL(15,2))
+        |         WHEN o_orderkey % 7 = 0
+        |           THEN CAST(CAST(o_totalprice AS DECIMAL(15,2)) * 2 AS DECIMAL(15,2))
+        |         ELSE CAST(o_totalprice AS DECIMAL(15,2)) END AS price
+        |  FROM orders)
+        |WHERE o_orderkey % 2 = 0
+        |GROUP BY o_orderstatus""".stripMargin,
     "q14_merge" ->
       """WITH base AS (
         |  SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY o_custkey),

@@ -25,6 +25,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // (RowLevelSql); resolution-stage so the lowering happens before
     // CheckAnalysis rejects the un-rewritten row-level plan
     ext.injectResolutionRule(GraftRowLevelRule)
+    // merge-on-read SQL reads: substitute the resolved last-write-wins
+    // plan for the relation (write/row-level targets stay relations)
+    ext.injectResolutionRule(GraftMorReadRule)
     ext.injectTableFunction((
       FunctionIdentifier("graft_changes"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
@@ -226,4 +229,84 @@ class TemporalJoinParser(delegate: ParserInterface) extends ParserInterface {
     delegate.parseTableSchema(sqlText)
   override def parseDataType(sqlText: String): DataType =
     delegate.parseDataType(sqlText)
+}
+
+/** Analyzer rule lifting merge-on-read tables into the SQL surface:
+  * every BATCH READ relation over a merge-on-read graft table (the
+  * base read, `$cold`, `VERSION AS OF` / `TIMESTAMP AS OF`, a tag /
+  * branch / staged-WAP ref, a `spark.graft.wap.branch` view) is
+  * substituted with the table's RESOLVED last-write-wins plan —
+  * the same window-dedup the API read applies
+  * ([[graft.storage.TieredTable.readUnion]]). Downstream operators
+  * (filters, aggregates, joins, EXPLAIN) see an ordinary Catalyst
+  * subtree; column pruning reaches through the dedup window, and a
+  * filter stays ABOVE it — a key's winning version may live in a file
+  * a pushed predicate would prune, so resolution must happen first
+  * (the same stance as `readColdWhere`'s merge-on-read fallback).
+  *
+  * What is NOT substituted: write and row-level TARGETS. INSERT
+  * commits upsert deltas through the table's own write path,
+  * UPDATE / MERGE / DELETE lower through [[GraftRowLevelRule]] into
+  * the storage verbs (which resolve-and-rewrite with the version
+  * column reset) — replacing the target relation with a read view
+  * would break both.
+  */
+case class GraftMorReadRule(session: org.apache.spark.sql.SparkSession)
+    extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.{Alias, Cast}
+  import org.apache.spark.sql.catalyst.plans.logical._
+  import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    // relation INSTANCES serving as write / row-level targets (marked
+    // by identity: the same table read elsewhere in the statement —
+    // e.g. a MERGE whose source queries the target — still resolves)
+    val writeTargets = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[LogicalPlan, java.lang.Boolean]())
+    def mark(p: LogicalPlan): Unit = p.foreach {
+      case r: DataSourceV2Relation => writeTargets.add(r)
+      case _ => ()
+    }
+    plan.foreach {
+      case u: UpdateTable => mark(u.table)
+      case m: MergeIntoTable => mark(m.targetTable)
+      case d: DeleteFromTable => mark(d.table)
+      case i: InsertIntoStatement => mark(i.table)
+      case v: V2WriteCommand => mark(v.table)
+      case _ => ()
+    }
+    plan.resolveOperatorsUp {
+      case r: DataSourceV2Relation if !writeTargets.contains(r) =>
+        r.table match {
+          case ts: TieredSqlTable if ts.isMorResolved =>
+            substitute(r, ts.morRead())
+          case rt: GraftResolvedTable =>
+            substitute(r, Some(rt.resolvedRead()))
+          case _ => r
+        }
+    }
+  }
+
+  /** The resolved plan, projected onto the relation's attribute ids so
+    * every downstream reference keeps resolving; None (a created-but-
+    * never-written table) becomes an empty relation of the same shape.
+    */
+  private def substitute(r: DataSourceV2Relation,
+                         view: Option[org.apache.spark.sql.DataFrame])
+      : LogicalPlan = view match {
+    case None => LocalRelation(r.output)
+    case Some(df) =>
+      val child = df.queryExecution.analyzed
+      val out = child.output
+      val cols = r.output.map { a =>
+        val src = out.find(_.name.equalsIgnoreCase(a.name)).getOrElse(
+          throw new IllegalStateException(
+            s"merge-on-read resolution of ${r.table.name()}: the " +
+              s"resolved view has no column ${a.name}"))
+        val e = if (src.dataType == a.dataType) src
+          else Cast(src, a.dataType)
+        Alias(e, a.name)(exprId = a.exprId)
+      }
+      Project(cols, child)
+  }
 }

@@ -39,8 +39,11 @@ import graft.storage.TieredTable
   * column pruning, zero custom read path. The hot/cold boundary comes
   * from ONE manifest read at loadTable time (snapshot isolation). PK
   * tables are copy-on-write at commit, so their cold tier is already
-  * resolved parquet; merge-on-read PK tables are an API-level surface
-  * (`readCold`) and rejected here.
+  * resolved parquet; merge-on-read PK tables (whose files hold every
+  * live version of a key) serve their resolved last-write-wins view
+  * through an analyzer substitution ([[GraftMorReadRule]]) — SELECT,
+  * time travel, `$cold`, and row-level verbs all work; only the raw
+  * version files are never SQL-visible.
   */
 class GraftTableCatalog extends TableCatalog
   with org.apache.spark.sql.connector.catalog.ProcedureCatalog
@@ -139,6 +142,8 @@ class GraftTableCatalog extends TableCatalog
       case n if n.endsWith("$cold") => (n.stripSuffix("$cold"), "cold")
       case n if n.endsWith("$changes") => (n.stripSuffix("$changes"), "changes")
       case n if n.endsWith("$refs") => (n.stripSuffix("$refs"), "refs")
+      case n if n.endsWith("$history") =>
+        (n.stripSuffix("$history"), "history")
       case n if n.endsWith("$partitions") =>
         (n.stripSuffix("$partitions"), "partitions")
       case n if n.endsWith("__snapshots") =>
@@ -149,6 +154,8 @@ class GraftTableCatalog extends TableCatalog
       case n if n.endsWith("__changes") =>
         (n.stripSuffix("__changes"), "changes")
       case n if n.endsWith("__refs") => (n.stripSuffix("__refs"), "refs")
+      case n if n.endsWith("__history") =>
+        (n.stripSuffix("__history"), "history")
       case n if n.endsWith("__partitions") =>
         (n.stripSuffix("__partitions"), "partitions")
       case VersionSuffix(n, v) => (n, s"v$v") // time travel: VERSION AS OF
@@ -157,9 +164,6 @@ class GraftTableCatalog extends TableCatalog
     val e = TieredCatalog.lookup(db, base)
       .getOrElse(throw new NoSuchTableException(
         Seq(catName, db, ident.name)))
-    require(!e.mergeOnRead || mode == "snapshots" || mode == "files" ||
-        mode == "changes",
-      s"merge-on-read PK table $db.$base is not SQL-addressable; use the API")
     val t = TieredTable(spark, e.path, e.pk, e.mergeOnRead, e.partitionBy,
       e.bloomCols, changeDataFeed = e.changeDataFeed, sortBy = e.sortBy)
     mode match {
@@ -240,6 +244,31 @@ class GraftTableCatalog extends TableCatalog
         new ChangeFeedTable(ident.toString, spark, t,
           StructType(new TieredSqlTable(s"$db.$base", spark, t, e).schema()
             .filterNot(_.name == t.SeqCol)))
+      case "history" =>
+        // Iceberg's $history: when each snapshot became current, and
+        // whether it is an ancestor of the CURRENT state. Graft commit
+        // lineage is linear by id, but a ROLLBACK commit redirects
+        // state ancestry to its target — the snapshots it rolled past
+        // stop being ancestors (exactly Iceberg's answer after
+        // `rollback_to_snapshot`; the rollback commit itself and its
+        // target both remain true). Driver-side metadata, no data read.
+        val snaps = (1L to t.latestSnapshotId).flatMap(t.snapshot)
+        val RollTag = "^rollback-to-([0-9]+)$".r
+        val stateParent: Map[Long, Option[Long]] = snaps.map { s =>
+          s.id -> (s.tag match {
+            case RollTag(n) => Some(n.toLong)
+            case _ => s.parentId
+          })
+        }.toMap
+        val ancestors = scala.collection.mutable.Set.empty[Long]
+        var cur = t.currentSnapshot.map(_.id)
+        while (cur.isDefined && !ancestors.contains(cur.get)) {
+          ancestors += cur.get
+          cur = stateParent.getOrElse(cur.get, None)
+        }
+        new HistoryTable(ident.toString, snaps.map(s =>
+          HistoryTable.Row(s.committedAt * 1000L, s.id, s.parentId,
+            ancestors.contains(s.id))))
       case "refs" =>
         // Iceberg's $refs metadata listing: one row per named ref —
         // tags, plus staged WAP commits as type='wap' (snapshot_id =
@@ -252,12 +281,19 @@ class GraftTableCatalog extends TableCatalog
             t.branches.map { case (n, parent) =>
               RefsTable.Row(n, "branch", parent) })
       case "cold" =>
-        parquet(spark, ident.toString, t.coldFiles)
+        // merge-on-read: the raw snapshot files hold EVERY live version
+        // of a key — the SQL face is the resolved (last-write-wins)
+        // view, substituted at analysis by [[GraftMorReadRule]]
+        if (e.mergeOnRead)
+          new GraftResolvedTable(ident.toString, () => t.readCold())
+        else parquet(spark, ident.toString, t.coldFiles)
       case v if v.startsWith("v") =>
         val id = v.drop(1).toLong
         val snap = t.snapshot(id).getOrElse(
           throw new NoSuchTableException(Seq(catName, db, ident.name)))
-        parquet(spark, ident.toString, snap.files)
+        if (e.mergeOnRead)
+          new GraftResolvedTable(ident.toString, () => t.readColdAsOf(id))
+        else parquet(spark, ident.toString, snap.files)
       case _ =>
         // Iceberg's `spark.wap.branch` READ semantics: while
         // `spark.graft.wap.branch` is set and THIS table has the
@@ -269,7 +305,15 @@ class GraftTableCatalog extends TableCatalog
         val branchView = Option(
           spark.conf.get("spark.graft.wap.branch", null))
           .filter(_.nonEmpty).flatMap(t.branchRead)
-        new TieredSqlTable(ident.toString, spark, t, e,
+        if (e.mergeOnRead)
+          // merge-on-read base read: full DSv2 table (writes commit
+          // upsert DELTAS, row-level verbs lower via RowLevelSql), but
+          // the BATCH READ is the resolved last-write-wins view —
+          // substituted at analysis by [[GraftMorReadRule]]; a branch
+          // view resolves the branch snapshot the same way
+          new TieredSqlTable(ident.toString, spark, t, e,
+            resolveOverride = branchView.map(s => () => t.readResolved(s)))
+        else new TieredSqlTable(ident.toString, spark, t, e,
           readFilesOverride = branchView.map(_.files))
     }
   }
@@ -292,7 +336,10 @@ class GraftTableCatalog extends TableCatalog
       throw new NoSuchTableException(
         Seq(catName, ident.namespace().mkString("."),
           s"${ident.name} VERSION AS OF $version")))
-    parquet(spark, s"${ident.toString}@v$version", snap.files)
+    if (t.mergeOnRead)
+      new GraftResolvedTable(s"${ident.toString}@v$version",
+        () => t.readResolved(snap))
+    else parquet(spark, s"${ident.toString}@v$version", snap.files)
   }
 
   /** SQL time travel, `… TIMESTAMP AS OF <ts>`: the latest snapshot
@@ -307,21 +354,22 @@ class GraftTableCatalog extends TableCatalog
         throw new NoSuchTableException(
           Seq(catName, ident.namespace().mkString("."),
             s"${ident.name} TIMESTAMP AS OF $timestampMicros")))
-    parquet(spark, s"${ident.toString}@t$timestampMicros",
+    if (t.mergeOnRead)
+      new GraftResolvedTable(s"${ident.toString}@t$timestampMicros",
+        () => t.readColdAsOf(id))
+    else parquet(spark, s"${ident.toString}@t$timestampMicros",
       t.snapshot(id).get.files)
   }
 
   /** The TieredTable behind a BASE table identifier (no suffix modes).
-    * Rejects merge-on-read PK tables like every other SQL read mode —
-    * a raw file scan would expose unresolved versions and `__seq`.
+    * Merge-on-read callers get their file lists resolved through
+    * [[GraftResolvedTable]] — never as a raw scan.
     */
   private def tiered(ident: Identifier): TieredTable = {
     val db = ident.namespace().mkString(".")
     val e = TieredCatalog.lookup(db, ident.name)
       .getOrElse(throw new NoSuchTableException(
         Seq(catName, db, ident.name)))
-    require(!e.mergeOnRead,
-      s"merge-on-read PK table $db.${ident.name} is not SQL-addressable; use the API")
     TieredTable(SparkSession.active, e.path, e.pk, e.mergeOnRead,
       e.partitionBy, changeDataFeed = e.changeDataFeed, sortBy = e.sortBy)
   }
@@ -383,6 +431,14 @@ class GraftTableCatalog extends TableCatalog
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
     pk.foreach(k => require(schema.fieldNames.contains(k),
       s"primary-key column $k not in schema"))
+    // 'merge-on-read' property (Iceberg's write.update.mode analog,
+    // the reference's huge-PK-table shape): upserts commit O(batch)
+    // DELTA snapshots instead of copy-on-write rewrites; reads resolve
+    // last-write-wins at scan (GraftMorReadRule substitution)
+    val mor = props.get("merge-on-read").exists(_.trim.toBoolean)
+    require(!mor || pk.nonEmpty,
+      s"table $db.${ident.name}: 'merge-on-read' needs a 'primary-key' — " +
+        "without row identity there is nothing to resolve")
     // 'bloom-columns' property: point-lookup columns that get per-file
     // bloom sidecars on every write (see FileStats bloom skipping)
     val bloomCols = props.get("bloom-columns")
@@ -418,7 +474,8 @@ class GraftTableCatalog extends TableCatalog
     val tfs = graft.storage.TableFs.forPath(path)
     tfs.mkdirs(s"$path/meta")
     tfs.writeString(s"$path/meta/SCHEMA", schema.toDDL)
-    TieredCatalog.register(db, ident.name, path, pk, partitionBy = partCols,
+    TieredCatalog.register(db, ident.name, path, pk, mergeOnRead = mor,
+      partitionBy = partCols,
       bloomCols = bloomCols, changeDataFeed = cdf, datalake = datalake,
       watermark = watermark, sortBy = sortCols)
     // DDL-created tables are durable: the entry persists under the
@@ -612,7 +669,8 @@ class GraftTableCatalog extends TableCatalog
   */
 class TieredSqlTable(tableName: String, spark: SparkSession,
                      t: TieredTable, entry: TieredCatalog.Entry,
-                     readFilesOverride: Option[Seq[String]] = None)
+                     readFilesOverride: Option[Seq[String]] = None,
+                     resolveOverride: Option[() => org.apache.spark.sql.DataFrame] = None)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
@@ -776,15 +834,35 @@ class TieredSqlTable(tableName: String, spark: SparkSession,
     * wrong slots. Reads are unaffected — scan output is reconciled to
     * the relation schema by NAME (V2ScanRelationPushDown projects).
     */
-  override def schema(): StructType = declared.getOrElse {
-    if (paths.isEmpty) throw new IllegalStateException(
-      s"empty table $tableName has no persisted schema")
-    // partitioned tables can't run partition discovery across several
-    // Hive roots in one scan — read the schema from one root (they
-    // share the layout; cross-root schema evolution needs a declared
-    // schema via CREATE TABLE)
-    if (entry.partitionBy.isEmpty) inner.schema else partRoots.head.schema
+  override def schema(): StructType = {
+    val base = declared.getOrElse {
+      if (paths.isEmpty) throw new IllegalStateException(
+        s"empty table $tableName has no persisted schema")
+      // partitioned tables can't run partition discovery across several
+      // Hive roots in one scan — read the schema from one root (they
+      // share the layout; cross-root schema evolution needs a declared
+      // schema via CREATE TABLE)
+      if (entry.partitionBy.isEmpty) inner.schema else partRoots.head.schema
+    }
+    // merge-on-read: the SQL face is the RESOLVED view — the internal
+    // version-sequence column never surfaces (an API-registered table
+    // infers its schema from the delta parquet, which carries it)
+    if (entry.mergeOnRead) StructType(base.filterNot(_.name == t.SeqCol))
+    else base
   }
+
+  /** Merge-on-read resolution target, consumed by
+    * [[GraftMorReadRule]]: the last-write-wins view this relation's
+    * batch read must serve (None = no committed state yet → empty
+    * relation). Time-travel/branch callers pass a snapshot-specific
+    * `resolveOverride`; the base read is hot ∪ cold with LWW.
+    */
+  private[plans] def isMorResolved: Boolean = entry.mergeOnRead
+  private[plans] def morRead(): Option[org.apache.spark.sql.DataFrame] =
+    resolveOverride.map(f => Option(f())).getOrElse {
+      if (t.currentSnapshot.isEmpty && t.logSegments.isEmpty) None
+      else Some(t.readUnion())
+    }
 
   override def capabilities(): util.Set[TableCapability] =
     // TRUNCATE admits full-table `INSERT OVERWRITE` (Flink's batch
@@ -820,6 +898,7 @@ class TieredSqlTable(tableName: String, spark: SparkSession,
   override def properties(): util.Map[String, String] = {
     val m = scala.collection.mutable.LinkedHashMap.empty[String, String]
     if (entry.pk.nonEmpty) m += "primary-key" -> entry.pk.mkString(",")
+    if (entry.mergeOnRead) m += "merge-on-read" -> "true"
     if (entry.bloomCols.nonEmpty)
       m += "bloom-columns" -> entry.bloomCols.mkString(",")
     if (entry.changeDataFeed) m += "change-data-feed" -> "true"
@@ -871,7 +950,28 @@ class TieredSqlTable(tableName: String, spark: SparkSession,
   }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    if (entry.partitionBy.isEmpty)
+    if (entry.mergeOnRead)
+      // batch reads of a merge-on-read table never reach the scan: the
+      // analyzer substitutes the resolved view (GraftMorReadRule). A
+      // session without the graft extensions would otherwise scan raw
+      // version files — fail loudly instead. The streaming face keeps
+      // the PK-table pointer at the `$changes` feed.
+      new ScanBuilder {
+        override def build(): Scan = new Scan {
+          override def readSchema(): StructType = schema()
+          override def description(): String =
+            s"$tableName (merge-on-read)"
+          override def toBatch: org.apache.spark.sql.connector.read.Batch =
+            throw new IllegalStateException(
+              s"$tableName is merge-on-read: SQL reads resolve " +
+                "last-write-wins in the analyzer — register " +
+                "spark.sql.extensions=graft.plans.GraftExtensions")
+          override def toMicroBatchStream(checkpointLocation: String)
+              : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+            logTailStream(options)
+        }
+      }
+    else if (entry.partitionBy.isEmpty)
       // unpartitioned: stock parquet scan wrapped with manifest-level
       // file skipping (footer-stats sidecars prune the file list at
       // scan build)
@@ -1396,6 +1496,91 @@ class SnapshotsReaderFactory extends PartitionReaderFactory {
           cur.committedAtMicros, UTF8String.fromString(cur.manifestList),
           summaryData))
       }
+      override def close(): Unit = ()
+    }
+}
+
+/** Read-only DSv2 face of a RESOLVED merge-on-read view — SQL time
+  * travel (`VERSION AS OF` / `TIMESTAMP AS OF` / `__v<N>`) and the
+  * `$cold` mode of a merge-on-read table, where the snapshot's raw
+  * files hold every live VERSION of a key and the SQL answer is the
+  * last-write-wins resolution. The scan never runs: the analyzer
+  * substitutes `resolve()`'s plan in place of the relation
+  * ([[GraftMorReadRule]]); a session without the graft extensions
+  * fails loudly instead of leaking raw versions.
+  */
+class GraftResolvedTable(tableName: String,
+                         resolve: () => org.apache.spark.sql.DataFrame)
+    extends Table with SupportsRead {
+  // analysis-only: building the DataFrame resolves the plan (and the
+  // schema) without running a job
+  private lazy val view = resolve()
+  private[plans] def resolvedRead(): org.apache.spark.sql.DataFrame = view
+
+  override def name(): String = tableName
+  override def schema(): StructType = view.schema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new Scan {
+      override def readSchema(): StructType = schema()
+      override def description(): String = s"$tableName (merge-on-read)"
+      override def toBatch: org.apache.spark.sql.connector.read.Batch =
+        throw new IllegalStateException(
+          s"$tableName is a resolved merge-on-read view: reads resolve " +
+            "in the analyzer — register " +
+            "spark.sql.extensions=graft.plans.GraftExtensions")
+    }
+}
+
+/** In-memory DSv2 table for the `$history` listing — Iceberg's history
+  * metadata table: `made_current_at` / `snapshot_id` / `parent_id` /
+  * `is_current_ancestor`, the last computed against the CURRENT state
+  * lineage (a rollback redirects ancestry to its target, so rolled-past
+  * snapshots answer false). Driver-side metadata like `$snapshots`.
+  */
+class HistoryTable(tableName: String, rows: Seq[HistoryTable.Row])
+    extends Table with SupportsRead {
+  override def name(): String = tableName
+  override def schema(): StructType = HistoryTable.Schema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new Scan with Batch {
+      override def readSchema(): StructType = HistoryTable.Schema
+      override def toBatch: Batch = this
+      override def planInputPartitions(): Array[InputPartition] =
+        Array(HistoryPartition(rows))
+      override def createReaderFactory(): PartitionReaderFactory =
+        new HistoryReaderFactory
+    }
+}
+
+object HistoryTable {
+  case class Row(madeCurrentAtMicros: Long, snapshotId: Long,
+                 parentId: Option[Long], isCurrentAncestor: Boolean)
+
+  val Schema: StructType = StructType(Seq(
+    StructField("made_current_at", TimestampType, nullable = false),
+    StructField("snapshot_id", LongType, nullable = false),
+    StructField("parent_id", LongType, nullable = true),
+    StructField("is_current_ancestor", BooleanType, nullable = false)))
+}
+
+case class HistoryPartition(rows: Seq[HistoryTable.Row])
+    extends InputPartition
+
+class HistoryReaderFactory extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private val it = p.asInstanceOf[HistoryPartition].rows.iterator
+      private var cur: HistoryTable.Row = _
+      override def next(): Boolean =
+        if (it.hasNext) { cur = it.next(); true } else false
+      override def get(): InternalRow =
+        new GenericInternalRow(Array[Any](
+          cur.madeCurrentAtMicros, cur.snapshotId,
+          cur.parentId.map(Long.box).orNull, cur.isCurrentAncestor))
       override def close(): Unit = ()
     }
 }

@@ -499,6 +499,31 @@ object Lakehouse {
     * mis-sequenced one surfaces a stale price or status (price_cents /
     * group keys shift) against the oracle's CASE recomputation.
     */
+  /** Q30 — merge-on-read through PLAIN SQL (r9, GraftMorReadRule): the
+    * three-delta MoR table of [[demoTableMor]] read as
+    * `SELECT … FROM graft.bench.orders_mor` — the analyzer substitutes
+    * the resolved last-write-wins plan for the relation, so the filter
+    * and aggregate run over winning versions only. A resolution bug
+    * shows a superseded price (price_cents shifts) or a duplicate key
+    * (cnt/key_sum shift) against the oracle's CASE recomputation; the
+    * WHERE clause spans base, seq-2 and seq-3 winners so all three
+    * delta dirs participate.
+    */
+  def q30MorSql(spark: SparkSession, dir: String): DataFrame = {
+    ensureCatalog(spark)
+    val t = demoTableMor(spark, dir)
+    graft.plans.TieredCatalog.register("bench", "orders_mor", t.tablePath,
+      pk = Seq("o_orderkey"), mergeOnRead = true)
+    spark.sql(
+      """SELECT o_orderstatus, COUNT(*) AS cnt,
+        |       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+        |       CAST(SUM(CAST(o_totalprice * 100 AS BIGINT)) AS BIGINT)
+        |         AS price_cents
+        |FROM graft.bench.orders_mor
+        |WHERE o_orderkey % 2 = 0
+        |GROUP BY o_orderstatus""".stripMargin)
+  }
+
   def q23IcebergMor(spark: SparkSession, dir: String): DataFrame = {
     val t = demoTableMor(spark, dir)
     graft.storage.IcebergExport.export(t)

@@ -934,10 +934,17 @@ class TieredTable(spark: SparkSession, rawTablePath: String,
   /** Commit a snapshot whose file list REPLACES the previous one (full
     * rewrite), vs [[commitAppend]]'s accumulate.
     */
-  private def commitReplace(df: DataFrame, op: String,
+  private def commitReplace(df0: DataFrame, op: String,
                             tag: Option[String]): Snapshot = {
     val prev = currentSnapshot
     val id = latestSnapshotId + 1
+    // merge-on-read layout invariant: every data file carries the
+    // version-sequence column (resolution windows over it) — a replace
+    // whose caller did not stamp one (overwrite/truncate arriving from
+    // SQL) gets it here, at the choke point, like the partition-scoped
+    // overwrite does
+    val df = if (pk.nonEmpty && mergeOnRead && !df0.columns.contains(SeqCol))
+      df0.withColumn(SeqCol, lit(id)) else df0
     val out = s"$dataDir/snap-${"%06d".format(id)}"
     writeData(df, out)
     val rows = writtenRows(out)
@@ -2194,6 +2201,13 @@ class TieredTable(spark: SparkSession, rawTablePath: String,
       s"snapshot $snapshotId not found in $tablePath (vacuumed or never committed)")
     case Some(s) => readColdOf(s)
   }
+
+  /** [[readColdOf]] for callers OUTSIDE the table (the SQL catalog's
+    * merge-on-read resolution serves tag / branch / staged-WAP reads
+    * from a Snapshot it already resolved by name): the snapshot's
+    * files with last-write-wins applied — never the raw versions.
+    */
+  def readResolved(s: Snapshot): DataFrame = readColdOf(s)
 
   /** [[readColdAsOf]] for a Snapshot IN HAND — what lets the change
     * feed compute a commit's delta before its manifest publishes.

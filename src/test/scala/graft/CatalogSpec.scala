@@ -220,7 +220,7 @@ class CatalogSpec extends AnyFunSuite with SparkSpec {
     assert(got == Seq(1 -> "a", 2 -> "b2"))
   }
 
-  test("merge-on-read tables reject SQL time travel like every other read mode") {
+  test("merge-on-read SQL time travel resolves winners, never raw versions") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-cat3").toString
     val t = TieredTable(spark, s"$dir/mor", pk = Seq("k"), mergeOnRead = true)
@@ -228,10 +228,43 @@ class CatalogSpec extends AnyFunSuite with SparkSpec {
     t.commitUpsert(Seq((1, "a2")).toDF("k", "v"))
     TieredCatalog.register("demo", "mor", s"$dir/mor", pk = Seq("k"),
       mergeOnRead = true)
-    // a raw snapshot scan would expose both versions of k plus __seq
-    intercept[Exception] {
-      extSession.sql("SELECT * FROM graft.demo.mor VERSION AS OF 1").collect()
-    }
+    // r9 (GraftMorReadRule): the raw snapshot holds both versions of k
+    // plus __seq — the SQL face is the RESOLVED view at each snapshot
+    val v1 = extSession.sql("SELECT * FROM graft.demo.mor VERSION AS OF 1")
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(v1 == Seq(1 -> "a"))
+    val now = extSession.sql("SELECT * FROM graft.demo.mor")
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(now == Seq(1 -> "a2"))
+  }
+
+  test("$history reports current-state ancestry across a rollback") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-hist").toString
+    val t = TieredTable(spark, s"$dir/h")
+    t.appendLog(Seq(1L).toDF("id")); t.tier()
+    val s1 = t.latestSnapshotId
+    t.appendLog(Seq(2L).toDF("id")); t.tier()
+    val s2 = t.latestSnapshotId
+    t.appendLog(Seq(3L).toDF("id")); t.tier()
+    val s3 = t.latestSnapshotId
+    t.rollbackTo(s2)
+    val s4 = t.latestSnapshotId
+    TieredCatalog.register("demo", "hist_t", s"$dir/h")
+    val rows = extSession.sql(
+      """SELECT snapshot_id, is_current_ancestor
+        |FROM graft.demo.`hist_t$history` ORDER BY snapshot_id""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1))).toSeq
+    // the rolled-past snapshot (s3) is NOT an ancestor of the current
+    // state; the rollback commit, its target, and the prefix are
+    val expect = (1L to s4).map(id => id -> (id != s3))
+    assert(rows == expect, s"s1=$s1 s2=$s2 s3=$s3 s4=$s4: $rows")
+    // parent_id stays COMMIT lineage (linear); timestamps are real
+    val p4 = extSession.sql(
+      s"""SELECT parent_id, made_current_at
+         |FROM graft.demo.`hist_t$$history`
+         |WHERE snapshot_id = $s4""".stripMargin).head()
+    assert(p4.getLong(0) == s3 && p4.getTimestamp(1) != null)
   }
 
   test("unknown tables under graft still error cleanly") {

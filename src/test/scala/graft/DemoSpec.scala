@@ -41,6 +41,14 @@ class DemoSpec extends AnyFunSuite with SparkSpec {
     assert(has("equality deletes: 1->100, 2->250, 3->300"),
       lines.mkString("\n"))
 
+    // merge-on-read through PLAIN SQL (r9): the UPDATE lowered onto
+    // the resolved view (3 -> 305), the SELECT resolves winners, and
+    // VERSION AS OF 1 resolves the first delta alone (2 keys... the
+    // first commitUpsert holds accts 1 and 2)
+    assert(has("merge-on-read through SQL: [1->100, 2->250, 3->305]"),
+      lines.mkString("\n"))
+    assert(has("VERSION AS OF 1 resolves 2 row(s)"), lines.mkString("\n"))
+
     // incremental re-export: the prior manifests were reused, not
     // rewritten (byte-identity across the second export)
     assert(has("prefix manifest reused byte-for-byte=true"),
