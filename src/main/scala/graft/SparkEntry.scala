@@ -63,6 +63,7 @@ object SparkEntry {
     "q28_wap_publish"   -> (Lakehouse.q28Wap _),
     "q29_sorted_scan"   -> (Lakehouse.q29SortedScan _),
     "q30_mor_sql"       -> (Lakehouse.q30MorSql _),
+    "q31_mor_asof"      -> (Lakehouse.q31MorAsOf _),
     // training-data pipeline: dedup / similarity / text analysis
     "d1_exact_dedup" -> (Pipeline.d1ExactDedup _),
     "d2_fingerprint" -> (Pipeline.d2Fingerprint _),
@@ -486,6 +487,22 @@ object SparkEntry {
         |         ELSE CAST(o_totalprice AS DECIMAL(15,2)) END AS price
         |  FROM orders)
         |WHERE o_orderkey % 2 = 0
+        |GROUP BY o_orderstatus""".stripMargin,
+    // q31 = MoR time travel through SQL: the seq-2 intermediate state
+    // (base + the %7 wave; the %13 wave is in the table's FUTURE and
+    // must not leak into this read)
+    "q31_mor_asof" ->
+      """SELECT o_orderstatus, COUNT(*) AS cnt,
+        |       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+        |       CAST(SUM(CAST(price * 100 AS BIGINT)) AS BIGINT) AS price_cents
+        |FROM (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN 'R'
+        |         ELSE o_orderstatus END AS o_orderstatus,
+        |    CASE WHEN o_orderkey % 7 = 0
+        |           THEN CAST(CAST(o_totalprice AS DECIMAL(15,2)) * 2 AS DECIMAL(15,2))
+        |         ELSE CAST(o_totalprice AS DECIMAL(15,2)) END AS price
+        |  FROM orders)
         |GROUP BY o_orderstatus""".stripMargin,
     "q14_merge" ->
       """WITH base AS (

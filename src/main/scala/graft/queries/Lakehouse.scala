@@ -524,6 +524,27 @@ object Lakehouse {
         |GROUP BY o_orderstatus""".stripMargin)
   }
 
+  /** Q31 — merge-on-read TIME TRAVEL through SQL: `VERSION AS OF 2`
+    * over [[demoTableMor]] resolves the seq-2 state (base rows plus
+    * the %7 re-price wave; the %13 wave does not exist yet). A
+    * resolution bug that leaks a raw version or the seq-3 future
+    * shifts cnt/price_cents against the oracle's recomputation of
+    * exactly that intermediate state.
+    */
+  def q31MorAsOf(spark: SparkSession, dir: String): DataFrame = {
+    ensureCatalog(spark)
+    val t = demoTableMor(spark, dir)
+    graft.plans.TieredCatalog.register("bench", "orders_mor", t.tablePath,
+      pk = Seq("o_orderkey"), mergeOnRead = true)
+    spark.sql(
+      """SELECT o_orderstatus, COUNT(*) AS cnt,
+        |       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+        |       CAST(SUM(CAST(o_totalprice * 100 AS BIGINT)) AS BIGINT)
+        |         AS price_cents
+        |FROM graft.bench.orders_mor VERSION AS OF 2
+        |GROUP BY o_orderstatus""".stripMargin)
+  }
+
   def q23IcebergMor(spark: SparkSession, dir: String): DataFrame = {
     val t = demoTableMor(spark, dir)
     graft.storage.IcebergExport.export(t)
