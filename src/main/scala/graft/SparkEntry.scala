@@ -134,6 +134,8 @@ object SparkEntry {
     "e11_session_window" -> (Pipeline.e11SessionWindow _),
     "e12_sliding"       -> (Pipeline.e12Sliding _),
     "c12_quantile_gate" -> (Pipeline.c12QuantileGate _),
+    "c13_pack_chunks" -> (Pipeline.c13PackChunks _),
+    "c14_pack_bins"   -> (Pipeline.c14PackBins _),
     "a1_asof"           -> (Relational.a1Asof _),
     "r1_range"          -> (Relational.r1Range _),
     "r2_interval"       -> (Relational.r2Interval _),
@@ -1200,6 +1202,30 @@ object SparkEntry {
         |                              ORDER BY n_chars, doc_id) AS pr
         |  FROM documents)
         |WHERE pr >= 0.9""".stripMargin,
+    // c13 = concat-and-split sequence packing: the oracle recomputes
+    // the identical (chunk, doc) spans from a relational prefix sum —
+    // the engine's two-pass distributed scan must agree span-for-span
+    "c13_pack_chunks" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+        |  FROM documents),
+        |o AS (
+        |  SELECT doc_id, toks,
+        |         COALESCE(SUM(toks) OVER (ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |           0) AS start
+        |  FROM t),
+        |x AS (
+        |  SELECT doc_id, toks, start,
+        |         unnest(generate_series(CAST(start // 256 AS BIGINT),
+        |           CAST((start + toks - 1) // 256 AS BIGINT))) AS c
+        |  FROM o WHERE toks > 0)
+        |SELECT CAST(c AS BIGINT) AS chunk_id, doc_id,
+        |       CAST(GREATEST(c * 256 - start, 0) AS BIGINT) AS off,
+        |       CAST(LEAST(start + toks, (c + 1) * 256)
+        |            - GREATEST(start, c * 256) AS BIGINT) AS len
+        |FROM x""".stripMargin,
     "e5_pivot" ->
       """SELECT epoch_us(ts) // 3600000000 AS hour,
         |  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,

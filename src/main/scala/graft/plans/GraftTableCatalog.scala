@@ -670,7 +670,8 @@ class GraftTableCatalog extends TableCatalog
 class TieredSqlTable(tableName: String, spark: SparkSession,
                      t: TieredTable, entry: TieredCatalog.Entry,
                      readFilesOverride: Option[Seq[String]] = None,
-                     resolveOverride: Option[() => org.apache.spark.sql.DataFrame] = None)
+                     resolveOverride: Option[() => org.apache.spark.sql.DataFrame] = None,
+                     rawVersions: Boolean = false)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
@@ -789,8 +790,15 @@ class TieredSqlTable(tableName: String, spark: SparkSession,
     * table resolve for reads and INSERT column checking.
     */
   private val declared: Option[StructType] = {
-    graft.storage.TableFs.forPath(entry.path)
+    val d = graft.storage.TableFs.forPath(entry.path)
       .readString(s"${entry.path}/meta/SCHEMA").map(StructType.fromDDL)
+    // raw-version twin: the declared schema (CREATE TABLE's) never
+    // names the version-sequence column the data files carry — add it
+    // so the scan surfaces it for the resolution window
+    if (rawVersions)
+      d.map(s => if (s.fieldNames.contains(t.SeqCol)) s
+        else s.add(t.SeqCol, LongType, nullable = true))
+    else d
   }
 
   // the READ side only: a branch view (spark.graft.wap.branch)
@@ -847,7 +855,8 @@ class TieredSqlTable(tableName: String, spark: SparkSession,
     // merge-on-read: the SQL face is the RESOLVED view — the internal
     // version-sequence column never surfaces (an API-registered table
     // infers its schema from the delta parquet, which carries it)
-    if (entry.mergeOnRead) StructType(base.filterNot(_.name == t.SeqCol))
+    if (entry.mergeOnRead && !rawVersions)
+      StructType(base.filterNot(_.name == t.SeqCol))
     else base
   }
 
@@ -855,13 +864,42 @@ class TieredSqlTable(tableName: String, spark: SparkSession,
     * [[GraftMorReadRule]]: the last-write-wins view this relation's
     * batch read must serve (None = no committed state yet → empty
     * relation). Time-travel/branch callers pass a snapshot-specific
-    * `resolveOverride`; the base read is hot ∪ cold with LWW.
+    * `resolveOverride`.
+    *
+    * The base read resolves over THIS CATALOG'S OWN DSv2 SCAN — a
+    * raw-version twin of this table under the dedup window — not a
+    * stock parquet read: the twin's [[org.apache.spark.sql.GraftSkippingScanBuilder]]
+    * keeps manifest-level file skipping (stats sidecars + blooms) and
+    * partition handling alive BELOW the window, so the PK point
+    * lookup that Catalyst pushes through the window prunes to
+    * O(files with the key) before any footer is opened — at 100 TB
+    * the difference between a key lookup and a table scan. Falls back
+    * to the API read (`readUnion`) for the shapes the scan twin can't
+    * serve: a hot log tail above the watermark (appendLog rows carry
+    * no version column) or a column-mapped un-converged layout.
     */
-  private[plans] def isMorResolved: Boolean = entry.mergeOnRead
+  private[plans] def isMorResolved: Boolean = entry.mergeOnRead && !rawVersions
   private[plans] def morRead(): Option[org.apache.spark.sql.DataFrame] =
     resolveOverride.map(f => Option(f())).getOrElse {
       if (t.currentSnapshot.isEmpty && t.logSegments.isEmpty) None
-      else Some(t.readUnion())
+      else {
+        val watermark = t.currentSnapshot.map(_.tieredSeg).getOrElse(-1L)
+        val hotTail = t.logSegments.exists(_ > watermark)
+        val resolved =
+          if (hotTail) t.readUnion()
+          else {
+            val twin = new TieredSqlTable(tableName, spark, t, entry,
+              readFilesOverride, rawVersions = true)
+            val raw = org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
+              org.apache.spark.sql.execution.datasources.v2
+                .DataSourceV2Relation.create(twin, None, None))
+            if (!raw.columns.contains(t.SeqCol)) t.readUnion()
+            else graft.operators.Upsert.latestByKey(raw, entry.pk,
+              Seq(org.apache.spark.sql.functions.col(t.SeqCol).desc))
+              .drop(t.SeqCol)
+          }
+        Some(resolved)
+      }
     }
 
   override def capabilities(): util.Set[TableCapability] =
@@ -950,7 +988,7 @@ class TieredSqlTable(tableName: String, spark: SparkSession,
   }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    if (entry.mergeOnRead)
+    if (entry.mergeOnRead && !rawVersions)
       // batch reads of a merge-on-read table never reach the scan: the
       // analyzer substitutes the resolved view (GraftMorReadRule). A
       // session without the graft extensions would otherwise scan raw

@@ -466,6 +466,37 @@ object Pipeline {
       .select(col("doc_id"), col("lang"), col("pr"))
   }
 
+  /** C13 — SEQUENCE PACKING, concat-and-split (GPT-pretraining shape):
+    * documents laid end to end in `doc_id` order, the token stream cut
+    * into 256-token windows, one row per (chunk, document) span. The
+    * global prefix-sum is the TWO-PASS distributed scan
+    * ([[graft.operators.Packing.tokenOffsets]]) — never a
+    * single-partition window; the oracle recomputes the identical
+    * spans from a relational window + generate_series.
+    */
+  def c13PackChunks(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Packing.packChunks(
+      docs(spark, dir), wsTokenCount(col("text")), chunkLen = 256L,
+      buckets = 8)
+
+  /** C14 — SEQUENCE PACKING, boundary-preserving (SFT shape): each doc
+    * lands WHOLE in one bin of 512 tokens, first-fit-decreasing inside
+    * hash shards ([[graft.operators.Packing.packBinsFFD]]). Bin ids
+    * depend on the FFD heuristic, so the driver gate checks the
+    * packing INVARIANTS relationally: every doc exactly once, no bin
+    * over capacity, and the per-shard bin count = what FFD's longest-
+    * first fill produces — summarized per shard so the oracle can
+    * recompute totals without replaying the heuristic.
+    */
+  def c14PackBins(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Packing.packBinsFFD(
+        docs(spark, dir), wsTokenCount(col("text")), binLen = 512L,
+        shards = 8)
+      .groupBy(col("shard"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        sum(col("toks")).cast("long").as("tok_sum"),
+        max(col("bin")).cast("long").as("max_bin"))
+
   /** T3 — token counting three ways: whitespace, regex pre-tokenizer,
     * approximate BPE (ceil(len/4) per word).
     */

@@ -209,6 +209,11 @@ class MorSqlSpec extends AnyFunSuite with SparkSpec {
     assert(physical.contains("PushedFilters: [IsNotNull(id), EqualTo(id,2)]")
         || physical.contains("PushedFilters: [EqualTo(id,2)"),
       s"PK predicate did not reach the scan:\n$physical")
+    // and the scan BELOW the window is graft's own skipping scan —
+    // manifest-level file pruning (stats sidecars + blooms) serves the
+    // point lookup before any parquet footer is opened
+    assert(physical.contains("GraftRuntimeScan"),
+      s"MoR resolution does not ride the skipping scan:\n$physical")
     assert(df.head().getString(0) == "B")
     // a NON-key predicate must stay ABOVE the window (the winning
     // version of a key can live in a file the filter would prune) —
@@ -236,14 +241,20 @@ class MorSqlSpec extends AnyFunSuite with SparkSpec {
         |WHERE region = 'eu' ORDER BY id""".stripMargin)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(eu == Seq((1L, 11L), (2L, 20L)))
-    // partition predicate is a window-partition key too → pushed below
-    // the window into directory pruning (PartitionFilters)
+    // the partition predicate is a window-partition key too → Catalyst
+    // pushes it below the window, and the graft scan builder consumes
+    // it ENTIRELY at scan build (directory pruning — no residual
+    // Filter, no PartitionFilters node survives); the pruned
+    // key-grouped scan then satisfies the window's clustering, so the
+    // whole resolution plans WITHOUT an exchange
     val physical = spark.sql(
       "SELECT amt FROM graft.mor.part1 WHERE region = 'eu'")
       .queryExecution.executedPlan.toString
-    assert(physical.contains("PartitionFilters: [isnotnull(region") ||
-      physical.contains("(region#") && physical.contains("eu"),
-      s"partition predicate did not prune directories:\n$physical")
+    assert(physical.contains("GraftCompositeScan") ||
+      physical.contains("GraftRuntimeScan"),
+      s"partitioned MoR resolution does not ride the graft scan:\n$physical")
+    assert(!physical.contains("Exchange"),
+      s"partition-pruned MoR resolution should not shuffle:\n$physical")
   }
 
   test("INSERT OVERWRITE a MoR table replaces the resolved state wholesale") {
