@@ -601,6 +601,27 @@ object Demo {
         "(graft.system.*, zero registration)")
     }
 
+    // 19k'. sequence packing (r9): the corpus → training-batch step —
+    //      concat-and-split chunking (exact spans via the two-pass
+    //      distributed prefix sum) and boundary-preserving FFD bins
+    {
+      import spark.implicits._
+      val corpus = Seq((1L, "the quick brown fox"), (2L, "jumps over"),
+        (3L, "the lazy dog and naps")).toDF("doc_id", "text")
+      val toks = org.apache.spark.sql.functions.size(
+        org.apache.spark.sql.functions.split($"text", " "))
+      val chunks = graft.operators.Packing.packChunks(corpus, toks,
+        chunkLen = 5L, buckets = 2).orderBy("chunk_id", "doc_id")
+        .collect().map(r => s"c${r.getLong(0)}:d${r.getLong(1)}" +
+          s"[${r.getLong(2)},+${r.getLong(3)})").mkString(" ")
+      val bins = graft.operators.Packing.packBinsFFD(corpus, toks,
+        binLen = 6L, shards = 1)
+        .groupBy("bin").count().orderBy("bin")
+        .collect().map(r => s"b${r.getLong(0)}=${r.getLong(1)}docs")
+        .mkString(" ")
+      say(s"[demo] sequence packing: chunks $chunks; FFD bins $bins")
+    }
+
     // 19k. snapshot tags (r9): pin the current corpus state under a
     //      name; later ingest and retention never disturb the pinned
     //      read — the reproducible-training-run primitive

@@ -136,6 +136,7 @@ object SparkEntry {
     "c12_quantile_gate" -> (Pipeline.c12QuantileGate _),
     "c13_pack_chunks" -> (Pipeline.c13PackChunks _),
     "c14_pack_bins"   -> (Pipeline.c14PackBins _),
+    "c15_chunk_text"  -> (Pipeline.c15ChunkText _),
     "a1_asof"           -> (Relational.a1Asof _),
     "r1_range"          -> (Relational.r1Range _),
     "r2_interval"       -> (Relational.r2Interval _),
@@ -1226,6 +1227,37 @@ object SparkEntry {
         |       CAST(LEAST(start + toks, (c + 1) * 256)
         |            - GREATEST(start, c * 256) AS BIGINT) AS len
         |FROM x""".stripMargin,
+    // c15 = the materialized training batches: every chunk's final
+    // token string, rebuilt relationally (slices + ordered string_agg)
+    "c15_chunk_text" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+        |  FROM documents),
+        |o AS (
+        |  SELECT doc_id, text, toks,
+        |         COALESCE(SUM(toks) OVER (ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |           0) AS start
+        |  FROM t),
+        |x AS (
+        |  SELECT doc_id, text, toks, start,
+        |         unnest(generate_series(CAST(start // 256 AS BIGINT),
+        |           CAST((start + toks - 1) // 256 AS BIGINT))) AS c
+        |  FROM o WHERE toks > 0),
+        |s AS (
+        |  SELECT CAST(c AS BIGINT) AS chunk_id, doc_id,
+        |         array_to_string(list_slice(string_split(text, ' '),
+        |           CAST(GREATEST(c * 256 - start, 0) + 1 AS BIGINT),
+        |           CAST(GREATEST(c * 256 - start, 0)
+        |                + LEAST(start + toks, (c + 1) * 256)
+        |                - GREATEST(start, c * 256) AS BIGINT)), ' ')
+        |           AS piece
+        |  FROM x)
+        |SELECT chunk_id,
+        |       string_agg(piece, ' ' ORDER BY doc_id) AS chunk_text,
+        |       CAST(COUNT(*) AS BIGINT) AS n_docs
+        |FROM s GROUP BY chunk_id""".stripMargin,
     "e5_pivot" ->
       """SELECT epoch_us(ts) // 3600000000 AS hour,
         |  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,

@@ -497,6 +497,33 @@ object Pipeline {
         sum(col("toks")).cast("long").as("tok_sum"),
         max(col("bin")).cast("long").as("max_bin"))
 
+  /** C15 — TRAINING-BATCH MATERIALIZATION: the end-to-end consumer of
+    * [[c13PackChunks]] — join the (chunk, doc) spans back to the text,
+    * slice each document's contributing token run, and assemble every
+    * chunk's final token string in stream order. One shuffle (the
+    * group-by-chunk), slices map-side; the within-chunk order rides a
+    * `sort_array(collect_list(struct(doc_id, …)))` so no window is
+    * needed. The oracle rebuilds identical strings with
+    * `string_agg(… ORDER BY doc_id)` over relational slices — any
+    * off-by-one in a span boundary corrupts a chunk's text and fails
+    * the hash.
+    */
+  def c15ChunkText(spark: SparkSession, dir: String): DataFrame = {
+    val spans = graft.operators.Packing.packChunks(
+      docs(spark, dir), wsTokenCount(col("text")), chunkLen = 256L,
+      buckets = 8)
+    val sliced = spans.join(docs(spark, dir), Seq("doc_id"))
+      .select(col("chunk_id"), col("doc_id"),
+        concat_ws(" ", slice(split(col("text"), " "),
+          (col("off") + 1L).cast("int"), col("len").cast("int")))
+          .as("piece"))
+    sliced.groupBy(col("chunk_id"))
+      .agg(concat_ws(" ", transform(
+        sort_array(collect_list(struct(col("doc_id"), col("piece")))),
+        s => s.getField("piece"))).as("chunk_text"),
+        count(lit(1)).as("n_docs"))
+  }
+
   /** T3 — token counting three ways: whitespace, regex pre-tokenizer,
     * approximate BPE (ceil(len/4) per word).
     */

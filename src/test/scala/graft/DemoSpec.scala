@@ -49,6 +49,12 @@ class DemoSpec extends AnyFunSuite with SparkSpec {
       lines.mkString("\n"))
     assert(has("VERSION AS OF 1 resolves 2 row(s)"), lines.mkString("\n"))
 
+    // sequence packing: exact chunk spans (4+2+5 tokens into windows
+    // of 5) and the FFD fill (5 | 4+2 under capacity 6)
+    assert(has("sequence packing: chunks c0:d1[0,+4) c0:d2[0,+1) " +
+      "c1:d2[1,+1) c1:d3[0,+4) c2:d3[4,+1); FFD bins b0=1docs b1=2docs"),
+      lines.mkString("\n"))
+
     // incremental re-export: the prior manifests were reused, not
     // rewritten (byte-identity across the second export)
     assert(has("prefix manifest reused byte-for-byte=true"),

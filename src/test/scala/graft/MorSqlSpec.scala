@@ -179,6 +179,59 @@ class MorSqlSpec extends AnyFunSuite with SparkSpec {
       s"refusal does not point at the change feed: ${messages(err)}")
   }
 
+  test("writeStream.toTable into a MoR table: per-epoch upsert DELTAS, " +
+      "resolved reads stay correct") {
+    import spark.implicits._
+    val srcDir = Files.createTempDirectory("graft-morsql-ssrc").toString
+    TieredCatalog.register("mor", "stream_src", s"$srcDir/s")
+    val src = TieredTable(spark, s"$srcDir/s")
+    src.appendLog(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    val ckpt = Files.createTempDirectory("graft-morsql-ck").toString
+    spark.sql("DROP TABLE IF EXISTS graft.mor.t11")
+    val dir = Files.createTempDirectory("graft-morsql-t11").toString
+    spark.sql(
+      s"""CREATE TABLE graft.mor.t11 (id BIGINT, v STRING)
+         |TBLPROPERTIES ('primary-key' = 'id', 'merge-on-read' = 'true',
+         |               'path' = '$dir/t')""".stripMargin)
+    val q = spark.readStream.table("graft.mor.stream_src")
+      .writeStream.option("checkpointLocation", ckpt)
+      .toTable("graft.mor.t11")
+    try {
+      q.processAllAvailable()
+      src.appendLog(Seq((2L, "B2"), (3L, "c")).toDF("id", "v"))
+      q.processAllAvailable()
+    } finally q.stop()
+    // resolved read: key 2 shows its second-epoch version
+    val rows = spark.sql("SELECT id, v FROM graft.mor.t11 ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(rows == Seq((1L, "a"), (2L, "B2"), (3L, "c")))
+    // merge-on-read streaming contract: every epoch committed an
+    // O(batch) upsert DELTA — no copy-on-write rewrite in the history
+    val ops = spark.sql(
+      "SELECT operation FROM graft.mor.`t11$snapshots` ORDER BY snapshot_id")
+      .collect().map(_.getString(0)).toSeq
+    assert(ops.nonEmpty && ops.forall(_ == "upsert"), ops.toString)
+  }
+
+  test("CALL graft.system.compact resets a MoR table to one resolved " +
+      "delta; SQL answers unchanged") {
+    val sql = ddlTable("t12")
+    spark.sql(s"INSERT INTO $sql VALUES (1, 'a', 1), (2, 'b', 2)")
+    spark.sql(s"INSERT INTO $sql VALUES (1, 'A', 10)")
+    spark.sql(s"INSERT INTO $sql VALUES (2, 'B', 20), (3, 'c', 3)")
+    val before = spark.sql(s"SELECT id, v, amt FROM $sql ORDER BY id")
+      .collect().toSeq
+    assert(spark.sql(s"SELECT COUNT(*) FROM ${sql}__files")
+      .head().getLong(0) >= 3)
+    spark.sql("CALL graft.system.compact('mor.t12')")
+    // read amplification reset: one resolved dir, same answers
+    assert(spark.sql(s"SELECT COUNT(*) FROM ${sql}__files")
+      .head().getLong(0) == 1)
+    val after = spark.sql(s"SELECT id, v, amt FROM $sql ORDER BY id")
+      .collect().toSeq
+    assert(after == before)
+  }
+
   test("SHOW CREATE TABLE round-trips the merge-on-read property") {
     val sql = ddlTable("t7")
     val ddl = spark.sql(s"SHOW CREATE TABLE $sql").head().getString(0)
