@@ -45,17 +45,24 @@ object Packing {
   def tokenOffsets(docs: DataFrame, toks: Column, buckets: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // RDD-level persist, not DataFrame cache(): the pin between the
+    // two passes must hold the PARTITIONING fixed (a recompute would
+    // re-sample range bounds and misalign pass 2's bases), but an RDD
+    // persist is released by the ContextCleaner when the result's
+    // lineage is garbage-collected — a DataFrame cache lives in the
+    // CacheManager until the session ends, pinning executor storage
+    // for every packChunks call of a long-lived pipeline.
     val d = docs.select(col("doc_id").cast("long").as("doc_id"),
         toks.cast("long").as("toks"))
       .repartitionByRange(buckets, col("doc_id"))
       .sortWithinPartitions("doc_id")
-      .cache()
+      .rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Partition identity comes from mapPartitionsWithIndex — bound at
     // RDD DEFINITION, so it names this lineage's partition even when a
     // downstream coalesce() merges tasks (TaskContext.getPartitionId
     // would report the merged task's id and zero every base offset).
     // pass 1: one row per partition — (index, token total)
-    val totals = d.rdd.mapPartitionsWithIndex { (pid, it) =>
+    val totals = d.mapPartitionsWithIndex { (pid, it) =>
       var sum = 0L
       it.foreach(r => sum += r.getLong(1))
       Iterator.single((pid, sum))
@@ -66,7 +73,7 @@ object Packing {
       bases(p + 1) = bases(p) + totals.getOrElse(p, 0L))
     val basesBc = spark.sparkContext.broadcast(bases)
     // pass 2: local running sum + the partition's exclusive base
-    val out = d.rdd.mapPartitionsWithIndex { (pid, it) =>
+    val out = d.mapPartitionsWithIndex { (pid, it) =>
       var off = basesBc.value(pid)
       it.map { r =>
         val start = off
@@ -91,9 +98,12 @@ object Packing {
     require(chunkLen > 0, "chunkLen must be positive")
     val o = tokenOffsets(docs, toks, buckets).filter(col("toks") > 0L)
     val L = lit(chunkLen)
+    // integral DIV, not floor(a / b): `/` on longs is DOUBLE division
+    // in Spark, which loses integer precision past 2^53 cumulative
+    // tokens — the oracle's `//` is exact, so the engine must be too
     o.withColumn("chunk_id",
-        explode(sequence(floor(col("start") / L),
-          floor((col("start") + col("toks") - 1L) / L))))
+        explode(sequence(expr(s"start DIV $chunkLen"),
+          expr(s"(start + toks - 1) DIV $chunkLen"))))
       .select(
         col("chunk_id").cast("long").as("chunk_id"),
         col("doc_id"),
@@ -105,8 +115,8 @@ object Packing {
   }
 
   /** Boundary-preserving FIRST-FIT-DECREASING bin packing inside hash
-    * shards: documents hash into `shards` independent groups
-    * (`hash(doc_id) pmod shards`); within a shard, docs are taken
+    * shards: documents hash-partition into `shards` independent groups
+    * (the shard IS the partition); within a shard, docs are taken
     * longest-first and dropped into the first bin with room
     * (capacity `binLen` tokens). Documents longer than the capacity
     * are REFUSED loudly — silently truncating a training example is
@@ -122,34 +132,34 @@ object Packing {
                   shards: Int = 32): DataFrame = {
     require(binLen > 0, "binLen must be positive")
     val spark = docs.sparkSession
-    import spark.implicits._
+    // the SHARD IS THE PARTITION: hash-repartition the doc ids across
+    // exactly `shards` partitions and take the partition index as the
+    // shard id — every shard occupies its own task, so parallelism is
+    // exactly the shard count (deriving a shard VALUE first and then
+    // hash-partitioning it would land ~1/e of partitions empty and
+    // stack shards on others)
     val d = docs.select(col("doc_id").cast("long").as("doc_id"),
         toks.cast("long").as("toks"))
       .filter(col("toks") > 0L)
-      .withColumn("shard", pmod(hash(col("doc_id")), lit(shards)))
-      .repartition(shards, col("shard"))
-      .sortWithinPartitions(col("shard"), col("toks").desc, col("doc_id"))
-    d.mapPartitions { it =>
-      // bins per shard: (fill, id); first-fit over the open list.
-      // Decreasing order is guaranteed by the sort above; a partition
-      // may hold several shards (hash collisions over partitions), so
-      // bins are keyed by shard.
-      val bins = scala.collection.mutable.Map
-        .empty[Int, scala.collection.mutable.ArrayBuffer[Long]]
+      .repartition(shards, col("doc_id"))
+      .sortWithinPartitions(col("toks").desc, col("doc_id"))
+    val out = d.rdd.mapPartitionsWithIndex { (shard, it) =>
+      // open bins of this shard: index = bin id, value = fill.
+      // Decreasing order is guaranteed by the sort above.
+      val open = scala.collection.mutable.ArrayBuffer.empty[Long]
       it.map { r =>
-        val (docId, t, shard) = (r.getLong(0), r.getLong(1), r.getInt(2))
+        val (docId, t) = (r.getLong(0), r.getLong(1))
         if (t > binLen) throw new IllegalArgumentException(
           s"doc $docId has $t tokens > bin capacity $binLen — split it " +
             "upstream (packChunks) or raise the capacity; refusing to " +
             "truncate a training example silently")
-        val open = bins.getOrElseUpdate(shard,
-          scala.collection.mutable.ArrayBuffer.empty[Long])
         var i = 0
         while (i < open.length && open(i) + t > binLen) i += 1
         if (i == open.length) open += 0L
         open(i) += t
         (shard, i.toLong, docId, t)
       }
-    }.toDF("shard", "bin", "doc_id", "toks")
+    }
+    spark.createDataFrame(out).toDF("shard", "bin", "doc_id", "toks")
   }
 }

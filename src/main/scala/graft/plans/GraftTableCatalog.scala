@@ -255,8 +255,13 @@ class GraftTableCatalog extends TableCatalog
         val snaps = (1L to t.latestSnapshotId).flatMap(t.snapshot)
         val RollTag = "^rollback-to-([0-9]+)$".r
         val stateParent: Map[Long, Option[Long]] = snaps.map { s =>
-          s.id -> (s.tag match {
-            case RollTag(n) => Some(n.toLong)
+          // key on the VERB, not the tag shape alone: tags are a
+          // user-supplied idempotence key on every commit verb, so an
+          // ordinary append tagged "rollback-to-1" must not redirect
+          // ancestry — only a real rollback commit (op + its recorded
+          // target) does
+          s.id -> ((s.op, s.tag) match {
+            case ("rollback", RollTag(n)) => Some(n.toLong)
             case _ => s.parentId
           })
         }.toMap
@@ -1194,13 +1199,7 @@ class TieredSqlTable(tableName: String, spark: SparkSession,
               if (partOverwrite.isDefined) {
                 val batch =
                   if (entry.pk.isEmpty) clusterForLayout(data)
-                  else {
-                    import org.apache.spark.sql.functions.{col, monotonically_increasing_id}
-                    val seq = "__ow_seq"
-                    graft.operators.Upsert.latestByKey(
-                      data.withColumn(seq, monotonically_increasing_id()),
-                      entry.pk, Seq(col(seq).desc)).drop(seq)
-                  }
+                  else TieredSqlTable.lwwByArrival(data, entry.pk)
                 t.commitOverwritePartitions(batch, partOverwrite.get)
               }
               else if (overwriteAll || overwrite) {
@@ -1216,16 +1215,15 @@ class TieredSqlTable(tableName: String, spark: SparkSession,
                     "tier() before INSERT OVERWRITE")
                 val batch =
                   if (entry.pk.isEmpty) clusterForLayout(data)
-                  else {
-                    import org.apache.spark.sql.functions.{col, monotonically_increasing_id}
-                    val seq = "__ow_seq"
-                    graft.operators.Upsert.latestByKey(
-                      data.withColumn(seq, monotonically_increasing_id()),
-                      entry.pk, Seq(col(seq).desc)).drop(seq)
-                  }
+                  else TieredSqlTable.lwwByArrival(data, entry.pk)
                 t.commitOverwrite(batch)
               }
-              else if (entry.pk.nonEmpty) t.commitUpsert(data)
+              // plain INSERT INTO a PK sink: same within-batch LWW as
+              // the overwrite verbs — a duplicate key in one batch
+              // resolves to its LAST row, deterministically, in both
+              // copy-on-write and merge-on-read modes
+              else if (entry.pk.nonEmpty)
+                t.commitUpsert(TieredSqlTable.lwwByArrival(data, entry.pk))
               else t.appendLog(clusterForLayout(data))
               (): Unit
             }
@@ -1237,6 +1235,25 @@ class TieredSqlTable(tableName: String, spark: SparkSession,
 object TieredSqlTable {
   import org.apache.spark.sql.{functions => F}
   import org.apache.spark.sql.sources._
+
+  /** Within-batch last-write-wins by ARRIVAL ORDER — the PK-sink
+    * contract every SQL write applies before committing: a batch that
+    * names one key twice (VALUES (1,'a'),(1,'b'); a micro-batch with
+    * two updates to one key) keeps the LATER row deterministically.
+    * Without this, a copy-on-write sink would store both rows and a
+    * merge-on-read delta would stamp both with the SAME sequence,
+    * making resolution order-of-scan-dependent. Arrival order rides
+    * `monotonically_increasing_id` over the incoming narrow plan.
+    */
+  def lwwByArrival(df: org.apache.spark.sql.DataFrame,
+                   pk: Seq[String]): org.apache.spark.sql.DataFrame =
+    if (pk.isEmpty) df
+    else {
+      val seq = "__ow_seq"
+      graft.operators.Upsert.latestByKey(
+        df.withColumn(seq, F.monotonically_increasing_id()),
+        pk, Seq(F.col(seq).desc)).drop(seq)
+    }
 
   /** Translate a DSv2 pushed Filter to a Column predicate; None marks
     * the filter untranslatable (canDeleteWhere then rejects the DELETE

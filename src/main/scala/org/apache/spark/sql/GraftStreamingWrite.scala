@@ -72,7 +72,12 @@ class GraftStreamingWrite(spark: SparkSession, t: TieredTable,
     val epochTag = Some(tag(epochId))
     if (files.nonEmpty) {
       if (pk.nonEmpty)
-        t.commitUpsert(readStaged(files), epochTag)
+        // within-batch LWW by arrival (file/row order of the staged
+        // epoch): a micro-batch carrying two updates to one key keeps
+        // the later row deterministically — without it a merge-on-read
+        // delta stamps both with the same sequence
+        t.commitUpsert(graft.plans.TieredSqlTable.lwwByArrival(
+          readStaged(files), pk), epochTag)
       else if (partitionBy.nonEmpty)
         t.appendLog(readStaged(files), epochTag)
       else

@@ -232,6 +232,27 @@ class MorSqlSpec extends AnyFunSuite with SparkSpec {
     assert(after == before)
   }
 
+  test("a batch naming one key twice resolves to its LAST row, " +
+      "deterministically (within-batch LWW at the PK sink)") {
+    val sql = ddlTable("t13")
+    // both rows land in ONE insert — without arrival-order LWW the MoR
+    // delta would stamp both with the same sequence and resolution
+    // would be order-of-scan-dependent
+    spark.sql(s"INSERT INTO $sql VALUES (1, 'first', 1), (1, 'last', 2)")
+    val rows = spark.sql(s"SELECT id, v, amt FROM $sql").collect()
+    assert(rows.length == 1)
+    assert(rows.head.getString(1) == "last" && rows.head.getLong(2) == 2L)
+    // same contract on a copy-on-write PK sink
+    val dir = Files.createTempDirectory("graft-morsql-cow").toString
+    spark.sql("DROP TABLE IF EXISTS graft.mor.cow13")
+    spark.sql(
+      s"""CREATE TABLE graft.mor.cow13 (id BIGINT, v STRING)
+         |TBLPROPERTIES ('primary-key' = 'id', 'path' = '$dir/t')""".stripMargin)
+    spark.sql("INSERT INTO graft.mor.cow13 VALUES (7, 'a'), (7, 'b')")
+    val cow = spark.sql("SELECT v FROM graft.mor.cow13").collect()
+    assert(cow.map(_.getString(0)).toSeq == Seq("b"))
+  }
+
   test("SHOW CREATE TABLE round-trips the merge-on-read property") {
     val sql = ddlTable("t7")
     val ddl = spark.sql(s"SHOW CREATE TABLE $sql").head().getString(0)
