@@ -80,6 +80,16 @@ object Stress {
             k = 16, bands = 4, num = 4, den = 5,
             corpusBands = Some(cBands)) }
       },
+      // sequence packing at 10×: the two-pass prefix sum + chunk
+      // explode (c13's shape) and shard-local FFD (c14's) — both
+      // should scale linearly in the corpus; the prefix sum's only
+      // coordination is B driver rows, FFD's is none
+      time("c13_pack_chunks") {
+        graft.operators.Packing.packChunks(widened,
+          size(split(col("text"), " ")), chunkLen = 256L, buckets = 32) },
+      time("c14_pack_bins") {
+        graft.operators.Packing.packBinsFFD(widened,
+          size(split(col("text"), " ")), binLen = 512L, shards = 32) },
     )
     val qs = results.map { case (k, sec, rows) =>
       s""""$k":{"sec":$sec,"rows":$rows}""" }.mkString("{", ",", "}")
