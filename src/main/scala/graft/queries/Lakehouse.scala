@@ -545,6 +545,30 @@ object Lakehouse {
         |GROUP BY o_orderstatus""".stripMargin)
   }
 
+  /** Q32 — PARTITIONED merge-on-read through SQL: [[demoTableMorPart]]
+    * (hive-partitioned by `o_orderpriority`, partition col ∈ PK) read
+    * with a partition predicate — the filter is consumed as directory
+    * pruning BELOW the resolution window (the partition col is a
+    * window key, so pushing it is safe), and resolution runs per key
+    * inside the surviving partitions. The oracle recomputes winning
+    * versions for exactly the two filtered priorities.
+    */
+  def q32MorPartSql(spark: SparkSession, dir: String): DataFrame = {
+    ensureCatalog(spark)
+    val t = demoTableMorPart(spark, dir)
+    graft.plans.TieredCatalog.register("bench", "orders_mor_part",
+      t.tablePath, pk = Seq("o_orderpriority", "o_orderkey"),
+      mergeOnRead = true, partitionBy = Seq("o_orderpriority"))
+    spark.sql(
+      """SELECT o_orderpriority, o_orderstatus, COUNT(*) AS cnt,
+        |       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+        |       CAST(SUM(CAST(o_totalprice * 100 AS BIGINT)) AS BIGINT)
+        |         AS price_cents
+        |FROM graft.bench.orders_mor_part
+        |WHERE o_orderpriority IN ('1-URGENT', '3-MEDIUM')
+        |GROUP BY o_orderpriority, o_orderstatus""".stripMargin)
+  }
+
   def q23IcebergMor(spark: SparkSession, dir: String): DataFrame = {
     val t = demoTableMor(spark, dir)
     graft.storage.IcebergExport.export(t)
