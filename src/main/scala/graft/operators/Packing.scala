@@ -6,7 +6,13 @@ import org.apache.spark.sql.types._
 
 /** SEQUENCE PACKING — the training-batch assembly step of an LLM data
   * pipeline (reference: the fluss-iceberg corpus tables feed exactly
-  * this consumer). Two industry shapes:
+  * this consumer). Complements
+  * [[graft.operators.Sampling.packSequences]], the shard-local
+  * streaming packer that keeps documents WHOLE and tolerates one-doc
+  * overflow: the two ops here cover the shapes it deliberately
+  * doesn't — exact global chunking that SPLITS documents across
+  * fixed windows, and capacity-strict bin packing with lookahead.
+  * Two industry shapes:
   *
   *  1. [[packChunks]] — concat-and-split: documents are laid end to
   *     end in a fixed global order and the token stream is cut into
