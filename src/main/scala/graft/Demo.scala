@@ -622,6 +622,29 @@ object Demo {
       say(s"[demo] sequence packing: chunks $chunks; FFD bins $bins")
     }
 
+    // 19k''. bucketed merge-on-read (r9): hash(PK)-bucketed delta dirs
+    //      → the key-grouped scan satisfies the resolution window and
+    //      the full resolved read plans with ZERO exchanges
+    {
+      spark.sql("DROP TABLE IF EXISTS graft.fluss.mor_bucketed")
+      spark.sql(
+        s"""CREATE TABLE graft.fluss.mor_bucketed (k BIGINT, v BIGINT)
+           |TBLPROPERTIES ('primary-key' = 'k', 'merge-on-read' = 'true',
+           |  'write.bucket-by' = '4',
+           |  'path' = '$base/tables/mor_bucketed')""".stripMargin)
+      spark.sql(
+        "INSERT INTO graft.fluss.mor_bucketed SELECT id, id FROM range(0, 100)")
+      spark.sql(
+        "INSERT INTO graft.fluss.mor_bucketed SELECT id, id * 100 " +
+          "FROM range(0, 100, 9)")
+      val q = spark.sql("SELECT SUM(v) AS s FROM graft.fluss.mor_bucketed")
+      val exchanges = q.queryExecution.executedPlan.toString
+        .linesIterator.count(_.contains("Exchange hashpartitioning"))
+      say(s"[demo] bucketed merge-on-read: resolved SUM=${q.head().getLong(0)} " +
+        s"with $exchanges exchanges (hash(PK)-bucketed deltas, " +
+        "key-grouped scan)")
+    }
+
     // 19k. snapshot tags (r9): pin the current corpus state under a
     //      name; later ingest and retention never disturb the pinned
     //      read — the reproducible-training-run primitive

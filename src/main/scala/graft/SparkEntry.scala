@@ -65,6 +65,7 @@ object SparkEntry {
     "q30_mor_sql"       -> (Lakehouse.q30MorSql _),
     "q31_mor_asof"      -> (Lakehouse.q31MorAsOf _),
     "q32_mor_part_sql"  -> (Lakehouse.q32MorPartSql _),
+    "q33_mor_bucketed"  -> (Lakehouse.q33MorBucketed _),
     // training-data pipeline: dedup / similarity / text analysis
     "d1_exact_dedup" -> (Pipeline.d1ExactDedup _),
     "d2_fingerprint" -> (Pipeline.d2Fingerprint _),
@@ -411,6 +412,25 @@ object SparkEntry {
         |           THEN CAST(CAST(o_totalprice AS DECIMAL(15,2)) * 2 AS DECIMAL(15,2))
         |         ELSE CAST(o_totalprice AS DECIMAL(15,2)) END AS price
         |  FROM orders) GROUP BY o_orderpriority, o_orderstatus""".stripMargin,
+    // q33 = the BUCKETED MoR layout read through SQL (zero-exchange
+    // resolution): same waves as q30, unfiltered grouping — the oracle
+    // recomputes every key's winning version
+    "q33_mor_bucketed" ->
+      """SELECT o_orderstatus, COUNT(*) AS cnt,
+        |       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+        |       CAST(SUM(CAST(price * 100 AS BIGINT)) AS BIGINT) AS price_cents
+        |FROM (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 13 = 0 THEN 'X'
+        |         WHEN o_orderkey % 7 = 0 THEN 'R'
+        |         ELSE o_orderstatus END AS o_orderstatus,
+        |    CASE WHEN o_orderkey % 13 = 0
+        |           THEN CAST(CAST(o_totalprice AS DECIMAL(15,2)) + 1000 AS DECIMAL(15,2))
+        |         WHEN o_orderkey % 7 = 0
+        |           THEN CAST(CAST(o_totalprice AS DECIMAL(15,2)) * 2 AS DECIMAL(15,2))
+        |         ELSE CAST(o_totalprice AS DECIMAL(15,2)) END AS price
+        |  FROM orders)
+        |GROUP BY o_orderstatus""".stripMargin,
     // q32 = the partitioned MoR table through plain SQL with a
     // partition-pruned read: same CASE recomputation as q24, filtered
     // to the two probed priorities

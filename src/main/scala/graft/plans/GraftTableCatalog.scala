@@ -444,6 +444,19 @@ class GraftTableCatalog extends TableCatalog
     require(!mor || pk.nonEmpty,
       s"table $db.${ident.name}: 'merge-on-read' needs a 'primary-key' — " +
         "without row identity there is nothing to resolve")
+    // 'write.bucket-by' = N: merge-on-read deltas write hash(PK)-
+    // bucketed dirs so every key's versions co-locate — the key-grouped
+    // scan then resolves last-write-wins with NO exchange
+    val bucketBy = props.get("write.bucket-by").map(_.trim.toInt).getOrElse(0)
+    require(bucketBy >= 0, "'write.bucket-by' must be a positive count")
+    require(bucketBy == 0 || (mor && pk.nonEmpty),
+      s"table $db.${ident.name}: 'write.bucket-by' is the merge-on-read " +
+        "delta layout — it needs 'merge-on-read'='true' and a " +
+        "'primary-key'")
+    require(bucketBy == 0 || partCols.isEmpty,
+      s"table $db.${ident.name}: 'write.bucket-by' and PARTITIONED BY " +
+        "are mutually exclusive layouts (a bucketed MoR table is " +
+        "already hash-partitioned by its key)")
     // 'bloom-columns' property: point-lookup columns that get per-file
     // bloom sidecars on every write (see FileStats bloom skipping)
     val bloomCols = props.get("bloom-columns")
@@ -479,6 +492,11 @@ class GraftTableCatalog extends TableCatalog
     val tfs = graft.storage.TableFs.forPath(path)
     tfs.mkdirs(s"$path/meta")
     tfs.writeString(s"$path/meta/SCHEMA", schema.toDDL)
+    // the bucket layout self-configures from table meta on EVERY open
+    // (catalog, procedures, TVFs, a fresh process) — persist it with
+    // the schema so the first INSERT doesn't race a concurrent reader
+    if (bucketBy > 0)
+      tfs.writeString(s"$path/meta/BUCKETS", bucketBy.toString)
     TieredCatalog.register(db, ident.name, path, pk, mergeOnRead = mor,
       partitionBy = partCols,
       bloomCols = bloomCols, changeDataFeed = cdf, datalake = datalake,
@@ -801,8 +819,13 @@ class TieredSqlTable(tableName: String, spark: SparkSession,
     // names the version-sequence column the data files carry — add it
     // so the scan surfaces it for the resolution window
     if (rawVersions)
-      d.map(s => if (s.fieldNames.contains(t.SeqCol)) s
-        else s.add(t.SeqCol, LongType, nullable = true))
+      d.map { s0 =>
+        val s1 = if (s0.fieldNames.contains(t.SeqCol)) s0
+          else s0.add(t.SeqCol, LongType, nullable = true)
+        if (t.bucketBy > 0 && !s1.fieldNames.contains(t.BucketCol))
+          s1.add(t.BucketCol, IntegerType, nullable = true)
+        else s1
+      }
     else d
   }
 
@@ -829,8 +852,15 @@ class TieredSqlTable(tableName: String, spark: SparkSession,
     * anchors at its snapshot root so the bound partition columns still
     * surface; a plain dir entry is its own base.
     */
+  /** LAYOUT columns of the on-disk Hive dirs: the user's PARTITIONED
+    * BY, or the engine's reserved bucket column when the table is a
+    * bucketed merge-on-read layout ('write.bucket-by').
+    */
+  private val layoutCols: Seq[String] =
+    if (t.bucketBy > 0) Seq(t.BucketCol) else entry.partitionBy
+
   private def partBase(p: String): String =
-    graft.storage.PartitionPaths.base(p, entry.partitionBy)
+    graft.storage.PartitionPaths.base(p, layoutCols)
 
   private lazy val partRoots = paths.map(p =>
     ParquetTable(tableName, spark,
@@ -855,13 +885,15 @@ class TieredSqlTable(tableName: String, spark: SparkSession,
       // Hive roots in one scan — read the schema from one root (they
       // share the layout; cross-root schema evolution needs a declared
       // schema via CREATE TABLE)
-      if (entry.partitionBy.isEmpty) inner.schema else partRoots.head.schema
+      if (layoutCols.isEmpty) inner.schema else partRoots.head.schema
     }
     // merge-on-read: the SQL face is the RESOLVED view — the internal
-    // version-sequence column never surfaces (an API-registered table
-    // infers its schema from the delta parquet, which carries it)
+    // version-sequence and bucket-layout columns never surface (an
+    // API-registered table infers its schema from the delta parquet,
+    // which carries them)
     if (entry.mergeOnRead && !rawVersions)
-      StructType(base.filterNot(_.name == t.SeqCol))
+      StructType(base.filterNot(f =>
+        f.name == t.SeqCol || f.name == t.BucketCol))
     else base
   }
 
@@ -899,9 +931,20 @@ class TieredSqlTable(tableName: String, spark: SparkSession,
               org.apache.spark.sql.execution.datasources.v2
                 .DataSourceV2Relation.create(twin, None, None))
             if (!raw.columns.contains(t.SeqCol)) t.readUnion()
-            else graft.operators.Upsert.latestByKey(raw, entry.pk,
-              Seq(org.apache.spark.sql.functions.col(t.SeqCol).desc))
-              .drop(t.SeqCol)
+            else {
+              // bucketed layout: window ALSO by the bucket column —
+              // semantically identical (the bucket is a function of
+              // the PK) but it lets the key-grouped scan SATISFY the
+              // window's clustering, so the resolution plans with no
+              // exchange (the zero-shuffle MoR read)
+              val keys =
+                if (t.bucketBy > 0 && raw.columns.contains(t.BucketCol))
+                  t.BucketCol +: entry.pk
+                else entry.pk
+              graft.operators.Upsert.latestByKey(raw, keys,
+                Seq(org.apache.spark.sql.functions.col(t.SeqCol).desc))
+                .drop(t.SeqCol).drop(t.BucketCol)
+            }
           }
         Some(resolved)
       }
@@ -942,6 +985,7 @@ class TieredSqlTable(tableName: String, spark: SparkSession,
     val m = scala.collection.mutable.LinkedHashMap.empty[String, String]
     if (entry.pk.nonEmpty) m += "primary-key" -> entry.pk.mkString(",")
     if (entry.mergeOnRead) m += "merge-on-read" -> "true"
+    if (t.bucketBy > 0) m += "write.bucket-by" -> t.bucketBy.toString
     if (entry.bloomCols.nonEmpty)
       m += "bloom-columns" -> entry.bloomCols.mkString(",")
     if (entry.changeDataFeed) m += "change-data-feed" -> "true"
@@ -1014,7 +1058,7 @@ class TieredSqlTable(tableName: String, spark: SparkSession,
             logTailStream(options)
         }
       }
-    else if (entry.partitionBy.isEmpty)
+    else if (layoutCols.isEmpty)
       // unpartitioned: stock parquet scan wrapped with manifest-level
       // file skipping (footer-stats sidecars prune the file list at
       // scan build)
@@ -1034,7 +1078,7 @@ class TieredSqlTable(tableName: String, spark: SparkSession,
           // per-root metric name: children record independently
           new org.apache.spark.sql.GraftSkippingScanBuilder(spark,
             s"$tableName#$i", Seq(root), schema(), opts,
-            tbl.newScanBuilder(options), entry.partitionBy,
+            tbl.newScanBuilder(options), layoutCols,
             streamFactory = Some(_ => logTailStream(options)))
       }
       if (wrapped.lengthCompare(1) <= 0 && wrapped.nonEmpty) wrapped.head
@@ -1043,7 +1087,7 @@ class TieredSqlTable(tableName: String, spark: SparkSession,
         // a consumer can start tailing before the first append
         new org.apache.spark.sql.GraftSkippingScanBuilder(spark, tableName,
           Nil, schema(), readOpts, inner.newScanBuilder(options),
-          entry.partitionBy, streamFactory = Some(_ => logTailStream(options)))
+          layoutCols, streamFactory = Some(_ => logTailStream(options)))
       else new org.apache.spark.sql.GraftCompositeScanBuilder(wrapped,
         streamFactory = Some(_ => logTailStream(options)))
     }

@@ -569,6 +569,49 @@ object Lakehouse {
         |GROUP BY o_orderpriority, o_orderstatus""".stripMargin)
   }
 
+  /** Q33 — BUCKETED merge-on-read through SQL: the same three upsert
+    * waves as [[demoTableMor]], committed into a
+    * `'write.bucket-by'=8` layout (hash(PK)-bucketed delta dirs) and
+    * read as plain SQL — resolution windows over (bucket, key), the
+    * key-grouped scan satisfies the clustering, and the whole read
+    * plans with NO exchange (BucketedMorSpec pins the plan shape; this
+    * entry pins the ANSWERS under the oracle: a bucket-routing bug
+    * splits a key across buckets and the window resurrects a
+    * superseded version, shifting price_cents).
+    */
+  def q33MorBucketed(spark: SparkSession, dir: String): DataFrame = {
+    ensureCatalog(spark)
+    val safe = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val path = s"${sys.props("java.io.tmpdir")}/graft-tiered/v$FormatVersion/$safe/orders_mor_b"
+    val donePath = Paths.get(path, "meta", "LATEST")
+    val t = TieredTable(spark, path, pk = Seq("o_orderkey"),
+      mergeOnRead = true, bucketBy = 8)
+    if (!Files.exists(donePath)) {
+      val orders = Tables.load(spark, dir, "orders")
+        .withColumn("o_totalprice", col("o_totalprice").cast("decimal(15,2)"))
+      t.commitUpsert(orders)                                        // seq 1
+      t.commitUpsert(orders                                         // seq 2
+        .filter(pmod(col("o_orderkey"), lit(7)) === 0)
+        .withColumn("o_totalprice",
+          (col("o_totalprice") * 2).cast("decimal(15,2)"))
+        .withColumn("o_orderstatus", lit("R")))
+      t.commitUpsert(orders                                         // seq 3
+        .filter(pmod(col("o_orderkey"), lit(13)) === 0)
+        .withColumn("o_totalprice",
+          (col("o_totalprice") + 1000).cast("decimal(15,2)"))
+        .withColumn("o_orderstatus", lit("X")))
+    }
+    graft.plans.TieredCatalog.register("bench", "orders_mor_b", path,
+      pk = Seq("o_orderkey"), mergeOnRead = true)
+    spark.sql(
+      """SELECT o_orderstatus, COUNT(*) AS cnt,
+        |       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+        |       CAST(SUM(CAST(o_totalprice * 100 AS BIGINT)) AS BIGINT)
+        |         AS price_cents
+        |FROM graft.bench.orders_mor_b
+        |GROUP BY o_orderstatus""".stripMargin)
+  }
+
   def q23IcebergMor(spark: SparkSession, dir: String): DataFrame = {
     val t = demoTableMor(spark, dir)
     graft.storage.IcebergExport.export(t)

@@ -52,7 +52,8 @@ class TieredTable(spark: SparkSession, rawTablePath: String,
                   metaStore: MetaStore = null,
                   val changeDataFeed: Boolean = false,
                   val icebergExport: Boolean = false,
-                  val sortBy: Seq[String] = Nil) {
+                  val sortBy: Seq[String] = Nil,
+                  val bucketBy: Int = 0) {
   require(!icebergExport || !(mergeOnRead && partitionBy.nonEmpty) ||
       partitionBy.forall(pk.contains),
     "icebergExport of a partitioned merge-on-read table requires the " +
@@ -60,6 +61,23 @@ class TieredTable(spark: SparkSession, rawTablePath: String,
       "IcebergExport writes partition-scoped equality deletes, which " +
       "are exact only when a key can never change partitions (the " +
       "Flink-Iceberg upsert-sink rule)")
+  // BUCKETED DELTA LAYOUT ('write.bucket-by' = N): merge-on-read deltas
+  // write hash(PK)-bucketed `__bucket=K` dirs, so every key's versions
+  // co-locate in one bucket across ALL deltas — the key-grouped DSv2
+  // scan then satisfies the resolution window's clustering and a full
+  // resolved read plans with NO exchange (the 100 TB lever for huge PK
+  // tables). Construct via the companion, which derives the layout.
+  require(bucketBy == 0 ||
+      (pk.nonEmpty && mergeOnRead &&
+        partitionBy == Seq(TieredTable.BucketCol)),
+    s"bucketBy=$bucketBy is the merge-on-read delta layout of a " +
+      "PK table — construct via TieredTable(...) (companion), which " +
+      "derives the bucket-column layout")
+  require(bucketBy == 0 || !icebergExport,
+    "icebergExport of a bucket-layout merge-on-read table is not " +
+      "defined (the bucket dirs are an engine-internal layout, not an " +
+      "Iceberg partition spec) — compact to a resolved snapshot and " +
+      "export that, or drop one of the two properties")
   /** `file:`-scheme URIs are normalized to plain paths — `Paths.get`
     * would otherwise treat the whole URI as a RELATIVE path and
     * silently create the table tree under the process CWD (the round-1
@@ -133,6 +151,8 @@ class TieredTable(spark: SparkSession, rawTablePath: String,
     * commit win. Present only in at-rest files of PK tables.
     */
   val SeqCol = "__seq"
+  /** The bucket-layout column name (see `bucketBy`). */
+  val BucketCol: String = TieredTable.BucketCol
 
   // ---- manifest ----
 
@@ -678,7 +698,18 @@ class TieredTable(spark: SparkSession, rawTablePath: String,
   }
 
   private def writeData(df0: DataFrame, path: String): Unit = {
-    val df = applySortOrder(df0)
+    // bucket-layout stamping at the ONE write choke point: every data
+    // write of a bucketed table carries `__bucket = hash(pk) mod N`
+    // (deterministic per key, so a key's versions share a bucket dir
+    // across all deltas and rewrites); the layout persists at
+    // meta/BUCKETS so later opens self-configure
+    val df1 =
+      if (bucketBy > 0 && !df0.columns.contains(BucketCol)) {
+        persistBucketMeta()
+        df0.withColumn(BucketCol,
+          pmod(hash(pk.map(col): _*), lit(bucketBy)))
+      } else df0
+    val df = applySortOrder(df1)
     val w = df.write.mode("overwrite")
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .parquet(path)
@@ -692,6 +723,18 @@ class TieredTable(spark: SparkSession, rawTablePath: String,
     if (bloomCols.nonEmpty)
       FileStats.writeBloomSidecar(spark, path, bloomCols)
   }
+
+  @volatile private var bucketMetaWritten = false
+  private def persistBucketMeta(): Unit =
+    if (!bucketMetaWritten) {
+      val p = s"$tablePath/meta/BUCKETS"
+      val fs = TableFs.forPath(tablePath)
+      if (fs.readString(p).isEmpty) {
+        fs.mkdirs(s"$tablePath/meta")
+        fs.writeString(p, bucketBy.toString)
+      }
+      bucketMetaWritten = true
+    }
 
   private def withCommitLock[A](f: => A): A =
     // canonicalize the key: equivalent spellings of one directory
@@ -2130,12 +2173,21 @@ class TieredTable(spark: SparkSession, rawTablePath: String,
   private def partDiscoveryBase(f: String): String =
     PartitionPaths.base(f, partitionBy)
 
+  /** Last-write-wins over the raw version files, internals stripped:
+    * the winner per PK by `__seq` desc, with the engine's `__seq` and
+    * (for a bucketed layout) `__bucket` columns never surfacing.
+    */
+  private def resolveVersions(raw: DataFrame): DataFrame = {
+    val r = Upsert.latestByKey(raw, pk, Seq(col(SeqCol).desc)).drop(SeqCol)
+    if (bucketBy > 0) r.drop(BucketCol) else r
+  }
+
   def readCold(): DataFrame = currentSnapshot match {
     case None => throw new IllegalStateException(s"no snapshot in $tablePath")
     case Some(s) =>
       val raw = readParquet(s.files)
       if (pk.isEmpty || !mergeOnRead) raw
-      else Upsert.latestByKey(raw, pk, Seq(col(SeqCol).desc)).drop(SeqCol)
+      else resolveVersions(raw)
   }
 
   /** Cold read with manifest-level FILE SKIPPING: translate `cond`'s
@@ -2215,7 +2267,7 @@ class TieredTable(spark: SparkSession, rawTablePath: String,
   private def readColdOf(s: Snapshot): DataFrame = {
     val raw = readParquet(s.files)
     if (pk.isEmpty || !mergeOnRead) raw
-    else Upsert.latestByKey(raw, pk, Seq(col(SeqCol).desc)).drop(SeqCol)
+    else resolveVersions(raw)
   }
 
   /** CDC-style incremental read: the changelog taking snapshot `from`
@@ -2410,7 +2462,7 @@ class TieredTable(spark: SparkSession, rawTablePath: String,
     val cold = snap.map { s =>
       val raw = readParquet(s.files)
       if (pk.isEmpty || !mergeOnRead) raw
-      else Upsert.latestByKey(raw, pk, Seq(col(SeqCol).desc)).drop(SeqCol)
+      else resolveVersions(raw)
     }
     (cold, hot) match {
       // allowMissingColumns: a column added mid-stream is null for the
@@ -2476,6 +2528,11 @@ class TieredTable(spark: SparkSession, rawTablePath: String,
 
 object TieredTable {
 
+  /** The reserved bucket-layout column of a `bucketBy` merge-on-read
+    * table — engine-internal like `__seq`, never surfaced by a read.
+    */
+  val BucketCol = "__bucket"
+
   /** Meta key recording the change-feed retention horizon (see
     * [[TieredTable.changeFeedHorizon]]).
     */
@@ -2496,9 +2553,28 @@ object TieredTable {
             metaStore: MetaStore = null,
             changeDataFeed: Boolean = false,
             icebergExport: Boolean = false,
-            sortBy: Seq[String] = Nil): TieredTable =
-    new TieredTable(spark, path, pk, mergeOnRead, partitionBy, bloomCols,
-      metaStore, changeDataFeed, icebergExport, sortBy)
+            sortBy: Seq[String] = Nil,
+            bucketBy: Int = 0): TieredTable = {
+    // SELF-CONFIGURING bucket layout: the bucket count persists at
+    // meta/BUCKETS (first bucketed commit / CREATE TABLE writes it),
+    // so EVERY open of the table — catalog, procedures, TVFs, a fresh
+    // process — resolves the layout without threading the parameter.
+    // A caller-passed bucketBy wins (and will persist on first commit).
+    val b =
+      if (bucketBy > 0) bucketBy
+      else if (pk.nonEmpty && mergeOnRead) {
+        // same file:-URI normalization the class applies to tablePath
+        val p =
+          if (path.startsWith("file:"))
+            path.stripPrefix("file:").replaceFirst("^/{2}(?=/)", "")
+          else path.stripSuffix("/")
+        TableFs.forPath(p).readString(s"$p/meta/BUCKETS")
+          .map(_.trim.toInt).getOrElse(0)
+      } else 0
+    new TieredTable(spark, path, pk, mergeOnRead,
+      if (b > 0) Seq(BucketCol) else partitionBy, bloomCols,
+      metaStore, changeDataFeed, icebergExport, sortBy, b)
+  }
 
   /** A concurrent committer (another process) won the snapshot id this
     * commit targeted. The table is uncorrupted; the commit did not

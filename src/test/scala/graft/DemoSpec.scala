@@ -49,6 +49,11 @@ class DemoSpec extends AnyFunSuite with SparkSpec {
       lines.mkString("\n"))
     assert(has("VERSION AS OF 1 resolves 2 row(s)"), lines.mkString("\n"))
 
+    // bucketed merge-on-read: resolved answer (4950 + 99*594) with the
+    // window satisfied by the key-grouped scan — zero hash exchanges
+    assert(has("bucketed merge-on-read: resolved SUM=63756 with 0 " +
+      "exchanges"), lines.mkString("\n"))
+
     // sequence packing: exact chunk spans (4+2+5 tokens into windows
     // of 5) and the FFD fill (5 | 4+2 under capacity 6)
     assert(has("sequence packing: chunks c0:d1[0,+4) c0:d2[0,+1) " +
