@@ -25,6 +25,9 @@ object Stress {
       .config("spark.sql.session.timeZone", "UTC") // same instants as Verify
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // merge-on-read SQL reads resolve in the analyzer (the
+      // mor_resolve_* comparison below drives them through spark.sql)
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -90,7 +93,48 @@ object Stress {
       time("c14_pack_bins") {
         graft.operators.Packing.packBinsFFD(widened,
           size(split(col("text"), " ")), binLen = 512L, shards = 32) },
-    )
+    ) ++ {
+      // bucketed vs default merge-on-read: the SAME three-delta upsert
+      // history committed into both layouts, the SAME resolved
+      // aggregate through the SQL face — the structural claim is the
+      // exchange count (0 vs 1); wall-clock rides along
+      import graft.plans.TieredCatalog
+      def build(nm: String, buckets: Int): String = {
+        val dir = java.nio.file.Files
+          .createTempDirectory(s"graft-stress-$nm").toString
+        val t = graft.storage.TieredTable(spark, s"$dir/t",
+          pk = Seq("doc_id"), mergeOnRead = true, bucketBy = buckets)
+        val base = widened.withColumn("n", length(col("text")).cast("long"))
+        t.commitUpsert(base)
+        t.commitUpsert(base.filter(col("doc_id") % 7 === 0)
+          .withColumn("n", col("n") * 100))
+        t.commitUpsert(base.filter(col("doc_id") % 13 === 0)
+          .withColumn("n", col("n") + 5))
+        TieredCatalog.register("stress", nm, s"$dir/t",
+          pk = Seq("doc_id"), mergeOnRead = true)
+        s"graft.stress.$nm"
+      }
+      spark.conf.set("spark.sql.catalog.graft",
+        classOf[graft.plans.GraftTableCatalog].getName)
+      val defName = build("mor_def", 0)
+      val bukName = build("mor_buk", 32)
+      def exchanges(sql: String): Int =
+        spark.sql(sql).queryExecution.executedPlan.toString
+          .linesIterator.count(_.contains("Exchange hashpartitioning"))
+      val q = (n: String) => s"SELECT SUM(n) AS s FROM $n"
+      val warm = spark.sql(q(defName)).head().getLong(0) // warm both
+      require(warm == spark.sql(q(bukName)).head().getLong(0),
+        "bucketed and default layouts must resolve identically")
+      // in these two rows the "rows" field is the EXCHANGE COUNT of
+      // the resolved read's plan — the structural claim under test
+      def measure(nm: String, table: String): (String, Double, Long) = {
+        val t0 = System.nanoTime()
+        spark.sql(q(table)).head().getLong(0)
+        (nm, (System.nanoTime() - t0) / 1e9, exchanges(q(table)).toLong)
+      }
+      Seq(measure("mor_resolve_default_exch", defName),
+        measure("mor_resolve_bucketed_exch", bukName))
+    }
     val qs = results.map { case (k, sec, rows) =>
       s""""$k":{"sec":$sec,"rows":$rows}""" }.mkString("{", ",", "}")
 

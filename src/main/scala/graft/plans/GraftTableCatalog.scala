@@ -457,6 +457,12 @@ class GraftTableCatalog extends TableCatalog
       s"table $db.${ident.name}: 'write.bucket-by' and PARTITIONED BY " +
         "are mutually exclusive layouts (a bucketed MoR table is " +
         "already hash-partitioned by its key)")
+    require(bucketBy == 0 ||
+        !props.get("datalake").exists(_.trim.toBoolean),
+      s"table $db.${ident.name}: 'write.bucket-by' cannot combine with " +
+        "'datalake' — the auto-export would publish the engine-internal " +
+        "bucket dirs as an Iceberg partition spec; compact to a " +
+        "resolved snapshot and export that instead")
     // 'bloom-columns' property: point-lookup columns that get per-file
     // bloom sidecars on every write (see FileStats bloom skipping)
     val bloomCols = props.get("bloom-columns")
