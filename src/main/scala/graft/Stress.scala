@@ -111,7 +111,7 @@ object Stress {
         t.commitUpsert(base.filter(col("doc_id") % 13 === 0)
           .withColumn("n", col("n") + 5))
         TieredCatalog.register("stress", nm, s"$dir/t",
-          pk = Seq("doc_id"), mergeOnRead = true)
+          pk = Seq("doc_id"), mergeOnRead = true, bucketBy = buckets)
         s"graft.stress.$nm"
       }
       spark.conf.set("spark.sql.catalog.graft",

@@ -165,7 +165,8 @@ class GraftTableCatalog extends TableCatalog
       .getOrElse(throw new NoSuchTableException(
         Seq(catName, db, ident.name)))
     val t = TieredTable(spark, e.path, e.pk, e.mergeOnRead, e.partitionBy,
-      e.bloomCols, changeDataFeed = e.changeDataFeed, sortBy = e.sortBy)
+      e.bloomCols, changeDataFeed = e.changeDataFeed, sortBy = e.sortBy,
+      bucketBy = bucketHint(e))
     mode match {
       case "snapshots" =>
         new SnapshotsTable(ident.toString,
@@ -186,6 +187,11 @@ class GraftTableCatalog extends TableCatalog
           .map(s => FilesTable.Row(f"${t.tablePath}/log/seg-$s%06d", "hot",
             dirBytes(f"${t.tablePath}/log/seg-$s%06d")))
         new FilesTable(ident.toString, cold ++ hot)
+      case "partitions" if e.mergeOnRead && t.bucketBy > 0 =>
+        // bucket dirs are the engine's internal layout, not user
+        // partitions — same stance as SHOW PARTITIONS (empty), and the
+        // raw per-version row counts would mislead anyway
+        new PartitionsTable(ident.toString, Nil)
       case "partitions" =>
         // Iceberg's $partitions analog: per partition value → exact
         // file / row / byte accounting, entirely from the skipping
@@ -376,8 +382,20 @@ class GraftTableCatalog extends TableCatalog
       .getOrElse(throw new NoSuchTableException(
         Seq(catName, db, ident.name)))
     TieredTable(SparkSession.active, e.path, e.pk, e.mergeOnRead,
-      e.partitionBy, changeDataFeed = e.changeDataFeed, sortBy = e.sortBy)
+      e.partitionBy, changeDataFeed = e.changeDataFeed, sortBy = e.sortBy,
+      bucketBy = bucketHint(e))
   }
+
+  /** The companion's bucket-layout hint from a registry entry: a known
+    * count passes through, a KNOWN-unbucketed entry (CREATE TABLE
+    * recorded 0) maps to the no-probe sentinel so the hot analysis
+    * path never pays a meta/BUCKETS read, and an unknown entry (API
+    * registration, pre-r9 descriptor) probes.
+    */
+  private def bucketHint(e: TieredCatalog.Entry): Int =
+    if (e.bucketBy > 0) e.bucketBy
+    else if (e.bucketBy == 0) -1
+    else 0
 
   private def parquet(spark: SparkSession, name: String,
                       paths: Seq[String]): Table =
@@ -411,6 +429,13 @@ class GraftTableCatalog extends TableCatalog
     }.toSeq
     partCols.foreach(c => require(schema.fieldNames.contains(c),
       s"partition column $c not in schema"))
+    // reserved engine columns: the version sequence and the bucket
+    // layout are filtered from every merge-on-read SQL face — a user
+    // column by those names would be silently unreachable
+    Seq(TieredTable.SqlReserved: _*).foreach(r =>
+      require(!schema.fieldNames.exists(_.equalsIgnoreCase(r)),
+        s"column name '$r' is reserved for the engine's internal " +
+          "layout — rename the column"))
     val db = ident.namespace().mkString(".")
     require(TieredCatalog.lookupLocal(db, ident.name).isEmpty,
       s"table $db.${ident.name} already exists")
@@ -447,8 +472,18 @@ class GraftTableCatalog extends TableCatalog
     // 'write.bucket-by' = N: merge-on-read deltas write hash(PK)-
     // bucketed dirs so every key's versions co-locate — the key-grouped
     // scan then resolves last-write-wins with NO exchange
-    val bucketBy = props.get("write.bucket-by").map(_.trim.toInt).getOrElse(0)
-    require(bucketBy >= 0, "'write.bucket-by' must be a positive count")
+    val bucketBy = props.get("write.bucket-by").map { v =>
+      val n = try v.trim.toInt catch {
+        case _: NumberFormatException =>
+          throw new IllegalArgumentException(
+            s"table $db.${ident.name}: 'write.bucket-by' must be a " +
+              s"positive bucket count, got '$v'")
+      }
+      require(n > 0,
+        s"table $db.${ident.name}: 'write.bucket-by' must be a " +
+          s"positive bucket count, got $n")
+      n
+    }.getOrElse(0)
     require(bucketBy == 0 || (mor && pk.nonEmpty),
       s"table $db.${ident.name}: 'write.bucket-by' is the merge-on-read " +
         "delta layout — it needs 'merge-on-read'='true' and a " +
@@ -461,8 +496,9 @@ class GraftTableCatalog extends TableCatalog
         !props.get("datalake").exists(_.trim.toBoolean),
       s"table $db.${ident.name}: 'write.bucket-by' cannot combine with " +
         "'datalake' — the auto-export would publish the engine-internal " +
-        "bucket dirs as an Iceberg partition spec; compact to a " +
-        "resolved snapshot and export that instead")
+        "bucket dirs as an Iceberg partition spec; keep the bucketed " +
+        "table engine-internal and export a separate unbucketed copy " +
+        "(INSERT INTO … SELECT) when external readers need it")
     // 'bloom-columns' property: point-lookup columns that get per-file
     // bloom sidecars on every write (see FileStats bloom skipping)
     val bloomCols = props.get("bloom-columns")
@@ -506,7 +542,7 @@ class GraftTableCatalog extends TableCatalog
     TieredCatalog.register(db, ident.name, path, pk, mergeOnRead = mor,
       partitionBy = partCols,
       bloomCols = bloomCols, changeDataFeed = cdf, datalake = datalake,
-      watermark = watermark, sortBy = sortCols)
+      watermark = watermark, sortBy = sortCols, bucketBy = bucketBy)
     // DDL-created tables are durable: the entry persists under the
     // warehouse `_catalog/` and recovers lazily in a fresh process
     TieredCatalog.persist(db, ident.name)
@@ -899,7 +935,7 @@ class TieredSqlTable(tableName: String, spark: SparkSession,
     // which carries them)
     if (entry.mergeOnRead && !rawVersions)
       StructType(base.filterNot(f =>
-        f.name == t.SeqCol || f.name == t.BucketCol))
+        f.name == t.SeqCol || (t.bucketBy > 0 && f.name == t.BucketCol)))
     else base
   }
 
@@ -947,9 +983,10 @@ class TieredSqlTable(tableName: String, spark: SparkSession,
                 if (t.bucketBy > 0 && raw.columns.contains(t.BucketCol))
                   t.BucketCol +: entry.pk
                 else entry.pk
-              graft.operators.Upsert.latestByKey(raw, keys,
+              val r = graft.operators.Upsert.latestByKey(raw, keys,
                 Seq(org.apache.spark.sql.functions.col(t.SeqCol).desc))
-                .drop(t.SeqCol).drop(t.BucketCol)
+                .drop(t.SeqCol)
+              if (t.bucketBy > 0) r.drop(t.BucketCol) else r
             }
           }
         Some(resolved)

@@ -27,13 +27,19 @@ object TieredCatalog {
     * Flink dialect), stored as `<col>:<delay>`; streaming statements
     * reading the table default their watermark to it.
     */
+  /** `bucketBy`: the merge-on-read bucket layout when KNOWN — > 0 a
+    * count, 0 explicitly unbucketed (CREATE TABLE recorded it), -1
+    * unknown (API registrations, pre-r9 persisted entries) → the
+    * table open probes `meta/BUCKETS` instead.
+    */
   case class Entry(path: String, pk: Seq[String], mergeOnRead: Boolean,
                    partitionBy: Seq[String] = Nil,
                    bloomCols: Seq[String] = Nil,
                    changeDataFeed: Boolean = false,
                    datalake: Boolean = false,
                    watermark: Option[String] = None,
-                   sortBy: Seq[String] = Nil)
+                   sortBy: Seq[String] = Nil,
+                   bucketBy: Int = -1)
 
   private val reg = TrieMap.empty[(String, String), Entry]
 
@@ -44,10 +50,11 @@ object TieredCatalog {
                changeDataFeed: Boolean = false,
                datalake: Boolean = false,
                watermark: Option[String] = None,
-               sortBy: Seq[String] = Nil): Unit =
+               sortBy: Seq[String] = Nil,
+               bucketBy: Int = -1): Unit =
     reg.put((db.toLowerCase, table.toLowerCase),
       Entry(path, pk, mergeOnRead, partitionBy, bloomCols, changeDataFeed,
-        datalake, watermark, sortBy))
+        datalake, watermark, sortBy, bucketBy))
 
   def lookup(db: String, table: String): Option[Entry] =
     reg.get((db.toLowerCase, table.toLowerCase))
@@ -113,7 +120,7 @@ object TieredCatalog {
       ("partitionBy" -> e.partitionBy) ~ ("bloomCols" -> e.bloomCols) ~
       ("changeDataFeed" -> e.changeDataFeed) ~
       ("datalake" -> e.datalake) ~ ("watermark" -> e.watermark) ~
-      ("sortBy" -> e.sortBy)
+      ("sortBy" -> e.sortBy) ~ ("bucketBy" -> e.bucketBy)
   }
 
   private def fromJson(j: org.json4s.JValue): Entry = {
@@ -128,7 +135,9 @@ object TieredCatalog {
       datalake = (j \ "datalake").extract[Boolean],
       watermark = (j \ "watermark").extractOpt[String],
       // absent in pre-r9 persisted entries — default, don't fail
-      sortBy = (j \ "sortBy").extractOpt[Seq[String]].getOrElse(Nil))
+      sortBy = (j \ "sortBy").extractOpt[Seq[String]].getOrElse(Nil),
+      // absent = unknown → the table open probes meta/BUCKETS
+      bucketBy = (j \ "bucketBy").extractOpt[Int].getOrElse(-1))
   }
 
   /** Registry miss → lazy recovery from the persisted catalog. A

@@ -602,7 +602,7 @@ object Lakehouse {
         .withColumn("o_orderstatus", lit("X")))
     }
     graft.plans.TieredCatalog.register("bench", "orders_mor_b", path,
-      pk = Seq("o_orderkey"), mergeOnRead = true)
+      pk = Seq("o_orderkey"), mergeOnRead = true, bucketBy = 8)
     spark.sql(
       """SELECT o_orderstatus, COUNT(*) AS cnt,
         |       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,

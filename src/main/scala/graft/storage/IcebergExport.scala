@@ -595,6 +595,12 @@ object IcebergExport {
   }
 
   def export(table: TieredTable): String = {
+    require(table.bucketBy == 0,
+      s"${table.tablePath} uses the bucket-layout merge-on-read format " +
+        "('write.bucket-by') — its __bucket dirs are an engine-internal " +
+        "layout, not an Iceberg partition spec, and compaction keeps " +
+        "the layout; rewrite the resolved rows into a separate " +
+        "unbucketed table (INSERT INTO … SELECT) and export that")
     val head = table.currentSnapshot.getOrElse(
       throw new IllegalStateException(
         s"no snapshot to export in ${table.tablePath}"))

@@ -75,9 +75,10 @@ class TieredTable(spark: SparkSession, rawTablePath: String,
       "derives the bucket-column layout")
   require(bucketBy == 0 || !icebergExport,
     "icebergExport of a bucket-layout merge-on-read table is not " +
-      "defined (the bucket dirs are an engine-internal layout, not an " +
-      "Iceberg partition spec) — compact to a resolved snapshot and " +
-      "export that, or drop one of the two properties")
+      "defined — the bucket dirs are an engine-internal layout, not an " +
+      "Iceberg partition spec, and compaction keeps the layout; rewrite " +
+      "the resolved rows into a separate unbucketed table (INSERT INTO " +
+      "… SELECT) and export that")
   /** `file:`-scheme URIs are normalized to plain paths — `Paths.get`
     * would otherwise treat the whole URI as a RELATIVE path and
     * silently create the table tree under the process CWD (the round-1
@@ -89,21 +90,7 @@ class TieredTable(spark: SparkSession, rawTablePath: String,
     * publication is marker objects + the MetaStore manifest CAS, see
     * [[appendLog]]/[[commitManifest]]). Other schemes are rejected.
     */
-  val tablePath: String =
-    if (rawTablePath.startsWith("file:")) {
-      val p = rawTablePath.stripPrefix("file:")
-      val slashless = p.replaceFirst("^/{2}(?=/)", "") // file:///x → /x
-      require(slashless.startsWith("/"),
-        s"malformed file: URI for table path: $rawTablePath")
-      slashless
-    } else if (rawTablePath.startsWith(GraftObjectFileSystem.Scheme + "://")) {
-      rawTablePath.stripSuffix("/")
-    } else {
-      require(!rawTablePath.matches("^[A-Za-z][A-Za-z0-9+.-]*:.*"),
-        s"unsupported URI scheme for table path: $rawTablePath " +
-          s"(local paths or ${GraftObjectFileSystem.Scheme}:// only)")
-      rawTablePath
-    }
+  val tablePath: String = TieredTable.normalizePath(rawTablePath)
 
   /** True when the table lives in an object store: no atomic rename
     * exists there, so every publish that locally rides a rename rides
@@ -724,14 +711,36 @@ class TieredTable(spark: SparkSession, rawTablePath: String,
       FileStats.writeBloomSidecar(spark, path, bloomCols)
   }
 
+  /** Validate-and-persist the bucket layout at the WRITE choke point,
+    * once per instance. The layout is immutable: a caller-passed count
+    * that contradicts the persisted one would stamp NEW deltas with a
+    * different hash modulus — a key's versions would split across
+    * bucket values and the SQL-face (bucket, key) resolution window
+    * would resurrect superseded rows, silently. Same argument against
+    * RETRO-bucketing a table that already holds unbucketed commits:
+    * old rows read back with a NULL bucket and form their own window
+    * group. Both refuse loudly here, before any wrong byte lands.
+    */
   @volatile private var bucketMetaWritten = false
   private def persistBucketMeta(): Unit =
     if (!bucketMetaWritten) {
       val p = s"$tablePath/meta/BUCKETS"
       val fs = TableFs.forPath(tablePath)
-      if (fs.readString(p).isEmpty) {
-        fs.mkdirs(s"$tablePath/meta")
-        fs.writeString(p, bucketBy.toString)
+      fs.readString(p).map(_.trim.toInt) match {
+        case Some(persisted) =>
+          require(persisted == bucketBy,
+            s"$tablePath is bucketed with 'write.bucket-by' = $persisted " +
+              s"(meta/BUCKETS); opening it with bucketBy = $bucketBy " +
+              "would split keys across two hash layouts — the bucket " +
+              "count is immutable once data is committed")
+        case None =>
+          require(latestSnapshotId == 0L && logSegments.isEmpty,
+            s"$tablePath already holds unbucketed commits — " +
+              "retro-bucketing would leave old rows without a bucket " +
+              "value and duplicate keys in resolved reads; rewrite the " +
+              "data into a fresh bucketed table instead")
+          fs.mkdirs(s"$tablePath/meta")
+          fs.writeString(p, bucketBy.toString)
       }
       bucketMetaWritten = true
     }
@@ -2533,6 +2542,41 @@ object TieredTable {
     */
   val BucketCol = "__bucket"
 
+  /** Column names the SQL DDL refuses: both are filtered from the
+    * merge-on-read SQL face, so a user column by either name would be
+    * silently unreachable.
+    */
+  val SqlReserved: Seq[String] = Seq("__seq", BucketCol)
+
+  /** The ONE table-path normalization (class and companion share it —
+    * meta files must be read from exactly the string they were written
+    * to). `file:`-scheme URIs become plain paths (`Paths.get` would
+    * treat the URI as RELATIVE and create the tree under the CWD);
+    * object-store URLs lose a trailing slash; other schemes reject.
+    */
+  /** Memoized POSITIVE bucket-layout probes (path → count). Only hits
+    * are cached: the layout is immutable once data commits, but an
+    * empty table probed before its first bucketed write must re-probe.
+    */
+  private val bucketProbe =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+
+  def normalizePath(raw: String): String =
+    if (raw.startsWith("file:")) {
+      val p = raw.stripPrefix("file:")
+      val slashless = p.replaceFirst("^/{2}(?=/)", "") // file:///x → /x
+      require(slashless.startsWith("/"),
+        s"malformed file: URI for table path: $raw")
+      slashless
+    } else if (raw.startsWith(GraftObjectFileSystem.Scheme + "://")) {
+      raw.stripSuffix("/")
+    } else {
+      require(!raw.matches("^[A-Za-z][A-Za-z0-9+.-]*:.*"),
+        s"unsupported URI scheme for table path: $raw " +
+          s"(local paths or ${GraftObjectFileSystem.Scheme}:// only)")
+      raw
+    }
+
   /** Meta key recording the change-feed retention horizon (see
     * [[TieredTable.changeFeedHorizon]]).
     */
@@ -2560,16 +2604,22 @@ object TieredTable {
     // so EVERY open of the table — catalog, procedures, TVFs, a fresh
     // process — resolves the layout without threading the parameter.
     // A caller-passed bucketBy wins (and will persist on first commit).
+    // bucketBy semantics: > 0 = the known count (validated against
+    // meta/BUCKETS at the first write); 0 = unknown, PROBE the
+    // persisted layout; -1 = known unbucketed (the catalog passes it
+    // for entries that carry their own bucket field), no probe — the
+    // hot analysis path never pays a filesystem read. Positive probes
+    // memoize: the layout is immutable once committed.
     val b =
       if (bucketBy > 0) bucketBy
-      else if (pk.nonEmpty && mergeOnRead) {
-        // same file:-URI normalization the class applies to tablePath
-        val p =
-          if (path.startsWith("file:"))
-            path.stripPrefix("file:").replaceFirst("^/{2}(?=/)", "")
-          else path.stripSuffix("/")
-        TableFs.forPath(p).readString(s"$p/meta/BUCKETS")
-          .map(_.trim.toInt).getOrElse(0)
+      else if (bucketBy == 0 && pk.nonEmpty && mergeOnRead) {
+        val p = normalizePath(path)
+        Option(bucketProbe.get(p)).map(_.intValue).getOrElse {
+          val found = TableFs.forPath(p).readString(s"$p/meta/BUCKETS")
+            .map(_.trim.toInt).getOrElse(0)
+          if (found > 0) bucketProbe.put(p, found)
+          found
+        }
       } else 0
     new TieredTable(spark, path, pk, mergeOnRead,
       if (b > 0) Seq(BucketCol) else partitionBy, bloomCols,

@@ -130,6 +130,57 @@ class BucketedMorSpec extends AnyFunSuite with SparkSpec {
     assert(subdirs.exists(_.startsWith("__bucket=")), subdirs.toString)
   }
 
+  test("the bucket count is immutable: a conflicting open refuses at " +
+      "the first write; retro-bucketing an unbucketed table refuses") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-bmor-immutable").toString
+    val t8 = TieredTable(spark, s"$dir/t", pk = Seq("id"),
+      mergeOnRead = true, bucketBy = 8)
+    t8.commitUpsert(Seq((1L, "a")).toDF("id", "v"))
+    // a different count would stamp new deltas with another modulus —
+    // a key's versions would split across two layouts
+    val t16 = TieredTable(spark, s"$dir/t", pk = Seq("id"),
+      mergeOnRead = true, bucketBy = 16)
+    val e = intercept[IllegalArgumentException] {
+      t16.commitUpsert(Seq((1L, "b")).toDF("id", "v"))
+    }
+    assert(e.getMessage.contains("immutable"))
+    // retro-bucketing: unbucketed commits already exist
+    val dir2 = Files.createTempDirectory("graft-bmor-retro").toString
+    val plain = TieredTable(spark, s"$dir2/t", pk = Seq("id"),
+      mergeOnRead = true)
+    plain.commitUpsert(Seq((1L, "a")).toDF("id", "v"))
+    val late = TieredTable(spark, s"$dir2/t", pk = Seq("id"),
+      mergeOnRead = true, bucketBy = 4)
+    val e2 = intercept[IllegalArgumentException] {
+      late.commitUpsert(Seq((1L, "b")).toDF("id", "v"))
+    }
+    assert(e2.getMessage.contains("retro-bucketing"))
+  }
+
+  test("reserved column names refuse at CREATE; export refuses with an " +
+      "honest remedy; $partitions stays engine-internal") {
+    import spark.implicits._
+    val e = intercept[IllegalArgumentException] {
+      spark.sql(
+        """CREATE TABLE graft.bmor.bad3 (id BIGINT, __bucket STRING)
+          |TBLPROPERTIES ('primary-key' = 'id', 'merge-on-read' = 'true')
+          |""".stripMargin)
+    }
+    assert(e.getMessage.contains("reserved"))
+    val sql = ddl("t9")
+    spark.sql(s"INSERT INTO $sql VALUES (1, 'a', 1)")
+    val path = graft.plans.TieredCatalog.lookup("bmor", "t9").get.path
+    val t = TieredTable(spark, path, pk = Seq("id"), mergeOnRead = true)
+    val e2 = intercept[IllegalArgumentException] {
+      graft.storage.IcebergExport.export(t)
+    }
+    assert(e2.getMessage.contains("unbucketed table"),
+      s"export refusal must name a WORKING remedy: ${e2.getMessage}")
+    // bucket dirs are not user partitions
+    assert(spark.sql(s"SELECT * FROM ${sql}__partitions").isEmpty)
+  }
+
   test("refusals: bucket-by without merge-on-read; with PARTITIONED BY") {
     val e1 = intercept[IllegalArgumentException] {
       spark.sql(
