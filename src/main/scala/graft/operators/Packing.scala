@@ -146,7 +146,6 @@ object Packing {
     // stack shards on others)
     val d = docs.select(col("doc_id").cast("long").as("doc_id"),
         toks.cast("long").as("toks"))
-      .filter(col("toks") > 0L)
       .repartition(shards, col("doc_id"))
       .sortWithinPartitions(col("toks").desc, col("doc_id"))
     val out = d.rdd.mapPartitionsWithIndex { (shard, it) =>
@@ -159,6 +158,13 @@ object Packing {
           s"doc $docId has $t tokens > bin capacity $binLen — split it " +
             "upstream (packChunks) or raise the capacity; refusing to " +
             "truncate a training example silently")
+        // same contract downward: the op promises every document in
+        // exactly one bin — silently dropping a zero-count doc is the
+        // lost-example bug; filter empties upstream EXPLICITLY
+        if (t <= 0) throw new IllegalArgumentException(
+          s"doc $docId has a non-positive token count ($t) — filter " +
+            "empty documents upstream explicitly; refusing to drop a " +
+            "training example silently")
         var i = 0
         while (i < open.length && open(i) + t > binLen) i += 1
         if (i == open.length) open += 0L

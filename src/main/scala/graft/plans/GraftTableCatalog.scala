@@ -192,6 +192,16 @@ class GraftTableCatalog extends TableCatalog
         // partitions — same stance as SHOW PARTITIONS (empty), and the
         // raw per-version row counts would mislead anyway
         new PartitionsTable(ident.toString, Nil)
+      case "partitions" if e.mergeOnRead =>
+        // partitioned MoR: the sidecar accounting counts RAW VERSION
+        // rows, not live rows — a superseded upsert inflates its
+        // partition. Refuse with the honest recomputation instead of
+        // publishing a number that reads as a live-row count.
+        throw new IllegalArgumentException(
+          s"$db.$base is merge-on-read: $$partitions' sidecar " +
+            "accounting counts raw versions, not resolved rows — " +
+            "aggregate the resolved table (SELECT <part>, COUNT(*) … " +
+            "GROUP BY) or use $files/$snapshots for file accounting")
       case "partitions" =>
         // Iceberg's $partitions analog: per partition value → exact
         // file / row / byte accounting, entirely from the skipping
@@ -432,7 +442,7 @@ class GraftTableCatalog extends TableCatalog
     // reserved engine columns: the version sequence and the bucket
     // layout are filtered from every merge-on-read SQL face — a user
     // column by those names would be silently unreachable
-    Seq(TieredTable.SqlReserved: _*).foreach(r =>
+    TieredTable.SqlReserved.foreach(r =>
       require(!schema.fieldNames.exists(_.equalsIgnoreCase(r)),
         s"column name '$r' is reserved for the engine's internal " +
           "layout — rename the column"))
@@ -593,11 +603,19 @@ class GraftTableCatalog extends TableCatalog
       case add: TableChange.AddColumn =>
         require(add.fieldNames.length == 1,
           "nested column adds are not supported")
+        require(!TieredTable.SqlReserved
+            .exists(_.equalsIgnoreCase(add.fieldNames()(0))),
+          s"column name '${add.fieldNames()(0)}' is reserved for the " +
+            "engine's internal layout — pick another name")
         schema = schema.add(add.fieldNames()(0), add.dataType(),
           add.isNullable)
       case rn: TableChange.RenameColumn =>
         require(rn.fieldNames.length == 1,
           "nested column renames are not supported")
+        require(!TieredTable.SqlReserved
+            .exists(_.equalsIgnoreCase(rn.newName())),
+          s"column name '${rn.newName()}' is reserved for the engine's " +
+            "internal layout — pick another name")
         val oldName = rn.fieldNames()(0)
         if (tt.latestSnapshotId > 0 || tt.logSegments.nonEmpty)
           tt.renameColumn(oldName, rn.newName())
@@ -1337,6 +1355,11 @@ object TieredSqlTable {
     if (pk.isEmpty) df
     else {
       val seq = "__ow_seq"
+      // same stance as latestByKey's __rn guard: overwriting a user
+      // column of this name and dropping it would silently destroy its
+      // data (CREATE TABLE reserves the name; API frames reach here too)
+      require(!df.columns.contains(seq),
+        s"input column $seq collides with the PK sink's working column")
       graft.operators.Upsert.latestByKey(
         df.withColumn(seq, F.monotonically_increasing_id()),
         pk, Seq(F.col(seq).desc)).drop(seq)

@@ -2542,11 +2542,14 @@ object TieredTable {
     */
   val BucketCol = "__bucket"
 
-  /** Column names the SQL DDL refuses: both are filtered from the
-    * merge-on-read SQL face, so a user column by either name would be
-    * silently unreachable.
+  /** Column names the SQL DDL refuses: `__seq`/`__bucket` are filtered
+    * from the merge-on-read SQL face (a user column by either name
+    * would be silently unreachable), and `__ow_seq`/`__rn` are the
+    * write path's WORKING columns (within-batch LWW, window dedup) —
+    * a user column by those names would be overwritten and dropped by
+    * every PK write.
     */
-  val SqlReserved: Seq[String] = Seq("__seq", BucketCol)
+  val SqlReserved: Seq[String] = Seq("__seq", BucketCol, "__ow_seq", "__rn")
 
   /** The ONE table-path normalization (class and companion share it —
     * meta files must be read from exactly the string they were written
@@ -2554,13 +2557,6 @@ object TieredTable {
     * treat the URI as RELATIVE and create the tree under the CWD);
     * object-store URLs lose a trailing slash; other schemes reject.
     */
-  /** Memoized POSITIVE bucket-layout probes (path → count). Only hits
-    * are cached: the layout is immutable once data commits, but an
-    * empty table probed before its first bucketed write must re-probe.
-    */
-  private val bucketProbe =
-    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
-
   def normalizePath(raw: String): String =
     if (raw.startsWith("file:")) {
       val p = raw.stripPrefix("file:")
@@ -2608,18 +2604,17 @@ object TieredTable {
     // meta/BUCKETS at the first write); 0 = unknown, PROBE the
     // persisted layout; -1 = known unbucketed (the catalog passes it
     // for entries that carry their own bucket field), no probe — the
-    // hot analysis path never pays a filesystem read. Positive probes
-    // memoize: the layout is immutable once committed.
+    // hot analysis path never pays a filesystem read. The probe is
+    // deliberately NOT memoized: a cache keyed by path would survive
+    // DROP TABLE and hand a fresh table at the same path the dead
+    // table's layout (a silent key-split); one small meta read per
+    // bare API open is the honest price.
     val b =
       if (bucketBy > 0) bucketBy
       else if (bucketBy == 0 && pk.nonEmpty && mergeOnRead) {
         val p = normalizePath(path)
-        Option(bucketProbe.get(p)).map(_.intValue).getOrElse {
-          val found = TableFs.forPath(p).readString(s"$p/meta/BUCKETS")
-            .map(_.trim.toInt).getOrElse(0)
-          if (found > 0) bucketProbe.put(p, found)
-          found
-        }
+        TableFs.forPath(p).readString(s"$p/meta/BUCKETS")
+          .map(_.trim.toInt).getOrElse(0)
       } else 0
     new TieredTable(spark, path, pk, mergeOnRead,
       if (b > 0) Seq(BucketCol) else partitionBy, bloomCols,

@@ -179,6 +179,19 @@ class BucketedMorSpec extends AnyFunSuite with SparkSpec {
       s"export refusal must name a WORKING remedy: ${e2.getMessage}")
     // bucket dirs are not user partitions
     assert(spark.sql(s"SELECT * FROM ${sql}__partitions").isEmpty)
+    // ALTER cannot smuggle a reserved name in either (ADD or RENAME);
+    // Spark may wrap the refusal, so walk the cause chain
+    def msgs(x: Throwable): Seq[String] =
+      Option(x).toSeq.flatMap(y =>
+        Option(y.getMessage).toSeq ++ msgs(y.getCause))
+    val e3 = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $sql ADD COLUMN __seq BIGINT")
+    }
+    assert(msgs(e3).exists(_.contains("reserved")), msgs(e3).toString)
+    val e4 = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $sql RENAME COLUMN v TO __bucket")
+    }
+    assert(msgs(e4).exists(_.contains("reserved")), msgs(e4).toString)
   }
 
   test("refusals: bucket-by without merge-on-read; with PARTITIONED BY") {

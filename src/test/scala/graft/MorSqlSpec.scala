@@ -329,6 +329,12 @@ class MorSqlSpec extends AnyFunSuite with SparkSpec {
       s"partitioned MoR resolution does not ride the graft scan:\n$physical")
     assert(!physical.contains("Exchange"),
       s"partition-pruned MoR resolution should not shuffle:\n$physical")
+    // $partitions refuses on MoR: its sidecar accounting counts raw
+    // VERSIONS, which would read as live rows
+    val e = intercept[IllegalArgumentException] {
+      spark.sql("SELECT * FROM graft.mor.`part1$partitions`").collect()
+    }
+    assert(e.getMessage.contains("raw versions"), e.getMessage)
   }
 
   test("INSERT OVERWRITE a MoR table replaces the resolved state wholesale") {

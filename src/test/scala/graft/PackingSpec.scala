@@ -80,6 +80,18 @@ class PackingSpec extends AnyFunSuite with SparkSpec {
     assert(packed == Seq((500L, 1L), (512L, 2L), (300L, 2L)))
   }
 
+  test("packBinsFFD refuses a zero-token doc instead of silently " +
+      "dropping it (every doc lands in exactly one bin)") {
+    val e = intercept[org.apache.spark.SparkException] {
+      Packing.packBinsFFD(docsDf(Seq(3L, 0L)), col("toks"),
+        binLen = 8L, shards = 2).count()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("non-positive token count")))
+  }
+
   test("packBinsFFD refuses a doc longer than the bin capacity") {
     val e = intercept[org.apache.spark.SparkException] {
       Packing.packBinsFFD(docsDf(Seq(100L, 600L)), col("toks"),
