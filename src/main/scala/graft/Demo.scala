@@ -725,6 +725,14 @@ object Demo {
       spark.sql("CALL graft.system.cherrypick_snapshot('fluss.recover_demo', 3)")
       val kept = spark.table("graft.fluss.recover_demo")
         .select("v").as[String].collect().sorted.mkString(",")
+      // $history (r9): the rolled-past BAD commit is no longer a
+      // current-state ancestor; the rollback, its target, and the
+      // cherry-pick are
+      val nonAncestors = spark.sql(
+        """SELECT snapshot_id FROM graft.fluss.`recover_demo$history`
+          |WHERE NOT is_current_ancestor ORDER BY snapshot_id""".stripMargin)
+        .collect().map(_.getLong(0)).mkString(",")
+      say(s"[demo] $$history: non-ancestors after rollback = [$nonAncestors]")
       spark.sql(
         """MERGE INTO graft.fluss.recover_demo AS t
           |USING (SELECT 1L AS id) AS s

@@ -49,6 +49,12 @@ class DemoSpec extends AnyFunSuite with SparkSpec {
       lines.mkString("\n"))
     assert(has("VERSION AS OF 1 resolves 2 row(s)"), lines.mkString("\n"))
 
+    // $history: after rollback(→1)+cherry-pick(3), the rolled-past
+    // commits 2 (BAD) and 3 (its content re-applied as snapshot 5)
+    // are off the current-state lineage — Iceberg's answer too
+    assert(has("$history: non-ancestors after rollback = [2,3]"),
+      lines.mkString("\n"))
+
     // bucketed merge-on-read: resolved answer (4950 + 99*594) with the
     // window satisfied by the key-grouped scan — zero hash exchanges
     assert(has("bucketed merge-on-read: resolved SUM=63756 with 0 " +
