@@ -194,6 +194,26 @@ class BucketedMorSpec extends AnyFunSuite with SparkSpec {
     assert(msgs(e4).exists(_.contains("reserved")), msgs(e4).toString)
   }
 
+  test("SHOW CREATE TABLE round-trips the bucketed-MoR DDL: re-running " +
+      "it attaches an equivalent table") {
+    val sql = ddl("t10", buckets = 5)
+    spark.sql(s"INSERT INTO $sql VALUES (1, 'a', 1)")
+    val rendered = spark.sql(s"SHOW CREATE TABLE $sql").head().getString(0)
+    assert(rendered.contains("'merge-on-read' = 'true'") &&
+      rendered.contains("'write.bucket-by' = '5'"), rendered)
+    // re-attach under a fresh name at the same location: the re-run
+    // DDL must resolve the same layout and the same data
+    spark.sql("DROP TABLE IF EXISTS graft.bmor.t10b")
+    spark.sql(rendered.replace("graft.bmor.t10", "graft.bmor.t10b"))
+    spark.sql("INSERT INTO graft.bmor.t10b VALUES (1, 'b', 2)")
+    val rows = spark.sql("SELECT id, v, amt FROM graft.bmor.t10b")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(rows == Seq((1L, "b", 2L)))
+    val p = graft.plans.TieredCatalog.lookup("bmor", "t10b").get.path
+    assert(TieredTable(spark, p, pk = Seq("id"), mergeOnRead = true)
+      .bucketBy == 5)
+  }
+
   test("refusals: bucket-by without merge-on-read; with PARTITIONED BY") {
     val e1 = intercept[IllegalArgumentException] {
       spark.sql(
