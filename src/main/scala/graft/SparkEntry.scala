@@ -1013,11 +1013,11 @@ object SparkEntry {
         |         CAST(CAST(bal AS DECIMAL(15,2)) * 100 AS BIGINT) AS v
         |  FROM merged)
         |SELECT nation_key,
-        |       SUM(v) AS bal_cents,
+        |       CAST(SUM(v) AS BIGINT) AS bal_cents,
         |       COUNT(*) AS n_rows,
         |       MIN(v) AS min_cents,
         |       MAX(v) AS max_cents,
-        |       SUM(v) AS avg_num_cents,
+        |       CAST(SUM(v) AS BIGINT) AS avg_num_cents,
         |       COUNT(v) AS avg_den
         |FROM cents GROUP BY nation_key""".stripMargin,
     "c11_source_quota" ->

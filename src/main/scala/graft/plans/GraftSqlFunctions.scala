@@ -184,6 +184,9 @@ object GraftSqlFunctions {
     override def bind(inputType: StructType): BoundFunction = {
       require(inputType.fields.length == 2,
         "bucket expects (int n, value)")
+      require(inputType.fields(0).dataType == IntegerType,
+        s"bucket: the bucket count must be INT, got " +
+          inputType.fields(0).dataType.sql)
       inputType.fields(1).dataType match {
         case LongType | IntegerType => BucketLongBound
         case DateType => BucketDateBound
@@ -215,7 +218,8 @@ object GraftSqlFunctions {
     }
     override def produceResult(row: org.apache.spark.sql.catalyst.InternalRow)
         : java.lang.Integer =
-      if (row.isNullAt(1)) null else invoke(row.getInt(0), row.getLong(1))
+      if (row.isNullAt(0) || row.isNullAt(1)) null
+      else invoke(row.getInt(0), row.getLong(1))
   }
 
   object BucketDateBound extends ScalarFunction[java.lang.Integer] {
@@ -234,7 +238,8 @@ object GraftSqlFunctions {
     }
     override def produceResult(row: org.apache.spark.sql.catalyst.InternalRow)
         : java.lang.Integer =
-      if (row.isNullAt(1)) null else invoke(row.getInt(0), row.getInt(1))
+      if (row.isNullAt(0) || row.isNullAt(1)) null
+      else invoke(row.getInt(0), row.getInt(1))
   }
 
   object BucketStringBound extends ScalarFunction[java.lang.Integer] {
@@ -251,6 +256,7 @@ object GraftSqlFunctions {
     }
     override def produceResult(row: org.apache.spark.sql.catalyst.InternalRow)
         : java.lang.Integer =
-      invoke(row.getInt(0), row.getUTF8String(1))
+      if (row.isNullAt(0)) null
+      else invoke(row.getInt(0), row.getUTF8String(1))
   }
 }

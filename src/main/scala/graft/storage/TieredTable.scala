@@ -1443,8 +1443,16 @@ class TieredTable(spark: SparkSession, rawTablePath: String,
       throw new IllegalArgumentException(
         s"snapshot $snapshotId of $tablePath not found (never " +
           "committed, or already vacuumed)"))
-    val parentFiles = snapshot(snapshotId - 1)
-      .map(_.files.toSet).getOrElse(Set.empty)
+    // the append-lineage proof needs the parent's file list; a vacuumed
+    // parent makes parentFiles empty, which would make the subset guard
+    // below vacuously true and `added` the target's ENTIRE table state —
+    // a silent full-history resurrection. Refuse loudly instead.
+    val parent = snapshot(snapshotId - 1)
+    require(snapshotId == 1L || parent.isDefined,
+      s"snapshot ${snapshotId - 1} (the parent of $snapshotId) was " +
+        "vacuumed — the cherry-pick delta is unprovable; re-apply the " +
+        "rows by an explicit append instead")
+    val parentFiles = parent.map(_.files.toSet).getOrElse(Set.empty)
     require(parentFiles.subsetOf(target.files.toSet),
       s"snapshot $snapshotId ('${target.op}') rewrote the file list — " +
         "only append-lineage snapshots cherry-pick; a replayed " +
@@ -1777,6 +1785,9 @@ class TieredTable(spark: SparkSession, rawTablePath: String,
   def vacuum(keepLast: Int = 1): Int = withCommitLock {
     require(keepLast >= 1, "must keep at least the current snapshot")
     val latest = latestSnapshotId
+    // no snapshots yet (empty or hot-log-only table): nothing to drop —
+    // and keepIds below would be empty, making keepIds.head throw
+    if (latest == 0L) return 0
     val keepIds = (math.max(1L, latest - keepLast + 1) to latest)
     // pinned outside the suffix: tagged snapshots, and the fork
     // parents of staged WAP commits and live branches — an audit /
@@ -1898,12 +1909,17 @@ class TieredTable(spark: SparkSession, rawTablePath: String,
     // WAP/branch staging debris: a `wap-…` dir is live iff some staged
     // or branch manifest references it — a stager that died before its
     // conditional PUT (or a CAS loser that crashed mid-cleanup) left a
-    // dir no manifest will ever name
+    // dir no manifest will ever name. PUBLISHED wap dirs are committed
+    // by reference into snapshot file lists (publishStage/fastForward
+    // keep the staged path), so the snapshot-derived `live` set guards
+    // them too — `live` maps a non-snap path to its last segment,
+    // which for a staged dir IS the wap-… name.
     val stagedLive = (stagedIds.flatMap(stagedCommit).flatMap(_.files) ++
       branches.map(_._1).flatMap(b => branchRead(b).map(_.files).getOrElse(Nil)))
       .map(_.stripSuffix("/").split('/').last).toSet
     fs.listNames(dataDir)
-      .filter(_.startsWith("wap-")).filterNot(stagedLive)
+      .filter(_.startsWith("wap-"))
+      .filterNot(d => stagedLive(d) || live(d))
       .foreach { d => fs.deleteRecursively(s"$dataDir/$d"); removed += 1 }
     // appendLog debris: local `_tmp-seg-*` dirs that died before their
     // atomic rename

@@ -325,6 +325,30 @@ class TieredTableSpec extends AnyFunSuite with SparkSpec {
     assert(t.snapshots().count() == 1)
   }
 
+  test("vacuum on a table with zero snapshots is a no-op, not a crash") {
+    val t = tmpTable()
+    assert(t.vacuum(keepLast = 1) == 0, "empty table: nothing to drop")
+    t.appendLog(Seq(1L, 2L).toDF("id")) // hot-log-only: still no snapshot
+    assert(t.vacuum(keepLast = 1) == 0)
+    assert(t.readUnion().count() == 2, "hot rows untouched")
+  }
+
+  test("cherrypick refuses when the parent snapshot was vacuumed — " +
+       "the append-lineage delta is unprovable") {
+    import spark.implicits._
+    val t = tmpTable()
+    t.commitAppend(Seq((1L, "a")).toDF("id", "v"))  // snap 1
+    t.commitAppend(Seq((2L, "b")).toDF("id", "v"))  // snap 2
+    t.commitAppend(Seq((3L, "c")).toDF("id", "v"))  // snap 3
+    t.vacuum(keepLast = 1) // drops manifests 1 and 2 (snap 3 keeps the data)
+    assert(t.snapshot(2L).isEmpty)
+    // pre-guard behavior: parentFiles = ∅ made the subset check vacuous
+    // and `added` = snap-3's ENTIRE file list — a silent full-history
+    // re-apply. Now: loud refusal.
+    val e = intercept[IllegalArgumentException](t.cherrypick(3L))
+    assert(e.getMessage.contains("vacuumed"), e.getMessage)
+  }
+
   test("compactIfNeeded fires only on many-small-files fragmentation") {
     val t = tmpTable()
     (0 until 4).foreach { i => t.appendLog(Seq(i.toLong).toDF("id")); t.tier() }

@@ -90,6 +90,27 @@ class WriteAuditPublishSpec extends AnyFunSuite with SparkSpec {
     assert(!debris.exists(), "unreferenced wap dirs are stager debris")
   }
 
+  test("gcOrphans after publish leaves the PUBLISHED wap data alive — " +
+       "snapshots commit staged dirs by reference") {
+    val (t, name) = mk("gcpub")
+    t.commitAppend(Seq((1L, "base")).toDF("id", "v"))
+    t.stageAppend(Seq((2L, "published")).toDF("id", "v"), "keepme")
+    t.publishStage("keepme")
+    val before = spark.table(name).as[(Long, String)].collect().toSet
+    assert(before == Set((1L, "base"), (2L, "published")))
+
+    t.gcOrphans()
+    assert(spark.table(name).as[(Long, String)].collect().toSet == before,
+      "a published wap dir is referenced by the CURRENT snapshot — " +
+        "gc must never touch it")
+    // and the sweep still works: an unreferenced sibling goes
+    val debris = new java.io.File(s"${t.tablePath}/data/wap-dead-cafebabe")
+    assert(debris.mkdirs())
+    t.gcOrphans()
+    assert(!debris.exists())
+    assert(spark.table(name).as[(Long, String)].collect().toSet == before)
+  }
+
   test("retention: vacuum keeps a staged commit's parent snapshot " +
        "until publish/abandon releases it") {
     val (t, name) = mk("vac")

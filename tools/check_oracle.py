@@ -25,6 +25,24 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
+INT_FAMILY = {"TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+              "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"}
+
+
+def canon_type(t):
+    """Collapse DuckDB types to the driver-hash equivalence classes:
+    plain integer widths all fetch as Python int (equivalent), but
+    HUGEINT fetches as Decimal (distinct); FLOAT/DOUBLE both fetch as
+    Python float. Everything else (DECIMAL(p,s), VARCHAR, TIMESTAMP,
+    nested types) compares verbatim."""
+    s = str(t)
+    if s in INT_FAMILY:
+        return "INT"
+    if s in ("FLOAT", "DOUBLE"):
+        return "FLOAT"
+    return s
+
+
 def canon_cell(v):
     if v is None:
         return "\0NULL"
@@ -60,14 +78,30 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: no spark result dir")
             failures += 1
             continue
-        got = con.execute(f"SELECT * FROM '{res_dir}/*.parquet'")
-        gcols = [d[0] for d in got.description]
-        grows = got.fetchall()
-        want = con.execute(sql)
-        wcols = [d[0] for d in want.description]
-        wrows = want.fetchall()
+        got_rel = con.sql(f"SELECT * FROM '{res_dir}/*.parquet'")
+        gcols = list(got_rel.columns)
+        gtypes = [str(t) for t in got_rel.types]
+        grows = got_rel.fetchall()
+        want_rel = con.sql(sql)
+        wcols = list(want_rel.columns)
+        wtypes = [str(t) for t in want_rel.types]
+        wrows = want_rel.fetchall()
         if sorted(gcols) != sorted(wcols):
             print(f"FAIL {name}: columns {sorted(gcols)} != {sorted(wcols)}")
+            failures += 1
+            continue
+        # Native-type gate: fetchall() collapses e.g. DuckDB HUGEINT (the
+        # default widening of SUM(BIGINT)) and BIGINT both to Python int, so
+        # value comparison alone false-greens representation mismatches the
+        # driver's hash gate fails on (q18b shipped red twice this way).
+        # Normalize to the driver's sensitivity: plain integer widths all
+        # fetch as Python int (collapse), but HUGEINT round-trips as a
+        # Decimal through Arrow (distinct); float widths both fetch float.
+        gt = {c: canon_type(t) for c, t in zip(gcols, gtypes)}
+        wt = {c: canon_type(t) for c, t in zip(wcols, wtypes)}
+        tdiff = {c: (gt[c], wt[c]) for c in gt if gt[c] != wt[c]}
+        if tdiff:
+            print(f"FAIL {name}: column types differ (spark, oracle): {tdiff}")
             failures += 1
             continue
         _, g = canon(grows, gcols)
