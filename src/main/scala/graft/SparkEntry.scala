@@ -66,6 +66,7 @@ object SparkEntry {
     "q31_mor_asof"      -> (Lakehouse.q31MorAsOf _),
     "q32_mor_part_sql"  -> (Lakehouse.q32MorPartSql _),
     "q33_mor_bucketed"  -> (Lakehouse.q33MorBucketed _),
+    "q34_iceberg_bucketed" -> (Lakehouse.q34IcebergBucketed _),
     // training-data pipeline: dedup / similarity / text analysis
     "d1_exact_dedup" -> (Pipeline.d1ExactDedup _),
     "d2_fingerprint" -> (Pipeline.d2Fingerprint _),
@@ -416,6 +417,27 @@ object SparkEntry {
     // resolution): same waves as q30, unfiltered grouping — the oracle
     // recomputes every key's winning version
     "q33_mor_bucketed" ->
+      """SELECT o_orderstatus, COUNT(*) AS cnt,
+        |       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+        |       CAST(SUM(CAST(price * 100 AS BIGINT)) AS BIGINT) AS price_cents
+        |FROM (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 13 = 0 THEN 'X'
+        |         WHEN o_orderkey % 7 = 0 THEN 'R'
+        |         ELSE o_orderstatus END AS o_orderstatus,
+        |    CASE WHEN o_orderkey % 13 = 0
+        |           THEN CAST(CAST(o_totalprice AS DECIMAL(15,2)) + 1000 AS DECIMAL(15,2))
+        |         WHEN o_orderkey % 7 = 0
+        |           THEN CAST(CAST(o_totalprice AS DECIMAL(15,2)) * 2 AS DECIMAL(15,2))
+        |         ELSE CAST(o_totalprice AS DECIMAL(15,2)) END AS price
+        |  FROM orders)
+        |GROUP BY o_orderstatus""".stripMargin,
+    // q34 = the bucketed MoR table EXPORTED as an Iceberg bucket[8]
+    // spec and read back purely from the exported chain — same waves
+    // as q33, so the same relational recomputation is the oracle; a
+    // wrong bucket transform value or a mis-scoped delete file shifts
+    // cnt/price_cents
+    "q34_iceberg_bucketed" ->
       """SELECT o_orderstatus, COUNT(*) AS cnt,
         |       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
         |       CAST(SUM(CAST(price * 100 AS BIGINT)) AS BIGINT) AS price_cents

@@ -37,7 +37,8 @@ object GraftSqlFunctions {
 
   val Namespace: Array[String] = Array("system")
 
-  private val names = Seq("dot_product", "hash60", "shingle_hashes", "bucket")
+  private val names = Seq("dot_product", "hash60", "shingle_hashes", "bucket",
+    "iceberg_bucket")
 
   def list(namespace: Array[String]): Array[Identifier] =
     if (namespace.sameElements(Namespace))
@@ -51,6 +52,7 @@ object GraftSqlFunctions {
       case "hash60" => Some(Hash60Fn)
       case "shingle_hashes" => Some(ShingleHashesFn)
       case "bucket" => Some(BucketFn)
+      case "iceberg_bucket" => Some(IcebergBucketFn)
       case _ => None
     }
 
@@ -169,18 +171,20 @@ object GraftSqlFunctions {
       invoke(row.getArray(0), row.getInt(1))
   }
 
-  /** `bucket(n, v)` — graft's deterministic bucket transform (NOT
-    * Iceberg's murmur3 buckets: the hash is the engine's md5-based
-    * hash60 over the value's canonical bytes, so SQL-computed buckets
-    * agree with any engine-side bucketing done through hash60).
-    * Longs/ints/dates hash their 8-byte big-endian representation;
-    * strings hash their UTF-8 bytes.
+  /** `bucket(n, v)` — graft's md5/hash60 bucket transform, the
+    * oracle-checkable one (DuckDB recomputes it relationally, t13).
+    * NOT Iceberg's murmur3 bucket and NOT the `write.bucket-by` table
+    * layout — those both use the Iceberg-spec kernel; use
+    * `graft.system.iceberg_bucket(n, v)` to locate or pre-cluster rows
+    * of a bucketed table. Longs/ints/dates hash their 8-byte
+    * big-endian representation; strings hash their UTF-8 bytes.
     */
   object BucketFn extends UnboundFunction {
     override def name(): String = "bucket"
     override def description(): String =
       "bucket(n, value) -> int — hash60-based bucket in [0, n); " +
-        "value may be int/bigint/date/string"
+        "value may be int/bigint/date/string. NOT the write.bucket-by " +
+        "table layout; for that use graft.system.iceberg_bucket"
     override def bind(inputType: StructType): BoundFunction = {
       require(inputType.fields.length == 2,
         "bucket expects (int n, value)")
@@ -253,6 +257,94 @@ object GraftSqlFunctions {
       if (s == null) return null
       require(n >= 1, s"bucket count must be >= 1, got $n")
       (((md5Hash60(s.getBytes) % n) + n) % n).toInt
+    }
+    override def produceResult(row: org.apache.spark.sql.catalyst.InternalRow)
+        : java.lang.Integer =
+      if (row.isNullAt(0)) null
+      else invoke(row.getInt(0), row.getUTF8String(1))
+  }
+
+  /** `iceberg_bucket(n, v)` — the Iceberg-spec `bucket[n]` transform
+    * (murmur3_x86_32 seed 0 over the spec's canonical bytes; see
+    * [[graft.functions.IcebergTransforms]]). This IS the
+    * `write.bucket-by` table layout's hash: `iceberg_bucket(N, pk)`
+    * equals the `__bucket` dir a key's rows live in, and equals the
+    * `bucket[N]` partition value an external Iceberg engine computes
+    * on the exported table. Spec-pinned by the published test vectors
+    * (IcebergTransformsSpec); no relational oracle exists (DuckDB has
+    * no murmur3), so the gate checks it through the bucketed-export
+    * round-trip instead.
+    */
+  object IcebergBucketFn extends UnboundFunction {
+    override def name(): String = "iceberg_bucket"
+    override def description(): String =
+      "iceberg_bucket(n, value) -> int — Iceberg-spec murmur3 " +
+        "bucket[n] in [0, n); value may be int/bigint/date/string. " +
+        "Matches the write.bucket-by table layout and the exported " +
+        "Iceberg partition spec"
+    override def bind(inputType: StructType): BoundFunction = {
+      require(inputType.fields.length == 2,
+        "iceberg_bucket expects (int n, value)")
+      require(inputType.fields(0).dataType == IntegerType,
+        s"iceberg_bucket: the bucket count must be INT, got " +
+          inputType.fields(0).dataType.sql)
+      inputType.fields(1).dataType match {
+        case LongType | IntegerType => IcebergBucketLongBound
+        case DateType => IcebergBucketDateBound
+        case StringType => IcebergBucketStringBound
+        case other => throw new UnsupportedOperationException(
+          s"iceberg_bucket: unsupported value type ${other.sql} " +
+            "(int/bigint/date/string)")
+      }
+    }
+  }
+
+  object IcebergBucketLongBound extends ScalarFunction[java.lang.Integer] {
+    override def name(): String = "iceberg_bucket"
+    override def canonicalName(): String = "graft.system.iceberg_bucket[long]"
+    override def inputTypes(): Array[DataType] =
+      Array(IntegerType, LongType)
+    override def resultType(): DataType = IntegerType
+    override def isResultNullable: Boolean = true
+    def invoke(n: Int, v: Long): java.lang.Integer = {
+      require(n >= 1, s"bucket count must be >= 1, got $n")
+      graft.functions.IcebergTransforms.bucketLong(n, v)
+    }
+    override def produceResult(row: org.apache.spark.sql.catalyst.InternalRow)
+        : java.lang.Integer =
+      if (row.isNullAt(0) || row.isNullAt(1)) null
+      else invoke(row.getInt(0), row.getLong(1))
+  }
+
+  object IcebergBucketDateBound extends ScalarFunction[java.lang.Integer] {
+    override def name(): String = "iceberg_bucket"
+    override def canonicalName(): String = "graft.system.iceberg_bucket[date]"
+    override def inputTypes(): Array[DataType] =
+      Array(IntegerType, DateType)
+    override def resultType(): DataType = IntegerType
+    override def isResultNullable: Boolean = true
+    /** Dates hash their epoch-day as a long (the spec widens). */
+    def invoke(n: Int, days: Int): java.lang.Integer = {
+      require(n >= 1, s"bucket count must be >= 1, got $n")
+      graft.functions.IcebergTransforms.bucketLong(n, days.toLong)
+    }
+    override def produceResult(row: org.apache.spark.sql.catalyst.InternalRow)
+        : java.lang.Integer =
+      if (row.isNullAt(0) || row.isNullAt(1)) null
+      else invoke(row.getInt(0), row.getInt(1))
+  }
+
+  object IcebergBucketStringBound extends ScalarFunction[java.lang.Integer] {
+    override def name(): String = "iceberg_bucket"
+    override def canonicalName(): String = "graft.system.iceberg_bucket[string]"
+    override def inputTypes(): Array[DataType] =
+      Array(IntegerType, StringType)
+    override def resultType(): DataType = IntegerType
+    override def isResultNullable: Boolean = true
+    def invoke(n: Int, s: UTF8String): java.lang.Integer = {
+      if (s == null) return null
+      require(n >= 1, s"bucket count must be >= 1, got $n")
+      graft.functions.IcebergTransforms.bucketUtf8(n, s.getBytes)
     }
     override def produceResult(row: org.apache.spark.sql.catalyst.InternalRow)
         : java.lang.Integer =

@@ -547,8 +547,16 @@ class GraftTableCatalog extends TableCatalog
     // the bucket layout self-configures from table meta on EVERY open
     // (catalog, procedures, TVFs, a fresh process) — persist it with
     // the schema so the first INSERT doesn't race a concurrent reader
-    if (bucketBy > 0)
+    if (bucketBy > 0) {
       tfs.writeString(s"$path/meta/BUCKETS", bucketBy.toString)
+      // the hash kernel persists WITH the count: DDL knows the PK
+      // type, so the decision (Iceberg bucket[N] for single-column
+      // exportable PKs, Spark hash otherwise) is made here and the
+      // first INSERT just follows it — see TieredTable.bucketKernelFor
+      tfs.writeString(s"$path/meta/BUCKET_KERNEL",
+        graft.storage.TieredTable.bucketKernelFor(
+          pk.flatMap(c => schema.fields.find(_.name.equalsIgnoreCase(c)))))
+    }
     TieredCatalog.register(db, ident.name, path, pk, mergeOnRead = mor,
       partitionBy = partCols,
       bloomCols = bloomCols, changeDataFeed = cdf, datalake = datalake,

@@ -612,6 +612,47 @@ object Lakehouse {
         |GROUP BY o_orderstatus""".stripMargin)
   }
 
+  /** Q34 — the BUCKETED MoR layout exported as an Iceberg `bucket[8]`
+    * partition spec and read back PURELY from the exported metadata
+    * chain ([[graft.storage.IcebergExport.readTable]] shares no state
+    * with the engine's manifests): the same upsert waves as q33, so
+    * the oracle recomputes every key's winning version relationally.
+    * This is the reference's Trino-over-the-cold-tier role for the
+    * engine's flagship 100 TB PK layout — before round 10 a bucketed
+    * table refused export; now the `__bucket` dirs ARE the spec
+    * transform (Iceberg murmur3 kernel, IcebergTransformsSpec) and an
+    * external engine's bucket pruning is correct by construction.
+    */
+  def q34IcebergBucketed(spark: SparkSession, dir: String): DataFrame = {
+    val safe = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val path = s"${sys.props("java.io.tmpdir")}/graft-tiered/v$FormatVersion/$safe/orders_mor_bice"
+    val donePath = Paths.get(path, "meta", "LATEST")
+    val t = TieredTable(spark, path, pk = Seq("o_orderkey"),
+      mergeOnRead = true, bucketBy = 8)
+    if (!Files.exists(donePath)) {
+      val orders = Tables.load(spark, dir, "orders")
+        .withColumn("o_totalprice", col("o_totalprice").cast("decimal(15,2)"))
+      t.commitUpsert(orders)                                        // seq 1
+      t.commitUpsert(orders                                         // seq 2
+        .filter(pmod(col("o_orderkey"), lit(7)) === 0)
+        .withColumn("o_totalprice",
+          (col("o_totalprice") * 2).cast("decimal(15,2)"))
+        .withColumn("o_orderstatus", lit("R")))
+      t.commitUpsert(orders                                         // seq 3
+        .filter(pmod(col("o_orderkey"), lit(13)) === 0)
+        .withColumn("o_totalprice",
+          (col("o_totalprice") + 1000).cast("decimal(15,2)"))
+        .withColumn("o_orderstatus", lit("X")))
+    }
+    graft.storage.IcebergExport.export(t)
+    graft.storage.IcebergExport.readTable(spark, t.tablePath)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("o_orderkey")).cast("long").as("key_sum"),
+        sum((col("o_totalprice") * 100).cast("long")).cast("long")
+          .as("price_cents"))
+  }
+
   def q23IcebergMor(spark: SparkSession, dir: String): DataFrame = {
     val t = demoTableMor(spark, dir)
     graft.storage.IcebergExport.export(t)

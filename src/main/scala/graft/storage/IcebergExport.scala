@@ -100,7 +100,7 @@ object IcebergExport {
   /** Iceberg v2 `manifest_file` record (the manifest-list entry), with
     * the spec's reserved field-ids attached as Avro field properties.
     */
-  private val ManifestFileSchema: Schema = new Schema.Parser().parse(
+  private[graft] val ManifestFileSchema: Schema = new Schema.Parser().parse(
     """{"type":"record","name":"manifest_file","fields":[
       |{"name":"manifest_path","type":"string","field-id":500},
       |{"name":"manifest_length","type":"long","field-id":501},
@@ -137,7 +137,7 @@ object IcebergExport {
     * nullable field per partition column with the spec's 1000+i
     * partition field-ids. Empty seq = the unpartitioned shape.
     */
-  private def manifestEntrySchema(partFields: Seq[(String, String)]): Schema = {
+  private[graft] def manifestEntrySchema(partFields: Seq[(String, String)]): Schema = {
     val pf = partFields.zipWithIndex.map { case ((n, t), i) =>
       s"""{"name":"$n","type":["null","$t"],"default":null,"field-id":${1000 + i}}"""
     }.mkString(",")
@@ -439,7 +439,7 @@ object IcebergExport {
     * buffered PUT on an object store); returns the byte length — the
     * `manifest_length` the manifest-list entry records.
     */
-  private def writeAvro(path: String, schema: Schema,
+  private[graft] def writeAvro(path: String, schema: Schema,
                         meta: Map[String, String],
                         records: Seq[GenericRecord]): Long = {
     val buf = new java.io.ByteArrayOutputStream()
@@ -454,7 +454,7 @@ object IcebergExport {
     bytes.length.toLong
   }
 
-  private def readAvro(path: String): (Seq[GenericRecord], Map[String, String]) = {
+  private[graft] def readAvro(path: String): (Seq[GenericRecord], Map[String, String]) = {
     val bytes = fsFor(path).readBytes(path).getOrElse(
       throw new java.io.FileNotFoundException(path))
     val reader = new DataFileReader[GenericRecord](
@@ -595,12 +595,28 @@ object IcebergExport {
   }
 
   def export(table: TieredTable): String = {
-    require(table.bucketBy == 0,
-      s"${table.tablePath} uses the bucket-layout merge-on-read format " +
-        "('write.bucket-by') — its __bucket dirs are an engine-internal " +
-        "layout, not an Iceberg partition spec, and compaction keeps " +
-        "the layout; rewrite the resolved rows into a separate " +
-        "unbucketed table (INSERT INTO … SELECT) and export that")
+    // Bucket-layout tables export as an Iceberg `bucket[N]` partition
+    // spec — the layout's `__bucket = iceberg_bucket(N, pk)` stamping
+    // (TieredTable.bucketStamp) IS the spec transform, so data dirs
+    // export by reference and an external engine's bucket pruning is
+    // correct. Requires the single-column-PK Iceberg kernel: a
+    // multi-column combined bucket has no spec transform, and a
+    // pre-kernel-tag table's Spark-hash buckets would mislead external
+    // pruning (worse than refusing).
+    if (table.bucketBy > 0) {
+      require(table.pk.size == 1,
+        s"${table.tablePath}: Iceberg's bucket[N] transform is " +
+          "single-source — a multi-column combined bucket has no spec " +
+          "partition transform; rewrite the resolved rows into an " +
+          "unbucketed table (INSERT INTO … SELECT) and export that")
+      require(table.bucketKernel() == TieredTable.BucketKernelIceberg,
+        s"${table.tablePath} was bucketed with the Spark-hash kernel " +
+          "(meta/BUCKET_KERNEL) — its bucket values are NOT Iceberg's " +
+          "bucket[N], and exporting them as that spec would make " +
+          "external engines prune to the WRONG buckets; rewrite into a " +
+          "fresh bucketed table (new tables with a single-column PK " +
+          "use the Iceberg kernel automatically)")
+    }
     val head = table.currentSnapshot.getOrElse(
       throw new IllegalStateException(
         s"no snapshot to export in ${table.tablePath}"))
@@ -614,7 +630,10 @@ object IcebergExport {
     // which is only exact when a key can never change partitions —
     // hence partition columns ⊆ PK, the Flink-Iceberg upsert-sink rule.
     val isMor = table.mergeOnRead && table.pk.nonEmpty
-    require(!isMor || table.partitionBy.isEmpty ||
+    // the bucket layout is exempt: __bucket is a pure function of the
+    // PK, so a key can never change buckets and bucket-scoped deletes
+    // are exact — the same argument as partition-cols ⊆ PK below
+    require(!isMor || table.partitionBy.isEmpty || table.bucketBy > 0 ||
         table.partitionBy.forall(table.pk.contains),
       "Iceberg export of a PARTITIONED merge-on-read table requires " +
         "partition columns to be part of the primary key — a key that " +
@@ -702,9 +721,17 @@ object IcebergExport {
     // version information lives in manifest sequence numbers instead
     val schemaDdlCache: Map[Long, String] =
       state.map(_.schemas).getOrElse(Map.empty)
-    def stripSeq(st: StructType): StructType =
-      if (isMor) StructType(st.fields.filterNot(_.name == table.SeqCol))
-      else st
+    def stripSeq(st: StructType): StructType = {
+      // internal columns never export: __seq (merge-on-read version)
+      // and __bucket (the bucket-layout dir column — it becomes the
+      // bucket[N] PARTITION FIELD of the spec, not a schema column)
+      val internal: Set[String] =
+        (if (isMor) Set(table.SeqCol) else Set.empty[String]) ++
+          (if (table.bucketBy > 0) Set(TieredTable.BucketCol)
+           else Set.empty[String])
+      if (internal.isEmpty) st
+      else StructType(st.fields.filterNot(f => internal(f.name)))
+    }
     // parquet-style schema merge for append-lineage snapshots: common
     // fields must agree on type (else None → caller falls back to a
     // full mergeSchema read); new fields append, nullable (old files
@@ -771,17 +798,32 @@ object IcebergExport {
     // `add_files` migration semantics (data pages lack the column; the
     // manifest supplies it, and [[readTable]] reconstructs it).
     val headSchema = rawSchemaOf(head.id)
-    val partTypes: Seq[(String, DataType)] = table.partitionBy.map { c =>
-      c -> headSchema.find(_.name == c).getOrElse(throw new IllegalStateException(
-        s"partition column $c absent from the discovered head schema")).dataType
-    }
+    val headFieldIds = fieldIdsOf(headSchema)
+    // The bucket layout exports as ONE spec field with the bucket[N]
+    // transform sourced from the PK column (partition struct value =
+    // the bucket id each `__bucket=K` dir carries); identity hive
+    // partitions export one identity field per column. Either way
+    // `partTypes` names the manifest partition-struct fields and
+    // `table.partitionBy` names the DIRECTORY columns the values are
+    // parsed from — same order, zipped below.
+    val bucketed = table.bucketBy > 0
+    val partTypes: Seq[(String, DataType)] =
+      if (bucketed) Seq(s"${table.pk.head}_bucket" -> IntegerType)
+      else table.partitionBy.map { c =>
+        c -> headSchema.find(_.name == c).getOrElse(throw new IllegalStateException(
+          s"partition column $c absent from the discovered head schema")).dataType
+      }
     val entrySchema = manifestEntrySchema(
       partTypes.map { case (n, dt) => n -> avroPartType(dt) })
-    val headFieldIds = fieldIdsOf(headSchema)
-    val specFields = table.partitionBy.zipWithIndex.map { case (c, i) =>
-      Map("name" -> c, "transform" -> "identity",
-        "source-id" -> headFieldIds(c), "field-id" -> (1000 + i))
-    }
+    val specFields =
+      if (bucketed) Seq(Map(
+        "name" -> s"${table.pk.head}_bucket",
+        "transform" -> s"bucket[${table.bucketBy}]",
+        "source-id" -> headFieldIds(table.pk.head), "field-id" -> 1000))
+      else table.partitionBy.zipWithIndex.map { case (c, i) =>
+        Map("name" -> c, "transform" -> "identity",
+          "source-id" -> headFieldIds(c), "field-id" -> (1000 + i))
+      }
 
     // Every live merge-on-read dir must be PK-UNIQUE to be representable:
     // within one sequence number Iceberg applies no self-delete, so
@@ -842,8 +884,15 @@ object IcebergExport {
             else metaFs.exists(out)
           if (!done) {
             import org.apache.spark.sql.functions.col
+            // the partition DIR columns ride along for scoping: for an
+            // identity layout they are ⊆ PK (already selected); the
+            // bucket layout's __bucket is discovered from the hive
+            // dirs and is PK-functional, so distinct() stays a
+            // distinct-keys set
+            val keyCols = table.pk ++
+              table.partitionBy.filterNot(table.pk.contains)
             val keys = session.read.parquet(dir)
-              .select(table.pk.map(col): _*).distinct()
+              .select(keyCols.map(col): _*).distinct()
             // scope via SHADOW partition columns (`__p_<col>=value/`
             // dirs): the spec requires delete-file rows to physically
             // contain every equality column, and a plain partitionBy
@@ -1192,16 +1241,25 @@ object IcebergExport {
       case other => throw new IllegalStateException(s"bad manifest-list: $other")
     }
     val (manifestFiles, _) = readAvro(listPath)
-    // identity partition fields of the default spec — partition values
-    // live in the manifests (add_files-style layout), not in data pages
-    val specFields = jsonAt(md, "partition-specs")
+    // partition fields of the default spec, WITH their transforms:
+    // identity values live only in the manifests (add_files-style
+    // layout) and are reattached as constant columns; non-identity
+    // transforms (bucket[N]) are metadata-only — their SOURCE column
+    // is physically present in the data pages, and the transform value
+    // is never a schema column
+    val specFieldDefs: Seq[(String, String)] = jsonAt(md, "partition-specs")
       .asInstanceOf[org.json4s.JArray].arr.headOption
       .map(s => jsonAt(s, "fields").asInstanceOf[org.json4s.JArray].arr)
       .getOrElse(Nil)
       .map { f =>
         val org.json4s.JString(name) = jsonAt(f, "name"): @unchecked
-        name
+        val transform = jsonAt(f, "transform") match {
+          case org.json4s.JString(t) => t
+          case _ => "identity"
+        }
+        (name, transform)
       }
+    val specFields = specFieldDefs.map(_._1)
     // manifest-list `content`: 0 = data manifests, 1 = delete manifests
     val (dataManifests, deleteManifests) =
       manifestFiles.partition(_.get("content").asInstanceOf[Int] == 0)
@@ -1215,6 +1273,14 @@ object IcebergExport {
       }
     val liveEntries = liveOf(dataManifests)
     val deleteEntries = liveOf(deleteManifests)
+    // v2 delete content codes: 1 = POSITION deletes (file_path, pos),
+    // 2 = EQUALITY deletes. Graft's own exporter writes equality
+    // deletes only (the Fluss→Iceberg tiering-sink shape), but a v2
+    // table written by ANOTHER engine (Spark/Iceberg MoR DELETE)
+    // carries position deletes — both must resolve here for foreign
+    // tables to round-trip.
+    val (posDeleteEntries, eqDeleteEntries) = deleteEntries.partition(
+      _._1.get("content").asInstanceOf[Int] == 1)
     require(liveEntries.nonEmpty, s"snapshot $currentId lists no data files")
     // the snapshot's own schema names the column order and types — also
     // the projection boundary: data files may physically carry columns
@@ -1278,7 +1344,7 @@ object IcebergExport {
       if (df.columns.toSeq == colOrder) df
       else df.select(colOrder.map(org.apache.spark.sql.functions.col): _*)
     } else {
-      import org.apache.spark.sql.functions.{col, lit}
+      import org.apache.spark.sql.functions.{col, lit, regexp_replace}
       val idToName: Map[Int, String] = schemaFields.map { f =>
         val org.json4s.JString(n) = jsonAt(f, "name"): @unchecked
         jLong(jsonAt(f, "id")).toInt -> n
@@ -1303,35 +1369,45 @@ object IcebergExport {
       val data = byGroup.toSeq.sortBy(_._1.toString)
         .map { case ((seq, vals), files) =>
           var df = readData(files)
-          specFields.zip(vals).foreach { case (c, ov) =>
-            val st = sparkType(typeOf(c))
-            val value = ov match {
-              case None => lit(null).cast(st)
-              case Some(v) if typeOf(c) == "date" =>
-                lit(java.time.LocalDate.ofEpochDay(
-                  v.asInstanceOf[Int].toLong))
-              case Some(v) => lit(v).cast(st)
-            }
-            df = df.withColumn(c, value)
+          specFieldDefs.zip(vals).foreach {
+            case ((c, "identity"), ov) =>
+              val st = sparkType(typeOf(c))
+              val value = ov match {
+                case None => lit(null).cast(st)
+                case Some(v) if typeOf(c) == "date" =>
+                  lit(java.time.LocalDate.ofEpochDay(
+                    v.asInstanceOf[Int].toLong))
+                case Some(v) => lit(v).cast(st)
+              }
+              df = df.withColumn(c, value)
+            case ((_, _), _) => // bucket[N] etc: source col is in pages
           }
           // schema-evolved groups: a column the snapshot schema names
           // may be absent from this group's files — pad typed nulls
           colOrder.filterNot(df.columns.contains).foreach { c =>
             df = df.withColumn(c, lit(null).cast(sparkType(typeOf(c))))
           }
+          // position deletes address rows by (data file path, ordinal
+          // row position) — surface both from the parquet reader's
+          // _metadata only when needed (the extra columns disable
+          // nothing, but there is no reason to carry them otherwise)
+          val posCols =
+            if (posDeleteEntries.isEmpty) Nil
+            else Seq(col("_metadata.file_path").as("__ice_fpath"),
+              col("_metadata.row_index").as("__ice_fpos"))
           df.select((colOrder :+ "__ice_fseq").map {
             case "__ice_fseq" => lit(seq).as("__ice_fseq")
             case c => col(c)
-          }: _*)
+          } ++ posCols: _*)
         }.reduce(_.unionByName(_))
-      val resolved =
-        if (deleteEntries.isEmpty) data
+      val afterEq =
+        if (eqDeleteEntries.isEmpty) data
         else {
           // v2 equality deletes: a delete at sequence d removes rows
           // whose equality columns match from data files with data
           // sequence STRICTLY below d — one anti-join with the
           // inequality folded into the condition, never a per-file loop
-          val eqIds = deleteEntries.head._1.get("equality_ids")
+          val eqIds = eqDeleteEntries.head._1.get("equality_ids")
             .asInstanceOf[java.util.List[Integer]].asScala.map(_.toInt).toSeq
           val eqNames = eqIds.map(idToName)
           // delete files physically carry every equality column (the
@@ -1339,7 +1415,7 @@ object IcebergExport {
           // exists for exactly this), so the declared eqNames schema
           // drives the scan — no per-file inference
           val delSchema = ddlSchema(eqNames)
-          val dels = deleteEntries.map { case (e, seq) =>
+          val dels = eqDeleteEntries.map { case (e, seq) =>
             val path = e.get("file_path").toString
             var df = delSchema match {
               case Some(st) => spark.read.schema(st).parquet(path)
@@ -1375,6 +1451,35 @@ object IcebergExport {
           val cond = eqNames.map(n => data(n) <=> renamed(s"__ice_del_$n"))
             .reduce(_ && _) && renamed("__ice_dseq") > data("__ice_fseq")
           data.join(renamed, cond, "left_anti")
+        }
+      val resolved =
+        if (posDeleteEntries.isEmpty) afterEq
+        else {
+          // v2 POSITION deletes: (file_path, pos) rows at sequence d
+          // erase the pos-th row of the named data file when the
+          // file's data sequence is AT OR BELOW d (same-commit deletes
+          // apply — the spec's `>=`, unlike equality's strict `>`).
+          // One anti-join on (normalized path, position); the data
+          // side's path/position came from the parquet reader's
+          // _metadata columns above.
+          val posSchema = StructType.fromDDL("`file_path` STRING, `pos` BIGINT")
+          val pdels = posDeleteEntries.map { case (e, seq) =>
+            spark.read.schema(posSchema)
+              .parquet(e.get("file_path").toString)
+              .withColumn("__ice_dseq", lit(seq))
+          }.reduce(_.unionByName(_))
+            .select(col("file_path").as("__ice_pd_path"),
+              col("pos").as("__ice_pd_pos"), col("__ice_dseq"))
+          // Spark's _metadata.file_path is a URI (file:///…); manifest
+          // paths may be plain. Strip only the local-file scheme — a
+          // remote scheme (graftos://) must match verbatim.
+          def normPath(c: org.apache.spark.sql.Column) =
+            regexp_replace(c, "^file:/+", "/")
+          val cond =
+            normPath(afterEq("__ice_fpath")) === normPath(pdels("__ice_pd_path")) &&
+              afterEq("__ice_fpos") === pdels("__ice_pd_pos") &&
+              pdels("__ice_dseq") >= afterEq("__ice_fseq")
+          afterEq.join(pdels, cond, "left_anti")
         }
       resolved.select(colOrder.map(col): _*)
     }

@@ -73,12 +73,12 @@ class TieredTable(spark: SparkSession, rawTablePath: String,
     s"bucketBy=$bucketBy is the merge-on-read delta layout of a " +
       "PK table — construct via TieredTable(...) (companion), which " +
       "derives the bucket-column layout")
-  require(bucketBy == 0 || !icebergExport,
-    "icebergExport of a bucket-layout merge-on-read table is not " +
-      "defined — the bucket dirs are an engine-internal layout, not an " +
-      "Iceberg partition spec, and compaction keeps the layout; rewrite " +
-      "the resolved rows into a separate unbucketed table (INSERT INTO " +
-      "… SELECT) and export that")
+  require(bucketBy == 0 || !icebergExport || pk.size == 1,
+    "icebergExport of a bucket-layout table requires a SINGLE-column " +
+      "primary key — Iceberg's bucket[N] transform is single-source, " +
+      "so a multi-column combined bucket has no spec partition " +
+      "transform; rewrite the resolved rows into an unbucketed table " +
+      "(INSERT INTO … SELECT) and export that")
   /** `file:`-scheme URIs are normalized to plain paths — `Paths.get`
     * would otherwise treat the whole URI as a RELATIVE path and
     * silently create the table tree under the process CWD (the round-1
@@ -692,9 +692,8 @@ class TieredTable(spark: SparkSession, rawTablePath: String,
     // meta/BUCKETS so later opens self-configure
     val df1 =
       if (bucketBy > 0 && !df0.columns.contains(BucketCol)) {
-        persistBucketMeta()
-        df0.withColumn(BucketCol,
-          pmod(hash(pk.map(col): _*), lit(bucketBy)))
+        persistBucketMeta(df0.schema)
+        df0.withColumn(BucketCol, bucketStamp(df0.schema))
       } else df0
     val df = applySortOrder(df1)
     val w = df.write.mode("overwrite")
@@ -722,11 +721,13 @@ class TieredTable(spark: SparkSession, rawTablePath: String,
     * group. Both refuse loudly here, before any wrong byte lands.
     */
   @volatile private var bucketMetaWritten = false
-  private def persistBucketMeta(): Unit =
+  @volatile private var bucketKernelCache: String = _
+  private def persistBucketMeta(schema: org.apache.spark.sql.types.StructType): Unit =
     if (!bucketMetaWritten) {
       val p = s"$tablePath/meta/BUCKETS"
       val fs = TableFs.forPath(tablePath)
-      fs.readString(p).map(_.trim.toInt) match {
+      val hadBuckets = fs.readString(p).map(_.trim.toInt)
+      hadBuckets match {
         case Some(persisted) =>
           require(persisted == bucketBy,
             s"$tablePath is bucketed with 'write.bucket-by' = $persisted " +
@@ -742,7 +743,58 @@ class TieredTable(spark: SparkSession, rawTablePath: String,
           fs.mkdirs(s"$tablePath/meta")
           fs.writeString(p, bucketBy.toString)
       }
+      // the hash KERNEL is as immutable as the count — a later write
+      // under a different kernel splits a key across two bucket values.
+      // Persisted separately (meta/BUCKET_KERNEL) so every meta/BUCKETS
+      // parser stays integer-only; absent tag + pre-existing layout =
+      // the pre-kernel-tag Spark-hash layout
+      val kp = s"$tablePath/meta/BUCKET_KERNEL"
+      bucketKernelCache = fs.readString(kp).map(_.trim).getOrElse {
+        val k =
+          if (hadBuckets.isDefined) TieredTable.BucketKernelSpark
+          else TieredTable.bucketKernelFor(
+            pk.flatMap(c => schema.fields.find(_.name.equalsIgnoreCase(c))))
+        fs.writeString(kp, k)
+        k
+      }
       bucketMetaWritten = true
+    }
+
+  /** The bucket-layout hash kernel of this table: `"iceberg"` (the
+    * Iceberg-spec murmur3 `bucket[N]` of the single PK column —
+    * exportable as a spec partition transform, see
+    * [[graft.functions.IcebergTransforms]]) or `"spark"` (Spark
+    * murmur3 over all PK columns — multi-column PKs, PK types with no
+    * spec transform, and tables bucketed before the kernel tag
+    * existed). Resolved from `meta/BUCKET_KERNEL`; a table with no
+    * persisted layout yet reports what its first write WOULD persist,
+    * given `schema`.
+    */
+  def bucketKernel(schema: org.apache.spark.sql.types.StructType = null): String = {
+    if (bucketKernelCache == null) {
+      val fs = TableFs.forPath(tablePath)
+      bucketKernelCache =
+        fs.readString(s"$tablePath/meta/BUCKET_KERNEL").map(_.trim)
+          .getOrElse {
+            if (fs.readString(s"$tablePath/meta/BUCKETS").isDefined)
+              TieredTable.BucketKernelSpark // pre-tag layout
+            else if (schema != null)
+              TieredTable.bucketKernelFor(
+                pk.flatMap(c => schema.fields.find(_.name.equalsIgnoreCase(c))))
+            else TieredTable.BucketKernelSpark
+          }
+    }
+    bucketKernelCache
+  }
+
+  /** The `__bucket` stamping expression under the table's kernel. */
+  private def bucketStamp(schema: org.apache.spark.sql.types.StructType): org.apache.spark.sql.Column =
+    bucketKernel(schema) match {
+      case TieredTable.BucketKernelIceberg =>
+        org.apache.spark.sql.GraftSqlBridge.column(
+          graft.functions.expressions.IcebergBucket(bucketBy,
+            org.apache.spark.sql.GraftSqlBridge.expression(col(pk.head))))
+      case _ => pmod(hash(pk.map(col): _*), lit(bucketBy))
     }
 
   private def withCommitLock[A](f: => A): A =
@@ -2557,6 +2609,27 @@ object TieredTable {
     * table — engine-internal like `__seq`, never surfaced by a read.
     */
   val BucketCol = "__bucket"
+
+  /** Bucket-layout hash kernels (persisted at `meta/BUCKET_KERNEL`). */
+  val BucketKernelIceberg = "iceberg"
+  val BucketKernelSpark = "spark"
+
+  /** The kernel a fresh bucketed table gets: the Iceberg-spec
+    * `bucket[N]` transform when the PK is a single column of a type
+    * the spec transform covers (then the layout IS an Iceberg
+    * partition spec and the table exports by reference with working
+    * external bucket pruning); Spark murmur3 over all PK columns
+    * otherwise (multi-column PK — Iceberg's bucket is single-source).
+    */
+  def bucketKernelFor(pkFields: Seq[org.apache.spark.sql.types.StructField]): String = {
+    import org.apache.spark.sql.types._
+    val eligible = pkFields.size == 1 && (pkFields.head.dataType match {
+      case IntegerType | LongType | DateType | StringType |
+           TimestampType | TimestampNTZType => true
+      case _ => false
+    })
+    if (eligible) BucketKernelIceberg else BucketKernelSpark
+  }
 
   /** Column names the SQL DDL refuses: `__seq`/`__bucket` are filtered
     * from the merge-on-read SQL face (a user column by either name

@@ -158,8 +158,8 @@ class BucketedMorSpec extends AnyFunSuite with SparkSpec {
     assert(e2.getMessage.contains("retro-bucketing"))
   }
 
-  test("reserved column names refuse at CREATE; export refuses with an " +
-      "honest remedy; $partitions stays engine-internal") {
+  test("reserved column names refuse at CREATE; single-col-PK export " +
+      "works (bucket[N] spec, r10); $partitions stays engine-internal") {
     import spark.implicits._
     val e = intercept[IllegalArgumentException] {
       spark.sql(
@@ -172,11 +172,13 @@ class BucketedMorSpec extends AnyFunSuite with SparkSpec {
     spark.sql(s"INSERT INTO $sql VALUES (1, 'a', 1)")
     val path = graft.plans.TieredCatalog.lookup("bmor", "t9").get.path
     val t = TieredTable(spark, path, pk = Seq("id"), mergeOnRead = true)
-    val e2 = intercept[IllegalArgumentException] {
-      graft.storage.IcebergExport.export(t)
-    }
-    assert(e2.getMessage.contains("unbucketed table"),
-      s"export refusal must name a WORKING remedy: ${e2.getMessage}")
+    // round 10: a single-column-PK bucketed table stamps Iceberg's own
+    // bucket[N] kernel, so export is no longer refused — the layout IS
+    // the spec transform (IcebergExportSpec pins the refusals that
+    // remain: multi-column PK, legacy spark-kernel dirs)
+    val mpath = graft.storage.IcebergExport.export(t)
+    assert(java.nio.file.Files.readString(java.nio.file.Paths.get(mpath))
+      .contains(""""transform":"bucket["""), "export must carry the spec")
     // bucket dirs are not user partitions
     assert(spark.sql(s"SELECT * FROM ${sql}__partitions").isEmpty)
     // ALTER cannot smuggle a reserved name in either (ADD or RENAME);

@@ -169,4 +169,112 @@ class ForeignReaderSpec extends AnyFunSuite with SparkSpec {
     val r = readForeign(t.tablePath, dump(t.readCold(), s"$dir/expected"))
     assert(r("rows") == 3 && r("match") == true, r.toString)
   }
+
+  test("position deletes: a v2 table carrying (file_path, pos) delete " +
+       "files — the shape ANOTHER engine's MoR DELETE writes — " +
+       "resolves in both readers under the >= sequence rule") {
+    assume(pythonOk, "driver-side python3+duckdb unavailable")
+    import org.apache.avro.generic.GenericData
+    val dir = Files.createTempDirectory("graft-foreign-posdel").toString
+    val t = TieredTable(spark, s"$dir/events")
+    t.commitAppend(Seq((1L, "a"), (2L, "b"), (3L, "c"))
+      .toDF("id", "v").coalesce(1))                    // seq 1, one file
+    t.commitAppend(Seq((4L, "d")).toDF("id", "v").coalesce(1)) // seq 2
+    IcebergExport.export(t)
+    val mdir = s"${t.tablePath}/metadata"
+
+    // the data files, from the exported manifests (positions are
+    // ordinals within each single part file)
+    def fileOf(manifest: String): String =
+      IcebergExport.readAvro(s"$mdir/$manifest")._1
+        .map(_.get("data_file")
+          .asInstanceOf[org.apache.avro.generic.GenericRecord])
+        .map(_.get("file_path").toString).distinct.head
+    val seq1File = fileOf("manifest-000001.avro")
+    val seq2File = IcebergExport.readAvro(s"$mdir/manifest-000002.avro")._1
+      .map(_.get("data_file")
+        .asInstanceOf[org.apache.avro.generic.GenericRecord])
+      .map(_.get("file_path").toString).distinct
+      .filterNot(_ == seq1File).head
+
+    // hand-build what a foreign engine's MoR DELETE would leave: a
+    // position-delete file at sequence 1 erasing rows 0 and 2 of the
+    // seq-1 file, PLUS a row targeting the seq-2 file — which must NOT
+    // apply (delete seq 1 < data seq 2; the rule is dseq >= fseq)
+    val pdDir = s"$dir/posdel"
+    Seq((seq1File, 0L), (seq1File, 2L), (seq2File, 0L))
+      .toDF("file_path", "pos").coalesce(1)
+      .write.mode("overwrite").parquet(pdDir)
+    val pdFile = new java.io.File(pdDir).listFiles()
+      .map(_.getPath).filter(_.endsWith(".parquet")).head
+
+    // a delete manifest naming it (content=1 = POSITION_DELETES) ...
+    val entrySchema = IcebergExport.manifestEntrySchema(Nil)
+    val e = new GenericData.Record(entrySchema)
+    e.put("status", 1)
+    e.put("snapshot_id", 1L)
+    e.put("sequence_number", 1L)
+    e.put("file_sequence_number", 1L)
+    val df0 = new GenericData.Record(
+      entrySchema.getField("data_file").schema())
+    df0.put("content", 1)
+    df0.put("file_path", pdFile)
+    df0.put("file_format", "PARQUET")
+    df0.put("partition", new GenericData.Record(
+      df0.getSchema.getField("partition").schema()))
+    df0.put("record_count", 3L)
+    df0.put("file_size_in_bytes", new java.io.File(pdFile).length())
+    e.put("data_file", df0)
+    val delPath = s"$mdir/manifest-posdel-000001.avro"
+    val delLen = IcebergExport.writeAvro(delPath, entrySchema, Map(
+      "partition-spec" -> "[]", "partition-spec-id" -> "0",
+      "format-version" -> "2", "content" -> "deletes"), Seq(e))
+
+    // ... spliced into the head snapshot's manifest list
+    val listPath = s"$mdir/snap-000002-manifest-list.avro"
+    val (mfs, listMeta) = IcebergExport.readAvro(listPath)
+    val mf = new GenericData.Record(IcebergExport.ManifestFileSchema)
+    mf.put("manifest_path", delPath)
+    mf.put("manifest_length", delLen)
+    mf.put("partition_spec_id", 0)
+    mf.put("content", 1)
+    mf.put("sequence_number", 1L)
+    mf.put("min_sequence_number", 1L)
+    mf.put("added_snapshot_id", 1L)
+    mf.put("added_files_count", 1)
+    mf.put("existing_files_count", 0)
+    mf.put("deleted_files_count", 0)
+    mf.put("added_rows_count", 3L)
+    mf.put("existing_rows_count", 0L)
+    mf.put("deleted_rows_count", 0L)
+    IcebergExport.writeAvro(listPath, IcebergExport.ManifestFileSchema,
+      listMeta.filterNot(_._1.startsWith("avro.")), mfs :+ mf)
+
+    // engine read: rows 0 and 2 of the seq-1 file gone; the seq-2 row
+    // survives its same-position delete at a LOWER sequence
+    val got = IcebergExport.readTable(spark, t.tablePath)
+      .select("id", "v").as[(Long, String)].collect().toSet
+    assert(got == Set((2L, "b"), (4L, "d")), got.toString)
+
+    // foreign read: same rows, bit-for-bit vs the expected parquet
+    val expected = dump(Seq((2L, "b"), (4L, "d")).toDF("id", "v"),
+      s"$dir/expected")
+    val r = readForeign(t.tablePath, expected)
+    assert(r("rows") == 2 && r("match") == true, r.toString)
+    assert(r("deletes").toString.toInt >= 1, r.toString)
+  }
+
+  test("bucketed merge-on-read: the foreign reader resolves a " +
+       "bucket[N]-spec table (non-identity transform, scoped deletes)") {
+    assume(pythonOk, "driver-side python3+duckdb unavailable")
+    val dir = Files.createTempDirectory("graft-foreign-bmor").toString
+    val t = TieredTable(spark, s"$dir/baccounts", pk = Seq("acct"),
+      mergeOnRead = true, bucketBy = 4)
+    t.commitUpsert((1L to 30L).map(i => (i, i * 10)).toDF("acct", "balance"))
+    t.commitUpsert(Seq((5L, 555L), (17L, 777L)).toDF("acct", "balance"))
+    IcebergExport.export(t)
+    val r = readForeign(t.tablePath, dump(t.readCold(), s"$dir/expected"))
+    assert(r("rows") == 30 && r("match") == true, r.toString)
+    assert(r("deletes").toString.toInt >= 1, s"delete files read: $r")
+  }
 }

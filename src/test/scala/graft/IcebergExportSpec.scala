@@ -495,4 +495,64 @@ class IcebergExportSpec extends AnyFunSuite with SparkSpec {
     assert(got == Set((1L, Some(7), "a"), (2L, Some(9), "b"), (3L, None, "c")),
       "int values must come back typed and the hive null partition as NULL")
   }
+
+  test("bucketed merge-on-read export: bucket[N] partition spec, " +
+       "spec-kernel dir values, resolved round-trip, no __bucket leak") {
+    val dir = Files.createTempDirectory("graft-ice-bucketed").toString
+    val t = TieredTable(spark, s"$dir/t", pk = Seq("id"),
+      mergeOnRead = true, bucketBy = 4)
+    t.commitUpsert((1L to 40L).map(i => (i, s"v$i", i * 10))
+      .toDF("id", "v", "amt"))
+    t.commitUpsert(Seq((7L, "V7", 999L), (20L, "V20", 888L))
+      .toDF("id", "v", "amt"))
+
+    // the layout stamped with the Iceberg kernel (single-col PK)
+    assert(t.bucketKernel() == TieredTable.BucketKernelIceberg)
+    val head = t.currentSnapshot.get.files.head
+    val dirs = new java.io.File(head).listFiles().toSeq
+      .filter(_.isDirectory).map(_.getName)
+      .filter(_.startsWith("__bucket="))
+    assert(dirs.nonEmpty)
+    // every key's rows live in the dir the SPEC transform names
+    val placed = spark.read.parquet(head)
+      .select("id", "__bucket").as[(Long, Int)].collect()
+    placed.foreach { case (id, b) =>
+      assert(b == graft.functions.IcebergTransforms.bucketLong(4, id),
+        s"key $id in bucket $b != spec bucket")
+    }
+
+    val mpath = IcebergExport.export(t)
+    val md = Files.readString(Paths.get(mpath))
+    assert(md.contains(""""transform":"bucket[4]""""),
+      "partition spec must carry the bucket[N] transform")
+    assert(!md.contains("__bucket"),
+      "the internal dir column must not leak into the Iceberg metadata")
+    assert(md.contains(""""name":"id_bucket""""))
+
+    // round-trip purely from the exported chain: LWW-resolved rows
+    val got = IcebergExport.readTable(spark, s"$dir/t")
+      .select("id", "v", "amt").as[(Long, String, Long)].collect().toSet
+    val want = t.readCold()
+      .select("id", "v", "amt").as[(Long, String, Long)].collect().toSet
+    assert(got == want && got.size == 40)
+    assert(got.contains((7L, "V7", 999L)) && got.contains((20L, "V20", 888L)))
+
+    // refusals that remain: multi-column PK, and legacy spark-kernel dirs
+    val m = TieredTable(spark, s"$dir/multi", pk = Seq("a", "b"),
+      mergeOnRead = true, bucketBy = 4)
+    m.commitUpsert(Seq((1L, 2L, "x")).toDF("a", "b", "v"))
+    val e1 = intercept[IllegalArgumentException](IcebergExport.export(m))
+    assert(e1.getMessage.contains("single-source"), e1.getMessage)
+
+    val legacyDir = Files.createTempDirectory("graft-ice-legacy").toString
+    val l = TieredTable(spark, s"$legacyDir/t", pk = Seq("id"),
+      mergeOnRead = true, bucketBy = 4)
+    // simulate a pre-kernel-tag table: BUCKETS persisted, no kernel tag
+    Files.createDirectories(Paths.get(s"$legacyDir/t/meta"))
+    Files.writeString(Paths.get(s"$legacyDir/t/meta/BUCKETS"), "4")
+    l.commitUpsert(Seq((1L, "a")).toDF("id", "v"))
+    assert(l.bucketKernel() == TieredTable.BucketKernelSpark)
+    val e2 = intercept[IllegalArgumentException](IcebergExport.export(l))
+    assert(e2.getMessage.contains("Spark-hash kernel"), e2.getMessage)
+  }
 }

@@ -167,7 +167,14 @@ def load_metadata_rest(url, ns, table):
 def resolve(md):
     """Parsed table metadata → scan plan. Returns (schema_cols:
     [(name, iceberg_type)], data: [(path, seq, {part_col: const})],
-    deletes: [(path, seq, [eq col names])]).
+    deletes: [(path, seq, [eq col names])],
+    pos_deletes: [(path, seq)]).
+
+    v2 delete content codes (data_file.content): 1 = POSITION deletes
+    (rows of file_path/pos pairs), 2 = EQUALITY deletes. The graft
+    exporter writes equality deletes only, but a v2 table written by
+    another engine (Spark/Iceberg MoR DELETE) carries position deletes
+    — the foreign role must resolve both.
     """
     current = md["current-snapshot-id"]
     snap = next(s for s in md["snapshots"] if s["snapshot-id"] == current)
@@ -184,7 +191,7 @@ def resolve(md):
     default_spec = specs_by_id.get(md.get("default-spec-id", 0), [])
 
     mf_list, _ = read_avro(_read_file(snap["manifest-list"]))
-    data, deletes = [], []
+    data, deletes, pos_deletes = [], [], []
     for mf in mf_list:
         spec_fields = specs_by_id.get(mf.get("partition_spec_id"),
                                       default_spec)
@@ -198,17 +205,19 @@ def resolve(md):
                 part = {k: v for k, v in (df.get("partition") or {}).items()
                         if k in spec_fields}
                 data.append((df["file_path"], seq, part))
+            elif df.get("content") == 1:
+                pos_deletes.append((df["file_path"], seq))
             else:
                 eq = [id_to_name[i] for i in (df.get("equality_ids") or [])]
                 deletes.append((df["file_path"], seq, eq))
-    return cols, data, deletes
+    return cols, data, deletes, pos_deletes
 
 
 def scan(md):
     """Resolve + scan with DuckDB. Returns (duckdb connection holding
     view `resolved`, n_data_files, n_delete_files, columns)."""
     import duckdb
-    cols, data, deletes = resolve(md)
+    cols, data, deletes, pos_deletes = resolve(md)
     names = [c for c, _ in cols]
     con = duckdb.connect()
 
@@ -225,8 +234,17 @@ def scan(md):
                 sel.append(f"{lit} AS \"{c}\"")
             else:
                 sel.append(f"\"{c}\"")
+        # position deletes address (file path, ordinal row position):
+        # surface both only when the snapshot carries any — DuckDB's
+        # file_row_number IS the v2 `pos` ordinal
+        if pos_deletes:
+            sel.append(f"'{path}' AS __fpath")
+            sel.append("CAST(file_row_number AS BIGINT) AS __fpos")
+            src = f"read_parquet('{path}', file_row_number=true)"
+        else:
+            src = f"read_parquet('{path}')"
         return (f"SELECT {', '.join(sel)}, CAST({seq} AS BIGINT) AS __fseq "
-                f"FROM read_parquet('{path}')")
+                f"FROM {src}")
 
     if data:
         data_sql = " UNION ALL ".join(one_file(p, s, pt)
@@ -257,10 +275,26 @@ def scan(md):
         survivors = (f"SELECT * FROM ({survivors}) t WHERE NOT EXISTS ("
                      f"SELECT 1 FROM del{gi} d WHERE {cond} "
                      f"AND d.__dseq > t.__fseq)")
+    # v2 position deletes: (file_path, pos) at sequence s erases the
+    # pos-th row of the named file when the file's data sequence is AT
+    # OR BELOW s (same-commit deletes apply: `>=`, unlike equality's
+    # strict `>`). Paths normalize only the local-file scheme — remote
+    # schemes must match verbatim.
+    if pos_deletes:
+        pd_sql = " UNION ALL ".join(
+            f"SELECT file_path, pos, CAST({s} AS BIGINT) AS __dseq "
+            f"FROM read_parquet('{p}')" for p, s in pos_deletes)
+        con.execute(f"CREATE VIEW posdel AS {pd_sql}")
+        norm = "regexp_replace({}, '^file:/+', '/')"
+        survivors = (f"SELECT * FROM ({survivors}) t WHERE NOT EXISTS ("
+                     f"SELECT 1 FROM posdel d WHERE "
+                     f"{norm.format('d.file_path')} = "
+                     f"{norm.format('t.__fpath')} "
+                     f"AND d.pos = t.__fpos AND d.__dseq >= t.__fseq)")
     proj = ", ".join(f"\"{c}\"" for c in names)
     con.execute(f"CREATE VIEW resolved AS SELECT {proj} "
                 f"FROM ({survivors})")
-    return con, len(data), len(deletes), names
+    return con, len(data), len(deletes) + len(pos_deletes), names
 
 
 def canonical_hash(con, relation, names):
