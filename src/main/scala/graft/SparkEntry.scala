@@ -67,6 +67,7 @@ object SparkEntry {
     "q32_mor_part_sql"  -> (Lakehouse.q32MorPartSql _),
     "q33_mor_bucketed"  -> (Lakehouse.q33MorBucketed _),
     "q34_iceberg_bucketed" -> (Lakehouse.q34IcebergBucketed _),
+    "q35_partition_evolution" -> (Lakehouse.q35PartitionEvolution _),
     // training-data pipeline: dedup / similarity / text analysis
     "d1_exact_dedup" -> (Pipeline.d1ExactDedup _),
     "d2_fingerprint" -> (Pipeline.d2Fingerprint _),
@@ -453,6 +454,18 @@ object SparkEntry {
         |         ELSE CAST(o_totalprice AS DECIMAL(15,2)) END AS price
         |  FROM orders)
         |GROUP BY o_orderstatus""".stripMargin,
+    // q35 = partition-spec evolution: half the events committed before
+    // the spec change (column in pages), half after (column in dirs) —
+    // the oracle recomputes from the raw fixture, so a vintage dropped
+    // by over-eager pruning or double-read by the union shifts cnt
+    "q35_partition_evolution" ->
+      """SELECT event_type, COUNT(*) AS cnt,
+        |       CAST(SUM(event_id) AS BIGINT) AS id_sum,
+        |       CAST(SUM(CAST(CAST(value AS DECIMAL(15,2)) * 100 AS BIGINT))
+        |         AS BIGINT) AS value_cents
+        |FROM events
+        |WHERE event_type IN ('click', 'error', 'purchase')
+        |GROUP BY event_type""".stripMargin,
     // q32 = the partitioned MoR table through plain SQL with a
     // partition-pruned read: same CASE recomputation as q24, filtered
     // to the two probed priorities

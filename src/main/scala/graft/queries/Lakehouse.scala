@@ -653,6 +653,45 @@ object Lakehouse {
           .as("price_cents"))
   }
 
+  /** Q35 — partition-spec evolution under the oracle: an events table
+    * commits its first half UNPARTITIONED, evolves
+    * (`CALL graft.system.add_partition_field` — Iceberg's ADD
+    * PARTITION FIELD), then commits the second half hive-partitioned
+    * by `event_type`. The query reads the MIXED table through the SQL
+    * catalog with an event-type filter: the new vintage prunes by
+    * directory name, the old vintage is conservatively kept and
+    * pruned by file stats, and the answers must equal the relational
+    * recomputation over the raw fixture — a vintage dropped or
+    * double-read shifts every count.
+    */
+  def q35PartitionEvolution(spark: SparkSession, dir: String): DataFrame = {
+    ensureCatalog(spark)
+    val safe = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val path = s"${sys.props("java.io.tmpdir")}/graft-tiered/v$FormatVersion/$safe/events_evolved"
+    val t = TieredTable(spark, path)
+    if (!Files.exists(Paths.get(path, "meta", "LATEST"))) {
+      val events = Tables.load(spark, dir, "events")
+      t.commitAppend(events.filter(pmod(col("event_id"), lit(2)) === 0))
+      graft.plans.TieredCatalog.register("bench", "events_evolved", path)
+      spark.sql(
+        "CALL graft.system.add_partition_field('bench.events_evolved', 'event_type')")
+      val evolved = graft.plans.TieredCatalog
+        .lookup("bench", "events_evolved").get
+      val t2 = TieredTable(spark, path, partitionBy = evolved.partitionBy)
+      t2.commitAppend(events.filter(pmod(col("event_id"), lit(2)) === 1))
+    } else
+      graft.plans.TieredCatalog.register("bench", "events_evolved", path,
+        partitionBy = Seq("event_type"))
+    spark.sql(
+      """SELECT event_type, COUNT(*) AS cnt,
+        |       CAST(SUM(event_id) AS BIGINT) AS id_sum,
+        |       CAST(SUM(CAST(CAST(value AS DECIMAL(15,2)) * 100 AS BIGINT))
+        |         AS BIGINT) AS value_cents
+        |FROM graft.bench.events_evolved
+        |WHERE event_type IN ('click', 'error', 'purchase')
+        |GROUP BY event_type""".stripMargin)
+  }
+
   def q23IcebergMor(spark: SparkSession, dir: String): DataFrame = {
     val t = demoTableMor(spark, dir)
     graft.storage.IcebergExport.export(t)

@@ -709,6 +709,25 @@ object IcebergExport {
       snaps.flatMap(s => s.files.map(_ -> s.id))
         .groupBy(_._1).map { case (f, xs) => f -> xs.map(_._2).min }
 
+    // Partition-spec evolution: an exported table carries ONE spec, so
+    // a snapshot mixing dirs written under different specs cannot be
+    // described — old-spec files would get null partition values and
+    // external engines would PRUNE THEM OUT (silent row loss, worse
+    // than refusing). compact() rewrites everything under the current
+    // spec; history above the newest boundary exports cleanly.
+    table.partitionEvolutions.map(_._1).maxOption.foreach { boundary =>
+      val preEvolution = snaps.flatMap(_.files).distinct
+        .filter(d => addedBy(d) <= boundary)
+      require(preEvolution.isEmpty,
+        s"cannot export ${table.tablePath} as Iceberg: the partition " +
+          s"spec evolved at snapshot $boundary and ${preEvolution.size} " +
+          "live data dir(s) still carry the old layout — a single " +
+          "exported spec would give them null partition values and " +
+          "external engines would prune them out; run compact() (new " +
+          "layout) then vacuum() (retire pre-evolution history), then " +
+          "export")
+    }
+
     // Per-snapshot schemas are the RAW physical file schemas, not the
     // column-mapped view: our data files carry no Iceberg field-ids, so
     // an external reader matches BY NAME — a historic snapshot must be

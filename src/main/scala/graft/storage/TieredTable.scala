@@ -2133,6 +2133,43 @@ class TieredTable(spark: SparkSession, rawTablePath: String,
       }
     }
 
+  // ---- partition-spec evolution ----
+
+  /** Record a partition-spec evolution at the CURRENT snapshot
+    * boundary — Iceberg's `ADD PARTITION FIELD` semantics: snapshots
+    * at or below the boundary keep their physical layout (identity
+    * partition values live in their data PAGES, exactly where an
+    * unevolved write put them); snapshots above it hive-partition by
+    * the new spec. Reads need no marker (the per-root discovery union
+    * in [[readParquet]] aligns both vintages by name, and partition
+    * pruning conservatively keeps dirs lacking a `col=` segment);
+    * the marker exists so Iceberg EXPORT can refuse a mixed-vintage
+    * snapshot honestly (a single exported spec cannot describe both —
+    * compact() rewrites everything under the current spec and clears
+    * the mix). One line per evolution: `boundary|fromCsv|toCsv`.
+    */
+  def recordPartitionEvolution(from: Seq[String], to: Seq[String]): Unit =
+    withCommitLock {
+      val p = s"$metaDir/PARTITION_EVOLUTION"
+      val prior = fs.readString(p).getOrElse("")
+      fs.writeString(p,
+        prior + s"$latestSnapshotId|${from.mkString(",")}|${to.mkString(",")}\n")
+    }
+
+  /** Recorded evolutions, oldest first: (boundary snapshot id, old
+    * partitionBy, new partitionBy).
+    */
+  def partitionEvolutions: Seq[(Long, Seq[String], Seq[String])] =
+    fs.readString(s"$metaDir/PARTITION_EVOLUTION").toSeq
+      .flatMap(_.linesIterator)
+      .filter(_.nonEmpty)
+      .map { l =>
+        val Array(b, from, to) = l.split("\\|", -1)
+        (b.toLong,
+          from.split(",").toSeq.filter(_.nonEmpty),
+          to.split(",").toSeq.filter(_.nonEmpty))
+      }
+
   /** RENAME COLUMN as METADATA-ONLY evolution: one mapping line, no
     * data rewrite; all reads — current, union, time travel — present
     * the new name with the old files' data. Files written after the

@@ -138,7 +138,16 @@ class GraftCompositeScan(children: Seq[Scan],
       }
     }.toArray
   override def createReaderFactory(): PartitionReaderFactory =
-    GraftCompositeReaderFactory(batches.map(_.createReaderFactory()))
+    // children may present DIFFERENT column orders for the same column
+    // set: Spark's file scans put hive-discovered partition columns
+    // LAST, so after partition-spec evolution a pre-evolution root
+    // (partition column still in its data pages, no discovery) orders
+    // differently than its evolved siblings. The factory permutes each
+    // child's output to this scan's declared order by NAME — without
+    // it the concatenated batches misalign positionally (wrong values,
+    // or an NPE when the types differ).
+    GraftCompositeReaderFactory(batches.map(_.createReaderFactory()),
+      children.map(_.readSchema()), readSchema())
   override def description(): String =
     s"GraftCompositeScan(${children.size} roots)"
 
@@ -205,20 +214,72 @@ case class GraftCompositeKeyedPartition(child: Int,
   override def preferredLocations(): Array[String] = inner.preferredLocations()
 }
 
-case class GraftCompositeReaderFactory(factories: Seq[PartitionReaderFactory])
+case class GraftCompositeReaderFactory(factories: Seq[PartitionReaderFactory],
+                                       childSchemas: Seq[StructType],
+                                       target: StructType)
     extends PartitionReaderFactory {
   private def parts(p: InputPartition): (Int, InputPartition) = p match {
     case GraftCompositePartition(i, inner) => (i, inner)
     case GraftCompositeKeyedPartition(i, inner) => (i, inner)
   }
+
+  /** target-position → child-position, or None when the child already
+    * matches. Same column SET is a construction invariant (all
+    * children scan the same declared table schema); order may differ
+    * per root (hive discovery reorders partition columns last).
+    */
+  private def permutation(i: Int): Option[Array[Int]] = {
+    val child = childSchemas(i)
+    if (child.fieldNames.sameElements(target.fieldNames)) None
+    else Some(target.fieldNames.map { n =>
+      val at = child.fieldIndex(n) // throws on a genuinely missing col
+      at
+    })
+  }
+
   override def createReader(p: InputPartition)
       : PartitionReader[org.apache.spark.sql.catalyst.InternalRow] = {
-    val (i, inner) = parts(p); factories(i).createReader(inner)
+    val (i, inner) = parts(p)
+    val reader = factories(i).createReader(inner)
+    permutation(i) match {
+      case None => reader
+      case Some(perm) =>
+        val child = childSchemas(i)
+        val proj = org.apache.spark.sql.catalyst.expressions.UnsafeProjection
+          .create(perm.toIndexedSeq.map(j =>
+            org.apache.spark.sql.catalyst.expressions.BoundReference(
+              j, child(j).dataType, child(j).nullable)))
+        new PartitionReader[org.apache.spark.sql.catalyst.InternalRow] {
+          override def next(): Boolean = reader.next()
+          override def get(): org.apache.spark.sql.catalyst.InternalRow =
+            proj(reader.get())
+          override def close(): Unit = reader.close()
+        }
+    }
   }
+
   override def createColumnarReader(p: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
-    val (i, inner) = parts(p); factories(i).createColumnarReader(inner)
+    val (i, inner) = parts(p)
+    val reader = factories(i).createColumnarReader(inner)
+    permutation(i) match {
+      case None => reader
+      case Some(perm) =>
+        new PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+          override def next(): Boolean = reader.next()
+          override def get(): org.apache.spark.sql.vectorized.ColumnarBatch = {
+            val b = reader.get()
+            // thin wrapper over PERMUTED column-vector references — no
+            // data copies; vector lifetime stays with the inner reader
+            val cols = perm.map(b.column)
+            new org.apache.spark.sql.vectorized.ColumnarBatch(
+              cols.toArray, b.numRows())
+          }
+          override def close(): Unit = reader.close()
+        }
+    }
   }
+
   override def supportColumnarReads(p: InputPartition): Boolean = {
     val (i, inner) = parts(p); factories(i).supportColumnarReads(inner)
   }

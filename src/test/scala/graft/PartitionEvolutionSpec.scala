@@ -1,0 +1,157 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.plans.TieredCatalog
+import graft.storage.{IcebergExport, TieredTable}
+
+/** Partition-spec evolution — Iceberg's `ADD PARTITION FIELD`
+  * semantics via `CALL graft.system.add_partition_field`: the new
+  * spec applies to FUTURE writes; dirs committed earlier keep their
+  * physical layout (the evolved column sits in their data pages, so
+  * every vintage serves it). Reads union both; pruning is exact on
+  * new dirs (hive segment names) and conservative-then-stats on old
+  * ones; Iceberg export refuses a mixed snapshot with a working
+  * remedy (compact + vacuum), because a single exported spec cannot
+  * describe two layouts.
+  */
+class PartitionEvolutionSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private def mk(name: String): (TieredTable, String, String) = {
+    val dir = Files.createTempDirectory(s"graft-pevo-$name").toString
+    val path = s"$dir/$name"
+    TieredCatalog.register("pevo", name, path)
+    (TieredTable(spark, path), s"graft.pevo.$name", path)
+  }
+
+  test("evolve mid-life: both vintages read as one table; future " +
+       "writes land hive-partitioned; old dirs keep their layout") {
+    val (t, name, path) = mk("ev1")
+    t.commitAppend(Seq((1L, "eu", 10L), (2L, "us", 20L))
+      .toDF("id", "region", "amt"))                       // old layout
+    spark.sql(s"CALL graft.system.add_partition_field('pevo.ev1', 'region')")
+
+    // the evolved entry drives future writes through SQL
+    spark.sql(s"INSERT INTO $name VALUES (3, 'eu', 30), (4, 'ap', 40)")
+    val t2 = TieredTable(spark, path,
+      partitionBy = TieredCatalog.lookup("pevo", "ev1").get.partitionBy)
+    t2.tier()
+
+    // disk: the old dir has NO region= subdirs; the new one does
+    val dirs = t2.currentSnapshot.get.files
+    val layouts = dirs.map(d => new java.io.File(d).listFiles().toSeq
+      .exists(f => f.isDirectory && f.getName.startsWith("region=")))
+    assert(layouts.contains(true) && layouts.contains(false),
+      s"expected one dir per vintage, got $layouts for $dirs")
+
+    // one relation, all four rows, region served by both vintages
+    val got = spark.table(name)
+      .select("id", "region", "amt").as[(Long, String, Long)]
+      .collect().toSet
+    assert(got == Set((1L, "eu", 10L), (2L, "us", 20L),
+      (3L, "eu", 30L), (4L, "ap", 40L)))
+
+    // filtered read stays exact across the mix
+    val eu = spark.table(name).filter(col("region") === "eu")
+      .select("id").as[Long].collect().toSet
+    assert(eu == Set(1L, 3L))
+
+    // the marker records the boundary
+    assert(t2.partitionEvolutions ==
+      Seq((1L, Nil, Seq("region"))))
+  }
+
+  test("pruning on both vintages: new dirs prune by segment name; " +
+       "old dirs are conservatively kept (stats prune them instead)") {
+    val (t, name, path) = mk("ev2")
+    t.commitAppend((1L to 50L).map(i =>
+      (i, if (i % 2 == 0) "eu" else "us", i)).toDF("id", "region", "amt"))
+    spark.sql(s"CALL graft.system.add_partition_field('pevo.ev2', 'region')")
+    val entry = TieredCatalog.lookup("pevo", "ev2").get
+    val t2 = TieredTable(spark, path, partitionBy = entry.partitionBy)
+    t2.commitAppend((51L to 100L).map(i =>
+      (i, if (i % 2 == 0) "eu" else "ap", i)).toDF("id", "region", "amt"))
+
+    // 'ap' lives only in the NEW vintage: the old dir must still be
+    // scanned (conservative — no region= segment to prune on), the
+    // new dir's region=eu leg must be prunable. Assert ANSWERS, the
+    // pruning contract that cannot lie.
+    val ap = spark.table(name).filter(col("region") === "ap")
+      .agg(count(lit(1)), sum(col("amt"))).head()
+    assert(ap.getLong(0) == 25 && ap.getLong(1) == (51L to 100L)
+      .filter(_ % 2 == 1).sum)
+    // the partition-path filter keeps old-vintage paths (no segment)
+    // and prunes mismatched new-vintage paths
+    import org.apache.spark.sql.sources.EqualTo
+    val newDir = t2.currentSnapshot.get.files
+      .find(d => new java.io.File(d).listFiles().toSeq
+        .exists(f => f.isDirectory && f.getName.startsWith("region=")))
+      .get
+    assert(org.apache.spark.sql.GraftPartitionPathFilter.mayMatch(
+      s"$newDir/region=ap/part-0.parquet", Seq("region"),
+      EqualTo("region", "ap")))
+    assert(!org.apache.spark.sql.GraftPartitionPathFilter.mayMatch(
+      s"$newDir/region=eu/part-0.parquet", Seq("region"),
+      EqualTo("region", "ap")))
+    assert(org.apache.spark.sql.GraftPartitionPathFilter.mayMatch(
+      s"$newDir/part-0.parquet", Seq("region"),
+      EqualTo("region", "ap")), "pathless vintage must be KEPT")
+  }
+
+  test("iceberg export refuses the mixed snapshot with a working " +
+       "remedy; compact + vacuum then exports under the new spec") {
+    val (t, name, path) = mk("ev3")
+    t.commitAppend(Seq((1L, "eu", 10L), (2L, "us", 20L))
+      .toDF("id", "region", "amt"))
+    spark.sql(s"CALL graft.system.add_partition_field('pevo.ev3', 'region')")
+    val entry = TieredCatalog.lookup("pevo", "ev3").get
+    val t2 = TieredTable(spark, path, partitionBy = entry.partitionBy)
+    t2.commitAppend(Seq((3L, "eu", 30L)).toDF("id", "region", "amt"))
+
+    val e = intercept[IllegalArgumentException](IcebergExport.export(t2))
+    assert(e.getMessage.contains("spec evolved") &&
+      e.getMessage.contains("compact()"), e.getMessage)
+
+    t2.compact()
+    t2.vacuum(keepLast = 1)
+    val mpath = IcebergExport.export(t2)
+    val md = Files.readString(java.nio.file.Paths.get(mpath))
+    assert(md.contains(""""name":"region""""), "identity spec on region")
+    val got = IcebergExport.readTable(spark, path)
+      .select("id", "region", "amt").as[(Long, String, Long)]
+      .collect().toSet
+    assert(got == Set((1L, "eu", 10L), (2L, "us", 20L), (3L, "eu", 30L)))
+    // unused: name (the SQL face was exercised in the tests above)
+    assert(name.nonEmpty)
+  }
+
+  test("refusals: PK tables (frozen spec), duplicate field, reserved " +
+       "names, unknown column") {
+    val dir = Files.createTempDirectory("graft-pevo-refuse").toString
+    TieredCatalog.register("pevo", "pkt", s"$dir/pkt", pk = Seq("id"),
+      mergeOnRead = true)
+    val pkT = TieredTable(spark, s"$dir/pkt", pk = Seq("id"),
+      mergeOnRead = true)
+    pkT.commitUpsert(Seq((1L, "a")).toDF("id", "v"))
+    val e1 = intercept[Exception](spark.sql(
+      "CALL graft.system.add_partition_field('pevo.pkt', 'v')"))
+    assert(e1.getMessage.contains("frozen"), e1.getMessage)
+
+    val (t, _, _) = mk("ev4")
+    t.commitAppend(Seq((1L, "eu")).toDF("id", "region"))
+    spark.sql("CALL graft.system.add_partition_field('pevo.ev4', 'region')")
+    val e2 = intercept[Exception](spark.sql(
+      "CALL graft.system.add_partition_field('pevo.ev4', 'region')"))
+    assert(e2.getMessage.contains("already partitioned"), e2.getMessage)
+    val e3 = intercept[Exception](spark.sql(
+      "CALL graft.system.add_partition_field('pevo.ev4', '__seq')"))
+    assert(e3.getMessage.contains("reserved"), e3.getMessage)
+    val e4 = intercept[Exception](spark.sql(
+      "CALL graft.system.add_partition_field('pevo.ev4', 'nope')"))
+    assert(e4.getMessage.contains("not in"), e4.getMessage)
+  }
+}
