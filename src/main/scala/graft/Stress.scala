@@ -303,8 +303,61 @@ object Stress {
     val expJson = s""""iceberg_export_curve":{""" + expTimes.map {
       case (i, s) => s""""snapshots_$i":$s""" }.mkString(",") + "}"
 
+    // q18b's dirty-group MIN/MAX repair vs full rebuild, on a
+    // DELETE-HEAVY changelog built adversarially: every deleted row is
+    // its group's current MINIMUM, so every touched group goes dirty —
+    // the repair path's worst case (O(|delta| + |state| +
+    // |base ∩ dirty|), the semi-join-pruned recompute) against the
+    // O(|base|) rebuild it replaces. The claim is the repair stays a
+    // fraction of the rebuild even when EVERY delete dirties a group.
+    val ivmJson = {
+      import graft.operators.IncrementalAgg
+      val orders10 = (0 until copies).map { k =>
+        orders.select(
+          (col("o_orderkey") + lit(k * 1000000000L)).as("o_orderkey"),
+          pmod(col("o_custkey") + lit(k), lit(50000)).as("g"),
+          (col("o_totalprice").cast("decimal(15,2)") * 100)
+            .cast("long").as("v"))
+      }.reduce(_.union(_)).localCheckpoint(true)
+      val spec = IncrementalAgg.AggSpec(
+        sums = Seq("v" -> "sum_v"), cntCol = "n",
+        mins = Seq("v" -> "min_v"), maxs = Seq("v" -> "max_v"))
+      val state = IncrementalAgg.rebuildFull(orders10, Seq("g"), spec)
+        .localCheckpoint(true)
+      // the group-minimum row of ~20% of groups, retracted (-D)
+      val victims = orders10
+        .withColumn("__rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("g")).orderBy(col("v"), col("o_orderkey"))))
+        .filter(col("__rk") === 1 && pmod(col("g"), lit(5)) === 0)
+        .drop("__rk")
+      val delta = victims.withColumn("op", lit("-D"))
+        .localCheckpoint(true)
+      val deletes = delta.count()
+      def clock(f: => DataFrame): (Double, Long) = {
+        val t0 = System.nanoTime()
+        val rows = f.count()
+        ((System.nanoTime() - t0) / 1e9, rows)
+      }
+      // warm both paths (codegen + page cache), then time
+      clock(IncrementalAgg.applyDeltaFull(state, delta, Seq("g"), spec,
+        orders10))
+      val remaining = orders10.join(
+        victims.select(col("o_orderkey")), Seq("o_orderkey"), "left_anti")
+      clock(IncrementalAgg.rebuildFull(remaining, Seq("g"), spec))
+      val (repairSec, repairRows) = clock(
+        IncrementalAgg.applyDeltaFull(state, delta, Seq("g"), spec,
+          orders10))
+      val (rebuildSec, rebuildRows) = clock(
+        IncrementalAgg.rebuildFull(remaining, Seq("g"), spec))
+      require(repairRows == rebuildRows, "IVM repair changed the group set")
+      s""""ivm_repair_${copies}x":{"base_rows":${orders10.count()},""" +
+        s""""groups":$repairRows,"deletes":$deletes,""" +
+        s""""repair_sec":$repairSec,"rebuild_sec":$rebuildSec}"""
+    }
+
     println(s"""{"metric":"stress","docs":${n * copies},"copies":$copies,""" +
-      s""""results":$qs,$q13Json,$q16Json,$q17Json,$spjJson,$expJson}""")
+      s""""results":$qs,$q13Json,$q16Json,$q17Json,$spjJson,$expJson,$ivmJson}""")
     spark.stop()
   }
 }

@@ -64,15 +64,18 @@ class BenchFormatSpec extends AnyFunSuite {
       assert(math.abs(reassembled(k) - v) < 5e-4, s"$k drifted")
   }
 
-  test("spread line is short strict JSON carrying both pass totals") {
+  test("spread line is short strict JSON carrying every pass total") {
     val p2 = Map("q1" -> 0.30, "q2" -> 1.50, "q3" -> 0.45)
-    val line = Bench.spreadLine(results, p2, "/data/sf0.1")
+    val p3 = Map("q1" -> 0.28, "q2" -> 1.40, "q3" -> 0.40)
+    val line = Bench.spreadLine(Seq(results, p2, p3), "/data/sf0.1")
     assert(!line.contains("\n") && line.length < 200)
     val j = parse(line)
     assert((j \ "metric") == JString("pass_spread"))
     val JDouble(a) = j \ "pass1"
     val JDouble(b) = j \ "pass2"
-    assert(math.abs(a - 2.5) < 1e-9 && math.abs(b - 2.25) < 1e-9)
+    val JDouble(c) = j \ "pass3"
+    assert(math.abs(a - 2.5) < 1e-9 && math.abs(b - 2.25) < 1e-9 &&
+      math.abs(c - 2.08) < 1e-9)
     assert((j \ "sf") == JString("/data/sf0.1"))
   }
 
