@@ -68,6 +68,7 @@ object SparkEntry {
     "q33_mor_bucketed"  -> (Lakehouse.q33MorBucketed _),
     "q34_iceberg_bucketed" -> (Lakehouse.q34IcebergBucketed _),
     "q35_partition_evolution" -> (Lakehouse.q35PartitionEvolution _),
+    "q35b_evolved_export" -> (Lakehouse.q35bEvolvedExport _),
     // training-data pipeline: dedup / similarity / text analysis
     "d1_exact_dedup" -> (Pipeline.d1ExactDedup _),
     "d2_fingerprint" -> (Pipeline.d2Fingerprint _),
@@ -459,6 +460,17 @@ object SparkEntry {
     // the oracle recomputes from the raw fixture, so a vintage dropped
     // by over-eager pruning or double-read by the union shifts cnt
     "q35_partition_evolution" ->
+      """SELECT event_type, COUNT(*) AS cnt,
+        |       CAST(SUM(event_id) AS BIGINT) AS id_sum,
+        |       CAST(SUM(CAST(CAST(value AS DECIMAL(15,2)) * 100 AS BIGINT))
+        |         AS BIGINT) AS value_cents
+        |FROM events
+        |WHERE event_type IN ('click', 'error', 'purchase')
+        |GROUP BY event_type""".stripMargin,
+    // q35b = the evolved table exported as a MULTI-SPEC Iceberg table
+    // and read back purely from the exported chain — same oracle as
+    // q35 (a vintage exported under the wrong spec loses its rows)
+    "q35b_evolved_export" ->
       """SELECT event_type, COUNT(*) AS cnt,
         |       CAST(SUM(event_id) AS BIGINT) AS id_sum,
         |       CAST(SUM(CAST(CAST(value AS DECIMAL(15,2)) * 100 AS BIGINT))

@@ -211,6 +211,7 @@ class TemporalJoinParser(delegate: ParserInterface) extends ParserInterface {
     // generic ParseException
     MaterializedViewSql.parse(sqlText, delegate)
       .orElse(StreamingInsertSql.parse(sqlText, delegate))
+      .orElse(PartitionEvolutionSql.parse(sqlText, delegate))
       .orElse(FlinkDialect.parse(sqlText, delegate))
       .getOrElse(withRewrite(sqlText, delegate.parsePlan))
   override def parseQuery(sqlText: String): LogicalPlan =

@@ -178,64 +178,11 @@ object GraftProcedures {
       "evolve the partition spec (Iceberg's ADD PARTITION FIELD): " +
         "future writes hive-partition by the added column too; " +
         "existing dirs keep their layout — reads union both vintages " +
-        "and prune each by what it has (dir names new, file stats old)",
+        "and prune each by what it has (dir names new, file stats " +
+        "old); Iceberg export is multi-spec. Same verb as the DDL " +
+        "spelling ALTER TABLE t ADD PARTITION FIELD col",
       Seq(p("table", StringType), p("column", StringType)),
-      r => {
-        val dbTable = str(r, 0)
-        val c = str(r, 1)
-        val parts = dbTable.split("\\.").toSeq match {
-          case Seq(TieredCatalog.CatalogName, db, t) => Seq(db, t)
-          case pr @ Seq(_, _) => pr
-          case _ => fail(s"table must be '<db>.<table>', got '$dbTable'")
-        }
-        val (db, name) = (parts.head, parts(1))
-        val e = TieredCatalog.lookup(db, name).getOrElse(
-          fail(s"unknown graft table '$dbTable'"))
-        // PK tables refuse: exported equality deletes are partition-
-        // scoped, and a spec that changed mid-history would leave old
-        // deltas' delete files scoped to the WRONG spec — the Iceberg
-        // community rule (upsert sinks require a frozen spec) applies
-        if (e.pk.nonEmpty)
-          fail(s"$dbTable is a primary-key table — its partition " +
-            "spec is frozen (partition-scoped upsert deltas and " +
-            "equality deletes are exact only under one spec); rewrite " +
-            "into a new table to change the layout")
-        if (e.partitionBy.contains(c))
-          fail(s"$dbTable is already partitioned by $c")
-        if (TieredTable.SqlReserved.exists(_.equalsIgnoreCase(c)))
-          fail(s"column name '$c' is reserved for the engine's " +
-            "internal layout")
-        val t = TieredTable(SparkSession.active, e.path,
-          partitionBy = e.partitionBy)
-        // the evolved column must exist: every vintage serves it (old
-        // dirs from data pages, new dirs from the hive layout)
-        val tfs = graft.storage.TableFs.forPath(e.path)
-        val persisted = tfs.readString(s"${e.path}/meta/SCHEMA")
-          .map(StructType.fromDDL)
-        val schema = persisted.getOrElse {
-          if (t.latestSnapshotId > 0 || t.logSegments.nonEmpty)
-            t.readUnion().schema
-          else fail(s"$dbTable has no schema yet — evolve after " +
-            "the first write (or CREATE the table with DDL)")
-        }
-        if (!schema.fieldNames.exists(_.equalsIgnoreCase(c)))
-          fail(s"column $c not in $dbTable's schema " +
-            s"(${schema.fieldNames.mkString(", ")})")
-        // persist the DECLARED schema: mixed-vintage roots infer
-        // DIFFERENT column orders (hive appends partition columns
-        // last), and the composite SQL scan needs one authoritative
-        // shape to reconcile them by name
-        if (persisted.isEmpty) {
-          tfs.mkdirs(s"${e.path}/meta")
-          tfs.writeString(s"${e.path}/meta/SCHEMA", schema.toDDL)
-        }
-        t.recordPartitionEvolution(e.partitionBy, e.partitionBy :+ c)
-        TieredCatalog.register(db, name, e.path, e.pk, e.mergeOnRead,
-          e.partitionBy :+ c, e.bloomCols, e.changeDataFeed, e.datalake,
-          e.watermark, e.sortBy, e.bucketBy)
-        TieredCatalog.persist(db, name)
-        ()
-      })
+      r => PartitionEvolution.addField(str(r, 0), str(r, 1)))
   ).map(pr => pr.procName -> pr).toMap
 
   def load(ident: Identifier): UnboundProcedure = {

@@ -1,0 +1,111 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.Row
+
+import graft.storage.TieredTable
+
+/** Partition-spec evolution — Iceberg's `ADD PARTITION FIELD`
+  * semantics, shared by the stored procedure
+  * (`CALL graft.system.add_partition_field`) and the Iceberg-spelled
+  * DDL (`ALTER TABLE graft.db.t ADD PARTITION FIELD col`, intercepted
+  * by [[PartitionEvolutionSql.parse]] — Spark's own grammar routes
+  * ADD PARTITION to the Hive partition-VALUE verb, which the catalog
+  * refuses).
+  *
+  * The new spec applies to FUTURE writes; dirs committed earlier keep
+  * their physical layout (the evolved column stays in their data
+  * pages, so every vintage serves it). Reads union both vintages;
+  * Iceberg export is multi-spec (per-manifest `partition_spec_id`).
+  */
+object PartitionEvolution {
+
+  private def fail(msg: String): Nothing =
+    throw new org.apache.spark.sql.AnalysisException(
+      errorClass = "USER_RAISED_EXCEPTION",
+      messageParameters = Map("errorMessage" -> s"ADD PARTITION FIELD: $msg"))
+
+  def addField(dbTable: String, c: String): Unit = {
+    val parts = dbTable.split("\\.").toSeq match {
+      case Seq(TieredCatalog.CatalogName, db, t) => Seq(db, t)
+      case pr @ Seq(_, _) => pr
+      case _ => fail(s"table must be '<db>.<table>', got '$dbTable'")
+    }
+    val (db, name) = (parts.head, parts(1))
+    val e = TieredCatalog.lookup(db, name).getOrElse(
+      fail(s"unknown graft table '$dbTable'"))
+    // PK tables refuse: exported equality deletes are partition-
+    // scoped, and a spec that changed mid-history would leave old
+    // deltas' delete files scoped to the WRONG spec — the Iceberg
+    // community rule (upsert sinks require a frozen spec) applies
+    if (e.pk.nonEmpty)
+      fail(s"$dbTable is a primary-key table — its partition " +
+        "spec is frozen (partition-scoped upsert deltas and " +
+        "equality deletes are exact only under one spec); rewrite " +
+        "into a new table to change the layout")
+    if (e.partitionBy.contains(c))
+      fail(s"$dbTable is already partitioned by $c")
+    if (TieredTable.SqlReserved.exists(_.equalsIgnoreCase(c)))
+      fail(s"column name '$c' is reserved for the engine's " +
+        "internal layout")
+    val t = TieredTable(SparkSession.active, e.path,
+      partitionBy = e.partitionBy)
+    // the evolved column must exist: every vintage serves it (old
+    // dirs from data pages, new dirs from the hive layout)
+    val tfs = graft.storage.TableFs.forPath(e.path)
+    val persisted = tfs.readString(s"${e.path}/meta/SCHEMA")
+      .map(StructType.fromDDL)
+    val schema = persisted.getOrElse {
+      if (t.latestSnapshotId > 0 || t.logSegments.nonEmpty)
+        t.readUnion().schema
+      else fail(s"$dbTable has no schema yet — evolve after " +
+        "the first write (or CREATE the table with DDL)")
+    }
+    if (!schema.fieldNames.exists(_.equalsIgnoreCase(c)))
+      fail(s"column $c not in $dbTable's schema " +
+        s"(${schema.fieldNames.mkString(", ")})")
+    // persist the DECLARED schema: mixed-vintage roots infer
+    // DIFFERENT column orders (hive appends partition columns
+    // last), and the composite SQL scan needs one authoritative
+    // shape to reconcile them by name
+    if (persisted.isEmpty) {
+      tfs.mkdirs(s"${e.path}/meta")
+      tfs.writeString(s"${e.path}/meta/SCHEMA", schema.toDDL)
+    }
+    t.recordPartitionEvolution(e.partitionBy, e.partitionBy :+ c)
+    TieredCatalog.register(db, name, e.path, e.pk, e.mergeOnRead,
+      e.partitionBy :+ c, e.bloomCols, e.changeDataFeed, e.datalake,
+      e.watermark, e.sortBy, e.bucketBy)
+    TieredCatalog.persist(db, name)
+  }
+}
+
+/** Parser intercept for the Iceberg DDL spelling. Spark's grammar
+  * parses `ALTER TABLE t ADD PARTITION (spec)` as the Hive
+  * partition-VALUE add, and has no `ADD PARTITION FIELD` at all —
+  * intercepting up front keeps the verb AND the error messages ours.
+  */
+object PartitionEvolutionSql {
+  private val AddField =
+    """(?is)^\s*ALTER\s+TABLE\s+([\w.`]+)\s+ADD\s+PARTITION\s+FIELD\s+`?(\w+)`?\s*;?\s*$""".r
+
+  def parse(sqlText: String, delegate: ParserInterface): Option[LogicalPlan] =
+    sqlText match {
+      case AddField(ident, col) =>
+        Some(AddPartitionFieldCommand(ident.replace("`", ""), col))
+      case _ => None
+    }
+}
+
+/** Eager DDL node — `spark.sql(...)` runs it like any ALTER. */
+case class AddPartitionFieldCommand(dbTable: String, column: String)
+  extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    PartitionEvolution.addField(dbTable, column)
+    Seq.empty
+  }
+}

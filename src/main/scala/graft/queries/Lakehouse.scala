@@ -692,6 +692,30 @@ object Lakehouse {
         |GROUP BY event_type""".stripMargin)
   }
 
+  /** Q35B — the evolved table EXPORTED as a MULTI-SPEC Iceberg table
+    * (spec-id 0 = the unpartitioned vintage, spec-id 1 = the
+    * `event_type` identity spec; each manifest carries its own
+    * `partition_spec_id`, per the Iceberg spec's partition-evolution
+    * rules) and read back purely from the exported chain. The same
+    * relational recomputation as q35 is the oracle: a vintage exported
+    * under the wrong spec reads null partition values and its rows
+    * vanish from the filtered groups.
+    */
+  def q35bEvolvedExport(spark: SparkSession, dir: String): DataFrame = {
+    q35PartitionEvolution(spark, dir).count() // ensure the fixture
+    val safe = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val path = s"${sys.props("java.io.tmpdir")}/graft-tiered/v$FormatVersion/$safe/events_evolved"
+    val t = TieredTable(spark, path, partitionBy = Seq("event_type"))
+    graft.storage.IcebergExport.export(t)
+    graft.storage.IcebergExport.readTable(spark, path)
+      .filter(col("event_type").isin("click", "error", "purchase"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("event_id")).cast("long").as("id_sum"),
+        sum((col("value").cast("decimal(15,2)") * 100).cast("long"))
+          .cast("long").as("value_cents"))
+  }
+
   def q23IcebergMor(spark: SparkSession, dir: String): DataFrame = {
     val t = demoTableMor(spark, dir)
     graft.storage.IcebergExport.export(t)

@@ -617,6 +617,18 @@ object IcebergExport {
           "fresh bucketed table (new tables with a single-column PK " +
           "use the Iceberg kernel automatically)")
     }
+    // a spec-evolved table must be opened with its CURRENT layout —
+    // a stale handle would mis-parse the newest vintage's hive dirs
+    // (checked before any read: the stale read itself fails with an
+    // opaque conflicting-directory error)
+    table.partitionEvolutions.lastOption.foreach { case (_, _, to) =>
+      require(table.partitionBy == to,
+        s"${table.tablePath} evolved its partition spec to " +
+          s"(${to.mkString(", ")}) but this handle was opened with " +
+          s"(${table.partitionBy.mkString(", ")}) — open through the " +
+          "catalog (or pass the current partitionBy) so the export " +
+          "parses the newest vintage's layout")
+    }
     val head = table.currentSnapshot.getOrElse(
       throw new IllegalStateException(
         s"no snapshot to export in ${table.tablePath}"))
@@ -653,7 +665,11 @@ object IcebergExport {
     val fingerprint = {
       val md = java.security.MessageDigest.getInstance("MD5")
       md.update((s"${head.id}:${table.readCold().schema.toDDL}:" +
-        snaps.map(_.id).mkString(","))
+        snaps.map(_.id).mkString(",") +
+        // a spec evolution without a new commit must still re-export
+        // (the spec list and per-manifest spec-ids change)
+        ":" + table.partitionEvolutions.map { case (b, f, t) =>
+          s"$b|${f.mkString(",")}|${t.mkString(",")}" }.mkString(";"))
         .getBytes(StandardCharsets.UTF_8))
       md.digest().map("%02x".format(_)).mkString
     }
@@ -709,24 +725,27 @@ object IcebergExport {
       snaps.flatMap(s => s.files.map(_ -> s.id))
         .groupBy(_._1).map { case (f, xs) => f -> xs.map(_._2).min }
 
-    // Partition-spec evolution: an exported table carries ONE spec, so
-    // a snapshot mixing dirs written under different specs cannot be
-    // described — old-spec files would get null partition values and
-    // external engines would PRUNE THEM OUT (silent row loss, worse
-    // than refusing). compact() rewrites everything under the current
-    // spec; history above the newest boundary exports cleanly.
-    table.partitionEvolutions.map(_._1).maxOption.foreach { boundary =>
-      val preEvolution = snaps.flatMap(_.files).distinct
-        .filter(d => addedBy(d) <= boundary)
-      require(preEvolution.isEmpty,
-        s"cannot export ${table.tablePath} as Iceberg: the partition " +
-          s"spec evolved at snapshot $boundary and ${preEvolution.size} " +
-          "live data dir(s) still carry the old layout — a single " +
-          "exported spec would give them null partition values and " +
-          "external engines would prune them out; run compact() (new " +
-          "layout) then vacuum() (retire pre-evolution history), then " +
-          "export")
-    }
+    // Partition-spec evolution exports as MULTIPLE specs — Iceberg's
+    // own answer: every spec the table ever wrote under is listed in
+    // `partition-specs`, each manifest carries the `partition_spec_id`
+    // of the vintage its dirs were written under, and its partition
+    // struct holds that spec's (possibly empty) fields. External
+    // engines prune each file by ITS spec's values — no nulls, no
+    // silently-pruned old vintage, no compaction required first.
+    // specTimeline: (specId, cols, last snapshot id the spec wrote).
+    val evolutions = table.partitionEvolutions
+    val specTimeline: Seq[(Int, Seq[String], Long)] =
+      if (evolutions.isEmpty) Seq((0, table.partitionBy, Long.MaxValue))
+      else {
+        val colsSeq = evolutions.map(_._2) :+ evolutions.last._3
+        colsSeq.zipWithIndex.map { case (cols, i) =>
+          (i, cols,
+            if (i < evolutions.size) evolutions(i)._1 else Long.MaxValue)
+        }
+      }
+    val defaultSpecId = specTimeline.last._1
+    def specOfDir(d: String): Int =
+      specTimeline.find(addedBy(d) <= _._3).get._1
 
     // Per-snapshot schemas are the RAW physical file schemas, not the
     // column-mapped view: our data files carry no Iceberg field-ids, so
@@ -826,23 +845,38 @@ object IcebergExport {
     // `table.partitionBy` names the DIRECTORY columns the values are
     // parsed from — same order, zipped below.
     val bucketed = table.bucketBy > 0
-    val partTypes: Seq[(String, DataType)] =
+    // Per-spec shapes. Evolution only ever APPENDS identity fields
+    // (add_partition_field refuses PK tables, so bucketed/MoR tables
+    // are always single-spec), so a field keeps ONE field-id across
+    // every spec that names it: 1000 + its position in the CURRENT
+    // column list — the Iceberg rule that partition field-ids are
+    // assigned once, table-wide.
+    def partTypesOf(cols: Seq[String]): Seq[(String, DataType)] =
       if (bucketed) Seq(s"${table.pk.head}_bucket" -> IntegerType)
-      else table.partitionBy.map { c =>
+      else cols.map { c =>
         c -> headSchema.find(_.name == c).getOrElse(throw new IllegalStateException(
           s"partition column $c absent from the discovered head schema")).dataType
       }
-    val entrySchema = manifestEntrySchema(
-      partTypes.map { case (n, dt) => n -> avroPartType(dt) })
-    val specFields =
+    def specFieldsOf(cols: Seq[String]): Seq[Map[String, Any]] =
       if (bucketed) Seq(Map(
         "name" -> s"${table.pk.head}_bucket",
         "transform" -> s"bucket[${table.bucketBy}]",
         "source-id" -> headFieldIds(table.pk.head), "field-id" -> 1000))
-      else table.partitionBy.zipWithIndex.map { case (c, i) =>
+      else cols.map { c =>
         Map("name" -> c, "transform" -> "identity",
-          "source-id" -> headFieldIds(c), "field-id" -> (1000 + i))
+          "source-id" -> headFieldIds(c),
+          "field-id" -> (1000 + specTimeline.last._2.indexOf(c)))
       }
+    val entrySchemaOf: Map[Int, Schema] = specTimeline.map { case (id, cols, _) =>
+      id -> manifestEntrySchema(
+        partTypesOf(cols).map { case (n, dt) => n -> avroPartType(dt) })
+    }.toMap
+    // the DEFAULT (newest) spec's shapes — the only ones the
+    // single-spec paths (MoR deletes, bucketed layout) ever see
+    val partTypes: Seq[(String, DataType)] =
+      partTypesOf(specTimeline.last._2)
+    val entrySchema = entrySchemaOf(defaultSpecId)
+    val specFields = specFieldsOf(specTimeline.last._2)
 
     // Every live merge-on-read dir must be PK-UNIQUE to be representable:
     // within one sequence number Iceberg applies no self-delete, so
@@ -953,31 +987,38 @@ object IcebergExport {
       // snapshot's manifest, delete manifest, and manifest list are
       // byte-for-byte what this export would write — skip the footer
       // walk and the Avro writes entirely.
-      val reusable = prefixStable && s.id <= prevHead &&
+      val reusable = evolutions.isEmpty &&
+        prefixStable && s.id <= prevHead &&
         metaFs.exists(manifestPath) && metaFs.exists(listPath) &&
         (!needsDel || metaFs.exists(delPath))
       if (!reusable) {
-      // one manifest per snapshot, listing every live file of that
-      // snapshot; files added earlier carry EXISTING status with their
-      // original (data) sequence number — the v2 inheritance rules
-      val entries = s.files.flatMap { dir =>
+      // one DATA manifest per (snapshot, partition spec): every dir is
+      // listed under the spec it was WRITTEN under (specOfDir), with
+      // that spec's partition struct and spec-id — single-spec tables
+      // collapse to the one-manifest-per-snapshot shape. Files added
+      // earlier carry EXISTING status with their original (data)
+      // sequence number — the v2 inheritance rules.
+      def entriesFor(dirs: Seq[String], eSchema: Schema,
+                     pt: Seq[(String, DataType)],
+                     dirCols: Seq[String]): Seq[GenericRecord] =
+        dirs.flatMap { dir =>
         val addedIn = addedBy(dir)
         partFilesCached(dir).map { case (path, rows, bytes, colStats) =>
-          val e = new GenericData.Record(entrySchema)
+          val e = new GenericData.Record(eSchema)
           e.put("status", if (addedIn == s.id) 1 else 0) // ADDED / EXISTING
           e.put("snapshot_id", addedIn)
           e.put("sequence_number", addedIn)       // data sequence number
           e.put("file_sequence_number", addedIn)
           val df = new GenericData.Record(
-            entrySchema.getField("data_file").schema())
+            eSchema.getField("data_file").schema())
           df.put("content", 0)                    // DATA
           df.put("file_path", path)
           df.put("file_format", "PARQUET")
           val partRec = new GenericData.Record(
             df.getSchema.getField("partition").schema())
-          if (partTypes.nonEmpty) {
-            val vals = partitionValuesOf(path, dir, table.partitionBy)
-            partTypes.zip(vals).foreach { case ((c, dt), ov) =>
+          if (pt.nonEmpty) {
+            val vals = partitionValuesOf(path, dir, dirCols)
+            pt.zip(vals).foreach { case ((c, dt), ov) =>
               partRec.put(c, ov.map(typedPartValue(_, dt)).orNull)
             }
           }
@@ -1016,20 +1057,34 @@ object IcebergExport {
         }
       }
       val (schemaObj, _) = icebergSchema(snapSchema, schemaIdOf(s.id))
-      val manifestLen = writeAvro(manifestPath, entrySchema, Map(
-        "schema" -> toJson(schemaObj),
-        "schema-id" -> schemaIdOf(s.id).toString,
-        "partition-spec" -> toJson(specFields),
-        "partition-spec-id" -> "0",
-        "format-version" -> "2",
-        "content" -> "data"), entries)
+      val dataManifests: Seq[(String, Long, Int, Seq[GenericRecord])] =
+        s.files.groupBy(specOfDir).toSeq.sortBy(_._1).map {
+          case (sid, dirs) =>
+            val mp =
+              if (specTimeline.size == 1) manifestPath
+              else s"$mdir/manifest-${"%06d".format(s.id)}-s$sid.avro"
+            val cols = specTimeline(sid)._2
+            val pt = partTypesOf(cols)
+            val dirCols = if (bucketed) table.partitionBy else cols
+            val eSchema = entrySchemaOf(sid)
+            val ents = entriesFor(dirs.sortBy(addedBy), eSchema, pt, dirCols)
+            val len = writeAvro(mp, eSchema, Map(
+              "schema" -> toJson(schemaObj),
+              "schema-id" -> schemaIdOf(s.id).toString,
+              "partition-spec" -> toJson(specFieldsOf(cols)),
+              "partition-spec-id" -> sid.toString,
+              "format-version" -> "2",
+              "content" -> "data"), ents)
+            (mp, len, sid, ents)
+        }
 
       def manifestFile(path: String, length: Long, content: Int,
-                       es: Seq[GenericRecord]): GenericRecord = {
+                       es: Seq[GenericRecord],
+                       specId: Int = defaultSpecId): GenericRecord = {
         val mf = new GenericData.Record(ManifestFileSchema)
         mf.put("manifest_path", path)
         mf.put("manifest_length", length)
-        mf.put("partition_spec_id", 0)
+        mf.put("partition_spec_id", specId)
         mf.put("content", content)
         mf.put("sequence_number", s.id)
         mf.put("min_sequence_number",
@@ -1049,7 +1104,9 @@ object IcebergExport {
         mf.put("deleted_rows_count", 0L)
         mf
       }
-      val mfs = Seq(manifestFile(manifestPath, manifestLen, 0, entries)) ++ {
+      val mfs = dataManifests.map { case (mp, len, sid, ents) =>
+        manifestFile(mp, len, 0, ents, sid)
+      } ++ {
         // delete manifest: equality-delete entries for every live dir
         // that supersedes an older live dir of THIS snapshot, at the
         // superseding dir's sequence number — one entry PER DELETE
@@ -1132,9 +1189,11 @@ object IcebergExport {
       "last-column-id" -> lastColId,
       "current-schema-id" -> schemaIdOf(head.id),
       "schemas" -> schemaObjs.map(_._1),
-      "default-spec-id" -> 0,
-      "partition-specs" -> Seq(Map("spec-id" -> 0, "fields" -> specFields)),
-      "last-partition-id" -> (999 + table.partitionBy.size),
+      "default-spec-id" -> defaultSpecId,
+      "partition-specs" -> specTimeline.map { case (id, cols, _) =>
+        Map("spec-id" -> id, "fields" -> specFieldsOf(cols)) },
+      "last-partition-id" -> (999 + math.max(1,
+        specTimeline.last._2.size)),
       "default-sort-order-id" -> 0,
       "sort-orders" -> Seq(Map("order-id" -> 0, "fields" -> Seq.empty[Any])),
       "properties" -> Map(
@@ -1260,35 +1319,48 @@ object IcebergExport {
       case other => throw new IllegalStateException(s"bad manifest-list: $other")
     }
     val (manifestFiles, _) = readAvro(listPath)
-    // partition fields of the default spec, WITH their transforms:
-    // identity values live only in the manifests (add_files-style
-    // layout) and are reattached as constant columns; non-identity
-    // transforms (bucket[N]) are metadata-only — their SOURCE column
-    // is physically present in the data pages, and the transform value
-    // is never a schema column
-    val specFieldDefs: Seq[(String, String)] = jsonAt(md, "partition-specs")
-      .asInstanceOf[org.json4s.JArray].arr.headOption
-      .map(s => jsonAt(s, "fields").asInstanceOf[org.json4s.JArray].arr)
-      .getOrElse(Nil)
-      .map { f =>
-        val org.json4s.JString(name) = jsonAt(f, "name"): @unchecked
-        val transform = jsonAt(f, "transform") match {
-          case org.json4s.JString(t) => t
-          case _ => "identity"
-        }
-        (name, transform)
-      }
-    val specFields = specFieldDefs.map(_._1)
+    // ALL partition specs, keyed by spec-id, WITH their transforms —
+    // a spec-evolved table's manifests point at DIFFERENT specs
+    // (partition_spec_id per manifest), and each file's partition
+    // struct holds ITS spec's fields. Identity values live only in
+    // the manifests (add_files-style layout) and are reattached as
+    // constant columns; non-identity transforms (bucket[N]) are
+    // metadata-only — their SOURCE column is physically present in
+    // the data pages, and the transform value is never a schema column.
+    val specsById: Map[Int, Seq[(String, String)]] =
+      jsonAt(md, "partition-specs")
+        .asInstanceOf[org.json4s.JArray].arr.map { s =>
+          val specId = jLong(jsonAt(s, "spec-id")).toInt
+          val fields = jsonAt(s, "fields")
+            .asInstanceOf[org.json4s.JArray].arr.map { f =>
+              val org.json4s.JString(name) = jsonAt(f, "name"): @unchecked
+              val transform = jsonAt(f, "transform") match {
+                case org.json4s.JString(t) => t
+                case _ => "identity"
+              }
+              (name, transform)
+            }
+          specId -> fields
+        }.toMap
+    val defaultSpecId = jsonAt(md, "default-spec-id") match {
+      case org.json4s.JInt(i) => i.toInt
+      case _ => 0
+    }
+    val anyPartitioned = specsById.values.exists(_.nonEmpty)
     // manifest-list `content`: 0 = data manifests, 1 = delete manifests
     val (dataManifests, deleteManifests) =
       manifestFiles.partition(_.get("content").asInstanceOf[Int] == 0)
-    def liveOf(mfs: Seq[GenericRecord]): Seq[(GenericRecord, Long)] =
+    // each entry rides with ITS manifest's spec-id (the default when a
+    // foreign manifest-list omits the column)
+    def liveOf(mfs: Seq[GenericRecord]): Seq[(GenericRecord, Long, Int)] =
       mfs.flatMap { mf =>
+        val specId = Option(mf.get("partition_spec_id"))
+          .map(_.asInstanceOf[Int]).getOrElse(defaultSpecId)
         val (entries, _) = readAvro(mf.get("manifest_path").toString)
         // status 2 = DELETED: the file left the table in this snapshot
         entries.filter(_.get("status").asInstanceOf[Int] != 2)
           .map(e => (e.get("data_file").asInstanceOf[GenericRecord],
-            e.get("sequence_number").asInstanceOf[Long]))
+            e.get("sequence_number").asInstanceOf[Long], specId))
       }
     val liveEntries = liveOf(dataManifests)
     val deleteEntries = liveOf(deleteManifests)
@@ -1358,7 +1430,7 @@ object IcebergExport {
       case None =>
         spark.read.option("mergeSchema", "true").parquet(files: _*)
     }
-    if (specFields.isEmpty && deleteEntries.isEmpty) {
+    if (!anyPartitioned && deleteEntries.isEmpty) {
       val df = readData(liveEntries.map(_._1.get("file_path").toString))
       if (df.columns.toSeq == colOrder) df
       else df.select(colOrder.map(org.apache.spark.sql.functions.col): _*)
@@ -1368,27 +1440,28 @@ object IcebergExport {
         val org.json4s.JString(n) = jsonAt(f, "name"): @unchecked
         jLong(jsonAt(f, "id")).toInt -> n
       }.toMap
-      // group data files by (sequence, partition tuple); each group
-      // scans once, gets its partition columns attached as typed
-      // constants (the constant-vector read every Iceberg engine does
-      // for identity transforms) and its data sequence number for
-      // delete application. Plan width is O(sequences × partitions in
-      // the snapshot) — the width graft's own tiered read plans.
-      val byGroup: Map[(Long, Seq[Option[Any]]), Seq[String]] =
-        liveEntries.map { case (e, seq) =>
+      // group data files by (sequence, spec, partition tuple); each
+      // group scans once, gets ITS SPEC's partition columns attached
+      // as typed constants (the constant-vector read every Iceberg
+      // engine does for identity transforms) and its data sequence
+      // number for delete application. Plan width is O(sequences ×
+      // partitions in the snapshot) — the width graft's own tiered
+      // read plans.
+      val byGroup: Map[(Long, Int, Seq[Option[Any]]), Seq[String]] =
+        liveEntries.map { case (e, seq, specId) =>
           val rec = e.get("partition").asInstanceOf[GenericRecord]
-          val vals = specFields.map { c =>
+          val vals = specsById(specId).map { case (c, _) =>
             Option(rec.get(c)).map {
               case u: org.apache.avro.util.Utf8 => u.toString
               case v => v
             }
           }
-          ((seq, vals), e.get("file_path").toString)
+          ((seq, specId, vals), e.get("file_path").toString)
         }.groupBy(_._1).map { case (k, xs) => k -> xs.map(_._2) }
       val data = byGroup.toSeq.sortBy(_._1.toString)
-        .map { case ((seq, vals), files) =>
+        .map { case ((seq, specId, vals), files) =>
           var df = readData(files)
-          specFieldDefs.zip(vals).foreach {
+          specsById(specId).zip(vals).foreach {
             case ((c, "identity"), ov) =>
               val st = sparkType(typeOf(c))
               val value = ov match {
@@ -1434,7 +1507,7 @@ object IcebergExport {
           // exists for exactly this), so the declared eqNames schema
           // drives the scan — no per-file inference
           val delSchema = ddlSchema(eqNames)
-          val dels = eqDeleteEntries.map { case (e, seq) =>
+          val dels = eqDeleteEntries.map { case (e, seq, _) =>
             val path = e.get("file_path").toString
             var df = delSchema match {
               case Some(st) => spark.read.schema(st).parquet(path)
@@ -1482,7 +1555,7 @@ object IcebergExport {
           // side's path/position came from the parquet reader's
           // _metadata columns above.
           val posSchema = StructType.fromDDL("`file_path` STRING, `pos` BIGINT")
-          val pdels = posDeleteEntries.map { case (e, seq) =>
+          val pdels = posDeleteEntries.map { case (e, seq, _) =>
             spark.read.schema(posSchema)
               .parquet(e.get("file_path").toString)
               .withColumn("__ice_dseq", lit(seq))

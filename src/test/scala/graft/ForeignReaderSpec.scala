@@ -264,6 +264,25 @@ class ForeignReaderSpec extends AnyFunSuite with SparkSpec {
     assert(r("deletes").toString.toInt >= 1, r.toString)
   }
 
+  test("partition-spec evolution: the foreign reader resolves a " +
+       "MULTI-SPEC table (per-manifest spec ids, both vintages)") {
+    assume(pythonOk, "driver-side python3+duckdb unavailable")
+    val dir = Files.createTempDirectory("graft-foreign-evo").toString
+    val path = s"$dir/evolved"
+    val t = TieredTable(spark, path)
+    t.commitAppend(Seq((1L, "eu", 10L), (2L, "us", 20L))
+      .toDF("id", "region", "amt"))          // spec 0 (unpartitioned)
+    t.recordPartitionEvolution(Nil, Seq("region"))
+    val t2 = TieredTable(spark, path, partitionBy = Seq("region"))
+    t2.commitAppend(Seq((3L, "eu", 30L), (4L, "ap", 40L))
+      .toDF("id", "region", "amt"))          // spec 1 (region)
+    IcebergExport.export(t2)
+    val r = readForeign(path, dump(
+      Seq((1L, "eu", 10L), (2L, "us", 20L), (3L, "eu", 30L),
+        (4L, "ap", 40L)).toDF("id", "region", "amt"), s"$dir/expected"))
+    assert(r("rows") == 4 && r("match") == true, r.toString)
+  }
+
   test("bucketed merge-on-read: the foreign reader resolves a " +
        "bucket[N]-spec table (non-identity transform, scoped deletes)") {
     assume(pythonOk, "driver-side python3+duckdb unavailable")

@@ -102,31 +102,57 @@ class PartitionEvolutionSpec extends AnyFunSuite with SparkSpec {
       EqualTo("region", "ap")), "pathless vintage must be KEPT")
   }
 
-  test("iceberg export refuses the mixed snapshot with a working " +
-       "remedy; compact + vacuum then exports under the new spec") {
+  test("iceberg export of the MIXED table: multiple partition specs, " +
+       "per-manifest spec ids, both vintages round-trip") {
     val (t, name, path) = mk("ev3")
     t.commitAppend(Seq((1L, "eu", 10L), (2L, "us", 20L))
       .toDF("id", "region", "amt"))
     spark.sql(s"CALL graft.system.add_partition_field('pevo.ev3', 'region')")
     val entry = TieredCatalog.lookup("pevo", "ev3").get
     val t2 = TieredTable(spark, path, partitionBy = entry.partitionBy)
-    t2.commitAppend(Seq((3L, "eu", 30L)).toDF("id", "region", "amt"))
+    t2.commitAppend(Seq((3L, "eu", 30L), (4L, "ap", 40L))
+      .toDF("id", "region", "amt"))
 
-    val e = intercept[IllegalArgumentException](IcebergExport.export(t2))
-    assert(e.getMessage.contains("spec evolved") &&
-      e.getMessage.contains("compact()"), e.getMessage)
+    // a stale handle (opened without the evolved layout) refuses —
+    // it would mis-parse the newest vintage's dirs
+    val stale = TieredTable(spark, path)
+    val e = intercept[IllegalArgumentException](IcebergExport.export(stale))
+    assert(e.getMessage.contains("evolved its partition spec"), e.getMessage)
 
-    t2.compact()
-    t2.vacuum(keepLast = 1)
+    // the evolved handle exports BOTH vintages under their own specs
     val mpath = IcebergExport.export(t2)
     val md = Files.readString(java.nio.file.Paths.get(mpath))
+    assert(md.contains(""""default-spec-id":1"""), md.take(400))
+    assert(md.contains(""""spec-id":0""") && md.contains(""""spec-id":1"""))
     assert(md.contains(""""name":"region""""), "identity spec on region")
+
     val got = IcebergExport.readTable(spark, path)
       .select("id", "region", "amt").as[(Long, String, Long)]
       .collect().toSet
-    assert(got == Set((1L, "eu", 10L), (2L, "us", 20L), (3L, "eu", 30L)))
+    assert(got == Set((1L, "eu", 10L), (2L, "us", 20L),
+      (3L, "eu", 30L), (4L, "ap", 40L)),
+      "both vintages must round-trip through the exported chain")
     // unused: name (the SQL face was exercised in the tests above)
     assert(name.nonEmpty)
+  }
+
+  test("the Iceberg DDL spelling works: ALTER TABLE … ADD PARTITION " +
+       "FIELD col — same verb as the procedure") {
+    val (t, name, path) = mk("ev5")
+    t.commitAppend(Seq((1L, "eu", 10L), (2L, "us", 20L))
+      .toDF("id", "region", "amt"))
+    spark.sql(s"ALTER TABLE $name ADD PARTITION FIELD region")
+    assert(TieredCatalog.lookup("pevo", "ev5").get.partitionBy ==
+      Seq("region"))
+    val t2 = TieredTable(spark, path, partitionBy = Seq("region"))
+    t2.commitAppend(Seq((3L, "ap", 30L)).toDF("id", "region", "amt"))
+    assert(spark.table(name).count() == 3)
+    assert(t2.partitionEvolutions == Seq((1L, Nil, Seq("region"))))
+    // Spark's own ADD PARTITION (the Hive partition-VALUE verb) still
+    // routes to the catalog's refusal, not this intercept
+    val e = intercept[Exception](spark.sql(
+      s"ALTER TABLE $name ADD PARTITION (region='x')"))
+    assert(e.getMessage.contains("not supported"), e.getMessage)
   }
 
   test("refusals: PK tables (frozen spec), duplicate field, reserved " +
