@@ -47,7 +47,7 @@ object PartitionEvolution {
         "spec is frozen (partition-scoped upsert deltas and " +
         "equality deletes are exact only under one spec); rewrite " +
         "into a new table to change the layout")
-    if (e.partitionBy.contains(c))
+    if (e.partitionBy.exists(_.equalsIgnoreCase(c)))
       fail(s"$dbTable is already partitioned by $c")
     if (TieredTable.SqlReserved.exists(_.equalsIgnoreCase(c)))
       fail(s"column name '$c' is reserved for the engine's " +
@@ -65,9 +65,13 @@ object PartitionEvolution {
       else fail(s"$dbTable has no schema yet — evolve after " +
         "the first write (or CREATE the table with DDL)")
     }
-    if (!schema.fieldNames.exists(_.equalsIgnoreCase(c)))
-      fail(s"column $c not in $dbTable's schema " +
-        s"(${schema.fieldNames.mkString(", ")})")
+    // store the SCHEMA's canonical spelling: a case-variant argument
+    // would otherwise persist verbatim and break the export's
+    // case-sensitive schema lookup (and allow the same source column
+    // under two spellings)
+    val canonical = schema.fieldNames.find(_.equalsIgnoreCase(c))
+      .getOrElse(fail(s"column $c not in $dbTable's schema " +
+        s"(${schema.fieldNames.mkString(", ")})"))
     // persist the DECLARED schema: mixed-vintage roots infer
     // DIFFERENT column orders (hive appends partition columns
     // last), and the composite SQL scan needs one authoritative
@@ -76,9 +80,9 @@ object PartitionEvolution {
       tfs.mkdirs(s"${e.path}/meta")
       tfs.writeString(s"${e.path}/meta/SCHEMA", schema.toDDL)
     }
-    t.recordPartitionEvolution(e.partitionBy, e.partitionBy :+ c)
+    t.recordPartitionEvolution(e.partitionBy, e.partitionBy :+ canonical)
     TieredCatalog.register(db, name, e.path, e.pk, e.mergeOnRead,
-      e.partitionBy :+ c, e.bloomCols, e.changeDataFeed, e.datalake,
+      e.partitionBy :+ canonical, e.bloomCols, e.changeDataFeed, e.datalake,
       e.watermark, e.sortBy, e.bucketBy)
     TieredCatalog.persist(db, name)
   }

@@ -702,9 +702,12 @@ object Lakehouse {
     * vanish from the filtered groups.
     */
   def q35bEvolvedExport(spark: SparkSession, dir: String): DataFrame = {
-    q35PartitionEvolution(spark, dir).count() // ensure the fixture
     val safe = dir.replaceAll("[^A-Za-z0-9.]", "_")
     val path = s"${sys.props("java.io.tmpdir")}/graft-tiered/v$FormatVersion/$safe/events_evolved"
+    // fixture build only when absent — running the q35 aggregation on
+    // every call would bill q35b for an entire extra query
+    if (!Files.exists(Paths.get(path, "meta", "LATEST")))
+      q35PartitionEvolution(spark, dir).count()
     val t = TieredTable(spark, path, partitionBy = Seq("event_type"))
     graft.storage.IcebergExport.export(t)
     graft.storage.IcebergExport.readTable(spark, path)

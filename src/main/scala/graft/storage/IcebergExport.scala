@@ -1351,16 +1351,35 @@ object IcebergExport {
     val (dataManifests, deleteManifests) =
       manifestFiles.partition(_.get("content").asInstanceOf[Int] == 0)
     // each entry rides with ITS manifest's spec-id (the default when a
-    // foreign manifest-list omits the column)
+    // foreign manifest-list omits the column). v2 SEQUENCE-NUMBER
+    // INHERITANCE: real Iceberg writers leave sequence_number NULL on
+    // the entries their commit ADDED and readers inherit the manifest
+    // list's sequence_number — graft's own exports write it explicitly,
+    // but a foreign table round-trips only if the null inherits here.
     def liveOf(mfs: Seq[GenericRecord]): Seq[(GenericRecord, Long, Int)] =
       mfs.flatMap { mf =>
         val specId = Option(mf.get("partition_spec_id"))
           .map(_.asInstanceOf[Int]).getOrElse(defaultSpecId)
+        val mfSeq = Option(mf.get("sequence_number"))
+          .map(_.asInstanceOf[Long]).getOrElse(0L)
         val (entries, _) = readAvro(mf.get("manifest_path").toString)
         // status 2 = DELETED: the file left the table in this snapshot
         entries.filter(_.get("status").asInstanceOf[Int] != 2)
-          .map(e => (e.get("data_file").asInstanceOf[GenericRecord],
-            e.get("sequence_number").asInstanceOf[Long], specId))
+          .map { e =>
+            val seq = Option(e.get("sequence_number"))
+              .map(_.asInstanceOf[Long]).getOrElse {
+                // the spec scopes inheritance to ADDED entries; an
+                // EXISTING entry's sequence predates this manifest and
+                // CANNOT be the list's — inheriting it would re-order
+                // delete application (resurrected/lost rows)
+                require(e.get("status").asInstanceOf[Int] == 1,
+                  s"manifest ${mf.get("manifest_path")}: EXISTING " +
+                    "entry with null sequence_number — corrupt v2 " +
+                    "metadata (inheritance applies to ADDED only)")
+                mfSeq
+              }
+            (e.get("data_file").asInstanceOf[GenericRecord], seq, specId)
+          }
       }
     val liveEntries = liveOf(dataManifests)
     val deleteEntries = liveOf(deleteManifests)

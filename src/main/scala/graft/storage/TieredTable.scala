@@ -746,17 +746,20 @@ class TieredTable(spark: SparkSession, rawTablePath: String,
       // the hash KERNEL is as immutable as the count — a later write
       // under a different kernel splits a key across two bucket values.
       // Persisted separately (meta/BUCKET_KERNEL) so every meta/BUCKETS
-      // parser stays integer-only; absent tag + pre-existing layout =
-      // the pre-kernel-tag Spark-hash layout
+      // parser stays integer-only. The decision here must mirror the
+      // read-side probe (bucketKernel): a layout that predates the
+      // kernel tag is Spark-hash; a fresh table derives from the PK
+      // type. hadBuckets is the PRE-write state — the count file was
+      // just written above, so reading it back would misread a fresh
+      // table as legacy.
       val kp = s"$tablePath/meta/BUCKET_KERNEL"
-      bucketKernelCache = fs.readString(kp).map(_.trim).getOrElse {
-        val k =
+      if (fs.readString(kp).isEmpty)
+        fs.writeString(kp,
           if (hadBuckets.isDefined) TieredTable.BucketKernelSpark
           else TieredTable.bucketKernelFor(
-            pk.flatMap(c => schema.fields.find(_.name.equalsIgnoreCase(c))))
-        fs.writeString(kp, k)
-        k
-      }
+            pk.flatMap(c => schema.fields.find(_.name.equalsIgnoreCase(c)))))
+      bucketKernelCache = null // (re)load from the persisted tag
+      bucketKernel(schema)
       bucketMetaWritten = true
     }
 
@@ -964,6 +967,24 @@ class TieredTable(spark: SparkSession, rawTablePath: String,
       require(!logSegments.exists(_ > prev.tieredSeg),
         s"table $tablePath has un-tiered hot log segments — they would " +
           "resurface over the replaced partition; tier() first")
+      // spec-evolved tables: a pre-evolution dir has NO `col=value`
+      // children, so keptOutsideTarget's split branch would return
+      // EMPTY for it — silently deleting the whole old vintage from
+      // the new snapshot (every partition, not just the target).
+      // Refuse until the layout converges.
+      partitionEvolutions.map(_._1).maxOption.foreach { boundary =>
+        val preEvo = prev.files.filter { d =>
+          !d.stripSuffix("/").split('/').last.contains("=") &&
+            fs.listNames(d).nonEmpty &&
+            !fs.listNames(d).exists(_.contains("="))
+        }
+        require(preEvo.isEmpty,
+          s"INSERT OVERWRITE PARTITION on $tablePath: the partition " +
+            s"spec evolved and ${preEvo.size} live dir(s) still carry " +
+            "the pre-evolution layout — the partition-scoped keep/" +
+            "replace split cannot see inside them; run compact() " +
+            "(rewrites everything under the current spec) first")
+      }
 
       val id = latestSnapshotId + 1
       val out = s"$dataDir/snap-${"%06d".format(id)}"
@@ -1947,12 +1968,22 @@ class TieredTable(spark: SparkSession, rawTablePath: String,
     // recoverable delta to debris
     recoverChangeDeltas()
     val latest = latestSnapshotId
-    // a subdir entry (snap-N/col=value) keeps its whole snap-N dir
-    // live — take the snap-* segment, not the path's last segment
+    // a subdir entry (snap-N/col=value — or wap-X/col=value after a
+    // partition-scoped overwrite kept a published-WAP partition by
+    // reference) keeps its whole TOP-LEVEL data dir live: take the
+    // first segment under data/, never the path's last segment (a
+    // snap-prefix-only special case deleted published wap dirs whose
+    // only reference was a subdir entry)
+    val dataPrefix = dataDir.stripSuffix("/") + "/"
     val live = (1L to latest).flatMap(snapshot).flatMap(_.files)
       .map { p =>
-        val segs = p.stripSuffix("/").split('/')
-        segs.find(_.startsWith("snap-")).getOrElse(segs.last)
+        val q = p.stripSuffix("/")
+        if (q.startsWith(dataPrefix))
+          q.stripPrefix(dataPrefix).split('/').head
+        else {
+          val segs = q.split('/')
+          segs.find(_.startsWith("snap-")).getOrElse(segs.last)
+        }
       }.toSet
     var removed = 0
     fs.listNames(dataDir)
@@ -2143,10 +2174,13 @@ class TieredTable(spark: SparkSession, rawTablePath: String,
     * the new spec. Reads need no marker (the per-root discovery union
     * in [[readParquet]] aligns both vintages by name, and partition
     * pruning conservatively keeps dirs lacking a `col=` segment);
-    * the marker exists so Iceberg EXPORT can refuse a mixed-vintage
-    * snapshot honestly (a single exported spec cannot describe both —
-    * compact() rewrites everything under the current spec and clears
-    * the mix). One line per evolution: `boundary|fromCsv|toCsv`.
+    * the marker exists so Iceberg EXPORT can describe each vintage
+    * under ITS OWN spec (multi-spec export: one data manifest per
+    * (snapshot, spec), per-manifest `partition_spec_id`) and so
+    * partition-scoped verbs that cannot see inside a pre-evolution
+    * dir (INSERT OVERWRITE PARTITION's keep/replace split) can refuse
+    * until compact() converges the layout. One line per evolution:
+    * `boundary|fromCsv|toCsv`.
     */
   def recordPartitionEvolution(from: Seq[String], to: Seq[String]): Unit =
     withCommitLock {

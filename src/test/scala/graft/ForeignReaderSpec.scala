@@ -264,6 +264,55 @@ class ForeignReaderSpec extends AnyFunSuite with SparkSpec {
     assert(r("deletes").toString.toInt >= 1, r.toString)
   }
 
+  test("v2 sequence-number inheritance: entries with NULL " +
+       "sequence_number (the shape real Iceberg writers leave on " +
+       "ADDED entries) inherit the manifest list's — both readers") {
+    assume(pythonOk, "driver-side python3+duckdb unavailable")
+    import org.apache.avro.generic.GenericData
+    val dir = Files.createTempDirectory("graft-foreign-inherit").toString
+    val t = TieredTable(spark, s"$dir/accounts", pk = Seq("acct"),
+      mergeOnRead = true)
+    t.commitUpsert(Seq((1L, 100L), (2L, 200L)).toDF("acct", "balance"))
+    t.commitUpsert(Seq((2L, 250L)).toDF("acct", "balance"))
+    IcebergExport.export(t)
+    val mdir = s"${t.tablePath}/metadata"
+    // null-out the ADDED entries' explicit sequence numbers (the spec
+    // scopes inheritance to status 1 — EXISTING entries keep theirs)
+    // — inheritance must recover them from each manifest's list entry
+    // (delete resolution depends on the DATA sequence ordering, so a
+    // wrong inherit resurrects acct 2's superseded row or drops one)
+    for (m <- new java.io.File(mdir).listFiles().map(_.getName)
+           if m.startsWith("manifest-") && m.endsWith(".avro")) {
+      val (entries, meta) = IcebergExport.readAvro(s"$mdir/$m")
+      entries.filter(_.get("status").asInstanceOf[Int] == 1).foreach { e =>
+        e.put("sequence_number", null)
+        e.put("file_sequence_number", null)
+      }
+      IcebergExport.writeAvro(s"$mdir/$m", entries.head.getSchema,
+        meta.filterNot(_._1.startsWith("avro.")), entries)
+    }
+    // ... but a manifest rewrite changes lengths: refresh the list
+    val listPath = s"$mdir/snap-000002-manifest-list.avro"
+    val (mfs, listMeta) = IcebergExport.readAvro(listPath)
+    mfs.foreach { mf =>
+      val p = mf.get("manifest_path").toString
+      mf.put("manifest_length",
+        new java.io.File(p).length())
+    }
+    IcebergExport.writeAvro(listPath,
+      IcebergExport.ManifestFileSchema,
+      listMeta.filterNot(_._1.startsWith("avro.")), mfs)
+
+    val got = IcebergExport.readTable(spark, t.tablePath)
+      .select("acct", "balance").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 100L), (2L, 250L)),
+      s"inheritance must preserve last-write-wins: $got")
+    val r = readForeign(t.tablePath,
+      dump(Seq((1L, 100L), (2L, 250L)).toDF("acct", "balance"),
+        s"$dir/expected"))
+    assert(r("rows") == 2 && r("match") == true, r.toString)
+  }
+
   test("partition-spec evolution: the foreign reader resolves a " +
        "MULTI-SPEC table (per-manifest spec ids, both vintages)") {
     assume(pythonOk, "driver-side python3+duckdb unavailable")

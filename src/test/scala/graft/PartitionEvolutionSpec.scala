@@ -155,6 +155,34 @@ class PartitionEvolutionSpec extends AnyFunSuite with SparkSpec {
     assert(e.getMessage.contains("not supported"), e.getMessage)
   }
 
+  test("INSERT OVERWRITE PARTITION refuses while pre-evolution dirs " +
+       "are live (the keep/replace split cannot see inside them); " +
+       "compact converges and the overwrite works") {
+    val (t, name, path) = mk("ev6")
+    t.commitAppend(Seq((1L, "eu", 10L), (2L, "us", 20L))
+      .toDF("id", "region", "amt"))                     // old layout
+    spark.sql(s"CALL graft.system.add_partition_field('pevo.ev6', 'region')")
+    val t2 = TieredTable(spark, path, partitionBy = Seq("region"))
+    t2.commitAppend(Seq((3L, "eu", 30L)).toDF("id", "region", "amt"))
+
+    // pre-fix behavior: the old dir has no region= children, so the
+    // split returned EMPTY and the ENTIRE pre-evolution vintage —
+    // including the untouched us row — silently vanished
+    val e = intercept[Exception](spark.sql(
+      s"INSERT OVERWRITE $name PARTITION (region='eu') VALUES (9, 90)"))
+    assert(e.getMessage.contains("pre-evolution"), e.getMessage)
+    assert(spark.table(name).count() == 3, "refusal must not commit")
+
+    t2.compact()
+    spark.sql(
+      s"INSERT OVERWRITE $name PARTITION (region='eu') VALUES (9, 90)")
+    val got = spark.table(name)
+      .select("id", "region", "amt").as[(Long, String, Long)]
+      .collect().toSet
+    assert(got == Set((9L, "eu", 90L), (2L, "us", 20L)),
+      s"eu replaced, us kept: $got")
+  }
+
   test("refusals: PK tables (frozen spec), duplicate field, reserved " +
        "names, unknown column") {
     val dir = Files.createTempDirectory("graft-pevo-refuse").toString
@@ -173,6 +201,12 @@ class PartitionEvolutionSpec extends AnyFunSuite with SparkSpec {
     val e2 = intercept[Exception](spark.sql(
       "CALL graft.system.add_partition_field('pevo.ev4', 'region')"))
     assert(e2.getMessage.contains("already partitioned"), e2.getMessage)
+    // case-insensitive: a case-variant spelling of an existing field
+    // refuses too (and a fresh evolution stores the SCHEMA's spelling,
+    // so the export's case-sensitive schema lookup always resolves)
+    val e2b = intercept[Exception](spark.sql(
+      "CALL graft.system.add_partition_field('pevo.ev4', 'REGION')"))
+    assert(e2b.getMessage.contains("already partitioned"), e2b.getMessage)
     val e3 = intercept[Exception](spark.sql(
       "CALL graft.system.add_partition_field('pevo.ev4', '__seq')"))
     assert(e3.getMessage.contains("reserved"), e3.getMessage)

@@ -111,6 +111,29 @@ class WriteAuditPublishSpec extends AnyFunSuite with SparkSpec {
     assert(spark.table(name).as[(Long, String)].collect().toSet == before)
   }
 
+  test("gcOrphans keeps a published wap dir whose ONLY reference is a " +
+       "kept-partition SUBDIR entry (overwrite → vacuum → gc)") {
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft-wap-gcsub").toString
+    val t = new TieredTable(spark, s"$dir/t", partitionBy = Seq("p"))
+    t.commitAppend(Seq((1L, "eu"), (2L, "us")).toDF("id", "p"))   // snap 1
+    t.stageAppend(Seq((3L, "eu"), (4L, "us")).toDF("id", "p"), "w1")
+    t.publishStage("w1")                                          // snap 2
+    // partition-scoped overwrite of p=eu keeps p=us by SUBDIR
+    // reference into BOTH prior dirs — including the published wap dir
+    t.commitOverwritePartitions(
+      Seq((9L, "eu")).toDF("id", "p"), Seq("p" -> "eu"))          // snap 3
+    val before = t.readCold().select("id", "p")
+      .as[(Long, String)].collect().toSet
+    assert(before == Set((9L, "eu"), (2L, "us"), (4L, "us")))
+    t.vacuum(keepLast = 1) // drop snaps 1-2: only subdir refs remain
+    t.gcOrphans()
+    assert(t.readCold().select("id", "p")
+      .as[(Long, String)].collect().toSet == before,
+      "a wap dir referenced only via a kept-partition subdir entry " +
+        "must survive gc — pre-fix the snap-only prefix match deleted it")
+  }
+
   test("retention: vacuum keeps a staged commit's parent snapshot " +
        "until publish/abandon releases it") {
     val (t, name) = mk("vac")

@@ -195,12 +195,26 @@ def resolve(md):
     for mf in mf_list:
         spec_fields = specs_by_id.get(mf.get("partition_spec_id"),
                                       default_spec)
+        mf_seq = mf.get("sequence_number") or 0
         entries, _ = read_avro(_read_file(mf["manifest_path"]))
         for e in entries:
             if e["status"] == 2:  # DELETED — left the table
                 continue
             df = e["data_file"]
-            seq = e["sequence_number"]
+            # v2 sequence-number inheritance: real Iceberg writers
+            # leave the entry's sequence_number NULL on ADDED entries;
+            # the manifest list's sequence_number is the value. The
+            # spec scopes inheritance to ADDED — an EXISTING entry's
+            # sequence predates this manifest, so a null there is
+            # corrupt metadata, not an inheritable default
+            seq = e.get("sequence_number")
+            if seq is None:
+                if e["status"] != 1:
+                    raise ValueError(
+                        f"{mf['manifest_path']}: EXISTING entry with "
+                        "null sequence_number (v2 inheritance applies "
+                        "to ADDED only)")
+                seq = mf_seq
             if mf["content"] == 0:
                 part = {k: v for k, v in (df.get("partition") or {}).items()
                         if k in spec_fields}
