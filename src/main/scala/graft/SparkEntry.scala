@@ -120,6 +120,7 @@ object SparkEntry {
     "t11_gopher"     -> (Pipeline.t11GopherRules _),
     "t12_normalize"  -> (Pipeline.t12Normalize _),
     "t13_sql_functions" -> (Pipeline.t13SqlFunctions _),
+    "t14_pii_redact" -> (Pipeline.t14PiiRedact _),
     "m1_media_features" -> (Pipeline.m1MediaFeatures _),
     "m2_frame_sample"   -> (Pipeline.m2FrameSample _),
     "m2b_gif_frames"    -> (Pipeline.m2bGifFrames _),
@@ -1165,6 +1166,31 @@ object SparkEntry {
         |       CAST(COALESCE(c.n_sh, 0) AS BIGINT) AS n_sh,
         |       CAST(CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 16 AS BIGINT) AS bk
         |FROM documents d LEFT JOIN counts c ON d.doc_id = c.doc_id""".stripMargin,
+    // t14 = PII detect/redact: both engines build the IDENTICAL
+    // contaminated string per doc_id, count typed matches, and hash
+    // the redacted text — the md5 pins that Java-regex (Spark) and
+    // RE2 (DuckDB) redaction agree byte-for-byte
+    "t14_pii_redact" ->
+      """WITH c AS (SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 3 = 0
+        |         THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+        |         ELSE '' END ||
+        |    CASE WHEN doc_id % 4 = 0
+        |         THEN ' call +49 555 ' || lpad(CAST(doc_id % 1000 AS VARCHAR), 4, '0') || ' 1234'
+        |         ELSE '' END ||
+        |    CASE WHEN doc_id % 5 = 0
+        |         THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'
+        |         ELSE '' END AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(t, '\+\d{2}[- ]\d{3}[- ]\d{3,4}[- ]\d{4}')) AS BIGINT) AS n_phones,
+        |  CAST(len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ipv4,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\+\d{2}[- ]\d{3}[- ]\d{3,4}[- ]\d{4}', '<PHONE>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')) AS redacted_md5
+        |FROM c""".stripMargin,
     "t6_repetition" ->
       """SELECT doc_id,
         |  CAST(GREATEST(len(t) - 4, 0) AS BIGINT) AS n_windows,

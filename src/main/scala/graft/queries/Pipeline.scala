@@ -550,6 +550,36 @@ object Pipeline {
     * DuckDB, so the SQL-resolved functions must agree bit-for-bit
     * with the engine kernels they share.
     */
+  /** T14 — PII detect + redact ([[graft.operators.Pii]]): the corpus
+    * text with DETERMINISTIC synthetic PII mixed in (the fixture text
+    * is word-only, so the contamination is constructed per doc_id —
+    * an email for every 3rd doc, a phone for every 4th, an IPv4 for
+    * every 5th; both engines build the identical string), then typed
+    * match counts and the md5 of the redacted text. The oracle
+    * recomputes counts and redaction relationally in DuckDB (RE2), so
+    * the hash pins that Java-regex and RE2 redaction agree
+    * byte-for-byte — the portability property the patterns were
+    * written for.
+    */
+  def t14PiiRedact(spark: SparkSession, dir: String): DataFrame = {
+    val contaminated = docs(spark, dir).select(col("doc_id"),
+      concat(col("text"),
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          concat(lit(" contact user"), col("doc_id"),
+            lit("@example.com"))).otherwise(""),
+        when(pmod(col("doc_id"), lit(4)) === 0,
+          concat(lit(" call +49 555 "),
+            lpad(pmod(col("doc_id"), lit(1000)).cast("string"), 4, "0"),
+            lit(" 1234"))).otherwise(""),
+        when(pmod(col("doc_id"), lit(5)) === 0,
+          concat(lit(" from 10.0."),
+            pmod(col("doc_id"), lit(256)).cast("string"),
+            lit(".7"))).otherwise("")).as("t"))
+    graft.operators.Pii.audit(contaminated, "doc_id", "t")
+      .select(col("doc_id"), col("n_emails"), col("n_phones"),
+        col("n_ipv4"), md5(col("redacted")).as("redacted_md5"))
+  }
+
   def t13SqlFunctions(spark: SparkSession, dir: String): DataFrame = {
     docs(spark, dir).createOrReplaceTempView("t13_docs")
     spark.sql(
