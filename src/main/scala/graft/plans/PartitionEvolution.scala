@@ -96,11 +96,28 @@ object PartitionEvolution {
 object PartitionEvolutionSql {
   private val AddField =
     """(?is)^\s*ALTER\s+TABLE\s+([\w.`]+)\s+ADD\s+PARTITION\s+FIELD\s+`?(\w+)`?\s*;?\s*$""".r
+  private val DropField =
+    """(?is)^\s*ALTER\s+TABLE\s+([\w.`]+)\s+DROP\s+PARTITION\s+FIELD\s+`?(\w+)`?\s*;?\s*$""".r
 
   def parse(sqlText: String, delegate: ParserInterface): Option[LogicalPlan] =
     sqlText match {
       case AddField(ident, col) =>
         Some(AddPartitionFieldCommand(ident.replace("`", ""), col))
+      case DropField(_, col) =>
+        // evolution here is APPEND-ONLY by design: dropping a field
+        // makes old `col=value` dirs ambiguous to the per-root
+        // discovery (a kept-partition subdir reference would silently
+        // lose the column — its value lives ONLY in the dir name).
+        // Refuse with the working alternative instead of Spark's
+        // generic ParseException.
+        throw new org.apache.spark.sql.AnalysisException(
+          errorClass = "USER_RAISED_EXCEPTION",
+          messageParameters = Map("errorMessage" ->
+            (s"DROP PARTITION FIELD $col: partition-spec evolution is " +
+              "append-only — dropped fields would make old hive dirs " +
+              "ambiguous (kept-partition subdir references carry the " +
+              "value only in the dir name); CTAS into a table with the " +
+              "desired spec instead")))
       case _ => None
     }
 }

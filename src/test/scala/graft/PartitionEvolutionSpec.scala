@@ -153,6 +153,11 @@ class PartitionEvolutionSpec extends AnyFunSuite with SparkSpec {
     val e = intercept[Exception](spark.sql(
       s"ALTER TABLE $name ADD PARTITION (region='x')"))
     assert(e.getMessage.contains("not supported"), e.getMessage)
+    // DROP PARTITION FIELD refuses with the append-only rationale
+    // (not Spark's generic ParseException)
+    val e2 = intercept[Exception](spark.sql(
+      s"ALTER TABLE $name DROP PARTITION FIELD region"))
+    assert(e2.getMessage.contains("append-only"), e2.getMessage)
   }
 
   test("INSERT OVERWRITE PARTITION refuses while pre-evolution dirs " +
