@@ -103,13 +103,15 @@ object PartitionEvolutionSql {
     sqlText match {
       case AddField(ident, col) =>
         Some(AddPartitionFieldCommand(ident.replace("`", ""), col))
-      case DropField(_, col) =>
+      case DropField(ident, col) if graftTable(ident) =>
         // evolution here is APPEND-ONLY by design: dropping a field
         // makes old `col=value` dirs ambiguous to the per-root
         // discovery (a kept-partition subdir reference would silently
         // lose the column — its value lives ONLY in the dir name).
         // Refuse with the working alternative instead of Spark's
-        // generic ParseException.
+        // generic ParseException. Scoped to GRAFT tables only: a
+        // session stacking other extensions (real Iceberg's, where
+        // this is legal DDL) must keep its statement.
         throw new org.apache.spark.sql.AnalysisException(
           errorClass = "USER_RAISED_EXCEPTION",
           messageParameters = Map("errorMessage" ->
@@ -119,6 +121,17 @@ object PartitionEvolutionSql {
               "value only in the dir name); CTAS into a table with the " +
               "desired spec instead")))
       case _ => None
+    }
+
+  /** Does the identifier name a registered graft table? (The refusal
+    * above must not hijack the verb for other catalogs' tables.)
+    */
+  private def graftTable(ident: String): Boolean =
+    ident.replace("`", "").split("\\.").toSeq match {
+      case Seq(TieredCatalog.CatalogName, db, t) =>
+        TieredCatalog.lookup(db, t).isDefined
+      case Seq(db, t) => TieredCatalog.lookup(db, t).isDefined
+      case _ => false
     }
 }
 

@@ -967,23 +967,37 @@ class TieredTable(spark: SparkSession, rawTablePath: String,
       require(!logSegments.exists(_ > prev.tieredSeg),
         s"table $tablePath has un-tiered hot log segments — they would " +
           "resurface over the replaced partition; tier() first")
-      // spec-evolved tables: a pre-evolution dir has NO `col=value`
-      // children, so keptOutsideTarget's split branch would return
-      // EMPTY for it — silently deleting the whole old vintage from
-      // the new snapshot (every partition, not just the target).
-      // Refuse until the layout converges.
+      // spec-evolved tables: a pre-evolution dir lacks the NEW spec's
+      // `col=value` levels, so keptOutsideTarget's split would return
+      // EMPTY for it — silently deleting the old vintage from the new
+      // snapshot (every partition, not just the target; a dir that
+      // was partitioned by a pre-evolution PREFIX of the spec loses
+      // exactly its matching prefix branch, which is just as silent).
+      // The vintage test is EXACT and metadata-only: the snapshot id
+      // that first listed each entry's TOP-LEVEL dir, against the
+      // newest evolution boundary — subdir references inherit their
+      // top dir's vintage, and no filesystem listing is paid.
       partitionEvolutions.map(_._1).maxOption.foreach { boundary =>
-        val preEvo = prev.files.filter { d =>
-          !d.stripSuffix("/").split('/').last.contains("=") &&
-            fs.listNames(d).nonEmpty &&
-            !fs.listNames(d).exists(_.contains("="))
+        val dataPrefix = dataDir.stripSuffix("/") + "/"
+        def topOf(p: String): String = {
+          val q = p.stripSuffix("/")
+          if (q.startsWith(dataPrefix))
+            dataPrefix + q.stripPrefix(dataPrefix).split('/').head
+          else q
         }
+        val addedByTop: Map[String, Long] = (1L to latestSnapshotId)
+          .flatMap(snapshot)
+          .flatMap(s => s.files.map(f => topOf(f) -> s.id))
+          .groupBy(_._1).map { case (d, xs) => d -> xs.map(_._2).min }
+        val preEvo = prev.files.filter(e =>
+          addedByTop.getOrElse(topOf(e), Long.MaxValue) <= boundary)
         require(preEvo.isEmpty,
           s"INSERT OVERWRITE PARTITION on $tablePath: the partition " +
-            s"spec evolved and ${preEvo.size} live dir(s) still carry " +
-            "the pre-evolution layout — the partition-scoped keep/" +
-            "replace split cannot see inside them; run compact() " +
-            "(rewrites everything under the current spec) first")
+            s"spec evolved at snapshot $boundary and ${preEvo.size} " +
+            "live dir(s) still carry a pre-evolution layout — the " +
+            "partition-scoped keep/replace split cannot see inside " +
+            "them; run compact() (rewrites everything under the " +
+            "current spec) first")
       }
 
       val id = latestSnapshotId + 1
@@ -1995,8 +2009,9 @@ class TieredTable(spark: SparkSession, rawTablePath: String,
     // dir no manifest will ever name. PUBLISHED wap dirs are committed
     // by reference into snapshot file lists (publishStage/fastForward
     // keep the staged path), so the snapshot-derived `live` set guards
-    // them too — `live` maps a non-snap path to its last segment,
-    // which for a staged dir IS the wap-… name.
+    // them too — `live` keys on the FIRST segment under data/, so both
+    // a whole-dir reference and a kept-partition SUBDIR reference
+    // (`wap-X/col=v`) resolve to the wap-… name.
     val stagedLive = (stagedIds.flatMap(stagedCommit).flatMap(_.files) ++
       branches.map(_._1).flatMap(b => branchRead(b).map(_.files).getOrElse(Nil)))
       .map(_.stripSuffix("/").split('/').last).toSet

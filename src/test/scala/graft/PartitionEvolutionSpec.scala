@@ -188,6 +188,40 @@ class PartitionEvolutionSpec extends AnyFunSuite with SparkSpec {
       s"eu replaced, us kept: $got")
   }
 
+  test("overwrite guard is vintage-exact: a table partitioned by a " +
+       "PREFIX of the evolved spec still refuses (old dirs have the " +
+       "first level but not the second)") {
+    val dir = Files.createTempDirectory("graft-pevo-prefix").toString
+    val path = s"$dir/ev7"
+    TieredCatalog.register("pevo", "ev7", path, partitionBy = Seq("a"))
+    val t = TieredTable(spark, path, partitionBy = Seq("a"))
+    t.commitAppend(Seq((1L, "x", "p"), (2L, "x", "q"), (3L, "y", "p"))
+      .toDF("id", "a", "b"))                          // layout: a= only
+    spark.sql("CALL graft.system.add_partition_field('pevo.ev7', 'b')")
+    val t2 = TieredTable(spark, path, partitionBy = Seq("a", "b"))
+    t2.commitAppend(Seq((4L, "x", "p")).toDF("id", "a", "b"))
+
+    // pre-fix: the old dir HAS a= children, so a first-level listing
+    // heuristic passed — and the split then found no b= level inside
+    // a=x and silently dropped rows (2,x,q). The boundary check must
+    // refuse regardless of how much of the spec the old layout shares.
+    val e = intercept[Exception](
+      t2.commitOverwritePartitions(
+        Seq((9L, "x", "p")).toDF("id", "a", "b"),
+        Seq("a" -> "x", "b" -> "p")))
+    assert(e.getMessage.contains("pre-evolution"), e.getMessage)
+    assert(t2.readCold().count() == 4, "refusal must not commit")
+
+    t2.compact()
+    t2.commitOverwritePartitions(
+      Seq((9L, "x", "p")).toDF("id", "a", "b"),
+      Seq("a" -> "x", "b" -> "p"))
+    val got = t2.readCold().select("id", "a", "b")
+      .as[(Long, String, String)].collect().toSet
+    assert(got == Set((9L, "x", "p"), (2L, "x", "q"), (3L, "y", "p")),
+      s"(x,p) replaced, (x,q) and (y,p) kept: $got")
+  }
+
   test("refusals: PK tables (frozen spec), duplicate field, reserved " +
        "names, unknown column") {
     val dir = Files.createTempDirectory("graft-pevo-refuse").toString
