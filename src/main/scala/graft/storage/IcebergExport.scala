@@ -266,6 +266,47 @@ object IcebergExport {
       s"no Iceberg mapping for Spark type $other")
   }
 
+  /** The spec's `schema.name-mapping.default` document for `st`: the
+    * exported parquet files carry NO Iceberg field-ids (they are
+    * graft's own data files, adopted add_files-style), so a REAL
+    * Iceberg reader (Spark+Iceberg, Trino) needs this mapping to
+    * resolve columns by name — without it, id-based projection over
+    * id-less files reads nulls. Field-id assignment mirrors
+    * [[icebergSchema]]/[[icebergType]] EXACTLY (field id first, then
+    * nested ids; map = key-id, value-id, key tree, value tree), so
+    * the mapping and the schema agree id-for-id.
+    */
+  private def nameMapping(st: StructType): Seq[Map[String, Any]] = {
+    var id = 0
+    val nextId = () => { id += 1; id }
+    def nested(dt: DataType): Option[Seq[Map[String, Any]]] = dt match {
+      case a: ArrayType =>
+        val eid = nextId()
+        val sub = nested(a.elementType)
+        Some(Seq(Map("field-id" -> eid, "names" -> Seq("element")) ++
+          sub.map("fields" -> _)))
+      case m: MapType =>
+        val kid = nextId()
+        val vid = nextId()
+        val kSub = nested(m.keyType)
+        val vSub = nested(m.valueType)
+        Some(Seq(
+          Map("field-id" -> kid, "names" -> Seq("key")) ++
+            kSub.map("fields" -> _),
+          Map("field-id" -> vid, "names" -> Seq("value")) ++
+            vSub.map("fields" -> _)))
+      case s: StructType => Some(s.fields.toSeq.map(field))
+      case _ => None
+    }
+    def field(f: org.apache.spark.sql.types.StructField): Map[String, Any] = {
+      val fid = nextId()
+      val sub = nested(f.dataType)
+      Map("field-id" -> fid, "names" -> Seq(f.name)) ++
+        sub.map("fields" -> _)
+    }
+    st.fields.toSeq.map(field)
+  }
+
   /** (schema object for metadata.json, last assigned column id). */
   private def icebergSchema(st: StructType,
                             schemaId: Int = 0): (Map[String, Any], Int) = {
@@ -1194,10 +1235,27 @@ object IcebergExport {
         Map("spec-id" -> id, "fields" -> specFieldsOf(cols)) },
       "last-partition-id" -> (999 + math.max(1,
         specTimeline.last._2.size)),
-      "default-sort-order-id" -> 0,
-      "sort-orders" -> Seq(Map("order-id" -> 0, "fields" -> Seq.empty[Any])),
+      // declared write sort order exports as a REAL Iceberg sort order
+      // (external engines read it as the clustering hint it is); the
+      // unsorted order 0 stays for files written before it applied
+      "default-sort-order-id" ->
+        (if (table.sortBy.nonEmpty &&
+            table.sortBy.forall(headFieldIds.contains)) 1 else 0),
+      "sort-orders" -> (Seq(
+        Map("order-id" -> 0, "fields" -> Seq.empty[Any])) ++
+        (if (table.sortBy.nonEmpty &&
+            table.sortBy.forall(headFieldIds.contains))
+          Seq(Map("order-id" -> 1, "fields" -> table.sortBy.map(c =>
+            Map("transform" -> "identity",
+              "source-id" -> headFieldIds(c),
+              "direction" -> "asc", "null-order" -> "nulls-first"))))
+        else Nil)),
       "properties" -> Map(
         "write.format.default" -> "parquet",
+        // id-less data files resolve by NAME in real readers via this
+        // mapping (the add_files adoption contract)
+        "schema.name-mapping.default" ->
+          toJson(nameMapping(distinctSchemas(schemaIdOf(head.id)))),
         "graft.export-fingerprint" -> fingerprint),
       "current-snapshot-id" -> head.id,
       "snapshots" -> snapshotObjs,

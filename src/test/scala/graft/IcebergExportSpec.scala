@@ -496,6 +496,56 @@ class IcebergExportSpec extends AnyFunSuite with SparkSpec {
       "int values must come back typed and the hive null partition as NULL")
   }
 
+  test("name mapping + sort order: schema.name-mapping.default agrees " +
+       "id-for-id with the exported schema (nested types included); " +
+       "write.sort-order exports as a real Iceberg sort order") {
+    import org.json4s.jackson.JsonMethods
+    val dir = Files.createTempDirectory("graft-ice-nm").toString
+    val t = new TieredTable(spark, s"$dir/t", sortBy = Seq("id"))
+    t.commitAppend(spark.sql(
+      """SELECT id, CAST(id AS STRING) AS name,
+        |       array(id, id + 1) AS xs,
+        |       map('k', id) AS kv,
+        |       named_struct('a', id, 'b', CAST(id AS STRING)) AS st
+        |FROM range(0, 5)""".stripMargin))
+    val mpath = IcebergExport.export(t)
+    val md = JsonMethods.parse(Files.readString(java.nio.file.Paths.get(mpath)))
+    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+
+    // schema: name -> id for the top level
+    val schema = (md \ "schemas")(0)
+    val topIds = (schema \ "fields").children.map { f =>
+      ((f \ "name").extract[String], (f \ "id").extract[Int])
+    }.toMap
+
+    // mapping: parse the property's embedded JSON document
+    val nmStr = (md \ "properties" \ "schema.name-mapping.default")
+      .extract[String]
+    val nm = JsonMethods.parse(nmStr)
+    val mapped = nm.children.map { f =>
+      ((f \ "names")(0).extract[String], (f \ "field-id").extract[Int])
+    }.toMap
+    assert(mapped == topIds,
+      s"mapping/schema id disagreement: $mapped vs $topIds")
+    // a nested leg: the struct's children map too, with distinct ids
+    val stEntry = nm.children.find(f =>
+      (f \ "names")(0).extract[String] == "st").get
+    val stChildren = (stEntry \ "fields").children.map(f =>
+      ((f \ "names")(0).extract[String], (f \ "field-id").extract[Int]))
+    assert(stChildren.map(_._1) == List("a", "b"))
+    assert((nm.children.flatMap(f => (f \ "field-id").extractOpt[Int]) ++
+      stChildren.map(_._2)).distinct.size >= 7, "ids must be distinct")
+
+    // sort order: id ASC identity, order-id 1 is the default
+    assert((md \ "default-sort-order-id").extract[Int] == 1)
+    val so = (md \ "sort-orders")(1)
+    assert(((so \ "fields")(0) \ "source-id").extract[Int] == topIds("id"))
+    assert(((so \ "fields")(0) \ "direction").extract[String] == "asc")
+
+    // and the reader still round-trips the nested shapes
+    assert(IcebergExport.readTable(spark, s"$dir/t").count() == 5)
+  }
+
   test("bucketed merge-on-read export: bucket[N] partition spec, " +
        "spec-kernel dir values, resolved round-trip, no __bucket leak") {
     val dir = Files.createTempDirectory("graft-ice-bucketed").toString
