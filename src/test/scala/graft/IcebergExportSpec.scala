@@ -587,6 +587,21 @@ class IcebergExportSpec extends AnyFunSuite with SparkSpec {
     assert(got == want && got.size == 40)
     assert(got.contains((7L, "V7", 999L)) && got.contains((20L, "V20", 888L)))
 
+    // compaction keeps the bucket layout AND the Iceberg kernel: the
+    // re-export after compact is a resolved single-sequence table
+    // under the same bucket[N] spec, still round-tripping
+    t.compact()
+    IcebergExport.export(t)
+    val afterCompact = IcebergExport.readTable(spark, s"$dir/t")
+      .select("id", "v", "amt").as[(Long, String, Long)].collect().toSet
+    assert(afterCompact == want, "compact + re-export must round-trip")
+    val compacted = t.currentSnapshot.get.files.head
+    spark.read.parquet(compacted).select("id", "__bucket")
+      .as[(Long, Int)].collect().foreach { case (id, b) =>
+        assert(b == graft.functions.IcebergTransforms.bucketLong(4, id),
+          s"compaction re-stamped key $id into bucket $b != spec bucket")
+      }
+
     // refusals that remain: multi-column PK, and legacy spark-kernel dirs
     val m = TieredTable(spark, s"$dir/multi", pk = Seq("a", "b"),
       mergeOnRead = true, bucketBy = 4)
