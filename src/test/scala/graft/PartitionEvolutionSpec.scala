@@ -136,6 +136,35 @@ class PartitionEvolutionSpec extends AnyFunSuite with SparkSpec {
     assert(name.nonEmpty)
   }
 
+  test("evolved export survives retention: time travel to the " +
+       "pre-evolution snapshot, then vacuum + re-export GCs the old " +
+       "vintage's artifacts and the head still round-trips") {
+    val (t, name, path) = mk("ev8")
+    t.commitAppend(Seq((1L, "eu", 10L), (2L, "us", 20L))
+      .toDF("id", "region", "amt"))                       // snap 1, spec 0
+    spark.sql(s"CALL graft.system.add_partition_field('pevo.ev8', 'region')")
+    val t2 = TieredTable(spark, path, partitionBy = Seq("region"))
+    t2.commitAppend(Seq((3L, "ap", 30L)).toDF("id", "region", "amt")) // snap 2
+    IcebergExport.export(t2)
+
+    // time travel: the pre-evolution snapshot reads under spec 0 alone
+    val asOf1 = IcebergExport.readTable(spark, path, asOfSnapshotId = Some(1L))
+      .select("id", "region", "amt").as[(Long, String, Long)]
+      .collect().toSet
+    assert(asOf1 == Set((1L, "eu", 10L), (2L, "us", 20L)))
+
+    // retention: compact + vacuum retires the mixed history; the
+    // re-export serves the converged head and still round-trips
+    t2.compact()
+    t2.vacuum(keepLast = 1)
+    IcebergExport.export(t2)
+    val got = IcebergExport.readTable(spark, path)
+      .select("id", "region", "amt").as[(Long, String, Long)]
+      .collect().toSet
+    assert(got == Set((1L, "eu", 10L), (2L, "us", 20L), (3L, "ap", 30L)))
+    assert(name.nonEmpty)
+  }
+
   test("the Iceberg DDL spelling works: ALTER TABLE … ADD PARTITION " +
        "FIELD col — same verb as the procedure") {
     val (t, name, path) = mk("ev5")
