@@ -101,7 +101,10 @@ object PartitionEvolutionSql {
 
   def parse(sqlText: String, delegate: ParserInterface): Option[LogicalPlan] =
     sqlText match {
-      case AddField(ident, col) =>
+      // both verbs are scoped to REGISTERED graft tables — a session
+      // stacking other extensions (real Iceberg's, where these are
+      // legal DDL) must keep its statements for THEIR catalogs
+      case AddField(ident, col) if graftTable(ident) =>
         Some(AddPartitionFieldCommand(ident.replace("`", ""), col))
       case DropField(ident, col) if graftTable(ident) =>
         // evolution here is APPEND-ONLY by design: dropping a field
@@ -109,9 +112,7 @@ object PartitionEvolutionSql {
         // discovery (a kept-partition subdir reference would silently
         // lose the column — its value lives ONLY in the dir name).
         // Refuse with the working alternative instead of Spark's
-        // generic ParseException. Scoped to GRAFT tables only: a
-        // session stacking other extensions (real Iceberg's, where
-        // this is legal DDL) must keep its statement.
+        // generic ParseException.
         throw new org.apache.spark.sql.AnalysisException(
           errorClass = "USER_RAISED_EXCEPTION",
           messageParameters = Map("errorMessage" ->

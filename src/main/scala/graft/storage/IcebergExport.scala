@@ -266,45 +266,42 @@ object IcebergExport {
       s"no Iceberg mapping for Spark type $other")
   }
 
-  /** The spec's `schema.name-mapping.default` document for `st`: the
-    * exported parquet files carry NO Iceberg field-ids (they are
-    * graft's own data files, adopted add_files-style), so a REAL
-    * Iceberg reader (Spark+Iceberg, Trino) needs this mapping to
-    * resolve columns by name — without it, id-based projection over
-    * id-less files reads nulls. Field-id assignment mirrors
-    * [[icebergSchema]]/[[icebergType]] EXACTLY (field id first, then
-    * nested ids; map = key-id, value-id, key tree, value tree), so
-    * the mapping and the schema agree id-for-id.
+  /** The spec's `schema.name-mapping.default` document: the exported
+    * parquet files carry NO Iceberg field-ids (they are graft's own
+    * data files, adopted add_files-style), so a REAL Iceberg reader
+    * (Spark+Iceberg, Trino) needs this mapping to resolve columns by
+    * name — without it, id-based projection over id-less files reads
+    * nulls. Derived by WALKING the already-built schema object from
+    * [[icebergSchema]] (which carries every assigned id next to its
+    * name), so the mapping cannot drift from the schema no matter how
+    * the id-assignment order evolves — there is no second id walk to
+    * keep in lockstep.
     */
-  private def nameMapping(st: StructType): Seq[Map[String, Any]] = {
-    var id = 0
-    val nextId = () => { id += 1; id }
-    def nested(dt: DataType): Option[Seq[Map[String, Any]]] = dt match {
-      case a: ArrayType =>
-        val eid = nextId()
-        val sub = nested(a.elementType)
-        Some(Seq(Map("field-id" -> eid, "names" -> Seq("element")) ++
-          sub.map("fields" -> _)))
-      case m: MapType =>
-        val kid = nextId()
-        val vid = nextId()
-        val kSub = nested(m.keyType)
-        val vSub = nested(m.valueType)
-        Some(Seq(
-          Map("field-id" -> kid, "names" -> Seq("key")) ++
-            kSub.map("fields" -> _),
-          Map("field-id" -> vid, "names" -> Seq("value")) ++
-            vSub.map("fields" -> _)))
-      case s: StructType => Some(s.fields.toSeq.map(field))
-      case _ => None
+  private def nameMappingOf(schemaObj: Map[String, Any]): Seq[Map[String, Any]] = {
+    def ofType(t: Any): Option[Seq[Map[String, Any]]] = t match {
+      case m: Map[_, _] =>
+        val mm = m.asInstanceOf[Map[String, Any]]
+        mm("type") match {
+          case "list" => Some(Seq(
+            Map("field-id" -> mm("element-id"), "names" -> Seq("element")) ++
+              ofType(mm("element")).map("fields" -> _)))
+          case "map" => Some(Seq(
+            Map("field-id" -> mm("key-id"), "names" -> Seq("key")) ++
+              ofType(mm("key")).map("fields" -> _),
+            Map("field-id" -> mm("value-id"), "names" -> Seq("value")) ++
+              ofType(mm("value")).map("fields" -> _)))
+          case "struct" => Some(ofFields(
+            mm("fields").asInstanceOf[Seq[Map[String, Any]]]))
+          case _ => None
+        }
+      case _ => None // primitive type string
     }
-    def field(f: org.apache.spark.sql.types.StructField): Map[String, Any] = {
-      val fid = nextId()
-      val sub = nested(f.dataType)
-      Map("field-id" -> fid, "names" -> Seq(f.name)) ++
-        sub.map("fields" -> _)
-    }
-    st.fields.toSeq.map(field)
+    def ofFields(fields: Seq[Map[String, Any]]): Seq[Map[String, Any]] =
+      fields.map { f =>
+        Map("field-id" -> f("id"), "names" -> Seq(f("name"))) ++
+          ofType(f("type")).map("fields" -> _)
+      }
+    ofFields(schemaObj("fields").asInstanceOf[Seq[Map[String, Any]]])
   }
 
   /** (schema object for metadata.json, last assigned column id). */
@@ -1214,6 +1211,10 @@ object IcebergExport {
         "schema-id" -> schemaIdOf(s.id))
     }
 
+    // one predicate for BOTH metadata entries: default-sort-order-id
+    // must never name an order absent from sort-orders
+    val sortOrderExported = table.sortBy.nonEmpty &&
+      table.sortBy.forall(headFieldIds.contains)
     val schemaObjs = distinctSchemas.zipWithIndex
       .map { case (st, i) => icebergSchema(st, i) }
     val lastColId = schemaObjs.map(_._2).max
@@ -1238,13 +1239,10 @@ object IcebergExport {
       // declared write sort order exports as a REAL Iceberg sort order
       // (external engines read it as the clustering hint it is); the
       // unsorted order 0 stays for files written before it applied
-      "default-sort-order-id" ->
-        (if (table.sortBy.nonEmpty &&
-            table.sortBy.forall(headFieldIds.contains)) 1 else 0),
+      "default-sort-order-id" -> (if (sortOrderExported) 1 else 0),
       "sort-orders" -> (Seq(
         Map("order-id" -> 0, "fields" -> Seq.empty[Any])) ++
-        (if (table.sortBy.nonEmpty &&
-            table.sortBy.forall(headFieldIds.contains))
+        (if (sortOrderExported)
           Seq(Map("order-id" -> 1, "fields" -> table.sortBy.map(c =>
             Map("transform" -> "identity",
               "source-id" -> headFieldIds(c),
@@ -1255,7 +1253,7 @@ object IcebergExport {
         // id-less data files resolve by NAME in real readers via this
         // mapping (the add_files adoption contract)
         "schema.name-mapping.default" ->
-          toJson(nameMapping(distinctSchemas(schemaIdOf(head.id)))),
+          toJson(nameMappingOf(schemaObjs(schemaIdOf(head.id))._1)),
         "graft.export-fingerprint" -> fingerprint),
       "current-snapshot-id" -> head.id,
       "snapshots" -> snapshotObjs,

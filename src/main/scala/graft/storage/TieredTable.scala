@@ -973,31 +973,35 @@ class TieredTable(spark: SparkSession, rawTablePath: String,
       // snapshot (every partition, not just the target; a dir that
       // was partitioned by a pre-evolution PREFIX of the spec loses
       // exactly its matching prefix branch, which is just as silent).
-      // The vintage test is EXACT and metadata-only: the snapshot id
-      // that first listed each entry's TOP-LEVEL dir, against the
-      // newest evolution boundary — subdir references inherit their
-      // top dir's vintage, and no filesystem listing is paid.
+      // The vintage test reads each entry's TOP-LEVEL dir NAME: a
+      // `snap-%06d` dir encodes the snapshot id that WROTE it, which
+      // is exact against the evolution boundary, survives vacuum
+      // (manifest expiry must not inflate a dir's vintage past the
+      // boundary — a retained-manifest scan would), costs zero IO,
+      // and subdir references inherit their top dir's vintage. A dir
+      // whose name carries no id (wap-… staged under an unknowable
+      // layout) is conservatively treated as pre-evolution.
       partitionEvolutions.map(_._1).maxOption.foreach { boundary =>
         val dataPrefix = dataDir.stripSuffix("/") + "/"
-        def topOf(p: String): String = {
+        def vintageOf(p: String): Long = {
           val q = p.stripSuffix("/")
-          if (q.startsWith(dataPrefix))
-            dataPrefix + q.stripPrefix(dataPrefix).split('/').head
-          else q
+          val top =
+            if (q.startsWith(dataPrefix))
+              q.stripPrefix(dataPrefix).split('/').head
+            else q.split('/').last
+          if (top.startsWith("snap-")) {
+            val digits = top.stripPrefix("snap-").takeWhile(_.isDigit)
+            if (digits.nonEmpty) digits.toLong else -1L
+          } else -1L
         }
-        val addedByTop: Map[String, Long] = (1L to latestSnapshotId)
-          .flatMap(snapshot)
-          .flatMap(s => s.files.map(f => topOf(f) -> s.id))
-          .groupBy(_._1).map { case (d, xs) => d -> xs.map(_._2).min }
-        val preEvo = prev.files.filter(e =>
-          addedByTop.getOrElse(topOf(e), Long.MaxValue) <= boundary)
+        val preEvo = prev.files.filter(e => vintageOf(e) <= boundary)
         require(preEvo.isEmpty,
           s"INSERT OVERWRITE PARTITION on $tablePath: the partition " +
             s"spec evolved at snapshot $boundary and ${preEvo.size} " +
-            "live dir(s) still carry a pre-evolution layout — the " +
-            "partition-scoped keep/replace split cannot see inside " +
-            "them; run compact() (rewrites everything under the " +
-            "current spec) first")
+            "live dir(s) carry (or may carry) a pre-evolution layout " +
+            "— the partition-scoped keep/replace split cannot see " +
+            "inside them; run compact() (rewrites everything under " +
+            "the current spec) first")
       }
 
       val id = latestSnapshotId + 1

@@ -251,6 +251,30 @@ class PartitionEvolutionSpec extends AnyFunSuite with SparkSpec {
       s"(x,p) replaced, (x,q) and (y,p) kept: $got")
   }
 
+  test("the overwrite guard survives VACUUM: expiring the " +
+       "pre-evolution manifest must not inflate the live dir's " +
+       "vintage past the boundary") {
+    val (t, _, path) = mk("ev9")
+    t.commitAppend(Seq((1L, "eu", 10L), (2L, "us", 20L))
+      .toDF("id", "region", "amt"))                       // snap 1, old
+    spark.sql(s"CALL graft.system.add_partition_field('pevo.ev9', 'region')")
+    val t2 = TieredTable(spark, path, partitionBy = Seq("region"))
+    t2.commitAppend(Seq((3L, "eu", 30L)).toDF("id", "region", "amt")) // snap 2
+    t2.vacuum(keepLast = 1) // snap 1's MANIFEST expires; its DIR stays
+    assert(t2.snapshot(1L).isEmpty && t2.readCold().count() == 3)
+
+    // pre-fix (retained-manifest vintage scan): the dir's vintage
+    // inflated to snap 2 > boundary 1 and the guard passed — the
+    // silent-loss hole reopened. The name-derived vintage
+    // (snap-000001 => 1) is vacuum-proof.
+    val e = intercept[Exception](
+      t2.commitOverwritePartitions(
+        Seq((9L, "eu", 90L)).toDF("id", "region", "amt"),
+        Seq("region" -> "eu")))
+    assert(e.getMessage.contains("pre-evolution"), e.getMessage)
+    assert(t2.readCold().count() == 3, "refusal must not commit")
+  }
+
   test("refusals: PK tables (frozen spec), duplicate field, reserved " +
        "names, unknown column") {
     val dir = Files.createTempDirectory("graft-pevo-refuse").toString
