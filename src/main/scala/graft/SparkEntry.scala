@@ -69,6 +69,7 @@ object SparkEntry {
     "q34_iceberg_bucketed" -> (Lakehouse.q34IcebergBucketed _),
     "q35_partition_evolution" -> (Lakehouse.q35PartitionEvolution _),
     "q35b_evolved_export" -> (Lakehouse.q35bEvolvedExport _),
+    "q36_dv_read" -> (Lakehouse.q36DvRead _),
     // training-data pipeline: dedup / similarity / text analysis
     "d1_exact_dedup" -> (Pipeline.d1ExactDedup _),
     "d2_fingerprint" -> (Pipeline.d2Fingerprint _),
@@ -479,6 +480,18 @@ object SparkEntry {
         |FROM events
         |WHERE event_type IN ('click', 'error', 'purchase')
         |GROUP BY event_type""".stripMargin,
+    // q36 = format-version-3 DELETION VECTORS: the single-file orders
+    // fixture with a Puffin DV erasing the physical positions of rows
+    // with o_orderkey % 7 = 0 — the oracle recomputes relationally, so
+    // a mis-decoded bitmap, wrong container kind, or off-by-one
+    // position shifts every aggregate
+    "q36_dv_read" ->
+      """SELECT o_orderstatus, COUNT(*) AS cnt,
+        |       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+        |       CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(15,2)) * 100
+        |         AS BIGINT)) AS BIGINT) AS price_cents
+        |FROM orders WHERE o_orderkey % 7 <> 0
+        |GROUP BY o_orderstatus""".stripMargin,
     // q32 = the partitioned MoR table through plain SQL with a
     // partition-pruned read: same CASE recomputation as q24, filtered
     // to the two probed priorities

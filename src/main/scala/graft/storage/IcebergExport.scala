@@ -137,10 +137,26 @@ object IcebergExport {
     * nullable field per partition column with the spec's 1000+i
     * partition field-ids. Empty seq = the unpartitioned shape.
     */
-  private[graft] def manifestEntrySchema(partFields: Seq[(String, String)]): Schema = {
+  private[graft] def manifestEntrySchema(partFields: Seq[(String, String)]): Schema =
+    manifestEntrySchema(partFields, v3DeleteFields = false)
+
+  /** With `v3DeleteFields`, the entry carries the format-version-3
+    * deletion-vector address fields (referenced_data_file 143,
+    * content_offset 144, content_size_in_bytes 145) — the shape a v3
+    * writer's delete manifests have. Read-side code never needs the
+    * flag: Avro resolves by the WRITER's schema, and a missing field
+    * reads as null.
+    */
+  private[graft] def manifestEntrySchema(partFields: Seq[(String, String)],
+                                         v3DeleteFields: Boolean): Schema = {
     val pf = partFields.zipWithIndex.map { case ((n, t), i) =>
       s"""{"name":"$n","type":["null","$t"],"default":null,"field-id":${1000 + i}}"""
     }.mkString(",")
+    val v3 = if (!v3DeleteFields) "" else
+      """,{"name":"referenced_data_file","type":["null","string"],"default":null,"field-id":143},
+        |{"name":"content_offset","type":["null","long"],"default":null,"field-id":144},
+        |{"name":"content_size_in_bytes","type":["null","long"],"default":null,"field-id":145}"""
+        .stripMargin
     new Schema.Parser().parse(
       s"""{"type":"record","name":"manifest_entry","fields":[
         |{"name":"status","type":"int","field-id":0},
@@ -164,6 +180,7 @@ object IcebergExport {
         |  "type":${kvMap("k129_v130", 129, 130, "bytes")}},
         |{"name":"equality_ids","field-id":135,"default":null,
         |  "type":["null",{"type":"array","element-id":136,"items":"int"}]}
+        |$v3
         |]}}]}""".stripMargin)
   }
 
@@ -506,6 +523,101 @@ object IcebergExport {
     } finally reader.close()
   }
 
+  /** Attach Puffin deletion vectors to an already-exported table — the
+    * artifacts a FORMAT-VERSION-3 writer (Iceberg 1.8+) leaves where a
+    * v2 writer wrote position-delete parquet files: one Puffin file
+    * holding a `deletion-vector-v1` blob per referenced data file, a
+    * delete manifest whose entries address each blob via
+    * referenced_data_file (field 143) / content_offset (144) /
+    * content_size_in_bytes (145), the manifest spliced into the HEAD
+    * snapshot's manifest list, and the table metadata bumped to
+    * format-version 3. Used to build bona-fide v3 MoR fixtures that
+    * [[readTable]] and the Python foreign reader must resolve — graft's
+    * own exporter stays v2 (equality deletes).
+    *
+    * `dvs` = (referenced data file path, deleted row positions);
+    * `sequenceNumber` = the delete's data sequence (applies to data
+    * files at-or-below it, the position-delete `>=` rule). Returns the
+    * Puffin path.
+    */
+  def attachDeletionVectors(tablePath: String,
+                            dvs: Seq[(String, Array[Long])],
+                            sequenceNumber: Long): String = {
+    import org.apache.avro.generic.GenericData
+    import org.json4s.jackson.JsonMethods
+    val mdir = s"$tablePath/metadata"
+    val fs = fsFor(mdir)
+    val version = currentVersion(mdir).getOrElse(
+      throw new IllegalStateException(
+        s"$tablePath has no Iceberg export to attach deletion vectors to"))
+    val mpath = s"$mdir/v${"%05d".format(version)}.metadata.json"
+    val mdText = fs.readString(mpath).getOrElse(
+      throw new java.io.FileNotFoundException(mpath))
+    val md = JsonMethods.parse(mdText)
+    val currentId = jLong(jsonAt(md, "current-snapshot-id"))
+    val snap = jsonAt(md, "snapshots").asInstanceOf[org.json4s.JArray]
+      .arr.find(s => jLong(jsonAt(s, "snapshot-id")) == currentId).get
+    val listPath = jsonAt(snap, "manifest-list") match {
+      case org.json4s.JString(p) => p
+      case other => throw new IllegalStateException(s"bad manifest-list: $other")
+    }
+
+    val dvPath = s"$mdir/dv-${"%06d".format(currentId)}.puffin"
+    val refs = Puffin.writeDeletionVectorFile(dvPath, dvs,
+      snapshotId = currentId, sequenceNumber = sequenceNumber)
+    val dvSize = fs.readBytes(dvPath).map(_.length.toLong).getOrElse(0L)
+
+    val entrySchema = manifestEntrySchema(Nil, v3DeleteFields = true)
+    val entries = refs.zip(dvs).map { case ((ref, off, len), (_, ps)) =>
+      val e = new GenericData.Record(entrySchema)
+      e.put("status", 1)
+      e.put("snapshot_id", currentId)
+      e.put("sequence_number", sequenceNumber)
+      e.put("file_sequence_number", sequenceNumber)
+      val df0 = new GenericData.Record(
+        entrySchema.getField("data_file").schema())
+      df0.put("content", 1) // POSITION_DELETES, carried as a DV
+      df0.put("file_path", dvPath)
+      df0.put("file_format", "PUFFIN")
+      df0.put("partition", new GenericData.Record(
+        df0.getSchema.getField("partition").schema()))
+      df0.put("record_count", ps.length.toLong)
+      df0.put("file_size_in_bytes", dvSize)
+      df0.put("referenced_data_file", ref)
+      df0.put("content_offset", off)
+      df0.put("content_size_in_bytes", len)
+      e.put("data_file", df0)
+      e
+    }
+    val delPath = s"$mdir/manifest-dv-${"%06d".format(currentId)}.avro"
+    val delLen = writeAvro(delPath, entrySchema, Map(
+      "partition-spec" -> "[]", "partition-spec-id" -> "0",
+      "format-version" -> "3", "content" -> "deletes"), entries)
+
+    val (mfs, listMeta) = readAvro(listPath)
+    val mf = new GenericData.Record(ManifestFileSchema)
+    mf.put("manifest_path", delPath)
+    mf.put("manifest_length", delLen)
+    mf.put("partition_spec_id", 0)
+    mf.put("content", 1)
+    mf.put("sequence_number", sequenceNumber)
+    mf.put("min_sequence_number", sequenceNumber)
+    mf.put("added_snapshot_id", currentId)
+    mf.put("added_files_count", entries.size)
+    mf.put("existing_files_count", 0)
+    mf.put("deleted_files_count", 0)
+    mf.put("added_rows_count", dvs.map(_._2.length.toLong).sum)
+    mf.put("existing_rows_count", 0L)
+    mf.put("deleted_rows_count", 0L)
+    writeAvro(listPath, ManifestFileSchema,
+      listMeta.filterNot(_._1.startsWith("avro.")), mfs :+ mf)
+
+    // the table now carries v3-only artifacts — say so in the metadata
+    fs.writeString(mpath,
+      mdText.replace("\"format-version\":2", "\"format-version\":3"))
+    dvPath
+  }
+
   // ---- incremental-export sidecars ----
   //
   // Two cache files under metadata/ make re-export O(Δ) instead of
@@ -782,8 +894,29 @@ object IcebergExport {
         }
       }
     val defaultSpecId = specTimeline.last._1
-    def specOfDir(d: String): Int =
-      specTimeline.find(addedBy(d) <= _._3).get._1
+    // A dir's spec vintage must survive vacuum(): addedBy is the min
+    // snapshot id among RETAINED manifests, so expiring a pre-evolution
+    // snapshot while its dir stays live by reference would inflate
+    // addedBy past the evolution boundary and mis-assign the newest
+    // spec (then die in partitionValuesOf). The dir's own top-level
+    // `snap-%06d` name encodes the snapshot that WROTE it — exact,
+    // IO-free, vacuum-proof (mirrors TieredTable's overwrite guard).
+    val dataPrefix = s"${table.tablePath}/data/"
+    def nameVintage(d: String): Long = {
+      val q = d.stripSuffix("/")
+      val top =
+        if (q.startsWith(dataPrefix))
+          q.stripPrefix(dataPrefix).split('/').head
+        else q.split('/').last
+      if (top.startsWith("snap-")) {
+        val digits = top.stripPrefix("snap-").takeWhile(_.isDigit)
+        if (digits.nonEmpty) digits.toLong else Long.MaxValue
+      } else Long.MaxValue
+    }
+    def specOfDir(d: String): Int = {
+      val vintage = math.min(addedBy(d), nameVintage(d))
+      specTimeline.find(vintage <= _._3).get._1
+    }
 
     // Per-snapshot schemas are the RAW physical file schemas, not the
     // column-mapped view: our data files carry no Iceberg field-ids, so
@@ -1234,8 +1367,11 @@ object IcebergExport {
       "default-spec-id" -> defaultSpecId,
       "partition-specs" -> specTimeline.map { case (id, cols, _) =>
         Map("spec-id" -> id, "fields" -> specFieldsOf(cols)) },
-      "last-partition-id" -> (999 + math.max(1,
-        specTimeline.last._2.size)),
+      // 999 = "nothing assigned" (real Iceberg's value for a table
+      // that never had a partition field); bucketed tables assign
+      // exactly field-id 1000
+      "last-partition-id" -> (999 +
+        (if (bucketed) 1 else specTimeline.last._2.size)),
       // declared write sort order exports as a REAL Iceberg sort order
       // (external engines read it as the clustering hint it is); the
       // unsorted order 0 stays for files written before it applied
@@ -1445,8 +1581,25 @@ object IcebergExport {
     // table written by ANOTHER engine (Spark/Iceberg MoR DELETE)
     // carries position deletes — both must resolve here for foreign
     // tables to round-trip.
-    val (posDeleteEntries, eqDeleteEntries) = deleteEntries.partition(
+    val (posContentEntries, eqDeleteEntries) = deleteEntries.partition(
       _._1.get("content").asInstanceOf[Int] == 1)
+    // v3 DELETION VECTORS: position-delete content whose bits live as a
+    // `deletion-vector-v1` blob inside a Puffin file, addressed by the
+    // manifest entry's referenced_data_file (field 143) +
+    // content_offset (144) + content_size_in_bytes (145). Modern
+    // writers (Iceberg 1.8+, format-version 3) emit ONLY this shape —
+    // a foreign v3 MoR table round-trips iff they resolve here, the
+    // same class of gap v2 position-delete files closed before. A v2
+    // writer's entry schema simply lacks the fields (and GenericRecord
+    // THROWS on unknown names — probe the writer schema first).
+    def v3Field(e: GenericRecord, name: String): Option[AnyRef] =
+      Option(e.getSchema.getField(name)).flatMap(_ => Option(e.get(name)))
+    val (dvEntries, posDeleteEntries) = posContentEntries.partition {
+      case (e, _, _) =>
+        v3Field(e, "referenced_data_file").isDefined ||
+          v3Field(e, "file_format")
+            .exists(_.toString.equalsIgnoreCase("PUFFIN"))
+    }
     require(liveEntries.nonEmpty, s"snapshot $currentId lists no data files")
     // the snapshot's own schema names the column order and types — also
     // the projection boundary: data files may physically carry columns
@@ -1559,7 +1712,7 @@ object IcebergExport {
           // _metadata only when needed (the extra columns disable
           // nothing, but there is no reason to carry them otherwise)
           val posCols =
-            if (posDeleteEntries.isEmpty) Nil
+            if (posDeleteEntries.isEmpty && dvEntries.isEmpty) Nil
             else Seq(col("_metadata.file_path").as("__ice_fpath"),
               col("_metadata.row_index").as("__ice_fpos"))
           df.select((colOrder :+ "__ice_fseq").map {
@@ -1572,17 +1725,23 @@ object IcebergExport {
         else {
           // v2 equality deletes: a delete at sequence d removes rows
           // whose equality columns match from data files with data
-          // sequence STRICTLY below d — one anti-join with the
-          // inequality folded into the condition, never a per-file loop
-          val eqIds = eqDeleteEntries.head._1.get("equality_ids")
-            .asInstanceOf[java.util.List[Integer]].asScala.map(_.toInt).toSeq
+          // sequence STRICTLY below d — one anti-join per DISTINCT
+          // equality_ids set, never a per-file loop. Graft's own
+          // exports always delete on the PK, but a foreign v2 table
+          // may legally carry delete files with differing equality_ids
+          // per commit; resolving them all against the first entry's
+          // columns would silently drop or keep wrong rows.
+          val byIds = eqDeleteEntries.groupBy(_._1.get("equality_ids")
+            .asInstanceOf[java.util.List[Integer]].asScala.map(_.toInt).toSeq)
+          byIds.toSeq.sortBy(_._1.mkString(",")).foldLeft(data) {
+            case (acc, (eqIds, entries)) =>
           val eqNames = eqIds.map(idToName)
           // delete files physically carry every equality column (the
           // v2 spec's requirement; our writer's shadow-partition trick
           // exists for exactly this), so the declared eqNames schema
           // drives the scan — no per-file inference
           val delSchema = ddlSchema(eqNames)
-          val dels = eqDeleteEntries.map { case (e, seq, _) =>
+          val dels = entries.map { case (e, seq, _) =>
             val path = e.get("file_path").toString
             var df = delSchema match {
               case Some(st) => spark.read.schema(st).parquet(path)
@@ -1615,12 +1774,13 @@ object IcebergExport {
           val renamed = dels.select(
             (eqNames.map(n => col(n).as(s"__ice_del_$n")) :+
               col("__ice_dseq")): _*)
-          val cond = eqNames.map(n => data(n) <=> renamed(s"__ice_del_$n"))
-            .reduce(_ && _) && renamed("__ice_dseq") > data("__ice_fseq")
-          data.join(renamed, cond, "left_anti")
+          val cond = eqNames.map(n => acc(n) <=> renamed(s"__ice_del_$n"))
+            .reduce(_ && _) && renamed("__ice_dseq") > acc("__ice_fseq")
+          acc.join(renamed, cond, "left_anti")
+          }
         }
       val resolved =
-        if (posDeleteEntries.isEmpty) afterEq
+        if (posDeleteEntries.isEmpty && dvEntries.isEmpty) afterEq
         else {
           // v2 POSITION deletes: (file_path, pos) rows at sequence d
           // erase the pos-th row of the named data file when the
@@ -1628,15 +1788,47 @@ object IcebergExport {
           // apply — the spec's `>=`, unlike equality's strict `>`).
           // One anti-join on (normalized path, position); the data
           // side's path/position came from the parquet reader's
-          // _metadata columns above.
+          // _metadata columns above. v3 DELETION VECTORS apply under
+          // the SAME rule, their (path, pos) rows decoded from the
+          // Puffin blobs IN EXECUTORS — only the bounded (puffin path,
+          // offset, size) descriptors leave the driver; the positions
+          // themselves never collect (a 100 TB table's DVs can carry
+          // billions of positions).
           val posSchema = StructType.fromDDL("`file_path` STRING, `pos` BIGINT")
-          val pdels = posDeleteEntries.map { case (e, seq, _) =>
-            spark.read.schema(posSchema)
-              .parquet(e.get("file_path").toString)
-              .withColumn("__ice_dseq", lit(seq))
-          }.reduce(_.unionByName(_))
-            .select(col("file_path").as("__ice_pd_path"),
-              col("pos").as("__ice_pd_pos"), col("__ice_dseq"))
+          val parquetDels =
+            if (posDeleteEntries.isEmpty) None
+            else Some(posDeleteEntries.map { case (e, seq, _) =>
+              spark.read.schema(posSchema)
+                .parquet(e.get("file_path").toString)
+                .withColumn("__ice_dseq", lit(seq))
+            }.reduce(_.unionByName(_))
+              .select(col("file_path").as("__ice_pd_path"),
+                col("pos").as("__ice_pd_pos"), col("__ice_dseq")))
+          val dvDels =
+            if (dvEntries.isEmpty) None
+            else {
+              val descs = dvEntries.map { case (e, seq, _) =>
+                def req(name: String): AnyRef = v3Field(e, name)
+                  .getOrElse(throw new IllegalStateException(
+                    s"puffin DV entry ${e.get("file_path")} lacks " +
+                      s"$name (v3 fields 143-145 are required)"))
+                (e.get("file_path").toString,
+                  req("content_offset").asInstanceOf[Long],
+                  req("content_size_in_bytes").asInstanceOf[Long],
+                  req("referenced_data_file").toString,
+                  seq)
+              }
+              import spark.implicits._
+              Some(spark.createDataset(descs)
+                .repartition(math.min(descs.size, 32))
+                .flatMap { case (pf, off, len, ref, seq) =>
+                  Puffin.readDeletionVector(pf, off, len)
+                    .map(pos => (ref, pos, seq))
+                }
+                .toDF("__ice_pd_path", "__ice_pd_pos", "__ice_dseq"))
+            }
+          val pdels = (parquetDels.toSeq ++ dvDels.toSeq)
+            .reduce(_.unionByName(_))
           // Spark's _metadata.file_path is a URI (file:///…); manifest
           // paths may be plain. Strip only the local-file scheme — a
           // remote scheme (graftos://) must match verbatim.

@@ -25,6 +25,17 @@ private[graft] trait TableFs {
   def writeString(path: String, body: String): Unit
   /** None = absent. */
   def readBytes(path: String): Option[Array[Byte]]
+  /** Ranged read of `length` bytes at `offset` — the access pattern a
+    * Puffin deletion-vector blob needs (one file aggregates many DVs;
+    * reading it whole per DV would be O(file) instead of O(blob)).
+    * Default falls back to a full read + slice; stores with real
+    * ranged GETs override.
+    */
+  def readRange(path: String, offset: Long, length: Int): Option[Array[Byte]] =
+    readBytes(path).map { b =>
+      java.util.Arrays.copyOfRange(b, offset.toInt,
+        math.min(offset + length, b.length.toLong).toInt)
+    }
   def writeBytes(path: String, body: Array[Byte]): Unit
   /** Publish: atomic rename locally; Hadoop rename (copy+delete on an
     * object store) remotely — remote callers must not rely on
@@ -76,6 +87,21 @@ private[graft] object LocalTableFs extends TableFs {
   override def readBytes(path: String): Option[Array[Byte]] = {
     val p = Paths.get(path)
     if (Files.exists(p)) Some(Files.readAllBytes(p)) else None
+  }
+  override def readRange(path: String, offset: Long,
+                         length: Int): Option[Array[Byte]] = {
+    val p = Paths.get(path)
+    if (!Files.exists(p)) None
+    else {
+      val ch = Files.newByteChannel(p)
+      try {
+        ch.position(offset)
+        val buf = java.nio.ByteBuffer.allocate(length)
+        var n = 0
+        while (n >= 0 && buf.hasRemaining) n = ch.read(buf)
+        Some(java.util.Arrays.copyOf(buf.array(), buf.position()))
+      } finally ch.close()
+    }
   }
   override def writeBytes(path: String, body: Array[Byte]): Unit =
     Files.write(Paths.get(path), body)
@@ -139,6 +165,18 @@ private[graft] class HadoopTableFs(conf: Configuration) extends TableFs {
       try org.apache.hadoop.io.IOUtils.copyBytes(in, out, 4096, false)
       finally in.close()
       Some(out.toByteArray)
+    }
+  }
+  override def readRange(path: String, offset: Long,
+                         length: Int): Option[Array[Byte]] = {
+    val fs = fsOf(path)
+    val p = new HPath(path)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      // positioned read — the object-store FS serves it as a ranged GET
+      try { val buf = new Array[Byte](length); in.readFully(offset, buf); Some(buf) }
+      finally in.close()
     }
   }
   override def writeBytes(path: String, body: Array[Byte]): Unit = {

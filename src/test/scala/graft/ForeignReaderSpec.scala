@@ -332,6 +332,76 @@ class ForeignReaderSpec extends AnyFunSuite with SparkSpec {
     assert(r("rows") == 4 && r("match") == true, r.toString)
   }
 
+  test("v3 deletion vectors: puffin-backed DVs — the shape a modern " +
+       "format-version-3 writer leaves — resolve in BOTH readers " +
+       "under the >= sequence rule") {
+    assume(pythonOk, "driver-side python3+duckdb unavailable")
+    val dir = Files.createTempDirectory("graft-foreign-dv").toString
+    val t = TieredTable(spark, s"$dir/events")
+    t.commitAppend(Seq((1L, "a"), (2L, "b"), (3L, "c"))
+      .toDF("id", "v").coalesce(1))                    // seq 1, one file
+    t.commitAppend(Seq((4L, "d")).toDF("id", "v").coalesce(1)) // seq 2
+    IcebergExport.export(t)
+    val mdir = s"${t.tablePath}/metadata"
+    def filesOf(manifest: String): Seq[String] =
+      IcebergExport.readAvro(s"$mdir/$manifest")._1
+        .map(_.get("data_file")
+          .asInstanceOf[org.apache.avro.generic.GenericRecord])
+        .map(_.get("file_path").toString).distinct
+    val seq1File = filesOf("manifest-000001.avro").head
+    val seq2File = filesOf("manifest-000002.avro")
+      .filterNot(_ == seq1File).head
+
+    // a v3 writer's delete commit: one Puffin file, one DV per data
+    // file, addressed from a delete manifest via fields 143/144/145.
+    // The DV at sequence 1 erases rows 0 and 2 of the seq-1 file; the
+    // DV naming the seq-2 file at the SAME sequence must NOT apply
+    // (dseq 1 < fseq 2 — the position-delete >= rule).
+    IcebergExport.attachDeletionVectors(t.tablePath,
+      Seq(seq1File -> Array(0L, 2L), seq2File -> Array(0L)),
+      sequenceNumber = 1L)
+    val hint = Files.readString(java.nio.file.Paths.get(
+      s"$mdir/version-hint.text")).trim.toInt
+    assert(Files.readString(java.nio.file.Paths.get(
+      f"$mdir/v$hint%05d.metadata.json")).contains("\"format-version\":3"),
+      "the DV-carrying table must claim format-version 3")
+
+    val got = IcebergExport.readTable(spark, t.tablePath)
+      .select("id", "v").as[(Long, String)].collect().toSet
+    assert(got == Set((2L, "b"), (4L, "d")), got.toString)
+    val r = readForeign(t.tablePath,
+      dump(Seq((2L, "b"), (4L, "d")).toDF("id", "v"), s"$dir/expected"))
+    assert(r("rows") == 2 && r("match") == true, r.toString)
+    assert(r("deletes").toString.toInt >= 2, s"DV entries read: $r")
+  }
+
+  test("v3 deletion vectors: a DENSE vector (bitmap containers, >4096 " +
+       "positions per 16-bit key) decodes identically in the foreign " +
+       "engine") {
+    assume(pythonOk, "driver-side python3+duckdb unavailable")
+    val dir = Files.createTempDirectory("graft-foreign-dvdense").toString
+    val t = TieredTable(spark, s"$dir/big")
+    // single ordered file: position i holds id i+1
+    t.commitAppend((1L to 6000L).map(i => (i, s"v$i"))
+      .toDF("id", "v").coalesce(1))
+    IcebergExport.export(t)
+    IcebergExport.attachDeletionVectors(t.tablePath,
+      Seq(IcebergExport.readAvro(
+        s"${t.tablePath}/metadata/manifest-000001.avro")._1
+        .map(_.get("data_file")
+          .asInstanceOf[org.apache.avro.generic.GenericRecord])
+        .map(_.get("file_path").toString).distinct.head ->
+        (0L until 5000L).toArray),
+      sequenceNumber = 1L)
+    val got = IcebergExport.readTable(spark, t.tablePath)
+      .select("id").as[Long].collect().sorted
+    assert(got.toSeq == (5001L to 6000L), s"${got.length} rows survive")
+    val r = readForeign(t.tablePath, dump(
+      (5001L to 6000L).map(i => (i, s"v$i")).toDF("id", "v"),
+      s"$dir/expected"))
+    assert(r("rows") == 1000 && r("match") == true, r.toString)
+  }
+
   test("bucketed merge-on-read: the foreign reader resolves a " +
        "bucket[N]-spec table (non-identity transform, scoped deletes)") {
     assume(pythonOk, "driver-side python3+duckdb unavailable")

@@ -32,6 +32,7 @@ import io
 import json
 import struct
 import sys
+import zlib
 
 
 # ---------------------------------------------------------------- Avro
@@ -140,6 +141,72 @@ def read_avro(raw):
     return records, meta
 
 
+# -------------------------------------------- Puffin deletion vectors
+#
+# Iceberg v3 stores position deletes as `deletion-vector-v1` blobs in
+# Puffin files: 4-byte BE combined length, magic D1 D3 39 64, a
+# portable 64-bit Roaring bitmap, 4-byte BE CRC-32 of magic+vector.
+# The portable 64-bit form is an 8-byte LE bucket count, then per
+# bucket a 4-byte LE high key + one standard 32-bit Roaring bitmap
+# (cookie 12346/12347; array, bitmap and run containers all legal).
+
+def _roaring32(buf):
+    cookie = struct.unpack("<I", buf.read(4))[0]
+    if (cookie & 0xFFFF) == 12347:       # SERIAL_COOKIE: runs possible
+        n = (cookie >> 16) + 1
+        runflags = buf.read((n + 7) // 8)
+        has_offsets = n >= 4
+    else:
+        assert cookie == 12346, f"bad roaring cookie {cookie}"
+        n = struct.unpack("<I", buf.read(4))[0]
+        runflags = b"\x00" * ((n + 7) // 8)
+        has_offsets = True
+    keys_cards = [struct.unpack("<HH", buf.read(4)) for _ in range(n)]
+    if has_offsets:
+        buf.read(4 * n)                  # sequential read: offsets unused
+    vals = []
+    for i, (key, cm1) in enumerate(keys_cards):
+        card = cm1 + 1
+        base = key << 16
+        if (runflags[i // 8] >> (i % 8)) & 1:
+            (nruns,) = struct.unpack("<H", buf.read(2))
+            for _ in range(nruns):
+                start, ln = struct.unpack("<HH", buf.read(4))
+                vals.extend(range(base + start, base + start + ln + 1))
+        elif card <= 4096:
+            vals.extend(base + v for v in
+                        struct.unpack(f"<{card}H", buf.read(2 * card)))
+        else:
+            words = struct.unpack("<1024Q", buf.read(8192))
+            for wi, w in enumerate(words):
+                while w:
+                    low = w & -w
+                    vals.append(base + wi * 64 + low.bit_length() - 1)
+                    w ^= low
+    return vals
+
+
+def _dv_positions(puffin_path, offset, length):
+    """Decode one deletion-vector blob → sorted row positions."""
+    with open(puffin_path, "rb") as f:
+        f.seek(offset)
+        blob = f.read(length)
+    (combined,) = struct.unpack(">I", blob[:4])
+    assert blob[4:8] == b"\xd1\xd3\x39\x64", "bad DV magic"
+    vector = blob[8:4 + combined]
+    (crc,) = struct.unpack(">I", blob[4 + combined:8 + combined])
+    assert zlib.crc32(blob[4:4 + combined]) & 0xFFFFFFFF == crc, \
+        "DV blob CRC-32 mismatch"
+    buf = io.BytesIO(vector)
+    (nbuckets,) = struct.unpack("<Q", buf.read(8))
+    out = []
+    for _ in range(nbuckets):
+        (high,) = struct.unpack("<I", buf.read(4))
+        base = high << 32
+        out.extend(base + v for v in _roaring32(buf))
+    return out
+
+
 # ------------------------------------------------------------- Iceberg
 
 def _read_file(path):
@@ -168,13 +235,17 @@ def resolve(md):
     """Parsed table metadata → scan plan. Returns (schema_cols:
     [(name, iceberg_type)], data: [(path, seq, {part_col: const})],
     deletes: [(path, seq, [eq col names])],
-    pos_deletes: [(path, seq)]).
+    pos_deletes: [(path, seq)],
+    dv_rows: [(referenced_path, pos, seq)], n_dv_files).
 
     v2 delete content codes (data_file.content): 1 = POSITION deletes
     (rows of file_path/pos pairs), 2 = EQUALITY deletes. The graft
     exporter writes equality deletes only, but a v2 table written by
     another engine (Spark/Iceberg MoR DELETE) carries position deletes
-    — the foreign role must resolve both.
+    — the foreign role must resolve both. A v3 writer stores position
+    deletes as Puffin DELETION VECTORS instead (content 1,
+    file_format PUFFIN, referenced_data_file/content_offset/
+    content_size_in_bytes) — decoded here to explicit positions.
     """
     current = md["current-snapshot-id"]
     snap = next(s for s in md["snapshots"] if s["snapshot-id"] == current)
@@ -192,6 +263,7 @@ def resolve(md):
 
     mf_list, _ = read_avro(_read_file(snap["manifest-list"]))
     data, deletes, pos_deletes = [], [], []
+    dv_rows, n_dv = [], 0
     for mf in mf_list:
         spec_fields = specs_by_id.get(mf.get("partition_spec_id"),
                                       default_spec)
@@ -220,20 +292,33 @@ def resolve(md):
                         if k in spec_fields}
                 data.append((df["file_path"], seq, part))
             elif df.get("content") == 1:
-                pos_deletes.append((df["file_path"], seq))
+                is_dv = ((df.get("file_format") or "").upper() == "PUFFIN"
+                         or df.get("referenced_data_file") is not None)
+                if is_dv:
+                    ref = df["referenced_data_file"]
+                    assert ref is not None, \
+                        "puffin DV entry lacks referenced_data_file"
+                    n_dv += 1
+                    for pos in _dv_positions(df["file_path"],
+                                             df["content_offset"],
+                                             df["content_size_in_bytes"]):
+                        dv_rows.append((ref, pos, seq))
+                else:
+                    pos_deletes.append((df["file_path"], seq))
             else:
                 eq = [id_to_name[i] for i in (df.get("equality_ids") or [])]
                 deletes.append((df["file_path"], seq, eq))
-    return cols, data, deletes, pos_deletes
+    return cols, data, deletes, pos_deletes, dv_rows, n_dv
 
 
 def scan(md):
     """Resolve + scan with DuckDB. Returns (duckdb connection holding
     view `resolved`, n_data_files, n_delete_files, columns)."""
     import duckdb
-    cols, data, deletes, pos_deletes = resolve(md)
+    cols, data, deletes, pos_deletes, dv_rows, n_dv = resolve(md)
     names = [c for c, _ in cols]
     con = duckdb.connect()
+    any_pos = bool(pos_deletes) or bool(dv_rows)
 
     def one_file(path, seq, part):
         # the declared schema drives projection: physical extras (a
@@ -251,7 +336,7 @@ def scan(md):
         # position deletes address (file path, ordinal row position):
         # surface both only when the snapshot carries any — DuckDB's
         # file_row_number IS the v2 `pos` ordinal
-        if pos_deletes:
+        if any_pos:
             sel.append(f"'{path}' AS __fpath")
             sel.append("CAST(file_row_number AS BIGINT) AS __fpos")
             src = f"read_parquet('{path}', file_row_number=true)"
@@ -294,11 +379,19 @@ def scan(md):
     # OR BELOW s (same-commit deletes apply: `>=`, unlike equality's
     # strict `>`). Paths normalize only the local-file scheme — remote
     # schemes must match verbatim.
-    if pos_deletes:
-        pd_sql = " UNION ALL ".join(
+    if any_pos:
+        parts = [
             f"SELECT file_path, pos, CAST({s} AS BIGINT) AS __dseq "
-            f"FROM read_parquet('{p}')" for p, s in pos_deletes)
-        con.execute(f"CREATE VIEW posdel AS {pd_sql}")
+            f"FROM read_parquet('{p}')" for p, s in pos_deletes]
+        if dv_rows:
+            # v3 deletion vectors, already decoded to explicit
+            # (referenced file, position, sequence) rows — they apply
+            # under the SAME >= rule as v2 position-delete files
+            con.execute("CREATE TABLE dvpos "
+                        "(file_path VARCHAR, pos BIGINT, __dseq BIGINT)")
+            con.executemany("INSERT INTO dvpos VALUES (?, ?, ?)", dv_rows)
+            parts.append("SELECT file_path, pos, __dseq FROM dvpos")
+        con.execute("CREATE VIEW posdel AS " + " UNION ALL ".join(parts))
         norm = "regexp_replace({}, '^file:/+', '/')"
         survivors = (f"SELECT * FROM ({survivors}) t WHERE NOT EXISTS ("
                      f"SELECT 1 FROM posdel d WHERE "
@@ -308,7 +401,7 @@ def scan(md):
     proj = ", ".join(f"\"{c}\"" for c in names)
     con.execute(f"CREATE VIEW resolved AS SELECT {proj} "
                 f"FROM ({survivors})")
-    return con, len(data), len(deletes) + len(pos_deletes), names
+    return con, len(data), len(deletes) + len(pos_deletes) + n_dv, names
 
 
 def canonical_hash(con, relation, names):
