@@ -70,6 +70,8 @@ object SparkEntry {
     "q35_partition_evolution" -> (Lakehouse.q35PartitionEvolution _),
     "q35b_evolved_export" -> (Lakehouse.q35bEvolvedExport _),
     "q36_dv_read" -> (Lakehouse.q36DvRead _),
+    "q37_drop_evolution" -> (Lakehouse.q37DropEvolution _),
+    "q37b_drop_evolved_export" -> (Lakehouse.q37bDropEvolvedExport _),
     // training-data pipeline: dedup / similarity / text analysis
     "d1_exact_dedup" -> (Pipeline.d1ExactDedup _),
     "d2_fingerprint" -> (Pipeline.d2Fingerprint _),
@@ -214,6 +216,47 @@ object SparkEntry {
   /** Embedding vectors as doubles + L2 norm; the dot product is a strict
     * left-fold so Spark's `aggregate(zip_with(...))` matches bit-for-bit.
     */
+  /** s15's greedy MMR chain as DuckDB SQL: the k=5 argmax unrolls to 5
+    * chained CTEs (pick i = the remaining candidate maximizing
+    * λ·sim(q,d) − (1−λ)·max redundancy vs picks 1..i−1). Doubles are
+    * kept bit-compatible with the Scala loop: the same left-fold dot
+    * product as every other vector oracle, `1::DOUBLE - 0.7::DOUBLE`
+    * (DuckDB's bare 1-0.7 is DECIMAL-exact 0.3; Java's is
+    * 0.30000000000000004), and round_even = Math.rint.
+    */
+  private def mmrOracleSql(queryId: Long, candidates: Int, k: Int): String = {
+    def fold(a: String, b: String) =
+      s"list_reduce(list_transform(list_zip($a, $b), s -> s[1]*s[2]), (a,x) -> a+x)"
+    def cosSql(a: String, b: String) =
+      s"${fold(a, b)} / (sqrt(${fold(a, a)}) * sqrt(${fold(b, b)}))"
+    val picks = (2 to k).map { i =>
+      val prior = (1 until i).map(j => s"SELECT id FROM p$j")
+        .mkString(" UNION ALL ")
+      val priorV = (1 until i).map(j => s"SELECT v FROM p$j")
+        .mkString(" UNION ALL ")
+      s"""r${i - 1} AS (SELECT * FROM cand WHERE id NOT IN ($prior)),
+         |p$i AS (SELECT r.id, r.v, r.simq,
+         |    0.7::DOUBLE * r.simq - (1::DOUBLE - 0.7::DOUBLE) *
+         |      (SELECT MAX(${cosSql("r.v", "p.v")}) FROM ($priorV) p) AS score
+         |  FROM r${i - 1} r ORDER BY score DESC, id LIMIT 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $embCtes,
+       |q AS (SELECT v, nrm FROM n WHERE vec_id = $queryId),
+       |scored AS (SELECT c.vec_id AS id, c.v AS v,
+       |    ${fold("q.v", "c.v")} / (q.nrm * c.nrm) AS simq
+       |  FROM n c, q WHERE c.vec_id <> $queryId),
+       |cand AS (SELECT id, v, simq FROM scored
+       |         ORDER BY simq DESC, id LIMIT $candidates),
+       |p1 AS (SELECT id, v, simq,
+       |    0.7::DOUBLE * simq - (1::DOUBLE - 0.7::DOUBLE) * 0::DOUBLE AS score
+       |  FROM cand ORDER BY score DESC, id LIMIT 1),
+       |$picks
+       |SELECT id AS neighbor_id, CAST(rank AS BIGINT) AS rank,
+       |       CAST(round_even(score * 1000000, 0) AS BIGINT) AS mmr_e6
+       |FROM (${(1 to k).map(i => s"SELECT id, $i AS rank, score FROM p$i")
+          .mkString(" UNION ALL ")})""".stripMargin
+  }
+
   private val embCtes =
     """v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
       |n AS (SELECT vec_id, v,
@@ -492,6 +535,26 @@ object SparkEntry {
         |         AS BIGINT)) AS BIGINT) AS price_cents
         |FROM orders WHERE o_orderkey % 7 <> 0
         |GROUP BY o_orderstatus""".stripMargin,
+    // q37/q37b = ADD→DROP partition evolution (three spec vintages:
+    // pages, dir names, pages again) through the SQL catalog and
+    // through the exported Iceberg chain — the oracle recomputes from
+    // the raw fixture, so a vintage lost on either path shifts cnt
+    "q37_drop_evolution" ->
+      """SELECT event_type, COUNT(*) AS cnt,
+        |       CAST(SUM(event_id) AS BIGINT) AS id_sum,
+        |       CAST(SUM(CAST(CAST(value AS DECIMAL(15,2)) * 100 AS BIGINT))
+        |         AS BIGINT) AS value_cents
+        |FROM events
+        |WHERE event_type IN ('click', 'error', 'purchase')
+        |GROUP BY event_type""".stripMargin,
+    "q37b_drop_evolved_export" ->
+      """SELECT event_type, COUNT(*) AS cnt,
+        |       CAST(SUM(event_id) AS BIGINT) AS id_sum,
+        |       CAST(SUM(CAST(CAST(value AS DECIMAL(15,2)) * 100 AS BIGINT))
+        |         AS BIGINT) AS value_cents
+        |FROM events
+        |WHERE event_type IN ('click', 'error', 'purchase')
+        |GROUP BY event_type""".stripMargin,
     // q32 = the partitioned MoR table through plain SQL with a
     // partition-pruned read: same CASE recomputation as q24, filtered
     // to the two probed priorities
@@ -947,6 +1010,10 @@ object SparkEntry {
          |  CAST(sum(CASE WHEN s.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
          |FROM brute b LEFT JOIN sym s USING (query_id, neighbor_id)
          |GROUP BY b.query_id""".stripMargin,
+    // s15 = greedy MMR re-rank, k=5 deep: the argmax chain unrolls to
+    // five CTEs (VERDICT r10 item 6 — converts the last similarity-
+    // family rows-only row to hash-green)
+    "s15_mmr_rerank" -> mmrOracleSql(queryId = 0L, candidates = 50, k = 5),
     "e9_top_users" ->
       """WITH c AS (SELECT event_type, user_id, COUNT(*) AS cnt
         |           FROM events GROUP BY event_type, user_id)
@@ -1193,16 +1260,30 @@ object SparkEntry {
         |         ELSE '' END ||
         |    CASE WHEN doc_id % 5 = 0
         |         THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'
+        |         ELSE '' END ||
+        |    CASE WHEN doc_id % 6 = 0
+        |         THEN ' tel (' || lpad(CAST(doc_id % 800 + 200 AS VARCHAR), 3, '0')
+        |              || ') 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |         ELSE '' END ||
+        |    CASE WHEN doc_id % 7 = 0
+        |         THEN ' card 4242-4242-4242-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |         ELSE '' END ||
+        |    CASE WHEN doc_id % 11 = 0
+        |         THEN ' build v1.2.3.4 rev 999.1.2.3'
         |         ELSE '' END AS t
         |  FROM documents)
         |SELECT doc_id,
         |  CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
         |  CAST(len(regexp_extract_all(t, '\+\d{2}[- ]\d{3}[- ]\d{3,4}[- ]\d{4}')) AS BIGINT) AS n_phones,
-        |  CAST(len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ipv4,
-        |  md5(regexp_replace(regexp_replace(regexp_replace(t,
+        |  CAST(len(regexp_extract_all(t, '\(\d{3}\) ?\d{3}[-.]\d{4}|\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS BIGINT) AS n_us_phones,
+        |  CAST(len(regexp_extract_all(t, '\b\d{4}[- ]\d{4}[- ]\d{4}[- ]\d{2,4}\b|\b\d{13,16}\b')) AS BIGINT) AS n_cc,
+        |  CAST(len(regexp_extract_all(t, '\b(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\.(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\.(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\.(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\b')) AS BIGINT) AS n_ipv4,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{4}[- ]\d{4}[- ]\d{4}[- ]\d{2,4}\b|\b\d{13,16}\b', '<CC>', 'g'),
         |    '\+\d{2}[- ]\d{3}[- ]\d{3,4}[- ]\d{4}', '<PHONE>', 'g'),
-        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')) AS redacted_md5
+        |    '\(\d{3}\) ?\d{3}[-.]\d{4}|\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g'),
+        |    '\b(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\.(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\.(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\.(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\b', '<IP>', 'g')) AS redacted_md5
         |FROM c""".stripMargin,
     "t6_repetition" ->
       """SELECT doc_id,

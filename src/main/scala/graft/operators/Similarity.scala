@@ -238,6 +238,25 @@ object Similarity {
       .select(col("a_id"), col("b_id"))
   }
 
+  /** The plane count [[lshNearDupPairs]] would derive for `df` —
+    * observability for the scale harness (SCALING.md's "planesFor
+    * sizing holds as the corpus deepens" is measured, not assumed).
+    */
+  def planesForCorpus(df: DataFrame): Int = planesFor(sizeForPlanes(df))
+
+  /** Per-(table, bucket) occupancy of the sign-LSH geometry
+    * [[lshNearDupPairs]] uses on `df`: (bucket, size) rows. The
+    * histogram SCALING.md's 100× rows report — max bucket size bounds
+    * the per-bucket quadratic join.
+    */
+  def lshBucketSizes(df: DataFrame, idCol: String, vecCol: String,
+                     planes: Int = 0, tables: Int = 8,
+                     dim: Int = 64): DataFrame = {
+    val p = if (planes > 0) planes else planesFor(sizeForPlanes(df))
+    lshBuckets(df, idCol, vecCol, p, tables, dim)
+      .groupBy(col("bucket")).agg(count(lit(1)).as("size"))
+  }
+
   /** Keep each candidate pair ONLY in its first colliding hash table:
     * the joined row at table `tbl` survives iff no earlier table also
     * bucketed the pair together. The check is a FLAT boolean over the

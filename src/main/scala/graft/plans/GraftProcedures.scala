@@ -182,7 +182,17 @@ object GraftProcedures {
         "old); Iceberg export is multi-spec. Same verb as the DDL " +
         "spelling ALTER TABLE t ADD PARTITION FIELD col",
       Seq(p("table", StringType), p("column", StringType)),
-      r => PartitionEvolution.addField(str(r, 0), str(r, 1)))
+      r => PartitionEvolution.addField(str(r, 0), str(r, 1))),
+    Proc("drop_partition_field",
+      "evolve the partition spec (Iceberg's DROP PARTITION FIELD): " +
+        "future writes stop hive-partitioning by the column (its " +
+        "values move into the data pages); existing dirs keep their " +
+        "layout and serve the column from their dir names; Iceberg " +
+        "export keeps the old spec for old manifests and emits a new " +
+        "spec id without the field. Same verb as the DDL spelling " +
+        "ALTER TABLE t DROP PARTITION FIELD col",
+      Seq(p("table", StringType), p("column", StringType)),
+      r => PartitionEvolution.dropField(str(r, 0), str(r, 1)))
   ).map(pr => pr.procName -> pr).toMap
 
   def load(ident: Identifier): UnboundProcedure = {

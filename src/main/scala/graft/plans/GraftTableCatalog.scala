@@ -925,7 +925,14 @@ class TieredSqlTable(tableName: String, spark: SparkSession,
     * bucketed merge-on-read layout ('write.bucket-by').
     */
   private val layoutCols: Seq[String] =
-    if (t.bucketBy > 0) Seq(t.BucketCol) else entry.partitionBy
+    if (t.bucketBy > 0) Seq(t.BucketCol)
+    // HISTORICAL cols, not just the current spec's: a DROP PARTITION
+    // FIELD leaves live pre-drop hive dirs whose values exist only in
+    // `col=value` names — per-root discovery (and subdir-ref base
+    // stripping) must still recognize them even when the current spec
+    // is narrower (or empty, where the single multi-root scan would
+    // die on "conflicting directory structures")
+    else t.historicalPartitionCols
 
   private def partBase(p: String): String =
     graft.storage.PartitionPaths.base(p, layoutCols)

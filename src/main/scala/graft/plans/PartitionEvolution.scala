@@ -24,67 +24,121 @@ import graft.storage.TieredTable
   */
 object PartitionEvolution {
 
-  private def fail(msg: String): Nothing =
+  private def fail(verb: String, msg: String): Nothing =
     throw new org.apache.spark.sql.AnalysisException(
       errorClass = "USER_RAISED_EXCEPTION",
-      messageParameters = Map("errorMessage" -> s"ADD PARTITION FIELD: $msg"))
+      messageParameters = Map("errorMessage" -> s"$verb PARTITION FIELD: $msg"))
 
-  def addField(dbTable: String, c: String): Unit = {
+  /** Resolve `<db>.<table>` to its registered entry, refusing
+    * PK tables: exported equality deletes are partition-scoped, and a
+    * spec that changed mid-history would leave old deltas' delete
+    * files scoped to the WRONG spec — the Iceberg community rule
+    * (upsert sinks require a frozen spec) applies to BOTH verbs.
+    */
+  private def resolveEntry(dbTable: String,
+                           verb: String): (String, String, TieredCatalog.Entry) = {
     val parts = dbTable.split("\\.").toSeq match {
       case Seq(TieredCatalog.CatalogName, db, t) => Seq(db, t)
       case pr @ Seq(_, _) => pr
-      case _ => fail(s"table must be '<db>.<table>', got '$dbTable'")
+      case _ => fail(verb, s"table must be '<db>.<table>', got '$dbTable'")
     }
     val (db, name) = (parts.head, parts(1))
     val e = TieredCatalog.lookup(db, name).getOrElse(
-      fail(s"unknown graft table '$dbTable'"))
-    // PK tables refuse: exported equality deletes are partition-
-    // scoped, and a spec that changed mid-history would leave old
-    // deltas' delete files scoped to the WRONG spec — the Iceberg
-    // community rule (upsert sinks require a frozen spec) applies
+      fail(verb, s"unknown graft table '$dbTable'"))
     if (e.pk.nonEmpty)
-      fail(s"$dbTable is a primary-key table — its partition " +
+      fail(verb, s"$dbTable is a primary-key table — its partition " +
         "spec is frozen (partition-scoped upsert deltas and " +
         "equality deletes are exact only under one spec); rewrite " +
         "into a new table to change the layout")
-    if (e.partitionBy.exists(_.equalsIgnoreCase(c)))
-      fail(s"$dbTable is already partitioned by $c")
-    if (TieredTable.SqlReserved.exists(_.equalsIgnoreCase(c)))
-      fail(s"column name '$c' is reserved for the engine's " +
-        "internal layout")
-    val t = TieredTable(SparkSession.active, e.path,
-      partitionBy = e.partitionBy)
-    // the evolved column must exist: every vintage serves it (old
-    // dirs from data pages, new dirs from the hive layout)
+    (db, name, e)
+  }
+
+  /** The table's declared schema, persisting it to `meta/SCHEMA` if
+    * this evolution is the first: mixed-vintage roots infer DIFFERENT
+    * column orders (hive appends partition columns last), and the
+    * composite SQL scan needs one authoritative shape to reconcile
+    * them by name.
+    */
+  private def ensureSchema(dbTable: String, verb: String,
+                           e: TieredCatalog.Entry,
+                           t: TieredTable): StructType = {
     val tfs = graft.storage.TableFs.forPath(e.path)
     val persisted = tfs.readString(s"${e.path}/meta/SCHEMA")
       .map(StructType.fromDDL)
     val schema = persisted.getOrElse {
       if (t.latestSnapshotId > 0 || t.logSegments.nonEmpty)
         t.readUnion().schema
-      else fail(s"$dbTable has no schema yet — evolve after " +
+      else fail(verb, s"$dbTable has no schema yet — evolve after " +
         "the first write (or CREATE the table with DDL)")
     }
+    if (persisted.isEmpty) {
+      tfs.mkdirs(s"${e.path}/meta")
+      tfs.writeString(s"${e.path}/meta/SCHEMA", schema.toDDL)
+    }
+    schema
+  }
+
+  private def reRegister(db: String, name: String,
+                         e: TieredCatalog.Entry,
+                         newPartitionBy: Seq[String]): Unit = {
+    TieredCatalog.register(db, name, e.path, e.pk, e.mergeOnRead,
+      newPartitionBy, e.bloomCols, e.changeDataFeed, e.datalake,
+      e.watermark, e.sortBy, e.bucketBy)
+    TieredCatalog.persist(db, name)
+  }
+
+  def addField(dbTable: String, c: String): Unit = {
+    val verb = "ADD"
+    val (db, name, e) = resolveEntry(dbTable, verb)
+    if (e.partitionBy.exists(_.equalsIgnoreCase(c)))
+      fail(verb, s"$dbTable is already partitioned by $c")
+    if (TieredTable.SqlReserved.exists(_.equalsIgnoreCase(c)))
+      fail(verb, s"column name '$c' is reserved for the engine's " +
+        "internal layout")
+    val t = TieredTable(SparkSession.active, e.path,
+      partitionBy = e.partitionBy)
+    // the evolved column must exist: every vintage serves it (old
+    // dirs from data pages, new dirs from the hive layout)
+    val schema = ensureSchema(dbTable, verb, e, t)
     // store the SCHEMA's canonical spelling: a case-variant argument
     // would otherwise persist verbatim and break the export's
     // case-sensitive schema lookup (and allow the same source column
     // under two spellings)
     val canonical = schema.fieldNames.find(_.equalsIgnoreCase(c))
-      .getOrElse(fail(s"column $c not in $dbTable's schema " +
+      .getOrElse(fail(verb, s"column $c not in $dbTable's schema " +
         s"(${schema.fieldNames.mkString(", ")})"))
-    // persist the DECLARED schema: mixed-vintage roots infer
-    // DIFFERENT column orders (hive appends partition columns
-    // last), and the composite SQL scan needs one authoritative
-    // shape to reconcile them by name
-    if (persisted.isEmpty) {
-      tfs.mkdirs(s"${e.path}/meta")
-      tfs.writeString(s"${e.path}/meta/SCHEMA", schema.toDDL)
-    }
     t.recordPartitionEvolution(e.partitionBy, e.partitionBy :+ canonical)
-    TieredCatalog.register(db, name, e.path, e.pk, e.mergeOnRead,
-      e.partitionBy :+ canonical, e.bloomCols, e.changeDataFeed, e.datalake,
-      e.watermark, e.sortBy, e.bucketBy)
-    TieredCatalog.persist(db, name)
+    reRegister(db, name, e, e.partitionBy :+ canonical)
+  }
+
+  /** Iceberg's `DROP PARTITION FIELD`: future writes stop laying the
+    * column out as hive dirs (its values move into the data pages,
+    * where an unpartitioned write always put them); dirs committed
+    * earlier keep their physical layout and serve the column from
+    * their `col=value` names. Reads union both vintages — new dirs
+    * prune by file stats, old dirs by directory name — and Iceberg
+    * export emits a NEW spec id without the field while old manifests
+    * keep theirs (the spec's evolution rule; a dropped field's
+    * partition field-id stays consumed, never reused). The exit ramp a
+    * long-lived table that mis-partitioned needs — without rewriting
+    * 100 TB of history.
+    */
+  def dropField(dbTable: String, c: String): Unit = {
+    val verb = "DROP"
+    val (db, name, e) = resolveEntry(dbTable, verb)
+    val canonical = e.partitionBy.find(_.equalsIgnoreCase(c)).getOrElse(
+      fail(verb, s"$dbTable is not partitioned by $c (current spec: " +
+        (if (e.partitionBy.isEmpty) "unpartitioned"
+         else e.partitionBy.mkString(", ")) + ")"))
+    val t = TieredTable(SparkSession.active, e.path,
+      partitionBy = e.partitionBy)
+    // persist the declared shape BEFORE the spec narrows: post-drop
+    // roots put the column back among the data columns while old
+    // roots append it last (hive discovery) — one authoritative order
+    ensureSchema(dbTable, verb, e, t)
+    val to = e.partitionBy.filterNot(_ == canonical)
+    t.recordPartitionEvolution(e.partitionBy, to)
+    reRegister(db, name, e, to)
   }
 }
 
@@ -107,20 +161,7 @@ object PartitionEvolutionSql {
       case AddField(ident, col) if graftTable(ident) =>
         Some(AddPartitionFieldCommand(ident.replace("`", ""), col))
       case DropField(ident, col) if graftTable(ident) =>
-        // evolution here is APPEND-ONLY by design: dropping a field
-        // makes old `col=value` dirs ambiguous to the per-root
-        // discovery (a kept-partition subdir reference would silently
-        // lose the column — its value lives ONLY in the dir name).
-        // Refuse with the working alternative instead of Spark's
-        // generic ParseException.
-        throw new org.apache.spark.sql.AnalysisException(
-          errorClass = "USER_RAISED_EXCEPTION",
-          messageParameters = Map("errorMessage" ->
-            (s"DROP PARTITION FIELD $col: partition-spec evolution is " +
-              "append-only — dropped fields would make old hive dirs " +
-              "ambiguous (kept-partition subdir references carry the " +
-              "value only in the dir name); CTAS into a table with the " +
-              "desired spec instead")))
+        Some(DropPartitionFieldCommand(ident.replace("`", ""), col))
       case _ => None
     }
 
@@ -141,6 +182,15 @@ case class AddPartitionFieldCommand(dbTable: String, column: String)
   extends LeafRunnableCommand {
   override def run(session: SparkSession): Seq[Row] = {
     PartitionEvolution.addField(dbTable, column)
+    Seq.empty
+  }
+}
+
+/** Eager DDL node for the DROP verb. */
+case class DropPartitionFieldCommand(dbTable: String, column: String)
+  extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    PartitionEvolution.dropField(dbTable, column)
     Seq.empty
   }
 }

@@ -712,6 +712,73 @@ object Lakehouse {
         |GROUP BY event_type""".stripMargin)
   }
 
+  /** Build-once ADD→DROP fixture: a third of the events committed
+    * UNPARTITIONED (spec 0), a third after `ADD PARTITION FIELD
+    * event_type` (spec 1, hive layout — values only in dir names), a
+    * third after `DROP PARTITION FIELD event_type` (spec 2, values
+    * back in the data pages). The exit ramp a long-lived table that
+    * mis-partitioned needs, exercised end-to-end. Returns the path.
+    */
+  def demoTableDropEvolved(spark: SparkSession, dir: String): String = {
+    ensureCatalog(spark)
+    val safe = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val path = s"${sys.props("java.io.tmpdir")}/graft-tiered/v$FormatVersion/$safe/events_dropped"
+    if (!Files.exists(Paths.get(path, "meta", "LATEST"))) {
+      val t = TieredTable(spark, path)
+      val events = Tables.load(spark, dir, "events")
+      t.commitAppend(events.filter(pmod(col("event_id"), lit(3)) === 0))
+      graft.plans.TieredCatalog.register("bench", "events_dropped", path)
+      spark.sql(
+        "CALL graft.system.add_partition_field('bench.events_dropped', 'event_type')")
+      val t2 = TieredTable(spark, path, partitionBy = Seq("event_type"))
+      t2.commitAppend(events.filter(pmod(col("event_id"), lit(3)) === 1))
+      spark.sql(
+        "CALL graft.system.drop_partition_field('bench.events_dropped', 'event_type')")
+      val t3 = TieredTable(spark, path)
+      t3.commitAppend(events.filter(pmod(col("event_id"), lit(3)) === 2))
+    } else
+      graft.plans.TieredCatalog.register("bench", "events_dropped", path)
+    path
+  }
+
+  /** Q37 — ADD→DROP partition evolution under the oracle: the table
+    * reads through the SQL catalog with an event-type filter that must
+    * stay exact across ALL THREE vintages — dir-name values (hive
+    * vintage), page values (both unpartitioned vintages) — against the
+    * relational recomputation from the raw fixture. A vintage dropped,
+    * double-read, or a filter claimed-but-unapplied on one root (the
+    * composite-residual bug class) shifts every group.
+    */
+  def q37DropEvolution(spark: SparkSession, dir: String): DataFrame = {
+    demoTableDropEvolved(spark, dir)
+    spark.sql(
+      """SELECT event_type, COUNT(*) AS cnt,
+        |       CAST(SUM(event_id) AS BIGINT) AS id_sum,
+        |       CAST(SUM(CAST(CAST(value AS DECIMAL(15,2)) * 100 AS BIGINT))
+        |         AS BIGINT) AS value_cents
+        |FROM graft.bench.events_dropped
+        |WHERE event_type IN ('click', 'error', 'purchase')
+        |GROUP BY event_type""".stripMargin)
+  }
+
+  /** Q37B — the ADD→DROP table EXPORTED as a THREE-SPEC Iceberg table
+    * (spec 2 without the field; the dropped field's partition field-id
+    * stays consumed) and read back purely from the exported chain —
+    * same oracle as q37.
+    */
+  def q37bDropEvolvedExport(spark: SparkSession, dir: String): DataFrame = {
+    val path = demoTableDropEvolved(spark, dir)
+    val t = TieredTable(spark, path)
+    exportOnce(t)
+    graft.storage.IcebergExport.readTable(spark, path)
+      .filter(col("event_type").isin("click", "error", "purchase"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("event_id")).cast("long").as("id_sum"),
+        sum((col("value").cast("decimal(15,2)") * 100).cast("long"))
+          .cast("long").as("value_cents"))
+  }
+
   /** Q35B — the evolved table EXPORTED as a MULTI-SPEC Iceberg table
     * (spec-id 0 = the unpartitioned vintage, spec-id 1 = the
     * `event_type` identity spec; each manifest carries its own
@@ -892,7 +959,9 @@ object Lakehouse {
         q34IcebergBucketed(spark, dir).count() },
       timed("q35b_export_setup") {
         q35bEvolvedExport(spark, dir).count() },
-      timed("q36_export_setup") { demoTableDv(spark, dir) })
+      timed("q36_export_setup") { demoTableDv(spark, dir) },
+      timed("q37b_export_setup") {
+        q37bDropEvolvedExport(spark, dir).count() })
   }
 
   /** Date-clustered variant of the demo table: orders land in three

@@ -574,10 +574,28 @@ object Pipeline {
         when(pmod(col("doc_id"), lit(5)) === 0,
           concat(lit(" from 10.0."),
             pmod(col("doc_id"), lit(256)).cast("string"),
-            lit(".7"))).otherwise("")).as("t"))
+            lit(".7"))).otherwise(""),
+        // US-format phone for every 6th doc, a credit-card candidate
+        // for every 7th, and NEGATIVE decoys for every 11th (version
+        // string + invalid octet — must survive redaction verbatim,
+        // which the hash pins across both engines)
+        when(pmod(col("doc_id"), lit(6)) === 0,
+          concat(lit(" tel ("),
+            lpad((pmod(col("doc_id"), lit(800)) + 200).cast("string"), 3, "0"),
+            lit(") 555-"),
+            lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")))
+          .otherwise(""),
+        when(pmod(col("doc_id"), lit(7)) === 0,
+          concat(lit(" card 4242-4242-4242-"),
+            lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")))
+          .otherwise(""),
+        when(pmod(col("doc_id"), lit(11)) === 0,
+          lit(" build v1.2.3.4 rev 999.1.2.3")).otherwise(""))
+        .as("t"))
     graft.operators.Pii.audit(contaminated, "doc_id", "t")
       .select(col("doc_id"), col("n_emails"), col("n_phones"),
-        col("n_ipv4"), md5(col("redacted")).as("redacted_md5"))
+        col("n_us_phones"), col("n_cc"), col("n_ipv4"),
+        md5(col("redacted")).as("redacted_md5"))
   }
 
   def t13SqlFunctions(spark: SparkSession, dir: String): DataFrame = {

@@ -1,6 +1,6 @@
 package graft.storage
 
-import java.io.{ByteArrayOutputStream, FileNotFoundException, IOException}
+import java.io.{ByteArrayOutputStream, FileNotFoundException, IOException, OutputStream}
 import java.net.{URI, URLEncoder}
 import java.net.http.{HttpClient, HttpRequest, HttpResponse}
 import java.time.Duration
@@ -112,17 +112,33 @@ class GraftObjectFileSystem extends FileSystem {
   }
 
   /** The exact key (if an object) and every key under `key/`, as
-    * (key, size, mtimeMillis).
+    * (key, size, mtimeMillis). PAGINATED like S3 ListObjectsV2: the
+    * store caps each page and signals `x-list-truncated`; the loop
+    * resumes with `start-after` until the listing drains — a snapshot
+    * dir with more files than one page must not lose its tail (a
+    * silently-truncated listing reads as missing data files).
     */
   private def listKeys(key: String): Seq[(String, Long, Long)] = {
-    val r = send(HttpRequest.newBuilder(uriFor(key, "list")).timeout(Timeout)
-      .GET().build(), HttpResponse.BodyHandlers.ofString())
-    if (r.statusCode() != 200)
-      throw new IOException(s"LIST $key returned ${r.statusCode()}")
-    r.body().linesIterator.filter(_.nonEmpty).map { line =>
-      val Array(size, mtime, k) = line.split("\t", 3)
-      (k, size.toLong, mtime.toLong)
-    }.toSeq
+    val out = Seq.newBuilder[(String, Long, Long)]
+    var startAfter: Option[String] = None
+    var more = true
+    while (more) {
+      val q = "list" + startAfter.fold("")(sa =>
+        "&start-after=" + URLEncoder.encode(sa, "UTF-8").replace("+", "%20"))
+      val r = send(HttpRequest.newBuilder(uriFor(key, q)).timeout(Timeout)
+        .GET().build(), HttpResponse.BodyHandlers.ofString())
+      if (r.statusCode() != 200)
+        throw new IOException(s"LIST $key returned ${r.statusCode()}")
+      val lines = r.body().linesIterator.filter(_.nonEmpty).toSeq
+      lines.foreach { line =>
+        val Array(size, mtime, k) = line.split("\t", 3)
+        out += ((k, size.toLong, mtime.toLong))
+      }
+      more = lines.nonEmpty &&
+        r.headers().firstValue("x-list-truncated").orElse("") == "true"
+      startAfter = lines.lastOption.map(_.split("\t", 3)(2))
+    }
+    out.result()
   }
 
   // ---- FileSystem surface ----
@@ -246,6 +262,37 @@ class GraftObjectFileSystem extends FileSystem {
       readFully(position, buffer, 0, buffer.length)
   }
 
+  // ---- multipart upload (S3 shape, bounded client memory) ----
+
+  private def initiateMultipart(key: String): String = {
+    val r = send(HttpRequest.newBuilder(uriFor(key, "uploads"))
+      .timeout(Timeout).POST(HttpRequest.BodyPublishers.noBody()).build(),
+      HttpResponse.BodyHandlers.ofString())
+    if (r.statusCode() != 200)
+      throw new IOException(s"initiate multipart $key: ${r.statusCode()}")
+    r.body()
+  }
+
+  private def putPart(key: String, uploadId: String, partNumber: Int,
+                      bytes: Array[Byte]): Unit = {
+    val r = send(HttpRequest.newBuilder(
+        uriFor(key, s"uploadId=$uploadId&partNumber=$partNumber"))
+      .timeout(Timeout)
+      .PUT(HttpRequest.BodyPublishers.ofByteArray(bytes)).build(),
+      HttpResponse.BodyHandlers.discarding())
+    if (r.statusCode() != 200)
+      throw new IOException(
+        s"part $partNumber of $key: ${r.statusCode()}")
+  }
+
+  private def completeMultipart(key: String, uploadId: String): Unit = {
+    val r = send(HttpRequest.newBuilder(uriFor(key, s"uploadId=$uploadId"))
+      .timeout(Timeout).POST(HttpRequest.BodyPublishers.noBody()).build(),
+      HttpResponse.BodyHandlers.discarding())
+    if (r.statusCode() != 200)
+      throw new IOException(s"complete multipart $key: ${r.statusCode()}")
+  }
+
   override def create(f: Path, permission: FsPermission, overwrite: Boolean,
                       bufferSize: Int, replication: Short, blockSize: Long,
                       progress: Progressable): FSDataOutputStream = {
@@ -253,14 +300,44 @@ class GraftObjectFileSystem extends FileSystem {
     // existence probe via the metadata listing, not a full-body GET
     if (!overwrite && listKeys(key).exists(_._1 == key))
       throw new IOException(s"$f already exists")
-    val buf = new ByteArrayOutputStream() {
+    // Objects at or under one part buffer upload with a single PUT;
+    // anything larger streams as a MULTIPART upload (parts shipped as
+    // the buffer fills, object visible atomically at complete) — the
+    // S3 rule that bounds client memory to one part regardless of
+    // object size. Part size is configurable for tests
+    // (fs.graftos.multipart.size).
+    val partSize = getConf.getLong(MultipartSizeKey, DefaultPartSize)
+      .max(1L).toInt
+    val out = new OutputStream {
+      private val buf = new ByteArrayOutputStream()
+      private var uploadId: Option[String] = None
+      private var partNumber = 0
       private var closed = false
-      override def close(): Unit = if (!closed) { // PUT once, on close
+      private def flushPart(): Unit = {
+        val id = uploadId.getOrElse {
+          val i = initiateMultipart(key); uploadId = Some(i); i
+        }
+        partNumber += 1
+        putPart(key, id, partNumber, buf.toByteArray)
+        buf.reset()
+      }
+      private def maybeFlush(): Unit =
+        if (buf.size() >= partSize) flushPart()
+      override def write(b: Int): Unit = { buf.write(b); maybeFlush() }
+      override def write(b: Array[Byte], off: Int, len: Int): Unit = {
+        buf.write(b, off, len); maybeFlush()
+      }
+      override def close(): Unit = if (!closed) {
         closed = true
-        putBytes(key, toByteArray)
+        uploadId match {
+          case None => putBytes(key, buf.toByteArray) // small: one PUT
+          case Some(id) =>
+            if (buf.size() > 0) flushPart()
+            completeMultipart(key, id)
+        }
       }
     }
-    new FSDataOutputStream(buf, statistics)
+    new FSDataOutputStream(out, statistics)
   }
 
   override def append(f: Path, bufferSize: Int,
@@ -323,6 +400,11 @@ object GraftObjectFileSystem {
   val Scheme = "graftos"
   private val BlockSize: Long = 128L << 20
   private val Timeout = Duration.ofSeconds(10)
+  /** Conf key for the multipart part size (bytes); objects larger than
+    * one part stream as S3-style multipart uploads.
+    */
+  val MultipartSizeKey = s"fs.$Scheme.multipart.size"
+  private val DefaultPartSize: Long = 8L << 20
   private lazy val client =
     HttpClient.newBuilder().connectTimeout(Timeout).build()
 

@@ -98,25 +98,41 @@ class HttpMetaStore(baseUrl: String,
 
   /** Prefix listing via the store's `?list` (the S3 ListObjectsV2
     * role): lines of `size\tmtime\tfullKey`; keys are returned relative
-    * to this store's base prefix and filtered client-side.
+    * to this store's base prefix and filtered client-side. PAGINATED:
+    * the store caps each response and signals `x-list-truncated`; the
+    * loop resumes with `start-after` until the listing drains — a
+    * catalog with more tables than one page must not silently lose the
+    * tail.
     */
   override def listKeys(prefix: String): Seq[String] = {
-    val r = send(HttpRequest.newBuilder(URI.create(s"$base?list"))
-      .timeout(timeout).GET().build())
-    r.statusCode() match {
-      case 200 =>
-        val basePath = URI.create(base).getPath.stripPrefix("/")
-        r.body().split("\n").toSeq.filter(_.nonEmpty).flatMap { line =>
-          val full = line.split("\t").last
-          val rel = full.stripPrefix(basePath).stripPrefix("/")
-          if (rel.nonEmpty && rel.startsWith(prefix) && !rel.contains("/"))
-            Some(rel)
-          else None
-        }.sorted
-      case 404 => Nil
-      case s => throw new java.io.IOException(
-        s"LIST $base returned $s")
+    val basePath = URI.create(base).getPath.stripPrefix("/")
+    val out = Seq.newBuilder[String]
+    var startAfter: Option[String] = None
+    var more = true
+    while (more) {
+      val q = "list" + startAfter.fold("")(sa =>
+        "&start-after=" +
+          java.net.URLEncoder.encode(sa, "UTF-8").replace("+", "%20"))
+      val r = send(HttpRequest.newBuilder(URI.create(s"$base?$q"))
+        .timeout(timeout).GET().build())
+      r.statusCode() match {
+        case 200 =>
+          val lines = r.body().split("\n").toSeq.filter(_.nonEmpty)
+          lines.foreach { line =>
+            val full = line.split("\t").last
+            val rel = full.stripPrefix(basePath).stripPrefix("/")
+            if (rel.nonEmpty && rel.startsWith(prefix) && !rel.contains("/"))
+              out += rel
+          }
+          more = lines.nonEmpty &&
+            r.headers().firstValue("x-list-truncated").orElse("") == "true"
+          startAfter = lines.lastOption.map(_.split("\t").last)
+        case 404 => more = false
+        case s => throw new java.io.IOException(
+          s"LIST $base returned $s")
+      }
     }
+    out.result().sorted
   }
 
   override def location(key: String): String = uri(key).toString

@@ -408,17 +408,22 @@ object IcebergExport {
     * same shape TieredTable's own readParquet presents.
     */
   private def rawRead(session: SparkSession, table: TieredTable,
-                      files: Seq[String]): DataFrame =
-    if (table.partitionBy.isEmpty)
+                      files: Seq[String]): DataFrame = {
+    // HISTORICAL layout cols, not just the current spec's: after DROP
+    // PARTITION FIELD, pre-drop hive vintages carry values only in
+    // their `col=value` dir names — same rule as TieredTable.readParquet
+    val layout = table.historicalPartitionCols
+    if (layout.isEmpty)
       session.read.option("mergeSchema", "true").parquet(files: _*)
     else
       // a `col=value` subdir entry anchors partition discovery at its
       // snapshot root (basePath), same as TieredTable.readParquet
       files.map { f =>
         session.read.option("mergeSchema", "true")
-          .option("basePath", PartitionPaths.base(f, table.partitionBy))
+          .option("basePath", PartitionPaths.base(f, layout))
           .parquet(f)
       }.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
 
   /** One part file's manifest accounting: (path, rows, bytes,
     * per-column footer stats).
@@ -1016,12 +1021,16 @@ object IcebergExport {
     // `table.partitionBy` names the DIRECTORY columns the values are
     // parsed from — same order, zipped below.
     val bucketed = table.bucketBy > 0
-    // Per-spec shapes. Evolution only ever APPENDS identity fields
-    // (add_partition_field refuses PK tables, so bucketed/MoR tables
-    // are always single-spec), so a field keeps ONE field-id across
-    // every spec that names it: 1000 + its position in the CURRENT
-    // column list — the Iceberg rule that partition field-ids are
-    // assigned once, table-wide.
+    // Per-spec shapes. Partition field-ids are assigned ONCE,
+    // table-wide, in first-appearance order across the spec timeline,
+    // and never reused — the Iceberg rule that keeps ids stable under
+    // both ADD and DROP PARTITION FIELD (a dropped field's id is
+    // simply absent from newer specs; a re-added name keeps its
+    // original id). add/drop refuse PK tables, so bucketed/MoR tables
+    // are always single-spec.
+    val partFieldIds: Map[String, Int] =
+      specTimeline.flatMap(_._2).distinct.zipWithIndex
+        .map { case (c, i) => c -> (1000 + i) }.toMap
     def partTypesOf(cols: Seq[String]): Seq[(String, DataType)] =
       if (bucketed) Seq(s"${table.pk.head}_bucket" -> IntegerType)
       else cols.map { c =>
@@ -1036,7 +1045,7 @@ object IcebergExport {
       else cols.map { c =>
         Map("name" -> c, "transform" -> "identity",
           "source-id" -> headFieldIds(c),
-          "field-id" -> (1000 + specTimeline.last._2.indexOf(c)))
+          "field-id" -> partFieldIds(c))
       }
     val entrySchemaOf: Map[Int, Schema] = specTimeline.map { case (id, cols, _) =>
       id -> manifestEntrySchema(
@@ -1369,9 +1378,10 @@ object IcebergExport {
         Map("spec-id" -> id, "fields" -> specFieldsOf(cols)) },
       // 999 = "nothing assigned" (real Iceberg's value for a table
       // that never had a partition field); bucketed tables assign
-      // exactly field-id 1000
+      // exactly field-id 1000; evolved tables count every id EVER
+      // assigned (a dropped field's id stays consumed)
       "last-partition-id" -> (999 +
-        (if (bucketed) 1 else specTimeline.last._2.size)),
+        (if (bucketed) 1 else partFieldIds.size)),
       // declared write sort order exports as a REAL Iceberg sort order
       // (external engines read it as the clustering hint it is); the
       // unsorted order 0 stays for files written before it applied
@@ -1668,58 +1678,86 @@ object IcebergExport {
         val org.json4s.JString(n) = jsonAt(f, "name"): @unchecked
         jLong(jsonAt(f, "id")).toInt -> n
       }.toMap
-      // group data files by (sequence, spec, partition tuple); each
-      // group scans once, gets ITS SPEC's partition columns attached
-      // as typed constants (the constant-vector read every Iceberg
-      // engine does for identity transforms) and its data sequence
-      // number for delete application. Plan width is O(sequences ×
-      // partitions in the snapshot) — the width graft's own tiered
-      // read plans.
-      val byGroup: Map[(Long, Int, Seq[Option[Any]]), Seq[String]] =
-        liveEntries.map { case (e, seq, specId) =>
-          val rec = e.get("partition").asInstanceOf[GenericRecord]
-          val vals = specsById(specId).map { case (c, _) =>
-            Option(rec.get(c)).map {
-              case u: org.apache.avro.util.Utf8 => u.toString
-              case v => v
-            }
-          }
-          ((seq, specId, vals), e.get("file_path").toString)
-        }.groupBy(_._1).map { case (k, xs) => k -> xs.map(_._2) }
-      val data = byGroup.toSeq.sortBy(_._1.toString)
-        .map { case ((seq, specId, vals), files) =>
-          var df = readData(files)
-          specsById(specId).zip(vals).foreach {
-            case ((c, "identity"), ov) =>
-              val st = sparkType(typeOf(c))
-              val value = ov match {
-                case None => lit(null).cast(st)
-                case Some(v) if typeOf(c) == "date" =>
-                  lit(java.time.LocalDate.ofEpochDay(
-                    v.asInstanceOf[Int].toLong))
-                case Some(v) => lit(v).cast(st)
-              }
-              df = df.withColumn(c, value)
-            case ((_, _), _) => // bucket[N] etc: source col is in pages
-          }
-          // schema-evolved groups: a column the snapshot schema names
-          // may be absent from this group's files — pad typed nulls
-          colOrder.filterNot(df.columns.contains).foreach { c =>
-            df = df.withColumn(c, lit(null).cast(sparkType(typeOf(c))))
-          }
-          // position deletes address rows by (data file path, ordinal
-          // row position) — surface both from the parquet reader's
-          // _metadata only when needed (the extra columns disable
-          // nothing, but there is no reason to carry them otherwise)
-          val posCols =
-            if (posDeleteEntries.isEmpty && dvEntries.isEmpty) Nil
-            else Seq(col("_metadata.file_path").as("__ice_fpath"),
-              col("_metadata.row_index").as("__ice_fpos"))
-          df.select((colOrder :+ "__ice_fseq").map {
-            case "__ice_fseq" => lit(seq).as("__ice_fseq")
-            case c => col(c)
-          } ++ posCols: _*)
-        }.reduce(_.unionByName(_))
+      // ONE scan + a BROADCAST file-metadata join — plan width O(1),
+      // not O(sequences × partitions). Every live entry contributes a
+      // row (normalized path, data sequence, identity constants
+      // rendered as strings) to a tiny frame that broadcast-joins onto
+      // the scan via the parquet reader's _metadata.file_path; the
+      // cast back to the declared type is exact for the supported
+      // partition value types (int/long/string/date). A file whose
+      // pages physically carry an identity column (real Iceberg
+      // writers store it; graft's hive layout doesn't) agrees with its
+      // manifest constant by the spec's identity rule, so
+      // coalesce(constant, page) is exact. At 100 TB this is the
+      // difference between a thousands-branch union (unplannable) and
+      // one scan feeding a broadcast hash join.
+      import org.apache.spark.sql.functions.{broadcast, coalesce}
+      import org.apache.spark.sql.types.{LongType, StringType, StructField}
+      val identityCols: Seq[String] = specsById.values.flatten.collect {
+        case (c, "identity") => c
+      }.toSeq.distinct
+      // Driver-side path normalization to Spark's OWN rendering: the
+      // scan's _metadata.file_path is the Hadoop-Path URI form (a
+      // partition value's space is %20 there, literal in the manifest
+      // string) — running the manifest string through the same Path
+      // encoding makes the join key exact for every character class,
+      // then the local-file scheme strips on both sides.
+      def normPathS(p: String) =
+        new org.apache.hadoop.fs.Path(p).toUri.toString
+          .replaceFirst("^file:/+", "/")
+      val metaRows = liveEntries.map { case (e, seq, specId) =>
+        val rec = e.get("partition").asInstanceOf[GenericRecord]
+        val spec = specsById(specId).toMap
+        org.apache.spark.sql.Row.fromSeq(
+          normPathS(e.get("file_path").toString) +: seq +:
+            identityCols.map { c =>
+              if (!spec.get(c).contains("identity")) null
+              else Option(rec.get(c)).map {
+                case v if typeOf.get(c).contains("date") =>
+                  java.time.LocalDate.ofEpochDay(
+                    v.asInstanceOf[Int].toLong).toString
+                case v => v.toString
+              }.orNull
+            })
+      }.distinct
+      require(metaRows.map(_.getString(0)).distinct.size == metaRows.size,
+        s"snapshot $currentId lists a data file under two sequences — " +
+          "corrupt metadata (delete application would be ambiguous)")
+      val metaSchema = StructType(
+        StructField("__ice_meta_path", StringType) +:
+          StructField("__ice_fseq", LongType) +:
+          identityCols.map(c => StructField(s"__ice_part_$c", StringType)))
+      import scala.jdk.CollectionConverters.SeqHasAsJava
+      val metaDf = broadcast(
+        spark.createDataFrame(metaRows.asJava, metaSchema))
+      // Spark's _metadata.file_path is a URI (file:///…); manifest
+      // paths may be plain — normalize only the local-file scheme
+      def normPathC(c: org.apache.spark.sql.Column) =
+        regexp_replace(c, "^file:/+", "/")
+      val scanned = readData(
+        liveEntries.map(_._1.get("file_path").toString).distinct)
+        .withColumn("__ice_fpath", col("_metadata.file_path"))
+        .withColumn("__ice_fpos", col("_metadata.row_index"))
+      var joined = scanned.join(metaDf,
+        normPathC(col("__ice_fpath")) === col("__ice_meta_path"))
+      identityCols.foreach { c =>
+        val const = col(s"__ice_part_$c").cast(sparkType(typeOf(c)))
+        joined = joined.withColumn(c,
+          if (joined.columns.contains(c)) coalesce(const, col(c)) else const)
+      }
+      // schema-evolved snapshots: a column the snapshot schema names
+      // may be absent from every live file — pad typed nulls
+      colOrder.filterNot(joined.columns.contains).foreach { c =>
+        joined = joined.withColumn(c, lit(null).cast(sparkType(typeOf(c))))
+      }
+      // position deletes / deletion vectors address rows by (data file
+      // path, ordinal row position) — keep both only when needed (the
+      // unused _metadata projection is optimized away otherwise)
+      val posCols =
+        if (posDeleteEntries.isEmpty && dvEntries.isEmpty) Nil
+        else Seq("__ice_fpath", "__ice_fpos")
+      val data = joined.select(
+        (colOrder ++ Seq("__ice_fseq") ++ posCols).map(col): _*)
       val afterEq =
         if (eqDeleteEntries.isEmpty) data
         else {
@@ -1819,7 +1857,12 @@ object IcebergExport {
                   seq)
               }
               import spark.implicits._
-              Some(spark.createDataset(descs)
+              // referenced_data_file normalized to the scan's own path
+              // rendering driver-side (same Hadoop-Path URI treatment
+              // as the data join keys — spacey partition values match)
+              Some(spark.createDataset(descs.map { case (pf, off, len, ref, seq) =>
+                  (pf, off, len, normPathS(ref), seq)
+                })
                 .repartition(math.min(descs.size, 32))
                 .flatMap { case (pf, off, len, ref, seq) =>
                   Puffin.readDeletionVector(pf, off, len)

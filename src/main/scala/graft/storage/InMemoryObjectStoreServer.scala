@@ -3,6 +3,7 @@ package graft.storage
 import java.io.OutputStream
 import java.net.InetSocketAddress
 import java.util.concurrent.{ConcurrentHashMap, Executors}
+import java.util.concurrent.atomic.AtomicLong
 
 import com.sun.net.httpserver.{HttpExchange, HttpServer}
 
@@ -11,18 +12,35 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer}
   * consume — S3-style semantics over real sockets: GET / PUT /
   * conditional PUT (`If-None-Match: *`, arbitrated server-side by one
   * ConcurrentHashMap.putIfAbsent) / DELETE / prefix LIST (`?list` →
-  * `size TAB mtime TAB key` lines) / server-side copy (PUT with
-  * `x-copy-source`, the S3 CopyObject shape). Objects are bytes with
-  * an mtime; GET honors `Range: bytes=a-b` with a 206 slice.
+  * `size TAB mtime TAB key` lines, PAGINATED like S3 ListObjectsV2:
+  * at most `listPageSize` keys per response, `start-after` resumes,
+  * `x-list-truncated: true` signals more) / server-side copy (PUT with
+  * `x-copy-source`, the S3 CopyObject shape) / MULTIPART UPLOAD
+  * (`POST k?uploads` → uploadId, `PUT k?uploadId=U&partNumber=N` per
+  * part, `POST k?uploadId=U` completes — the object appears ATOMICALLY
+  * at complete, never part-by-part; `DELETE k?uploadId=U` aborts).
+  * Objects are bytes with an mtime; GET honors `Range: bytes=a-b` with
+  * a 206 slice.
   *
   * This is demo/test INFRASTRUCTURE (the MinIO stand-in —
   * /root/reference/fluss-iceberg/docker-compose.yml:139-155), not a
   * production store: state is one in-memory map. The ObjectStoreStub
   * test fixture and [[DemoObjectStore]] both run on it.
   */
-class InMemoryObjectStoreServer {
+class InMemoryObjectStoreServer(listPageSize: Int = 1000) {
   private case class Obj(bytes: Array[Byte], mtime: Long)
   private val objects = new ConcurrentHashMap[String, Obj]()
+  // uploadId -> (target key, partNumber -> bytes)
+  private case class Upload(key: String,
+                            parts: ConcurrentHashMap[Int, Array[Byte]])
+  private val uploads = new ConcurrentHashMap[String, Upload]()
+
+  /** Observability for specs: completed multipart uploads / LIST pages
+    * served (how a test proves pagination and multipart actually
+    * happened, not just that the bytes round-tripped).
+    */
+  val multipartCompletes = new AtomicLong(0)
+  val listPagesServed = new AtomicLong(0)
 
   val server: HttpServer = {
     val s = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
@@ -55,18 +73,44 @@ class InMemoryObjectStoreServer {
   private def decode(s: String): String =
     java.net.URLDecoder.decode(s, "UTF-8")
 
+  /** `a=b&c` query string → map (`c` maps to ""). */
+  private def queryParams(ex: HttpExchange): Map[String, String] =
+    Option(ex.getRequestURI.getRawQuery).fold(Map.empty[String, String]) {
+      _.split("&").filter(_.nonEmpty).map { kv =>
+        kv.split("=", 2) match {
+          case Array(k, v) => decode(k) -> decode(v)
+          case Array(k) => decode(k) -> ""
+        }
+      }.toMap
+    }
+
   private def handle(ex: HttpExchange): Unit = {
     try {
       val key = ex.getRequestURI.getRawPath.stripPrefix("/")
         .split("/", -1).map(decode).mkString("/")
-      val listing = Option(ex.getRequestURI.getQuery).contains("list")
+      val params = queryParams(ex)
+      val listing = params.contains("list")
       ex.getRequestMethod match {
         case "GET" if listing =>
           import scala.jdk.CollectionConverters._
-          val lines = objects.entrySet().asScala
+          // S3 ListObjectsV2 shape: lexicographic key order, at most
+          // `listPageSize` entries, `start-after` resumes AFTER the
+          // named key, truncation signalled out-of-band (header) so
+          // the line protocol stays line = object
+          val startAfter = params.get("start-after")
+          val all = objects.entrySet().asScala
             .filter(e => e.getKey == key || e.getKey.startsWith(key + "/"))
             .toSeq.sortBy(_.getKey)
-            .map(e => s"${e.getValue.bytes.length}\t${e.getValue.mtime}\t${e.getKey}")
+          val resumed = startAfter match {
+            case Some(sa) => all.dropWhile(_.getKey <= sa)
+            case None => all
+          }
+          val page = resumed.take(listPageSize)
+          listPagesServed.incrementAndGet()
+          if (resumed.sizeIs > listPageSize)
+            ex.getResponseHeaders.set("x-list-truncated", "true")
+          val lines = page.map(e =>
+            s"${e.getValue.bytes.length}\t${e.getValue.mtime}\t${e.getKey}")
           respond(ex, 200, lines.mkString("\n")
             .getBytes(java.nio.charset.StandardCharsets.UTF_8))
         case "GET" =>
@@ -86,6 +130,37 @@ class InMemoryObjectStoreServer {
                 case _ => respond(ex, 200, o.bytes)
               }
             case None => respond(ex, 404)
+          }
+        case "POST" if params.contains("uploads") =>
+          // initiate multipart: the id names the staging area; nothing
+          // is visible under the key until complete
+          val id = java.util.UUID.randomUUID().toString
+          uploads.put(id, Upload(key, new ConcurrentHashMap()))
+          respond(ex, 200,
+            id.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        case "POST" if params.contains("uploadId") =>
+          // complete: concatenate parts in part-number order and
+          // publish ATOMICALLY (one map put) — the S3 visibility rule
+          Option(uploads.remove(params("uploadId"))) match {
+            case Some(u) if u.key == key =>
+              import scala.jdk.CollectionConverters._
+              val ordered = u.parts.entrySet().asScala.toSeq
+                .sortBy(_.getKey).map(_.getValue)
+              val out = new java.io.ByteArrayOutputStream()
+              ordered.foreach(out.write)
+              objects.put(key, Obj(out.toByteArray, System.currentTimeMillis()))
+              multipartCompletes.incrementAndGet()
+              respond(ex, 200)
+            case Some(_) => respond(ex, 400) // id belongs to another key
+            case None => respond(ex, 404)
+          }
+        case "PUT" if params.contains("uploadId") =>
+          (Option(uploads.get(params("uploadId"))),
+            params.get("partNumber").map(_.toInt)) match {
+            case (Some(u), Some(n)) if u.key == key =>
+              u.parts.put(n, ex.getRequestBody.readAllBytes())
+              respond(ex, 200)
+            case _ => respond(ex, 404)
           }
         case "PUT"
             if ex.getRequestHeaders.getFirst("x-copy-source") != null =>
@@ -112,6 +187,9 @@ class InMemoryObjectStoreServer {
             objects.put(key, obj)
             respond(ex, 200)
           }
+        case "DELETE" if params.contains("uploadId") =>
+          uploads.remove(params("uploadId")) // abort: staged parts gone
+          respond(ex, 204)
         case "DELETE" =>
           objects.remove(key)
           respond(ex, 204)

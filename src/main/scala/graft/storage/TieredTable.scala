@@ -2223,6 +2223,17 @@ class TieredTable(spark: SparkSession, rawTablePath: String,
           to.split(",").toSeq.filter(_.nonEmpty))
       }
 
+  /** Every column that has EVER been a partition column — the current
+    * spec plus both sides of every recorded evolution. This is the set
+    * path-segment parsing and per-root discovery must recognize: after
+    * a DROP PARTITION FIELD, live pre-drop dirs still carry
+    * `col=value` segments for a column the CURRENT spec no longer
+    * lists (their values live only in the dir names), and a kept
+    * partition-subdir reference must still strip to its snapshot root.
+    */
+  def historicalPartitionCols: Seq[String] =
+    (partitionBy ++ partitionEvolutions.flatMap(e => e._2 ++ e._3)).distinct
+
   /** RENAME COLUMN as METADATA-ONLY evolution: one mapping line, no
     * data rewrite; all reads — current, union, time travel — present
     * the new name with the old files' data. Files written after the
@@ -2238,7 +2249,7 @@ class TieredTable(spark: SparkSession, rawTablePath: String,
     require(!retiredNames().contains(newName),
       s"$newName was a previous column's name — reusing it would " +
         "resurrect old file data under the new identity")
-    require(!(pk ++ partitionBy ++ bloomCols).contains(oldName),
+    require(!(pk ++ historicalPartitionCols ++ bloomCols).contains(oldName),
       s"$oldName is a key/layout column (pk/partition/bloom) — " +
         "rename is refused; rebuild the table for key evolution")
     require(oldName != SeqCol && newName != SeqCol,
@@ -2281,7 +2292,7 @@ class TieredTable(spark: SparkSession, rawTablePath: String,
           s"${newType.catalogString} is not a value-preserving widening " +
           "(supported: integral -> wider integral, float -> double, " +
           "decimal(p,s) -> decimal(p'>p, s))")
-      require(!(pk ++ partitionBy ++ bloomCols)
+      require(!(pk ++ historicalPartitionCols ++ bloomCols)
           .exists(_.equalsIgnoreCase(actual)),
         s"$actual is a key/layout column (pk/partition/bloom) — its " +
           "bytes are load-bearing in manifests and sidecars; widen is " +
@@ -2302,7 +2313,7 @@ class TieredTable(spark: SparkSession, rawTablePath: String,
 
   def dropColumn(name: String): Unit = withCommitLock {
     require(readUnion().columns.contains(name), s"no column $name in $tablePath")
-    require(!(pk ++ partitionBy ++ bloomCols).contains(name),
+    require(!(pk ++ historicalPartitionCols ++ bloomCols).contains(name),
       s"$name is a key/layout column (pk/partition/bloom) — drop is refused")
     appendColMap(s"drop\t$name")
   }
@@ -2316,7 +2327,11 @@ class TieredTable(spark: SparkSession, rawTablePath: String,
     * names ([[applyColumnMap]]).
     */
   private def readParquet(files: Seq[String]): DataFrame = applyColumnMap {
-    if (partitionBy.isEmpty)
+    // discovery keys on EVERY column that was ever a layout column: a
+    // table whose spec dropped to unpartitioned still has live hive
+    // dirs whose values exist only in `col=value` names
+    val layout = historicalPartitionCols
+    if (layout.isEmpty)
       spark.read.option("mergeSchema", "true").parquet(files: _*)
     else
       // partitioned tables: each snapshot/segment dir is its own
@@ -2329,16 +2344,9 @@ class TieredTable(spark: SparkSession, rawTablePath: String,
       // snapshot root via basePath, so the bound partition columns
       // still surface as columns.
       files.map(f => spark.read.option("mergeSchema", "true")
-          .option("basePath", partDiscoveryBase(f)).parquet(f))
+          .option("basePath", PartitionPaths.base(f, layout)).parquet(f))
         .reduce(_.unionByName(_, allowMissingColumns = true))
   }
-
-  /** Partition-discovery base of a snapshot-file entry: the entry with
-    * its trailing `col=value` segments stripped (= the snapshot dir the
-    * subdir was kept from; a plain dir entry is its own base).
-    */
-  private def partDiscoveryBase(f: String): String =
-    PartitionPaths.base(f, partitionBy)
 
   /** Last-write-wins over the raw version files, internals stripped:
     * the winner per PK by `__seq` desc, with the engine's `__seq` and
@@ -2375,7 +2383,10 @@ class TieredTable(spark: SparkSession, rawTablePath: String,
     * last-write-wins must resolve BEFORE the filter.
     */
   def readColdWhere(cond: org.apache.spark.sql.Column): DataFrame = {
-    if (partitionBy.nonEmpty || (pk.nonEmpty && mergeOnRead))
+    // historical cols: a post-DROP unpartitioned table still has hive
+    // vintages whose values live in dir names — the plain pruned read
+    // below would null them out
+    if (historicalPartitionCols.nonEmpty || (pk.nonEmpty && mergeOnRead))
       return readCold().filter(cond)
     val s = currentSnapshot.getOrElse(
       throw new IllegalStateException(s"no snapshot in $tablePath"))

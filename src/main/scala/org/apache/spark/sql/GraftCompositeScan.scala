@@ -47,12 +47,23 @@ class GraftCompositeScanBuilder(builders: Seq[ScanBuilder],
     * so the residual (post-scan) filter set is identical — forward to
     * every child, report the first's residuals.
     */
-  override def pushFilters(filters: Seq[Expression]): Seq[Expression] =
-    children.map {
+  override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
+    val residuals = children.map {
       case c: org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters =>
         c.pushFilters(filters)
       case _ => filters
-    }.head
+    }
+    // UNION of the children's residuals, not the first child's: after
+    // partition-spec evolution the roots have DIFFERENT layouts — a
+    // hive-vintage root claims a partition filter exactly (directory
+    // pruning), while a page-vintage root must keep it post-scan.
+    // Reporting only child 0's set silently dropped the filter for the
+    // other vintage (Spark then pruned the filter column from the
+    // projection, and the parquet-level pushdown over the missing
+    // column dropped every row). Re-applying an already-claimed filter
+    // on the claiming child is a no-op — the safe direction.
+    residuals.flatten.distinct
+  }
 
   override def pushedFilters: Array[Predicate] = children.head match {
     case c: org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters =>

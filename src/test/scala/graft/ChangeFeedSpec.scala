@@ -53,6 +53,55 @@ class ChangeFeedSpec extends AnyFunSuite with SparkSpec {
     assert(ops3 == Set(("-D", 2L, "b")))
   }
 
+  test("change feed across a PARTITION-SPEC EVOLUTION boundary: each " +
+       "commit's delta carries the partition values of ITS vintage — " +
+       "dir names for the hive vintage, pages either side of it") {
+    val dir = Files.createTempDirectory("graft-cdf-evo").toString
+    val path = s"$dir/t"
+    graft.plans.TieredCatalog.register("cdfevo", "t", path,
+      changeDataFeed = true)
+    val t = TieredTable(spark, path, changeDataFeed = true)
+    t.commitAppend(Seq((1L, "eu", 10L), (2L, "us", 20L))
+      .toDF("id", "region", "amt"))                 // snap 1: pages
+    spark.sql("CALL graft.system.add_partition_field('cdfevo.t', 'region')")
+    val t2 = TieredTable(spark, path, partitionBy = Seq("region"),
+      changeDataFeed = true)
+    t2.commitAppend(Seq((3L, "ap", 30L)).toDF("id", "region", "amt"))
+                                                    // snap 2: hive dirs
+    spark.sql("CALL graft.system.drop_partition_field('cdfevo.t', 'region')")
+    val t3 = TieredTable(spark, path, changeDataFeed = true)
+    t3.commitAppend(Seq((4L, "eu", 40L)).toDF("id", "region", "amt"))
+                                                    // snap 3: pages again
+
+    def delta(n: Int) =
+      spark.read.parquet(f"$path/changes/snap-$n%06d")
+        .select("id", "region", "amt", "op")
+        .as[(Long, String, Long, String)].collect().toSet
+    assert(delta(1) == Set((1L, "eu", 10L, "+I"), (2L, "us", 20L, "+I")))
+    // the hive vintage's delta must surface region FROM THE DIR NAME —
+    // the change file is self-contained (a consumer never re-reads the
+    // table layout)
+    assert(delta(2) == Set((3L, "ap", 30L, "+I")),
+      "hive-vintage change file must carry the dir-name partition value")
+    assert(delta(3) == Set((4L, "eu", 40L, "+I")))
+
+    // the streaming face replays the whole feed across both boundaries
+    val out = Files.createTempDirectory("graft-cdf-evo-out").toString
+    val q = t3.readStreamChanges(t3.readCold().schema)
+      .writeStream.format("parquet")
+      .option("path", s"$out/data")
+      .option("checkpointLocation", s"$out/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val streamed = spark.read.parquet(s"$out/data")
+      .select("id", "region", "amt", "op")
+      .as[(Long, String, Long, String)].collect().toSet
+    assert(streamed == Set((1L, "eu", 10L, "+I"), (2L, "us", 20L, "+I"),
+      (3L, "ap", 30L, "+I"), (4L, "eu", 40L, "+I")),
+      s"stream must deliver every vintage's delta: $streamed")
+  }
+
   test("keyless content-rewriting commit is refused BEFORE it publishes") {
     val dir = Files.createTempDirectory("graft-cdf-keyless").toString
     val t = TieredTable(spark, s"$dir/t", changeDataFeed = true)

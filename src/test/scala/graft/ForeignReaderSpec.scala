@@ -332,6 +332,31 @@ class ForeignReaderSpec extends AnyFunSuite with SparkSpec {
     assert(r("rows") == 4 && r("match") == true, r.toString)
   }
 
+  test("DROP PARTITION FIELD: the foreign reader resolves the " +
+       "THREE-spec table (pages → hive dirs → pages again; the new " +
+       "spec id omits the dropped field)") {
+    assume(pythonOk, "driver-side python3+duckdb unavailable")
+    val dir = Files.createTempDirectory("graft-foreign-drop").toString
+    val path = s"$dir/dropped"
+    val t = TieredTable(spark, path)
+    t.commitAppend(Seq((1L, "eu", 10L), (2L, "us", 20L))
+      .toDF("id", "region", "amt"))               // spec 0: unpartitioned
+    t.recordPartitionEvolution(Nil, Seq("region"))
+    val t2 = TieredTable(spark, path, partitionBy = Seq("region"))
+    t2.commitAppend(Seq((3L, "eu", 30L), (4L, "ap", 40L))
+      .toDF("id", "region", "amt"))               // spec 1: hive by region
+    t2.recordPartitionEvolution(Seq("region"), Nil)
+    val t3 = TieredTable(spark, path)
+    t3.commitAppend(Seq((5L, "us", 50L)).toDF("id", "region", "amt"))
+                                                  // spec 2: unpartitioned
+    IcebergExport.export(t3)
+    val r = readForeign(path, dump(
+      Seq((1L, "eu", 10L), (2L, "us", 20L), (3L, "eu", 30L),
+        (4L, "ap", 40L), (5L, "us", 50L)).toDF("id", "region", "amt"),
+      s"$dir/expected"))
+    assert(r("rows") == 5 && r("match") == true, r.toString)
+  }
+
   test("v3 deletion vectors: puffin-backed DVs — the shape a modern " +
        "format-version-3 writer leaves — resolve in BOTH readers " +
        "under the >= sequence rule") {

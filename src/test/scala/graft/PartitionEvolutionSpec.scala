@@ -182,11 +182,13 @@ class PartitionEvolutionSpec extends AnyFunSuite with SparkSpec {
     val e = intercept[Exception](spark.sql(
       s"ALTER TABLE $name ADD PARTITION (region='x')"))
     assert(e.getMessage.contains("not supported"), e.getMessage)
-    // DROP PARTITION FIELD refuses with the append-only rationale
-    // (not Spark's generic ParseException)
-    val e2 = intercept[Exception](spark.sql(
-      s"ALTER TABLE $name DROP PARTITION FIELD region"))
-    assert(e2.getMessage.contains("append-only"), e2.getMessage)
+    // DROP PARTITION FIELD is the symmetric DDL verb (behavioral
+    // coverage in the dedicated drop tests below): it narrows the
+    // registered spec and records the boundary
+    spark.sql(s"ALTER TABLE $name DROP PARTITION FIELD region")
+    assert(TieredCatalog.lookup("pevo", "ev5").get.partitionBy.isEmpty)
+    assert(TieredTable(spark, path).partitionEvolutions ==
+      Seq((1L, Nil, Seq("region")), (2L, Seq("region"), Nil)))
   }
 
   test("INSERT OVERWRITE PARTITION refuses while pre-evolution dirs " +
@@ -273,6 +275,103 @@ class PartitionEvolutionSpec extends AnyFunSuite with SparkSpec {
         Seq("region" -> "eu")))
     assert(e.getMessage.contains("pre-evolution"), e.getMessage)
     assert(t2.readCold().count() == 3, "refusal must not commit")
+  }
+
+  test("DROP PARTITION FIELD: future writes stop hive-partitioning; " +
+       "old dirs serve the column from their names; reads union " +
+       "exactly and filters stay correct across the mix") {
+    val dir = Files.createTempDirectory("graft-pevo-drop").toString
+    val path = s"$dir/ev10"
+    TieredCatalog.register("pevo", "ev10", path,
+      partitionBy = Seq("region"))
+    val t = TieredTable(spark, path, partitionBy = Seq("region"))
+    t.commitAppend(Seq((1L, "eu", 10L), (2L, "us", 20L))
+      .toDF("id", "region", "amt"))                   // hive layout
+    spark.sql("CALL graft.system.drop_partition_field('pevo.ev10', 'region')")
+    assert(TieredCatalog.lookup("pevo", "ev10").get.partitionBy.isEmpty)
+
+    // the declared order of a hive-first table lists partition cols
+    // LAST (Spark's own presentation): (id, amt, region)
+    spark.sql("INSERT INTO graft.pevo.ev10 VALUES (3, 30, 'eu'), (4, 40, 'ap')")
+    val t2 = TieredTable(spark, path) // current spec: unpartitioned
+    t2.tier()
+
+    // disk: the OLD dir has region= subdirs; the new one does not
+    val dirs = t2.currentSnapshot.get.files
+    val layouts = dirs.map(d => new java.io.File(d).listFiles().toSeq
+      .exists(f => f.isDirectory && f.getName.startsWith("region=")))
+    assert(layouts.contains(true) && layouts.contains(false),
+      s"expected one dir per vintage, got $layouts for $dirs")
+
+    val got = spark.table("graft.pevo.ev10")
+      .select("id", "region", "amt").as[(Long, String, Long)]
+      .collect().toSet
+    assert(got == Set((1L, "eu", 10L), (2L, "us", 20L),
+      (3L, "eu", 30L), (4L, "ap", 40L)))
+    // filtered read: region from dir names (old) AND pages (new)
+    val eu = spark.table("graft.pevo.ev10")
+      .filter(col("region") === "eu").select("id").as[Long].collect().toSet
+    assert(eu == Set(1L, 3L))
+    assert(t2.partitionEvolutions == Seq((1L, Seq("region"), Nil)))
+    // the engine-facing reads agree
+    assert(t2.readCold().count() == 4)
+    assert(t2.readColdWhere(col("region") === "eu")
+      .select("id").as[Long].collect().toSet == Set(1L, 3L))
+  }
+
+  test("DROP then EXPORT: three vintages under three spec ids, the " +
+       "dropped field's partition field-id stays consumed, and the " +
+       "whole chain round-trips through readTable") {
+    val dir = Files.createTempDirectory("graft-pevo-dropx").toString
+    val path = s"$dir/ev11"
+    TieredCatalog.register("pevo", "ev11", path)
+    val t = TieredTable(spark, path)
+    t.commitAppend(Seq((1L, "eu", 10L), (2L, "us", 20L))
+      .toDF("id", "region", "amt"))                 // snap 1, spec 0 (none)
+    spark.sql("CALL graft.system.add_partition_field('pevo.ev11', 'region')")
+    val t2 = TieredTable(spark, path, partitionBy = Seq("region"))
+    t2.commitAppend(Seq((3L, "eu", 30L), (4L, "ap", 40L))
+      .toDF("id", "region", "amt"))                 // snap 2, spec 1 (region)
+    spark.sql("CALL graft.system.drop_partition_field('pevo.ev11', 'region')")
+    val t3 = TieredTable(spark, path)
+    t3.commitAppend(Seq((5L, "us", 50L)).toDF("id", "region", "amt"))
+                                                    // snap 3, spec 2 (none)
+    val mpath = IcebergExport.export(t3)
+    val md = Files.readString(java.nio.file.Paths.get(mpath))
+    assert(md.contains(""""default-spec-id":2"""), md.take(400))
+    assert(md.contains(""""spec-id":0""") && md.contains(""""spec-id":1""")
+      && md.contains(""""spec-id":2"""))
+    // region consumed field-id 1000 in spec 1; the id stays consumed
+    // after the drop (never reused) — last-partition-id says so
+    assert(md.contains(""""last-partition-id":1000"""), md.take(600))
+
+    val got = IcebergExport.readTable(spark, path)
+      .select("id", "region", "amt").as[(Long, String, Long)]
+      .collect().toSet
+    assert(got == Set((1L, "eu", 10L), (2L, "us", 20L), (3L, "eu", 30L),
+      (4L, "ap", 40L), (5L, "us", 50L)),
+      "all three vintages must round-trip: pages (old), manifest " +
+        "constants (hive), pages again (post-drop)")
+  }
+
+  test("DROP refusals: not partitioned by the column; PK tables stay " +
+       "frozen for the DROP verb too") {
+    val dir = Files.createTempDirectory("graft-pevo-droprefuse").toString
+    TieredCatalog.register("pevo", "ev12", s"$dir/ev12")
+    val t = TieredTable(spark, s"$dir/ev12")
+    t.commitAppend(Seq((1L, "eu")).toDF("id", "region"))
+    val e1 = intercept[Exception](spark.sql(
+      "CALL graft.system.drop_partition_field('pevo.ev12', 'region')"))
+    assert(e1.getMessage.contains("not partitioned by"), e1.getMessage)
+
+    TieredCatalog.register("pevo", "pkt2", s"$dir/pkt2", pk = Seq("id"),
+      mergeOnRead = true)
+    val pkT = TieredTable(spark, s"$dir/pkt2", pk = Seq("id"),
+      mergeOnRead = true)
+    pkT.commitUpsert(Seq((1L, "a")).toDF("id", "v"))
+    val e2 = intercept[Exception](spark.sql(
+      "CALL graft.system.drop_partition_field('pevo.pkt2', 'v')"))
+    assert(e2.getMessage.contains("frozen"), e2.getMessage)
   }
 
   test("refusals: PK tables (frozen spec), duplicate field, reserved " +
