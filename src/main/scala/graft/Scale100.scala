@@ -101,12 +101,18 @@ object Scale100 {
     val emb = graft.tables.Tables.load(spark, sfDir, "embeddings")
       .select(col("vec_id"), col("embedding"))
     val nVec = emb.count()
-    // per-(vector, shard) deterministic noise: distinct new content,
-    // not copies — shard 0 keeps the original corpus intact
+    // per-(vector, shard, dim) deterministic HASH noise: distinct new
+    // content, not copies — shard 0 keeps the original corpus intact.
+    // (A sine-of-index perturbation is rank-2 — every noise vector is
+    // a phase-shifted copy of one waveform, so the "new" vectors all
+    // sit on a 2-D circle and everything near-dups everything: the
+    // first run of this harness measured 5.4 B pairs from exactly that
+    // fixture bug. murmur3 over (vec_id, shard, i) is full-rank.)
     val deep = (0 until copies).map { k =>
       if (k == 0) emb.select(col("vec_id"), col("embedding"))
       else emb.select((col("vec_id") + lit(k * 10000000L)).as("vec_id"),
-        expr(s"transform(embedding, (x, i) -> x + float(sin(vec_id * 131 + $k * 7 + i)))")
+        expr(s"transform(embedding, (x, i) -> " +
+          s"x + float(pmod(hash(vec_id, $k, i), 1000) / 500.0 - 1.0))")
           .as("embedding"))
     }.reduce(_.union(_)).localCheckpoint(true)
 

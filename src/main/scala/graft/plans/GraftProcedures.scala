@@ -192,7 +192,16 @@ object GraftProcedures {
         "spec id without the field. Same verb as the DDL spelling " +
         "ALTER TABLE t DROP PARTITION FIELD col",
       Seq(p("table", StringType), p("column", StringType)),
-      r => PartitionEvolution.dropField(str(r, 0), str(r, 1)))
+      r => PartitionEvolution.dropField(str(r, 0), str(r, 1))),
+    Proc("replace_partition_field",
+      "evolve the partition spec in ONE step (Iceberg's REPLACE " +
+        "PARTITION FIELD): future writes hive-partition by the new " +
+        "column instead of the old; one new spec id, old vintages " +
+        "keep their layout. Same verb as the DDL spelling " +
+        "ALTER TABLE t REPLACE PARTITION FIELD old WITH new",
+      Seq(p("table", StringType), p("old_column", StringType),
+        p("new_column", StringType)),
+      r => PartitionEvolution.replaceField(str(r, 0), str(r, 1), str(r, 2)))
   ).map(pr => pr.procName -> pr).toMap
 
   def load(ident: Identifier): UnboundProcedure = {

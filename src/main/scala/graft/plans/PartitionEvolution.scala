@@ -140,6 +140,37 @@ object PartitionEvolution {
     t.recordPartitionEvolution(e.partitionBy, to)
     reRegister(db, name, e, to)
   }
+
+  /** `REPLACE PARTITION FIELD old WITH new` — Iceberg's one-step spec
+    * swap: ONE recorded evolution (one new spec id), not a drop
+    * vintage followed by an add vintage. Old dirs keep their layout
+    * and serve `old` from dir names; new writes hive-partition by the
+    * swapped-in column (whose values every old vintage serves from its
+    * data pages).
+    */
+  def replaceField(dbTable: String, oldC: String, newC: String): Unit = {
+    val verb = "REPLACE"
+    val (db, name, e) = resolveEntry(dbTable, verb)
+    val oldCanonical = e.partitionBy.find(_.equalsIgnoreCase(oldC))
+      .getOrElse(fail(verb,
+        s"$dbTable is not partitioned by $oldC (current spec: " +
+          (if (e.partitionBy.isEmpty) "unpartitioned"
+           else e.partitionBy.mkString(", ")) + ")"))
+    if (e.partitionBy.exists(_.equalsIgnoreCase(newC)))
+      fail(verb, s"$dbTable is already partitioned by $newC")
+    if (TieredTable.SqlReserved.exists(_.equalsIgnoreCase(newC)))
+      fail(verb, s"column name '$newC' is reserved for the engine's " +
+        "internal layout")
+    val t = TieredTable(SparkSession.active, e.path,
+      partitionBy = e.partitionBy)
+    val schema = ensureSchema(dbTable, verb, e, t)
+    val newCanonical = schema.fieldNames.find(_.equalsIgnoreCase(newC))
+      .getOrElse(fail(verb, s"column $newC not in $dbTable's schema " +
+        s"(${schema.fieldNames.mkString(", ")})"))
+    val to = e.partitionBy.filterNot(_ == oldCanonical) :+ newCanonical
+    t.recordPartitionEvolution(e.partitionBy, to)
+    reRegister(db, name, e, to)
+  }
 }
 
 /** Parser intercept for the Iceberg DDL spelling. Spark's grammar
@@ -152,6 +183,8 @@ object PartitionEvolutionSql {
     """(?is)^\s*ALTER\s+TABLE\s+([\w.`]+)\s+ADD\s+PARTITION\s+FIELD\s+`?(\w+)`?\s*;?\s*$""".r
   private val DropField =
     """(?is)^\s*ALTER\s+TABLE\s+([\w.`]+)\s+DROP\s+PARTITION\s+FIELD\s+`?(\w+)`?\s*;?\s*$""".r
+  private val ReplaceField =
+    """(?is)^\s*ALTER\s+TABLE\s+([\w.`]+)\s+REPLACE\s+PARTITION\s+FIELD\s+`?(\w+)`?\s+WITH\s+`?(\w+)`?\s*;?\s*$""".r
 
   def parse(sqlText: String, delegate: ParserInterface): Option[LogicalPlan] =
     sqlText match {
@@ -162,6 +195,9 @@ object PartitionEvolutionSql {
         Some(AddPartitionFieldCommand(ident.replace("`", ""), col))
       case DropField(ident, col) if graftTable(ident) =>
         Some(DropPartitionFieldCommand(ident.replace("`", ""), col))
+      case ReplaceField(ident, oldCol, newCol) if graftTable(ident) =>
+        Some(ReplacePartitionFieldCommand(
+          ident.replace("`", ""), oldCol, newCol))
       case _ => None
     }
 
@@ -191,6 +227,16 @@ case class DropPartitionFieldCommand(dbTable: String, column: String)
   extends LeafRunnableCommand {
   override def run(session: SparkSession): Seq[Row] = {
     PartitionEvolution.dropField(dbTable, column)
+    Seq.empty
+  }
+}
+
+/** Eager DDL node for the REPLACE verb (one-step swap, one spec id). */
+case class ReplacePartitionFieldCommand(dbTable: String, oldColumn: String,
+                                        newColumn: String)
+  extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    PartitionEvolution.replaceField(dbTable, oldColumn, newColumn)
     Seq.empty
   }
 }

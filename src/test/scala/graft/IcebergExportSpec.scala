@@ -440,6 +440,32 @@ class IcebergExportSpec extends AnyFunSuite with SparkSpec {
       .select("id").as[Long].collect().sorted.toSeq == (1L to 7L))
   }
 
+  test("readTable plan shape: ONE data scan + a broadcast metadata " +
+       "join, regardless of how many (sequence × partition) groups " +
+       "the snapshot holds — the O(1)-plan-width contract at 100 TB") {
+    val dir = Files.createTempDirectory("graft-ice-planshape").toString
+    val t = TieredTable(spark, s"$dir/t", partitionBy = Seq("region"))
+    // 3 commits × 3 regions = 9 (sequence, partition) groups — the
+    // shape that previously planned 9 unioned scans
+    (1 to 3).foreach { c =>
+      t.commitAppend(Seq((c * 10L + 1, "eu", c * 1L),
+        (c * 10L + 2, "us", c * 1L), (c * 10L + 3, "ap", c * 1L))
+        .toDF("id", "region", "amt"))
+    }
+    IcebergExport.export(t)
+    val df = IcebergExport.readTable(spark, t.tablePath)
+    // answers first (the plan claim must not cost correctness)
+    assert(df.count() == 9)
+    assert(df.filter(col("region") === "eu").count() == 3)
+    // string form: AQE wraps the tree and collect() doesn't descend
+    // into AdaptiveSparkPlanExec's input (same stance as BucketedMorSpec)
+    val plan = df.queryExecution.executedPlan.toString
+    val scans = "FileScan parquet".r.findAllIn(plan).size
+    assert(scans == 1, s"expected ONE parquet scan, got $scans:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"metadata must attach via broadcast join:\n$plan")
+  }
+
   test("identity-partitioned export: partition values come back from the manifests") {
     import org.apache.avro.file.DataFileReader
     import org.apache.avro.generic.{GenericDatumReader, GenericRecord}

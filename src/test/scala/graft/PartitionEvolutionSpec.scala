@@ -354,6 +354,49 @@ class PartitionEvolutionSpec extends AnyFunSuite with SparkSpec {
         "constants (hive), pages again (post-drop)")
   }
 
+  test("REPLACE PARTITION FIELD: one-step swap — ONE new spec id, the " +
+       "old column reads from dir names, the new one hive-partitions " +
+       "future writes; export round-trips all vintages") {
+    val dir = Files.createTempDirectory("graft-pevo-replace").toString
+    val path = s"$dir/ev13"
+    TieredCatalog.register("pevo", "ev13", path,
+      partitionBy = Seq("region"))
+    val t = TieredTable(spark, path, partitionBy = Seq("region"))
+    t.commitAppend(Seq((1L, "eu", "t1", 10L), (2L, "us", "t2", 20L))
+      .toDF("id", "region", "tier", "amt"))         // spec 0: region dirs
+    spark.sql(
+      "ALTER TABLE graft.pevo.ev13 REPLACE PARTITION FIELD region WITH tier")
+    val entry = TieredCatalog.lookup("pevo", "ev13").get
+    assert(entry.partitionBy == Seq("tier"))
+    val t2 = TieredTable(spark, path, partitionBy = Seq("tier"))
+    t2.commitAppend(Seq((3L, "ap", "t1", 30L)).toDF("id", "region", "tier", "amt"))
+                                                    // spec 1: tier dirs
+    // ONE evolution line — one new spec, not drop+add vintages
+    assert(t2.partitionEvolutions ==
+      Seq((1L, Seq("region"), Seq("tier"))))
+
+    val got = spark.table("graft.pevo.ev13")
+      .select("id", "region", "tier", "amt")
+      .as[(Long, String, String, Long)].collect().toSet
+    assert(got == Set((1L, "eu", "t1", 10L), (2L, "us", "t2", 20L),
+      (3L, "ap", "t1", 30L)))
+    // filters exact on BOTH the swapped-out and swapped-in columns
+    assert(spark.table("graft.pevo.ev13").filter(col("region") === "eu")
+      .select("id").as[Long].collect().toSet == Set(1L))
+    assert(spark.table("graft.pevo.ev13").filter(col("tier") === "t1")
+      .select("id").as[Long].collect().toSet == Set(1L, 3L))
+
+    val mpath = IcebergExport.export(t2)
+    val md = Files.readString(java.nio.file.Paths.get(mpath))
+    assert(md.contains(""""default-spec-id":1"""), md.take(400))
+    // region consumed 1000, tier gets 1001 — ids never reused
+    assert(md.contains(""""last-partition-id":1001"""), md.take(600))
+    val back = IcebergExport.readTable(spark, path)
+      .select("id", "region", "tier", "amt")
+      .as[(Long, String, String, Long)].collect().toSet
+    assert(back == got, "exported chain must serve both vintages")
+  }
+
   test("DROP refusals: not partitioned by the column; PK tables stay " +
        "frozen for the DROP verb too") {
     val dir = Files.createTempDirectory("graft-pevo-droprefuse").toString
