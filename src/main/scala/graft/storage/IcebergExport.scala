@@ -1779,36 +1779,53 @@ object IcebergExport {
           // exists for exactly this), so the declared eqNames schema
           // drives the scan — no per-file inference
           val delSchema = ddlSchema(eqNames)
-          val dels = entries.map { case (e, seq, _) =>
-            val path = e.get("file_path").toString
-            var df = delSchema match {
-              case Some(st) => spark.read.schema(st).parquet(path)
-              case None => spark.read.parquet(path)
-            }
-            // fallback for sidecar-less foreign delete files whose
-            // partition columns live only in the manifest's partition
-            // struct: reattach them as typed constants (no-op under
-            // the declared-schema read — the columns are present).
-            // Scoping is then enforced by the equality condition
-            // itself (partition cols ⊆ equality cols by construction).
+          // ONE scan per distinct equality_ids group + a broadcast
+          // (path → sequence, manifest partition constants) map — plan
+          // width O(groups), not O(delete files): a partitioned MoR
+          // table's live window holds one delete file per (partition ×
+          // superseding sequence), thousands at 100 TB. Delete files
+          // physically carry every equality column (the v2 spec's
+          // requirement); the manifest constants are the fallback for
+          // sidecar-less foreign files (coalesce page-first — when
+          // pages carry the column they agree by the identity rule).
+          val delFiles = entries.map(_._1.get("file_path").toString).distinct
+          val delMetaRows = entries.map { case (e, seq, _) =>
             val rec = e.get("partition").asInstanceOf[GenericRecord]
-            eqNames.filterNot(df.columns.contains).foreach { c =>
-              val ov = Option(rec.get(c)).map {
-                case u: org.apache.avro.util.Utf8 => u.toString
-                case v => v
-              }
-              val value = ov match {
-                case None => lit(null).cast(sparkType(typeOf(c)))
-                case Some(v) if typeOf(c) == "date" =>
-                  lit(java.time.LocalDate.ofEpochDay(
-                    v.asInstanceOf[Int].toLong))
-                case Some(v) => lit(v).cast(sparkType(typeOf(c)))
-              }
-              df = df.withColumn(c, value)
-            }
-            df.select(eqNames.map(col): _*)
-              .withColumn("__ice_dseq", lit(seq))
-          }.reduce(_.unionByName(_))
+            org.apache.spark.sql.Row.fromSeq(
+              normPathS(e.get("file_path").toString) +: seq +:
+                eqNames.map { c =>
+                  // only PARTITION-STRUCT fields have constants; a
+                  // non-partition equality column (the usual PK case)
+                  // simply has no fallback (GenericRecord throws on
+                  // unknown names — probe the struct schema first)
+                  Option(rec.getSchema.getField(c))
+                    .flatMap(_ => Option(rec.get(c))).map {
+                      case v if typeOf.get(c).contains("date") =>
+                        java.time.LocalDate.ofEpochDay(
+                          v.asInstanceOf[Int].toLong).toString
+                      case v => v.toString
+                    }.orNull
+                })
+          }.distinct
+          val delMetaSchema = StructType(
+            StructField("__ice_del_file", StringType) +:
+              StructField("__ice_dseq", LongType) +:
+              eqNames.map(c => StructField(s"__ice_delc_$c", StringType)))
+          var dels = (delSchema match {
+            case Some(st) => spark.read.schema(st).parquet(delFiles: _*)
+            case None =>
+              spark.read.option("mergeSchema", "true").parquet(delFiles: _*)
+          }).withColumn("__ice_del_file",
+              normPathC(col("_metadata.file_path")))
+            .join(broadcast(
+              spark.createDataFrame(delMetaRows.asJava, delMetaSchema)),
+              "__ice_del_file")
+          eqNames.foreach { c =>
+            val const = col(s"__ice_delc_$c").cast(sparkType(typeOf(c)))
+            dels = dels.withColumn(c,
+              if (dels.columns.contains(c)) coalesce(col(c), const)
+              else const)
+          }
           val renamed = dels.select(
             (eqNames.map(n => col(n).as(s"__ice_del_$n")) :+
               col("__ice_dseq")): _*)
@@ -1835,13 +1852,28 @@ object IcebergExport {
           val posSchema = StructType.fromDDL("`file_path` STRING, `pos` BIGINT")
           val parquetDels =
             if (posDeleteEntries.isEmpty) None
-            else Some(posDeleteEntries.map { case (e, seq, _) =>
-              spark.read.schema(posSchema)
-                .parquet(e.get("file_path").toString)
-                .withColumn("__ice_dseq", lit(seq))
-            }.reduce(_.unionByName(_))
-              .select(col("file_path").as("__ice_pd_path"),
-                col("pos").as("__ice_pd_pos"), col("__ice_dseq")))
+            else {
+              // one scan over ALL position-delete files + a broadcast
+              // (path → sequence) map — same O(1) plan width as the
+              // data side
+              val seqRows = posDeleteEntries.map { case (e, seq, _) =>
+                org.apache.spark.sql.Row(
+                  normPathS(e.get("file_path").toString), seq)
+              }.distinct
+              val seqSchema = StructType(Seq(
+                StructField("__ice_del_file", StringType),
+                StructField("__ice_dseq", LongType)))
+              Some(spark.read.schema(posSchema)
+                .parquet(posDeleteEntries
+                  .map(_._1.get("file_path").toString).distinct: _*)
+                .withColumn("__ice_del_file",
+                  normPathC(col("_metadata.file_path")))
+                .join(broadcast(
+                  spark.createDataFrame(seqRows.asJava, seqSchema)),
+                  "__ice_del_file")
+                .select(col("file_path").as("__ice_pd_path"),
+                  col("pos").as("__ice_pd_pos"), col("__ice_dseq")))
+            }
           val dvDels =
             if (dvEntries.isEmpty) None
             else {
@@ -1872,13 +1904,9 @@ object IcebergExport {
             }
           val pdels = (parquetDels.toSeq ++ dvDels.toSeq)
             .reduce(_.unionByName(_))
-          // Spark's _metadata.file_path is a URI (file:///…); manifest
-          // paths may be plain. Strip only the local-file scheme — a
-          // remote scheme (graftos://) must match verbatim.
-          def normPath(c: org.apache.spark.sql.Column) =
-            regexp_replace(c, "^file:/+", "/")
           val cond =
-            normPath(afterEq("__ice_fpath")) === normPath(pdels("__ice_pd_path")) &&
+            normPathC(afterEq("__ice_fpath")) ===
+              normPathC(pdels("__ice_pd_path")) &&
               afterEq("__ice_fpos") === pdels("__ice_pd_pos") &&
               pdels("__ice_dseq") >= afterEq("__ice_fseq")
           afterEq.join(pdels, cond, "left_anti")
