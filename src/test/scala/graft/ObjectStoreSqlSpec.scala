@@ -75,6 +75,34 @@ class ObjectStoreSqlSpec extends AnyFunSuite with SparkSpec {
       assert(java.util.Arrays.equals(back, payload),
         "multipart reassembly must be byte-exact in part order")
       assert(fs.getFileStatus(path).getLen == payload.length)
+
+      // ...and through a REAL export-sized artifact: a parquet commit
+      // whose part file exceeds the part size streams multipart from
+      // inside Spark's writer (the cached FS instance shares the
+      // mutated conf in this JVM), and the table round-trips
+      graft.storage.GraftObjectFileSystem.register(
+        spark.sparkContext.hadoopConfiguration)
+      val shared = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(fsUrl),
+        spark.sparkContext.hadoopConfiguration)
+      val prevPart = shared.getConf.getLong(
+        graft.storage.GraftObjectFileSystem.MultipartSizeKey, 8L << 20)
+      shared.getConf.setLong(
+        graft.storage.GraftObjectFileSystem.MultipartSizeKey, 64 * 1024)
+      try {
+        val t = graft.storage.TieredTable(spark, s"$fsUrl/mp_table")
+        val before2 = ObjectStoreStub.server.multipartCompletes.get()
+        t.commitAppend((1L to 40000L)
+          .map(i => (i, s"payload-$i-" + ("x" * 16)))
+          .toDF("id", "v").coalesce(1))
+        assert(ObjectStoreStub.server.multipartCompletes.get() > before2,
+          "a >64 KB parquet commit must stream as multipart parts")
+        assert(t.readCold().count() == 40000L)
+        assert(t.readCold().agg(
+          org.apache.spark.sql.functions.sum("id")).head.getLong(0) ==
+          (1L to 40000L).sum)
+      } finally shared.getConf.setLong(
+        graft.storage.GraftObjectFileSystem.MultipartSizeKey, prevPart)
     } finally fs.close()
   }
 
