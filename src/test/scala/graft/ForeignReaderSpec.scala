@@ -400,6 +400,40 @@ class ForeignReaderSpec extends AnyFunSuite with SparkSpec {
     assert(r("deletes").toString.toInt >= 2, s"DV entries read: $r")
   }
 
+  test("v3 deletion vectors COMBINED with equality deletes: the real " +
+       "v3 MoR shape — eq deletes resolve last-write-wins (strict >), " +
+       "then the DV erases a surviving row by position (>=); both " +
+       "readers agree") {
+    assume(pythonOk, "driver-side python3+duckdb unavailable")
+    val dir = Files.createTempDirectory("graft-foreign-dveq").toString
+    val t = TieredTable(spark, s"$dir/accounts", pk = Seq("acct"),
+      mergeOnRead = true)
+    // base delta: positions 0→(1,100), 1→(2,200), 2→(3,300)
+    t.commitUpsert(Seq((1L, 100L), (2L, 200L), (3L, 300L))
+      .toDF("acct", "balance").coalesce(1))
+    t.commitUpsert(Seq((2L, 250L)).toDF("acct", "balance")) // eq-del (2,200)
+    IcebergExport.export(t)
+    val mdir = s"${t.tablePath}/metadata"
+    val baseFile = IcebergExport.readAvro(s"$mdir/manifest-000001.avro")._1
+      .map(_.get("data_file")
+        .asInstanceOf[org.apache.avro.generic.GenericRecord])
+      .map(_.get("file_path").toString).distinct.head
+    // a DV at sequence 3 erases position 0 of the base file — acct 1's
+    // ONLY version; acct 3 survives both delete kinds
+    IcebergExport.attachDeletionVectors(t.tablePath,
+      Seq(baseFile -> Array(0L)), sequenceNumber = 3L)
+
+    val got = IcebergExport.readTable(spark, t.tablePath)
+      .select("acct", "balance").as[(Long, Long)].collect().toSet
+    assert(got == Set((2L, 250L), (3L, 300L)), got.toString)
+    val r = readForeign(t.tablePath,
+      dump(Seq((2L, 250L), (3L, 300L)).toDF("acct", "balance"),
+        s"$dir/expected"))
+    assert(r("rows") == 2 && r("match") == true, r.toString)
+    assert(r("deletes").toString.toInt >= 2,
+      s"one eq-delete file + one DV must both resolve: $r")
+  }
+
   test("v3 deletion vectors: a DENSE vector (bitmap containers, >4096 " +
        "positions per 16-bit key) decodes identically in the foreign " +
        "engine") {
