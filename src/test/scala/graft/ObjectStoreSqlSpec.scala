@@ -50,6 +50,38 @@ class ObjectStoreSqlSpec extends AnyFunSuite with SparkSpec {
     } finally server.stop()
   }
 
+  test("the DURABLE CATALOG recovers across a pagination boundary: a " +
+       "bucket warehouse with more table descriptors than one LIST " +
+       "page still lists and recovers every table after a registry " +
+       "wipe") {
+    val server = new graft.storage.InMemoryObjectStoreServer(listPageSize = 2)
+    val prev = TieredCatalog.warehouse
+    try {
+      TieredCatalog.warehouse = s"graftos://127.0.0.1:${server.port}/wh"
+      val names = (1 to 5).map(i => s"pt$i")
+      names.foreach { n =>
+        spark.sql(s"CREATE TABLE graft.pgdb.$n (`id` BIGINT, `v` STRING)")
+        spark.sql(s"INSERT INTO graft.pgdb.$n VALUES (1, '$n')")
+      }
+      // "restart": the in-memory registry forgets everything
+      names.foreach(n => TieredCatalog.unregister("pgdb", n))
+      // the listing spans ≥3 pages of catalog descriptors (5 entries,
+      // page size 2) — a truncated LIST would lose tables silently
+      val listed = spark.sql("SHOW TABLES IN graft.pgdb").collect()
+        .map(_.getString(1)).toSet
+      assert(names.toSet.subsetOf(listed),
+        s"every persisted table must survive pagination: $listed")
+      names.foreach { n =>
+        assert(spark.sql(s"SELECT v FROM graft.pgdb.$n").head.getString(0)
+          == n, s"recovered $n must read")
+      }
+    } finally {
+      (1 to 5).foreach(i => TieredCatalog.unregister("pgdb", s"pt$i"))
+      TieredCatalog.warehouse = prev
+      server.stop()
+    }
+  }
+
   test("multipart upload: an artifact larger than one part streams as " +
        "parts and appears ATOMICALLY at complete; bytes round-trip") {
     val fsUrl = ObjectStoreStub.freshBucketFsUrl()
