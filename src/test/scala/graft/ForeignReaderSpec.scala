@@ -264,6 +264,87 @@ class ForeignReaderSpec extends AnyFunSuite with SparkSpec {
     assert(r("deletes").toString.toInt >= 1, r.toString)
   }
 
+  test("equality deletes with DIFFERING equality_ids per file — the " +
+       "foreign-writer shape the r10 advice named: each delete file " +
+       "resolves against ITS OWN column set in both readers") {
+    assume(pythonOk, "driver-side python3+duckdb unavailable")
+    import org.apache.avro.generic.GenericData
+    val dir = Files.createTempDirectory("graft-foreign-eqids").toString
+    val t = TieredTable(spark, s"$dir/accts")
+    t.commitAppend(Seq((1L, 100L), (2L, 200L), (3L, 300L), (4L, 400L))
+      .toDF("acct", "balance").coalesce(1))            // seq 1
+    IcebergExport.export(t)
+    val mdir = s"${t.tablePath}/metadata"
+
+    // two delete files at sequence 2 with DIFFERENT equality_ids:
+    // one deletes BY ACCT (acct=1), one BY BALANCE (balance=200) —
+    // resolving either against the other's columns keeps/drops the
+    // wrong rows
+    def writeDel(name: String, df: org.apache.spark.sql.DataFrame): String = {
+      val d = s"$dir/$name"
+      df.coalesce(1).write.mode("overwrite").parquet(d)
+      new java.io.File(d).listFiles().map(_.getPath)
+        .filter(_.endsWith(".parquet")).head
+    }
+    val delAcct = writeDel("del-acct", Seq(Tuple1(1L)).toDF("acct"))
+    val delBal = writeDel("del-bal", Seq(Tuple1(200L)).toDF("balance"))
+
+    // field ids from the exported schema (acct=1, balance=2 by order)
+    val entrySchema = IcebergExport.manifestEntrySchema(Nil)
+    def delEntry(path: String, fieldId: Int): GenericData.Record = {
+      val e = new GenericData.Record(entrySchema)
+      e.put("status", 1)
+      e.put("snapshot_id", 1L)
+      e.put("sequence_number", 2L)
+      e.put("file_sequence_number", 2L)
+      val df0 = new GenericData.Record(
+        entrySchema.getField("data_file").schema())
+      df0.put("content", 2) // EQUALITY_DELETES
+      df0.put("file_path", path)
+      df0.put("file_format", "PARQUET")
+      df0.put("partition", new GenericData.Record(
+        df0.getSchema.getField("partition").schema()))
+      df0.put("record_count", 1L)
+      df0.put("file_size_in_bytes", new java.io.File(path).length())
+      df0.put("equality_ids",
+        java.util.Arrays.asList(Integer.valueOf(fieldId)))
+      e.put("data_file", df0)
+      e
+    }
+    val delPath = s"$mdir/manifest-eqids-000001.avro"
+    val delLen = IcebergExport.writeAvro(delPath, entrySchema, Map(
+      "partition-spec" -> "[]", "partition-spec-id" -> "0",
+      "format-version" -> "2", "content" -> "deletes"),
+      Seq(delEntry(delAcct, 1), delEntry(delBal, 2)))
+    val listPath = s"$mdir/snap-000001-manifest-list.avro"
+    val (mfs, listMeta) = IcebergExport.readAvro(listPath)
+    val mf = new GenericData.Record(IcebergExport.ManifestFileSchema)
+    mf.put("manifest_path", delPath)
+    mf.put("manifest_length", delLen)
+    mf.put("partition_spec_id", 0)
+    mf.put("content", 1)
+    mf.put("sequence_number", 2L)
+    mf.put("min_sequence_number", 2L)
+    mf.put("added_snapshot_id", 1L)
+    mf.put("added_files_count", 2)
+    mf.put("existing_files_count", 0)
+    mf.put("deleted_files_count", 0)
+    mf.put("added_rows_count", 2L)
+    mf.put("existing_rows_count", 0L)
+    mf.put("deleted_rows_count", 0L)
+    IcebergExport.writeAvro(listPath, IcebergExport.ManifestFileSchema,
+      listMeta.filterNot(_._1.startsWith("avro.")), mfs :+ mf)
+
+    val got = IcebergExport.readTable(spark, t.tablePath)
+      .select("acct", "balance").as[(Long, Long)].collect().toSet
+    assert(got == Set((3L, 300L), (4L, 400L)),
+      s"acct=1 (by acct) and balance=200 (by balance) must both go: $got")
+    val r = readForeign(t.tablePath,
+      dump(Seq((3L, 300L), (4L, 400L)).toDF("acct", "balance"),
+        s"$dir/expected"))
+    assert(r("rows") == 2 && r("match") == true, r.toString)
+  }
+
   test("v2 sequence-number inheritance: entries with NULL " +
        "sequence_number (the shape real Iceberg writers leave on " +
        "ADDED entries) inherit the manifest list's — both readers") {
