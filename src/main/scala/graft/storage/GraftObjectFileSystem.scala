@@ -293,6 +293,16 @@ class GraftObjectFileSystem extends FileSystem {
       throw new IOException(s"complete multipart $key: ${r.statusCode()}")
   }
 
+  private def abortMultipart(key: String, uploadId: String): Unit = {
+    val r = send(HttpRequest.newBuilder(uriFor(key, s"uploadId=$uploadId"))
+      .timeout(Timeout).DELETE().build(),
+      HttpResponse.BodyHandlers.discarding())
+    // best-effort: staged parts are server-side garbage either way
+    if (r.statusCode() != 204 && r.statusCode() != 404 &&
+        r.statusCode() != 200)
+      throw new IOException(s"abort multipart $key: ${r.statusCode()}")
+  }
+
   override def create(f: Path, permission: FsPermission, overwrite: Boolean,
                       bufferSize: Int, replication: Short, blockSize: Long,
                       progress: Progressable): FSDataOutputStream = {
@@ -332,8 +342,19 @@ class GraftObjectFileSystem extends FileSystem {
         uploadId match {
           case None => putBytes(key, buf.toByteArray) // small: one PUT
           case Some(id) =>
-            if (buf.size() > 0) flushPart()
-            completeMultipart(key, id)
+            // a failed finalize ABORTS the upload (the S3 contract) —
+            // staged parts must not linger as server-side garbage, and
+            // the object must not half-appear
+            try {
+              if (buf.size() > 0) flushPart()
+              completeMultipart(key, id)
+            } catch {
+              case e: Throwable =>
+                try abortMultipart(key, id)
+                catch { case abortFailure: Throwable =>
+                  e.addSuppressed(abortFailure) }
+                throw e
+            }
         }
       }
     }
