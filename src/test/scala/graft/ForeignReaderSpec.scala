@@ -264,6 +264,78 @@ class ForeignReaderSpec extends AnyFunSuite with SparkSpec {
     assert(r("deletes").toString.toInt >= 1, r.toString)
   }
 
+  test("foreign NON-IDENTITY transforms (day[ts]): the source column " +
+       "reads from the data pages and the transform's partition value " +
+       "stays metadata-only — both readers") {
+    assume(pythonOk, "driver-side python3+duckdb unavailable")
+    import org.apache.avro.generic.GenericData
+    val dir = Files.createTempDirectory("graft-foreign-day").toString
+    val t = TieredTable(spark, s"$dir/events")
+    t.commitAppend(Seq((1L, "2024-03-01"), (2L, "2024-03-02"))
+      .toDF("id", "day_str").coalesce(1))
+    IcebergExport.export(t)
+    val mdir = s"${t.tablePath}/metadata"
+
+    // make the exported chain look like a day()-partitioned foreign
+    // table: spec 0 gains a day-transform field, and the manifest
+    // entry's partition struct carries the day ordinal — real writers
+    // ALWAYS store the source column in the pages, so a reader must
+    // take pages and never synthesize a column from the transform
+    val hint = Files.readString(java.nio.file.Paths.get(
+      s"$mdir/version-hint.text")).trim.toInt
+    val mpath = java.nio.file.Paths.get(f"$mdir/v$hint%05d.metadata.json")
+    val md = Files.readString(mpath)
+    assert(md.contains(""""partition-specs":[{"spec-id":0,"fields":[]}]"""))
+    Files.writeString(mpath, md.replace(
+      """"partition-specs":[{"spec-id":0,"fields":[]}]""",
+      """"partition-specs":[{"spec-id":0,"fields":[{"name":"id_day",""" +
+        """"transform":"day","source-id":1,"field-id":1000}]}]"""))
+
+    val entrySchema = IcebergExport.manifestEntrySchema(
+      Seq("id_day" -> "int"))
+    val (entries, _) = IcebergExport.readAvro(s"$mdir/manifest-000001.avro")
+    val rewritten = entries.map { old =>
+      val e = new GenericData.Record(entrySchema)
+      Seq("status", "snapshot_id", "sequence_number",
+        "file_sequence_number").foreach(f => e.put(f, old.get(f)))
+      val odf = old.get("data_file")
+        .asInstanceOf[org.apache.avro.generic.GenericRecord]
+      val df0 = new GenericData.Record(
+        entrySchema.getField("data_file").schema())
+      Seq("content", "file_path", "file_format", "record_count",
+        "file_size_in_bytes").foreach(f => df0.put(f, odf.get(f)))
+      val part = new GenericData.Record(
+        df0.getSchema.getField("partition").schema())
+      part.put("id_day", Integer.valueOf(19783)) // 2024-03-01 ordinal
+      df0.put("partition", part)
+      e.put("data_file", df0)
+      e
+    }
+    val delPath = s"$mdir/manifest-000001.avro"
+    IcebergExport.writeAvro(delPath, entrySchema, Map(
+      "partition-spec" -> """[{"name":"id_day","transform":"day"}]""",
+      "partition-spec-id" -> "0", "format-version" -> "2",
+      "content" -> "data"), rewritten)
+    val listPath = s"$mdir/snap-000001-manifest-list.avro"
+    val (mfs, listMeta) = IcebergExport.readAvro(listPath)
+    mfs.foreach(mf => mf.put("manifest_length",
+      new java.io.File(delPath).length()))
+    IcebergExport.writeAvro(listPath, IcebergExport.ManifestFileSchema,
+      listMeta.filterNot(_._1.startsWith("avro.")), mfs)
+
+    val got = IcebergExport.readTable(spark, t.tablePath)
+      .select("id", "day_str").as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "2024-03-01"), (2L, "2024-03-02")),
+      s"pages must drive the read; no id_day column synthesized: $got")
+    assert(!IcebergExport.readTable(spark, t.tablePath)
+      .columns.contains("id_day"),
+      "the transform's partition field is not a schema column")
+    val r = readForeign(t.tablePath,
+      dump(Seq((1L, "2024-03-01"), (2L, "2024-03-02"))
+        .toDF("id", "day_str"), s"$dir/expected"))
+    assert(r("rows") == 2 && r("match") == true, r.toString)
+  }
+
   test("equality deletes with DIFFERING equality_ids per file — the " +
        "foreign-writer shape the r10 advice named: each delete file " +
        "resolves against ITS OWN column set in both readers") {
