@@ -99,13 +99,25 @@ object Bench {
     // inflating whichever query touches the fixture first.
     val setup =
       try graft.queries.Lakehouse.stageLakehouseExports(spark, sfDir)
-      catch { case _: Throwable => Seq.empty[(String, Double)] }
+      catch { case e: Throwable =>
+        Seq(("staging", 0.0,
+          Some(s"${e.getClass.getSimpleName}: ${e.getMessage}")))
+      }
     if (setup.nonEmpty) {
-      val qs = setup.map { case (k, v) =>
+      def jstr(s: String) = "\"" + s.replace("\\", "\\\\")
+        .replace("\"", "\\\"").replaceAll("[\\r\\n\\t]", " ") + "\""
+      val qs = setup.map { case (k, v, _) =>
         "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.3f",
           Double.box(v))
       }.mkString("{", ",", "}")
-      println(s"""{"metric":"export_setup","queries":$qs,"sf":"$sfDir"}""")
+      // failed fixture builds are first-class output: a missing error
+      // field here means every export really landed
+      val errs = setup.collect { case (k, _, Some(e)) =>
+        "\"" + k + "\":" + jstr(e)
+      }
+      val errField =
+        if (errs.isEmpty) "" else errs.mkString(""","errors":{""", ",", "}")
+      println(s"""{"metric":"export_setup","queries":$qs$errField,"sf":"$sfDir"}""")
     }
     // Untimed warmup at the TARGET sf: compiles + JITs every query's
     // generated code and primes the page cache — the timed loop then

@@ -939,14 +939,21 @@ object Lakehouse {
     * per-fixture wall times: build + export each immutable fixture so
     * the TIMED bench passes measure reads, and the setup cost stays
     * visible as its own reported component (VERDICT r10 item 4 — the
-    * split, not a hidden subsidy). Returns (component, seconds).
+    * split, not a hidden subsidy). Returns (component, seconds,
+    * error): a failed build is REPORTED, not swallowed — otherwise a
+    * broken fixture shows a normal-looking setup time while the timed
+    * pass silently re-pays the export, reintroducing the distortion
+    * this split exists to fix.
     */
   def stageLakehouseExports(spark: SparkSession,
-                            dir: String): Seq[(String, Double)] = {
-    def timed(name: String)(f: => Any): (String, Double) = {
+                            dir: String): Seq[(String, Double, Option[String])] = {
+    def timed(name: String)(f: => Any): (String, Double, Option[String]) = {
       val t0 = System.nanoTime()
-      try f catch { case scala.util.control.NonFatal(_) => }
-      name -> (System.nanoTime() - t0) / 1e9
+      val err =
+        try { f; None }
+        catch { case scala.util.control.NonFatal(e) =>
+          Some(s"${e.getClass.getSimpleName}: ${e.getMessage}") }
+      (name, (System.nanoTime() - t0) / 1e9, err)
     }
     Seq(
       timed("q19_export_setup") { exportOnce(demoTable(spark, dir)) },

@@ -335,7 +335,18 @@ class GraftObjectFileSystem extends FileSystem {
         if (buf.size() >= partSize) flushPart()
       override def write(b: Int): Unit = { buf.write(b); maybeFlush() }
       override def write(b: Array[Byte], off: Int, len: Int): Unit = {
-        buf.write(b, off, len); maybeFlush()
+        // slice the incoming chunk so buffered bytes never exceed
+        // partSize — one huge write() must not materialize fully
+        // (client memory is bounded by the PART, not the write)
+        var o = off
+        var remaining = len
+        while (remaining > 0) {
+          val take = math.min(remaining, partSize - buf.size())
+          buf.write(b, o, take)
+          o += take
+          remaining -= take
+          maybeFlush()
+        }
       }
       override def close(): Unit = if (!closed) {
         closed = true

@@ -1863,6 +1863,13 @@ object IcebergExport {
               val seqSchema = StructType(Seq(
                 StructField("__ice_del_file", StringType),
                 StructField("__ice_dseq", LongType)))
+              // the delete CONTENT's file_path is raw, as foreign
+              // writers store it (same form as manifest strings) —
+              // run it through the same Hadoop-Path URI encoding as
+              // every other path leg, or a data path with a space/'%'
+              // silently fails to match and deleted rows stay live
+              val uriEncode = org.apache.spark.sql.functions.udf(
+                (p: String) => if (p == null) null else normPathS(p))
               Some(spark.read.schema(posSchema)
                 .parquet(posDeleteEntries
                   .map(_._1.get("file_path").toString).distinct: _*)
@@ -1871,7 +1878,7 @@ object IcebergExport {
                 .join(broadcast(
                   spark.createDataFrame(seqRows.asJava, seqSchema)),
                   "__ice_del_file")
-                .select(col("file_path").as("__ice_pd_path"),
+                .select(uriEncode(col("file_path")).as("__ice_pd_path"),
                   col("pos").as("__ice_pd_pos"), col("__ice_dseq")))
             }
           val dvDels =

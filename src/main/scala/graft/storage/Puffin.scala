@@ -164,7 +164,9 @@ object Puffin {
   def deserializeDVBlob(blob: Array[Byte]): Array[Long] = {
     val buf = ByteBuffer.wrap(blob) // big-endian default
     val combined = buf.getInt
-    require(combined >= 4 && combined <= blob.length - 4,
+    // the blob must hold: 4-byte length + `combined` (magic+vector) +
+    // 4-byte CRC — so combined can be at most blob.length - 8
+    require(combined >= 4 && combined <= blob.length - 8,
       s"deletion vector blob: bad combined length $combined for ${blob.length} bytes")
     val magic = new Array[Byte](4)
     buf.get(magic)

@@ -43,9 +43,10 @@ class GraftCompositeScanBuilder(builders: Seq[ScanBuilder],
       case _ =>
     }
 
-  /** All children share format, declared schema, and partition columns,
-    * so the residual (post-scan) filter set is identical — forward to
-    * every child, report the first's residuals.
+  /** Forward every filter to every child, and report the UNION of the
+    * children's residual (post-scan) sets: after partition-spec
+    * evolution the roots have different layouts, so each child may
+    * claim a different subset of the filters.
     */
   override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
     val residuals = children.map {
