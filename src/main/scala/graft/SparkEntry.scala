@@ -70,6 +70,7 @@ object SparkEntry {
     "q35_partition_evolution" -> (Lakehouse.q35PartitionEvolution _),
     "q35b_evolved_export" -> (Lakehouse.q35bEvolvedExport _),
     "q36_dv_read" -> (Lakehouse.q36DvRead _),
+    "q36b_dv_write" -> (Lakehouse.q36bDvWrite _),
     "q37_drop_evolution" -> (Lakehouse.q37DropEvolution _),
     "q37b_drop_evolved_export" -> (Lakehouse.q37bDropEvolvedExport _),
     // training-data pipeline: dedup / similarity / text analysis
@@ -535,6 +536,25 @@ object SparkEntry {
         |         AS BIGINT)) AS BIGINT) AS price_cents
         |FROM orders WHERE o_orderkey % 7 <> 0
         |GROUP BY o_orderstatus""".stripMargin,
+    // q36b = the DV WRITE path: the engine's own format-version-3
+    // export emits the puffin deletion vectors (q36 only reads a
+    // hand-attached one); same MoR waves as q23, so the oracle is the
+    // same CASE recomputation of the winning version per key
+    "q36b_dv_write" ->
+      """SELECT o_orderstatus, COUNT(*) AS cnt,
+        |       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+        |       CAST(SUM(CAST(price * 100 AS BIGINT)) AS BIGINT) AS price_cents
+        |FROM (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 13 = 0 THEN 'X'
+        |         WHEN o_orderkey % 7 = 0 THEN 'R'
+        |         ELSE o_orderstatus END AS o_orderstatus,
+        |    CASE WHEN o_orderkey % 13 = 0
+        |           THEN CAST(CAST(o_totalprice AS DECIMAL(15,2)) + 1000 AS DECIMAL(15,2))
+        |         WHEN o_orderkey % 7 = 0
+        |           THEN CAST(CAST(o_totalprice AS DECIMAL(15,2)) * 2 AS DECIMAL(15,2))
+        |         ELSE CAST(o_totalprice AS DECIMAL(15,2)) END AS price
+        |  FROM orders) GROUP BY o_orderstatus""".stripMargin,
     // q37/q37b = ADD→DROP partition evolution (three spec vintages:
     // pages, dir names, pages again) through the SQL catalog and
     // through the exported Iceberg chain — the oracle recomputes from

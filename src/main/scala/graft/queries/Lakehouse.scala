@@ -35,13 +35,13 @@ object Lakehouse {
     * the exported head id; a fixture rebuilt under a new FormatVersion
     * gets a fresh path and therefore a fresh export.
     */
-  private def exportOnce(t: TieredTable): Unit = {
+  private def exportOnce(t: TieredTable, formatVersion: Int = 2): Unit = {
     val marker = Paths.get(t.tablePath, "metadata", "EXPORTED_HEAD")
     val head = t.currentSnapshot.map(_.id).getOrElse(0L).toString
     val cur =
       if (Files.exists(marker)) Files.readString(marker).trim else ""
     if (cur != head) {
-      graft.storage.IcebergExport.export(t)
+      graft.storage.IcebergExport.export(t, formatVersion)
       Files.createDirectories(marker.getParent)
       Files.writeString(marker, head)
     }
@@ -925,6 +925,54 @@ object Lakehouse {
     * off-by-one, a CRC false pass, or a missed/over-applied position
     * shifts cnt/key_sum/price_cents.
     */
+  /** The [[demoTableMor]] waves rebuilt at a v3 path — the fixture for
+    * the DV WRITE path: the engine's own export, not a hand-attached
+    * blob, emits the puffin deletion vectors here.
+    */
+  def demoTableMorV3(spark: SparkSession, dir: String): TieredTable = {
+    val safe = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val path = s"${sys.props("java.io.tmpdir")}/graft-tiered/v$FormatVersion/$safe/orders_mor_v3"
+    val donePath = Paths.get(path, "meta", "LATEST")
+    val t = TieredTable(spark, path, pk = Seq("o_orderkey"), mergeOnRead = true)
+    if (!Files.exists(donePath)) {
+      val orders = Tables.load(spark, dir, "orders")
+        .withColumn("o_totalprice", col("o_totalprice").cast("decimal(15,2)"))
+      t.commitUpsert(orders)                                        // seq 1
+      t.commitUpsert(orders                                         // seq 2
+        .filter(pmod(col("o_orderkey"), lit(7)) === 0)
+        .withColumn("o_totalprice",
+          (col("o_totalprice") * 2).cast("decimal(15,2)"))
+        .withColumn("o_orderstatus", lit("R")))
+      t.commitUpsert(orders                                         // seq 3
+        .filter(pmod(col("o_orderkey"), lit(13)) === 0)
+        .withColumn("o_totalprice",
+          (col("o_totalprice") + 1000).cast("decimal(15,2)"))
+        .withColumn("o_orderstatus", lit("X")))
+    }
+    t
+  }
+
+  /** Q36b — v3 DELETION VECTOR WRITE path: the same three-wave MoR
+    * table as q23, exported with format-version 3 so the engine's OWN
+    * export emits puffin `deletion-vector-v1` blobs (positions of
+    * rows superseded by later upsert waves) instead of v2
+    * equality-delete parquet, then read back purely from the exported
+    * chain. The oracle is q23's relational CASE recomputation — a
+    * position computed off-by-one, a blob serialized wrong, or a
+    * manifest field 143-145 mis-addressed shifts cnt/key_sum/
+    * price_cents exactly as a mis-applied equality delete would.
+    */
+  def q36bDvWrite(spark: SparkSession, dir: String): DataFrame = {
+    val t = demoTableMorV3(spark, dir)
+    exportOnce(t, formatVersion = 3)
+    graft.storage.IcebergExport.readTable(spark, t.tablePath)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("o_orderkey")).cast("long").as("key_sum"),
+        sum((col("o_totalprice") * 100).cast("long")).cast("long")
+          .as("price_cents"))
+  }
+
   def q36DvRead(spark: SparkSession, dir: String): DataFrame = {
     val path = demoTableDv(spark, dir)
     graft.storage.IcebergExport.readTable(spark, path)
@@ -967,6 +1015,8 @@ object Lakehouse {
       timed("q35b_export_setup") {
         q35bEvolvedExport(spark, dir).count() },
       timed("q36_export_setup") { demoTableDv(spark, dir) },
+      timed("q36b_export_setup") {
+        exportOnce(demoTableMorV3(spark, dir), formatVersion = 3) },
       timed("q37b_export_setup") {
         q37bDropEvolvedExport(spark, dir).count() })
   }

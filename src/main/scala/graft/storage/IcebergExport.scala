@@ -568,9 +568,8 @@ object IcebergExport {
     }
 
     val dvPath = s"$mdir/dv-${"%06d".format(currentId)}.puffin"
-    val refs = Puffin.writeDeletionVectorFile(dvPath, dvs,
+    val (refs, dvSize) = Puffin.writeDeletionVectorFile(dvPath, dvs,
       snapshotId = currentId, sequenceNumber = sequenceNumber)
-    val dvSize = fs.readBytes(dvPath).map(_.length.toLong).getOrElse(0L)
 
     val entrySchema = manifestEntrySchema(Nil, v3DeleteFields = true)
     val entries = refs.zip(dvs).map { case ((ref, off, len), (_, ps)) =>
@@ -644,7 +643,8 @@ object IcebergExport {
     java.util.Base64.getEncoder.encodeToString(b)
 
   private case class ExportState(head: Long, retained: Seq[Long],
-                                 schemas: Map[Long, String])
+                                 schemas: Map[Long, String],
+                                 formatVersion: Int = 2)
 
   private def loadExportState(mdir: String): Option[ExportState] = {
     import org.json4s._
@@ -658,7 +658,11 @@ object IcebergExport {
         case (k, JString(ddl)) => k.toLong -> ddl
         case (k, other) => throw new IllegalStateException(s"$k -> $other")
       }.toMap
-      Some(ExportState(jLong(jsonAt(md, "head")), retained, schemas))
+      // format-version absent in pre-v3 sidecars → 2 (the only version
+      // that ever wrote them)
+      val fv = scala.util.Try(
+        jLong(jsonAt(md, "format-version")).toInt).getOrElse(2)
+      Some(ExportState(jLong(jsonAt(md, "head")), retained, schemas, fv))
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
@@ -666,7 +670,8 @@ object IcebergExport {
     fsFor(mdir).writeString(s"$mdir/export-state.json", toJson(Map(
       "head" -> st.head,
       "retained" -> st.retained,
-      "schemas" -> st.schemas.map { case (k, v) => k.toString -> v }
+      "schemas" -> st.schemas.map { case (k, v) => k.toString -> v },
+      "format-version" -> st.formatVersion
     )))
 
   /** `{dir: [[path, rows, bytes, {col: [vc, nc, lo?, hi?]}], …]}` with
@@ -749,7 +754,25 @@ object IcebergExport {
     mloc
   }
 
-  def export(table: TieredTable): String = {
+  def export(table: TieredTable): String = export(table, formatVersion = 2)
+
+  /** Export under an explicit Iceberg format version. Version 2 (the
+    * default) writes merge-on-read deltas as EQUALITY-DELETE parquet
+    * files — the Flink-Iceberg tiering-sink shape. Version 3 writes
+    * the SAME resolution as puffin-backed DELETION VECTORS: per
+    * snapshot, each data file whose rows are superseded by a
+    * later-sequence version of the same key gets one
+    * `deletion-vector-v1` blob holding those row positions, referenced
+    * from the delete manifest via fields 143-145 — the artifacts an
+    * Iceberg 1.8+ writer leaves, and the shape readers that treat v2
+    * position-delete files as legacy expect. Positions are computed
+    * and serialized IN EXECUTORS (one puffin file per shuffle
+    * partition); only bounded per-file (path, offset, size) refs reach
+    * the driver.
+    */
+  def export(table: TieredTable, formatVersion: Int): String = {
+    require(formatVersion == 2 || formatVersion == 3,
+      s"unsupported Iceberg format version $formatVersion (2 or 3)")
     // Bucket-layout tables export as an Iceberg `bucket[N]` partition
     // spec — the layout's `__bucket = iceberg_bucket(N, pk)` stamping
     // (TieredTable.bucketStamp) IS the spec transform, so data dirs
@@ -824,7 +847,10 @@ object IcebergExport {
         // a spec evolution without a new commit must still re-export
         // (the spec list and per-manifest spec-ids change)
         ":" + table.partitionEvolutions.map { case (b, f, t) =>
-          s"$b|${f.mkString(",")}|${t.mkString(",")}" }.mkString(";"))
+          s"$b|${f.mkString(",")}|${t.mkString(",")}" }.mkString(";") +
+        // v3 exports fingerprint differently so switching format
+        // version forces a re-export; v2 keeps its historic digests
+        (if (formatVersion == 3) ":fv3" else ""))
         .getBytes(StandardCharsets.UTF_8))
       md.digest().map("%02x".format(_)).mkString
     }
@@ -848,8 +874,11 @@ object IcebergExport {
     // cache still makes it cheap).
     val state = loadExportState(mdir)
     val prevHead = state.map(_.head).getOrElse(0L)
+    // reuse also requires the SAME format version: a v2-exported
+    // prefix's delete manifests are equality parquet, not DVs
     val prefixStable = state.exists(st =>
-      snaps.map(_.id).filter(_ <= st.head).toSet == st.retained.toSet)
+      st.formatVersion == formatVersion &&
+        snaps.map(_.id).filter(_ <= st.head).toSet == st.retained.toSet)
     val statsCache = scala.collection.mutable.Map[String, Seq[FileStat]](
       loadDirStats(mdir).toSeq: _*)
     def partFilesCached(dir: String): Seq[FileStat] =
@@ -918,10 +947,18 @@ object IcebergExport {
         if (digits.nonEmpty) digits.toLong else Long.MaxValue
       } else Long.MaxValue
     }
-    def specOfDir(d: String): Int = {
-      val vintage = math.min(addedBy(d), nameVintage(d))
-      specTimeline.find(vintage <= _._3).get._1
-    }
+    // A dir's DATA SEQUENCE must survive vacuum() the same way its
+    // spec vintage does: addedBy is the min RETAINED snapshot listing
+    // the dir, so once retention drops the writing snapshot every
+    // still-referenced merge-on-read delta collapses to the head's
+    // sequence — and the export then writes NO deletes (the engine's
+    // own read is immune via the physical __seq column, but an
+    // EXTERNAL reader of the exported chain resurrects every
+    // superseded row). The dir name's snap-%06d component is the
+    // writing snapshot — exact, IO-free, vacuum-proof.
+    def seqOfDir(d: String): Long = math.min(addedBy(d), nameVintage(d))
+    def specOfDir(d: String): Int =
+      specTimeline.find(seqOfDir(d) <= _._3).get._1
 
     // Per-snapshot schemas are the RAW physical file schemas, not the
     // column-mapped view: our data files carry no Iceberg field-ids, so
@@ -1101,13 +1138,13 @@ object IcebergExport {
     // re-export reuses); the tmp-write + atomic dir rename publishes
     // all of a sequence's delete files or none.
     val eqDelFilesOf: Map[String, Seq[(String, Long, Long, Seq[Option[String]])]] =
-      if (!isMor) Map.empty else {
+      if (!isMor || formatVersion == 3) Map.empty else {
         val superseding: Seq[String] = snaps.flatMap { s =>
-          val minSeq = s.files.map(addedBy).min
-          s.files.filter(d => addedBy(d) > minSeq)
+          val minSeq = s.files.map(seqOfDir).min
+          s.files.filter(d => seqOfDir(d) > minSeq)
         }.distinct
-        superseding.sortBy(addedBy).map { dir =>
-          val seq = addedBy(dir)
+        superseding.sortBy(seqOfDir).map { dir =>
+          val seq = seqOfDir(dir)
           val out = s"$mdir/eqdel-${"%06d".format(seq)}"
           // publish protocol: local = tmp write + atomic dir rename;
           // remote = direct write + a _DONE marker object written last
@@ -1154,14 +1191,95 @@ object IcebergExport {
         }.toMap
       }
 
+    // Deletion vectors (format-version 3, merge-on-read): per snapshot,
+    // the positions each data file loses to later-sequence versions of
+    // the same key — exactly the rows the v2 equality deletes above
+    // would erase, pre-resolved to (file, ordinal) so a v3 reader skips
+    // the key join entirely. One Spark job per snapshot: union the
+    // snapshot's dirs with their sequence numbers, keep rows whose key
+    // has a LATER version (seq < max(seq) over the key — the strict-`>`
+    // equality rule), then serialize one `deletion-vector-v1` blob per
+    // file IN EXECUTORS (one puffin file per shuffle partition; the
+    // positions never collect — a 100 TB table's DVs can carry billions
+    // of them). Only bounded per-file refs return:
+    // (dataFile, puffinPath, offset, blobSize, cardinality, puffinSize).
+    // Cached in a dv-snap-XXXXXX.refs.json sidecar — snapshots are
+    // immutable, so re-exports reuse the blobs and the refs.
+    def dvRefsFor(sid: Long, dirs: Seq[String])
+        : Seq[(String, String, Long, Long, Long, Long)] = {
+      val sidecar = s"$mdir/dv-snap-${"%06d".format(sid)}.refs.json"
+      metaFs.readString(sidecar).foreach { body =>
+        try {
+          import org.json4s._
+          val md = org.json4s.jackson.JsonMethods.parse(body)
+          return jsonAt(md, "refs").asInstanceOf[JArray].arr.map { r =>
+            val a = r.asInstanceOf[JArray].arr
+            (a(0).asInstanceOf[JString].s, a(1).asInstanceOf[JString].s,
+              jLong(a(2)), jLong(a(3)), jLong(a(4)), jLong(a(5)))
+          }
+        } catch { case scala.util.control.NonFatal(_) => } // recompute
+      }
+      import org.apache.spark.sql.functions.{col, lit, max => smax}
+      // referenced_data_file must be byte-equal to the data manifest's
+      // file_path rendering (how external readers link them); the scan
+      // yields the Hadoop-Path URI form — map back via the same
+      // encoding, driver-side, bounded by file count
+      val rawByUri: Map[String, String] = dirs.flatMap(d =>
+        partFilesCached(d).map(_._1)).map { p =>
+        new org.apache.hadoop.fs.Path(p).toUri.toString
+          .replaceFirst("^file:/+", "/") -> p
+      }.toMap
+      val perDir = dirs.map { d =>
+        session.read.parquet(d).select(
+          table.pk.map(col) ++ Seq(
+            col("_metadata.file_path").as("__dv_f"),
+            col("_metadata.row_index").as("__dv_pos"),
+            lit(seqOfDir(d)).as("__dv_seq")): _*)
+      }
+      val all = perDir.reduce(_.unionByName(_))
+      val latest = all.groupBy(table.pk.map(col): _*)
+        .agg(smax(col("__dv_seq")).as("__dv_max"))
+      val deleted = all.join(latest, table.pk)
+        .where(col("__dv_seq") < col("__dv_max"))
+        .select(col("__dv_f"), col("__dv_pos"))
+      import session.implicits._
+      val mdirC = mdir
+      val refs = deleted.as[(String, Long)]
+        .groupByKey(_._1)
+        .mapGroups { (f, it) =>
+          val raw = rawByUri.getOrElse(
+            f.replaceFirst("^file:/+", "/"), f)
+          (raw, it.map(_._2).toArray.sorted)
+        }
+        .mapPartitions { it =>
+          val dvs = it.toArray
+          if (dvs.isEmpty) Iterator.empty
+          else {
+            val pid = org.apache.spark.TaskContext.getPartitionId()
+            val path = s"$mdirC/dv-snap-${"%06d".format(sid)}" +
+              s"-p${"%04d".format(pid)}.puffin"
+            val (rs, total) = Puffin.writeDeletionVectorFile(
+              path, dvs.toSeq.map(d => (d._1, d._2)),
+              snapshotId = sid, sequenceNumber = sid)
+            rs.iterator.zip(dvs.iterator).map {
+              case ((ref, off, len), (_, ps)) =>
+                (ref, path, off, len, ps.length.toLong, total)
+            }
+          }
+        }.collect().toSeq.sortBy(_._1)
+      metaFs.writeString(sidecar, toJson(Map("refs" -> refs.map {
+        case (a, b, c, d, e, f) => Seq(a, b, c, d, e, f) })))
+      refs
+    }
+
     val snapshotObjs = snaps.map { s =>
       val snapSchema = rawSchemaOf(s.id)
       val fieldIds: Map[String, Int] = fieldIdsOf(snapSchema)
       val manifestPath = s"$mdir/manifest-${"%06d".format(s.id)}.avro"
       val delPath = s"$mdir/manifest-del-${"%06d".format(s.id)}.avro"
       val listPath = s"$mdir/snap-${"%06d".format(s.id)}-manifest-list.avro"
-      val minSeq = s.files.map(addedBy).minOption.getOrElse(s.id)
-      val delDirs = s.files.filter(d => addedBy(d) > minSeq).sortBy(addedBy)
+      val minSeq = s.files.map(seqOfDir).minOption.getOrElse(s.id)
+      val delDirs = s.files.filter(d => seqOfDir(d) > minSeq).sortBy(seqOfDir)
       val needsDel = isMor && delDirs.nonEmpty
       // Reuse: under a stable prefix (see above) an already-exported
       // snapshot's manifest, delete manifest, and manifest list are
@@ -1182,7 +1300,7 @@ object IcebergExport {
                      pt: Seq[(String, DataType)],
                      dirCols: Seq[String]): Seq[GenericRecord] =
         dirs.flatMap { dir =>
-        val addedIn = addedBy(dir)
+        val addedIn = seqOfDir(dir)
         partFilesCached(dir).map { case (path, rows, bytes, colStats) =>
           val e = new GenericData.Record(eSchema)
           e.put("status", if (addedIn == s.id) 1 else 0) // ADDED / EXISTING
@@ -1247,13 +1365,13 @@ object IcebergExport {
             val pt = partTypesOf(cols)
             val dirCols = if (bucketed) table.partitionBy else cols
             val eSchema = entrySchemaOf(sid)
-            val ents = entriesFor(dirs.sortBy(addedBy), eSchema, pt, dirCols)
+            val ents = entriesFor(dirs.sortBy(seqOfDir), eSchema, pt, dirCols)
             val len = writeAvro(mp, eSchema, Map(
               "schema" -> toJson(schemaObj),
               "schema-id" -> schemaIdOf(s.id).toString,
               "partition-spec" -> toJson(specFieldsOf(cols)),
               "partition-spec-id" -> sid.toString,
-              "format-version" -> "2",
+              "format-version" -> formatVersion.toString,
               "content" -> "data"), ents)
             (mp, len, sid, ents)
         }
@@ -1294,11 +1412,72 @@ object IcebergExport {
         // table is partitioned). equality_ids name the PK field ids
         // of the snapshot's schema.
         if (!needsDel) Nil
+        else if (formatVersion == 3) {
+          // v3: the snapshot's resolution state as deletion vectors —
+          // one entry per (data file, DV blob), each addressing its
+          // puffin range via fields 143-145. Entries are ADDED at this
+          // snapshot's sequence: a DV covers ALL deletions visible at
+          // the snapshot (each snapshot carries its own complete set,
+          // the at-most-one-DV-per-data-file v3 rule), and the
+          // position rule dseq >= fseq holds since every file's
+          // sequence is <= the snapshot's.
+          val refs = dvRefsFor(s.id, s.files.sortBy(seqOfDir))
+          val v3EntrySchema = manifestEntrySchema(
+            partTypes.map { case (n, dt) => n -> avroPartType(dt) },
+            v3DeleteFields = true)
+          val dirCols =
+            if (bucketed) table.partitionBy else specTimeline.last._2
+          val delEntries = refs.map {
+            case (dataFile, puffin, off, len, card, fsize) =>
+              val e = new GenericData.Record(v3EntrySchema)
+              e.put("status", 1)
+              e.put("snapshot_id", s.id)
+              e.put("sequence_number", s.id)
+              e.put("file_sequence_number", s.id)
+              val df = new GenericData.Record(
+                v3EntrySchema.getField("data_file").schema())
+              df.put("content", 1)        // POSITION_DELETES, as a DV
+              df.put("file_path", puffin)
+              df.put("file_format", "PUFFIN")
+              val partRec = new GenericData.Record(
+                df.getSchema.getField("partition").schema())
+              // scope the DV to its referenced file's partition (real
+              // readers prune delete manifests by partition ranges);
+              // add/drop evolution refuses PK tables upstream, so the
+              // single-spec rendering is always the right one here
+              if (partTypes.nonEmpty) {
+                s.files.find(d =>
+                    dataFile.startsWith(d.stripSuffix("/") + "/"))
+                  .foreach { d =>
+                    val vals = partitionValuesOf(dataFile, d, dirCols)
+                    partTypes.zip(vals).foreach { case ((c, dt), ov) =>
+                      partRec.put(c, ov.map(typedPartValue(_, dt)).orNull)
+                    }
+                  }
+              }
+              df.put("partition", partRec)
+              df.put("record_count", card)
+              df.put("file_size_in_bytes", fsize)
+              df.put("referenced_data_file", dataFile)
+              df.put("content_offset", off)
+              df.put("content_size_in_bytes", len)
+              e.put("data_file", df)
+              e
+          }
+          val delLen = writeAvro(delPath, v3EntrySchema, Map(
+            "schema" -> toJson(schemaObj),
+            "schema-id" -> schemaIdOf(s.id).toString,
+            "partition-spec" -> toJson(specFields),
+            "partition-spec-id" -> defaultSpecId.toString,
+            "format-version" -> "3",
+            "content" -> "deletes"), delEntries)
+          Seq(manifestFile(delPath, delLen, 1, delEntries))
+        }
         else {
           val pkIds = new java.util.ArrayList[Integer]()
           table.pk.foreach(c => pkIds.add(Integer.valueOf(fieldIds(c))))
           val delEntries = delDirs.flatMap { d =>
-            val dseq = addedBy(d)
+            val dseq = seqOfDir(d)
             eqDelFilesOf(d).map { case (path, rows, bytes, partVals) =>
               val e = new GenericData.Record(entrySchema)
               e.put("status", if (dseq == s.id) 1 else 0)
@@ -1338,7 +1517,7 @@ object IcebergExport {
       writeAvro(listPath, ManifestFileSchema, Map(
         "snapshot-id" -> s.id.toString,
         "sequence-number" -> s.id.toString,
-        "format-version" -> "2"), mfs)
+        "format-version" -> formatVersion.toString), mfs)
       } // end if (!reusable)
 
       Map(
@@ -1362,7 +1541,7 @@ object IcebergExport {
     val lastColId = schemaObjs.map(_._2).max
     val version = currentVersion(mdir).getOrElse(0) + 1
     val metadata = Map(
-      "format-version" -> 2,
+      "format-version" -> formatVersion,
       // deterministic per table path so re-exports describe the SAME
       // Iceberg table, not a new identity each call
       "table-uuid" -> UUID.nameUUIDFromBytes(
@@ -1431,8 +1610,14 @@ object IcebergExport {
     // files per day.
     val retainedIds: Set[Long] = snaps.map(_.id).toSet
     val retainedSeqs: Set[Long] =
-      snaps.flatMap(_.files).distinct.map(addedBy).toSet
-    val artifact = """(manifest-del-|manifest-|snap-|eqdel-)(\d{6}).*""".r
+      snaps.flatMap(_.files).distinct.map(seqOfDir).toSet
+    // dv-snap artifacts (puffin files + refs sidecar) are keyed by the
+    // snapshot id that owns them, and each snapshot's delete manifest
+    // references only its OWN dv-snap files (every snapshot carries a
+    // complete DV set) — so GC by retained snapshot id never strands a
+    // blob a retained snapshot still points at
+    val artifact =
+      """(manifest-del-|manifest-|dv-snap-|snap-|eqdel-)(\d{6}).*""".r
     metaFs.listNames(mdir).foreach { name =>
       name match {
         case artifact(kind, num) =>
@@ -1457,7 +1642,8 @@ object IcebergExport {
       retainedSeqs.map(q => s"$mdir/eqdel-${"%06d".format(q)}")
     saveDirStats(mdir, statsCache.toMap.filter { case (k, _) => liveStatDirs(k) })
     saveExportState(mdir, ExportState(head.id, snaps.map(_.id),
-      snaps.map(s => s.id -> rawSchemaOf(s.id).toDDL).toMap))
+      snaps.map(s => s.id -> rawSchemaOf(s.id).toDDL).toMap,
+      formatVersion))
     mpath
   }
 

@@ -23,7 +23,7 @@ import java.nio.charset.StandardCharsets
   * buckets, then per bucket a 4-byte little-endian high key followed by
   * a standard 32-bit Roaring bitmap (cookie 12346/12347; array, bitmap
   * and run containers — readers must accept all three; this writer
-  * emits array/bitmap only).
+  * emits whichever is smallest per container, runOptimize-style).
   */
 object Puffin {
 
@@ -37,40 +37,98 @@ object Puffin {
   private val SerialCookie = 12347
 
   /** Serialize sorted distinct unsigned-int low words as one standard
-    * 32-bit Roaring bitmap (no run containers on the write side).
+    * 32-bit Roaring bitmap. Per container the smallest of the three
+    * encodings wins — a run container (2 + 4·runs bytes) when the
+    * values are run-dense, else array (2·card) below 4096 values, else
+    * the 8 KiB bitmap — the same size rule RoaringBitmap's own
+    * runOptimize applies. With any run container the bitmap uses the
+    * SERIAL_COOKIE (12347) layout: run flags after the cookie, and the
+    * offset header only at ≥4 containers (NO_OFFSET_THRESHOLD).
     */
   private def serializeRoaring32(values: Array[Int]): Array[Byte] = {
     val containers: Seq[(Int, Array[Int])] = values
       .groupBy(v => v >>> 16).toSeq.sortBy(_._1)
       .map { case (k, vs) => (k, vs.map(_ & 0xFFFF).sorted) }
     val n = containers.size
-    val bodies = containers.map { case (_, vs) =>
-      if (vs.length <= 4096) {
-        val b = ByteBuffer.allocate(2 * vs.length)
-          .order(ByteOrder.LITTLE_ENDIAN)
-        vs.foreach(v => b.putShort(v.toShort))
-        b.array()
-      } else {
-        val words = new Array[Long](1024)
-        vs.foreach(v => words(v >>> 6) |= (1L << (v & 63)))
-        val b = ByteBuffer.allocate(8192).order(ByteOrder.LITTLE_ENDIAN)
-        words.foreach(b.putLong)
-        b.array()
+    def runCount(vs: Array[Int]): Int = {
+      var runs = 1
+      var i = 1
+      while (i < vs.length) { if (vs(i) != vs(i - 1) + 1) runs += 1; i += 1 }
+      runs
+    }
+    val encoded: Seq[(Int, Array[Int], Array[Byte], Boolean)] =
+      containers.map { case (k, vs) =>
+        val runs = runCount(vs)
+        val runSize = 2 + 4 * runs
+        val altSize = if (vs.length <= 4096) 2 * vs.length else 8192
+        if (runSize < altSize) {
+          val b = ByteBuffer.allocate(runSize).order(ByteOrder.LITTLE_ENDIAN)
+          b.putShort(runs.toShort)
+          var start = vs(0)
+          var prev = vs(0)
+          var i = 1
+          while (i < vs.length) {
+            if (vs(i) != prev + 1) {
+              b.putShort(start.toShort); b.putShort((prev - start).toShort)
+              start = vs(i)
+            }
+            prev = vs(i)
+            i += 1
+          }
+          b.putShort(start.toShort); b.putShort((prev - start).toShort)
+          (k, vs, b.array(), true)
+        } else if (vs.length <= 4096) {
+          val b = ByteBuffer.allocate(2 * vs.length)
+            .order(ByteOrder.LITTLE_ENDIAN)
+          vs.foreach(v => b.putShort(v.toShort))
+          (k, vs, b.array(), false)
+        } else {
+          val words = new Array[Long](1024)
+          vs.foreach(v => words(v >>> 6) |= (1L << (v & 63)))
+          val b = ByteBuffer.allocate(8192).order(ByteOrder.LITTLE_ENDIAN)
+          words.foreach(b.putLong)
+          (k, vs, b.array(), false)
+        }
       }
+    val anyRun = encoded.exists(_._4)
+    val bodies = encoded.map(_._3)
+    if (!anyRun) {
+      val headerSize = 8 + 4 * n + 4 * n // cookie+count, desc, offsets
+      val out = ByteBuffer
+        .allocate(headerSize + bodies.map(_.length).sum)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      out.putInt(SerialCookieNoRun)
+      out.putInt(n)
+      encoded.foreach { case (k, vs, _, _) =>
+        out.putShort(k.toShort); out.putShort((vs.length - 1).toShort)
+      }
+      var off = headerSize
+      bodies.foreach { b => out.putInt(off); off += b.length }
+      bodies.foreach(out.put)
+      out.array()
+    } else {
+      val flags = new Array[Byte]((n + 7) / 8)
+      encoded.zipWithIndex.foreach { case ((_, _, _, isRun), i) =>
+        if (isRun) flags(i / 8) = (flags(i / 8) | (1 << (i % 8))).toByte
+      }
+      val hasOffsets = n >= 4
+      val headerSize =
+        4 + flags.length + 4 * n + (if (hasOffsets) 4 * n else 0)
+      val out = ByteBuffer
+        .allocate(headerSize + bodies.map(_.length).sum)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      out.putInt(SerialCookie | ((n - 1) << 16))
+      out.put(flags)
+      encoded.foreach { case (k, vs, _, _) =>
+        out.putShort(k.toShort); out.putShort((vs.length - 1).toShort)
+      }
+      if (hasOffsets) {
+        var off = headerSize
+        bodies.foreach { b => out.putInt(off); off += b.length }
+      }
+      bodies.foreach(out.put)
+      out.array()
     }
-    val headerSize = 8 + 4 * n + 4 * n // cookie+count, desc, offsets
-    val out = ByteBuffer
-      .allocate(headerSize + bodies.map(_.length).sum)
-      .order(ByteOrder.LITTLE_ENDIAN)
-    out.putInt(SerialCookieNoRun)
-    out.putInt(n)
-    containers.foreach { case (k, vs) =>
-      out.putShort(k.toShort); out.putShort((vs.length - 1).toShort)
-    }
-    var off = headerSize
-    bodies.foreach { b => out.putInt(off); off += b.length }
-    bodies.foreach(out.put)
-    out.array()
   }
 
   /** Decode one standard 32-bit Roaring bitmap from `buf` (position
@@ -189,12 +247,15 @@ object Puffin {
     * referenced data file. Returns, per input DV in order,
     * (referencedDataFile, contentOffset, contentSizeInBytes) — exactly
     * the three v3 manifest-entry fields (ids 143/144/145) an external
-    * reader resolves the blob with.
+    * reader resolves the blob with — plus the total file size (the
+    * manifest entry's file_size_in_bytes). Safe to call from executor
+    * tasks: no Spark state touched, so a DV-emitting export can write
+    * its puffin files where the positions already live.
     */
   def writeDeletionVectorFile(path: String,
                               dvs: Seq[(String, Array[Long])],
                               snapshotId: Long,
-                              sequenceNumber: Long): Seq[(String, Long, Long)] = {
+                              sequenceNumber: Long): (Seq[(String, Long, Long)], Long) = {
     val blobs = dvs.map { case (ref, ps) => (ref, ps.length, serializeDVBlob(ps)) }
     var offset = FileMagic.length.toLong
     val refs = blobs.map { case (ref, card, bytes) =>
@@ -223,7 +284,8 @@ object Puffin {
     out.putInt(0) // flags: footer payload uncompressed
     out.put(FileMagic)
     TableFs.forPath(path).writeBytes(path, out.array())
-    refs.map { case (ref, off, len, _) => (ref, off, len) }
+    (refs.map { case (ref, off, len, _) => (ref, off, len) },
+      out.array().length.toLong)
   }
 
   /** Resolve one deletion vector from a Puffin file by the manifest

@@ -65,11 +65,13 @@ class PuffinSpec extends AnyFunSuite {
     val path = s"$dir/dv.puffin"
     val dv1 = (0L until 100L by 3).toArray
     val dv2 = Array(7L, 8L, 9L)
-    val refs = Puffin.writeDeletionVectorFile(path,
+    val (refs, totalSize) = Puffin.writeDeletionVectorFile(path,
       Seq("file:/data/a.parquet" -> dv1, "file:/data/b.parquet" -> dv2),
       snapshotId = 42L, sequenceNumber = 5L)
     assert(refs.map(_._1) ==
       Seq("file:/data/a.parquet", "file:/data/b.parquet"))
+    assert(totalSize ==
+      Files.readAllBytes(java.nio.file.Paths.get(path)).length)
     refs.zip(Seq(dv1, dv2)).foreach { case ((_, off, len), expected) =>
       assert(Puffin.readDeletionVector(path, off, len).toSeq ==
         expected.toSeq)
@@ -87,5 +89,61 @@ class PuffinSpec extends AnyFunSuite {
     assert(blobs.size == 2)
     assert(blobs.forall(b => (b \ "type") ==
       org.json4s.JString("deletion-vector-v1")))
+  }
+
+  test("writer emits run containers when run-dense, and a long dense " +
+       "run serializes SMALLER than its bitmap") {
+    // one full-ish run of 10k consecutive positions: as a bitmap the
+    // first container alone is 8 KiB; as runs the whole vector is tiny
+    val dense = (100L until 10100L).toArray
+    val blob = Puffin.serializeDVBlob(dense)
+    assert(blob.length < 200, s"run encoding expected, got ${blob.length}B")
+    assert(Puffin.deserializeDVBlob(blob).toSeq == dense.toSeq)
+  }
+
+  test("property: random position sets round-trip write → read across " +
+       "all three container kinds (ScalaCheck)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // mixes dense runs (run containers), mid-density scatter (array),
+    // and >4096-per-container floods (bitmap), across 16-bit container
+    // and 32-bit bucket boundaries
+    val genRun = for {
+      start <- Gen.chooseNum(0L, 1L << 40)
+      len <- Gen.chooseNum(1, 9000)
+    } yield (start until start + len).toVector
+    val genScatter = Gen.listOf(Gen.chooseNum(0L, 1L << 40)).map(_.toVector)
+    val genPositions: Gen[Array[Long]] = for {
+      runs <- Gen.listOf(genRun)
+      scatter <- genScatter
+    } yield (runs.flatten ++ scatter).distinct.sorted.toArray
+    val prop = Prop.forAll(genPositions) { ps =>
+      Puffin.deserializeDVBlob(Puffin.serializeDVBlob(ps))
+        .sameElements(ps)
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(60), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("run-container output decodes identically in the FOREIGN python " +
+       "reader (second decoder, not our own)") {
+    assume(new java.io.File("tools/iceberg_reader.py").exists())
+    import scala.sys.process._
+    val pyOk = scala.util.Try(
+      Seq("python3", "-c", "import duckdb").! == 0).getOrElse(false)
+    assume(pyOk, "driver-side python3 unavailable")
+    // run + array + bitmap containers and a high 32-bit bucket
+    val ps = ((100L until 8000L) ++ Seq(70000L, 70002L, 70004L) ++
+      (1L << 33 until (1L << 33) + 5000 by 1) ++
+      Seq((1L << 33) + 99999L)).toArray.distinct.sorted
+    val dir = Files.createTempDirectory("graft-puffin-py").toString
+    val blob = Puffin.serializeDVBlob(ps)
+    Files.write(java.nio.file.Paths.get(s"$dir/dv.bin"), blob)
+    val got = Seq("python3", "-c",
+      s"""import sys; sys.path.insert(0, 'tools')
+         |import iceberg_reader as r
+         |ps = r._dv_positions('$dir/dv.bin', 0, ${blob.length})
+         |print(','.join(map(str, ps)))""".stripMargin).!!.trim
+    assert(got == ps.mkString(","))
   }
 }
