@@ -42,8 +42,19 @@ import org.json4s.jackson.JsonMethods
   *    pointer-swap profile (`set-metadata-location`, the Nessie/JDBC
   *    catalog commit shape): the client stages the full new
   *    metadata.json in storage first, the catalog validates + swaps
-  *    the pointer atomically. Snapshot-building update actions
-  *    (`add-snapshot` …) are refused loudly with guidance, never
+  *    the pointer atomically. Commits may instead use the APPEND-ONLY
+  *    update-action profile real Iceberg REST writers send —
+  *    `add-snapshot` (one or more) plus `set-snapshot-ref` — in which
+  *    case the CATALOG materializes the next metadata document itself
+  *    (appends the snapshots, moves the named ref, bumps
+  *    last-sequence-number / snapshot-log / metadata-log, stages the
+  *    new metadata.json beside the current one) and swaps the pointer,
+  *    under the same requirements arbitration. This is how the
+  *    reference's tiering job commits against its `iceberg-rest`
+  *    service (fluss-iceberg/docker-compose.yml:126-137): the external
+  *    engine writes data files + manifests + a manifest list, never a
+  *    metadata.json. Rewrite actions (`remove-snapshots`, schema
+  *    changes, …) are refused loudly with guidance, never
   *    half-applied.
   *  - `DELETE /v1/namespaces/{ns}/tables/{t}` → drop (204; 404 when
   *    absent)
@@ -159,6 +170,117 @@ class IcebergRestCatalogServer {
     }
   }
 
+  /** Materialize the APPEND-ONLY commit profile: validate the staged
+    * snapshots (ids fresh, manifest lists readable — the writer stages
+    * data files, manifests and the manifest list BEFORE the commit),
+    * build the next metadata document from the current one, stage it
+    * beside the current location, swap the pointer. Called under the
+    * commit lock, after requirements arbitration. Returns the
+    * CommitTableResponse body, or (status, message).
+    */
+  private def applyAppendCommit(ns: String, t: String, curLoc: String,
+      updates: List[org.json4s.JValue]): Either[(Int, String), String] = {
+    import org.json4s._
+    val curBody = TableFs.forPath(curLoc).readString(curLoc).getOrElse(
+      return Left((500, s"metadata location unreadable: $curLoc")))
+    val md = JsonMethods.parse(curBody)
+    def arr(v: JValue): List[JValue] =
+      v match { case JArray(a) => a; case _ => Nil }
+    val existingIds: Set[Long] =
+      arr(md \ "snapshots").flatMap(s => jNum(s \ "snapshot-id")).toSet
+    val adds =
+      updates.filter(u => jStr(u \ "action").contains("add-snapshot"))
+    val snaps: List[(Long, JValue)] = adds.map { u =>
+      val s = u \ "snapshot"
+      val id = jNum(s \ "snapshot-id").getOrElse(return Left((400,
+        "add-snapshot: snapshot needs a numeric 'snapshot-id'")))
+      val ml = jStr(s \ "manifest-list").getOrElse(return Left((400,
+        s"add-snapshot $id: snapshot needs 'manifest-list'")))
+      if (existingIds(id)) return Left((409,
+        s"Commit failed for $ns.$t: snapshot $id already exists"))
+      if (TableFs.forPath(ml).readBytes(ml).isEmpty) return Left((400,
+        s"add-snapshot $id: manifest list unreadable: $ml — stage data " +
+          "files, manifests and the manifest list BEFORE the commit"))
+      (id, s)
+    }
+    val newIds = snaps.map(_._1)
+    if (newIds.distinct.size != newIds.size)
+      return Left((400, "duplicate snapshot-id within one commit"))
+    // ref moves — append-only: branch `main` forward, or tags; a tag
+    // is immutable once set (re-pointing one is a rewrite)
+    val knownIds = existingIds ++ newIds
+    val existingTags: Map[String, Long] = (md \ "refs") match {
+      case JObject(fs) => fs.collect {
+        case (n, v) if jStr(v \ "type").contains("tag") =>
+          n -> jNum(v \ "snapshot-id").getOrElse(-1L)
+      }.toMap
+      case _ => Map.empty
+    }
+    val refMoves: List[(String, String, Long)] = updates
+      .filter(u => jStr(u \ "action").contains("set-snapshot-ref"))
+      .map { u =>
+        val name = jStr(u \ "ref-name").getOrElse(return Left((400,
+          "set-snapshot-ref needs 'ref-name'")))
+        val kind = jStr(u \ "type").getOrElse("branch")
+        val id = jNum(u \ "snapshot-id").getOrElse(return Left((400,
+          s"set-snapshot-ref $name needs a numeric 'snapshot-id'")))
+        if (kind == "branch" && name != "main") return Left((400,
+          s"unknown branch '$name' — this catalog tracks branch 'main'"))
+        if (kind == "tag" && existingTags.get(name).exists(_ != id))
+          return Left((400, s"tag '$name' already points at snapshot " +
+            s"${existingTags(name)} — re-pointing a tag is a rewrite, " +
+            "not accepted by the append profile"))
+        if (!knownIds(id)) return Left((400,
+          s"set-snapshot-ref $name: snapshot $id is neither existing " +
+            "nor added in this commit"))
+        (name, kind, id)
+      }
+    val nowMs = System.currentTimeMillis()
+    def upd(obj: JValue, key: String)(f: JValue => JValue): JValue =
+      obj match {
+        case JObject(fs) if fs.exists(_._1 == key) =>
+          JObject(fs.map { case (k, v) =>
+            if (k == key) k -> f(v) else k -> v })
+        case JObject(fs) => JObject(fs :+ (key -> f(JNothing)))
+        case other => other
+      }
+    val lastSeq = math.max(
+      jNum(md \ "last-sequence-number").getOrElse(0L),
+      snaps.flatMap { case (_, s) => jNum(s \ "sequence-number") }
+        .maxOption.getOrElse(0L))
+    var next = md
+    next = upd(next, "snapshots")(v => JArray(arr(v) ++ snaps.map(_._2)))
+    next = upd(next, "last-sequence-number")(_ => JLong(lastSeq))
+    next = upd(next, "last-updated-ms")(_ => JLong(nowMs))
+    refMoves.collectFirst { case ("main", "branch", id) => id }
+      .foreach { id =>
+        next = upd(next, "current-snapshot-id")(_ => JLong(id))
+        next = upd(next, "snapshot-log")(v => JArray(arr(v) :+
+          ((("timestamp-ms" -> nowMs) ~ ("snapshot-id" -> id)): JValue)))
+      }
+    refMoves.foreach { case (name, kind, id) =>
+      val entry: JValue = ("snapshot-id" -> id) ~ ("type" -> kind)
+      next = upd(next, "refs") {
+        case JObject(fs) =>
+          JObject(fs.filterNot(_._1 == name) :+ (name -> entry))
+        case _ => JObject(List(name -> entry))
+      }
+    }
+    next = upd(next, "metadata-log")(v => JArray(arr(v) :+
+      ((("metadata-file" -> curLoc) ~ ("timestamp-ms" -> nowMs)): JValue)))
+    val dir = curLoc.substring(0, curLoc.lastIndexOf('/'))
+    val newLoc =
+      s"$dir/rest-commit-${java.util.UUID.randomUUID()}.metadata.json"
+    TableFs.forPath(newLoc).writeString(newLoc,
+      JsonMethods.compact(JsonMethods.render(next)))
+    loadResult(newLoc) match {
+      case Left(msg) => Left((500, msg))
+      case Right(resp) =>
+        tables.put((ns, t), newLoc) // the arbitrated swap
+        Right(resp)
+    }
+  }
+
   private def handle(ex: HttpExchange): Unit = {
     try {
       val parts = ex.getRequestURI.getPath.split("/").filter(_.nonEmpty)
@@ -218,15 +340,32 @@ class IcebergRestCatalogServer {
             case org.json4s.JArray(us) => us
             case _ => Nil
           }
+          val actions = updates.map(u => jStr(u \ "action"))
+          val pointerProfile =
+            actions.forall(_.contains("set-metadata-location"))
+          val appendProfile = updates.nonEmpty && actions.forall(a =>
+            a.contains("add-snapshot") || a.contains("set-snapshot-ref"))
+          // requirements arbitration shared by both commit profiles:
+          // validate under the lock, 409 on the first failed assertion
+          def arbitrate(current: Option[String])(
+              commit: => Either[(Int, String), String]): Unit =
+            reqs.iterator.map(checkRequirement(_, current))
+              .collectFirst { case Some(m) => m } match {
+              case Some(m) =>
+                err(ex, 409, s"Commit failed for $ns.$t: $m",
+                  "CommitFailedException")
+              case None => commit match {
+                case Left((code, msg)) => err(ex, code, msg,
+                  if (code == 409) "CommitFailedException" else "RESTException")
+                case Right(resp) => respond(ex, 200, resp)
+              }
+            }
+          if (pointerProfile) {
           val newLoc = updates.flatMap(u => jStr(u \ "action") match {
             case Some("set-metadata-location") =>
               jStr(u \ "metadata-location").map(Right(_)).orElse(
                 Some(Left("set-metadata-location with no 'metadata-location'")))
-            case Some(other) => Some(Left(
-              s"unsupported update action '$other' — this catalog commits " +
-                "by pointer swap: stage the new metadata.json and send " +
-                "{\"action\":\"set-metadata-location\",...}"))
-            case None => Some(Left("update with no 'action'"))
+            case _ => Some(Left("update with no 'action'"))
           })
           newLoc.collectFirst { case Left(m) => m } match {
             case Some(bad) => err(ex, 400, bad)
@@ -239,16 +378,12 @@ class IcebergRestCatalogServer {
                   err(ex, 404, s"Table does not exist: $ns.$t — a first " +
                     "commit must carry the assert-create requirement",
                     "NoSuchTableException")
-                else reqs.iterator.map(checkRequirement(_, current))
-                  .collectFirst { case Some(m) => m } match {
-                  case Some(m) =>
-                    err(ex, 409, s"Commit failed for $ns.$t: $m",
-                      "CommitFailedException")
-                  case None => loadResult(loc) match {
-                    case Left(msg) => err(ex, 400, msg)
+                else arbitrate(current) {
+                  loadResult(loc) match {
+                    case Left(msg) => Left((400, msg))
                     case Right(resp) =>
                       tables.put((ns, t), loc) // the arbitrated swap
-                      respond(ex, 200, resp)
+                      Right(resp)
                   }
                 }
               }
@@ -258,6 +393,23 @@ class IcebergRestCatalogServer {
                 "multiple set-metadata-location updates in one commit")
             }
           }
+          } else if (appendProfile) commitLock.synchronized {
+            Option(tables.get((ns, t))) match {
+              case None => err(ex, 404,
+                s"Table does not exist: $ns.$t — the append profile " +
+                  "commits onto an existing table (register or " +
+                  "assert-create + set-metadata-location first)",
+                "NoSuchTableException")
+              case Some(curLoc) =>
+                arbitrate(Some(curLoc))(
+                  applyAppendCommit(ns, t, curLoc, updates))
+            }
+          } else err(ex, 400,
+            s"unsupported update action mix [${actions.flatten.mkString(", ")}]" +
+              " — this catalog commits by pointer swap " +
+              "({\"action\":\"set-metadata-location\",...}) or by the " +
+              "append-only profile (add-snapshot + set-snapshot-ref); " +
+              "rewrite actions are not accepted")
 
         case ("DELETE", Seq("v1", "namespaces", ns, "tables", t)) =>
           // under the commit lock: a drop racing a commit must order

@@ -130,20 +130,22 @@ class IcebergRestSpec extends AnyFunSuite with SparkSpec {
       val results = racers.map(Await.result(_, 30.seconds)).toList
       assert(results.sorted == List("lose", "win"), s"got $results")
 
-      // a commit with an unsupported update action is refused loudly
+      // a commit with a REWRITE update action is refused loudly, with
+      // guidance naming both accepted profiles
       val (st, resp) = {
         val conn = new java.net.URL(
           s"${server.url}/v1/namespaces/fluss/tables/w").openConnection()
           .asInstanceOf[java.net.HttpURLConnection]
         conn.setRequestMethod("POST"); conn.setDoOutput(true)
         val os = conn.getOutputStream
-        os.write("""{"requirements":[],"updates":[{"action":"add-snapshot"}]}"""
+        os.write("""{"requirements":[],"updates":[{"action":"remove-snapshots"}]}"""
           .getBytes("UTF-8")); os.close()
         val code = conn.getResponseCode
         val is = if (code < 400) conn.getInputStream else conn.getErrorStream
         (code, new String(is.readAllBytes(), "UTF-8"))
       }
-      assert(st == 400 && resp.contains("set-metadata-location"))
+      assert(st == 400 && resp.contains("set-metadata-location") &&
+        resp.contains("add-snapshot"))
 
       // first-commit path: a fresh name commits with assert-create
       IcebergRestClient.commitTable(server.url, "fluss", "w2", mloc1,
@@ -203,5 +205,150 @@ class IcebergRestSpec extends AnyFunSuite with SparkSpec {
         assert(rows == Seq((1L, "a"), (2L, "b")))
       } finally server.stop()
     }
+  }
+
+  test("APPEND-ONLY commit profile: a FOREIGN engine's hand-built " +
+       "add-snapshot + set-snapshot-ref commit lands through HTTP, the " +
+       "catalog materializes the next metadata document, and the row " +
+       "reads back through readFromMetadata; two racers → one 200, " +
+       "one 409") {
+    import org.apache.avro.generic.GenericData
+    val dir = Files.createTempDirectory("graft-rest-app").toString
+    val t = TieredTable(spark, s"$dir/events")
+    t.commitAppend(Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1))
+    val mloc1 = IcebergExport.export(t)
+    val mdir = s"${t.tablePath}/metadata"
+
+    def post(url: String, body: String): (Int, String) = {
+      val conn = new java.net.URL(url).openConnection()
+        .asInstanceOf[java.net.HttpURLConnection]
+      conn.setRequestMethod("POST"); conn.setDoOutput(true)
+      conn.setRequestProperty("Content-Type", "application/json")
+      val os = conn.getOutputStream
+      os.write(body.getBytes("UTF-8")); os.close()
+      val code = conn.getResponseCode
+      val is = if (code < 400) conn.getInputStream else conn.getErrorStream
+      (code, if (is == null) ""
+        else try new String(is.readAllBytes(), "UTF-8") finally is.close())
+    }
+
+    // ---- what the foreign writer stages BEFORE the commit: one data
+    // file, one manifest listing it, one manifest list carrying the
+    // old manifests plus the new one. The catalog never sees these —
+    // only the add-snapshot action referencing the list.
+    val fdir = s"$dir/foreign"
+    Seq((3L, "c")).toDF("id", "v").coalesce(1)
+      .write.mode("overwrite").parquet(fdir)
+    val dataFile = new java.io.File(fdir).listFiles()
+      .map(_.getPath).filter(_.endsWith(".parquet")).head
+    val entrySchema = IcebergExport.manifestEntrySchema(Nil)
+    val e = new GenericData.Record(entrySchema)
+    e.put("status", 1)
+    e.put("snapshot_id", 2L)
+    e.put("sequence_number", 2L)
+    e.put("file_sequence_number", 2L)
+    val df0 = new GenericData.Record(
+      entrySchema.getField("data_file").schema())
+    df0.put("content", 0)
+    df0.put("file_path", dataFile)
+    df0.put("file_format", "PARQUET")
+    df0.put("partition", new GenericData.Record(
+      df0.getSchema.getField("partition").schema()))
+    df0.put("record_count", 1L)
+    df0.put("file_size_in_bytes", new java.io.File(dataFile).length())
+    e.put("data_file", df0)
+    val manPath = s"$mdir/manifest-foreign-000002.avro"
+    val manLen = IcebergExport.writeAvro(manPath, entrySchema, Map(
+      "partition-spec" -> "[]", "partition-spec-id" -> "0",
+      "format-version" -> "2", "content" -> "data"), Seq(e))
+    val (oldMfs, _) =
+      IcebergExport.readAvro(s"$mdir/snap-000001-manifest-list.avro")
+    val mf = new GenericData.Record(IcebergExport.ManifestFileSchema)
+    mf.put("manifest_path", manPath)
+    mf.put("manifest_length", manLen)
+    mf.put("partition_spec_id", 0)
+    mf.put("content", 0)
+    mf.put("sequence_number", 2L)
+    mf.put("min_sequence_number", 2L)
+    mf.put("added_snapshot_id", 2L)
+    mf.put("added_files_count", 1)
+    mf.put("existing_files_count", 0)
+    mf.put("deleted_files_count", 0)
+    mf.put("added_rows_count", 1L)
+    mf.put("existing_rows_count", 0L)
+    mf.put("deleted_rows_count", 0L)
+    val listPath = s"$mdir/snap-foreign-000002-manifest-list.avro"
+    IcebergExport.writeAvro(listPath, IcebergExport.ManifestFileSchema,
+      Map("snapshot-id" -> "2", "sequence-number" -> "2",
+        "format-version" -> "2"), oldMfs :+ mf)
+
+    def commitBody(snapId: Long) =
+      s"""{"requirements":[
+         |  {"type":"assert-ref-snapshot-id","ref":"main","snapshot-id":1}],
+         | "updates":[
+         |  {"action":"add-snapshot","snapshot":{
+         |    "snapshot-id":$snapId,"parent-snapshot-id":1,
+         |    "sequence-number":2,"timestamp-ms":1700000000000,
+         |    "manifest-list":${org.json4s.jackson.JsonMethods.compact(
+               org.json4s.jackson.JsonMethods.render(
+                 org.json4s.JString(listPath)))},
+         |    "summary":{"operation":"append"},"schema-id":0}},
+         |  {"action":"set-snapshot-ref","ref-name":"main",
+         |   "type":"branch","snapshot-id":$snapId}]}""".stripMargin
+
+    val server = new IcebergRestCatalogServer
+    try {
+      server.register("fluss", "events", mloc1)
+      val commitUrl = s"${server.url}/v1/namespaces/fluss/tables/events"
+
+      // two racers asserting the SAME base: exactly one 200, one 409 —
+      // the same arbitration matrix as the pointer-swap profile
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration._
+      val gate = new java.util.concurrent.CountDownLatch(1)
+      val racers = Seq(2L, 2L).map(id => Future {
+        gate.await(); post(commitUrl, commitBody(id))._1
+      })
+      gate.countDown()
+      val codes = racers.map(Await.result(_, 30.seconds)).sorted
+      assert(codes == List(200, 409), s"got $codes")
+
+      // the winning commit is visible: the catalog built and staged a
+      // new metadata document; the foreign row reads back through
+      // readFromMetadata with zero engine metadata in the flow
+      val rows = IcebergRestClient
+        .loadTable(spark, server.url, "fluss", "events")
+        .orderBy("id").as[(Long, String)].collect().toSeq
+      assert(rows == Seq((1L, "a"), (2L, "b"), (3L, "c")))
+      // time travel through the materialized document still serves
+      // the pre-append state
+      assert(IcebergRestClient.loadTable(spark, server.url, "fluss",
+          "events", asOfSnapshotId = Some(1L))
+        .orderBy("id").as[(Long, String)].collect().toSeq ==
+        Seq((1L, "a"), (2L, "b")))
+      // the served state is committed durably: current-snapshot-id
+      // advanced and the old location is in the metadata-log
+      val Some((newLoc, Some(head))) =
+        IcebergRestClient.tableState(server.url, "fluss", "events")
+      assert(head == 2L && newLoc != mloc1)
+      val doc = graft.storage.TableFs.forPath(newLoc)
+        .readString(newLoc).get
+      assert(doc.contains("\"metadata-log\"") && doc.contains(mloc1))
+
+      // re-adding the SAME snapshot id is the duplicate 409
+      val (dupCode, dupResp) = post(commitUrl,
+        commitBody(2L).replace("\"snapshot-id\":1}", "\"snapshot-id\":2}"))
+      assert(dupCode == 409 && dupResp.contains("already exists"),
+        s"$dupCode $dupResp")
+
+      // an add-snapshot whose manifest list was NEVER staged → 400
+      // (stage-then-commit, loudly enforced)
+      val (mlCode, mlResp) = post(commitUrl, commitBody(3L)
+        .replace("\"snapshot-id\":1}", "\"snapshot-id\":2}")
+        .replace(listPath, s"$mdir/never-staged.avro"))
+      assert(mlCode == 400 && mlResp.contains("unreadable"),
+        s"$mlCode $mlResp")
+    } finally server.stop()
   }
 }
