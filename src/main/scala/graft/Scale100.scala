@@ -52,10 +52,21 @@ object Scale100 {
       (a, (System.nanoTime() - t0) / 1e9)
     }
 
-    // ---- documents at copies× (near-dup adversarial shape) ----
+    // SPARK_GRAFT_ONLY=docs|vectors|lake reruns one section in
+    // isolation (iterating on one measurement must not re-pay the
+    // other two's ~15 min)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+    def want(tag: String): Boolean = only.forall(_ == tag)
+
     val docs = graft.tables.Tables.load(spark, sfDir, "documents")
       .select(col("doc_id"), col("text"))
     val nDocs = docs.count()
+    val emb = graft.tables.Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val nVec = emb.count()
+
+    if (want("docs")) {
+    // ---- documents at copies× (near-dup adversarial shape) ----
     val widened = (0 until copies).map { k =>
       docs.select((col("doc_id") + lit(k * 10000000L)).as("doc_id"),
         concat(col("text"), lit(s" shard$k")).as("text"))
@@ -96,11 +107,10 @@ object Scale100 {
     }
     line("metric" -> "d10_incr_indexed_100x", "sec" -> d10Sec,
       "pairs" -> d10Pairs, "pairs_per_sec" -> (d10Pairs / d10Sec))
+    }
 
+    if (want("vectors")) {
     // ---- embeddings at copies× (deepening-corpus shape) ----
-    val emb = graft.tables.Tables.load(spark, sfDir, "embeddings")
-      .select(col("vec_id"), col("embedding"))
-    val nVec = emb.count()
     // per-(vector, shard, dim) deterministic HASH noise: distinct new
     // content, not copies — shard 0 keeps the original corpus intact.
     // (A sine-of-index perturbation is rank-2 — every noise vector is
@@ -132,6 +142,136 @@ object Scale100 {
     }
     line("metric" -> "s2_lsh_100x", "sec" -> s2Sec, "pairs" -> s2Pairs,
       "pairs_per_sec" -> (s2Pairs / s2Sec))
+
+    // ---- s4 IVF at 100× — the production ANN shape for 100 TB:
+    // broadcast centroids, map-side argmax assignment, cell-confined
+    // probe. Reported: cell-occupancy histogram (the quantity that
+    // bounds the probe cost), wall time, and recall vs the s1 brute
+    // force over the SAME deep corpus (the s14 measurement, at 100×).
+    {
+      import graft.operators.Similarity
+      val nC = 256
+      val nprobe = 16
+      val kNN = 10
+      // a SECOND deep corpus for the recall sweep: ±5 % RELATIVE noise
+      // plants each original vector's 99 replicas as its true nearest
+      // neighbors (cos ≈ 0.998) — the standard planted-neighbor ANN
+      // benchmark. The s2 corpus above deliberately uses LARGE noise
+      // (distinct vectors, occupancy claim); under it the "true top-10"
+      // is noise-dominated and recall measures a lottery, not the index.
+      val deepNear = (0 until copies).map { k =>
+        if (k == 0) emb.select(col("vec_id"), col("embedding"))
+        else emb.select((col("vec_id") + lit(k * 10000000L)).as("vec_id"),
+          expr(s"transform(embedding, (x, i) -> " +
+            s"x * float(1.0 + pmod(hash(vec_id, $k, i), 1000) / 10000.0" +
+            s" - 0.05))").as("embedding"))
+      }.reduce(_.union(_)).localCheckpoint(true)
+      val v = deepNear.select(col("vec_id").as("id"),
+        expr("transform(embedding, x -> cast(x as double))").as("v"))
+        .withColumn("nrm", Similarity.l2norm(col("v")))
+      val cents = v.filter(col("id") < nC)
+        .select(col("id").as("cell"), col("v").as("cv"),
+          col("nrm").as("cnrm"))
+      // the assignment (corpus × centroids argmax) is the INDEX BUILD —
+      // once per corpus, amortized over every query batch that follows;
+      // timed separately so the probe economics read honestly below
+      val (cellOcc, asgSec) = timed {
+        v.join(broadcast(cents))
+          .withColumn("cos",
+            Similarity.dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")))
+          .groupBy(col("id"))
+          .agg(max_by(col("cell"), struct(col("cos"), -col("cell"))).as("cell"))
+          .groupBy(col("cell")).agg(count(lit(1)).as("size"))
+          .agg(max(col("size")), expr("percentile_approx(size, 0.99)"),
+            avg(col("size")), count(lit(1))).head()
+      }
+      line("metric" -> "s4_cell_histogram", "copies" -> copies,
+        "vectors" -> nVec * copies, "centroids" -> nC,
+        "assign_sec" -> asgSec,
+        "max_cell" -> cellOcc.getLong(0), "p99_cell" -> cellOcc.getLong(1),
+        "mean_cell" -> cellOcc.getDouble(2), "n_cells" -> cellOcc.getLong(3))
+
+      // query-count sweep: brute force scales linearly with the query
+      // batch (every query scores the FULL corpus) while one-shot IVF
+      // re-pays its fixed assignment and then touches ~nprobe/nC of the
+      // corpus per query — the crossover is the claim, not a single
+      // ratio at one batch size
+      for (nq <- Seq(50, 500)) {
+        // queries drawn AWAY from the centroid id range (< nC): a
+        // centroid-query's planted neighbors sit in its own cell by
+        // construction, which reads as free recall
+        val queries = emb.filter(col("vec_id") >= 1000 &&
+          col("vec_id") < 1000 + nq)
+        val (ivfRes, ivfSec) = timed {
+          Similarity.ivfKnn(queries, deepNear, "vec_id", "embedding",
+            k = kNN, nCentroids = nC, nprobe = nprobe)
+            .localCheckpoint(true)
+        }
+        val (bruteRes, bruteSec) = timed {
+          Similarity.knnBrute(queries, deepNear, "vec_id", "embedding",
+            k = kNN).localCheckpoint(true)
+        }
+        val hits = ivfRes.select(col("query_id"), col("neighbor_id"))
+          .intersect(bruteRes.select(col("query_id"), col("neighbor_id")))
+          .count()
+        val total = bruteRes.count()
+        line("metric" -> s"s4_ivf_100x_q$nq", "queries" -> nq,
+          "sec" -> ivfSec, "brute_sec" -> bruteSec, "nprobe" -> nprobe,
+          "recall_at_10" -> (hits.toDouble / total),
+          "speedup_vs_brute" -> (bruteSec / ivfSec))
+      }
+    }
+    }
+
+    if (want("lake")) {
+    // ---- partitioned merge-on-read readTable at 100× — the q24/q34
+    // O(1)-plan-width claim, measured: ~1.3 k (sequence × partition)
+    // groups (10 upsert waves × 128 identity partitions) at 100× row
+    // volume, read back purely from the exported chain. Pinned: the
+    // data side stays ONE parquet scan + a broadcast metadata join no
+    // matter how many groups; the delete side adds one more scan.
+    {
+      import graft.storage.{IcebergExport, TieredTable}
+      val orders = graft.tables.Tables.load(spark, sfDir, "orders")
+        .select(col("o_orderkey"),
+          col("o_totalprice").cast("decimal(15,2)").as("price"))
+      val nOrd = orders.count()
+      val wide = (0 until copies).map { kk =>
+        orders.select((col("o_orderkey") + lit(kk * 100000000L)).as("okey"),
+          col("price"))
+      }.reduce(_.union(_))
+        .withColumn("pt", pmod(col("okey"), lit(128)).cast("int"))
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-scale100-lake").toString
+      val t = TieredTable(spark, s"$root/t", pk = Seq("okey", "pt"),
+        mergeOnRead = true, partitionBy = Seq("pt"))
+      val waves = 9
+      val (_, buildSec) = timed {
+        t.commitUpsert(wide.repartition(col("pt")))            // seq 1
+        (1 to waves).foreach { w =>                            // seq 2..10
+          t.commitUpsert(wide
+            .filter(pmod(col("okey"), lit(50)) === w)
+            .withColumn("price", (col("price") + w).cast("decimal(15,2)"))
+            .repartition(col("pt")))
+        }
+        IcebergExport.export(t)
+      }
+      val df = IcebergExport.readTable(spark, t.tablePath)
+      val (rows, readSec) = timed { df.count() }
+      val plan = df.queryExecution.executedPlan.toString
+      val scans = "FileScan parquet".r.findAllIn(plan).size
+      val bcastJoins = "BroadcastHashJoin".r.findAllIn(plan).size
+      line("metric" -> "lakehouse_mor_100x",
+        "groups" -> (waves + 1) * 128, "rows" -> rows,
+        "base_rows" -> nOrd * copies,
+        "build_export_sec" -> buildSec, "read_sec" -> readSec,
+        "parquet_scans" -> scans, "broadcast_joins" -> bcastJoins)
+      require(scans == 2,
+        s"plan width must stay O(1) in group count (data + deletes), " +
+          s"got $scans scans:\n$plan")
+      require(bcastJoins >= 1, "metadata must attach via broadcast join")
+    }
+    }
 
     line("metric" -> "scale100_done", "copies" -> copies,
       "docs" -> nDocs * copies, "vectors" -> nVec * copies)

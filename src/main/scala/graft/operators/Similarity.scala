@@ -368,8 +368,17 @@ object Similarity {
       .withColumn("prn", row_number().over(wProbe))
       .filter(col("prn") <= nprobe)
       .select(col("qid"), col("qv"), col("qn"), col("cell"))
-    val scored = probes.join(asg, Seq("cell"))
-      .join(v, Seq("id"))
+    // candidate expansion stays NARROW: (qid, id) pairs only — the
+    // query vectors re-attach by broadcast at the very end. Carrying
+    // qv through the cell join would shuffle |candidates| × dim
+    // doubles (at 200 k vectors × 500 queries that is gigabytes);
+    // the narrow form shuffles 16 bytes per candidate and the
+    // query batch rides a broadcast.
+    val cand = probes.select(col("qid"), col("cell"))
+      .join(asg, Seq("cell"))
+      .select(col("qid"), col("id"))
+    val scored = cand.join(v, Seq("id"))
+      .join(broadcast(q), Seq("qid"))
       .filter(col("qid") =!= col("id"))
       .withColumn("cos", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
       .select(col("qid").as("query_id"), col("id").as("neighbor_id"), col("cos"))

@@ -183,6 +183,45 @@ class DvWriteExportSpec extends AnyFunSuite with SparkSpec {
       .as[(Long, String, Long)].collect().toSet == resolved)
   }
 
+  test("PARTITIONED merge-on-read v3 export: DVs are scoped to their " +
+       "referenced file's partition and the chain resolves — the q24 " +
+       "combination under deletion vectors") {
+    val dir = Files.createTempDirectory("graft-dvw-part").toString
+    val t = TieredTable(spark, s"$dir/t", pk = Seq("id", "region"),
+      mergeOnRead = true, partitionBy = Seq("region"))
+    t.commitUpsert(Seq((1L, "eu", 10L), (2L, "us", 20L), (3L, "eu", 30L))
+      .toDF("id", "region", "amt"))                              // seq 1
+    t.commitUpsert(Seq((1L, "eu", 11L), (4L, "us", 40L))
+      .toDF("id", "region", "amt"))                              // seq 2
+    IcebergExport.export(t, formatVersion = 3)
+    val mdir = s"${t.tablePath}/metadata"
+    val delEntries = IcebergExport
+      .readAvro(s"$mdir/manifest-del-000002.avro")._1
+      .map(_.get("data_file")
+        .asInstanceOf[org.apache.avro.generic.GenericRecord])
+    assert(delEntries.nonEmpty)
+    delEntries.foreach { df =>
+      assert(df.get("file_format").toString == "PUFFIN")
+      // the DV entry carries its referenced file's identity partition
+      val part = df.get("partition")
+        .asInstanceOf[org.apache.avro.generic.GenericRecord]
+      assert(part.get("region") != null, df.toString)
+      assert(df.get("referenced_data_file").toString
+        .contains(s"region=${part.get("region")}"), df.toString)
+    }
+    assert(IcebergExport.readTable(spark, t.tablePath)
+      .select("id", "region", "amt").as[(Long, String, Long)]
+      .collect().toSet ==
+      Set((1L, "eu", 11L), (2L, "us", 20L), (3L, "eu", 30L),
+        (4L, "us", 40L)))
+    if (pythonOk) {
+      val r = runReader(Seq(t.tablePath, "--compare",
+        dump(Seq((1L, "eu", 11L), (2L, "us", 20L), (3L, "eu", 30L),
+          (4L, "us", 40L)).toDF("id", "region", "amt"), s"$dir/expected")))
+      assert(r("rows") == 4 && r("match") == true, r.toString)
+    }
+  }
+
   test("HAND-BUILT v3 table: a DV blob and puffin file encoded " +
        "byte-by-byte in the spec (second encoder — not " +
        "attachDeletionVectors) resolve identically in both readers") {
