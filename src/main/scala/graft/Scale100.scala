@@ -243,33 +243,43 @@ object Scale100 {
         .withColumn("pt", pmod(col("okey"), lit(128)).cast("int"))
       val root = java.nio.file.Files
         .createTempDirectory("graft-scale100-lake").toString
-      val t = TieredTable(spark, s"$root/t", pk = Seq("okey", "pt"),
-        mergeOnRead = true, partitionBy = Seq("pt"))
       val waves = 9
-      val (_, buildSec) = timed {
-        t.commitUpsert(wide.repartition(col("pt")))            // seq 1
-        (1 to waves).foreach { w =>                            // seq 2..10
-          t.commitUpsert(wide
-            .filter(pmod(col("okey"), lit(50)) === w)
-            .withColumn("price", (col("price") + w).cast("decimal(15,2)"))
-            .repartition(col("pt")))
+      // both delete representations at the same scale: v2 equality
+      // deletes (the tiering-sink default) and v3 deletion vectors
+      // (the engine's own DV write path) — the read-side plan-width
+      // claim must hold for each, and the v3 leg also measures the
+      // per-snapshot DV-building jobs the export pays once
+      for (fv <- Seq(2, 3)) {
+        val t = TieredTable(spark, s"$root/t$fv", pk = Seq("okey", "pt"),
+          mergeOnRead = true, partitionBy = Seq("pt"))
+        val (_, buildSec) = timed {
+          t.commitUpsert(wide.repartition(col("pt")))            // seq 1
+          (1 to waves).foreach { w =>                            // seq 2..10
+            t.commitUpsert(wide
+              .filter(pmod(col("okey"), lit(50)) === w)
+              .withColumn("price", (col("price") + w).cast("decimal(15,2)"))
+              .repartition(col("pt")))
+          }
+          IcebergExport.export(t, fv)
         }
-        IcebergExport.export(t)
+        val df = IcebergExport.readTable(spark, t.tablePath)
+        val (rows, readSec) = timed { df.count() }
+        val plan = df.queryExecution.executedPlan.toString
+        val scans = "FileScan parquet".r.findAllIn(plan).size
+        val bcastJoins = "BroadcastHashJoin".r.findAllIn(plan).size
+        line("metric" -> s"lakehouse_mor_100x_v$fv",
+          "groups" -> (waves + 1) * 128, "rows" -> rows,
+          "base_rows" -> nOrd * copies,
+          "build_export_sec" -> buildSec, "read_sec" -> readSec,
+          "parquet_scans" -> scans, "broadcast_joins" -> bcastJoins)
+        // v2: one data scan + one eq-delete scan. v3: the delete side
+        // is DV decode in executors (no parquet scan), so ONE scan.
+        val wantScans = if (fv == 2) 2 else 1
+        require(scans == wantScans,
+          s"plan width must stay O(1) in group count, expected " +
+            s"$wantScans scans at v$fv, got $scans:\n$plan")
+        require(bcastJoins >= 1, "metadata must attach via broadcast join")
       }
-      val df = IcebergExport.readTable(spark, t.tablePath)
-      val (rows, readSec) = timed { df.count() }
-      val plan = df.queryExecution.executedPlan.toString
-      val scans = "FileScan parquet".r.findAllIn(plan).size
-      val bcastJoins = "BroadcastHashJoin".r.findAllIn(plan).size
-      line("metric" -> "lakehouse_mor_100x",
-        "groups" -> (waves + 1) * 128, "rows" -> rows,
-        "base_rows" -> nOrd * copies,
-        "build_export_sec" -> buildSec, "read_sec" -> readSec,
-        "parquet_scans" -> scans, "broadcast_joins" -> bcastJoins)
-      require(scans == 2,
-        s"plan width must stay O(1) in group count (data + deletes), " +
-          s"got $scans scans:\n$plan")
-      require(bcastJoins >= 1, "metadata must attach via broadcast join")
     }
     }
 

@@ -222,6 +222,36 @@ class DvWriteExportSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("BUCKETED merge-on-read v3 export: DVs ride the bucket[N] spec " +
+       "(the q33/q34 layout under deletion vectors) and an upsert wave " +
+       "with NO overlapping keys emits an empty-but-valid delete " +
+       "manifest") {
+    val dir = Files.createTempDirectory("graft-dvw-bkt").toString
+    val t = TieredTable(spark, s"$dir/t", pk = Seq("id"),
+      mergeOnRead = true, bucketBy = 4)
+    t.commitUpsert(Seq((1L, "a"), (2L, "b"), (3L, "c"))
+      .toDF("id", "v"))                                          // seq 1
+    t.commitUpsert(Seq((4L, "d"), (5L, "e")).toDF("id", "v"))    // seq 2:
+                                           // disjoint keys — no deletions
+    t.commitUpsert(Seq((2L, "B3")).toDF("id", "v"))              // seq 3
+    IcebergExport.export(t, formatVersion = 3)
+    val mdir = s"${t.tablePath}/metadata"
+    // seq-2's delete manifest exists (later dirs supersede) but its DV
+    // set is EMPTY — no key overlapped; seq-3's carries the id=2 DV
+    val del2 = IcebergExport.readAvro(s"$mdir/manifest-del-000002.avro")._1
+    assert(del2.isEmpty, s"disjoint wave must emit no DVs: $del2")
+    val del3 = IcebergExport.readAvro(s"$mdir/manifest-del-000003.avro")._1
+      .map(_.get("data_file")
+        .asInstanceOf[org.apache.avro.generic.GenericRecord])
+    assert(del3.nonEmpty)
+    assert(del3.forall(_.get("file_format").toString == "PUFFIN"))
+    assert(del3.map(_.get("record_count").asInstanceOf[Long]).sum == 1L,
+      "exactly the superseded id=2 row is deleted")
+    assert(IcebergExport.readTable(spark, t.tablePath)
+      .select("id", "v").as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "B3"), (3L, "c"), (4L, "d"), (5L, "e")))
+  }
+
   test("HAND-BUILT v3 table: a DV blob and puffin file encoded " +
        "byte-by-byte in the spec (second encoder — not " +
        "attachDeletionVectors) resolve identically in both readers") {
