@@ -71,6 +71,7 @@ object SparkEntry {
     "q35b_evolved_export" -> (Lakehouse.q35bEvolvedExport _),
     "q36_dv_read" -> (Lakehouse.q36DvRead _),
     "q36b_dv_write" -> (Lakehouse.q36bDvWrite _),
+    "q38_pruned_mor_range" -> (Lakehouse.q38PrunedMorRange _),
     "q37_drop_evolution" -> (Lakehouse.q37DropEvolution _),
     "q37b_drop_evolved_export" -> (Lakehouse.q37bDropEvolvedExport _),
     // training-data pipeline: dedup / similarity / text analysis
@@ -555,6 +556,25 @@ object SparkEntry {
         |           THEN CAST(CAST(o_totalprice AS DECIMAL(15,2)) * 2 AS DECIMAL(15,2))
         |         ELSE CAST(o_totalprice AS DECIMAL(15,2)) END AS price
         |  FROM orders) GROUP BY o_orderstatus""".stripMargin,
+    // q38 = pruned range read over a merge-on-read v3 table: the
+    // engine scans only the key bands whose manifest bounds intersect
+    // [1000, 5000] and the deletion vectors still resolve the %7
+    // upsert wave inside them; the oracle recomputes the range
+    // relationally — a band pruned too eagerly, a DV skipped on a
+    // kept file, or a stale version surviving shifts every aggregate
+    "q38_pruned_mor_range" ->
+      """SELECT o_orderstatus, COUNT(*) AS cnt,
+        |       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+        |       CAST(SUM(CAST(price * 100 AS BIGINT)) AS BIGINT) AS price_cents
+        |FROM (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN 'R'
+        |         ELSE o_orderstatus END AS o_orderstatus,
+        |    CASE WHEN o_orderkey % 7 = 0
+        |           THEN CAST(CAST(o_totalprice AS DECIMAL(15,2)) * 2 AS DECIMAL(15,2))
+        |         ELSE CAST(o_totalprice AS DECIMAL(15,2)) END AS price
+        |  FROM orders WHERE o_orderkey BETWEEN 1000 AND 5000)
+        |GROUP BY o_orderstatus""".stripMargin,
     // q37/q37b = ADD→DROP partition evolution (three spec vintages:
     // pages, dir names, pages again) through the SQL catalog and
     // through the exported Iceberg chain — the oracle recomputes from

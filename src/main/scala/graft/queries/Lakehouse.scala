@@ -973,6 +973,54 @@ object Lakehouse {
           .as("price_cents"))
   }
 
+  /** Key-banded merge-on-read fixture: three commits cover disjoint
+    * o_orderkey thirds (each file gets a TIGHT [min,max] on the key),
+    * then a %7 upsert wave spans all bands — the layout where a range
+    * read can prune whole bands while still resolving the wave's
+    * superseding versions.
+    */
+  def demoTableMorBanded(spark: SparkSession, dir: String): TieredTable = {
+    val safe = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val path = s"${sys.props("java.io.tmpdir")}/graft-tiered/v$FormatVersion/$safe/orders_mor_banded"
+    val donePath = Paths.get(path, "meta", "LATEST")
+    val t = TieredTable(spark, path, pk = Seq("o_orderkey"), mergeOnRead = true)
+    if (!Files.exists(donePath)) {
+      val orders = Tables.load(spark, dir, "orders")
+        .withColumn("o_totalprice", col("o_totalprice").cast("decimal(15,2)"))
+      val mx = orders.agg(max(col("o_orderkey"))).head().getLong(0)
+      t.commitUpsert(orders.filter(col("o_orderkey") <= mx / 3))    // seq 1
+      t.commitUpsert(orders.filter(col("o_orderkey") > mx / 3 &&    // seq 2
+        col("o_orderkey") <= 2 * mx / 3))
+      t.commitUpsert(orders.filter(col("o_orderkey") > 2 * mx / 3)) // seq 3
+      t.commitUpsert(orders                                         // seq 4
+        .filter(pmod(col("o_orderkey"), lit(7)) === 0)
+        .withColumn("o_totalprice",
+          (col("o_totalprice") * 2).cast("decimal(15,2)"))
+        .withColumn("o_orderstatus", lit("R")))
+    }
+    t
+  }
+
+  /** Q38 — range read through the exported pruning metadata on a
+    * merge-on-read v3 table: [[graft.storage.IcebergExport
+    * .readTableWhereLong]] scans only the key bands whose manifest
+    * [min,max] intersect, while the deletion vectors still erase every
+    * superseded version inside the kept bands (deletes are file-local
+    * under the anti-join formulation — the pruned read must equal
+    * filter(full read), which the oracle recomputes relationally).
+    */
+  def q38PrunedMorRange(spark: SparkSession, dir: String): DataFrame = {
+    val t = demoTableMorBanded(spark, dir)
+    exportOnce(t, formatVersion = 3)
+    graft.storage.IcebergExport
+      .readTableWhereLong(spark, t.tablePath, "o_orderkey", 1000L, 5000L)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("o_orderkey")).cast("long").as("key_sum"),
+        sum((col("o_totalprice") * 100).cast("long")).cast("long")
+          .as("price_cents"))
+  }
+
   def q36DvRead(spark: SparkSession, dir: String): DataFrame = {
     val path = demoTableDv(spark, dir)
     graft.storage.IcebergExport.readTable(spark, path)
@@ -1017,6 +1065,8 @@ object Lakehouse {
       timed("q36_export_setup") { demoTableDv(spark, dir) },
       timed("q36b_export_setup") {
         exportOnce(demoTableMorV3(spark, dir), formatVersion = 3) },
+      timed("q38_export_setup") {
+        exportOnce(demoTableMorBanded(spark, dir), formatVersion = 3) },
       timed("q37b_export_setup") {
         q37bDropEvolvedExport(spark, dir).count() })
   }

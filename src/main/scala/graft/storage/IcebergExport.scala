@@ -1671,7 +1671,8 @@ object IcebergExport {
     * Iceberg artifacts drives the scan.
     */
   def readTable(spark: SparkSession, tablePath: String,
-                asOfSnapshotId: Option[Long] = None): DataFrame = {
+                asOfSnapshotId: Option[Long] = None,
+                keepDataFiles: Option[Set[String]] = None): DataFrame = {
     import org.json4s.jackson.JsonMethods
     val mdir = s"$tablePath/metadata"
     val version = currentVersion(mdir).getOrElse(
@@ -1679,7 +1680,7 @@ object IcebergExport {
     val mpath = s"$mdir/v${"%05d".format(version)}.metadata.json"
     val md = JsonMethods.parse(fsFor(mpath).readString(mpath).getOrElse(
       throw new java.io.FileNotFoundException(mpath)))
-    readFromMetadata(spark, md, asOfSnapshotId)
+    readFromMetadata(spark, md, asOfSnapshotId, keepDataFiles)
   }
 
   /** Resolve and scan purely from a PARSED Iceberg table-metadata
@@ -1687,9 +1688,20 @@ object IcebergExport {
     * catalog's `LoadTableResult.metadata`,
     * [[IcebergRestCatalogServer]]); [[readTable]] is this after the
     * file-based version-hint resolution.
+    *
+    * `keepDataFiles` restricts the scan to the named data files
+    * (manifest-rendered paths — what [[dataFilesWhereLong]] returns)
+    * while keeping EVERY delete file. Sound under the anti-join
+    * formulation: an equality delete removes a stale row by key from
+    * the file it sits in regardless of where the winning version
+    * lives, and position deletes / DVs address (file, ordinal) of the
+    * kept files only — so each kept file's rows are erased exactly as
+    * in the full read, and a pruned file only withholds rows the
+    * caller's predicate re-check would drop anyway.
     */
   def readFromMetadata(spark: SparkSession, md: org.json4s.JValue,
-                       asOfSnapshotId: Option[Long] = None): DataFrame = {
+                       asOfSnapshotId: Option[Long] = None,
+                       keepDataFiles: Option[Set[String]] = None): DataFrame = {
     jsonAt(md, "location") match {
       case org.json4s.JString(loc)
         if loc.startsWith(GraftObjectFileSystem.Scheme + "://") =>
@@ -1769,7 +1781,11 @@ object IcebergExport {
             (e.get("data_file").asInstanceOf[GenericRecord], seq, specId)
           }
       }
-    val liveEntries = liveOf(dataManifests)
+    val liveEntries = keepDataFiles match {
+      case None => liveOf(dataManifests)
+      case Some(keep) => liveOf(dataManifests)
+        .filter(e => keep(e._1.get("file_path").toString))
+    }
     val deleteEntries = liveOf(deleteManifests)
     // v2 delete content codes: 1 = POSITION deletes (file_path, pos),
     // 2 = EQUALITY deletes. Graft's own exporter writes equality
@@ -2168,57 +2184,26 @@ object IcebergExport {
     (kept, entries.size)
   }
 
-  /** Whether the CURRENT snapshot's manifest list carries delete
-    * manifests — the signal that file-level pruning alone cannot serve
-    * a read (a kept data file may hold superseded row versions that
-    * only the equality-delete anti-join removes).
-    */
-  private def currentHasDeletes(tablePath: String): Boolean = {
-    import org.json4s.jackson.JsonMethods
-    val mdir = s"$tablePath/metadata"
-    val version = currentVersion(mdir).getOrElse(return false)
-    val mpath = s"$mdir/v${"%05d".format(version)}.metadata.json"
-    val md = JsonMethods.parse(fsFor(mpath).readString(mpath).getOrElse(
-      return false))
-    val currentId = jLong(jsonAt(md, "current-snapshot-id"))
-    jsonAt(md, "snapshots").asInstanceOf[org.json4s.JArray].arr
-      .find(s => jLong(jsonAt(s, "snapshot-id")) == currentId)
-      .map(s => jsonAt(s, "manifest-list"))
-      .collect { case org.json4s.JString(p) => p }
-      .exists(p => readAvro(p)._1
-        .exists(_.get("content").asInstanceOf[Int] == 1))
-  }
-
   /** Range read THROUGH the exported pruning metadata: scan only the
     * files [[dataFilesWhereLong]] keeps, then apply the predicate in
-    * full (pruning is an optimization, never a semantics change).
-    * Snapshots with equality deletes fall back to the full delete-
-    * applying read — the stance [[TieredTable.readColdWhere]] takes for
-    * merge-on-read: a key's winning version may live in a pruned file,
-    * so resolution must precede pruning.
+    * full (pruning is an optimization, never a semantics change). The
+    * restricted scan goes through [[readTable]]'s `keepDataFiles`, so
+    * identity-partition constants, schema projection, AND delete
+    * application (equality, position, DV) all serve the pruned read —
+    * deletes are file-local under the anti-join formulation (see
+    * [[readFromMetadata]]), so merge-on-read no longer forces the full
+    * scan a range query exists to avoid. At 100 TB this is the
+    * difference between a point-range probe reading its few files and
+    * re-reading the table because it carries deltas.
     */
   def readTableWhereLong(spark: SparkSession, tablePath: String,
                          column: String, lo: Long, hi: Long): DataFrame = {
     import org.apache.spark.sql.functions.col
-    if (currentHasDeletes(tablePath))
-      return readTable(spark, tablePath).filter(col(column).between(lo, hi))
-    val (kept, _) = dataFilesWhereLong(tablePath, column, lo, hi)
-    val base = readTable(spark, tablePath)
-    if (kept.isEmpty) base.filter(col(column).between(lo, hi)).limit(0)
-    else {
-      // project through the exported schema — raw part files may carry
-      // internal columns (a compacted merge-on-read __seq) it excludes.
-      // A schema column data pages LACK (identity partition value) means
-      // raw file scans can't serve the read: use the full metadata read.
-      val df = spark.read.option("mergeSchema", "true").parquet(kept: _*)
-      if (!base.columns.forall(df.columns.contains))
-        base.filter(col(column).between(lo, hi))
-      else {
-        val projected =
-          if (df.columns.toSeq == base.columns.toSeq) df
-          else df.select(base.columns.map(col).toIndexedSeq: _*)
-        projected.filter(col(column).between(lo, hi))
-      }
-    }
+    val pred = col(column).between(lo, hi)
+    val (kept, total) = dataFilesWhereLong(tablePath, column, lo, hi)
+    if (kept.isEmpty) readTable(spark, tablePath).filter(pred).limit(0)
+    else if (kept.size == total) readTable(spark, tablePath).filter(pred)
+    else readTable(spark, tablePath,
+      keepDataFiles = Some(kept.toSet)).filter(pred)
   }
 }

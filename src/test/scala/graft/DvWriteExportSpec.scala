@@ -252,6 +252,45 @@ class DvWriteExportSpec extends AnyFunSuite with SparkSpec {
       Set((1L, "a"), (2L, "B3"), (3L, "c"), (4L, "d"), (5L, "e")))
   }
 
+  test("range read PRUNES merge-on-read tables under both delete " +
+       "representations: deletes are file-local in the anti-join " +
+       "formulation, so readTableWhereLong scans fewer files and " +
+       "returns exactly filter(full read)") {
+    for (fv <- Seq(2, 3)) {
+      val dir = Files.createTempDirectory(s"graft-dvw-prune$fv").toString
+      val t = TieredTable(spark, s"$dir/t", pk = Seq("id"),
+        mergeOnRead = true)
+      // three id bands in separate commits → three data files with
+      // tight [min,max]; wave 4 supersedes one key per band
+      t.commitUpsert((1L to 100L).map(i => (i, s"a$i"))
+        .toDF("id", "v").coalesce(1))                             // seq 1
+      t.commitUpsert((1001L to 1100L).map(i => (i, s"b$i"))
+        .toDF("id", "v").coalesce(1))                             // seq 2
+      t.commitUpsert((2001L to 2100L).map(i => (i, s"c$i"))
+        .toDF("id", "v").coalesce(1))                             // seq 3
+      t.commitUpsert(Seq((50L, "A"), (1050L, "B"), (2050L, "C"))
+        .toDF("id", "v").coalesce(1))                             // seq 4
+      IcebergExport.export(t, fv)
+
+      val full = IcebergExport.readTable(spark, t.tablePath)
+      val pruned = IcebergExport.readTableWhereLong(
+        spark, t.tablePath, "id", 1001L, 1100L)
+      // answers first: identical to filter(full), superseded id=1050
+      // resolved to its wave-4 version
+      val expect = full
+        .filter(org.apache.spark.sql.functions.col("id")
+          .between(1001L, 1100L))
+        .as[(Long, String)].collect().toSet
+      assert(pruned.as[(Long, String)].collect().toSet == expect)
+      assert(expect.contains((1050L, "B")) && expect.size == 100)
+      // and the plan reads FEWER data files than the full scan — the
+      // band predicate prunes the other two bands' files
+      assert(pruned.inputFiles.length < full.inputFiles.length,
+        s"fv$fv: expected pruning, got ${pruned.inputFiles.length} of " +
+          s"${full.inputFiles.length} files")
+    }
+  }
+
   test("HAND-BUILT v3 table: a DV blob and puffin file encoded " +
        "byte-by-byte in the spec (second encoder — not " +
        "attachDeletionVectors) resolve identically in both readers") {
