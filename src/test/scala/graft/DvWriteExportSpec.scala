@@ -291,6 +291,28 @@ class DvWriteExportSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("BUCKET-RESIDENT v3 export: executors write the puffin DV files " +
+       "into the object store and the chain resolves from bucket " +
+       "objects alone — the full-stack composition under deletion " +
+       "vectors") {
+    val base = ObjectStoreStub.freshBucketFsUrl() + "/dvw"
+    val t = TieredTable(spark, base, pk = Seq("id"), mergeOnRead = true)
+    t.commitUpsert(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))  // seq 1
+    t.commitUpsert(Seq((2L, "B2"), (3L, "c")).toDF("id", "v")) // seq 2
+    val mloc = IcebergExport.export(t, formatVersion = 3)
+    assert(mloc.startsWith("graftos://"), mloc)
+    val keys = ObjectStoreStub.keysUnder(
+      base.replaceFirst("^graftos://[^/]+/", ""))
+    assert(keys.exists(k => k.contains("metadata/dv-snap-") &&
+      k.endsWith(".puffin")),
+      s"puffin DV files must be bucket objects: ${keys.filter(
+        _.contains("metadata")).mkString(", ")}")
+    assert(IcebergExport.readTable(spark, base)
+      .as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "B2"), (3L, "c")),
+      "the DV-carrying chain must resolve from bucket objects alone")
+  }
+
   test("HAND-BUILT v3 table: a DV blob and puffin file encoded " +
        "byte-by-byte in the spec (second encoder — not " +
        "attachDeletionVectors) resolve identically in both readers") {
