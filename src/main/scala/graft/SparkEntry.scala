@@ -72,6 +72,7 @@ object SparkEntry {
     "q36_dv_read" -> (Lakehouse.q36DvRead _),
     "q36b_dv_write" -> (Lakehouse.q36bDvWrite _),
     "q38_pruned_mor_range" -> (Lakehouse.q38PrunedMorRange _),
+    "q39_iceberg_date_prune" -> (Lakehouse.q39IcebergDatePrune _),
     "q37_drop_evolution" -> (Lakehouse.q37DropEvolution _),
     "q37b_drop_evolved_export" -> (Lakehouse.q37bDropEvolvedExport _),
     // training-data pipeline: dedup / similarity / text analysis
@@ -622,6 +623,16 @@ object SparkEntry {
       """SELECT COUNT(*) AS cnt, CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
         |FROM orders
         |WHERE o_orderdate BETWEEN DATE '1997-06-01' AND DATE '1998-06-01'""".stripMargin,
+    // q39 = the same date probe through the EXPORTED chain's manifest
+    // bounds (4-byte epoch-day ints); oracle recomputes relationally
+    "q39_iceberg_date_prune" ->
+      """SELECT o_orderpriority, COUNT(*) AS cnt,
+        |       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+        |       CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(15,2)) * 100
+        |         AS BIGINT)) AS BIGINT) AS price_cents
+        |FROM orders
+        |WHERE o_orderdate BETWEEN DATE '1997-06-01' AND DATE '1998-06-01'
+        |GROUP BY o_orderpriority""".stripMargin,
     "q16_meta_agg" ->
       """SELECT COUNT(*) AS cnt, MIN(o_orderkey) AS min_key,
         |       MAX(o_orderkey) AS max_key FROM orders""".stripMargin,

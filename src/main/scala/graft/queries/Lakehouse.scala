@@ -1067,6 +1067,8 @@ object Lakehouse {
         exportOnce(demoTableMorV3(spark, dir), formatVersion = 3) },
       timed("q38_export_setup") {
         exportOnce(demoTableMorBanded(spark, dir), formatVersion = 3) },
+      timed("q39_export_setup") {
+        exportOnce(demoTableByDate(spark, dir)) },
       timed("q37b_export_setup") {
         q37bDropEvolvedExport(spark, dir).count() })
   }
@@ -1108,6 +1110,29 @@ object Lakehouse {
       .readColdWhere(col("o_orderdate").between(
         lit("1997-06-01").cast("date"), lit("1998-06-01").cast("date")))
       .agg(count(lit(1)).as("cnt"), sum(col("o_orderkey")).as("key_sum"))
+
+  /** Q39 — the q13 date-range probe through the EXPORTED Iceberg
+    * chain: [[graft.storage.IcebergExport.readTableWhereDate]] prunes
+    * by the manifests' 4-byte epoch-day bounds (the external-reader
+    * analog of q13's sidecar skipping — same fixture, same range, a
+    * different metadata source doing the pruning). The oracle
+    * recomputes relationally; a bound decoded at the wrong width, an
+    * off-by-one epoch day, or an over-eager prune shifts every
+    * aggregate.
+    */
+  def q39IcebergDatePrune(spark: SparkSession, dir: String): DataFrame = {
+    val t = demoTableByDate(spark, dir)
+    exportOnce(t)
+    graft.storage.IcebergExport
+      .readTableWhereDate(spark, t.tablePath, "o_orderdate",
+        java.time.LocalDate.parse("1997-06-01"),
+        java.time.LocalDate.parse("1998-06-01"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("o_orderkey")).cast("long").as("key_sum"),
+        sum((col("o_totalprice").cast("decimal(15,2)") * 100)
+          .cast("long")).cast("long").as("price_cents"))
+  }
 
   /** Build-once fixture for Q14: the customer dimension seeded as a
     * tiered table, then one `MERGE INTO` commit driven by per-customer

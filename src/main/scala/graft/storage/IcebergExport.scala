@@ -2124,8 +2124,15 @@ object IcebergExport {
     }
   }
 
-  private def decodeLongLE(buf: java.nio.ByteBuffer): Long =
-    buf.duplicate().order(java.nio.ByteOrder.LITTLE_ENDIAN).getLong(0)
+  /** Decode an exported little-endian bound by its WIDTH: 8 bytes for
+    * long/timestamp, 4 for int/date (epoch days) — both order under
+    * plain long comparison, so one pruning path serves both.
+    */
+  private def decodeLongLE(buf: java.nio.ByteBuffer): Long = {
+    val b = buf.duplicate().order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    if (b.remaining() == 4) b.getInt(b.position()).toLong
+    else b.getLong(b.position())
+  }
 
   /** Current-snapshot data files whose exported [lower, upper] bounds
     * for long-typed `column` may intersect `[lo, hi]` — the pruning an
@@ -2199,7 +2206,28 @@ object IcebergExport {
   def readTableWhereLong(spark: SparkSession, tablePath: String,
                          column: String, lo: Long, hi: Long): DataFrame = {
     import org.apache.spark.sql.functions.col
-    val pred = col(column).between(lo, hi)
+    readTableWherePruned(spark, tablePath, column, lo, hi,
+      col(column).between(lo, hi))
+  }
+
+  /** Date-typed leg of the same pruning: DATE bounds export as 4-byte
+    * epoch-day ints, which decode into the same long comparison —
+    * [lo, hi] inclusive, the predicate re-checked against real DATE
+    * literals.
+    */
+  def readTableWhereDate(spark: SparkSession, tablePath: String,
+                         column: String, lo: java.time.LocalDate,
+                         hi: java.time.LocalDate): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    readTableWherePruned(spark, tablePath, column,
+      lo.toEpochDay, hi.toEpochDay,
+      col(column).between(lit(java.sql.Date.valueOf(lo)),
+        lit(java.sql.Date.valueOf(hi))))
+  }
+
+  private def readTableWherePruned(spark: SparkSession, tablePath: String,
+                                   column: String, lo: Long, hi: Long,
+                                   pred: org.apache.spark.sql.Column): DataFrame = {
     val (kept, total) = dataFilesWhereLong(tablePath, column, lo, hi)
     if (kept.isEmpty) readTable(spark, tablePath).filter(pred).limit(0)
     else if (kept.size == total) readTable(spark, tablePath).filter(pred)

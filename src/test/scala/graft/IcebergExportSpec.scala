@@ -190,6 +190,34 @@ class IcebergExportSpec extends AnyFunSuite with SparkSpec {
     assert(rows == (1050L to 1060L), "pruning must never change the answer")
   }
 
+  test("DATE bounds prune: 4-byte epoch-day ints decode at their width " +
+       "and readTableWhereDate scans only the matching band") {
+    val dir = Files.createTempDirectory("graft-ice-date").toString
+    val t = TieredTable(spark, s"$dir/t")
+    def day(s: String) = java.sql.Date.valueOf(s)
+    t.commitAppend(Seq((1L, day("1995-03-01")), (2L, day("1995-09-01")))
+      .toDF("id", "d").coalesce(1))
+    t.commitAppend(Seq((3L, day("1997-03-01")), (4L, day("1997-09-01")))
+      .toDF("id", "d").coalesce(1))
+    t.commitAppend(Seq((5L, day("1999-03-01")), (6L, day("1999-09-01")))
+      .toDF("id", "d").coalesce(1))
+    IcebergExport.export(t)
+    val pruned = IcebergExport.readTableWhereDate(spark, s"$dir/t", "d",
+      java.time.LocalDate.parse("1997-01-01"),
+      java.time.LocalDate.parse("1997-12-31"))
+    assert(pruned.select("id").as[Long].collect().sorted.toSeq ==
+      Seq(3L, 4L), "the answer is the middle band exactly")
+    val full = IcebergExport.readTable(spark, s"$dir/t")
+    assert(pruned.inputFiles.length < full.inputFiles.length,
+      s"date bounds must prune files: ${pruned.inputFiles.length} of " +
+        s"${full.inputFiles.length}")
+    // boundary inclusivity: [hi = a file's min] keeps that file
+    assert(IcebergExport.readTableWhereDate(spark, s"$dir/t", "d",
+        java.time.LocalDate.parse("1994-01-01"),
+        java.time.LocalDate.parse("1995-03-01"))
+      .select("id").as[Long].collect().toSeq == Seq(1L))
+  }
+
   test("icebergExport flag: every commit refreshes the metadata automatically") {
     // the reference's tiering-service behavior: the Iceberg tier stays
     // externally readable with no manual export step
