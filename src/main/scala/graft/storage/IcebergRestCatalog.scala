@@ -295,6 +295,23 @@ class IcebergRestCatalogServer {
           val nss = tables.keySet().asScala.map(_._1).toSeq.distinct.sorted
           respond(ex, 200, JsonMethods.compact(JsonMethods.render(
             "namespaces" -> nss.map(Seq(_)))))
+        case ("GET", Seq("v1", "namespaces", ns)) =>
+          // namespace-exists probe — the first call real clients
+          // (pyiceberg, Trino) make before listing; this catalog is
+          // table-keyed, so a namespace exists iff it holds tables
+          import scala.jdk.CollectionConverters._
+          if (tables.keySet().asScala.exists(_._1 == ns))
+            respond(ex, 200, JsonMethods.compact(JsonMethods.render(
+              ("namespace" -> Seq(ns)) ~
+                ("properties" -> org.json4s.JObject()))))
+          else err(ex, 404, s"Namespace does not exist: $ns",
+            "NoSuchNamespaceException")
+        case ("HEAD", Seq("v1", "namespaces", ns, "tables", t)) =>
+          // table-exists probe: 204 when present, 404 otherwise
+          if (tables.containsKey((ns, t))) {
+            ex.sendResponseHeaders(204, -1); ex.close()
+          } else err(ex, 404, s"Table does not exist: $ns.$t",
+            "NoSuchTableException")
         case ("GET", Seq("v1", "namespaces", ns, "tables")) =>
           import scala.jdk.CollectionConverters._
           val ids = tables.keySet().asScala.filter(_._1 == ns)
@@ -567,6 +584,15 @@ object IcebergRestClient {
       Some((loc, snap))
     }
   }
+
+  /** The namespace-exists probe (`GET /v1/namespaces/{ns}`). */
+  def namespaceExists(baseUrl: String, ns: String): Boolean =
+    get(s"$baseUrl/v1/namespaces/${enc(ns)}")._1 == 200
+
+  /** The table-exists probe (`HEAD /v1/namespaces/{ns}/tables/{t}`). */
+  def tableExists(baseUrl: String, ns: String, table: String): Boolean =
+    http("HEAD",
+      s"$baseUrl/v1/namespaces/${enc(ns)}/tables/${enc(table)}")._1 == 204
 
   def dropTable(baseUrl: String, ns: String, table: String): Boolean = {
     val (status, resp) = http("DELETE",

@@ -25,10 +25,15 @@ class IcebergRestSpec extends AnyFunSuite with SparkSpec {
     try {
       server.register("fluss", "accounts", mloc1)
 
-      // discovery: namespaces and tables by name
+      // discovery: namespaces and tables by name, plus the existence
+      // probes real clients issue before listing
       assert(IcebergRestClient.listNamespaces(server.url) == Seq("fluss"))
       assert(IcebergRestClient.listTables(server.url, "fluss") ==
         Seq("accounts"))
+      assert(IcebergRestClient.namespaceExists(server.url, "fluss"))
+      assert(!IcebergRestClient.namespaceExists(server.url, "nope"))
+      assert(IcebergRestClient.tableExists(server.url, "fluss", "accounts"))
+      assert(!IcebergRestClient.tableExists(server.url, "fluss", "nope"))
 
       // the catalog-served scan equals the storage-layer read
       val viaRest = IcebergRestClient
