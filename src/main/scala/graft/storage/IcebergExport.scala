@@ -2086,7 +2086,7 @@ object IcebergExport {
           val dvDels =
             if (dvEntries.isEmpty) None
             else {
-              val descs = dvEntries.map { case (e, seq, _) =>
+              val descs0 = dvEntries.map { case (e, seq, _) =>
                 def req(name: String): AnyRef = v3Field(e, name)
                   .getOrElse(throw new IllegalStateException(
                     s"puffin DV entry ${e.get("file_path")} lacks " +
@@ -2097,6 +2097,16 @@ object IcebergExport {
                   req("referenced_data_file").toString,
                   seq)
               }
+              // a DV is FILE-SCOPED: under a pruned read, blobs whose
+              // referenced file was pruned can't match the anti-join —
+              // skip their decode entirely (at scale a range probe must
+              // not page in every DV the table owns). Matching is on
+              // the raw manifest rendering; a rendering miss only costs
+              // an unnecessary decode, never a missed delete.
+              val descs = keepDataFiles match {
+                case None => descs0
+                case Some(keep) => descs0.filter(d => keep(d._4))
+              }
               import spark.implicits._
               // referenced_data_file normalized to the scan's own path
               // rendering driver-side (same Hadoop-Path URI treatment
@@ -2104,7 +2114,9 @@ object IcebergExport {
               Some(spark.createDataset(descs.map { case (pf, off, len, ref, seq) =>
                   (pf, off, len, normPathS(ref), seq)
                 })
-                .repartition(math.min(descs.size, 32))
+                // max(1): the pruned-read filter above may leave zero
+                // descs, and repartition(0) is illegal
+                .repartition(math.max(1, math.min(descs.size, 32)))
                 .flatMap { case (pf, off, len, ref, seq) =>
                   Puffin.readDeletionVector(pf, off, len)
                     .map(pos => (ref, pos, seq))

@@ -313,6 +313,28 @@ class DvWriteExportSpec extends AnyFunSuite with SparkSpec {
       "the DV-carrying chain must resolve from bucket objects alone")
   }
 
+  test("pruned read where EVERY DV's referenced file is pruned: the " +
+       "decode is skipped entirely and the kept band reads unchanged") {
+    val dir = Files.createTempDirectory("graft-dvw-prune0").toString
+    val t = TieredTable(spark, s"$dir/t", pk = Seq("id"),
+      mergeOnRead = true)
+    t.commitUpsert((1L to 100L).map(i => (i, s"a$i"))
+      .toDF("id", "v").coalesce(1))                             // seq 1
+    t.commitUpsert((1001L to 1100L).map(i => (i, s"b$i"))
+      .toDF("id", "v").coalesce(1))                             // seq 2
+    t.commitUpsert(Seq((50L, "A")).toDF("id", "v").coalesce(1)) // seq 3:
+                                           // supersedes band 1 only
+    IcebergExport.export(t, formatVersion = 3)
+    // range over band 2: band 1 and the wave file ([50,50]) prune out,
+    // so the ONLY DV (on band 1's file) references a pruned file —
+    // zero decodable descriptors, and the kept band must read intact
+    val pruned = IcebergExport.readTableWhereLong(
+      spark, t.tablePath, "id", 1001L, 1100L)
+    assert(pruned.as[(Long, String)].collect().toSet ==
+      (1001L to 1100L).map(i => (i, s"b$i")).toSet)
+    assert(pruned.inputFiles.length == 1, pruned.inputFiles.toSeq)
+  }
+
   test("HAND-BUILT v3 table: a DV blob and puffin file encoded " +
        "byte-by-byte in the spec (second encoder — not " +
        "attachDeletionVectors) resolve identically in both readers") {
