@@ -281,6 +281,34 @@ class IcebergRestCatalogServer {
     }
   }
 
+  /** REST-spec LIST pagination: `pageSize` caps the page and the
+    * response carries `next-page-token` when more remain; `pageToken`
+    * resumes AFTER the named cursor. The token is the last returned
+    * name — a sorted-name cursor stays exact under concurrent
+    * registration (an insert before the cursor was already passed;
+    * one after it will be served), the same stance as the object
+    * store's LIST. Without `pageSize` the full list returns in one
+    * page — the pre-pagination clients' shape.
+    */
+  private def paginate(ex: HttpExchange,
+                       sorted: Seq[String]): (Seq[String], Option[String]) = {
+    val q = Option(ex.getRequestURI.getRawQuery).getOrElse("")
+      .split("&").filter(_.contains("=")).map { kv =>
+        val i = kv.indexOf('=')
+        java.net.URLDecoder.decode(kv.substring(0, i), "UTF-8") ->
+          java.net.URLDecoder.decode(kv.substring(i + 1), "UTF-8")
+      }.toMap
+    val after = q.get("pageToken").filter(_.nonEmpty)
+    val size = q.get("pageSize").flatMap(s => scala.util.Try(s.toInt).toOption)
+      .filter(_ > 0)
+    val remaining = after.fold(sorted)(tok => sorted.dropWhile(_ <= tok))
+    val page = size.fold(remaining)(remaining.take)
+    val next =
+      if (size.isDefined && remaining.size > page.size) page.lastOption
+      else None
+    (page, next)
+  }
+
   private def handle(ex: HttpExchange): Unit = {
     try {
       val parts = ex.getRequestURI.getPath.split("/").filter(_.nonEmpty)
@@ -293,8 +321,12 @@ class IcebergRestCatalogServer {
         case ("GET", Seq("v1", "namespaces")) =>
           import scala.jdk.CollectionConverters._
           val nss = tables.keySet().asScala.map(_._1).toSeq.distinct.sorted
+          val (page, next) = paginate(ex, nss)
           respond(ex, 200, JsonMethods.compact(JsonMethods.render(
-            "namespaces" -> nss.map(Seq(_)))))
+            next.foldLeft(("namespaces" -> page.map(Seq(_)))
+                : org.json4s.JObject) {
+              (o, t) => o ~ ("next-page-token" -> t)
+            })))
         case ("GET", Seq("v1", "namespaces", ns)) =>
           // namespace-exists probe — the first call real clients
           // (pyiceberg, Trino) make before listing; this catalog is
@@ -314,11 +346,14 @@ class IcebergRestCatalogServer {
             "NoSuchTableException")
         case ("GET", Seq("v1", "namespaces", ns, "tables")) =>
           import scala.jdk.CollectionConverters._
-          val ids = tables.keySet().asScala.filter(_._1 == ns)
+          val names = tables.keySet().asScala.filter(_._1 == ns)
             .map(_._2).toSeq.sorted
-            .map(t => ("namespace" -> Seq(ns)) ~ ("name" -> t))
+          val (page, next) = paginate(ex, names)
+          val ids = page.map(t => ("namespace" -> Seq(ns)) ~ ("name" -> t))
           respond(ex, 200, JsonMethods.compact(JsonMethods.render(
-            "identifiers" -> ids)))
+            next.foldLeft(("identifiers" -> ids): org.json4s.JObject) {
+              (o, t) => o ~ ("next-page-token" -> t)
+            })))
         case ("GET", Seq("v1", "namespaces", ns, "tables", t)) =>
           Option(tables.get((ns, t))) match {
             case None => err(ex, 404, s"Table does not exist: $ns.$t",
@@ -482,27 +517,49 @@ object IcebergRestClient {
 
   private def get(url: String): (Int, String) = http("GET", url)
 
-  def listNamespaces(baseUrl: String): Seq[String] = {
-    val (status, body) = get(s"$baseUrl/v1/namespaces")
-    require(status == 200, s"listNamespaces: HTTP $status $body")
-    (JsonMethods.parse(body) \ "namespaces") match {
+  /** Drain a paginated LIST endpoint: follow `next-page-token` until
+    * the server stops returning one. With `pageSize = None` the
+    * server answers in one page (pre-pagination shape).
+    */
+  private def listPaged(url: String, field: String,
+                        pageSize: Option[Int])
+      (extract: org.json4s.JValue => Seq[String]): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var token: Option[String] = None
+    var first = true
+    while (first || token.isDefined) {
+      first = false
+      val qs = Seq(pageSize.map(s => s"pageSize=$s"),
+        token.map(t => s"pageToken=${enc(t)}")).flatten.mkString("&")
+      val (status, body) = get(if (qs.isEmpty) url else s"$url?$qs")
+      require(status == 200, s"list $field: HTTP $status $body")
+      val json = JsonMethods.parse(body)
+      out ++= extract(json \ field)
+      token = (json \ "next-page-token") match {
+        case org.json4s.JString(t) => Some(t)
+        case _ => None
+      }
+    }
+    out.result()
+  }
+
+  def listNamespaces(baseUrl: String,
+                     pageSize: Option[Int] = None): Seq[String] =
+    listPaged(s"$baseUrl/v1/namespaces", "namespaces", pageSize) {
       case org.json4s.JArray(nss) => nss.collect {
         case org.json4s.JArray(List(org.json4s.JString(n))) => n
       }
       case _ => Nil
     }
-  }
 
-  def listTables(baseUrl: String, ns: String): Seq[String] = {
-    val (status, body) =
-      get(s"$baseUrl/v1/namespaces/${enc(ns)}/tables")
-    require(status == 200, s"listTables: HTTP $status $body")
-    (JsonMethods.parse(body) \ "identifiers") match {
+  def listTables(baseUrl: String, ns: String,
+                 pageSize: Option[Int] = None): Seq[String] =
+    listPaged(s"$baseUrl/v1/namespaces/${enc(ns)}/tables", "identifiers",
+      pageSize) {
       case org.json4s.JArray(ids) => ids.map(i =>
         (i \ "name").asInstanceOf[org.json4s.JString].s)
       case _ => Nil
     }
-  }
 
   /** Load `ns.table` through the catalog and scan it purely from the
     * served metadata document.

@@ -212,6 +212,60 @@ class IcebergRestSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("LIST pagination: pageSize caps each page, next-page-token " +
+       "chains them, the union is exact, and the client drains " +
+       "transparently") {
+    val dir = Files.createTempDirectory("graft-rest-page").toString
+    val t = TieredTable(spark, s"$dir/t")
+    t.commitAppend(Seq((1L, "a")).toDF("id", "v"))
+    val mloc = IcebergExport.export(t)
+    val server = new IcebergRestCatalogServer
+    try {
+      val names = Seq("alpha", "bravo", "charlie", "delta", "echo")
+      names.foreach(n => server.register("fluss", n, mloc))
+      server.register("ops", "zulu", mloc)
+
+      // raw page walk: 2+2+1 under pageSize=2, tokens chaining
+      def getJson(url: String): org.json4s.JValue = {
+        val conn = new java.net.URL(url).openConnection()
+          .asInstanceOf[java.net.HttpURLConnection]
+        assert(conn.getResponseCode == 200)
+        val body = new String(conn.getInputStream.readAllBytes(), "UTF-8")
+        org.json4s.jackson.JsonMethods.parse(body)
+      }
+      def page(token: Option[String]): (Seq[String], Option[String]) = {
+        val qs = "pageSize=2" +
+          token.map(t => s"&pageToken=$t").getOrElse("")
+        val j = getJson(
+          s"${server.url}/v1/namespaces/fluss/tables?$qs")
+        val ids = (j \ "identifiers") match {
+          case org.json4s.JArray(is) => is.map(i =>
+            (i \ "name").asInstanceOf[org.json4s.JString].s)
+          case _ => Nil
+        }
+        (ids, (j \ "next-page-token") match {
+          case org.json4s.JString(s) => Some(s)
+          case _ => None
+        })
+      }
+      val (p1, t1) = page(None)
+      val (p2, t2) = page(t1)
+      val (p3, t3) = page(t2)
+      assert(p1 == Seq("alpha", "bravo") && t1.contains("bravo"))
+      assert(p2 == Seq("charlie", "delta") && t2.contains("delta"))
+      assert(p3 == Seq("echo") && t3.isEmpty,
+        s"final page carries no token: $p3 $t3")
+
+      // the client drains pages transparently and equals the unpaged
+      // listing; namespaces paginate the same way
+      assert(IcebergRestClient.listTables(server.url, "fluss",
+        pageSize = Some(2)) == names)
+      assert(IcebergRestClient.listTables(server.url, "fluss") == names)
+      assert(IcebergRestClient.listNamespaces(server.url,
+        pageSize = Some(1)) == Seq("fluss", "ops"))
+    } finally server.stop()
+  }
+
   test("APPEND-ONLY commit profile: a FOREIGN engine's hand-built " +
        "add-snapshot + set-snapshot-ref commit lands through HTTP, the " +
        "catalog materializes the next metadata document, and the row " +
