@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Optimization-round measurement harness (guide §1): dumps
+  * `.explain("formatted")` for declared queries to plans/<tag>/, and/or
+  * times individual queries with the same count() action the bench uses
+  * plus a noop-sink variant (guide §1.4) so the computation is timed
+  * without the count short-circuit.
+  *
+  * Usage: runMain graft.PlanDump <tag> [plan|time|both] [q1,q2,...|all]
+  * Env: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS (same contract as Bench).
+  */
+object PlanDump {
+  def main(args: Array[String]): Unit = {
+    val tag = if (args.nonEmpty) args(0) else "r13"
+    val mode = if (args.length > 1) args(1) else "plan"
+    val want: Option[Set[String]] =
+      if (args.length > 2 && args(2) != "all") Some(args(2).split(",").toSet)
+      else None
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.sql.sources.v2.bucketing.enabled", "true")
+      .config("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+      .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft-plan-wh").toString)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try graft.queries.Lakehouse.stageLakehouseExports(spark, sfDir)
+    catch { case e: Throwable => System.err.println(s"stage: $e") }
+    Seq[(String, (SparkSession, String) => Any)](
+      ("demoTable", graft.queries.Lakehouse.demoTable _),
+      ("demoTablePartitioned", graft.queries.Lakehouse.demoTablePartitioned _),
+      ("demoTableByDate", graft.queries.Lakehouse.demoTableByDate _),
+      ("demoMergedCustomer", graft.queries.Lakehouse.demoMergedCustomer _),
+      ("demoRolledBack", graft.queries.Lakehouse.demoRolledBack _),
+      ("demoTableBloom", graft.queries.Lakehouse.demoTableBloom _)
+    ).foreach { case (n, f) =>
+      try f(spark, sfDir) catch { case e: Throwable =>
+        System.err.println(s"$n: $e") }
+    }
+    val qs = SparkEntry.queries.filter { case (n, _) =>
+      want.forall(_.contains(n)) }
+    val outDir = java.nio.file.Paths.get(s"plans/$tag")
+    java.nio.file.Files.createDirectories(outDir)
+    if (mode == "plan" || mode == "both") {
+      qs.foreach { case (name, fn) =>
+        try {
+          val df = fn(spark, sfDir)
+          val plan = df.queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode)
+          java.nio.file.Files.write(outDir.resolve(s"${name}.txt"),
+            plan.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        } catch { case e: Throwable =>
+          System.err.println(s"plan $name: $e") }
+      }
+      println(s"plans written to $outDir")
+    }
+    if (mode == "time" || mode == "both") {
+      // warmup identical to Bench
+      qs.foreach { case (_, fn) =>
+        try fn(spark, sfDir).count() catch { case _: Throwable => } }
+      graft.queries.Pipeline.clearMemo(spark)
+      def pass(action: String): Map[String, Double] = qs.map {
+        case (name, fn) =>
+          spark.sparkContext.setJobDescription(s"$name [$action]")
+          val t0 = System.nanoTime()
+          try {
+            val df = fn(spark, sfDir)
+            if (action == "noop")
+              df.write.format("noop").mode("overwrite").save()
+            else df.count()
+          } catch { case _: Throwable => }
+          spark.sparkContext.setJobDescription(null)
+          name -> (System.nanoTime() - t0) / 1e9
+      }.toMap
+      val counts = (1 to 3).map { _ =>
+        graft.queries.Pipeline.clearMemo(spark); pass("count") }
+      val best = counts.head.keys.map(k =>
+        k -> counts.map(_(k)).min).toMap
+      best.toSeq.sortBy(-_._2).foreach { case (k, v) =>
+        println(f"$v%8.3f  $k")
+      }
+      println(f"TOTAL ${best.values.sum}%8.3f over ${best.size} queries")
+    }
+    spark.stop()
+  }
+}

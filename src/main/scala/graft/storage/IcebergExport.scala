@@ -1239,7 +1239,16 @@ object IcebergExport {
       val all = perDir.reduce(_.unionByName(_))
       val latest = all.groupBy(table.pk.map(col): _*)
         .agg(smax(col("__dv_seq")).as("__dv_max"))
-      val deleted = all.join(latest, table.pk)
+      // null-safe key equality: groupBy treats NULL as a group, so a
+      // row with a NULL PK value must still find its `latest` row — a
+      // plain equi-join would drop it and the fv3 export would keep
+      // rows the fv2 equality-delete path (null-safe <=> anti-join)
+      // deletes
+      val latestK = latest.select(
+        table.pk.map(c => col(c).as(s"__dv_k_$c")) :+ col("__dv_max"): _*)
+      val joinCond = table.pk.map(c => col(c) <=> col(s"__dv_k_$c"))
+        .reduce(_ && _)
+      val deleted = all.join(latestK, joinCond)
         .where(col("__dv_seq") < col("__dv_max"))
         .select(col("__dv_f"), col("__dv_pos"))
       import session.implicits._
@@ -2067,20 +2076,40 @@ object IcebergExport {
                 StructField("__ice_dseq", LongType)))
               // the delete CONTENT's file_path is raw, as foreign
               // writers store it (same form as manifest strings) —
-              // run it through the same Hadoop-Path URI encoding as
-              // every other path leg, or a data path with a space/'%'
-              // silently fails to match and deleted rows stay live
-              val uriEncode = org.apache.spark.sql.functions.udf(
-                (p: String) => if (p == null) null else normPathS(p))
-              Some(spark.read.schema(posSchema)
-                .parquet(posDeleteEntries
-                  .map(_._1.get("file_path").toString).distinct: _*)
+              // it must go through the same Hadoop-Path URI encoding
+              // as every other path leg, or a data path with a
+              // space/'%' silently fails to match and deleted rows
+              // stay live. The referenced paths name DATA FILES, so
+              // the distinct set is bounded by file count however many
+              // delete ROWS there are — normalize it driver-side once
+              // and broadcast-join the mapping instead of running a
+              // per-row UDF over what can be billions of positions at
+              // 100 TB (and a UDF would also block codegen/pushdown
+              // around this projection).
+              val delPaths = posDeleteEntries
+                .map(_._1.get("file_path").toString).distinct
+              val raw = spark.read.schema(posSchema)
+                .parquet(delPaths: _*)
                 .withColumn("__ice_del_file",
                   normPathC(col("_metadata.file_path")))
                 .join(broadcast(
                   spark.createDataFrame(seqRows.asJava, seqSchema)),
                   "__ice_del_file")
-                .select(uriEncode(col("file_path")).as("__ice_pd_path"),
+              // single-column pruned scan for the distinct referenced
+              // set; the collect is bounded by data-file count
+              val refNorm = spark.read.schema(posSchema)
+                .parquet(delPaths: _*)
+                .select(col("file_path")).distinct()
+                .collect().map(_.getString(0))
+                .map(p => org.apache.spark.sql.Row(p,
+                  if (p == null) null else normPathS(p)))
+              val refNormDf = spark.createDataFrame(
+                refNorm.toSeq.asJava,
+                StructType(Seq(StructField("file_path", StringType),
+                  StructField("__ice_pd_path", StringType))))
+              Some(raw
+                .join(broadcast(refNormDf), Seq("file_path"), "left")
+                .select(col("__ice_pd_path"),
                   col("pos").as("__ice_pd_pos"), col("__ice_dseq")))
             }
           val dvDels =
@@ -2100,12 +2129,19 @@ object IcebergExport {
               // a DV is FILE-SCOPED: under a pruned read, blobs whose
               // referenced file was pruned can't match the anti-join —
               // skip their decode entirely (at scale a range probe must
-              // not page in every DV the table owns). Matching is on
-              // the raw manifest rendering; a rendering miss only costs
-              // an unnecessary decode, never a missed delete.
+              // not page in every DV the table owns). The skip test
+              // compares under the SAME normPathS rendering the
+              // anti-join keys use — a foreign writer whose
+              // referenced_data_file rendering differs from the
+              // manifest's file_path rendering must still have its DV
+              // decoded whenever the join could match it, so a
+              // rendering quirk costs at most an extra decode, never a
+              // missed delete.
               val descs = keepDataFiles match {
                 case None => descs0
-                case Some(keep) => descs0.filter(d => keep(d._4))
+                case Some(keep) =>
+                  val keepNorm = keep.map(normPathS)
+                  descs0.filter(d => keepNorm(normPathS(d._4)))
               }
               import spark.implicits._
               // referenced_data_file normalized to the scan's own path
