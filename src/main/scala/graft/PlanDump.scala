@@ -65,14 +65,40 @@ object PlanDump {
       println(s"plans written to $outDir")
     }
     if (mode == "time" || mode == "both") {
+      // task-metric attribution (§1.1/§7.1 without a UI): per wall-clock
+      // window, sum executor run time / shuffle bytes across completed
+      // tasks — wall ≫ taskTime/cores means driver/scheduling overhead,
+      // wall ≈ taskTime/cores means genuine compute.
+      val taskTime = new java.util.concurrent.atomic.AtomicLong
+      val shufRead = new java.util.concurrent.atomic.AtomicLong
+      val shufWrite = new java.util.concurrent.atomic.AtomicLong
+      val nTasks = new java.util.concurrent.atomic.AtomicLong
+      val nJobs = new java.util.concurrent.atomic.AtomicLong
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onTaskEnd(
+              te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+            val m = te.taskMetrics
+            if (m != null) {
+              taskTime.addAndGet(m.executorRunTime)
+              shufRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+              shufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+              nTasks.incrementAndGet()
+            }
+          }
+          override def onJobStart(
+              js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+            nJobs.incrementAndGet()
+        })
       // warmup identical to Bench
       qs.foreach { case (_, fn) =>
         try fn(spark, sfDir).count() catch { case _: Throwable => } }
       graft.queries.Pipeline.clearMemo(spark)
-      def pass(action: String): Map[String, Double] = qs.map {
-        case (name, fn) =>
+      def pass(action: String): Map[String, (Double, Long, Long, Long, Long, Long)] =
+        qs.map { case (name, fn) =>
           spark.sparkContext.setJobDescription(s"$name [$action]")
-          val t0 = System.nanoTime()
+          val (t0, tt0, sr0, sw0, nt0, nj0) = (System.nanoTime(),
+            taskTime.get, shufRead.get, shufWrite.get, nTasks.get, nJobs.get)
           try {
             val df = fn(spark, sfDir)
             if (action == "noop")
@@ -80,16 +106,21 @@ object PlanDump {
             else df.count()
           } catch { case _: Throwable => }
           spark.sparkContext.setJobDescription(null)
-          name -> (System.nanoTime() - t0) / 1e9
-      }.toMap
+          name -> ((System.nanoTime() - t0) / 1e9, taskTime.get - tt0,
+            shufRead.get - sr0, shufWrite.get - sw0, nTasks.get - nt0,
+            nJobs.get - nj0)
+        }.toMap
       val counts = (1 to 3).map { _ =>
         graft.queries.Pipeline.clearMemo(spark); pass("count") }
-      val best = counts.head.keys.map(k =>
-        k -> counts.map(_(k)).min).toMap
-      best.toSeq.sortBy(-_._2).foreach { case (k, v) =>
-        println(f"$v%8.3f  $k")
+      val best = counts.head.keys.map { k =>
+        k -> counts.map(_(k)).minBy(_._1) }.toMap
+      best.toSeq.sortBy(-_._2._1).foreach {
+        case (k, (w, tt, sr, sw, nt, nj)) =>
+          println(f"$w%8.3f wall  ${tt / 1e3}%8.2f task-s  " +
+            f"${sr / 1e6}%7.1f shufR-MB ${sw / 1e6}%7.1f shufW-MB " +
+            f"$nt%5d tasks $nj%3d jobs  $k")
       }
-      println(f"TOTAL ${best.values.sum}%8.3f over ${best.size} queries")
+      println(f"TOTAL ${best.values.map(_._1).sum}%8.3f over ${best.size} queries")
     }
     spark.stop()
   }

@@ -147,7 +147,17 @@ object IncrementalAgg {
       spec.maxs.zipWithIndex.flatMap { case ((v, _), i) => Seq(
         max(when(ins, col(v))).as(s"__dxi$i"),
         max(when(!ins, col(v))).as(s"__dxr$i")) }
-    val d = delta.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    // With MIN/MAX maintained, the delta aggregate is referenced three
+    // times (merge join, dirty probe, and — via the dirty keys — the
+    // recompute's semi-join); materialize it once (changelog-group-
+    // sized) instead of re-running the changelog read + aggregation per
+    // reference. Sum-only maintenance references it once — no
+    // materialization, the single-pass plan stands.
+    val dPlan = delta.groupBy(groupCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+    val d =
+      if (spec.mins.isEmpty && spec.maxs.isEmpty) dPlan
+      else dPlan.localCheckpoint(true)
 
     // merge join: candidates for every aggregate; groups at count zero
     // drop out before any recompute can be owed for them
@@ -185,8 +195,12 @@ object IncrementalAgg {
        spec.maxs.zipWithIndex.map { case ((_, alias), i) =>
         col(s"__dxr$i") >= greatest(col(alias), col(s"__dxi$i")) })
         .reduce(_ || _)
+    // materialized: the emptiness probe below would otherwise run the
+    // state pipeline once for the probe and AGAIN inside the patched
+    // plan's recompute semi-join (dirty keys are ≤ delta's group count)
     val dirtyKeys = d.join(stateBounds, groupCols, "left")
       .filter(dirtyCond).select(groupCols.map(col): _*)
+      .localCheckpoint(true)
     if (dirtyKeys.isEmpty) return projected
 
     // recompute ONLY the dirty groups' bounds from the base snapshot

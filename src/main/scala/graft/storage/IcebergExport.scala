@@ -1281,6 +1281,128 @@ object IcebergExport {
       refs
     }
 
+    // FOLD the per-snapshot DV builds into ONE job (optimization guide
+    // §1.2 step 1 — the first export of an n-snapshot MoR table
+    // otherwise runs n sequential jobs, snapshot k re-scanning all k
+    // of its dirs: O(n²) dir scans total, measured +60 % on the v3
+    // Scale100 export). One pass reads every dir ONCE, derives each
+    // row's NEXT version sequence with a per-key window, and a row is
+    // DV-deleted at snapshot s exactly when that next version is
+    // visible at s (next_seq ≤ max dir-seq of s) — the same strict-`>`
+    // rule the per-snapshot jobs resolve with groupBy(max)+join. Each
+    // (snapshot, file) group is serialized to puffin IN EXECUTORS with
+    // the same sorted-position layout, and every pending snapshot's
+    // refs sidecar is written, so the manifest loop below reads
+    // sidecars exactly as before. Applies only when the pending
+    // snapshots' dir lists form a seq-ordered PREFIX CHAIN (always
+    // true between compactions); otherwise each snapshot computes
+    // individually as before. Snapshots with a sidecar on disk are
+    // never recomputed (re-exports stay single-read).
+    if (formatVersion == 3 && isMor) {
+      val pending = snaps.filter { s =>
+        val minSeq = s.files.map(seqOfDir).minOption.getOrElse(s.id)
+        s.files.exists(d => seqOfDir(d) > minSeq) &&
+          metaFs.readString(
+            s"$mdir/dv-snap-${"%06d".format(s.id)}.refs.json").isEmpty
+      }.sortBy(_.id)
+      val lastDirs = pending.lastOption.map(_.files.sortBy(seqOfDir))
+        .getOrElse(Nil)
+      val chain = pending.forall(s =>
+        lastDirs.startsWith(s.files.sortBy(seqOfDir)))
+      if (pending.size > 1 && chain) {
+        import org.apache.spark.sql.functions.{array, col, explode, lead,
+          lit, sort_array, when}
+        import org.apache.spark.sql.expressions.Window
+        session.sparkContext.setJobDescription(
+          s"export: DV build snaps ${pending.head.id}..${pending.last.id}")
+        val rawByUri: Map[String, String] = lastDirs.flatMap(d =>
+          partFilesCached(d).map(_._1)).map { p =>
+          new org.apache.hadoop.fs.Path(p).toUri.toString
+            .replaceFirst("^file:/+", "/") -> p
+        }.toMap
+        val perDir = lastDirs.map { d =>
+          session.read.parquet(d).select(
+            table.pk.map(col) ++ Seq(
+              col("_metadata.file_path").as("__dv_f"),
+              col("_metadata.row_index").as("__dv_pos"),
+              lit(seqOfDir(d)).as("__dv_seq")): _*)
+        }
+        val all = perDir.reduce(_.unionByName(_))
+        // one row per (pk, seq) by the per-batch LWW contract, so
+        // lead() is the unique next version; window partitioning
+        // groups NULL keys like the per-snapshot groupBy does
+        val w = Window.partitionBy(table.pk.map(col): _*)
+          .orderBy(col("__dv_seq"))
+        val withNext = all
+          .withColumn("__dv_next", lead(col("__dv_seq"), 1).over(w))
+        // a row is deleted at snapshot s iff its next version's seq is
+        // visible at s; its own dir is then visible too (q < next ≤ s)
+        val bounds = pending.map(s => s.id -> s.files.map(seqOfDir).max)
+        val sidsFor = array(bounds.map { case (sid, b) =>
+          when(col("__dv_next") <= lit(b), lit(sid)) }: _*)
+        val deleted = withNext
+          .where(col("__dv_next").isNotNull)
+          .select(explode(sort_array(sidsFor)).as("__dv_sid"),
+            col("__dv_f"), col("__dv_pos"))
+          .where(col("__dv_sid").isNotNull)
+        import session.implicits._
+        val mdirC = mdir
+        val refsAll = deleted.as[(Long, String, Long)]
+          .repartition(col("__dv_f"))
+          .sortWithinPartitions(col("__dv_sid"), col("__dv_f"),
+            col("__dv_pos"))
+          .mapPartitions { it =>
+            val pid = org.apache.spark.TaskContext.getPartitionId()
+            val out = scala.collection.mutable.ArrayBuffer
+              .empty[(Long, (String, String, Long, Long, Long, Long))]
+            val groups = scala.collection.mutable.ArrayBuffer
+              .empty[(String, Array[Long])]
+            var curSid = -1L
+            var curFile: String = null
+            var pos = scala.collection.mutable.ArrayBuffer.empty[Long]
+            def closeFile(): Unit = if (curFile != null) {
+              groups += ((curFile, pos.toArray))
+              pos = scala.collection.mutable.ArrayBuffer.empty[Long]
+              curFile = null
+            }
+            def closeSid(): Unit = if (curSid >= 0 && {
+                closeFile(); groups.nonEmpty }) {
+              val path = s"$mdirC/dv-snap-${"%06d".format(curSid)}" +
+                s"-p${"%04d".format(pid)}.puffin"
+              val withRaw = groups.map { case (f, ps) =>
+                (rawByUri.getOrElse(
+                  f.replaceFirst("^file:/+", "/"), f), ps)
+              }
+              val (rs, total) = Puffin.writeDeletionVectorFile(
+                path, withRaw.toSeq.map(g => (g._1, g._2)),
+                snapshotId = curSid, sequenceNumber = curSid)
+              rs.zip(withRaw).foreach { case ((ref, off, len), (_, ps)) =>
+                out += ((curSid, (ref, path, off, len,
+                  ps.length.toLong, total)))
+              }
+              groups.clear()
+            }
+            it.foreach { case (sid, f, p) =>
+              if (sid != curSid) { closeSid(); curSid = sid }
+              if (f != curFile) { closeFile(); curFile = f }
+              pos += p
+            }
+            closeSid()
+            out.iterator
+          }.collect()
+        val bySid = refsAll.groupBy(_._1)
+        pending.foreach { s =>
+          val refs = bySid.getOrElse(s.id, Array.empty)
+            .map(_._2).toSeq.sortBy(_._1)
+          metaFs.writeString(
+            s"$mdir/dv-snap-${"%06d".format(s.id)}.refs.json",
+            toJson(Map("refs" -> refs.map {
+              case (a, b, c, d, e, f) => Seq(a, b, c, d, e, f) })))
+        }
+        session.sparkContext.setJobDescription(null)
+      }
+    }
+
     val snapshotObjs = snaps.map { s =>
       val snapSchema = rawSchemaOf(s.id)
       val fieldIds: Map[String, Int] = fieldIdsOf(snapSchema)
