@@ -77,6 +77,12 @@ object Demo {
 
     // 3. revenue aggregation starts once enriched data exists
     val revQ = p.startRevenue(s"$base/ckpt", Trigger.ProcessingTime("5 seconds"))
+    // same first-snapshot wait as the enrichment above: under host
+    // load a 5 s trigger may not have committed before the batch reads
+    // below, and an empty PK table has no schema to read yet
+    val revBy = System.currentTimeMillis() + math.max(runSecs, 30) * 1000L
+    while (p.revenue.latestSnapshotId == 0L &&
+      System.currentTimeMillis() < revBy) Thread.sleep(100)
     Thread.sleep(runSecs * 1000L / 2)
 
     // 4. batch analytics through the SQL catalog, both roles

@@ -650,7 +650,11 @@ object Pipeline {
     */
   def t8Tfidf(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
-    val n = d.count() // corpus size: one metadata-cheap aggregate
+    // corpus size from parquet footer metadata when exact (zero Spark
+    // jobs — the previous count() ran a full scan job per invocation
+    // despite only needing N); falls back to count() whenever footers
+    // can't prove the number
+    val n = graft.storage.FileStats.exactRows(d).getOrElse(d.count())
     val tf = d.select(col("doc_id"), explode(tokens(col("text"))).as("word"))
       .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))

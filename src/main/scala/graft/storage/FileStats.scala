@@ -164,6 +164,48 @@ object FileStats {
     * fall back to an exact count there, where the input is small by
     * construction.
     */
+  /** EXACT row count from parquet footers — driver-side metadata only,
+    * zero Spark jobs. Defined (Some) only when it provably equals
+    * `df.count()`: the plan must be a bare projection over ONE
+    * file-backed relation (no filter/join/generate can sit between —
+    * those change cardinality), every file must be parquet, the file
+    * count must stay under `maxFiles` (past that a driver-side footer
+    * walk is itself the bottleneck — a distributed count wins), and
+    * every footer must read cleanly (a single failure returns None,
+    * never a partial sum). Callers fall back to `count()` on None, so
+    * this can only remove a scan job, never change a result.
+    */
+  def exactRows(df: org.apache.spark.sql.DataFrame,
+                maxFiles: Int = 256): Option[Long] = {
+    import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project, SubqueryAlias}
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    def leafFiles(p: LogicalPlan): Option[Array[String]] = p match {
+      case Project(_, c) => leafFiles(c)
+      case SubqueryAlias(_, c) => leafFiles(c)
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation =>
+          val files = fs.location.inputFiles
+          if (files.nonEmpty && files.length <= maxFiles &&
+              files.forall(_.endsWith(".parquet"))) Some(files)
+          else None
+        case _ => None
+      }
+      case _ => None
+    }
+    leafFiles(df.queryExecution.analyzed).flatMap { files =>
+      val conf = df.sparkSession.sessionState.newHadoopConf()
+      try {
+        var rows = 0L
+        files.foreach { f =>
+          val r = ParquetFileReader.open(conf, new HadoopPath(f))
+          try rows += r.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+          finally r.close()
+        }
+        Some(rows)
+      } catch { case NonFatal(_) => None }
+    }
+  }
+
   def estimatedRows(df: org.apache.spark.sql.DataFrame,
                     sampleFiles: Int = 64): Option[Long] = {
     import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}

@@ -94,6 +94,35 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(graft.storage.FileStats.estimatedRows(half).exists(_ >= 10))
   }
 
+  test("exactRows: defined (and exact) only when footers prove the count") {
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    // bare relation: exact, zero jobs
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val n = graft.storage.FileStats.exactRows(emb)
+      Thread.sleep(200) // let any (wrongly) started job reach the bus
+      assert(jobs.get() == 0, "exactRows must never run a Spark job")
+      assert(n.contains(emb.count()))
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // projections don't change cardinality — still exact
+    assert(graft.storage.FileStats.exactRows(emb.select(col("vec_id")))
+      .contains(emb.count()))
+    // a FILTER can change cardinality — must refuse, never estimate
+    assert(graft.storage.FileStats.exactRows(
+      emb.filter(col("vec_id") < 10)).isEmpty)
+    // non-file-backed frames refuse
+    import spark.implicits._
+    assert(graft.storage.FileStats.exactRows(
+      Seq(1L, 2L).toDF("x")).isEmpty)
+  }
+
   test("derived-geometry LSH still finds planted near-dups on a skew-heavy corpus") {
     // 200 vectors: 100 near-identical clones of one direction (the skew
     // cluster — real near-dups that MUST collide) + 100 spread across
