@@ -1811,7 +1811,41 @@ object IcebergExport {
     val mpath = s"$mdir/v${"%05d".format(version)}.metadata.json"
     val md = JsonMethods.parse(fsFor(mpath).readString(mpath).getOrElse(
       throw new java.io.FileNotFoundException(mpath)))
-    readFromMetadata(spark, md, asOfSnapshotId, keepDataFiles)
+    if (TieredTable.lakeMemoBypassed)
+      return readFromMetadata(spark, md, asOfSnapshotId, keepDataFiles)
+    // Session-scoped relation memo (TieredTable.lakeMemo scaladoc): the
+    // exported chain below this metadata version is immutable EXCEPT
+    // the manifest list, which attachDeletionVectors rewrites in place
+    // without bumping the version — so the resolved snapshot's
+    // manifest-list stamp (length+mtime) keys the memo alongside the
+    // version. Everything downstream (manifest avro walk, scan
+    // planning, delete-application joins, analysis) is reused; every
+    // action still scans parquet/puffin. Non-local chains bypass.
+    val listPath =
+      try {
+        val currentId = asOfSnapshotId.getOrElse(
+          jLong(jsonAt(md, "current-snapshot-id")))
+        jsonAt(md, "snapshots").asInstanceOf[org.json4s.JArray].arr
+          .find(s => jLong(jsonAt(s, "snapshot-id")) == currentId)
+          .map(s => jsonAt(s, "manifest-list")) match {
+          case Some(org.json4s.JString(p)) => p
+          case _ => null
+        }
+      } catch { case scala.util.control.NonFatal(_) => null }
+    val stamp =
+      if (listPath == null) None
+      else TieredTable.localStamp(Seq(mpath, listPath))
+    stamp match {
+      case None => readFromMetadata(spark, md, asOfSnapshotId, keepDataFiles)
+      case Some(st) =>
+        val key = TieredTable.memoKey(
+          "ice", tablePath, version.toString,
+          asOfSnapshotId.map(_.toString).getOrElse("-"),
+          keepDataFiles.map(_.toSeq.sorted.mkString("\n")).getOrElse("-"),
+          keepDataFiles.isDefined.toString, st)
+        TieredTable.lakeMemoFor(spark).getOrElseUpdate(key,
+          readFromMetadata(spark, md, asOfSnapshotId, keepDataFiles))
+    }
   }
 
   /** Resolve and scan purely from a PARSED Iceberg table-metadata

@@ -79,6 +79,27 @@ class BenchFormatSpec extends AnyFunSuite {
     assert((j \ "sf") == JString("/data/sf0.1"))
   }
 
+  test("queries line is one strict-JSON line carrying the full map") {
+    val line = Bench.queriesLine(results, "/data/sf0.1")
+    assert(!line.contains("\n"))
+    val j = parse(line)
+    assert((j \ "metric") == JString("queries"))
+    assert((j \ "sf") == JString("/data/sf0.1"))
+    val JInt(n) = j \ "n"
+    assert(n == 3)
+    val JObject(qs) = j \ "queries"
+    val m = qs.map { case (k, v) => k -> v.asInstanceOf[JDouble].num }.toMap
+    assert(m.keySet == results.keySet)
+    for ((k, v) <- results) assert(math.abs(m(k) - v) < 5e-4, s"$k drifted")
+    // locale-independence: same rendering discipline as the parts lines
+    val saved = java.util.Locale.getDefault
+    try {
+      java.util.Locale.setDefault(java.util.Locale.GERMANY)
+      val JObject(qs2) = parse(Bench.queriesLine(results, "/d")) \ "queries"
+      assert(qs2.nonEmpty)
+    } finally java.util.Locale.setDefault(saved)
+  }
+
   test("per-query line parses and agrees with the summary") {
     val line = Bench.perQueryLine(results, "/d")
     val j = parse(line)
