@@ -153,54 +153,59 @@ object IncrementalAgg {
     // sized) instead of re-running the changelog read + aggregation per
     // reference. Sum-only maintenance references it once — no
     // materialization, the single-pass plan stands.
+    //
+    // ONE eager materialization, not two (r13 checkpointed the delta
+    // aggregate and the dirty-key set separately — two blocking jobs
+    // whose fixed latency exceeded the re-execution they saved on
+    // small deltas; the r14 measurement gate on q18b): the checkpoint
+    // lands on the (delta agg × state bounds) LEFT join, from which
+    // BOTH the merge input (the join is 1:1 — state bounds are unique
+    // per group, so the left side's rows are exactly the delta
+    // aggregate's) and the dirty-key set derive without further
+    // computation. Delta pipeline and state pipeline each execute once
+    // inside that single job; the emptiness probe and the recompute
+    // semi-join read the checkpoint.
     val dPlan = delta.groupBy(groupCols.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
-    val d =
-      if (spec.mins.isEmpty && spec.maxs.isEmpty) dPlan
-      else dPlan.localCheckpoint(true)
+    if (spec.mins.isEmpty && spec.maxs.isEmpty) {
+      val d = dPlan
+      val candCols = candidateCols(spec)
+      val merged = state.join(d, groupCols, "full_outer")
+        .select((groupCols.map(col) ++ candCols): _*)
+        .filter(col(spec.cntCol) > 0L)
+      return finishAvgs(merged, spec)
+    }
+    val stateBounds0 = state.select((groupCols ++ spec.mins.map(_._2) ++
+      spec.maxs.map(_._2)).distinct.map(col): _*)
+    // bound columns ride under reserved names so the merge join's
+    // coalesce against the state's identical aliases stays unambiguous
+    val boundAliases = (spec.mins ++ spec.maxs).map(_._2).distinct
+    val stateBounds = stateBounds0.select(
+      (groupCols.map(col) ++ boundAliases.map(a => col(a).as(s"__sb_$a"))): _*)
+    val dj = dPlan.join(stateBounds, groupCols, "left").localCheckpoint(true)
+    val d = dj.select((groupCols ++
+      dj.columns.filter(_.startsWith("__d"))).map(col): _*)
 
     // merge join: candidates for every aggregate; groups at count zero
     // drop out before any recompute can be owed for them
-    val candCols =
-      spec.sums.zipWithIndex.map { case ((_, alias), i) =>
-        (coalesce(col(alias), lit(0L)) + coalesce(col(s"__dsum$i"), lit(0L)))
-          .as(alias) } ++
-      Seq((coalesce(col(spec.cntCol), lit(0L)) +
-        coalesce(col("__dcnt"), lit(0L))).as(spec.cntCol)) ++
-      spec.avgs.zipWithIndex.flatMap { case ((_, alias), i) => Seq(
-        (coalesce(col(spec.avgSum(alias)), lit(0.0)) +
-          coalesce(col(s"__das$i").cast("double"), lit(0.0)))
-          .as(spec.avgSum(alias)),
-        (coalesce(col(spec.avgCnt(alias)), lit(0L)) +
-          coalesce(col(s"__dac$i"), lit(0L))).as(spec.avgCnt(alias))) } ++
-      spec.mins.zipWithIndex.map { case ((_, alias), i) =>
-        least(col(alias), col(s"__dmi$i")).as(alias) } ++
-      spec.maxs.zipWithIndex.map { case ((_, alias), i) =>
-        greatest(col(alias), col(s"__dxi$i")).as(alias) }
     val merged = state.join(d, groupCols, "full_outer")
-      .select((groupCols.map(col) ++ candCols): _*)
+      .select((groupCols.map(col) ++ candidateCols(spec)): _*)
       .filter(col(spec.cntCol) > 0L)
 
     val projected = finishAvgs(merged, spec)
-    if (spec.mins.isEmpty && spec.maxs.isEmpty) return projected
 
-    // dirty detection runs on the SMALL join of delta-agg × state
-    // min/max columns — a retracted value at or beyond the candidate
-    // bound means the true bound is unknown
-    val stateBounds = state.select((groupCols ++ spec.mins.map(_._2) ++
-      spec.maxs.map(_._2)).distinct.map(col): _*)
+    // dirty detection runs on the SMALL checkpointed join of delta-agg
+    // × state min/max columns — a retracted value at or beyond the
+    // candidate bound means the true bound is unknown. Derived from
+    // the checkpoint: the emptiness probe and the recompute semi-join
+    // cost no re-execution of either pipeline.
     val dirtyCond =
       (spec.mins.zipWithIndex.map { case ((_, alias), i) =>
-        col(s"__dmr$i") <= least(col(alias), col(s"__dmi$i")) } ++
+        col(s"__dmr$i") <= least(col(s"__sb_$alias"), col(s"__dmi$i")) } ++
        spec.maxs.zipWithIndex.map { case ((_, alias), i) =>
-        col(s"__dxr$i") >= greatest(col(alias), col(s"__dxi$i")) })
+        col(s"__dxr$i") >= greatest(col(s"__sb_$alias"), col(s"__dxi$i")) })
         .reduce(_ || _)
-    // materialized: the emptiness probe below would otherwise run the
-    // state pipeline once for the probe and AGAIN inside the patched
-    // plan's recompute semi-join (dirty keys are ≤ delta's group count)
-    val dirtyKeys = d.join(stateBounds, groupCols, "left")
-      .filter(dirtyCond).select(groupCols.map(col): _*)
-      .localCheckpoint(true)
+    val dirtyKeys = dj.filter(dirtyCond).select(groupCols.map(col): _*)
     if (dirtyKeys.isEmpty) return projected
 
     // recompute ONLY the dirty groups' bounds from the base snapshot
@@ -221,6 +226,28 @@ object IncrementalAgg {
             .as(alias) }): _*)
     finishAvgs(patched, spec)
   }
+
+  /** The merge join's candidate columns: state value ⊕ delta
+    * accumulator per maintained aggregate (MIN/MAX candidates via
+    * least/greatest against the inserted side only — retractions route
+    * through the dirty-group recompute).
+    */
+  private def candidateCols(spec: AggSpec): Seq[org.apache.spark.sql.Column] =
+    spec.sums.zipWithIndex.map { case ((_, alias), i) =>
+      (coalesce(col(alias), lit(0L)) + coalesce(col(s"__dsum$i"), lit(0L)))
+        .as(alias) } ++
+    Seq((coalesce(col(spec.cntCol), lit(0L)) +
+      coalesce(col("__dcnt"), lit(0L))).as(spec.cntCol)) ++
+    spec.avgs.zipWithIndex.flatMap { case ((_, alias), i) => Seq(
+      (coalesce(col(spec.avgSum(alias)), lit(0.0)) +
+        coalesce(col(s"__das$i").cast("double"), lit(0.0)))
+        .as(spec.avgSum(alias)),
+      (coalesce(col(spec.avgCnt(alias)), lit(0L)) +
+        coalesce(col(s"__dac$i"), lit(0L))).as(spec.avgCnt(alias))) } ++
+    spec.mins.zipWithIndex.map { case ((_, alias), i) =>
+      least(col(alias), col(s"__dmi$i")).as(alias) } ++
+    spec.maxs.zipWithIndex.map { case ((_, alias), i) =>
+      greatest(col(alias), col(s"__dxi$i")).as(alias) }
 
   /** Project the visible AVG columns from their hidden accumulators
     * (NULL when the group has no non-null values — SQL AVG semantics).
