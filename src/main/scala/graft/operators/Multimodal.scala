@@ -36,6 +36,84 @@ import graft.functions.TextFunctions.hash60
   */
 object Multimodal {
 
+  /** Process-global, set once at object init (first decode/encode in
+    * each JVM): ImageIO's default stream cache backs every
+    * ImageInputStream/ImageOutputStream with a TEMP FILE — one
+    * create+write+delete per image encoded or decoded. Every payload
+    * here is an in-memory byte array, so the file cache is pure
+    * overhead (guide §4.5: per-row heavyweight setup); heap-backed
+    * streams produce bit-identical rasters and bytes.
+    */
+  javax.imageio.ImageIO.setUseCache(false)
+
+  /** Thread-local ImageReader cache, keyed by container format: the
+    * JDK readers are reusable across images via `setInput` but not
+    * thread-safe, and `ImageIO.read`'s per-call provider probe +
+    * reader instantiation is per-row overhead at decode volume
+    * (guide §4.5 — initialise heavyweight state once per task, not
+    * per row). Bounded: ≤4 formats per executor thread.
+    */
+  private val readerCache =
+    ThreadLocal.withInitial[scala.collection.mutable.HashMap[
+      String, javax.imageio.ImageReader]](() =>
+      scala.collection.mutable.HashMap.empty)
+
+  private def cachedReader(fmt: String): javax.imageio.ImageReader =
+    readerCache.get().getOrElseUpdate(fmt,
+      javax.imageio.ImageIO.getImageReadersByFormatName(fmt).next())
+
+  /** Container sniff from magic bytes — selects the cached reader; an
+    * unrecognized magic falls back to ImageIO's own provider probing
+    * (identical result, per-row cost).
+    */
+  private def sniffFormat(b: Array[Byte]): String =
+    if (b.length >= 8 && (b(0) & 0xff) == 0x89 && b(1) == 'P'.toByte &&
+        b(2) == 'N'.toByte && b(3) == 'G'.toByte) "png"
+    else if (b.length >= 6 && b(0) == 'G'.toByte && b(1) == 'I'.toByte &&
+        b(2) == 'F'.toByte && b(3) == '8'.toByte) "gif"
+    else if (b.length >= 2 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8)
+      "jpeg"
+    else if (b.length >= 2 && b(0) == 'B'.toByte && b(1) == 'M'.toByte) "bmp"
+    else null
+
+  /** The JDK's audio file readers, resolved ONCE per JVM through the
+    * public ServiceLoader SPI (java.desktop `provides … AudioFileReader`
+    * — no JDK-internal API): `AudioSystem.getAudioInputStream` walks
+    * the same provider list per call, paying an exception-throw per
+    * non-matching container per row. Each probe gets a fresh
+    * ByteArrayInputStream, so provider order cannot change which
+    * reader ACCEPTS a given container (only one JDK reader accepts
+    * each format); empty loader → AudioSystem fallback.
+    */
+  private lazy val audioFileReaders
+      : Seq[javax.sound.sampled.spi.AudioFileReader] =
+    try {
+      import scala.jdk.CollectionConverters.IterableHasAsScala
+      java.util.ServiceLoader
+        .load(classOf[javax.sound.sampled.spi.AudioFileReader])
+        .asScala.toSeq
+    } catch { case scala.util.control.NonFatal(_) => Nil }
+
+  private def openAudio(payload: Array[Byte])
+      : Option[javax.sound.sampled.AudioInputStream] = {
+    if (audioFileReaders.isEmpty)
+      return (
+        try Some(javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(payload)))
+        catch { case scala.util.control.NonFatal(_) => None })
+    val it = audioFileReaders.iterator
+    while (it.hasNext) {
+      val r = it.next()
+      try return Some(r.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload)))
+      catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException => ()
+        case _: java.io.IOException => ()
+      }
+    }
+    None
+  }
+
   /** One decoded media item (the input contract of the decode stage). */
   case class MediaRow(media_id: Long, media_type: String, width: Int,
                       height: Int, n_frames: Int, payload: Array[Byte])
@@ -161,17 +239,39 @@ object Multimodal {
     phash
   }
 
-  private[graft] def imageFeatures(id: Long,
-                                   payload: Array[Byte]): Option[ImageFeatures] = {
-    val img =
+  /** Decode via the thread-cached reader for a sniffed container
+    * (`ImageIO.read`'s exact setInput contract: seekForwardOnly,
+    * ignoreMetadata — same decode, no per-row provider probe or
+    * reader instantiation); unknown magic falls back to
+    * `ImageIO.read`. Undecodable → None, as before.
+    */
+  private def decodeImage(payload: Array[Byte])
+      : Option[java.awt.image.BufferedImage] = {
+    val fmt = sniffFormat(payload)
+    if (fmt == null)
       try Option(javax.imageio.ImageIO.read(
         new java.io.ByteArrayInputStream(payload)))
       catch { case scala.util.control.NonFatal(_) => None }
-    img.map { im =>
+    else {
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val r = cachedReader(fmt)
+        try {
+          r.setInput(iis, true, true)
+          Option(r.read(0))
+        } catch { case scala.util.control.NonFatal(_) => None }
+        finally r.setInput(null) // never pin a closed stream
+      } finally iis.close()
+    }
+  }
+
+  private[graft] def imageFeatures(id: Long,
+                                   payload: Array[Byte]): Option[ImageFeatures] =
+    decodeImage(payload).map { im =>
       ImageFeatures(id, im.getWidth, im.getHeight, payload.length,
         meanLuma(im), avgHash(im))
     }
-  }
 
   /** Partition-wise REAL image decode over (media_id, payload) —
     * same dataflow shape as [[decodeFeatures]] (narrow iterator map,
@@ -231,20 +331,29 @@ object Multimodal {
   private[graft] def gifFrames(id: Long, payload: Array[Byte],
                                step: Int): Option[Seq[GifFrameFeatures]] =
     try {
+      // sniffed GIF → the thread-cached reader (same default setInput
+      // flags as before: random access, metadata on — getNumImages
+      // needs both); other magics keep the per-row provider probe
+      val cached = sniffFormat(payload) == "gif"
       val iis = javax.imageio.ImageIO.createImageInputStream(
         new java.io.ByteArrayInputStream(payload))
-      val readers = javax.imageio.ImageIO.getImageReaders(iis)
-      if (!readers.hasNext) { iis.close(); None }
-      else {
-        val r = readers.next()
-        try {
-          r.setInput(iis)
-          val n = r.getNumImages(true)
-          Some((0 until n by step).map { i =>
-            val im = r.read(i)
-            GifFrameFeatures(id, n, i, im.getWidth, im.getHeight, avgHash(im))
-          })
-        } finally { r.dispose(); iis.close() }
+      val r =
+        if (cached) cachedReader("gif")
+        else {
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) { iis.close(); return None }
+          readers.next()
+        }
+      try {
+        r.setInput(iis)
+        val n = r.getNumImages(true)
+        Some((0 until n by step).map { i =>
+          val im = r.read(i)
+          GifFrameFeatures(id, n, i, im.getWidth, im.getHeight, avgHash(im))
+        })
+      } finally {
+        if (cached) r.setInput(null) else r.dispose()
+        iis.close()
       }
     } catch { case scala.util.control.NonFatal(_) => None }
 
@@ -396,15 +505,15 @@ object Multimodal {
     import javax.sound.sampled.{AudioFormat, AudioSystem}
     val opened =
       try {
-        val raw = AudioSystem.getAudioInputStream(
-          new java.io.ByteArrayInputStream(payload))
-        val enc = raw.getFormat.getEncoding
-        // non-PCM payloads (μ-law/a-law) route through the JDK's
-        // converter; raw PCM passes through untouched
-        if (enc == AudioFormat.Encoding.PCM_SIGNED ||
-            enc == AudioFormat.Encoding.PCM_UNSIGNED) Some(raw)
-        else Some(AudioSystem.getAudioInputStream(
-          AudioFormat.Encoding.PCM_SIGNED, raw))
+        openAudio(payload).flatMap { raw =>
+          val enc = raw.getFormat.getEncoding
+          // non-PCM payloads (μ-law/a-law) route through the JDK's
+          // converter; raw PCM passes through untouched
+          if (enc == AudioFormat.Encoding.PCM_SIGNED ||
+              enc == AudioFormat.Encoding.PCM_UNSIGNED) Some(raw)
+          else Some(AudioSystem.getAudioInputStream(
+            AudioFormat.Encoding.PCM_SIGNED, raw))
+        }
       } catch { case scala.util.control.NonFatal(_) => None }
     opened.flatMap { ais =>
       try {
