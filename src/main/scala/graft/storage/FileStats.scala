@@ -206,6 +206,27 @@ object FileStats {
     }
   }
 
+  /** EXACT row count of every `*.parquet` under `dir` (recursive) from
+    * footers — driver-side metadata only, zero Spark jobs. None when
+    * the dir holds no parquet files or any footer fails to read;
+    * callers fall back to a distributed `count()` there, so this can
+    * only remove a scan job, never change a number or an error.
+    */
+  def footerRows(dir: String): Option[Long] = {
+    val files = parquetFiles(dir)
+    if (files.isEmpty) return None
+    val conf = new Configuration(TableFs.hadoopConf)
+    try {
+      var rows = 0L
+      files.foreach { f =>
+        val r = ParquetFileReader.open(conf, new HadoopPath(f))
+        try rows += r.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+        finally r.close()
+      }
+      Some(rows)
+    } catch { case NonFatal(_) => None }
+  }
+
   def estimatedRows(df: org.apache.spark.sql.DataFrame,
                     sampleFiles: Int = 64): Option[Long] = {
     import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}

@@ -409,6 +409,25 @@ object IcebergExport {
     */
   private def rawRead(session: SparkSession, table: TieredTable,
                       files: Seq[String]): DataFrame = {
+    // session-scoped relation memo (TieredTable.lakeMemo scaladoc):
+    // the mergeSchema inference below runs a distributed footer job
+    // per multi-file dir set, and export calls this repeatedly over
+    // immutable snapshot dirs
+    if (TieredTable.lakeMemoBypassed) return rawReadFresh(session, table, files)
+    TieredTable.localStamp(files) match {
+      case None => rawReadFresh(session, table, files)
+      case Some(stamp) =>
+        val key = TieredTable.memoKey(
+          "iceraw", table.tablePath,
+          table.historicalPartitionCols.mkString(","),
+          files.mkString("\n"), stamp)
+        TieredTable.lakeMemoFor(session)
+          .getOrElseUpdate(key, rawReadFresh(session, table, files))
+    }
+  }
+
+  private def rawReadFresh(session: SparkSession, table: TieredTable,
+                           files: Seq[String]): DataFrame = {
     // HISTORICAL layout cols, not just the current spec's: after DROP
     // PARTITION FIELD, pre-drop hive vintages carry values only in
     // their `col=value` dir names — same rule as TieredTable.readParquet
@@ -1109,14 +1128,38 @@ object IcebergExport {
           .map(_.linesIterator.filter(_.nonEmpty).toSet)
           .getOrElse(Set.empty)
       val toCheck = snaps.flatMap(_.files).distinct.filterNot(checked)
-      toCheck.foreach { dir =>
-        val pkDf = session.read.parquet(dir).select(table.pk.map(col): _*)
-        require(pkDf.count() == pkDf.distinct().count(),
-          s"cannot export ${table.tablePath} as Iceberg: dir $dir " +
-            "carries duplicate primary keys — not representable as " +
-            "equality deletes (same-sequence rows never delete each " +
-            "other); compact() first or dedup the batch with " +
-            "versionOrder")
+      if (toCheck.nonEmpty) {
+        // ONE job for every unchecked dir (was count() + distinct
+        // count() PER DIR — 2n jobs): tag each dir's keys, group by
+        // (dir, key), and surface any group with a duplicate. The
+        // grouped probe also short-circuits at the first offender.
+        import org.apache.spark.sql.functions.lit
+        def dupDirsOneJob(): Seq[String] = toCheck.map { dir =>
+          session.read.parquet(dir)
+            .select((lit(dir).as("__eq_dir") +: table.pk.map(col)): _*)
+        }.reduce(_.unionByName(_))
+          .groupBy((org.apache.spark.sql.functions.col("__eq_dir") +:
+            table.pk.map(col)): _*)
+          .count()
+          .filter(org.apache.spark.sql.functions.col("count") > 1L)
+          .select("__eq_dir").distinct().limit(3)
+          .collect().map(_.getString(0)).toSeq
+        // dirs whose PK column TYPES diverged (mid-history widen)
+        // cannot union — fall back to the per-dir probe there
+        def dupDirsPerDir(): Seq[String] = toCheck.filter { dir =>
+          val pkDf = session.read.parquet(dir).select(table.pk.map(col): _*)
+          pkDf.count() != pkDf.distinct().count()
+        }
+        val offenders =
+          try dupDirsOneJob()
+          catch { case _: org.apache.spark.sql.AnalysisException =>
+            dupDirsPerDir() }
+        require(offenders.isEmpty,
+          s"cannot export ${table.tablePath} as Iceberg: dir(s) " +
+            s"${offenders.mkString(", ")} carry duplicate primary keys " +
+            "— not representable as equality deletes (same-sequence " +
+            "rows never delete each other); compact() first or dedup " +
+            "the batch with versionOrder")
       }
       if (toCheck.nonEmpty)
         metaFs.writeString(markerFile,

@@ -645,7 +645,8 @@ class TieredTable(spark: SparkSession, rawTablePath: String,
     * nondeterministic inputs).
     */
   private def writtenRows(path: String): Long =
-    spark.read.parquet(path).count()
+    FileStats.footerRows(path)
+      .getOrElse(spark.read.parquet(path).count())
 
   /** The single data-write seam: when the table is partitioned, every
     * write site (log segments, tier/append/rewrite snapshots, compact)
