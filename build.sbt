@@ -10,6 +10,10 @@ libraryDependencies ++= Seq(
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
 Test / fork := true
+// per-test durations in the report (-oD): the suite's wall budget is
+// driver-visible (VERIFY tests_ok), so the slow suites must be findable
+// from any single run's log
+Test / testOptions += Tests.Argument(TestFrameworks.ScalaTest, "-oD")
 run / fork := true
 // Forked run output goes raw to stdout/stderr (no "[info] " prefix from
 // sbt's logger) so Bench's single JSON result line is machine-parseable.

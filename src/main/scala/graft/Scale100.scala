@@ -52,11 +52,26 @@ object Scale100 {
       (a, (System.nanoTime() - t0) / 1e9)
     }
 
-    // SPARK_GRAFT_ONLY=docs|vectors|lake reruns one section in
+    // SPARK_GRAFT_ONLY=docs|vectors|lake|text reruns one section in
     // isolation (iterating on one measurement must not re-pay the
-    // other two's ~15 min)
+    // others' ~15 min)
     val only = sys.env.get("SPARK_GRAFT_ONLY")
     def want(tag: String): Boolean = only.forall(_ == tag)
+
+    // shuffle-byte attribution for the sections that report it
+    val shufRead = new java.util.concurrent.atomic.AtomicLong
+    val shufWrite = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = te.taskMetrics
+          if (m != null) {
+            shufRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+            shufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          }
+        }
+      })
 
     val docs = graft.tables.Tables.load(spark, sfDir, "documents")
       .select(col("doc_id"), col("text"))
@@ -107,6 +122,75 @@ object Scale100 {
     }
     line("metric" -> "d10_incr_indexed_100x", "sec" -> d10Sec,
       "pairs" -> d10Pairs, "pairs_per_sec" -> (d10Pairs / d10Sec))
+    }
+
+    if (want("text")) {
+    // ---- text analytics at copies× (t8/t9 shapes) ----
+    // Same widening as the docs section: shard-suffixed texts are
+    // distinct content (every shard adds one distinct token, so the
+    // vocabulary grows with the corpus, not just the row count). The
+    // shapes are exactly t8_tfidf's and t9_bigram_lm's dataflow —
+    // tokenize → per-(doc,word) count → per-word doc frequency →
+    // score join → per-doc top-k; bigram hash → count join → per-doc
+    // aggregate — so the measured exchanges are the declared queries'.
+    import graft.functions.TextFunctions.{hash60, tokens}
+    val widened = (0 until copies).map { k =>
+      docs.select((col("doc_id") + lit(k * 10000000L)).as("doc_id"),
+        concat(col("text"), lit(s" shard$k")).as("text"))
+    }.reduce(_.union(_)).repartition(cpus.toInt * 2).localCheckpoint(true)
+    val nW = widened.count()
+
+    // t8 (tf-idf top-5 keywords)
+    val tf = widened
+      .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
+      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    // hot-key probe FIRST (guide §2.5): the largest per-word doc
+    // frequency bounds the worst key of the score join's shuffle
+    val dfStats = dfreq.agg(max(col("df")), expr("percentile_approx(df, 0.99)"),
+      count(lit(1))).head()
+    line("metric" -> "t8_df_histogram", "copies" -> copies, "docs" -> nW,
+      "max_df" -> dfStats.getLong(0), "p99_df" -> dfStats.getLong(1),
+      "n_words" -> dfStats.getLong(2))
+    val (sr0, sw0) = (shufRead.get, shufWrite.get)
+    val (t8Rows, t8Sec) = timed {
+      val scored = tf.join(dfreq, Seq("word"))
+        .withColumn("score", col("tf") * lit(nW.toDouble) / col("df"))
+      val topk = udaf(new graft.functions.TopKStrAgg(5))
+      scored.groupBy(col("doc_id"))
+        .agg(topk(col("score"), col("word")).as("kw"))
+        .select(col("doc_id"), posexplode(col("kw")))
+        .count()
+    }
+    line("metric" -> "t8_tfidf_100x", "copies" -> copies, "docs" -> nW,
+      "sec" -> t8Sec, "rows" -> t8Rows,
+      "shuffle_read_mb" -> ((shufRead.get - sr0) / 1e6),
+      "shuffle_write_mb" -> ((shufWrite.get - sw0) / 1e6))
+
+    // t9 (bigram-LM fluency proxy)
+    val bi = {
+      val t = tokens(col("text"))
+      zip_with(slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
+        (a, b) => hash60(concat(a, lit(" "), b)))
+    }
+    val docBi = widened.select(col("doc_id"), explode(bi).as("bh"))
+    val biStats = docBi.groupBy(col("bh")).agg(count(lit(1)).as("cnt"))
+      .agg(max(col("cnt")), count(lit(1))).head()
+    line("metric" -> "t9_bigram_histogram", "copies" -> copies,
+      "docs" -> nW, "max_bigram_count" -> biStats.getLong(0),
+      "n_bigrams" -> biStats.getLong(1))
+    val (sr1, sw1) = (shufRead.get, shufWrite.get)
+    val (t9Rows, t9Sec) = timed {
+      val counts = docBi.groupBy(col("bh")).agg(count(lit(1)).as("cnt"))
+      docBi.join(counts, Seq("bh"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("cnt")).as("fluency_sum"))
+        .count()
+    }
+    line("metric" -> "t9_bigram_100x", "copies" -> copies, "docs" -> nW,
+      "sec" -> t9Sec, "rows" -> t9Rows,
+      "shuffle_read_mb" -> ((shufRead.get - sr1) / 1e6),
+      "shuffle_write_mb" -> ((shufWrite.get - sw1) / 1e6))
     }
 
     if (want("vectors")) {

@@ -65,15 +65,24 @@ object Sampling {
     require(!df.columns.contains("__rate"),
       "input columns collide with temperatureMix internals: __rate")
     val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
-    val nMin = counts.agg(min(col("__n"))).head().getLong(0)
+    // n_min rides IN-PLAN as a broadcast one-row frame instead of an
+    // eager .head() (guide §1.2: the probe was a whole extra
+    // corpus-scan JOB per call just to fetch one scalar before the
+    // real query could even plan). Same operands through the same
+    // IEEE ops — sqrt/division on identical doubles — so every
+    // election is bit-identical to the scalar form.
+    val minDf = counts.agg(min(col("__n")).as("__nmin"))
     val rate =
-      if (alpha == 0.5) sqrt(lit(nMin.toDouble) / col("__n").cast("double"))
-      else pow(col("__n").cast("double") / nMin.toDouble, alpha - 1.0)
+      if (alpha == 0.5)
+        sqrt(col("__nmin").cast("double") / col("__n").cast("double"))
+      else pow(col("__n").cast("double") / col("__nmin").cast("double"),
+        alpha - 1.0)
     val u = pmod(keyHash(salt, col(keyCol)), lit(1000000L)).cast("double") /
       1000000.0
     // null-SAFE join: a null source is a real group (groupBy counts it);
     // a plain equi-join would silently drop its rows from the mixture
-    val rates = counts.select(col(groupCol).as("__grp"), rate.as("__rate"))
+    val rates = counts.crossJoin(broadcast(minDf))
+      .select(col(groupCol).as("__grp"), rate.as("__rate"))
     df.join(broadcast(rates), df(groupCol) <=> col("__grp"))
       .filter(u < col("__rate"))
       .drop("__grp", "__rate")
