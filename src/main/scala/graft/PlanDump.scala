@@ -110,8 +110,13 @@ object PlanDump {
             shufRead.get - sr0, shufWrite.get - sw0, nTasks.get - nt0,
             nJobs.get - nj0)
         }.toMap
+      // GRAFT_PLANDUMP_ACTION=noop times the noop sink (guide §1.4 —
+      // computes every column, no count short-circuit) instead of the
+      // bench's count() action; default stays count so numbers remain
+      // comparable with Bench's.
+      val action = sys.env.getOrElse("GRAFT_PLANDUMP_ACTION", "count")
       val counts = (1 to 3).map { _ =>
-        graft.queries.Pipeline.clearMemo(spark); pass("count") }
+        graft.queries.Pipeline.clearMemo(spark); pass(action) }
       val best = counts.head.keys.map { k =>
         k -> counts.map(_(k)).minBy(_._1) }.toMap
       best.toSeq.sortBy(-_._2._1).foreach {

@@ -185,7 +185,14 @@ object FileStats {
       case lr: LogicalRelation => lr.relation match {
         case fs: HadoopFsRelation =>
           val files = fs.location.inputFiles
-          if (files.nonEmpty && files.length <= maxFiles &&
+          // the FORMAT must be parquet, not just the file names: a
+          // binaryFile/text relation over .parquet-named files would
+          // sum footer row counts into a confidently wrong "exact"
+          // count (ADVICE r13 medium); the extension check stays as
+          // belt-and-braces
+          val isParquet = fs.fileFormat.isInstanceOf[
+            org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat]
+          if (isParquet && files.nonEmpty && files.length <= maxFiles &&
               files.forall(_.endsWith(".parquet"))) Some(files)
           else None
         case _ => None
